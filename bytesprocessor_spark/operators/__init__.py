@@ -1,0 +1,38 @@
+from bytesprocessor_spark.operators.labeling import (
+    AttackSpec,
+    attacks_to_df,
+    extract_ranges,
+    label_attacks,
+    label_attacks_join,
+)
+from bytesprocessor_spark.operators.joins import asof_join, range_join, range_join_bucketed
+from bytesprocessor_spark.operators.topk import top_k, top_k_per_group
+from bytesprocessor_spark.operators.quality import assert_no_nulls, null_counts
+from bytesprocessor_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_dup_pairs,
+)
+from bytesprocessor_spark.operators.similarity import brute_force_topk, lsh_topk
+
+__all__ = [
+    "AttackSpec",
+    "attacks_to_df",
+    "extract_ranges",
+    "label_attacks",
+    "label_attacks_join",
+    "asof_join",
+    "range_join",
+    "range_join_bucketed",
+    "top_k",
+    "top_k_per_group",
+    "assert_no_nulls",
+    "null_counts",
+    "exact_dedup",
+    "exact_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_dup_pairs",
+    "brute_force_topk",
+    "lsh_topk",
+]

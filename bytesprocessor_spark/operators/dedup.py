@@ -1,0 +1,215 @@
+"""Deduplication operators (SURVEY §2.11 L1-L2).
+
+Exact dedup is a hash group-by; near-dup comes in three flavors —
+MinHash+LSH (band/bucket join), SimHash (Hamming-bucketed 64-bit
+sketch), and exact n-gram Jaccard via an inverted-index token join.
+Everything is built-in expressions + equi-joins: the LSH band join is
+the classic shuffle-on-band-hash plan that scales linearly with corpus
+size, unlike the O(n²) pair comparison it replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.functions.text import char_ngrams, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup on a content hash: keep the lowest id per hash.
+    One shuffle on the 256-bit hash; hash first so the shuffle key is
+    fixed-width regardless of document size."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    h = F.sha2(t.cast("string"), 256)
+    keyed = df.withColumn("__h", h)
+    keep = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col)).drop("__h")
+    return df.join(keep, id_col, "left_semi")
+
+
+def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """num_hashes minhash values: per permutation i, min over shingles
+    of xxhash64(shingle, salt_i).  xxhash64 is a Catalyst built-in —
+    the whole signature is one codegen'd expression."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash + banded LSH.
+
+    Plan shape: signature (map-only) -> explode to ``bands`` rows ->
+    shuffle on (band, band_hash) -> self-join within buckets.  At
+    100 TB the bucket join is the only shuffle and its key space is
+    uniform by construction (hash values), so no skew.
+    Returns distinct (id_a < id_b) candidate pairs.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        _minhash_signature(char_ngrams(F.col(text_col), shingle_size), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_size: int = 5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Without ``candidates``: inverted-index join — explode shingles,
+    equi-join on the shingle, count shared shingles per pair, compute
+    |A∩B| / (|A|+|B|-|A∩B|).  This is the scalable exact algorithm
+    (shuffle on shingle hash); pass LSH candidates to restrict the pair
+    space further (LSH-then-verify).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        char_ngrams(F.col(text_col), shingle_size).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    tok = sh.select("id", F.explode("sh").alias("s")).withColumn("s", F.xxhash64("s"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            F.broadcast(candidates.select("id_a", "id_b")), ["id_a", "id_b"], "left_semi"
+        )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash64(text: Column, shingle_size: int = 4) -> Column:
+    """64-bit SimHash sketch: per shingle take xxhash64, sum signed
+    contributions per bit, sign -> bit.  Pure higher-order expressions.
+    """
+    hashes = F.transform(char_ngrams(text, shingle_size), lambda s: F.xxhash64(s))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h, i=i: acc
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for i, bit in enumerate(bits):
+        out = out.bitwiseOR(F.shiftleft(bit, i))
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates: split the 64-bit sketch into
+    ``n_blocks`` 16-bit blocks; any pair within ``max_hamming <
+    n_blocks`` bits must share at least one exact block (pigeonhole) —
+    equi-join per block, then verify Hamming distance exactly."""
+    sk = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    width = 64 // n_blocks
+    blocked = sk.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("sh", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.blk", "bb.bv")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bv") == F.col("b.bv")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -1,0 +1,482 @@
+"""The oracle-checked query corpus — one entry per SURVEY §2 operator.
+
+Each query exists twice: as a Spark DataFrame program (QUERIES) and as
+ANSI SQL for the DuckDB oracle (ORACLE).  The driver runs both at
+sf0.01 and compares row count + schema + an order-insensitive value
+hash, so every query here is engineered to be *bit-deterministic
+across engines*:
+
+  * Money/metric aggregation uses exact integer arithmetic
+    (``ROUND(x*100) AS BIGINT`` cents) so SUM/AVG/STDDEV never depend
+    on floating-point reduction order — Spark's partial aggregation
+    and DuckDB's single-node fold would otherwise differ in final
+    ulps.  Final division back to a double is a single IEEE op,
+    identical on both engines.
+  * Top-k / limit queries carry a unique tiebreak key in the ordering.
+  * Window frames order on unique keys, so running aggregates fold in
+    a prescribed sequence.
+  * Timestamps are emitted as formatted strings, never raw timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def cents(col) -> F.Column:
+    """Exact integer money: dollars-double -> cents-bigint.
+
+    The inputs are 2-decimal values stored as doubles; ``x*100`` lands
+    within 1e-9 of an integer, so round-to-nearest is unambiguous and
+    identical across engines.  All downstream aggregation is exact
+    64-bit integer math.
+    """
+    return F.round(col * 100).cast("long")
+
+
+def bp(col) -> F.Column:
+    """Basis points: 2-decimal ratio-double (e.g. discount) -> bigint."""
+    return F.round(col * 10000).cast("long")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core: scan -> filter -> aggregate -> sort  (S5, P5, A1, O1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+      CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 skeleton: the flagship scan->filter->agg pipeline.
+    Filter + integer conversions happen before the (partial+final) hash
+    aggregate; the parquet scan reads only the 6 referenced columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c, price_c, disc_b = cents(F.col("l_quantity")), cents(F.col("l_extendedprice")), bp(F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (F.lit(10000) - disc_b)).cast("double") / 1000000.0).alias("sum_disc_price"),
+            (F.sum(qty_c).cast("double") / 100.0 / F.count("*")).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / 100.0 / F.count("*")).alias("avg_price"),
+            (F.sum(disc_b).cast("double") / 10000.0 / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT
+      l_orderkey,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) AS DOUBLE) / 1000000.0 AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 skeleton: 3-way join + agg + deterministic top-k.
+    customer is small -> broadcast; lineitem⋈orders shuffles once on
+    the orderkey.  Top-k plans as TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    price_c, disc_b = cents(F.col("l_extendedprice")), bp(F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(price_c * (F.lit(10000) - disc_b)).cast("double") / 1000000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    """
+    SELECT
+      n_name,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) AS DOUBLE) / 1000000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 skeleton: 6-way star join.  region/nation/supplier/
+    customer are dimensions -> broadcast; the single big shuffle is
+    lineitem⋈orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    price_c, disc_b = cents(F.col("l_extendedprice")), bp(F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(price_c * (F.lit(10000) - disc_b)).cast("double") / 1000000.0).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join surface (J2-J5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_inner",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_no_order
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_no_order"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT
+      SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS customers_without_orders,
+      SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orders_without_customer,
+      SUM(CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS matched
+    FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full")
+    return j.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("customers_without_orders"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("orders_without_customer"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNotNull() & F.col("c_custkey").isNotNull(), 1).otherwise(0)
+        ).alias("matched"),
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT p_brand, COUNT(*) AS n_parts_never_ordered
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    GROUP BY p_brand
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts_never_ordered"))
+    )
+
+
+@query(
+    "join_cross",
+    """
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation = _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface (A2-A7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey)  AS n_parts,
+           COUNT(DISTINCT l_suppkey)  AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    """
+    SELECT TRUE AS orders_within_5pct, TRUE AS parts_within_5pct
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketches can't hash-match an exact oracle, so the checked
+    contract is the approximation guarantee itself: |approx-exact| <
+    5% relative error (HLL++ rsd default is 5%)."""
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.countDistinct("l_orderkey").alias("e_orders"),
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.countDistinct("l_partkey").alias("e_parts"),
+    )
+    return row.select(
+        (F.abs(F.col("a_orders") - F.col("e_orders")) / F.col("e_orders") < 0.05).alias(
+            "orders_within_5pct"
+        ),
+        (F.abs(F.col("a_parts") - F.col("e_parts")) / F.col("e_parts") < 0.05).alias(
+            "parts_within_5pct"
+        ),
+    )
+
+
+@query(
+    "agg_global",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty,
+           CAST(MIN(ROUND(l_extendedprice * 100)) AS DOUBLE) / 100.0 AS min_price,
+           CAST(MAX(ROUND(l_extendedprice * 100)) AS DOUBLE) / 100.0 AS max_price
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(cents(F.col("l_quantity"))).cast("double") / 100.0).alias("total_qty"),
+        (F.min(F.round(F.col("l_extendedprice") * 100)).cast("double") / 100.0).alias("min_price"),
+        (F.max(F.round(F.col("l_extendedprice") * 100)).cast("double") / 100.0).alias("max_price"),
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents(F.col("l_quantity"))).cast("double") / 100.0).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_stats",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) / 10000.0 AS var_qty,
+           SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) / 100.0 AS stddev_qty
+    FROM s
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev computed from exact integer sums so the result
+    is reduction-order independent (a distributed-determinism pattern:
+    the shuffle-sensitive part stays in exact arithmetic, floats appear
+    only in the final scalar expression)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = cents(F.col("l_quantity"))
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum(q).alias("s1"), F.sum(q * q).alias("s2")
+    )
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        (var / 10000.0).alias("var_qty"),
+        (F.sqrt(var) / 100.0).alias("stddev_qty"),
+    )
+
+
+@query(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS p90_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous + discrete).  Quantities are small
+    integers stored as doubles, so linear interpolation is exact in
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias("p90_qty_disc"),
+    )
+
+
+@query(
+    "agg_collect",
+    """
+    SELECT n_regionkey,
+           string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set canonicalized to a sorted joined string so the value
+    is set-semantics-stable across engines."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")
+    )

@@ -1,0 +1,65 @@
+"""Table sources (SURVEY §2.1 S5-S7).
+
+The reference's only source is a hand-chunked pcap iterator
+(BytesProcessor.py:56-64); the general engine reads columnar parquet
+(and csv/json for ETL edges) through Spark's datasource v2 path so
+filter pushdown, column pruning and partition-sized splits come from
+the planner instead of hand-rolled chunking (BytesProcessor.py:62-81).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (S5). Columnar, pushdown-capable, split by
+    ``spark.sql.files.maxPartitionBytes`` — bounded memory at any scale."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the standard tables as temp views for the SQL surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV scan (S6). Schema should be supplied in production — schema
+    inference is a full extra pass over the data."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON lines scan (S6)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """In-memory source (S7) for tests and small dimension tables."""
+    return spark.createDataFrame(rows, schema=schema)

@@ -1,0 +1,128 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every QUERIES entry on Spark and its ORACLE SQL on DuckDB over
+the same parquet tables, then compares row count, column names, and
+order-insensitive values (exact match; floats reported with max-diff
+on mismatch so near-misses are diagnosable).
+
+Usage:
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb
+
+from bytesprocessor_spark.session import get_spark
+from bytesprocessor_spark.sources.tables import TABLES
+
+
+def canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(canon_cell(x) for x in v)
+    return v
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare(name, spark_cols, spark_rows, duck_cols, duck_rows):
+    problems = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount mismatch: spark={len(spark_rows)} duck={len(duck_rows)}")
+    s = canon_rows(spark_cols, spark_rows)
+    d = canon_rows(duck_cols, duck_rows)
+    if s != d:
+        n_bad = 0
+        max_float_diff = 0.0
+        for rs, rd in zip(s, d):
+            if rs != rd:
+                n_bad += 1
+                for a, b in zip(rs, rd):
+                    if isinstance(a, float) and isinstance(b, float):
+                        max_float_diff = max(max_float_diff, abs(a - b))
+                if n_bad <= 3:
+                    problems.append(f"  row diff:\n    spark={rs}\n    duck ={rd}")
+        problems.insert(0, f"value mismatch in {n_bad} rows (max float diff {max_float_diff:g})")
+    return problems
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    from bytesprocessor_spark.queries import ORACLE, QUERIES
+
+    only = set(args.only.split(",")) if args.only else None
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
+
+    n_pass = n_fail = n_nooracle = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in ORACLE:
+            print(f"SKIP {name}: no oracle (rows={len(spark_rows)})")
+            n_nooracle += 1
+            continue
+        try:
+            res = con.execute(ORACLE[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
+        dt = time.time() - t0
+        if problems:
+            print(f"FAIL {name} ({dt:.1f}s, rows spark={len(spark_rows)} duck={len(duck_rows)})")
+            for p in problems:
+                print(f"  {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({dt:.1f}s, {len(spark_rows)} rows)")
+            n_pass += 1
+
+    print(f"\n{n_pass} passed, {n_fail} failed, {n_nooracle} without oracle")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
