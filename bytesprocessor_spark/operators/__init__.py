@@ -13,6 +13,7 @@ from bytesprocessor_spark.operators.dedup import (
     exact_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_near_dup_pairs,
+    simhash_sketch,
 )
 from bytesprocessor_spark.operators.similarity import brute_force_topk, lsh_topk
 
@@ -33,6 +34,7 @@ __all__ = [
     "exact_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_near_dup_pairs",
+    "simhash_sketch",
     "brute_force_topk",
     "lsh_topk",
 ]

@@ -144,28 +144,53 @@ def exact_jaccard_pairs(
     return out
 
 
-def simhash64(text: Column, shingle_size: int = 4) -> Column:
-    """64-bit SimHash sketch: per shingle take xxhash64, sum signed
-    contributions per bit, sign -> bit.  Pure higher-order expressions.
+def simhash_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    shingle_size: int = 4,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """64-bit SimHash sketch stored as ``n_blocks`` block values
+    (array<long>, 16 bits each for the default 4): per shingle take
+    xxhash64, sum signed contributions per bit position, sign -> bit.
+
+    One pass over the shingle array builds all 64 bit-counters
+    (aggregate + zip_with); the counters are materialized as an
+    intermediate column so the packing step doesn't duplicate the
+    aggregation 64× in the expression tree.  Block form (instead of
+    one packed int64) is what the pigeonhole join needs anyway and
+    avoids 64-bit sign/overflow concerns under ANSI mode.
     """
-    hashes = F.transform(char_ngrams(text, shingle_size), lambda s: F.xxhash64(s))
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h, i=i: acc
-                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    width = 64 // n_blocks
+    hashes = F.transform(char_ngrams(F.col(text_col), shingle_size), lambda s: F.xxhash64(s))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.when(F.getbit(h, j) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    with_counts = df.withColumn("__bit_counts", counts)
+    blocks = []
+    for b in range(n_blocks):
+        val = F.lit(0).cast("long")
+        for j in range(width):
+            bit = (
+                F.when(F.element_at("__bit_counts", b * width + j + 1) > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
             )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
-    out = F.lit(0).cast("long")
-    for i, bit in enumerate(bits):
-        out = out.bitwiseOR(F.shiftleft(bit, i))
-    return out
+            val = val * 2 + bit
+        blocks.append(val)
+    return with_counts.withColumn(out_col, F.array(*blocks)).drop("__bit_counts")
 
 
 def simhash_near_dup_pairs(
@@ -175,32 +200,26 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n_blocks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup candidates: split the 64-bit sketch into
-    ``n_blocks`` 16-bit blocks; any pair within ``max_hamming <
-    n_blocks`` bits must share at least one exact block (pigeonhole) —
-    equi-join per block, then verify Hamming distance exactly."""
-    sk = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
-    width = 64 // n_blocks
+    """SimHash near-dup candidates: any pair within ``max_hamming <
+    n_blocks`` bits must agree exactly on at least one block
+    (pigeonhole) — equi-join per block index+value, then verify the
+    exact Hamming distance over all blocks."""
+    sk = simhash_sketch(df, text_col=text_col, n_blocks=n_blocks).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sh")
+    )
     blocked = sk.select(
         "id",
         "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("blk"),
-                        F.shiftright("sh", b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bv"),
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sh", "bb.blk", "bb.bv")
+        F.posexplode("sh").alias("blk", "bv"),
+    )
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bv") == F.col("b.bv")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -209,7 +228,15 @@ def simhash_near_dup_pairs(
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("sh_a"), F.col("sh_b"), lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -280,18 +280,22 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_anti",
     """
-    SELECT p_brand, COUNT(*) AS n_parts_never_ordered
+    SELECT p_brand, COUNT(*) AS n_parts_no_bulk_order
     FROM part
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 49)
     GROUP BY p_brand
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (J4): parts that were never ordered in bulk (the
+    filter keeps the result non-trivially non-empty at every sf)."""
     part, li = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    bulk = li.where(F.col("l_quantity") >= 49)
     return (
-        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        part.join(bulk, part.p_partkey == bulk.l_partkey, "left_anti")
         .groupBy("p_brand")
-        .agg(F.count("*").alias("n_parts_never_ordered"))
+        .agg(F.count("*").alias("n_parts_no_bulk_order"))
     )
 
 
@@ -465,6 +469,16 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _load_extended_modules() -> None:
+    """Pull in the other query families (registered via @query on
+    import).  Called at the bottom of this module so the registry is
+    complete whenever ``queries`` is imported."""
+    import bytesprocessor_spark.queries_windows  # noqa: F401
+    import bytesprocessor_spark.queries_functions  # noqa: F401
+    import bytesprocessor_spark.queries_ref  # noqa: F401
+    import bytesprocessor_spark.queries_llm  # noqa: F401
+
+
 @query(
     "agg_collect",
     """
@@ -480,3 +494,14 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")
     )
+
+
+_load_extended_modules()
+
+# Entries whose semantics are not SQL-expressible (engine-specific
+# hashing, approximate ANN) register here without an oracle — the
+# driver records the weaker rows-only check for them (see
+# __spark_entry__ docstring).
+from bytesprocessor_spark.queries_llm import QUERIES_NO_ORACLE as _NO_ORACLE  # noqa: E402
+
+QUERIES.update(_NO_ORACLE)

@@ -1,0 +1,382 @@
+"""LLM-data-pipeline queries (SURVEY §2.11 L1-L5): dedup, similarity
+search, text analysis, multimodal columns — checked on the documents /
+embeddings tables.
+
+Cross-engine determinism notes:
+  * Content hashes use sha256/md5 (identical hex in Spark and DuckDB);
+    engine-specific hashes (xxhash64) appear only in *internal* LSH
+    plumbing whose checked output is re-verified with exact Jaccard.
+  * Cosine similarity is checked on fixed-point-quantized vectors
+    (round(x*1e6) as int): every product (<2^40) and partial sum
+    (<2^53) is exactly representable in a double, so the similarity is
+    bit-identical regardless of engine or reduction order.  The
+    full-float operator is exercised in unit tests and bench.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import query, _t
+from bytesprocessor_spark.functions.text import (
+    alpha_ratio,
+    doc_fingerprint,
+    lang_guess,
+    stopword_ratio,
+    token_count,
+    tokenize,
+    word_shingles,
+    _EN_STOPWORDS,
+)
+from bytesprocessor_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from bytesprocessor_spark.functions.vectors import dot_product
+
+# DuckDB fragments shared by several oracles ----------------------------------
+
+_DUCK_TOKS = "[x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if len(x) > 0]"
+
+_DUCK_WORD3 = f"""
+    SELECT doc_id, toks,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+"""
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# L1 exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_unique,
+           COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_fingerprints
+    FROM documents
+    GROUP BY source
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: normalized-content hashing — duplicate groups per source."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.sha2(norm, 256)).alias("n_unique"),
+        F.countDistinct(F.md5(norm)).alias("n_fingerprints"),
+    )
+
+
+@query(
+    "dedup_exact_keep",
+    """
+    WITH keyed AS (
+      SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM documents
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY h)
+    SELECT COUNT(*) AS n_kept, SUM(doc_id) AS sum_kept_ids FROM keep
+    """,
+)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 end-to-end through the exact_dedup operator (min-id survivor
+    per content-hash group; one fixed-width-key shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, text_col="text", id_col="doc_id")
+    return kept.agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids"))
+
+
+# ---------------------------------------------------------------------------
+# L2 near-dup dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH sh AS ({_DUCK_WORD3}),
+    t  AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    i  AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+    FROM i JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+    WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact: word-3-gram Jaccard >= 0.5 via the inverted-index
+    (explode -> equi-join on shingle) plan — the scalable exact
+    algorithm: shuffle keys are shingles, never document pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    tok = sh.select("id", F.explode("sh").alias("g"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    j = F.col("c") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(j >= 0.5)
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_minhash_verified",
+    """
+    WITH d  AS (SELECT doc_id, lower(text) AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([t[i:i+4] for i in range(1, greatest(len(t) - 4, 1) + 1)]) AS s
+           FROM d),
+    t2 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    i  AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM t2 a JOIN t2 b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT id_a, id_b
+    FROM i JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+    WHERE c * 1.0 / (x.n + y.n - c) >= 0.9
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 MinHash-LSH-then-verify: banded LSH proposes candidates
+    (128 hashes, 32 bands — miss probability for J>=0.9 pairs is
+    (1-0.9^4)^32 ≈ 1e-19), exact char-5-gram Jaccard >= 0.9 confirms.
+    The oracle computes the exact pair set directly; LSH only shrinks
+    the candidate space, so the verified outputs coincide."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs, num_hashes=128, bands=32, shingle_size=5)
+    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
+
+    verified = exact_jaccard_pairs(
+        docs, threshold=0.9, shingle_size=5, candidates=cands
+    )
+    return verified.select("id_a", "id_b")
+
+
+def _simhash_queries_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 SimHash: 64-bit sketch + pigeonhole block join + Hamming
+    verify.  xxhash64 isn't reproducible in DuckDB, so this entry has
+    no SQL oracle (driver records the weaker rows-only check); the
+    semantics are pinned by tests/test_dedup.py instead."""
+    from bytesprocessor_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3, n_blocks=4)
+
+
+QUERIES_NO_ORACLE = {"dedup_simhash_pairs": _simhash_queries_entry}
+
+
+# ---------------------------------------------------------------------------
+# L3 similarity search
+# ---------------------------------------------------------------------------
+
+_QUANT = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+
+@query(
+    "similarity_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    s AS (
+      SELECT query_id, e.vec_id,
+             list_dot_product(qv, v)
+               / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))) AS sim
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> query_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+          FROM s)
+    SELECT query_id, vec_id, ROUND(sim, 6) AS sim FROM r WHERE rk <= 5
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 brute-force cosine top-5 for a 10-query batch over the corpus
+    (broadcast queries x corpus scan, per-query window heap).  Vectors
+    are fixed-point quantized so the similarity is bit-deterministic
+    across engines (module docstring)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000000.0)).alias("v"),
+    )
+    q = F.broadcast(
+        quant.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    dot = dot_product(F.col("qv"), F.col("v"))
+    na = dot_product(F.col("qv"), F.col("qv"))
+    nb = dot_product(F.col("v"), F.col("v"))
+    scored = (
+        quant.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", dot / (F.sqrt(na) * F.sqrt(nb)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _similarity_lsh_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: SRP-LSH bucketed ANN (approximate — no SQL
+    oracle; recall vs brute force is asserted in tests)."""
+    from bytesprocessor_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk(emb, q, dim=64, k=5, n_planes=8)
+
+
+QUERIES_NO_ORACLE["similarity_lsh_topk"] = _similarity_lsh_entry
+
+
+# ---------------------------------------------------------------------------
+# L4 text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len({_DUCK_TOKS})) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "text_top_tokens",
+    f"""
+    WITH t AS (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+    SELECT token, COUNT(*) AS n
+    FROM t GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 10
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency: explode -> count -> deterministic top-10."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(10)
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH d AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text), 6)
+             AS alpha_ratio,
+           ROUND(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) * 1.0
+                 / len(toks), 6) AS stop_ratio,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM d
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + rolling-hash fingerprint (L4).
+    Ratios are single IEEE divisions of exact integers -> identical
+    across engines; texts here are ASCII so \\p{{L}} == [a-zA-Z]."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH d AS (SELECT lang, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (SELECT lang,
+                 CASE WHEN len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) * 1.0
+                           / len(toks) >= 0.08
+                      THEN 'en' ELSE 'other' END AS guess
+          FROM d)
+    SELECT lang, guess, COUNT(*) AS n FROM g GROUP BY lang, guess
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-density n-gram signal) compared
+    against the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", lang_guess(F.col("text")).alias("guess")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5 multimodal columns
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_join",
+    """
+    SELECT d.doc_id, d.lang, d.n_chars,
+           octet_length(encode(d.text)) AS text_bytes,
+           len(e.embedding) AS dim,
+           e.label AS cluster
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: one row carrying text + vector + (text-derived) binary —
+    the multimodal record shape; binary payload columns follow the
+    same plan (BinaryType is exactly how the pcap pipeline carries
+    packet bytes, BytesProcessor.py:248)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.octet_length("text").alias("text_bytes"),
+            F.size("embedding").alias("dim"),
+            F.col("label").alias("cluster"),
+        )
+    )

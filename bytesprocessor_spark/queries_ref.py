@@ -1,0 +1,140 @@
+"""Reference-surface parity queries (SURVEY §2 J1, P3, Q1) checked on
+the driver's tables.
+
+The pcap pipeline itself is exercised by unit/golden tests (the driver
+tables carry no packets), but its two load-bearing operators — the
+attack labeling theta-join (BytesProcessor.py:288-337) and the
+disjunctive range filter (BytesProcessor.py:339-354) — are pure
+relational semantics, so they are oracle-checked here against a
+packets-shaped projection of the events table (epoch-seconds double
+timestamp + entity ids standing in for IPs, exactly the columns
+label_attack_data needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import query, _t
+from bytesprocessor_spark.operators.labeling import AttackSpec, extract_ranges, label_attacks
+
+# Attack windows over the events table's January-2024 span.  'beta'
+# overlaps 'alpha' and comes later in the list, so overlapping rows
+# must take 'beta' (last-wins precedence, BytesProcessor.py:326-327);
+# 'gamma' is victim-only and must contribute no forward packets
+# (fixed semantics for the reference's KeyError, SURVEY §3.4.2).
+_SEC = lambda d, h=0: d * 86400 + h * 3600  # noqa: E731
+_T0 = 1704067200  # 2024-01-01 00:00:00 UTC
+
+ATTACKS = (
+    AttackSpec(_T0 + _SEC(4), _T0 + _SEC(9), "alpha", attacker_ips=("u3", "u7"), victim_ips=("u1", "u2")),
+    AttackSpec(_T0 + _SEC(7), _T0 + _SEC(11), "beta", attacker_ips=("u3",)),
+    AttackSpec(_T0 + _SEC(19), _T0 + _SEC(24), "gamma", victim_ips=("u5",)),
+)
+
+RANGES = ((_T0 + _SEC(2), _T0 + _SEC(6)), (_T0 + _SEC(14), _T0 + _SEC(19)))
+
+
+def _packets_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> packets shape: double epoch timestamp + src/dst ids."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.unix_micros("ts") / F.lit(1000000.0)).alias("timestamp"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("src_ip"),
+        F.concat(F.lit("u"), (F.col("event_id") % 10).cast("string")).alias("dst_ip"),
+    )
+
+
+_PACKETS_SQL = """
+      SELECT event_id,
+             epoch_us(ts) / 1000000.0 AS timestamp,
+             'u' || CAST(user_id % 10 AS VARCHAR) AS src_ip,
+             'u' || CAST(event_id % 10 AS VARCHAR) AS dst_ip
+      FROM events
+"""
+
+
+@query(
+    "label_attacks_parity",
+    f"""
+    WITH packets AS ({_PACKETS_SQL}),
+    labeled AS (
+      SELECT *,
+        -- reversed spec order == last-matching-attack-wins
+        CASE
+          WHEN timestamp BETWEEN {ATTACKS[2].ts_start} AND {ATTACKS[2].ts_end}
+               AND dst_ip IN ('u5') THEN 'gamma'
+          WHEN timestamp BETWEEN {ATTACKS[1].ts_start} AND {ATTACKS[1].ts_end}
+               AND src_ip IN ('u3') THEN 'beta'
+          WHEN timestamp BETWEEN {ATTACKS[0].ts_start} AND {ATTACKS[0].ts_end}
+               AND ((src_ip IN ('u3','u7') AND dst_ip IN ('u1','u2'))
+                 OR (dst_ip IN ('u3','u7') AND src_ip IN ('u1','u2'))) THEN 'alpha'
+          ELSE 'benign' END AS label,
+        ((timestamp BETWEEN {ATTACKS[0].ts_start} AND {ATTACKS[0].ts_end} AND src_ip IN ('u3','u7'))
+         OR (timestamp BETWEEN {ATTACKS[1].ts_start} AND {ATTACKS[1].ts_end} AND src_ip IN ('u3')))
+          AS is_forward
+      FROM packets
+    )
+    SELECT label, is_forward, COUNT(*) AS n, MIN(event_id) AS min_event_id
+    FROM labeled GROUP BY label, is_forward
+    """,
+)
+def label_attacks_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the labeling theta-join as a when()-chain expression —
+    bidirectional, src-only and dst-only rules, last-wins precedence,
+    victim-only specs yielding no forward rows."""
+    packets = _packets_view(spark, sf_dir)
+    labeled = label_attacks(packets, ATTACKS)
+    return labeled.groupBy("label", "is_forward").agg(
+        F.count("*").alias("n"), F.min("event_id").alias("min_event_id")
+    )
+
+
+@query(
+    "extract_ranges_parity",
+    f"""
+    WITH packets AS ({_PACKETS_SQL})
+    SELECT src_ip, COUNT(*) AS n,
+           MIN(timestamp) AS min_ts, MAX(timestamp) AS max_ts
+    FROM packets
+    WHERE timestamp BETWEEN {RANGES[0][0]} AND {RANGES[0][1]}
+       OR timestamp BETWEEN {RANGES[1][0]} AND {RANGES[1][1]}
+    GROUP BY src_ip
+    """,
+)
+def extract_ranges_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: disjunctive inclusive between-filter, pushed into the scan."""
+    packets = _packets_view(spark, sf_dir)
+    filtered = extract_ranges(packets, RANGES)
+    return filtered.groupBy("src_ip").agg(
+        F.count("*").alias("n"),
+        F.min("timestamp").alias("min_ts"),
+        F.max("timestamp").alias("max_ts"),
+    )
+
+
+@query(
+    "quality_no_nulls",
+    """
+    SELECT
+      SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_keys,
+      SUM(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END) AS bad_qty,
+      SUM(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 ELSE 0 END) AS bad_price
+    FROM lineitem
+    """,
+)
+def quality_no_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: the reference's no-NaN invariant (BytesProcessor.py:168,180)
+    as a single-pass violation count instead of a driver-side assert."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("null_keys"),
+        F.sum(
+            F.when(F.col("l_quantity").isNull() | F.isnan("l_quantity"), 1).otherwise(0)
+        ).alias("bad_qty"),
+        F.sum(
+            F.when(F.col("l_extendedprice").isNull() | F.isnan("l_extendedprice"), 1).otherwise(0)
+        ).alias("bad_price"),
+    )

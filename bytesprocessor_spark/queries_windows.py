@@ -1,0 +1,320 @@
+"""Window-function and sort/set-op queries (SURVEY §2.5 W1-W3, §2.6
+O1-O4) plus batch-mode equivalents of the streaming windows (§2.9
+ST1-ST3 — same operators Structured Streaming uses, checked here on
+bounded data where an oracle exists).
+
+Determinism notes: every window orders on a unique key chain, running
+aggregates fold exact integers (cents), and window *starts* are
+compared as integer microseconds (Spark computes tumbling/sliding
+windows in integer micros from the epoch — the oracle mirrors that
+arithmetic exactly instead of trusting engine-specific bucketing
+helpers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import query, cents, _t
+
+
+@query(
+    "window_rank",
+    """
+    SELECT c_mktsegment, c_custkey,
+           CAST(ROUND(c_acctbal * 100) AS DOUBLE) / 100.0 AS acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drk
+    FROM customer
+    QUALIFY rn <= 5
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            (F.round(F.col("c_acctbal") * 100).cast("double") / 100.0).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "window_ntile",
+    """
+    WITH t AS (
+      SELECT o_orderstatus, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, o_orderstatus, COUNT(*) AS n FROM t GROUP BY bucket, o_orderstatus
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.select("o_orderstatus", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("bucket", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           LAG(event_id)  OVER w AS prev_event_id,
+           LEAD(event_id) OVER w AS next_event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+           FIRST_VALUE(event_id) OVER w AS first_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.first("event_id").over(w).alias("first_event_id"),
+    )
+
+
+@query(
+    "window_running",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS running_value,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS sliding3_value
+    FROM events
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed running aggregates (W3): exact integer accumulation in a
+    prescribed order -> reduction-order independent."""
+    ev = _t(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = cents(F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(v).over(base.rowsBetween(Window.unboundedPreceding, 0)).cast("double") / 100.0).alias(
+            "running_value"
+        ),
+        (F.sum(v).over(base.rowsBetween(-2, 0)).cast("double") / 100.0).alias("sliding3_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops (O1-O4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sort_topk",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS DOUBLE) / 100.0 AS totalprice,
+           o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: plans as TakeOrderedAndProject (per-partition heap
+    + driver merge), no global sort at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            (F.round(F.col("o_totalprice") * 100).cast("double") / 100.0).alias("totalprice"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "sort_nulls",
+    """
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_or_null
+    FROM orders
+    ORDER BY NULLIF(o_orderstatus, 'O') NULLS FIRST, o_orderkey
+    LIMIT 15
+    """,
+)
+def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement (O1)."""
+    orders = _t(spark, sf_dir, "orders")
+    s = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        orders.select("o_orderkey", s.alias("status_or_null"))
+        .orderBy(F.col("status_or_null").asc_nulls_first(), F.col("o_orderkey"))
+        .limit(15)
+    )
+
+
+@query(
+    "set_union_all",
+    """
+    SELECT nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).groupBy("nationkey").agg(F.count("*").alias("n"))
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@query(
+    "set_except",
+    """
+    SELECT DISTINCT user_id FROM events
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT (O4): users who never made a high-value purchase
+    (non-empty at every sf, unlike key-coverage differences)."""
+    ev = _t(spark, sf_dir, "events")
+    all_users = ev.select("user_id").distinct()
+    big_buyers = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 90)).select(
+        "user_id"
+    )
+    return all_users.subtract(big_buyers)
+
+
+# ---------------------------------------------------------------------------
+# Batch-mode streaming windows (ST1-ST3 on bounded data).
+# The oracle reproduces Spark's window math in integer microseconds:
+# tumbling start = us div size * size; sliding starts = (us div slide - k) * slide.
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_tumbling",
+    """
+    SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time window (ST1) — the same groupBy(window())
+    used under a watermark in streaming mode, checked on bounded data."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_sliding",
+    """
+    SELECT strftime(make_timestamp(((epoch_us(ts) // 21600000000) - k) * 21600000000),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
+    GROUP BY 1
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 12h window, 6h slide (ST2): each event lands in exactly
+    two windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "12 hours", "6 hours"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "n")
+    )
+
+
+@query(
+    "window_session",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 30-minute gap (ST3): Spark's session_window in
+    batch mode; the oracle is the classic gaps-and-islands rewrite."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )

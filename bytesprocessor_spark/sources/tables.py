@@ -10,6 +10,7 @@ the planner instead of hand-rolled chunking (BytesProcessor.py:62-81).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -27,7 +28,20 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (S5). Columnar, pushdown-capable, split by
-    ``spark.sql.files.maxPartitionBytes`` — bounded memory at any scale."""
+    ``spark.sql.files.maxPartitionBytes`` — bounded memory at any scale.
+
+    The events table stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; it is read as raw nanos (``nanosAsLong``) and
+    truncated to a microsecond TimestampType — the same µs value
+    DuckDB produces when it narrows the column, so oracle comparisons
+    agree exactly.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
