@@ -1,0 +1,150 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced with the noop sink (full plan execution, no
+driver-side collect overhead).  The pcap pipeline is benchmarked on a
+synthetic capture written by our own writer (packet count via
+$SPARK_GRAFT_PCAP_PACKETS, default 20000 — the reference's default
+chunk size, BytesProcessor.py:16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import struct
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bytesprocessor_spark.session import get_spark
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_inner",
+    "agg_distinct",
+    "agg_rollup",
+    # windows / sessionization
+    "window_rank",
+    "window_running",
+    "window_session",
+    "asof_join_events",
+    # LLM pipeline ops
+    "dedup_exact_keep",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_verified",
+    "similarity_topk",
+    "text_quality",
+]
+
+
+def make_bench_pcap(path: str, n_packets: int, seed: int = 42) -> None:
+    """Synthetic capture: TCP/UDP mix, payload 40-1400 bytes, 10% of
+    traffic attacker-sourced inside the attack window."""
+    rng = random.Random(seed)
+    ips = [f"10.0.{i // 256}.{i % 256}" for i in range(64)]
+
+    def ipv4_tcp(ts, src, dst, sport, dport, size):
+        payload = bytes(rng.getrandbits(8) for _ in range(20)) * (size // 20 + 1)
+        payload = payload[:size]
+        l4 = struct.pack(">HHIIBBHHH", sport, dport, 0, 0, 0x50, 0x18, 8192, 0xCAFE, 0) + payload
+        total = 20 + len(l4)
+        hdr = struct.pack(
+            ">BBHHHBBH4s4s", 0x45, 0, total, 1, 0, 64, 6, 0xBEEF,
+            bytes(int(x) for x in src.split(".")),
+            bytes(int(x) for x in dst.split(".")),
+        )
+        eth = b"\x02" * 6 + b"\x01" * 6 + struct.pack(">H", 0x0800)
+        return ts, eth + hdr + l4
+
+    from bytesprocessor_spark.sources.pcap import write_pcap
+
+    base = 1_700_000_000.0
+    pkts = []
+    for i in range(n_packets):
+        ts = base + i * 0.001
+        if rng.random() < 0.10:
+            src, dst = "10.0.0.1", "10.0.0.2"  # attacker -> victim
+        else:
+            src, dst = rng.choice(ips), rng.choice(ips)
+        pkts.append(
+            ipv4_tcp(ts, src, dst, rng.randint(1024, 65535), 443, rng.randint(40, 1400))
+        )
+    write_pcap(path, pkts)
+
+
+def bench_pcap(spark, tmpdir: str, n_packets: int) -> float:
+    from bytesprocessor_spark.operators.labeling import AttackSpec
+    from bytesprocessor_spark.pipeline import process_pcap
+
+    pcap_path = os.path.join(tmpdir, "bench.pcap")
+    make_bench_pcap(pcap_path, n_packets)
+    base = 1_700_000_000.0
+    attacks = (
+        AttackSpec(base, base + n_packets, "attack", ("10.0.0.1",), ("10.0.0.2",)),
+    )
+    t0 = time.time()
+    process_pcap(
+        spark,
+        pcap_path,
+        os.path.join(tmpdir, "out"),
+        attacks=attacks,
+        ranges=((base, base + n_packets),),
+        check_quality=False,
+        # record-offset splits; chunks sized so per-task work amortizes
+        # the Python-worker spin-up (tiny chunks are pure overhead)
+        split_packets=max(5000, n_packets // 8),
+    )
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    n_pcap = int(os.environ.get("SPARK_GRAFT_PCAP_PACKETS", "20000"))
+
+    spark = get_spark("bytesprocessor-bench")
+    from bytesprocessor_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    # one warmup action so JVM/codegen startup isn't billed to q1
+    QUERIES["agg_global"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        timings["pcap_pipeline_20k"] = round(bench_pcap(spark, tmpdir, n_pcap), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

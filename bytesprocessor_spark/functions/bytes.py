@@ -21,22 +21,27 @@ FEATURE_WIDTH = 1525
 
 def bytes_to_features(payload: Column, width: int = FEATURE_WIDTH) -> Column:
     """binary -> array<float> of exactly ``width``: unpack bytes,
-    truncate, zero-pad, scale by 1/255 as float32 like the reference
+    truncate, zero-pad, scale by 1/255 like the reference
     (uint8 / np.float32(255) -> float32, BytesProcessor.py:284).
 
-    Pure built-ins: unbase64-free byte access via ``getbyte`` over a
-    generated index sequence keeps this inside codegen.
+    Pure built-ins, no Python: bytes are addressed through the hex
+    encoding (2 chars per byte; ``conv`` base-16 decode) over a
+    generated index sequence, which keeps the whole unpack inside
+    whole-stage codegen.  The pcap pipeline itself computes features
+    with numpy inside its existing Arrow batch (zero extra Python
+    crossings); this expression is the composable SQL form for tables
+    that already carry binary columns.
     """
+    hx = F.hex(payload)
+    n = F.length(payload)
     idx = F.sequence(F.lit(0), F.lit(width - 1))
     b = F.transform(
         idx,
-        lambda i: F.when(i < F.length(payload), F.getbyte(payload, i)).otherwise(F.lit(0)),
+        lambda i: F.when(
+            i < n, F.conv(hx.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("int")
+        ).otherwise(F.lit(0)),
     )
-    # getbyte returns signed tinyint; rewrap to unsigned before scaling.
-    return F.transform(
-        b,
-        lambda x: ((x.cast("int") + 256) % 256).cast("float") / F.lit(255.0).cast("float"),
-    )
+    return F.transform(b, lambda x: (x.cast("float") / F.lit(255.0).cast("float")))
 
 
 def pad_normalize(arr: Column, width: int = FEATURE_WIDTH, scale: float = 255.0) -> Column:

@@ -34,17 +34,29 @@ def exact_dedup(
     return df.join(keep, id_col, "left_semi")
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """num_hashes minhash values: per permutation i, min over shingles
-    of xxhash64(shingle, salt_i).  xxhash64 is a Catalyst built-in —
-    the whole signature is one codegen'd expression."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    """num_hashes minhash values: per hash-family member i, min over
+    shingles of xxhash64(shingle, i).
+
+    Built as ONE fold over the shingle array carrying a num_hashes-wide
+    accumulator (zip_with least), not num_hashes separate array_min
+    scans — the naive form compiles a 128-branch expression tree that
+    is both slow to codegen and O(hashes) passes over the data.
+    """
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(_LONG_MAX), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.xxhash64(s, i),
+            ),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -108,14 +120,30 @@ def exact_jaccard_pairs(
     Without ``candidates``: inverted-index join — explode shingles,
     equi-join on the shingle, count shared shingles per pair, compute
     |A∩B| / (|A|+|B|-|A∩B|).  This is the scalable exact algorithm
-    (shuffle on shingle hash); pass LSH candidates to restrict the pair
-    space further (LSH-then-verify).
+    (shuffle on shingle hash).
+
+    With ``candidates`` (LSH-then-verify): only the proposed pairs are
+    scored, each with a per-pair array_intersect — work proportional to
+    the candidate count, not to shingle co-occurrence.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         char_ngrams(F.col(text_col), shingle_size).alias("sh"),
     )
+
+    if candidates is not None:
+        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        paired = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+        inter_n = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union_n = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter_n
+        return (
+            paired.withColumn("jaccard", inter_n / union_n)
+            .where(F.col("jaccard") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "jaccard")
+        )
+
     sizes = sh.select("id", F.size("sh").alias("n"))
     tok = sh.select("id", F.explode("sh").alias("s")).withColumn("s", F.xxhash64("s"))
     a, b = tok.alias("a"), tok.alias("b")
@@ -124,10 +152,6 @@ def exact_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    if candidates is not None:
-        inter = inter.join(
-            F.broadcast(candidates.select("id_a", "id_b")), ["id_a", "id_b"], "left_semi"
-        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     out = (

@@ -68,7 +68,7 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return vals
 
 
-def lsh_bucket(vec_col, dim: int, n_planes: int = 16, seed: int = 42):
+def lsh_bucket(vec_col, dim: int, n_planes: int, seed: int = 42):
     """Random-hyperplane (SRP) bucket id: sign bit per plane packed into
     a long.  Same-bucket vectors are cosine-close with high probability.
     """
@@ -90,36 +90,60 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 16, seed: int = 42):
     return bucket
 
 
+def _lsh_tables(df: DataFrame, vec: str, dim: int, n_planes: int, n_tables: int) -> DataFrame:
+    """Tag each row with one (table, bucket) pair per hash table —
+    multi-probe amplification: a near pair is a candidate if it
+    collides in ANY table (OR-construction over AND-constructions),
+    P(candidate) = 1-(1-p^planes)^tables for per-plane agreement p."""
+    tags = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col(vec), dim, n_planes, seed=1000 + t).alias("bkt"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    )
+    return df.withColumn("__tag", tags).select(*df.columns, "__tag.tbl", "__tag.bkt")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: SRP-bucket both sides, equi-join on bucket,
-    score within buckets only.  One shuffle on the bucket key; the
-    pair space shrinks ~2**n_planes-fold.  Recall is tunable with
-    n_planes (fewer planes => bigger buckets => higher recall)."""
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("__cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+    """Approximate top-k: SRP-bucket both sides into ``n_tables``
+    independent hash tables, equi-join on (table, bucket), dedup
+    candidates, score once per candidate pair.
+
+    One shuffle on the (table, bucket) key; the pair space shrinks
+    ~2**n_planes-fold per table.  Tune recall with the standard LSH
+    trade: more planes => fewer false candidates, more tables =>
+    fewer false negatives."""
+    c = _lsh_tables(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")),
+        "__cv", dim, n_planes, n_tables,
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qv"),
-        lsh_bucket(F.col(query_vec_col), dim, n_planes).alias("__bucket"),
+    q = _lsh_tables(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")),
+        "__qv", dim, n_planes, n_tables,
     )
-    scored = (
-        c.join(q, "__bucket")
+    cand = (
+        c.join(q, ["tbl", "bkt"])
         .where(F.col("query_id") != F.col("vec_id"))
-        .withColumn("sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .select("query_id", "vec_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "vec_id"])
     )
+    scored = cand.withColumn("sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -245,7 +245,7 @@ def _similarity_lsh_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return lsh_topk(emb, q, dim=64, k=5, n_planes=8)
+    return lsh_topk(emb, q, dim=64, k=5, n_planes=4, n_tables=8)
 
 
 QUERIES_NO_ORACLE["similarity_lsh_topk"] = _similarity_lsh_entry

