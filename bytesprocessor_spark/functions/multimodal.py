@@ -1,0 +1,127 @@
+"""Multimodal column operators (SURVEY §2.11 L5): image/audio/video
+payloads as opaque binary columns with typed metadata, processed by
+Arrow-batched UDFs over ``mapInPandas``.
+
+The execution container has no image/audio codecs, so the *decode
+kernels* are deterministic stubs behind ``codec=`` hooks — the Spark
+side (schemas, batch iteration, partitioning, UDF signatures) is real
+and tested, and swapping in PIL/librosa later changes one function.
+The binary-payload pattern itself is exactly how the pcap pipeline
+carries packets (BinaryType payload, BytesProcessor.py:248).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# media record: payload + typed metadata, the L5 table shape
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _stub_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decode: dimensions and a 16-float signature
+    derived from a content hash.  Replace with a real codec (PIL) in a
+    deployment image — the call signature is the contract."""
+    h = hashlib.sha256(payload or b"").digest()
+    width = 1 + (struct.unpack_from(">H", h, 0)[0] % 4096)
+    height = 1 + (struct.unpack_from(">H", h, 2)[0] % 4096)
+    feats = [b / 255.0 for b in h[:16]]
+    return width, height, feats
+
+
+def image_features(
+    df: DataFrame,
+    codec: Callable[[bytes], tuple[int, int, list[float]]] = _stub_decode_image,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode + featurize image payloads via ``mapInPandas``: the codec
+    runs once per row inside an Arrow batch; output is a typed feature
+    table.  Partitioning is inherited — media tables should be stored
+    with size-balanced files so decode work spreads evenly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, feats = codec(bytes(payload) if payload is not None else b"")
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    out.append((mid, None, None, None, None))
+                    continue
+                out.append((mid, w, h, len(payload or b""), feats))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "n_bytes", "features"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def _stub_sample_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic fake frame sampler: n content-addressed pseudo
+    frames.  A real implementation would demux with pyav/ffmpeg."""
+    return [
+        hashlib.sha256((payload or b"") + struct.pack(">I", i)).digest()
+        for i in range(n_frames)
+    ]
+
+
+def sample_video_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    codec: Callable[[bytes, int], list[bytes]] = _stub_sample_frames,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video -> one row per sampled frame (media_id, frame_idx,
+    frame_bytes): the fan-out shape for downstream image featurization.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = codec(bytes(payload) if payload is not None else b"", n_frames)
+                rows.extend((mid, i, fr) for i, fr in enumerate(frames))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def decode_audio_stub(payload: bytes) -> list[float]:
+    """Audio decode is NOT runnable in this container — a real build
+    plugs librosa/soundfile here.  Raising keeps the gap explicit."""
+    raise NotImplementedError("audio decode requires an audio codec library")

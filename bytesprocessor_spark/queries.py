@@ -344,12 +344,13 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketches can't hash-match an exact oracle, so the checked
     contract is the approximation guarantee itself: |approx-exact| <
-    5% relative error (HLL++ rsd default is 5%)."""
+    5% relative error with rsd pinned at 1% (the default 5% rsd can
+    legitimately exceed a 5% observed error at small cardinalities)."""
     li = _t(spark, sf_dir, "lineitem")
     row = li.agg(
-        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_orders"),
         F.countDistinct("l_orderkey").alias("e_orders"),
-        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_parts"),
         F.countDistinct("l_partkey").alias("e_parts"),
     )
     return row.select(
@@ -477,6 +478,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_functions  # noqa: F401
     import bytesprocessor_spark.queries_ref  # noqa: F401
     import bytesprocessor_spark.queries_llm  # noqa: F401
+    import bytesprocessor_spark.queries_udf  # noqa: F401
 
 
 @query(

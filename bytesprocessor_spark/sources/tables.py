@@ -77,3 +77,25 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
     """In-memory source (S7) for tests and small dimension tables."""
     return spark.createDataFrame(rows, schema=schema)
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """Parquet sink (S3).  ``partition_by`` gives directory-level
+    partition pruning to every downstream reader — at lake scale,
+    partition on the columns queries filter by (date, label)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (S6)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (S6)."""
+    df.write.mode(mode).json(path)
