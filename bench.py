@@ -117,6 +117,7 @@ def main() -> None:
         sf = -1.0
     n_pcap = int(os.environ.get("SPARK_GRAFT_PCAP_PACKETS", "20000"))
 
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark("bytesprocessor-bench")
     from bytesprocessor_spark.queries import QUERIES
 

@@ -127,10 +127,13 @@ def exact_jaccard_pairs(
     the candidate count, not to shingle co-occurrence.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # Shingling is the expensive expression here and feeds both sides
+    # of a self-join (plus the size lookup) — persist it once instead
+    # of recomputing per plan branch.
     sh = df.select(
         F.col(id_col).alias("id"),
         char_ngrams(F.col(text_col), shingle_size).alias("sh"),
-    )
+    ).persist()
 
     if candidates is not None:
         a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))

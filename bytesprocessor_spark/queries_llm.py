@@ -115,7 +115,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode -> equi-join on shingle) plan — the scalable exact
     algorithm: shuffle keys are shingles, never document pairs."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("sh"))
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("sh")
+    ).persist()  # feeds both self-join sides + sizes: shingle once
     sizes = sh.select("id", F.size("sh").alias("n"))
     tok = sh.select("id", F.explode("sh").alias("g"))
     a, b = tok.alias("a"), tok.alias("b")
