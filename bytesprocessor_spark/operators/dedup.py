@@ -171,6 +171,76 @@ def exact_jaccard_pairs(
     return out
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    candidates: DataFrame | None = None,
+    quantize: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= threshold (SURVEY §2.11 L2,
+    the vector-space complement of the text-shingle detectors).
+
+    Without ``candidates``: exact all-pairs — a self range-join
+    (id_a < id_b) scoring every pair.  O(n²): correct at any scale but
+    only *affordable* when one side fits a broadcast; use it as the
+    verifier, not the scanner.
+
+    With ``candidates`` (LSH-then-verify, the 100 TB path): SRP-LSH
+    proposes same-bucket pairs (see ``operators.similarity``), and
+    only those are scored here — shuffle keys are LSH buckets, never
+    document pairs.
+
+    ``quantize`` rounds components to 1e-6 fixed-point before scoring
+    so the cosine is bit-identical across engines (every product and
+    partial sum exactly representable in a double) — used by the
+    DuckDB oracle gate.
+    Returns (id_a, id_b, sim) with id_a < id_b.
+    """
+    from bytesprocessor_spark.functions.vectors import cosine_similarity
+
+    v = F.col(vec_col)
+    if quantize:
+        v = F.transform(v, lambda x: F.round(x.cast("double") * 1000000.0))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    if candidates is not None:
+        paired = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    else:
+        paired = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return (
+        paired.withColumn("sim", sim)
+        .where(F.col("sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def embedding_dedup_keep(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    candidates: DataFrame | None = None,
+    quantize: bool = False,
+) -> DataFrame:
+    """Greedy keep-lowest-id embedding dedup: drop every vector that has
+    a near-duplicate (cosine >= threshold) with a smaller id — the
+    standard single-pass survivor rule (each dropped row names a kept
+    or earlier-dropped witness; transitive chains collapse to the
+    smallest id reachable).  Implemented as pairs -> left-anti join on
+    the larger id, so the only shuffles are the pair scan and one
+    fixed-width anti join."""
+    pairs = embedding_cosine_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        candidates=candidates, quantize=quantize,
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash_sketch(
     df: DataFrame,
     text_col: str = "text",

@@ -184,6 +184,56 @@ def _simhash_queries_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_NO_ORACLE = {"dedup_simhash_pairs": _simhash_queries_entry}
 
 
+_QUANT_E = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+
+_DUCK_EMB_PAIRS = f"""
+    WITH e AS (SELECT vec_id, {_QUANT_E} AS v FROM embeddings),
+    s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.v, b.v)
+                   / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) AS sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+"""
+
+
+@query(
+    "dedup_embedding_pairs",
+    _DUCK_EMB_PAIRS
+    + "SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM s WHERE sim >= 0.45",
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 embedding-cosine near-dup: exact all-pairs cosine >= 0.45
+    (threshold calibrated to the synthetic corpus — near-orthogonal
+    vectors max out near 0.51).  Quantized fixed-point scoring so the
+    oracle hash-matches bit-for-bit; the LSH-prefiltered scale path is
+    exercised in tests/test_dedup.py."""
+    from bytesprocessor_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, threshold=0.45, quantize=True)
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "dedup_embedding_keep",
+    _DUCK_EMB_PAIRS
+    + """
+    , drop AS (SELECT DISTINCT id_b FROM s WHERE sim >= 0.45)
+    SELECT COUNT(*) AS n_kept, SUM(vec_id) AS sum_kept_ids
+    FROM e WHERE vec_id NOT IN (SELECT id_b FROM drop)
+    """,
+)
+def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 embedding dedup end-to-end: greedy keep-lowest-id survivor
+    set via pairs -> distinct larger ids -> left-anti join."""
+    from bytesprocessor_spark.operators.dedup import embedding_dedup_keep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = embedding_dedup_keep(emb, threshold=0.45, quantize=True)
+    return kept.agg(
+        F.count("*").alias("n_kept"), F.sum("vec_id").alias("sum_kept_ids")
+    )
+
+
 # ---------------------------------------------------------------------------
 # L3 similarity search
 # ---------------------------------------------------------------------------
@@ -251,6 +301,62 @@ def _similarity_lsh_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_NO_ORACLE["similarity_lsh_topk"] = _similarity_lsh_entry
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a}))"
+    " * SQRT(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "similarity_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+    cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cv
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cell) AS rk
+        FROM e CROSS JOIN cent c)
+      WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_COS.format(a='q.qv', b='c.cv')} DESC, c.cell) AS rk
+        FROM q CROSS JOIN cent c)
+      WHERE rk <= 4),
+    s AS (SELECT p.query_id, a.vec_id,
+                 {_COS.format(a='p.qv', b='a.v')} AS sim
+          FROM probe p JOIN assign a USING (cell)
+          WHERE a.vec_id <> p.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rk
+          FROM s)
+    SELECT query_id, vec_id, ROUND(sim, 6) AS sim FROM r WHERE rk <= 5
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 IVF ANN: 16 sampled-centroid Voronoi cells, probe the 4
+    nearest per query, exact cosine within the probed quarter of the
+    corpus.  Deterministic coarse quantizer (lowest-id sample) +
+    fixed-point scoring make the whole index oracle-checkable in SQL —
+    unlike the SRP-LSH path whose xxhash64 buckets DuckDB can't
+    reproduce."""
+    from bytesprocessor_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_topk(emb, q, n_cells=16, nprobe=4, k=5, quantize=True)
+    return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
 
 
 # ---------------------------------------------------------------------------

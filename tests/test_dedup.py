@@ -93,3 +93,76 @@ def test_simhash_near_dup_pairs(docs_df):
     assert pairs.get((0, 1)) == 0
     assert (0, 3) in pairs
     assert not any({a, b} == {0, 4} for a, b in pairs)
+
+
+def test_embedding_cosine_pairs_geometry(spark):
+    """Constructed geometry: (0,1) nearly parallel, 2 orthogonal,
+    3 antiparallel — only (0,1) crosses a 0.9 threshold."""
+    from bytesprocessor_spark.operators.dedup import embedding_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_cosine_pairs(df, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+    assert pairs[0].sim > 0.99
+
+
+def test_embedding_dedup_keep_greedy_chain(spark):
+    """Chain 0~1, 1~2 with 0!~2: greedy keep-lowest-id drops every
+    vector with a smaller-id near-dup -> survivors {0, 3}."""
+    from bytesprocessor_spark.operators.dedup import embedding_dedup_keep
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.4359]),   # cos(0,1) ~ 0.90
+            (2, [0.62, 0.7846]),  # cos(1,2) ~ 0.90, cos(0,2) ~ 0.62
+            (3, [0.0, 1.0]),      # cos(2,3) ~ 0.78 < threshold
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = sorted(r.vec_id for r in embedding_dedup_keep(df, threshold=0.85).collect())
+    assert kept == [0, 3]
+
+
+def test_embedding_pairs_lsh_prefilter_subset(spark):
+    """LSH-prefiltered pairs must be a subset of exact pairs at the
+    same threshold (verify step re-scores every candidate)."""
+    from bytesprocessor_spark.operators.dedup import embedding_cosine_pairs
+    from bytesprocessor_spark.operators.similarity import _lsh_tables
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tagged = _lsh_tables(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("__v")),
+        "__v", 64, 4, 8,
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    filtered = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(emb, threshold=0.4, candidates=cands).collect()
+    }
+    assert filtered <= exact
+    assert len(filtered) > 0

@@ -61,3 +61,63 @@ def test_lsh_recall_on_real_embeddings(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_geometry(vecs_df):
+    """With 2 cells seeded from ids {0,1} (both near +x), every +x-side
+    vector lands in a probed cell; probing both cells makes IVF exact."""
+    from bytesprocessor_spark.operators.similarity import ivf_topk
+
+    q = vecs_df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(vecs_df, q, n_cells=2, nprobe=2, k=4).orderBy("rank").collect()
+    exact = brute_force_topk(vecs_df, q, k=4).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [r.vec_id for r in exact]
+    assert out[0].sim == pytest.approx(exact[0].sim, rel=1e-9)
+
+
+def test_ivf_results_come_from_probed_cells(spark):
+    """Every IVF hit must be assigned to one of its query's probed
+    cells — the defining invariant of the inverted-file index."""
+    from bytesprocessor_spark.operators.similarity import (
+        ivf_assign, ivf_probe_cells, ivf_topk, sample_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = sample_centroids(emb, 16)
+    hits = ivf_topk(emb, q, n_cells=16, nprobe=4, k=5).collect()
+    assert {r.query_id for r in hits} == set(range(10))
+    cell_of = {
+        r.vec_id: r.cell
+        for r in emb.select("vec_id", ivf_assign(F.col("embedding"), cents).alias("cell")).collect()
+    }
+    probes = {
+        r.query_id: set(r.cells)
+        for r in q.select(
+            "query_id", ivf_probe_cells(F.col("embedding"), cents, 4).alias("cells")
+        ).collect()
+    }
+    for r in hits:
+        assert cell_of[r.vec_id] in probes[r.query_id]
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """Probing 4/16 cells of near-orthogonal data is a weak filter, but
+    recall must still beat the 25% random-subset floor."""
+    from bytesprocessor_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, n_cells=16, nprobe=4, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"IVF recall below random-subset floor: {recall}"
