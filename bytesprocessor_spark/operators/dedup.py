@@ -34,28 +34,62 @@ def exact_dedup(
     return df.join(keep, id_col, "left_semi")
 
 
-_LONG_MAX = (1 << 63) - 1
+_MERSENNE = (1 << 31) - 1  # 2^31-1, the classic universal-hash modulus
 
 
-def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """num_hashes minhash values: per hash-family member i, min over
-    shingles of xxhash64(shingle, i).
+def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine hash family (a_i, b_i): h_i(x) = (a_i*x +
+    b_i) mod (2^31-1).  Parameters derive from an md5 counter so they
+    are stable across sessions/engines; a_i != 0.  With x < 2^31 and
+    a_i < 2^31 the product stays < 2^62 — no long overflow under ANSI
+    mode."""
+    import hashlib
 
-    Built as ONE fold over the shingle array carrying a num_hashes-wide
-    accumulator (zip_with least), not num_hashes separate array_min
-    scans — the naive form compiles a 128-branch expression tree that
-    is both slow to codegen and O(hashes) passes over the data.
-    """
+    params = []
+    for i in range(num_hashes):
+        h = hashlib.md5(f"minhash:{seed}:{i}".encode()).digest()
+        a = int.from_bytes(h[:4], "big") % (_MERSENNE - 1) + 1
+        b = int.from_bytes(h[4:8], "big") % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def _shingle_hashes(shingles: Column) -> Column:
+    """One 31-bit base hash per shingle — the ONLY string hashing in
+    the minhash pipeline.  The full family is derived arithmetically
+    from this value (below), not by re-hashing the string num_hashes
+    times: that cuts per-shingle work from 128 string hashes to one
+    hash plus 128 multiply-adds (the standard MinHash construction,
+    same scheme as Spark ML's MinHashLSH)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def _minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
+    """num_hashes minhash values from pre-computed base hashes: per
+    family member i, min over shingles of (a_i*h + b_i) mod p.
+
+    Built as ONE fold over the base-hash array carrying a
+    num_hashes-wide running-min accumulator.  The ``hashes`` argument
+    appears exactly once in the expression tree — critical, because
+    CollapseProject happily substitutes a projected column into every
+    reference site and higher-order functions get no common-
+    subexpression elimination: a per-member ``array_min(transform(
+    hashes, ...))`` form re-evaluates the whole shingle+hash pipeline
+    128 times per row (measured: 9x slower end-to-end, not faster)."""
+    params = _hash_family(num_hashes)
+    AB = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in params
+        ]
+    )
     return F.aggregate(
-        shingles,
-        F.array_repeat(F.lit(_LONG_MAX), num_hashes),
-        lambda acc, s: F.zip_with(
+        hashes,
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.xxhash64(s, i),
-            ),
-            lambda a, b: F.least(a, b),
+            AB,
+            lambda m, p: F.least(m, F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE))),
         ),
     )
 
@@ -77,9 +111,13 @@ def minhash_lsh_pairs(
     Returns distinct (id_a < id_b) candidate pairs.
     """
     rows = num_hashes // bands
-    sig = df.select(
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        _minhash_signature(char_ngrams(F.col(text_col), shingle_size), num_hashes).alias("sig"),
+        _shingle_hashes(char_ngrams(F.col(text_col), shingle_size)).alias("hs"),
+    )
+    sig = hashed.select(
+        "id",
+        _minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
     )
     banded = sig.select(
         "id",
@@ -97,6 +135,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+    # The banded table feeds BOTH sides of the bucket self-join; persist
+    # so the signature pipeline (the expensive part) runs once, not twice.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -308,7 +349,7 @@ def simhash_near_dup_pairs(
         "id",
         "sh",
         F.posexplode("sh").alias("blk", "bv"),
-    )
+    ).persist()  # feeds both sides of the pigeonhole self-join
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(
