@@ -129,6 +129,10 @@ def main() -> None:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # operators that persist intermediates (LSH band tables, shingle
+        # sets) are done with them once the action finishes; drop them so
+        # later queries aren't taxed by stale cache blocks
+        spark.catalog.clearCache()
 
     with tempfile.TemporaryDirectory() as tmpdir:
         timings["pcap_pipeline_20k"] = round(bench_pcap(spark, tmpdir, n_pcap), 3)

@@ -479,6 +479,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_ref  # noqa: F401
     import bytesprocessor_spark.queries_llm  # noqa: F401
     import bytesprocessor_spark.queries_udf  # noqa: F401
+    import bytesprocessor_spark.queries_sql  # noqa: F401
 
 
 @query(
