@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bytesprocessor_spark.functions.text import char_ngrams, word_shingles
+from bytesprocessor_spark.functions.text import char_ngrams
 
 
 def exact_dedup(
@@ -54,71 +54,100 @@ def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
-def _shingle_hashes(shingles: Column) -> Column:
-    """One 31-bit base hash per shingle — the ONLY string hashing in
-    the minhash pipeline.  The full family is derived arithmetically
-    from this value (below), not by re-hashing the string num_hashes
-    times: that cuts per-shingle work from 128 string hashes to one
-    hash plus 128 multiply-adds (the standard MinHash construction,
-    same scheme as Spark ML's MinHashLSH)."""
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-
-
-def _minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
-    """num_hashes minhash values from pre-computed base hashes: per
-    family member i, min over shingles of (a_i*h + b_i) mod p.
-
-    Built as ONE fold over the base-hash array carrying a
-    num_hashes-wide running-min accumulator.  The ``hashes`` argument
-    appears exactly once in the expression tree — critical, because
-    CollapseProject happily substitutes a projected column into every
-    reference site and higher-order functions get no common-
-    subexpression elimination: a per-member ``array_min(transform(
-    hashes, ...))`` form re-evaluates the whole shingle+hash pipeline
-    128 times per row (measured: 9x slower end-to-end, not faster)."""
-    params = _hash_family(num_hashes)
-    AB = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in params
-        ]
+def hashed_shingle_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, h) token table: one row per char-shingle OCCURRENCE, h =
+    xxhash64 of the lowercased shingle.  Deliberately built from
+    explode(sequence) + substring + xxhash64 — scalar expressions that
+    stay inside whole-stage codegen — rather than array higher-order
+    functions, which are interpreted (no codegen, no CSE) and measured
+    ~4× slower on this feed.  Duplicates are kept: MIN-based minhash
+    is multiset-invariant, and set consumers dedup with collect_set.
+    This is the shared feed for the whole near-dup family — compute it
+    once, persist, and fan out to signature + verify."""
+    t = F.lower(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("id"), t.alias("__t"))
+        .select(
+            "id",
+            "__t",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__t") - (shingle_size - 1), F.lit(1)),
+                )
+            ).alias("__i"),
+        )
+        .select(
+            "id",
+            F.xxhash64(F.col("__t").substr(F.col("__i"), F.lit(shingle_size))).alias("h"),
+        )
     )
-    return F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            AB,
-            lambda m, p: F.least(m, F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE))),
-        ),
-    )
+
+
+def minhash_signature_table(
+    tokens: DataFrame,
+    num_hashes: int,
+) -> DataFrame:
+    """(id, m0..m{num_hashes-1}) minhash signature table from a
+    :func:`hashed_shingle_tokens` feed: num_hashes codegen'd
+    ``min(pmod(a_i*h31 + b_i, p))`` aggregates over the per-doc token
+    rows (h31 = the 64-bit token hash folded to 31 bits so the affine
+    products can't overflow a long under ANSI mode).
+
+    Plan-shape rationale: the expression-only alternatives are all
+    interpreted — higher-order functions get neither whole-stage
+    codegen nor common-subexpression elimination (a projected-column
+    form even gets inlined by CollapseProject into every reference
+    site, re-running the shingle pipeline 128×; measured 9× slower
+    end-to-end).  The explode/agg form keeps the entire ~100M-op hash
+    family inside compiled code at the cost of one shuffle on the doc
+    id, which partial (map-side) aggregation collapses to
+    n_docs × num_hashes longs — negligible against the compute saved.
+    """
+    h31 = F.pmod(F.col("h"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_hash_family(num_hashes))
+    ]
+    return tokens.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 128,
-    bands: int = 32,
+    num_hashes: int = 126,
+    bands: int = 21,
     shingle_size: int = 5,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash + banded LSH.
 
-    Plan shape: signature (map-only) -> explode to ``bands`` rows ->
-    shuffle on (band, band_hash) -> self-join within buckets.  At
-    100 TB the bucket join is the only shuffle and its key space is
-    uniform by construction (hash values), so no skew.
-    Returns distinct (id_a < id_b) candidate pairs.
+    Plan shape: token explode -> signature hash-agg -> explode to
+    ``bands`` rows -> shuffle on (band, band_hash) -> self-join within
+    buckets.  At 100 TB the bucket join's key space is uniform by
+    construction (hash values), so no skew.
+
+    Band geometry: a pair with Jaccard J collides in one band with
+    probability J^(num_hashes/bands); the default 21 bands × 6 rows
+    gives miss probability (1-J^6)^21 ≈ 1.3e-7 at J=0.9 while
+    admitting only ~28% of J=0.5 pairs — the 4-row config admits 87%
+    of them, a ~30× larger candidate set on template-heavy corpora
+    for the same recall.
+
+    ``tokens``: optional pre-built (persisted) feed from
+    :func:`hashed_shingle_tokens` so LSH-then-verify flows shingle
+    once.  Returns distinct (id_a < id_b) candidate pairs.
     """
     rows = num_hashes // bands
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        _shingle_hashes(char_ngrams(F.col(text_col), shingle_size)).alias("hs"),
-    )
-    sig = hashed.select(
-        "id",
-        _minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
-    )
+    if tokens is None:
+        tokens = hashed_shingle_tokens(df, text_col, id_col, shingle_size)
+    sig = minhash_signature_table(tokens, num_hashes)
     banded = sig.select(
         "id",
         F.explode(
@@ -127,7 +156,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                            F.concat_ws(",", *[f"m{b * rows + r}" for r in range(rows)])
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -155,6 +184,7 @@ def exact_jaccard_pairs(
     threshold: float = 0.8,
     shingle_size: int = 5,
     candidates: DataFrame | None = None,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
@@ -166,15 +196,18 @@ def exact_jaccard_pairs(
     With ``candidates`` (LSH-then-verify): only the proposed pairs are
     scored, each with a per-pair array_intersect — work proportional to
     the candidate count, not to shingle co-occurrence.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Shingle identity is the 64-bit token hash (set ops on fixed-width
+    longs beat strings severalfold; a collision among ~1e6 distinct
+    shingles has P ≈ n²/2⁶⁵ — negligible).  ``tokens``: optional
+    pre-built (persisted) :func:`hashed_shingle_tokens` feed shared
+    with the LSH stage.  Returns (id_a, id_b, jaccard), id_a < id_b.
     """
-    # Shingling is the expensive expression here and feeds both sides
-    # of a self-join (plus the size lookup) — persist it once instead
-    # of recomputing per plan branch.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        char_ngrams(F.col(text_col), shingle_size).alias("sh"),
-    ).persist()
+    if tokens is None:
+        tokens = hashed_shingle_tokens(df, text_col, id_col, shingle_size)
+    # Per-doc shingle SET (collect_set dedups occurrences) — feeds both
+    # sides of the pair join, so persist to evaluate once.
+    sh = tokens.groupBy("id").agg(F.collect_set("h").alias("sh")).persist()
 
     if candidates is not None:
         a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -189,7 +222,7 @@ def exact_jaccard_pairs(
         )
 
     sizes = sh.select("id", F.size("sh").alias("n"))
-    tok = sh.select("id", F.explode("sh").alias("s")).withColumn("s", F.xxhash64("s"))
+    tok = sh.select("id", F.explode("sh").alias("s"))
     a, b = tok.alias("a"), tok.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

@@ -156,16 +156,25 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 MinHash-LSH-then-verify: banded LSH proposes candidates
-    (128 hashes, 32 bands — miss probability for J>=0.9 pairs is
-    (1-0.9^4)^32 ≈ 1e-19), exact char-5-gram Jaccard >= 0.9 confirms.
-    The oracle computes the exact pair set directly; LSH only shrinks
-    the candidate space, so the verified outputs coincide."""
-    docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_pairs(docs, num_hashes=128, bands=32, shingle_size=5)
-    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
+    (126 hashes, 21 bands × 6 rows — miss probability for J>=0.9
+    pairs is (1-0.9^6)^21 ≈ 1.3e-7, while admitting ~30× fewer
+    mid-similarity candidates than a 4-row banding), exact
+    char-5-gram Jaccard >= 0.9 confirms.  The oracle computes the
+    exact pair set directly; LSH only shrinks the candidate space, so
+    the verified outputs coincide."""
+    from bytesprocessor_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        hashed_shingle_tokens,
+    )
 
+    docs = _t(spark, sf_dir, "documents")
+    # One shingle pass feeds both LSH and verify (16 bytes/token row).
+    tokens = hashed_shingle_tokens(docs, shingle_size=5).persist()
+    cands = minhash_lsh_pairs(
+        docs, num_hashes=126, bands=21, shingle_size=5, tokens=tokens
+    )
     verified = exact_jaccard_pairs(
-        docs, threshold=0.9, shingle_size=5, candidates=cands
+        docs, threshold=0.9, shingle_size=5, candidates=cands, tokens=tokens
     )
     return verified.select("id_a", "id_b")
 
