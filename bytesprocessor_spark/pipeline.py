@@ -70,6 +70,7 @@ def process_pcap(
     check_quality: bool = True,
     mode: str = "overwrite",
     split_packets: int | None = None,
+    partition_by: Sequence[str] = (),
 ) -> tuple[str, str]:
     """Run the full pipeline; returns (data_dir, adversarial_dir).
 
@@ -86,7 +87,14 @@ def process_pcap(
     feats = with_features(labeled, width=feature_width).drop("payload")
     out = widen_features(feats, "features", feature_width) if widen else feats
 
-    out.write.mode(mode).parquet(data_dir)
+    # partition_by=("label",) hive-partitions the sink so downstream
+    # training jobs that read one class (the common access pattern for
+    # the adversarial/benign split) get partition pruning instead of a
+    # full scan — the 100 TB layout. Default off for reference parity.
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
     written = spark.read.parquet(data_dir)
 
     if check_quality:

@@ -4,8 +4,11 @@ properties of the headline queries are pinned here."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bytesprocessor_spark.plans.explain import (
     assert_plan,
+    executed_plan,
     pushed_filters,
     scan_columns,
     shuffle_count,
@@ -53,3 +56,37 @@ def test_extract_ranges_pushdown_on_parquet(spark):
     # it is a post-scan filter here, but only over projected columns)
     assert "Filter" in plan
     assert all(len(c) <= 3 for c in scan_columns(df))
+
+def test_ivf_broadcast_and_no_cartesian(spark):
+    """IVF probe must be an equi-join on the int cell id with the
+    (small) query side broadcast — never a cartesian: the whole point
+    of the index is that the corpus is NOT cross-joined."""
+    from bytesprocessor_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, q, n_cells=16, nprobe=4, k=5)
+    assert_plan(out, requires_broadcast=True, forbid_cartesian=True)
+    # cell assignment is a map-side expression: the corpus reaches the
+    # join without any exchange of its own (window shuffle comes after)
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_partial_aggregation(spark):
+    """The signature aggregate must run partial (map-side) before its
+    shuffle — at 100 TB the exploded token table is ~100x the corpus
+    and must collapse to n_docs rows per partition before exchange."""
+    from bytesprocessor_spark.operators.dedup import (
+        hashed_shingle_tokens, minhash_signature_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = minhash_signature_table(hashed_shingle_tokens(docs), 32)
+    plan = executed_plan(sig)
+    # partial_min before the exchange, min after: two HashAggregate
+    # levels around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan
