@@ -221,28 +221,36 @@ def exact_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
-    sizes = sh.select("id", F.size("sh").alias("n"))
-    tok = sh.select("id", F.explode("sh").alias("s"))
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+    # PPJoin-style prefix filtering (Xiao et al., WWW'08): under any
+    # global token order, a pair with J >= t must share a token within
+    # the first |x| - ceil(t*|x|) + 1 tokens of each side (pigeonhole:
+    # J >= t implies overlap >= t*|x|).  Joining PREFIXES instead of
+    # full sets cuts the inverted-index pair blowup ~(1-t)^2-fold and,
+    # because hub shingles usually sit late in the (hash-)order of
+    # most documents, defuses the skewed-key hotspots that quadratic
+    # shingle joins hit at scale.  Candidates are then verified
+    # exactly against the full sets, so the output is unchanged.
+    t = float(threshold)
+    plen = (F.size("sh") - F.ceil(F.size("sh") * F.lit(t)) + 1).cast("int")
+    pref = sh.select(
+        "id", F.explode(F.slice(F.array_sort("sh"), F.lit(1), plen)).alias("s")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-        )
-        .where(F.col("jaccard") >= F.lit(float(threshold)))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    paired = cand.join(sa, "id_a").join(sb, "id_b")
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union_n = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter_n
+    return (
+        paired.withColumn("jaccard", inter_n / union_n)
+        .where(F.col("jaccard") >= F.lit(t))
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def embedding_cosine_pairs(

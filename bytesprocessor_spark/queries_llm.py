@@ -113,28 +113,38 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 exact: word-3-gram Jaccard >= 0.5 via the inverted-index
     (explode -> equi-join on shingle) plan — the scalable exact
-    algorithm: shuffle keys are shingles, never document pairs."""
+    algorithm: shuffle keys are shingles, never document pairs.
+
+    Word 3-grams are built token-table style (posexplode + lead
+    window, all codegen) rather than with array higher-order
+    functions, which run interpreted; the window shuffle keys on the
+    doc id and carries one row per word — trivial next to the work it
+    replaces.  Shingles join as 64-bit hashes, not strings."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("sh")
-    ).persist()  # feeds both self-join sides + sizes: shingle once
-    sizes = sh.select("id", F.size("sh").alias("n"))
-    tok = sh.select("id", F.explode("sh").alias("g"))
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("c"))
+    words = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "w"),
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
-    j = F.col("c") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("c"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(j >= 0.5)
-        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    w = Window.partitionBy("id").orderBy("pos")
+    grams = words.select(
+        "id",
+        "pos",
+        F.concat_ws(
+            " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)
+        ).alias("g"),
+        F.lead("w", 2).over(w).alias("__w2"),
     )
+    # parity with word_shingles(n=3): full 3-grams only, except docs
+    # shorter than 3 words contribute their single (shorter) shingle —
+    # for those, position 0 is the only row whose gram is the whole doc
+    grams = grams.where(
+        F.col("__w2").isNotNull() | ((F.col("pos") == 0) & F.col("__w2").isNull())
+    )
+    tok = grams.select("id", F.xxhash64("g").alias("h"))
+    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
+
+    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=tok)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 @query(
