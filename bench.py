@@ -40,11 +40,15 @@ HEADLINE = [
     "window_running",
     "window_session",
     "asof_join_events",
+    # SQL surface (same text on both engines)
+    "sql_scalar_subquery",
     # LLM pipeline ops
     "dedup_exact_keep",
     "dedup_jaccard_pairs",
     "dedup_minhash_verified",
+    "dedup_embedding_pairs",
     "similarity_topk",
+    "similarity_ivf_topk",
     "text_quality",
 ]
 
