@@ -220,7 +220,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_no_order
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     """,
@@ -241,9 +241,9 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_full_outer",
     """
     SELECT
-      SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS customers_without_orders,
-      SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orders_without_customer,
-      SUM(CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS matched
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS customers_without_orders,
+      CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_without_customer,
+      CAST(SUM(CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched
     FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
     """,
 )

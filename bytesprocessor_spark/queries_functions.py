@@ -90,13 +90,13 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            ABS(l_quantity - 25.0)            AS qty_dev,
-           FLOOR(l_extendedprice / 1000.0)   AS price_k_floor,
-           CEIL(l_extendedprice / 1000.0)    AS price_k_ceil,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT)  AS price_k_ceil,
            ROUND(l_discount, 1)              AS disc_rounded,
            SQRT(l_quantity)                  AS qty_sqrt,
            l_quantity * l_quantity           AS qty_sq,
            l_orderkey % 7                    AS key_mod,
-           SIGN(l_discount - 0.05)           AS disc_sign,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            GREATEST(l_quantity, 10.0)        AS qty_hi,
            LEAST(l_quantity, 10.0)           AS qty_lo
     FROM lineitem
@@ -163,9 +163,9 @@ def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-                    THEN 1 ELSE 0 END) AS n_big_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_big_k
     FROM events
     GROUP BY event_type
     """,

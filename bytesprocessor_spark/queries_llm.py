@@ -80,7 +80,7 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     keep AS (SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY h)
-    SELECT COUNT(*) AS n_kept, SUM(doc_id) AS sum_kept_ids FROM keep
+    SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids FROM keep
     """,
 )
 def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +237,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _DUCK_EMB_PAIRS
     + """
     , drop AS (SELECT DISTINCT id_b FROM s WHERE sim >= 0.45)
-    SELECT COUNT(*) AS n_kept, SUM(vec_id) AS sum_kept_ids
+    SELECT COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids
     FROM e WHERE vec_id NOT IN (SELECT id_b FROM drop)
     """,
 )
@@ -387,7 +387,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len({_DUCK_TOKS})) AS total_tokens,
+           CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
            COUNT(DISTINCT source) AS n_sources
     FROM documents

@@ -119,9 +119,9 @@ def extract_ranges_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_no_nulls",
     """
     SELECT
-      SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_keys,
-      SUM(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END) AS bad_qty,
-      SUM(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 ELSE 0 END) AS bad_price
+      CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+      CAST(SUM(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+      CAST(SUM(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
     FROM lineitem
     """,
 )

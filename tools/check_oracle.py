@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import decimal
 import math
 import sys
 import time
@@ -26,12 +27,21 @@ from bytesprocessor_spark.sources.tables import TABLES
 
 
 def canon_cell(v):
+    # Type-tagged canonical form: the driver's value-hash distinguishes
+    # 68 (BIGINT) from 68.0 (DOUBLE) and Decimal('68') (DECIMAL), so a
+    # faithful local gate must too.  bool is checked before int (subclass).
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -61,8 +71,13 @@ def compare(name, spark_cols, spark_rows, duck_cols, duck_rows):
             if rs != rd:
                 n_bad += 1
                 for a, b in zip(rs, rd):
-                    if isinstance(a, float) and isinstance(b, float):
-                        max_float_diff = max(max_float_diff, abs(a - b))
+                    if (
+                        isinstance(a, tuple) and isinstance(b, tuple)
+                        and len(a) == 2 and len(b) == 2
+                        and a[0] == "f" and b[0] == "f"
+                        and isinstance(a[1], float) and isinstance(b[1], float)
+                    ):
+                        max_float_diff = max(max_float_diff, abs(a[1] - b[1]))
                 if n_bad <= 3:
                     problems.append(f"  row diff:\n    spark={rs}\n    duck ={rd}")
         problems.insert(0, f"value mismatch in {n_bad} rows (max float diff {max_float_diff:g})")
