@@ -8,6 +8,7 @@ comparable across engines.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string annotations in module globals
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -32,3 +33,55 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- Arrow-vectorized kernels -------------------------------------------------
+#
+# The HOF forms above are interpreted (no whole-stage codegen), and
+# unrolling them into 64-term scalar chains breaks Janino compilation
+# outright (InternalCompilerException -> interpreted fallback, measured
+# slower still).  For dense per-pair scoring the efficient engine path
+# is Arrow batches + numpy — vectorized C loops, ~100x the interpreted
+# expression walk.  Determinism is preserved by the same fixed-point
+# trick: after round(x*1e6) every product (<2^40) and partial sum
+# (<2^53) is an exact integer in a double, so ANY summation order —
+# including BLAS blocking — yields the identical value DuckDB computes.
+
+
+def np_round_half_away(y):
+    """Round-half-away-from-zero on a float64 ndarray — the rounding
+    rule Spark's F.round and DuckDB's round() share; numpy's np.round
+    rounds half-to-even and would diverge on exact .5 products."""
+    import numpy as np
+
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5))
+
+
+def to_matrix(series, quantize: bool):
+    """pandas Series of array<float> -> float64 [n, dim] matrix,
+    optionally 1e-6 fixed-point quantized."""
+    import numpy as np
+
+    M = np.array([np.asarray(v, dtype=np.float64) for v in series], dtype=np.float64)
+    return np_round_half_away(M * 1e6) if quantize else M
+
+
+def cosine_pairs_udf(quantize: bool):
+    """Vectorized (v_a, v_b) -> cosine pandas UDF for pair verification
+    after a candidate join."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = to_matrix(va, quantize)
+        B = to_matrix(vb, quantize)
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(dots / (na * nb))
+
+    return _cos

@@ -9,6 +9,7 @@ reduction in comparisons.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -221,6 +222,86 @@ def _lsh_tables(df: DataFrame, vec: str, dim: int, n_planes: int, n_tables: int)
         )
     )
     return df.withColumn("__tag", tags).select(*df.columns, "__tag.tbl", "__tag.bkt")
+
+
+def srp_planes_q(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list[list[list[int]]]:
+    """Integer-quantized (x1e6) SRP hyperplanes, indexed [table][plane].
+
+    Integer components are the cross-engine determinism trick: with
+    vectors also quantized to exact-integer doubles, every dot-product
+    term (<2^40) and partial sum (<2^53) is exactly representable, so
+    the SIGN of the projection — hence the bucket id — is bit-identical
+    in any engine that evaluates the same literals (the DuckDB oracle
+    re-derives the planes from this same function)."""
+    return [
+        [
+            [int(round(v * 1e6)) for v in _hyperplane(dim, seed * 1_000_000 + t * 1000 + p)]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def srp_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """SRP-LSH candidate-pair proposal for near-dup dedup: the scale
+    path that replaces the O(n²) pair scan with a bucket equi-join.
+
+    Each row is tagged with ``n_tables`` (table, bucket) keys — bucket =
+    sign bits of ``n_planes`` integer-quantized hyperplane projections
+    (:func:`srp_planes_q`) — then same-key rows self-join.  One shuffle
+    on (tbl, bkt); candidate count shrinks ~2**n_planes-fold per table;
+    recall follows 1-(1-p^planes)^tables with p = 1 - theta/pi, so it
+    is high precisely in the regime dedup cares about (true duplicates,
+    cosine >= ~0.8) and the parameters trade it against candidate
+    volume for borderline pairs.
+
+    All bucket math is one Arrow-batched integer GEMM per row batch —
+    exact-integer arithmetic, so the candidate set — hence anything
+    verified from it — is deterministic and engine-independent.
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from bytesprocessor_spark.functions.vectors import to_matrix
+
+    planes = srp_planes_q(dim, n_planes, n_tables, seed)
+
+    # One Arrow-batched GEMM against the [tables*planes, dim] plane
+    # matrix computes every sign bit at once.  (Expression-tree forms —
+    # one giant array-of-structs or per-table unrolled scalar chains —
+    # were measured to blow up Janino compilation at dim 64.)
+    @pandas_udf("array<long>")
+    def _tags(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        P = np.array(planes, dtype=np.float64)  # [T, PL, D], exact ints
+        Q = to_matrix(v, quantize=True)  # [n, D], exact ints
+        dots = np.einsum("nd,tpd->ntp", Q, P)  # exact-integer doubles
+        bkts = ((dots > 0).astype(np.int64) * (1 << np.arange(P.shape[1]))).sum(axis=2)
+        return pd.Series(list(bkts))
+
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_tags(F.col(vec_col))).alias("tbl", "bkt"),
+    )
+    a = tagged.select(F.col("id").alias("id_a"), "tbl", "bkt")
+    b = tagged.select(F.col("id").alias("id_b"), "tbl", "bkt")
+    return (
+        a.join(b, ["tbl", "bkt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def lsh_topk(

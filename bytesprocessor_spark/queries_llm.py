@@ -222,9 +222,11 @@ _DUCK_EMB_PAIRS = f"""
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 embedding-cosine near-dup: exact all-pairs cosine >= 0.45
     (threshold calibrated to the synthetic corpus — near-orthogonal
-    vectors max out near 0.51).  Quantized fixed-point scoring so the
-    oracle hash-matches bit-for-bit; the LSH-prefiltered scale path is
-    exercised in tests/test_dedup.py."""
+    vectors max out near 0.51).  Exact requires O(n²) work; the plan
+    distributes it as a block-partitioned equi-join (no nested-loop,
+    no corpus broadcast) with codegen scalar scoring.  Quantized
+    fixed-point so the oracle hash-matches bit-for-bit; the LSH
+    scale path is the dedup_embedding_lsh entry."""
     from bytesprocessor_spark.operators.dedup import embedding_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -251,6 +253,69 @@ def dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.agg(
         F.count("*").alias("n_kept"), F.sum("vec_id").alias("sum_kept_ids")
     )
+
+
+# SRP-LSH prefilter parameters shared by the Spark query and its DuckDB
+# oracle — the oracle re-derives the SAME integer hyperplanes, so both
+# engines produce the identical (approximate) candidate set and the
+# entry stays hash-checkable.
+_SRP = dict(dim=64, n_planes=6, n_tables=10, seed=42)
+
+
+def _duck_srp_pairs_sql(threshold: float) -> str:
+    """DuckDB mirror of srp_candidate_pairs + exact verify: per-table
+    bucket = sum of sign-bit CASEs over literal integer hyperplanes
+    (exact-integer arithmetic — see operators/similarity.srp_planes_q),
+    self-join per (tbl, bkt), distinct pairs, then the same quantized
+    cosine as _DUCK_EMB_PAIRS."""
+    from bytesprocessor_spark.operators.similarity import srp_planes_q
+
+    planes = srp_planes_q(**_SRP)
+    tag_selects = []
+    for t, tbl_planes in enumerate(planes):
+        bits = []
+        for p, plane in enumerate(tbl_planes):
+            arr = "[" + ",".join(str(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        tag_selects.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM e")
+    tags = "\n      UNION ALL\n      ".join(tag_selects)
+    return f"""
+    WITH e AS (SELECT vec_id, {_QUANT_E} AS v FROM embeddings),
+    tag AS ({tags}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM tag a JOIN tag b ON a.tbl = b.tbl AND a.bkt = b.bkt
+                                  AND a.vec_id < b.vec_id),
+    s AS (SELECT id_a, id_b,
+                 list_dot_product(x.v, y.v)
+                   / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v))) AS sim
+          FROM cand JOIN e x ON id_a = x.vec_id JOIN e y ON id_b = y.vec_id)
+    SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM s WHERE sim >= {threshold}
+    """
+
+
+@query("dedup_embedding_lsh", _duck_srp_pairs_sql(0.45))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 scale path: SRP-LSH bucket join proposes candidates, exact
+    quantized cosine verifies — the 100 TB shape (shuffle keys are
+    (table, bucket), never the pair space).  Approximate by design;
+    deterministic because both engines derive identical integer
+    hyperplane buckets.  Recall at the borderline sims of this
+    synthetic corpus is partial (no similarity gap exists — max pair
+    sim ~0.51); tests/test_dedup.py pins near-total recall on planted
+    true duplicates (cosine >= 0.9), the regime LSH dedup targets."""
+    from bytesprocessor_spark.operators.dedup import embedding_cosine_pairs
+    from bytesprocessor_spark.operators.similarity import srp_candidate_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = srp_candidate_pairs(
+        emb, dim=_SRP["dim"], n_planes=_SRP["n_planes"],
+        n_tables=_SRP["n_tables"], seed=_SRP["seed"],
+    )
+    pairs = embedding_cosine_pairs(emb, threshold=0.45, candidates=cands, quantize=True)
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
 # ---------------------------------------------------------------------------

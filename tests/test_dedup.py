@@ -166,3 +166,61 @@ def test_embedding_pairs_lsh_prefilter_subset(spark):
     }
     assert filtered <= exact
     assert len(filtered) > 0
+
+
+def test_srp_candidates_recall_on_planted_dups(spark):
+    """SRP-LSH's operating regime: true duplicates (cosine >= ~0.95,
+    e.g. re-crawls / boilerplate copies with embedding jitter) must be
+    recalled near-totally.  100 base vectors + 30 planted near-dups;
+    the LSH-prefiltered pairs must recover >= 90% of planted pairs
+    (default 6 planes x 10 tables => expected recall ~0.99 at
+    cos 0.95)."""
+    import random
+
+    from bytesprocessor_spark.operators.dedup import embedding_cosine_pairs
+    from bytesprocessor_spark.operators.similarity import srp_candidate_pairs
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    for i in range(100):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    planted = []
+    for j in range(30):
+        base_id = j * 3
+        dup = [x + rng.gauss(0, 0.02) for x in rows[base_id][1]]
+        rows.append((1000 + j, dup))
+        planted.append((base_id, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cands = srp_candidate_pairs(df, dim=dim)
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            df, threshold=0.9, candidates=cands
+        ).collect()
+    }
+    recalled = sum(1 for p in planted if p in got)
+    assert recalled >= 27, f"recall {recalled}/30 below 90%"
+
+
+def test_srp_prefiltered_subset_of_exact(spark):
+    """LSH-prefiltered pairs are a subset of exact pairs at the same
+    threshold (the verify step re-scores every candidate exactly)."""
+    from bytesprocessor_spark.operators.dedup import embedding_cosine_pairs
+    from bytesprocessor_spark.operators.similarity import srp_candidate_pairs
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cands = srp_candidate_pairs(emb, dim=64)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(emb, threshold=0.4, quantize=True).collect()
+    }
+    filtered = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            emb, threshold=0.4, candidates=cands, quantize=True
+        ).collect()
+    }
+    assert filtered <= exact
+    assert len(filtered) > 0

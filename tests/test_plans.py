@@ -90,3 +90,25 @@ def test_minhash_partial_aggregation(spark):
     # levels around one Exchange
     assert plan.count("HashAggregate") >= 2
     assert "partial_min" in plan
+
+
+def test_embedding_pairs_block_gemm_no_nested_loop(spark):
+    """Exact embedding all-pairs must be the block-partitioned cogroup
+    GEMM: no BroadcastNestedLoopJoin / CartesianProduct over
+    corpus x corpus — at 100 TB a nested loop is a single-task scan of
+    the full pair space, the one plan shape this operator exists to
+    avoid."""
+    df = QUERIES["dedup_embedding_pairs"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_embedding_lsh_bucket_equijoin_only(spark):
+    """The SRP-LSH scale path joins on (table, bucket) keys and pair
+    ids only — equi-joins all the way down."""
+    df = QUERIES["dedup_embedding_lsh"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
