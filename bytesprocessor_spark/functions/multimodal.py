@@ -85,9 +85,12 @@ def image_features(
 
 def _stub_sample_frames(payload: bytes, n_frames: int) -> list[bytes]:
     """Deterministic fake frame sampler: n content-addressed pseudo
-    frames.  A real implementation would demux with pyav/ffmpeg."""
+    frames (sha256 of payload + ':' + ascii index — a form any SQL
+    engine can reproduce, which is what the multimodal_video_frames
+    oracle does).  A real implementation would demux with pyav/ffmpeg.
+    """
     return [
-        hashlib.sha256((payload or b"") + struct.pack(">I", i)).digest()
+        hashlib.sha256((payload or b"") + b":" + str(i).encode()).digest()
         for i in range(n_frames)
     ]
 

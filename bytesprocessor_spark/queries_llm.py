@@ -572,3 +572,73 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("cluster"),
         )
     )
+
+
+# The stub image decode derives (width, height, features) from
+# sha256(payload) — multimodal.py documents the arithmetic — so a SQL
+# engine can reproduce it by parsing the hex digest.  hv(i) below is
+# the value of hex digit i (1-based) of the digest.
+def _hv(i: int) -> str:
+    return f"(strpos('0123456789abcdef', hx[{i}]) - 1)"
+
+
+@query(
+    "multimodal_image_meta",
+    f"""
+    WITH m AS (SELECT doc_id AS media_id, text, sha256(text) AS hx FROM documents)
+    SELECT media_id,
+           CAST(1 + ({_hv(1)}*4096 + {_hv(2)}*256 + {_hv(3)}*16 + {_hv(4)}) % 4096 AS INT) AS width,
+           CAST(1 + ({_hv(5)}*4096 + {_hv(6)}*256 + {_hv(7)}*16 + {_hv(8)}) % 4096 AS INT) AS height,
+           octet_length(encode(text)) AS n_bytes,
+           ROUND(CAST(CAST(({_hv(1)}*16 + {_hv(2)}) / 255.0 AS REAL) AS DOUBLE), 6) AS f0
+    FROM m
+    """,
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 decode path end-to-end: binary payload -> mapInPandas Arrow
+    batches -> image_features (stub codec: sha256-derived dims +
+    16-float signature) -> typed metadata row.  The oracle re-derives
+    the stub's arithmetic from the hex digest, so the whole UDF
+    pipeline — schema, batching, null handling, float32 feature
+    storage — is hash-checked.  (f0 is cast through REAL in the oracle
+    because the features column is array<float>.)"""
+    from bytesprocessor_spark.functions.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+@query(
+    "multimodal_video_frames",
+    """
+    WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 10 = 0)
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           sha256(text || ':' || CAST(i AS VARCHAR)) AS frame_hex
+    FROM m, (SELECT unnest(range(4)) AS i)
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 fan-out path: video payload -> mapInPandas frame sampler ->
+    one row per (media, frame).  The stub sampler emits
+    sha256(payload + ':' + index) frames, which the oracle reproduces,
+    hash-checking the UDTF-style row expansion."""
+    from bytesprocessor_spark.functions.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = sample_video_frames(media, n_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
