@@ -15,6 +15,26 @@ from pyspark.sql import functions as F
 
 from bytesprocessor_spark.functions.text import char_ngrams
 
+# Intermediates persisted by the operators below (tables feeding both
+# sides of a self-join must be cached or their whole lineage runs
+# twice).  They cannot be unpersisted before the caller's action, so
+# long-lived sessions should call unpersist_intermediates() (or
+# spark.catalog.clearCache(), as bench.py does) between queries.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_intermediates() -> None:
+    """Release every cache block persisted by the dedup operators —
+    call after the consuming action in long-lived sessions."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def exact_dedup(
     df: DataFrame,
@@ -166,7 +186,7 @@ def minhash_lsh_pairs(
     ).select("id", "bb.band", "bb.bh")
     # The banded table feeds BOTH sides of the bucket self-join; persist
     # so the signature pipeline (the expensive part) runs once, not twice.
-    banded = banded.persist()
+    banded = _persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -207,7 +227,7 @@ def exact_jaccard_pairs(
         tokens = hashed_shingle_tokens(df, text_col, id_col, shingle_size)
     # Per-doc shingle SET (collect_set dedups occurrences) — feeds both
     # sides of the pair join, so persist to evaluate once.
-    sh = tokens.groupBy("id").agg(F.collect_set("h").alias("sh")).persist()
+    sh = _persist(tokens.groupBy("id").agg(F.collect_set("h").alias("sh")))
 
     if candidates is not None:
         a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -231,7 +251,12 @@ def exact_jaccard_pairs(
     # shingle joins hit at scale.  Candidates are then verified
     # exactly against the full sets, so the output is unchanged.
     t = float(threshold)
-    plen = (F.size("sh") - F.ceil(F.size("sh") * F.lit(t)) + 1).cast("int")
+    # ceil in float arithmetic can round UP when t*|x| is mathematically
+    # an integer (e.g. 0.7*10 -> 7.000000000000001 -> ceil 8), which
+    # would shorten the prefix and silently drop a qualifying pair.
+    # Subtracting an epsilon below one ulp of any realistic t*|x|
+    # restores the exact ceiling.
+    plen = (F.size("sh") - F.ceil(F.size("sh") * F.lit(t) - F.lit(1e-9)) + 1).cast("int")
     pref = sh.select(
         "id", F.explode(F.slice(F.array_sort("sh"), F.lit(1), plen)).alias("s")
     )
@@ -471,7 +496,8 @@ def simhash_near_dup_pairs(
         "id",
         "sh",
         F.posexplode("sh").alias("blk", "bv"),
-    ).persist()  # feeds both sides of the pigeonhole self-join
+    )
+    blocked = _persist(blocked)  # feeds both sides of the pigeonhole self-join
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(

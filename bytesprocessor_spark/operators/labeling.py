@@ -167,24 +167,26 @@ def label_attacks_join(
 
     joined = fact.join(F.broadcast(a), cond | fwd, "left")
     # last-wins == max attack_idx among *label* matches; forward is an OR.
-    picked = (
-        joined.groupBy("__row_id")
-        .agg(
-            F.max(F.when(cond, F.struct(F.col("a.attack_idx"), F.col("a.label")))).alias("__m"),
-            F.max(F.when(fwd, F.lit(True)).otherwise(F.lit(False))).alias(forward_col),
-        )
-        .select(
-            "__row_id",
-            F.col("__m.label").alias("__atk_label"),
-            F.coalesce(F.col(forward_col), F.lit(False)).alias(forward_col),
-        )
+    # Single-branch plan: every fact column rides through the
+    # aggregation (first() per group — all rows of a group carry the
+    # same fact values), instead of re-joining `picked` back onto a
+    # second evaluation of `fact`.  monotonically_increasing_id is
+    # partition-layout-dependent, so re-deriving it in a separate plan
+    # branch could mispair labels under task retries/speculation; here
+    # the id exists in exactly one lineage (and one join disappears
+    # from the plan).
+    carried = [F.first(F.col(c)).alias(c) for c in df.columns if c != label_col]
+    picked = joined.groupBy("__row_id").agg(
+        *carried,
+        F.max(F.when(cond, F.struct(F.col("a.attack_idx"), F.col("a.label")))).alias("__m"),
+        F.max(F.when(fwd, F.lit(True)).otherwise(F.lit(False))).alias("__fwd"),
     )
-    out = (
-        fact.join(picked, "__row_id", "left")
-        .withColumn(label_col, F.coalesce(F.col("__atk_label"), F.lit(default_label)))
-        .drop("__row_id", "__atk_label")
-    )
-    return out
+    label_out = F.coalesce(F.col("__m.label"), F.lit(default_label)).alias(label_col)
+    out_cols = [label_out if c == label_col else F.col(c) for c in df.columns]
+    if label_col not in df.columns:
+        out_cols.append(label_out)
+    out_cols.append(F.coalesce(F.col("__fwd"), F.lit(False)).alias(forward_col))
+    return picked.select(*out_cols)
 
 
 def extract_ranges(

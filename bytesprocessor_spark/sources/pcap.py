@@ -131,16 +131,36 @@ def parse_frame(ts: float, frame: bytes) -> dict | None:
     proto = ip[9]
     if proto not in (PROTO_TCP, PROTO_UDP):
         return None  # BP:238-239
+    # dpkt parity: for fragmented packets (MF flag or non-zero offset)
+    # dpkt leaves ip.data as raw bytes, so the reference's
+    # isinstance(ip.data, TCP/UDP) check (BP:238) drops them — a
+    # non-first fragment's first 4 payload bytes are NOT ports.
+    frag = (ip[6] << 8) | ip[7]
+    if frag & 0x3FFF:  # MF | fragment-offset bits
+        return None
     src_ip = ".".join(str(b) for b in ip[12:16])
     dst_ip = ".".join(str(b) for b in ip[16:20])
     l4 = ip[ihl:]
-    if len(l4) < 4:
+    # dpkt parity: TCP/UDP unpack needs the full fixed header (20/8
+    # bytes; TCP also its options per data-offset) or dpkt raises
+    # NeedData and the reference's per-packet except drops the row.
+    if proto == PROTO_TCP:
+        if len(l4) < 20:
+            return None
+        doff = (l4[12] >> 4) * 4
+        if doff < 20 or len(l4) < doff:
+            return None
+    elif len(l4) < 8:
         return None
     src_port = (l4[0] << 8) | l4[1]
     dst_port = (l4[2] << 8) | l4[3]
 
     # Anonymize IN the serialized bytes (BP:258-268): zero addresses
-    # and ports, keep stale checksums (dpkt only recomputes a zero sum).
+    # and ports, keep stale checksums.  Documented divergence: when a
+    # capture stores a checksum of 0 (checksum offload), dpkt
+    # RE-COMPUTES it on re-serialize while we keep the 0 — affects
+    # only those bytes of such packets, never the parsed columns
+    # (see SURVEY §3.4).
     anon = bytearray(ip)
     anon[12:20] = b"\x00" * 8
     anon[ihl : ihl + 4] = b"\x00" * 4

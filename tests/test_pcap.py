@@ -31,7 +31,7 @@ def eth(dst=b"\x02" * 6, src=b"\x01" * 6, eth_type=0x0800, payload=b""):
     return dst + src + struct.pack(">H", eth_type) + payload
 
 
-def ipv4(src: str, dst: str, proto: int, l4: bytes, ttl=64, ident=1):
+def ipv4(src: str, dst: str, proto: int, l4: bytes, ttl=64, ident=1, frag=0):
     total = 20 + len(l4)
     hdr = struct.pack(
         ">BBHHHBBH4s4s",
@@ -39,7 +39,7 @@ def ipv4(src: str, dst: str, proto: int, l4: bytes, ttl=64, ident=1):
         0,
         total,
         ident,
-        0,
+        frag,
         ttl,
         proto,
         0xBEEF,  # deliberate non-zero (stale) checksum — must survive anonymization
@@ -259,3 +259,29 @@ def test_empty_attacks_and_ranges_noop(spark, tmp_path):
     assert data.count() == 9  # all parsed packets kept
     assert data.where(F.col("label") != "benign").count() == 0
     assert spark.read.parquet(adv_dir).count() == 0
+
+
+def test_fragment_and_truncated_l4_dropped():
+    """dpkt parity: non-first fragments (MF flag or offset bits set)
+    keep ip.data as raw bytes in dpkt, and truncated TCP/UDP headers
+    raise NeedData — the reference drops both (BP:238, BP:251-253).
+    Misreading a fragment's first 4 payload bytes as ports would
+    fabricate flows on real captures."""
+    ok = parse_frame(1.0, eth(payload=ipv4("10.0.0.1", "10.0.0.2", 6, tcp(1234, 80))))
+    assert ok is not None and ok["src_port"] == 1234
+
+    # more-fragments flag set (first fragment)
+    assert parse_frame(1.0, eth(payload=ipv4("10.0.0.1", "10.0.0.2", 6, tcp(1234, 80), frag=0x2000))) is None
+    # non-first fragment (offset 8*185) whose payload starts with junk
+    assert parse_frame(1.0, eth(payload=ipv4("10.0.0.1", "10.0.0.2", 6, b"\x04\xd2\x00\x50rest", frag=0x00B9))) is None
+    # TCP header truncated below 20 bytes
+    assert parse_frame(1.0, eth(payload=ipv4("10.0.0.1", "10.0.0.2", 6, tcp(1234, 80)[:10]))) is None
+    # TCP data-offset promises options beyond the capture
+    short_opts = bytearray(tcp(1234, 80))
+    short_opts[12] = 0x70  # doff = 28 bytes, only 20 captured
+    assert parse_frame(1.0, eth(payload=ipv4("10.0.0.1", "10.0.0.2", 6, bytes(short_opts)))) is None
+    # UDP header truncated below 8 bytes
+    assert parse_frame(1.0, eth(payload=ipv4("10.0.0.1", "10.0.0.2", 17, udp(53, 53)[:6]))) is None
+    # UDP exactly 8 bytes still parses
+    u = parse_frame(1.0, eth(payload=ipv4("10.0.0.1", "10.0.0.2", 17, udp(53, 53))))
+    assert u is not None and u["dst_port"] == 53
