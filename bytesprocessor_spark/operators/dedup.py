@@ -43,15 +43,24 @@ def exact_dedup(
     normalize: bool = True,
 ) -> DataFrame:
     """Exact dedup on a content hash: keep the lowest id per hash.
-    One shuffle on the 256-bit hash; hash first so the shuffle key is
-    fixed-width regardless of document size."""
+    ONE shuffle on the 256-bit hash (hash first so the shuffle key is
+    fixed-width regardless of document size): row_number over
+    (partition by hash, order by id) keeps the surviving row in place —
+    the groupBy(min)+semi-join formulation costs a second shuffle for
+    the join-back."""
+    from pyspark.sql import Window
+
     t = F.col(text_col)
     if normalize:
         t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
     h = F.sha2(t.cast("string"), 256)
-    keyed = df.withColumn("__h", h)
-    keep = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col)).drop("__h")
-    return df.join(keep, id_col, "left_semi")
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
 
 
 _MERSENNE = (1 << 31) - 1  # 2^31-1, the classic universal-hash modulus

@@ -112,3 +112,14 @@ def test_embedding_lsh_bucket_equijoin_only(spark):
     plan = executed_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """exact_dedup must cost exactly one exchange (hash-partition by
+    content hash for the row_number window) — the groupBy+semi-join
+    formulation costs two, which at 100 TB doubles the dominant I/O."""
+    from bytesprocessor_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = exact_dedup(docs, text_col="text", id_col="doc_id")
+    assert shuffle_count(out) == 1
