@@ -189,6 +189,40 @@ def label_attacks_join(
     return picked.select(*out_cols)
 
 
+def port_filter(
+    df: DataFrame,
+    ports: Sequence[int],
+    side: str = "both",
+    src_port_col: str = "src_port",
+    dst_port_col: str = "dst_port",
+) -> DataFrame:
+    """Port-based packet filter — the reference's own roadmap item
+    (/root/reference/CONTRIBUTING.md: "port filtering"), parity-plus.
+
+    A pure IN predicate (optionally OR of both sides), so Catalyst
+    pushes it into the parquet scan: row groups whose port min/max
+    stats exclude every requested port are never read.  Empty ``ports``
+    is a no-op (consistent with the empty-spec semantics of
+    :func:`extract_ranges`).
+
+    side: ``src`` | ``dst`` | ``both`` (either side matches).
+    """
+    ports = [int(p) for p in ports]
+    if not ports:
+        return df
+    src_c = F.col(src_port_col).isin(ports)
+    dst_c = F.col(dst_port_col).isin(ports)
+    if side == "src":
+        cond = src_c
+    elif side == "dst":
+        cond = dst_c
+    elif side == "both":
+        cond = src_c | dst_c
+    else:
+        raise ValueError(f"side must be src|dst|both, got {side!r}")
+    return df.filter(cond)
+
+
 def extract_ranges(
     df: DataFrame,
     ranges: Sequence[tuple[float, float]],

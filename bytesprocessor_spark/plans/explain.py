@@ -21,7 +21,9 @@ def executed_plan(df: DataFrame) -> str:
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across the plan's file scans."""
     plan = executed_plan(df)
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # capture to end of line: the filter list itself may contain ']'
+    # (e.g. In(src_port, [443,80]))
+    return re.findall(r"PushedFilters: \[(.*)", plan)
 
 
 def scan_columns(df: DataFrame) -> list[list[str]]:

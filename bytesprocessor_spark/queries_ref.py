@@ -138,3 +138,49 @@ def quality_no_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_extendedprice").isNull() | F.isnan("l_extendedprice"), 1).otherwise(0)
         ).alias("bad_price"),
     )
+
+
+_PORTED_SQL = """
+      SELECT event_id,
+             CASE WHEN user_id % 3 = 0 THEN 80
+                  WHEN user_id % 3 = 1 THEN 443 ELSE 8080 END AS src_port,
+             CASE WHEN event_id % 4 = 0 THEN 22
+                  WHEN event_id % 4 = 1 THEN 443 ELSE 9000 END AS dst_port
+      FROM events
+"""
+
+
+@query(
+    "port_filter_parity",
+    f"""
+    WITH p AS ({_PORTED_SQL})
+    SELECT src_port, dst_port, COUNT(*) AS n, CAST(MIN(event_id) AS BIGINT) AS min_event_id
+    FROM p
+    WHERE src_port IN (80, 443) OR dst_port IN (80, 443)
+    GROUP BY src_port, dst_port
+    """,
+)
+def port_filter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Port filtering (reference roadmap, CONTRIBUTING.md) as a
+    pushable IN/OR predicate, checked on a ports-shaped projection of
+    events.  Pushdown onto real parquet port columns is asserted in
+    tests/test_plans.py."""
+    from bytesprocessor_spark.operators.labeling import port_filter
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 3 == 0, 80)
+        .when(F.col("user_id") % 3 == 1, 443)
+        .otherwise(8080)
+        .alias("src_port"),
+        F.when(F.col("event_id") % 4 == 0, 22)
+        .when(F.col("event_id") % 4 == 1, 443)
+        .otherwise(9000)
+        .alias("dst_port"),
+    )
+    return (
+        port_filter(p, [80, 443], side="both")
+        .groupBy("src_port", "dst_port")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("min_event_id"))
+    )

@@ -123,3 +123,25 @@ def test_exact_dedup_single_shuffle(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = exact_dedup(docs, text_col="text", id_col="doc_id")
     assert shuffle_count(out) == 1
+
+
+def test_port_filter_pushdown(spark, tmp_path):
+    """port_filter's IN/OR predicate must reach the parquet scan
+    (PushedFilters) so port-sparse row groups are pruned at 100 TB."""
+    from bytesprocessor_spark.operators.labeling import port_filter
+
+    p = str(tmp_path / "pkts.parquet")
+    spark.createDataFrame(
+        [(i, 80 if i % 3 == 0 else 9000 + i % 7, 443 if i % 5 == 0 else 10000 + i % 7)
+         for i in range(200)],
+        "pkt_id long, src_port int, dst_port int",
+    ).write.parquet(p)
+    df = port_filter(spark.read.parquet(p), [80, 443], side="both")
+    pushed = " ".join(pushed_filters(df))
+    assert "src_port" in pushed and "dst_port" in pushed
+    assert df.count() == sum(1 for i in range(200) if i % 3 == 0 or i % 5 == 0)
+    # src-only / dst-only variants
+    assert port_filter(spark.read.parquet(p), [80], side="src").count() == sum(
+        1 for i in range(200) if i % 3 == 0
+    )
+    assert port_filter(spark.read.parquet(p), [], side="both").count() == 200
