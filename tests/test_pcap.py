@@ -285,3 +285,24 @@ def test_fragment_and_truncated_l4_dropped():
     # UDP exactly 8 bytes still parses
     u = parse_frame(1.0, eth(payload=ipv4("10.0.0.1", "10.0.0.2", 17, udp(53, 53))))
     assert u is not None and u["dst_port"] == 53
+
+
+def test_pcap_datasource_matches_readers(spark, tmp_path):
+    """The Python DataSource must produce exactly the whole-file
+    reader's rows (same split-parity contract as read_pcap_split),
+    honoring the split_packets option."""
+    from bytesprocessor_spark.sources.pcap_datasource import PcapDataSource
+
+    p = str(tmp_path / "ds.pcap")
+    make_fixture_pcap(p)
+    spark.dataSource.register(PcapDataSource)
+    via_ds = sorted(
+        map(tuple, spark.read.format("pcap").option("split_packets", 4).load(p).collect())
+    )
+    whole = sorted(map(tuple, read_pcap(spark, p).collect()))
+    assert via_ds == whole and len(via_ds) == 9
+
+    # empty capture -> zero rows, no failure
+    empty = str(tmp_path / "empty.pcap")
+    write_pcap(empty, [])
+    assert spark.read.format("pcap").load(empty).count() == 0
