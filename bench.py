@@ -41,7 +41,7 @@ HEADLINE = [
     "window_session",
     "asof_join_events",
     # SQL surface (same text on both engines)
-    "sql_scalar_subquery",
+    "sql_scalar_cte",
     # LLM pipeline ops
     "dedup_exact_keep",
     "dedup_jaccard_pairs",

@@ -25,82 +25,62 @@ def _sql(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) ->
     return spark.sql(sql)
 
 
-_EXISTS_SQL = """
+_EXISTS_IN_SQL = """
     SELECT c_custkey, c_name
     FROM customer c
     WHERE EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
     )
+    AND c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey IN (1, 2)
+    )
     ORDER BY c_custkey
     LIMIT 100
 """
 
 
-@query("sql_exists_subquery", _EXISTS_SQL)
-def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated EXISTS — Catalyst rewrites to a left-semi join
-    (RewritePredicateSubquery); same text runs on DuckDB."""
-    return _sql(spark, sf_dir, _EXISTS_SQL, ("customer", "orders"))
+@query("sql_exists_in_subquery", _EXISTS_IN_SQL)
+def sql_exists_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + uncorrelated IN in one statement: Catalyst
+    rewrites the EXISTS to a left-semi join (RewritePredicateSubquery)
+    and the IN to a semi join against a broadcast-sized dimension; the
+    same text runs verbatim on DuckDB."""
+    return _sql(spark, sf_dir, _EXISTS_IN_SQL, ("customer", "orders", "nation"))
 
 
-_IN_SQL = """
-    SELECT s_suppkey, s_name
-    FROM supplier
-    WHERE s_nationkey IN (
-      SELECT n_nationkey FROM nation WHERE n_regionkey = 1
-    )
-    ORDER BY s_suppkey
-"""
-
-
-@query("sql_in_subquery", _IN_SQL)
-def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery -> semi join against a broadcast-sized dimension."""
-    return _sql(spark, sf_dir, _IN_SQL, ("supplier", "nation"))
-
-
-_SCALAR_SQL = """
-    SELECT p_partkey, p_brand, p_retailprice
-    FROM part p
-    WHERE CAST(ROUND(p_retailprice * 100) AS BIGINT) > (
-      SELECT CAST(SUM(CAST(ROUND(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
-             / COUNT(*)
-      FROM part p2
-      WHERE p2.p_brand = p.p_brand
-    )
-    ORDER BY p_partkey
-    LIMIT 100
-"""
-
-
-@query("sql_scalar_subquery", _SCALAR_SQL)
-def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery (above-brand-average predicate) —
-    decorrelated into an aggregate + join; exact-cents arithmetic keeps
-    the group averages bit-identical across engines."""
-    return _sql(spark, sf_dir, _SCALAR_SQL, ("part",))
-
-
-_CTE_SQL = """
-    WITH ranked AS (
-      SELECT o_custkey, o_orderkey, o_totalprice,
+_SCALAR_CTE_SQL = """
+    WITH above AS (
+      SELECT p_partkey, p_brand, p_retailprice
+      FROM part p
+      WHERE CAST(ROUND(p_retailprice * 100) AS BIGINT) > (
+        SELECT CAST(SUM(CAST(ROUND(p2.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*)
+        FROM part p2
+        WHERE p2.p_brand = p.p_brand
+      )
+    ),
+    ranked AS (
+      SELECT p_partkey, p_brand, p_retailprice,
              ROW_NUMBER() OVER (
-               PARTITION BY o_custkey
-               ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+               PARTITION BY p_brand
+               ORDER BY CAST(ROUND(p_retailprice * 100) AS BIGINT) DESC, p_partkey
              ) AS rk
-      FROM orders
+      FROM above
     )
-    SELECT o_custkey, o_orderkey, o_totalprice
+    SELECT p_partkey, p_brand, p_retailprice, rk
     FROM ranked
-    WHERE rk = 1
-    ORDER BY o_custkey
+    WHERE rk <= 3
+    ORDER BY p_brand, rk, p_partkey
     LIMIT 100
 """
 
 
-@query("sql_cte_top_order", _CTE_SQL)
-def sql_cte_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CTE + ranking window in pure SQL: each customer's single most
-    expensive order (unique tiebreak on o_orderkey)."""
-    return _sql(spark, sf_dir, _CTE_SQL, ("orders",))
+@query("sql_scalar_cte", _SCALAR_CTE_SQL)
+def sql_scalar_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above-brand-average predicate,
+    decorrelated by Catalyst into an aggregate + join) feeding a CTE +
+    ranking window — the three subquery-machinery paths the DataFrame
+    corpus can't exercise, in one verbatim-shared text.  Exact-cents
+    arithmetic keeps the group averages bit-identical across engines."""
+    return _sql(spark, sf_dir, _SCALAR_CTE_SQL, ("part",))

@@ -24,14 +24,19 @@ from bytesprocessor_spark.queries import query, cents, _t
     """
     SELECT c_mktsegment, c_custkey,
            CAST(ROUND(c_acctbal * 100) AS DOUBLE) / 100.0 AS acctbal,
-           ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
-           RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk,
-           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drk
+           ROW_NUMBER() OVER w AS rn,
+           RANK()       OVER w AS rk,
+           DENSE_RANK() OVER w AS drk,
+           NTILE(4)     OVER w AS quartile
     FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
     QUALIFY rn <= 5
     """,
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows (W1): row_number/rank/dense_rank/ntile over one
+    partitioned window.  NTILE is computed per-partition — the scale-
+    correct form; a global NTILE would plan a single-partition sort."""
     cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
@@ -42,28 +47,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
             F.rank().over(w).alias("rk"),
             F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
         )
         .where(F.col("rn") <= 5)
-    )
-
-
-@query(
-    "window_ntile",
-    """
-    WITH t AS (
-      SELECT o_orderstatus, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-      FROM orders
-    )
-    SELECT bucket, o_orderstatus, COUNT(*) AS n FROM t GROUP BY bucket, o_orderstatus
-    """,
-)
-def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    return (
-        orders.select("o_orderstatus", F.ntile(4).over(w).alias("bucket"))
-        .groupBy("bucket", "o_orderstatus")
-        .agg(F.count("*").alias("n"))
     )
 
 
@@ -129,48 +115,34 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
-    "sort_topk",
+    "sort_topk_nulls",
     """
-    SELECT o_orderkey,
-           CAST(ROUND(o_totalprice * 100) AS DOUBLE) / 100.0 AS totalprice,
-           o_orderpriority
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_or_null,
+           CAST(ROUND(o_totalprice * 100) AS DOUBLE) / 100.0 AS totalprice
     FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
+    ORDER BY NULLIF(o_orderstatus, 'O') NULLS FIRST,
+             o_totalprice DESC, o_orderkey
     LIMIT 20
     """,
 )
-def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: plans as TakeOrderedAndProject (per-partition heap
-    + driver merge), no global sort at any scale."""
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.select(
-            "o_orderkey",
-            (F.round(F.col("o_totalprice") * 100).cast("double") / 100.0).alias("totalprice"),
-            "o_orderpriority",
-        )
-        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
-        .limit(20)
-    )
-
-
-@query(
-    "sort_nulls",
-    """
-    SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_or_null
-    FROM orders
-    ORDER BY NULLIF(o_orderstatus, 'O') NULLS FIRST, o_orderkey
-    LIMIT 15
-    """,
-)
-def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key sort with explicit null placement (O1)."""
+def sort_topk_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2 in one entry: global top-k with explicit null placement in
+    the ordering.  Plans as TakeOrderedAndProject (per-partition heap +
+    driver merge) — no global sort at any scale."""
     orders = _t(spark, sf_dir, "orders")
     s = F.nullif(F.col("o_orderstatus"), F.lit("O"))
     return (
-        orders.select("o_orderkey", s.alias("status_or_null"))
-        .orderBy(F.col("status_or_null").asc_nulls_first(), F.col("o_orderkey"))
-        .limit(15)
+        orders.select(
+            "o_orderkey",
+            s.alias("status_or_null"),
+            (F.round(F.col("o_totalprice") * 100).cast("double") / 100.0).alias("totalprice"),
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(),
+            F.col("totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(20)
     )
 
 
@@ -191,36 +163,37 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "set_intersect",
+    "set_intersect_except",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return cust.intersect(supp)
-
-
-@query(
-    "set_except",
-    """
-    SELECT DISTINCT user_id FROM events
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
-    """,
-)
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT DISTINCT (O4): users who never made a high-value purchase
-    (non-empty at every sf, unlike key-coverage differences)."""
-    ev = _t(spark, sf_dir, "events")
-    all_users = ev.select("user_id").distinct()
-    big_buyers = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 90)).select(
-        "user_id"
+    SELECT 'intersect' AS op, key FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
+      INTERSECT
+      SELECT CAST(s_nationkey AS BIGINT) FROM supplier
     )
-    return all_users.subtract(big_buyers)
+    UNION ALL
+    SELECT 'except' AS op, key FROM (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS key FROM events
+      EXCEPT
+      SELECT CAST(user_id AS BIGINT) FROM events
+      WHERE event_type = 'purchase' AND value > 90
+    )
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT DISTINCT (O4) as one tagged union: nation
+    keys on both sides of the customer/supplier relationship, and
+    users who never made a high-value purchase (non-empty at every
+    sf, unlike key-coverage differences)."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("key"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("key"))
+    inter = cust.intersect(supp).select(F.lit("intersect").alias("op"), "key")
+    ev = _t(spark, sf_dir, "events")
+    all_users = ev.select(F.col("user_id").cast("long").alias("key")).distinct()
+    big_buyers = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 90)).select(
+        F.col("user_id").cast("long").alias("key")
+    )
+    exc = all_users.subtract(big_buyers).select(F.lit("except").alias("op"), "key")
+    return inter.unionByName(exc)
 
 
 # ---------------------------------------------------------------------------
