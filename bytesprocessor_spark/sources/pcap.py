@@ -79,12 +79,22 @@ def _iter_records(data: bytes, off: int, endian: str, frac_div: float) -> Iterat
         off += incl_len
 
 
+_PCAPNG_MAGIC = 0x0A0D0D0A  # SHB block type; same bytes either endianness
+
+
 def iter_pcap_records(data: bytes) -> Iterator[tuple[float, bytes]]:
-    """Yield (timestamp_seconds, frame_bytes) from raw pcap file bytes.
-    Handles both endiannesses and both µs/ns timestamp magics."""
+    """Yield (timestamp_seconds, frame_bytes) from raw capture bytes.
+    Handles classic pcap (both endiannesses, µs/ns magics) and pcapng
+    (dispatched on the Section Header Block magic) — the format the
+    reference's roadmap asks for (CONTRIBUTING.md:25) but never got."""
     if len(data) < 24:
         return
     (magic,) = struct.unpack_from("<I", data, 0)
+    if magic == _PCAPNG_MAGIC:
+        from bytesprocessor_spark.sources.pcapng import iter_pcapng_records
+
+        yield from iter_pcapng_records(data)
+        return
     endian, frac_div = _pcap_format(magic)
     yield from _iter_records(data, 24, endian, frac_div)
 
@@ -233,10 +243,31 @@ def read_pcap(
     return files.select("content").mapInPandas(parse_partition, schema=PACKET_SCHEMA)
 
 
-_CHUNK_SCHEMA = "path string, offset long, length long, endian string, frac_div double"
+_CHUNK_SCHEMA = (
+    "path string, offset long, length long, endian string, frac_div double, meta string"
+)
 
 
-def index_pcap_chunks(path: str, split_packets: int) -> Iterator[tuple[str, int, int, str, float]]:
+def index_capture_chunks(
+    path: str, split_packets: int
+) -> Iterator[tuple[str, int, int, str, float, str]]:
+    """Format-dispatching chunk indexer: classic pcap gets record-offset
+    chunks (meta=""), pcapng gets block-boundary chunks whose meta
+    carries the section state (see pcapng.index_pcapng_chunks)."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if len(head) < 4:
+        return
+    (magic,) = struct.unpack_from("<I", head, 0)
+    if magic == _PCAPNG_MAGIC:
+        from bytesprocessor_spark.sources.pcapng import index_pcapng_chunks
+
+        yield from index_pcapng_chunks(path, split_packets)
+        return
+    yield from index_pcap_chunks(path, split_packets)
+
+
+def index_pcap_chunks(path: str, split_packets: int) -> Iterator[tuple[str, int, int, str, float, str]]:
     """Stream-walk one pcap's record headers (seek past payloads, read
     16 bytes per record) and emit (path, offset, length, endian,
     frac_div) byte-range chunks of ``split_packets`` records each.
@@ -261,11 +292,11 @@ def index_pcap_chunks(path: str, split_packets: int) -> Iterator[tuple[str, int,
             off = nxt
             n_in_chunk += 1
             if n_in_chunk >= split_packets:
-                yield (path, chunk_start, off - chunk_start, endian, frac_div)
+                yield (path, chunk_start, off - chunk_start, endian, frac_div, "")
                 chunk_start = off
                 n_in_chunk = 0
         if n_in_chunk > 0:
-            yield (path, chunk_start, off - chunk_start, endian, frac_div)
+            yield (path, chunk_start, off - chunk_start, endian, frac_div, "")
 
 
 def read_pcap_split(
@@ -290,7 +321,10 @@ def read_pcap_split(
     import pandas as pd
 
     if os.path.isdir(path):
-        paths = sorted(_glob.glob(os.path.join(path, "*.pcap")))
+        paths = sorted(
+            _glob.glob(os.path.join(path, "*.pcap"))
+            + _glob.glob(os.path.join(path, "*.pcapng"))
+        )
     else:
         paths = sorted(_glob.glob(path)) or [path]
     files_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
@@ -300,10 +334,11 @@ def read_pcap_split(
     def index_partition(batches):
         for pdf in batches:
             for p in pdf["path"]:
-                chunks = list(index_pcap_chunks(p, split_packets))
+                chunks = list(index_capture_chunks(p, split_packets))
                 if chunks:
                     yield pd.DataFrame(
-                        chunks, columns=["path", "offset", "length", "endian", "frac_div"]
+                        chunks,
+                        columns=["path", "offset", "length", "endian", "frac_div", "meta"],
                     )
 
     chunks = files_df.mapInPandas(index_partition, schema=_CHUNK_SCHEMA)
@@ -312,12 +347,12 @@ def read_pcap_split(
 
     def parse_range(batches):
         for pdf in batches:
-            for p, off, length, endian, frac_div in pdf.itertuples(index=False):
+            for p, off, length, endian, frac_div, meta in pdf.itertuples(index=False):
                 with open(p, "rb") as f:
                     f.seek(off)
                     data = f.read(length)
                 rows = []
-                for ts, frame in _iter_records(data, 0, endian, frac_div):
+                for ts, frame in iter_chunk_records(data, endian, frac_div, meta):
                     try:
                         row = parse_frame(ts, frame)
                     except Exception:
@@ -328,3 +363,17 @@ def read_pcap_split(
                     yield pd.DataFrame(rows, columns=_COLS)
 
     return chunks.mapInPandas(parse_range, schema=PACKET_SCHEMA)
+
+
+def iter_chunk_records(
+    data: bytes, endian: str, frac_div: float, meta: str
+) -> Iterator[tuple[float, bytes]]:
+    """Record stream for one indexed chunk's bytes; ``meta`` selects the
+    container format (classic pcap: "", pcapng: "ng:<divisors>")."""
+    if meta.startswith("ng:"):
+        from bytesprocessor_spark.sources.pcapng import iter_ng_records
+
+        divisors = [float(x) for x in meta[3:].split(",") if x]
+        yield from iter_ng_records(data, 0, endian, divisors)
+        return
+    yield from _iter_records(data, 0, endian, frac_div)

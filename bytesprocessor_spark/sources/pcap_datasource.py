@@ -36,8 +36,8 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from bytesprocessor_spark.sources.pcap import (
     PACKET_SCHEMA,
-    _iter_records,
-    index_pcap_chunks,
+    index_capture_chunks,
+    iter_chunk_records,
     parse_frame,
 )
 
@@ -45,14 +45,18 @@ _COL_ORDER = [f.name for f in PACKET_SCHEMA.fields]
 
 
 class PcapChunk(InputPartition):
-    """One byte-range of whole pcap records: the unit of parallelism."""
+    """One byte-range of whole capture records (classic pcap or pcapng
+    blocks): the unit of parallelism."""
 
-    def __init__(self, path: str, offset: int, length: int, endian: str, frac_div: float):
+    def __init__(
+        self, path: str, offset: int, length: int, endian: str, frac_div: float, meta: str = ""
+    ):
         self.path = path
         self.offset = offset
         self.length = length
         self.endian = endian
         self.frac_div = frac_div
+        self.meta = meta
 
 
 def _open_range(path: str, offset: int, length: int) -> bytes:
@@ -69,7 +73,9 @@ def _resolve_paths(path: str) -> list[str]:
     import os
 
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "*.pcap")))
+        return sorted(
+            glob.glob(os.path.join(path, "*.pcap")) + glob.glob(os.path.join(path, "*.pcapng"))
+        )
     return sorted(glob.glob(path)) or [path]
 
 
@@ -84,7 +90,7 @@ class PcapReader(DataSourceReader):
         parts = [
             PcapChunk(*chunk)
             for p in _resolve_paths(self.path)
-            for chunk in index_pcap_chunks(p, self.split_packets)
+            for chunk in index_capture_chunks(p, self.split_packets)
         ]
         # Spark requires >= 1 partition; an empty capture yields no rows.
         return parts or [PcapChunk(self.path, 0, 0, "<", 1e6)]
@@ -93,7 +99,9 @@ class PcapReader(DataSourceReader):
         if partition.length <= 0:
             return
         data = _open_range(partition.path, partition.offset, partition.length)
-        for ts, frame in _iter_records(data, 0, partition.endian, partition.frac_div):
+        for ts, frame in iter_chunk_records(
+            data, partition.endian, partition.frac_div, getattr(partition, "meta", "")
+        ):
             try:
                 row = parse_frame(ts, frame)
             except Exception:
