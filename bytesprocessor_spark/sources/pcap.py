@@ -50,9 +50,17 @@ _MAGIC_NS_LE = 0xA1B23C4D
 _MAGIC_NS_BE = 0x4D3CB2A1
 
 ETH_TYPE_IP = 0x0800
+ETH_TYPE_IP6 = 0x86DD
 ETH_TYPE_VLAN = 0x8100
+PROTO_ICMP = 1
 PROTO_TCP = 6
 PROTO_UDP = 17
+PROTO_ICMP6 = 58
+PROTO_SCTP = 132
+# IPv6 extension headers walked (not terminal): hop-by-hop, routing,
+# destination options, mobility.  Fragment (44) is handled specially.
+_IP6_EXT = frozenset({0, 43, 60, 135})
+_IP6_FRAG = 44
 
 
 def _pcap_format(magic: int) -> tuple[str, float]:
@@ -61,7 +69,7 @@ def _pcap_format(magic: int) -> tuple[str, float]:
         return "<", 1e6 if magic == _MAGIC_US_LE else 1e9
     if magic in (_MAGIC_US_BE, _MAGIC_NS_BE):
         return ">", 1e6 if magic == _MAGIC_US_BE else 1e9
-    raise ValueError(f"not a pcap file (magic {magic:#x}); pcapng is not supported")
+    raise ValueError(f"not a capture file (magic {magic:#x} is neither pcap nor pcapng)")
 
 
 def _iter_records(data: bytes, off: int, endian: str, frac_div: float) -> Iterator[tuple[float, bytes]]:
@@ -111,10 +119,17 @@ def write_pcap(path: str, packets: Iterable[tuple[float, bytes]]) -> None:
             f.write(buf)
 
 
-def parse_frame(ts: float, frame: bytes) -> dict | None:
+def parse_frame(ts: float, frame: bytes, extended: bool = False) -> dict | None:
     """Ethernet -> IPv4 -> TCP/UDP decode of one frame; None for frames
     the reference drops (non-IP, non-TCP/UDP) and for malformed input
-    (caller wraps in try/except for full parity with BP:251-253)."""
+    (caller wraps in try/except for full parity with BP:251-253).
+
+    ``extended=True`` opts into the reference roadmap's "Extended
+    Protocol Support" (CONTRIBUTING.md:27): IPv6 frames (with
+    extension-header walk), ICMP/ICMPv6 (type/code carried in
+    src_port/dst_port — documented encoding; there are no ports), and
+    SCTP.  Default False == exact dpkt-parity drop set.
+    """
     if len(frame) < 14:
         return None
     eth_type = (frame[12] << 8) | frame[13]
@@ -124,6 +139,8 @@ def parse_frame(ts: float, frame: bytes) -> dict | None:
             return None
         eth_type = (frame[l3_off + 2] << 8) | frame[l3_off + 3]
         l3_off += 4
+    if eth_type == ETH_TYPE_IP6:
+        return _parse_ip6(ts, frame[l3_off:]) if extended else None
     if eth_type != ETH_TYPE_IP:
         return None  # not IPv4 (BP:222-223; dpkt.ip.IP is v4-only)
 
@@ -139,7 +156,9 @@ def parse_frame(ts: float, frame: bytes) -> dict | None:
     total_len = min(total_len, len(ip)) if total_len >= ihl else len(ip)
     ip = ip[:total_len]
     proto = ip[9]
-    if proto not in (PROTO_TCP, PROTO_UDP):
+    if proto not in (PROTO_TCP, PROTO_UDP) and not (
+        extended and proto in (PROTO_ICMP, PROTO_SCTP)
+    ):
         return None  # BP:238-239
     # dpkt parity: for fragmented packets (MF flag or non-zero offset)
     # dpkt leaves ip.data as raw bytes, so the reference's
@@ -160,10 +179,20 @@ def parse_frame(ts: float, frame: bytes) -> dict | None:
         doff = (l4[12] >> 4) * 4
         if doff < 20 or len(l4) < doff:
             return None
-    elif len(l4) < 8:
-        return None
-    src_port = (l4[0] << 8) | l4[1]
-    dst_port = (l4[2] << 8) | l4[3]
+    elif proto == PROTO_UDP:
+        if len(l4) < 8:
+            return None
+    elif proto == PROTO_ICMP:
+        if len(l4) < 4:
+            return None
+    elif proto == PROTO_SCTP:
+        if len(l4) < 12:
+            return None
+    if proto == PROTO_ICMP:
+        src_port, dst_port = l4[0], l4[1]  # type, code — no ports in ICMP
+    else:
+        src_port = (l4[0] << 8) | l4[1]
+        dst_port = (l4[2] << 8) | l4[3]
 
     # Anonymize IN the serialized bytes (BP:258-268): zero addresses
     # and ports, keep stale checksums.  Documented divergence: when a
@@ -173,7 +202,8 @@ def parse_frame(ts: float, frame: bytes) -> dict | None:
     # (see SURVEY §3.4).
     anon = bytearray(ip)
     anon[12:20] = b"\x00" * 8
-    anon[ihl : ihl + 4] = b"\x00" * 4
+    if proto != PROTO_ICMP:  # ICMP has no ports; keep type/code bytes
+        anon[ihl : ihl + 4] = b"\x00" * 4
 
     return {
         "timestamp": float(ts),
@@ -187,12 +217,82 @@ def parse_frame(ts: float, frame: bytes) -> dict | None:
     }
 
 
-def parse_pcap_bytes(data: bytes) -> Iterator[dict]:
+def _ip6_str(b: bytes) -> str:
+    """16 address bytes -> full (uncompressed) lowercase colon-hex —
+    deterministic across engines, no zero-run compression ambiguity."""
+    return ":".join(f"{(b[i] << 8) | b[i + 1]:x}" for i in range(0, 16, 2))
+
+
+def _parse_ip6(ts: float, ip6: bytes) -> dict | None:
+    """IPv6 decode for extended mode: fixed header + extension-header
+    walk to a terminal TCP/UDP/SCTP/ICMPv6; non-first fragments are
+    dropped (their L4 slice has no transport header)."""
+    if len(ip6) < 40 or (ip6[0] >> 4) != 6:
+        return None
+    nxt = ip6[6]
+    src_ip = _ip6_str(ip6[8:24])
+    dst_ip = _ip6_str(ip6[24:40])
+    payload_len = (ip6[4] << 8) | ip6[5]
+    end = min(40 + payload_len, len(ip6))
+    off = 40
+    while True:
+        if nxt in _IP6_EXT:
+            if off + 8 > end:
+                return None
+            nxt, hel = ip6[off], ip6[off + 1]
+            off += (hel + 1) * 8
+        elif nxt == _IP6_FRAG:
+            if off + 8 > end:
+                return None
+            frag_off_flags = (ip6[off + 2] << 8) | ip6[off + 3]
+            if frag_off_flags & 0xFFF8:  # non-first fragment: no L4 header
+                return None
+            nxt = ip6[off]
+            off += 8
+        else:
+            break
+    l4 = ip6[off:end]
+    if nxt == PROTO_TCP:
+        if len(l4) < 20 or (l4[12] >> 4) * 4 < 20 or len(l4) < (l4[12] >> 4) * 4:
+            return None
+        src_port, dst_port = (l4[0] << 8) | l4[1], (l4[2] << 8) | l4[3]
+    elif nxt == PROTO_UDP:
+        if len(l4) < 8:
+            return None
+        src_port, dst_port = (l4[0] << 8) | l4[1], (l4[2] << 8) | l4[3]
+    elif nxt == PROTO_SCTP:
+        if len(l4) < 12:
+            return None
+        src_port, dst_port = (l4[0] << 8) | l4[1], (l4[2] << 8) | l4[3]
+    elif nxt == PROTO_ICMP6:
+        if len(l4) < 4:
+            return None
+        src_port, dst_port = l4[0], l4[1]  # type, code
+    else:
+        return None
+
+    anon = bytearray(ip6[:end])
+    anon[8:40] = b"\x00" * 32
+    if nxt != PROTO_ICMP6:
+        anon[off : off + 4] = b"\x00" * 4
+    return {
+        "timestamp": float(ts),
+        "src_ip": src_ip,
+        "dst_ip": dst_ip,
+        "src_port": src_port,
+        "dst_port": dst_port,
+        "protocol": str(nxt),
+        "payload": bytes(anon),
+        "label": "benign",
+    }
+
+
+def parse_pcap_bytes(data: bytes, extended: bool = False) -> Iterator[dict]:
     """All parsed packet dicts from one pcap file's bytes; per-packet
     errors are swallowed (BP:251-253)."""
     for ts, frame in iter_pcap_records(data):
         try:
-            row = parse_frame(ts, frame)
+            row = parse_frame(ts, frame, extended)
         except Exception:
             continue
         if row is not None:
@@ -208,6 +308,7 @@ def read_pcap(
     batch_size: int = 4096,
     split_packets: int | None = None,
     parallelism: int | None = None,
+    extended: bool = False,
 ) -> DataFrame:
     """Pcap scan (S1).
 
@@ -223,7 +324,7 @@ def read_pcap(
     splitter (BP:196-205, SURVEY §3.4.4).
     """
     if split_packets:
-        return read_pcap_split(spark, path, split_packets, parallelism)
+        return read_pcap_split(spark, path, split_packets, parallelism, extended)
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
@@ -232,7 +333,7 @@ def read_pcap(
         for pdf in batches:
             for content in pdf["content"]:
                 rows: list[dict] = []
-                for row in parse_pcap_bytes(bytes(content)):
+                for row in parse_pcap_bytes(bytes(content), extended):
                     rows.append(row)
                     if len(rows) >= batch_size:
                         yield pd.DataFrame(rows, columns=_COLS)
@@ -304,6 +405,7 @@ def read_pcap_split(
     path: str,
     split_packets: int = 100_000,
     parallelism: int | None = None,
+    extended: bool = False,
 ) -> DataFrame:
     """Two-stage distributed read of large pcap files:
 
@@ -354,7 +456,7 @@ def read_pcap_split(
                 rows = []
                 for ts, frame in iter_chunk_records(data, endian, frac_div, meta):
                     try:
-                        row = parse_frame(ts, frame)
+                        row = parse_frame(ts, frame, extended)
                     except Exception:
                         continue
                     if row is not None:

@@ -85,6 +85,8 @@ class PcapReader(DataSourceReader):
         if not self.path:
             raise ValueError("pcap source requires a path: .load('/data/*.pcap')")
         self.split_packets = int(options.get("split_packets", 100_000))
+        # opt-in extended protocol parse (ICMP/ICMPv6/SCTP/IPv6)
+        self.extended = str(options.get("extended", "false")).lower() == "true"
 
     def partitions(self) -> Sequence[PcapChunk]:
         parts = [
@@ -103,7 +105,7 @@ class PcapReader(DataSourceReader):
             data, partition.endian, partition.frac_div, getattr(partition, "meta", "")
         ):
             try:
-                row = parse_frame(ts, frame)
+                row = parse_frame(ts, frame, self.extended)
             except Exception:
                 continue
             if row is not None:

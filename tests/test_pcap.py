@@ -306,3 +306,91 @@ def test_pcap_datasource_matches_readers(spark, tmp_path):
     empty = str(tmp_path / "empty.pcap")
     write_pcap(empty, [])
     assert spark.read.format("pcap").load(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Extended protocol support (reference roadmap, CONTRIBUTING.md:27):
+# opt-in ICMP/ICMPv6/SCTP/IPv6; default mode keeps the dpkt drop set.
+# ---------------------------------------------------------------------------
+
+def _ip6(src: bytes, dst: bytes, nxt: int, payload: bytes, hops=64):
+    return struct.pack(">IHBB", 0x60000000, len(payload), nxt, hops) + src + dst + payload
+
+
+def test_extended_mode_parses_icmp_v4():
+    frame = eth(payload=ipv4("10.0.0.1", "10.0.0.2", 1, b"\x08\x00\x12\x34"))
+    assert parse_frame(1.0, frame) is None  # parity mode drops (BP:238)
+    row = parse_frame(1.0, frame, extended=True)
+    assert row is not None
+    assert (row["protocol"], row["src_port"], row["dst_port"]) == ("1", 8, 0)
+    # anonymization zeroes addresses but NOT the ICMP type/code bytes
+    assert row["payload"][12:20] == b"\x00" * 8
+    assert row["payload"][20:22] == b"\x08\x00"
+
+
+def test_extended_mode_parses_sctp_v4():
+    sctp = struct.pack(">HHII", 5000, 80, 0xDEADBEEF, 0) + b"\x00" * 8
+    frame = eth(payload=ipv4("10.0.0.3", "10.0.0.4", 132, sctp))
+    assert parse_frame(1.0, frame) is None
+    row = parse_frame(1.0, frame, extended=True)
+    assert (row["protocol"], row["src_port"], row["dst_port"]) == ("132", 5000, 80)
+    assert row["payload"][20:24] == b"\x00" * 4  # ports anonymized
+
+
+def test_extended_mode_parses_ipv6_tcp_with_ext_header():
+    src = bytes(range(16))
+    dst = bytes(range(16, 32))
+    # hop-by-hop ext header (nxt=TCP, hel=0 -> 8 bytes) then TCP
+    hbh = struct.pack(">BB6x", 6, 0)
+    frame = eth(eth_type=0x86DD, payload=_ip6(src, dst, 0, hbh + tcp(443, 9999, b"x")))
+    assert parse_frame(1.0, frame) is None  # v4-only parity mode
+    row = parse_frame(1.0, frame, extended=True)
+    assert row["protocol"] == "6"
+    assert (row["src_port"], row["dst_port"]) == (443, 9999)
+    assert row["src_ip"] == "1:203:405:607:809:a0b:c0d:e0f"
+    assert row["dst_ip"] == "1011:1213:1415:1617:1819:1a1b:1c1d:1e1f"
+    # addresses zeroed, TCP ports zeroed (past the 8-byte ext header)
+    assert row["payload"][8:40] == b"\x00" * 32
+    assert row["payload"][48:52] == b"\x00" * 4
+
+
+def test_extended_mode_icmp6_and_fragment_drop():
+    src, dst = b"\x20" * 16, b"\x30" * 16
+    row = parse_frame(
+        1.0,
+        eth(eth_type=0x86DD, payload=_ip6(src, dst, 58, b"\x80\x00\x00\x00")),
+        extended=True,
+    )
+    assert (row["protocol"], row["src_port"], row["dst_port"]) == ("58", 128, 0)
+    # non-first fragment (offset != 0): dropped
+    frag = struct.pack(">BBHI", 6, 0, 0x0008, 1) + tcp(1, 2)
+    assert parse_frame(1.0, eth(eth_type=0x86DD, payload=_ip6(src, dst, 44, frag)), extended=True) is None
+    # first fragment (offset 0): parsed
+    frag0 = struct.pack(">BBHI", 6, 0, 0x0001, 1) + tcp(7, 8)
+    row0 = parse_frame(1.0, eth(eth_type=0x86DD, payload=_ip6(src, dst, 44, frag0)), extended=True)
+    assert (row0["src_port"], row0["dst_port"]) == (7, 8)
+
+
+def test_extended_mode_end_to_end(spark, tmp_path):
+    """extended=True through read_pcap + the DataSource option."""
+    p = str(tmp_path / "ext.pcap")
+    pkts = [
+        (1.0, eth(payload=ipv4("10.0.0.1", "10.0.0.2", 6, tcp(1, 2, b"t")))),
+        (2.0, eth(payload=ipv4("10.0.0.1", "10.0.0.2", 1, b"\x08\x00\x00\x00"))),
+        (3.0, eth(eth_type=0x86DD, payload=_ip6(b"\x01" * 16, b"\x02" * 16, 17, udp(53, 54, b"d")))),
+    ]
+    write_pcap(p, pkts)
+    assert read_pcap(spark, p).count() == 1
+    ext = read_pcap(spark, p, extended=True)
+    assert sorted(r.protocol for r in ext.collect()) == ["1", "17", "6"]
+
+    from bytesprocessor_spark.sources.pcap_datasource import PcapDataSource
+
+    spark.dataSource.register(PcapDataSource)
+    via_ds = (
+        spark.read.format("pcap")
+        .option("split_packets", 2)
+        .option("extended", "true")
+        .load(p)
+    )
+    assert sorted(r.protocol for r in via_ds.collect()) == ["1", "17", "6"]
