@@ -91,6 +91,41 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (the co-located-join layout for repeated
+    large joins/aggregations on the same key).
+
+    Both sides of a join written with the same ``bucket_cols`` and
+    ``n_buckets`` hash-partition their files identically, so Spark's
+    planner proves co-partitioning and elides BOTH shuffle exchanges —
+    the dominant cost of a fact⋈fact join at lake scale.  ``sort_cols``
+    additionally pre-sorts within each bucket file, turning sort-merge
+    joins into merge-only (plan gate: tests/test_plans.py::
+    test_bucketed_join_elides_shuffles).
+
+    At 100 TB: size ``n_buckets`` so one bucket of the LARGER table is
+    100-500 MB (e.g. 30 TB fact / 256 MB -> ~120k buckets); every
+    downstream join or groupBy on the bucket key is then shuffle-free
+    regardless of cluster size.  Bucketing metadata lives in the
+    catalog, so this writes through ``saveAsTable`` (``path`` makes it
+    an external table at that location).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (S6)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -145,3 +145,46 @@ def test_port_filter_pushdown(spark, tmp_path):
         1 for i in range(200) if i % 3 == 0
     )
     assert port_filter(spark.read.parquet(p), [], side="both").count() == 200
+
+
+def test_bucketed_join_elides_shuffles(spark, tmp_path):
+    """Two tables bucketed on the join key by write_bucketed join with
+    ZERO exchanges (and pre-sorted buckets need no Sort either) — the
+    co-located layout a 100 TB fact⋈fact join depends on."""
+    from bytesprocessor_spark.sources.tables import load_table, write_bucketed
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 4,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        li, "b_lineitem", ["l_orderkey"], 4,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "b_lineitem"),
+    )
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        # force the sort-merge path so the absent Exchange is provably
+        # bucketing (a broadcast join would hide it)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy("o_orderstatus").count()
+            assert j.count() > 0
+            plan = executed_plan(j)
+            assert "SortMergeJoin" in plan
+            # exactly one exchange: the final groupBy; the join itself
+            # is co-located so neither input shuffles
+            assert shuffle_count(j) == 1, plan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # unbucketed twin: same join plans two extra shuffles
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            uj = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy("o_orderstatus").count()
+            assert shuffle_count(uj) >= 3
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
