@@ -97,3 +97,42 @@ def doc_fingerprint(text: Column) -> Column:
     md5 (cross-engine reproducible) of the canonical form."""
     canon = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(canon)
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram of the
+    canonicalized text with a rolling window of the positions, keep
+    the minimum hash of each w-window, return the distinct selected
+    hashes sorted.
+
+    Guarantee: any shared substring of length >= k + w - 1 between two
+    documents yields at least one shared fingerprint, while only
+    ~2/(w+1) of gram hashes are kept — the local, position-robust
+    alternative to the whole-document hash above.
+
+    Pure Catalyst higher-order expressions (sequence / transform /
+    slice / array_min), so the operator is vectorized JVM work with no
+    shuffle: at 100 TB it is a map-only pass.  md5 keeps the hash
+    cross-engine reproducible (the DuckDB oracle computes the same
+    list); production would swap in xxhash64 for speed without
+    changing the plan shape.
+    """
+    canon = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    n_grams = F.greatest(F.length(canon) - F.lit(k - 1), F.lit(1))
+    n_windows = F.greatest(n_grams - F.lit(w - 1), F.lit(1))
+    # Each window hashes its own w grams directly (w*n total md5 calls).
+    # The tempting grams-array-then-slice form is quadratic instead:
+    # a lambda-captured array expression is re-evaluated per element,
+    # so slice(grams, j, w) would recompute ALL n hashes for every one
+    # of the n windows.
+    picked = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(j, F.least(j + F.lit(w - 1), n_grams)),
+                lambda i: F.md5(F.substr(canon, i, F.lit(k))),
+            )
+        ),
+    )
+    return F.array_sort(F.array_distinct(picked))

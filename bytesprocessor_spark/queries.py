@@ -588,6 +588,7 @@ _CHECK_ORDER = [
     "window_session",
     "dedup_exact_stats",
     "dedup_embedding_keep",
+    "text_winnow_fingerprint",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

@@ -26,6 +26,7 @@ from bytesprocessor_spark.functions.text import (
     stopword_ratio,
     token_count,
     tokenize,
+    winnow_fingerprints,
     word_shingles,
     _EN_STOPWORDS,
 )
@@ -489,6 +490,46 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(10)
     )
+
+
+@query(
+    "text_winnow_fingerprint",
+    """
+    WITH c AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS canon
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(canon) - 7, 1) + 1),
+                            i -> md5(substring(canon, i, 8))) AS grams
+      FROM c
+    ),
+    p AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                              j -> list_aggregate(grams[j:j+3], 'min')))) AS fps
+      FROM g
+    )
+    SELECT doc_id, len(fps) AS n_fp, fps[1] AS fp_first, fps[-1] AS fp_last
+    FROM p
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash, window-min selection) document
+    fingerprints — see functions/text.py:winnow_fingerprints.  Checked
+    as per-doc fingerprint-set cardinality + first/last selected hash,
+    which pins the whole selection deterministically (the set is
+    sorted)."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"), k=8, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.element_at(fps, 1).alias("fp_first"),
+        F.element_at(fps, -1).alias("fp_last"),
+    ).withColumn("n_fp", F.col("n_fp").cast("long"))
 
 
 @query(
