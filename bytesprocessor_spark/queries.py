@@ -589,6 +589,8 @@ _CHECK_ORDER = [
     "dedup_exact_stats",
     "dedup_embedding_keep",
     "text_winnow_fingerprint",
+    "agg_salted",
+    "join_salted",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

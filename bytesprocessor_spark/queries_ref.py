@@ -184,3 +184,64 @@ def port_filter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_port", "dst_port")
         .agg(F.count("*").alias("n"), F.min("event_id").alias("min_event_id"))
     )
+
+
+@query(
+    "agg_salted",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qc,
+           CAST(MIN(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS min_qc,
+           CAST(MAX(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS max_qc,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(l_quantity) AS avg_qc,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/skew.py): groupBy
+    (keys + salt) partials, then merge — must equal the plain one-stage
+    groupBy, which is exactly what the oracle computes."""
+    from bytesprocessor_spark.operators.skew import salted_aggregate
+    from bytesprocessor_spark.queries import cents
+
+    li = _t(spark, sf_dir, "lineitem").withColumn("qc", cents(F.col("l_quantity")))
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            ("qc", "count", "n"),
+            ("qc", "sum", "sum_qc"),
+            ("qc", "min", "min_qc"),
+            ("qc", "max", "max_qc"),
+            ("qc", "avg", "avg_qc"),
+            ("l_linestatus", "collect_set", "statuses"),
+        ],
+        n_salts=8,
+    )
+    return out.withColumn("statuses", F.array_join("statuses", ","))
+
+
+@query(
+    "join_salted",
+    """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.py): big side salted,
+    small side replicated, joined on (key, salt) — row-identical to the
+    plain join the oracle runs."""
+    from bytesprocessor_spark.operators.skew import salted_join
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        salted_join(cust, nation, "c_nationkey", "n_nationkey", n_salts=8)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )

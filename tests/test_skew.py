@@ -1,0 +1,68 @@
+"""Skew-mitigation operator tests (operators/skew.py): salted results
+must be row-identical to their unsalted twins, and the salted join's
+physical plan must actually key on (join key, salt)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.operators.skew import salted_aggregate, salted_join
+from bytesprocessor_spark.plans.explain import executed_plan
+
+
+def _skewed_df(spark):
+    # 90% of rows share one hot key; values vary so salts spread.
+    rows = [(("hot" if i % 10 else f"cold{i}"), i, float(i % 7)) for i in range(2000)]
+    return spark.createDataFrame(rows, "k string, i long, v double")
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = _skewed_df(spark)
+    salted = salted_aggregate(
+        df,
+        ["k"],
+        [
+            ("i", "count", "n"),
+            ("i", "sum", "s"),
+            ("i", "min", "lo"),
+            ("i", "max", "hi"),
+            ("v", "avg", "m"),
+            ("v", "collect_set", "vs"),
+        ],
+        n_salts=7,
+    ).withColumn("vs", F.array_join("vs", ","))
+    plain = df.groupBy("k").agg(
+        F.count("i").alias("n"),
+        F.sum("i").alias("s"),
+        F.min("i").alias("lo"),
+        F.max("i").alias("hi"),
+        F.avg("v").alias("m"),
+        F.array_join(F.array_sort(F.collect_set("v")), ",").alias("vs"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain(spark):
+    big = _skewed_df(spark)
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold7", 2), ("missing", 3)], "sk string, tag int"
+    )
+    for how in ("inner", "left"):
+        salted = salted_join(big, small, "k", "sk", n_salts=5, how=how)
+        plain = big.join(small, big.k == small.sk, how)
+        assert sorted(map(tuple, salted.select("k", "i", "v", "tag").collect())) == sorted(
+            map(tuple, plain.select("k", "i", "v", "tag").collect())
+        ), how
+
+
+def test_salted_join_plan_keys_on_salt(spark):
+    big = _skewed_df(spark)
+    small = spark.createDataFrame([("hot", 1)], "sk string, tag int")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = salted_join(big, small, "k", "sk", n_salts=5)
+        j.count()
+        plan = executed_plan(j)
+        assert "__salt" in plan and "SortMergeJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
