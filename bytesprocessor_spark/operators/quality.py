@@ -40,6 +40,86 @@ def assert_no_nulls(df: DataFrame, cols: list[str] | None = None, context: str =
     return df
 
 
+def expectation_report(
+    df: DataFrame,
+    not_null: list[str] = (),
+    unique: list[list[str] | str] = (),
+    in_range: dict[str, tuple[float, float]] | None = None,
+    in_set: dict[str, list] | None = None,
+    matches: dict[str, str] | None = None,
+) -> DataFrame:
+    """Declarative expectation suite over one table -> one report row
+    per expectation: (expectation, target, n_violations).
+
+    Everything is computed in a SINGLE aggregation pass (one scan, one
+    reduce — the only shape that holds at 100 TB): row-level rules sum
+    a violation predicate; uniqueness counts duplicates as
+    ``count(col) - approx-free countDistinct(col)``.  The report is a
+    DataFrame, so it can be sunk next to the data it describes; use
+    :func:`assert_expectations` for the reference-style hard stop
+    (BytesProcessor.py:168).
+    """
+    in_range = in_range or {}
+    in_set = in_set or {}
+    matches = matches or {}
+    by_type = dict(df.dtypes)
+
+    aggs: list[F.Column] = []
+    labels: list[tuple[str, str]] = []
+
+    def add(kind: str, target: str, cond: F.Column) -> None:
+        aggs.append(F.sum(cond.cast("long")).alias(f"__e{len(aggs)}"))
+        labels.append((kind, target))
+
+    for c in not_null:
+        cond = F.col(c).isNull()
+        if by_type.get(c) in ("double", "float"):
+            cond = cond | F.isnan(F.col(c))
+        add("not_null", c, cond)
+    for c, (lo, hi) in in_range.items():
+        add("in_range", f"{c}[{lo},{hi}]", ~F.col(c).between(lo, hi) | F.col(c).isNull())
+    for c, values in in_set.items():
+        add("in_set", c, ~F.col(c).isin(*values) | F.col(c).isNull())
+    for c, pattern in matches.items():
+        add("matches", c, ~F.col(c).rlike(pattern) | F.col(c).isNull())
+    for cols in unique:
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        key = F.struct(*cols) if len(cols) > 1 else F.col(cols[0])
+        aggs.append((F.count(key) - F.countDistinct(key)).alias(f"__e{len(aggs)}"))
+        labels.append(("unique", ",".join(cols)))
+
+    row = df.agg(*aggs)
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(kind).alias("expectation"),
+                    F.lit(target).alias("target"),
+                    F.coalesce(F.col(f"__e{i}"), F.lit(0)).alias("n_violations"),
+                )
+                for i, (kind, target) in enumerate(labels)
+            ]
+        )
+    )
+    return row.select(report.alias("r")).select("r.expectation", "r.target", "r.n_violations")
+
+
+def assert_expectations(df: DataFrame, context: str = "", **kwargs) -> DataFrame:
+    """Hard-stop form of :func:`expectation_report` — raise on the
+    first report row with violations, else return the input for
+    pipeline chaining."""
+    bad = [
+        (r.expectation, r.target, r.n_violations)
+        for r in expectation_report(df, **kwargs).collect()
+        if r.n_violations > 0
+    ]
+    if bad:
+        raise DataQualityError(
+            f"expectations failed{f' ({context})' if context else ''}: {bad}"
+        )
+    return df
+
+
 def nan_free_floats(df: DataFrame) -> DataFrame:
     """Streaming-friendly variant: a filter that drops NaN rows instead
     of failing — for pipelines where a hard stop is not acceptable."""

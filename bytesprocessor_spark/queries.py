@@ -591,6 +591,7 @@ _CHECK_ORDER = [
     "text_winnow_fingerprint",
     "agg_salted",
     "join_salted",
+    "quality_expectations",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

@@ -245,3 +245,53 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@query(
+    "quality_expectations",
+    """
+    SELECT 'not_null' AS expectation, 'o_custkey' AS target,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice[0.0,100000.0]',
+           CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN 0.0 AND 100000.0
+                          OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_set', 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O') OR o_orderstatus IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'matches', 'o_orderpriority',
+           CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                          OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_custkey',
+           CAST(COUNT(o_custkey) - COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (operators/quality.py) — one
+    aggregation pass produces the per-rule violation report; mixes
+    clean rules (0 violations) with deliberately violated ones
+    (in_set missing 'P', duplicate o_custkey) so both signs are
+    checked."""
+    from bytesprocessor_spark.operators.quality import expectation_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return expectation_report(
+        orders,
+        not_null=["o_custkey"],
+        unique=["o_orderkey", "o_custkey"],
+        in_range={"o_totalprice": (0.0, 100000.0)},
+        in_set={"o_orderstatus": ["F", "O"]},
+        matches={"o_orderpriority": "^[1-5]-"},
+    )

@@ -120,3 +120,37 @@ def test_audio_stub_is_explicit():
 
     with pytest.raises(NotImplementedError):
         decode_audio_stub(b"RIFF")
+
+
+def test_expectation_suite(spark):
+    from bytesprocessor_spark.operators.quality import (
+        DataQualityError,
+        assert_expectations,
+        expectation_report,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, "zz", float("nan"))],
+        "id long, code string, v double",
+    )
+    rep = {
+        (r.expectation, r.target): r.n_violations
+        for r in expectation_report(
+            df,
+            not_null=["v"],
+            unique=["id"],
+            in_range={"v": (0.0, 10.0)},
+            in_set={"code": ["a", "b"]},
+            matches={"code": "^[a-y]+$"},
+        ).collect()
+    }
+    assert rep[("not_null", "v")] == 1      # NaN counts as violation
+    assert rep[("unique", "id")] == 1       # one duplicated id
+    assert rep[("in_range", "v[0.0,10.0]")] == 2  # 50.0 and NaN
+    assert rep[("in_set", "code")] == 1     # "zz"
+    assert rep[("matches", "code")] == 1    # "zz" fails ^[a-y]+$
+    clean = df.where("id = 1")
+    assert assert_expectations(clean, not_null=["v"], unique=["id"]) is clean
+    with _pytest.raises(DataQualityError):
+        assert_expectations(df, unique=["id"])
