@@ -49,3 +49,63 @@ def running_totals(
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def merge_topk(current: list[float], new_values, k: int) -> list[float]:
+    """Associative top-k state merge: combine the persisted top-k with
+    a batch's values and keep the k largest (descending)."""
+    vals = list(current)
+    vals.extend(new_values)
+    return sorted(vals, reverse=True)[:k]
+
+
+def topk_per_key(
+    df: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+    k: int = 3,
+) -> DataFrame:
+    """Per-key running top-k via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (SURVEY §2.9 ST6, modern form).
+
+    Compared to ``applyInPandasWithState`` above, state here is a
+    *managed composite* (a ListState the store maintains incrementally)
+    rather than one opaque tuple, so only the top-k list — never the
+    input history — is persisted.  Emits each key's current top-k after
+    every micro-batch it appears in; state size is O(keys * k)
+    regardless of stream length, the property that keeps an unbounded
+    stream's store bounded.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the TWS control channel is protobuf-encoded;
+    absent in this container, so the end-to-end test skips there — the
+    merge logic is pinned by a pure unit test instead).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    key_fields = ", ".join(f"{c} bigint" for c in keys)
+    out_schema = f"{key_fields}, topk array<double>"
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._best = handle.getListState("best", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals = merge_topk(
+                [float(t[0]) for t in self._best.get()],
+                (float(v) for pdf in rows for v in pdf[value_col]),
+                k,
+            )
+            self._best.put([(v,) for v in vals])
+            yield pd.DataFrame([[*key, vals]], columns=[*keys, "topk"])
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*[df[c] for c in keys]).transformWithStateInPandas(
+        TopK(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -145,3 +145,51 @@ def test_pcap_streaming_pipeline(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.read.parquet(out).count() == 2 * n_first
+
+
+def test_topk_per_key_transform_with_state(spark, tmp_path):
+    """ST6 (modern transformWithStateInPandas form): per-key running
+    top-k across two micro-batches — state carries between batches and
+    stays bounded at k values."""
+    # the TWS control channel is protobuf-encoded; skip where absent
+    pytest.importorskip("google.protobuf.descriptor")
+    from bytesprocessor_spark.streaming.stateful import topk_per_key
+
+    path = str(tmp_path / "ev_tws")
+    _write_events(spark, path)
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    out = topk_per_key(src, keys=("user_id",), value_col="value", k=2)
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_tws_topk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    res = spark.sql(
+        "SELECT user_id, topk FROM t_tws_topk"
+    ).collect()
+    latest = {r.user_id: list(r.topk) for r in res}  # last emission wins per key
+    assert latest[1] == [3.0, 3.0]  # duplicate event 3 -> two 3.0 values beat 2.0
+    assert latest[2] == [5.0, 4.0]
+
+
+def test_merge_topk_pure():
+    from bytesprocessor_spark.streaming.stateful import merge_topk
+
+    assert merge_topk([], [3.0, 1.0, 2.0], 2) == [3.0, 2.0]
+    assert merge_topk([3.0, 2.0], [2.5, 0.1], 2) == [3.0, 2.5]
+    assert merge_topk([5.0], [], 3) == [5.0]
+    # associativity across batch boundaries
+    a = merge_topk(merge_topk([], [1.0, 9.0], 2), [4.0, 7.0], 2)
+    b = merge_topk([], [1.0, 9.0, 4.0, 7.0], 2)
+    assert a == b == [9.0, 7.0]
