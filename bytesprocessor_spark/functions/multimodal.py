@@ -128,3 +128,60 @@ def decode_audio_stub(payload: bytes) -> list[float]:
     """Audio decode is NOT runnable in this container — a real build
     plugs librosa/soundfile here.  Raising keeps the gap explicit."""
     raise NotImplementedError("audio decode requires an audio codec library")
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _stub_decode_audio_meta(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake audio decode (the testable twin of
+    ``decode_audio_stub``): sample rate, sample count and an 8-float
+    signature derived from sha256(payload) — arithmetic a SQL engine
+    can reproduce (the multimodal_audio_meta oracle does).  A real
+    build swaps in soundfile/librosa behind the same signature."""
+    h = hashlib.sha256(payload or b"").digest()
+    sample_rate = 8000 * (1 + h[4] % 6)  # 8/16/24/32/40/48 kHz
+    n_samples = 1 + (struct.unpack_from(">I", h, 8)[0] % 16_000_000)
+    feats = [b / 255.0 for b in h[16:24]]
+    return sample_rate, n_samples, feats
+
+
+def audio_features(
+    df: DataFrame,
+    codec: Callable[[bytes], tuple[int, int, list[float]]] = _stub_decode_audio_meta,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode + featurize audio payloads via ``mapInPandas`` — same
+    Arrow-batched plumbing contract as :func:`image_features`, with
+    duration derived as one IEEE division of exact integers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    sr, n, feats = codec(bytes(payload) if payload is not None else b"")
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    out.append((mid, None, None, None, None, None))
+                    continue
+                out.append((mid, sr, n, n / sr, len(payload or b""), feats))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_s", "n_bytes", "features",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

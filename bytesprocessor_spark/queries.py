@@ -592,6 +592,7 @@ _CHECK_ORDER = [
     "agg_salted",
     "join_salted",
     "quality_expectations",
+    "multimodal_audio_meta",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

@@ -660,6 +660,52 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_meta",
+    f"""
+    WITH m AS (SELECT doc_id AS media_id, text, sha256(text) AS hx FROM documents),
+    b AS (SELECT media_id, text,
+                 ({_hv(9)}*16 + {_hv(10)}) AS b4,
+                 ((({_hv(17)}*16 + {_hv(18)}) * 256 + ({_hv(19)}*16 + {_hv(20)})) * 256
+                   + ({_hv(21)}*16 + {_hv(22)})) * 256 + ({_hv(23)}*16 + {_hv(24)}) AS u32,
+                 ({_hv(33)}*16 + {_hv(34)}) AS f0b
+          FROM m)
+    SELECT media_id,
+           CAST(8000 * (1 + b4 % 6) AS INT) AS sample_rate,
+           CAST(1 + u32 % 16000000 AS BIGINT) AS n_samples,
+           CAST(1 + u32 % 16000000 AS DOUBLE) / (8000 * (1 + b4 % 6)) AS duration_s,
+           octet_length(encode(text)) AS n_bytes,
+           ROUND(CAST(CAST(f0b / 255.0 AS REAL) AS DOUBLE), 6) AS f0
+    FROM b
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 audio decode path: binary payload -> Arrow-batched
+    audio_features (stub codec: sha256-derived sample rate / sample
+    count / 8-float signature) -> typed metadata with a duration
+    computed as one IEEE division.  The oracle re-derives the stub
+    arithmetic from the hex digest, hash-checking the full UDF
+    pipeline like the image twin."""
+    from bytesprocessor_spark.functions.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        # no rounding: n/sr is ONE IEEE division of exact integers,
+        # bit-identical across engines (rounding at 6 digits is NOT —
+        # half-up vs round-half-even diverge on ties)
+        "duration_s",
+        "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+@query(
     "multimodal_video_frames",
     """
     WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 10 = 0)
