@@ -134,10 +134,15 @@ def main() -> None:
     # shared local[32] JVM swing up to 2x run-to-run (GC pauses, Python
     # worker respawn, page-cache state), and the steady-state number is
     # the one that projects to the multi-executor design point where
-    # those one-off costs amortize out.
+    # those one-off costs amortize out.  A wall-clock budget bounds the
+    # whole suite (the driver's bench slot is finite): past it,
+    # remaining queries run once.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    suite_t0 = time.time()
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        runs = 2 if (time.time() - suite_t0) < budget else 1
+        for _ in range(runs):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
@@ -148,8 +153,9 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     with tempfile.TemporaryDirectory() as tmpdir:
+        pcap_runs = 2 if (time.time() - suite_t0) < budget else 1
         timings["pcap_pipeline_20k"] = round(
-            min(bench_pcap(spark, tmpdir, n_pcap) for _ in range(2)), 3
+            min(bench_pcap(spark, tmpdir, n_pcap) for _ in range(pcap_runs)), 3
         )
 
     total = round(sum(timings.values()), 3)
