@@ -593,6 +593,9 @@ _CHECK_ORDER = [
     "join_salted",
     "quality_expectations",
     "multimodal_audio_meta",
+    "agg_pivot",
+    "unpivot_metrics",
+    "sample_hash",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

@@ -291,3 +291,91 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping (pivot / unpivot) and reproducible sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(ROUND(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(ROUND(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long->wide via the native pivot operator with an explicit
+    value list (unlisted values need a discovery pass — at scale always
+    pass the list).  Catalyst plans it as the same single hash
+    aggregate the oracle's conditional-sum formulation uses."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(cents(F.col("l_quantity"))))
+    )
+    return wide.select(
+        "l_returnflag",
+        (F.col("F").cast("double") / 100.0).alias("qty_f"),
+        (F.col("O").cast("double") / 100.0).alias("qty_o"),
+    )
+
+
+@query(
+    "unpivot_metrics",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM s
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM s
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide->long with the native unpivot operator —
+    a zero-shuffle row expansion (each input row emits one row per
+    value column in place)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        (F.sum(cents(F.col("l_quantity"))).cast("double") / 100.0).alias("sum_qty"),
+        (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "sample_hash",
+    """
+    SELECT COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/8 sampling by content hash of the key — the
+    scale-correct sampling: deterministic across engines, runs, and
+    cluster layouts (df.sample's RNG is partition-dependent and can't
+    be oracle-checked), and it pushes to the scan as a filter."""
+    orders = _t(spark, sf_dir, "orders")
+    sampled = orders.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    )
+    return sampled.agg(
+        F.count("*").alias("n_sampled"),
+        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total_price"),
+    )
