@@ -424,7 +424,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag,
              COUNT(*) AS n,
              SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS s1,
-             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS s2
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS s2,
+             SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS sy,
+             SUM(CAST(ROUND(l_discount * 10000) AS BIGINT) * CAST(ROUND(l_discount * 10000) AS BIGINT)) AS sy2,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_discount * 10000) AS BIGINT)) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     , p AS (
@@ -436,12 +439,17 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.l_returnflag, n,
            (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) / 10000.0 AS var_qty,
            SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) / 100.0 AS stddev_qty,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_disc,
            median_qty, p90_qty_disc
     FROM s JOIN p ON s.l_returnflag = p.l_returnflag
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 in one entry: variance/stddev from exact integer sums (the
+    """A5 in one entry: variance/stddev/correlation from exact integer
+    sums (the
     shuffle-sensitive part stays in exact arithmetic, floats appear
     only in the final scalar expression — reduction-order independent)
     plus exact percentiles (continuous + discrete; quantities are
@@ -449,21 +457,30 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines)."""
     li = _t(spark, sf_dir, "lineitem")
     q = cents(F.col("l_quantity"))
+    d = bp(F.col("l_discount"))
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(q).alias("s1"),
         F.sum(q * q).alias("s2"),
+        F.sum(d).alias("sy"),
+        F.sum(d * d).alias("sy2"),
+        F.sum(q * d).alias("sxy"),
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias("p90_qty_disc"),
     )
-    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")) / (
-        F.col("n") - 1
+    nD = F.col("n").cast("double")
+    s1D, s2D = F.col("s1").cast("double"), F.col("s2").cast("double")
+    syD, sy2D, sxyD = F.col("sy").cast("double"), F.col("sy2").cast("double"), F.col("sxy").cast("double")
+    var = (s2D - s1D * s1D / F.col("n")) / (F.col("n") - 1)
+    corr = (nD * sxyD - s1D * syD) / (
+        F.sqrt(nD * s2D - s1D * s1D) * F.sqrt(nD * sy2D - syD * syD)
     )
     return s.select(
         "l_returnflag",
         "n",
         (var / 10000.0).alias("var_qty"),
         (F.sqrt(var) / 100.0).alias("stddev_qty"),
+        corr.alias("corr_qty_disc"),
         "median_qty",
         "p90_qty_disc",
     )
