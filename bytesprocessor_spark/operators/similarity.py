@@ -345,3 +345,80 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: the at-rest layout ivf_topk's docstring promises
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> list[list[float]]:
+    """Materialize an IVF index on disk: the corpus written
+    hive-partitioned BY Voronoi cell (`cell=<i>/` directories), plus
+    the centroid table under the underscore-prefixed `_centroids`
+    subdirectory (invisible to plain parquet readers of ``path``).
+
+    Assignment is computed ONCE here, at ingest; every subsequent probe
+    is a partition-PRUNED scan — the nprobe/n_cells fraction of the
+    corpus is the only data that leaves storage, with no shuffle and no
+    per-query assignment work.  At 100 TB, size n_cells so one cell is
+    a few hundred MB (sqrt(N) cells is the classic heuristic) and this
+    layout turns ANN search into ordinary pruned columnar scans.
+    Returns the centroids (also persisted).
+    """
+    centroids = sample_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    assigned = corpus.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
+    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/_centroids")
+    return centroids
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/_centroids").collect()
+    return [r.centroid for r in sorted(rows, key=lambda r: r.cell)]
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index.  The probed cell ids are collected
+    first (bounded by n_cells — a handful of ints, never the data) and
+    pushed as a STATIC `cell IN (...)` partition filter, so the scan
+    reads only the probed directories (`PartitionFilters` in the plan —
+    gated by tests/test_similarity.py); the per-cell candidate join is
+    then a broadcast of the query batch, corpus never shuffles."""
+    centroids = load_ivf_centroids(spark, path)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    ).withColumn("cell", F.explode(ivf_probe_cells(F.col("__qv"), centroids, nprobe)))
+    probe_cells = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    corpus = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probe_cells))
+        .select("cell", F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    )
+    cand = corpus.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.withColumn("sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

@@ -121,3 +121,33 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.25, f"IVF recall below random-subset floor: {recall}"
+
+
+def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
+    """build_ivf_index -> hive-partitioned-by-cell layout; probing it
+    returns exactly the in-memory ivf_topk results AND the scan reads
+    only the probed cell directories (static partition pruning)."""
+    from bytesprocessor_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from bytesprocessor_spark.plans.explain import executed_plan
+    from bytesprocessor_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").limit(5)
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, path, n_cells=8)
+
+    got = ivf_index_topk(spark, path, queries, nprobe=3, k=5)
+    expected = ivf_topk(emb, queries, n_cells=8, nprobe=3, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+    plan = executed_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the index directory really is hive-partitioned by cell
+    import os
+
+    cells = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert 1 < len(cells) <= 8
