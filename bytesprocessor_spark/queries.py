@@ -613,6 +613,8 @@ _CHECK_ORDER = [
     "agg_pivot",
     "unpivot_metrics",
     "sample_hash",
+    "window_range_frame",
+    "agg_hll_sketch",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

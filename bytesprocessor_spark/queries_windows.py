@@ -379,3 +379,78 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total_price"),
     )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS hour_value
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame — W3's second half: each row
+    aggregates the trailing hour BY TIMESTAMP VALUE, not row count.
+    Ordering on integer microseconds makes the frame bounds exact in
+    both engines (and ties — same-µs events — are correctly summed
+    together, which a ROWS frame cannot express)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents(F.col("value"))).over(w).cast("double") / 100.0).alias("hour_value"),
+    )
+
+
+@query(
+    "agg_hll_sketch",
+    """
+    SELECT TRUE AS merged_within_5pct, TRUE AS parts_within_5pct
+    """,
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 4's
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-group
+    sketches built in one pass, then MERGED to a global estimate —
+    the re-aggregatable rollup pattern (store per-partition sketches,
+    union on demand) that exact distinct counts can't do.  Like
+    agg_approx_distinct, the checked contract is the accuracy bound,
+    not the sketch bytes."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey", 14).alias("sk"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", 14)).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_all"),
+        (
+            F.sum(
+                F.when(
+                    F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+                    < 0.05,
+                    0,
+                ).otherwise(1)
+            )
+            == 0
+        ).alias("parts_within_5pct"),
+    )
+    # exact global distinct for the merged bound: orderkeys overlap
+    # groups, so per-group exacts can't just be summed
+    exact_all = li.agg(F.countDistinct("l_orderkey").alias("e")).select("e")
+    out = merged.crossJoin(F.broadcast(exact_all))
+    return out.select(
+        (F.abs(F.col("approx_all") - F.col("e")) / F.col("e") < 0.05).alias("merged_within_5pct"),
+        "parts_within_5pct",
+    )
