@@ -193,3 +193,62 @@ def test_merge_topk_pure():
     a = merge_topk(merge_topk([], [1.0, 9.0], 2), [4.0, 7.0], 2)
     b = merge_topk([], [1.0, 9.0, 4.0, 7.0], 2)
     assert a == b == [9.0, 7.0]
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from bytesprocessor_spark.streaming.joins import stream_static_enrich
+
+    path = str(tmp_path / "ev_enr")
+    _write_events(spark, path)
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "user_id long, tier string")
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    out = stream_static_enrich(src, dim, "user_id")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("t_enrich")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id, tier FROM t_enrich").collect()
+    tiers = {r.event_id: r.tier for r in rows}
+    assert tiers[1] == "gold" and tiers[4] == "silver"
+    assert len(rows) == 6
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Impressions joined to conversions within [0, 10m] per user —
+    both sides unbounded, state bounded by watermark + interval."""
+    from bytesprocessor_spark.streaming.joins import interval_join
+
+    imp_path, conv_path = str(tmp_path / "imp"), str(tmp_path / "conv")
+    imps = [
+        (10, "2024-01-01 00:00:00", 1),
+        (11, "2024-01-01 00:20:00", 1),
+        (12, "2024-01-01 00:00:00", 2),
+    ]
+    convs = [
+        (90, "2024-01-01 00:05:00", 1),   # matches imp 10 (within 10m)
+        (91, "2024-01-01 00:25:00", 1),   # matches imp 11
+        (92, "2024-01-01 00:30:00", 2),   # 30m after imp 12 -> no match
+    ]
+    spark.createDataFrame(
+        [(i, ts, u) for i, ts, u in imps], "imp_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(imp_path)
+    spark.createDataFrame(
+        [(c, ts, u) for c, ts, u in convs], "conv_id long, cts string, user_id long"
+    ).withColumn("cts", F.col("cts").cast("timestamp")).write.mode("overwrite").parquet(conv_path)
+
+    left = spark.readStream.schema("imp_id long, ts timestamp, user_id long").parquet(imp_path)
+    right = spark.readStream.schema("conv_id long, cts timestamp, user_id long").parquet(conv_path)
+    joined = interval_join(
+        left, right, key="user_id", left_ts="ts", right_ts="cts",
+        lower="0 seconds", upper="10 minutes", watermark="1 minute",
+    ).select("imp_id", "conv_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("t_sjoin")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.imp_id, r.conv_id) for r in spark.sql("SELECT * FROM t_sjoin").collect())
+    assert got == [(10, 90), (11, 91)]
