@@ -615,6 +615,7 @@ _CHECK_ORDER = [
     "sample_hash",
     "window_range_frame",
     "agg_hll_sketch",
+    "dedup_cluster_keep",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

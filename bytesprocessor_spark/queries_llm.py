@@ -114,14 +114,21 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 exact: word-3-gram Jaccard >= 0.5 via the inverted-index
     (explode -> equi-join on shingle) plan — the scalable exact
-    algorithm: shuffle keys are shingles, never document pairs.
-
-    Word 3-grams are built token-table style (posexplode + lead
-    window, all codegen) rather than with array higher-order
-    functions, which run interpreted; the window shuffle keys on the
-    doc id and carries one row per word — trivial next to the work it
-    replaces.  Shingles join as 64-bit hashes, not strings."""
+    algorithm: shuffle keys are shingles, never document pairs (see
+    _word3_hashed_tokens for the codegen token build)."""
     docs = _t(spark, sf_dir, "documents")
+    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
+
+    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _word3_hashed_tokens(docs: DataFrame) -> DataFrame:
+    """Word 3-grams as 64-bit hashes, built token-table style
+    (posexplode + lead window, all codegen) rather than with array
+    higher-order functions, which run interpreted; the window shuffles
+    on the doc id and carries one row per word — trivial next to the
+    work it replaces."""
     words = docs.select(
         F.col("doc_id").alias("id"),
         F.posexplode(tokenize(F.col("text"))).alias("pos", "w"),
@@ -141,11 +148,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = grams.where(
         F.col("__w2").isNotNull() | ((F.col("pos") == 0) & F.col("__w2").isNull())
     )
-    tok = grams.select("id", F.xxhash64("g").alias("h"))
-    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
-
-    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=tok)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return grams.select("id", F.xxhash64("g").alias("h"))
 
 
 @query(
@@ -729,3 +732,46 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
     )
+
+
+@query(
+    "dedup_cluster_keep",
+    f"""
+    WITH RECURSIVE sh AS ({_DUCK_WORD3}),
+    t  AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    i  AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    p  AS (SELECT id_a, id_b
+           FROM i JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+           WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+    e  AS (SELECT id_a AS a, id_b AS b FROM p
+           UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(LEAST(d.doc_id, MIN(r.b)), d.doc_id) AS BIGINT) AS component,
+           d.doc_id = COALESCE(LEAST(d.doc_id, MIN(r.b)), d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 end-game: near-dup CLUSTERING, not just pairs.  Similarity
+    edges (word-3-gram Jaccard >= 0.5) feed distributed connected
+    components (iterative min-label propagation, operators/graph.py);
+    one document per *transitive* cluster survives.  Pairwise keep
+    rules under-deduplicate chains (A~B, B~C keeps 2 of 3) — this is
+    the operator that gets it right.  The oracle computes the same
+    components via a recursive-CTE transitive closure, so the whole
+    iterative algorithm is value-checked against SQL semantics."""
+    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
+    from bytesprocessor_spark.operators.graph import cluster_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
+    return cluster_keep(docs, pairs.select("id_a", "id_b"))

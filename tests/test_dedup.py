@@ -224,3 +224,23 @@ def test_srp_prefiltered_subset_of_exact(spark):
     }
     assert filtered <= exact
     assert len(filtered) > 0
+
+
+def test_connected_components_topologies(spark):
+    """Chain, triangle, and an isolated pair: min-label propagation
+    must find the transitive component, which per-pair rules miss."""
+    from bytesprocessor_spark.operators.graph import cluster_keep, connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # pair
+        "src long, dst long",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc_id long")
+    kept = cluster_keep(docs, edges, pair_a="src", pair_b="dst")
+    survivors = sorted(r.doc_id for r in kept.collect() if r.is_kept)
+    assert survivors == [1, 10, 20, 99]  # one per cluster + the singleton
