@@ -1,0 +1,68 @@
+"""MERGE (upsert / CDC apply) semantics over plain DataFrames.
+
+ANSI ``MERGE INTO`` needs a transactional table format (Delta/Iceberg)
+for in-place execution; the *relational semantics* — matched rows
+updated, unmatched source rows inserted, optionally flagged rows
+deleted — are a pure dataframe computation, and at lake scale the
+rewrite-on-merge pattern is exactly this: read target, apply changes,
+write the affected partitions back.
+
+Plan shape: one full-outer equi-join on the merge key.  With both
+sides bucketed on the key (sources/tables.py:write_bucketed) the join
+is shuffle-free; otherwise it is the single unavoidable shuffle.  A
+deterministic tie rule (latest source row wins by ``version_col``)
+makes the operator safe under retried/replayed CDC batches —
+idempotent apply, the property streaming CDC needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+    version_col: str | None = None,
+) -> DataFrame:
+    """Return the merged state of ``target`` after applying ``source``:
+
+      * key in both       -> the source row's values (UPDATE)
+      * key only in source-> the source row (INSERT)
+      * key only in target-> the target row (unchanged)
+      * matched + ``delete_col`` true -> dropped (DELETE)
+
+    ``version_col`` deduplicates the source first (max version per key
+    wins), so replayed CDC batches apply idempotently.  Column set =
+    target's columns; extra source columns (flags, versions) are
+    dropped from the output.
+    """
+    keys = list(keys)
+    if version_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+        source = (
+            source.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    src = source.withColumn("__present", F.lit(True))
+    joined = target.alias("t").join(src.alias("s"), keys, "full")
+    matched = F.col("s.__present").isNotNull()
+
+    if delete_col is not None:
+        joined = joined.where(
+            ~(matched & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
+        )
+
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.col(c))  # coalesced by the USING-style join
+        else:
+            out_cols.append(F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
+    return joined.select(*out_cols)

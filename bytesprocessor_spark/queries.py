@@ -616,6 +616,7 @@ _CHECK_ORDER = [
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",
+    "merge_upsert_orders",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

@@ -295,3 +295,77 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_set={"o_orderstatus": ["F", "O"]},
         matches={"o_orderpriority": "^[1-5]-"},
     )
+
+
+@query(
+    "merge_upsert_orders",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2 AS price_c,
+             o_orderkey % 11 = 0 AS is_delete
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', CAST(ROUND(o_totalprice * 100) AS BIGINT),
+             FALSE
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    m AS (
+      SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.price_c ELSE t.price_c END AS price_c
+      FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (s.o_orderkey IS NOT NULL AND s.is_delete)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(SUM(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+           CAST(SUM(price_c) AS BIGINT) AS total_price_c
+    FROM m
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (operators/merge.py) applied to a deterministic
+    CDC batch derived from orders itself: every 7th key updated (price
+    doubled, status 'U'), every 11th of those deleted, every 13th key
+    re-inserted under a shifted id.  The oracle runs the equivalent
+    FULL JOIN formulation; aggregate output pins row counts per merge
+    action plus the exact total."""
+    from bytesprocessor_spark.operators.merge import merge_upsert
+    from bytesprocessor_spark.queries import cents
+
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey", "o_orderstatus", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (cents(F.col("o_totalprice")) * 2).alias("price_c"),
+            (F.col("o_orderkey") % 11 == 0).alias("is_delete"),
+        )
+    )
+    inserts = (
+        orders.where(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            cents(F.col("o_totalprice")).alias("price_c"),
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    merged = merge_upsert(
+        target, updates.unionByName(inserts), ["o_orderkey"], delete_col="is_delete"
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)).alias("n_updated"),
+        F.sum(F.when(F.col("o_orderstatus") == "N", 1).otherwise(0)).alias("n_inserted"),
+        F.sum("price_c").alias("total_price_c"),
+    )

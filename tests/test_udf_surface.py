@@ -154,3 +154,23 @@ def test_expectation_suite(spark):
     assert assert_expectations(clean, not_null=["v"], unique=["id"]) is clean
     with _pytest.raises(DataQualityError):
         assert_expectations(df, unique=["id"])
+
+
+def test_merge_upsert_semantics(spark):
+    from bytesprocessor_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200, False, 1), (3, "x", 0, True, 1),       # update, delete
+         (4, "d", 40, False, 1),                               # insert
+         (2, "B2", 201, False, 2)],                            # later version of id=2
+        "id long, s string, v long, is_delete boolean, ver long",
+    )
+    out = merge_upsert(target, source, ["id"], delete_col="is_delete", version_col="ver")
+    rows = sorted(map(tuple, out.select("id", "s", "v").collect()))
+    assert rows == [(1, "a", 10), (2, "B2", 201), (4, "d", 40)]
+    # idempotent: re-applying the same batch changes nothing
+    again = merge_upsert(out, source, ["id"], delete_col="is_delete", version_col="ver")
+    assert sorted(map(tuple, again.select("id", "s", "v").collect())) == rows
