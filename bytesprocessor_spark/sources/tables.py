@@ -134,3 +134,41 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (S6)."""
     df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    the small-files fix (streaming sinks and fine-grained ingest leave
+    thousands of tiny files; at lake scale each one costs a task, an
+    open, and a footer read on every query).
+
+    Sizing reads the CURRENT byte size from the filesystem (works on
+    any Hadoop FS, not just local), then rewrites through a temp
+    sibling and swaps, so readers never observe a half-compacted
+    directory.  Returns the new file count.  At 100 TB run per
+    partition directory (``partition_by``) on a schedule, compacting
+    only partitions whose small-file count exceeds a threshold.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+
+    tmp = f"{path}__compacting"
+    df = spark.read.parquet(path)
+    w = df.repartition(int(n_files)).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+
+    old = f"{path}__old"
+    fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(old))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    return int(n_files)

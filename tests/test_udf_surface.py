@@ -174,3 +174,20 @@ def test_merge_upsert_semantics(spark):
     # idempotent: re-applying the same batch changes nothing
     again = merge_upsert(out, source, ["id"], delete_col="is_delete", version_col="ver")
     assert sorted(map(tuple, again.select("id", "s", "v").collect())) == rows
+
+
+def test_compact_parquet(spark, tmp_path):
+    from bytesprocessor_spark.sources.tables import compact_parquet
+    import os
+
+    path = str(tmp_path / "many")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 64
+    compact_parquet(spark, path, target_file_bytes=1 << 30)  # everything fits one file
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).collect()[0][0] == 10000 * 9999
