@@ -15,7 +15,18 @@ from bytesprocessor_spark.operators.dedup import (
     simhash_near_dup_pairs,
     simhash_sketch,
 )
-from bytesprocessor_spark.operators.similarity import brute_force_topk, lsh_topk
+from bytesprocessor_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_index_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from bytesprocessor_spark.operators.flows import biflow_stats, flow_stats
+from bytesprocessor_spark.operators.skew import salted_aggregate, salted_join
+from bytesprocessor_spark.operators.graph import cluster_keep, connected_components
+from bytesprocessor_spark.operators.merge import merge_upsert
+from bytesprocessor_spark.operators.quality import assert_expectations, expectation_report
 
 __all__ = [
     "AttackSpec",
@@ -36,5 +47,17 @@ __all__ = [
     "simhash_near_dup_pairs",
     "simhash_sketch",
     "brute_force_topk",
+    "build_ivf_index",
+    "ivf_index_topk",
+    "ivf_topk",
     "lsh_topk",
+    "biflow_stats",
+    "flow_stats",
+    "salted_aggregate",
+    "salted_join",
+    "cluster_keep",
+    "connected_components",
+    "merge_upsert",
+    "assert_expectations",
+    "expectation_report",
 ]

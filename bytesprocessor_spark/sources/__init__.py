@@ -1,3 +1,23 @@
-from bytesprocessor_spark.sources.tables import TABLES, load_table, load_tables, register_views
+from bytesprocessor_spark.sources.tables import (
+    TABLES,
+    compact_parquet,
+    load_table,
+    load_tables,
+    register_views,
+    write_bucketed,
+)
+from bytesprocessor_spark.sources.pcap import read_pcap, read_pcap_split, write_pcap
+from bytesprocessor_spark.sources.pcapng import write_pcapng
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "compact_parquet",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "write_bucketed",
+    "read_pcap",
+    "read_pcap_split",
+    "write_pcap",
+    "write_pcapng",
+]

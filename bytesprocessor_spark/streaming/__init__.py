@@ -5,6 +5,8 @@ from bytesprocessor_spark.streaming.windows import (
     tumbling_agg,
 )
 from bytesprocessor_spark.streaming.pcap_stream import stream_pcap_directory
+from bytesprocessor_spark.streaming.stateful import running_totals, topk_per_key
+from bytesprocessor_spark.streaming.joins import interval_join, stream_static_enrich
 
 __all__ = [
     "session_agg",
@@ -12,4 +14,8 @@ __all__ = [
     "stream_dedup",
     "tumbling_agg",
     "stream_pcap_directory",
+    "running_totals",
+    "topk_per_key",
+    "interval_join",
+    "stream_static_enrich",
 ]
