@@ -115,6 +115,8 @@ def write_pcap(path: str, packets: Iterable[tuple[float, bytes]]) -> None:
         for ts, buf in packets:
             sec = int(ts)
             usec = int(round((ts - sec) * 1e6))
+            if usec >= 1_000_000:  # fraction rounded up to a full second
+                sec, usec = sec + 1, 0
             f.write(struct.pack("<IIII", sec, usec, len(buf), len(buf)))
             f.write(buf)
 

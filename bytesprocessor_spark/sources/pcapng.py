@@ -271,7 +271,15 @@ def write_pcapng(
         iface = pkt[2] if len(pkt) > 2 else 0
         res = iface_tsresol[iface]
         div = _tsresol_divisor(res) if res is not None else _DEFAULT_DIV
-        ticks = int(round(ts * div))
+        # Split-then-scale (not round(ts*div)): for large ts the float
+        # product loses sub-tick precision, diverging from write_pcap's
+        # sec/frac quantization by a whole tick.  int(div) is exact for
+        # every legal tsresol (10^k or 2^k ticks/sec).
+        sec = int(ts)
+        frac = int(round((ts - sec) * div))
+        if frac >= int(div):
+            sec, frac = sec + 1, 0
+        ticks = sec * int(div) + frac
         body = (
             struct.pack(endian + "IIIII", iface, ticks >> 32, ticks & 0xFFFFFFFF, len(buf), len(buf))
             + buf
