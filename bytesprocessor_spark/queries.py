@@ -613,6 +613,7 @@ _CHECK_ORDER = [
     "agg_pivot",
     "unpivot_metrics",
     "sample_hash",
+    "sample_stratified",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

@@ -382,6 +382,47 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rk
+      FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_price
+    FROM ranked WHERE rk <= 100
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: an exact per-group quota (100 rows per
+    o_orderstatus), chosen by content-hash order so the draw is
+    deterministic across engines, runs, and cluster layouts — the
+    property a training-data pipeline needs for per-source quotas
+    (df.sample/sampleBy give only probabilistic strata and are
+    partition-order-dependent).  One shuffle on the stratum key; the
+    per-group top-100-by-hash is a rank that AQE executes with
+    partial top-k pushed to the map side."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    sampled = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+    ).where(F.col("rk") <= 100)
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_sampled"),
+        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total_price"),
+    )
+
+
+@query(
     "window_range_frame",
     """
     SELECT event_id, user_id,
