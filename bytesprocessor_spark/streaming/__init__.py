@@ -7,8 +7,16 @@ from bytesprocessor_spark.streaming.windows import (
 from bytesprocessor_spark.streaming.pcap_stream import stream_pcap_directory
 from bytesprocessor_spark.streaming.stateful import running_totals, topk_per_key
 from bytesprocessor_spark.streaming.joins import interval_join, stream_static_enrich
+from bytesprocessor_spark.streaming.cdc import (
+    apply_cdc_stream,
+    init_cdc_table,
+    read_cdc_table,
+)
 
 __all__ = [
+    "apply_cdc_stream",
+    "init_cdc_table",
+    "read_cdc_table",
     "session_agg",
     "sliding_agg",
     "stream_dedup",

@@ -252,3 +252,52 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.imp_id, r.conv_id) for r in spark.sql("SELECT * FROM t_sjoin").collect())
     assert got == [(10, 90), (11, 91)]
+
+
+def test_cdc_stream_apply(spark, tmp_path):
+    """ST9: a change stream folds into a materialized parquet table via
+    foreachBatch + merge_upsert; replayed changes apply idempotently."""
+    from bytesprocessor_spark.streaming.cdc import (
+        apply_cdc_stream,
+        init_cdc_table,
+        read_cdc_table,
+    )
+
+    table = str(tmp_path / "tbl")
+    changes_dir = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    init_cdc_table(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, v double"
+        ),
+        table,
+    )
+    ch_schema = "id long, name string, v double, is_delete boolean, version long"
+    batch1 = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, False, 1),          # update id=2
+            (3, "c", 30.0, False, 1),           # insert id=3
+            (3, "c-old", 29.0, False, 0),       # stale version, must lose
+        ],
+        ch_schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (1, None, None, True, 2),           # delete id=1
+            (2, "b2", 21.0, False, 1),          # replayed change: no-op
+        ],
+        ch_schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(changes_dir)
+    batch2.coalesce(1).write.mode("append").parquet(changes_dir)
+
+    stream = spark.readStream.schema(ch_schema).parquet(changes_dir)
+    q = apply_cdc_stream(
+        stream, table, keys=["id"], checkpoint=ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.id, r.name, r.v) for r in read_cdc_table(spark, table).collect()
+    )
+    assert got == [(2, "b2", 21.0), (3, "c", 30.0)]
