@@ -1,0 +1,61 @@
+"""Sequence packing (SURVEY §2.11 L6): group documents into
+fixed-token-budget training sequences.
+
+LLM pretraining consumes fixed-length sequences; the packing step
+assigns documents to sequences so each sequence's token total fills
+(and minimally overflows) the budget.  True bin packing is NP-hard and
+inherently sequential; the form that scales — and the one production
+pipelines use — is *greedy contiguous fill*: lay the documents out in
+a deterministic order and cut a new sequence every time the running
+token total crosses the budget.  That is a prefix sum, i.e. a window
+cumsum, fully expressible in Catalyst and checkable in ANSI SQL.
+
+Scale shape: one shuffle keyed on (stratum, shard).  The shard key —
+derived from the content hash, so the layout is reproducible across
+engines/runs/cluster layouts — bounds each window partition: packing
+100 TB never funnels through a single global sort, and adding shards
+is how parallelism is raised (each shard packs independently; the
+budget overflow per sequence stays < max single-doc tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: Column | str,
+    id_col: str,
+    budget: int,
+    stratum: str | None = None,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Assign each document a ``(shard, seq_id)`` so that consecutive
+    documents (in content-hash order) share a sequence until the token
+    budget is crossed.  Documents longer than the budget get a
+    sequence of their own.  Returns the input plus ``shard``,
+    ``seq_id`` and ``seq_tokens_before`` (the exclusive prefix sum —
+    the document's offset inside its sequence's token stream).
+    """
+    toks = F.col(token_col) if isinstance(token_col, str) else token_col
+    # Reproducible shard: first 4 hex digits of md5(id) mod n_shards
+    # (content-derived, so identical in any engine — unlike pmod(hash)).
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long") % n_shards
+    )
+    parts = ([stratum] if stratum else []) + ["shard"]
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = docs.withColumn("shard", shard).withColumn(
+        "seq_tokens_before", F.coalesce(F.sum(toks).over(w), F.lit(0)).cast("long")
+    )
+    return out.withColumn(
+        "seq_id", (F.col("seq_tokens_before") / F.lit(budget)).cast("long")
+    )

@@ -614,6 +614,7 @@ _CHECK_ORDER = [
     "unpivot_metrics",
     "sample_hash",
     "sample_stratified",
+    "pack_sequences",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

@@ -775,3 +775,52 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
     return cluster_keep(docs, pairs.select("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# L6 sequence packing
+# ---------------------------------------------------------------------------
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, len({_DUCK_TOKS}) AS n_tokens,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 4 AS shard
+      FROM documents
+    ), p AS (
+      SELECT source, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source, shard
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM d
+    )
+    SELECT source, shard,
+           CAST(FLOOR(before / 512) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM p
+    GROUP BY source, shard, seq_id
+    """,
+)
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: token-budget sequence packing (greedy contiguous fill) —
+    the step that turns a deduplicated document set into fixed-budget
+    pretraining sequences.  A pure prefix-sum formulation
+    (operators/packing.py): one shuffle on (source, shard), no global
+    sort; the content-hash shard key keeps 100 TB of packing
+    embarrassingly parallel and bit-reproducible across engines."""
+    from bytesprocessor_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    packed = pack_sequences(
+        docs, "n_tokens", id_col="doc_id", budget=512, stratum="source", n_shards=4
+    )
+    return packed.groupBy("source", "shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+    )
