@@ -615,6 +615,7 @@ _CHECK_ORDER = [
     "sample_hash",
     "sample_stratified",
     "pack_sequences",
+    "text_inverted_index",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

@@ -824,3 +824,45 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("seq_tokens"),
     )
+
+
+@query(
+    "text_inverted_index",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR)) AS postings
+    FROM t
+    GROUP BY token
+    HAVING COUNT(*) >= 20
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: inverted index (token -> posting list + document frequency),
+    the retrieval-side complement of the dedup shingle machinery.  One
+    explode + one hash aggregate; postings are canonicalized to a
+    sorted joined string for cross-engine value equality.  At 100 TB
+    the skew point is hot tokens (stopwords): partial aggregation
+    absorbs most of it map-side, and the df floor applied here is the
+    same predicate a production index uses to drop the long tail;
+    for truly pathological keys operators/skew.py:salted_aggregate
+    swaps in (same output contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ","
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= 20)
+    )
