@@ -616,6 +616,7 @@ _CHECK_ORDER = [
     "sample_stratified",
     "pack_sequences",
     "text_inverted_index",
+    "agg_histogram",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

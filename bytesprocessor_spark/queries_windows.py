@@ -495,3 +495,36 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("approx_all") - F.col("e")) / F.col("e") < 0.05).alias("merged_within_5pct"),
         "parts_within_5pct",
     )
+
+
+@query(
+    "agg_histogram",
+    """
+    SELECT LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 3000000, 19) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_price
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram / feature discretization: bucket =
+    value // step computed in exact cents-integer arithmetic, so the
+    boundary assignment is bit-identical across engines (a float
+    (x-lo)/step can ulp-flip rows sitting exactly on a boundary —
+    width_bucket's portability trap).  Map-only until one small hash
+    agg on the bucket id; the scan reads a single column."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(cents(F.col("o_totalprice")) / F.lit(3_000_000)).cast("long"),
+        F.lit(19).cast("long"),
+    )
+    return (
+        orders.select(bucket.alias("bucket"), cents(F.col("o_totalprice")).alias("c"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("c").cast("double") / 100.0).alias("total_price"),
+        )
+    )
