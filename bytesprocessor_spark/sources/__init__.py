@@ -6,10 +6,14 @@ from bytesprocessor_spark.sources.tables import (
     register_views,
     write_bucketed,
 )
+from bytesprocessor_spark.sources.layout import quantize, zorder_write, zvalue
 from bytesprocessor_spark.sources.pcap import read_pcap, read_pcap_split, write_pcap
 from bytesprocessor_spark.sources.pcapng import write_pcapng
 
 __all__ = [
+    "quantize",
+    "zorder_write",
+    "zvalue",
     "TABLES",
     "compact_parquet",
     "load_table",
