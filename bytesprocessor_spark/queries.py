@@ -617,6 +617,7 @@ _CHECK_ORDER = [
     "pack_sequences",
     "text_inverted_index",
     "agg_histogram",
+    "text_bpe_tokens",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

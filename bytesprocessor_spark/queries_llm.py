@@ -866,3 +866,31 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 20)
     )
+
+
+_BPE_PAT = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+|\s+"
+
+
+@query(
+    "text_bpe_tokens",
+    f"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+|\\s+'))) AS BIGINT)
+             AS bpe_tokens,
+           CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS word_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: BPE-style token accounting — a GPT-2-ish pretokenizer regex
+    (letter runs, single digits, punctuation runs, whitespace runs)
+    counted next to the whitespace tokenizer.  Token counts are the
+    currency of a training-data pipeline (budgets, packing, pricing);
+    regexp_count stays in codegen, so this is a map-only scan + one
+    small agg at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.regexp_count(F.col("text"), F.lit(_BPE_PAT))).cast("long").alias("bpe_tokens"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("word_tokens"),
+    )
