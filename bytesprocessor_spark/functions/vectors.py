@@ -85,3 +85,19 @@ def cosine_pairs_udf(quantize: bool):
         return pd.Series(dots / (na * nb))
 
     return _cos
+
+
+def int8_scale(a: Column) -> Column:
+    """Per-vector symmetric int8 scale: 127 / max|x|.  Every op is a
+    deterministic IEEE double op, so engines agree bit-for-bit; a
+    zero vector yields NULL (nothing to quantize)."""
+    max_abs = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    return F.lit(127.0) / F.nullif(max_abs, F.lit(0.0))
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """array<float> -> array<bigint> in [-127, 127]: round(x*scale),
+    round-half-away in both Spark and DuckDB.  Int8 storage is the
+    standard 4x memory cut for ANN serving; the integer dot product
+    that follows is exact (|q|<=127, dims<=2^15 => sums < 2^53)."""
+    return F.transform(a, lambda x: F.round(x.cast("double") * scale).cast("long"))

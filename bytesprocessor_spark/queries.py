@@ -618,6 +618,7 @@ _CHECK_ORDER = [
     "text_inverted_index",
     "agg_histogram",
     "text_bpe_tokens",
+    "embedding_quantize",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

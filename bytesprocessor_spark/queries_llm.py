@@ -894,3 +894,49 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.regexp_count(F.col("text"), F.lit(_BPE_PAT))).cast("long").alias("bpe_tokens"),
         F.sum(token_count(F.col("text"))).cast("long").alias("word_tokens"),
     )
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             127.0 / nullif(list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: symmetric int8 quantization of the embedding column — the
+    4x memory cut that lets an ANN index serve from RAM at corpus
+    scale, with the integer dot product staying exact.  All
+    deterministic IEEE ops (abs/max/divide/round-half-away), so the
+    quantized values are bit-identical across engines — checked here
+    component-wise via sum/min/max per vector."""
+    from bytesprocessor_spark.functions.vectors import int8_scale, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = int8_scale(F.col("embedding"))
+    withq = emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        quantize_int8(F.col("embedding"), scale).alias("qv"),
+    )
+    return withq.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )
