@@ -619,6 +619,7 @@ _CHECK_ORDER = [
     "agg_histogram",
     "text_bpe_tokens",
     "embedding_quantize",
+    "text_pii_scrub",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

@@ -940,3 +940,55 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_IP = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH s AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip,
+             regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{_PII_IP}', '<IP>', 'g') AS scrubbed
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n_email) AS BIGINT) AS emails_found,
+           CAST(SUM(n_ip) AS BIGINT) AS ips_found,
+           CAST(SUM(CASE WHEN n_email + n_ip = 0 THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs,
+           CAST(SUM(len(scrubbed)) AS BIGINT) AS scrubbed_chars
+    FROM s
+    GROUP BY source
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: PII detection + redaction (emails, IPv4) — the scrubbing
+    pass a training corpus gets before release.  Pure codegen regex
+    (regexp_count / chained regexp_replace): map-only over the corpus,
+    one small agg; the scrubbed-length checksum pins the *replacement*
+    behavior cross-engine, not just the match counts."""
+    docs = _t(spark, sf_dir, "documents")
+    n_email = F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))
+    n_ip = F.regexp_count(F.col("text"), F.lit(_PII_IP))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+    )
+    s = docs.select(
+        "source",
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        F.length(scrubbed).alias("slen"),
+    )
+    return s.groupBy("source").agg(
+        F.sum("n_email").cast("long").alias("emails_found"),
+        F.sum("n_ip").cast("long").alias("ips_found"),
+        F.sum(F.when(F.col("n_email") + F.col("n_ip") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("clean_docs"),
+        F.sum("slen").cast("long").alias("scrubbed_chars"),
+    )
