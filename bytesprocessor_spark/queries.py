@@ -620,6 +620,7 @@ _CHECK_ORDER = [
     "text_bpe_tokens",
     "embedding_quantize",
     "text_pii_scrub",
+    "text_contamination",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

@@ -992,3 +992,53 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("clean_docs"),
         F.sum("slen").cast("long").alias("scrubbed_chars"),
     )
+
+
+@query(
+    "text_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+12], ' ')
+                     for i in range(1, greatest(len(t) - 12, 0) + 1)])) AS g
+      FROM toks
+    ),
+    probes AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50)
+    SELECT CAST(COUNT(DISTINCT grams.doc_id) AS BIGINT) AS contaminated_docs,
+           CAST(COUNT(*) AS BIGINT) AS hit_grams
+    FROM grams JOIN probes ON grams.g = probes.g
+    WHERE grams.doc_id >= 50
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: benchmark decontamination — flag corpus documents sharing
+    any 13-gram with a probe set (the standard n-gram contamination
+    rule; probes here are derived from doc_id<50 so the check is
+    self-contained per scale factor).  Shape at 100 TB: probe grams
+    are tiny -> broadcast hash join against the exploded corpus grams;
+    the corpus side never shuffles and distinct-per-doc keeps the
+    explode bounded by document length."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    n = 13
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("t") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - n),
+                        lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("g"),
+    )
+    probes = grams.where(F.col("doc_id") < 50).select("g").distinct()
+    hits = grams.where(F.col("doc_id") >= 50).join(F.broadcast(probes), "g")
+    return hits.agg(
+        F.countDistinct("doc_id").cast("long").alias("contaminated_docs"),
+        F.count("*").cast("long").alias("hit_grams"),
+    )
