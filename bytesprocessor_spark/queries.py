@@ -621,6 +621,7 @@ _CHECK_ORDER = [
     "embedding_quantize",
     "text_pii_scrub",
     "text_contamination",
+    "session_sequences",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

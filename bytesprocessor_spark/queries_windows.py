@@ -528,3 +528,62 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("c").cast("double") / 100.0).alias("total_price"),
         )
     )
+
+
+@query(
+    "session_sequences",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1
+                  WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), g AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM s
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
+    FROM g
+    GROUP BY user_id, session_no
+    HAVING COUNT(*) >= 2
+    """,
+)
+def session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization + sequence assembly: gap-based session ids (the
+    lag/cumsum formulation — same semantics the session_window operator
+    computes, here as plain windows so the oracle can mirror it), then
+    each session's ordered event-type string — the behavioral-sequence
+    construction a recommender/LLM-agent corpus is built from.  Two
+    windows and one agg, all partitioned by user: one shuffle total."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    s = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.when(gap > 1_800_000_000, 1).when(gap.isNull(), 1).otherwise(0).alias("is_start"),
+    )
+    g = s.withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        g.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("sequence"),
+        )
+        .where(F.col("n_events") >= 2)
+    )
