@@ -622,6 +622,8 @@ _CHECK_ORDER = [
     "text_pii_scrub",
     "text_contamination",
     "session_sequences",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

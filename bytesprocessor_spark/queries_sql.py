@@ -84,3 +84,85 @@ def sql_scalar_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus can't exercise, in one verbatim-shared text.  Exact-cents
     arithmetic keeps the group averages bit-identical across engines."""
     return _sql(spark, sf_dir, _SCALAR_CTE_SQL, ("part",))
+
+
+# --- composite TPC-H skeletons (tail entries; families proven earlier) ------
+
+from bytesprocessor_spark.queries import query, cents, bp, _t  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 1000000.0
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND ROUND(l_discount * 10000) BETWEEN 500 AND 700
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 skeleton: the pure scan-side query — every predicate
+    pushes to parquet (PushedFilters), zero joins, one global agg.
+    The discount band compares in exact basis points, not floats."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & bp(F.col("l_discount")).between(500, 700)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice")) * bp(F.col("l_discount"))).cast("double") / 1_000_000.0).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) AS DOUBLE) / 1000000.0
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 skeleton: returned-item revenue ranking.  lineitem ⋈
+    orders is the one big shuffle; customer and nation broadcast; the
+    top-20 plans as TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    price_c, disc_b = cents(F.col("l_extendedprice")), bp(F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(price_c * (F.lit(10000) - disc_b)).cast("double") / 1_000_000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
