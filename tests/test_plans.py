@@ -188,3 +188,34 @@ def test_bucketed_join_elides_shuffles(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """L6 packing is one (stratum, shard) shuffle — no global sort."""
+    df = QUERIES["pack_sequences"](spark, SF_DIR)
+    assert shuffle_count(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_session_sequences_single_shuffle(spark):
+    """Sessionize + assemble reuses one user_id partitioning for both
+    windows and the aggregation."""
+    df = QUERIES["session_sequences"](spark, SF_DIR)
+    assert shuffle_count(df) == 1
+
+
+def test_contamination_probe_broadcasts(spark):
+    """The probe side broadcasts; the corpus grams never shuffle for
+    the join (only the probe-dedup agg exchanges)."""
+    df = QUERIES["text_contamination"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+
+
+def test_stratified_sample_window_group_limit(spark):
+    """rank<=k is pushed map-side (WindowGroupLimit partial mode) —
+    each task keeps 100 rows per stratum before the shuffle."""
+    df = QUERIES["sample_stratified"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert shuffle_count(df) == 1
