@@ -51,6 +51,11 @@ HEADLINE = [
     "similarity_topk",
     "similarity_ivf_topk",
     "text_quality",
+    # training-corpus ops (round 2)
+    "pack_sequences",
+    "text_inverted_index",
+    "text_pii_scrub",
+    "text_contamination",
 ]
 
 
