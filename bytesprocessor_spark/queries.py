@@ -624,6 +624,7 @@ _CHECK_ORDER = [
     "session_sequences",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "text_chunking",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

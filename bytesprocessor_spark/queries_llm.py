@@ -1042,3 +1042,44 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("contaminated_docs"),
         F.count("*").cast("long").alias("hit_grams"),
     )
+
+
+@query(
+    "text_chunking",
+    """
+    WITH c AS (
+      SELECT doc_id, source,
+             [least(500, len(text) - s)
+              for s in generate_series(0, greatest(len(text) - 1, 0), 400)
+              if s < len(text)] AS chunk_lens
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(len(chunk_lens)) AS BIGINT) AS n_chunks,
+           CAST(SUM(list_sum(chunk_lens)) AS BIGINT) AS chunk_chars,
+           CAST(MAX(len(chunk_lens)) AS BIGINT) AS max_chunks_per_doc
+    FROM c
+    GROUP BY source
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: RAG-style document chunking — fixed 500-char windows on a
+    400-char stride (100 overlap), expressed as a sequence/transform
+    over offsets: map-only, no explode needed until a consumer wants
+    chunk rows (posexplode of the same array).  Checked via per-source
+    chunk counts and exact char accounting on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    L = F.length("text")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(L - 1, F.lit(0)), F.lit(400)),
+        lambda s: s < L,
+    )
+    chunk_lens = F.transform(starts, lambda s: F.least(F.lit(500), L - s))
+    c = docs.select("source", chunk_lens.alias("chunk_lens"))
+    return c.groupBy("source").agg(
+        F.sum(F.size("chunk_lens")).cast("long").alias("n_chunks"),
+        F.sum(F.aggregate("chunk_lens", F.lit(0).cast("long"), lambda a, x: a + x))
+        .cast("long")
+        .alias("chunk_chars"),
+        F.max(F.size("chunk_lens")).cast("long").alias("max_chunks_per_doc"),
+    )
