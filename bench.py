@@ -56,6 +56,7 @@ HEADLINE = [
     "text_inverted_index",
     "text_pii_scrub",
     "text_contamination",
+    "corpus_curation",
 ]
 
 

@@ -625,6 +625,7 @@ _CHECK_ORDER = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "text_chunking",
+    "corpus_curation",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

@@ -1083,3 +1083,66 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chunk_chars"),
         F.max(F.size("chunk_lens")).cast("long").alias("max_chunks_per_doc"),
     )
+
+
+@query(
+    "corpus_curation",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, toks,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+             len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text) AS alpha,
+             len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) * 1.0
+               / len(toks) AS stop_ratio
+      FROM d
+    ), k AS (
+      SELECT source, len(toks) AS n_tokens,
+             CASE WHEN rn = 1 AND alpha >= 0.815 AND stop_ratio >= 0.05
+                  THEN 1 ELSE 0 END AS kept
+      FROM r
+    )
+    SELECT source,
+           COUNT(*) AS docs_in,
+           CAST(SUM(kept) AS BIGINT) AS docs_kept,
+           CAST(SUM(kept * n_tokens) AS BIGINT) AS tokens_kept
+    FROM k
+    GROUP BY source
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline in one plan: exact dedup
+    (first-by-hash survives, the single-shuffle row_number form) ∘
+    quality gate (alpha ratio) ∘ language gate (stopword density) →
+    per-source yield accounting.  This is the composite a corpus run
+    executes nightly; every stage is a stage proven individually
+    elsewhere in the corpus, and the whole chain still plans as ONE
+    shuffle on the fingerprint plus one small agg — filters are
+    flags folded into the aggregate, not materialization barriers."""
+    from bytesprocessor_spark.functions.text import quality_score  # noqa: F401 (doc pointer)
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = doc_fingerprint(F.col("text"))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    r = docs.select(
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.row_number().over(w).alias("rn"),
+        alpha_ratio(F.col("text")).alias("alpha"),
+        stopword_ratio(F.col("text")).alias("stop_ratio"),
+    )
+    kept = (
+        (F.col("rn") == 1) & (F.col("alpha") >= 0.815) & (F.col("stop_ratio") >= 0.05)
+    ).cast("int")
+    return (
+        r.select("source", "n_tokens", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_in"),
+            F.sum("kept").cast("long").alias("docs_kept"),
+            F.sum(F.col("kept") * F.col("n_tokens")).cast("long").alias("tokens_kept"),
+        )
+    )
