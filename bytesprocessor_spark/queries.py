@@ -626,6 +626,7 @@ _CHECK_ORDER = [
     "q10_returned_items",
     "text_chunking",
     "corpus_curation",
+    "window_distribution",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

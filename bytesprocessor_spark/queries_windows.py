@@ -587,3 +587,30 @@ def session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_events") >= 2)
     )
+
+
+@query(
+    "window_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY ROUND(c_acctbal * 100), c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (W1's second half): percent_rank
+    and cume_dist per segment — ordered on exact cents so ranks are
+    engine-independent; the divisions are single IEEE ops rounded to
+    6 places."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round(F.col("c_acctbal") * 100), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -219,3 +219,10 @@ def test_stratified_sample_window_group_limit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert shuffle_count(df) == 1
+
+
+def test_corpus_curation_two_exchanges(spark):
+    """Dedup window + final source agg: exactly two exchanges, no
+    extra materialization between the fused filter stages."""
+    df = QUERIES["corpus_curation"](spark, SF_DIR)
+    assert shuffle_count(df) == 2
