@@ -15,8 +15,9 @@ and LIMITed so the checked sets are stable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from bytesprocessor_spark.queries import query, _t
+from bytesprocessor_spark.queries import query, cents, bp, _t
 
 
 def _sql(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) -> DataFrame:
@@ -87,10 +88,6 @@ def sql_scalar_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- composite TPC-H skeletons (tail entries; families proven earlier) ------
-
-from bytesprocessor_spark.queries import query, cents, bp, _t  # noqa: E402
-from pyspark.sql import DataFrame, SparkSession  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
 
 
 @query(
