@@ -627,6 +627,8 @@ _CHECK_ORDER = [
     "text_chunking",
     "corpus_curation",
     "window_distribution",
+    "agg_mode",
+    "q18_large_orders",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

@@ -163,3 +163,37 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey
+    HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 15000
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 skeleton (large-volume orders): join + agg + HAVING +
+    deterministic top-k.  The HAVING folds into the post-agg filter;
+    one orderkey shuffle, top-k plans as TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    qty_c = cents(F.col("l_quantity"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(qty_c).alias("__q"))
+        .where(F.col("__q") > 15000)
+        .select(
+            F.col("o_orderkey"),
+            (F.col("__q").cast("double") / 100.0).alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )

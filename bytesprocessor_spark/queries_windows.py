@@ -614,3 +614,38 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "agg_mode",
+    """
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY n DESC, c_nationkey) AS rk
+      FROM c
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nation, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) as count + rank with an
+    explicit tiebreak — F.mode()/DuckDB mode() break ties arbitrarily,
+    which can never pass a cross-engine value check; this form is the
+    deterministic one a pipeline should use anyway.  Two hash aggs
+    that share the segment partitioning + a WindowGroupLimit rank."""
+    cust = _t(spark, sf_dir, "customer")
+    c = cust.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), F.col("c_nationkey"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nation"),
+            F.col("n").alias("mode_count"),
+        )
+    )
