@@ -629,6 +629,7 @@ _CHECK_ORDER = [
     "window_distribution",
     "agg_mode",
     "q18_large_orders",
+    "multimodal_image_ann",
     "window_range_frame",
     "agg_hll_sketch",
     "dedup_cluster_keep",

@@ -1146,3 +1146,52 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("kept") * F.col("n_tokens")).cast("long").alias("tokens_kept"),
         )
     )
+
+
+_MM_QUERY_VEC = [round(0.05 * (i + 1), 2) for i in range(16)]
+
+
+@query(
+    "multimodal_image_ann",
+    f"""
+    WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+    f AS (
+      SELECT media_id,
+             [CAST(CAST(({{}}) / 255.0 AS REAL) AS DOUBLE)
+              for i in range(1, 17)] AS feats
+      FROM m
+    )
+    SELECT media_id,
+           ROUND(list_sum(list_transform(range(1, 17),
+                 i -> feats[i] * ([{", ".join(str(q) for q in _MM_QUERY_VEC)}])[i])), 6)
+             AS sim
+    FROM f
+    ORDER BY sim DESC, media_id
+    LIMIT 10
+    """.format("strpos('0123456789abcdef', hx[2*i-1]) * 16 + strpos('0123456789abcdef', hx[2*i]) - 17"),
+)
+def multimodal_image_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5∘L3 composite: decode features from binary payloads (stub
+    codec via Arrow mapInPandas) and rank media by similarity to a
+    query vector — the image-retrieval path.  Feature extraction is
+    map-only; scoring is a 16-term fold in doubles (identical
+    left-to-right accumulation on both engines); top-10 plans as
+    TakeOrderedAndProject."""
+    from bytesprocessor_spark.functions.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = image_features(media)
+    q = F.array(*[F.lit(v) for v in _MM_QUERY_VEC])
+    sim = F.aggregate(
+        F.zip_with(F.col("features"), q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        feats.select("media_id", F.round(sim, 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("media_id"))
+        .limit(10)
+    )
