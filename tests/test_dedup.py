@@ -244,3 +244,32 @@ def test_connected_components_topologies(spark):
     kept = cluster_keep(docs, edges, pair_a="src", pair_b="dst")
     survivors = sorted(r.doc_id for r in kept.collect() if r.is_kept)
     assert survivors == [1, 10, 20, 99]  # one per cluster + the singleton
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: offsets are an exact prefix sum per
+    (stratum, shard) in hash order, sequence ids are monotone, and a
+    sequence never starts past the budget boundary it was cut at."""
+    from bytesprocessor_spark.operators.packing import pack_sequences
+
+    rows = [(i, "s%d" % (i % 3), 7 + (i * 13) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = pack_sequences(
+        df, "n_tokens", id_col="doc_id", budget=100, stratum="source", n_shards=2
+    ).collect()
+    import hashlib
+
+    by_part = {}
+    for r in out:
+        by_part.setdefault((r.source, r.shard), []).append(r)
+    assert len(by_part) == 6  # 3 strata x 2 shards
+    for part in by_part.values():
+        part.sort(key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
+        run = 0
+        prev_seq = 0
+        for r in part:
+            assert r.seq_tokens_before == run            # exact prefix sum
+            assert r.seq_id == run // 100                # contiguous-fill rule
+            assert r.seq_id >= prev_seq                  # monotone
+            prev_seq = r.seq_id
+            run += r.n_tokens

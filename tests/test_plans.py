@@ -226,3 +226,14 @@ def test_corpus_curation_two_exchanges(spark):
     extra materialization between the fused filter stages."""
     df = QUERIES["corpus_curation"](spark, SF_DIR)
     assert shuffle_count(df) == 2
+
+
+def test_q6_full_pushdown_no_join(spark):
+    """Q6 is the pure scan query: every predicate reaches parquet and
+    the plan has no join and exactly the one agg exchange."""
+    df = QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert shuffle_count(df) == 1
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
