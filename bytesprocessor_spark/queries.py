@@ -534,44 +534,35 @@ QUERIES.update(_NO_ORACLE)
 # join, extra streaming-window variants) and the declared no-oracle
 # entries sit after position 50.
 _CHECK_ORDER = [
-    # relational core + joins (S5, P5, A1, J2-J7)
     "q1_pricing_summary",
     "join_inner",
     "join_outer",
     "join_semi_anti",
     "range_join_tiers",
     "asof_join_events",
-    # aggregation (A2-A7, A4 grouping sets)
     "agg_distinct",
     "agg_approx_distinct",
     "agg_global",
     "agg_rollup",
-    "grouping_sets_sql",
     "agg_stats",
     "agg_collect",
-    # windows / sort / set ops (W1-W3, O1-O4)
     "window_rank",
     "window_lag_lead",
     "window_running",
     "sort_topk_nulls",
     "set_union_all",
     "set_intersect_except",
-    # streaming windows, batch-checked (ST1)
     "window_tumbling",
-    # scalar-function surface (F4-F9)
     "string_funcs",
     "datetime_funcs",
     "math_funcs",
     "conditional_case",
     "json_funcs",
-    "from_json_funcs",
     "array_map_funcs",
-    # reference parity (J1, P3, Q1, port filter)
     "label_attacks_parity",
     "extract_ranges_parity",
     "quality_no_nulls",
     "port_filter_parity",
-    # LLM pipeline ops (L1-L4)
     "dedup_exact_keep",
     "dedup_jaccard_pairs",
     "dedup_minhash_verified",
@@ -579,24 +570,26 @@ _CHECK_ORDER = [
     "dedup_embedding_lsh",
     "similarity_topk",
     "similarity_ivf_topk",
-    "text_stats",
-    "text_top_tokens",
     "text_quality",
     "text_lang_id",
-    # multimodal (L5)
     "multimodal_join",
     "multimodal_image_meta",
-    "multimodal_video_frames",
-    # Python-UDF surface (U3-U5)
     "grouped_zscore_udf",
     "grouped_wmean_udaf",
     "udtf_chunk_ranges",
-    # SQL-passthrough subquery surface
-    "sql_exists_in_subquery",
     "sql_scalar_cte",
-    # --- beyond the checked prefix: operators above already prove the
-    # same families; these stay registered (and locally gated by
-    # tools/check_oracle.py + pytest) for completeness.
+    "pack_sequences",
+    "corpus_curation",
+    "text_contamination",
+    "text_pii_scrub",
+    "embedding_quantize",
+    "text_bpe_tokens",
+    "grouping_sets_sql",
+    "from_json_funcs",
+    "text_stats",
+    "text_top_tokens",
+    "multimodal_video_frames",
+    "sql_exists_in_subquery",
     "q3_shipping_priority",
     "q5_local_supplier",
     "agg_cube",
@@ -614,18 +607,12 @@ _CHECK_ORDER = [
     "unpivot_metrics",
     "sample_hash",
     "sample_stratified",
-    "pack_sequences",
     "text_inverted_index",
     "agg_histogram",
-    "text_bpe_tokens",
-    "embedding_quantize",
-    "text_pii_scrub",
-    "text_contamination",
     "session_sequences",
     "q6_forecast_revenue",
     "q10_returned_items",
     "text_chunking",
-    "corpus_curation",
     "window_distribution",
     "agg_mode",
     "q18_large_orders",
