@@ -126,6 +126,33 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def read_csv_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Error-tolerant CSV scan (S6): PERMISSIVE mode with the corrupt
+    raw line captured in ``corrupt_col`` instead of failing the job —
+    the lake-scale posture (a 100 TB ingest WILL contain bad rows; a
+    FAILFAST job dies hours in, a silent DROPMALFORMED loses data
+    unaccountably).  Returns (good_rows, bad_rows): callers write
+    ``bad_rows`` to a quarantine sink and alert on its count.
+    """
+    df = (
+        spark.read.schema(f"{schema}, {corrupt_col} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", "false")
+        .csv(path)
+        .cache()  # one scan feeds both splits; PERMISSIVE requires a
+        # materialization boundary before filtering on the corrupt col
+    )
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (S6)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)

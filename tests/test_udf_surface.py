@@ -191,3 +191,20 @@ def test_compact_parquet(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10000
     assert back.agg(F.sum("v")).collect()[0][0] == 10000 * 9999
+
+
+def test_read_csv_tolerant_quarantines_bad_rows(spark, tmp_path):
+    """S6 error tolerance: malformed lines land in quarantine with the
+    raw text preserved; good rows parse completely."""
+    from bytesprocessor_spark.sources.tables import read_csv_tolerant
+
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("1,alice,10.5\n")
+        f.write("2,bob,not_a_number\n")   # bad double
+        f.write("3,carol,7.25\n")
+    good, bad = read_csv_tolerant(spark, p, "id int, name string, v double")
+    g = sorted((r.id, r.name, r.v) for r in good.collect())
+    assert g == [(1, "alice", 10.5), (3, "carol", 7.25)]
+    b = [r[0] for r in bad.collect()]
+    assert b == ["2,bob,not_a_number"]
