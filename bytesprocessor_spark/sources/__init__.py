@@ -3,6 +3,7 @@ from bytesprocessor_spark.sources.tables import (
     compact_parquet,
     load_table,
     load_tables,
+    read_csv_tolerant,
     register_views,
     write_bucketed,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "compact_parquet",
     "load_table",
     "load_tables",
+    "read_csv_tolerant",
     "register_views",
     "write_bucketed",
     "read_pcap",
