@@ -137,7 +137,10 @@ def read_csv_tolerant(
     the lake-scale posture (a 100 TB ingest WILL contain bad rows; a
     FAILFAST job dies hours in, a silent DROPMALFORMED loses data
     unaccountably).  Returns (good_rows, bad_rows): callers write
-    ``bad_rows`` to a quarantine sink and alert on its count.
+    ``bad_rows`` to a quarantine sink and alert on its count, then
+    ``good_rows.unpersist()`` once both sinks are written (the scan is
+    cached so the two splits share one pass; cache discipline is the
+    caller's, as with the dedup persist helpers).
     """
     df = (
         spark.read.schema(f"{schema}, {corrupt_col} string")
