@@ -208,3 +208,20 @@ def test_read_csv_tolerant_quarantines_bad_rows(spark, tmp_path):
     assert g == [(1, "alice", 10.5), (3, "carol", 7.25)]
     b = [r[0] for r in bad.collect()]
     assert b == ["2,bob,not_a_number"]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """S6 format breadth: ORC sink/scan round-trips schema and values
+    (ORC is the other columnar lake format Spark ships natively)."""
+    p = str(tmp_path / "t.orc")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, [1.0, 2.0]), (2, "b", 2.5, [3.0])],
+        "id long, s string, v double, arr array<double>",
+    )
+    df.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == df.schema
+    assert sorted((r.id, r.s, r.v, tuple(r.arr)) for r in back.collect()) == [
+        (1, "a", 1.5, (1.0, 2.0)),
+        (2, "b", 2.5, (3.0,)),
+    ]
