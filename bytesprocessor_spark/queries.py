@@ -616,6 +616,7 @@ _CHECK_ORDER = [
     "window_distribution",
     "agg_mode",
     "q18_large_orders",
+    "q14_promo_revenue",
     "multimodal_image_ann",
     "window_range_frame",
     "agg_hll_sketch",

@@ -197,3 +197,43 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                              * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+             * 100.0 AS promo_pct,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 skeleton: conditional-aggregate ratio over a fact ⋈
+    dim join — part broadcasts, lineitem's pushed date filter bounds
+    the scan to one month; the promo share is a ratio of two exact
+    integer sums (one IEEE division at the end)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc_price = cents(F.col("l_extendedprice")) * (F.lit(10000) - bp(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0)).cast("double")
+                / F.sum(disc_price).cast("double")
+                * 100.0
+            ).alias("promo_pct"),
+            F.count("*").alias("n"),
+        )
+    )
