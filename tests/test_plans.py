@@ -237,3 +237,22 @@ def test_q6_full_pushdown_no_join(spark):
     assert shuffle_count(df) == 1
     pushed = " ".join(pushed_filters(df))
     assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_q10_broadcasts_dims(spark):
+    df = QUERIES["q10_returned_items"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_returnflag" in pushed
+
+
+def test_q14_broadcast_and_month_pushdown(spark):
+    df = QUERIES["q14_promo_revenue"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert any("l_shipdate" in p for p in pushed_filters(df))
+
+
+def test_q18_single_join_shuffle_topk(spark):
+    df = QUERIES["q18_large_orders"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
