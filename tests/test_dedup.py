@@ -273,3 +273,23 @@ def test_pack_sequences_invariants(spark):
             assert r.seq_id >= prev_seq                  # monotone
             prev_seq = r.seq_id
             run += r.n_tokens
+
+
+def test_round2_operators_handle_empty_input(spark, tmp_path):
+    """Empty partitions are routine at scale (filter-heavy pipelines);
+    the round-2 operators must degrade to empty output, not throw."""
+    from bytesprocessor_spark.operators.merge import merge_upsert
+    from bytesprocessor_spark.operators.packing import pack_sequences
+    from bytesprocessor_spark.sources.layout import quantize, zorder_write
+
+    empty = spark.createDataFrame([], "doc_id long, source string, n_tokens long")
+    assert pack_sequences(empty, "n_tokens", id_col="doc_id", budget=100).count() == 0
+
+    tgt = spark.createDataFrame([(1, "a")], "id long, v string")
+    src = spark.createDataFrame([], "id long, v string")
+    merged = sorted((r.id, r.v) for r in merge_upsert(tgt, src, ["id"]).collect())
+    assert merged == [(1, "a")]
+
+    e2 = spark.createDataFrame([], "x long, y long")
+    zorder_write(e2, str(tmp_path / "z"), [quantize("x", 0, 64), quantize("y", 0, 64)], n_files=2)
+    assert spark.read.parquet(str(tmp_path / "z")).count() == 0
