@@ -40,6 +40,9 @@ def pack_sequences(
     the document's offset inside its sequence's token stream).
     """
     toks = F.col(token_col) if isinstance(token_col, str) else token_col
+    # a null count packs as 0 explicitly (sum() would skip it anyway,
+    # but the contract should not hinge on aggregate null semantics)
+    toks = F.coalesce(toks, F.lit(0))
     # Reproducible shard: first 4 hex digits of md5(id) mod n_shards
     # (content-derived, so identical in any engine — unlike pmod(hash)).
     shard = (
