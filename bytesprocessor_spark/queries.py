@@ -617,6 +617,8 @@ _CHECK_ORDER = [
     "agg_mode",
     "q18_large_orders",
     "q14_promo_revenue",
+    "q4_order_priority",
+    "q13_customer_distribution",
     "multimodal_image_ann",
     "window_range_frame",
     "agg_hll_sketch",
