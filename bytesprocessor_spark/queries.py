@@ -619,6 +619,7 @@ _CHECK_ORDER = [
     "q14_promo_revenue",
     "q4_order_priority",
     "q13_customer_distribution",
+    "q19_disjunctive_predicates",
     "multimodal_image_ann",
     "window_range_frame",
     "agg_hll_sketch",

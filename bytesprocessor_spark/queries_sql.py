@@ -293,3 +293,38 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q19_disjunctive_predicates",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+             / 1000000.0 AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_type  = 'PROMO'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 skeleton: an OR of AND-groups spanning both join
+    sides.  Catalyst extracts the common single-side conjuncts
+    (l_quantity ranges push to the lineitem scan, p_size to part)
+    while the cross-side residual evaluates post-join — the predicate
+    shape that separates a real optimizer from a literal translator."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    disc_price = cents(F.col("l_extendedprice")) * (F.lit(10000) - bp(F.col("l_discount")))
+    return j.where(pred).agg(
+        (F.sum(disc_price).cast("double") / 1_000_000.0).alias("revenue"),
+        F.count("*").alias("n"),
+    )
