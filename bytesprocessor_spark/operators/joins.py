@@ -92,8 +92,17 @@ def asof_join(
         c for c in right.columns if c not in (on, right_ts)
     ]
 
-    lt = left.withColumn("__t", F.col(left_ts).cast("double"))
-    rt = right.withColumn("__t", F.col(right_ts).cast("double"))
+    def orderable(df: DataFrame, ts_col: str) -> Column:
+        # Timestamps (incl. TIMESTAMP_NTZ, which Spark 4 refuses to
+        # cast to a numeric directly) order as exact epoch micros; the
+        # NTZ->LTZ cast is identity under the engine's UTC session.
+        dt = dict(df.dtypes).get(ts_col, "")
+        if dt.startswith("timestamp") or dt == "date":
+            return F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+        return F.col(ts_col).cast("double")
+
+    lt = left.withColumn("__t", orderable(left, left_ts))
+    rt = right.withColumn("__t", orderable(right, right_ts))
     if direction == "forward":
         lt = lt.withColumn("__t", -F.col("__t"))
         rt = rt.withColumn("__t", -F.col("__t"))

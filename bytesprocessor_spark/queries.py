@@ -625,6 +625,12 @@ _CHECK_ORDER = [
     "agg_hll_sketch",
     "dedup_cluster_keep",
     "merge_upsert_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

@@ -328,3 +328,320 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(disc_price).cast("double") / 1_000_000.0).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(v) AS DOUBLE) / 1000000.0 AS revenue,
+           COUNT(*) AS n
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS v
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 skeleton: bilateral trade volume between two nations by
+    ship year.  lineitem ⋈ orders is the single big shuffle; customer,
+    supplier and both nation role-aliases broadcast; the symmetric
+    nation-pair disjunction evaluates post-join on broadcast columns."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    v = cents(F.col("l_extendedprice")) * (F.lit(10000) - bp(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (F.sum(v).cast("double") / 1_000_000.0).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(v) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS v,
+             n2.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 skeleton: one nation's share of PROMO-part revenue sold
+    into one region, by order year — a 7-table star join where every
+    dimension broadcasts and the share is a ratio of two exact integer
+    conditional sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    v = cents(F.col("l_extendedprice")) * (F.lit(10000) - bp(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("v", v)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(0)).cast("double")
+                / F.sum("v").cast("double")
+            ).alias("mkt_share"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) AS total_rev_i
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_rev_i AS DOUBLE) / 1000000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev_i = (SELECT MAX(total_rev_i) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 skeleton: quarter revenue per supplier, keep the
+    max-revenue supplier(s) via an uncorrelated scalar subquery over
+    the same derived table.  The revenue agg computes once per branch
+    over exact integer sums, so the max comparison is never a float
+    tie; supplier broadcasts onto the 100-row revenue table."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    v = cents(F.col("l_extendedprice")) * (F.lit(10000) - bp(F.col("l_discount")))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(v).alias("total_rev_i")
+    )
+    max_rev = revenue.agg(F.max("total_rev_i").alias("m"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_rev_i") == F.col("m"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_rev_i").cast("double") / 1_000_000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adaptation (the schema has no partsupp; the
+    part-supplier relation is derived from lineitem): distinct
+    supplier counts per part attribute bucket, excluding suppliers in
+    negative account standing via NOT IN → a broadcast null-aware
+    anti join.  count(DISTINCT) expands partials per key, so the agg
+    stays two-phase without a global shuffle of raw rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
+             COUNT(*) AS cq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 700.0 AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND 5 * CAST(ROUND(l_quantity * 100) AS BIGINT) * cq < sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 skeleton: revenue from below-one-fifth-of-part-average
+    quantity orders.  The correlated avg subquery is written in its
+    decorrelated form (per-part agg re-joined to the fact) and the
+    0.2·avg comparison cross-multiplies to exact integers
+    (5·qty·count < sum), so no engine disagrees at the boundary.
+    The per-part agg and the fact join share the l_partkey
+    partitioning — one shuffle feeds both."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    qty_c = cents(F.col("l_quantity"))
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty_c).alias("sq"), F.count("*").alias("cq")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .where(F.lit(5) * qty_c * F.col("cq") < F.col("sq"))
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 700.0).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS totacctbal
+    FROM customer c
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c.c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adaptation (no phone column — nationkey stands in for
+    the country code): wealthy-but-dormant customers.  The global
+    average is a broadcast scalar (sum in exact cents, one IEEE
+    division both engines compute identically); NOT EXISTS becomes a
+    left-anti join against recent orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    bal_c = cents(F.col("c_acctbal"))
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(bal_c).cast("double") / F.count("*")).alias("ab"))
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), bal_c > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(bal_c).cast("double") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

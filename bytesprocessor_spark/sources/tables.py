@@ -30,17 +30,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (S5). Columnar, pushdown-capable, split by
     ``spark.sql.files.maxPartitionBytes`` — bounded memory at any scale.
 
-    The events table stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; it is read as raw nanos (``nanosAsLong``) and
-    truncated to a microsecond TimestampType — the same µs value
-    DuckDB produces when it narrows the column, so oracle comparisons
-    agree exactly.
+    The events table's ``ts`` is normalized to a session-zone
+    TimestampType regardless of how the parquet stored it:
+    TIMESTAMP(NANOS) (pre-Spark-4 vectorized readers reject it) is
+    read as raw nanos (``nanosAsLong``) and truncated to micros;
+    isAdjustedToUTC=false micros arrive as TIMESTAMP_NTZ and are
+    cast (identity under the engine's UTC session).  Downstream
+    epoch arithmetic (``unix_micros``) and the DuckDB oracle's
+    ``epoch_us`` then agree exactly.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
