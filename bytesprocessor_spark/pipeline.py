@@ -43,18 +43,11 @@ def with_features(
     """Pad/truncate payload bytes to ``width`` and scale to [0,1]
     float32 (BytesProcessor.py:270-286) as one Arrow-vectorized batch
     op: whole-batch numpy matrix fill, no per-row Python arithmetic."""
-    import numpy as np
+    from bytesprocessor_spark.functions.bytes import features_matrix
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def featurize(payloads: pd.Series) -> pd.Series:
-        n = len(payloads)
-        mat = np.zeros((n, width), dtype=np.uint8)
-        for i, p in enumerate(payloads):
-            if p:
-                a = np.frombuffer(p, dtype=np.uint8)[:width]
-                mat[i, : len(a)] = a
-        norm = mat / np.float32(255)  # uint8/float32 -> float32 (BP:284)
-        return pd.Series(list(norm))
+        return pd.Series(features_matrix(payloads, width))
 
     return df.withColumn(out_col, featurize(F.col(payload_col)))
 
@@ -71,20 +64,39 @@ def process_pcap(
     mode: str = "overwrite",
     split_packets: int | None = None,
     partition_by: Sequence[str] = (),
+    fuse_features: bool = True,
 ) -> tuple[str, str]:
     """Run the full pipeline; returns (data_dir, adversarial_dir).
 
     ``widen=True`` reproduces the reference's 1525 ``byte(i)`` output
     columns (BP:183-184) — applied only at the sink; the plan carries
     one array column (SURVEY §4.2).
+
+    ``fuse_features=True`` (default) pushes the range filter and the
+    featurize kernel into the parse's own Arrow batch (one Python
+    crossing for the whole stage — the reference's chunk-local
+    dataflow, BP:121-187).  Two chained Python operators in one stage
+    measurably stall on the double JVM↔worker hop; False keeps the
+    composable two-operator form for comparison.
     """
     data_dir = f"{output_dir}/data"
     adv_dir = f"{output_dir}/adversarial"
 
-    packets = read_pcap(spark, pcap_path, split_packets=split_packets)
+    packets = read_pcap(
+        spark,
+        pcap_path,
+        split_packets=split_packets,
+        ranges=ranges if fuse_features else None,
+        features=fuse_features,
+        feature_width=feature_width,
+    )
     in_range = extract_ranges(packets, ranges)
     labeled = label_attacks(in_range, attacks)
-    feats = with_features(labeled, width=feature_width).drop("payload")
+    feats = (
+        labeled.drop("payload")
+        if fuse_features
+        else with_features(labeled, width=feature_width).drop("payload")
+    )
     out = widen_features(feats, "features", feature_width) if widen else feats
 
     # partition_by=("label",) hive-partitions the sink so downstream

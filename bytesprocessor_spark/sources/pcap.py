@@ -303,6 +303,33 @@ def parse_pcap_bytes(data: bytes, extended: bool = False) -> Iterator[dict]:
 
 _COLS = [f.name for f in PACKET_SCHEMA.fields]
 
+# PACKET_SCHEMA + the fused feature vector (read_pcap(features=True)).
+FEATURED_SCHEMA = T.StructType(
+    list(PACKET_SCHEMA.fields)
+    + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
+)
+
+
+def _range_predicate(ranges):
+    """Python-side mirror of extract_ranges' inclusive OR-of-between
+    (labeling.py / BP:339-354) so the source can drop out-of-range
+    packets before they ever cross the Arrow boundary."""
+    if not ranges:
+        return None
+    rs = [(float(lo), float(hi)) for lo, hi in ranges]
+    return lambda ts: any(lo <= ts <= hi for lo, hi in rs)
+
+
+def _rows_to_pdf(rows, features: bool, width: int):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=_COLS)
+    if features:
+        from bytesprocessor_spark.functions.bytes import features_matrix
+
+        pdf["features"] = features_matrix(pdf["payload"], width)
+    return pdf
+
 
 def read_pcap(
     spark: SparkSession,
@@ -311,6 +338,9 @@ def read_pcap(
     split_packets: int | None = None,
     parallelism: int | None = None,
     extended: bool = False,
+    ranges=None,
+    features: bool = False,
+    feature_width: int = 1525,
 ) -> DataFrame:
     """Pcap scan (S1).
 
@@ -324,26 +354,41 @@ def read_pcap(
     task — the scalable replacement for the reference's serial chunk
     loop (BytesProcessor.py:62-65) AND its duplicate-emitting sub-chunk
     splitter (BP:196-205, SURVEY §3.4.4).
+
+    ``ranges``/``features``: source-fused filter + featurize.  The
+    range predicate drops out-of-range packets inside the parse worker
+    (they never cross the Arrow boundary — the reference's "filter
+    before payload work", BP:144-145) and the 1525-wide float vector is
+    computed on the same Arrow batch as the parse.  One Python
+    crossing for the whole parse→filter→featurize pipeline; chaining a
+    second Python operator in the same stage measurably stalls on the
+    double JVM↔worker hop.
     """
     if split_packets:
-        return read_pcap_split(spark, path, split_packets, parallelism, extended)
-    import pandas as pd
+        return read_pcap_split(
+            spark, path, split_packets, parallelism, extended,
+            ranges=ranges, features=features, feature_width=feature_width,
+        )
 
     files = spark.read.format("binaryFile").load(path)
+    in_range = _range_predicate(ranges)
+    schema = FEATURED_SCHEMA if features else PACKET_SCHEMA
 
     def parse_partition(batches):
         for pdf in batches:
             for content in pdf["content"]:
                 rows: list[dict] = []
                 for row in parse_pcap_bytes(bytes(content), extended):
+                    if in_range is not None and not in_range(row["timestamp"]):
+                        continue
                     rows.append(row)
                     if len(rows) >= batch_size:
-                        yield pd.DataFrame(rows, columns=_COLS)
+                        yield _rows_to_pdf(rows, features, feature_width)
                         rows = []
                 if rows:
-                    yield pd.DataFrame(rows, columns=_COLS)
+                    yield _rows_to_pdf(rows, features, feature_width)
 
-    return files.select("content").mapInPandas(parse_partition, schema=PACKET_SCHEMA)
+    return files.select("content").mapInPandas(parse_partition, schema=schema)
 
 
 _CHUNK_SCHEMA = (
@@ -408,6 +453,9 @@ def read_pcap_split(
     split_packets: int = 100_000,
     parallelism: int | None = None,
     extended: bool = False,
+    ranges=None,
+    features: bool = False,
+    feature_width: int = 1525,
 ) -> DataFrame:
     """Two-stage distributed read of large pcap files:
 
@@ -448,6 +496,8 @@ def read_pcap_split(
     chunks = files_df.mapInPandas(index_partition, schema=_CHUNK_SCHEMA)
     n_parts = parallelism or spark.sparkContext.defaultParallelism
     chunks = chunks.repartition(n_parts)
+    in_range = _range_predicate(ranges)
+    schema = FEATURED_SCHEMA if features else PACKET_SCHEMA
 
     def parse_range(batches):
         for pdf in batches:
@@ -462,11 +512,13 @@ def read_pcap_split(
                     except Exception:
                         continue
                     if row is not None:
+                        if in_range is not None and not in_range(row["timestamp"]):
+                            continue
                         rows.append(row)
                 if rows:
-                    yield pd.DataFrame(rows, columns=_COLS)
+                    yield _rows_to_pdf(rows, features, feature_width)
 
-    return chunks.mapInPandas(parse_range, schema=PACKET_SCHEMA)
+    return chunks.mapInPandas(parse_range, schema=schema)
 
 
 def iter_chunk_records(

@@ -256,3 +256,48 @@ def test_q18_single_join_shuffle_topk(spark):
     df = QUERIES["q18_large_orders"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_broadcasts_dims_one_fact_shuffle(spark):
+    """Q7's only big shuffle is lineitem ⋈ orders; customer/supplier/
+    nation-role dims all broadcast and the date filter reaches parquet."""
+    df = QUERIES["q7_volume_shipping"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert any("l_shipdate" in p for p in pushed_filters(df))
+
+
+def test_q8_star_join_all_dims_broadcast(spark):
+    df = QUERIES["q8_market_share"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "p_type" in pushed
+
+
+def test_q15_no_extra_fact_scan_shuffles(spark):
+    """Q15 reuses the same supplier-revenue aggregate for the max and
+    the final join: the lineitem date filter pushes down, dims
+    broadcast, and no cartesian appears for the scalar-max compare."""
+    df = QUERIES["q15_top_supplier"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert any("l_shipdate" in p for p in pushed_filters(df))
+
+
+def test_q17_fact_never_shuffles(spark):
+    """Q17's decorrelated per-part aggregate is small enough to
+    broadcast back onto the fact, so the only data shuffles are the
+    per-part agg itself and the final single-partition agg — the
+    lineitem fact rows are never hash-exchanged."""
+    df = QUERIES["q17_small_quantity_revenue"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    plan = executed_plan(df)
+    data_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert data_exchanges <= 2
+
+
+def test_q22_anti_join_no_cartesian(spark):
+    """The broadcast scalar (avg balance) must not plan as a cartesian
+    nested loop; the NOT EXISTS becomes a plain anti join."""
+    df = QUERIES["q22_dormant_customers"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
