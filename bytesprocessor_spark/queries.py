@@ -631,6 +631,7 @@ _CHECK_ORDER = [
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
+    "text_repetition",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

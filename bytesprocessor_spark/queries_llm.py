@@ -1195,3 +1195,81 @@ def multimodal_image_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("media_id"))
         .limit(10)
     )
+
+
+_DUCK_REPETITION = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM w WHERE len(toks) >= 2
+    ),
+    c AS (
+      SELECT doc_id, gram, MAX(n_words) AS n_words,
+             MAX(n_distinct) AS n_distinct, COUNT(*) AS c
+      FROM g GROUP BY doc_id, gram
+    ),
+    m AS (
+      SELECT doc_id, MAX(n_words) AS n_words, MAX(n_distinct) AS n_distinct,
+             MAX(c) AS mc, SUM(c) AS tc
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           ROUND(n_distinct * 1.0 / n_words, 6) AS distinct_word_frac,
+           ROUND(mc * 1.0 / tc, 6) AS top_2gram_frac,
+           (mc * 25 <= tc AND n_distinct * 10 >= n_words * 4) AS keep
+    FROM m
+"""
+
+
+@query("text_repetition", _DUCK_REPETITION)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 repetition quality filter (the Gopher-rules family,
+    arXiv:2112.11446 §A1.1): per-document duplicate-word fraction and
+    most-frequent-2-gram mass.  Heavily repetitive documents
+    (boilerplate, keyword stuffing, degenerate model output) score
+    high and are dropped before training.
+
+    Plan shape: split/2-gram explode is map-only; one shuffle on
+    (doc_id, gram) for the gram counts, then a doc_id agg over
+    already-tiny per-gram rows.  The keep flag compares in exact
+    integer arithmetic (mc·25 ≤ tc, distinct·10 ≥ words·4) so both
+    engines agree at the boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    w = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    grams = w.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.array_join(F.slice("toks", i, 2), " "),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.max("n_words").alias("n_words"),
+        F.max("n_distinct").alias("n_distinct"),
+        F.count("*").alias("c"),
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("n_words").alias("n_words"),
+        F.max("n_distinct").alias("n_distinct"),
+        F.max("c").alias("mc"),
+        F.sum("c").alias("tc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_distinct") / F.col("n_words"), 6).alias("distinct_word_frac"),
+        F.round(F.col("mc") / F.col("tc"), 6).alias("top_2gram_frac"),
+        (
+            (F.col("mc") * 25 <= F.col("tc"))
+            & (F.col("n_distinct") * 10 >= F.col("n_words") * 4)
+        ).alias("keep"),
+    )
