@@ -27,7 +27,26 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from bytesprocessor_spark.session import get_spark
 
+# Ordered most-expensive-first: the min-of-2 rerun budget is consumed
+# from the top, so the queries where a single noisy run would distort
+# the suite the most are guaranteed their second (min-damping) run;
+# the sub-second tail costs little even if it runs once.
 HEADLINE = [
+    # heavy LLM pipeline ops
+    "dedup_minhash_verified",
+    "dedup_jaccard_pairs",
+    "similarity_ivf_topk",
+    "dedup_embedding_lsh",
+    "dedup_embedding_pairs",
+    "text_contamination",
+    "text_repetition",
+    "text_inverted_index",
+    "text_pii_scrub",
+    "text_quality",
+    "pack_sequences",
+    "corpus_curation",
+    "similarity_topk",
+    "dedup_exact_keep",
     # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -35,6 +54,9 @@ HEADLINE = [
     "join_inner",
     "agg_distinct",
     "agg_rollup",
+    # TPC-H composites (round 2)
+    "q7_volume_shipping",
+    "q17_small_quantity_revenue",
     # windows / sessionization
     "window_rank",
     "window_running",
@@ -42,21 +64,6 @@ HEADLINE = [
     "asof_join_events",
     # SQL surface (same text on both engines)
     "sql_scalar_cte",
-    # LLM pipeline ops
-    "dedup_exact_keep",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_verified",
-    "dedup_embedding_pairs",
-    "dedup_embedding_lsh",
-    "similarity_topk",
-    "similarity_ivf_topk",
-    "text_quality",
-    # training-corpus ops (round 2)
-    "pack_sequences",
-    "text_inverted_index",
-    "text_pii_scrub",
-    "text_contamination",
-    "corpus_curation",
 ]
 
 
@@ -136,15 +143,25 @@ def main() -> None:
     # one warmup action so JVM/codegen startup isn't billed to q1
     QUERIES["agg_global"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # The pcap pipeline runs FIRST (it is the single most expensive
+    # entry and includes Python-worker spin-up): running it inside the
+    # rerun budget guarantees it a noise-damping second run instead of
+    # inheriting whatever budget the query loop leaves over.
+    suite_t0 = time.time()
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    with tempfile.TemporaryDirectory() as tmpdir:
+        pcap_time = round(
+            min(bench_pcap(spark, tmpdir, n_pcap) for _ in range(2)), 3
+        )
+
     # Each query runs twice and reports the min: single-shot times on a
     # shared local[32] JVM swing up to 2x run-to-run (GC pauses, Python
-    # worker respawn, page-cache state), and the steady-state number is
-    # the one that projects to the multi-executor design point where
-    # those one-off costs amortize out.  A wall-clock budget bounds the
-    # whole suite (the driver's bench slot is finite): past it,
-    # remaining queries run once.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
-    suite_t0 = time.time()
+    # worker respawn, page-cache state) and far more when the host has
+    # noisy neighbors, and the steady-state number is the one that
+    # projects to the multi-executor design point where those one-off
+    # costs amortize out.  A wall-clock budget bounds the whole suite
+    # (the driver's bench slot is finite): past it, remaining queries
+    # run once — HEADLINE is therefore ordered most-expensive-first.
     for name in HEADLINE:
         best = float("inf")
         runs = 2 if (time.time() - suite_t0) < budget else 1
@@ -158,12 +175,7 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
-    with tempfile.TemporaryDirectory() as tmpdir:
-        pcap_runs = 2 if (time.time() - suite_t0) < budget else 1
-        timings["pcap_pipeline_20k"] = round(
-            min(bench_pcap(spark, tmpdir, n_pcap) for _ in range(pcap_runs)), 3
-        )
-
+    timings["pcap_pipeline_20k"] = pcap_time
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

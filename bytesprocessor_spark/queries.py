@@ -632,6 +632,7 @@ _CHECK_ORDER = [
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
     "text_repetition",
+    "corpus_mixture",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

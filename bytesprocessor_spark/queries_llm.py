@@ -1273,3 +1273,57 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_distinct") * 10 >= F.col("n_words") * 4)
         ).alias("keep"),
     )
+
+
+_DUCK_MIXTURE = """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_chars,
+             CAST(ROUND(SQRT(n_docs) * 1000000) AS BIGINT) AS w_i
+      FROM s
+    )
+    SELECT source, n_docs, n_chars,
+           w_i AS weight_micro,
+           (10000 * w_i) // (SELECT SUM(w_i) FROM w) AS quota_10k
+    FROM w
+    ORDER BY source
+"""
+
+
+@query("corpus_mixture", _DUCK_MIXTURE)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7-family: temperature-weighted source mixing for a training
+    run — per-source sampling weights w_s ∝ n_s^0.5 (the α=0.5
+    "temperature" that up-weights small sources, as in multilingual /
+    multi-corpus pretraining mixes) and the integer document quota
+    each source gets out of a 10k-document budget.
+
+    Determinism: sqrt is quantized to integer micro-units BEFORE the
+    normalizing sum, so the cross-source reduction is exact integer
+    addition (float sums are order-dependent and engines don't agree
+    on group order); the quota is one integer multiply-divide.  Plan:
+    one small hash agg, the normalizer broadcasts as a scalar."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("n_chars"),
+    )
+    w = s.withColumn(
+        "weight_micro", F.round(F.sqrt("n_docs") * 1_000_000).cast("long")
+    )
+    total = w.agg(F.sum("weight_micro").alias("w_total"))
+    return (
+        w.join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "weight_micro",
+            F.expr("(10000 * weight_micro) div w_total").alias("quota_10k"),
+        )
+        .orderBy("source")
+    )
