@@ -633,6 +633,10 @@ _CHECK_ORDER = [
     "q22_dormant_customers",
     "text_repetition",
     "corpus_mixture",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q21_waiting_suppliers",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

@@ -645,3 +645,195 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n_name, o_year,
+           CAST(SUM(amount_micro) AS DOUBLE) / 1000000.0 AS sum_profit,
+           COUNT(*) AS n
+    FROM (
+      SELECT n_name,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))
+             - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+               * CAST(ROUND(l_quantity * 100) AS BIGINT) AS amount_micro
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_type = 'STANDARD'
+    )
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adaptation (no partsupp: p_retailprice stands in for
+    ps_supplycost): profit by supplier nation and order year.  Both
+    price terms stay integer micro-dollars (cents×bp and cents×cents
+    ×100 share the 1e-6 scale) so the profit sum is exact; part/
+    supplier/nation broadcast, lineitem ⋈ orders is the one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = cents(F.col("l_extendedprice")) * (
+        F.lit(10000) - bp(F.col("l_discount"))
+    ) - cents(F.col("p_retailprice")) * cents(F.col("l_quantity"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("amount_micro", amount)
+        .groupBy("n_name", "o_year")
+        .agg(
+            (F.sum("amount_micro").cast("double") / 1_000_000.0).alias("sum_profit"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(F.col("n_name"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) / 100.0 AS part_value
+    FROM v
+    WHERE 2000 * val > (SELECT SUM(val) FROM v)
+    ORDER BY val DESC, l_partkey
+    LIMIT 100
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adaptation (no partsupp: traded value from lineitem
+    stands in for stock value): parts whose value exceeds a fixed
+    fraction of the global total.  The HAVING-against-global-scalar
+    compares 2000·val > Σval in exact integers — the uncorrelated
+    scalar subquery broadcasts, and the same per-part aggregate feeds
+    both branches (one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(F.sum(cents(F.col("l_extendedprice"))).alias("val"))
+    total = v.agg(F.sum("val").alias("t"))
+    return (
+        v.join(F.broadcast(total), F.lit(2000) * F.col("val") > F.col("t"))
+        .select(
+            "l_partkey", (F.col("val").cast("double") / 100.0).alias("part_value"),
+            "val",
+        )
+        .orderBy(F.col("val").desc(), "l_partkey")
+        .limit(100)
+        .drop("val")
+    )
+
+
+@query(
+    "q12_shipping_delay",
+    """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_class,
+           SUM(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS late_count,
+           COUNT(*) AS line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1
+    ORDER BY priority_class
+    """,
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adaptation (no shipmode/commitdate/receiptdate
+    columns: lateness is ship-after-order-date+interval): dual
+    conditional counts per priority class — the CASE-inside-SUM
+    shape of the original, with timestamp+INTERVAL arithmetic both
+    engines evaluate identically."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey).where(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        j.withColumn(
+            "priority_class",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            ).otherwise("low"),
+        )
+        .groupBy("priority_class")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late_count"),
+            F.count("*").alias("line_count"),
+        )
+        .orderBy("priority_class")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adaptation (lateness = shipped >60 days after order
+    date; the original keys on receipt-vs-commit dates the schema
+    lacks): suppliers who were the SOLE late supplier on a finalized
+    multi-supplier order.  EXISTS + correlated NOT EXISTS — the
+    decorrelation stress test — expressed as one verbatim SQL text;
+    Catalyst plans a semi join and an anti join on l_orderkey against
+    the same lineitem scan."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """,
+        ("supplier", "lineitem", "orders", "nation"),
+    )

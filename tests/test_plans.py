@@ -301,3 +301,30 @@ def test_q22_anti_join_no_cartesian(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_q9_single_fact_shuffle(spark):
+    """Q9's star join: part/supplier/nation broadcast; the only data
+    shuffles are lineitem ⋈ orders and the final group agg."""
+    df = QUERIES["q9_product_profit"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert any("p_type" in p for p in pushed_filters(df))
+
+
+def test_q11_shared_partkey_agg(spark):
+    """Q11's per-part value aggregate feeds both the global-total
+    scalar and the filter — the partkey shuffle must appear once, the
+    total as a broadcast, never a cartesian."""
+    df = QUERIES["q11_important_parts"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q21_semi_and_anti_on_one_key(spark):
+    """Q21's EXISTS/NOT EXISTS pair must decorrelate to a semi and an
+    anti join on l_orderkey — no correlated re-execution."""
+    df = QUERIES["q21_waiting_suppliers"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
