@@ -637,6 +637,7 @@ _CHECK_ORDER = [
     "q11_important_parts",
     "q12_shipping_delay",
     "q21_waiting_suppliers",
+    "events_funnel",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

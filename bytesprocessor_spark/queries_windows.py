@@ -649,3 +649,68 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+_DUCK_FUNNEL = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts, MIN(v.v_ts) AS v_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.c_ts AND e.ts <= c.v_ts + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS step1_view,
+           (SELECT COUNT(*) FROM c) AS step2_click,
+           (SELECT COUNT(*) FROM p) AS step3_purchase
+"""
+
+
+@query("events_funnel", _DUCK_FUNNEL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over the event stream: users who viewed,
+    then clicked after the first view, then purchased after that click
+    — both follow-ups inside a 24h window anchored at the first view.
+    The product-analytics staple that exercises ORDERED event matching
+    (a plain type-count can't distinguish click-before-view).
+
+    Plan shape: every stage aggregates or joins on user_id, so the
+    three stages reuse one hash partitioning — per-step state is
+    (user, ts) pairs, never raw events, and the final counts are
+    1-row aggregates cross-joined together."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"), F.min("v_ts").alias("v_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("v_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("step1_view"))
+        .crossJoin(c.agg(F.count("*").alias("step2_click")))
+        .crossJoin(p.agg(F.count("*").alias("step3_purchase")))
+    )
