@@ -638,6 +638,7 @@ _CHECK_ORDER = [
     "q12_shipping_delay",
     "q21_waiting_suppliers",
     "events_funnel",
+    "embedding_centroids",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

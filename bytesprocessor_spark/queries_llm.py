@@ -1327,3 +1327,73 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DUCK_CENTROIDS = """
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(v) + 1),
+                                   i -> {'pos': i, 'val': v[i]})) AS pv
+      FROM q
+    ),
+    s AS (
+      SELECT label, pv.pos AS pos, SUM(pv.val) AS sv, COUNT(*) AS c
+      FROM e GROUP BY label, pv.pos
+    )
+    SELECT label, MAX(c) AS n_vectors,
+           list(ROUND(CAST(sv AS DOUBLE) / c, 6) ORDER BY pos) AS centroid
+    FROM s GROUP BY label ORDER BY label
+"""
+
+
+@query("embedding_centroids", _DUCK_CENTROIDS)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3-family vector aggregate: per-label mean-pooled centroid —
+    the building block of IVF training, cluster refinement, and
+    class-prototype embeddings.  Vectors quantize to integer
+    micro-units BEFORE summation so the per-dimension reduction is
+    exact integer math in any order; only the final mean is one IEEE
+    division per dimension.
+
+    Plan shape: posexplode fans each vector into (label, dim) rows
+    that partial-aggregate map-side (collapsing to labels × dims rows
+    per partition before the shuffle), then a per-label reassembly
+    sorted by dimension — the scalable form of "average a billion
+    vectors per class"."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        ).alias("v"),
+    )
+    e = q.select("label", F.posexplode("v").alias("pos", "val"))
+    s = e.groupBy("label", "pos").agg(
+        F.sum("val").alias("sv"), F.count("*").alias("c")
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.max("c").alias("n_vectors"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.round(F.col("sv").cast("double") / F.col("c"), 6).alias(
+                                "m"
+                            ),
+                        )
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )
