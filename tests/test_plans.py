@@ -356,3 +356,21 @@ def test_fused_pcap_single_python_op(spark, tmp_path):
     assert shuffle_count(df) == 0
     rows = df.select("features").limit(1).collect()
     assert len(rows[0][0]) == 1525
+
+
+def test_funnel_shares_user_partitioning(spark):
+    """All three funnel stages key on user_id; the chain must not plan
+    a cartesian, and the final 1-row count joins must be broadcasts,
+    not shuffles of the per-user state."""
+    df = QUERIES["events_funnel"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_centroids_partial_aggregate_before_shuffle(spark):
+    """The (label, dim) sums must partial-aggregate map-side: the
+    exploded vector rows are dims× the corpus and must collapse before
+    the exchange."""
+    df = QUERIES["embedding_centroids"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "partial_sum" in plan
