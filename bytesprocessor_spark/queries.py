@@ -639,6 +639,7 @@ _CHECK_ORDER = [
     "q21_waiting_suppliers",
     "events_funnel",
     "embedding_centroids",
+    "interval_concurrency",
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
 ]

@@ -714,3 +714,94 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("step2_click")))
         .crossJoin(p.agg(F.count("*").alias("step3_purchase")))
     )
+
+
+_DUCK_CONCURRENCY = """
+    WITH iv AS (
+      SELECT ts AS s, ts + INTERVAL 10 MINUTE AS e FROM events
+    ),
+    days AS (
+      SELECT s, e,
+             unnest(generate_series(date_trunc('day', s),
+                                    date_trunc('day', e),
+                                    INTERVAL 1 DAY)) AS day
+      FROM iv
+    ),
+    clipped AS (
+      SELECT day, GREATEST(s, day) AS t_start,
+             LEAST(e, day + INTERVAL 1 DAY) AS t_end
+      FROM days
+      WHERE GREATEST(s, day) < LEAST(e, day + INTERVAL 1 DAY)
+    ),
+    pts AS (
+      SELECT day, t_start AS t, 1 AS delta FROM clipped
+      UNION ALL
+      SELECT day, t_end AS t, -1 AS delta FROM clipped
+    ),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running
+      FROM pts
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(MAX(running) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY day ORDER BY day
+"""
+
+
+@query("interval_concurrency", _DUCK_CONCURRENCY)
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval analytics: daily peak number of
+    concurrently-open 10-minute sessions — the capacity-planning /
+    max-concurrency query (ads, connections, GPU leases).
+
+    Each interval explodes to ±1 boundary points clipped to the days
+    it spans, a per-day window running-sums the deltas, and the max
+    prefix is the peak.  Determinism at timestamp ties: ordering by
+    (t, delta) closes intervals before opening new ones (half-open
+    semantics), and prefix maxima are invariant under permutation of
+    equal (t, delta) rows.  The day partition bounds both the sort
+    and the state — at 100 TB each day sweeps independently."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    days = iv.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("s")),
+                F.date_trunc("day", F.col("e")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    one_day = F.expr("INTERVAL 1 DAY")
+    clipped = days.select(
+        "day",
+        F.greatest("s", "day").alias("t_start"),
+        F.least(F.col("e"), F.col("day") + one_day).alias("t_end"),
+    ).where(F.col("t_start") < F.col("t_end"))
+    pts = clipped.select(
+        "day", F.col("t_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        clipped.select("day", F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("running", F.sum("delta").over(w))
+    return (
+        run.groupBy("day")
+        .agg(F.max("running").cast("long").alias("peak_concurrent"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "peak_concurrent"
+        )
+        .orderBy("day")
+    )
