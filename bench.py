@@ -64,6 +64,11 @@ HEADLINE = [
     "asof_join_events",
     # SQL surface (same text on both engines)
     "sql_scalar_cte",
+    # event analytics + corpus planning (round 2, late)
+    "events_funnel",
+    "interval_concurrency",
+    "embedding_centroids",
+    "corpus_mixture",
 ]
 
 
