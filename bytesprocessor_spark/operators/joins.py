@@ -92,14 +92,29 @@ def asof_join(
         c for c in right.columns if c not in (on, right_ts)
     ]
 
+    def ts_kind(df: DataFrame, ts_col: str) -> str:
+        dt = dict(df.dtypes).get(ts_col, "")
+        return "time" if (dt.startswith("timestamp") or dt == "date") else "numeric"
+
     def orderable(df: DataFrame, ts_col: str) -> Column:
         # Timestamps (incl. TIMESTAMP_NTZ, which Spark 4 refuses to
         # cast to a numeric directly) order as exact epoch micros; the
         # NTZ->LTZ cast is identity under the engine's UTC session.
-        dt = dict(df.dtypes).get(ts_col, "")
-        if dt.startswith("timestamp") or dt == "date":
+        if ts_kind(df, ts_col) == "time":
             return F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
         return F.col(ts_col).cast("double")
+
+    # Both __t columns must come from the same branch: a timestamp side
+    # resolves to epoch MICROS while a numeric side keeps its raw scale
+    # (often epoch seconds), and mixing them would silently match wrong
+    # rows.  Mixed pairs are unsupported — cast one side first.
+    lk, rk = ts_kind(left, left_ts), ts_kind(right, right_ts)
+    if lk != rk:
+        raise TypeError(
+            f"asof_join: mixed ts column types are unsupported "
+            f"({left_ts!r} is {lk}, {right_ts!r} is {rk}); cast one side "
+            f"so both are timestamps/dates or both are numeric"
+        )
 
     lt = left.withColumn("__t", orderable(left, left_ts))
     rt = right.withColumn("__t", orderable(right, right_ts))

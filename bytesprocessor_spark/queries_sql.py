@@ -518,7 +518,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#1'
       AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     LIMIT 50
@@ -528,8 +529,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 adaptation (the schema has no partsupp; the
     part-supplier relation is derived from lineitem): distinct
     supplier counts per part attribute bucket, excluding suppliers in
-    negative account standing via NOT IN → a broadcast null-aware
-    anti join.  count(DISTINCT) expands partials per key, so the agg
+    negative account standing via NOT EXISTS → a broadcast anti join
+    (left_anti matches NOT EXISTS semantics exactly, including on
+    NULL keys — the oracle SQL is written as NOT EXISTS for the same
+    reason).  count(DISTINCT) expands partials per key, so the agg
     stays two-phase without a global shuffle of raw rows."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(

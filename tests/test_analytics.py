@@ -39,10 +39,16 @@ def test_concurrency_peak_bounds(spark):
     rows = QUERIES["interval_concurrency"](spark, SF_DIR).collect()
     days_out = {r.day for r in rows}
     assert set(per_day_events) <= days_out  # every event day has a peak
+    from datetime import date, timedelta
+
     for r in rows:
-        # an interval can spill into the next day, so the day's peak is
-        # bounded by intervals STARTING that day plus the previous day
-        upper = per_day_events.get(r.day, 0) + 1_000_000
+        # Intervals are 10 minutes (< 1 day), so everything open on day D
+        # started on D or spilled over from D-1: peak <= starts(D) +
+        # starts(D-1).  A day in the output with zero starts exists only
+        # as spill-over, so the lower bound stays 1 either way.
+        d = date.fromisoformat(r.day)
+        prev = (d - timedelta(days=1)).isoformat()
+        upper = per_day_events.get(r.day, 0) + per_day_events.get(prev, 0)
         assert 1 <= r.peak_concurrent <= upper
 
 
@@ -52,12 +58,9 @@ def test_concurrency_single_interval_is_one(spark):
     df = spark.createDataFrame(
         [(1, "2024-03-01 10:00:00")], "event_id long, ts string"
     ).select("event_id", F.col("ts").cast("timestamp").alias("ts"))
-    df.createOrReplaceTempView("events")
-    # reuse the operator body via the registered query on a temp dir is
-    # not possible (it loads parquet), so replicate the sweep inline on
-    # one interval through the same public expressions
-    from bytesprocessor_spark.queries_windows import interval_concurrency  # noqa: F401
-
+    # reusing the registered query on a temp dir is not possible (it
+    # loads parquet), so replicate the sweep inline on one interval
+    # through the same public expressions
     iv = df.select(
         F.col("ts").alias("s"), (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e")
     )
