@@ -358,6 +358,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    quantize: bool = False,
 ) -> list[list[float]]:
     """Materialize an IVF index on disk: the corpus written
     hive-partitioned BY Voronoi cell (`cell=<i>/` directories), plus
@@ -371,7 +372,16 @@ def build_ivf_index(
     a few hundred MB (sqrt(N) cells is the classic heuristic) and this
     layout turns ANN search into ordinary pruned columnar scans.
     Returns the centroids (also persisted).
+
+    ``quantize`` stores the vectors 1e-6 fixed-pointed (and samples
+    quantized centroids) so every probe score is exact-integer
+    arithmetic — the oracle-checkable index mode (cosine is scale
+    invariant, so ranking is unchanged up to the quantization step).
     """
+    if quantize:
+        corpus = corpus.withColumn(
+            vec_col, F.transform(vec_col, lambda x: F.round(x.cast("double") * 1000000.0))
+        )
     centroids = sample_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
     assigned = corpus.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
     assigned.write.mode(mode).partitionBy("cell").parquet(path)
@@ -397,16 +407,24 @@ def ivf_index_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> DataFrame:
     """Probe a persisted IVF index.  The probed cell ids are collected
     first (bounded by n_cells — a handful of ints, never the data) and
     pushed as a STATIC `cell IN (...)` partition filter, so the scan
     reads only the probed directories (`PartitionFilters` in the plan —
     gated by tests/test_similarity.py); the per-cell candidate join is
-    then a broadcast of the query batch, corpus never shuffles."""
+    then a broadcast of the query batch, corpus never shuffles.
+
+    ``quantize`` must match the flag the index was built with: the
+    stored vectors/centroids are already fixed-pointed, so only the
+    query side is quantized here."""
     centroids = load_ivf_centroids(spark, path)
+    qv = F.col(query_vec_col)
+    if quantize:
+        qv = F.transform(qv, lambda x: F.round(x.cast("double") * 1000000.0))
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"), qv.alias("__qv")
     ).withColumn("cell", F.explode(ivf_probe_cells(F.col("__qv"), centroids, nprobe)))
     probe_cells = sorted({r.cell for r in q.select("cell").distinct().collect()})
     corpus = (

@@ -397,9 +397,11 @@ _COS = (
 )
 
 
-@query(
-    "similarity_ivf_topk",
-    f"""
+# Shared by the in-plan IVF row and the persisted-index row: both
+# compute the same semantic (16 sampled-centroid cells, probe 4,
+# exact quantized cosine in the probed subset), so one SQL replay
+# checks either physical form.
+_IVF_SQL = f"""
     WITH e AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
     cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cv
              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
@@ -428,8 +430,10 @@ _COS = (
                                        ORDER BY sim DESC, vec_id) AS rk
           FROM s)
     SELECT query_id, vec_id, ROUND(sim, 6) AS sim FROM r WHERE rk <= 5
-    """,
-)
+    """
+
+
+@query("similarity_ivf_topk", _IVF_SQL)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 IVF ANN: 16 sampled-centroid Voronoi cells, probe the 4
     nearest per query, exact cosine within the probed quarter of the
@@ -444,6 +448,35 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     out = ivf_topk(emb, q, n_cells=16, nprobe=4, k=5, quantize=True)
+    return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query("similarity_ivf_index_topk", _IVF_SQL)
+def similarity_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3b persisted IVF index: build the hive-partitioned cell layout
+    + centroid sidecar on disk, then probe it — the at-rest ANN form
+    whose scan is partition-PRUNED to the probed cells (the 100 TB
+    shape: search cost ~ nprobe/n_cells of the corpus, no shuffle).
+    Same semantic as similarity_ivf_topk, so the same SQL replay
+    checks it; what this row additionally proves is that the persisted
+    layout (write -> prune -> probe) loses nothing."""
+    import hashlib
+    import os
+    import tempfile
+
+    from bytesprocessor_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"bp_ivf_index_{tag}")
+    build_ivf_index(emb, path, n_cells=16, quantize=True)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_index_topk(spark, path, q, nprobe=4, k=5, quantize=True)
     return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
 
 

@@ -1,0 +1,205 @@
+"""Batch-equivalent oracle rows for the streaming operators (SURVEY
+§2.9 ST7 stream-static enrich, ST9 streaming CDC apply).
+
+The streaming operators themselves live in ``streaming/`` and are
+exercised end-to-end by tests/test_streaming.py; what these rows add is
+the HARD cross-engine signal: each entry drives real Structured
+Streaming (parquet file source -> micro-batches -> sink) with
+``trigger(availableNow=True)`` so the stream drains and stops, then
+returns a bounded deterministic aggregate of the materialized result
+that DuckDB can replay with plain batch SQL.  The replay is valid
+because both operators are *stateless across completed input*: enrich
+is a per-row broadcast join (batch == streaming row set), and CDC
+apply's merge is idempotent + version-ordered, so the drained final
+snapshot equals a single batch MERGE of all changes (parity with the
+reference's replay-consistency contract, BytesProcessor.py:56-120
+operator surface; semantics only — the execution model here is
+Spark's).
+
+Scale note: the enrich plan is map-only on the stream side (broadcast
+dim, no stream shuffle); CDC apply's per-batch cost is one equi-join on
+the merge key against the current snapshot — at 100 TB the snapshot is
+partitioned by key range and only touched partitions rewrite
+(streaming/cdc.py module docstring).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import _t, query
+from bytesprocessor_spark.streaming.joins import stream_static_enrich
+
+
+@query(
+    "stream_static_enrich",
+    """
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events e
+    LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE c_custkey < 100) c
+      ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: stream the events table through a broadcast dimension
+    enrichment (left join against a customer-segment snapshot, with
+    part of the user space deliberately outside the dim so the
+    unmatched branch is exercised), drain with availableNow into a
+    memory sink, and aggregate the enriched rows per segment.
+
+    The join itself runs INSIDE the micro-batch loop — map-only on the
+    stream (broadcast dim, no stream-side shuffle), the shape that
+    holds at any stream rate."""
+    ev_schema = _t(spark, sf_dir, "events").schema
+    # the fixture is a single parquet FILE; the file stream source
+    # wants a directory to watch, so expose the file through a
+    # symlinked landing dir (read-only fixture stays untouched)
+    land = tempfile.mkdtemp(prefix="bp_enrich_src_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(land, "events.parquet"),
+    )
+    stream = spark.readStream.schema(ev_schema).parquet(land)
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 100)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = stream_static_enrich(stream, dim, on="user_id", how="left")
+    sink = f"bp_enrich_{uuid.uuid4().hex[:12]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias(
+            "total_value"
+        ),
+    )
+
+
+_CDC_CHANGE_COLS = (
+    "o_custkey, o_orderdate, o_orderpriority"  # carried through unchanged
+)
+
+_CDC_SQL = f"""
+    WITH initial AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
+    chg AS (
+      SELECT o_orderkey, {_CDC_CHANGE_COLS}, 'U1' AS o_orderstatus,
+             o_totalprice + 1 AS o_totalprice, 1 AS version, FALSE AS is_delete
+      FROM orders WHERE o_orderkey % 10 IN (3, 4)
+      UNION ALL
+      SELECT o_orderkey, {_CDC_CHANGE_COLS}, 'U2', o_totalprice + 2, 2, FALSE
+      FROM orders WHERE o_orderkey % 10 = 4
+      UNION ALL
+      SELECT o_orderkey, {_CDC_CHANGE_COLS}, 'N', o_totalprice, 1, FALSE
+      FROM orders WHERE o_orderkey % 10 IN (5, 6)
+      UNION ALL
+      SELECT o_orderkey, {_CDC_CHANGE_COLS}, o_orderstatus, o_totalprice, 1, TRUE
+      FROM orders WHERE o_orderkey % 10 = 2
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC) AS rn
+        FROM chg) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT i.o_orderstatus, i.o_totalprice FROM initial i
+      WHERE NOT EXISTS (SELECT 1 FROM latest l
+                        WHERE l.o_orderkey = i.o_orderkey)
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM latest WHERE NOT is_delete
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_price
+    FROM merged GROUP BY 1
+"""
+
+
+@query("stream_cdc_apply", _CDC_SQL)
+def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9: maintain a materialized orders table from a CDC change
+    stream and aggregate the drained final snapshot.
+
+    The change feed is derived deterministically from the orders
+    fixture so every MERGE branch fires: updates (key%10 in {3,4},
+    with TWO versions for %10==4 so max-version-wins is observable),
+    inserts (%10 in {5,6}), deletes (%10==2), untouched target rows
+    (%10 in {0,1}).  The stream applies via foreachBatch + merge_upsert
+    with swap-safe snapshot rewrite (streaming/cdc.py); the DuckDB
+    oracle replays the same merge as batch SQL — equality IS the
+    idempotent-apply/replay-consistency guarantee."""
+    from bytesprocessor_spark.streaming.cdc import (
+        apply_cdc_stream,
+        init_cdc_table,
+        read_cdc_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 10
+    initial = orders.where(k < 5)
+    passthrough = ["o_custkey", "o_orderdate", "o_orderpriority"]
+
+    def change(rows: DataFrame, status, price, version: int, delete: bool) -> DataFrame:
+        return rows.select(
+            "o_orderkey",
+            *passthrough,
+            status.alias("o_orderstatus"),
+            price.alias("o_totalprice"),
+            F.lit(version).alias("version"),
+            F.lit(delete).alias("is_delete"),
+        )
+
+    p = F.col("o_totalprice")
+    changes = (
+        change(orders.where(k.isin(3, 4)), F.lit("U1"), p + 1, 1, False)
+        .unionByName(change(orders.where(k == 4), F.lit("U2"), p + 2, 2, False))
+        .unionByName(change(orders.where(k.isin(5, 6)), F.lit("N"), p, 1, False))
+        .unionByName(change(orders.where(k == 2), F.col("o_orderstatus"), p, 1, True))
+    )
+
+    workdir = tempfile.mkdtemp(prefix="bp_cdc_")
+    chg_dir = os.path.join(workdir, "changes")
+    tbl_dir = os.path.join(workdir, "table")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    # one data file -> one micro-batch; cross-batch ordering is covered
+    # by the version column either way (merge_upsert is version-ordered)
+    changes.coalesce(1).write.mode("overwrite").parquet(chg_dir)
+    init_cdc_table(initial, tbl_dir)
+    stream = spark.readStream.schema(changes.schema).parquet(chg_dir)
+    q = apply_cdc_stream(
+        stream,
+        tbl_dir,
+        keys=["o_orderkey"],
+        delete_col="is_delete",
+        version_col="version",
+        checkpoint=ckpt_dir,
+        available_now=True,
+    )
+    q.awaitTermination()
+    final = read_cdc_table(spark, tbl_dir)
+    return final.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).alias(
+            "total_price"
+        ),
+    )
