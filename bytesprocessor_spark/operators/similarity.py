@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 from bytesprocessor_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
 
 
+def _pair_cosine(a, b):
+    """Arrow-batched candidate-pair cosine over vectors already in
+    their final (possibly fixed-point) form — the same vectorized path
+    the LSH verify join uses; the interpreted array-HOF form costs
+    5-20x more per row (functions/vectors.py docstring)."""
+    from bytesprocessor_spark.functions.vectors import cosine_pairs_udf
+
+    return cosine_pairs_udf(False)(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,6 +63,53 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def topk_similarity(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    exact: bool | None = None,
+    exact_threshold: int = 50_000,
+    n_cells: int | None = None,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Similarity-search front door: picks the physical strategy so a
+    caller can't accidentally run the O(corpus x queries) scan on a
+    large corpus.
+
+    * ``exact=True`` — :func:`brute_force_topk`, the exact oracle form
+      (opt-in above the threshold).
+    * ``exact=False`` — IVF approximate search.
+    * ``exact=None`` (default) — count the corpus (one cheap columnar
+      count job) and use brute force only below ``exact_threshold``
+      rows; above it, IVF with ~sqrt(n) cells (the classic balance
+      between cell count and cell size), so cost per query is
+      ~nprobe*sqrt(n) instead of n.
+    """
+    import math
+
+    n = None
+    if exact is None:
+        n = corpus.count()
+        exact = n < exact_threshold
+    if exact:
+        return brute_force_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+    if n is None:
+        n = corpus.count()
+    cells = n_cells if n_cells is not None else max(16, int(math.isqrt(n)))
+    return ivf_topk(
+        corpus, queries, n_cells=cells, nprobe=nprobe, k=k,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
 
 
@@ -97,6 +154,41 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
     return F.array_position(sims, F.array_max(sims)).cast("int")
 
 
+def ivf_assign_udf(centroids: list[list[float]], quantize: bool = False):
+    """Vectorized IVF cell assignment: ONE Arrow-batched numpy GEMM
+    against the [n_cells, dim] centroid matrix per row batch, then
+    argmax cosine (numpy's first-max tie rule == the expression form's
+    ORDER BY sim DESC, cell ASC).
+
+    This is the corpus-side hot path: the expression form
+    (:func:`ivf_assign`) folds 2*n_cells interpreted array HOFs per
+    row, which dominates ivf_topk's runtime at n_cells=16/dim=64.
+    With fixed-point inputs the GEMM is bit-identical to the
+    expression/DuckDB form — every product and partial sum is an exact
+    integer in float64 (so summation order can't matter) and the final
+    sqrt/multiply/divide are single correctly-rounded IEEE ops."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from bytesprocessor_spark.functions.vectors import to_matrix
+
+    C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    nC = np.sqrt(np.einsum("ij,ij->i", C, C))
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = to_matrix(v, quantize)
+        nV = np.sqrt(np.einsum("ij,ij->i", V, V))
+        S = (V @ C.T) / (nV[:, None] * nC[None, :])
+        return pd.Series((S.argmax(axis=1) + 1).astype("int32"))
+
+    return _assign
+
+
 def ivf_probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
     """The ``nprobe`` nearest cells for a query vector, as an
     array<int> — array_sort on (-sim, cell) structs then slice, all
@@ -124,22 +216,25 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     quantize: bool = False,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` Voronoi cells around sampled centroids, probe only the
     ``nprobe`` nearest cells per query, rank exact cosine within the
     probed subset.
 
-    Plan shape at scale: cell assignment is a map-only expression
-    (centroids are literals); the probe is an equi-join on the int
-    cell id — so the corpus shuffles once on a low-cardinality key
-    whose fan-out nprobe/n_cells bounds the scored fraction.  In a
+    Plan shape at scale: cell assignment is map-only (one Arrow GEMM
+    per batch, :func:`ivf_assign_udf`); the probe is an equi-join on
+    the int cell id — so the corpus shuffles once on a low-cardinality
+    key whose fan-out nprobe/n_cells bounds the scored fraction.  In a
     persisted deployment the assignment is computed once at ingest and
     the corpus is bucketed/partitioned BY cell, making the probe a
-    pruned scan with no shuffle at all.
+    pruned scan with no shuffle at all (:func:`ivf_index_topk`).
 
     ``quantize`` fixed-points the vectors (1e-6) so every score is
-    bit-identical across engines — the oracle-gate mode.
+    bit-identical across engines — the oracle-gate mode.  Pass
+    ``centroids`` (matching the quantize mode) to skip the sampling
+    job on repeated calls against the same corpus.
     Output: (query_id, vec_id, sim, rank).
     """
     cv = F.col(vec_col)
@@ -147,13 +242,16 @@ def ivf_topk(
     if quantize:
         cv = F.transform(cv, lambda x: F.round(x.cast("double") * 1000000.0))
         qv = F.transform(qv, lambda x: F.round(x.cast("double") * 1000000.0))
-    centroids = sample_centroids(
-        corpus, n_cells, id_col=id_col, vec_col=vec_col, quantize=quantize
-    )
+    if centroids is None:
+        centroids = sample_centroids(
+            corpus, n_cells, id_col=id_col, vec_col=vec_col, quantize=quantize
+        )
+    # __cv/__qv are already in final (possibly fixed-point) form, so the
+    # assignment UDF must not re-quantize
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         cv.alias("__cv"),
-    ).withColumn("cell", ivf_assign(F.col("__cv"), centroids))
+    ).withColumn("cell", ivf_assign_udf(centroids)(F.col("__cv")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         qv.alias("__qv"),
@@ -161,7 +259,7 @@ def ivf_topk(
         "cell", F.explode(ivf_probe_cells(F.col("__qv"), centroids, nprobe))
     )
     cand = c.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("vec_id"))
-    scored = cand.withColumn("sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    scored = cand.withColumn("sim", _pair_cosine(F.col("__qv"), F.col("__cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -383,8 +481,14 @@ def build_ivf_index(
             vec_col, F.transform(vec_col, lambda x: F.round(x.cast("double") * 1000000.0))
         )
     centroids = sample_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
-    assigned = corpus.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
-    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+    assigned = corpus.withColumn("cell", ivf_assign_udf(centroids)(F.col(vec_col)))
+    # cluster rows by cell before the partitioned write: without this
+    # every write task emits a file into every cell directory
+    # (tasks x cells tiny files — slow to write, slower to probe).
+    # Hash-repartitioning on the partition column gives one file per
+    # cell here; at real scale raise the factor (repartition(N, cell))
+    # so each cell gets a few hundred-MB files.
+    assigned.repartition(n_cells, "cell").write.mode(mode).partitionBy("cell").parquet(path)
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
@@ -433,7 +537,7 @@ def ivf_index_topk(
         .select("cell", F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
     )
     cand = corpus.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("vec_id"))
-    scored = cand.withColumn("sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    scored = cand.withColumn("sim", _pair_cosine(F.col("__qv"), F.col("__cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -441,14 +441,23 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point scoring make the whole index oracle-checkable in SQL —
     unlike the SRP-LSH path whose xxhash64 buckets DuckDB can't
     reproduce."""
-    from bytesprocessor_spark.operators.similarity import ivf_topk
+    from bytesprocessor_spark.operators.similarity import ivf_topk, sample_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
+    # the coarse quantizer is a property of the corpus, not the query:
+    # sample it once per fixture dir and reuse (16 tiny vectors)
+    cents = _IVF_CENTROID_CACHE.get(sf_dir)
+    if cents is None:
+        cents = sample_centroids(emb, 16, quantize=True)
+        _IVF_CENTROID_CACHE[sf_dir] = cents
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    out = ivf_topk(emb, q, n_cells=16, nprobe=4, k=5, quantize=True)
+    out = ivf_topk(emb, q, n_cells=16, nprobe=4, k=5, quantize=True, centroids=cents)
     return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+_IVF_CENTROID_CACHE: dict[str, list] = {}
 
 
 @query("similarity_ivf_index_topk", _IVF_SQL)

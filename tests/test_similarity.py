@@ -151,3 +151,43 @@ def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
 
     cells = [d for d in os.listdir(path) if d.startswith("cell=")]
     assert 1 < len(cells) <= 8
+
+
+def test_topk_similarity_dispatch(spark):
+    """The front door routes small corpora to brute force and large
+    (relative to the threshold) corpora to IVF, with exact=True as the
+    opt-out; results match the respective direct implementations."""
+    from bytesprocessor_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        topk_similarity,
+    )
+    from bytesprocessor_spark.plans.explain import executed_plan
+    from bytesprocessor_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # corpus below the threshold -> brute force (cartesian of the
+    # broadcast query batch appears in the plan)
+    small = topk_similarity(emb, q, k=4, exact_threshold=10**9)
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, brute_force_topk(emb, q, k=4).collect())
+    )
+
+    # corpus above the threshold -> IVF: no cartesian product, and the
+    # result matches the direct ivf_topk call with the derived cells
+    big = topk_similarity(emb, q, k=4, exact_threshold=1, n_cells=8, nprobe=3)
+    assert "CartesianProduct" not in executed_plan(big)
+    assert "BroadcastNestedLoopJoin" not in executed_plan(big)
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, ivf_topk(emb, q, n_cells=8, nprobe=3, k=4).collect())
+    )
+
+    # exact=True overrides the threshold
+    forced = topk_similarity(emb, q, k=4, exact=True, exact_threshold=1)
+    assert sorted(map(tuple, forced.collect())) == sorted(
+        map(tuple, brute_force_topk(emb, q, k=4).collect())
+    )
