@@ -2,12 +2,25 @@
 payloads as opaque binary columns with typed metadata, processed by
 Arrow-batched UDFs over ``mapInPandas``.
 
-The execution container has no image/audio codecs, so the *decode
-kernels* are deterministic stubs behind ``codec=`` hooks — the Spark
-side (schemas, batch iteration, partitioning, UDF signatures) is real
-and tested, and swapping in PIL/librosa later changes one function.
-The binary-payload pattern itself is exactly how the pcap pipeline
-carries packets (BinaryType payload, BytesProcessor.py:248).
+Decode kernels are pluggable via the ``codec=`` hooks:
+
+* **Real image decode** — ``functions.imagecodec.decode_image``
+  (PIL when importable, else built-in pure-stdlib PNG/BMP/PPM
+  decoders) producing features from the actual pixels.
+* **Real audio decode** — :func:`decode_audio_wav` (stdlib ``wave``,
+  PCM 8/16-bit) producing rate/length/amplitude features.
+* **Deterministic hash stubs** — kept as the oracle-checkable
+  kernels: their sha256-derived outputs are reproducible in ANY
+  engine, which is what lets multimodal_image_meta/audio_meta/
+  video_frames be DuckDB-verified end-to-end.  Video demux has no
+  stdlib decoder, so the frame sampler remains stub-only (a real
+  build plugs pyav/ffmpeg into the same hook).
+
+The Spark side (schemas, Arrow batch iteration, partitioning, UDF
+signatures, per-row error -> null-row policy) is identical whichever
+kernel is plugged in.  The binary-payload pattern itself is exactly
+how the pcap pipeline carries packets (BinaryType payload,
+BytesProcessor.py:248).
 """
 
 from __future__ import annotations
@@ -43,9 +56,12 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 
 
 def _stub_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake decode: dimensions and a 16-float signature
-    derived from a content hash.  Replace with a real codec (PIL) in a
-    deployment image — the call signature is the contract."""
+    """Deterministic ORACLE-mode decode: dimensions and a 16-float
+    signature derived from a content hash, reproducible in SQL (the
+    multimodal_image_meta oracle re-derives it).  The REAL kernel with
+    the same signature is ``functions.imagecodec.decode_image``
+    (PIL, or built-in PNG/BMP/PPM) — pass it as ``codec=`` to
+    :func:`image_features` to featurize actual pixels."""
     h = hashlib.sha256(payload or b"").digest()
     width = 1 + (struct.unpack_from(">H", h, 0)[0] % 4096)
     height = 1 + (struct.unpack_from(">H", h, 2)[0] % 4096)
@@ -125,9 +141,51 @@ def sample_video_frames(
 
 
 def decode_audio_stub(payload: bytes) -> list[float]:
-    """Audio decode is NOT runnable in this container — a real build
-    plugs librosa/soundfile here.  Raising keeps the gap explicit."""
+    """Raising placeholder for formats with no stdlib decoder (mp3,
+    flac, ogg...) — a real build plugs librosa/soundfile here.  PCM
+    WAV decodes for real via :func:`decode_audio_wav`."""
     raise NotImplementedError("audio decode requires an audio codec library")
+
+
+def decode_audio_wav(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL audio codec for :func:`audio_features`: PCM WAV (8/16-bit,
+    any channel count) via the stdlib ``wave`` module — no external
+    library.  Returns (sample_rate, n_samples, 8-float signature):
+    RMS, mean |x|, peak |x|, zero-crossing rate, then a 4-bin |x|
+    histogram (fractions) — deterministic arithmetic on the decoded
+    samples, so any backend decoding the same PCM agrees."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload or b"")) as wf:
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        ch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        frames = wf.readframes(n)
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    if len(arr) == 0:
+        raise ValueError("empty WAV")
+    a = np.abs(arr)
+    zc = float(np.count_nonzero(np.signbit(arr[1:]) != np.signbit(arr[:-1]))) / len(arr)
+    hist, _ = np.histogram(a, bins=4, range=(0.0, 1.0))
+    feats = [
+        float(np.sqrt(np.mean(arr * arr))),
+        float(a.mean()),
+        float(a.max()),
+        zc,
+        *(float(x) / len(arr) for x in hist),
+    ]
+    return sr, n, feats
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
