@@ -438,6 +438,85 @@ def embedding_dedup_keep(
     return df.join(drop, id_col, "left_anti")
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_cells: int = 32,
+    quantize: bool = False,
+    centroids: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded near-dup pairs (Abbas et al.
+    2023, arXiv:2303.09540): coarse-cluster the embeddings, then score
+    pairs only WITHIN a cluster — semantic duplicates are by definition
+    cosine-close, so they land in the same Voronoi cell and the pair
+    space shrinks from O(n²) to O(Σ|cell|²).
+
+    Plan shape: one Arrow-GEMM map-only cell assignment (reusing the
+    IVF coarse quantizer, ``operators.similarity``), one shuffle on the
+    int cell id for the self-join, vectorized pair cosine on the
+    within-cell pairs.  At 100 TB pick n_cells ~ n/target_cell_size so
+    each cell's pair block fits one task; cells are independent, so the
+    scan parallelizes perfectly and no executor ever sees the corpus.
+
+    ``quantize`` fixed-points vectors (1e-6) so assignment and scores
+    are bit-identical across engines (the DuckDB oracle re-derives the
+    same sampled centroids from the data — no literals needed).
+    Returns (id_a, id_b, sim) with id_a < id_b, sim >= threshold.
+    """
+    from bytesprocessor_spark.functions.vectors import cosine_pairs_udf
+    from bytesprocessor_spark.operators.similarity import (
+        ivf_assign_udf,
+        sample_centroids,
+    )
+
+    if centroids is None:
+        centroids = sample_centroids(
+            df, n_cells, id_col=id_col, vec_col=vec_col, quantize=quantize
+        )
+    v = F.col(vec_col)
+    if quantize:
+        v = F.transform(v, lambda x: F.round(x.cast("double") * 1000000.0))
+    assigned = _persist(
+        df.select(F.col(id_col).alias("id"), v.alias("__v")).withColumn(
+            "cell", ivf_assign_udf(centroids)(F.col("__v"))
+        )
+    )
+    a = assigned.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), "cell")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "cell")
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_pairs_udf(False)(F.col("__va"), F.col("__vb")))
+        .where(F.col("sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_cells: int = 32,
+    quantize: bool = False,
+    centroids: list | None = None,
+) -> DataFrame:
+    """SemDeDup survivor set: greedy keep-lowest-id over the
+    cluster-bounded pair graph (same survivor rule as
+    :func:`embedding_dedup_keep`, with the pair scan restricted to
+    same-cell pairs — the approximation SemDeDup trades for linear
+    scaling; cross-cell near-dups at the Voronoi boundary are the
+    recall loss, bounded by cluster granularity)."""
+    pairs = semantic_dedup_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        n_cells=n_cells, quantize=quantize, centroids=centroids,
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash_sketch(
     df: DataFrame,
     text_col: str = "text",

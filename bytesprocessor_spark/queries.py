@@ -602,6 +602,8 @@ _CHECK_ORDER = [
     "stream_cdc_apply",
     # --- queued for the round-4 window ---
     "similarity_ivf_index_topk",
+    "dedup_semantic_pairs",
+    "dedup_semantic_keep",
     "agg_cube",
     "join_cross",
     "window_sliding",

@@ -322,6 +322,88 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+# SemDeDup (cluster-bounded semantic dedup) ----------------------------------
+# Shared CTE: sampled-centroid cells re-derived FROM THE DATA in both
+# engines (lowest-id vectors; exact-integer fixed-point cosine), so the
+# cluster assignment — hence the bounded pair space — is bit-identical
+# with no literal centroid tables in the SQL.
+
+_QUANT_EMB = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+_COS_AB = (
+    "list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a}))"
+    " * SQRT(list_dot_product({b}, {b})))"
+)
+
+_SEMDEDUP_CELLS = 32
+_SEMDEDUP_T = 0.42
+
+_DUCK_SEMDEDUP_PAIRS = f"""
+    WITH e AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+    cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cv
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_CELLS})),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS_AB.format(a='e.v', b='c.cv')} DESC, c.cell) AS rk
+        FROM e CROSS JOIN cent c)
+      WHERE rk = 1),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_AB.format(a='a.v', b='b.v')} AS sim
+      FROM assign a JOIN assign b USING (cell)
+      WHERE a.vec_id < b.vec_id)
+"""
+
+
+@query(
+    "dedup_semantic_pairs",
+    _DUCK_SEMDEDUP_PAIRS
+    + f"""
+    SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM p WHERE sim >= {_SEMDEDUP_T}
+    """,
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2c SemDeDup (arXiv:2303.09540): cluster-bounded semantic
+    near-dup pairs — coarse Voronoi cells bound the pair scan to
+    same-cell pairs, turning O(n²) into O(Σ|cell|²).  Map-only Arrow
+    GEMM assignment + one shuffle on the int cell id; the oracle
+    re-derives the identical cells from the data (no literals)."""
+    from bytesprocessor_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(
+        emb, threshold=_SEMDEDUP_T, n_cells=_SEMDEDUP_CELLS, quantize=True
+    )
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "dedup_semantic_keep",
+    _DUCK_SEMDEDUP_PAIRS
+    + f"""
+    , drop AS (SELECT DISTINCT id_b FROM p WHERE sim >= {_SEMDEDUP_T})
+    SELECT COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids
+    FROM e WHERE vec_id NOT IN (SELECT id_b FROM drop)
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2c SemDeDup end-to-end: greedy keep-lowest-id survivors over
+    the cluster-bounded pair graph (pairs -> distinct larger ids ->
+    left-anti join; same survivor rule as dedup_embedding_keep with
+    the linear-scaling cell-bounded scan)."""
+    from bytesprocessor_spark.operators.dedup import semantic_dedup_keep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = semantic_dedup_keep(
+        emb, threshold=_SEMDEDUP_T, n_cells=_SEMDEDUP_CELLS, quantize=True
+    )
+    return kept.agg(
+        F.count("*").alias("n_kept"), F.sum("vec_id").alias("sum_kept_ids")
+    )
+
+
 # ---------------------------------------------------------------------------
 # L3 similarity search
 # ---------------------------------------------------------------------------

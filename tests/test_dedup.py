@@ -226,6 +226,52 @@ def test_srp_prefiltered_subset_of_exact(spark):
     assert len(filtered) > 0
 
 
+def test_semantic_dedup_recall_and_subset(spark):
+    """SemDeDup's cluster-bounded pair scan: (a) planted near-dups
+    (cosine ~0.999 — jittered copies land in the same Voronoi cell) are
+    recalled near-totally; (b) the pair set is a subset of the exact
+    all-pairs scan at the same threshold (the cell bound only removes
+    pairs, never invents them); (c) keep-set = corpus minus dropped
+    larger ids."""
+    import random
+
+    from bytesprocessor_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        semantic_dedup_keep,
+        semantic_dedup_pairs,
+    )
+
+    rng = random.Random(11)
+    dim = 64
+    rows = []
+    for i in range(200):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    planted = []
+    for j in range(40):
+        base_id = j * 4
+        dup = [x + rng.gauss(0, 0.02) for x in rows[base_id][1]]
+        rows.append((1000 + j, dup))
+        planted.append((base_id, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(df, threshold=0.9, n_cells=16).collect()
+    }
+    recalled = sum(1 for p in planted if p in pairs)
+    assert recalled >= 36, f"recall {recalled}/40 below 90%"
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert pairs <= exact
+
+    kept = {r.vec_id for r in semantic_dedup_keep(df, threshold=0.9, n_cells=16).collect()}
+    dropped = {b for (_, b) in pairs}
+    assert kept == {i for (i, _) in rows} - dropped
+
+
 def test_connected_components_topologies(spark):
     """Chain, triangle, and an isolated pair: min-label propagation
     must find the transitive component, which per-pair rules miss."""
