@@ -604,6 +604,8 @@ _CHECK_ORDER = [
     "similarity_ivf_index_topk",
     "dedup_semantic_pairs",
     "dedup_semantic_keep",
+    "text_tfidf_topterms",
+    "text_unigram_surprisal",
     "agg_cube",
     "join_cross",
     "window_sliding",

@@ -1399,6 +1399,132 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# L4i TF-IDF ----------------------------------------------------------------
+# Integer-exact scoring: idf is quantized to a BIGINT once per token
+# (ROUND(LN((N+1)/(df+1)) * 1e6)), so score = tf * idf_q is exact
+# integer arithmetic — the per-doc ranking can't diverge across
+# engines on final-ulp float noise.
+
+_DUCK_TFIDF = f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT tok, CAST(ROUND(LN((n_docs + 1.0) / (df + 1.0)) * 1000000) AS BIGINT) AS idf_q
+      FROM dfreq CROSS JOIN n),
+    s AS (
+      SELECT tf.doc_id, tf.tok, tf.tf * idf.idf_q AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * idf.idf_q DESC, tf.tok) AS rk
+      FROM tf JOIN idf USING (tok))
+    SELECT doc_id, tok, score, rk FROM s WHERE rk <= 3
+"""
+
+
+@query("text_tfidf_topterms", _DUCK_TFIDF)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4i TF-IDF top terms per document — the classic salient-term
+    extractor (keyword indexing, topic tagging, probe-set construction
+    for decontamination).
+
+    Plan shape: one token explode (map-only), one shuffle on
+    (doc_id, token) for tf; df derives from the tf table itself
+    (one more shuffle on token — already (doc,token)-distinct, so no
+    second pass over the corpus); N arrives as a broadcast single-row
+    cross join; the idf side of the scoring join is vocabulary-sized,
+    so it broadcasts.  Top-3 per doc via window rank on the exact
+    integer score."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n)).select(
+        "tok",
+        F.round(
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("idf_q"),
+    )
+    scored = tf.join(F.broadcast(idf), "tok").withColumn(
+        "score", F.col("tf") * F.col("idf_q")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "score", "rk")
+    )
+
+
+# L4j unigram LM surprisal (CCNet-style quality score) -----------------------
+# The in-engine stand-in for CCNet's KenLM perplexity filter
+# (arXiv:1911.00359): score each document by the mean negative log
+# probability of its tokens under the corpus unigram LM, then bucket
+# into head/middle/tail terciles.  Per-token surprisal is quantized to
+# a BIGINT so the per-doc sum is order-independent exact integer math.
+
+_DUCK_SURPRISAL = f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n FROM t),
+    lp AS (SELECT tok, CAST(ROUND(LN(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS lp_q
+           FROM cnt CROSS JOIN tot),
+    d AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(lp.lp_q) AS s
+      FROM t JOIN lp USING (tok) GROUP BY t.doc_id),
+    r AS (
+      SELECT doc_id, n_tokens,
+             ROUND(s / 1000000.0 / n_tokens, 6) AS mean_surprisal,
+             NTILE(3) OVER (ORDER BY (s * 1000) // n_tokens, doc_id) AS bucket
+      FROM d)
+    SELECT doc_id, n_tokens, mean_surprisal, bucket FROM r
+"""
+
+
+@query("text_unigram_surprisal", _DUCK_SURPRISAL)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4j unigram-LM surprisal quality score (CCNet-style,
+    arXiv:1911.00359): mean -ln p(token) per document under the
+    corpus's own unigram model; tercile buckets mirror CCNet's
+    head/middle/tail split (low surprisal = common fluent text).
+
+    Plan shape: one token explode, one shuffle on token for counts,
+    the vocabulary-sized lp table broadcasts back onto the token
+    stream, one shuffle on doc_id for the per-doc sum.  The tercile
+    NTILE ranks on integer-division surprisal with a doc_id tiebreak,
+    so bucket boundaries are deterministic in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    cnt = t.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = t.agg(F.count("*").alias("n"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.log(F.col("n").cast("double") / F.col("c")) * 1000000.0)
+        .cast("long")
+        .alias("lp_q"),
+    )
+    d = (
+        t.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp_q").alias("s"))
+    )
+    w = Window.orderBy(
+        (F.col("s") * 1000 / F.col("n_tokens")).cast("long"), F.col("doc_id")
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("s") / 1000000.0 / F.col("n_tokens"), 6).alias("mean_surprisal"),
+        F.ntile(3).over(w).alias("bucket"),
+    )
+
+
 _DUCK_MIXTURE = """
     WITH s AS (
       SELECT source, COUNT(*) AS n_docs,

@@ -34,3 +34,44 @@ def test_winnow_short_doc_single_window(spark):
     df = spark.createDataFrame([(1, "tiny")], "doc_id int, text string")
     fps = df.select(winnow_fingerprints(F.col("text")).alias("f")).collect()[0].f
     assert len(fps) == 1  # one clamped gram, one window
+
+
+def test_tfidf_rare_term_ranks_first(spark):
+    """A term unique to one document must out-score that document's
+    corpus-wide common terms (tf equal => idf decides), and every doc
+    gets at most 3 ranked terms with contiguous ranks."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    text_tfidf_topterms = QUERIES["text_tfidf_topterms"]
+    common = "alpha beta gamma delta"
+    rows = [(i, f"{common} filler{i % 2}") for i in range(10)]
+    rows.append((99, f"{common} zyzzyva"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet("/tmp/bp_tfidf_docs/documents.parquet")
+    out = text_tfidf_topterms(spark, "/tmp/bp_tfidf_docs").collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top99 = min(by_doc[99], key=lambda r: r.rk)
+    assert top99.tok == "zyzzyva"
+    for doc, rs in by_doc.items():
+        assert sorted(r.rk for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    """A document of corpus-rare tokens must land in a higher-surprisal
+    bucket than a document repeating the corpus's dominant token, and
+    terciles must partition all docs."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    text_unigram_surprisal = QUERIES["text_unigram_surprisal"]
+    rows = [(i, "common " * 20) for i in range(8)]
+    rows.append((100, "uncommon weird outlier vocabulary thing"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet("/tmp/bp_surp_docs/documents.parquet")
+    out = {r.doc_id: r for r in text_unigram_surprisal(spark, "/tmp/bp_surp_docs").collect()}
+    assert len(out) == 9
+    assert out[100].mean_surprisal > out[0].mean_surprisal
+    assert out[100].bucket == 3  # rarest doc in the tail tercile
+    assert {r.bucket for r in out.values()} <= {1, 2, 3}
