@@ -68,7 +68,16 @@ def to_matrix(series, quantize: bool):
 
 def cosine_pairs_udf(quantize: bool):
     """Vectorized (v_a, v_b) -> cosine pandas UDF for pair verification
-    after a candidate join."""
+    after a candidate join.
+
+    Marked nondeterministic (it isn't — it's a pure function) purely to
+    stop Catalyst's expression duplication: the common call shape
+    ``withColumn("sim", udf).where(sim >= t)`` otherwise compiles to
+    TWO ArrowEvalPython nodes (one feeding the Filter, one recomputing
+    the projected value), doubling the Python-worker cost of every
+    verify join.  The flag forces a single evaluation with the filter
+    applied above it; it only constrains optimizer freedom, never
+    results."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -84,7 +93,7 @@ def cosine_pairs_udf(quantize: bool):
         nb = np.sqrt(np.einsum("ij,ij->i", B, B))
         return pd.Series(dots / (na * nb))
 
-    return _cos
+    return _cos.asNondeterministic()
 
 
 def int8_scale(a: Column) -> Column:

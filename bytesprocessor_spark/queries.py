@@ -606,6 +606,7 @@ _CHECK_ORDER = [
     "dedup_semantic_keep",
     "text_tfidf_topterms",
     "text_unigram_surprisal",
+    "stream_interval_join",
     "agg_cube",
     "join_cross",
     "window_sliding",

@@ -203,3 +203,77 @@ def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+@query(
+    "stream_interval_join",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8: stream-stream interval join — view→purchase attribution
+    (purchase by the same user within 2 hours of a view), both sides
+    unbounded streams over the events fixture, drained with
+    availableNow into a memory sink.
+
+    The time-interval condition + watermarks are what BOUND the join
+    state at scale: a buffered view is evictable once the purchase-side
+    watermark passes view.ts + 2h.  Draining the full fixture in order
+    means no matches are watermark-dropped, so the batch SQL replay is
+    exact — equality IS the state-eviction-correctness signal (an
+    over-eager eviction would lose pairs)."""
+    from bytesprocessor_spark.streaming.joins import interval_join
+
+    ev_schema = _t(spark, sf_dir, "events").schema
+    land = tempfile.mkdtemp(prefix="bp_ssjoin_src_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(land, "events.parquet"),
+    )
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev_schema)
+            .parquet(land)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+        )
+
+    views = side("view", "view").drop("view_value")
+    purchases = side("purchase", "purchase")
+    joined = interval_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="2 hours",
+        watermark="1 minute",
+    )
+    out = joined.select(
+        F.col("view_id"),
+        F.col("purchase_id"),
+        F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
+    )
+    sink = f"bp_ssjoin_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

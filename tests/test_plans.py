@@ -374,3 +374,44 @@ def test_centroids_partial_aggregate_before_shuffle(spark):
     df = QUERIES["embedding_centroids"](spark, SF_DIR)
     plan = executed_plan(df)
     assert "partial_sum" in plan
+
+
+def test_semantic_dedup_cell_equijoin_only(spark):
+    """SemDeDup's pair scan must be the cell equi-join — no nested-loop
+    or cartesian over corpus x corpus (that would be the O(n^2) plan
+    the cluster bound exists to avoid); assignment stays a map-side
+    Arrow eval, never a join against a centroid table."""
+    df = QUERIES["dedup_semantic_pairs"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # hash equi-join on the cell key (broadcast at fixture scale; a
+    # shuffle join at corpus scale — both are the bounded-pair shape)
+    assert "Join [cell" in plan or "Join cell" in plan or "HashJoin [cell" in plan or "BroadcastHashJoin [cell" in plan
+
+
+def test_tfidf_idf_broadcasts_onto_tf(spark):
+    """The vocabulary-sized idf table must broadcast onto the (doc,
+    token) tf stream — shuffling the corpus-sized tf side on token to
+    meet a tiny dimension is the classic scale regression."""
+    df = QUERIES["text_tfidf_topterms"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+
+
+def test_surprisal_lp_broadcasts_onto_token_stream(spark):
+    """Unigram surprisal joins the vocabulary-sized lp table back onto
+    the exploded token stream as a broadcast; per-doc sums are integer
+    (order-independent) so partial aggregation is safe and expected."""
+    df = QUERIES["text_unigram_surprisal"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+
+
+def test_verify_cosine_single_python_eval(spark):
+    """The pair-verify cosine must be evaluated ONCE: the
+    withColumn+filter shape otherwise compiles to two ArrowEvalPython
+    nodes (one feeding the Filter, one recomputing the projection),
+    doubling the Python-worker cost of every verify join.  Pinned via
+    the nondeterministic flag on cosine_pairs_udf."""
+    for name in ("dedup_semantic_pairs", "dedup_embedding_lsh"):
+        plan = executed_plan(QUERIES[name](spark, SF_DIR))
+        assert plan.count("_cos(") == 1, f"{name}: {plan.count('_cos(')} evals"
