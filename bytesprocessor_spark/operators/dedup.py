@@ -523,27 +523,44 @@ def simhash_sketch(
     out_col: str = "simhash",
     shingle_size: int = 4,
     n_blocks: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash sketch stored as ``n_blocks`` block values
-    (array<long>, 16 bits each for the default 4): per shingle take
-    xxhash64, sum signed contributions per bit position, sign -> bit.
+    """SimHash sketch stored as ``n_blocks`` block values (array<long>):
+    per shingle take a 64-bit hash, sum signed contributions per bit
+    position, sign -> bit.
 
-    One pass over the shingle array builds all 64 bit-counters
+    ``hash_mode``:
+      * ``"xxhash64"`` (default) — 64 bits, the fast JVM-native path.
+      * ``"md5"`` — 60 bits from the first 15 hex chars of md5(shingle)
+        (stays inside a signed long); md5 is identical in every engine,
+        so this mode is the DuckDB-oracle-checkable form.  Same
+        sketch semantics, ~same precision (60 vs 64 bits), slightly
+        slower hash.
+
+    One pass over the shingle array builds all bit-counters
     (aggregate + zip_with); the counters are materialized as an
     intermediate column so the packing step doesn't duplicate the
-    aggregation 64× in the expression tree.  Block form (instead of
-    one packed int64) is what the pigeonhole join needs anyway and
+    aggregation per-bit in the expression tree.  Block form (instead
+    of one packed int64) is what the pigeonhole join needs anyway and
     avoids 64-bit sign/overflow concerns under ANSI mode.
     """
-    width = 64 // n_blocks
-    hashes = F.transform(char_ngrams(F.col(text_col), shingle_size), lambda s: F.xxhash64(s))
+    if hash_mode == "xxhash64":
+        n_bits = 64
+        hasher = lambda s: F.xxhash64(s)  # noqa: E731
+    elif hash_mode == "md5":
+        n_bits = 60
+        hasher = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    width = n_bits // n_blocks
+    hashes = F.transform(char_ngrams(F.col(text_col), shingle_size), hasher)
     counts = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
                 lambda j: F.when(F.getbit(h, j) == 1, F.lit(1))
                 .otherwise(F.lit(-1))
                 .cast("long"),
@@ -572,12 +589,13 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup candidates: any pair within ``max_hamming <
     n_blocks`` bits must agree exactly on at least one block
     (pigeonhole) — equi-join per block index+value, then verify the
     exact Hamming distance over all blocks."""
-    sk = simhash_sketch(df, text_col=text_col, n_blocks=n_blocks).select(
+    sk = simhash_sketch(df, text_col=text_col, n_blocks=n_blocks, hash_mode=hash_mode).select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sh")
     )
     blocked = sk.select(

@@ -366,16 +366,41 @@ def srp_candidate_pairs(
     verified from it — is deterministic and engine-independent.
     Returns distinct (id_a, id_b), id_a < id_b.
     """
+    tagged = srp_tag_table(df, id_col, vec_col, dim, n_planes, n_tables, seed)
+    a = tagged.select(F.col("id").alias("id_a"), "tbl", "bkt")
+    b = tagged.select(F.col("id").alias("id_b"), "tbl", "bkt")
+    return (
+        a.join(b, ["tbl", "bkt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def srp_tag_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, tbl, bkt) tag table: one row per (vector, hash table),
+    bucket = packed sign bits of the integer-quantized hyperplane
+    projections.  One Arrow-batched GEMM against the
+    [tables*planes, dim] plane matrix computes every sign bit at once.
+    (Expression-tree forms — one giant array-of-structs or per-table
+    unrolled scalar chains — were measured to blow up Janino
+    compilation at dim 64.)  Exact-integer arithmetic keeps the tags
+    engine-independent (the DuckDB oracles re-derive the same planes
+    via :func:`srp_planes_q`)."""
     from pyspark.sql.functions import pandas_udf
 
     from bytesprocessor_spark.functions.vectors import to_matrix
 
     planes = srp_planes_q(dim, n_planes, n_tables, seed)
 
-    # One Arrow-batched GEMM against the [tables*planes, dim] plane
-    # matrix computes every sign bit at once.  (Expression-tree forms —
-    # one giant array-of-structs or per-table unrolled scalar chains —
-    # were measured to blow up Janino compilation at dim 64.)
     @pandas_udf("array<long>")
     def _tags(v: pd.Series) -> pd.Series:
         import numpy as np
@@ -388,17 +413,60 @@ def srp_candidate_pairs(
         bkts = ((dots > 0).astype(np.int64) * (1 << np.arange(P.shape[1]))).sum(axis=2)
         return pd.Series(list(bkts))
 
-    tagged = df.select(
+    return df.select(
         F.col(id_col).alias("id"),
         F.posexplode(_tags(F.col(vec_col))).alias("tbl", "bkt"),
     )
-    a = tagged.select(F.col("id").alias("id_a"), "tbl", "bkt")
-    b = tagged.select(F.col("id").alias("id_b"), "tbl", "bkt")
-    return (
-        a.join(b, ["tbl", "bkt"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+
+
+def srp_topk_q(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized-SRP approximate top-k: both sides are tagged with the
+    same integer hyperplanes (:func:`srp_tag_table`), candidates are
+    the same-(table, bucket) pairs, scored ONCE per distinct pair with
+    the exact fixed-point cosine — fully deterministic and
+    engine-independent, so unlike the float :func:`lsh_topk` this form
+    is DuckDB-oracle-checkable.
+
+    One shuffle on (tbl, bkt), one on the distinct pair key; the pair
+    space shrinks ~2**n_planes-fold per table.  Output:
+    (query_id, vec_id, sim) — sim on 1e-6 fixed-point vectors."""
+    from bytesprocessor_spark.functions.vectors import cosine_pairs_udf
+
+    quant = lambda c: F.transform(c, lambda x: F.round(x.cast("double") * 1000000.0))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias("vec_id"), quant(F.col(vec_col)).alias("__cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), quant(F.col(query_vec_col)).alias("__qv")
+    )
+    ctag = srp_tag_table(c, "vec_id", "__cv", dim, n_planes, n_tables, seed)
+    qtag = srp_tag_table(q, "query_id", "__qv", dim, n_planes, n_tables, seed)
+    cand = (
+        ctag.select(F.col("id").alias("vec_id"), "tbl", "bkt")
+        .join(qtag.select(F.col("id").alias("query_id"), "tbl", "bkt"), ["tbl", "bkt"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
         .distinct()
+    )
+    paired = cand.join(c, "vec_id").join(q, "query_id")
+    scored = paired.withColumn(
+        "sim", cosine_pairs_udf(False)(F.col("__qv"), F.col("__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim")
     )
 
 

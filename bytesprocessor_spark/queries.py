@@ -545,8 +545,9 @@ QUERIES.update(_NO_ORACLE)
 #
 # After position 50: the new persisted-IVF row and 8 same-family
 # variants queued for the round-4 window, then the round-2-proven
-# prefix, then the 2 declared no-oracle entries (engine-specific
-# hashing; pinned by pytest recall tests).
+# prefix.  As of round 3 every entry has a DuckDB oracle: the two
+# formerly-declared-no-oracle entries were converted (simhash -> md5
+# hash mode, LSH top-k -> quantized-SRP form).
 _CHECK_ORDER = [
     # --- round-3 driver window: 48 never-driver-checked entries ---
     "grouping_sets_sql",
@@ -607,6 +608,11 @@ _CHECK_ORDER = [
     "text_tfidf_topterms",
     "text_unigram_surprisal",
     "stream_interval_join",
+    # converted from declared-no-oracle in round 3: simhash now runs
+    # its md5 hash mode (bit-identical in DuckDB), LSH top-k its
+    # quantized-SRP form (literal integer hyperplanes in the SQL)
+    "dedup_simhash_pairs",
+    "similarity_lsh_topk",
     "agg_cube",
     "join_cross",
     "window_sliding",
@@ -666,9 +672,6 @@ _CHECK_ORDER = [
     "text_pii_scrub",
     "embedding_quantize",
     "text_bpe_tokens",
-    # --- declared no-oracle (engine-specific hashing; pytest-pinned) ---
-    "dedup_simhash_pairs",
-    "similarity_lsh_topk",
 ]
 
 

@@ -193,18 +193,68 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("id_a", "id_b")
 
 
-def _simhash_queries_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 SimHash: 64-bit sketch + pigeonhole block join + Hamming
-    verify.  xxhash64 isn't reproducible in DuckDB, so this entry has
-    no SQL oracle (driver records the weaker rows-only check); the
-    semantics are pinned by tests/test_dedup.py instead."""
+def _duck_simhash_sql(max_hamming: int = 3, n_blocks: int = 4, shingle: int = 4) -> str:
+    """DuckDB mirror of the md5-mode SimHash pipeline: 60-bit hash from
+    the first 15 hex chars of md5(shingle) (bit-identical to Spark's
+    conv(substr(md5,1,15),16,10)), per-bit signed sums, sign bits
+    packed MSB-first into ``n_blocks`` 15-bit blocks, pigeonhole OR
+    join on block equality, exact Hamming verify via bit_count(xor)."""
+    n_bits = 60
+    width = n_bits // n_blocks
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
+        for j in range(n_bits)
+    )
+    blocks = []
+    for b in range(n_blocks):
+        terms = [
+            f"(CASE WHEN c{b * width + j} > 0 THEN {1 << (width - 1 - j)} ELSE 0 END)"
+            for j in range(width)
+        ]
+        blocks.append(f"{' + '.join(terms)} AS b{b}")
+    block_sel = ",\n             ".join(blocks)
+    or_cond = " OR ".join(f"a.b{b} = b.b{b}" for b in range(n_blocks))
+    ham = " + ".join(f"bit_count(xor(a.b{b}, b.b{b}))" for b in range(n_blocks))
+    return f"""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([substr(t, i, {shingle})
+                                   for i in range(1, greatest(len(t) - {shingle - 1}, 1) + 1)])) AS s
+      FROM d),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM h GROUP BY doc_id),
+    blk AS (
+      SELECT doc_id,
+             {block_sel}
+      FROM bits),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             {ham} AS hamming
+      FROM blk a JOIN blk b
+        ON a.doc_id < b.doc_id AND ({or_cond}))
+    SELECT id_a, id_b, hamming FROM p WHERE hamming <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", _duck_simhash_sql())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 SimHash: sketch + pigeonhole block join + Hamming verify, in
+    the md5 hash mode whose 60-bit shingle hash is bit-identical in
+    DuckDB — so the whole pipeline (bit sums, block packing, pigeonhole
+    candidates, exact Hamming) is hash-checkable cross-engine.  The
+    xxhash64 fast path keeps the same plan shape and is pinned by
+    tests/test_dedup.py."""
     from bytesprocessor_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3, n_blocks=4)
+    return simhash_near_dup_pairs(docs, max_hamming=3, n_blocks=4, hash_mode="md5")
 
 
-QUERIES_NO_ORACLE = {"dedup_simhash_pairs": _simhash_queries_entry}
+QUERIES_NO_ORACLE: dict = {}
 
 
 _QUANT_E = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
@@ -458,19 +508,60 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _similarity_lsh_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path: SRP-LSH bucketed ANN (approximate — no SQL
-    oracle; recall vs brute force is asserted in tests)."""
-    from bytesprocessor_spark.operators.similarity import lsh_topk
+_SRP_TOPK = dict(dim=64, n_planes=4, n_tables=8, seed=42)
+
+
+def _duck_srp_topk_sql(k: int = 5) -> str:
+    """DuckDB mirror of srp_topk_q: same literal integer hyperplanes
+    (operators/similarity.srp_planes_q), tag join corpus x queries on
+    (tbl, bkt), distinct candidates, exact quantized cosine, window
+    top-k with the same (sim DESC, vec_id) tiebreak."""
+    from bytesprocessor_spark.operators.similarity import srp_planes_q
+
+    planes = srp_planes_q(**_SRP_TOPK)
+    tag_selects = []
+    for t, tbl_planes in enumerate(planes):
+        bits = []
+        for p, plane in enumerate(tbl_planes):
+            arr = "[" + ",".join(str(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        tag_selects.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM e")
+    tags = "\n      UNION ALL\n      ".join(tag_selects)
+    return f"""
+    WITH e AS (SELECT vec_id, {_QUANT_E} AS v FROM embeddings),
+    tag AS ({tags}),
+    cand AS (SELECT DISTINCT tq.vec_id AS query_id, tc.vec_id AS vec_id
+             FROM tag tq JOIN tag tc ON tq.tbl = tc.tbl AND tq.bkt = tc.bkt
+             WHERE tq.vec_id < 10 AND tc.vec_id <> tq.vec_id),
+    s AS (SELECT query_id, cand.vec_id,
+                 list_dot_product(x.v, y.v)
+                   / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v))) AS sim
+          FROM cand JOIN e x ON query_id = x.vec_id JOIN e y ON cand.vec_id = y.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rk FROM s)
+    SELECT query_id, vec_id, ROUND(sim, 6) AS sim FROM r WHERE rk <= {k}
+    """
+
+
+@query("similarity_lsh_topk", _duck_srp_topk_sql(5))
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: SRP-LSH bucketed approximate top-k in the
+    quantized (oracle-checkable) form — integer hyperplane tags on both
+    sides, candidate equi-join on (table, bucket), exact fixed-point
+    cosine, deterministic (sim DESC, vec_id) top-5.  The float-plane
+    lsh_topk operator keeps the same plan shape; recall floors are
+    pinned in tests/test_similarity.py."""
+    from bytesprocessor_spark.operators.similarity import srp_topk_q
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return lsh_topk(emb, q, dim=64, k=5, n_planes=4, n_tables=8)
-
-
-QUERIES_NO_ORACLE["similarity_lsh_topk"] = _similarity_lsh_entry
+    out = srp_topk_q(emb, q, k=5, **_SRP_TOPK)
+    return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
 
 
 _COS = (
