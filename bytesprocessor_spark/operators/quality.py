@@ -128,3 +128,37 @@ def nan_free_floats(df: DataFrame) -> DataFrame:
     for c in float_cols:
         out = out.where(~F.isnan(F.col(c)) | F.col(c).isNull())
     return out
+
+
+def observe_quality(
+    df: DataFrame,
+    name: str = "quality",
+    not_null: list[str] = (),
+    stats: list[str] = (),
+):
+    """In-flight quality metrics via Spark's Observation API: attach
+    null-violation counters and min/max/count stats to the plan so they
+    are computed DURING whatever action the caller already runs — zero
+    extra scan, unlike :func:`null_counts` which costs its own pass.
+    The 100 TB posture for continuous monitoring: the metrics ride the
+    production write.
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` (a dict) AFTER the first action on the
+    returned frame.  Works on batch frames; for streams use
+    ``df.observe(name, ...)`` + a QueryListener instead.
+    """
+    from pyspark.sql import Observation
+
+    by_type = dict(df.dtypes)
+    metrics: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null:
+        cond = F.col(c).isNull()
+        if by_type.get(c) in ("double", "float"):
+            cond = cond | F.isnan(F.col(c))
+        metrics.append(F.sum(cond.cast("long")).alias(f"null_{c}"))
+    for c in stats:
+        metrics.append(F.min(c).alias(f"min_{c}"))
+        metrics.append(F.max(c).alias(f"max_{c}"))
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -208,3 +208,36 @@ def compact_parquet(
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
     fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
     return int(n_files)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema=None,
+    tolerant: bool = False,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """XML scan (S6; built into Spark 4's sql core — no external
+    package).  ``row_tag`` names the repeated element that becomes a
+    row.  Supply ``schema`` in production — inference is an extra full
+    pass.  ``tolerant`` switches to PERMISSIVE with the malformed
+    fragment captured in ``corrupt_col`` (requires ``schema``), the
+    same quarantine posture as :func:`read_csv_tolerant`."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if tolerant:
+        if schema is None:
+            raise ValueError("tolerant XML read requires an explicit schema")
+        reader = (
+            reader.schema(f"{schema}, {corrupt_col} string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+        )
+    elif schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """XML sink (S6)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

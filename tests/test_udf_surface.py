@@ -225,3 +225,50 @@ def test_orc_roundtrip(spark, tmp_path):
         (1, "a", 1.5, (1.0, 2.0)),
         (2, "b", 2.5, (3.0,)),
     ]
+
+
+def test_xml_roundtrip_and_tolerant(spark, tmp_path):
+    """S6 XML surface: write -> read round-trip via Spark 4's built-in
+    XML source, plus the PERMISSIVE quarantine posture on a malformed
+    fragment (type-mismatched field lands in the corrupt column, good
+    rows survive)."""
+    from bytesprocessor_spark.sources.tables import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id long, name string"
+    )
+    p = str(tmp_path / "xml_out")
+    write_xml(df, p, row_tag="rec")
+    back = read_xml(spark, p, row_tag="rec")
+    assert {(r.id, r.name) for r in back.collect()} == {(1, "alpha"), (2, "beta"), (3, "gamma")}
+
+    bad = str(tmp_path / "bad.xml")
+    with open(bad, "w") as f:
+        f.write(
+            "<rows><rec><id>1</id><name>ok</name></rec>"
+            "<rec><id>not_a_number</id><name>broken</name></rec></rows>"
+        )
+    tol = read_xml(spark, bad, row_tag="rec", schema="id long, name string", tolerant=True)
+    rows = tol.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    quarantined = [r for r in rows if r._corrupt_record is not None]
+    assert [(r.id, r.name) for r in good] == [(1, "ok")]
+    assert len(quarantined) == 1
+
+
+def test_observe_quality_rides_the_action(spark, tmp_path):
+    """Q3 in-flight metrics: observation values must arrive from the
+    SAME action that writes the output (no second scan), and count
+    nulls/NaNs + min/max correctly."""
+    from bytesprocessor_spark.operators.quality import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, float("nan")), (3, None), (4, 7.5)],
+        "id long, v double",
+    )
+    observed, obs = observe_quality(df, not_null=["v"], stats=["id"])
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["null_v"] == 2  # one NULL + one NaN
+    assert m["min_id"] == 1 and m["max_id"] == 4
