@@ -184,9 +184,11 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[f"m{b * rows + r}" for r in range(rows)])
-                        ).alias("bh"),
+                        # hash the band's signature columns DIRECTLY
+                        # (multi-arg xxhash64 over longs) — the
+                        # concat_ws string form materializes ~20 chars
+                        # x bands per row just to throw them away
+                        F.xxhash64(*[f"m{b * rows + r}" for r in range(rows)]).alias("bh"),
                     )
                     for b in range(bands)
                 ]
