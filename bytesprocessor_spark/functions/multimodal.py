@@ -243,3 +243,63 @@ def audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+_EXT_TO_KIND = {
+    "png": ("image", "image/png"),
+    "bmp": ("image", "image/bmp"),
+    "ppm": ("image", "image/x-portable-pixmap"),
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "wav": ("audio", "audio/wav"),
+    "flac": ("audio", "audio/flac"),
+    "mp3": ("audio", "audio/mpeg"),
+    "mp4": ("video", "video/mp4"),
+    "mkv": ("video", "video/x-matroska"),
+    "webm": ("video", "video/webm"),
+}
+
+
+def ingest_media_dir(
+    spark,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of raw media files into the L5 media-table
+    shape (:data:`MEDIA_SCHEMA` columns) via Spark's built-in
+    ``binaryFile`` source: one task per file, payload as BinaryType,
+    kind/mime derived from the extension, source path + length +
+    modification time carried as typed metadata.
+
+    ``media_id`` is the xxhash64 of the file path — stable across
+    re-ingests (re-running over a grown directory keeps existing ids),
+    which is what the downstream dedup/feature tables key on.  At lake
+    scale, pair with ``partitionBy("kind")`` on the write so decode
+    jobs scan only their modality.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    files = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kind = F.lit(None).cast("string")
+    mime = F.lit(None).cast("string")
+    for e, (k, m) in _EXT_TO_KIND.items():
+        kind = F.when(ext == e, F.lit(k)).otherwise(kind)
+        mime = F.when(ext == e, F.lit(m)).otherwise(mime)
+    return files.select(
+        F.xxhash64("path").alias("media_id"),
+        F.coalesce(kind, F.lit("unknown")).alias("kind"),
+        mime.alias("mime"),
+        F.col("content").alias("payload"),
+        F.create_map(
+            F.lit("src_path"), F.col("path"),
+            F.lit("n_bytes"), F.col("length").cast("string"),
+            F.lit("mtime"), F.col("modificationTime").cast("string"),
+        ).alias("meta"),
+    )

@@ -169,3 +169,41 @@ def test_audio_features_spark_end_to_end_real_codec(spark):
     assert got[1].sample_rate == 8000 and got[1].n_samples == 800
     assert got[1].duration_s == pytest.approx(0.1)
     assert got[2].sample_rate is None  # corrupt payload -> null row
+
+
+def test_ingest_media_dir_end_to_end(spark, tmp_path):
+    """L5 ingest: a directory of real PNG + WAV files becomes the
+    media-table shape via binaryFile (stable hash ids, kind/mime from
+    extension, metadata map), and the ingested payloads decode through
+    the real codec path."""
+    import numpy as np
+
+    from bytesprocessor_spark.functions.imagecodec import decode_image, encode_png
+    from bytesprocessor_spark.functions.multimodal import (
+        image_features,
+        ingest_media_dir,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    px = _test_pixels(4, 4)
+    (d / "a.png").write_bytes(encode_png(px))
+    (d / "b.png").write_bytes(encode_png(_test_pixels(3, 5, seed=9)))
+    (d / "c.wav").write_bytes(_wav_bytes(np.zeros(100, dtype=np.int16)))
+    (d / "notes.txt").write_text("not media")
+
+    media = ingest_media_dir(spark, str(d))
+    rows = {r.meta["src_path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert rows["a.png"].kind == "image" and rows["a.png"].mime == "image/png"
+    assert rows["c.wav"].kind == "audio"
+    assert rows["notes.txt"].kind == "unknown"
+    assert all(int(r.meta["n_bytes"]) == len(r.payload) for r in rows.values())
+
+    # re-ingest => identical ids (path-hash stability)
+    again = {r.meta["src_path"]: r.media_id for r in ingest_media_dir(spark, str(d)).collect()}
+    assert {r.meta["src_path"]: r.media_id for r in rows.values()} == again
+
+    images = media.where(media.kind == "image")
+    feats = image_features(images, codec=decode_image).collect()
+    dims = {(r.width, r.height) for r in feats}
+    assert dims == {(4, 4), (5, 3)}
