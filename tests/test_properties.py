@@ -127,3 +127,62 @@ def test_merge_topk_equals_global_topk(a, b, k):
     that makes per-micro-batch state updates correct."""
     incremental = merge_topk(merge_topk([], a, k), b, k)
     assert incremental == sorted(a + b, reverse=True)[:k]
+
+
+rgb_strategy = st.integers(1, 12).flatmap(
+    lambda h: st.integers(1, 12).flatmap(
+        lambda w: st.lists(
+            st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3
+        ).map(lambda px: (h, w, px))
+    )
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rgb_strategy)
+def test_png_bmp_roundtrip_any_pixels(dims):
+    """Built-in image codecs: encode -> decode is exact for ANY RGB
+    content at any small dimension (both PNG with its filter/zlib layer
+    and bottom-up-row BMP)."""
+    import numpy as np
+
+    from bytesprocessor_spark.functions.imagecodec import (
+        decode_image_builtin, encode_bmp, encode_png,
+    )
+
+    h, w, px = dims
+    rgb = np.array(px, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(decode_image_builtin(encode_png(rgb)), rgb)
+    assert np.array_equal(decode_image_builtin(encode_bmp(rgb)), rgb)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=500),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_decode_any_pcm16(samples, sr):
+    """decode_audio_wav: rate/sample-count exact, amplitude features
+    finite and bounded for any PCM-16 content."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from bytesprocessor_spark.functions.multimodal import decode_audio_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(np.array(samples, dtype="<i2").tobytes())
+    rate, n, feats = decode_audio_wav(buf.getvalue())
+    assert rate == sr and n == len(samples)
+    assert len(feats) == 8 and all(math.isfinite(f) for f in feats)
+    rms, mean_abs, peak, zcr = feats[:4]
+    assert abs(peak - max(abs(s) for s in samples) / 32768.0) < 1e-12
+    assert 0.0 <= rms <= abs(peak) + 1e-12 >= mean_abs >= 0.0
+    assert 0.0 <= zcr <= 1.0
+    assert abs(sum(feats[4:]) - 1.0) < 1e-9  # histogram fractions sum to 1
