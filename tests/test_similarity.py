@@ -191,3 +191,35 @@ def test_topk_similarity_dispatch(spark):
     assert sorted(map(tuple, forced.collect())) == sorted(
         map(tuple, brute_force_topk(emb, q, k=4).collect())
     )
+
+
+def test_srp_topk_q_recall_and_exact_sims(spark):
+    """The quantized (oracle-checkable) SRP top-k: recall vs brute
+    force meets the float-path floor, and every reported sim equals the
+    brute-force cosine on the same quantized vectors (the prefilter
+    only restricts candidates — it never perturbs scores)."""
+    from bytesprocessor_spark.operators.similarity import srp_topk_q
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    quant = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000000.0)).alias(
+            "embedding"
+        ),
+    )
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    qq = quant.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in brute_force_topk(quant, qq, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id): r.sim
+        for r in srp_topk_q(emb, q, dim=64, k=5, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"quantized SRP recall too low: {recall}"
+    for pair in set(exact) & set(approx):
+        assert abs(exact[pair] - approx[pair]) < 1e-9
