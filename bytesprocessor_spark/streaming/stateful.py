@@ -109,3 +109,56 @@ def topk_per_key(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def running_totals_tws(
+    df: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """ST6 on the modern API: the same per-key cumulative count/sum as
+    :func:`running_totals`, expressed with ``transformWithStateInPandas``
+    (Spark 4's arbitrary-state operator family) — typed state variables
+    on a RocksDB-backed store instead of one opaque tuple, and room for
+    timers/TTL that ``applyInPandasWithState`` lacks.  Requires
+    ``spark.sql.streaming.stateStore.providerClass`` set to the
+    RocksDB provider before the query starts, and the ``protobuf``
+    package (the state-server protocol) — absent that, the driver
+    worker fails at init and the test skips; :func:`running_totals`
+    is the dependency-free twin with identical semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_fields = ", ".join(f"{k} bigint" for k in keys)
+    out_schema = f"{key_fields}, n_events bigint, total double"
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    **{k: [key[i]] for i, k in enumerate(keys)},
+                    "n_events": [n],
+                    "total": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*keys).transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
