@@ -172,7 +172,12 @@ def ivf_assign_udf(centroids: list[list[float]], quantize: bool = False):
 
     from bytesprocessor_spark.functions.vectors import to_matrix
 
-    C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    # empty centroid list (empty corpus at sampling time): keep the
+    # matrix 2-D so construction succeeds; the UDF then only ever sees
+    # empty batches, which return before touching C
+    C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64).reshape(
+        len(centroids), len(centroids[0]) if centroids else 0
+    )
     nC = np.sqrt(np.einsum("ij,ij->i", C, C))
 
     @pandas_udf("int")

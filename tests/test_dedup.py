@@ -339,3 +339,29 @@ def test_round2_operators_handle_empty_input(spark, tmp_path):
     e2 = spark.createDataFrame([], "x long, y long")
     zorder_write(e2, str(tmp_path / "z"), [quantize("x", 0, 64), quantize("y", 0, 64)], n_files=2)
     assert spark.read.parquet(str(tmp_path / "z")).count() == 0
+
+
+def test_round3_operators_handle_empty_input(spark, tmp_path):
+    """Round-3 operators must degrade to empty output on empty input,
+    not throw — empty partitions are routine at scale."""
+    from bytesprocessor_spark.operators.dedup import (
+        semantic_dedup_keep,
+        semantic_dedup_pairs,
+        simhash_near_dup_pairs,
+    )
+    from bytesprocessor_spark.operators.similarity import srp_topk_q
+
+    # centroid sampling on an empty corpus yields zero cells; the pair
+    # scan and survivor set must both be empty
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup_pairs(empty_emb, n_cells=4).count() == 0
+    assert semantic_dedup_keep(empty_emb, n_cells=4).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert simhash_near_dup_pairs(empty_docs, hash_mode="md5").count() == 0
+
+    some = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    empty_q = spark.createDataFrame([], "query_id long, embedding array<float>")
+    assert srp_topk_q(some, empty_q, dim=8).count() == 0
