@@ -62,3 +62,38 @@ def pack_sequences(
     return out.withColumn(
         "seq_id", (F.col("seq_tokens_before") / F.lit(budget)).cast("long")
     )
+
+
+def length_batches(
+    df: DataFrame,
+    length_col: str,
+    batch_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed inference batching: assign rows to fixed-size
+    batches of length-adjacent documents so per-batch padding (every
+    sequence pads to its batch max) is minimal — the standard dynamic-
+    batching layout for LLM inference/scoring over a corpus.
+
+    One distributed sort on (length, id) — Spark range-partitions the
+    sort, so no single task sees the corpus — then batch id falls out
+    of the global row_number.  Returns per-batch stats:
+    (batch_id, n_rows, max_len, padded_tokens, padding_waste) where
+    padding_waste = padded - actual tokens; compare against
+    batch_size * corpus_max for the unsorted worst case.
+    """
+    w = Window.orderBy(F.col("__len").asc(), F.col(id_col).asc())
+    batched = df.select(
+        F.col(id_col), F.col(length_col).cast("long").alias("__len")
+    ).withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("long")
+    )
+    return (
+        batched.groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("__len").alias("max_len"),
+            (F.count("*") * F.max("__len")).alias("padded_tokens"),
+            (F.count("*") * F.max("__len") - F.sum("__len")).alias("padding_waste"),
+        )
+    )

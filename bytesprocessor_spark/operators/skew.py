@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
@@ -109,3 +109,41 @@ def salted_join(
     )
     out = b.join(s, (b[big_key] == s[small_key]) & (b[_SALT] == s[_SALT]), how)
     return out.drop(_SALT)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Skew diagnosis in two bounded aggregations: per-key counts ->
+    (n_keys, total, max, avg) plus the ``top_k`` heaviest keys with
+    their share of all rows and skew factor (count / avg-count) — the
+    numbers that decide whether a join/agg on this key needs salting
+    (factor ~> 4-8 on a hot key is the usual trigger) and how many
+    salts to use.
+
+    Output: (key, n_rows, share, skew_factor) for the top keys, ordered
+    heaviest first.  Everything reduces before reaching the driver — at
+    100 TB this is one shuffle on the key plus a top-k.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key_expr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    counts = df.groupBy(key_expr.alias("key")).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count("*").alias("__n_keys")
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= top_k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("n_rows") * F.col("__n_keys") / F.col("__total"), 6).alias(
+                "skew_factor"
+            ),
+        )
+    )

@@ -613,6 +613,8 @@ _CHECK_ORDER = [
     # quantized-SRP form (literal integer hyperplanes in the SQL)
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
+    "pack_length_batches",
+    "key_skew_report",
     "agg_cube",
     "join_cross",
     "window_sliding",

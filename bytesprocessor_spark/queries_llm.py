@@ -1738,3 +1738,57 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# L6b length-bucketed inference batching ------------------------------------
+
+@query(
+    "pack_length_batches",
+    """
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) // 64 AS batch_id
+      FROM documents)
+    SELECT batch_id, COUNT(*) AS n_rows, MAX(n_chars) AS max_len,
+           COUNT(*) * MAX(n_chars) AS padded_tokens,
+           COUNT(*) * MAX(n_chars) - SUM(n_chars) AS padding_waste
+    FROM b GROUP BY batch_id
+    """,
+)
+def pack_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6b dynamic-batching layout: fixed-size batches of
+    length-adjacent documents so per-batch padding (pad to batch max)
+    is minimal — the inference-side complement of L6 training packing.
+    One distributed range-partitioned sort, batch id from the global
+    row number."""
+    from bytesprocessor_spark.operators.packing import length_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_batches(docs, "n_chars", batch_size=64)
+
+
+# skew diagnosis ------------------------------------------------------------
+
+@query(
+    "key_skew_report",
+    """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_rows
+               FROM events GROUP BY 1),
+    t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c),
+    r AS (SELECT key, n_rows,
+                 ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rk FROM c)
+    SELECT key, n_rows,
+           ROUND(n_rows / total, 6) AS share,
+           ROUND(n_rows * n_keys / total, 6) AS skew_factor
+    FROM r CROSS JOIN t WHERE rk <= 10
+    """,
+)
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis over the event stream's user key: top-10 heaviest
+    keys with row share and skew factor (count/avg-count) — the
+    decision input for J8/A8 salting.  Two bounded aggregations, one
+    key shuffle; nothing corpus-sized reaches the driver."""
+    from bytesprocessor_spark.operators.skew import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_k=10)

@@ -96,3 +96,22 @@ def test_concurrency_single_interval_is_one(spark):
         .p
     )
     assert peak == 1
+
+
+def test_length_batches_invariants(spark):
+    """Every batch holds <= batch_size rows; batches partition the
+    corpus; sorted batching's padding waste is no worse than the
+    unsorted upper bound (n_rows * (corpus_max - corpus_min))."""
+    import random
+
+    from bytesprocessor_spark.operators.packing import length_batches
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(10, 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = length_batches(df, "n_chars", batch_size=32).collect()
+    assert sum(r.n_rows for r in out) == 300
+    assert all(r.n_rows <= 32 for r in out)
+    assert all(r.padding_waste >= 0 for r in out)
+    lens = [l for _, l in rows]
+    assert sum(r.padding_waste for r in out) <= len(rows) * (max(lens) - min(lens))

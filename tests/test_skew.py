@@ -66,3 +66,17 @@ def test_salted_join_plan_keys_on_salt(spark):
         assert "__salt" in plan and "SortMergeJoin" in plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_key_skew_report_finds_hot_key(spark):
+    """The diagnosis must surface the planted hot key first with the
+    right share and a skew factor ~ n_keys * share."""
+    from bytesprocessor_spark.operators.skew import key_skew_report
+
+    rows = [(999, i) for i in range(900)] + [(k, 0) for k in range(100)]
+    df = spark.createDataFrame(rows, "user_id long, x long")
+    top = key_skew_report(df, "user_id", top_k=3).collect()
+    assert top[0].key == "999"
+    assert top[0].n_rows == 900
+    assert abs(top[0].share - 0.9) < 1e-9
+    assert abs(top[0].skew_factor - 0.9 * 101) < 1e-6
