@@ -615,6 +615,7 @@ _CHECK_ORDER = [
     "similarity_lsh_topk",
     "pack_length_batches",
     "key_skew_report",
+    "events_ewma",
     "agg_cube",
     "join_cross",
     "window_sliding",

@@ -805,3 +805,65 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_ewma",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'),
+    w AS (
+      SELECT event_id, user_id,
+             list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vs
+      FROM e),
+    s AS (
+      SELECT event_id, user_id, len(vs) AS n,
+             list_sum(list_transform(range(1, len(vs) + 1),
+                                     i -> vs[i] * (1::BIGINT << (i - 1)))) AS num
+      FROM w)
+    SELECT event_id, user_id, n,
+           ROUND(num / ((1::BIGINT << n) - 1) / 100.0, 6) AS ewma
+    FROM s
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 time-decayed rolling feature: per-user EWMA of purchase value
+    over the last <=8 events, alpha = 1/2 — the standard recency-biased
+    feature for behavioral ML.  All weights are powers of two over
+    cents-integers, so numerator and denominator are EXACT integers in
+    both engines (no float reduction-order drift in the window fold);
+    the final divide is one IEEE op.
+
+    Plan shape: one shuffle on user_id for the window; the frame is
+    bounded (8 rows), so state per row is constant — at 100 TB this is
+    a single exchange + linear scan, same as any framed running agg."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    e = ev.select(
+        "event_id", "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    vs = F.collect_list("v").over(w)
+    # weights are powers of two over cents-integers: every product and
+    # partial sum is exactly representable in a double (v < 2^20,
+    # weight <= 2^7), so the double-typed fold here equals DuckDB's
+    # bigint shift arithmetic bit-for-bit after the final division
+    num = F.aggregate(
+        F.zip_with(
+            vs,
+            F.sequence(F.lit(1), F.size(vs)),
+            lambda v, i: v.cast("double") * F.pow(F.lit(2.0), (i - 1).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.pow(F.lit(2.0), F.size(vs).cast("double")) - 1.0
+    out = e.select(
+        "event_id",
+        "user_id",
+        F.size(vs).alias("n"),
+        F.round(num / den / 100.0, 6).alias("ewma"),
+    )
+    return out
