@@ -63,6 +63,49 @@ def exact_dedup(
     )
 
 
+def content_hash(text_col, normalize: bool = True):
+    """The shared dedup identity: sha256 of (optionally whitespace/case
+    normalized) text — fixed-width shuffle/join key."""
+    t = text_col
+    if normalize:
+        t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    return F.sha2(t.cast("string"), 256)
+
+
+def incremental_exact_dedup(
+    delta: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Ingest-time dedup: keep only delta rows whose content is (a) not
+    already in the existing corpus and (b) unique within the delta
+    (lowest id wins) — the batch shape of continuously deduplicating a
+    growing lake without ever re-scanning old data against itself.
+
+    Two hash-key operations: one anti-join delta-hash vs corpus-hash
+    (the corpus side reduces to DISTINCT hashes — fixed-width, far
+    smaller than the corpus; at 100 TB this hash set is the natural
+    thing to PERSIST between ingests, bucketed by hash, so each new
+    delta joins against it shuffle-free), then the L1 within-delta
+    keep.  Never shuffles document text — only 32-byte hashes."""
+    h = content_hash(F.col(text_col), normalize)
+    corpus_hashes = corpus.select(h.alias("__h")).distinct()
+    fresh = (
+        delta.withColumn("__h", h)
+        .join(corpus_hashes, "__h", "left_anti")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
 _MERSENNE = (1 << 31) - 1  # 2^31-1, the classic universal-hash modulus
 
 

@@ -616,6 +616,7 @@ _CHECK_ORDER = [
     "pack_length_batches",
     "key_skew_report",
     "events_ewma",
+    "dedup_incremental",
     "agg_cube",
     "join_cross",
     "window_sliding",

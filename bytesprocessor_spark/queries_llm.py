@@ -1792,3 +1792,35 @@ def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return key_skew_report(ev, "user_id", top_k=10)
+
+
+@query(
+    "dedup_incremental",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS hh
+      FROM documents),
+    corpus AS (SELECT DISTINCT hh FROM h WHERE doc_id % 2 = 0),
+    delta AS (SELECT * FROM h WHERE doc_id % 2 = 1),
+    fresh AS (SELECT * FROM delta
+              WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.hh = delta.hh)),
+    keep AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id) AS rn
+             FROM fresh)
+    SELECT COUNT(*) AS n_ingested, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM keep WHERE rn = 1
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1b ingest-time dedup: the odd-id half of the corpus arrives as
+    a delta against the even-id half as the existing lake; rows whose
+    content already exists are dropped, then the delta self-dedups
+    (keep lowest id).  Only 32-byte hashes shuffle — document text
+    never does."""
+    from bytesprocessor_spark.operators.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    kept = incremental_exact_dedup(delta, corpus)
+    return kept.agg(F.count("*").alias("n_ingested"), F.sum("doc_id").alias("sum_ids"))

@@ -365,3 +365,26 @@ def test_round3_operators_handle_empty_input(spark, tmp_path):
     )
     empty_q = spark.createDataFrame([], "query_id long, embedding array<float>")
     assert srp_topk_q(some, empty_q, dim=8).count() == 0
+
+
+def test_incremental_dedup_against_corpus(spark):
+    """Ingest-time dedup: delta rows already present in the corpus (by
+    normalized content) are dropped, within-delta dups keep lowest id,
+    genuinely new rows survive."""
+    from bytesprocessor_spark.operators.dedup import incremental_exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "existing document one"), (1, "existing document two")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "  EXISTING document one "),   # dup of corpus (normalized)
+            (11, "brand new document"),
+            (12, "brand new document"),          # within-delta dup of 11
+            (13, "another new document"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in incremental_exact_dedup(delta, corpus).collect())
+    assert kept == [11, 13]
