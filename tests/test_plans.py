@@ -415,3 +415,36 @@ def test_verify_cosine_single_python_eval(spark):
     for name in ("dedup_semantic_pairs", "dedup_embedding_lsh"):
         plan = executed_plan(QUERIES[name](spark, SF_DIR))
         assert plan.count("_cos(") == 1, f"{name}: {plan.count('_cos(')} evals"
+
+
+def test_ewma_single_window_exchange(spark):
+    """The EWMA feature costs exactly one exchange (hash-partition by
+    user for the bounded-frame window) — a second shuffle would mean
+    the weighted fold left the window operator."""
+    df = QUERIES["events_ewma"](spark, SF_DIR)
+    assert shuffle_count(df) <= 1
+    assert "Window" in executed_plan(df)
+
+
+def test_incremental_dedup_never_shuffles_text(spark):
+    """Ingest dedup exchanges only 32-byte hashes (+ the id): the text
+    column must not appear in any Exchange input schema."""
+    from bytesprocessor_spark.operators.dedup import incremental_exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    out = incremental_exact_dedup(delta, corpus).select("doc_id")
+    plan = executed_plan(out)
+    assert "Exchange" in plan
+    for frag in plan.split("Exchange")[1:]:
+        # the partitioning expression list ends at the first ']'
+        assert "text" not in frag.split("]")[0], frag.split("]")[0]
+
+
+def test_length_batches_single_sort(spark):
+    """Batch assignment is ONE global sort (range exchange) + window;
+    the stats agg reuses the sorted partitioning where possible."""
+    df = QUERIES["pack_length_batches"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("rangepartitioning") <= 1
