@@ -303,3 +303,91 @@ def ingest_media_dir(
             F.lit("mtime"), F.col("modificationTime").cast("string"),
         ).alias("meta"),
     )
+
+
+def image_ahash(
+    df: DataFrame,
+    codec: Callable[[bytes], "object"] | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    grid: int = 8,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: decode, grayscale,
+    block-mean downsample to ``grid``x``grid``, threshold at the mean —
+    64 bits packed into ``n_blocks`` longs, the same sketch shape the
+    text SimHash uses, so :func:`operators.dedup.block_hamming_pairs`
+    runs the pigeonhole near-dup join over images unchanged.
+
+    Robust to re-encoding and mild noise (the dedup cases a crawl
+    actually hits); NOT to crops/rotations — that regime needs
+    embedding dedup (L2) over a learned image encoder.
+    ``codec`` decodes payload -> HxWx3 uint8 array (defaults to the
+    built-in PNG/BMP/PPM decoder); undecodable rows yield null hashes.
+    """
+    import numpy as np
+
+    if codec is None:
+        from bytesprocessor_spark.functions.imagecodec import decode_image_builtin
+
+        codec = decode_image_builtin
+    width = grid * grid // n_blocks
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("sh", T.ArrayType(T.LongType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rgb = np.asarray(codec(bytes(payload or b"")), dtype=np.float64)
+                    gray = rgb.mean(axis=2)
+                    h, w = gray.shape
+                    # block-mean resize: average each grid cell
+                    ys = (np.arange(grid + 1) * h) // grid
+                    xs = (np.arange(grid + 1) * w) // grid
+                    cells = np.array(
+                        [
+                            [
+                                gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                     xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+                                for j in range(grid)
+                            ]
+                            for i in range(grid)
+                        ]
+                    )
+                    bits = (cells > cells.mean()).astype(np.int64).ravel()
+                    blocks = [
+                        int("".join(map(str, bits[b * width:(b + 1) * width])), 2)
+                        for b in range(n_blocks)
+                    ]
+                    out.append((mid, blocks))
+                except Exception:
+                    out.append((mid, None))
+            yield pd.DataFrame(out, columns=["id", "sh"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    codec: Callable[[bytes], "object"] | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """L5∘L2 composite: perceptual-hash near-duplicate image pairs via
+    the same pigeonhole block join as text SimHash — decode once
+    (Arrow-batched), 4 longs per image thereafter; candidate join keys
+    are (block, value), never pixels."""
+    from pyspark.sql import functions as F
+
+    from bytesprocessor_spark.operators.dedup import block_hamming_pairs
+
+    sk = image_ahash(df, codec=codec, payload_col=payload_col, id_col=id_col)
+    return block_hamming_pairs(sk.where(F.col("sh").isNotNull()), max_hamming)

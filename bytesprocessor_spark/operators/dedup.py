@@ -643,6 +643,16 @@ def simhash_near_dup_pairs(
     sk = simhash_sketch(df, text_col=text_col, n_blocks=n_blocks, hash_mode=hash_mode).select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sh")
     )
+    return block_hamming_pairs(sk, max_hamming)
+
+
+def block_hamming_pairs(sk: DataFrame, max_hamming: int) -> DataFrame:
+    """Pigeonhole Hamming join over any (id, sh: array<long>) sketch
+    table (SimHash, image aHash, ...): pairs within ``max_hamming <
+    n_blocks`` bits must agree exactly on >= 1 block, so the candidate
+    join is a block-value equi-join (shuffle key (blk, value)); the
+    exact Hamming over all blocks verifies.  Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
     blocked = sk.select(
         "id",
         "sh",

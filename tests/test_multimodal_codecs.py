@@ -207,3 +207,33 @@ def test_ingest_media_dir_end_to_end(spark, tmp_path):
     feats = image_features(images, codec=decode_image).collect()
     dims = {(r.width, r.height) for r in feats}
     assert dims == {(4, 4), (5, 3)}
+
+
+def test_image_near_dup_pairs_perceptual(spark):
+    """aHash image dedup: a re-encoded copy (PNG vs BMP of the same
+    pixels) and a lightly-noised copy pair with the original at low
+    Hamming; a structurally different image does not pair."""
+    import numpy as np
+
+    from bytesprocessor_spark.functions.imagecodec import encode_bmp, encode_png
+    from bytesprocessor_spark.functions.multimodal import image_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    noised = np.clip(base.astype(int) + rng.integers(-4, 5, base.shape), 0, 255).astype(
+        np.uint8
+    )
+    other = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_png(base)),
+        (2, encode_bmp(base)),     # identical pixels, different container
+        (3, encode_png(noised)),
+        (4, encode_png(other)),
+        (5, b"not an image"),      # undecodable -> dropped, not fatal
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_dup_pairs(df, max_hamming=8).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 8
+    assert not any(4 in p for p in pairs)
+    assert not any(5 in p for p in pairs)
