@@ -75,6 +75,11 @@ HEADLINE = [
     "interval_concurrency",
     "embedding_centroids",
     "corpus_mixture",
+    # round-3 additions
+    "events_ewma",
+    "dedup_incremental",
+    "pack_length_batches",
+    "key_skew_report",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
