@@ -448,3 +448,25 @@ def test_length_batches_single_sort(spark):
     df = QUERIES["pack_length_batches"](spark, SF_DIR)
     plan = executed_plan(df)
     assert plan.count("rangepartitioning") <= 1
+
+
+def test_simhash_sketch_partial_aggregation(spark):
+    """The aggregated sketch path must run its bit-sums partial
+    (map-side) before the doc-id shuffle — the exploded shingle table
+    is ~text-size and must collapse to n_docs rows per partition first;
+    the pair join stays equi-join-only."""
+    from bytesprocessor_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_sketch_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sk = simhash_sketch_table(docs, hash_mode="md5")
+    plan = executed_plan(sk)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+    pairs = simhash_near_dup_pairs(docs, hash_mode="md5")
+    pplan = executed_plan(pairs)
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastNestedLoopJoin" not in pplan
