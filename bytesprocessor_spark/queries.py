@@ -617,6 +617,8 @@ _CHECK_ORDER = [
     "key_skew_report",
     "events_ewma",
     "dedup_incremental",
+    "events_cohort_retention",
+    "events_rfm_segments",
     "agg_cube",
     "join_cross",
     "window_sliding",

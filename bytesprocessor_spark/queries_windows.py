@@ -867,3 +867,110 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den / 100.0, 6).alias("ewma"),
     )
     return out
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day FROM events GROUP BY user_id),
+    c AS (SELECT user_id,
+                 CAST(date_trunc('week', first_day) AS DATE) AS cohort_week
+          FROM f),
+    a AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             CAST(floor(date_diff('day', c.cohort_week, CAST(e.ts AS DATE)) / 7) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN c USING (user_id)),
+    size_ AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM c GROUP BY 1)
+    SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+           a.week_offset,
+           COUNT(*) AS n_active,
+           s.cohort_size,
+           ROUND(COUNT(*) * 1.0 / s.cohort_size, 6) AS retention
+    FROM a JOIN size_ s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users cohorted by the
+    week of their first activity, retention = distinct active users per
+    (cohort, week-offset) over cohort size.  Two key shuffles (user_id
+    for first-activity + the cohort-week agg); the cohort-size side is
+    cohort-cardinality and broadcasts.  Week offsets are integer day
+    arithmetic on DATEs — no float time math to drift cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    c = f.select("user_id", F.date_trunc("week", "first_day").cast("date").alias("cohort_week"))
+    a = (
+        ev.join(c, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    size = c.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        a.join(F.broadcast(size), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+@query(
+    "events_rfm_segments",
+    """
+    WITH p AS (
+      SELECT user_id,
+             date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01') AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    s AS (
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             NTILE(4) OVER (ORDER BY recency_days, user_id) AS r,
+             NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+             NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m
+      FROM p)
+    SELECT r, f, m, COUNT(*) AS n_users,
+           CAST(SUM(monetary_cents) AS DOUBLE) / 100.0 AS total_value
+    FROM s GROUP BY r, f, m
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary quartiles
+    (deterministic NTILE with user_id tiebreaks), segment sizes and
+    exact-cents value per (r, f, m) cell — the classic behavioral
+    segmentation.  One user_id shuffle for the profile, window quartile
+    assignment, one small segment agg."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    anchor = F.lit("2024-02-01").cast("date")
+    p = ev.groupBy("user_id").agg(
+        F.datediff(anchor, F.max("ts").cast("date")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
+    )
+    s = p.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(), "user_id")).alias("m"),
+    )
+    return s.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_users"),
+        (F.sum("monetary_cents").cast("double") / 100.0).alias("total_value"),
+    )
