@@ -96,6 +96,11 @@ MIN_OF_3 = {
     # between back-to-back round-3 runs (9.9 s / 18.0 s) — worth the
     # third run so the suite total stops inheriting its noise
     "dedup_minhash_verified",
+    # first-run codegen-compile / Python-worker-spawn heavy: measured
+    # 6.5 s cold vs 1.3 s steady (contamination) and 4.2 vs 0.9
+    # (semantic) — two runs sometimes both land in the cold window
+    "text_contamination",
+    "dedup_semantic_pairs",
 }
 
 
