@@ -229,12 +229,16 @@ def audio_features(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     sr, n, feats = codec(bytes(payload) if payload is not None else b"")
+                    # derived INSIDE the try: a parseable-but-corrupt WAV
+                    # can declare framerate 0, and one bad payload must
+                    # yield a null row, never kill the job
+                    duration = n / sr
                 except NotImplementedError:
                     raise
                 except Exception:
                     out.append((mid, None, None, None, None, None))
                     continue
-                out.append((mid, sr, n, n / sr, len(payload or b""), feats))
+                out.append((mid, sr, n, duration, len(payload or b""), feats))
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -383,11 +387,23 @@ def image_near_dup_pairs(
 ) -> DataFrame:
     """L5∘L2 composite: perceptual-hash near-duplicate image pairs via
     the same pigeonhole block join as text SimHash — decode once
-    (Arrow-batched), 4 longs per image thereafter; candidate join keys
-    are (block, value), never pixels."""
+    (Arrow-batched), a few longs per image thereafter; candidate join
+    keys are (block, value), never pixels.
+
+    The pigeonhole guarantee needs ``max_hamming < n_blocks`` (a pair
+    within d bit flips must leave >= 1 of d+1 blocks untouched), so the
+    block count adapts to the requested radius: the smallest
+    power-of-two divisor of the 64 sketch bits that exceeds
+    ``max_hamming`` (4 for d<=3, 8 for d<=7, 16 for d<=15; d<=31 max —
+    beyond that a Hamming sketch is the wrong tool)."""
     from pyspark.sql import functions as F
 
     from bytesprocessor_spark.operators.dedup import block_hamming_pairs
 
-    sk = image_ahash(df, codec=codec, payload_col=payload_col, id_col=id_col)
+    if max_hamming >= 32:
+        raise ValueError("max_hamming must be < 32 for a 64-bit aHash sketch")
+    n_blocks = 4
+    while n_blocks <= max_hamming:
+        n_blocks *= 2
+    sk = image_ahash(df, codec=codec, payload_col=payload_col, id_col=id_col, n_blocks=n_blocks)
     return block_hamming_pairs(sk.where(F.col("sh").isNotNull()), max_hamming)

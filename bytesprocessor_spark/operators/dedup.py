@@ -562,6 +562,18 @@ def semantic_dedup_keep(
     return df.join(drop, id_col, "left_anti")
 
 
+def _simhash_mode(hash_mode: str):
+    """(n_bits, hasher) for a SimHash hash mode — shared by the HOF and
+    aggregated sketch formulations so the two can't silently diverge."""
+    if hash_mode == "xxhash64":
+        return 64, lambda s: F.xxhash64(s)
+    if hash_mode == "md5":
+        # 60 bits from the first 15 hex chars of md5 (stays inside a
+        # signed long); identical in every engine -> oracle-checkable
+        return 60, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
 def simhash_sketch(
     df: DataFrame,
     text_col: str = "text",
@@ -589,14 +601,7 @@ def simhash_sketch(
     of one packed int64) is what the pigeonhole join needs anyway and
     avoids 64-bit sign/overflow concerns under ANSI mode.
     """
-    if hash_mode == "xxhash64":
-        n_bits = 64
-        hasher = lambda s: F.xxhash64(s)  # noqa: E731
-    elif hash_mode == "md5":
-        n_bits = 60
-        hasher = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
-    else:
-        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    n_bits, hasher = _simhash_mode(hash_mode)
     width = n_bits // n_blocks
     hashes = F.transform(char_ngrams(F.col(text_col), shingle_size), hasher)
     counts = F.aggregate(
@@ -645,18 +650,15 @@ def simhash_sketch_table(
     corpus-scale feeds (interpreted HOFs get no codegen/CSE); one
     shuffle on the doc id.  Identical bits to :func:`simhash_sketch`.
     """
-    if hash_mode == "xxhash64":
-        n_bits = 64
-        hasher = lambda s: F.xxhash64(s)  # noqa: E731
-    elif hash_mode == "md5":
-        n_bits = 60
-        hasher = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
-    else:
-        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    n_bits, hasher = _simhash_mode(hash_mode)
     width = n_bits // n_blocks
+    # explode_outer: a NULL-text doc keeps one (id, NULL-shingle) row,
+    # whose NULL hash contributes -1 to every bit sum -> all-zero
+    # sketch, matching simhash_sketch's behavior (plain explode would
+    # silently drop the doc from the output)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(char_ngrams(F.col(text_col), shingle_size)).alias("__s"),
+        F.explode_outer(char_ngrams(F.col(text_col), shingle_size)).alias("__s"),
     ).select("id", hasher(F.col("__s")).alias("__h"))
     aggs = [
         F.sum(

@@ -75,18 +75,46 @@ def length_batches(
     sequence pads to its batch max) is minimal — the standard dynamic-
     batching layout for LLM inference/scoring over a corpus.
 
-    One distributed sort on (length, id) — Spark range-partitions the
-    sort, so no single task sees the corpus — then batch id falls out
-    of the global row_number.  Returns per-batch stats:
+    Global rank WITHOUT a single-partition window (the naive
+    ``Window.orderBy`` funnels the whole corpus into one task): rows
+    are range-repartitioned and sorted on (length, id), each partition
+    computes a LOCAL row_number, and the global offset comes from the
+    per-partition counts — a #partitions-sized table that broadcasts.
+    This is the distributed-rank pattern; every task sees only its
+    range slice.  Returns per-batch stats:
     (batch_id, n_rows, max_len, padded_tokens, padding_waste) where
     padding_waste = padded - actual tokens; compare against
     batch_size * corpus_max for the unsorted worst case.
     """
-    w = Window.orderBy(F.col("__len").asc(), F.col(id_col).asc())
-    batched = df.select(
-        F.col(id_col), F.col(length_col).cast("long").alias("__len")
-    ).withColumn(
-        "batch_id", ((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("long")
+    base = (
+        df.select(F.col(id_col), F.col(length_col).cast("long").alias("__len"))
+        .repartitionByRange(F.col("__len"), F.col(id_col))
+        .sortWithinPartitions("__len", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    base = base.persist()  # counts pass + rank pass share the sorted layout
+    offsets = (
+        base.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    local_w = Window.partitionBy("__pid").orderBy(F.col("__len").asc(), F.col(id_col).asc())
+    batched = (
+        base.withColumn("__lrn", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "batch_id",
+            ((F.col("__offset") + F.col("__lrn") - 1) / F.lit(batch_size)).cast("long"),
+        )
     )
     return (
         batched.groupBy("batch_id")

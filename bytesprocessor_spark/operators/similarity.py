@@ -103,9 +103,12 @@ def topk_similarity(
             corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
         )
-    if n is None:
-        n = corpus.count()
-    cells = n_cells if n_cells is not None else max(16, int(math.isqrt(n)))
+    if n_cells is not None:
+        cells = n_cells  # explicit cell count: no corpus-count job needed
+    else:
+        if n is None:
+            n = corpus.count()
+        cells = max(16, int(math.isqrt(n)))
     return ivf_topk(
         corpus, queries, n_cells=cells, nprobe=nprobe, k=k,
         id_col=id_col, vec_col=vec_col,
@@ -449,13 +452,17 @@ def srp_topk_q(
     (query_id, vec_id, sim) — sim on 1e-6 fixed-point vectors."""
     from bytesprocessor_spark.functions.vectors import cosine_pairs_udf
 
+    # Tag from the RAW vectors: srp_tag_table's GEMM quantizes
+    # internally, and quantizing twice (1e6 twice -> 1e12-scale
+    # components) would push projection terms past 2^53, breaking the
+    # exact-integer-sign invariant the cross-engine oracle rests on.
     quant = lambda c: F.transform(c, lambda x: F.round(x.cast("double") * 1000000.0))  # noqa: E731
     c = corpus.select(F.col(id_col).alias("vec_id"), quant(F.col(vec_col)).alias("__cv"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), quant(F.col(query_vec_col)).alias("__qv")
     )
-    ctag = srp_tag_table(c, "vec_id", "__cv", dim, n_planes, n_tables, seed)
-    qtag = srp_tag_table(q, "query_id", "__qv", dim, n_planes, n_tables, seed)
+    ctag = srp_tag_table(corpus, id_col, vec_col, dim, n_planes, n_tables, seed)
+    qtag = srp_tag_table(queries, query_id_col, query_vec_col, dim, n_planes, n_tables, seed)
     cand = (
         ctag.select(F.col("id").alias("vec_id"), "tbl", "bkt")
         .join(qtag.select(F.col("id").alias("query_id"), "tbl", "bkt"), ["tbl", "bkt"])

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
@@ -130,14 +130,17 @@ def key_skew_report(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     key_expr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
     counts = df.groupBy(key_expr.alias("key")).agg(F.count("*").alias("n_rows"))
+    counts = counts.persist()  # feeds the totals agg AND the top-k
     totals = counts.agg(
         F.sum("n_rows").alias("__total"), F.count("*").alias("__n_keys")
     )
-    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heap
+    # + driver merge of top_k rows) — a global row_number window would
+    # funnel the whole per-key counts table (corpus-of-keys-sized on a
+    # high-cardinality key) through one task
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()).limit(top_k)
     return (
-        counts.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= top_k)
-        .crossJoin(F.broadcast(totals))
+        top.crossJoin(F.broadcast(totals))
         .select(
             "key",
             "n_rows",

@@ -259,6 +259,11 @@ QUERIES_NO_ORACLE: dict = {}
 
 _QUANT_E = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
 
+_COS = (
+    "list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a}))"
+    " * SQRT(list_dot_product({b}, {b})))"
+)
+
 _DUCK_EMB_PAIRS = f"""
     WITH e AS (SELECT vec_id, {_QUANT_E} AS v FROM embeddings),
     s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -378,17 +383,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster assignment — hence the bounded pair space — is bit-identical
 # with no literal centroid tables in the SQL.
 
-_QUANT_EMB = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
-_COS_AB = (
-    "list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a}))"
-    " * SQRT(list_dot_product({b}, {b})))"
-)
-
 _SEMDEDUP_CELLS = 32
 _SEMDEDUP_T = 0.42
 
 _DUCK_SEMDEDUP_PAIRS = f"""
-    WITH e AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, {_QUANT_E} AS v FROM embeddings),
     cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cv
              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_CELLS})),
     assign AS (
@@ -396,12 +395,12 @@ _DUCK_SEMDEDUP_PAIRS = f"""
         SELECT e.vec_id, e.v, c.cell,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY {_COS_AB.format(a='e.v', b='c.cv')} DESC, c.cell) AS rk
+                 ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cell) AS rk
         FROM e CROSS JOIN cent c)
       WHERE rk = 1),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {_COS_AB.format(a='a.v', b='b.v')} AS sim
+             {_COS.format(a='a.v', b='b.v')} AS sim
       FROM assign a JOIN assign b USING (cell)
       WHERE a.vec_id < b.vec_id)
 """
@@ -563,11 +562,6 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = srp_topk_q(emb, q, k=5, **_SRP_TOPK)
     return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
 
-
-_COS = (
-    "list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a}))"
-    " * SQRT(list_dot_product({b}, {b})))"
-)
 
 
 # Shared by the in-plan IVF row and the persisted-index row: both

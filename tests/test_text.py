@@ -36,7 +36,7 @@ def test_winnow_short_doc_single_window(spark):
     assert len(fps) == 1  # one clamped gram, one window
 
 
-def test_tfidf_rare_term_ranks_first(spark):
+def test_tfidf_rare_term_ranks_first(spark, tmp_path):
     """A term unique to one document must out-score that document's
     corpus-wide common terms (tf equal => idf decides), and every doc
     gets at most 3 ranked terms with contiguous ranks."""
@@ -47,8 +47,8 @@ def test_tfidf_rare_term_ranks_first(spark):
     rows = [(i, f"{common} filler{i % 2}") for i in range(10)]
     rows.append((99, f"{common} zyzzyva"))
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    df.write.mode("overwrite").parquet("/tmp/bp_tfidf_docs/documents.parquet")
-    out = text_tfidf_topterms(spark, "/tmp/bp_tfidf_docs").collect()
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = text_tfidf_topterms(spark, str(tmp_path)).collect()
     by_doc: dict[int, list] = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
@@ -59,7 +59,7 @@ def test_tfidf_rare_term_ranks_first(spark):
         assert len(rs) <= 3
 
 
-def test_unigram_surprisal_orders_rare_above_common(spark):
+def test_unigram_surprisal_orders_rare_above_common(spark, tmp_path):
     """A document of corpus-rare tokens must land in a higher-surprisal
     bucket than a document repeating the corpus's dominant token, and
     terciles must partition all docs."""
@@ -69,8 +69,8 @@ def test_unigram_surprisal_orders_rare_above_common(spark):
     rows = [(i, "common " * 20) for i in range(8)]
     rows.append((100, "uncommon weird outlier vocabulary thing"))
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    df.write.mode("overwrite").parquet("/tmp/bp_surp_docs/documents.parquet")
-    out = {r.doc_id: r for r in text_unigram_surprisal(spark, "/tmp/bp_surp_docs").collect()}
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in text_unigram_surprisal(spark, str(tmp_path)).collect()}
     assert len(out) == 9
     assert out[100].mean_surprisal > out[0].mean_surprisal
     assert out[100].bucket == 3  # rarest doc in the tail tercile
