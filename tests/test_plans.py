@@ -442,12 +442,17 @@ def test_incremental_dedup_never_shuffles_text(spark):
         assert "text" not in frag.split("]")[0], frag.split("]")[0]
 
 
-def test_length_batches_single_sort(spark):
-    """Batch assignment is ONE global sort (range exchange) + window;
-    the stats agg reuses the sorted partitioning where possible."""
+def test_length_batches_no_full_data_single_partition(spark):
+    """Distributed global rank: the full-data row_number window must be
+    partitioned (by the range-partition id), and the only
+    single-partition exchange in the plan is the #partitions-sized
+    offsets table on the broadcast side — never the corpus (the naive
+    global Window.orderBy plan funnels every row through one task)."""
     df = QUERIES["pack_length_batches"](spark, SF_DIR)
     plan = executed_plan(df)
-    assert plan.count("rangepartitioning") <= 1
+    assert "windowspecdefinition(__pid" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.index("Exchange SinglePartition") > plan.index("BroadcastExchange")
 
 
 def test_simhash_sketch_partial_aggregation(spark):
