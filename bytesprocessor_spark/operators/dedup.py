@@ -15,25 +15,13 @@ from pyspark.sql import functions as F
 
 from bytesprocessor_spark.functions.text import char_ngrams
 
-# Intermediates persisted by the operators below (tables feeding both
-# sides of a self-join must be cached or their whole lineage runs
-# twice).  They cannot be unpersisted before the caller's action, so
-# long-lived sessions should call unpersist_intermediates() (or
-# spark.catalog.clearCache(), as bench.py does) between queries.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _PERSISTED.append(df)
-    return df
-
-
-def unpersist_intermediates() -> None:
-    """Release every cache block persisted by the dedup operators —
-    call after the consuming action in long-lived sessions."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+# Intermediates feeding both sides of a self-join must be cached or
+# their whole lineage runs twice; see operators/caching.py for the
+# shared registry and release discipline.
+from bytesprocessor_spark.operators.caching import (  # noqa: F401 (re-export)
+    persist_intermediate as _persist,
+    unpersist_intermediates,
+)
 
 
 def exact_dedup(

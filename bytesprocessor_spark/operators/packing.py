@@ -92,7 +92,9 @@ def length_batches(
         .sortWithinPartitions("__len", id_col)
         .withColumn("__pid", F.spark_partition_id())
     )
-    base = base.persist()  # counts pass + rank pass share the sorted layout
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    base = persist_intermediate(base)  # counts pass + rank pass share the sorted layout
     offsets = (
         base.groupBy("__pid")
         .agg(F.count("*").alias("__n"))

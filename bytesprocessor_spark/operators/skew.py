@@ -130,7 +130,9 @@ def key_skew_report(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     key_expr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
     counts = df.groupBy(key_expr.alias("key")).agg(F.count("*").alias("n_rows"))
-    counts = counts.persist()  # feeds the totals agg AND the top-k
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    counts = persist_intermediate(counts)  # feeds the totals agg AND the top-k
     totals = counts.agg(
         F.sum("n_rows").alias("__total"), F.count("*").alias("__n_keys")
     )
