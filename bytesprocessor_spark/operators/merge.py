@@ -38,9 +38,16 @@ def merge_upsert(
       * matched + ``delete_col`` true -> dropped (DELETE)
 
     ``version_col`` deduplicates the source first (max version per key
-    wins), so replayed CDC batches apply idempotently.  Column set =
-    target's columns; extra source columns (flags, versions) are
-    dropped from the output.
+    wins) AND — when the target also carries the version column —
+    guards the apply: a matched row updates only if the incoming
+    version is >= the applied one.  That makes the merge idempotent
+    across REPLAYED AND REORDERED batches (Spark's foreachBatch is
+    at-least-once with no cross-batch order guarantee after a restart);
+    with a version column only on the source, ordering holds within a
+    batch but a later batch carrying a stale version would overwrite —
+    persist the version into the target (init it to 0) to close that.
+    Column set = target's columns; source-only columns (flags, a
+    version the target doesn't persist) are dropped from the output.
     """
     keys = list(keys)
     if version_col is not None:
@@ -53,10 +60,18 @@ def merge_upsert(
     src = source.withColumn("__present", F.lit(True))
     joined = target.alias("t").join(src.alias("s"), keys, "full")
     matched = F.col("s.__present").isNotNull()
+    if version_col is not None and version_col in target.columns:
+        # cross-batch guard: only apply if not older than what's applied
+        newer = F.col(f"t.{version_col}").isNull() | (
+            F.col(f"s.{version_col}") >= F.col(f"t.{version_col}")
+        )
+        applies = matched & newer
+    else:
+        applies = matched
 
     if delete_col is not None:
         joined = joined.where(
-            ~(matched & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
+            ~(applies & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
         )
 
     out_cols = []
@@ -64,5 +79,7 @@ def merge_upsert(
         if c in keys:
             out_cols.append(F.col(c))  # coalesced by the USING-style join
         else:
-            out_cols.append(F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
+            out_cols.append(
+                F.when(applies, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
     return joined.select(*out_cols)

@@ -1,39 +1,84 @@
 """Batch-equivalent oracle rows for the streaming operators (SURVEY
-§2.9 ST7 stream-static enrich, ST9 streaming CDC apply).
+§2.9 ST7 stream-static enrich, ST8 stream-stream interval join, ST9
+streaming CDC apply).
 
 The streaming operators themselves live in ``streaming/`` and are
 exercised end-to-end by tests/test_streaming.py; what these rows add is
 the HARD cross-engine signal: each entry drives real Structured
 Streaming (parquet file source -> micro-batches -> sink) with
 ``trigger(availableNow=True)`` so the stream drains and stops, then
-returns a bounded deterministic aggregate of the materialized result
-that DuckDB can replay with plain batch SQL.  The replay is valid
-because both operators are *stateless across completed input*: enrich
-is a per-row broadcast join (batch == streaming row set), and CDC
-apply's merge is idempotent + version-ordered, so the drained final
-snapshot equals a single batch MERGE of all changes (parity with the
-reference's replay-consistency contract, BytesProcessor.py:56-120
-operator surface; semantics only — the execution model here is
-Spark's).
+returns a bounded deterministic result that DuckDB can replay with
+plain batch SQL.  The replay is valid because the drained final state
+is input-order independent: enrich and the interval join are per-row /
+per-pair (batch row set == streamed row set), and CDC apply is
+version-guarded (max-version-wins against a version PERSISTED in the
+snapshot), so any micro-batch partitioning and ordering of the change
+files converges to the same table (parity with the reference's
+replay-consistency contract, BytesProcessor.py:56-120 operator
+surface; semantics only — the execution model here is Spark's).
 
 Scale note: the enrich plan is map-only on the stream side (broadcast
-dim, no stream shuffle); CDC apply's per-batch cost is one equi-join on
+dim, no stream shuffle); the interval join's state is bounded by
+watermark + interval; CDC apply's per-batch cost is one equi-join on
 the merge key against the current snapshot — at 100 TB the snapshot is
 partitioned by key range and only touched partitions rewrite
 (streaming/cdc.py module docstring).
+
+Mechanics shared by the rows (helpers below): the fixture table is
+first re-materialized through ``load_table`` into a temp landing
+directory — streaming the RAW fixture file with the batch-normalized
+schema crashes on nanos-timestamp fixtures (the file stream source
+does not apply the nanosAsLong normalization) — and each row's final
+(small) result is localized onto the driver so the memory-sink view
+and every temp directory can be dropped before returning; without
+that, each invocation leaks a view pinning the full sink row set plus
+a directory tree for the session's lifetime.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bytesprocessor_spark.queries import _t, query
-from bytesprocessor_spark.streaming.joins import stream_static_enrich
+from bytesprocessor_spark.queries import _t, cents, query
+
+
+def _landing_dir(spark: SparkSession, sf_dir: str, table: str) -> tuple[str, DataFrame]:
+    """Materialize the fixture table (batch-normalized by load_table:
+    nanos handling, NTZ, ...) into a fresh landing directory and return
+    (dir, normalized_batch_df) — the directory is what readStream
+    watches, the batch df supplies the schema."""
+    land = tempfile.mkdtemp(prefix="bp_stream_src_")
+    batch = _t(spark, sf_dir, table)
+    batch.write.mode("overwrite").parquet(os.path.join(land, table))
+    return land, batch
+
+
+def _drain_and_localize(out: DataFrame, finish) -> DataFrame:
+    """Drain ``out`` (availableNow) into a memory sink, apply
+    ``finish`` (sink_df -> small result df), then pull the small result
+    onto the driver as a local-backed DataFrame so the sink view can be
+    dropped immediately (the driver consumes the returned frame lazily,
+    after this function exits)."""
+    spark = out.sparkSession
+    sink = f"bp_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = finish(spark.table(sink))
+    local = spark.createDataFrame(result.collect(), result.schema)
+    spark.catalog.dropTempView(sink)
+    return local
 
 
 @query(
@@ -60,39 +105,90 @@ def stream_static_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join itself runs INSIDE the micro-batch loop — map-only on the
     stream (broadcast dim, no stream-side shuffle), the shape that
     holds at any stream rate."""
-    ev_schema = _t(spark, sf_dir, "events").schema
-    # the fixture is a single parquet FILE; the file stream source
-    # wants a directory to watch, so expose the file through a
-    # symlinked landing dir (read-only fixture stays untouched)
-    land = tempfile.mkdtemp(prefix="bp_enrich_src_")
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(land, "events.parquet"),
-    )
-    stream = spark.readStream.schema(ev_schema).parquet(land)
-    dim = (
-        _t(spark, sf_dir, "customer")
-        .where(F.col("c_custkey") < 100)
-        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
-    )
-    enriched = stream_static_enrich(stream, dim, on="user_id", how="left")
-    sink = f"bp_enrich_{uuid.uuid4().hex[:12]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).groupBy(
-        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
-    ).agg(
-        F.count("*").alias("n_events"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias(
-            "total_value"
-        ),
-    )
+    from bytesprocessor_spark.streaming.joins import stream_static_enrich
+
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        stream = spark.readStream.schema(batch.schema).parquet(os.path.join(land, "events"))
+        dim = (
+            _t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") < 100)
+            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        )
+        enriched = stream_static_enrich(stream, dim, on="user_id", how="left")
+        return _drain_and_localize(
+            enriched,
+            lambda sink_df: sink_df.groupBy(
+                F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+            ).agg(
+                F.count("*").alias("n_events"),
+                (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+            ),
+        )
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+
+
+@query(
+    "stream_interval_join",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8: stream-stream interval join — view→purchase attribution
+    (purchase by the same user within 2 hours of a view), both sides
+    unbounded streams over the events fixture, drained with
+    availableNow into a memory sink.
+
+    The time-interval condition + watermarks are what BOUND the join
+    state at scale: a buffered view is evictable once the purchase-side
+    watermark passes view.ts + 2h.  Draining the full fixture in order
+    means no matches are watermark-dropped, so the batch SQL replay is
+    exact — equality IS the state-eviction-correctness signal (an
+    over-eager eviction would lose pairs)."""
+    from bytesprocessor_spark.streaming.joins import interval_join
+
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        def side(event_type: str, prefix: str) -> DataFrame:
+            return (
+                spark.readStream.schema(batch.schema)
+                .parquet(os.path.join(land, "events"))
+                .where(F.col("event_type") == event_type)
+                .select(
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                    F.col("value").alias(f"{prefix}_value"),
+                )
+            )
+
+        views = side("view", "view").drop("view_value")
+        purchases = side("purchase", "purchase")
+        joined = interval_join(
+            views,
+            purchases,
+            key="user_id",
+            left_ts="view_ts",
+            right_ts="purchase_ts",
+            lower="0 seconds",
+            upper="2 hours",
+            watermark="1 minute",
+        )
+        out = joined.select(
+            F.col("view_id"),
+            F.col("purchase_id"),
+            cents(F.col("purchase_value")).alias("purchase_cents"),
+        )
+        return _drain_and_localize(out, lambda sink_df: sink_df)
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
 
 
 _CDC_CHANGE_COLS = (
@@ -144,10 +240,13 @@ def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture so every MERGE branch fires: updates (key%10 in {3,4},
     with TWO versions for %10==4 so max-version-wins is observable),
     inserts (%10 in {5,6}), deletes (%10==2), untouched target rows
-    (%10 in {0,1}).  The stream applies via foreachBatch + merge_upsert
-    with swap-safe snapshot rewrite (streaming/cdc.py); the DuckDB
-    oracle replays the same merge as batch SQL — equality IS the
-    idempotent-apply/replay-consistency guarantee."""
+    (%10 in {0,1}).  The changes land as MULTIPLE files consumed one
+    per micro-batch (maxFilesPerTrigger=1) in whatever order the source
+    lists them — convergence relies on the version PERSISTED in the
+    snapshot (init_cdc_table(version_col=...) + merge_upsert's >=
+    guard), not on delivery order.  The DuckDB oracle replays the same
+    merge as batch SQL — equality IS the idempotent, order-independent
+    apply guarantee."""
     from bytesprocessor_spark.streaming.cdc import (
         apply_cdc_stream,
         init_cdc_table,
@@ -178,102 +277,34 @@ def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     workdir = tempfile.mkdtemp(prefix="bp_cdc_")
-    chg_dir = os.path.join(workdir, "changes")
-    tbl_dir = os.path.join(workdir, "table")
-    ckpt_dir = os.path.join(workdir, "ckpt")
-    # one data file -> one micro-batch; cross-batch ordering is covered
-    # by the version column either way (merge_upsert is version-ordered)
-    changes.coalesce(1).write.mode("overwrite").parquet(chg_dir)
-    init_cdc_table(initial, tbl_dir)
-    stream = spark.readStream.schema(changes.schema).parquet(chg_dir)
-    q = apply_cdc_stream(
-        stream,
-        tbl_dir,
-        keys=["o_orderkey"],
-        delete_col="is_delete",
-        version_col="version",
-        checkpoint=ckpt_dir,
-        available_now=True,
-    )
-    q.awaitTermination()
-    final = read_cdc_table(spark, tbl_dir)
-    return final.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.count("*").alias("n_orders"),
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).alias(
-            "total_price"
-        ),
-    )
-
-
-@query(
-    "stream_interval_join",
-    """
-    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
-           CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents
-    FROM events v JOIN events p
-      ON v.user_id = p.user_id
-     AND v.event_type = 'view' AND p.event_type = 'purchase'
-     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
-    """,
-)
-def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST8: stream-stream interval join — view→purchase attribution
-    (purchase by the same user within 2 hours of a view), both sides
-    unbounded streams over the events fixture, drained with
-    availableNow into a memory sink.
-
-    The time-interval condition + watermarks are what BOUND the join
-    state at scale: a buffered view is evictable once the purchase-side
-    watermark passes view.ts + 2h.  Draining the full fixture in order
-    means no matches are watermark-dropped, so the batch SQL replay is
-    exact — equality IS the state-eviction-correctness signal (an
-    over-eager eviction would lose pairs)."""
-    from bytesprocessor_spark.streaming.joins import interval_join
-
-    ev_schema = _t(spark, sf_dir, "events").schema
-    land = tempfile.mkdtemp(prefix="bp_ssjoin_src_")
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(land, "events.parquet"),
-    )
-
-    def side(event_type: str, prefix: str) -> DataFrame:
-        return (
-            spark.readStream.schema(ev_schema)
-            .parquet(land)
-            .where(F.col("event_type") == event_type)
-            .select(
-                F.col("event_id").alias(f"{prefix}_id"),
-                F.col("user_id"),
-                F.col("ts").alias(f"{prefix}_ts"),
-                F.col("value").alias(f"{prefix}_value"),
-            )
+    try:
+        chg_dir = os.path.join(workdir, "changes")
+        tbl_dir = os.path.join(workdir, "table")
+        ckpt_dir = os.path.join(workdir, "ckpt")
+        # several change files, one per micro-batch, arbitrary order —
+        # the persisted-version guard is what makes the result converge
+        changes.repartition(3).write.mode("overwrite").parquet(chg_dir)
+        init_cdc_table(initial, tbl_dir, version_col="version")
+        stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chg_dir)
         )
-
-    views = side("view", "view").drop("view_value")
-    purchases = side("purchase", "purchase")
-    joined = interval_join(
-        views,
-        purchases,
-        key="user_id",
-        left_ts="view_ts",
-        right_ts="purchase_ts",
-        lower="0 seconds",
-        upper="2 hours",
-        watermark="1 minute",
-    )
-    out = joined.select(
-        F.col("view_id"),
-        F.col("purchase_id"),
-        F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
-    )
-    sink = f"bp_ssjoin_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+        q = apply_cdc_stream(
+            stream,
+            tbl_dir,
+            keys=["o_orderkey"],
+            delete_col="is_delete",
+            version_col="version",
+            checkpoint=ckpt_dir,
+            available_now=True,
+        )
+        q.awaitTermination()
+        final = read_cdc_table(spark, tbl_dir)
+        agg = final.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total_price"),
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -24,9 +24,11 @@ that property: each partition directory could be swapped independently.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _pointer(path: str) -> str:
@@ -39,9 +41,20 @@ def read_cdc_table(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(os.path.join(path, f.read().strip()))
 
 
-def init_cdc_table(initial: DataFrame, path: str) -> None:
-    """Materialize ``initial`` as snapshot gen-0 of a CDC table."""
+def init_cdc_table(
+    initial: DataFrame, path: str, version_col: str | None = None
+) -> None:
+    """Materialize ``initial`` as snapshot gen-0 of a CDC table.
+
+    Pass ``version_col`` to PERSIST the change version in the snapshot
+    (initialized to 0 when the initial load doesn't carry one): with
+    the version in the target, merge_upsert's >= guard makes the apply
+    idempotent across replayed AND reordered micro-batches — without
+    it, a restarted stream delivering an old change file after a newer
+    one would silently roll rows back."""
     os.makedirs(path, exist_ok=True)
+    if version_col is not None and version_col not in initial.columns:
+        initial = initial.withColumn(version_col, F.lit(0).cast("long"))
     initial.write.mode("overwrite").parquet(os.path.join(path, "gen-0"))
     tmp = _pointer(path) + ".tmp"
     with open(tmp, "w") as f:
@@ -57,9 +70,15 @@ def apply_cdc_stream(
     version_col: str | None = "version",
     checkpoint: str | None = None,
     available_now: bool = False,
+    keep_generations: int = 2,
 ):
     """Start a streaming query that folds ``changes`` into the table at
-    ``path``.  Returns the StreamingQuery (caller stops/awaits it)."""
+    ``path``.  Returns the StreamingQuery (caller stops/awaits it).
+
+    ``keep_generations`` bounds disk: after each pointer swap, snapshot
+    directories older than the newest N are deleted (every superseded
+    generation is garbage once the pointer moved — without retention a
+    long-running stream accumulates one full table copy per batch)."""
     from bytesprocessor_spark.operators.merge import merge_upsert
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -72,12 +91,16 @@ def apply_cdc_stream(
         merged = merge_upsert(
             target, batch, keys, delete_col=delete_col, version_col=version_col
         )
-        nxt = f"gen-{int(cur.split('-')[1]) + 1}"
+        gen = int(cur.split("-")[1]) + 1
+        nxt = f"gen-{gen}"
         merged.write.mode("overwrite").parquet(os.path.join(path, nxt))
         tmp = _pointer(path) + f".tmp-{batch_id}"
         with open(tmp, "w") as f:
             f.write(nxt)
         os.replace(tmp, _pointer(path))
+        for name in os.listdir(path):
+            if name.startswith("gen-") and int(name.split("-")[1]) <= gen - keep_generations:
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
     writer = changes.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint is not None:

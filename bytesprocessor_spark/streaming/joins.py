@@ -47,6 +47,11 @@ def interval_join(
     need the watermark to know when to emit unmatched rows — Spark
     enforces the interval condition for them.
     """
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"interval_join: rename overlapping non-key columns first: {sorted(overlap)}"
+        )
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -54,4 +59,12 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, how)
+    out = l.join(r, cond, how)
+    # one key column out (coalesced for outer variants) — the raw
+    # condition join keeps both sides' copies, which makes any
+    # downstream reference to the key ambiguous
+    key_out = F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)
+    keep = [F.col(f"l.{c}") for c in left.columns if c != key] + [
+        F.col(f"r.{c}") for c in right.columns if c != key
+    ]
+    return out.select(key_out, *keep)

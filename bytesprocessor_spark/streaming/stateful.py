@@ -16,11 +16,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _key_schema(df: DataFrame, keys) -> str:
+    """Key fields with their ACTUAL types from the input schema —
+    hardcoding bigint breaks any non-long key (string event types,
+    composite ids)."""
+    by = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"{k} {by[k]}" for k in keys)
+
+
 def running_totals(
     df: DataFrame,
     keys: Sequence[str] = ("user_id",),
     value_col: str = "value",
     timeout: str = "NoTimeout",
+    timeout_duration_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator: cumulative count and sum per key
     across micro-batches — the minimal shape of the hand-rolled
@@ -30,16 +39,24 @@ def running_totals(
 
     Emits one row per key per micro-batch: (key..., n_events, total).
     """
-    key_fields = ", ".join(f"{k} bigint" for k in keys)
-    out_schema = f"{key_fields}, n_events bigint, total double"
+    if timeout == "ProcessingTimeTimeout" and timeout_duration_ms is None:
+        raise ValueError("ProcessingTimeTimeout requires timeout_duration_ms")
+    out_schema = f"{_key_schema(df, keys)}, n_events bigint, total double"
     state_schema = "n bigint, total double"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle horizon passed with no new rows: evict — the whole
+            # point of the timeout is bounding state lifetime
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf[value_col].sum())
         state.update((n, total))
+        if timeout_duration_ms is not None:
+            state.setTimeoutDuration(timeout_duration_ms)
         yield pd.DataFrame([[*key, n, total]], columns=[*keys, "n_events", "total"])
 
     return df.groupBy(*[df[k] for k in keys]).applyInPandasWithState(
@@ -84,8 +101,7 @@ def topk_per_key(
     """
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-    key_fields = ", ".join(f"{c} bigint" for c in keys)
-    out_schema = f"{key_fields}, topk array<double>"
+    out_schema = f"{_key_schema(df, keys)}, topk array<double>"
 
     class TopK(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -132,8 +148,7 @@ def running_totals_tws(
         StatefulProcessorHandle,
     )
 
-    key_fields = ", ".join(f"{k} bigint" for k in keys)
-    out_schema = f"{key_fields}, n_events bigint, total double"
+    out_schema = f"{_key_schema(df, keys)}, n_events bigint, total double"
 
     class _RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

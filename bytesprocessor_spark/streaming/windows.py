@@ -90,8 +90,16 @@ def stream_dedup(
 ) -> DataFrame:
     """ST5: stateful exact dedup on key columns.  With a watermark the
     key state is bounded to the watermark horizon
-    (dropDuplicatesWithinWatermark); without one (batch) it is a plain
-    distinct-by-key."""
-    if watermark and ts_col and df.isStreaming:
+    (dropDuplicatesWithinWatermark); on a batch frame it is a plain
+    distinct-by-key.  A STREAM without both ts_col and watermark is
+    refused — silently falling back to unbounded dropDuplicates is
+    exactly the state-grows-forever failure these wrappers exist to
+    prevent (same guard discipline as session_agg)."""
+    if df.isStreaming:
+        if not (watermark and ts_col):
+            raise ValueError(
+                "streaming dedup requires ts_col AND watermark "
+                "(unbounded key state otherwise)"
+            )
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
     return df.dropDuplicates(list(keys))

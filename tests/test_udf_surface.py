@@ -272,3 +272,26 @@ def test_observe_quality_rides_the_action(spark, tmp_path):
     assert m["n_rows"] == 4
     assert m["null_v"] == 2  # one NULL + one NaN
     assert m["min_id"] == 1 and m["max_id"] == 4
+
+
+def test_merge_upsert_cross_batch_version_guard(spark):
+    """With the version PERSISTED in the target, a later batch carrying
+    a STALE version must not roll rows back — the property that makes
+    CDC apply order-independent across micro-batches (foreachBatch
+    gives no cross-batch order guarantee after restart)."""
+    from bytesprocessor_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "new", 2), (2, "base", 0)], "id long, v string, version long"
+    )
+    stale = spark.createDataFrame(
+        [(1, "old", 1), (2, "upd", 1)], "id long, v string, version long"
+    )
+    out = {r.id: (r.v, r.version) for r in merge_upsert(target, stale, ["id"], version_col="version").collect()}
+    assert out[1] == ("new", 2)   # stale change rejected
+    assert out[2] == ("upd", 1)   # newer change applied
+
+    # equal versions re-apply (idempotent replay of the same batch)
+    replay = spark.createDataFrame([(1, "new", 2)], "id long, v string, version long")
+    out2 = {r.id: r.v for r in merge_upsert(target, replay, ["id"], version_col="version").collect()}
+    assert out2[1] == "new"
