@@ -182,19 +182,26 @@ def decode_image_builtin(payload: bytes) -> np.ndarray:
     raise ValueError("unknown image format (built-in decoders: PNG/BMP/PPM)")
 
 
-def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """REAL image codec for ``functions.multimodal.image_features``:
-    returns (width, height, 16-float pixel feature signature).  Uses
-    PIL when available, else the built-in decoders."""
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 pixel decode — PIL when available (any format
+    PIL knows: JPEG, WebP, ...), else the built-in PNG/BMP/PPM
+    decoders.  The shared pixel seam for every pixel-level operator
+    (features, perceptual hashing)."""
     if not payload:
         raise ValueError("empty image payload")
     if _HAVE_PIL:
         import io
 
         with _PILImage.open(io.BytesIO(payload)) as im:
-            rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
-    else:
-        rgb = decode_image_builtin(payload)
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    return decode_image_builtin(payload)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL image codec for ``functions.multimodal.image_features``:
+    returns (width, height, 16-float pixel feature signature) from
+    :func:`decode_pixels`."""
+    rgb = decode_pixels(payload)
     h, w = rgb.shape[:2]
     return w, h, pixel_features(rgb)
 

@@ -332,9 +332,12 @@ def image_ahash(
     import numpy as np
 
     if codec is None:
-        from bytesprocessor_spark.functions.imagecodec import decode_image_builtin
+        # PIL-preferred pixel seam: JPEG/WebP decode when PIL exists,
+        # built-in PNG/BMP/PPM otherwise — same default reach as
+        # ingest_media_dir's accepted extensions
+        from bytesprocessor_spark.functions.imagecodec import decode_pixels
 
-        codec = decode_image_builtin
+        codec = decode_pixels
     width = grid * grid // n_blocks
 
     schema = T.StructType(
@@ -371,6 +374,10 @@ def image_ahash(
                         for b in range(n_blocks)
                     ]
                     out.append((mid, blocks))
+                except NotImplementedError:
+                    raise  # an unimplemented codec must fail loudly,
+                    # not read as "no duplicates" (same policy as
+                    # image_features/audio_features)
                 except Exception:
                     out.append((mid, None))
             yield pd.DataFrame(out, columns=["id", "sh"])
@@ -394,16 +401,23 @@ def image_near_dup_pairs(
     within d bit flips must leave >= 1 of d+1 blocks untouched), so the
     block count adapts to the requested radius: the smallest
     power-of-two divisor of the 64 sketch bits that exceeds
-    ``max_hamming`` (4 for d<=3, 8 for d<=7, 16 for d<=15; d<=31 max —
-    beyond that a Hamming sketch is the wrong tool)."""
+    ``max_hamming`` (4 for d<=3, 8 for d<=7; larger radii are
+    rejected — the blocks would be too narrow to prune and a 64-bit
+    perceptual hash doesn't separate at that distance anyway)."""
     from pyspark.sql import functions as F
 
     from bytesprocessor_spark.operators.dedup import block_hamming_pairs
 
-    if max_hamming >= 32:
-        raise ValueError("max_hamming must be < 32 for a 64-bit aHash sketch")
-    n_blocks = 4
-    while n_blocks <= max_hamming:
-        n_blocks *= 2
+    if max_hamming >= 8:
+        # 16+ blocks of a 64-bit sketch are only 4 bits wide: the
+        # (block, value) equi-join buckets collapse to 16 values and
+        # the "pigeonhole" candidate set degenerates toward the full
+        # cross join.  Radii this large are past what a 64-bit
+        # perceptual hash separates anyway — use embedding dedup (L2).
+        raise ValueError(
+            "max_hamming must be < 8 for the pigeonhole join on a 64-bit "
+            "aHash (larger radii need embedding-based dedup)"
+        )
+    n_blocks = 4 if max_hamming < 4 else 8
     sk = image_ahash(df, codec=codec, payload_col=payload_col, id_col=id_col, n_blocks=n_blocks)
     return block_hamming_pairs(sk.where(F.col("sh").isNotNull()), max_hamming)

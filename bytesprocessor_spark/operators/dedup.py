@@ -53,8 +53,10 @@ def exact_dedup(
 
 def content_hash(text_col, normalize: bool = True):
     """The shared dedup identity: sha256 of (optionally whitespace/case
-    normalized) text — fixed-width shuffle/join key."""
-    t = text_col
+    normalized) text — fixed-width shuffle/join key.  NULL text hashes
+    as the empty string (explicit policy: a NULL sha2 key would never
+    equi-join, so NULL-text rows would silently bypass every dedup)."""
+    t = F.coalesce(text_col, F.lit(""))
     if normalize:
         t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
     return F.sha2(t.cast("string"), 256)
@@ -590,6 +592,11 @@ def simhash_sketch(
     avoids 64-bit sign/overflow concerns under ANSI mode.
     """
     n_bits, hasher = _simhash_mode(hash_mode)
+    if n_bits % n_blocks:
+        raise ValueError(
+            f"n_blocks={n_blocks} must divide the {n_bits}-bit sketch "
+            "(a remainder would silently drop high bits from every block)"
+        )
     width = n_bits // n_blocks
     hashes = F.transform(char_ngrams(F.col(text_col), shingle_size), hasher)
     counts = F.aggregate(
@@ -636,14 +643,24 @@ def simhash_sketch_table(
     partial aggregation, and blocks pack from the agg row.  Measured
     ~10x faster than the array-HOF form of :func:`simhash_sketch` on
     corpus-scale feeds (interpreted HOFs get no codegen/CSE); one
-    shuffle on the doc id.  Identical bits to :func:`simhash_sketch`.
+    shuffle on the doc id.  Identical bits to :func:`simhash_sketch`
+    for UNIQUE ids — the groupBy folds duplicate ids into one combined
+    sketch (the pair join downstream is keyed by id, so duplicate-id
+    inputs are ill-defined for it either way; dedup ids first).
     """
     n_bits, hasher = _simhash_mode(hash_mode)
+    if n_bits % n_blocks:
+        raise ValueError(
+            f"n_blocks={n_blocks} must divide the {n_bits}-bit sketch "
+            "(a remainder would silently drop high bits from every block)"
+        )
     width = n_bits // n_blocks
-    # explode_outer: a NULL-text doc keeps one (id, NULL-shingle) row,
-    # whose NULL hash contributes -1 to every bit sum -> all-zero
-    # sketch, matching simhash_sketch's behavior (plain explode would
-    # silently drop the doc from the output)
+    # explode_outer: a NULL-text doc keeps one (id, NULL-shingle) row
+    # instead of vanishing from the output (plain explode drops it).
+    # Its sketch matches simhash_sketch's for the same input in both
+    # modes — md5(NULL) is NULL (sums go -1 -> all-zero sketch), while
+    # xxhash64(NULL) returns the seed 42, so that mode sketches the
+    # bits of 42 (identically in both formulations).
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(char_ngrams(F.col(text_col), shingle_size)).alias("__s"),

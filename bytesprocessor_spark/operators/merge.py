@@ -29,6 +29,7 @@ def merge_upsert(
     keys: Sequence[str],
     delete_col: str | None = None,
     version_col: str | None = None,
+    soft_delete_col: str | None = None,
 ) -> DataFrame:
     """Return the merged state of ``target`` after applying ``source``:
 
@@ -46,6 +47,16 @@ def merge_upsert(
     with a version column only on the source, ordering holds within a
     batch but a later batch carrying a stale version would overwrite —
     persist the version into the target (init it to 0) to close that.
+
+    DELETES and reordering: a hard delete leaves no trace, so a stale
+    replayed upsert for the deleted key would re-insert it.  Pass
+    ``soft_delete_col`` (a boolean column persisted in the TARGET) to
+    keep version-carrying tombstones instead: deletes flip the flag
+    rather than dropping the row, the version guard then rejects the
+    stale resurrection, and readers filter the flag
+    (streaming/cdc.py wires this for the CDC apply loop).  A NULL
+    source version never applies (update or delete) — explicit
+    versions are the ordering contract.
     Column set = target's columns; source-only columns (flags, a
     version the target doesn't persist) are dropped from the output.
     """
@@ -61,23 +72,38 @@ def merge_upsert(
     joined = target.alias("t").join(src.alias("s"), keys, "full")
     matched = F.col("s.__present").isNotNull()
     if version_col is not None and version_col in target.columns:
-        # cross-batch guard: only apply if not older than what's applied
-        newer = F.col(f"t.{version_col}").isNull() | (
-            F.col(f"s.{version_col}") >= F.col(f"t.{version_col}")
+        # cross-batch guard: only apply if not older than what's
+        # applied; coalesced so a NULL source version applies NOTHING
+        # (without the coalesce, Kleene NULL would veto the update
+        # branch yet still satisfy the delete filter)
+        newer = F.coalesce(
+            F.col(f"t.{version_col}").isNull()
+            | (F.col(f"s.{version_col}") >= F.col(f"t.{version_col}")),
+            F.lit(False),
         )
         applies = matched & newer
     else:
         applies = matched
+    deleting = applies & (
+        F.coalesce(F.col(f"s.{delete_col}"), F.lit(False))
+        if delete_col is not None
+        else F.lit(False)
+    )
 
-    if delete_col is not None:
-        joined = joined.where(
-            ~(applies & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
-        )
+    if delete_col is not None and soft_delete_col is None:
+        joined = joined.where(~deleting)
 
     out_cols = []
     for c in target.columns:
         if c in keys:
             out_cols.append(F.col(c))  # coalesced by the USING-style join
+        elif c == soft_delete_col:
+            out_cols.append(
+                F.when(deleting, F.lit(True))
+                .when(applies, F.lit(False))  # an upsert revives a tombstone
+                .otherwise(F.coalesce(F.col(f"t.{c}"), F.lit(False)))
+                .alias(c)
+            )
         else:
             out_cols.append(
                 F.when(applies, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)

@@ -128,8 +128,15 @@ def key_skew_report(
     100 TB this is one shuffle on the key plus a top-k.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    key_expr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
-    counts = df.groupBy(key_expr.alias("key")).agg(F.count("*").alias("n_rows"))
+    # group on the REAL columns — string-encoding before the groupBy
+    # conflates distinct composite keys (concat_ws skips NULLs and a
+    # separator inside a value is ambiguous), inflating a phantom hot
+    # key; the display string is derived after, with a NULL sentinel
+    by_key = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    key_expr = F.concat_ws(
+        "|", *[F.coalesce(F.col(k).cast("string"), F.lit("<NULL>")) for k in keys]
+    )
+    counts = by_key.select(key_expr.alias("key"), "n_rows")
     from bytesprocessor_spark.operators.caching import persist_intermediate
 
     counts = persist_intermediate(counts)  # feeds the totals agg AND the top-k

@@ -35,10 +35,17 @@ def _pointer(path: str) -> str:
     return os.path.join(path, "_CURRENT")
 
 
+_TOMBSTONE = "__deleted"
+
+
 def read_cdc_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read the current snapshot of a CDC-maintained table."""
+    """Read the current snapshot of a CDC-maintained table (tombstoned
+    rows filtered out, the flag column dropped)."""
     with open(_pointer(path)) as f:
-        return spark.read.parquet(os.path.join(path, f.read().strip()))
+        df = spark.read.parquet(os.path.join(path, f.read().strip()))
+    if _TOMBSTONE in df.columns:
+        df = df.where(~F.coalesce(F.col(_TOMBSTONE), F.lit(False))).drop(_TOMBSTONE)
+    return df
 
 
 def init_cdc_table(
@@ -51,10 +58,15 @@ def init_cdc_table(
     the version in the target, merge_upsert's >= guard makes the apply
     idempotent across replayed AND reordered micro-batches — without
     it, a restarted stream delivering an old change file after a newer
-    one would silently roll rows back."""
+    one would silently roll rows back.  Versioned tables also keep
+    DELETE TOMBSTONES (a flag column, filtered by read_cdc_table)
+    rather than hard-dropping rows, so a stale replayed upsert can't
+    resurrect a deleted key."""
     os.makedirs(path, exist_ok=True)
-    if version_col is not None and version_col not in initial.columns:
-        initial = initial.withColumn(version_col, F.lit(0).cast("long"))
+    if version_col is not None:
+        if version_col not in initial.columns:
+            initial = initial.withColumn(version_col, F.lit(0).cast("long"))
+        initial = initial.withColumn(_TOMBSTONE, F.lit(False))
     initial.write.mode("overwrite").parquet(os.path.join(path, "gen-0"))
     tmp = _pointer(path) + ".tmp"
     with open(tmp, "w") as f:
@@ -89,7 +101,12 @@ def apply_cdc_stream(
             cur = f.read().strip()
         target = spark.read.parquet(os.path.join(path, cur))
         merged = merge_upsert(
-            target, batch, keys, delete_col=delete_col, version_col=version_col
+            target,
+            batch,
+            keys,
+            delete_col=delete_col,
+            version_col=version_col,
+            soft_delete_col=_TOMBSTONE if _TOMBSTONE in target.columns else None,
         )
         gen = int(cur.split("-")[1]) + 1
         nxt = f"gen-{gen}"

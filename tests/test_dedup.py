@@ -388,3 +388,17 @@ def test_incremental_dedup_against_corpus(spark):
     )
     kept = sorted(r.doc_id for r in incremental_exact_dedup(delta, corpus).collect())
     assert kept == [11, 13]
+
+
+def test_incremental_dedup_null_text_policy(spark):
+    """NULL text hashes as the empty string: a NULL-text delta row
+    dedups against a NULL/empty-text corpus row instead of silently
+    bypassing the anti-join on a NULL key."""
+    from bytesprocessor_spark.operators.dedup import incremental_exact_dedup
+
+    corpus = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "real content")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in incremental_exact_dedup(delta, corpus).collect())
+    assert kept == [12]

@@ -232,8 +232,8 @@ def test_image_near_dup_pairs_perceptual(spark):
         (5, b"not an image"),      # undecodable -> dropped, not fatal
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
-    pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_dup_pairs(df, max_hamming=8).collect()}
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_dup_pairs(df, max_hamming=7).collect()}
     assert pairs.get((1, 2)) == 0
-    assert (1, 3) in pairs and pairs[(1, 3)] <= 8
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 7
     assert not any(4 in p for p in pairs)
     assert not any(5 in p for p in pairs)

@@ -80,3 +80,14 @@ def test_key_skew_report_finds_hot_key(spark):
     assert top[0].n_rows == 900
     assert abs(top[0].share - 0.9) < 1e-9
     assert abs(top[0].skew_factor - 0.9 * 101) < 1e-6
+
+
+def test_key_skew_report_composite_nulls_not_conflated(spark):
+    """Distinct composite keys differing only in NULL placement must
+    report separately (the pre-groupBy string encoding merged them)."""
+    from bytesprocessor_spark.operators.skew import key_skew_report
+
+    rows = [("a", None)] * 5 + [(None, "a")] * 3 + [("a", "a")] * 2
+    df = spark.createDataFrame(rows, "k1 string, k2 string")
+    top = {r.key: r.n_rows for r in key_skew_report(df, ["k1", "k2"], top_k=5).collect()}
+    assert top == {"a|<NULL>": 5, "<NULL>|a": 3, "a|a": 2}

@@ -345,3 +345,44 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_cdc_tombstone_blocks_stale_resurrection(spark, tmp_path):
+    """A deleted key must STAY deleted when a stale change replays
+    after the delete (foreachBatch gives no cross-batch order
+    guarantee): the versioned tombstone rejects the resurrection."""
+    from bytesprocessor_spark.operators.merge import merge_upsert
+    from bytesprocessor_spark.streaming.cdc import (
+        _TOMBSTONE,
+        init_cdc_table,
+        read_cdc_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    initial = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    init_cdc_table(initial, path, version_col="version")
+    snap = spark.read.parquet(f"{path}/gen-0")
+    assert _TOMBSTONE in snap.columns and "version" in snap.columns
+
+    # batch with the DELETE (version 2) applies first
+    delete = spark.createDataFrame(
+        [(1, "a", 2, True)], "id long, v string, version long, is_delete boolean"
+    )
+    gen1 = merge_upsert(snap, delete, ["id"], delete_col="is_delete",
+                        version_col="version", soft_delete_col=_TOMBSTONE)
+    gen1.write.parquet(f"{path}/gen-1")
+    with open(f"{path}/_CURRENT", "w") as f:
+        f.write("gen-1")
+    # the stale UPDATE (version 1) replays afterwards
+    stale = spark.createDataFrame(
+        [(1, "resurrected", 1, False)], "id long, v string, version long, is_delete boolean"
+    )
+    snap1 = spark.read.parquet(f"{path}/gen-1")
+    gen2 = merge_upsert(snap1, stale, ["id"], delete_col="is_delete",
+                        version_col="version", soft_delete_col=_TOMBSTONE)
+    gen2.write.parquet(f"{path}/gen-2")
+    with open(f"{path}/_CURRENT", "w") as f:
+        f.write("gen-2")
+
+    final = {r.id: r.v for r in read_cdc_table(spark, path).collect()}
+    assert final == {2: "b"}, f"deleted key resurrected: {final}"
