@@ -618,6 +618,7 @@ _CHECK_ORDER = [
     "events_ewma",
     "dedup_incremental",
     "events_cohort_retention",
+    "text_bigram_surprisal",
     "events_rfm_segments",
     "agg_cube",
     "join_cross",

@@ -1818,3 +1818,79 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.where(F.col("doc_id") % 2 == 1)
     kept = incremental_exact_dedup(delta, corpus)
     return kept.agg(F.count("*").alias("n_ingested"), F.sum("doc_id").alias("sum_ids"))
+
+
+# L4j (bigram form): conditional n-gram surprisal --------------------------
+
+_DUCK_BIGRAM_SURPRISAL = f"""
+    WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS bg
+      FROM d WHERE len(ts) >= 2),
+    c2 AS (SELECT bg, COUNT(*) AS c FROM b GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c) AS c FROM c2 GROUP BY 1),
+    lp AS (
+      SELECT bg, CAST(ROUND(LN(CAST(c1.c AS DOUBLE) / c2.c) * 1000000) AS BIGINT) AS lp_q
+      FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+    s AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(lp.lp_q) AS t
+      FROM b JOIN lp USING (bg) GROUP BY b.doc_id)
+    SELECT doc_id, n_bigrams,
+           ROUND(t / 1000000.0 / n_bigrams, 6) AS mean_surprisal
+    FROM s
+    """
+
+
+@query("text_bigram_surprisal", _DUCK_BIGRAM_SURPRISAL)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4j, conditional form: mean bigram surprisal -ln p(w2 | w1)
+    under the corpus's own bigram MLE (p = c(w1 w2) / c(w1 ·)) — one
+    step closer to CCNet's KenLM n-gram scoring than the unigram row;
+    fluent text repeats common transitions and scores low.
+
+    Plan shape: map-only bigram construction from the token array, one
+    shuffle on the bigram key for counts, the w1 marginal derived FROM
+    the bigram table (no second corpus pass), the LM table broadcast
+    back onto the bigram stream, one doc_id shuffle for the mean.
+    Per-bigram surprisal is quantized to BIGINT so per-doc sums are
+    order-independent exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokenize(F.col("text")).alias("ts")).where(F.size("ts") >= 2)
+    b = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat(
+                    F.element_at("ts", i), F.lit(" "), F.element_at("ts", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    c2 = b.groupBy("bg").agg(F.count("*").alias("c"))
+    c1 = (
+        c2.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c").alias("c1"))
+    )
+    lp = (
+        c2.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(c1, "w1")
+        .select(
+            "bg",
+            F.round(F.log(F.col("c1").cast("double") / F.col("c")) * 1000000.0)
+            .cast("long")
+            .alias("lp_q"),
+        )
+    )
+    s = (
+        b.join(F.broadcast(lp), "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp_q").alias("t"))
+    )
+    return s.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("t") / 1000000.0 / F.col("n_bigrams"), 6).alias("mean_surprisal"),
+    )
