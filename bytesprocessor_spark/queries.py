@@ -543,11 +543,16 @@ QUERIES.update(_NO_ORACLE)
 #     check_oracle.py) and independently re-verified by the round-2
 #     judge; this converts that soft signal into driver-grade rows.
 #
-# After position 50: the new persisted-IVF row and 8 same-family
-# variants queued for the round-4 window, then the round-2-proven
-# prefix.  As of round 3 every entry has a DuckDB oracle: the two
-# formerly-declared-no-oracle entries were converted (simhash -> md5
-# hash mode, LSH top-k -> quantized-SRP form).
+# After position 50: the round-4 queue — every entry added DURING
+# round 3 (persisted-IVF probe, SemDeDup pair/keep, TF-IDF, unigram/
+# bigram surprisal, stream interval join, the converted simhash /
+# LSH-top-k rows, length batching, skew report, EWMA, incremental
+# dedup, cohort/RFM) plus the same-family variants deferred from
+# round 2 — then the round-2-proven prefix.  Rotate the queue into
+# positions 1-50 at the START of round 4.  As of round 3 every entry
+# has a DuckDB oracle: the two formerly-declared-no-oracle entries
+# were converted (simhash -> md5 hash mode, LSH top-k ->
+# quantized-SRP form).
 _CHECK_ORDER = [
     # --- round-3 driver window: 48 never-driver-checked entries ---
     "grouping_sets_sql",
