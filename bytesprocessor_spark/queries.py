@@ -497,6 +497,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_udf  # noqa: F401
     import bytesprocessor_spark.queries_sql  # noqa: F401
     import bytesprocessor_spark.queries_streaming  # noqa: F401
+    import bytesprocessor_spark.queries_curation  # noqa: F401
 
 
 @query(
@@ -633,6 +634,11 @@ _CHECK_ORDER = [
     "dedup_embedding_keep",
     "quality_expectations",
     "multimodal_audio_meta",
+    "dedup_span_ngrams",
+    "embedding_kmeans",
+    "corpus_dsir_weights",
+    "events_mad_outliers",
+    "corpus_split_assign",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

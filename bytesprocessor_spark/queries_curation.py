@@ -1,0 +1,527 @@
+"""Round-3 extension corpus: training-data curation operators beyond
+the round-2 surface (SURVEY §2.11 additions).
+
+  * L2d repeated n-token span detection — the building block of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499): find every
+    8-token span that occurs more than once corpus-wide and score each
+    document by its duplicated-span ratio.
+  * L3f distributed k-means (Lloyd) over the embedding table — the
+    trainer behind IVF coarse quantizers and SemDeDup cells, here as a
+    first-class operator with exact integer-quantized arithmetic so
+    every iteration is bit-reproducible cross-engine.
+  * L4k DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    hashed n-gram bag-of-words importance log-weights of every raw
+    document against a target domain, and the top-quota selection.
+  * A14 robust outlier detection — median / MAD (median absolute
+    deviation) robust z-scores per event type, on exact cent-quantized
+    values so the percentile interpolation is exact in both engines.
+  * O7 deterministic train/val/test split assignment — content-hash
+    bucketing so the split is stable under reshuffles, re-runs, and
+    engine changes (the property a reproducible data pipeline needs).
+
+Cross-engine determinism: hashes are md5-derived 60-bit integers
+(identical in Spark ``conv(substr(md5(x),1,15),16,10)`` and DuckDB
+``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``); all reductions are
+exact integer sums of quantized values; ln() appears only inside a
+1e-6-quantized weight where a sub-ULP libm difference cannot move the
+rounded integer except on a measure-zero boundary (same policy as
+text_unigram_surprisal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import query, _t
+from bytesprocessor_spark.functions.text import tokenize
+
+_DUCK_TOKS = "[x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if len(x) > 0]"
+
+
+def _h60(col):
+    """Cross-engine 60-bit non-negative hash (md5 prefix as integer)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# L2d repeated n-token spans (exact-substring dedup unit)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8
+
+_DUCK_SPANS = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+{_SPAN_N - 1}], ' ')
+                     for i in range(1, len(toks) - {_SPAN_N - 1} + 1)]) AS span
+      FROM t WHERE len(toks) >= {_SPAN_N}),
+    k AS (SELECT doc_id, CAST('0x' || substr(md5(span), 1, 15) AS BIGINT) AS key
+          FROM sp),
+    c AS (SELECT key, COUNT(*) AS n_occ FROM k GROUP BY key),
+    d AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM k JOIN c USING (key) GROUP BY doc_id)
+    SELECT doc_id, n_spans, n_dup AS n_dup_spans,
+           ROUND(n_dup * 1.0 / n_spans, 6) AS dup_ratio
+    FROM d ORDER BY doc_id
+"""
+
+
+@query("dedup_span_ngrams", _DUCK_SPANS)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2d exact-substring duplication scan (arXiv:2107.06499 unit):
+    every overlapping 8-token span, hashed, counted corpus-wide; a
+    span instance is "duplicated" if its hash occurs >= 2 times
+    anywhere (same doc or another doc).  Output: per-document span
+    totals and duplicated-span ratio — the signal the full
+    suffix-array dedup thresholds on.
+
+    Plan shape: token explode is map-only; span hashing stays inside
+    codegen (md5 + conv); ONE shuffle on the 60-bit span key with
+    map-side partial counts; the count table joins back to the span
+    stream on the same key (AQE picks shuffle vs broadcast by actual
+    size) and the per-doc rollup is a second partial-agg shuffle on
+    doc_id.  At 100 TB both shuffles carry (long, long) pairs — no
+    text moves after the map stage.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    spans = (
+        toks.where(F.size("toks") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_SPAN_N - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, _SPAN_N), " "),
+                )
+            ).alias("span"),
+        )
+        .select("doc_id", _h60(F.col("span")).alias("key"))
+    )
+    counts = spans.groupBy("key").agg(F.count("*").alias("n_occ"))
+    per_doc = (
+        spans.join(counts, "key")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round(F.col("n_dup_spans") * 1.0 / F.col("n_spans"), 6).alias("dup_ratio"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L3f distributed k-means (Lloyd)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _duck_kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+    """DuckDB mirror of the exact-integer Lloyd iterations: init from
+    the k lowest vec_ids, assignment by integer squared distance with
+    (dist, cid) tie-break, centroid update as round(mean) back to
+    integer micro-units."""
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f""",
+    a{it} AS (
+      SELECT vec_id, v, cid,
+             list_sum(list_transform(range(1, {dim} + 1),
+                                     i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+      FROM e CROSS JOIN {prev}),
+    asg{it} AS (
+      SELECT vec_id, v, cid
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rk
+            FROM a{it})
+      WHERE rk = 1),
+    u{it} AS (
+      SELECT cid,
+             unnest(list_transform(range(1, {dim} + 1),
+                                   i -> {{'pos': i, 'val': v[i]}})) AS pv
+      FROM asg{it}),
+    s{it} AS (
+      SELECT cid, pv.pos AS pos, SUM(pv.val) AS sv, COUNT(*) AS c
+      FROM u{it} GROUP BY cid, pv.pos),
+    c{it} AS (
+      SELECT cid, list(CAST(ROUND(sv * 1.0 / c) AS BIGINT) ORDER BY pos) AS cv
+      FROM s{it} GROUP BY cid)"""
+        )
+    last = iters
+    parts.append(
+        f"""
+    SELECT cid AS cluster, MAX(c) AS n_vectors,
+           list(ROUND(sv * 1.0 / c / 1000000, 6) ORDER BY pos) AS centroid
+    FROM s{last} GROUP BY cid ORDER BY cid"""
+    )
+    return "".join(parts)
+
+
+@query("embedding_kmeans", _duck_kmeans_sql())
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3f Lloyd k-means over the embedding table (k=8, 2 iterations)
+    — the coarse-quantizer trainer for IVF / SemDeDup, as a
+    first-class distributed operator.
+
+    Exactness: vectors quantize to integer micro-units; squared
+    distances are exact 64-bit sums (dim * (2e6)^2 ~ 2.6e14 << 2^63);
+    assignment ties break on cluster id; centroid updates round the
+    exact-integer mean back to micro-units — every iteration is
+    bit-identical in any engine and under any reduction order.
+
+    Plan shape per iteration: the k-row centroid table BROADCASTS onto
+    the vector scan (map-only k-way fan-out + min(struct) partial agg
+    collapses back to one row per vector before the vec_id shuffle),
+    then the update is the embedding_centroids shape (posexplode,
+    map-side partial (cid, pos) sums).  Nothing ever collects to the
+    driver; lineage stays DataFrame-only.  At 100 TB this is the
+    standard scalable k-means: cost = iters * (one pass + one
+    (cid,dim)-width shuffle).  Empty clusters drop out of the group-by
+    identically in both engines.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        ).alias("v"),
+    )
+    w = Window.orderBy("vec_id")
+    cent = (
+        e.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.row_number().over(w).alias("cid"), F.col("v").alias("cv"))
+    )
+    stats = None
+    for _ in range(_KM_ITERS):
+        a = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "v",
+            "cid",
+            F.aggregate(
+                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        asg = a.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("m"), F.first("v").alias("v")
+        )
+        ex = asg.select(F.col("m.cid").alias("cid"), F.posexplode("v").alias("pos", "val"))
+        stats = ex.groupBy("cid", "pos").agg(
+            F.sum("val").alias("sv"), F.count("*").alias("c")
+        )
+        cent = stats.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.round(F.col("sv").cast("double") / F.col("c"))
+                            .cast("long")
+                            .alias("cm"),
+                        )
+                    )
+                ),
+                lambda st: st["cm"],
+            ).alias("cv")
+        )
+    return (
+        stats.groupBy("cid")
+        .agg(
+            F.max("c").alias("n_vectors"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.round(
+                                F.col("sv").cast("double") / F.col("c") / 1_000_000, 6
+                            ).alias("cm"),
+                        )
+                    )
+                ),
+                lambda st: st["cm"],
+            ).alias("centroid"),
+        )
+        .withColumnRenamed("cid", "cluster")
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4k DSIR hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096          # feature buckets
+_DSIR_TARGET = "src0"   # target domain (vs the rest of the corpus)
+_DSIR_TOPK = 100
+
+_DUCK_NGRAMS = f"""
+      SELECT doc_id, source,
+             unnest(toks || [array_to_string(toks[i:i+1], ' ')
+                            for i in range(1, len(toks))]) AS ng
+      FROM (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents)
+      WHERE len(toks) > 0
+"""
+
+_DUCK_DSIR = f"""
+    WITH ng AS ({_DUCK_NGRAMS}),
+    f AS (SELECT doc_id, source,
+                 CAST('0x' || substr(md5(ng), 1, 15) AS BIGINT) % {_DSIR_B} AS b
+          FROM ng),
+    ct AS (SELECT b, COUNT(*) AS c FROM f WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+    cr AS (SELECT b, COUNT(*) AS c FROM f WHERE source <> '{_DSIR_TARGET}' GROUP BY b),
+    tt AS (SELECT COUNT(*) AS n FROM f WHERE source = '{_DSIR_TARGET}'),
+    tr AS (SELECT COUNT(*) AS n FROM f WHERE source <> '{_DSIR_TARGET}'),
+    lw AS (
+      SELECT r.b,
+             CAST(ROUND((ln(COALESCE(ct.c, 0) + 1.0) - ln((SELECT n FROM tt) + {_DSIR_B}.0)
+                         - ln(COALESCE(cr.c, 0) + 1.0) + ln((SELECT n FROM tr) + {_DSIR_B}.0))
+                        * 1000000) AS BIGINT) AS lw_q
+      FROM (SELECT DISTINCT b FROM f) r
+      LEFT JOIN ct ON ct.b = r.b LEFT JOIN cr ON cr.b = r.b),
+    d AS (
+      SELECT f.doc_id, COUNT(*) AS n_feats, SUM(lw.lw_q) AS s
+      FROM f JOIN lw ON f.b = lw.b
+      WHERE f.source <> '{_DSIR_TARGET}'
+      GROUP BY f.doc_id),
+    top AS (SELECT * FROM d ORDER BY s DESC, doc_id LIMIT {_DSIR_TOPK})
+    SELECT ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank,
+           doc_id, n_feats, ROUND(s / 1000000.0, 6) AS log_weight
+    FROM top ORDER BY rank
+"""
+
+
+@query("corpus_dsir_weights", _DUCK_DSIR)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4k DSIR (arXiv:2302.03169): hashed-n-gram importance weights.
+    Features = word unigrams + bigrams hashed into 4096 buckets; the
+    target bucket distribution (source 'src0') and raw distribution
+    (the rest) give each bucket a smoothed log-likelihood-ratio
+    lambda(b) = ln p_t(b) - ln p_r(b); a raw document's importance
+    log-weight is the sum of lambda over its feature instances, and
+    the top-100 by weight form the resampled selection.
+
+    Determinism: lambda is quantized to an integer micro-weight BEFORE
+    the per-document sum, so the reduction is exact integer math; the
+    final top-k orders on the exact integer sum with doc_id tie-break.
+
+    Plan shape: one n-gram explode (map-only codegen), one shuffle on
+    the bucket id with map-side partial counts producing a table of at
+    most 4096 rows per side, which BROADCASTS back onto the feature
+    stream; the per-doc sum is one partial-agg shuffle on doc_id; the
+    selection is a distributed TakeOrdered (no global sort, no global
+    window).  At 100 TB the only wide data movement is (doc_id, long)
+    pairs.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    ngrams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(
+                "toks",
+                # sequence(1, 0) would generate a DESCENDING [1, 0] in
+                # Spark — guard the single-token case to an empty list.
+                F.when(
+                    F.size("toks") > 1,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.array_join(F.slice("toks", i, 2), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("ng"),
+    )
+    feats = ngrams.select(
+        "doc_id", "source", (_h60(F.col("ng")) % _DSIR_B).alias("b")
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    per_bucket = feats.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("c_r"),
+    )
+    totals = feats.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("n_r"),
+    )
+    lw = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            (
+                F.log(F.col("c_t") + 1.0)
+                - F.log(F.col("n_t") + float(_DSIR_B))
+                - F.log(F.col("c_r") + 1.0)
+                + F.log(F.col("n_r") + float(_DSIR_B))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lw_q"),
+    )
+    d = (
+        feats.where(~is_t)
+        .join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("lw_q").alias("s"))
+    )
+    top = d.orderBy(F.col("s").desc(), "doc_id").limit(_DSIR_TOPK)
+    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "n_feats",
+        F.round(F.col("s") / 1_000_000.0, 6).alias("log_weight"),
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# A14 median / MAD robust outliers
+# ---------------------------------------------------------------------------
+
+_MAD_K = "3 * 1.4826"   # ~3 sigma for normal data
+
+_DUCK_MAD = f"""
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS vc
+               FROM events),
+    med AS (SELECT event_type, quantile_cont(vc, 0.5) AS med_c
+            FROM e GROUP BY event_type),
+    dev AS (SELECT e.event_id, e.event_type, e.vc, ABS(e.vc - med.med_c) AS dev_c,
+                   med.med_c
+            FROM e JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(dev_c, 0.5) AS mad_c
+            FROM dev GROUP BY event_type)
+    SELECT dev.event_type,
+           COUNT(*) AS n,
+           ROUND(MAX(dev.med_c) / 100, 6) AS med,
+           ROUND(MAX(mad.mad_c) / 100, 6) AS mad,
+           SUM(CASE WHEN dev.dev_c > {_MAD_K} * mad.mad_c THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN dev.dev_c > {_MAD_K} * mad.mad_c THEN dev.vc ELSE 0 END) AS BIGINT)
+             AS outlier_value_cents
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type ORDER BY dev.event_type
+"""
+
+
+@query("events_mad_outliers", _DUCK_MAD)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 robust anomaly scan: per event type, median and MAD (median
+    absolute deviation) of the value, and the count/sum of values more
+    than 3 * 1.4826 MADs from the median — the robust z-score that
+    survives the heavy tails that break mean/stddev fences.
+
+    Exactness: values quantize to integer cents first, so the exact
+    ``percentile`` interpolation lands on .0/.5 (and deviations on
+    .25) multiples — exactly representable doubles in both engines;
+    the outlier comparison multiplies the same exact doubles in the
+    same order.
+
+    Plan shape: two grouped exact percentiles (Spark's ``percentile``
+    aggregate — a per-group sorted digest, partial-aggregated
+    map-side) with the tiny per-type stats tables BROADCAST back onto
+    the event scan; no global sort.  At 100 TB, exact percentiles
+    per group are the honest choice when groups are few; the
+    approx_percentile form is one keyword away when they are not.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    med = ev.groupBy("event_type").agg(F.expr("percentile(vc, 0.5)").alias("med_c"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev_c", F.abs(F.col("vc") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev_c, 0.5)").alias("mad_c"))
+    is_out = F.col("dev_c") > F.expr(_MAD_K) * F.col("mad_c")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("med_c") / 100, 6).alias("med"),
+            F.round(F.max("mad_c") / 100, 6).alias("mad"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+            F.sum(F.when(is_out, F.col("vc")).otherwise(0)).alias("outlier_value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O7 deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_DUCK_SPLIT = """
+    WITH b AS (
+      SELECT source, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+               AS bucket
+      FROM documents)
+    SELECT source,
+           SUM(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) AS n_train,
+           SUM(CASE WHEN bucket >= 90 AND bucket < 95 THEN 1 ELSE 0 END) AS n_val,
+           SUM(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS n_test,
+           CAST(SUM(CASE WHEN bucket < 90 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS train_chars
+    FROM b GROUP BY source ORDER BY source
+"""
+
+
+@query("corpus_split_assign", _DUCK_SPLIT)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 deterministic split assignment: md5(doc_id) mod 100 buckets
+    into 90/5/5 train/val/test — stable across runs, engines, cluster
+    sizes, and row order (the property random() splits lack, and the
+    reason eval-set leakage audits can re-derive membership from the
+    id alone).  Map-only bucketing + one partial-agg shuffle on
+    source."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        "n_chars",
+        (_h60(F.col("doc_id").cast("string")) % 100).alias("bucket"),
+    )
+    return (
+        b.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("bucket") < 90, 1).otherwise(0)).alias("n_train"),
+            F.sum(
+                F.when((F.col("bucket") >= 90) & (F.col("bucket") < 95), 1).otherwise(0)
+            ).alias("n_val"),
+            F.sum(F.when(F.col("bucket") >= 95, 1).otherwise(0)).alias("n_test"),
+            F.sum(F.when(F.col("bucket") < 90, F.col("n_chars")).otherwise(0)).alias(
+                "train_chars"
+            ),
+        )
+        .orderBy("source")
+    )

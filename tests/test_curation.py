@@ -1,0 +1,188 @@
+"""Tests for the round-3 curation extensions (queries_curation.py):
+repeated-span detection, distributed k-means, DSIR weights, MAD
+outliers, deterministic splits — semantics on constructed inputs plus
+the plan-shape gates that hold at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.plans.explain import (
+    assert_plan,
+    executed_plan,
+    shuffle_count,
+)
+from bytesprocessor_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_ngrams
+# ---------------------------------------------------------------------------
+
+def _span_summary(spark, rows):
+    """Run the span scan on constructed documents via a temp parquet."""
+    import tempfile
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return QUERIES["dedup_span_ngrams"](spark, d)
+
+
+def test_span_ngrams_detects_copied_span(spark):
+    # doc 1 and 2 share an exact 8-word run; doc 3 is unrelated.
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"one two {shared} end", "en", "s", 0),
+        (2, f"{shared} tail words here", "en", "s", 0),
+        (3, "a completely different text with eight tokens only", "en", "s", 0),
+    ]
+    out = {r["doc_id"]: r for r in _span_summary(spark, rows).collect()}
+    # the shared span occurs in both docs -> both get >= 1 dup span
+    assert out[1]["n_dup_spans"] >= 1
+    assert out[2]["n_dup_spans"] >= 1
+    assert out[3]["n_dup_spans"] == 0
+    # doc 3 has exactly 8 tokens -> exactly one span
+    assert out[3]["n_spans"] == 1
+
+
+def test_span_ngrams_intra_doc_repeat_counts(spark):
+    # the same 8-token span twice WITHIN one doc is also a duplicate
+    s = "a1 a2 a3 a4 a5 a6 a7 a8"
+    rows = [(1, f"{s} zz {s}", "en", "s", 0)]
+    out = _span_summary(spark, rows).collect()[0]
+    assert out["n_dup_spans"] >= 2  # both instances of the repeated span
+
+
+def test_span_ngrams_short_docs_dropped(spark):
+    rows = [(1, "only seven tokens in this one here", "en", "s", 0)]
+    assert _span_summary(spark, rows).count() == 0
+
+
+def test_span_ngrams_plan_partial_agg(spark):
+    """The span-count aggregate must partial-aggregate map-side: the
+    exploded span stream is ~tokens-per-doc x corpus and may never
+    shuffle raw."""
+    df = QUERIES["dedup_span_ngrams"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+    # shuffles are keyed on the 60-bit hash / doc_id, not the span text
+    assert "hashpartitioning(key" in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+# ---------------------------------------------------------------------------
+# embedding_kmeans
+# ---------------------------------------------------------------------------
+
+def test_kmeans_separates_two_blobs(spark):
+    import tempfile
+
+    # two tight blobs far apart; k=8 with only these points -> every
+    # centroid lands inside one blob, so within-cluster spread is tiny.
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 3) * 0.01] * 64, 0))
+    for i in range(20, 40):
+        rows.append((i, [-10.0 - (i % 3) * 0.01] * 64, 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = QUERIES["embedding_kmeans"](spark, d).collect()
+    assert sum(r["n_vectors"] for r in out) == 40
+    for r in out:
+        c0 = r["centroid"][0]
+        assert abs(abs(c0) - 10.0) < 0.1  # centroid sits in a blob, not between
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """Assignment must broadcast the k-row centroid table; a shuffle
+    join (or cartesian spill) there would move the full vector table
+    k times at 100 TB."""
+    df = QUERIES["embedding_kmeans"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus_dsir_weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_upweights_target_like_docs(spark):
+    import tempfile
+
+    # target domain uses a distinct vocabulary; one raw doc mimics it
+    # and must rank first among raw docs.
+    rows = []
+    for i in range(10):
+        rows.append((i, "quantum flux lattice boson quantum flux", "en", "src0", 0))
+    rows.append((100, "quantum flux lattice boson entangle", "en", "srcX", 0))
+    for i in range(101, 120):
+        rows.append((i, "cats dogs weather sports news cats dogs", "en", "srcX", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = QUERIES["corpus_dsir_weights"](spark, d).collect()
+    assert out[0]["doc_id"] == 100
+    assert out[0]["rank"] == 1
+    assert out[0]["log_weight"] > out[-1]["log_weight"]
+
+
+def test_dsir_plan_broadcasts_weight_table(spark):
+    """The 4096-bucket lambda table must broadcast back onto the
+    feature stream (it is bounded by construction), and the selection
+    must be a TakeOrdered, not a global sort."""
+    df = QUERIES["corpus_dsir_weights"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# events_mad_outliers
+# ---------------------------------------------------------------------------
+
+def test_mad_flags_only_planted_outlier(spark):
+    import tempfile
+
+    rows = [(i, None, 1, "t", 50.0 + (i % 5) * 0.1, "{}") for i in range(50)]
+    rows.append((999, None, 1, "t", 5000.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QUERIES["events_mad_outliers"](spark, d).collect()[0]
+    assert out["n_outliers"] == 1
+    assert out["outlier_value_cents"] == 500000
+    assert abs(out["med"] - 50.2) < 0.3
+
+
+def test_mad_broadcast_stats_no_global_sort(spark):
+    df = QUERIES["events_mad_outliers"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus_split_assign
+# ---------------------------------------------------------------------------
+
+def test_split_deterministic_and_complete(spark):
+    a = QUERIES["corpus_split_assign"](spark, SF_DIR).collect()
+    b = QUERIES["corpus_split_assign"](spark, SF_DIR).collect()
+    assert a == b  # stable across runs
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total = docs.count()
+    assert sum(r["n_train"] + r["n_val"] + r["n_test"] for r in a) == total
+
+
+def test_split_single_shuffle(spark):
+    df = QUERIES["corpus_split_assign"](spark, SF_DIR)
+    # bucketing is map-only: one agg shuffle + the tiny presentation sort
+    assert shuffle_count(df) <= 2
+    assert "hashpartitioning(source" in executed_plan(df)
