@@ -81,6 +81,13 @@ HEADLINE = [
     "dedup_incremental",
     "pack_length_batches",
     "key_skew_report",
+    # round-3 late curation batch
+    "dedup_span_ngrams",
+    "embedding_kmeans",
+    "corpus_dsir_weights",
+    "events_mad_outliers",
+    "corpus_split_assign",
+    "text_bpe_learn",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

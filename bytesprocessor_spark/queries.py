@@ -639,6 +639,7 @@ _CHECK_ORDER = [
     "corpus_dsir_weights",
     "events_mad_outliers",
     "corpus_split_assign",
+    "text_bpe_learn",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

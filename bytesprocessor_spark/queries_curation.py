@@ -478,6 +478,73 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4l distributed BPE merge learning
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+
+
+def _duck_bpe_sql(n_merges: int = _BPE_MERGES) -> str:
+    """DuckDB mirror of the BPE loop: same double-space symbol-string
+    representation, same literal-replace merge (both engines scan
+    left-to-right non-overlapping), same (cnt desc, a, b) winner."""
+    parts = [
+        f"""
+    WITH t AS (SELECT unnest({_DUCK_TOKS}) AS word FROM documents),
+    wc AS (SELECT word, COUNT(*) AS n FROM t GROUP BY word),
+    w0 AS (
+      SELECT word, n,
+             '  ' || array_to_string([substr(word, i, 1)
+                                      for i in range(1, len(word) + 1)], '  ') || '  ' AS s
+      FROM wc)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    q{i} AS (SELECT n, [x for x in string_split(s, '  ') if len(x) > 0] AS l
+            FROM w{i - 1}),
+    p{i} AS (
+      SELECT pv.a AS a, pv.b AS b, SUM(n) AS cnt
+      FROM (SELECT n, unnest([{{'a': l[j], 'b': l[j+1]}}
+                              for j in range(1, len(l))]) AS pv
+            FROM q{i})
+      GROUP BY pv.a, pv.b),
+    t{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{i} AS (
+      SELECT word, n,
+             replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
+      FROM w{i - 1} CROSS JOIN t{i})"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS iter, a, b, cnt FROM t{i}" for i in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+    {union}
+    ORDER BY iter""")
+    return "".join(parts)
+
+
+@query("text_bpe_learn", _duck_bpe_sql())
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4l BPE merge training (arXiv:1508.07909): learn the first 6
+    byte-pair merges from the corpus word-frequency table — the
+    tokenizer-training counterpart of the L4d token accounting.
+
+    Plan shape per merge: pair counting is a map-only split + explode
+    with map-side partial aggregation over the vocabulary-sized word
+    table; the winner is a 1-row TakeOrdered that BROADCASTS back for
+    the merge (a literal string replace, map-only).  The driver never
+    collects; per-generation persists keep the loop's lineage linear
+    (see operators/bpe.py).  At 100 TB the corpus is touched ONCE (the
+    word-count agg); everything after runs on the vocabulary.
+    """
+    from bytesprocessor_spark.operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, _BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
 # O7 deterministic train/val/test split
 # ---------------------------------------------------------------------------
 

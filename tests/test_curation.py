@@ -169,6 +169,69 @@ def test_mad_broadcast_stats_no_global_sort(spark):
 
 
 # ---------------------------------------------------------------------------
+# text_bpe_learn
+# ---------------------------------------------------------------------------
+
+def test_bpe_learns_classic_merges(spark):
+    """The BPE-paper corpus {low:5, lower:2, newest:6, widest:3}:
+    first merges are (e,s):9, (es,t):9, then (l,o):7 beating (o,w):7
+    on the lexicographic tie-break."""
+    from bytesprocessor_spark.operators.bpe import learn_bpe_merges
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = [(r["a"], r["b"], r["cnt"]) for r in learn_bpe_merges(docs, 3).collect()]
+    assert merges == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7)]
+
+
+def test_bpe_back_to_back_and_run_merging(spark):
+    """'abab' must merge BOTH ab occurrences in one pass; 'aaa' must
+    merge only the leftmost pair (left-to-right non-overlap)."""
+    from bytesprocessor_spark.operators.bpe import (
+        bpe_apply_merge,
+        bpe_top_pair,
+        bpe_word_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab aaa")], "doc_id long, text string"
+    )
+    words = bpe_word_table(docs)
+    top = bpe_top_pair(words)
+    r = top.collect()[0]
+    assert (r["a"], r["b"]) == ("a", "b")  # ab occurs 6x weighted
+    merged = {
+        w["word"]: w["s"] for w in bpe_apply_merge(words, top).collect()
+    }
+    assert merged["abab"] == "  ab  ab  "   # both pairs merged
+    assert merged["aaa"] == "  a  a  a  "   # (a,b) merge leaves aaa alone
+    # now merge (a,a): only the leftmost pair of the run merges
+    top_aa = spark.createDataFrame([("a", "a", 1)], "a string, b string, cnt long")
+    merged2 = {
+        w["word"]: w["s"] for w in bpe_apply_merge(words, top_aa).collect()
+    }
+    assert merged2["aaa"] == "  aa  a  "
+
+
+def test_bpe_merge_is_broadcast_map_only(spark):
+    """The merge step must broadcast the 1-row winner onto the word
+    table — a shuffle join there would move the vocabulary every
+    iteration."""
+    from bytesprocessor_spark.operators.bpe import (
+        bpe_apply_merge,
+        bpe_top_pair,
+        bpe_word_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = bpe_word_table(docs)
+    out = bpe_apply_merge(words, bpe_top_pair(words))
+    plan = executed_plan(out)
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
 # corpus_split_assign
 # ---------------------------------------------------------------------------
 
