@@ -88,6 +88,7 @@ HEADLINE = [
     "events_mad_outliers",
     "corpus_split_assign",
     "text_bpe_learn",
+    "similarity_pq_topk",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -640,6 +640,7 @@ _CHECK_ORDER = [
     "events_mad_outliers",
     "corpus_split_assign",
     "text_bpe_learn",
+    "similarity_pq_topk",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

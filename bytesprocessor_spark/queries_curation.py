@@ -276,6 +276,84 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L3g product quantization ANN (PQ-ADC)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_KC = 16
+_PQ_K = 5
+
+
+def _duck_pq_sql(m: int = _PQ_M, k_c: int = _PQ_KC, k: int = _PQ_K,
+                 dim: int = 64) -> str:
+    """DuckDB replay of PQ encode + ADC: same deterministic codebook
+    (k_c lowest ids), same integer distances, same (d, c) / (adist,
+    vec_id) tie-breaks."""
+    dp = dim // m
+    sq = f"list_sum(list_transform(range(1, {dp} + 1), i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))"
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings),
+    cbase AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k_c})),
+    js AS (SELECT unnest(range(0, {m})) AS j),
+    cb AS (SELECT js.j AS j, cbase.c AS c,
+                  cbase.v[js.j * {dp} + 1 : js.j * {dp} + {dp}] AS cv
+           FROM cbase CROSS JOIN js),
+    sub AS (SELECT e.vec_id, js.j AS j,
+                   e.v[js.j * {dp} + 1 : js.j * {dp} + {dp}] AS sv
+            FROM e CROSS JOIN js),
+    enc0 AS (SELECT sub.vec_id, sub.j, cb.c, {sq} AS d
+             FROM sub JOIN cb ON sub.j = cb.j),
+    enc AS (SELECT vec_id, j, c AS code
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                               ORDER BY d, c) AS rk
+                  FROM enc0)
+            WHERE rk = 1),
+    qsub AS (SELECT vec_id AS query_id, j, sv
+             FROM sub WHERE vec_id < 10),
+    dtab AS (SELECT qsub.query_id, qsub.j, cb.c, {sq} AS d
+             FROM qsub JOIN cb ON qsub.j = cb.j),
+    sc AS (SELECT dtab.query_id, enc.vec_id, CAST(SUM(dtab.d) AS BIGINT) AS adist
+           FROM enc JOIN dtab ON enc.j = dtab.j AND enc.code = dtab.c
+           GROUP BY dtab.query_id, enc.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adist, vec_id) AS rank
+          FROM sc WHERE query_id <> vec_id)
+    SELECT query_id, vec_id, adist, rank FROM r WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("similarity_pq_topk", _duck_pq_sql())
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3g PQ-ADC approximate top-k (Jégou et al., TPAMI 2011): the
+    fourth point in the ANN family (brute exact / IVF / SRP-LSH /
+    int8) — 64-dim vectors compressed to 8 sub-codes (32x memory cut),
+    queried by asymmetric distance lookup tables.
+
+    Plan shape: the codebook collapses to m broadcastable rows; encode
+    is a map-side argmin expression over the broadcast centroids (the
+    corpus never shuffles to get coded); each query's m x k_c distance
+    table broadcasts; ONE partial-agg shuffle sums the m lookups.  At
+    100 TB the persisted form of this is codes-at-rest (8 B/vector)
+    plus a scan-side lookup join — the RAM-resident ANN shape.
+    Exact integer arithmetic end-to-end; deterministic sampling
+    codebook (refine with embedding_kmeans when quality matters)."""
+    from bytesprocessor_spark.operators.pq import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return pq_adc_topk(emb, q, m=_PQ_M, k_c=_PQ_KC, k=_PQ_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
 # L4k DSIR hashed n-gram importance weights
 # ---------------------------------------------------------------------------
 

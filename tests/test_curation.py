@@ -169,6 +169,67 @@ def test_mad_broadcast_stats_no_global_sort(spark):
 
 
 # ---------------------------------------------------------------------------
+# similarity_pq_topk
+# ---------------------------------------------------------------------------
+
+def test_pq_arrow_and_expression_encode_agree(spark):
+    """The numpy encode fast path must produce bit-identical codes to
+    the SQL-replayable expression form (same exact-integer argument as
+    the IVF GEMM assignment)."""
+    from bytesprocessor_spark.operators.pq import (
+        pq_codebook,
+        pq_codebook_arrays,
+        pq_encode,
+        pq_encode_udf,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    m, k_c = 8, 16
+    cb = pq_codebook(emb, m, k_c)
+    expr = {(r["vec_id"], r["j"]): r["code"] for r in pq_encode(emb, cb, m).collect()}
+    arrow = {
+        (r["vec_id"], r["j"]): r["code"]
+        for r in pq_encode_udf(emb, pq_codebook_arrays(emb, m, k_c), m).collect()
+    }
+    assert expr == arrow
+
+
+def test_pq_finds_blob_neighbors(spark):
+    import tempfile
+
+    # two separated blobs interleaved by id parity, so the
+    # lowest-16-ids codebook represents BOTH (a codebook sampled from
+    # one distribution aliases the other onto it — real PQ behavior)
+    rows = []
+    for i in range(60):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [sign * (5.0 + (i % 7) * 0.05)] * 64, i % 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    from bytesprocessor_spark.queries import QUERIES
+
+    out = QUERIES["similarity_pq_topk"](spark, d).collect()
+    assert len(out) > 0
+    for r in out:
+        # neighbors must come from the query's own blob (same parity)
+        assert r["vec_id"] % 2 == r["query_id"] % 2
+
+
+def test_pq_encode_map_only_and_adc_broadcast(spark):
+    """Encoding must not shuffle the corpus (Arrow batch + posexplode
+    only); the ADC lookup join must broadcast the distance table."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    df = QUERIES["similarity_pq_topk"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
 # text_bpe_learn
 # ---------------------------------------------------------------------------
 
