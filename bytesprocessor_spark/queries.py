@@ -641,6 +641,7 @@ _CHECK_ORDER = [
     "corpus_split_assign",
     "text_bpe_learn",
     "similarity_pq_topk",
+    "graph_pagerank",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -623,6 +623,81 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GR2 PageRank over the customer-supplier trade graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 2
+_PR_TOPK = 20
+
+
+def _duck_pagerank_sql(n_iter: int = _PR_ITERS, k: int = _PR_TOPK) -> str:
+    """DuckDB replay of the fixed-point power iterations (identical
+    integer floor-division arithmetic)."""
+    parts = [
+        """
+    WITH eb AS (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT c AS u, s AS v FROM eb UNION ALL SELECT s AS u, c AS v FROM eb),
+    deg AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    c{i} AS (SELECT e.v AS node, p{i - 1}.p // deg.outdeg AS c
+            FROM e JOIN deg ON e.u = deg.u JOIN p{i - 1} ON e.u = p{i - 1}.node),
+    s{i} AS (SELECT node, SUM(c) AS s FROM c{i} GROUP BY node),
+    p{i} AS (SELECT n.node,
+                   CAST(150000 + (850000 * COALESCE(s{i}.s, 0)) // 1000000 AS BIGINT) AS p
+            FROM nodes n LEFT JOIN s{i} ON n.node = s{i}.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, p AS pagerank_micro, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY p DESC, node) AS rank FROM p{n_iter})
+    WHERE rank <= {k} ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank", _duck_pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR2 PageRank (power iteration) over the bipartite
+    customer-supplier trade graph (distinct trading pairs from
+    lineitem x orders, symmetrized) — which parties sit at the center
+    of the trade network.
+
+    Exact fixed-point arithmetic makes the iteration bit-reproducible
+    cross-engine (see operators/graph.py:pagerank).  Plan: the edge
+    build is the only corpus-scale join; each iteration is one
+    contribution shuffle on dst; the top-k is a distributed
+    TakeOrdered."""
+    from bytesprocessor_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    p = pagerank(edges, n_iter=_PR_ITERS)
+    top = p.orderBy(F.col("p").desc(), "node").limit(_PR_TOPK)
+    w = Window.orderBy(F.col("p").desc(), "node")
+    return top.select(
+        "node", F.col("p").alias("pagerank_micro"), F.row_number().over(w).alias("rank")
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
 # O7 deterministic train/val/test split
 # ---------------------------------------------------------------------------
 

@@ -293,6 +293,41 @@ def test_bpe_merge_is_broadcast_map_only(spark):
 
 
 # ---------------------------------------------------------------------------
+# graph_pagerank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_star_center_wins(spark):
+    """In a star graph the hub receives every spoke's full mass: hub
+    rank must dominate, and the exact fixed-point scores are
+    hand-computable."""
+    from bytesprocessor_spark.operators.graph import pagerank
+
+    spokes = [(f"s{i}", "hub") for i in range(10)]
+    back = [("hub", f"s{i}") for i in range(10)]
+    edges = spark.createDataFrame(spokes + back, "src string, dst string")
+    p = {r["node"]: r["p"] for r in pagerank(edges, n_iter=2).collect()}
+    # iter1: hub = 150000 + 85% of 10e6 = 8650000; spoke = 150000 +
+    # 85% of (hub 1e6 / 10) = 235000.  iter2: hub = 150000 + 85% of
+    # 10*235000 = 2147500; spoke = 150000 + 85% of 8650000//10 = 885250.
+    assert p["hub"] == 2_147_500
+    assert all(p[f"s{i}"] == 885_250 for i in range(10))
+    # mass conservation (up to floor-div leak): total <= N * 1e6
+    assert sum(p.values()) <= 11 * 1_000_000
+
+
+def test_pagerank_mass_and_determinism(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    a = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    b = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    assert a == b
+    assert [r["rank"] for r in a] == list(range(1, len(a) + 1))
+    # scores strictly ordered (desc) with node tiebreak
+    scores = [r["pagerank_micro"] for r in a]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
 # corpus_split_assign
 # ---------------------------------------------------------------------------
 
