@@ -95,28 +95,47 @@ def bpe_apply_merge(words: DataFrame, top: DataFrame) -> DataFrame:
     return merged
 
 
-def learn_bpe_merges(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
-    """The learned merge table: (iter, a, b, cnt) for ``n_merges``
-    iterations, ordered by iteration.  DataFrame-only loop — lineage
-    grows linearly with the merge count (fine for the tens-of-merges
-    demonstrations; checkpoint periodically for thousand-merge vocab
-    runs)."""
-    # Each generation is consumed TWICE (the pair count and the
-    # merge), and each top pair twice (the output and the merge) —
-    # without lineage cuts the DAG doubles per iteration
-    # (2^n_merges corpus scans).  localCheckpoint (the graph.py
-    # connected-components pattern) truncates each generation to its
-    # materialized blocks, keeping both the execution AND the Catalyst
-    # planning cost linear in the merge count (measured 1.8x faster
-    # than persist alone, whose logical plans still nest).  Cost:
-    # recomputation-on-executor-loss is traded away, same as graph.py.
+def _bpe_loop(docs: DataFrame, n_merges: int, text_col: str):
+    """Run the merge loop; returns ([per-iteration winner DFs], final
+    word table).  Each generation is consumed TWICE (the pair count
+    and the merge), and each top pair twice (the output and the merge)
+    — without lineage cuts the DAG doubles per iteration (2^n_merges
+    corpus scans).  localCheckpoint (the graph.py connected-components
+    pattern) truncates each generation to its materialized blocks,
+    keeping both the execution AND the Catalyst planning cost linear
+    in the merge count (measured 1.8x faster than persist alone, whose
+    logical plans still nest).  Cost: recomputation-on-executor-loss
+    is traded away, same as graph.py."""
     words = bpe_word_table(docs, text_col).localCheckpoint()
     outs = []
     for it in range(1, n_merges + 1):
         top = bpe_top_pair(words).localCheckpoint()
         outs.append(top.select(F.lit(it).alias("iter"), "a", "b", "cnt"))
         words = bpe_apply_merge(words, top).localCheckpoint()
+    return outs, words
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
+    """The learned merge table: (iter, a, b, cnt) for ``n_merges``
+    iterations, ordered by iteration.  DataFrame-only loop — lineage
+    stays linear in the merge count (see _bpe_loop); checkpoint
+    spacing is per-generation, fine for tens of merges and tunable for
+    thousand-merge vocab runs."""
+    outs, _ = _bpe_loop(docs, n_merges, text_col)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("iter")
+
+
+def bpe_encode_words(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
+    """(word, n, n_bpe): the corpus vocabulary with each word's
+    BPE-token count after ``n_merges`` learned merges — encoding
+    happens on the vocabulary once, never per occurrence; consumers
+    join this table onto their token streams."""
+    _, words = _bpe_loop(docs, n_merges, text_col)
+    return words.select(
+        "word",
+        "n",
+        F.size(_symbols(F.col("s"))).alias("n_bpe"),
+    )

@@ -642,6 +642,7 @@ _CHECK_ORDER = [
     "text_bpe_learn",
     "similarity_pq_topk",
     "graph_pagerank",
+    "text_bpe_encode",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

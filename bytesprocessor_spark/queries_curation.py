@@ -562,10 +562,12 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 6
 
 
-def _duck_bpe_sql(n_merges: int = _BPE_MERGES) -> str:
+def _duck_bpe_sql(n_merges: int = _BPE_MERGES, final_select: str | None = None) -> str:
     """DuckDB mirror of the BPE loop: same double-space symbol-string
     representation, same literal-replace merge (both engines scan
-    left-to-right non-overlapping), same (cnt desc, a, b) winner."""
+    left-to-right non-overlapping), same (cnt desc, a, b) winner.
+    ``final_select`` swaps the merge-table output for a consumer query
+    over the loop's CTEs (w{n} is the encoded vocabulary)."""
     parts = [
         f"""
     WITH t AS (SELECT unnest({_DUCK_TOKS}) AS word FROM documents),
@@ -593,12 +595,14 @@ def _duck_bpe_sql(n_merges: int = _BPE_MERGES) -> str:
              replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
       FROM w{i - 1} CROSS JOIN t{i})"""
         )
-    union = "\n    UNION ALL ".join(
-        f"SELECT {i} AS iter, a, b, cnt FROM t{i}" for i in range(1, n_merges + 1)
-    )
-    parts.append(f"""
+    if final_select is None:
+        union = "\n    UNION ALL ".join(
+            f"SELECT {i} AS iter, a, b, cnt FROM t{i}" for i in range(1, n_merges + 1)
+        )
+        final_select = f"""
     {union}
-    ORDER BY iter""")
+    ORDER BY iter"""
+    parts.append(final_select)
     return "".join(parts)
 
 
@@ -695,6 +699,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "node", F.col("p").alias("pagerank_micro"), F.row_number().over(w).alias("rank")
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# L4l2 BPE application: encode the corpus with the learned merges
+# ---------------------------------------------------------------------------
+
+_DUCK_BPE_ENCODE = _duck_bpe_sql(final_select=f""",
+    v AS (SELECT word,
+                 len([x for x in string_split(s, '  ') if len(x) > 0]) AS n_bpe
+          FROM w{_BPE_MERGES}),
+    dw AS (SELECT doc_id, unnest(toks) AS word
+           FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+    SELECT dw.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(len(dw.word)) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(v.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(v.n_bpe) * 1.0 / SUM(len(dw.word)), 6) AS compression
+    FROM dw JOIN v ON dw.word = v.word
+    GROUP BY dw.doc_id ORDER BY dw.doc_id
+""")
+
+
+@query("text_bpe_encode", _DUCK_BPE_ENCODE)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4l2 the other half of the tokenizer loop: ENCODE the corpus
+    with the merges `text_bpe_learn` trained — per-document token
+    counts before (character symbols) and after the 6 merges, and the
+    resulting compression ratio (the signal that drives vocab-size /
+    merge-count decisions).
+
+    Plan shape: encoding runs ONCE per vocabulary word (the word
+    table, not the token stream); the doc token stream joins the
+    vocab-sized (word, n_bpe) table — AQE broadcasts it while it fits,
+    shuffle-joins beyond — and one doc_id partial-agg shuffle rolls up
+    the counts."""
+    from bytesprocessor_spark.operators.bpe import bpe_encode_words
+
+    docs = _t(spark, sf_dir, "documents")
+    v = bpe_encode_words(docs, _BPE_MERGES)
+    dw = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    return (
+        dw.join(v.select("word", "n_bpe"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_char_tokens"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_char_tokens",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens") * 1.0 / F.col("n_char_tokens"), 6
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -274,6 +274,25 @@ def test_bpe_back_to_back_and_run_merging(spark):
     assert merged2["aaa"] == "  aa  a  "
 
 
+def test_bpe_encode_compresses(spark):
+    """After merges, every doc's BPE token count is <= its character
+    count, and words containing learned merges actually shrink."""
+    from bytesprocessor_spark.operators.bpe import bpe_encode_words
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    v = {r["word"]: r["n_bpe"] for r in bpe_encode_words(docs, 3).collect()}
+    # merges (e,s), (es,t), (l,o): newest = n e w est -> 4, low = lo w -> 2
+    assert v["newest"] == 4
+    assert v["low"] == 2
+    assert v["widest"] == 4
+    from bytesprocessor_spark.queries import QUERIES
+
+    out = QUERIES["text_bpe_encode"](spark, SF_DIR).collect()
+    assert all(r["n_bpe_tokens"] <= r["n_char_tokens"] for r in out)
+    assert all(r["compression"] <= 1.0 for r in out)
+
+
 def test_bpe_merge_is_broadcast_map_only(spark):
     """The merge step must broadcast the 1-row winner onto the word
     table — a shuffle join there would move the vocabulary every
