@@ -89,6 +89,8 @@ HEADLINE = [
     "corpus_split_assign",
     "text_bpe_learn",
     "similarity_pq_topk",
+    "text_bpe_encode",
+    "graph_pagerank",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -640,7 +640,7 @@ def _duck_pagerank_sql(n_iter: int = _PR_ITERS, k: int = _PR_TOPK) -> str:
     parts = [
         """
     WITH eb AS (
-      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     e AS (SELECT c AS u, s AS v FROM eb UNION ALL SELECT s AS u, c AS v FROM eb),
     deg AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
@@ -659,7 +659,9 @@ def _duck_pagerank_sql(n_iter: int = _PR_ITERS, k: int = _PR_TOPK) -> str:
         )
     parts.append(
         f"""
-    SELECT node, p AS pagerank_micro, rank
+    SELECT CASE WHEN node % 2 = 0 THEN 'c:' || (node // 2)
+                ELSE 's:' || (node // 2) END AS node,
+           p AS pagerank_micro, rank
     FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY p DESC, node) AS rank FROM p{n_iter})
     WHERE rank <= {k} ORDER BY rank"""
     )
@@ -677,7 +679,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine (see operators/graph.py:pagerank).  Plan: the edge
     build is the only corpus-scale join; each iteration is one
     contribution shuffle on dst; the top-k is a distributed
-    TakeOrdered."""
+    TakeOrdered.  Nodes are packed into longs (custkey*2 / suppkey*2+1)
+    so every shuffle and join keys on an 8-byte integer — the
+    human-readable label is reconstructed only for the k output rows."""
     from bytesprocessor_spark.operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -685,8 +689,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -697,7 +701,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = p.orderBy(F.col("p").desc(), "node").limit(_PR_TOPK)
     w = Window.orderBy(F.col("p").desc(), "node")
     return top.select(
-        "node", F.col("p").alias("pagerank_micro"), F.row_number().over(w).alias("rank")
+        F.when(F.col("node") % 2 == 0, F.concat(F.lit("c:"), F.expr("node div 2")))
+        .otherwise(F.concat(F.lit("s:"), F.expr("node div 2")))
+        .alias("node"),
+        F.col("p").alias("pagerank_micro"),
+        F.row_number().over(w).alias("rank"),
     ).orderBy("rank")
 
 
