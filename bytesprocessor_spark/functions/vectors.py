@@ -48,6 +48,23 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 # including BLAS blocking — yields the identical value DuckDB computes.
 
 
+def quantize_micro(a: Column) -> Column:
+    """array<float/double> -> array<bigint> in 1e-6 fixed point —
+    round-half-away in both Spark and DuckDB; the shared entry to the
+    exact-integer arithmetic the oracles depend on."""
+    return F.transform(a, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+
+
+def sq_dist_q(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two quantized
+    vectors (each term < 2^42, sums < 2^53-safe for dims <= 2048)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def np_round_half_away(y):
     """Round-half-away-from-zero on a float64 ndarray — the rounding
     rule Spark's F.round and DuckDB's round() share; numpy's np.round

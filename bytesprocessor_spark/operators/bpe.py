@@ -82,15 +82,22 @@ def bpe_top_pair(words: DataFrame) -> DataFrame:
 
 def bpe_apply_merge(words: DataFrame, top: DataFrame) -> DataFrame:
     """Merge the winning pair in every word: one broadcast of the
-    1-row pair + one literal replace (map-only)."""
-    merged = words.crossJoin(F.broadcast(top)).select(
+    <=1-row pair + one literal replace (map-only).  A LEFT join on
+    TRUE (not a crossJoin) so an EMPTY winner — merges exhausted
+    before n_merges — passes every word through unmerged instead of
+    annihilating the table."""
+    merged = words.join(F.broadcast(top), F.lit(True), "left").select(
         "word",
         "n",
-        F.replace(
-            F.col("s"),
-            F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
-            F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
-        ).alias("s"),
+        F.when(F.col("a").isNull(), F.col("s"))
+        .otherwise(
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+            )
+        )
+        .alias("s"),
     )
     return merged
 
@@ -121,6 +128,9 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int, text_col: str = "text") -> 
     stays linear in the merge count (see _bpe_loop); checkpoint
     spacing is per-generation, fine for tens of merges and tunable for
     thousand-merge vocab runs."""
+    if n_merges < 1:
+        spark = docs.sparkSession
+        return spark.createDataFrame([], "iter int, a string, b string, cnt bigint")
     outs, _ = _bpe_loop(docs, n_merges, text_col)
     out = outs[0]
     for o in outs[1:]:

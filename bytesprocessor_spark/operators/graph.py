@@ -130,6 +130,7 @@ def pagerank(
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
+    teleport = 1_000_000 - damping_micro
     p = nodes.withColumn("p", F.lit(1_000_000).cast("long"))
     for _ in range(n_iter):
         c = (
@@ -141,7 +142,7 @@ def pagerank(
         p = nodes.join(s, "node", "left").select(
             "node",
             (
-                F.lit(150_000)
+                F.lit(teleport)
                 + F.expr(f"({damping_micro} * coalesce(s, 0L)) div 1000000")
             ).cast("long").alias("p"),
         )

@@ -34,16 +34,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _quant(col) -> F.Column:
-    return F.transform(col, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
-
-
-def _sq_dist(a, b) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+from bytesprocessor_spark.functions.vectors import (
+    quantize_micro as _quant,
+    sq_dist_q as _sq_dist,
+    to_matrix,
+)
 
 
 def pq_codebook(emb: DataFrame, m: int, k_c: int, id_col: str = "vec_id",
@@ -137,6 +132,11 @@ def pq_codebook_arrays(emb: DataFrame, m: int, k_c: int,
     )
     base = np.array([r["v"] for r in rows], dtype=np.int64)  # [k_c, dim]
     dim = base.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires dim divisible by m: dim={dim}, m={m} "
+            f"(the expression path would silently drop {dim % m} trailing dims)"
+        )
     dp = dim // m
     # [m, k_c, dp]: subspace j holds every centroid's j-th sub-vector
     return np.stack([base[:, j * dp : (j + 1) * dp] for j in range(m)])
@@ -159,8 +159,10 @@ def pq_encode_udf(emb: DataFrame, cb_arrays, m: int,
     def _codes(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
-        Vq = np.round(V * 1_000_000.0)  # quantized micro-units, exact
+        # round-half-away (to_matrix), NOT np.round: numpy's
+        # half-to-even would diverge from F.round/DuckDB on exact .5
+        # products (e.g. 0.0078125 * 1e6)
+        Vq = to_matrix(v, quantize=True)
         n, dim = Vq.shape
         m_, k_c, dp = C.shape
         S = Vq.reshape(n, m_, dp)  # [n, m, dp]
@@ -188,10 +190,19 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame, m: int = 8, k_c: int = 16,
     the SQL-replayable reference)."""
     cb = pq_codebook(emb, m, k_c, id_col, vec_col)
     if use_arrow:
+        # pq_codebook_arrays validates dim % m == 0 (free: it already
+        # collects the bounded codebook sample)
         codes = pq_encode_udf(
             emb, pq_codebook_arrays(emb, m, k_c, id_col, vec_col), m, id_col, vec_col
         )
     else:
+        # bounded 1-row probe: the expression path would otherwise
+        # silently drop dim % m trailing dims from every distance
+        probe = emb.select(F.size(vec_col).alias("d")).first()
+        if probe is not None and probe["d"] % m != 0:
+            raise ValueError(
+                f"PQ requires dim divisible by m: dim={probe['d']}, m={m}"
+            )
         codes = pq_encode(emb, cb, m, id_col, vec_col)
     qsub = _subvectors(queries, m, "query_id", id_col, vec_col)
     dtab = (

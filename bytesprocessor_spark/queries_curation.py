@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bytesprocessor_spark.queries import query, _t
+from bytesprocessor_spark.queries import cents, query, _t
 from bytesprocessor_spark.functions.text import tokenize
 
 _DUCK_TOKS = "[x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if len(x) > 0]"
@@ -205,12 +205,15 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cid,dim)-width shuffle).  Empty clusters drop out of the group-by
     identically in both engines.
     """
+    from bytesprocessor_spark.functions.vectors import quantize_micro, sq_dist_q
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
     emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
-        ).alias("v"),
+    # persisted: every iteration's assignment AND the final stats pass
+    # re-consume the quantized table — without this the corpus is
+    # re-scanned and re-quantized iters+1 times
+    e = persist_intermediate(
+        emb.select("vec_id", quantize_micro(F.col("embedding")).alias("v"))
     )
     w = Window.orderBy("vec_id")
     cent = (
@@ -224,11 +227,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "v",
             "cid",
-            F.aggregate(
-                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
+            sq_dist_q(F.col("v"), F.col("cv")).alias("dist"),
         )
         asg = a.groupBy("vec_id").agg(
             F.min(F.struct("dist", "cid")).alias("m"), F.first("v").alias("v")
@@ -533,7 +532,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile form is one keyword away when they are not.
     """
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+        "event_id", "event_type", cents(F.col("value")).alias("vc")
     )
     med = ev.groupBy("event_type").agg(F.expr("percentile(vc, 0.5)").alias("med_c"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
@@ -592,8 +591,10 @@ def _duck_bpe_sql(n_merges: int = _BPE_MERGES, final_select: str | None = None) 
     t{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
     w{i} AS (
       SELECT word, n,
-             replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
-      FROM w{i - 1} CROSS JOIN t{i})"""
+             CASE WHEN a IS NULL THEN s
+                  ELSE replace(s, ' ' || a || '  ' || b || ' ',
+                               ' ' || a || b || ' ') END AS s
+      FROM w{i - 1} LEFT JOIN t{i} ON TRUE)"""
         )
     if final_select is None:
         union = "\n    UNION ALL ".join(

@@ -293,6 +293,55 @@ def test_bpe_encode_compresses(spark):
     assert all(r["compression"] <= 1.0 for r in out)
 
 
+def test_bpe_exhausted_merges_pass_words_through(spark):
+    """When fewer merges exist than requested, the word table must
+    survive (left-join passthrough), not annihilate via the empty
+    winner; n_merges=0 returns an empty merge table."""
+    from bytesprocessor_spark.operators.bpe import (
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab")], "doc_id long, text string"
+    )  # one learnable merge, then dry
+    merges = learn_bpe_merges(docs, 5).collect()
+    assert len(merges) == 1 and (merges[0]["a"], merges[0]["b"]) == ("a", "b")
+    v = bpe_encode_words(docs, 5).collect()
+    assert len(v) == 1 and v[0]["n_bpe"] == 1  # 'ab' fully merged, kept
+    assert learn_bpe_merges(docs, 0).count() == 0
+
+
+def test_pagerank_damping_parameter_conserves_mass(spark):
+    """teleport must be 1e6 - damping (was hardcoded to the 0.85
+    default): at any damping the total mass stays <= N * 1e6."""
+    from bytesprocessor_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    for d in (500_000, 850_000):
+        p = {r["node"]: r["p"] for r in pagerank(edges, n_iter=3, damping_micro=d).collect()}
+        # symmetric ring: every node keeps exactly 1e6 (full conservation)
+        assert all(v == 1_000_000 for v in p.values()), (d, p)
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from bytesprocessor_spark.operators.pq import pq_adc_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 60, 0) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = emb.where(F.col("vec_id") < 2)
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_adc_topk(emb, q, m=8, k_c=4, use_arrow=True).collect()
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_adc_topk(emb, q, m=8, k_c=4, use_arrow=False).collect()
+
+
 def test_bpe_merge_is_broadcast_map_only(spark):
     """The merge step must broadcast the 1-row winner onto the word
     table — a shuffle join there would move the vocabulary every
