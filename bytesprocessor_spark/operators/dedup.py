@@ -744,3 +744,41 @@ def block_hamming_pairs(sk: DataFrame, max_hamming: int) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_pairs(
+    tokens: DataFrame,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact set-containment pairs from an (id, h) shingle token
+    table: C(a, b) = |A∩B| / min(|A|, |B|) >= threshold — the
+    excerpt/subset signal Jaccard misses (a short doc fully quoted
+    inside a long one has tiny Jaccard but containment 1.0).
+
+    Plan: distinct (id, shingle) -> inverted-index self-join on the
+    shingle hash (shuffle keys are shingles, never pairs) -> pair
+    intersection counts via partial agg -> two size joins.  No prefix
+    filter exists for containment (a contained doc may share ALL its
+    shingles), so hub shingles are the scale hazard here; for corpora
+    with heavy boilerplate, feed winnowed fingerprints
+    (functions/text.py:winnow_fingerprints) instead of raw shingles —
+    same join, ~2/(w+1) of the tokens.  Returns (id_a, id_b, inter,
+    containment), id_a < id_b.
+    """
+    e = tokens.select("id", "h").distinct()
+    sz = e.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sz.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    cont = F.col("inter") * 1.0 / F.least("na", "nb")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(cont >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "inter", cont.alias("containment"))
+    )

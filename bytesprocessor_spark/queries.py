@@ -643,6 +643,7 @@ _CHECK_ORDER = [
     "similarity_pq_topk",
     "graph_pagerank",
     "text_bpe_encode",
+    "dedup_containment_pairs",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -275,6 +275,48 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L2e set-containment dedup (excerpt/subset detection)
+# ---------------------------------------------------------------------------
+
+_CONT_T = 0.6
+
+from bytesprocessor_spark.queries_llm import _DUCK_WORD3  # noqa: E402
+
+_DUCK_CONTAIN = f"""
+    WITH s AS ({_DUCK_WORD3}),
+    e AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM s),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, inter,
+           ROUND(inter * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
+    FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / LEAST(sa.n, sb.n) >= {_CONT_T}
+    ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_containment_pairs", _DUCK_CONTAIN)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e excerpt/subset detection: word-3-gram set containment
+    C(a,b) = |A∩B| / min(|A|,|B|) — catches a short document quoted
+    verbatim inside a long one, which Jaccard (normalized by the
+    union) structurally misses.  Inverted-index plan: shuffle keys are
+    shingles, never pairs (operators/dedup.py:containment_pairs; the
+    winnowed-fingerprint feed is the boilerplate-heavy scale path)."""
+    from bytesprocessor_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+
+    pairs = containment_pairs(_word3_hashed_tokens(docs), threshold=_CONT_T)
+    return pairs.select(
+        "id_a", "id_b", "inter", F.round("containment", 6).alias("containment")
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # L3g product quantization ANN (PQ-ADC)
 # ---------------------------------------------------------------------------
 

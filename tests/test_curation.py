@@ -169,6 +169,45 @@ def test_mad_broadcast_stats_no_global_sort(spark):
 
 
 # ---------------------------------------------------------------------------
+# dedup_containment_pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment = 1.0 while
+    Jaccard is far below any dedup threshold."""
+    from bytesprocessor_spark.operators.dedup import (
+        containment_pairs,
+        exact_jaccard_pairs,
+    )
+    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}")],
+        "doc_id long, text string",
+    )
+    toks = _word3_hashed_tokens(docs)
+    cont = containment_pairs(toks, threshold=0.9).collect()
+    assert len(cont) == 1
+    assert cont[0]["containment"] == 1.0  # every quote shingle is inside doc 2
+    jac = exact_jaccard_pairs(docs, threshold=0.5, tokens=toks).collect()
+    assert jac == []  # union-normalized similarity misses the excerpt
+
+
+def test_containment_shuffles_on_shingles_not_pairs(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    df = QUERIES["dedup_containment_pairs"](spark, SF_DIR)
+    plan = executed_plan(df)
+    # inverted-index equi-join on the shingle hash: shuffled on h at
+    # scale, broadcast when AQE sees a small side — never a cartesian
+    assert ("hashpartitioning(h" in plan) or ("BroadcastHashJoin" in plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
 # similarity_pq_topk
 # ---------------------------------------------------------------------------
 
