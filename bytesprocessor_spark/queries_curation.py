@@ -490,9 +490,10 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_t, 1).otherwise(0)).alias("c_t"),
         F.sum(F.when(~is_t, 1).otherwise(0)).alias("c_r"),
     )
-    totals = feats.agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_t"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).alias("n_r"),
+    # totals fold over the <=4096-row bucket table, NOT a second pass
+    # over the feature stream (identical sums, one corpus scan saved)
+    totals = per_bucket.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
     )
     lw = per_bucket.crossJoin(F.broadcast(totals)).select(
         "b",

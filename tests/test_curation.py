@@ -435,6 +435,39 @@ def test_pagerank_mass_and_determinism(spark):
 
 
 # ---------------------------------------------------------------------------
+# empty-input degradation (the late-round batch)
+# ---------------------------------------------------------------------------
+
+def test_curation_operators_handle_empty_input(spark):
+    """Empty partitions are routine at scale: every late-round
+    operator must degrade to empty output, not throw."""
+    from bytesprocessor_spark.operators.bpe import (
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+    from bytesprocessor_spark.operators.dedup import containment_pairs
+    from bytesprocessor_spark.operators.graph import pagerank
+    from bytesprocessor_spark.operators.pq import pq_adc_topk
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert learn_bpe_merges(empty_docs, 3).count() == 0
+    assert bpe_encode_words(empty_docs, 3).count() == 0
+
+    empty_tokens = spark.createDataFrame([], "id long, h long")
+    assert containment_pairs(empty_tokens).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty_edges, n_iter=2).count() == 0
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 16, 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    empty_q = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert pq_adc_topk(emb, empty_q, m=4, k_c=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # corpus_split_assign
 # ---------------------------------------------------------------------------
 
