@@ -125,6 +125,10 @@ def pagerank(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     )
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
+    # the degree annotation is static across iterations — join it onto
+    # the edge list ONCE and persist, so each iteration is one join
+    # (scores) + one agg instead of two joins
+    e_deg = persist_intermediate(e.join(deg, "u"))
     nodes = persist_intermediate(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -134,8 +138,7 @@ def pagerank(
     p = nodes.withColumn("p", F.lit(1_000_000).cast("long"))
     for _ in range(n_iter):
         c = (
-            e.join(deg, "u")
-            .join(p.withColumnRenamed("node", "u"), "u")
+            e_deg.join(p.withColumnRenamed("node", "u"), "u")
             .select(F.col("v").alias("node"), F.expr("p div outdeg").alias("c"))
         )
         s = c.groupBy("node").agg(F.sum("c").alias("s"))

@@ -78,6 +78,7 @@ def topk_similarity(
     exact_threshold: int = 50_000,
     n_cells: int | None = None,
     nprobe: int = 4,
+    method: str = "auto",
 ) -> DataFrame:
     """Similarity-search front door: picks the physical strategy so a
     caller can't accidentally run the O(corpus x queries) scan on a
@@ -91,9 +92,21 @@ def topk_similarity(
       rows; above it, IVF with ~sqrt(n) cells (the classic balance
       between cell count and cell size), so cost per query is
       ~nprobe*sqrt(n) instead of n.
+    * ``method="pq"`` — memory-bound regime: PQ-ADC squared-distance
+      top-k (operators/pq.py), 8 B per corpus vector; note PQ ranks by
+      L2 on compressed codes, not exact cosine.
     """
     import math
 
+    if method == "pq":
+        from bytesprocessor_spark.operators.pq import pq_adc_topk
+
+        q = queries.select(
+            F.col(query_id_col).alias(id_col), F.col(query_vec_col).alias(vec_col)
+        )
+        return pq_adc_topk(corpus, q, k=k, id_col=id_col, vec_col=vec_col)
+    if method != "auto":
+        raise ValueError(f"unknown method: {method!r} (use 'auto' or 'pq')")
     n = None
     if exact is None:
         n = corpus.count()

@@ -549,10 +549,12 @@ QUERIES.update(_NO_ORACLE)
 # bigram surprisal, stream interval join, the converted simhash /
 # LSH-top-k rows, length batching, skew report, EWMA, incremental
 # dedup, cohort/RFM) plus the same-family variants deferred from
-# round 2 — then the round-2-proven prefix.  Rotate the queue into
-# positions 1-50 at the START of round 4.  As of round 3 every entry
-# has a DuckDB oracle: the two formerly-declared-no-oracle entries
-# were converted (simhash -> md5 hash mode, LSH top-k ->
+# round 2, plus the LATE-round-3 curation batch (span-scan, k-means,
+# DSIR, MAD fences, splits, BPE learn/encode, PQ-ADC, PageRank,
+# containment) — then the round-2-proven prefix.  Rotate the queue
+# into positions 1-50 at the START of round 4.  As of round 3 every
+# entry has a DuckDB oracle: the two formerly-declared-no-oracle
+# entries were converted (simhash -> md5 hash mode, LSH top-k ->
 # quantized-SRP form).
 _CHECK_ORDER = [
     # --- round-3 driver window: 48 never-driver-checked entries ---

@@ -255,6 +255,18 @@ def test_pq_finds_blob_neighbors(spark):
         assert r["vec_id"] % 2 == r["query_id"] % 2
 
 
+def test_topk_similarity_dispatches_to_pq(spark):
+    from bytesprocessor_spark.operators.similarity import topk_similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = topk_similarity(emb, q, k=3, method="pq")
+    rows = out.collect()
+    assert len(rows) > 0 and "adist" in out.columns
+
+
 def test_pq_encode_map_only_and_adc_broadcast(spark):
     """Encoding must not shuffle the corpus (Arrow batch + posexplode
     only); the ADC lookup join must broadcast the distance table."""
