@@ -646,6 +646,8 @@ _CHECK_ORDER = [
     "graph_pagerank",
     "text_bpe_encode",
     "dedup_containment_pairs",
+    "events_markov_transitions",
+    "snapshot_diff_orders",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -813,6 +813,160 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A15 Markov transition matrix over the event stream
+# ---------------------------------------------------------------------------
+
+_DUCK_MARKOV = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    t AS (SELECT prev, event_type AS next, COUNT(*) AS n
+          FROM o WHERE prev IS NOT NULL GROUP BY prev, next),
+    s AS (SELECT prev, SUM(n) AS tot FROM t GROUP BY prev)
+    SELECT t.prev, t.next, t.n,
+           (1000000 * t.n) // s.tot AS p_micro
+    FROM t JOIN s ON t.prev = s.prev
+    ORDER BY t.prev, t.next
+"""
+
+
+@query("events_markov_transitions", _DUCK_MARKOV)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 first-order Markov chain of user behavior: per-user
+    event sequences (ordered by ts with event_id tiebreak) yield
+    (prev -> next) transition counts and integer-quantized row
+    probabilities — the input to next-action prediction, anomaly
+    scoring, and simulated-session generation.
+
+    Plan: one window shuffle on user_id (lag), one partial-agg shuffle
+    on the transition pair; the per-prev normalizer joins a
+    states²-sized table.  Probability is (1e6 * n) div total — exact
+    integer division, no float ordering hazard."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    t = o.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").alias("n")
+    )
+    s = t.groupBy("prev").agg(F.sum("n").alias("tot"))
+    return (
+        t.join(s, "prev")
+        .select(
+            "prev",
+            "next",
+            "n",
+            F.expr("(1000000 * n) div tot").alias("p_micro"),
+        )
+        .orderBy("prev", "next")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11 snapshot diff (the audit twin of MERGE)
+# ---------------------------------------------------------------------------
+
+_DIFF_CUT = "1996-01-01"
+
+_DUCK_DIFF = f"""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderdate < DATE '{_DIFF_CUT}'),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders
+      WHERE o_orderdate < DATE '{_DIFF_CUT}' AND o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey AS k, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderdate >= DATE '{_DIFF_CUT}' AND o_orderkey % 5 = 0),
+    oldh AS (SELECT k, md5(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                           || '|' || o_orderstatus) AS h FROM old),
+    newh AS (SELECT k, md5(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                           || '|' || o_orderstatus) AS h FROM new),
+    d AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM oldh o FULL OUTER JOIN newh n ON o.k = n.k)
+    SELECT change, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY change ORDER BY change
+"""
+
+
+@query("snapshot_diff_orders", _DUCK_DIFF)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 snapshot diff — the audit twin of MERGE: classify every key
+    across two table versions as added / removed / changed / unchanged
+    by comparing row content hashes, and checksum the keys per class.
+    (The two "snapshots" are derived deterministically from orders:
+    the new version drops every third old row, uplifts every seventh
+    key's price 10%, and adds a sample of post-cutoff rows — so all
+    four classes are non-empty.)
+
+    Plan: content hash is computed in the scan projection (cents-exact
+    price so both engines hash identical bytes), ONE full outer
+    shuffle join on the key, then a 4-row rollup.  At 100 TB this is
+    the standard CDC-validation shape: hash in place, join on key,
+    never move full rows."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit(_DIFF_CUT).cast("date")
+    old = o.where(F.col("o_orderdate") < cut).select(
+        F.col("o_orderkey").alias("k"), "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        o.where((F.col("o_orderdate") < cut) & (F.col("o_orderkey") % 3 != 0))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionAll(
+            o.where((F.col("o_orderdate") >= cut) & (F.col("o_orderkey") % 5 == 0)).select(
+                F.col("o_orderkey").alias("k"), "o_totalprice", "o_orderstatus"
+            )
+        )
+    )
+
+    def _h(df):
+        return df.select(
+            "k",
+            F.md5(
+                F.concat(
+                    F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                    F.lit("|"),
+                    F.col("o_orderstatus"),
+                )
+            ).alias("h"),
+        )
+
+    oh, nh = _h(old).alias("o"), _h(new).alias("n")
+    d = oh.join(nh, F.col("o.k") == F.col("n.k"), "full_outer").select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return (
+        d.groupBy("change")
+        .agg(F.count("*").alias("n_rows"), F.sum("k").alias("key_checksum"))
+        .orderBy("change")
+    )
+
+
+# ---------------------------------------------------------------------------
 # O7 deterministic train/val/test split
 # ---------------------------------------------------------------------------
 

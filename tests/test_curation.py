@@ -447,6 +447,59 @@ def test_pagerank_mass_and_determinism(spark):
 
 
 # ---------------------------------------------------------------------------
+# events_markov_transitions / snapshot_diff_orders
+# ---------------------------------------------------------------------------
+
+def test_markov_rows_normalize_and_count_known_chain(spark):
+    import tempfile
+    from datetime import datetime
+
+    rows = []
+    seq = ["a", "b", "a", "b", "c"]  # transitions: a->b x2, b->a, b->c
+    for i, et in enumerate(seq):
+        rows.append((i, datetime(2024, 1, 1, 0, i), 1, et, 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from bytesprocessor_spark.queries import QUERIES
+
+    out = {(r["prev"], r["next"]): r for r in QUERIES["events_markov_transitions"](spark, d).collect()}
+    assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["p_micro"] == 1_000_000
+    assert out[("b", "a")]["p_micro"] == 500_000
+    assert out[("b", "c")]["p_micro"] == 500_000
+
+
+def test_markov_row_probabilities_sum_to_one(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["events_markov_transitions"](spark, SF_DIR).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev"], []).append(r["p_micro"])
+    for prev, ps in by_prev.items():
+        # floor division: sum in (1e6 - n_states, 1e6]
+        assert 1_000_000 - len(ps) < sum(ps) <= 1_000_000, (prev, sum(ps))
+
+
+def test_snapshot_diff_partitions_every_key_once(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    out = {r["change"]: r for r in QUERIES["snapshot_diff_orders"](spark, SF_DIR).collect()}
+    assert set(out) == {"added", "removed", "changed", "unchanged"}
+    docs = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # every old-snapshot key lands in exactly one of removed/changed/unchanged
+    from pyspark.sql import functions as _F
+
+    n_old = docs.where(_F.col("o_orderdate") < _F.lit("1996-01-01").cast("date")).count()
+    assert (
+        out["removed"]["n_rows"] + out["changed"]["n_rows"] + out["unchanged"]["n_rows"]
+        == n_old
+    )
+
+
+# ---------------------------------------------------------------------------
 # empty-input degradation (the late-round batch)
 # ---------------------------------------------------------------------------
 
