@@ -648,6 +648,7 @@ _CHECK_ORDER = [
     "dedup_containment_pairs",
     "events_markov_transitions",
     "snapshot_diff_orders",
+    "corpus_mixture_sample",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -813,6 +813,70 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L7b mixture-quota sampling (the execution half of corpus_mixture)
+# ---------------------------------------------------------------------------
+
+_DUCK_MIX_SAMPLE = """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (
+      SELECT source, CAST(ROUND(SQRT(n_docs) * 1000000) AS BIGINT) AS w_i FROM s),
+    q AS (
+      SELECT source, (200 * w_i) // (SELECT SUM(w_i) FROM w) AS quota FROM w),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents),
+    pick AS (
+      SELECT r.source, r.doc_id, r.n_chars
+      FROM r JOIN q ON r.source = q.source WHERE r.rk <= q.quota)
+    SELECT source, COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+    FROM pick GROUP BY source ORDER BY source
+"""
+
+
+@query("corpus_mixture_sample", _DUCK_MIX_SAMPLE)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7b the execution half of `corpus_mixture`: actually SELECT the
+    documents that fill each source's temperature-weighted quota
+    (alpha=0.5, 200-doc budget) — per-source hash-ranked so the pick
+    is deterministic, uniform within source, and stable under row
+    order and engine (re-runs and audits re-derive the same sample).
+
+    Plan: quotas from a source-sized agg (broadcast back), the pick is
+    one rank window per source partition — no global sort; the output
+    aggregates to per-source counts + id checksum so the oracle pins
+    the exact membership."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = s.select(
+        "source", F.round(F.sqrt("n_docs") * 1_000_000).cast("long").alias("w_i")
+    )
+    tot = w.agg(F.sum("w_i").alias("wt"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr("(200 * w_i) div wt").alias("quota")
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = docs.select("doc_id", "source", "n_chars", F.row_number().over(rw).alias("rk"))
+    pick = r.join(F.broadcast(q), "source").where(F.col("rk") <= F.col("quota"))
+    return (
+        pick.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A15 Markov transition matrix over the event stream
 # ---------------------------------------------------------------------------
 

@@ -500,6 +500,24 @@ def test_snapshot_diff_partitions_every_key_once(spark):
 
 
 # ---------------------------------------------------------------------------
+# corpus_mixture_sample
+# ---------------------------------------------------------------------------
+
+def test_mixture_sample_meets_quota_and_is_stable(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    a = QUERIES["corpus_mixture_sample"](spark, SF_DIR).collect()
+    b = QUERIES["corpus_mixture_sample"](spark, SF_DIR).collect()
+    assert a == b  # hash-ranked pick is deterministic
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_source = {r["source"]: r["cnt"] for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    for r in a:
+        assert 0 < r["n_sampled"] <= per_source[r["source"]]
+    # total sampled stays within the 200-doc budget (floor-div quotas)
+    assert sum(r["n_sampled"] for r in a) <= 200
+
+
+# ---------------------------------------------------------------------------
 # empty-input degradation (the late-round batch)
 # ---------------------------------------------------------------------------
 
