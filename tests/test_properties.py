@@ -186,3 +186,63 @@ def test_wav_decode_any_pcm16(samples, sr):
     assert 0.0 <= rms <= abs(peak) + 1e-12 >= mean_abs >= 0.0
     assert 0.0 <= zcr <= 1.0
     assert abs(sum(feats[4:]) - 1.0) < 1e-9  # histogram fractions sum to 1
+
+
+# --- BPE double-space replace representation --------------------------------
+
+def _ref_bpe_merge(syms, a, b):
+    """Reference left-to-right non-overlapping pair merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+_sym = st.text(alphabet="abcdef", min_size=1, max_size=3)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_sym, min_size=1, max_size=12), _sym, _sym)
+def test_bpe_replace_representation_is_exact(syms, a, b):
+    """The operators/bpe.py trick — symbols joined with double spaces,
+    merge = literal replace of ' a  b ' with ' ab ' — must equal the
+    reference pair-merge for ANY symbol sequence and pair, including
+    back-to-back occurrences and same-symbol runs.  Python
+    str.replace shares the left-to-right non-overlapping semantics of
+    Spark's UTF8String.replace and DuckDB's replace(), so this pins
+    the representation for all three engines."""
+    s = "  " + "  ".join(syms) + "  "
+    s2 = s.replace(f" {a}  {b} ", f" {a}{b} ")
+    parsed = [x for x in s2.split("  ") if x]
+    assert parsed == _ref_bpe_merge(syms, a, b)
+
+
+# --- PQ exact-integer distance identity -------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(-2_000_000, 2_000_000), min_size=1, max_size=16),
+    st.data(),
+)
+def test_pq_einsum_distance_identity_is_exact(xs, data):
+    """operators/pq.py computes ||x-c||^2 as |x|^2 - 2<x,c> + |c|^2 in
+    float64 — for micro-quantized inputs every term and partial sum is
+    an exact integer below 2^53, so the identity matches arbitrary-
+    precision integer arithmetic bit-for-bit."""
+    import numpy as np
+
+    cs = data.draw(
+        st.lists(
+            st.integers(-2_000_000, 2_000_000), min_size=len(xs), max_size=len(xs)
+        )
+    )
+    x = np.array(xs, dtype=np.float64)
+    c = np.array(cs, dtype=np.float64)
+    d_f64 = float(x @ x) - 2.0 * float(x @ c) + float(c @ c)
+    d_int = sum((a - b) * (a - b) for a, b in zip(xs, cs))  # Python bigints
+    assert d_f64 == d_int
