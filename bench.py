@@ -91,6 +91,10 @@ HEADLINE = [
     "similarity_pq_topk",
     "text_bpe_encode",
     "graph_pagerank",
+    "dedup_containment_pairs",
+    "events_markov_transitions",
+    "snapshot_diff_orders",
+    "corpus_mixture_sample",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
