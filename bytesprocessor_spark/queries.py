@@ -649,6 +649,7 @@ _CHECK_ORDER = [
     "events_markov_transitions",
     "snapshot_diff_orders",
     "corpus_mixture_sample",
+    "stream_quality_gate",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -308,3 +308,64 @@ def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "stream_quality_gate",
+    """
+    WITH d AS (
+      SELECT source, n_chars,
+             len([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                  if len(x) > 0]) AS n_tokens,
+             len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text)
+               AS alpha_ratio
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_in,
+           SUM(CASE WHEN n_tokens >= 20 AND alpha_ratio >= 0.5
+                    THEN 1 ELSE 0 END) AS n_admitted,
+           CAST(SUM(CASE WHEN n_tokens >= 20 AND alpha_ratio >= 0.5
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS chars_admitted
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def stream_quality_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10: the streaming half of corpus curation — documents arrive
+    as a file stream and pass a per-row quality gate (token floor +
+    alphabetic-ratio floor, pure codegen expressions inside the
+    micro-batch) with admit/reject accounting per source.
+
+    Replay-valid for the batch oracle because the gate is stateless
+    per-row (streamed row set == batch row set regardless of
+    micro-batch partitioning).  At scale this is the ingest-time shape:
+    the gate runs map-only on the stream; only the per-source counters
+    shuffle (tiny), so the stream never bottlenecks on state."""
+    from bytesprocessor_spark.functions.text import alpha_ratio, token_count
+
+    land, batch = _landing_dir(spark, sf_dir, "documents")
+    try:
+        stream = spark.readStream.schema(batch.schema).parquet(
+            os.path.join(land, "documents")
+        )
+        gated = stream.select(
+            "source",
+            "n_chars",
+            (
+                (token_count(F.col("text")) >= 20)
+                & (alpha_ratio(F.col("text")) >= 0.5)
+            ).alias("admitted"),
+        )
+        return _drain_and_localize(
+            gated,
+            lambda sink_df: sink_df.groupBy("source")
+            .agg(
+                F.count("*").alias("n_in"),
+                F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("n_admitted"),
+                F.sum(F.when(F.col("admitted"), F.col("n_chars")).otherwise(0)).alias(
+                    "chars_admitted"
+                ),
+            )
+            .orderBy("source"),
+        )
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
