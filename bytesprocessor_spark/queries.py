@@ -650,6 +650,7 @@ _CHECK_ORDER = [
     "snapshot_diff_orders",
     "corpus_mixture_sample",
     "stream_quality_gate",
+    "sql_recursive_cte",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

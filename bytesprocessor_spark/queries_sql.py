@@ -840,3 +840,36 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("supplier", "lineitem", "orders", "nation"),
     )
+
+
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < TIMESTAMP '2000-12-01 00:00:00'
+),
+o AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month_start,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       CAST(COALESCE(o.cents, 0) AS DOUBLE) / 100.0 AS total_price
+FROM months LEFT JOIN o ON months.m = o.m
+ORDER BY month_start
+"""
+
+
+@query("sql_recursive_cte", _RECURSIVE_CTE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): a 72-row month spine generated
+    by the recursion, left-joined onto monthly order rollups — the
+    gap-preserving time-series report SQL users reach recursion for.
+    The SAME text runs verbatim on both engines; the spine is bounded
+    (72 iterations, well under spark.sql.cteRecursionLevelLimit) and
+    the rollup is one partial-agg shuffle, so recursion cost is
+    driver-trivial and the heavy side stays a normal scan+agg."""
+    return _sql(spark, sf_dir, _RECURSIVE_CTE_SQL, ("orders",))
