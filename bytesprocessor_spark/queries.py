@@ -651,6 +651,8 @@ _CHECK_ORDER = [
     "corpus_mixture_sample",
     "stream_quality_gate",
     "sql_recursive_cte",
+    "sql_lateral_topn",
+    "sql_variant_props",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

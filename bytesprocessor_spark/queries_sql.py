@@ -873,3 +873,63 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup is one partial-agg shuffle, so recursion cost is
     driver-trivial and the heavy side stays a normal scan+agg."""
     return _sql(spark, sf_dir, _RECURSIVE_CTE_SQL, ("orders",))
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, l.o_orderkey, l.total_price
+FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 50) c,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0
+           AS total_price
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) l
+ORDER BY c.c_custkey, l.o_orderkey
+"""
+
+
+@query("sql_lateral_topn", _LATERAL_SQL)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    top-N-per-entity idiom in its SQL-native form (the DataFrame corpus
+    covers the window-rank form; this exercises Spark's lateral-join
+    decorrelation).  Same text verbatim on both engines; Catalyst
+    rewrites the per-customer limit into a ranked join, so execution
+    is a shuffle join + window, not N correlated scans."""
+    return _sql(spark, sf_dir, _LATERAL_SQL, ("customer", "orders"))
+
+
+@query(
+    "sql_variant_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sql_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (new in Spark 4): the semi-structured fast path —
+    ``parse_json`` once into a variant column, typed path extraction
+    with ``variant_get`` (binary-encoded traversal, no re-parse per
+    field), exact integer aggregation per event type.  The DuckDB
+    oracle extracts the same path with its JSON operators — the
+    engines' values must agree even though the encodings differ."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
