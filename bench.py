@@ -116,6 +116,12 @@ MIN_OF_3 = {
     # (semantic) — two runs sometimes both land in the cold window
     "text_contamination",
     "dedup_semantic_pairs",
+    # many-tiny-stage iterative entries: per-stage scheduler constants
+    # swing 2x on this host (pagerank measured 4.7 s min-of-3 clean vs
+    # 10.8 s in a back-to-back suite pass)
+    "graph_pagerank",
+    "text_bpe_encode",
+    "corpus_dsir_weights",
 }
 
 
