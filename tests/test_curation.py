@@ -517,6 +517,27 @@ def test_mixture_sample_meets_quota_and_is_stable(spark):
     assert sum(r["n_sampled"] for r in a) <= 200
 
 
+def test_snapshot_diff_prunes_and_single_join(spark):
+    """The diff must read only the 4 referenced order columns and use
+    one shuffle join on the key — full rows never move."""
+    from bytesprocessor_spark.plans.explain import scan_columns
+    from bytesprocessor_spark.queries import QUERIES
+
+    df = QUERIES["snapshot_diff_orders"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert all(len(c) <= 4 for c in scan_columns(df))
+
+
+def test_mixture_sample_broadcasts_quota(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    df = QUERIES["corpus_mixture_sample"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 # ---------------------------------------------------------------------------
 # empty-input degradation (the late-round batch)
 # ---------------------------------------------------------------------------
