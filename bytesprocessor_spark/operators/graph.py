@@ -106,9 +106,10 @@ def pagerank(
     orders).  The floor-div mass leak per node is < 1 micro-unit per
     iteration — irrelevant for ranking, essential for determinism.
 
-    Plan shape per iteration: outdeg joins the edge list on src
-    (AQE-sized), contributions shuffle once on dst for the sum, and
-    the damped update is a map over the node list — the standard
+    Plan shape: the degree annotation joins the edge list ONCE before
+    the loop (persisted); each iteration is then one score join onto
+    the degree-annotated edges plus one contribution shuffle on dst,
+    and the damped update is a map over the node list — the standard
     scalable PageRank: cost = n_iter * (one edge-table shuffle).
     Dangling nodes (no out-edges) contribute nothing; nodes with no
     in-edges keep the teleport mass.

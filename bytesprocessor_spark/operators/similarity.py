@@ -79,6 +79,8 @@ def topk_similarity(
     n_cells: int | None = None,
     nprobe: int = 4,
     method: str = "auto",
+    pq_m: int = 8,
+    pq_kc: int = 16,
 ) -> DataFrame:
     """Similarity-search front door: picks the physical strategy so a
     caller can't accidentally run the O(corpus x queries) scan on a
@@ -93,18 +95,27 @@ def topk_similarity(
       between cell count and cell size), so cost per query is
       ~nprobe*sqrt(n) instead of n.
     * ``method="pq"`` — memory-bound regime: PQ-ADC squared-distance
-      top-k (operators/pq.py), 8 B per corpus vector; note PQ ranks by
-      L2 on compressed codes, not exact cosine.
+      top-k (operators/pq.py), ``pq_m`` sub-codes per corpus vector
+      (dim must divide by it); note PQ ranks by L2 on compressed
+      codes, not exact cosine — combining it with ``exact=True`` is a
+      contradiction and raises.
     """
     import math
 
     if method == "pq":
+        if exact:
+            raise ValueError(
+                "method='pq' ranks by L2 on compressed codes and cannot "
+                "honor exact=True — drop one of the two"
+            )
         from bytesprocessor_spark.operators.pq import pq_adc_topk
 
         q = queries.select(
             F.col(query_id_col).alias(id_col), F.col(query_vec_col).alias(vec_col)
         )
-        return pq_adc_topk(corpus, q, k=k, id_col=id_col, vec_col=vec_col)
+        return pq_adc_topk(
+            corpus, q, m=pq_m, k_c=pq_kc, k=k, id_col=id_col, vec_col=vec_col
+        )
     if method != "auto":
         raise ValueError(f"unknown method: {method!r} (use 'auto' or 'pq')")
     n = None

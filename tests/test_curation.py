@@ -517,9 +517,13 @@ def test_mixture_sample_meets_quota_and_is_stable(spark):
     assert sum(r["n_sampled"] for r in a) <= 200
 
 
+# ---------------------------------------------------------------------------
+# plan gates: snapshot diff / mixture sample
+# ---------------------------------------------------------------------------
+
 def test_snapshot_diff_prunes_and_single_join(spark):
     """The diff must read only the 4 referenced order columns and use
-    one shuffle join on the key — full rows never move."""
+    ONE shuffle join on the key — full rows never move."""
     from bytesprocessor_spark.plans.explain import scan_columns
     from bytesprocessor_spark.queries import QUERIES
 
@@ -527,6 +531,11 @@ def test_snapshot_diff_prunes_and_single_join(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert all(len(c) <= 4 for c in scan_columns(df))
+    # exactly one join operator (the full-outer key join)
+    assert plan.count("Join") == 1
+    # exchanges: two join inputs + the 4-row rollup + its presentation
+    # sort — anything more means hashed rows started moving twice
+    assert shuffle_count(df) <= 4
 
 
 def test_mixture_sample_broadcasts_quota(spark):
