@@ -653,6 +653,7 @@ _CHECK_ORDER = [
     "sql_recursive_cte",
     "sql_lateral_topn",
     "sql_variant_props",
+    "events_linear_trend",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -877,6 +877,80 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A16 per-group linear trend (exact-moment least squares)
+# ---------------------------------------------------------------------------
+
+_DUCK_TREND = """
+    WITH e AS (
+      SELECT event_type,
+             (epoch_ms(ts) // 1000 - 1704067200) // 60 AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM e GROUP BY event_type),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(sxx AS DOUBLE) AS sxxd
+      FROM m)
+    SELECT event_type, n,
+           ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * 1440, 6)
+             AS slope_cents_per_day,
+           ROUND((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+                 / nd / 100, 6) AS intercept_dollars
+    FROM d ORDER BY event_type
+"""
+
+
+@query("events_linear_trend", _DUCK_TREND)
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 least-squares trend per event type: is the metric drifting,
+    and from what baseline?  Slope/intercept come from the five
+    classical moments (n, Σx, Σy, Σxy, Σx²) accumulated as EXACT
+    integers — minute-granular x re-based to the window start keeps
+    Σx² int64-safe to ~1e9 rows per group, and the built-in
+    REGR_SLOPE aggregates are float-accumulating / engine-divergent,
+    which is why the moments are explicit.  The final slope/intercept
+    combination runs in double over the exact moments with the SAME
+    operation order in both engines, so the output is bit-identical
+    even where a moment exceeds 2^53 (the long->double rounding is
+    deterministic and shared).
+
+    Plan: one partial-agg shuffle (five sums per group), arithmetic on
+    the 5-row result — the textbook scalable regression."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr("(unix_timestamp(ts) - 1704067200) div 60").alias("x"),
+        cents(F.col("value")).alias("y"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd, sxd = F.col("n").cast("double"), F.col("sx").cast("double")
+    syd, sxyd, sxxd = (
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope * 1440, 6).alias("slope_cents_per_day"),
+        F.round((syd - slope * sxd) / nd / 100, 6).alias("intercept_dollars"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
 # A15 Markov transition matrix over the event stream
 # ---------------------------------------------------------------------------
 

@@ -518,6 +518,33 @@ def test_mixture_sample_meets_quota_and_is_stable(spark):
 
 
 # ---------------------------------------------------------------------------
+# events_linear_trend
+# ---------------------------------------------------------------------------
+
+def test_linear_trend_recovers_planted_slope(spark):
+    """Perfectly linear data: value = 10 + 2 * minute must give slope
+    exactly 2 $/min = 288000 cents/day and intercept exactly 10."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(minutes=i), 1, "t", 10.0 + 2.0 * i, "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from bytesprocessor_spark.queries import QUERIES
+
+    out = QUERIES["events_linear_trend"](spark, d).collect()[0]
+    assert out["slope_cents_per_day"] == 288000.0
+    assert out["intercept_dollars"] == 10.0
+
+
+# ---------------------------------------------------------------------------
 # plan gates: snapshot diff / mixture sample
 # ---------------------------------------------------------------------------
 
