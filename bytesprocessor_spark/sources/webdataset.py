@@ -1,0 +1,118 @@
+"""WebDataset-style tar-shard ingest/egress (S12).
+
+Large-scale training pipelines move multimodal samples as tar shards
+(the WebDataset convention, github.com/webdataset/webdataset): each
+shard is a plain tar whose members share a basename per sample —
+``000017.txt`` + ``000017.jpg`` + ``000017.json`` is one sample.  The
+format needs no index, streams sequentially, and shards are the unit
+of parallelism.
+
+Spark mapping — everything stays executor-side and shard-parallel:
+
+  * **read**: ``binaryFile`` gives (path, content) with one task per
+    shard; a stdlib-``tarfile`` ``mapInPandas`` explodes members out
+    of the in-memory bytes.  No Python loop ever sees more than one
+    Arrow batch of shards; at 100 TB the unit of work is the shard,
+    exactly how the format is meant to scale.
+  * **group**: member rows pivot to one row per sample key with an
+    ext->payload map (``collect_list`` + ``map_from_entries`` — one
+    shuffle on the sample key, or zero when consumers keep the
+    shard-local grouping).
+  * **write**: samples hash-partition to a shard id, and one
+    ``applyInPandas`` per shard streams a tar to the target directory,
+    returning a manifest row (shard, members, bytes).  Deterministic:
+    member order inside a shard is sorted (key, ext), shard assignment
+    is a content-independent hash of the key.
+
+The tar payloads themselves are opaque binary — pytest pins the
+round-trip (write -> read -> group == original), the balanced-shard
+property, and the member ordering; there is no SQL-expressible oracle
+for a binary container (same policy as the pcap source family).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MEMBER_SCHEMA = "shard string, key string, ext string, payload binary"
+_MANIFEST_SCHEMA = "shard int, n_members long, n_bytes long"
+
+
+def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+    """(shard, key, ext, payload): every member of every ``*.tar``
+    under ``path``, one input task per shard."""
+    raw = spark.read.format("binaryFile").load(os.path.join(path, "*.tar"))
+
+    def _explode(batches):
+        for pdf in batches:
+            out = {"shard": [], "key": [], "ext": [], "payload": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        base, dot, ext = m.name.rpartition(".")
+                        out["shard"].append(os.path.basename(p))
+                        out["key"].append(base if dot else m.name)
+                        out["ext"].append(ext if dot else "")
+                        out["payload"].append(tf.extractfile(m).read())
+            yield pd.DataFrame(out)
+
+    return raw.select("path", "content").mapInPandas(_explode, _MEMBER_SCHEMA)
+
+
+def group_samples(members: DataFrame) -> DataFrame:
+    """(key, parts): pivot member rows into one row per sample with an
+    ext->payload map — the shape a training loader consumes."""
+    return (
+        members.groupBy("key")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("ext", "payload")))
+            ).alias("parts")
+        )
+    )
+
+
+def write_tar_shards(
+    samples: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "key",
+) -> DataFrame:
+    """Write one tar per shard from (key, ext, payload) rows and
+    return the manifest (shard, n_members, n_bytes).  Shard assignment
+    is a deterministic hash of the sample key (all of a sample's
+    members land together); member order inside a shard is sorted
+    (key, ext) so re-runs produce byte-identical shards."""
+    os.makedirs(path, exist_ok=True)
+    assigned = samples.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    )
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"shard": [], "n_members": [], "n_bytes": []})
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values([key_col, "ext"])
+        out = os.path.join(path, f"shard-{shard:06d}.tar")
+        n_bytes = 0
+        with tarfile.open(out, "w") as tf:
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                info = tarfile.TarInfo(name=f"{r[key_col]}.{r['ext']}")
+                info.size = len(payload)
+                info.mtime = 0  # fixed: byte-identical shards across runs
+                tf.addfile(info, io.BytesIO(payload))
+                n_bytes += len(payload)
+        return pd.DataFrame(
+            {"shard": [shard], "n_members": [len(pdf)], "n_bytes": [n_bytes]}
+        )
+
+    return assigned.groupBy("shard").applyInPandas(_write, _MANIFEST_SCHEMA)

@@ -1,0 +1,95 @@
+"""WebDataset tar-shard source/sink (S12): round-trip, balanced-shard,
+and determinism properties — the binary-container policy is
+pytest-pinned parity (like the pcap family), since a tar has no
+SQL-expressible oracle."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tarfile
+
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.sources.webdataset import (
+    group_samples,
+    read_tar_shards,
+    write_tar_shards,
+)
+
+
+def _sample_rows(n):
+    rows = []
+    for i in range(n):
+        key = f"{i:06d}"
+        rows.append((key, "txt", f"document number {i}".encode()))
+        rows.append((key, "bin", hashlib.sha256(key.encode()).digest()))
+    return rows
+
+
+def test_tar_shard_roundtrip(spark, tmp_path):
+    rows = _sample_rows(40)
+    df = spark.createDataFrame(rows, "key string, ext string, payload binary")
+    out = str(tmp_path / "shards")
+    manifest = write_tar_shards(df, out, n_shards=4).collect()
+    assert sorted(r["shard"] for r in manifest) == [0, 1, 2, 3]
+    assert sum(r["n_members"] for r in manifest) == 80
+
+    back = read_tar_shards(spark, out)
+    got = {(r["key"], r["ext"]): bytes(r["payload"]) for r in back.collect()}
+    want = {(k, e): p for k, e, p in rows}
+    assert got == want
+
+    samples = {r["key"]: dict(r["parts"]) for r in group_samples(back).collect()}
+    assert len(samples) == 40
+    assert bytes(samples["000007"]["txt"]) == b"document number 7"
+
+
+def test_tar_shards_are_balanced_and_cohesive(spark, tmp_path):
+    """Hash sharding: all of a sample's members land in ONE shard, and
+    no shard hoards the corpus."""
+    df = spark.createDataFrame(
+        _sample_rows(200), "key string, ext string, payload binary"
+    )
+    out = str(tmp_path / "shards")
+    write_tar_shards(df, out, n_shards=8).collect()
+    by_key = {}
+    for f in sorted(os.listdir(out)):
+        with tarfile.open(os.path.join(out, f)) as tf:
+            for m in tf.getmembers():
+                key = m.name.rsplit(".", 1)[0]
+                by_key.setdefault(key, set()).add(f)
+    assert all(len(s) == 1 for s in by_key.values())  # cohesion
+    from collections import Counter
+
+    sizes = Counter()
+    for key, (f,) in ((k, tuple(s)) for k, s in by_key.items()):
+        sizes[f] += 1
+    assert max(sizes.values()) <= 3 * min(sizes.values())  # rough balance
+
+
+def test_tar_shards_byte_identical_across_runs(spark, tmp_path):
+    df = spark.createDataFrame(
+        _sample_rows(30), "key string, ext string, payload binary"
+    )
+    outs = []
+    for run in ("a", "b"):
+        out = str(tmp_path / run)
+        write_tar_shards(df, out, n_shards=2).collect()
+        blob = b"".join(
+            open(os.path.join(out, f), "rb").read() for f in sorted(os.listdir(out))
+        )
+        outs.append(hashlib.sha256(blob).hexdigest())
+    assert outs[0] == outs[1]
+
+
+def test_tar_read_is_shard_parallel(spark, tmp_path):
+    """One input task per shard: the reader must not coalesce all
+    shards into a single task (the format's unit of parallelism)."""
+    df = spark.createDataFrame(
+        _sample_rows(40), "key string, ext string, payload binary"
+    )
+    out = str(tmp_path / "shards")
+    write_tar_shards(df, out, n_shards=4).collect()
+    back = read_tar_shards(spark, out)
+    assert back.rdd.getNumPartitions() >= 2
