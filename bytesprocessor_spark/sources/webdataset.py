@@ -44,27 +44,48 @@ _MEMBER_SCHEMA = "shard string, key string, ext string, payload binary"
 _MANIFEST_SCHEMA = "shard int, n_members long, n_bytes long"
 
 
+def _explode_members(batches):
+    """Arrow-batched (path, content) -> one row per tar member."""
+    for pdf in batches:
+        out = {"shard": [], "key": [], "ext": [], "payload": []}
+        for p, content in zip(pdf["path"], pdf["content"]):
+            with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                for m in tf.getmembers():
+                    if not m.isfile():
+                        continue
+                    base, dot, ext = m.name.rpartition(".")
+                    out["shard"].append(os.path.basename(p))
+                    out["key"].append(base if dot else m.name)
+                    out["ext"].append(ext if dot else "")
+                    out["payload"].append(tf.extractfile(m).read())
+        yield pd.DataFrame(out)
+
+
 def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
     """(shard, key, ext, payload): every member of every ``*.tar``
     under ``path``, one input task per shard."""
     raw = spark.read.format("binaryFile").load(os.path.join(path, "*.tar"))
+    return raw.select("path", "content").mapInPandas(_explode_members, _MEMBER_SCHEMA)
 
-    def _explode(batches):
-        for pdf in batches:
-            out = {"shard": [], "key": [], "ext": [], "payload": []}
-            for p, content in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
-                    for m in tf.getmembers():
-                        if not m.isfile():
-                            continue
-                        base, dot, ext = m.name.rpartition(".")
-                        out["shard"].append(os.path.basename(p))
-                        out["key"].append(base if dot else m.name)
-                        out["ext"].append(ext if dot else "")
-                        out["payload"].append(tf.extractfile(m).read())
-            yield pd.DataFrame(out)
 
-    return raw.select("path", "content").mapInPandas(_explode, _MEMBER_SCHEMA)
+def stream_tar_shards(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Streaming twin of :func:`read_tar_shards`: watch a landing
+    directory for arriving shards and explode members per micro-batch
+    (the ingest-time shape — shards land from the crawler, members
+    flow into the curation pipeline with exactly-once file-source
+    semantics).  ``maxFilesPerTrigger`` bounds micro-batch size."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.tar")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(landing_dir)
+    )
+    return raw.select("path", "content").mapInPandas(
+        _explode_members, _MEMBER_SCHEMA
+    )
 
 
 def group_samples(members: DataFrame) -> DataFrame:

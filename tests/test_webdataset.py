@@ -83,6 +83,34 @@ def test_tar_shards_byte_identical_across_runs(spark, tmp_path):
     assert outs[0] == outs[1]
 
 
+def test_tar_stream_drains_all_members(spark, tmp_path):
+    """Streaming twin: shards landing in a directory drain through
+    availableNow with the same member rows as the batch reader."""
+    import uuid
+
+    from bytesprocessor_spark.sources.webdataset import stream_tar_shards
+
+    df = spark.createDataFrame(
+        _sample_rows(20), "key string, ext string, payload binary"
+    )
+    land = str(tmp_path / "landing")
+    write_tar_shards(df, land, n_shards=3).collect()
+    stream = stream_tar_shards(spark, land)
+    assert stream.isStreaming
+    sink = f"wds_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["key"], r["ext"]) for r in spark.table(sink).collect()}
+    assert len(got) == 40  # 20 samples x 2 members
+    spark.catalog.dropTempView(sink)
+
+
 def test_tar_read_is_shard_parallel(spark, tmp_path):
     """One input task per shard: the reader must not coalesce all
     shards into a single task (the format's unit of parallelism)."""
