@@ -340,9 +340,11 @@ def image_ahash(
         codec = decode_pixels
     width = grid * grid // n_blocks
 
+    # carry the caller's id type through — hardcoding LongType here
+    # silently coerced string keys (e.g. WebDataset sample basenames)
     schema = T.StructType(
         [
-            T.StructField("id", T.LongType(), False),
+            T.StructField("id", df.schema[id_col].dataType, False),
             T.StructField("sh", T.ArrayType(T.LongType()), True),
         ]
     )
