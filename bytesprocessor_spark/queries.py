@@ -654,6 +654,7 @@ _CHECK_ORDER = [
     "sql_lateral_topn",
     "sql_variant_props",
     "events_linear_trend",
+    "events_attribution",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -877,6 +877,83 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A17 multi-touch attribution (purchase credit over preceding views)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_S = 3600
+
+_DUCK_ATTR = f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts
+      FROM events WHERE event_type = 'view'),
+    t AS (
+      SELECT p.purchase_id, p.value_c, v.view_id
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.ts >= p.ts - INTERVAL {_ATTR_WINDOW_S} SECONDS
+       AND v.ts < p.ts)
+    SELECT purchase_id,
+           COUNT(*) AS n_touches,
+           MIN(view_id) AS first_touch_id,
+           MAX(view_id) AS last_touch_id,
+           (MAX(value_c) * 1000) // COUNT(*) AS credit_per_touch_millicents
+    FROM t GROUP BY purchase_id, value_c ORDER BY purchase_id
+"""
+
+
+@query("events_attribution", _DUCK_ATTR)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 linear multi-touch attribution: each purchase splits its
+    value evenly across the user's view events in the preceding hour
+    (integer millicent credit — exact division, no float fan-out).
+
+    Plan shape: the purchase/view split prunes at the scan
+    (event_type pushdown), the touch join is an equi-join on user_id
+    with the time band as a residual predicate — the J6 range-join
+    family's shape; at 100 TB both sides bucket by user and the state
+    is bounded by the 1-hour window.  One partial-agg shuffle rolls up
+    per purchase."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        cents(F.col("value")).alias("value_c"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    t = p.join(v, "user_id").where(
+        (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_S} SECONDS"))
+        & (F.col("v_ts") < F.col("p_ts"))
+    )
+    return (
+        t.groupBy("purchase_id", "value_c")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.min("view_id").alias("first_touch_id"),
+            F.max("view_id").alias("last_touch_id"),
+        )
+        .select(
+            "purchase_id",
+            "n_touches",
+            "first_touch_id",
+            "last_touch_id",
+            F.expr("(value_c * 1000) div n_touches").alias(
+                "credit_per_touch_millicents"
+            ),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A16 per-group linear trend (exact-moment least squares)
 # ---------------------------------------------------------------------------
 

@@ -518,6 +518,42 @@ def test_mixture_sample_meets_quota_and_is_stable(spark):
 
 
 # ---------------------------------------------------------------------------
+# events_attribution
+# ---------------------------------------------------------------------------
+
+def test_attribution_credits_only_window_views(spark):
+    """Views inside the hour before a purchase share its value evenly;
+    views after it or beyond the window get nothing."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # two in-window views, one stale view (2h before), one after
+        (1, base - timedelta(minutes=30), 7, "view", 0.0, "{}"),
+        (2, base - timedelta(minutes=10), 7, "view", 0.0, "{}"),
+        (3, base - timedelta(hours=2), 7, "view", 0.0, "{}"),
+        (4, base + timedelta(minutes=1), 7, "view", 0.0, "{}"),
+        (5, base, 7, "purchase", 10.0, "{}"),
+        # another user's view must not leak in
+        (6, base - timedelta(minutes=5), 8, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from bytesprocessor_spark.queries import QUERIES
+
+    out = QUERIES["events_attribution"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["purchase_id"] == 5 and r["n_touches"] == 2
+    assert (r["first_touch_id"], r["last_touch_id"]) == (1, 2)
+    assert r["credit_per_touch_millicents"] == 500_000  # $10 / 2 views
+
+
+# ---------------------------------------------------------------------------
 # events_linear_trend
 # ---------------------------------------------------------------------------
 
