@@ -655,6 +655,7 @@ _CHECK_ORDER = [
     "sql_variant_props",
     "events_linear_trend",
     "events_attribution",
+    "events_ab_test",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

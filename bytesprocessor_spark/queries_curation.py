@@ -877,6 +877,96 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A18 hash-split A/B comparison (Welch statistic from exact moments)
+# ---------------------------------------------------------------------------
+
+_DUCK_AB = """
+    WITH e AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+               AS grp,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events),
+    m AS (
+      SELECT event_type, grp, COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ss
+      FROM e GROUP BY event_type, grp),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             CAST(a.s AS DOUBLE) / a.n AS mean_a,
+             CAST(b.s AS DOUBLE) / b.n AS mean_b,
+             (CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1) AS var_a,
+             (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1) AS var_b
+      FROM (SELECT * FROM m WHERE grp = 0) a
+      JOIN (SELECT * FROM m WHERE grp = 1) b USING (event_type))
+    SELECT event_type, n_a, n_b,
+           ROUND(mean_a / 100, 6) AS mean_a_dollars,
+           ROUND(mean_b / 100, 6) AS mean_b_dollars,
+           ROUND((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b), 6) AS welch_t
+    FROM w ORDER BY event_type
+"""
+
+
+@query("events_ab_test", _DUCK_AB)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 experimentation readout: users hash-split 50/50 (md5 of the
+    user id — deterministic, engine-independent assignment, the same
+    split any service in the stack would compute), then per event type
+    the Welch t statistic of the value difference from the classical
+    moments (n, Σy, Σy²) accumulated as EXACT integers; the final
+    mean/variance/t combination runs in same-operation-order double.
+    Under a null split |t| should hover near 0 — the pipeline's
+    A/A-test sanity check comes free.
+
+    Plan: one partial-agg shuffle on (type, group); everything after
+    operates on 2 rows per type."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (_h60(F.col("user_id").cast("string")) % 2).alias("grp"),
+        cents(F.col("value")).alias("y"),
+    )
+    m = e.groupBy("event_type", "grp").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    a = m.where(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = m.where(F.col("grp") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = (
+        F.col("ss_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("ss_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a / 100, 6).alias("mean_a_dollars"),
+        F.round(mean_b / 100, 6).alias("mean_b_dollars"),
+        F.round(
+            (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")), 6
+        ).alias("welch_t"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
 # A17 multi-touch attribution (purchase credit over preceding views)
 # ---------------------------------------------------------------------------
 

@@ -518,6 +518,45 @@ def test_mixture_sample_meets_quota_and_is_stable(spark):
 
 
 # ---------------------------------------------------------------------------
+# events_ab_test
+# ---------------------------------------------------------------------------
+
+def test_ab_test_null_split_is_calm_and_planted_lift_is_loud(spark):
+    """A/A property on a null split: |t| stays small; a planted group
+    shift produces a large |t| with the correct sign."""
+    import tempfile
+    from datetime import datetime
+
+    import hashlib
+
+    def grp(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    rows = []
+    eid = 0
+    for uid in range(200):
+        for j in range(5):
+            # null metric: identical distribution in both groups
+            rows.append((eid, datetime(2024, 1, 1), uid, "aa", 50.0 + (eid % 7), "{}"))
+            eid += 1
+            # planted: group 0 gets +10
+            lift = 10.0 if grp(uid) == 0 else 0.0
+            rows.append((eid, datetime(2024, 1, 1), uid, "ab", 50.0 + (eid % 7) + lift, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from bytesprocessor_spark.queries import QUERIES
+
+    out = {r["event_type"]: r for r in QUERIES["events_ab_test"](spark, d).collect()}
+    assert abs(out["aa"]["welch_t"]) < 3.0
+    assert out["ab"]["welch_t"] > 20.0
+    assert out["ab"]["mean_a_dollars"] > out["ab"]["mean_b_dollars"]
+
+
+# ---------------------------------------------------------------------------
 # events_attribution
 # ---------------------------------------------------------------------------
 
