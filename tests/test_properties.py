@@ -246,3 +246,47 @@ def test_pq_einsum_distance_identity_is_exact(xs, data):
     d_f64 = float(x @ x) - 2.0 * float(x @ c) + float(c @ c)
     d_int = sum((a - b) * (a - b) for a, b in zip(xs, cs))  # Python bigints
     assert d_f64 == d_int
+
+
+# --- WebDataset member explode ----------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghij0123456789_-", min_size=1, max_size=12),
+            st.sampled_from(["txt", "bin", "json", ""]),
+            st.binary(min_size=0, max_size=256),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_tar_member_explode_roundtrip(members):
+    """sources/webdataset._explode_members recovers every (key, ext,
+    payload) from an arbitrary tar, including extension-less names and
+    empty payloads."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from bytesprocessor_spark.sources.webdataset import _explode_members
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for key, ext, payload in members:
+            name = f"{key}.{ext}" if ext else key
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    pdf = pd.DataFrame({"path": ["/x/shard-0.tar"], "content": [buf.getvalue()]})
+    out = pd.concat(list(_explode_members([pdf]))) if members else None
+    got = (
+        {(r.key, r.ext): bytes(r.payload) for r in out.itertuples()}
+        if out is not None
+        else {}
+    )
+    want = {(k, e): p for k, e, p in members}
+    assert got == want
