@@ -656,6 +656,7 @@ _CHECK_ORDER = [
     "events_linear_trend",
     "events_attribution",
     "events_ab_test",
+    "dedup_containment_keep",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -282,18 +282,22 @@ _CONT_T = 0.6
 
 from bytesprocessor_spark.queries_llm import _DUCK_WORD3  # noqa: E402
 
+_DUCK_CONTAIN_CTES = f"""s AS ({_DUCK_WORD3}),
+    ce AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+    csz AS (SELECT doc_id, len(shingles) AS n FROM s),
+    cp0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM ce a JOIN ce b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+    cp AS (SELECT id_a, id_b, inter,
+                  inter * 1.0 / LEAST(sa.n, sb.n) AS containment
+           FROM cp0 JOIN csz sa ON sa.doc_id = id_a
+                    JOIN csz sb ON sb.doc_id = id_b
+           WHERE inter * 1.0 / LEAST(sa.n, sb.n) >= {_CONT_T})"""
+
 _DUCK_CONTAIN = f"""
-    WITH s AS ({_DUCK_WORD3}),
-    e AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
-    sz AS (SELECT doc_id, len(shingles) AS n FROM s),
-    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-    SELECT id_a, id_b, inter,
-           ROUND(inter * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
-    FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-    WHERE inter * 1.0 / LEAST(sa.n, sb.n) >= {_CONT_T}
-    ORDER BY id_a, id_b
+    WITH {_DUCK_CONTAIN_CTES}
+    SELECT id_a, id_b, inter, ROUND(containment, 6) AS containment
+    FROM cp ORDER BY id_a, id_b
 """
 
 
@@ -314,6 +318,40 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", "inter", F.round("containment", 6).alias("containment")
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_containment_keep",
+    f"""
+    WITH RECURSIVE {_DUCK_CONTAIN_CTES},
+    ed AS (SELECT id_a AS a, id_b AS b FROM cp
+           UNION SELECT id_b, id_a FROM cp),
+    reach(a, b) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(LEAST(d.doc_id, MIN(r.b)), d.doc_id) AS BIGINT) AS component,
+           d.doc_id = COALESCE(LEAST(d.doc_id, MIN(r.b)), d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e end-game: excerpt CLUSTERS, not just pairs — containment
+    edges feed the same distributed connected components as the
+    Jaccard cluster dedup (operators/graph.py), one survivor per
+    transitive quote-chain (A excerpted in B, B excerpted in C keeps
+    only A).  Oracle recomputes components via a recursive-CTE
+    transitive closure over the identical containment pair set."""
+    from bytesprocessor_spark.operators.dedup import containment_pairs
+    from bytesprocessor_spark.operators.graph import cluster_keep
+    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = containment_pairs(_word3_hashed_tokens(docs), threshold=_CONT_T)
+    return cluster_keep(docs, pairs.select("id_a", "id_b"))
 
 
 # ---------------------------------------------------------------------------
