@@ -657,6 +657,8 @@ _CHECK_ORDER = [
     "events_attribution",
     "events_ab_test",
     "dedup_containment_keep",
+    "events_seasonality",
+    "text_collocations",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -915,6 +915,156 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A19 seasonal profile + residual anomaly count
+# ---------------------------------------------------------------------------
+
+_DUCK_SEASON = """
+    WITH e AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events),
+    prof AS (
+      SELECT event_type, hr, COUNT(*) AS n, SUM(vc) AS s, SUM(vc * vc) AS ss
+      FROM e GROUP BY event_type, hr),
+    stats AS (
+      SELECT event_type, hr, n,
+             CAST(s AS DOUBLE) / n AS mu,
+             SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS sd
+      FROM prof),
+    r AS (
+      SELECT e.event_type, e.hr,
+             CASE WHEN stats.sd > 0
+                  AND ABS(e.vc - stats.mu) > 3 * stats.sd THEN 1 ELSE 0 END AS is_anom
+      FROM e JOIN stats ON e.event_type = stats.event_type AND e.hr = stats.hr)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(is_anom) AS n_anomalies,
+           COUNT(DISTINCT hr) AS n_hours
+    FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("events_seasonality", _DUCK_SEASON)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 seasonal-baseline anomaly scan: the per-(type, hour-of-day)
+    mean/stddev profile is the seasonal expectation; events more than
+    3 sigma from THEIR OWN hour's baseline count as anomalies (a flat
+    global fence flags every rush hour instead).  Moments accumulate
+    as exact integers; mu/sd derive in same-order double; the fence
+    compares the same doubles on both engines.
+
+    Plan: one (type, hour) partial-agg shuffle builds the 24x5-row
+    profile, which BROADCASTS back onto the event scan; one final
+    rollup."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", F.hour("ts").alias("hr"), cents(F.col("value")).alias("vc")
+    )
+    prof = e.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"), F.sum("vc").alias("s"), F.sum(F.col("vc") * F.col("vc")).alias("ss")
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    stats = prof.select("event_type", "hr", "n", mu.alias("mu"), sd.alias("sd"))
+    r = e.join(F.broadcast(stats), ["event_type", "hr"]).select(
+        "event_type",
+        "hr",
+        F.when(
+            (F.col("sd") > 0) & (F.abs(F.col("vc") - F.col("mu")) > 3 * F.col("sd")), 1
+        ).otherwise(0).alias("is_anom"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_anom").alias("n_anomalies"),
+            F.countDistinct("hr").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4m PMI collocation detection
+# ---------------------------------------------------------------------------
+
+_DUCK_COLLOC = f"""
+    WITH flat AS (
+      SELECT doc_id, t.w AS w, t.i AS i
+      FROM (SELECT doc_id,
+                   unnest([{{'w': l[i], 'i': i}}
+                           for i in range(1, len(l) + 1)]) AS t
+            FROM (SELECT doc_id, {_DUCK_TOKS} AS l FROM documents))),
+    uni AS (SELECT w, COUNT(*) AS c FROM flat GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM flat),
+    bg AS (
+      SELECT w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM flat),
+    bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg WHERE w2 IS NOT NULL
+            GROUP BY w1, w2),
+    pmi AS (
+      SELECT bgc.w1, bgc.w2, bgc.cb,
+             CAST(ROUND(ln(CAST(bgc.cb AS DOUBLE) * (SELECT n FROM tot)
+                           / (u1.c * CAST(u2.c AS DOUBLE))) * 1000000) AS BIGINT)
+               AS pmi_micro
+      FROM bgc JOIN uni u1 ON bgc.w1 = u1.w JOIN uni u2 ON bgc.w2 = u2.w
+      WHERE bgc.cb >= 5)
+    SELECT w1, w2, cb, pmi_micro
+    FROM pmi ORDER BY pmi_micro DESC, w1, w2 LIMIT 20
+"""
+
+
+@query("text_collocations", _DUCK_COLLOC)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4m collocation detection (Church & Hanks 1990): adjacent word
+    pairs whose pointwise mutual information ln(p(a,b)/(p(a)p(b))) is
+    highest — the classic signal for multiword expressions and
+    domain vocabulary.  PMI quantizes to integer micro-units so the
+    top-k ranks on exact integers (with (w1, w2) tie-break); a
+    min-count floor kills the unstable singleton tail.
+
+    Plan: one bigram window per doc partition, one bigram-key
+    partial-agg shuffle; the vocabulary-sized unigram table broadcasts
+    back; the top-20 is a distributed TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "w", F.lead("w").over(w).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    bgc = bg.groupBy(F.col("w").alias("w1"), "w2").agg(F.count("*").alias("cb"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("n"))
+    pmi = (
+        bgc.where(F.col("cb") >= 5)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            F.round(
+                F.log(
+                    F.col("cb").cast("double") * F.col("n")
+                    / (F.col("c1") * F.col("c2").cast("double"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi_micro").desc(), "w1", "w2").limit(20)
+
+
+# ---------------------------------------------------------------------------
 # A18 hash-split A/B comparison (Welch statistic from exact moments)
 # ---------------------------------------------------------------------------
 
