@@ -44,28 +44,55 @@ _MEMBER_SCHEMA = "shard string, key string, ext string, payload binary"
 _MANIFEST_SCHEMA = "shard int, n_members long, n_bytes long"
 
 
-def _explode_members(batches):
-    """Arrow-batched (path, content) -> one row per tar member."""
+CORRUPT_EXT = "__corrupt__"
+
+
+def _explode_members(batches, tolerant: bool = False):
+    """Arrow-batched (path, content) -> one row per tar member.  With
+    ``tolerant``, a shard whose container structure is unreadable
+    yields ONE quarantine row (ext = CORRUPT_EXT, payload = the raw
+    bytes, for forensics) instead of failing the task — a single
+    corrupt shard must not kill a 100 TB ingest (the S6 tolerant-CSV
+    policy applied to containers).  Caveat: a tar truncated exactly at
+    a block boundary still parses as a shorter archive (stdlib
+    tarfile semantics) — catching silent tail loss needs a
+    member-count manifest check, which write_tar_shards provides."""
     for pdf in batches:
         out = {"shard": [], "key": [], "ext": [], "payload": []}
         for p, content in zip(pdf["path"], pdf["content"]):
-            with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
-                for m in tf.getmembers():
-                    if not m.isfile():
-                        continue
-                    base, dot, ext = m.name.rpartition(".")
-                    out["shard"].append(os.path.basename(p))
-                    out["key"].append(base if dot else m.name)
-                    out["ext"].append(ext if dot else "")
-                    out["payload"].append(tf.extractfile(m).read())
+            raw = bytes(content)
+            shard = os.path.basename(p)
+            try:
+                with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        base, dot, ext = m.name.rpartition(".")
+                        out["shard"].append(shard)
+                        out["key"].append(base if dot else m.name)
+                        out["ext"].append(ext if dot else "")
+                        out["payload"].append(tf.extractfile(m).read())
+            except (tarfile.TarError, EOFError, OSError):
+                if not tolerant:
+                    raise
+                out["shard"].append(shard)
+                out["key"].append(shard)
+                out["ext"].append(CORRUPT_EXT)
+                out["payload"].append(raw)
         yield pd.DataFrame(out)
 
 
-def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+def _explode_members_tolerant(batches):
+    return _explode_members(batches, tolerant=True)
+
+
+def read_tar_shards(spark: SparkSession, path: str, tolerant: bool = False) -> DataFrame:
     """(shard, key, ext, payload): every member of every ``*.tar``
-    under ``path``, one input task per shard."""
+    under ``path``, one input task per shard.  ``tolerant`` quarantines
+    unreadable shards as CORRUPT_EXT rows instead of failing."""
     raw = spark.read.format("binaryFile").load(os.path.join(path, "*.tar"))
-    return raw.select("path", "content").mapInPandas(_explode_members, _MEMBER_SCHEMA)
+    fn = _explode_members_tolerant if tolerant else _explode_members
+    return raw.select("path", "content").mapInPandas(fn, _MEMBER_SCHEMA)
 
 
 def stream_tar_shards(

@@ -111,6 +111,42 @@ def test_tar_stream_drains_all_members(spark, tmp_path):
     spark.catalog.dropTempView(sink)
 
 
+def test_tar_corrupt_shard_quarantines_in_tolerant_mode(spark, tmp_path):
+    """A truncated shard fails the strict reader but quarantines (one
+    CORRUPT_EXT row carrying the raw bytes) in tolerant mode; healthy
+    shards are unaffected either way."""
+    import pytest
+
+    from bytesprocessor_spark.sources.webdataset import CORRUPT_EXT
+
+    df = spark.createDataFrame(
+        _sample_rows(20), "key string, ext string, payload binary"
+    )
+    out = str(tmp_path / "shards")
+    write_tar_shards(df, out, n_shards=2).collect()
+    # corrupt one shard: garble the leading header block entirely
+    victim = sorted(os.listdir(out))[0]
+    vp = os.path.join(out, victim)
+    blob = open(vp, "rb").read()
+    open(vp, "wb").write(b"\xff" * 512 + blob[512:])
+
+    with pytest.raises(Exception):
+        read_tar_shards(spark, out).collect()
+
+    rows = read_tar_shards(spark, out, tolerant=True).collect()
+    bad = [r for r in rows if r["ext"] == CORRUPT_EXT]
+    good = [r for r in rows if r["ext"] != CORRUPT_EXT]
+    # the victim quarantines (raw bytes preserved for forensics);
+    # the healthy shard is complete
+    assert len(bad) == 1 and bad[0]["shard"] == victim
+    assert len(bytes(bad[0]["payload"])) == len(blob)
+    # every member of the intact shard is present
+    intact = sorted(os.listdir(out))[1]
+    with tarfile.open(os.path.join(out, intact)) as tf:
+        n_intact = sum(1 for m in tf.getmembers() if m.isfile())
+    assert sum(1 for r in good if r["shard"] == intact) == n_intact
+
+
 def test_tar_read_is_shard_parallel(spark, tmp_path):
     """One input task per shard: the reader must not coalesce all
     shards into a single task (the format's unit of parallelism)."""
