@@ -128,6 +128,42 @@ def group_samples(members: DataFrame) -> DataFrame:
     )
 
 
+def audit_tar_shards(
+    spark: SparkSession, path: str, manifest: DataFrame
+) -> DataFrame:
+    """(shard, expected, actual, status): re-count each shard's
+    readable members against the write-time manifest — the check that
+    catches silent tail truncation (a tar cut at a block boundary
+    parses as a shorter archive) and quarantined corruption.  Status:
+    'ok' | 'short' | 'extra' | 'missing'.  One task per shard, join on
+    the int shard id."""
+    members = read_tar_shards(spark, path, tolerant=True)
+    actual = (
+        members.where(F.col("ext") != CORRUPT_EXT)
+        .groupBy("shard")
+        .agg(F.count("*").alias("actual"))
+        .select(
+            F.regexp_extract("shard", r"shard-(\d+)\.tar", 1)
+            .cast("int")
+            .alias("shard"),
+            "actual",
+        )
+    )
+    joined = manifest.select("shard", F.col("n_members").alias("expected")).join(
+        actual, "shard", "full_outer"
+    )
+    return joined.select(
+        "shard",
+        "expected",
+        F.coalesce("actual", F.lit(0)).alias("actual"),
+        F.when(F.col("actual").isNull() | (F.col("actual") == 0), "missing")
+        .when(F.col("actual") < F.col("expected"), "short")
+        .when(F.col("actual") > F.col("expected"), "extra")
+        .otherwise("ok")
+        .alias("status"),
+    )
+
+
 def write_tar_shards(
     samples: DataFrame,
     path: str,
@@ -138,7 +174,12 @@ def write_tar_shards(
     return the manifest (shard, n_members, n_bytes).  Shard assignment
     is a deterministic hash of the sample key (all of a sample's
     members land together); member order inside a shard is sorted
-    (key, ext) so re-runs produce byte-identical shards."""
+    (key, ext) so re-runs produce byte-identical shards.
+
+    The write executes EAGERLY and the manifest returns as a
+    local-backed DataFrame (n_shards rows, bounded): a side-effecting
+    sink must run exactly once, not re-fire whenever a lazy consumer
+    re-evaluates its lineage."""
     os.makedirs(path, exist_ok=True)
     assigned = samples.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
@@ -163,4 +204,6 @@ def write_tar_shards(
             {"shard": [shard], "n_members": [len(pdf)], "n_bytes": [n_bytes]}
         )
 
-    return assigned.groupBy("shard").applyInPandas(_write, _MANIFEST_SCHEMA)
+    lazy = assigned.groupBy("shard").applyInPandas(_write, _MANIFEST_SCHEMA)
+    rows = lazy.collect()  # run the sink exactly once
+    return samples.sparkSession.createDataFrame(rows, _MANIFEST_SCHEMA)

@@ -147,6 +147,32 @@ def test_tar_corrupt_shard_quarantines_in_tolerant_mode(spark, tmp_path):
     assert sum(1 for r in good if r["shard"] == intact) == n_intact
 
 
+def test_tar_audit_flags_truncated_shard(spark, tmp_path):
+    """The manifest audit catches what tolerant reading can't: a tar
+    truncated at a block boundary that silently parses shorter."""
+    from bytesprocessor_spark.sources.webdataset import audit_tar_shards
+
+    df = spark.createDataFrame(
+        _sample_rows(20), "key string, ext string, payload binary"
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_tar_shards(df, out, n_shards=2)
+    manifest_rows = manifest.collect()
+    ok = audit_tar_shards(spark, out, manifest).collect()
+    assert all(r["status"] == "ok" for r in ok)
+
+    # drop the tail of shard 0 at a 512-block boundary: members vanish
+    # silently (no parse error) — only the audit notices
+    vp = os.path.join(out, "shard-000000.tar")
+    blob = open(vp, "rb").read()
+    cut = (len(blob) // 2 // 512) * 512
+    open(vp, "wb").write(blob[:cut])
+    audited = {r["shard"]: r for r in audit_tar_shards(spark, out, manifest).collect()}
+    assert audited[0]["status"] in ("short", "missing")
+    assert audited[0]["actual"] < audited[0]["expected"]
+    assert audited[1]["status"] == "ok"
+
+
 def test_tar_read_is_shard_parallel(spark, tmp_path):
     """One input task per shard: the reader must not coalesce all
     shards into a single task (the format's unit of parallelism)."""
