@@ -659,6 +659,8 @@ _CHECK_ORDER = [
     "dedup_containment_keep",
     "events_seasonality",
     "text_collocations",
+    "sql_not_in_nulls",
+    "set_ops_all",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -933,3 +933,59 @@ def sql_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_NOT_IN_NULLS_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey <= 100
+     AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey <= 50))
+    AS n_clean_probe,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey <= 100
+     AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey <= 50
+                           UNION ALL SELECT NULL))
+    AS n_null_probe
+"""
+
+
+@query("sql_not_in_nulls", _NOT_IN_NULLS_SQL)
+def sql_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic engine-divergence trap, pinned: NOT IN against a
+    probe set CONTAINING a NULL must return zero rows (three-valued
+    logic: x <> NULL is unknown, so no row can prove membership-
+    absence), while the same probe without the NULL behaves like an
+    anti join.  Both branches run as one verbatim text on both
+    engines; Spark plans the null-aware anti join for the NULL branch
+    (a broadcast null-aware anti at scale) — callers who actually want
+    anti-join semantics should write NOT EXISTS, which is why the
+    TPC-H q16 oracle does."""
+    return _sql(spark, sf_dir, _NOT_IN_NULLS_SQL, ("customer", "orders"))
+
+
+_SET_OPS_ALL_SQL = """
+WITH a AS (
+  SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber <= 2
+),
+b AS (
+  SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber >= 2
+),
+i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+x AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+SELECT
+  (SELECT COUNT(*) FROM i) AS n_intersect_all,
+  (SELECT COUNT(*) FROM x) AS n_except_all,
+  (SELECT COUNT(DISTINCT k) FROM i) AS n_intersect_keys,
+  (SELECT COALESCE(CAST(SUM(k) AS BIGINT), 0) FROM x) AS except_key_sum
+"""
+
+
+@query("set_ops_all", _SET_OPS_ALL_SQL)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (O4 completion): INTERSECT ALL
+    keeps min(multiplicity) copies and EXCEPT ALL subtracts
+    multiplicities — the forms DISTINCT set ops silently collapse.
+    Same text verbatim on both engines; the overlapping line-number
+    bands guarantee every multiplicity case (a-only, b-only, both,
+    repeated) occurs."""
+    return _sql(spark, sf_dir, _SET_OPS_ALL_SQL, ("lineitem",))
