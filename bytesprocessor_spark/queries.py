@@ -661,6 +661,7 @@ _CHECK_ORDER = [
     "text_collocations",
     "sql_not_in_nulls",
     "set_ops_all",
+    "sql_fuzzy_match",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -989,3 +989,37 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands guarantee every multiplicity case (a-only, b-only, both,
     repeated) occurs."""
     return _sql(spark, sf_dir, _SET_OPS_ALL_SQL, ("lineitem",))
+
+
+_FUZZY_SQL = """
+WITH probes AS (
+  SELECT s_suppkey AS probe_id,
+         replace(replace(s_name, '#', '-'), '0', 'O') AS probe
+  FROM supplier WHERE s_suppkey <= 20
+),
+cand AS (
+  SELECT p.probe_id, p.probe, s.s_suppkey, s.s_name,
+         levenshtein(p.probe, s.s_name) AS dist
+  FROM probes p CROSS JOIN supplier s
+),
+best AS (
+  SELECT probe_id, probe, s_suppkey, s_name, dist,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY dist, s_suppkey) AS rk
+  FROM cand
+)
+SELECT probe_id, probe, s_suppkey AS matched_id, s_name AS matched_name, dist
+FROM best WHERE rk = 1 ORDER BY probe_id
+"""
+
+
+@query("sql_fuzzy_match", _FUZZY_SQL)
+def sql_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage (F-family completion): noisy probe
+    names (deterministic character corruptions of real supplier names)
+    resolve back to their source row by minimum Levenshtein distance
+    with an id tie-break.  Same text verbatim on both engines.  The
+    demonstration uses the exact small-probe cross join; at 100 TB the
+    blocking step (q-gram or phonetic-key equi-join before scoring) is
+    the same containment/LSH machinery the dedup family ships."""
+    return _sql(spark, sf_dir, _FUZZY_SQL, ("supplier",))
