@@ -37,8 +37,7 @@ from pyspark.sql import functions as F
 
 from bytesprocessor_spark.queries import cents, query, _t
 from bytesprocessor_spark.functions.text import tokenize
-
-_DUCK_TOKS = "[x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if len(x) > 0]"
+from bytesprocessor_spark.queries_llm import _DUCK_TOKS, _DUCK_WORD3
 
 
 def _h60(col):
@@ -279,8 +278,6 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CONT_T = 0.6
-
-from bytesprocessor_spark.queries_llm import _DUCK_WORD3  # noqa: E402
 
 _DUCK_CONTAIN_CTES = f"""s AS ({_DUCK_WORD3}),
     ce AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
