@@ -662,6 +662,7 @@ _CHECK_ORDER = [
     "sql_not_in_nulls",
     "set_ops_all",
     "sql_fuzzy_match",
+    "events_correlation_matrix",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -912,6 +912,74 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A20 cross-metric correlation matrix
+# ---------------------------------------------------------------------------
+
+_DUCK_CORRM = """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY day, event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS k,
+             SUM(a.n) AS sa, SUM(b.n) AS sb,
+             SUM(a.n * b.n) AS sab,
+             SUM(a.n * a.n) AS saa, SUM(b.n * b.n) AS sbb
+      FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, k,
+           ROUND((CAST(k AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+                 / (SQRT(CAST(k AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                    * SQRT(CAST(k AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+             AS pearson_r
+    FROM p ORDER BY type_a, type_b
+"""
+
+
+@query("events_correlation_matrix", _DUCK_CORRM)
+def events_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 cross-metric co-movement: pairwise Pearson correlation of
+    daily event volumes between every pair of event types — the
+    metric-health matrix behind "did signups drop WITH traffic or
+    against it".  Daily counts are exact integers, every moment (k,
+    Σa, Σb, Σab, Σa², Σb²) is an exact integer sum, and the final r
+    combines them in same-operation-order double — bit-identical
+    cross-engine without quantizing anything.
+
+    Plan shape: one (day, type) partial-agg shuffle over the corpus,
+    then the day-keyed self-join runs on the tiny daily table and the
+    pair moments collapse to types²/2 rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    a = d.select("day", F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    b = d.select("day", F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    p = (
+        a.join(b, "day")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum("na").alias("sa"),
+            F.sum("nb").alias("sb"),
+            F.sum(F.col("na") * F.col("nb")).alias("sab"),
+            F.sum(F.col("na") * F.col("na")).alias("saa"),
+            F.sum(F.col("nb") * F.col("nb")).alias("sbb"),
+        )
+    )
+    kd = F.col("k").cast("double")
+    sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
+    num = kd * F.col("sab") - sad * F.col("sb")
+    den = F.sqrt(kd * F.col("saa") - sad * F.col("sa")) * F.sqrt(
+        kd * F.col("sbb") - sbd * F.col("sb")
+    )
+    return p.select(
+        "type_a", "type_b", "k", F.round(num / den, 6).alias("pearson_r")
+    ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
 # A19 seasonal profile + residual anomaly count
 # ---------------------------------------------------------------------------
 
