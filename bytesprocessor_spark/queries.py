@@ -663,6 +663,7 @@ _CHECK_ORDER = [
     "set_ops_all",
     "sql_fuzzy_match",
     "events_correlation_matrix",
+    "events_cusum",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

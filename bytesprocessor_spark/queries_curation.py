@@ -912,6 +912,92 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A21 CUSUM change-point scan
+# ---------------------------------------------------------------------------
+
+_DUCK_CUSUM = """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s, COUNT(*) AS n
+      FROM events GROUP BY event_type, day),
+    g AS (
+      SELECT event_type, CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(n) AS BIGINT) AS nt
+      FROM d GROUP BY event_type),
+    dev AS (
+      SELECT d.event_type, d.day,
+             CAST(ROUND((CAST(d.s AS DOUBLE) / d.n
+                         - CAST(g.st AS DOUBLE) / g.nt) * 1000000) AS BIGINT)
+               AS dev_q
+      FROM d JOIN g ON d.event_type = g.event_type),
+    c AS (
+      SELECT event_type, day,
+             SUM(dev_q) OVER (PARTITION BY event_type ORDER BY day) AS cusum
+      FROM dev),
+    r AS (
+      SELECT event_type, day, ABS(cusum) AS a,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(cusum) DESC, day) AS rk
+      FROM c)
+    SELECT event_type,
+           ROUND(a / 100000000.0, 6) AS max_cusum_dollars,
+           strftime(day, '%Y-%m-%d') AS changepoint_day
+    FROM r WHERE rk = 1 ORDER BY event_type
+"""
+
+
+@query("events_cusum", _DUCK_CUSUM)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 CUSUM change-point scan (Page 1954): per event type, the
+    cumulative sum of daily-mean deviations from the global mean peaks
+    at the most likely level-shift day — the classic "when did this
+    metric change" statistic.  Daily deviations quantize to integer
+    micro-dollars BEFORE the prefix sum, so the running cumulative is
+    exact integer math in day order (float prefix sums drift) and the
+    argmax day ties break on the date.
+
+    Plan shape: one (type, day) partial agg over the corpus, the
+    global means broadcast back, one day-ordered window per type
+    partition on the tiny daily table."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents(F.col("value"))).alias("s"), F.count("*").alias("n")
+    )
+    g = d.groupBy("event_type").agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt")
+    )
+    dev = d.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "day",
+        F.round(
+            (
+                F.col("s").cast("double") / F.col("n")
+                - F.col("st").cast("double") / F.col("nt")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("dev_q"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    c = dev.withColumn("cusum", F.sum("dev_q").over(w))
+    rw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.round(F.abs(F.col("cusum")) / 100_000_000.0, 6).alias(
+                "max_cusum_dollars"
+            ),
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A20 cross-metric correlation matrix
 # ---------------------------------------------------------------------------
 

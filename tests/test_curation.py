@@ -518,6 +518,35 @@ def test_mixture_sample_meets_quota_and_is_stable(spark):
 
 
 # ---------------------------------------------------------------------------
+# events_cusum
+# ---------------------------------------------------------------------------
+
+def test_cusum_finds_planted_level_shift(spark):
+    """Value 50 for days 1-10 then 80 for days 11-20: the CUSUM peak
+    lands exactly on the last pre-shift day with |peak| = 10 * 15."""
+    import tempfile
+    from datetime import datetime
+
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        level = 50.0 if day <= 10 else 80.0
+        for _ in range(3):
+            rows.append((eid, datetime(2024, 1, day), 1, "t", level, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from bytesprocessor_spark.queries import QUERIES
+
+    out = QUERIES["events_cusum"](spark, d).collect()[0]
+    assert out["changepoint_day"] == "2024-01-10"
+    assert out["max_cusum_dollars"] == 150.0
+
+
+# ---------------------------------------------------------------------------
 # events_ab_test
 # ---------------------------------------------------------------------------
 
