@@ -664,6 +664,7 @@ _CHECK_ORDER = [
     "sql_fuzzy_match",
     "events_correlation_matrix",
     "events_cusum",
+    "quality_benford",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

@@ -912,6 +912,61 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q4 Benford first-digit conformance
+# ---------------------------------------------------------------------------
+
+_DUCK_BENFORD = """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    o AS (SELECT digit, COUNT(*) AS observed FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM o)
+    SELECT o.digit, o.observed,
+           ROUND((SELECT n FROM t) * ln(1.0 + 1.0 / o.digit) / ln(10.0), 6)
+             AS expected,
+           ROUND(CAST(o.observed AS DOUBLE) / (SELECT n FROM t), 6) AS observed_p
+    FROM o ORDER BY o.digit
+"""
+
+
+@query("quality_benford", _DUCK_BENFORD)
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 Benford first-digit conformance: the observed leading-digit
+    distribution of order totals against Benford's log10(1 + 1/d)
+    expectation — the forensic data-quality screen for fabricated or
+    truncated numeric columns (synthetic uniform data fails it loudly,
+    which is itself the honest readout on this fixture).  The digit
+    extracts from the exact cents integer's decimal string, so both
+    engines bucket identically; expectations compute in same-order
+    double.
+
+    Plan: map-only digit extraction, one 9-row partial agg."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").alias("observed"))
+    tot = obs.agg(F.sum("observed").alias("n"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "observed",
+            F.round(
+                F.col("n") * F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6
+            ).alias("expected"),
+            F.round(F.col("observed").cast("double") / F.col("n"), 6).alias(
+                "observed_p"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A21 CUSUM change-point scan
 # ---------------------------------------------------------------------------
 
