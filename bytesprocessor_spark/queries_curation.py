@@ -1070,8 +1070,8 @@ _DUCK_CORRM = """
       GROUP BY 1, 2)
     SELECT type_a, type_b, k,
            ROUND((CAST(k AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
-                 / (SQRT(CAST(k AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
-                    * SQRT(CAST(k AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+                 / (SQRT(GREATEST(CAST(k AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa, 0))
+                    * SQRT(GREATEST(CAST(k AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb, 0))), 6)
              AS pearson_r
     FROM p ORDER BY type_a, type_b
 """
@@ -1112,8 +1112,8 @@ def events_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     kd = F.col("k").cast("double")
     sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
     num = kd * F.col("sab") - sad * F.col("sb")
-    den = F.sqrt(kd * F.col("saa") - sad * F.col("sa")) * F.sqrt(
-        kd * F.col("sbb") - sbd * F.col("sb")
+    den = F.sqrt(F.greatest(kd * F.col("saa") - sad * F.col("sa"), F.lit(0.0))) * F.sqrt(
+        F.greatest(kd * F.col("sbb") - sbd * F.col("sb"), F.lit(0.0))
     )
     return p.select(
         "type_a", "type_b", "k", F.round(num / den, 6).alias("pearson_r")
@@ -1135,7 +1135,7 @@ _DUCK_SEASON = """
     stats AS (
       SELECT event_type, hr, n,
              CAST(s AS DOUBLE) / n AS mu,
-             SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS sd
+             SQRT(GREATEST((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1), 0)) AS sd
       FROM prof),
     r AS (
       SELECT e.event_type, e.hr,
@@ -1171,8 +1171,14 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.col("s").cast("double") / F.col("n")
     sd = F.sqrt(
-        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
-        / (F.col("n") - 1)
+        F.greatest(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.col("n") - 1),
+            F.lit(0.0),
+        )
     )
     stats = prof.select("event_type", "hr", "n", mu.alias("mu"), sd.alias("sd"))
     r = e.join(F.broadcast(stats), ["event_type", "hr"]).select(
@@ -1289,8 +1295,8 @@ _DUCK_AB = """
              a.n AS n_a, b.n AS n_b,
              CAST(a.s AS DOUBLE) / a.n AS mean_a,
              CAST(b.s AS DOUBLE) / b.n AS mean_b,
-             (CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1) AS var_a,
-             (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1) AS var_b
+             GREATEST((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1), 0) AS var_a,
+             GREATEST((CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1), 0) AS var_b
       FROM (SELECT * FROM m WHERE grp = 0) a
       JOIN (SELECT * FROM m WHERE grp = 1) b USING (event_type))
     SELECT event_type, n_a, n_b,
@@ -1340,14 +1346,22 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.join(b, "event_type")
     mean_a = F.col("s_a").cast("double") / F.col("n_a")
     mean_b = F.col("s_b").cast("double") / F.col("n_b")
-    var_a = (
-        F.col("ss_a").cast("double")
-        - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
-    ) / (F.col("n_a") - 1)
-    var_b = (
-        F.col("ss_b").cast("double")
-        - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
-    ) / (F.col("n_b") - 1)
+    var_a = F.greatest(
+        (
+            F.col("ss_a").cast("double")
+            - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+        )
+        / (F.col("n_a") - 1),
+        F.lit(0.0),
+    )
+    var_b = F.greatest(
+        (
+            F.col("ss_b").cast("double")
+            - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+        )
+        / (F.col("n_b") - 1),
+        F.lit(0.0),
+    )
     return j.select(
         "event_type",
         "n_a",

@@ -62,23 +62,35 @@ def _explode_members(batches, tolerant: bool = False):
         for p, content in zip(pdf["path"], pdf["content"]):
             raw = bytes(content)
             shard = os.path.basename(p)
+            # stage the shard's members locally and commit them to the
+            # batch only if the WHOLE shard parses: a mid-member
+            # failure must not leave ragged columns (DataFrame
+            # construction error) or emit a partial sample set that
+            # looks healthy next to the quarantine row
+            staged: list[tuple[str, str, str, bytes]] = []
             try:
                 with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
                     for m in tf.getmembers():
                         if not m.isfile():
                             continue
                         base, dot, ext = m.name.rpartition(".")
-                        out["shard"].append(shard)
-                        out["key"].append(base if dot else m.name)
-                        out["ext"].append(ext if dot else "")
-                        out["payload"].append(tf.extractfile(m).read())
+                        staged.append(
+                            (
+                                shard,
+                                base if dot else m.name,
+                                ext if dot else "",
+                                tf.extractfile(m).read(),
+                            )
+                        )
             except (tarfile.TarError, EOFError, OSError):
                 if not tolerant:
                     raise
-                out["shard"].append(shard)
-                out["key"].append(shard)
-                out["ext"].append(CORRUPT_EXT)
-                out["payload"].append(raw)
+                staged = [(shard, shard, CORRUPT_EXT, raw)]
+            for s, k, e, pl in staged:
+                out["shard"].append(s)
+                out["key"].append(k)
+                out["ext"].append(e)
+                out["payload"].append(pl)
         yield pd.DataFrame(out)
 
 
@@ -152,13 +164,18 @@ def audit_tar_shards(
     joined = manifest.select("shard", F.col("n_members").alias("expected")).join(
         actual, "shard", "full_outer"
     )
+    act = F.coalesce("actual", F.lit(0))
     return joined.select(
         "shard",
-        "expected",
-        F.coalesce("actual", F.lit(0)).alias("actual"),
-        F.when(F.col("actual").isNull() | (F.col("actual") == 0), "missing")
-        .when(F.col("actual") < F.col("expected"), "short")
-        .when(F.col("actual") > F.col("expected"), "extra")
+        F.coalesce("expected", F.lit(0)).alias("expected"),
+        act.alias("actual"),
+        # a NULL expected means the shard is on disk but absent from
+        # the manifest (stale rewrite leftovers, foreign files) — that
+        # is 'extra', never 'ok'
+        F.when(F.col("expected").isNull(), "extra")
+        .when(act == 0, "missing")
+        .when(act < F.col("expected"), "short")
+        .when(act > F.col("expected"), "extra")
         .otherwise("ok")
         .alias("status"),
     )

@@ -22,7 +22,7 @@ def _corpus_rows(n=30):
         key = f"{i:06d}"
         text = f"sample document number {i} with enough words to pass the gate " * 3
         rows.append((key, "txt", text.encode()))
-    # exact duplicate of doc 3 (whitespace-normalized match)
+    # exact duplicate of doc 6 (whitespace-normalized match)
     rows.append(("900000", "txt", rows[6][2] + b"  "))
     # junk that the quality gate must drop (no alpha, 2 tokens)
     rows.append(("900001", "txt", b"!!! ???"))
@@ -51,10 +51,8 @@ def test_text_curation_end_to_end(spark, tmp_path):
     kept = exact_dedup(gated, text_col="text", id_col="doc_id")
     keys = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert len(keys) == 30
-    # normalized-exact dup resolves to ONE of the pair deterministically
-    assert ("000003" in keys) != ("900000" in keys) or (
-        "000003" in keys and "900000" not in keys
-    )
+    # normalized-exact dup resolves to exactly ONE of the pair
+    assert ("000006" in keys) ^ ("900000" in keys)
 
     packed = pack_sequences(
         kept.select("doc_id", token_count(F.col("text")).alias("n_tokens")),

@@ -173,6 +173,27 @@ def test_tar_audit_flags_truncated_shard(spark, tmp_path):
     assert audited[1]["status"] == "ok"
 
 
+def test_tar_audit_flags_unmanifested_shard_as_extra(spark, tmp_path):
+    """A shard on disk that the manifest doesn't know about (stale
+    rewrite leftovers, foreign files) must report 'extra', never
+    'ok'."""
+    import shutil
+
+    from bytesprocessor_spark.sources.webdataset import audit_tar_shards
+
+    df = spark.createDataFrame(
+        _sample_rows(20), "key string, ext string, payload binary"
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_tar_shards(df, out, n_shards=2)
+    # drop a foreign shard into the directory
+    src = os.path.join(out, "shard-000000.tar")
+    shutil.copy(src, os.path.join(out, "shard-000099.tar"))
+    audited = {r["shard"]: r["status"] for r in audit_tar_shards(spark, out, manifest).collect()}
+    assert audited[99] == "extra"
+    assert audited[0] == "ok" and audited[1] == "ok"
+
+
 def test_tar_read_is_shard_parallel(spark, tmp_path):
     """One input task per shard: the reader must not coalesce all
     shards into a single task (the format's unit of parallelism)."""
