@@ -665,6 +665,8 @@ _CHECK_ORDER = [
     "events_correlation_matrix",
     "events_cusum",
     "quality_benford",
+    "agg_weighted_median",
+    "orders_market_basket",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",

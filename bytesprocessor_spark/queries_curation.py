@@ -912,6 +912,150 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A22 weighted median (cumulative-weight order statistic)
+# ---------------------------------------------------------------------------
+
+_DUCK_WMEDIAN = """
+    WITH e AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS w
+      FROM lineitem),
+    c AS (
+      SELECT flag, price_c, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY price_c, w
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM e),
+    m AS (
+      SELECT flag, price_c,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY price_c, w) AS rk
+      FROM c WHERE cw * 2 >= tw)
+    SELECT flag, ROUND(price_c / 100.0, 6) AS weighted_median_price
+    FROM m WHERE rk = 1 ORDER BY flag
+"""
+
+
+@query("agg_weighted_median", _DUCK_WMEDIAN)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 weighted order statistic: the quantity-weighted median unit
+    price per return flag — "the price at which half the VOLUME
+    trades", which the unweighted median misrepresents whenever cheap
+    lines carry big quantities.  No engine ships a weighted
+    percentile; the cumulative-weight window over exact integer
+    weights IS the textbook distributed algorithm, and every
+    comparison (cw*2 >= tw) is exact integer math with a (price, w)
+    tie order.
+
+    Plan: one range-partitioned sort per flag partition (the window),
+    no driver materialization."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_returnflag").alias("flag"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        cents(F.col("l_quantity")).alias("w"),
+    )
+    wo = Window.partitionBy("flag").orderBy("price_c", "w")
+    c = e.select(
+        "flag",
+        "price_c",
+        "w",
+        F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    m = c.where(F.col("cw") * 2 >= F.col("tw")).withColumn(
+        "rk", F.row_number().over(wo)
+    )
+    return (
+        m.where(F.col("rk") == 1)
+        .select(
+            "flag", F.round(F.col("price_c") / 100.0, 6).alias("weighted_median_price")
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A23 market-basket association rules
+# ---------------------------------------------------------------------------
+
+_MB_MIN_SUPPORT = 2
+
+_DUCK_BASKET = f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM b),
+    pc AS (SELECT p, COUNT(*) AS c FROM b GROUP BY p),
+    pp AS (
+      SELECT a.p AS p_a, c.p AS p_b, COUNT(*) AS both_c
+      FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MB_MIN_SUPPORT}),
+    r AS (
+      SELECT pp.p_a, pp.p_b, pp.both_c, ca.c AS c_a, cb.c AS c_b,
+             CAST(pp.both_c AS DOUBLE) * (SELECT n_orders FROM n)
+               / (ca.c * CAST(cb.c AS DOUBLE)) AS lift
+      FROM pp JOIN pc ca ON pp.p_a = ca.p JOIN pc cb ON pp.p_b = cb.p)
+    SELECT p_a, p_b, both_c,
+           ROUND(lift, 6) AS lift,
+           ROUND(CAST(both_c AS DOUBLE) / c_a, 6) AS confidence_a_to_b
+    FROM r
+    ORDER BY both_c DESC, lift DESC, p_a, p_b LIMIT 20
+"""
+
+
+@query("orders_market_basket", _DUCK_BASKET)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 association rules (Agrawal & Srikant 1994's support/
+    confidence/lift core): part pairs that co-occur in orders above a
+    support floor, scored by lift and directional confidence — the
+    "bought together" analysis.  Counts are exact integers; lift and
+    confidence combine them in same-operation-order double.
+
+    Plan shape: the basket table dedups at the scan (DISTINCT order,
+    part), the pair join is an equi-join on the order key (pairs per
+    order ~ basket²; the support HAVING prunes before the item-count
+    joins), and the top-20 is a distributed TakeOrdered.  At 100 TB
+    the basket join is the canonical a-priori first pass; higher-order
+    itemsets iterate the same shape on the surviving pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = b.select(F.countDistinct("o").alias("n_orders"))
+    pc = b.groupBy("p").agg(F.count("*").alias("c"))
+    a, c2 = b.alias("a"), b.alias("c")
+    pp = (
+        a.join(c2, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("p_a"), F.col("c.p").alias("p_b"))
+        .agg(F.count("*").alias("both_c"))
+        .where(F.col("both_c") >= _MB_MIN_SUPPORT)
+    )
+    r = (
+        pp.join(pc.select(F.col("p").alias("p_a"), F.col("c").alias("c_a")), "p_a")
+        .join(pc.select(F.col("p").alias("p_b"), F.col("c").alias("c_b")), "p_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p_a",
+            "p_b",
+            "both_c",
+            F.round(
+                F.col("both_c").cast("double")
+                * F.col("n_orders")
+                / (F.col("c_a") * F.col("c_b").cast("double")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("both_c").cast("double") / F.col("c_a"), 6
+            ).alias("confidence_a_to_b"),
+        )
+    )
+    return r.orderBy(
+        F.col("both_c").desc(), F.col("lift").desc(), "p_a", "p_b"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
 # Q4 Benford first-digit conformance
 # ---------------------------------------------------------------------------
 
