@@ -518,6 +518,64 @@ def test_mixture_sample_meets_quota_and_is_stable(spark):
 
 
 # ---------------------------------------------------------------------------
+# agg_weighted_median / orders_market_basket
+# ---------------------------------------------------------------------------
+
+def test_weighted_median_weights_cheap_bulk_lines(spark):
+    """Price 10 with weight 8 vs price 100 with weight 2: half the
+    volume trades at 10, so the weighted median is 10 (the unweighted
+    median of {10, 100} would sit between)."""
+    import tempfile
+
+    rows = [
+        (1, 1, "A", 10.0, 8.0),
+        (2, 1, "A", 100.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_returnflag string, "
+        "l_extendedprice double, l_quantity double",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    from bytesprocessor_spark.queries import QUERIES
+
+    out = QUERIES["agg_weighted_median"](spark, d).collect()
+    assert out[0]["weighted_median_price"] == 10.0
+
+
+def test_market_basket_scores_planted_pair(spark):
+    """Parts 1 and 2 co-occur in every order; part 3 appears alone —
+    the (1,2) rule dominates with confidence 1.0 and lift n/
+    (n_a*n_b)*n = maximal."""
+    import tempfile
+
+    rows = []
+    ln = 0
+    for o in range(1, 7):
+        for p in (1, 2):
+            rows.append((o, ln, "A", 1.0, 1.0, p))
+            ln += 1
+    rows.append((7, ln, "A", 1.0, 1.0, 3))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_returnflag string, "
+        "l_extendedprice double, l_quantity double, l_partkey long",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    from bytesprocessor_spark.queries import QUERIES
+
+    out = QUERIES["orders_market_basket"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["p_a"], r["p_b"], r["both_c"]) == (1, 2, 6)
+    assert r["confidence_a_to_b"] == 1.0
+    # lift = P(ab)/(P(a)P(b)) = (6/7)/((6/7)*(6/7)) = 7/6
+    assert abs(r["lift"] - 7 / 6) < 1e-6
+
+
+# ---------------------------------------------------------------------------
 # events_cusum
 # ---------------------------------------------------------------------------
 
