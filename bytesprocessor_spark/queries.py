@@ -534,91 +534,42 @@ QUERIES.update(_NO_ORACLE)
 # whole corpus:
 #
 #   round 2 window: the 50 canonical per-family rows (all green in
-#     CORRECTNESS_r02.json).
-#   round 3 window (this ordering): the 48 entries the round-2 window
-#     could not reach (TPC-H composites, salted join/agg, merge,
-#     pivot/HLL/histogram/mode, sampling, funnel/concurrency,
-#     centroids, winnow/inverted/chunking/repetition, cluster-keep,
-#     mixture) plus the two new streaming-CDC/enrich rows — every one
-#     already green against the local oracle gate (tools/
-#     check_oracle.py) and independently re-verified by the round-2
-#     judge; this converts that soft signal into driver-grade rows.
+#     CORRECTNESS_r02.json — now the tail of this list).
+#   round 3 window: the 48 entries the round-2 window could not reach
+#     (TPC-H composites, salted join/agg, merge, pivot/HLL/histogram/
+#     mode, sampling, funnel/concurrency, centroids, winnow/inverted/
+#     chunking/repetition, cluster-keep, mixture) plus the two
+#     streaming-CDC/enrich rows.  NOTE: CORRECTNESS_r03.json was never
+#     delivered to the repo, so if the round-3 driver check did not
+#     run, these 50 carry local-gate + round-2-judge-rerun evidence
+#     only; they sit immediately after the round-4 window so a future
+#     rotation can pick them back up if needed.
+#   round 4 window (this ordering): the 54 entries added during round
+#     3 (persisted-IVF probe, SemDeDup, TF-IDF, unigram/bigram
+#     surprisal, stream interval join, the converted simhash/SRP rows,
+#     length batching, skew report, EWMA, incremental dedup, cohort/
+#     RFM, and the late-round curation batch: span-scan, k-means,
+#     DSIR, MAD fences, splits, BPE learn/encode, PQ-ADC, PageRank,
+#     containment, Markov, snapshot diff, mixture sampling, streaming
+#     gate, the Spark-4 SQL rows, regression/attribution/AB/
+#     seasonality/correlation/CUSUM/Benford, weighted median, market
+#     basket).  First 50 land in the driver check; the 4 overflow
+#     entries head the round-5 queue together with anything added
+#     during round 4.
 #
-# After position 50: the round-4 queue — every entry added DURING
-# round 3 (persisted-IVF probe, SemDeDup pair/keep, TF-IDF, unigram/
-# bigram surprisal, stream interval join, the converted simhash /
-# LSH-top-k rows, length batching, skew report, EWMA, incremental
-# dedup, cohort/RFM) plus the same-family variants deferred from
-# round 2, plus the LATE-round-3 curation batch (span-scan, k-means,
-# DSIR, MAD fences, splits, BPE learn/encode, PQ-ADC, PageRank,
-# containment) — then the round-2-proven prefix.  Rotate the queue
-# into positions 1-50 at the START of round 4.  As of round 3 every
-# entry has a DuckDB oracle: the two formerly-declared-no-oracle
-# entries were converted (simhash -> md5 hash mode, LSH top-k ->
-# quantized-SRP form).
+# Every entry has a DuckDB oracle (154/154): the two formerly-
+# declared-no-oracle entries were converted in round 3 (simhash ->
+# md5 hash mode, LSH top-k -> quantized-SRP form).
 _CHECK_ORDER = [
-    # --- round-3 driver window: 48 never-driver-checked entries ---
-    "grouping_sets_sql",
-    "from_json_funcs",
-    "text_stats",
-    "text_top_tokens",
-    "multimodal_video_frames",
-    "sql_exists_in_subquery",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "text_winnow_fingerprint",
-    "agg_salted",
-    "join_salted",
-    "agg_pivot",
-    "unpivot_metrics",
-    "sample_hash",
-    "sample_stratified",
-    "text_inverted_index",
-    "agg_histogram",
-    "session_sequences",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "text_chunking",
-    "window_distribution",
-    "agg_mode",
-    "q18_large_orders",
-    "q14_promo_revenue",
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q19_disjunctive_predicates",
-    "multimodal_image_ann",
-    "window_range_frame",
-    "agg_hll_sketch",
-    "dedup_cluster_keep",
-    "merge_upsert_orders",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q22_dormant_customers",
-    "text_repetition",
-    "corpus_mixture",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_shipping_delay",
-    "q21_waiting_suppliers",
-    "events_funnel",
-    "embedding_centroids",
-    "interval_concurrency",
-    # --- round-3 window: new streaming oracle rows (ST7/ST9) ---
-    "stream_static_enrich",
-    "stream_cdc_apply",
-    # --- queued for the round-4 window ---
+    # --- round-4 driver window: the 54-entry queue built during
+    # --- round 3 (first 50 land in the driver check; the 4 overflow
+    # --- entries head the round-5 queue) ---
     "similarity_ivf_index_topk",
     "dedup_semantic_pairs",
     "dedup_semantic_keep",
     "text_tfidf_topterms",
     "text_unigram_surprisal",
     "stream_interval_join",
-    # converted from declared-no-oracle in round 3: simhash now runs
-    # its md5 hash mode (bit-identical in DuckDB), LSH top-k its
-    # quantized-SRP form (literal integer hyperplanes in the SQL)
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
     "pack_length_batches",
@@ -667,6 +618,59 @@ _CHECK_ORDER = [
     "quality_benford",
     "agg_weighted_median",
     "orders_market_basket",
+    # --- round-5 queue: new round-4 entries register above this
+    # --- line (see _apply_check_order) ---
+    # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
+    "grouping_sets_sql",
+    "from_json_funcs",
+    "text_stats",
+    "text_top_tokens",
+    "multimodal_video_frames",
+    "sql_exists_in_subquery",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "text_winnow_fingerprint",
+    "agg_salted",
+    "join_salted",
+    "agg_pivot",
+    "unpivot_metrics",
+    "sample_hash",
+    "sample_stratified",
+    "text_inverted_index",
+    "agg_histogram",
+    "session_sequences",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "text_chunking",
+    "window_distribution",
+    "agg_mode",
+    "q18_large_orders",
+    "q14_promo_revenue",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q19_disjunctive_predicates",
+    "multimodal_image_ann",
+    "window_range_frame",
+    "agg_hll_sketch",
+    "dedup_cluster_keep",
+    "merge_upsert_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "text_repetition",
+    "corpus_mixture",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q21_waiting_suppliers",
+    "events_funnel",
+    "embedding_centroids",
+    "interval_concurrency",
+    "stream_static_enrich",
+    "stream_cdc_apply",
     # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
     "q1_pricing_summary",
     "join_inner",
