@@ -626,6 +626,9 @@ _CHECK_ORDER = [
     "audit_referential_integrity",
     "orders_incremental_rollup",
     "text_classifier_score",
+    "graph_triangles",
+    "similarity_prefix_rerank",
+    "agg_approx_percentile",
     # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",

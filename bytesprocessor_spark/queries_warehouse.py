@@ -510,3 +510,291 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# GR3: triangle counting on the supplier co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_TRI_SUPPORT = 20  # min co-orders for an edge (prunes the noise tail)
+
+
+@query(
+    "graph_triangles",
+    f"""
+    WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    pairs AS (
+      SELECT a.s AS a, b.s AS b
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+    ),
+    e AS (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= {_TRI_SUPPORT}),
+    deg AS (
+      SELECT v, COUNT(*) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      GROUP BY v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR3 triangle counting (the clustering-structure primitive) on
+    the supplier co-occurrence graph: an edge joins two suppliers that
+    co-supplied >= {support} orders; triangles are counted by the
+    oriented two-join enumeration, wedges (open triads) from the
+    degree table — together they give the global clustering
+    coefficient 3T/W without a float in sight.
+
+    Scale shape: ID-orientation (a < b) means every triangle is
+    enumerated exactly once and the path join fans out only over each
+    node's HIGHER-id neighbours (half the degree on average; at scale,
+    orient by degree instead — same plan, better skew bound).  The
+    support floor turns the quadratic per-order pair explosion into a
+    pruned edge list BEFORE the triangle joins, the same
+    prune-before-join discipline as PPJoin/decontamination.  Shuffles:
+    one on the pair key for edge support, two equi-joins on node ids
+    for the enumeration — never a cross join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = os_.alias("a")
+    b = os_.alias("b")
+    pairs = a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))).select(
+        F.col("a.s").alias("a"), F.col("b.s").alias("b")
+    )
+    e = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= _TRI_SUPPORT)
+        .select("a", "b")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"),
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(edges)
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", "n_wedges", F.col("t").alias("n_triangles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3h: staged ANN — coarse prefix-dimension filter, exact full rerank
+# ---------------------------------------------------------------------------
+
+_RERANK_PREFIX = 16  # stage-1 dims
+_RERANK_POOL = 50  # stage-1 candidates per query
+_RERANK_K = 10
+
+
+@query(
+    "similarity_prefix_rerank",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    coarse AS (
+      SELECT query_id, e.vec_id,
+             list_dot_product(qv[1:{_RERANK_PREFIX}], v[1:{_RERANK_PREFIX}]) AS cd
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, ROW_NUMBER() OVER
+              (PARTITION BY query_id ORDER BY cd DESC, vec_id) AS rk
+            FROM coarse)
+      WHERE rk <= {_RERANK_POOL}
+    ),
+    rr AS (
+      SELECT c.query_id, c.vec_id,
+             CAST(list_dot_product(q.qv, e.v) AS BIGINT) AS dot
+      FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, dot, rk AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rk
+          FROM rr)
+    WHERE rk <= {_RERANK_K}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3h two-stage retrieval: stage 1 scores every corpus vector on
+    only the first {prefix} dimensions (the cheap coarse signal — at
+    rest this is a skinny prefix index / matryoshka head that costs
+    prefix/D of the scan bytes), keeps a {pool}-candidate pool per
+    query; stage 2 re-fetches ONLY the candidates and reranks by the
+    exact full-dimension dot product.  Every distance is an integer
+    dot over 1e6-quantized vectors, so both stages are
+    bit-deterministic across engines.
+
+    Plan: queries broadcast over the corpus scan (stage 1 is map-only
+    + a TakeOrdered-class window per query); the candidate set —
+    O(queries x pool) ids — joins back to the corpus, which AQE plans
+    as a broadcast join of the candidates, i.e. a second *pruned*
+    fetch, not a second full scan.  This is the standard
+    retrieve-then-rerank shape that keeps full-precision vectors out
+    of the hot loop at 100 TB.
+    """
+    from bytesprocessor_spark.functions.vectors import dot_product
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000000.0)
+        ).alias("v"),
+    )
+    q = F.broadcast(
+        e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    coarse = (
+        e.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            dot_product(
+                F.slice("qv", 1, _RERANK_PREFIX), F.slice("v", 1, _RERANK_PREFIX)
+            ).alias("cd"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("cd").desc(), F.col("vec_id"))
+    cand = (
+        coarse.withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= _RERANK_POOL)
+        .select("query_id", "vec_id")
+    )
+    rr = (
+        cand.join(e, "vec_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            dot_product(F.col("qv"), F.col("v")).cast("long").alias("dot"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= _RERANK_K)
+        .select("query_id", "vec_id", "dot", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A24: approximate percentile with a verified accuracy bound
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_approx_percentile",
+    """
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1 THEN c END) *
+                (CASE WHEN MIN(n) % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT)
+             AS p50_cents_x2,
+           MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN c END) AS p95_cents,
+           TRUE AS approx_within_1pct
+    FROM r
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 sketched quantiles with a checked accuracy contract (the
+    agg_hll_sketch pattern): exact per-group p50/p95 are computed by
+    rank selection over cents integers (median as the x2 integer so an
+    even-count midpoint never touches floats; p95 as the
+    ceil(0.95n)-th order statistic — both engines agree exactly), and
+    Spark's percentile_approx (Greenwald-Khanna) estimate must land
+    within 1% of the exact p95.  The oracle pins the exact order
+    statistics; the sketch side of the contract is the boolean.
+
+    At 100 TB the rank-selection form is the expensive one (a
+    per-group sort); percentile_approx is the production path — a
+    mergeable one-pass sketch whose partials combine associatively,
+    exactly like the HLL rollup.  The checked bound is what makes the
+    cheap path trustworthy.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    c = cents(F.col("l_extendedprice"))
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        c.alias("c"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = r.groupBy("l_returnflag").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+                    | (F.col("rn") == F.floor(F.col("n") / 2) + 1),
+                    F.col("c"),
+                )
+            )
+            * F.when(F.min("n") % 2 == 0, 1).otherwise(2)
+        )
+        .cast("long")
+        .alias("p50_cents_x2"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")), F.col("c"))
+        ).alias("p95_cents"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(c, 0.95, 10000).alias("ap95")
+    )
+    return (
+        exact.join(F.broadcast(approx), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "p50_cents_x2",
+            "p95_cents",
+            (
+                F.abs(F.col("ap95") - F.col("p95_cents"))
+                <= 0.01 * F.col("p95_cents")
+            ).alias("approx_within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -179,3 +179,87 @@ def test_classifier_score_is_token_sum(spark):
     for r in rows:
         assert 0 <= r.n_positive <= r.n_docs
         assert r.min_score_micro <= r.max_score_micro
+
+
+def test_triangles_hand_graph(spark):
+    """K4 has exactly 4 triangles and 12 wedges; a 4-path has 0 and 2.
+    Replicates the oriented two-join enumeration on literal edges."""
+    def count(edges):
+        e = spark.createDataFrame(edges, "a int, b int")
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        return (
+            e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+            .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+            .count()
+        )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(1, 2), (2, 3), (3, 4)]
+    assert count(k4) == 4
+    assert count(path) == 0
+
+
+def test_triangles_fixture_consistency(spark):
+    """3*triangles <= wedges (every triangle closes 3 wedges), and the
+    supplier graph at this sf is non-degenerate."""
+    row = QUERIES["graph_triangles"](spark, SF_DIR).collect()[0]
+    assert row.n_nodes > 0 and row.n_edges > 0
+    assert 3 * row.n_triangles <= row.n_wedges
+
+
+def test_prefix_rerank_full_pool_equals_brute_force(spark):
+    """With the candidate pool covering the whole corpus, staged
+    rerank must return exactly the brute-force integer-dot top-k —
+    the staging can only lose recall via pool truncation, never via
+    the rerank itself."""
+    from bytesprocessor_spark.sources.tables import load_table
+    from bytesprocessor_spark.functions.vectors import dot_product
+    import bytesprocessor_spark.queries_warehouse as qw
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000000.0)).alias("v"),
+    )
+    q = F.broadcast(
+        e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    brute = (
+        e.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            dot_product(F.col("qv"), F.col("v")).cast("long").alias("dot"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    expect = {
+        (r.query_id, r.rank): r.vec_id
+        for r in brute.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= qw._RERANK_K)
+        .collect()
+    }
+    n = emb.count()
+    old_pool = qw._RERANK_POOL
+    qw._RERANK_POOL = n  # pool == corpus: staging is lossless
+    try:
+        got = {
+            (r.query_id, r.rank): r.vec_id
+            for r in QUERIES["similarity_prefix_rerank"](spark, SF_DIR).collect()
+        }
+    finally:
+        qw._RERANK_POOL = old_pool
+    assert got == expect
+
+
+def test_approx_percentile_bound_holds(spark):
+    rows = QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.approx_within_1pct
+        # median*2 <= 2*p95: order statistics are ordered
+        assert r.p50_cents_x2 <= 2 * r.p95_cents
