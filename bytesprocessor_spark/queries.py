@@ -629,6 +629,8 @@ _CHECK_ORDER = [
     "graph_triangles",
     "similarity_prefix_rerank",
     "agg_approx_percentile",
+    "stream_trending_topk",
+    "events_time_split",
     # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",

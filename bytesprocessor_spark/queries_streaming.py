@@ -59,18 +59,21 @@ def _landing_dir(spark: SparkSession, sf_dir: str, table: str) -> tuple[str, Dat
     return land, batch
 
 
-def _drain_and_localize(out: DataFrame, finish) -> DataFrame:
+def _drain_and_localize(out: DataFrame, finish, output_mode: str = "append") -> DataFrame:
     """Drain ``out`` (availableNow) into a memory sink, apply
     ``finish`` (sink_df -> small result df), then pull the small result
     onto the driver as a local-backed DataFrame so the sink view can be
     dropped immediately (the driver consumes the returned frame lazily,
-    after this function exits)."""
+    after this function exits).  ``output_mode="complete"`` is the
+    aggregated-stream drain: the final trigger rewrites the whole
+    (small) aggregate state, so no watermark is needed to flush the
+    tail windows that append mode would hold back."""
     spark = out.sparkSession
     sink = f"bp_sink_{uuid.uuid4().hex[:12]}"
     q = (
         out.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -367,5 +370,74 @@ def stream_quality_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame
             )
             .orderBy("source"),
         )
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+
+
+@query(
+    "stream_trending_topk",
+    """
+    WITH w AS (
+      SELECT event_type,
+             make_timestamp(((epoch_us(ts) // 10800000000) - k) * 10800000000)
+               AS win_start
+      FROM events, (SELECT UNNEST([0, 1]) AS k)
+      WHERE epoch_us(ts)
+              - ((epoch_us(ts) // 10800000000) - k) * 10800000000
+            < 21600000000
+        AND ((epoch_us(ts) // 10800000000) - k) >= 0
+    ),
+    c AS (SELECT win_start, event_type, COUNT(*) AS n FROM w GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY win_start ORDER BY n DESC, event_type) AS rk
+          FROM c)
+    SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, n, rk AS rank
+    FROM r WHERE rk <= 3
+    ORDER BY win_start, rank
+    """,
+)
+def stream_trending_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11 streaming trending detector: sliding-window (6h window, 3h
+    slide) per-type counts maintained by Structured Streaming, drained
+    in COMPLETE output mode (the aggregated-stream drain — the final
+    trigger rewrites the whole aggregate, so the tail windows that
+    append-mode watermarking would hold back are all present), then
+    ranked to the top-3 types per window.
+
+    Replay-valid: windowed counting is order-independent, so the
+    drained final state equals the batch replay regardless of
+    micro-batch boundaries.  Scale shape: the stream side is one
+    windowed hash aggregation (each event updates exactly 2 window
+    panes); the rank runs on the materialized O(windows x types)
+    result, never on the stream.  Complete mode is affordable
+    precisely because the aggregate itself is tiny — the 100 TB
+    variant switches to append + watermark and accepts tail latency,
+    same plan otherwise."""
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        stream = spark.readStream.schema(batch.schema).parquet(
+            os.path.join(land, "events")
+        )
+        counts = stream.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("win"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        from pyspark.sql import Window as W
+
+        def finish(sink_df: DataFrame) -> DataFrame:
+            rk = F.row_number().over(
+                W.partitionBy("win_start").orderBy(F.col("n").desc(), "event_type")
+            )
+            return (
+                sink_df.select(
+                    F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                    "event_type",
+                    "n",
+                )
+                .withColumn("rank", rk)
+                .where(F.col("rank") <= 3)
+            )
+
+        return _drain_and_localize(counts, finish, output_mode="complete")
     finally:
         shutil.rmtree(land, ignore_errors=True)

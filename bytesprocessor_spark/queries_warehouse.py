@@ -798,3 +798,64 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# O7b: temporal train/test split with embargo (anti-leakage)
+# ---------------------------------------------------------------------------
+
+_SPLIT_T = "2024-01-20 00:00:00"
+_SPLIT_EMBARGO = "2024-01-19 00:00:00"  # T - 1 day
+_SPLIT_TEST_END = "2024-01-27 00:00:00"  # T + 7 days
+
+
+@query(
+    "events_time_split",
+    f"""
+    WITH b AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{_SPLIT_EMBARGO}' THEN 'train'
+                  WHEN ts < TIMESTAMP '{_SPLIT_T}' THEN 'embargo'
+                  WHEN ts < TIMESTAMP '{_SPLIT_TEST_END}' THEN 'test'
+                  ELSE 'future' END AS split,
+             user_id, ts
+      FROM events
+    )
+    SELECT split, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM b GROUP BY split ORDER BY split
+    """,
+)
+def events_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7b temporal split with embargo (the anti-leakage twin of O7's
+    hash split, per the purged-CV discipline of de Prado, *Advances in
+    Financial ML* ch.7): train strictly before T minus a 1-day embargo
+    gap, test in [T, T+7d), the embargo band and post-test tail
+    excluded and reported.  Feature pipelines with lookback windows
+    (EWMA, sessionization) bleed future information across a naive
+    boundary — the embargo absorbs the longest lookback.
+
+    Membership is a pure timestamp predicate: any engine, any run, any
+    partitioning re-derives the same split (auditable, like the hash
+    split), and at rest the predicate prunes date-partitioned lakes to
+    the matching partitions.  One map-only bucket tag + one aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    split = (
+        F.when(F.col("ts") < F.lit(_SPLIT_EMBARGO).cast("timestamp"), "train")
+        .when(F.col("ts") < F.lit(_SPLIT_T).cast("timestamp"), "embargo")
+        .when(F.col("ts") < F.lit(_SPLIT_TEST_END).cast("timestamp"), "test")
+        .otherwise("future")
+    )
+    return (
+        ev.select(split.alias("split"), "user_id", "ts")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        )
+        .orderBy("split")
+    )

@@ -263,3 +263,47 @@ def test_approx_percentile_bound_holds(spark):
         assert r.approx_within_1pct
         # median*2 <= 2*p95: order statistics are ordered
         assert r.p50_cents_x2 <= 2 * r.p95_cents
+
+
+def test_time_split_partitions_are_disjoint_and_ordered(spark):
+    """Split bands tile the event timeline: counts sum to the table,
+    and max(train) < min(embargo) <= ... < min(future) — the embargo
+    really separates train from test in time."""
+    from bytesprocessor_spark.sources.tables import load_table
+
+    rows = {r.split: r for r in QUERIES["events_time_split"](spark, SF_DIR).collect()}
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in rows.values()) == total
+    present = [s for s in ("train", "embargo", "test", "future") if s in rows]
+    for a, b in zip(present, present[1:]):
+        assert rows[a].last_ts < rows[b].first_ts
+
+
+def test_stream_trending_topk_matches_batch_window(spark):
+    """The drained streaming result must equal the batch sliding-window
+    computation (replay validity of windowed counting)."""
+    from bytesprocessor_spark.sources.tables import load_table
+
+    got = {
+        (r.win_start, r.rank): (r.event_type, r.n)
+        for r in QUERIES["stream_trending_topk"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    counts = ev.groupBy(
+        F.window("ts", "6 hours", "3 hours").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        Window.partitionBy("win_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    expect = {
+        (r.win_start, r.rank): (r.event_type, r.n)
+        for r in counts.select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .withColumn("rank", rk)
+        .where(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == expect
