@@ -95,6 +95,17 @@ HEADLINE = [
     "events_markov_transitions",
     "snapshot_diff_orders",
     "corpus_mixture_sample",
+    # round-4 warehouse/maintenance batch
+    "scd2_order_priority",
+    "events_gap_fill",
+    "profile_orders_card",
+    "audit_referential_integrity",
+    "orders_incremental_rollup",
+    "text_classifier_score",
+    "graph_triangles",
+    "similarity_prefix_rerank",
+    "agg_approx_percentile",
+    "events_time_split",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -631,6 +631,7 @@ _CHECK_ORDER = [
     "agg_approx_percentile",
     "stream_trending_topk",
     "events_time_split",
+    "stream_dedup",
     # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",

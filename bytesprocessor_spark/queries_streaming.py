@@ -441,3 +441,56 @@ def stream_trending_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_and_localize(counts, finish, output_mode="complete")
     finally:
         shutil.rmtree(land, ignore_errors=True)
+
+
+@query(
+    "stream_dedup",
+    """
+    WITH d AS (SELECT DISTINCT event_id, user_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS vc
+               FROM events)
+    SELECT event_type, COUNT(*) AS n_unique,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(vc) AS DOUBLE) / 100.0 AS total_value
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 stateful streaming dedup with the hard oracle: the landing
+    directory receives TWO copies of every event file (at-least-once
+    delivery simulated at the source), the stream drops duplicates on
+    event_id within a watermark that covers the fixture span, and the
+    drained per-type aggregate must equal batch DISTINCT over single
+    events — i.e. redelivery is invisible downstream.
+
+    Replay-valid because the watermark delay exceeds the event-time
+    span, so no dedup state evicts before its duplicate arrives —
+    every redelivered id meets its state regardless of micro-batch
+    assignment.  At 100 TB the watermark shrinks to the real
+    redelivery horizon and state becomes bounded (RocksDB-backed);
+    the eviction that this fixture avoids is exactly the product
+    trade-off the watermark parameter expresses."""
+    from bytesprocessor_spark.streaming.windows import stream_dedup
+
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        # second delivery of the same rows, as distinct files
+        batch.write.mode("append").parquet(os.path.join(land, "events"))
+        stream = spark.readStream.schema(batch.schema).parquet(
+            os.path.join(land, "events")
+        )
+        deduped = stream_dedup(
+            stream, keys=["event_id"], ts_col="ts", watermark="60 days"
+        )
+        return _drain_and_localize(
+            deduped,
+            lambda sink_df: sink_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_unique"),
+                F.countDistinct("user_id").alias("n_users"),
+                (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias(
+                    "total_value"
+                ),
+            ),
+        )
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
