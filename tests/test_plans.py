@@ -475,3 +475,62 @@ def test_simhash_sketch_partial_aggregation(spark):
     pplan = executed_plan(pairs)
     assert "CartesianProduct" not in pplan
     assert "BroadcastNestedLoopJoin" not in pplan
+
+
+def test_scd2_reuses_one_custkey_partitioning(spark):
+    """SCD2's lag window, run-collapse groupBy, and range-closing lead
+    window all key on custkey — the plan must not re-shuffle between
+    them (plus the final presentation sort)."""
+    df = QUERIES["scd2_order_priority"](spark, SF_DIR)
+    # one hash partitioning on custkey + the output range sort
+    assert shuffle_count(df) <= 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # gaps-and-islands, never a self-join
+
+
+def test_audit_ri_child_rows_never_shuffle(spark):
+    """Every FK edge joins a broadcast DISTINCT parent key set: no
+    Exchange may carry child-table rows (the only shuffles allowed are
+    the tiny distinct-parent and final one-row aggregations)."""
+    df = QUERIES["audit_referential_integrity"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_gap_fill_fact_scanned_not_per_cell(spark):
+    """The spine is generated (sequence/explode), the events table
+    appears as scans — bounds + distinct types + the filtered
+    aggregate — not once per spine cell, and the spine join must not
+    be a cartesian."""
+    df = QUERIES["events_gap_fill"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=False)  # the 5-type x 1-row bounds cross is fine
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 3
+
+
+def test_profile_card_single_scan(spark):
+    """The whole six-column stats card reads orders exactly once (the
+    oracle's UNION ALL shape would scan six times)."""
+    df = QUERIES["profile_orders_card"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_classifier_single_agg_shuffle(spark):
+    """Hash/weight/score are scan-projection expressions: the plan has
+    no join and only the doc/source aggregation exchanges."""
+    df = QUERIES["text_classifier_score"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prefix_rerank_no_cartesian_beyond_broadcast(spark):
+    """Stage 1 is a broadcast nested loop over the tiny query set;
+    stage 2 re-fetch must be an equi-join (broadcast under AQE), never
+    a second cartesian over the corpus."""
+    df = QUERIES["similarity_prefix_rerank"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one nested-loop (the deliberate stage-1 broadcast cross)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
