@@ -632,6 +632,7 @@ _CHECK_ORDER = [
     "stream_trending_topk",
     "events_time_split",
     "stream_dedup",
+    "agg_heavy_hitters",
     # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",

@@ -859,3 +859,81 @@ def events_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# A25: heavy hitters with a verified Count-Min accuracy contract
+# ---------------------------------------------------------------------------
+
+_CMS_EPS = 0.001
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+
+
+@query(
+    "agg_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT l_partkey, COUNT(*) AS exact_count
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_count DESC, l_partkey LIMIT 10
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY exact_count DESC, l_partkey) AS rank,
+           l_partkey, exact_count,
+           TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+    FROM c
+    ORDER BY rank
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 heavy hitters with the sketch accuracy contract (the
+    agg_hll_sketch pattern, for frequencies): the exact top-10 keys by
+    count are pinned by the oracle, and a Count-Min sketch (Cormode &
+    Muthukrishnan '05; Spark's mergeable count_min_sketch aggregate)
+    built in ONE pass must bound every one of them — estimate >= exact
+    (structural: CMS never undercounts) and estimate <= exact + eps*N
+    (the epsilon guarantee, deterministic here under the fixed seed).
+
+    Plan: the sketch is a decomposable aggregate — each partition
+    builds a partial sketch, partials merge by counter addition
+    (commutative, so any reduction order gives the identical sketch) —
+    one scan, no key shuffle at all.  The driver materializes only the
+    sketch bytes (eps/confidence-sized, ~KB) and the 10 verified keys.
+    At 100 TB this is how per-source frequency monitoring rides the
+    ingest: persist per-batch sketches, merge on demand, never re-scan
+    (same rollup story as the HLL row).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    n_total = li.count()
+    sk_row = li.agg(
+        F.count_min_sketch(
+            "l_partkey", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+        ).alias("sk")
+    ).collect()[0]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk_row.sk))
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "l_partkey")
+        .limit(10)
+        .collect()
+    )
+    slack = _CMS_EPS * n_total
+    rows = [
+        (
+            i + 1,
+            r.l_partkey,
+            r.exact_count,
+            cms.estimateCount(r.l_partkey) >= r.exact_count,
+            cms.estimateCount(r.l_partkey) <= r.exact_count + slack,
+        )
+        for i, r in enumerate(top)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank long, l_partkey long, exact_count long, "
+        "cms_ge_exact boolean, cms_within_eps boolean",
+    )
