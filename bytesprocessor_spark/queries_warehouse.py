@@ -249,51 +249,56 @@ def profile_orders_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     every column of orders — computed in ONE pass over the table.
 
     The oracle burns six scans (UNION ALL per column, the naive
-    profiling shape); the Spark side folds all 6x4 statistics into a
-    single wide aggregate and unpivots the one result row with
-    stack().  The multiple count-distincts expand the input (one
-    replica per distinct column — Spark's standard rewrite), but the
-    expansion happens inside the partial aggregation: 100 TB is read
-    once, and what shuffles is the distinct key streams, not the
-    table.  This is the profiling pattern that makes a stats card an
-    appendix of the ingest job instead of six extra jobs.
+    profiling shape); the Spark side uses two map-side-combined
+    aggregates over the table and unpivots the joined 1x1 result with
+    stack().  Two, not one, deliberately: the count-distincts plan as
+    an Expand (one replica per distinct column) feeding a grouped
+    aggregate, and putting the string-buffered min/max in the SAME
+    aggregate demotes it to a SortAggregate that sorts the whole
+     7x-expanded scan (measured 3.3 s vs 0.9 s at sf0.1).  Split, the
+    distinct pass keeps all-long hash buffers and the min/max/null
+    pass is a plain fold — both partial-aggregated, so what shuffles
+    is O(columns) partials, never the table.
     """
     o = _t(spark, sf_dir, "orders")
     price_cents = cents(F.col("o_totalprice"))
     nn = lambda c: F.count(F.lit(1)) - F.count(c)  # noqa: E731
-    a = o.agg(
+    distinct_a = o.agg(
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        F.countDistinct("o_orderkey").alias("nd_ok"),
+        F.countDistinct("o_orderpriority").alias("nd_op"),
+        F.countDistinct("o_orderstatus").alias("nd_os"),
+        F.countDistinct(price_cents).alias("nd_tp"),
+    )
+    minmax_a = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         # o_custkey
         nn("o_custkey").alias("nn_ck"),
-        F.countDistinct("o_custkey").alias("nd_ck"),
         F.min("o_custkey").cast("string").alias("mn_ck"),
         F.max("o_custkey").cast("string").alias("mx_ck"),
         # o_orderdate
         nn("o_orderdate").alias("nn_od"),
-        F.countDistinct("o_orderdate").alias("nd_od"),
         F.date_format(F.min("o_orderdate"), _TS_FMT_SPARK).alias("mn_od"),
         F.date_format(F.max("o_orderdate"), _TS_FMT_SPARK).alias("mx_od"),
         # o_orderkey
         nn("o_orderkey").alias("nn_ok"),
-        F.countDistinct("o_orderkey").alias("nd_ok"),
         F.min("o_orderkey").cast("string").alias("mn_ok"),
         F.max("o_orderkey").cast("string").alias("mx_ok"),
         # o_orderpriority
         nn("o_orderpriority").alias("nn_op"),
-        F.countDistinct("o_orderpriority").alias("nd_op"),
         F.min("o_orderpriority").alias("mn_op"),
         F.max("o_orderpriority").alias("mx_op"),
         # o_orderstatus
         nn("o_orderstatus").alias("nn_os"),
-        F.countDistinct("o_orderstatus").alias("nd_os"),
         F.min("o_orderstatus").alias("mn_os"),
         F.max("o_orderstatus").alias("mx_os"),
         # o_totalprice (profiled in exact cents)
         nn("o_totalprice").alias("nn_tp"),
-        F.countDistinct(price_cents).alias("nd_tp"),
         F.min(price_cents).cast("string").alias("mn_tp"),
         F.max(price_cents).cast("string").alias("mx_tp"),
     )
+    a = distinct_a.crossJoin(minmax_a)
     return a.selectExpr(
         """stack(6,
              'o_custkey',          n_rows, nn_ck, nd_ck, mn_ck, mx_ck,

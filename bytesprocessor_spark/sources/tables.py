@@ -241,3 +241,41 @@ def read_xml(
 def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
     """XML sink (S6)."""
     df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_parquet_evolved(
+    spark: SparkSession,
+    *paths: str,
+    type_widening: dict[str, str] | None = None,
+) -> DataFrame:
+    """S13: schema-evolution-tolerant parquet read across generations
+    of a dataset directory (old files missing newer columns, columns
+    whose type widened between writers).
+
+    ``mergeSchema`` handles ADDED columns natively (missing -> NULL at
+    scan time, per file footer), but it hard-fails on a widened type
+    (int -> long, float -> double) because parquet footers disagree.
+    For those, pass ``type_widening={"col": "long"}``: each
+    generation is read separately, cast to the widened type, and
+    unioned by name with missing columns allowed — the portable
+    equivalent of Delta/Iceberg's schema-evolution metadata, built
+    from plain parquet.
+
+    Scale notes: one generation == one scan node; Catalyst still
+    pushes filters/pruning into every scan, and the union is a no-op
+    at runtime (no shuffle — partitions concatenate).  Footer
+    *listing* is the only added cost, the same price mergeSchema pays.
+    """
+    if len(paths) == 1 and type_widening is None:
+        return spark.read.option("mergeSchema", "true").parquet(paths[0])
+    frames = []
+    for p in paths:
+        df = spark.read.option("mergeSchema", "true").parquet(p)
+        for col, typ in (type_widening or {}).items():
+            if col in df.columns:
+                df = df.withColumn(col, F.col(col).cast(typ))
+        frames.append(df)
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

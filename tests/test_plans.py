@@ -509,12 +509,15 @@ def test_gap_fill_fact_scanned_not_per_cell(spark):
     assert plan.count("Scan parquet") <= 3
 
 
-def test_profile_card_single_scan(spark):
-    """The whole six-column stats card reads orders exactly once (the
-    oracle's UNION ALL shape would scan six times)."""
+def test_profile_card_two_scans(spark):
+    """The six-column stats card reads orders exactly twice — one
+    hash-buffered distinct-count pass and one min/max/null fold (the
+    oracle's UNION ALL shape scans six times; a fused single aggregate
+    demotes to a SortAggregate that sorts the 7x-expanded scan,
+    measured 3.3 s vs 0.9 s at sf0.1 — see the query docstring)."""
     df = QUERIES["profile_orders_card"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
 
 
 def test_classifier_single_agg_shuffle(spark):

@@ -307,3 +307,35 @@ def test_stream_trending_topk_matches_batch_window(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_schema_evolution_union(spark, tmp_path):
+    """S13: generation 1 (id int, v float) + generation 2 (id long,
+    v double, extra string) read as one frame: ids widened, missing
+    extra -> NULL, row set complete — and the plan has no shuffle
+    (unions concatenate partitions)."""
+    from bytesprocessor_spark.sources.tables import read_parquet_evolved
+
+    g1 = str(tmp_path / "g1")
+    g2 = str(tmp_path / "g2")
+    spark.createDataFrame([(1, 1.5), (2, 2.5)], "id int, v float").write.parquet(g1)
+    spark.createDataFrame(
+        [(3, 3.5, "x")], "id long, v double, extra string"
+    ).write.parquet(g2)
+    df = read_parquet_evolved(
+        spark, g1, g2, type_widening={"id": "long", "v": "double"}
+    )
+    assert dict(df.dtypes)["id"] == "bigint"
+    assert dict(df.dtypes)["v"] == "double"
+    rows = {r.id: (r.v, r.extra) for r in df.collect()}
+    assert rows == {1: (1.5, None), 2: (2.5, None), 3: (3.5, "x")}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_heavy_hitters_bounds_hold(spark):
+    rows = QUERIES["agg_heavy_hitters"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r.cms_ge_exact and r.cms_within_eps for r in rows)
+    counts = [r.exact_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
