@@ -106,6 +106,7 @@ HEADLINE = [
     "similarity_prefix_rerank",
     "agg_approx_percentile",
     "events_time_split",
+    "agg_heavy_hitters",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
