@@ -633,6 +633,8 @@ _CHECK_ORDER = [
     "events_time_split",
     "stream_dedup",
     "agg_heavy_hitters",
+    "q2_min_cost_supplier",
+    "q20_excess_suppliers",
     # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",

@@ -14,7 +14,7 @@ and LIMITed so the checked sets are stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bytesprocessor_spark.queries import query, cents, bp, _t
@@ -1023,3 +1023,163 @@ def sql_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking step (q-gram or phonetic-key equi-join before scoring) is
     the same containment/LSH machinery the dedup family ships."""
     return _sql(spark, sf_dir, _FUZZY_SQL, ("supplier",))
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p_partkey, p_name, sk, cost_c
+      FROM part JOIN ps ON p_partkey = pk
+      WHERE p_type = 'STANDARD' AND p_size <= 15
+    ),
+    m AS (
+      SELECT c.p_partkey, c.p_name, c.cost_c,
+             s.s_acctbal, s.s_name, s.n_name,
+             MIN(c.cost_c) OVER (PARTITION BY c.p_partkey) AS mn
+      FROM cand c JOIN eu s ON s.s_suppkey = c.sk
+    )
+    SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_c,
+           s_name, n_name, p_partkey, p_name,
+           CAST(cost_c AS DOUBLE) / 100.0 AS min_cost
+    FROM m WHERE cost_c = mn
+    ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adaptation (the fixture schema has no partsupp, so —
+    exactly like q16 — the part-supplier relation is DERIVED from
+    lineitem, with the minimum observed line price per (part,
+    supplier) standing in for ps_supplycost): for each qualifying
+    part, the EUROPE supplier(s) offering the minimum cost, ranked by
+    account balance.  The original's correlated min-subquery is
+    expressed in its decorrelated form: a window MIN over the
+    candidate set partitioned by part — one shuffle on p_partkey
+    instead of a per-row rescan.
+
+    Plan: the derived ps is one (partkey, suppkey) aggregate of
+    lineitem (the only fact-sized shuffle); part filters broadcast
+    onto it; the EUROPE supplier dimension broadcasts; the window min
+    + filter replaces the correlated subquery.  acctbal is emitted in
+    exact cents for the cross-engine sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(cents(F.col("l_extendedprice"))).alias("cost_c"))
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    cand = ps.join(F.broadcast(part), ps.pk == part.p_partkey).select(
+        "p_partkey", "p_name", "sk", "cost_c"
+    )
+    m = cand.join(F.broadcast(eu), cand.sk == eu.s_suppkey).withColumn(
+        "mn", F.min("cost_c").over(Window.partitionBy("p_partkey"))
+    )
+    return (
+        m.where(F.col("cost_c") == F.col("mn"))
+        .select(
+            cents(F.col("s_acctbal")).alias("acctbal_c"),
+            "s_name", "n_name", "p_partkey", "p_name",
+            (F.col("cost_c").cast("double") / 100.0).alias("min_cost"),
+        )
+        .orderBy(F.col("acctbal_c").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS supplied_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    shipped AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS ship_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    excess AS (
+      SELECT DISTINCT ps.sk
+      FROM ps
+      JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') sp
+        ON ps.pk = sp.p_partkey
+      JOIN shipped ON shipped.pk = ps.pk
+      WHERE ps.supplied_c * 2 > shipped.ship_c
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT sk FROM excess)
+      AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adaptation (no partsupp / ps_availqty in the fixture
+    schema): "available quantity" is DERIVED as each (part, supplier)
+    pair's total supplied quantity from lineitem, and a supplier has
+    excess stock in a part when that exceeds half the part's 1997
+    shipments — preserving the original's shape: a nation-filtered
+    supplier list semi-joined against a nested quantity-threshold
+    subquery over name-matched parts.
+
+    Plan: both derived aggregates share the lineitem scan family and
+    shuffle on partkey-led keys; the small-parts filter broadcasts;
+    the final IN is a left-semi join against the DISTINCT supplier
+    set (broadcast — supplier keys are tiny at any scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = cents(F.col("l_quantity"))
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(qty_c).alias("supplied_c"))
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(qty_c).alias("ship_c"))
+    )
+    small = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    excess = (
+        ps.join(F.broadcast(small), ps.pk == F.col("p_partkey"))
+        .join(shipped, "pk")
+        .where(F.col("supplied_c") * 2 > F.col("ship_c"))
+        .select("sk")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).where(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+    return (
+        supp.join(F.broadcast(excess), supp.s_suppkey == excess.sk, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
