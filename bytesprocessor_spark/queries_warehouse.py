@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bytesprocessor_spark.queries import _t, cents, query
+from bytesprocessor_spark.queries_llm import _DUCK_TOKS
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -154,9 +155,11 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded-preceding frame).
 
     Scale shape: the spine is O(types x hours) — generated rows, no
-    scan; the fact table is touched once for the filtered aggregate
-    (map-side partial) and once for the bounds (2-value agg that
-    broadcasts).  The LOCF window partitions by type, the same key the
+    per-cell scan; the fact table is touched three times, all cheap
+    and column-pruned — the filtered hourly aggregate (map-side
+    partial), the 2-value bounds agg, and the DISTINCT type list
+    (at scale the latter two come from table metadata / a tiny dim
+    instead).  The LOCF window partitions by type, the same key the
     join shuffles on.  Gap-filling 100 TB of events costs one
     aggregation of the matching rows, never a scan per spine cell.
     """
@@ -450,9 +453,7 @@ _CLS_SPAN = 2001  # weights span [-1000, +1000] micro-units
     "text_classifier_score",
     f"""
     WITH tok AS (
-      SELECT doc_id, source,
-             UNNEST([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
-                     if len(x) > 0]) AS token
+      SELECT doc_id, source, UNNEST({_DUCK_TOKS}) AS token
       FROM documents
     ),
     w AS (
@@ -906,10 +907,15 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch bytes (eps/confidence-sized, ~KB) and the 10 verified keys.
     At 100 TB this is how per-source frequency monitoring rides the
     ingest: persist per-batch sketches, merge on demand, never re-scan
-    (same rollup story as the HLL row).
+    (same rollup story as the HLL row).  N for the epsilon slack comes
+    from the sketch's own totalCount() — no second scan.
+
+    NOTE: unlike the relational entries this row EXECUTES at
+    construction (sketch build + top-10 verification, like the
+    streaming drain rows) and deserializes the sketch via the JVM
+    gateway — classic-session only, not Spark Connect.
     """
     li = _t(spark, sf_dir, "lineitem")
-    n_total = li.count()
     sk_row = li.agg(
         F.count_min_sketch(
             "l_partkey", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
@@ -926,7 +932,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .collect()
     )
-    slack = _CMS_EPS * n_total
+    slack = _CMS_EPS * cms.totalCount()  # N from the sketch: no extra scan
     rows = [
         (
             i + 1,

@@ -266,6 +266,8 @@ def read_parquet_evolved(
     at runtime (no shuffle — partitions concatenate).  Footer
     *listing* is the only added cost, the same price mergeSchema pays.
     """
+    if not paths:
+        raise ValueError("read_parquet_evolved: at least one path required")
     if len(paths) == 1 and type_widening is None:
         return spark.read.option("mergeSchema", "true").parquet(paths[0])
     frames = []

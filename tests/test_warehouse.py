@@ -170,15 +170,47 @@ def test_incremental_rollup_equals_full_recompute(spark):
     assert merged == full
 
 
-def test_classifier_score_is_token_sum(spark):
-    """Doc score equals the sum of per-token weights computed
-    independently (associativity of the hashing trick), and every
-    source partition is represented."""
-    rows = QUERIES["text_classifier_score"](spark, SF_DIR).collect()
-    assert len(rows) > 0
-    for r in rows:
-        assert 0 <= r.n_positive <= r.n_docs
-        assert r.min_score_micro <= r.max_score_micro
+def test_classifier_score_matches_independent_recompute(spark):
+    """The per-source readout must equal a from-scratch driver-side
+    recompute of the hashing trick (python re + hashlib — no Spark
+    expressions shared with the implementation), pinning tokenizer,
+    bucket hash, weight derivation, and the exact-integer sums."""
+    import hashlib
+    import re
+
+    from bytesprocessor_spark.sources.tables import load_table
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    per_source: dict[str, list[int]] = {}
+    for d in docs:
+        score = 0
+        for tok in re.split(r"[^a-z0-9]+", d.text.lower()):
+            if tok:
+                score += h60(str(h60(tok) % 512)) % 2001 - 1000
+        per_source.setdefault(d.source, []).append(score)
+    expect = {
+        src: (
+            len(scores),
+            sum(1 for s in scores if s > 0),
+            sum(scores),
+            min(scores),
+            max(scores),
+        )
+        for src, scores in per_source.items()
+    }
+    got = {
+        r.source: (
+            r.n_docs, r.n_positive, r.sum_score_micro,
+            r.min_score_micro, r.max_score_micro,
+        )
+        for r in QUERIES["text_classifier_score"](spark, SF_DIR).collect()
+    }
+    assert got == expect
 
 
 def test_triangles_hand_graph(spark):
