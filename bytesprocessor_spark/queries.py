@@ -635,6 +635,8 @@ _CHECK_ORDER = [
     "agg_heavy_hitters",
     "q2_min_cost_supplier",
     "q20_excess_suppliers",
+    "drift_psi_orders",
+    "embedding_gram_matrix",
     # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",

@@ -948,3 +948,156 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank long, l_partkey long, exact_count long, "
         "cms_ge_exact boolean, cms_within_eps boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8: distribution drift monitor (Population Stability Index)
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "1998-01-01 00:00:00"
+_PSI_BUCKET_C = 2_500_000  # $25,000 buckets over exact cents
+
+
+@query(
+    "drift_psi_orders",
+    f"""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // {_PSI_BUCKET_C} AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS era
+      FROM orders
+    ),
+    c AS (
+      SELECT bucket,
+             1 + COUNT(CASE WHEN era = 0 THEN 1 END) AS nb,
+             1 + COUNT(CASE WHEN era = 1 THEN 1 END) AS nd
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(nb) AS tb, SUM(nd) AS td FROM c),
+    p AS (
+      SELECT bucket, nb - 1 AS n_base, nd - 1 AS n_delta,
+             (nb * 1000000) // tb AS pm,
+             (nd * 1000000) // td AS qm
+      FROM c, tot
+    )
+    SELECT bucket, n_base, n_delta, pm, qm,
+           (pm - qm) * CAST(ROUND(LN(CAST(pm AS DOUBLE) / qm) * 1000000) AS BIGINT)
+             AS contrib_pico
+    FROM p
+    ORDER BY bucket
+    """,
+)
+def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 distribution-drift monitor: the Population Stability Index
+    decomposed per bucket between two eras of the order-value
+    distribution (pre/post 1998) — the standard production alarm for
+    'the data feeding this model no longer looks like the training
+    data'.  PSI = sum over buckets of (p-q)·ln(p/q); here p/q are
+    exact integer micro-proportions (add-1 smoothed so empty buckets
+    are defined), ln quantized to 1e-6 (the corpus surprisal idiom),
+    so every contribution is exact integer arithmetic — cross-engine
+    bit-identical, unlike a float PSI whose reduction order drifts.
+
+    Plan: bucket id is integer division on the scan (map-only), one
+    (bucket, era) hash aggregate, the two totals broadcast back onto
+    the 20-row bucket table.  At 100 TB the monitored table is read
+    once; the PSI itself computes on O(buckets) rows.
+    """
+    o = _t(spark, sf_dir, "orders")
+    era = F.when(
+        F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp"), 0
+    ).otherwise(1)
+    b = o.select(
+        (cents(F.col("o_totalprice")) / _PSI_BUCKET_C).cast("long").alias("bucket"),
+        era.alias("era"),
+    )
+    c = b.groupBy("bucket").agg(
+        (F.count(F.when(F.col("era") == 0, 1)) + 1).alias("nb"),
+        (F.count(F.when(F.col("era") == 1, 1)) + 1).alias("nd"),
+    )
+    tot = c.agg(F.sum("nb").alias("tb"), F.sum("nd").alias("td"))
+    p = c.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("nb") - 1).alias("n_base"),
+        (F.col("nd") - 1).alias("n_delta"),
+        F.floor(F.col("nb") * 1000000 / F.col("tb")).alias("pm"),
+        F.floor(F.col("nd") * 1000000 / F.col("td")).alias("qm"),
+    )
+    lnq = F.round(
+        F.log(F.col("pm").cast("double") / F.col("qm")) * 1000000.0
+    ).cast("long")
+    return (
+        p.select(
+            "bucket", "n_base", "n_delta", "pm", "qm",
+            ((F.col("pm") - F.col("qm")) * lnq).alias("contrib_pico"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3i: distributed Gram matrix (PCA / whitening prep)
+# ---------------------------------------------------------------------------
+
+_GRAM_DIMS = 64
+_GRAM_SCALE = 1000.0  # |x| < 1 -> products bounded, sums int64-safe
+
+
+@query(
+    "embedding_gram_matrix",
+    f"""
+    WITH e AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    a AS (SELECT v, UNNEST(generate_series(1, {_GRAM_DIMS})) AS i FROM e),
+    t AS (SELECT i, v[i] AS vi, v,
+                 UNNEST(generate_series(i, {_GRAM_DIMS})) AS j
+          FROM a)
+    SELECT i, j, SUM(vi * v[j]) AS gram
+    FROM t GROUP BY i, j
+    ORDER BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3i distributed linear algebra: the d x d second-moment (Gram)
+    matrix of the embedding corpus — the one-pass distributed half of
+    PCA / whitening / covariance estimation (the d x d eigensolve then
+    runs driver-side on this tiny exact matrix; d=64 here).  Vectors
+    are 1e3-quantized so every product and sum is exact int64 (bound:
+    |v_i| <= 1000, 5e8 rows before overflow risk), upper triangle only
+    (the matrix is symmetric).
+
+    Plan: the per-vector outer-product terms are generated by nested
+    sequence/transform INSIDE codegen (no UDF, no join), one explode,
+    then a (i, j)-keyed hash aggregate whose map-side partials reduce
+    d(d+1)/2 running sums per partition — the classic
+    'partial Gram per partition, add partials' shape; at real scale
+    swap the explode for an Arrow-batched numpy einsum per batch
+    feeding the same final aggregate (bit-identical: integer sums).
+    100 TB of vectors never shuffles — only the 2,080 partial cells do.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * _GRAM_SCALE)
+    )
+    terms = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_GRAM_DIMS)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(_GRAM_DIMS)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (F.element_at(F.col("__v"), i) * F.element_at(F.col("__v"), j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(v.alias("__v"))
+        .select(F.explode(terms).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").cast("long").alias("gram"))
+        .orderBy("i", "j")
+    )

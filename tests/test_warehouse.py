@@ -371,3 +371,58 @@ def test_heavy_hitters_bounds_hold(spark):
     assert all(r.cms_ge_exact and r.cms_within_eps for r in rows)
     counts = [r.exact_count for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_psi_contributions_nonnegative_and_consistent(spark):
+    """Every PSI term (p-q)ln(p/q) is >= 0 by construction (signs
+    agree; quantization preserves sign), and bucket counts cover the
+    table."""
+    from bytesprocessor_spark.sources.tables import load_table
+
+    rows = QUERIES["drift_psi_orders"](spark, SF_DIR).collect()
+    assert all(r.contrib_pico >= 0 for r in rows)
+    total = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r.n_base + r.n_delta for r in rows) == total
+    assert any(r.contrib_pico > 0 for r in rows) or len(rows) == 1
+
+
+def test_psi_identical_eras_is_zero(spark):
+    """Two identical distributions must produce PSI == 0 in every
+    bucket (pm == qm -> contribution exactly 0) — replicated inline on
+    a 50/50 duplicated literal frame."""
+    base = spark.createDataFrame([(i % 7,) for i in range(70)], "bucket long")
+    b = base.withColumn("era", F.lit(0)).unionAll(base.withColumn("era", F.lit(1)))
+    c = b.groupBy("bucket").agg(
+        (F.count(F.when(F.col("era") == 0, 1)) + 1).alias("nb"),
+        (F.count(F.when(F.col("era") == 1, 1)) + 1).alias("nd"),
+    )
+    tot = c.agg(F.sum("nb").alias("tb"), F.sum("nd").alias("td"))
+    p = c.crossJoin(F.broadcast(tot)).select(
+        F.floor(F.col("nb") * 1000000 / F.col("tb")).alias("pm"),
+        F.floor(F.col("nd") * 1000000 / F.col("td")).alias("qm"),
+    )
+    assert all(r.pm == r.qm for r in p.collect())
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """The distributed Gram matrix must equal a from-scratch numpy
+    recompute on the collected (quantized) vectors — exact integer
+    equality, every cell."""
+    import numpy as np
+
+    from bytesprocessor_spark.sources.tables import load_table
+
+    vecs = [
+        r.embedding
+        for r in load_table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    ]
+    V = np.round(np.array(vecs, dtype=np.float64) * 1000.0).astype(np.int64)
+    G = V.T @ V  # full symmetric Gram
+    got = {
+        (r.i, r.j): r.gram
+        for r in QUERIES["embedding_gram_matrix"](spark, SF_DIR).collect()
+    }
+    d = V.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), g in got.items():
+        assert g == int(G[i - 1, j - 1]), (i, j)
