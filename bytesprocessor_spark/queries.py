@@ -637,6 +637,8 @@ _CHECK_ORDER = [
     "q20_excess_suppliers",
     "drift_psi_orders",
     "embedding_gram_matrix",
+    "agg_winsorized_stats",
+    "text_vocab_growth",
     # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",

@@ -1101,3 +1101,138 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("t.p").cast("long").alias("gram"))
         .orderBy("i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# A29: winsorized (percentile-clipped) robust statistics
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_winsorized_stats",
+    """
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    th AS (
+      SELECT l_returnflag,
+             MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN c END) AS lo,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN c END) AS hi
+      FROM r GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN c < lo THEN 1 END) AS n_clipped_low,
+           COUNT(CASE WHEN c > hi THEN 1 END) AS n_clipped_high,
+           CAST(SUM(LEAST(GREATEST(c, lo), hi)) AS DOUBLE) / 100.0 / COUNT(*)
+             AS winsorized_mean,
+           CAST(SUM(c) AS DOUBLE) / 100.0 / COUNT(*) AS raw_mean
+    FROM r JOIN th ON r.l_returnflag = th.l_returnflag
+    GROUP BY r.l_returnflag
+    ORDER BY r.l_returnflag
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 winsorization: per-group robust mean with values clipped at
+    the exact p5/p95 order statistics (rank selection over cents —
+    the A24 idiom), plus clip-count accounting.  The standard
+    outlier-tamed feature prep whose result, unlike a plain mean, a
+    single corrupt million-dollar row cannot move.
+
+    Plan: one rank window per group computes both order statistics
+    and feeds the clipped aggregation in the same partitioning — the
+    thresholds join back on the group key (tiny, broadcast).  At
+    scale the exact rank window is the expensive path by design;
+    production swaps in the A24-bounded percentile_approx thresholds
+    with the identical clip/aggregate tail.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    c = cents(F.col("l_extendedprice"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        c.alias("c"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    th = r.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == F.ceil(0.05 * F.col("n")), F.col("c"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")), F.col("c"))).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+    return (
+        r.join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("c") < F.col("lo"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col("c") > F.col("hi"), 1)).alias("n_clipped_high"),
+            (F.sum(clipped).cast("double") / 100.0 / F.count(F.lit(1))).alias(
+                "winsorized_mean"
+            ),
+            (F.sum("c").cast("double") / 100.0 / F.count(F.lit(1))).alias("raw_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4o: vocabulary growth (Heaps' law) readout
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_vocab_growth",
+    f"""
+    WITH firsts AS (
+      SELECT token, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, UNNEST(list_distinct({_DUCK_TOKS})) AS token
+            FROM documents) t
+      GROUP BY token
+    ),
+    ck AS (SELECT UNNEST([50, 100, 200, 300, 400, 500]) AS k)
+    SELECT k AS docs_seen,
+           COUNT(CASE WHEN first_doc < k THEN 1 END) AS vocab_size
+    FROM ck, firsts
+    GROUP BY k ORDER BY k
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4o vocabulary growth curve (Heaps' law readout): distinct
+    vocabulary size after ingesting the first k documents (doc_id
+    order — the deterministic corpus order), at fixed checkpoints.
+    The curve's flattening rate is the standard estimate of how much
+    NEW vocabulary (and by proxy, novel content) further crawling buys
+    — the marginal-value signal corpus planners act on.
+
+    Plan: one token explode -> (token, MIN(doc_id)) hash aggregate —
+    the same inverted-index shuffle family (L4c) — then the checkpoint
+    counting collapses on the vocabulary-sized table crossed with the
+    6-row checkpoint list.  Documents are read once; text never
+    shuffles (only distinct (doc, token) pairs do).
+    """
+    from bytesprocessor_spark.functions.text import tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    firsts = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    ck = F.broadcast(
+        spark.createDataFrame([(k,) for k in (50, 100, 200, 300, 400, 500)], "k long")
+    )
+    return (
+        firsts.crossJoin(ck)
+        .groupBy(F.col("k").alias("docs_seen"))
+        .agg(F.count(F.when(F.col("first_doc") < F.col("k"), 1)).alias("vocab_size"))
+        .orderBy("docs_seen")
+    )

@@ -426,3 +426,34 @@ def test_gram_matrix_matches_numpy(spark):
     assert len(got) == d * (d + 1) // 2
     for (i, j), g in got.items():
         assert g == int(G[i - 1, j - 1]), (i, j)
+
+
+def test_winsorized_mean_is_robust(spark):
+    """Clipping bounds the mean: winsorized_mean lies within [lo, hi]
+    of the raw distribution and clip counts stay near 5% tails."""
+    rows = QUERIES["agg_winsorized_stats"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_clipped_low < 0.06 * r.n
+        assert r.n_clipped_high <= 0.05 * r.n + 1
+        # clipping pulls tails inward; with a right-skewed price
+        # distribution the winsorized mean cannot exceed the raw mean
+        # by more than the clip slack
+        assert abs(r.winsorized_mean - r.raw_mean) < r.raw_mean * 0.2
+
+
+def test_vocab_growth_monotone_and_complete(spark):
+    """Vocabulary size grows monotonically with docs seen and the last
+    checkpoint (>= max doc count) equals the full corpus vocabulary."""
+    from bytesprocessor_spark.functions.text import tokenize
+    from bytesprocessor_spark.sources.tables import load_table
+
+    rows = QUERIES["text_vocab_growth"](spark, SF_DIR).collect()
+    sizes = [r.vocab_size for r in sorted(rows, key=lambda r: r.docs_seen)]
+    assert sizes == sorted(sizes)
+    d = load_table(spark, SF_DIR, "documents")
+    full_vocab = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("t")).distinct().count()
+    )
+    if d.count() <= rows[-1].docs_seen:
+        assert sizes[-1] == full_vocab
