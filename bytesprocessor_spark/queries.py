@@ -639,6 +639,7 @@ _CHECK_ORDER = [
     "embedding_gram_matrix",
     "agg_winsorized_stats",
     "text_vocab_growth",
+    "events_cuped",
     # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",

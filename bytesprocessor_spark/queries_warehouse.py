@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from bytesprocessor_spark.queries import _t, cents, query
 from bytesprocessor_spark.queries_llm import _DUCK_TOKS
+from bytesprocessor_spark.queries_curation import _h60 as _h60_local
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -1235,4 +1236,109 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("k").alias("docs_seen"))
         .agg(F.count(F.when(F.col("first_doc") < F.col("k"), 1)).alias("vocab_size"))
         .orderBy("docs_seen")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A30: CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16 00:00:00"  # pre-period | post-period boundary
+
+
+@query(
+    "events_cuped",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+               AS grp,
+             SUM(CASE WHEN ts <  TIMESTAMP '{_CUPED_SPLIT}'
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    pool AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM u
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS n_users, SUM(x) AS gx, SUM(y) AS gy
+      FROM u GROUP BY grp
+    )
+    SELECT grp, n_users, gx AS sum_pre_cents, gy AS sum_post_cents,
+           (CAST(gy AS DOUBLE) / n_users) / 100.0 AS mean_post,
+           ((CAST(gy AS DOUBLE) / n_users)
+             - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+               * ((CAST(gx AS DOUBLE) / n_users) - (CAST(sx AS DOUBLE) / n)))
+             / 100.0 AS cuped_adjusted_post
+    FROM g, pool
+    ORDER BY grp
+    """,
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 CUPED (Controlled-experiment Using Pre-Experiment Data,
+    Deng et al. WSDM'13): the variance-reduced A/B readout — each
+    user's post-period metric is adjusted by theta times their
+    pre-period deviation, theta = cov(x,y)/var(x) pooled across arms.
+    The de-facto standard at experimentation platforms because it
+    cuts metric variance by rho^2 without touching the treatment
+    effect (E[x] is identical across arms by randomization).
+
+    Determinism: the hash split is the A18 assignment; all five
+    pooled moments (n, Σx, Σy, Σxy, Σx²) and per-arm sums accumulate
+    as EXACT integers (cents; Σx² bounded well inside int64 for
+    per-user cent totals < ~3e9); theta and the adjusted means are a
+    FIXED tree of IEEE-double ops over those exact integers —
+    bit-identical across engines because no float ever enters a
+    reduction.
+
+    Plan: one partial-agg shuffle on user_id builds the per-user
+    (x, y) pairs; the pooled moments and per-arm sums are two tiny
+    aggregates over that table (shared scan); everything after runs
+    on 2 + 1 rows.  At 100 TB: one shuffle of user partials, full stop.
+    """
+    ev = _t(spark, sf_dir, "events")
+    split_ts = F.lit(_CUPED_SPLIT).cast("timestamp")
+    c = cents(F.col("value"))
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split_ts, c).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= split_ts, c).otherwise(0)).alias("y"),
+    ).select(
+        (_h60_local(F.col("user_id").cast("string")) % 2).alias("grp"), "x", "y"
+    )
+    pool = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("gx"),
+        F.sum("y").alias("gy"),
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    mean_post = F.col("gy").cast("double") / F.col("n_users")
+    mean_pre_g = F.col("gx").cast("double") / F.col("n_users")
+    mean_pre_all = F.col("sx").cast("double") / F.col("n")
+    return (
+        g.crossJoin(F.broadcast(pool))
+        .select(
+            "grp",
+            "n_users",
+            F.col("gx").alias("sum_pre_cents"),
+            F.col("gy").alias("sum_post_cents"),
+            (mean_post / 100.0).alias("mean_post"),
+            ((mean_post - theta * (mean_pre_g - mean_pre_all)) / 100.0).alias(
+                "cuped_adjusted_post"
+            ),
+        )
+        .orderBy("grp")
     )

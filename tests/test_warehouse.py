@@ -457,3 +457,41 @@ def test_vocab_growth_monotone_and_complete(spark):
     )
     if d.count() <= rows[-1].docs_seen:
         assert sizes[-1] == full_vocab
+
+
+def test_cuped_removes_pre_period_imbalance(spark):
+    """With y == x exactly (perfect covariate), theta == 1 and the
+    CUPED adjustment collapses both arms to the pooled pre-period
+    mean — arm imbalance vanishes entirely."""
+    rows = [(0, 100, 100), (0, 200, 200), (1, 400, 400), (1, 600, 600)]
+    u = spark.createDataFrame(rows, "grp int, x long, y long")
+    pool = u.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("x").alias("gx"), F.sum("y").alias("gy")
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    adj = (
+        F.col("gy").cast("double") / F.col("n_users")
+        - theta * (
+            F.col("gx").cast("double") / F.col("n_users")
+            - F.col("sx").cast("double") / F.col("n")
+        )
+    )
+    out = {r.grp: r.adj for r in g.crossJoin(F.broadcast(pool)).select("grp", adj.alias("adj")).collect()}
+    assert out[0] == out[1] == 325.0  # pooled pre mean (100+200+400+600)/4
+
+
+def test_cuped_fixture_readout_shape(spark):
+    rows = QUERIES["events_cuped"](spark, SF_DIR).collect()
+    assert [r.grp for r in rows] == [0, 1]
+    for r in rows:
+        assert r.n_users > 0
+        # the adjustment is a correction, not a rewrite: same ballpark
+        assert abs(r.cuped_adjusted_post - r.mean_post) < max(abs(r.mean_post), 1.0)
