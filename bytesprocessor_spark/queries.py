@@ -640,6 +640,9 @@ _CHECK_ORDER = [
     "agg_winsorized_stats",
     "text_vocab_growth",
     "events_cuped",
+    "stream_running_totals",
+    "sql_group_by_all",
+    "bitwise_funcs",
     # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",

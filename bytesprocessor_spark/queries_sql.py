@@ -1183,3 +1183,51 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ALL
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_group_by_all", _GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity row: GROUP BY ALL (every non-aggregate
+    select item becomes a grouping key — the DuckDB-popularized
+    shorthand Spark adopted in 3.4).  The SAME text runs verbatim on
+    both engines; the planner resolution must agree on which items
+    are keys.  Plans identically to the explicit GROUP BY: one
+    partial+final hash aggregate over the pushed-down scan."""
+    return _sql(spark, sf_dir, _GROUP_BY_ALL_SQL, ("lineitem",))
+
+
+_BITWISE_SQL = """
+SELECT l_linenumber,
+       BIT_AND(l_orderkey) AS key_and,
+       BIT_OR(l_orderkey) AS key_or,
+       BIT_XOR(l_orderkey) AS key_xor,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_orderkey < 1024
+GROUP BY l_linenumber
+ORDER BY l_linenumber
+"""
+
+
+@query("bitwise_funcs", _BITWISE_SQL)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 bitwise aggregate surface: BIT_AND/BIT_OR/BIT_XOR over
+    integer keys — the flag-mask rollup family (permission masks,
+    feature-bit unions, XOR parity checks).  All three are
+    commutative+associative on two's-complement integers, so the
+    partial/final split is exact by construction on any engine — the
+    rare aggregate that needs NO quantization discipline.  Same text
+    both engines; one hash-agg shuffle."""
+    return _sql(spark, sf_dir, _BITWISE_SQL, ("lineitem",))

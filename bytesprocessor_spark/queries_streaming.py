@@ -494,3 +494,57 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(land, ignore_errors=True)
+
+
+@query(
+    "stream_running_totals",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 arbitrary stateful streaming with the hard oracle: the
+    applyInPandasWithState running-totals operator (per-event-type
+    cumulative count + sum in checkpointed state, one update row
+    emitted per key per micro-batch) is drained and its FINAL state
+    per key must equal the batch aggregate.
+
+    Replay-valid because the value column is pre-quantized to cents:
+    every state update adds integers (exact in a double far below
+    2^53), so the accumulated total is micro-batch-order independent —
+    the float-summation hazard that would make this row flaky is
+    engineered out the same way the relational corpus does it.  The
+    final state per key is recovered as MAX over the emitted update
+    rows (totals over positive values grow monotonically).
+
+    Scale: state is O(keys); each micro-batch shuffles only its own
+    rows to their key's state partition — the streaming twin of a
+    partial-aggregate merge."""
+    from bytesprocessor_spark.streaming.stateful import running_totals
+
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            # several micro-batches so state genuinely carries across
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(land, "events"))
+            .withColumn("vc", cents(F.col("value")))
+        )
+        totals = running_totals(stream, keys=("event_type",), value_col="vc")
+        return _drain_and_localize(
+            totals,
+            lambda sink_df: sink_df.groupBy("event_type").agg(
+                F.max("n_events").alias("n_events"),
+                (F.max("total").cast("long").cast("double") / 100.0).alias(
+                    "total_value"
+                ),
+            ),
+            output_mode="update",
+        )
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
