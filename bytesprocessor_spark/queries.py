@@ -30,6 +30,21 @@ from bytesprocessor_spark.sources.tables import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+# Entries whose callable EXECUTES Spark jobs at construction time
+# (streaming drains that must run a query to produce their sink rows,
+# and the Count-Min row that deserializes a JVM sketch): plan sweeps /
+# EXPLAIN-only tooling should skip these or expect full jobs to run.
+EAGER_QUERIES = frozenset({
+    "agg_heavy_hitters",
+    "stream_dedup",
+    "stream_static_enrich",
+    "stream_interval_join",
+    "stream_cdc_apply",
+    "stream_quality_gate",
+    "stream_trending_topk",
+    "stream_running_totals",
+})
+
 
 def query(name: str, sql: str | None = None):
     def deco(fn):
@@ -562,64 +577,25 @@ QUERIES.update(_NO_ORACLE)
 # declared-no-oracle entries were converted in round 3 (simhash ->
 # md5 hash mode, LSH top-k -> quantized-SRP form).
 _CHECK_ORDER = [
-    # --- round-4 driver window: the 54-entry queue built during
-    # --- round 3 (first 50 land in the driver check; the 4 overflow
-    # --- entries head the round-5 queue) ---
-    "similarity_ivf_index_topk",
-    "dedup_semantic_pairs",
-    "dedup_semantic_keep",
-    "text_tfidf_topterms",
-    "text_unigram_surprisal",
-    "stream_interval_join",
-    "dedup_simhash_pairs",
-    "similarity_lsh_topk",
+    # --- round-5 driver window (first 50): the 10 ever-driver-red
+    # --- entries (oracle dtype hardening applied this round), then
+    # --- never-driver-checked entries in registry order ---
     "pack_length_batches",
-    "key_skew_report",
-    "events_ewma",
-    "dedup_incremental",
-    "events_cohort_retention",
-    "text_bigram_surprisal",
-    "events_rfm_segments",
-    "agg_cube",
-    "join_cross",
-    "window_sliding",
-    "window_session",
-    "dedup_exact_stats",
-    "dedup_embedding_keep",
-    "quality_expectations",
-    "multimodal_audio_meta",
     "dedup_span_ngrams",
     "embedding_kmeans",
-    "corpus_dsir_weights",
     "events_mad_outliers",
     "corpus_split_assign",
     "text_bpe_learn",
-    "similarity_pq_topk",
-    "graph_pagerank",
-    "text_bpe_encode",
-    "dedup_containment_pairs",
     "events_markov_transitions",
-    "snapshot_diff_orders",
-    "corpus_mixture_sample",
     "stream_quality_gate",
-    "sql_recursive_cte",
-    "sql_lateral_topn",
-    "sql_variant_props",
-    "events_linear_trend",
-    "events_attribution",
-    "events_ab_test",
-    "dedup_containment_keep",
     "events_seasonality",
-    "text_collocations",
-    "sql_not_in_nulls",
-    "set_ops_all",
-    "sql_fuzzy_match",
-    "events_correlation_matrix",
+    "text_stats",
+    # round-5 new row: generic pigeonhole Hamming join (aHash geometry)
+    "dedup_block_hamming",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",
     "orders_market_basket",
-    # --- round-5 queue: entries added during round 4 ---
     "scd2_order_priority",
     "events_gap_fill",
     "profile_orders_card",
@@ -643,15 +619,10 @@ _CHECK_ORDER = [
     "stream_running_totals",
     "sql_group_by_all",
     "bitwise_funcs",
-    # --- round-3 driver window (checked if CORRECTNESS_r03 ran) ---
     "grouping_sets_sql",
     "from_json_funcs",
-    "text_stats",
-    "text_top_tokens",
     "multimodal_video_frames",
     "sql_exists_in_subquery",
-    "q3_shipping_priority",
-    "q5_local_supplier",
     "text_winnow_fingerprint",
     "agg_salted",
     "join_salted",
@@ -661,6 +632,8 @@ _CHECK_ORDER = [
     "sample_stratified",
     "text_inverted_index",
     "agg_histogram",
+    # --- beyond the 50-entry window: remaining never-checked
+    # --- entries queue for the round-6 rotation ---
     "session_sequences",
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -694,7 +667,50 @@ _CHECK_ORDER = [
     "interval_concurrency",
     "stream_static_enrich",
     "stream_cdc_apply",
-    # --- round-2 driver window (all green in CORRECTNESS_r02.json) ---
+    "similarity_ivf_index_topk",
+    "dedup_semantic_pairs",
+    "dedup_semantic_keep",
+    "text_tfidf_topterms",
+    "text_unigram_surprisal",
+    "stream_interval_join",
+    "dedup_simhash_pairs",
+    "similarity_lsh_topk",
+    "key_skew_report",
+    "events_ewma",
+    "dedup_incremental",
+    "events_cohort_retention",
+    "text_bigram_surprisal",
+    "events_rfm_segments",
+    "agg_cube",
+    "join_cross",
+    "window_sliding",
+    "window_session",
+    "dedup_exact_stats",
+    "dedup_embedding_keep",
+    "quality_expectations",
+    "multimodal_audio_meta",
+    "corpus_dsir_weights",
+    "similarity_pq_topk",
+    "graph_pagerank",
+    "text_bpe_encode",
+    "dedup_containment_pairs",
+    "snapshot_diff_orders",
+    "corpus_mixture_sample",
+    "sql_recursive_cte",
+    "sql_lateral_topn",
+    "sql_variant_props",
+    "events_linear_trend",
+    "events_attribution",
+    "events_ab_test",
+    "dedup_containment_keep",
+    "text_collocations",
+    "sql_not_in_nulls",
+    "set_ops_all",
+    "sql_fuzzy_match",
+    "events_correlation_matrix",
+    "text_top_tokens",
+    "q3_shipping_priority",
+    "q5_local_supplier",
     "q1_pricing_summary",
     "join_inner",
     "join_outer",

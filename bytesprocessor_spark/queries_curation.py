@@ -65,8 +65,9 @@ _DUCK_SPANS = f"""
       SELECT doc_id, COUNT(*) AS n_spans,
              SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup
       FROM k JOIN c USING (key) GROUP BY doc_id)
-    SELECT doc_id, n_spans, n_dup AS n_dup_spans,
-           ROUND(n_dup * 1.0 / n_spans, 6) AS dup_ratio
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup AS BIGINT) AS n_dup_spans,
+           CAST((n_dup * 1000000) // n_spans AS BIGINT) AS dup_ppm
     FROM d ORDER BY doc_id
 """
 
@@ -112,11 +113,14 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
         )
     )
+    # dup ratio in integer parts-per-million: DuckDB SUM() returns
+    # HUGEINT (fetchdf -> float64) and ROUND(x,6) doubles can differ by
+    # one ulp across engines, so the checked surface is exact int64.
     return per_doc.select(
         "doc_id",
         "n_spans",
         "n_dup_spans",
-        F.round(F.col("n_dup_spans") * 1.0 / F.col("n_spans"), 6).alias("dup_ratio"),
+        F.expr("n_dup_spans * 1000000L div n_spans").alias("dup_ppm"),
     ).orderBy("doc_id")
 
 
@@ -173,11 +177,16 @@ def _duck_kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM)
       FROM s{it} GROUP BY cid)"""
         )
     last = iters
+    # scalar output rows: the driver's pandas canonicalizer cannot hash
+    # an array cell, so the checked form is (cluster, pos, n_vectors,
+    # c_micro) — one row per centroid coordinate in exact integer
+    # micro-units.  The list form stays available via s{last}/c{last}.
     parts.append(
         f"""
-    SELECT cid AS cluster, MAX(c) AS n_vectors,
-           list(ROUND(sv * 1.0 / c / 1000000, 6) ORDER BY pos) AS centroid
-    FROM s{last} GROUP BY cid ORDER BY cid"""
+    SELECT cid AS cluster, CAST(pos AS BIGINT) AS pos,
+           CAST(c AS BIGINT) AS n_vectors,
+           CAST(ROUND(sv * 1.0 / c) AS BIGINT) AS c_micro
+    FROM s{last} ORDER BY cluster, pos"""
     )
     return "".join(parts)
 
@@ -250,27 +259,18 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda st: st["cm"],
             ).alias("cv")
         )
-    return (
-        stats.groupBy("cid")
-        .agg(
-            F.max("c").alias("n_vectors"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("pos"),
-                            F.round(
-                                F.col("sv").cast("double") / F.col("c") / 1_000_000, 6
-                            ).alias("cm"),
-                        )
-                    )
-                ),
-                lambda st: st["cm"],
-            ).alias("centroid"),
-        )
-        .withColumnRenamed("cid", "cluster")
-        .orderBy("cluster")
-    )
+    # Scalar (cluster, pos, n_vectors, c_micro) rows — one per centroid
+    # coordinate, exact integer micro-units, 1-based pos to match the
+    # oracle's range(1, dim+1).  Array-cell outputs crash the driver's
+    # pandas canonicalizer, so the checked surface stays scalar; callers
+    # wanting array centroids can groupBy(cluster).collect_list as the
+    # iteration update above does.
+    return stats.select(
+        F.col("cid").alias("cluster"),
+        (F.col("pos") + F.lit(1)).cast("long").alias("pos"),
+        F.col("c").alias("n_vectors"),
+        F.round(F.col("sv").cast("double") / F.col("c")).cast("long").alias("c_micro"),
+    ).orderBy("cluster", "pos")
 
 
 # ---------------------------------------------------------------------------
@@ -581,7 +581,8 @@ _DUCK_MAD = f"""
            COUNT(*) AS n,
            ROUND(MAX(dev.med_c) / 100, 6) AS med,
            ROUND(MAX(mad.mad_c) / 100, 6) AS mad,
-           SUM(CASE WHEN dev.dev_c > {_MAD_K} * mad.mad_c THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN dev.dev_c > {_MAD_K} * mad.mad_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
            CAST(SUM(CASE WHEN dev.dev_c > {_MAD_K} * mad.mad_c THEN dev.vc ELSE 0 END) AS BIGINT)
              AS outlier_value_cents
     FROM dev JOIN mad USING (event_type)
@@ -676,7 +677,8 @@ def _duck_bpe_sql(n_merges: int = _BPE_MERGES, final_select: str | None = None) 
         )
     if final_select is None:
         union = "\n    UNION ALL ".join(
-            f"SELECT {i} AS iter, a, b, cnt FROM t{i}" for i in range(1, n_merges + 1)
+            f"SELECT {i} AS iter, a, b, CAST(cnt AS BIGINT) AS cnt FROM t{i}"
+            for i in range(1, n_merges + 1)
         )
         final_select = f"""
     {union}
@@ -1288,7 +1290,7 @@ _DUCK_SEASON = """
       FROM e JOIN stats ON e.event_type = stats.event_type AND e.hr = stats.hr)
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(is_anom) AS n_anomalies,
+           CAST(SUM(is_anom) AS BIGINT) AS n_anomalies,
            COUNT(DISTINCT hr) AS n_hours
     FROM r GROUP BY event_type ORDER BY event_type
 """
@@ -1683,7 +1685,7 @@ _DUCK_MARKOV = """
           FROM o WHERE prev IS NOT NULL GROUP BY prev, next),
     s AS (SELECT prev, SUM(n) AS tot FROM t GROUP BY prev)
     SELECT t.prev, t.next, t.n,
-           (1000000 * t.n) // s.tot AS p_micro
+           CAST((1000000 * t.n) // s.tot AS BIGINT) AS p_micro
     FROM t JOIN s ON t.prev = s.prev
     ORDER BY t.prev, t.next
 """
@@ -1834,9 +1836,10 @@ _DUCK_SPLIT = """
                AS bucket
       FROM documents)
     SELECT source,
-           SUM(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) AS n_train,
-           SUM(CASE WHEN bucket >= 90 AND bucket < 95 THEN 1 ELSE 0 END) AS n_val,
-           SUM(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS n_test,
+           CAST(SUM(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN bucket >= 90 AND bucket < 95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_val,
+           CAST(SUM(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
            CAST(SUM(CASE WHEN bucket < 90 THEN n_chars ELSE 0 END) AS BIGINT)
              AS train_chars
     FROM b GROUP BY source ORDER BY source

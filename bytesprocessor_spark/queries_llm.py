@@ -254,6 +254,67 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=3, n_blocks=4, hash_mode="md5")
 
 
+_BH_MAXH = 10
+
+
+@query(
+    "dedup_block_hamming",
+    f"""
+    WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 120),
+    sk AS (
+      SELECT doc_id AS id,
+             [CAST('0x' || substr(md5(source || '|1'), 1, 4) AS BIGINT),
+              CAST('0x' || substr(md5(source || '|2'), 1, 4) AS BIGINT),
+              CAST('0x' || substr(md5(source || '|3'), 1, 4) AS BIGINT),
+              CAST('0x' || substr(md5(CAST(doc_id % 3 AS VARCHAR)), 1, 4) AS BIGINT)]
+               AS sh
+      FROM d),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             bit_count(xor(a.sh[1], b.sh[1])) + bit_count(xor(a.sh[2], b.sh[2]))
+               + bit_count(xor(a.sh[3], b.sh[3])) + bit_count(xor(a.sh[4], b.sh[4]))
+               AS hamming
+      FROM sk a JOIN sk b
+        ON a.id < b.id
+       AND (a.sh[1] = b.sh[1] OR a.sh[2] = b.sh[2]
+            OR a.sh[3] = b.sh[3] OR a.sh[4] = b.sh[4]))
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM p WHERE hamming <= {_BH_MAXH}
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_block_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8b's pair join, hash-checked: ``block_hamming_pairs`` is the
+    shared pigeonhole Hamming join behind SimHash text near-dup AND
+    perceptual-aHash image near-dup (functions/multimodal.py:411).
+    Pixel decode isn't SQL-expressible, so the sketch longs here are
+    pre-materialized deterministically (md5-derived 16-bit blocks in
+    the 4x16 aHash geometry: three source-keyed blocks plus one
+    id-residue block, giving both true near-pairs and pigeonhole
+    candidates the verify must reject) — the oracle mirrors the
+    candidate equi-join and the exact bit_count(xor) verify.
+
+    Plan: one (blk, value) shuffle for the candidate join — the same
+    bucketed-not-all-pairs shape the text SimHash row plan-gates; at
+    100 TB of images only colliding blocks ever pair."""
+    from bytesprocessor_spark.operators.dedup import block_hamming_pairs
+
+    def h16(col):
+        return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    sk = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array(
+            h16(F.concat(F.col("source"), F.lit("|1"))),
+            h16(F.concat(F.col("source"), F.lit("|2"))),
+            h16(F.concat(F.col("source"), F.lit("|3"))),
+            h16((F.col("doc_id") % 3).cast("string")),
+        ).alias("sh"),
+    )
+    return block_hamming_pairs(sk, max_hamming=_BH_MAXH).orderBy("id_a", "id_b")
+
+
 QUERIES_NO_ORACLE: dict = {}
 
 
@@ -1623,7 +1684,7 @@ _DUCK_MIXTURE = """
     )
     SELECT source, n_docs, n_chars,
            w_i AS weight_micro,
-           (10000 * w_i) // (SELECT SUM(w_i) FROM w) AS quota_10k
+           CAST((10000 * w_i) // (SELECT SUM(w_i) FROM w) AS BIGINT) AS quota_10k
     FROM w
     ORDER BY source
 """
@@ -1681,9 +1742,9 @@ _DUCK_CENTROIDS = """
       SELECT label, pv.pos AS pos, SUM(pv.val) AS sv, COUNT(*) AS c
       FROM e GROUP BY label, pv.pos
     )
-    SELECT label, MAX(c) AS n_vectors,
-           list(ROUND(CAST(sv AS DOUBLE) / c, 6) ORDER BY pos) AS centroid
-    FROM s GROUP BY label ORDER BY label
+    SELECT label, CAST(pos AS BIGINT) AS pos, CAST(c AS BIGINT) AS n_vectors,
+           CAST(ROUND(sv * 1.0 / c) AS BIGINT) AS mean_micro
+    FROM s ORDER BY label, pos
 """
 
 
@@ -1712,26 +1773,16 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = e.groupBy("label", "pos").agg(
         F.sum("val").alias("sv"), F.count("*").alias("c")
     )
-    return (
-        s.groupBy("label")
-        .agg(
-            F.max("c").alias("n_vectors"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("pos"),
-                            F.round(F.col("sv").cast("double") / F.col("c"), 6).alias(
-                                "m"
-                            ),
-                        )
-                    )
-                ),
-                lambda st: st["m"],
-            ).alias("centroid"),
-        )
-        .orderBy("label")
-    )
+    # Scalar (label, pos, n_vectors, mean_micro) rows — the driver's
+    # pandas canonicalizer cannot hash an array cell; 1-based pos
+    # matches the oracle's range(1, len+1).  Array centroids are one
+    # groupBy(label).collect_list away when a caller wants them.
+    return s.select(
+        "label",
+        (F.col("pos") + F.lit(1)).cast("long").alias("pos"),
+        F.col("c").alias("n_vectors"),
+        F.round(F.col("sv").cast("double") / F.col("c")).cast("long").alias("mean_micro"),
+    ).orderBy("label", "pos")
 
 
 # L6b length-bucketed inference batching ------------------------------------
@@ -1744,8 +1795,8 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) // 64 AS batch_id
       FROM documents)
     SELECT batch_id, COUNT(*) AS n_rows, MAX(n_chars) AS max_len,
-           COUNT(*) * MAX(n_chars) AS padded_tokens,
-           COUNT(*) * MAX(n_chars) - SUM(n_chars) AS padding_waste
+           CAST(COUNT(*) * MAX(n_chars) AS BIGINT) AS padded_tokens,
+           CAST(COUNT(*) * MAX(n_chars) - SUM(n_chars) AS BIGINT) AS padding_waste
     FROM b GROUP BY batch_id
     """,
 )

@@ -746,8 +746,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN 'high' ELSE 'low' END AS priority_class,
-           SUM(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
-                    THEN 1 ELSE 0 END) AS late_count,
+           CAST(SUM(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
            COUNT(*) AS line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY

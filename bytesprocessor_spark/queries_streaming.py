@@ -325,8 +325,8 @@ def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT source,
            COUNT(*) AS n_in,
-           SUM(CASE WHEN n_tokens >= 20 AND alpha_ratio >= 0.5
-                    THEN 1 ELSE 0 END) AS n_admitted,
+           CAST(SUM(CASE WHEN n_tokens >= 20 AND alpha_ratio >= 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
            CAST(SUM(CASE WHEN n_tokens >= 20 AND alpha_ratio >= 0.5
                          THEN n_chars ELSE 0 END) AS BIGINT) AS chars_admitted
     FROM d GROUP BY source ORDER BY source
@@ -518,8 +518,10 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^53), so the accumulated total is micro-batch-order independent —
     the float-summation hazard that would make this row flaky is
     engineered out the same way the relational corpus does it.  The
-    final state per key is recovered as MAX over the emitted update
-    rows (totals over positive values grow monotonically).
+    final state per key is recovered as max_by(total, n_events) over
+    the emitted update rows — the row from the last micro-batch that
+    touched the key (n_events strictly grows), correct for any value
+    sign.
 
     Scale: state is O(keys); each micro-batch shuffles only its own
     rows to their key's state partition — the streaming twin of a
@@ -540,9 +542,13 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             totals,
             lambda sink_df: sink_df.groupBy("event_type").agg(
                 F.max("n_events").alias("n_events"),
-                (F.max("total").cast("long").cast("double") / 100.0).alias(
-                    "total_value"
-                ),
+                # last update row per key = the one with the highest
+                # event count — sign-agnostic, unlike MAX(total) which
+                # is only right while values are non-negative
+                (
+                    F.expr("max_by(total, n_events)").cast("long").cast("double")
+                    / 100.0
+                ).alias("total_value"),
             ),
             output_mode="update",
         )

@@ -58,7 +58,7 @@ _SCD2_EOT = "9999-12-31 00:00:00"
              COUNT(*) AS n_orders
       FROM v GROUP BY o_custkey, version
     )
-    SELECT custkey, version, priority, n_orders,
+    SELECT custkey, CAST(version AS BIGINT) AS version, priority, n_orders,
            STRFTIME(vf, '{_TS_FMT_DUCK}') AS valid_from,
            COALESCE(STRFTIME(LEAD(vf) OVER (PARTITION BY custkey ORDER BY version),
                              '{_TS_FMT_DUCK}'),
@@ -140,9 +140,9 @@ def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hr, event_type,
            COALESCE(n, 0) AS n_events,
-           COALESCE(LAST_VALUE(sum_cents IGNORE NULLS) OVER
+           CAST(COALESCE(LAST_VALUE(sum_cents IGNORE NULLS) OVER
                       (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING),
-                    0) AS carried_cents
+                    0) AS BIGINT) AS carried_cents
     FROM j
     ORDER BY event_type, hr
     """,
@@ -465,12 +465,12 @@ _CLS_SPAN = 2001  # weights span [-1000, +1000] micro-units
       FROM tok
     ),
     s AS (
-      SELECT doc_id, MIN(source) AS source, SUM(wt) AS score_micro
+      SELECT doc_id, MIN(source) AS source, CAST(SUM(wt) AS BIGINT) AS score_micro
       FROM w GROUP BY doc_id
     )
     SELECT source, COUNT(*) AS n_docs,
            COUNT(CASE WHEN score_micro > 0 THEN 1 END) AS n_positive,
-           SUM(score_micro) AS sum_score_micro,
+           CAST(SUM(score_micro) AS BIGINT) AS sum_score_micro,
            MIN(score_micro) AS min_score_micro,
            MAX(score_micro) AS max_score_micro
     FROM s GROUP BY source ORDER BY source
@@ -975,14 +975,15 @@ _PSI_BUCKET_C = 2_500_000  # $25,000 buckets over exact cents
     ),
     tot AS (SELECT SUM(nb) AS tb, SUM(nd) AS td FROM c),
     p AS (
-      SELECT bucket, nb - 1 AS n_base, nd - 1 AS n_delta,
-             (nb * 1000000) // tb AS pm,
-             (nd * 1000000) // td AS qm
+      SELECT bucket, CAST(nb - 1 AS BIGINT) AS n_base, CAST(nd - 1 AS BIGINT) AS n_delta,
+             GREATEST(CAST((nb * 1000000) // tb AS BIGINT), 1) AS pm,
+             GREATEST(CAST((nd * 1000000) // td AS BIGINT), 1) AS qm
       FROM c, tot
     )
     SELECT bucket, n_base, n_delta, pm, qm,
-           (pm - qm) * CAST(ROUND(LN(CAST(pm AS DOUBLE) / qm) * 1000000) AS BIGINT)
-             AS contrib_pico
+           CAST((pm - qm)
+                * CAST(ROUND(LN(CAST(pm AS DOUBLE) / qm) * 1000000) AS BIGINT)
+                AS BIGINT) AS contrib_pico
     FROM p
     ORDER BY bucket
     """,
@@ -1020,8 +1021,12 @@ def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         (F.col("nb") - 1).alias("n_base"),
         (F.col("nd") - 1).alias("n_delta"),
-        F.floor(F.col("nb") * 1000000 / F.col("tb")).alias("pm"),
-        F.floor(F.col("nd") * 1000000 / F.col("td")).alias("qm"),
+        # exact integer division (not double floor): beyond ~1e6 rows a
+        # double quotient can floor one off from the integer // the
+        # oracle computes; the GREATEST floor keeps ln() defined when a
+        # 1-count bucket's proportion truncates to 0 micro-units
+        F.greatest(F.expr("nb * 1000000 div tb"), F.lit(1)).alias("pm"),
+        F.greatest(F.expr("nd * 1000000 div td"), F.lit(1)).alias("qm"),
     )
     lnq = F.round(
         F.log(F.col("pm").cast("double") / F.col("qm")) * 1000000.0
@@ -1055,7 +1060,8 @@ _GRAM_SCALE = 1000.0  # |x| < 1 -> products bounded, sums int64-safe
     t AS (SELECT i, v[i] AS vi, v,
                  UNNEST(generate_series(i, {_GRAM_DIMS})) AS j
           FROM a)
-    SELECT i, j, SUM(vi * v[j]) AS gram
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(SUM(vi * v[j]) AS BIGINT) AS gram
     FROM t GROUP BY i, j
     ORDER BY i, j
     """,
@@ -1268,10 +1274,14 @@ _CUPED_SPLIT = "2024-01-16 00:00:00"  # pre-period | post-period boundary
       SELECT grp, COUNT(*) AS n_users, SUM(x) AS gx, SUM(y) AS gy
       FROM u GROUP BY grp
     )
-    SELECT grp, n_users, gx AS sum_pre_cents, gy AS sum_post_cents,
+    SELECT grp, n_users,
+           CAST(gx AS BIGINT) AS sum_pre_cents, CAST(gy AS BIGINT) AS sum_post_cents,
            (CAST(gy AS DOUBLE) / n_users) / 100.0 AS mean_post,
            ((CAST(gy AS DOUBLE) / n_users)
-             - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
                * ((CAST(gx AS DOUBLE) / n_users) - (CAST(sx AS DOUBLE) / n)))
              / 100.0 AS cuped_adjusted_post
     FROM g, pool
@@ -1321,10 +1331,14 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("gx"),
         F.sum("y").alias("gy"),
     )
-    theta = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    )
+    # products formed in DOUBLE, not int64: sx*sy grows quadratically
+    # with volume (~6e18 at sf1) and non-ANSI Spark would silently wrap
+    # where the oracle raises; the long->double casts and the op tree
+    # are identical on both engines, so the readout stays bit-identical
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    theta = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
     mean_post = F.col("gy").cast("double") / F.col("n_users")
     mean_pre_g = F.col("gx").cast("double") / F.col("n_users")
     mean_pre_all = F.col("sx").cast("double") / F.col("n")

@@ -546,7 +546,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM s
     )
-    SELECT user_id, session_no,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            COUNT(*) AS n_events,
            string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
     FROM g

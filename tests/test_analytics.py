@@ -115,3 +115,19 @@ def test_length_batches_invariants(spark):
     assert all(r.padding_waste >= 0 for r in out)
     lens = [l for _, l in rows]
     assert sum(r.padding_waste for r in out) <= len(rows) * (max(lens) - min(lens))
+
+
+def test_asof_join_rejects_mixed_ts_types(spark):
+    """A timestamp side resolves __t to epoch micros while a numeric
+    side keeps its raw scale, so a mixed pair would silently match
+    wrong rows — the operator must refuse it up front."""
+    import pytest
+
+    from bytesprocessor_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10")], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame([(1, 5.0, "x")], "k long, t double, v string")
+    with pytest.raises(TypeError, match="mixed ts column types"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="t")

@@ -90,9 +90,11 @@ def test_kmeans_separates_two_blobs(spark):
     d = tempfile.mkdtemp()
     df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
     out = QUERIES["embedding_kmeans"](spark, d).collect()
-    assert sum(r["n_vectors"] for r in out) == 40
-    for r in out:
-        c0 = r["centroid"][0]
+    # scalar rows: one per (cluster, pos); pos 1 carries the lead coord
+    lead = [r for r in out if r["pos"] == 1]
+    assert sum(r["n_vectors"] for r in lead) == 40
+    for r in lead:
+        c0 = r["c_micro"] / 1_000_000.0
         assert abs(abs(c0) - 10.0) < 0.1  # centroid sits in a blob, not between
 
 

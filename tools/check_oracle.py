@@ -5,6 +5,16 @@ the same parquet tables, then compares row count, column names, and
 order-insensitive values (exact match; floats reported with max-diff
 on mismatch so near-misses are diagnosable).
 
+Two fetch modes:
+  --mode driver (default): DuckDB results via fetchdf() and Spark via
+    toPandas(), mirroring the round driver.  This is the mode that
+    exposes DuckDB's SUM(BIGINT)->HUGEINT->float64 coercion (the round-4
+    red rows) and rejects unhashable array/struct output cells the way
+    the driver's pandas canonicalizer does.
+  --mode raw: fetchall()/collect() — exact Python values, useful for
+    diagnosing whether a driver-mode mismatch is a value bug or a
+    fetchdf dtype coercion.
+
 Usage:
     python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only name1,name2]
 """
@@ -84,10 +94,43 @@ def compare(name, spark_cols, spark_rows, duck_cols, duck_rows):
     return problems
 
 
+def _pdf_rows(pdf):
+    """Canonical (cols, rows) from a pandas frame, converting numpy
+    scalars to Python and flagging unhashable cells the driver's
+    canonicalizer would crash on (lists / ndarrays / dicts)."""
+    import numpy as np
+
+    cols = list(pdf.columns)
+    rows = []
+    for tup in pdf.itertuples(index=False, name=None):
+        out = []
+        for v in tup:
+            if isinstance(v, (list, np.ndarray, dict)):
+                raise TypeError(
+                    f"unhashable cell type {type(v).__name__} — driver "
+                    f"canonicalizer would crash; scalarize this column"
+                )
+            if isinstance(v, np.generic):
+                v = v.item()
+            if v is not None and not isinstance(v, (bool, str, bytes, decimal.Decimal)):
+                try:
+                    if v != v:  # NaN from pandas nullable coercion
+                        v = float("nan")
+                except Exception:
+                    pass
+        # pandas NaT / pd.NA normalization
+            if v is not None and repr(v) in ("NaT", "<NA>"):
+                v = None
+            out.append(v)
+        rows.append(tuple(out))
+    return cols, rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--mode", choices=["driver", "raw"], default="driver")
     args = ap.parse_args()
 
     from bytesprocessor_spark.queries import ORACLE, QUERIES
@@ -106,8 +149,11 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf)
-            spark_cols = sdf.columns
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            if args.mode == "driver":
+                spark_cols, spark_rows = _pdf_rows(sdf.toPandas())
+            else:
+                spark_cols = sdf.columns
+                spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -118,8 +164,11 @@ def main():
             continue
         try:
             res = con.execute(ORACLE[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            if args.mode == "driver":
+                duck_cols, duck_rows = _pdf_rows(res.fetchdf())
+            else:
+                duck_cols = [d[0] for d in res.description]
+                duck_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
