@@ -109,6 +109,13 @@ HEADLINE = [
     "scd2_order_priority",
     "orders_incremental_rollup",
     "events_time_split",
+    # round-5 training-pipeline batch — incremental near-dup first
+    # (two signature builds, the expensive entry of the batch)
+    "dedup_minhash_incremental",
+    "dedup_block_hamming",
+    "embedding_outliers",
+    "similarity_hard_negatives",
+    "corpus_shard_manifest",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -179,6 +179,98 @@ def minhash_signature_table(
     return tokens.groupBy("id").agg(*aggs)
 
 
+def minhash_band_table(
+    tokens: DataFrame,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, band, bh) LSH bucket table from a
+    :func:`hashed_shingle_tokens` feed: the signature aggregate
+    followed by an explode to ``bands`` rows, each carrying the
+    xxhash64 of that band's signature slice (hashed DIRECTLY over the
+    long columns — the concat_ws string form materializes ~20 chars ×
+    bands per row just to throw them away).
+
+    This is the PERSISTABLE artifact of MinHash-LSH: at 100 TB the
+    corpus's band table is written once at ingest and every
+    near-dup query — self-join (:func:`minhash_lsh_pairs`) or
+    delta-vs-corpus admission (:func:`incremental_minhash_dedup`) —
+    is an equi-join against it, never a corpus re-shingle."""
+    rows = num_hashes // bands
+    sig = minhash_signature_table(tokens, num_hashes)
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[f"m{b * rows + r}" for r in range(rows)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 126,
+    bands: int = 21,
+    shingle_size: int = 5,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup ADMISSION for a delta batch against an existing corpus
+    — the incremental form of LSH-then-verify (the near-dup sibling of
+    :func:`incremental_exact_dedup`): band buckets for the delta docs
+    equi-join the corpus band table, and only the colliding
+    (corpus, delta) pairs are verified with exact shingle Jaccard.
+
+    Plan shape: the delta (small) is shingled + signed fresh; the
+    corpus side here builds its band table and shingle sets in-flow,
+    but at the design point both are PERSISTED at ingest
+    (:func:`minhash_band_table` output + the collect_set shingle
+    table), so admitting a batch costs O(delta) compute plus one
+    (band, bh) equi-join and |candidates| array intersections —
+    the 100 TB corpus is never re-read, exactly like the exact-hash
+    incremental row.  Band geometry keeps the miss probability for
+    J >= 0.9 pairs at (1-0.9^6)^21 ~ 1.3e-7.
+
+    Returns (corpus_id, delta_id, jaccard) for verified pairs at or
+    above ``threshold``, one row per admitted duplicate relation.
+    """
+    c_tokens = _persist(hashed_shingle_tokens(corpus, text_col, id_col, shingle_size))
+    d_tokens = _persist(hashed_shingle_tokens(delta, text_col, id_col, shingle_size))
+    cb = minhash_band_table(c_tokens, num_hashes, bands)
+    db = minhash_band_table(d_tokens, num_hashes, bands)
+    cand = (
+        cb.alias("c")
+        .join(
+            db.alias("d"),
+            (F.col("c.band") == F.col("d.band")) & (F.col("c.bh") == F.col("d.bh")),
+        )
+        .select(F.col("c.id").alias("corpus_id"), F.col("d.id").alias("delta_id"))
+        .distinct()
+    )
+    c_sets = c_tokens.groupBy("id").agg(F.collect_set("h").alias("sh_c"))
+    d_sets = d_tokens.groupBy("id").agg(F.collect_set("h").alias("sh_d"))
+    paired = (
+        cand.join(c_sets.withColumnRenamed("id", "corpus_id"), "corpus_id")
+        .join(d_sets.withColumnRenamed("id", "delta_id"), "delta_id")
+    )
+    inter_n = F.size(F.array_intersect("sh_c", "sh_d")).cast("double")
+    union_n = (F.size("sh_c") + F.size("sh_d")).cast("double") - inter_n
+    return (
+        paired.withColumn("jaccard", inter_n / union_n)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("corpus_id", "delta_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -209,25 +301,7 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     if tokens is None:
         tokens = hashed_shingle_tokens(df, text_col, id_col, shingle_size)
-    sig = minhash_signature_table(tokens, num_hashes)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # hash the band's signature columns DIRECTLY
-                        # (multi-arg xxhash64 over longs) — the
-                        # concat_ws string form materializes ~20 chars
-                        # x bands per row just to throw them away
-                        F.xxhash64(*[f"m{b * rows + r}" for r in range(rows)]).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    banded = minhash_band_table(tokens, num_hashes, bands)
     # The banded table feeds BOTH sides of the bucket self-join; persist
     # so the signature pipeline (the expensive part) runs once, not twice.
     banded = _persist(banded)

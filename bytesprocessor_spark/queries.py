@@ -514,6 +514,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_streaming  # noqa: F401
     import bytesprocessor_spark.queries_curation  # noqa: F401
     import bytesprocessor_spark.queries_warehouse  # noqa: F401
+    import bytesprocessor_spark.queries_training  # noqa: F401
 
 
 @query(
@@ -590,8 +591,15 @@ _CHECK_ORDER = [
     "stream_quality_gate",
     "events_seasonality",
     "text_stats",
-    # round-5 new row: generic pigeonhole Hamming join (aHash geometry)
+    # round-5 new rows: generic pigeonhole Hamming join (aHash
+    # geometry) + the training-pipeline batch (incremental near-dup
+    # admission, intra-class outlier scrub, hard-negative mining,
+    # shard manifest)
     "dedup_block_hamming",
+    "dedup_minhash_incremental",
+    "embedding_outliers",
+    "similarity_hard_negatives",
+    "corpus_shard_manifest",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

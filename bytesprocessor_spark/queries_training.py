@@ -1,0 +1,315 @@
+"""Round-5 training-pipeline additions (SURVEY §2 L-family widening).
+
+Four operators a 100 TB pretraining-data platform runs between
+curation and the trainer:
+
+  * dedup_minhash_incremental — near-dup ADMISSION of a delta batch
+    against the standing corpus (the LSH sibling of L1b's exact-hash
+    incremental dedup): the corpus band table + shingle sets are the
+    persisted index; a batch admit costs O(delta) + one bucket join.
+  * embedding_outliers — intra-class embedding hygiene: vectors far
+    from their label centroid (top 5% by exact integer squared
+    distance) are flagged — mislabeled/corrupt sample scrubbing
+    before contrastive training.
+  * similarity_hard_negatives — contrastive hard-negative mining: per
+    query vector, the top-k most-similar vectors with a DIFFERENT
+    label (the highest-loss negatives for a triplet/InfoNCE batch).
+  * corpus_shard_manifest — deterministic shard assignment for the
+    training-shard writer plus the balance audit (per-shard load in
+    ppm of ideal) that decides whether the layout needs salting.
+
+All rows follow the corpus determinism contract (queries.py module
+docstring): exact integer arithmetic end-to-end — squared distances
+and dot products over quantized vectors, ROW_NUMBER with unique
+tiebreaks, no float reductions anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import _t, query
+
+_N_SHARDS = 16
+_HN_DIM = 64       # embedding width of the fixture corpus
+_HN_K = 5          # hard negatives per query
+_OUT_FRAC = 20     # flag top 1/20 (5%) of each label as outliers
+
+
+# ---------------------------------------------------------------------------
+# L1c: incremental MinHash near-dup admission (delta vs corpus)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_minhash_incremental",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([t[i:i+4] for i in range(1, greatest(len(t) - 4, 1) + 1)]) AS s
+           FROM d),
+    t2 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    i  AS (SELECT a.doc_id AS corpus_id, b.doc_id AS delta_id, COUNT(*) AS c
+           FROM t2 a JOIN t2 b ON a.g = b.g
+           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+           GROUP BY 1, 2)
+    SELECT corpus_id, delta_id,
+           ROUND(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+    FROM i JOIN sz x ON corpus_id = x.doc_id JOIN sz y ON delta_id = y.doc_id
+    WHERE c * 1.0 / (x.n + y.n - c) >= 0.9
+    ORDER BY corpus_id, delta_id
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1c incremental near-dup: even doc_ids play the standing corpus,
+    odd doc_ids the incoming delta; a delta doc is an admitted
+    duplicate when banded MinHash proposes a corpus collision AND exact
+    char-5-gram Jaccard >= 0.9 confirms.  The oracle computes the exact
+    cross-set pair list directly — LSH only shrinks the candidate space
+    (miss probability ~1.3e-7 at the 21x6 geometry), so the verified
+    outputs coincide (same argument as the dedup_minhash_verified row).
+
+    Scale shape: at 100 TB the corpus band table and shingle sets are
+    persisted at ingest (operators/dedup.py:minhash_band_table); each
+    batch admit shingles ONLY the delta, joins its bands against the
+    bucket index, and intersects shingle sets for just the colliding
+    pairs — the corpus is never re-read."""
+    from bytesprocessor_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    pairs = incremental_minhash_dedup(
+        corpus, delta, num_hashes=126, bands=21, shingle_size=5, threshold=0.9
+    )
+    return pairs.select(
+        "corpus_id", "delta_id", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("corpus_id", "delta_id")
+
+
+# ---------------------------------------------------------------------------
+# L3j: intra-class embedding outlier scrub
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_outliers",
+    f"""
+    WITH q AS (
+      SELECT label, vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings),
+    e AS (
+      SELECT label, vec_id,
+             unnest(list_transform(range(1, len(v) + 1),
+                                   i -> {{'pos': i, 'val': v[i]}})) AS pv
+      FROM q),
+    e2 AS (SELECT label, vec_id, pv.pos AS pos, pv.val AS val FROM e),
+    s AS (SELECT label, pos, SUM(val) AS sv, COUNT(*) AS c
+          FROM e2 GROUP BY label, pos),
+    cent AS (SELECT label, pos, CAST(ROUND(sv * 1.0 / c) AS BIGINT) AS cm FROM s),
+    d AS (
+      SELECT e2.label, e2.vec_id,
+             CAST(SUM((e2.val - cent.cm) * (e2.val - cent.cm)) AS BIGINT) AS dist_q
+      FROM e2 JOIN cent ON e2.label = cent.label AND e2.pos = cent.pos
+      GROUP BY e2.label, e2.vec_id),
+    r AS (
+      SELECT label, vec_id, dist_q,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist_q DESC, vec_id) AS rank,
+             COUNT(*) OVER (PARTITION BY label) AS n_label
+      FROM d)
+    SELECT label, vec_id, dist_q, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= CEIL(n_label / {_OUT_FRAC}.0)
+    ORDER BY label, rank
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3j intra-class outlier scrub: per label, each vector's EXACT
+    integer squared distance to the label centroid (micro-quantized,
+    centroid rounded to micro-units — the kmeans-update idiom), and the
+    top 5% most distant flagged — the mislabeled/corrupt-sample screen
+    run before any contrastive or classifier training round.
+
+    Plan: centroid build is the embedding_centroids shape (posexplode,
+    map-side partial (label, pos) sums); distances re-join the
+    BROADCAST labels x dims centroid table onto the same exploded feed
+    and partial-aggregate back to one row per vector; the 5% cut is a
+    per-label window over vector-count rows.  At 100 TB: two passes
+    over the corpus (centroid, distance), shuffles carry only
+    (label, pos) cells and per-vector partial sums — vectors never
+    pair with each other."""
+    from bytesprocessor_spark.functions.vectors import quantize_micro
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("label", "vec_id", quantize_micro(F.col("embedding")).alias("v"))
+    e = q.select("label", "vec_id", F.posexplode("v").alias("pos", "val"))
+    cent = (
+        e.groupBy("label", "pos")
+        .agg(F.sum("val").alias("sv"), F.count("*").alias("c"))
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("sv").cast("double") / F.col("c")).cast("long").alias("cm"),
+        )
+    )
+    diff = F.col("val") - F.col("cm")
+    d = (
+        e.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum(diff * diff).alias("dist_q"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist_q").desc(), "vec_id")
+    wc = Window.partitionBy("label")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_label", F.count("*").over(wc))
+        .where(F.col("rank") <= F.ceil(F.col("n_label") / float(_OUT_FRAC)))
+        .select("label", "vec_id", "dist_q", "rank")
+        .orderBy("label", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3k: contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+@query(
+    "similarity_hard_negatives",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < 10),
+    s AS (
+      SELECT q.query_id, e.vec_id, e.label AS neg_label,
+             CAST(list_sum(list_transform(range(1, {_HN_DIM} + 1),
+                                          i -> e.v[i] * q.qv[i])) AS BIGINT) AS dot_q
+      FROM e CROSS JOIN q
+      WHERE e.label <> q.q_label),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, vec_id) AS rank
+      FROM s)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, neg_label, dot_q
+    FROM r WHERE rank <= {_HN_K}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3k hard-negative mining for contrastive training: per query
+    vector, the top-5 highest-similarity vectors carrying a DIFFERENT
+    label — the negatives that dominate a triplet/InfoNCE loss.  Score
+    is the exact integer dot product of 1e3-quantized vectors (dot
+    ranks identically to cosine on the ~unit-norm corpus and keeps the
+    row hash-checkable; products bound well inside int64).
+
+    Plan: the query batch BROADCASTS onto the corpus scan (map-only
+    scoring in codegen — zip_with/aggregate over two long arrays), the
+    label-mismatch filter rides the same projection, and per-query
+    top-k is a window over query_id.  The corpus never shuffles; at
+    100 TB this is one pass per mining batch, and the IVF/PQ rows
+    (L3b/L3g) provide the same mining loop with a pruned scan when
+    exhaustive passes stop being worth it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    corpus = emb.select("vec_id", "label", qv.alias("v"))
+    queries = F.broadcast(
+        corpus.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("v").alias("qv"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.crossJoin(queries)
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            dot.alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _HN_K)
+        .select("query_id", "rank", "vec_id", "neg_label", "dot_q")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L9: training-shard assignment + balance manifest
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_shard_manifest",
+    f"""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % {_N_SHARDS} AS shard
+      FROM documents),
+    t AS (SELECT COUNT(*) AS total FROM b)
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           CAST((COUNT(*) * {_N_SHARDS} * 1000000) // (SELECT total FROM t) AS BIGINT)
+             AS load_ppm
+    FROM b GROUP BY shard ORDER BY shard
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 training-shard layout: deterministic shard assignment
+    (md5(doc_id) mod 16 — stable across runs/engines/cluster sizes,
+    the corpus_split_assign idiom) with the per-shard manifest the
+    shard writer emits: doc/char counts, id range, and load in ppm of
+    the balanced ideal (1e6 = perfectly even).  The manifest is what a
+    trainer's data loader consumes, and the load_ppm column is the
+    audit that decides whether the key needs salting before the write.
+
+    Plan: map-only bucketing + ONE partial-agg shuffle on the shard id;
+    the total broadcasts back onto the 16-row result.  Writing the
+    actual shards is `df.repartition(shard).write` with this same key
+    — 100 TB flows through one exchange."""
+    from bytesprocessor_spark.queries_curation import _h60
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "n_chars",
+        (_h60(F.col("doc_id").cast("string")) % _N_SHARDS).alias("shard"),
+    )
+    tot = b.agg(F.count("*").alias("total"))
+    return (
+        b.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_chars",
+            "min_doc",
+            "max_doc",
+            F.expr(f"n_docs * {_N_SHARDS} * 1000000 div total").alias("load_ppm"),
+        )
+        .orderBy("shard")
+    )

@@ -537,3 +537,78 @@ def test_prefix_rerank_no_cartesian_beyond_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # exactly one nested-loop (the deliberate stage-1 broadcast cross)
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_hard_negatives_windowgrouplimit_and_broadcast(spark):
+    """The mining batch must broadcast onto the corpus scan (no corpus
+    shuffle for scoring), and the per-query top-k filter must push
+    down as WindowGroupLimit so each partition pre-trims to k rows
+    before the window exchange — the difference between shuffling
+    ~k·corpus rows and ~k·partitions rows at 100 TB."""
+    df = QUERIES["similarity_hard_negatives"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert_plan(df, requires_broadcast=True)
+
+
+def test_embedding_outliers_broadcasts_centroids(spark):
+    """Distance scoring must broadcast the labels x dims centroid table
+    onto the exploded vector feed — a sort-merge join there would
+    shuffle the corpus-sized explode by (label, pos)."""
+    df = QUERIES["embedding_outliers"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_minhash_no_text_in_bucket_join(spark):
+    """The delta-vs-corpus candidate join must pair on (band, bh)
+    longs — broadcast of the (small) delta band table, or a (band,
+    bh)-keyed shuffle when the delta outgrows broadcast; document
+    text stays in the map stage either way (every exchange is keyed
+    on the doc id or the band hash, mirroring the exact-hash
+    incremental row's plan gate)."""
+    df = QUERIES["dedup_minhash_incremental"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "hashpartitioning(band" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(text" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark):
+    """100 TB posture pin: with runtime bloom filters enabled, a
+    selective dim filter injects a bloom_filter_agg on the dim side
+    and a might_contain predicate into the FACT scan stage of a
+    shuffle join — rows that can't match are dropped before the
+    exchange instead of shuffling 100 TB to be discarded by the join.
+    At real scale the default thresholds (10 GB application-side scan)
+    fire on their own; the test lowers them to make the optimization
+    observable on the fixture."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet").where(
+            F.col("p_brand") == "Brand#3"
+        )
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .count()
+        )
+        plan = executed_plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

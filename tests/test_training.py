@@ -1,0 +1,79 @@
+"""Invariant tests for the round-5 training-pipeline operators
+(queries_training.py) — semantic-shape properties; exact values are
+pinned by the DuckDB oracle rows."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import QUERIES
+from bytesprocessor_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_hard_negatives_labels_differ_and_ranks_dense(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qlabels = {r.vec_id: r.label for r in emb.where(F.col("vec_id") < 10).collect()}
+    rows = QUERIES["similarity_hard_negatives"](spark, SF_DIR).collect()
+    per_q: dict = {}
+    for r in rows:
+        assert r.neg_label != qlabels[r.query_id]  # negative by definition
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dots = [r.dot_q for r in rs]
+        assert dots == sorted(dots, reverse=True)  # monotone by rank
+
+
+def test_embedding_outliers_flags_top_five_percent_per_label(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_per_label = {
+        r.label: r.n for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    rows = QUERIES["embedding_outliers"](spark, SF_DIR).collect()
+    got: dict = {}
+    for r in rows:
+        got[r.label] = got.get(r.label, 0) + 1
+        assert r.dist_q >= 0
+    for label, n in n_per_label.items():
+        assert got.get(label, 0) == math.ceil(n / 20)
+
+
+def test_incremental_minhash_pairs_cross_set_only(spark):
+    rows = QUERIES["dedup_minhash_incremental"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.corpus_id % 2 == 0 and r.delta_id % 2 == 1
+        assert r.jaccard >= 0.9
+
+
+def test_incremental_minhash_planted_duplicate_found(spark):
+    """A delta doc that copies a corpus doc verbatim must be admitted
+    as a duplicate with jaccard 1.0."""
+    from bytesprocessor_spark.operators.dedup import incremental_minhash_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely unrelated corpus text about spark physical plans")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, "novel delta content that matches nothing in the corpus")],
+        "doc_id long, text string",
+    )
+    rows = incremental_minhash_dedup(corpus, delta, threshold=0.9).collect()
+    assert [(r.corpus_id, r.delta_id, r.jaccard) for r in rows] == [(0, 1, 1.0)]
+
+
+def test_shard_manifest_partitions_whole_corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.count()
+    rows = QUERIES["corpus_shard_manifest"](spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == total
+    assert len(rows) <= 16
+    for r in rows:
+        # balanced hash layout: every shard within 3x of ideal on the
+        # fixture (the audit column exists to catch pathological keys)
+        assert 0 < r.load_ppm < 3_000_000
