@@ -214,6 +214,82 @@ def minhash_band_table(
     ).select("id", "bb.band", "bb.bh")
 
 
+def write_neardup_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 126,
+    bands: int = 21,
+    shingle_size: int = 5,
+) -> None:
+    """Persist the corpus's near-dup index: ``<path>/bands`` — the
+    (id, band, bh) LSH bucket table, written bucketed-by-nothing but
+    sorted within files by (band, bh) so the admission join's shuffle
+    reads collate — and ``<path>/shingles`` — the per-doc shingle-hash
+    sets the exact-Jaccard verify intersects.  Built at ingest, this
+    is what makes batch/stream admission O(delta): the 100 TB corpus
+    text is never touched again (both tables are fixed-width longs,
+    ~1-2% of corpus bytes)."""
+    tokens = _persist(hashed_shingle_tokens(corpus, text_col, id_col, shingle_size))
+    bands_df = minhash_band_table(tokens, num_hashes, bands)
+    bands_df.sortWithinPartitions("band", "bh").write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+    tokens.groupBy("id").agg(F.collect_set("h").alias("sh")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/shingles")
+
+
+def neardup_admit_against_index(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 126,
+    bands: int = 21,
+    shingle_size: int = 5,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Admission of a delta batch against a PERSISTED
+    :func:`write_neardup_index`: shingle + sign ONLY the delta, join
+    its bands against the stored bucket table, verify the colliding
+    pairs against the stored shingle sets — the corpus document text
+    is provably absent from the plan (pytest-pinned).  Returns
+    (corpus_id, delta_id, jaccard) like
+    :func:`incremental_minhash_dedup`, whose in-flow result it matches
+    row-for-row."""
+    cb = spark.read.parquet(f"{index_path}/bands")
+    c_sets = spark.read.parquet(f"{index_path}/shingles")
+    d_tokens = _persist(hashed_shingle_tokens(delta, text_col, id_col, shingle_size))
+    db = minhash_band_table(d_tokens, num_hashes, bands)
+    cand = (
+        cb.alias("c")
+        .join(
+            db.alias("d"),
+            (F.col("c.band") == F.col("d.band")) & (F.col("c.bh") == F.col("d.bh")),
+        )
+        .select(F.col("c.id").alias("corpus_id"), F.col("d.id").alias("delta_id"))
+        .distinct()
+    )
+    d_sets = d_tokens.groupBy("id").agg(F.collect_set("h").alias("sh_d"))
+    paired = (
+        cand.join(
+            c_sets.select(F.col("id").alias("corpus_id"), F.col("sh").alias("sh_c")),
+            "corpus_id",
+        )
+        .join(d_sets.withColumnRenamed("id", "delta_id"), "delta_id")
+    )
+    inter_n = F.size(F.array_intersect("sh_c", "sh_d")).cast("double")
+    union_n = (F.size("sh_c") + F.size("sh_d")).cast("double") - inter_n
+    return (
+        paired.withColumn("jaccard", inter_n / union_n)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("corpus_id", "delta_id", "jaccard")
+    )
+
+
 def incremental_minhash_dedup(
     corpus: DataFrame,
     delta: DataFrame,

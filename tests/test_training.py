@@ -77,3 +77,53 @@ def test_shard_manifest_partitions_whole_corpus(spark):
         # balanced hash layout: every shard within 3x of ideal on the
         # fixture (the audit column exists to catch pathological keys)
         assert 0 < r.load_ppm < 3_000_000
+
+
+def test_persisted_neardup_index_matches_inflow_and_skips_corpus_text(spark, tmp_path):
+    """Admission against the persisted index must (a) return exactly
+    the in-flow incremental result and (b) never read the corpus
+    source — the plan's only file scans are the index tables and the
+    delta side."""
+    from bytesprocessor_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        neardup_admit_against_index,
+        write_neardup_index,
+    )
+
+    corpus_rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely unrelated corpus text about spark physical plans"),
+        (4, "a third corpus document with its own distinct wording here"),
+    ]
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(corpus_rows, "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    corpus = spark.read.parquet(corpus_path)
+    delta = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, "novel delta content that matches nothing in the corpus")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "ndidx")
+    write_neardup_index(corpus, idx)
+
+    inflow = sorted(
+        (r.corpus_id, r.delta_id, r.jaccard)
+        for r in incremental_minhash_dedup(corpus, delta, threshold=0.9).collect()
+    )
+    admitted_df = neardup_admit_against_index(spark, idx, delta, threshold=0.9)
+    admitted = sorted(
+        (r.corpus_id, r.delta_id, r.jaccard) for r in admitted_df.collect()
+    )
+    assert admitted == inflow == [(0, 1, 1.0)]
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        admitted_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ndidx" in plan            # index tables are scanned
+    assert "/corpus" not in plan      # corpus source never re-read
