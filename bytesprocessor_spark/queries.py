@@ -43,6 +43,7 @@ EAGER_QUERIES = frozenset({
     "stream_quality_gate",
     "stream_trending_topk",
     "stream_running_totals",
+    "stream_neardup_admission",
 })
 
 
@@ -600,6 +601,7 @@ _CHECK_ORDER = [
     "embedding_outliers",
     "similarity_hard_negatives",
     "corpus_shard_manifest",
+    "stream_neardup_admission",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

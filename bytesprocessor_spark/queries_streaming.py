@@ -554,3 +554,106 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(land, ignore_errors=True)
+
+
+@query(
+    "stream_neardup_admission",
+    """
+    WITH d AS (SELECT doc_id, source, lower(text) AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([t[i:i+4] for i in range(1, greatest(len(t) - 4, 1) + 1)]) AS s
+           FROM d),
+    t2 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    i  AS (SELECT a.doc_id AS cid, b.doc_id AS did, COUNT(*) AS c
+           FROM t2 a JOIN t2 b ON a.g = b.g
+           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+           GROUP BY 1, 2),
+    dup AS (SELECT DISTINCT did
+            FROM i JOIN sz x ON cid = x.doc_id JOIN sz y ON did = y.doc_id
+            WHERE c * 1.0 / (x.n + y.n - c) >= 0.9)
+    SELECT source, COUNT(*) AS n_in,
+           CAST(SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN did IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM d LEFT JOIN dup ON d.doc_id = dup.did
+    WHERE d.doc_id % 2 = 1
+    GROUP BY source ORDER BY source
+    """,
+)
+def stream_neardup_admission_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12 streaming ingest dedup gate against the PERSISTED near-dup
+    index (operators/dedup.py:write_neardup_index): the standing
+    corpus (even doc_ids) is indexed ONCE — band table + shingle sets,
+    fixed-width longs — then the delta stream (odd doc_ids, several
+    micro-batches) is admitted per batch via foreachBatch running
+    ``neardup_admit_against_index``: shingle/sign only the batch, join
+    its bands against the stored buckets, verify colliding pairs
+    exactly.  Decisions land in an append sink; per-source
+    admitted/rejected counts must equal the batch oracle (exact
+    cross-set Jaccard — LSH miss probability ~1.3e-7 at 21x6, the
+    dedup_minhash_verified argument).
+
+    Deterministic under ANY micro-batch split: each doc's verdict
+    depends only on (doc, index), never on batch co-membership.  At
+    100 TB this is the ingest-time near-dup firewall: the index is
+    ~1-2% of corpus bytes, a batch admit is O(batch) + one bucket
+    join, and the corpus text is never re-read (plan-pinned in
+    tests/test_training.py)."""
+    from bytesprocessor_spark.operators.dedup import (
+        neardup_admit_against_index,
+        write_neardup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "source", "text")
+    workdir = tempfile.mkdtemp(prefix="bp_neardup_admit_")
+    idx_dir = os.path.join(workdir, "index")
+    land_dir = os.path.join(workdir, "delta")
+    out_dir = os.path.join(workdir, "decisions")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    try:
+        write_neardup_index(corpus, idx_dir)
+        # two files -> two micro-batches under maxFilesPerTrigger=1
+        delta.repartition(2).write.mode("overwrite").parquet(land_dir)
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(land_dir)
+        )
+
+        def admit(batch_df: DataFrame, batch_id: int) -> None:
+            pairs = neardup_admit_against_index(spark, idx_dir, batch_df)
+            dup_ids = pairs.select(F.col("delta_id").alias("doc_id")).distinct()
+            (
+                batch_df.select("doc_id", "source")
+                .join(dup_ids.withColumn("__dup", F.lit(True)), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "source",
+                    F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+                )
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        agg = (
+            spark.read.parquet(out_dir)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_in"),
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+                F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).alias("n_clean"),
+            )
+            .orderBy("source")
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
