@@ -116,6 +116,7 @@ HEADLINE = [
     "embedding_outliers",
     "similarity_hard_negatives",
     "corpus_shard_manifest",
+    "corpus_weighted_sample",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -602,6 +602,7 @@ _CHECK_ORDER = [
     "similarity_hard_negatives",
     "corpus_shard_manifest",
     "stream_neardup_admission",
+    "corpus_weighted_sample",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

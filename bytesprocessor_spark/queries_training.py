@@ -313,3 +313,69 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# L7c: deterministic importance-weighted subsampling (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+
+
+@query(
+    "corpus_weighted_sample",
+    f"""
+    WITH b AS (
+      SELECT doc_id, source, n_chars,
+             CAST(ROUND(1000000000 * LN(
+                    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     + 1) / 1152921504606846976.0)
+                  / n_chars) AS BIGINT) AS priority_nano
+      FROM documents),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY priority_nano DESC, doc_id) AS rank
+      FROM b)
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, n_chars, priority_nano
+    FROM r WHERE rank <= {_WS_K}
+    ORDER BY rank
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7c weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis, IPL'06 A-Res): each doc draws u = md5-uniform in (0,1]
+    and competes with key u^(1/w); the global top-k IS an exact
+    w-weighted sample — the one-pass, merge-friendly way to draw
+    'sample 100k docs proportional to DSIR weight / length' from
+    100 TB.  Here w = n_chars (swap in any weight column).
+
+    Determinism: u is hash-derived (seeded re-runs reproduce the
+    sample — the corpus_split_assign property, which random() samplers
+    lack), and the ordering key is ln(u)/w quantized to integer nanos
+    with a doc_id tiebreak, so both engines rank identically (ln is
+    the 1e-6-surprisal idiom, here at 1e-9 since w divides it down).
+
+    Plan: key is a map-only expression; global top-k plans as
+    TakeOrderedAndProject — per-partition heaps of k rows merge on the
+    driver, no full sort, no shuffle of the corpus.  Rank is a window
+    over the k survivors only."""
+    from bytesprocessor_spark.queries_curation import _h60
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (_h60(F.col("doc_id").cast("string")) + 1) / F.lit(1152921504606846976.0)
+    b = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.lit(1e9) * F.log(u) / F.col("n_chars"))
+        .cast("long")
+        .alias("priority_nano"),
+    )
+    top = b.orderBy(F.col("priority_nano").desc(), "doc_id").limit(_WS_K)
+    w = Window.orderBy(F.col("priority_nano").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "source",
+        "n_chars",
+        "priority_nano",
+    ).orderBy("rank")

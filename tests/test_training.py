@@ -127,3 +127,19 @@ def test_persisted_neardup_index_matches_inflow_and_skips_corpus_text(spark, tmp
     plan = buf.getvalue()
     assert "ndidx" in plan            # index tables are scanned
     assert "/corpus" not in plan      # corpus source never re-read
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """A w-weighted sample must over-represent heavy documents: the
+    sampled docs' mean weight exceeds the corpus mean (statistical
+    certainty at fixture scale), and priorities are valid (<= 0,
+    monotone by rank)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    mean_w = docs.agg(F.avg("n_chars")).collect()[0][0]
+    rows = QUERIES["corpus_weighted_sample"](spark, SF_DIR).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    pri = [r.priority_nano for r in rows]
+    assert pri == sorted(pri, reverse=True)
+    assert all(p <= 0 for p in pri)  # ln(u)/w with u in (0,1]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > mean_w
