@@ -612,3 +612,25 @@ def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """100 TB posture pin: a fact table partitioned on the join key
+    must get a dynamicpruningexpression in its PartitionFilters when
+    joined to a filtered dim — the scan reads only the partitions the
+    dim's surviving keys name, instead of all of them.  This is the
+    at-rest layout contract for date-partitioned event/order lakes
+    (partition by day, join to a filtered calendar/dim)."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    part_dir = str(tmp_path / "orders_part")
+    o.write.partitionBy("o_year").mode("overwrite").parquet(part_dir)
+    fact = spark.read.parquet(part_dir)
+    dim = spark.createDataFrame(
+        [(1995, "keep"), (1996, "keep"), (1997, "drop")], "y int, tag string"
+    ).where(F.col("tag") == "keep")
+    j = fact.join(dim, fact.o_year == dim.y).groupBy("y").count()
+    plan = executed_plan(j)
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() > 0
