@@ -281,3 +281,23 @@ def read_parquet_evolved(
     for df in frames[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Idempotent partition backfill (S13): rewrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched —
+    Spark's dynamic partitionOverwriteMode, scoped to this one write.
+
+    This is the reprocessing primitive of a date-partitioned lake:
+    re-deriving one bad day re-lands exactly that day's directories,
+    re-running it is a no-op change, and a crashed backfill never
+    truncates the table the way static overwrite mode (which drops ALL
+    partitions first) would.  At 100 TB the write's cost is the
+    touched partitions, full stop."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -495,3 +495,28 @@ def test_cuped_fixture_readout_shape(spark):
         assert r.n_users > 0
         # the adjustment is a correction, not a rewrite: same ballpark
         assert abs(r.cuped_adjusted_post - r.mean_post) < max(abs(r.mean_post), 1.0)
+
+
+def test_overwrite_partitions_touches_only_named_partitions(spark, tmp_path):
+    """Dynamic-overwrite backfill: rewriting one partition's data must
+    leave sibling partitions byte-identical and must not drop them
+    (static overwrite truncates the whole table first — the failure
+    mode this helper exists to prevent); re-running the same backfill
+    is idempotent."""
+    from bytesprocessor_spark.sources.tables import overwrite_partitions
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, day string, v long",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    fix = spark.createDataFrame([(2, "a", 99)], "id long, day string, v long")
+    overwrite_partitions(fix, path, ["day"])
+    rows = {(r.id, r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {(2, "a", 99), (3, "b", 30), (4, "c", 40)}  # b, c intact
+
+    overwrite_partitions(fix, path, ["day"])  # idempotent re-run
+    rows2 = {(r.id, r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows2 == rows
