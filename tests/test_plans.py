@@ -634,3 +634,15 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     plan = executed_plan(j)
     assert "dynamicpruning" in plan.lower()
     assert j.count() > 0
+
+
+def test_corpus_wide_plan_audit_clean(spark):
+    """The whole-registry generalization of the gates above: EXPLAIN
+    every non-eager entry and assert no un-allowlisted cartesian /
+    nested-loop / row-at-a-time-Python operator anywhere (allowlist
+    with per-entry reasons in tools/plan_audit.py).  ~90 s of pure
+    planning — the price of making the 100 TB posture a property of
+    the REGISTRY, not just of the entries someone remembered to gate."""
+    from tools.plan_audit import audit
+
+    assert audit(spark, SF_DIR) == []

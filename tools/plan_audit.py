@@ -1,0 +1,152 @@
+"""Corpus-wide physical-plan audit: EXPLAIN every non-eager registry
+entry and flag 100 TB anti-patterns.
+
+The per-operator plan gates in tests/test_plans.py pin the headline
+shapes; this tool generalizes the enforcement to the WHOLE registry so
+a new entry cannot quietly ship a cartesian product, a row-at-a-time
+Python UDF, or an unbounded nested-loop join.  Planning only — no
+query executes (EAGER_QUERIES are skipped, their callables run real
+jobs at construction).
+
+Checks per entry:
+  * CartesianProduct        — forbidden unless allowlisted (declared
+                              brute-force / tiny-literal cross joins)
+  * BroadcastNestedLoopJoin — same allowlist (range predicates and
+                              k-row broadcast frames are legitimate)
+  * BatchEvalPython / row-at-a-time PythonUDF — always forbidden; the
+                              Python seams must be Arrow-batched
+                              (ArrowEvalPython / FlatMapsInPandas)
+
+Usage:
+    python tools/plan_audit.py [--sf /root/testdata/sf0.001]
+Exit 1 on any violation; prints one line per audited entry on -v.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# Entries whose plans legitimately contain a nested-loop or cartesian
+# operator, each with the reason the shape is correct AT SCALE:
+ALLOW_NESTED_LOOP = {
+    # declared brute-force exact scorers: the corpus side streams once
+    # against a BROADCAST k-row query/probe batch — a bounded
+    # nested-loop by design, with LSH/IVF/PQ as the scale dispatch
+    "similarity_topk",
+    "similarity_hard_negatives",
+    "dedup_embedding_pairs",
+    "dedup_embedding_keep",
+    "multimodal_image_ann",
+    # k-means / IVF assignment: k-row centroid literal broadcast onto
+    # the scan (map-only fan-out, collapses before any shuffle)
+    "embedding_kmeans",
+    "similarity_ivf_topk",
+    # 1-row/tiny-literal broadcast frames (bounds, totals, checkpoint
+    # lists) cross-joined onto aggregates — O(rows) work, no pair blowup
+    "events_gap_fill",
+    "drift_psi_orders",
+    "corpus_shard_manifest",
+    "corpus_mixture",
+    "corpus_dsir_weights",
+    "text_vocab_growth",
+    "events_cuped",
+    "events_ab_test",
+    "text_classifier_score",
+    "quality_benford",
+    "text_collocations",
+    "text_bigram_surprisal",
+    "agg_winsorized_stats",
+    "similarity_prefix_rerank",
+    "embedding_gram_matrix",
+    "interval_concurrency",
+    "profile_orders_card",
+    "text_contamination",
+    "stream_trending_topk",
+    # explicit CROSS JOIN semantics entry (J5): the operator IS the test
+    "join_cross",
+    # recursive CTE / lateral: Spark plans the correlated step as a
+    # nested loop over the (bounded) iteration frontier
+    "sql_recursive_cte",
+    "sql_lateral_topn",
+    "sql_scalar_cte",
+    "sql_not_in_nulls",
+    # scalar-subquery totals (COUNT/SUM frames) joined onto a grouped
+    # result — Spark plans the 1-row side as BroadcastNestedLoopJoin;
+    # O(groups) work, no pair blowup
+    "orders_market_basket",
+    "agg_hll_sketch",
+    "q11_important_parts",
+    "q22_dormant_customers",
+    "events_funnel",
+    "text_tfidf_topterms",
+    "text_unigram_surprisal",
+    "key_skew_report",
+    "corpus_mixture_sample",
+    # non-equi predicates by definition: bucketed range join (the
+    # bucket equi-key bounds the pairing; the residual range rides the
+    # nested loop), support-floor triangle enumeration, Levenshtein
+    # threshold linkage over length-blocked candidates
+    "range_join_tiers",
+    "graph_triangles",
+    "sql_fuzzy_match",
+}
+
+# Entries whose Python seam is a SQL UDTF (U5): Spark executes Python
+# UDTFs row-oriented (BatchEvalPythonUDTF) by design — the row is the
+# demonstration of the UDTF surface, not a hot-path operator.
+ALLOW_PYTHON_UDTF = {
+    "udtf_chunk_ranges",
+}
+
+
+def audit(spark, sf_dir: str, verbose: bool = False) -> list[str]:
+    from bytesprocessor_spark.plans.explain import executed_plan
+    from bytesprocessor_spark.queries import EAGER_QUERIES, QUERIES
+
+    violations = []
+    for name, fn in QUERIES.items():
+        if name in EAGER_QUERIES:
+            continue
+        try:
+            plan = executed_plan(fn(spark, sf_dir))
+        except Exception as e:  # a planning failure is itself a violation
+            violations.append(f"{name}: EXPLAIN failed: {e}")
+            continue
+        probs = []
+        if "CartesianProduct" in plan and name not in ALLOW_NESTED_LOOP:
+            probs.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_NESTED_LOOP:
+            probs.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan and name not in ALLOW_PYTHON_UDTF:
+            probs.append("row-at-a-time PythonUDF (BatchEvalPython)")
+        if probs:
+            violations.append(f"{name}: {', '.join(probs)}")
+        elif verbose:
+            print(f"ok {name}")
+    return violations
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+
+    from bytesprocessor_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    violations = audit(spark, args.sf, args.verbose)
+    if violations:
+        print("PLAN VIOLATIONS:")
+        for v in violations:
+            print(f"  {v}")
+        sys.exit(1)
+    print("plan audit clean")
+
+
+if __name__ == "__main__":
+    main()
