@@ -299,6 +299,8 @@ def incremental_minhash_dedup(
     bands: int = 21,
     shingle_size: int = 5,
     threshold: float = 0.9,
+    corpus_tokens: DataFrame | None = None,
+    delta_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup ADMISSION for a delta batch against an existing corpus
     — the incremental form of LSH-then-verify (the near-dup sibling of
@@ -319,8 +321,19 @@ def incremental_minhash_dedup(
     Returns (corpus_id, delta_id, jaccard) for verified pairs at or
     above ``threshold``, one row per admitted duplicate relation.
     """
-    c_tokens = _persist(hashed_shingle_tokens(corpus, text_col, id_col, shingle_size))
-    d_tokens = _persist(hashed_shingle_tokens(delta, text_col, id_col, shingle_size))
+    # ``corpus_tokens``/``delta_tokens``: optional pre-built (persisted)
+    # hashed_shingle_tokens feeds — when both sides come from one source
+    # table, shingle it ONCE and split, instead of two scans+persists.
+    c_tokens = (
+        corpus_tokens
+        if corpus_tokens is not None
+        else _persist(hashed_shingle_tokens(corpus, text_col, id_col, shingle_size))
+    )
+    d_tokens = (
+        delta_tokens
+        if delta_tokens is not None
+        else _persist(hashed_shingle_tokens(delta, text_col, id_col, shingle_size))
+    )
     cb = minhash_band_table(c_tokens, num_hashes, bands)
     db = minhash_band_table(d_tokens, num_hashes, bands)
     cand = (

@@ -75,13 +75,27 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch admit shingles ONLY the delta, joins its bands against the
     bucket index, and intersects shingle sets for just the colliding
     pairs — the corpus is never re-read."""
-    from bytesprocessor_spark.operators.dedup import incremental_minhash_dedup
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+    from bytesprocessor_spark.operators.dedup import (
+        hashed_shingle_tokens,
+        incremental_minhash_dedup,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     delta = docs.where(F.col("doc_id") % 2 == 1)
+    # both sides come from one table: shingle once, split by parity —
+    # one scan + one persist instead of two of each
+    tokens = persist_intermediate(hashed_shingle_tokens(docs, shingle_size=5))
     pairs = incremental_minhash_dedup(
-        corpus, delta, num_hashes=126, bands=21, shingle_size=5, threshold=0.9
+        corpus,
+        delta,
+        num_hashes=126,
+        bands=21,
+        shingle_size=5,
+        threshold=0.9,
+        corpus_tokens=tokens.where(F.col("id") % 2 == 0),
+        delta_tokens=tokens.where(F.col("id") % 2 == 1),
     )
     return pairs.select(
         "corpus_id", "delta_id", F.round("jaccard", 6).alias("jaccard")
