@@ -117,6 +117,12 @@ HEADLINE = [
     "similarity_hard_negatives",
     "corpus_shard_manifest",
     "corpus_weighted_sample",
+    # round-5 eval-metrics batch — the cluster-aware split first (it
+    # runs the full Jaccard pair scan + connected components)
+    "corpus_leakage_safe_split",
+    "eval_auc",
+    "eval_pr_curve",
+    "events_group_kfold",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -516,6 +516,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_curation  # noqa: F401
     import bytesprocessor_spark.queries_warehouse  # noqa: F401
     import bytesprocessor_spark.queries_training  # noqa: F401
+    import bytesprocessor_spark.queries_eval  # noqa: F401
 
 
 @query(
@@ -631,6 +632,12 @@ _CHECK_ORDER = [
     "sql_group_by_all",
     "bitwise_funcs",
     "grouping_sets_sql",
+    # round-5 eval-metrics batch: distributed classifier readouts
+    "corpus_leakage_safe_split",
+    "eval_auc",
+    "eval_pr_curve",
+    "eval_calibration",
+    "events_group_kfold",
     "from_json_funcs",
     "multimodal_video_frames",
     "sql_exists_in_subquery",

@@ -1,0 +1,364 @@
+"""Model-evaluation readouts for the training-data platform (round 5).
+
+A curation pipeline that scores documents (quality classifiers,
+dedup-risk models, toxicity filters) needs the evaluation loop to run
+WHERE THE DATA IS — exporting a 100 TB score table to a single-node
+eval harness is the anti-pattern.  These rows compute the standard
+classifier metrics as distributed aggregates:
+
+  * eval_auc         — exact tie-aware ROC-AUC via the rank-sum (Mann-
+                       Whitney U) identity over score-grouped counts.
+  * eval_pr_curve    — precision/recall/F1 sweep over a fixed
+                       threshold grid on min-max-normalized scores.
+  * eval_calibration — reliability diagram (10 bins) + per-bin
+                       calibration gap, the ECE building block.
+  * events_group_kfold — group-aware K-fold assignment (all events of
+                       a user share a fold — the GroupKFold guard
+                       against user-level leakage) with a per-fold
+                       stratification audit.
+
+Determinism contract (queries.py module docstring): scores are
+micro-quantized integers, every ratio is integer-divided into ppm /
+micro units, rank logic uses count-based identities rather than float
+average-ranks — bit-identical on Spark and DuckDB.
+
+Scale notes: the only global structures are (a) the distinct-score
+table, bounded by the 2e6-wide quantized score domain regardless of
+corpus size, and (b) the 11/10-row threshold/bin grids.  Corpus-sized
+data is touched by map-side partial aggregates only; no per-row
+window ever runs over the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import _t, query
+
+# Shared (label, score) derivation: binary label = label % 2, score =
+# micro-quantized sum of the first two embedding components.  The
+# score is a stand-in for any model margin column; the metric math
+# below never looks inside it.
+_DUCK_SCORED = """
+      SELECT vec_id,
+             CAST(label % 2 AS BIGINT) AS y,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           + CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS score
+      FROM embeddings
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = lambda i: F.round(  # noqa: E731
+        F.element_at("embedding", i).cast("double") * 1_000_000
+    ).cast("long")
+    return e.select(
+        "vec_id",
+        (F.col("label") % 2).cast("long").alias("y"),
+        (q(1) + q(2)).alias("score"),
+    )
+
+
+# min-max normalization to micro-probability [0, 1e6]; GREATEST guards
+# the degenerate all-equal-scores corpus on both engines.
+_DUCK_PM = f"""
+    b AS ({_DUCK_SCORED}),
+    mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM b),
+    p AS (SELECT y,
+                 CAST(((score - lo) * 1000000) // GREATEST(hi - lo, 1) AS BIGINT) AS pm
+          FROM b, mm)
+"""
+
+
+def _pm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _scored(spark, sf_dir)
+    mm = b.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    span = F.greatest(F.col("hi") - F.col("lo"), F.lit(1))
+    return b.crossJoin(F.broadcast(mm)).select(
+        "y",
+        F.expr("(score - lo) * 1000000").cast("long").alias("num"),
+        span.alias("span"),
+    ).select("y", F.expr("num div span").alias("pm"))
+
+
+# ---------------------------------------------------------------------------
+# EV1: exact tie-aware ROC-AUC (rank-sum identity)
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_auc",
+    f"""
+    WITH b AS ({_DUCK_SCORED}),
+    s AS (SELECT score,
+                 CAST(SUM(y) AS BIGINT) AS p,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS n
+          FROM b GROUP BY score),
+    c AS (SELECT p, n,
+                 COALESCE(CAST(SUM(n) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS cumn
+          FROM s),
+    t AS (SELECT CAST(SUM(p * (2 * cumn + n)) AS BIGINT) AS two_u,
+                 CAST(SUM(p) AS BIGINT) AS n_pos,
+                 CAST(SUM(n) AS BIGINT) AS n_neg
+          FROM c)
+    SELECT n_pos, n_neg, two_u,
+           CAST((two_u * 1000000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+    FROM t
+    """,
+)
+def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV1 exact ROC-AUC, distributed and tie-aware.
+
+    Identity: with per-distinct-score positive/negative counts (p_s,
+    n_s) and cumn_s = negatives strictly below s,
+        2U = SUM_s p_s * (2*cumn_s + n_s)
+    counts each (pos, neg) pair twice when pos outranks neg and once
+    on ties — exactly the average-rank Mann-Whitney statistic without
+    any float rank arithmetic.  AUC = U / (P*N), reported in exact
+    integer micro-units.
+
+    Plan: one map-side partial aggregate collapses the corpus to the
+    distinct-score table (bounded by the 2e6-point quantized score
+    domain, NOT by corpus rows), a single-partition prefix window runs
+    over that bounded table, and a scalar aggregate finishes.  At
+    100 TB the corpus-sized stage is the partial agg; nothing
+    row-count-sized ever sits in one partition.  int64 bound: 2U <=
+    2*P*N — overflows past ~2.1e9 pos x neg pairs per side-pair
+    product; assert-documented like the Gram-matrix row."""
+    b = _scored(spark, sf_dir)
+    s = b.groupBy("score").agg(
+        F.sum("y").alias("p"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.select(
+        "p", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cumn")
+    )
+    t = c.agg(
+        F.sum(F.col("p") * (2 * F.col("cumn") + F.col("n"))).alias("two_u"),
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        "two_u",
+        F.expr("(two_u * 1000000) div (2 * n_pos * n_neg)").alias("auc_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV2: precision/recall/F1 threshold sweep
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_pr_curve",
+    f"""
+    WITH {_DUCK_PM},
+    g AS (SELECT LEAST(pm // 100000, 10) AS bkt,
+                 CAST(SUM(y) AS BIGINT) AS tp_b,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS fp_b
+          FROM p GROUP BY 1),
+    grid AS (SELECT unnest(range(0, 11)) AS bkt),
+    j AS (SELECT grid.bkt,
+                 COALESCE(tp_b, 0) AS tp_b, COALESCE(fp_b, 0) AS fp_b
+          FROM grid LEFT JOIN g ON grid.bkt = g.bkt),
+    c AS (SELECT bkt,
+                 CAST(SUM(tp_b) OVER (ORDER BY bkt DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                 CAST(SUM(fp_b) OVER (ORDER BY bkt DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+                 CAST((SELECT SUM(y) FROM p) AS BIGINT) AS pos
+          FROM j),
+    m AS (SELECT CAST(bkt * 100000 AS BIGINT) AS threshold_micro,
+                 tp, fp, pos - tp AS fn,
+                 CASE WHEN tp + fp = 0 THEN 1000000
+                      ELSE (tp * 1000000) // (tp + fp) END AS precision_ppm,
+                 (tp * 1000000) // GREATEST(pos, 1) AS recall_ppm
+          FROM c)
+    SELECT threshold_micro, tp, fp, fn, precision_ppm, recall_ppm,
+           CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+                ELSE (2 * precision_ppm * recall_ppm)
+                     // (precision_ppm + recall_ppm) END AS f1_ppm
+    FROM m
+    ORDER BY threshold_micro
+    """,
+)
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV2 PR sweep: scores min-max-normalized to micro-probability,
+    11 thresholds at 0.1 steps, TP/FP via a descending cumulative sum
+    over the 11-bucket histogram — one corpus-sized partial aggregate,
+    then all threshold math runs on an 11-row frame.  The empty-
+    prediction convention precision(0 predictions) = 1.0 is pinned in
+    both engines.  min/max is a scalar aggregate broadcast back onto
+    the feed — no second corpus shuffle."""
+    pm = _pm(spark, sf_dir)
+    g = (
+        pm.groupBy(F.least(F.expr("pm div 100000"), F.lit(10)).alias("bkt"))
+        .agg(
+            F.sum("y").alias("tp_b"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("fp_b"),
+        )
+    )
+    grid = spark.range(0, 11).select(F.col("id").alias("bkt"))
+    j = grid.join(F.broadcast(g), "bkt", "left").select(
+        "bkt",
+        F.coalesce("tp_b", F.lit(0)).alias("tp_b"),
+        F.coalesce("fp_b", F.lit(0)).alias("fp_b"),
+    )
+    w = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pos = pm.agg(F.sum("y").alias("pos"))
+    c = j.select(
+        "bkt",
+        F.sum("tp_b").over(w).alias("tp"),
+        F.sum("fp_b").over(w).alias("fp"),
+    ).crossJoin(F.broadcast(pos))
+    m = c.select(
+        (F.col("bkt") * 100000).cast("long").alias("threshold_micro"),
+        "tp",
+        "fp",
+        (F.col("pos") - F.col("tp")).alias("fn"),
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(1000000))
+        .otherwise(F.expr("(tp * 1000000) div (tp + fp)"))
+        .alias("precision_ppm"),
+        F.expr("(tp * 1000000) div greatest(pos, 1)").alias("recall_ppm"),
+    )
+    return m.select(
+        "*",
+        F.when(F.col("precision_ppm") + F.col("recall_ppm") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)"
+            )
+        )
+        .alias("f1_ppm"),
+    ).orderBy("threshold_micro")
+
+
+# ---------------------------------------------------------------------------
+# EV3: calibration / reliability bins
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_calibration",
+    f"""
+    WITH {_DUCK_PM},
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM p),
+    g AS (SELECT LEAST(pm // 100000, 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pm) AS BIGINT) AS sum_pm,
+                 CAST(SUM(y) AS BIGINT) AS sum_y
+          FROM p GROUP BY 1)
+    SELECT CAST(bin AS BIGINT) AS bin, n,
+           sum_pm // n AS mean_pred_micro,
+           (sum_y * 1000000) // n AS frac_pos_micro,
+           ABS(sum_pm // n - (sum_y * 1000000) // n) AS gap_micro,
+           (n * 1000000) // total AS weight_ppm
+    FROM g, t
+    ORDER BY bin
+    """,
+)
+def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV3 reliability diagram: normalized scores into 10 equal-width
+    bins; per bin the mean predicted micro-probability, the empirical
+    positive rate, their absolute gap (the ECE summand), and the bin
+    weight in ppm.  ECE = SUM(weight * gap) downstream.  One partial
+    aggregate to <=10 rows; integer division end-to-end."""
+    pm = _pm(spark, sf_dir)
+    g = pm.groupBy(
+        F.least(F.expr("pm div 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pm").alias("sum_pm"),
+        F.sum("y").alias("sum_y"),
+    )
+    t = pm.agg(F.count(F.lit(1)).alias("total"))
+    mean_pred = F.expr("sum_pm div n")
+    frac_pos = F.expr("(sum_y * 1000000) div n")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            mean_pred.alias("mean_pred_micro"),
+            frac_pos.alias("frac_pos_micro"),
+            F.abs(mean_pred - frac_pos).alias("gap_micro"),
+            F.expr("(n * 1000000) div total").alias("weight_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV4: group-aware K-fold with stratification audit
+# ---------------------------------------------------------------------------
+
+_K_FOLDS = 5
+
+@query(
+    "events_group_kfold",
+    f"""
+    WITH f AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % {_K_FOLDS} AS fold,
+             event_type
+      FROM events),
+    g AS (SELECT fold, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM f GROUP BY fold, event_type),
+    ft AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS fold_total FROM g GROUP BY fold),
+    gt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS type_total FROM g GROUP BY event_type),
+    tt AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT g.fold AS fold, g.event_type AS event_type, g.n AS n, ft.fold_total AS fold_total,
+           (g.n * 1000000) // ft.fold_total AS share_ppm,
+           (gt.type_total * 1000000) // tt.total AS global_share_ppm,
+           ABS((g.n * 1000000) // ft.fold_total
+               - (gt.type_total * 1000000) // tt.total) AS skew_ppm
+    FROM g JOIN ft ON g.fold = ft.fold
+           JOIN gt ON g.event_type = gt.event_type, tt
+    ORDER BY g.fold, g.event_type
+    """,
+)
+def events_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV4 GroupKFold: fold = md5(user_id) % K, so every event of a
+    user lands in ONE fold — the leakage guard cross-validation needs
+    when rows of the same entity are correlated.  The readout is the
+    stratification audit: each fold's event-type mix in ppm against
+    the global mix (skew_ppm near 0 = folds are exchangeable).
+
+    Plan: fold assignment is a map-side hash (no shuffle); one partial
+    aggregate to (K x n_types) cells; fold/type/global totals re-
+    aggregate the tiny cell table and broadcast-join back.  Nothing
+    beyond the first partial agg scales with the corpus."""
+    from bytesprocessor_spark.queries_curation import _h60
+
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        (_h60(F.col("user_id").cast("string")) % _K_FOLDS).alias("fold"),
+        "event_type",
+    )
+    g = f.groupBy("fold", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    ft = g.groupBy("fold").agg(F.sum("n").alias("fold_total"))
+    gt = g.groupBy("event_type").agg(F.sum("n").alias("type_total"))
+    tt = g.agg(F.sum("n").alias("total"))
+    share = F.expr("(n * 1000000) div fold_total")
+    gshare = F.expr("(type_total * 1000000) div total")
+    return (
+        g.join(F.broadcast(ft), "fold")
+        .join(F.broadcast(gt), "event_type")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "fold",
+            "event_type",
+            "n",
+            "fold_total",
+            share.alias("share_ppm"),
+            gshare.alias("global_share_ppm"),
+            F.abs(share - gshare).alias("skew_ppm"),
+        )
+        .orderBy("fold", "event_type")
+    )

@@ -393,3 +393,88 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "priority_nano",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# L10: leakage-safe train/val/test split (near-dup-cluster aware)
+# ---------------------------------------------------------------------------
+
+from bytesprocessor_spark.queries_llm import _DUCK_WORD3
+
+
+@query(
+    "corpus_leakage_safe_split",
+    f"""
+    WITH RECURSIVE sh AS ({_DUCK_WORD3}),
+    t  AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    i  AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    p  AS (SELECT id_a, id_b
+           FROM i JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+           WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+    e  AS (SELECT id_a AS a, id_b AS b FROM p
+           UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(LEAST(d.doc_id, MIN(r.b)), d.doc_id) AS BIGINT) AS component
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id),
+    s AS (
+      SELECT doc_id, component,
+             CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15) AS BIGINT)
+             % 10 AS slot
+      FROM comp)
+    SELECT doc_id, component,
+           CASE WHEN slot <= 7 THEN 'train'
+                WHEN slot = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 leakage-safe split: a doc-level hash split leaks when two
+    near-duplicate documents land on opposite sides of train/val — the
+    eval set then contains (near-)copies of training data and the
+    perplexity/benchmark readout is contaminated.  This operator
+    splits by NEAR-DUP CLUSTER: word-3-gram Jaccard >= 0.5 edges feed
+    distributed connected components (operators/graph.py), and the
+    8/1/1 train/val/test assignment hashes the CLUSTER id, so every
+    member of a transitive near-dup family shares one side by
+    construction.  The oracle recomputes the components via a
+    recursive-CTE closure and applies the same md5 slot rule — the
+    whole iterative pipeline is value-checked, split rule included.
+
+    Scale: the pair scan is the exact_jaccard_pairs machinery (PPJoin
+    prefix filtering — shuffle keys are shingles, never pairs);
+    components iterate min-label propagation with localCheckpoint
+    lineage cuts; the split itself is a map-side hash of the component
+    id.  Nothing beyond the pair scan scales superlinearly."""
+    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
+    from bytesprocessor_spark.operators.graph import cluster_keep
+    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
+    comp = cluster_keep(docs, pairs.select("id_a", "id_b"))
+    from bytesprocessor_spark.queries_curation import _h60
+
+    slot = _h60(F.col("component").cast("string")) % 10
+    return (
+        comp.select(
+            "doc_id",
+            "component",
+            F.when(slot <= 7, F.lit("train"))
+            .when(slot == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

@@ -66,6 +66,11 @@ ALLOW_NESTED_LOOP = {
     "profile_orders_card",
     "text_contamination",
     "stream_trending_topk",
+    # eval-metrics batch: 1-row scalar aggregates (min/max score,
+    # positive/total counts) broadcast back onto bounded grids/bins
+    "eval_pr_curve",
+    "eval_calibration",
+    "events_group_kfold",
     # explicit CROSS JOIN semantics entry (J5): the operator IS the test
     "join_cross",
     # recursive CTE / lateral: Spark plans the correlated step as a
