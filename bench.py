@@ -120,6 +120,7 @@ HEADLINE = [
     # round-5 eval-metrics batch — the cluster-aware split first (it
     # runs the full Jaccard pair scan + connected components)
     "corpus_leakage_safe_split",
+    "dedup_threshold_sweep",
     "eval_auc",
     "eval_pr_curve",
     "events_group_kfold",

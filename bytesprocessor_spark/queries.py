@@ -634,6 +634,7 @@ _CHECK_ORDER = [
     "grouping_sets_sql",
     # round-5 eval-metrics batch: distributed classifier readouts
     "corpus_leakage_safe_split",
+    "dedup_threshold_sweep",
     "eval_auc",
     "eval_pr_curve",
     "eval_calibration",

@@ -478,3 +478,83 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L11: dedup-threshold sensitivity sweep (curation planning readout)
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = [500_000, 700_000, 800_000, 900_000]
+
+@query(
+    "dedup_threshold_sweep",
+    f"""
+    WITH sh AS ({_DUCK_WORD3}),
+    t  AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    i  AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    p  AS (SELECT id_a, id_b, c * 1.0 / (x.n + y.n - c) AS jaccard
+           FROM i JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+           WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+    th AS (SELECT unnest({_SWEEP_THRESHOLDS}) AS threshold_micro),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    f  AS (SELECT th.threshold_micro, p.id_a, p.id_b
+           FROM th LEFT JOIN p ON p.jaccard * 1000000 >= th.threshold_micro),
+    g  AS (SELECT threshold_micro,
+                  CAST(COUNT(id_a) AS BIGINT) AS n_pairs,
+                  CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped
+           FROM f GROUP BY threshold_micro)
+    SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro, n_pairs, n_dropped, n_docs,
+           ((n_docs - n_dropped) * 1000000) // n_docs AS yield_ppm
+    FROM g, nd
+    ORDER BY threshold_micro
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 dedup sensitivity sweep: how aggressive should near-dup
+    dedup be?  One exact pair scan at the LOOSEST threshold (0.5)
+    serves every stricter threshold as a filter — per threshold the
+    readout is qualifying pair count, docs dropped under the pairwise
+    min-id-survives rule, and corpus yield in ppm.  The curve is what
+    a data-mix owner reads before committing a threshold for the full
+    100 TB dedup run.
+
+    Determinism: the jaccard double is the same correctly-rounded
+    division on both engines (the dedup_jaccard_pairs argument), and
+    the threshold compare multiplies it back to micro-units against an
+    integer literal — no engine-specific rounding anywhere.
+
+    Plan: the pair scan is exact_jaccard_pairs' PPJoin machinery
+    (prefix-filtered inverted-index join — shuffle keys are shingles,
+    never pairs); the sweep itself cross-joins the pair list with a
+    4-row broadcast literal.  Cost = one 0.5-threshold scan,
+    amortized over all thresholds."""
+    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
+    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold_micro long"
+    )
+    f = F.broadcast(th).join(
+        pairs, pairs["jaccard"] * 1_000_000 >= th["threshold_micro"], "left"
+    )
+    g = f.groupBy("threshold_micro").agg(
+        F.count("id_a").alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        g.crossJoin(F.broadcast(nd))
+        .select(
+            "threshold_micro",
+            "n_pairs",
+            "n_dropped",
+            "n_docs",
+            F.expr("((n_docs - n_dropped) * 1000000) div n_docs").alias("yield_ppm"),
+        )
+        .orderBy("threshold_micro")
+    )

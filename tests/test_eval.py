@@ -136,3 +136,18 @@ def test_leakage_safe_split_never_separates_near_dups(spark):
     assert len(side) == docs.count()
     n_train = sum(1 for v in side.values() if v == "train")
     assert n_train > len(side) // 2
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    rows = QUERIES["dedup_threshold_sweep"](spark, SF_DIR).collect()
+    assert [r.threshold_micro for r in rows] == [500000, 700000, 800000, 900000]
+    pairs = [r.n_pairs for r in rows]
+    dropped = [r.n_dropped for r in rows]
+    yields = [r.yield_ppm for r in rows]
+    # stricter threshold => fewer qualifying pairs, fewer drops, more yield
+    assert pairs == sorted(pairs, reverse=True)
+    assert dropped == sorted(dropped, reverse=True)
+    assert yields == sorted(yields)
+    for r in rows:
+        assert r.n_dropped <= r.n_pairs or r.n_pairs == 0
+        assert r.yield_ppm == (r.n_docs - r.n_dropped) * 1_000_000 // r.n_docs
