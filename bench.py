@@ -124,6 +124,7 @@ HEADLINE = [
     "eval_auc",
     "eval_pr_curve",
     "events_group_kfold",
+    "eval_ann_recall",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -639,6 +639,7 @@ _CHECK_ORDER = [
     "eval_pr_curve",
     "eval_calibration",
     "events_group_kfold",
+    "eval_ann_recall",
     "from_json_funcs",
     "multimodal_video_frames",
     "sql_exists_in_subquery",

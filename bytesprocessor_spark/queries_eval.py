@@ -362,3 +362,98 @@ def events_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# EV5: ANN recall audit (approximate index vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+_ANN_K = 5
+
+
+def _duck_ann_recall_sql(k: int = _ANN_K) -> str:
+    """Compose the SRP-LSH candidate machinery (same literal integer
+    hyperplanes as operators/similarity.srp_planes_q) with the exact
+    brute-force ranking, and score recall@k per query."""
+    from bytesprocessor_spark.operators.similarity import srp_planes_q
+    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E, _SRP_TOPK
+
+    planes = srp_planes_q(**_SRP_TOPK)
+    tag_selects = []
+    for t, tbl_planes in enumerate(planes):
+        bits = []
+        for p, plane in enumerate(tbl_planes):
+            arr = "[" + ",".join(str(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        tag_selects.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM e")
+    tags = "\n      UNION ALL\n      ".join(tag_selects)
+    cos_xy = _COS.format(a="x.v", b="y.v")
+    cos_qe = _COS.format(a="qv", b="e.v")
+    return f"""
+    WITH e AS (SELECT vec_id, {_QUANT_E} AS v FROM embeddings),
+    tag AS ({tags}),
+    cand AS (SELECT DISTINCT tq.vec_id AS query_id, tc.vec_id AS vec_id
+             FROM tag tq JOIN tag tc ON tq.tbl = tc.tbl AND tq.bkt = tc.bkt
+             WHERE tq.vec_id < 10 AND tc.vec_id <> tq.vec_id),
+    ls AS (SELECT query_id, cand.vec_id, {cos_xy} AS sim
+           FROM cand JOIN e x ON query_id = x.vec_id
+                     JOIN e y ON cand.vec_id = y.vec_id),
+    lr AS (SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rk
+             FROM ls) WHERE rk <= {k}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    xs AS (SELECT query_id, e.vec_id, {cos_qe} AS sim
+           FROM q CROSS JOIN e WHERE e.vec_id <> query_id),
+    xr AS (SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rk
+             FROM xs) WHERE rk <= {k})
+    SELECT xr.query_id AS query_id,
+           CAST(COUNT(lr.vec_id) AS BIGINT) AS hits,
+           CAST((COUNT(lr.vec_id) * 1000000) // {k} AS BIGINT) AS recall_ppm
+    FROM xr LEFT JOIN lr ON xr.query_id = lr.query_id AND xr.vec_id = lr.vec_id
+    GROUP BY xr.query_id
+    ORDER BY query_id
+    """
+
+
+@query("eval_ann_recall", _duck_ann_recall_sql())
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV5 ANN recall audit: per query in the probe sample, how many
+    of the exact cosine top-k does the production SRP-LSH index
+    return?  This is the accuracy gate a platform runs BEFORE swapping
+    an approximate index into a retrieval/dedup path — and it runs
+    where the data is: ground truth is brute-force only over the probe
+    sample (bounded), never all-pairs.
+
+    Reuses the two registered operators verbatim (similarity_topk =
+    ground truth, similarity_lsh_topk = candidate index), joins the
+    two k-row-per-query lists, and scores recall in exact ppm.  Plan:
+    everything corpus-sized is the two scans those operators already
+    make; the audit join touches 2*k*|queries| rows."""
+    from bytesprocessor_spark.queries_llm import similarity_lsh_topk, similarity_topk
+
+    exact = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = similarity_lsh_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("a_vec")
+    )
+    j = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["vec_id"] == approx["a_vec"]),
+        "left",
+    ).select(exact["query_id"], "a_vec")
+    return (
+        j.groupBy("query_id")
+        .agg(F.count("a_vec").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            F.expr(f"(hits * 1000000) div {_ANN_K}").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

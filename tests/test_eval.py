@@ -151,3 +151,16 @@ def test_dedup_threshold_sweep_monotone(spark):
     for r in rows:
         assert r.n_dropped <= r.n_pairs or r.n_pairs == 0
         assert r.yield_ppm == (r.n_docs - r.n_dropped) * 1_000_000 // r.n_docs
+
+
+def test_ann_recall_bounds_and_floor(spark):
+    rows = QUERIES["eval_ann_recall"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.hits <= 5
+        assert r.recall_ppm == r.hits * 1_000_000 // 5
+    # the 8-table 4-plane SRP geometry should recover most of the
+    # exact top-5 on the fixture corpus (recall floor pinned loosely;
+    # exact values are pinned by the oracle row)
+    mean_hits = sum(r.hits for r in rows) / len(rows)
+    assert mean_hits >= 2.5

@@ -71,6 +71,12 @@ ALLOW_NESTED_LOOP = {
     "eval_pr_curve",
     "eval_calibration",
     "events_group_kfold",
+    # recall audit reuses similarity_topk's declared brute-force
+    # ground truth over the bounded probe sample
+    "eval_ann_recall",
+    # 4-row threshold-literal broadcast joined on a non-equi (jaccard
+    # >= t) predicate over the bounded LSH-verified pair list
+    "dedup_threshold_sweep",
     # explicit CROSS JOIN semantics entry (J5): the operator IS the test
     "join_cross",
     # recursive CTE / lateral: Spark plans the correlated step as a
