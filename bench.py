@@ -125,6 +125,7 @@ HEADLINE = [
     "eval_pr_curve",
     "events_group_kfold",
     "eval_ann_recall",
+    "eval_knn_label_prop",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

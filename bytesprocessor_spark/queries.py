@@ -640,6 +640,7 @@ _CHECK_ORDER = [
     "eval_calibration",
     "events_group_kfold",
     "eval_ann_recall",
+    "eval_knn_label_prop",
     "from_json_funcs",
     "multimodal_video_frames",
     "sql_exists_in_subquery",

@@ -457,3 +457,118 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# EV6: kNN label propagation (auto-labeling over the LSH index)
+# ---------------------------------------------------------------------------
+
+_PROP_K = 5
+
+
+def _duck_knn_prop_sql(k: int = _PROP_K) -> str:
+    """SRP candidate machinery + exact cosine + majority vote, with
+    vec_id % 5 == 0 playing the unlabeled set."""
+    from bytesprocessor_spark.operators.similarity import srp_planes_q
+    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E, _SRP_TOPK
+
+    planes = srp_planes_q(**_SRP_TOPK)
+    tag_selects = []
+    for t, tbl_planes in enumerate(planes):
+        bits = []
+        for p, plane in enumerate(tbl_planes):
+            arr = "[" + ",".join(str(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        tag_selects.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM e")
+    tags = "\n      UNION ALL\n      ".join(tag_selects)
+    cos_xy = _COS.format(a="x.v", b="y.v")
+    return f"""
+    WITH e AS (SELECT vec_id, label, {_QUANT_E} AS v FROM embeddings),
+    tag AS ({tags}),
+    cand AS (SELECT DISTINCT tq.vec_id AS query_id, tc.vec_id AS vec_id
+             FROM tag tq JOIN tag tc ON tq.tbl = tc.tbl AND tq.bkt = tc.bkt
+             WHERE tq.vec_id % 5 = 0 AND tc.vec_id % 5 <> 0),
+    s AS (SELECT query_id, cand.vec_id, {cos_xy} AS sim
+          FROM cand JOIN e x ON query_id = x.vec_id
+                    JOIN e y ON cand.vec_id = y.vec_id),
+    r AS (SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, vec_id) AS rk
+            FROM s) WHERE rk <= {k}),
+    v AS (SELECT query_id, y.label AS label, CAST(COUNT(*) AS BIGINT) AS votes
+          FROM r JOIN e y ON r.vec_id = y.vec_id GROUP BY query_id, y.label),
+    n AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM r GROUP BY query_id),
+    w AS (SELECT query_id, label AS pred_label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY votes DESC, label) AS rk
+          FROM v)
+    SELECT w.query_id AS vec_id,
+           CAST(w.pred_label AS BIGINT) AS pred_label,
+           w.votes AS votes,
+           n.n_neighbors AS n_neighbors,
+           CAST(t.label AS BIGINT) AS true_label,
+           w.pred_label = t.label AS is_correct
+    FROM w JOIN n ON w.query_id = n.query_id
+           JOIN e t ON w.query_id = t.vec_id
+    WHERE w.rk = 1
+    ORDER BY vec_id
+    """
+
+
+@query("eval_knn_label_prop", _duck_knn_prop_sql())
+def eval_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV6 kNN label propagation: auto-label a held-out 20% of the
+    corpus (vec_id % 5 == 0) by majority vote over each vector's
+    top-k most-similar LABELED neighbors, neighbors found through the
+    production SRP-LSH index — the semi-supervised labeling pass a
+    training-data platform runs to extend a small human-labeled seed
+    set across a 100 TB corpus, with the accuracy readout against the
+    held-out truth in the same result.
+
+    Determinism: candidates and ranking are the oracle-proven SRP
+    machinery (integer hyperplane signs, exact fixed-point cosine,
+    (sim DESC, vec_id) tiebreak); the vote picks (votes DESC, label)
+    — no float anywhere past the proven cosine.
+
+    Plan: two tag scans + one (tbl, bkt) equi-join (the
+    similarity_lsh_topk shape), then vote/accuracy joins touch only
+    k rows per unlabeled vector."""
+    from bytesprocessor_spark.operators.similarity import srp_topk_q
+    from bytesprocessor_spark.queries_llm import _SRP_TOPK
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unlabeled = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    labeled = emb.where(F.col("vec_id") % 5 != 0)
+    nn = srp_topk_q(labeled, unlabeled, k=_PROP_K, **_SRP_TOPK)
+    lab = labeled.select("vec_id", "label")
+    v = (
+        nn.join(lab, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    n = nn.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_neighbors"))
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")
+    pred = (
+        v.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(n, "query_id")
+        .join(truth, "query_id")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+            "votes",
+            "n_neighbors",
+            F.col("true_label").cast("long").alias("true_label"),
+            (F.col("pred_label") == F.col("true_label")).alias("is_correct"),
+        )
+        .orderBy("vec_id")
+    )

@@ -164,3 +164,16 @@ def test_ann_recall_bounds_and_floor(spark):
     # exact values are pinned by the oracle row)
     mean_hits = sum(r.hits for r in rows) / len(rows)
     assert mean_hits >= 2.5
+
+
+def test_knn_label_prop_covers_holdout_and_votes_bound(spark):
+    rows = QUERIES["eval_knn_label_prop"](spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_holdout = emb.where(F.col("vec_id") % 5 == 0).count()
+    # the 8-table SRP geometry finds neighbors for every held-out
+    # vector on the fixture corpus
+    assert len(rows) == n_holdout
+    for r in rows:
+        assert r.vec_id % 5 == 0
+        assert 1 <= r.votes <= r.n_neighbors <= 5
+        assert r.is_correct == (r.pred_label == r.true_label)
