@@ -126,6 +126,7 @@ HEADLINE = [
     "events_group_kfold",
     "eval_ann_recall",
     "eval_knn_label_prop",
+    "embedding_dim_stats",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -629,10 +629,9 @@ _CHECK_ORDER = [
     "text_vocab_growth",
     "events_cuped",
     "stream_running_totals",
-    "sql_group_by_all",
-    "bitwise_funcs",
-    "grouping_sets_sql",
-    # round-5 eval-metrics batch: distributed classifier readouts
+    # round-5 eval/curation batch — new code takes window priority
+    # over the long-local-green function-wrapper rows (ADVICE r4: new
+    # entries must reach the checked prefix)
     "corpus_leakage_safe_split",
     "dedup_threshold_sweep",
     "eval_auc",
@@ -641,6 +640,10 @@ _CHECK_ORDER = [
     "events_group_kfold",
     "eval_ann_recall",
     "eval_knn_label_prop",
+    "embedding_dim_stats",
+    "sql_group_by_all",
+    "bitwise_funcs",
+    "grouping_sets_sql",
     "from_json_funcs",
     "multimodal_video_frames",
     "sql_exists_in_subquery",

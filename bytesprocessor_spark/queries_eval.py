@@ -572,3 +572,77 @@ def eval_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# EV7: embedding-space health check (per-dimension stats)
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_dim_stats",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings),
+    e AS (
+      SELECT vec_id,
+             unnest(list_transform(range(1, len(v) + 1),
+                                   i -> {'pos': i, 'val': v[i]})) AS pv
+      FROM q),
+    e2 AS (SELECT CAST(pv.pos AS BIGINT) AS pos, pv.val AS val FROM e),
+    s AS (SELECT pos,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(val) AS BIGINT) AS sv,
+                 CAST(SUM(val * val) AS BIGINT) AS svv,
+                 CAST(MIN(val) AS BIGINT) AS min_micro,
+                 CAST(MAX(val) AS BIGINT) AS max_micro
+          FROM e2 GROUP BY pos)
+    SELECT pos,
+           CAST(ROUND(sv * 1.0 / n) AS BIGINT) AS mean_micro,
+           (svv - (sv * sv) // n) // n AS var_microsq,
+           min_micro, max_micro,
+           (svv - (sv * sv) // n) // n < 1000000 AS is_low_variance
+    FROM s
+    ORDER BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV7 embedding-space health check: per-dimension mean, variance,
+    range, and a dead/collapsed-dimension flag — the audit run before
+    committing an ANN index or a quantization codebook (a collapsed
+    dimension wastes PQ bits; scale drift between dims breaks L2-based
+    cells).  Variance is the exact integer identity
+    (Σv² − (Σv)²/n)/n in micro² units — one map-side partial aggregate
+    to n_dims rows, no second pass, no float reduction.
+
+    int64 bound: Σv² sums |v|≤2²⁰-scale squares — overflows past ~8e6
+    corpus rows per dimension at unit-scale embeddings; the
+    Gram-matrix row documents the same bound and the decimal(38)
+    escape hatch."""
+    from bytesprocessor_spark.functions.vectors import quantize_micro
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        quantize_micro(F.col("embedding")).alias("v")
+    ).select(F.posexplode("v").alias("pos0", "val"))
+    s = (
+        e.groupBy((F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("sv"),
+            F.sum(F.col("val") * F.col("val")).alias("svv"),
+            F.min("val").alias("min_micro"),
+            F.max("val").alias("max_micro"),
+        )
+    )
+    var = F.expr("(svv - (sv * sv) div n) div n")
+    return s.select(
+        "pos",
+        F.round(F.col("sv").cast("double") / F.col("n")).cast("long").alias("mean_micro"),
+        var.alias("var_microsq"),
+        "min_micro",
+        "max_micro",
+        (var < 1_000_000).alias("is_low_variance"),
+    ).orderBy("pos")

@@ -177,3 +177,21 @@ def test_knn_label_prop_covers_holdout_and_votes_bound(spark):
         assert r.vec_id % 5 == 0
         assert 1 <= r.votes <= r.n_neighbors <= 5
         assert r.is_correct == (r.pred_label == r.true_label)
+
+
+def test_embedding_dim_stats_exact_variance(spark):
+    """Integer variance identity matches a float recompute within
+    quantization error, and bounds hold."""
+    rows = QUERIES["embedding_dim_stats"](spark, SF_DIR).collect()
+    assert len(rows) == 64
+    emb = load_table(spark, SF_DIR, "embeddings")
+    import numpy as np
+
+    mat = np.array([r.embedding for r in emb.select("embedding").collect()], dtype=np.float64)
+    for r in rows[:8]:
+        col = np.round(mat[:, r.pos - 1] * 1e6)
+        assert r.min_micro == int(col.min())
+        assert r.max_micro == int(col.max())
+        assert abs(r.mean_micro - col.mean()) <= 1
+        assert abs(r.var_microsq - col.var()) <= 2
+        assert r.is_low_variance == (r.var_microsq < 1_000_000)
