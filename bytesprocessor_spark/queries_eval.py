@@ -171,7 +171,7 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
                  CAST(SUM(fp_b) OVER (ORDER BY bkt DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
-                 CAST((SELECT SUM(y) FROM p) AS BIGINT) AS pos
+                 CAST(SUM(tp_b) OVER () AS BIGINT) AS pos
           FROM j),
     m AS (SELECT CAST(bkt * 100000 AS BIGINT) AS threshold_micro,
                  tp, fp, pos - tp AS fn,
@@ -212,12 +212,17 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("bkt").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    pos = pm.agg(F.sum("y").alias("pos"))
+    # positives total comes from the 11-row histogram itself (full-
+    # frame window), not a third corpus scan
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     c = j.select(
         "bkt",
         F.sum("tp_b").over(w).alias("tp"),
         F.sum("fp_b").over(w).alias("fp"),
-    ).crossJoin(F.broadcast(pos))
+        F.sum("tp_b").over(wall).alias("pos"),
+    )
     m = c.select(
         (F.col("bkt") * 100000).cast("long").alias("threshold_micro"),
         "tp",
@@ -310,17 +315,18 @@ _K_FOLDS = 5
       FROM events),
     g AS (SELECT fold, event_type, CAST(COUNT(*) AS BIGINT) AS n
           FROM f GROUP BY fold, event_type),
-    ft AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS fold_total FROM g GROUP BY fold),
-    gt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS type_total FROM g GROUP BY event_type),
-    tt AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
-    SELECT g.fold AS fold, g.event_type AS event_type, g.n AS n, ft.fold_total AS fold_total,
-           (g.n * 1000000) // ft.fold_total AS share_ppm,
-           (gt.type_total * 1000000) // tt.total AS global_share_ppm,
-           ABS((g.n * 1000000) // ft.fold_total
-               - (gt.type_total * 1000000) // tt.total) AS skew_ppm
-    FROM g JOIN ft ON g.fold = ft.fold
-           JOIN gt ON g.event_type = gt.event_type, tt
-    ORDER BY g.fold, g.event_type
+    w AS (SELECT fold, event_type, n,
+                 CAST(SUM(n) OVER (PARTITION BY fold) AS BIGINT) AS fold_total,
+                 CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+                 CAST(SUM(n) OVER () AS BIGINT) AS total
+          FROM g)
+    SELECT fold, event_type, n, fold_total,
+           (n * 1000000) // fold_total AS share_ppm,
+           (type_total * 1000000) // total AS global_share_ppm,
+           ABS((n * 1000000) // fold_total
+               - (type_total * 1000000) // total) AS skew_ppm
+    FROM w
+    ORDER BY fold, event_type
     """,
 )
 def events_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,9 +337,9 @@ def events_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global mix (skew_ppm near 0 = folds are exchangeable).
 
     Plan: fold assignment is a map-side hash (no shuffle); one partial
-    aggregate to (K x n_types) cells; fold/type/global totals re-
-    aggregate the tiny cell table and broadcast-join back.  Nothing
-    beyond the first partial agg scales with the corpus."""
+    aggregate to (K x n_types) cells; fold/type/global totals are
+    windows over that tiny cell table — ONE corpus scan, zero joins.
+    Nothing beyond the first partial agg scales with the corpus."""
     from bytesprocessor_spark.queries_curation import _h60
 
     ev = _t(spark, sf_dir, "events")
@@ -342,16 +348,27 @@ def events_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     g = f.groupBy("fold", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    ft = g.groupBy("fold").agg(F.sum("n").alias("fold_total"))
-    gt = g.groupBy("event_type").agg(F.sum("n").alias("type_total"))
-    tt = g.agg(F.sum("n").alias("total"))
+    # fold/type/global totals are windows over the TINY (K x n_types)
+    # cell table — one corpus scan total, zero joins (re-aggregating
+    # g's lineage would rescan events once per total)
+    w = g.select(
+        "fold",
+        "event_type",
+        "n",
+        F.sum("n").over(Window.partitionBy("fold")).alias("fold_total"),
+        F.sum("n").over(Window.partitionBy("event_type")).alias("type_total"),
+        F.sum("n")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
     share = F.expr("(n * 1000000) div fold_total")
     gshare = F.expr("(type_total * 1000000) div total")
     return (
-        g.join(F.broadcast(ft), "fold")
-        .join(F.broadcast(gt), "event_type")
-        .crossJoin(F.broadcast(tt))
-        .select(
+        w.select(
             "fold",
             "event_type",
             "n",

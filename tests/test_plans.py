@@ -646,3 +646,61 @@ def test_corpus_wide_plan_audit_clean(spark):
     from tools.plan_audit import audit
 
     assert audit(spark, SF_DIR) == []
+
+
+def test_eval_auc_partial_agg_then_bounded_window(spark):
+    """The corpus-sized stage is ONE partial+final hash aggregate on
+    the quantized score; the single-partition window runs over the
+    distinct-score table (bounded by the score domain), never over
+    corpus rows — and nothing Python touches the plan."""
+    df = QUERIES["eval_auc"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one score grouping (partial+final), then the scalar finish: the
+    # plan never exchanges more than those two aggregate boundaries
+    assert plan.count("Exchange") <= 3
+
+
+def test_eval_pr_curve_single_corpus_aggregate(spark):
+    """Min-max bounds and positives-total are 1-row broadcast scalar
+    aggregates; the corpus collapses in ONE bucket histogram partial
+    agg; all threshold math runs on the 11-row grid."""
+    df = QUERIES["eval_pr_curve"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # embeddings feeds the pm normalization + the two scalar aggs
+    assert plan.count("Scan parquet") <= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_group_kfold_map_side_fold_hash(spark):
+    """Fold assignment is a projection (md5 in codegen) — the only
+    corpus-sized exchange is the (fold, type) partial aggregate; the
+    fold/type/global totals re-aggregate the tiny cell table and come
+    back as broadcasts."""
+    df = QUERIES["events_group_kfold"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan  # totals must broadcast, never SMJ
+
+
+def test_knn_label_prop_no_all_pairs(spark):
+    """Neighbor candidates come from the SRP (tbl, bkt) equi-join —
+    the plan must not contain a cartesian between corpus-sized sides;
+    the only per-pair work is the bounded candidate list."""
+    df = QUERIES["eval_knn_label_prop"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leakage_split_text_never_in_exchange(spark):
+    """The split shuffles shingle hashes and component labels — raw
+    document text must stay out of every exchange (the incremental-
+    dedup invariant, extended to the split pipeline)."""
+    df = QUERIES["corpus_leakage_safe_split"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)

@@ -70,7 +70,6 @@ ALLOW_NESTED_LOOP = {
     # positive/total counts) broadcast back onto bounded grids/bins
     "eval_pr_curve",
     "eval_calibration",
-    "events_group_kfold",
     # recall audit reuses similarity_topk's declared brute-force
     # ground truth over the bounded probe sample
     "eval_ann_recall",
