@@ -568,17 +568,20 @@ def eval_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
-    n = nn.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_neighbors"))
+    # n_neighbors = sum of votes per query, a window over the tiny
+    # vote table — re-aggregating nn's lineage would run the whole
+    # SRP tag join a second time
     w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")
+    wq = Window.partitionBy("query_id")
     pred = (
         v.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_neighbors", F.sum("votes").over(wq))
         .where(F.col("rk") == 1)
-        .select("query_id", F.col("label").alias("pred_label"), "votes")
+        .select("query_id", F.col("label").alias("pred_label"), "votes", "n_neighbors")
     )
     truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
     return (
-        pred.join(n, "query_id")
-        .join(truth, "query_id")
+        pred.join(truth, "query_id")
         .select(
             F.col("query_id").alias("vec_id"),
             F.col("pred_label").cast("long").alias("pred_label"),
