@@ -105,7 +105,9 @@ def _pm(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(SUM(n) AS BIGINT) AS n_neg
           FROM c)
     SELECT n_pos, n_neg, two_u,
-           CAST((two_u * 1000000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST((two_u * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+                END AS auc_micro
     FROM t
     """,
 )
@@ -127,27 +129,13 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the corpus-sized stage is the partial agg; nothing
     row-count-sized ever sits in one partition.  int64 bound: 2U <=
     2*P*N — overflows past ~2.1e9 pos x neg pairs per side-pair
-    product; assert-documented like the Gram-matrix row."""
-    b = _scored(spark, sf_dir)
-    s = b.groupBy("score").agg(
-        F.sum("y").alias("p"),
-        (F.count(F.lit(1)) - F.sum("y")).alias("n"),
-    )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    c = s.select(
-        "p", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cumn")
-    )
-    t = c.agg(
-        F.sum(F.col("p") * (2 * F.col("cumn") + F.col("n"))).alias("two_u"),
-        F.sum("p").alias("n_pos"),
-        F.sum("n").alias("n_neg"),
-    )
-    return t.select(
-        "n_pos",
-        "n_neg",
-        "two_u",
-        F.expr("(two_u * 1000000) div (2 * n_pos * n_neg)").alias("auc_micro"),
-    )
+    product; assert-documented like the Gram-matrix row.
+
+    Library form: operators/evalmetrics.auc (NULL auc_micro on a
+    single-class input — undefined, guarded in both engines)."""
+    from bytesprocessor_spark.operators.evalmetrics import auc
+
+    return auc(_scored(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -194,55 +182,13 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     then all threshold math runs on an 11-row frame.  The empty-
     prediction convention precision(0 predictions) = 1.0 is pinned in
     both engines.  min/max is a scalar aggregate broadcast back onto
-    the feed — no second corpus shuffle."""
-    pm = _pm(spark, sf_dir)
-    g = (
-        pm.groupBy(F.least(F.expr("pm div 100000"), F.lit(10)).alias("bkt"))
-        .agg(
-            F.sum("y").alias("tp_b"),
-            (F.count(F.lit(1)) - F.sum("y")).alias("fp_b"),
-        )
-    )
-    grid = spark.range(0, 11).select(F.col("id").alias("bkt"))
-    j = grid.join(F.broadcast(g), "bkt", "left").select(
-        "bkt",
-        F.coalesce("tp_b", F.lit(0)).alias("tp_b"),
-        F.coalesce("fp_b", F.lit(0)).alias("fp_b"),
-    )
-    w = Window.orderBy(F.col("bkt").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    # positives total comes from the 11-row histogram itself (full-
-    # frame window), not a third corpus scan
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = j.select(
-        "bkt",
-        F.sum("tp_b").over(w).alias("tp"),
-        F.sum("fp_b").over(w).alias("fp"),
-        F.sum("tp_b").over(wall).alias("pos"),
-    )
-    m = c.select(
-        (F.col("bkt") * 100000).cast("long").alias("threshold_micro"),
-        "tp",
-        "fp",
-        (F.col("pos") - F.col("tp")).alias("fn"),
-        F.when(F.col("tp") + F.col("fp") == 0, F.lit(1000000))
-        .otherwise(F.expr("(tp * 1000000) div (tp + fp)"))
-        .alias("precision_ppm"),
-        F.expr("(tp * 1000000) div greatest(pos, 1)").alias("recall_ppm"),
-    )
-    return m.select(
-        "*",
-        F.when(F.col("precision_ppm") + F.col("recall_ppm") == 0, F.lit(0))
-        .otherwise(
-            F.expr(
-                "(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)"
-            )
-        )
-        .alias("f1_ppm"),
-    ).orderBy("threshold_micro")
+    the feed — no second corpus shuffle.
+
+    Library form: operators/evalmetrics.pr_curve over
+    operators/evalmetrics.normalize_micro (span-guarded)."""
+    from bytesprocessor_spark.operators.evalmetrics import normalize_micro, pr_curve
+
+    return pr_curve(normalize_micro(_scored(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -273,30 +219,14 @@ def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins; per bin the mean predicted micro-probability, the empirical
     positive rate, their absolute gap (the ECE summand), and the bin
     weight in ppm.  ECE = SUM(weight * gap) downstream.  One partial
-    aggregate to <=10 rows; integer division end-to-end."""
-    pm = _pm(spark, sf_dir)
-    g = pm.groupBy(
-        F.least(F.expr("pm div 100000"), F.lit(9)).alias("bin")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("pm").alias("sum_pm"),
-        F.sum("y").alias("sum_y"),
-    )
-    t = pm.agg(F.count(F.lit(1)).alias("total"))
-    mean_pred = F.expr("sum_pm div n")
-    frac_pos = F.expr("(sum_y * 1000000) div n")
-    return (
-        g.crossJoin(F.broadcast(t))
-        .select(
-            F.col("bin").cast("long").alias("bin"),
-            "n",
-            mean_pred.alias("mean_pred_micro"),
-            frac_pos.alias("frac_pos_micro"),
-            F.abs(mean_pred - frac_pos).alias("gap_micro"),
-            F.expr("(n * 1000000) div total").alias("weight_ppm"),
-        )
-        .orderBy("bin")
-    )
+    aggregate to <=10 rows; integer division end-to-end.
+
+    Library form: operators/evalmetrics.calibration (bin weights from
+    a full-frame window over the bin table, not a second corpus
+    scan)."""
+    from bytesprocessor_spark.operators.evalmetrics import calibration, normalize_micro
+
+    return calibration(normalize_micro(_scored(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------

@@ -195,3 +195,64 @@ def test_embedding_dim_stats_exact_variance(spark):
         assert abs(r.mean_micro - col.mean()) <= 1
         assert abs(r.var_microsq - col.var()) <= 2
         assert r.is_low_variance == (r.var_microsq < 1_000_000)
+
+
+def _mk_scored(spark, rows):
+    return spark.createDataFrame(rows, "y long, score long")
+
+
+def test_auc_library_single_class_is_null_not_crash(spark):
+    from bytesprocessor_spark.operators.evalmetrics import auc
+
+    r = auc(_mk_scored(spark, [(1, 10), (1, 20), (1, 30)])).collect()[0]
+    assert r.n_pos == 3 and r.n_neg == 0
+    assert r.auc_micro is None
+    r = auc(_mk_scored(spark, [(0, 10), (0, 20)])).collect()[0]
+    assert r.auc_micro is None
+
+
+def test_auc_library_hand_computed(spark):
+    from bytesprocessor_spark.operators.evalmetrics import auc
+
+    # perfect separation -> 1.0; ties at the boundary -> 0.5 credit
+    r = auc(_mk_scored(spark, [(0, 1), (0, 2), (1, 3), (1, 4)])).collect()[0]
+    assert r.auc_micro == 1_000_000
+    r = auc(_mk_scored(spark, [(0, 5), (1, 5)])).collect()[0]
+    assert r.auc_micro == 500_000
+    # one inversion among 2x2 pairs -> 3.5/4
+    r = auc(_mk_scored(spark, [(0, 1), (1, 2), (0, 3), (1, 4)])).collect()[0]
+    assert r.auc_micro == 750_000
+
+
+def test_normalize_micro_constant_scores_guarded(spark):
+    from bytesprocessor_spark.operators.evalmetrics import normalize_micro
+
+    rows = normalize_micro(_mk_scored(spark, [(0, 7), (1, 7), (1, 7)])).collect()
+    assert [r.pm for r in rows] == [0, 0, 0]
+
+
+def test_pr_curve_library_empty_prediction_convention(spark):
+    from bytesprocessor_spark.operators.evalmetrics import normalize_micro, pr_curve
+
+    # all mass lands at pm=0 (constant scores): every threshold > 0
+    # predicts nothing -> precision pinned to 1.0, recall 0
+    pm = normalize_micro(_mk_scored(spark, [(1, 7), (0, 7)]))
+    rows = pr_curve(pm).collect()
+    for r in rows[1:]:
+        assert r.tp == 0 and r.fp == 0
+        assert r.precision_ppm == 1_000_000
+        assert r.recall_ppm == 0 and r.f1_ppm == 0
+    assert rows[0].recall_ppm == 1_000_000
+
+
+def test_calibration_library_weights_sum_to_million(spark):
+    from bytesprocessor_spark.operators.evalmetrics import calibration, normalize_micro
+
+    pm = normalize_micro(
+        _mk_scored(spark, [(0, 0), (1, 10), (0, 20), (1, 30), (1, 40)])
+    )
+    rows = calibration(pm).collect()
+    assert sum(r.n for r in rows) == 5
+    # integer-floor weights sum to <= 1e6 and within rounding slack
+    total_w = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total_w <= 1_000_000
