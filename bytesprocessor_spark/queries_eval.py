@@ -72,17 +72,6 @@ _DUCK_PM = f"""
 """
 
 
-def _pm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _scored(spark, sf_dir)
-    mm = b.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
-    span = F.greatest(F.col("hi") - F.col("lo"), F.lit(1))
-    return b.crossJoin(F.broadcast(mm)).select(
-        "y",
-        F.expr("(score - lo) * 1000000").cast("long").alias("num"),
-        span.alias("span"),
-    ).select("y", F.expr("num div span").alias("pm"))
-
-
 # ---------------------------------------------------------------------------
 # EV1: exact tie-aware ROC-AUC (rank-sum identity)
 # ---------------------------------------------------------------------------
