@@ -127,6 +127,8 @@ HEADLINE = [
     "eval_ann_recall",
     "eval_knn_label_prop",
     "embedding_dim_stats",
+    "eval_ndcg",
+    "eval_confusion_matrix",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

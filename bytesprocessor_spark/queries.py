@@ -641,6 +641,8 @@ _CHECK_ORDER = [
     "eval_ann_recall",
     "eval_knn_label_prop",
     "embedding_dim_stats",
+    "eval_ndcg",
+    "eval_confusion_matrix",
     "sql_group_by_all",
     "bitwise_funcs",
     "grouping_sets_sql",

@@ -585,3 +585,154 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_micro",
         (var < 1_000_000).alias("is_low_variance"),
     ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# EV8: NDCG@k ranking quality of the ANN index
+# ---------------------------------------------------------------------------
+
+# 1e6 / log2(pos + 1) for pos 1..5, pinned as integer literals so both
+# engines use the exact same discount table (a live log2() call could
+# differ in the final ulp across libm implementations)
+_NDCG_DISCOUNTS = [1_000_000, 630_930, 500_000, 430_677, 386_853]
+_NDCG_IDEAL = sum(_NDCG_DISCOUNTS)
+
+
+def _duck_ndcg_sql(k: int = _ANN_K) -> str:
+    from bytesprocessor_spark.operators.similarity import srp_planes_q
+    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E, _SRP_TOPK
+
+    planes = srp_planes_q(**_SRP_TOPK)
+    tag_selects = []
+    for t, tbl_planes in enumerate(planes):
+        bits = []
+        for p, plane in enumerate(tbl_planes):
+            arr = "[" + ",".join(str(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        tag_selects.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM e")
+    tags = "\n      UNION ALL\n      ".join(tag_selects)
+    cos_xy = _COS.format(a="x.v", b="y.v")
+    cos_qe = _COS.format(a="qv", b="e.v")
+    disc = " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISCOUNTS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_QUANT_E} AS v FROM embeddings),
+    tag AS ({tags}),
+    cand AS (SELECT DISTINCT tq.vec_id AS query_id, tc.vec_id AS vec_id
+             FROM tag tq JOIN tag tc ON tq.tbl = tc.tbl AND tq.bkt = tc.bkt
+             WHERE tq.vec_id < 10 AND tc.vec_id <> tq.vec_id),
+    ls AS (SELECT query_id, cand.vec_id, {cos_xy} AS sim
+           FROM cand JOIN e x ON query_id = x.vec_id
+                     JOIN e y ON cand.vec_id = y.vec_id),
+    lr AS (SELECT query_id, vec_id, rk FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rk
+             FROM ls) WHERE rk <= {k}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    xs AS (SELECT query_id, e.vec_id, {cos_qe} AS sim
+           FROM q CROSS JOIN e WHERE e.vec_id <> query_id),
+    xr AS (SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rk
+             FROM xs) WHERE rk <= {k}),
+    d AS (SELECT lr.query_id,
+                 CAST(SUM(CASE WHEN xr.vec_id IS NOT NULL
+                               THEN CASE lr.rk {disc} ELSE 0 END
+                               ELSE 0 END) AS BIGINT) AS dcg_micro
+          FROM lr LEFT JOIN xr ON lr.query_id = xr.query_id
+                              AND lr.vec_id = xr.vec_id
+          GROUP BY lr.query_id)
+    SELECT query_id, dcg_micro,
+           CAST((dcg_micro * 1000000) // {_NDCG_IDEAL} AS BIGINT) AS ndcg_ppm
+    FROM d
+    ORDER BY query_id
+    """
+
+
+@query("eval_ndcg", _duck_ndcg_sql())
+def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV8 NDCG@5 of the SRP-LSH ranking against exact ground truth
+    (binary relevance = membership in the exact cosine top-5) — the
+    position-aware companion to EV5's recall: an index that returns
+    the right items in the wrong ORDER scores lower here.  Discount
+    weights 1/log2(pos+1) are pinned as shared integer literals, so
+    the whole metric is exact integer arithmetic on both engines
+    (IDCG is the fixed all-hits-in-order sum).
+
+    Plan: the EV5 machinery (SRP tag join + bounded probe brute-force)
+    plus one k-rows-per-query join and aggregate."""
+    from bytesprocessor_spark.operators.similarity import srp_topk_q
+    from bytesprocessor_spark.queries_llm import (
+        _SRP_TOPK,
+        similarity_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    approx = (
+        srp_topk_q(emb, q, k=_ANN_K, **_SRP_TOPK)
+        .withColumn("rk", F.row_number().over(wq))
+        .select("query_id", "vec_id", "rk")
+    )
+    exact = similarity_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("x_vec")
+    )
+    disc = F.create_map(
+        *[F.lit(x) for i, d in enumerate(_NDCG_DISCOUNTS) for x in (i + 1, d)]
+    )
+    j = approx.join(
+        exact,
+        (approx["query_id"] == exact["query_id"])
+        & (approx["vec_id"] == exact["x_vec"]),
+        "left",
+    ).select(
+        approx["query_id"],
+        F.when(F.col("x_vec").isNotNull(), disc[F.col("rk")])
+        .otherwise(F.lit(0))
+        .alias("gain"),
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(F.sum("gain").alias("dcg_micro"))
+        .select(
+            "query_id",
+            "dcg_micro",
+            F.expr(f"(dcg_micro * 1000000) div {_NDCG_IDEAL}").alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV9: label confusion matrix from the kNN propagation
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_confusion_matrix",
+    f"""
+    WITH prop AS ({_duck_knn_prop_sql()})
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM prop
+    GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+)
+def eval_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV9 confusion matrix of the kNN auto-labeler on the held-out
+    set — the standard error-structure readout (which classes bleed
+    into which) behind the EV6 accuracy number.  Aggregates EV6's
+    per-vector output; cost is one tiny re-aggregation on top of the
+    propagation plan."""
+    return (
+        eval_knn_label_prop(spark, sf_dir)
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "pred_label")
+    )

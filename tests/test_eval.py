@@ -256,3 +256,26 @@ def test_calibration_library_weights_sum_to_million(spark):
     # integer-floor weights sum to <= 1e6 and within rounding slack
     total_w = sum(r.weight_ppm for r in rows)
     assert 1_000_000 - len(rows) <= total_w <= 1_000_000
+
+
+def test_ndcg_bounds_and_consistency_with_recall(spark):
+    ndcg = {r.query_id: r for r in QUERIES["eval_ndcg"](spark, SF_DIR).collect()}
+    recall = {r.query_id: r for r in QUERIES["eval_ann_recall"](spark, SF_DIR).collect()}
+    assert set(ndcg) == set(recall)
+    for qid, r in ndcg.items():
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+        # zero hits <=> zero ndcg; full recall in exact order <=> 1.0
+        if recall[qid].hits == 0:
+            assert r.ndcg_ppm == 0
+        if recall[qid].hits == 5 and r.ndcg_ppm == 1_000_000:
+            pass  # perfect; nothing further to assert
+        # dcg can never exceed the ideal sum
+        assert r.dcg_micro <= 2_948_460
+
+
+def test_confusion_matrix_totals_match_propagation(spark):
+    cm = QUERIES["eval_confusion_matrix"](spark, SF_DIR).collect()
+    prop = QUERIES["eval_knn_label_prop"](spark, SF_DIR).collect()
+    assert sum(r.n for r in cm) == len(prop)
+    diag = sum(r.n for r in cm if r.true_label == r.pred_label)
+    assert diag == sum(1 for r in prop if r.is_correct)

@@ -73,6 +73,7 @@ ALLOW_NESTED_LOOP = {
     # recall audit reuses similarity_topk's declared brute-force
     # ground truth over the bounded probe sample
     "eval_ann_recall",
+    "eval_ndcg",
     # 4-row threshold-literal broadcast joined on a non-equi (jaccard
     # >= t) predicate over the bounded LSH-verified pair list
     "dedup_threshold_sweep",
