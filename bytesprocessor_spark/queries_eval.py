@@ -16,6 +16,19 @@ classifier metrics as distributed aggregates:
                        a user share a fold — the GroupKFold guard
                        against user-level leakage) with a per-fold
                        stratification audit.
+  * eval_ann_recall  — recall@k of the SRP-LSH index vs exact
+                       cosine ground truth on the probe sample.
+  * eval_ndcg        — position-aware NDCG@k companion (integer
+                       literal discount table).
+  * eval_knn_label_prop / eval_confusion_matrix — kNN auto-labeling
+                       over the LSH index with held-out accuracy and
+                       its class-bleed matrix.
+  * embedding_dim_stats — per-dimension mean/variance/range health
+                       check before ANN indexing or PQ training.
+
+The scalar-metric cores (AUC, PR sweep, calibration) live in
+operators/evalmetrics.py as functions over any (label, score) frame;
+the rows here bind them to the fixture corpus.
 
 Determinism contract (queries.py module docstring): scores are
 micro-quantized integers, every ratio is integer-divided into ppm /
