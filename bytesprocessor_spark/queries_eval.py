@@ -320,12 +320,12 @@ def events_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_K = 5
 
 
-def _duck_ann_recall_sql(k: int = _ANN_K) -> str:
-    """Compose the SRP-LSH candidate machinery (same literal integer
-    hyperplanes as operators/similarity.srp_planes_q) with the exact
-    brute-force ranking, and score recall@k per query."""
+def _duck_srp_tags() -> str:
+    """The SRP (table, bucket) tag CTE body over `e` — the same
+    literal integer hyperplanes as operators/similarity.srp_planes_q,
+    shared by the recall / NDCG / label-propagation oracles."""
     from bytesprocessor_spark.operators.similarity import srp_planes_q
-    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E, _SRP_TOPK
+    from bytesprocessor_spark.queries_llm import _SRP_TOPK
 
     planes = srp_planes_q(**_SRP_TOPK)
     tag_selects = []
@@ -338,7 +338,15 @@ def _duck_ann_recall_sql(k: int = _ANN_K) -> str:
                 f" THEN {1 << p} ELSE 0 END)"
             )
         tag_selects.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM e")
-    tags = "\n      UNION ALL\n      ".join(tag_selects)
+    return "\n      UNION ALL\n      ".join(tag_selects)
+
+
+def _duck_ann_recall_sql(k: int = _ANN_K) -> str:
+    """Compose the SRP-LSH candidate machinery with the exact
+    brute-force ranking, and score recall@k per query."""
+    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E
+
+    tags = _duck_srp_tags()
     cos_xy = _COS.format(a="x.v", b="y.v")
     cos_qe = _COS.format(a="qv", b="e.v")
     return f"""
@@ -418,21 +426,9 @@ _PROP_K = 5
 def _duck_knn_prop_sql(k: int = _PROP_K) -> str:
     """SRP candidate machinery + exact cosine + majority vote, with
     vec_id % 5 == 0 playing the unlabeled set."""
-    from bytesprocessor_spark.operators.similarity import srp_planes_q
-    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E, _SRP_TOPK
+    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E
 
-    planes = srp_planes_q(**_SRP_TOPK)
-    tag_selects = []
-    for t, tbl_planes in enumerate(planes):
-        bits = []
-        for p, plane in enumerate(tbl_planes):
-            arr = "[" + ",".join(str(x) for x in plane) + "]"
-            bits.append(
-                f"(CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) > 0"
-                f" THEN {1 << p} ELSE 0 END)"
-            )
-        tag_selects.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM e")
-    tags = "\n      UNION ALL\n      ".join(tag_selects)
+    tags = _duck_srp_tags()
     cos_xy = _COS.format(a="x.v", b="y.v")
     return f"""
     WITH e AS (SELECT vec_id, label, {_QUANT_E} AS v FROM embeddings),
@@ -612,21 +608,9 @@ _NDCG_IDEAL = sum(_NDCG_DISCOUNTS)
 
 
 def _duck_ndcg_sql(k: int = _ANN_K) -> str:
-    from bytesprocessor_spark.operators.similarity import srp_planes_q
-    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E, _SRP_TOPK
+    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E
 
-    planes = srp_planes_q(**_SRP_TOPK)
-    tag_selects = []
-    for t, tbl_planes in enumerate(planes):
-        bits = []
-        for p, plane in enumerate(tbl_planes):
-            arr = "[" + ",".join(str(x) for x in plane) + "]"
-            bits.append(
-                f"(CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) > 0"
-                f" THEN {1 << p} ELSE 0 END)"
-            )
-        tag_selects.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM e")
-    tags = "\n      UNION ALL\n      ".join(tag_selects)
+    tags = _duck_srp_tags()
     cos_xy = _COS.format(a="x.v", b="y.v")
     cos_qe = _COS.format(a="qv", b="e.v")
     disc = " ".join(
