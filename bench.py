@@ -123,6 +123,7 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "eval_auc",
     "eval_pr_curve",
+    "eval_calibration",
     "events_group_kfold",
     "eval_ann_recall",
     "eval_knn_label_prop",

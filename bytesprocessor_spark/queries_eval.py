@@ -320,31 +320,10 @@ def events_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_K = 5
 
 
-def _duck_srp_tags() -> str:
-    """The SRP (table, bucket) tag CTE body over `e` — the same
-    literal integer hyperplanes as operators/similarity.srp_planes_q,
-    shared by the recall / NDCG / label-propagation oracles."""
-    from bytesprocessor_spark.operators.similarity import srp_planes_q
-    from bytesprocessor_spark.queries_llm import _SRP_TOPK
-
-    planes = srp_planes_q(**_SRP_TOPK)
-    tag_selects = []
-    for t, tbl_planes in enumerate(planes):
-        bits = []
-        for p, plane in enumerate(tbl_planes):
-            arr = "[" + ",".join(str(x) for x in plane) + "]"
-            bits.append(
-                f"(CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) > 0"
-                f" THEN {1 << p} ELSE 0 END)"
-            )
-        tag_selects.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM e")
-    return "\n      UNION ALL\n      ".join(tag_selects)
-
-
 def _duck_ann_recall_sql(k: int = _ANN_K) -> str:
     """Compose the SRP-LSH candidate machinery with the exact
     brute-force ranking, and score recall@k per query."""
-    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E
+    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E, _duck_srp_tags
 
     tags = _duck_srp_tags()
     cos_xy = _COS.format(a="x.v", b="y.v")
@@ -426,7 +405,7 @@ _PROP_K = 5
 def _duck_knn_prop_sql(k: int = _PROP_K) -> str:
     """SRP candidate machinery + exact cosine + majority vote, with
     vec_id % 5 == 0 playing the unlabeled set."""
-    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E
+    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E, _duck_srp_tags
 
     tags = _duck_srp_tags()
     cos_xy = _COS.format(a="x.v", b="y.v")
@@ -608,7 +587,7 @@ _NDCG_IDEAL = sum(_NDCG_DISCOUNTS)
 
 
 def _duck_ndcg_sql(k: int = _ANN_K) -> str:
-    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E
+    from bytesprocessor_spark.queries_llm import _COS, _QUANT_E, _duck_srp_tags
 
     tags = _duck_srp_tags()
     cos_xy = _COS.format(a="x.v", b="y.v")
@@ -636,13 +615,16 @@ def _duck_ndcg_sql(k: int = _ANN_K) -> str:
              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY sim DESC, vec_id) AS rk
              FROM xs) WHERE rk <= {k}),
-    d AS (SELECT lr.query_id,
-                 CAST(SUM(CASE WHEN xr.vec_id IS NOT NULL
+    -- anchored on the EXACT side so a query whose LSH buckets come up
+    -- empty still reports (with dcg 0), matching eval_ann_recall's
+    -- row coverage
+    d AS (SELECT xr.query_id AS query_id,
+                 CAST(SUM(CASE WHEN lr.vec_id IS NOT NULL
                                THEN CASE lr.rk {disc} ELSE 0 END
                                ELSE 0 END) AS BIGINT) AS dcg_micro
-          FROM lr LEFT JOIN xr ON lr.query_id = xr.query_id
+          FROM xr LEFT JOIN lr ON lr.query_id = xr.query_id
                               AND lr.vec_id = xr.vec_id
-          GROUP BY lr.query_id)
+          GROUP BY xr.query_id)
     SELECT query_id, dcg_micro,
            CAST((dcg_micro * 1000000) // {_NDCG_IDEAL} AS BIGINT) AS ndcg_ppm
     FROM d
@@ -684,14 +666,17 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.create_map(
         *[F.lit(x) for i, d in enumerate(_NDCG_DISCOUNTS) for x in (i + 1, d)]
     )
-    j = approx.join(
-        exact,
+    # anchored on the EXACT side: a query with zero LSH candidates
+    # still reports (dcg 0), keeping row coverage identical to
+    # eval_ann_recall
+    j = exact.join(
+        approx,
         (approx["query_id"] == exact["query_id"])
         & (approx["vec_id"] == exact["x_vec"]),
         "left",
     ).select(
-        approx["query_id"],
-        F.when(F.col("x_vec").isNotNull(), disc[F.col("rk")])
+        exact["query_id"],
+        F.when(approx["vec_id"].isNotNull(), disc[F.col("rk")])
         .otherwise(F.lit(0))
         .alias("gain"),
     )

@@ -571,11 +571,12 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRP_TOPK = dict(dim=64, n_planes=4, n_tables=8, seed=42)
 
 
-def _duck_srp_topk_sql(k: int = 5) -> str:
-    """DuckDB mirror of srp_topk_q: same literal integer hyperplanes
-    (operators/similarity.srp_planes_q), tag join corpus x queries on
-    (tbl, bkt), distinct candidates, exact quantized cosine, window
-    top-k with the same (sim DESC, vec_id) tiebreak."""
+def _duck_srp_tags() -> str:
+    """The SRP (table, bucket) tag CTE body over `e` — the same
+    literal integer hyperplanes as operators/similarity.srp_planes_q.
+    ONE generator feeds the similarity_lsh_topk oracle and the three
+    eval-audit oracles (recall / NDCG / label propagation), so a
+    plane-layout change can never desynchronize them."""
     from bytesprocessor_spark.operators.similarity import srp_planes_q
 
     planes = srp_planes_q(**_SRP_TOPK)
@@ -589,7 +590,15 @@ def _duck_srp_topk_sql(k: int = 5) -> str:
                 f" THEN {1 << p} ELSE 0 END)"
             )
         tag_selects.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM e")
-    tags = "\n      UNION ALL\n      ".join(tag_selects)
+    return "\n      UNION ALL\n      ".join(tag_selects)
+
+
+def _duck_srp_topk_sql(k: int = 5) -> str:
+    """DuckDB mirror of srp_topk_q: same literal integer hyperplanes
+    (operators/similarity.srp_planes_q), tag join corpus x queries on
+    (tbl, bkt), distinct candidates, exact quantized cosine, window
+    top-k with the same (sim DESC, vec_id) tiebreak."""
+    tags = _duck_srp_tags()
     return f"""
     WITH e AS (SELECT vec_id, {_QUANT_E} AS v FROM embeddings),
     tag AS ({tags}),

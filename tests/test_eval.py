@@ -11,10 +11,8 @@ from bytesprocessor_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
 
 
-def _auc_of(spark, rows):
-    """Run the eval_auc math over an in-memory (y, score) table by
-    monkey-patching nothing: recompute with the same identity in
-    Python for the hand-checked case."""
+def _auc_of(rows):
+    """Pairwise O(P*N) AUC reference for the hand-checked case."""
     pos = sorted(s for y, s in rows if y == 1)
     neg = sorted(s for y, s in rows if y == 0)
     two_u = 0
@@ -41,12 +39,10 @@ def test_auc_identity_matches_pairwise_definition(spark):
             (F.col("label") % 2).alias("y"), (q(1) + q(2)).alias("score")
         ).collect()
     ]
-    two_u, n_pos, n_neg = _auc_of(spark, rows)
+    two_u, n_pos, n_neg = _auc_of(rows)
 
     # same identity, full-corpus operator: recompute on the sample via
     # the same score-grouped formula the operator uses
-    from collections import Counter
-
     by_score: dict = {}
     for y, s in rows:
         p, n = by_score.get(s, (0, 0))

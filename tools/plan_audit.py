@@ -17,6 +17,13 @@ Checks per entry:
                               Python seams must be Arrow-batched
                               (ArrowEvalPython / FlatMapsInPandas)
 
+Caveat: two entries (dedup_cluster_keep, corpus_leakage_safe_split)
+run connected-components at DataFrame-construction time (min-label
+propagation iterates with eager localCheckpoints), so "EXPLAIN-ing"
+them executes bounded work — seconds at the audit's sf0.001, by
+design; they stay in the audit because their FINAL plan is exactly
+what ships.
+
 Usage:
     python tools/plan_audit.py [--sf /root/testdata/sf0.001]
 Exit 1 on any violation; prints one line per audited entry on -v.
