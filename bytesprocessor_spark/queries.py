@@ -44,6 +44,7 @@ EAGER_QUERIES = frozenset({
     "stream_trending_topk",
     "stream_running_totals",
     "stream_neardup_admission",
+    "stream_drift_monitor",
 })
 
 
@@ -643,6 +644,7 @@ _CHECK_ORDER = [
     "embedding_dim_stats",
     "eval_ndcg",
     "eval_confusion_matrix",
+    "stream_drift_monitor",
     "sql_group_by_all",
     "bitwise_funcs",
     "grouping_sets_sql",

@@ -657,3 +657,116 @@ def stream_neardup_admission_documents(spark: SparkSession, sf_dir: str) -> Data
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ST13: streaming distribution-drift monitor (PSI at ingest)
+# ---------------------------------------------------------------------------
+
+_SD_BUCKET_C = 5_000  # $50 buckets over exact value-cents
+
+
+@query(
+    "stream_drift_monitor",
+    f"""
+    WITH b AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) // {_SD_BUCKET_C} AS bucket,
+             event_id % 2 AS era
+      FROM events
+    ),
+    c AS (
+      SELECT bucket,
+             1 + COUNT(CASE WHEN era = 0 THEN 1 END) AS nb,
+             1 + COUNT(CASE WHEN era = 1 THEN 1 END) AS nd
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(nb) AS tb, SUM(nd) AS td FROM c),
+    p AS (
+      SELECT bucket, CAST(nb - 1 AS BIGINT) AS n_ref, CAST(nd - 1 AS BIGINT) AS n_live,
+             GREATEST(CAST((nb * 1000000) // tb AS BIGINT), 1) AS pm,
+             GREATEST(CAST((nd * 1000000) // td AS BIGINT), 1) AS qm
+      FROM c, tot
+    )
+    SELECT bucket, n_ref, n_live, pm, qm,
+           CAST((pm - qm)
+                * CAST(ROUND(LN(CAST(pm AS DOUBLE) / qm) * 1000000) AS BIGINT)
+                AS BIGINT) AS contrib_pico
+    FROM p
+    ORDER BY bucket
+    """,
+)
+def stream_drift_monitor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST13: the streaming twin of Q8's PSI drift monitor — the live
+    event stream (odd event_ids) is bucketed AT INGEST against the
+    reference distribution (even event_ids, the 'training era'), and
+    the per-bucket PSI decomposition is the alarm a platform pages on
+    when production data stops looking like training data.
+
+    Replay-valid for the batch oracle because bucket assignment is
+    stateless per-row (exact cents // fixed width — the drift_psi
+    idiom) and both eras' counts are associative aggregates: any
+    micro-batch split converges to the batch answer.  The streamed
+    side is map-only until the tiny per-bucket counter shuffle; the
+    reference counts come from ONE batch aggregate of the standing
+    corpus, joined on the bounded bucket table.  All PSI arithmetic is
+    the established exact-integer form (add-1 smoothing, micro
+    proportions with GREATEST floors, 1e-6-quantized ln), so stream
+    and oracle are bit-identical."""
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        bucket = (cents(F.col("value")) / _SD_BUCKET_C).cast("long").alias("bucket")
+        ref = (
+            batch.where(F.col("event_id") % 2 == 0)
+            .select(bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_ref"))
+        )
+        stream = spark.readStream.schema(batch.schema).parquet(
+            os.path.join(land, "events")
+        )
+        live = stream.where(F.col("event_id") % 2 == 1).select(bucket)
+
+        def finish(sink_df: DataFrame) -> DataFrame:
+            obs = sink_df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_live"))
+            c = (
+                ref.join(obs, "bucket", "full")
+                .select(
+                    "bucket",
+                    F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                    F.coalesce("n_live", F.lit(0)).alias("n_live"),
+                )
+            )
+            p = c.select(
+                "bucket",
+                "n_ref",
+                "n_live",
+                F.greatest(
+                    F.expr(
+                        f"((n_ref + 1) * 1000000) div sum(n_ref + 1) over ()"
+                    ),
+                    F.lit(1),
+                ).alias("pm"),
+                F.greatest(
+                    F.expr(
+                        f"((n_live + 1) * 1000000) div sum(n_live + 1) over ()"
+                    ),
+                    F.lit(1),
+                ).alias("qm"),
+            )
+            return p.select(
+                "bucket",
+                "n_ref",
+                "n_live",
+                "pm",
+                "qm",
+                (
+                    (F.col("pm") - F.col("qm"))
+                    * F.round(
+                        F.log(F.col("pm").cast("double") / F.col("qm")) * 1_000_000
+                    ).cast("long")
+                ).cast("long").alias("contrib_pico"),
+            ).orderBy("bucket")
+
+        return _drain_and_localize(live, finish)
+    finally:
+        shutil.rmtree(land, ignore_errors=True)

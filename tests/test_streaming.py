@@ -386,3 +386,40 @@ def test_cdc_tombstone_blocks_stale_resurrection(spark, tmp_path):
 
     final = {r.id: r.v for r in read_cdc_table(spark, path).collect()}
     assert final == {2: "b"}, f"deleted key resurrected: {final}"
+
+
+def test_stream_drift_monitor_matches_batch_psi(spark):
+    """ST13 replay validity: the streamed PSI decomposition equals a
+    pure-batch recompute of the same math (stateless bucket rule +
+    associative counts), and the PSI identities hold per bucket."""
+    import math
+
+    from bytesprocessor_spark.queries import QUERIES, cents
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+    from bytesprocessor_spark.sources.tables import load_table
+
+    rows = QUERIES["stream_drift_monitor"](spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.select(
+            (cents(F.col("value")) / 5000).cast("long").alias("bucket"),
+            (F.col("event_id") % 2).alias("era"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("n_live"),
+        )
+        .collect()
+    )
+    want = {r.bucket: (r.n_ref, r.n_live) for r in batch}
+    got = {r.bucket: (r.n_ref, r.n_live) for r in rows}
+    assert got == want
+    tb = sum(n + 1 for n, _ in want.values())
+    td = sum(n + 1 for _, n in want.values())
+    for r in rows:
+        pm = max((r.n_ref + 1) * 1_000_000 // tb, 1)
+        qm = max((r.n_live + 1) * 1_000_000 // td, 1)
+        assert (r.pm, r.qm) == (pm, qm)
+        assert r.contrib_pico == (pm - qm) * round(math.log(pm / qm) * 1_000_000)
