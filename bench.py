@@ -236,6 +236,18 @@ def main() -> None:
     # one warmup action so JVM/codegen startup isn't billed to q1
     QUERIES["agg_global"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    def canary() -> float:
+        t0 = time.time()
+        QUERIES["agg_global"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return round(time.time() - t0, 3)
+
+    # host-noise canary: the SAME trivial query timed at suite start
+    # and end.  A slow canary pair documents that the WHOLE run landed
+    # in a host slow-phase (this box swings 2-5x for identical code) —
+    # per-entry min-of-N can't recover when every run in the window is
+    # slow, but the canary makes the condition visible in the JSON.
+    canary_start = canary()
+
     # The pcap pipeline runs FIRST (it is the single most expensive
     # entry and includes Python-worker spin-up): running it inside the
     # rerun budget guarantees it a noise-damping second run instead of
@@ -301,6 +313,7 @@ def main() -> None:
 
     timings["pcap_pipeline_20k"] = pcap_time
     run_vectors["pcap_pipeline_20k"] = pcap_runs
+    canary_end = canary()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -315,6 +328,10 @@ def main() -> None:
                 # an apparent regression whose vector contains a
                 # round-3-level run is host noise, not code.
                 "runs": run_vectors,
+                # [start, end] of the trivial-query canary: if either
+                # is several x the usual ~0.1-0.3 s, the whole run sat
+                # in a host slow-phase and per-query times are inflated
+                "canary": [canary_start, canary_end],
                 "sf": sf,
             }
         )
