@@ -576,14 +576,22 @@ QUERIES.update(_NO_ORACLE)
 #     basket).  First 50 land in the driver check; the 4 overflow
 #     entries head the round-5 queue together with anything added
 #     during round 4.
+#   round 5 window (this ordering): the 10 ever-driver-red entries
+#     first (oracle dtype hardening applied this round — CASTs +
+#     kmeans scalarization; green = the fix is proven), then the
+#     round-4/round-5 additions with window priority (ADVICE r4: new
+#     code must reach the checked prefix), then never-driver-checked
+#     backlog.  Round-6 queue, in order: embedding_dim_stats /
+#     eval_ndcg / eval_confusion_matrix / stream_drift_monitor (added
+#     after the window filled), the three displaced function-wrapper
+#     rows, then the remaining never-checked backlog (session_
+#     sequences onward), then the long-green tail.
 #
-# Every entry has a DuckDB oracle (154/154): the two formerly-
+# Every entry has a DuckDB oracle (196/196): the two formerly-
 # declared-no-oracle entries were converted in round 3 (simhash ->
 # md5 hash mode, LSH top-k -> quantized-SRP form).
 _CHECK_ORDER = [
-    # --- round-5 driver window (first 50): the 10 ever-driver-red
-    # --- entries (oracle dtype hardening applied this round), then
-    # --- never-driver-checked entries in registry order ---
+    # --- round-5 driver window (first 50) ---
     "pack_length_batches",
     "dedup_span_ngrams",
     "embedding_kmeans",
