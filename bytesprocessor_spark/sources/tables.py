@@ -301,3 +301,75 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_parquet_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """S14 tolerant parquet scan: read a directory that may contain
+    corrupt files (truncated uploads, partial writes from a crashed
+    task without a committer, bitrot) without failing the job, and
+    report exactly WHICH files were skipped so they can be re-fetched
+    — the resilience twin of the CSV/JSON/tar tolerant readers.
+
+    Returns ``(rows, audit)``: ``rows`` is the surviving data
+    (``ignoreCorruptFiles`` drops unreadable files at scan time,
+    per-file granularity, no driver-side pre-reading), ``audit`` is
+    one row per parquet file in the directory with ``is_quarantined``
+    — computed by anti-joining the directory listing (driver-side
+    metadata, O(#files)) against ``input_file_name()`` of the rows
+    that actually survived.  Caveat: a corrupt file that would have
+    contributed ZERO rows is indistinguishable from an empty healthy
+    file; both land in the audit as quarantined-or-empty.
+
+    Schema inference is itself corruption-resilient: Spark's default
+    inference can die on an unreadable footer before ignoreCorruptFiles
+    applies, so the schema is probed per file (footer-only reads,
+    driver-side, usually one attempt) until a healthy footer answers,
+    then the scan runs with that explicit schema.
+
+    At 100 TB the scan is the same parquet scan as always (the option
+    changes error handling only); the audit adds one distinct-files
+    aggregate over the scan — column-pruned to the metadata column, no
+    data columns read."""
+    import os as _os
+
+    listed = sorted(
+        f
+        for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    schema = None
+    for f in listed:
+        try:
+            schema = spark.read.parquet(_os.path.join(path, f)).schema
+            break
+        except Exception:
+            continue
+    if schema is None:
+        raise ValueError(f"no readable parquet footer in {path}")
+    rows = (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+    )
+    listing = spark.createDataFrame([(f,) for f in listed], "file_name string")
+    seen = (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name")
+        )
+        .distinct()
+    )
+    audit = (
+        listing.join(seen.withColumn("seen", F.lit(True)), "file_name", "left")
+        .select(
+            "file_name",
+            F.coalesce(F.col("seen"), F.lit(False)).alias("has_rows"),
+            (~F.coalesce(F.col("seen"), F.lit(False))).alias("is_quarantined"),
+        )
+        .orderBy("file_name")
+    )
+    return rows, audit

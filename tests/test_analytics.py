@@ -131,3 +131,31 @@ def test_asof_join_rejects_mixed_ts_types(spark):
     right = spark.createDataFrame([(1, 5.0, "x")], "k long, t double, v string")
     with pytest.raises(TypeError, match="mixed ts column types"):
         asof_join(left, right, on="k", left_ts="ts", right_ts="t")
+
+
+def test_read_parquet_quarantine_skips_corrupt_and_names_it(spark, tmp_path):
+    """S14: a directory with two healthy parquet files and one
+    truncated one reads tolerantly — all healthy rows survive, and the
+    audit names exactly the corrupt file."""
+    from bytesprocessor_spark.sources.tables import read_parquet_quarantine
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    spark.range(0, 50).write.parquet(str(d / "ignore_me"))  # build rows
+    import shutil
+
+    # two healthy single-file parquet parts
+    for i, lo in enumerate((0, 50)):
+        part = tmp_path / f"part{i}"
+        spark.range(lo, lo + 50).coalesce(1).write.mode("overwrite").parquet(str(part))
+        src = next(p for p in part.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(src, d / f"good-{i}.parquet")
+    shutil.rmtree(d / "ignore_me")
+    # one corrupt: valid parquet magic, garbage after
+    (d / "bad-0.parquet").write_bytes(b"PAR1" + b"\x00" * 64)
+
+    rows, audit = read_parquet_quarantine(spark, str(d))
+    got = sorted(r.id for r in rows.collect())
+    assert got == list(range(100))
+    a = {r.file_name: r.is_quarantined for r in audit.collect()}
+    assert a == {"good-0.parquet": False, "good-1.parquet": False, "bad-0.parquet": True}

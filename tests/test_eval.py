@@ -275,3 +275,28 @@ def test_confusion_matrix_totals_match_propagation(spark):
     assert sum(r.n for r in cm) == len(prop)
     diag = sum(r.n for r in cm if r.true_label == r.pred_label)
     assert diag == sum(1 for r in prop if r.is_correct)
+
+
+def test_auc_library_randomized_against_pairwise(spark):
+    """20 seeded random (y, score) datasets with heavy ties: the
+    distributed rank-sum identity must equal the O(P*N) pairwise
+    definition exactly, every time."""
+    import random
+
+    from bytesprocessor_spark.operators.evalmetrics import auc
+
+    rng = random.Random(420)
+    for trial in range(20):
+        n = rng.randint(2, 60)
+        # small score domain forces tie handling to matter
+        rows = [(rng.randint(0, 1), rng.randint(-5, 5)) for _ in range(n)]
+        got = auc(_mk_scored(spark, rows)).collect()[0]
+        two_u, n_pos, n_neg = _auc_of(rows)
+        assert (got.n_pos, got.n_neg, got.two_u) == (n_pos, n_neg, two_u), (
+            trial,
+            rows,
+        )
+        if n_pos and n_neg:
+            assert got.auc_micro == (two_u * 1_000_000) // (2 * n_pos * n_neg)
+        else:
+            assert got.auc_micro is None
