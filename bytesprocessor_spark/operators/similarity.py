@@ -648,3 +648,49 @@ def ivf_index_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+def ivf_index_add(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: bool = False,
+) -> DataFrame:
+    """Admit a delta batch into a persisted IVF index WITHOUT a
+    rebuild — the index-maintenance sibling of the near-dup admission
+    gate (a 100 TB index is built once at ingest; every subsequent
+    batch appends).
+
+    The stored `_centroids` table (driver-side KBs) defines the
+    Voronoi geometry; delta vectors are assigned with the same
+    argmax-cosine rule the build used and APPENDED into the existing
+    `cell=<i>/` directories (partitioned append — only the touched
+    cell directories gain files; resident data is never rewritten,
+    probes keep pruning on the same partition filter and see old and
+    new rows alike).  Returns the per-cell admission audit
+    (cell, n_added) so the operator's cost and balance are observable.
+
+    ``quantize`` must match the build flag.  Centroids are NOT
+    updated — standard IVF practice (the geometry drifts only when the
+    distribution does, at which point you re-train; admission is the
+    hot path)."""
+    spark = delta.sparkSession
+    if quantize:
+        delta = delta.withColumn(
+            vec_col, F.transform(vec_col, lambda x: F.round(x.cast("double") * 1000000.0))
+        )
+    centroids = load_ivf_centroids(spark, path)
+    assigned = delta.withColumn("cell", ivf_assign_udf(centroids)(F.col(vec_col)))
+    n_cells = len(centroids)
+    (
+        assigned.repartition(n_cells, "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_added"))
+        .orderBy("cell")
+    )

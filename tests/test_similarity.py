@@ -223,3 +223,53 @@ def test_srp_topk_q_recall_and_exact_sims(spark):
     assert recall >= 0.5, f"quantized SRP recall too low: {recall}"
     for pair in set(exact) & set(approx):
         assert abs(exact[pair] - approx[pair]) < 1e-9
+
+
+def test_ivf_index_add_appends_without_rebuild(spark, tmp_path):
+    """Incremental index admission: delta rows land in the correct
+    cell directories under the FROZEN centroid geometry, resident
+    rows are untouched, and a probe finds an added exact-duplicate
+    vector as its query's top hit."""
+    from pyspark.sql import functions as F
+
+    from bytesprocessor_spark.operators.similarity import (
+        ivf_assign_udf,
+        ivf_index_add,
+        ivf_index_topk,
+        build_ivf_index,
+        load_ivf_centroids,
+    )
+    from bytesprocessor_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_cells=8)
+    n_base_files = {
+        r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+
+    audit = ivf_index_add(delta, path).collect()
+    assert sum(r.n_added for r in audit) == delta.count()
+
+    # every row (resident + admitted) sits in the cell the frozen
+    # centroids assign it to
+    cents = load_ivf_centroids(spark, path)
+    stored = spark.read.parquet(path)
+    expected = delta.unionByName(base).withColumn(
+        "want_cell", ivf_assign_udf(cents)(F.col("embedding"))
+    )
+    j = stored.join(expected.select("vec_id", "want_cell"), "vec_id")
+    assert j.where(F.col("cell") != F.col("want_cell")).count() == 0
+    assert stored.count() == emb.count()
+    assert n_base_files <= {r.vec_id for r in stored.select("vec_id").collect()}
+
+    # probe sees the admitted rows: an odd vec is its own duplicate --
+    # query with a delta vector's embedding, expect itself as top hit
+    q = delta.where(F.col("vec_id") == 1).select(
+        F.lit(-1).cast("long").alias("query_id"), "embedding"
+    )
+    top = ivf_index_topk(spark, path, q, nprobe=2, k=1).collect()
+    assert top and top[0].vec_id == 1 and top[0].sim > 0.999999
