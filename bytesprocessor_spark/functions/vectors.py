@@ -127,3 +127,87 @@ def quantize_int8(a: Column, scale: Column) -> Column:
     standard 4x memory cut for ANN serving; the integer dot product
     that follows is exact (|q|<=127, dims<=2^15 => sums < 2^53)."""
     return F.transform(a, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def whiten_embeddings(
+    df,
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+):
+    """ZCA-whiten an embedding column: out = W (x - mu) with
+    W = V diag(1/sqrt(lambda + eps)) V^T from the eigendecomposition
+    of the corpus covariance — the retrieval-pipeline preprocessing
+    step (anisotropic embedding spaces hurt cosine ANN recall; see
+    e.g. the post-processing in SimCSE-style pipelines).
+
+    Distribution of work, the pattern this repo uses for all bounded
+    linear algebra (the embedding_gram_matrix row's docstring):
+
+      * mean + second-moment matrix: ONE distributed aggregate — the
+        d(d+1)/2 Gram cells and the d mean sums are the only shuffled
+        data; the corpus never shuffles.
+      * eigh: driver-side numpy on the d x d matrix (d^2 doubles —
+        KBs; this is not a scale concern at any corpus size).
+      * transform: the d x d rotation broadcasts back and applies per
+        row as one Arrow-batched matmul (vectorized pandas UDF — the
+        legitimate Python seam; a 4096-term codegen expression tree
+        per output dim would be slower to compile than to run).
+
+    Returns a DataFrame with ``vec_col`` replaced by the whitened
+    vector (float64).  Whitening is float by nature — this is a
+    feature transform, not an oracle-checked aggregate; tests pin the
+    algebraic contract (whitened covariance == identity)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    spark = df.sparkSession
+    d = len(df.select(vec_col).first()[0])
+
+    e = df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
+    mu = np.zeros(d)
+    for r in e.groupBy("i").agg(F.avg("x").alias("m")).collect():
+        mu[r.i] = r.m
+    # second moment E[xx^T] via the Gram-cell aggregate (upper triangle)
+    terms = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(d - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(F.col("__v"), i + 1)
+                        * F.element_at(F.col("__v"), j + 1)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    n = df.count()
+    cells = (
+        df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .select(F.explode(terms).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").alias("s"))
+        .collect()
+    )
+    m2 = np.zeros((d, d))
+    for r in cells:
+        m2[r.i, r.j] = m2[r.j, r.i] = r.s / n
+    cov = m2 - np.outer(mu, mu)
+    lam, vecs = np.linalg.eigh(cov)
+    w = (vecs * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ vecs.T
+
+    wb = spark.sparkContext.broadcast((w, mu))
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _apply(col: pd.Series) -> pd.Series:
+        wm, mum = wb.value
+        mat = np.vstack(col.to_numpy())
+        out = (mat - mum) @ wm.T
+        return pd.Series(list(out))
+
+    return df.withColumn(vec_col, _apply(F.col(vec_col).cast("array<double>")))

@@ -273,3 +273,24 @@ def test_ivf_index_add_appends_without_rebuild(spark, tmp_path):
     )
     top = ivf_index_topk(spark, path, q, nprobe=2, k=1).collect()
     assert top and top[0].vec_id == 1 and top[0].sim > 0.999999
+
+
+def test_whiten_embeddings_identity_covariance(spark):
+    """The algebraic contract: the whitened corpus has (near-)identity
+    covariance and exactly preserved row count/width."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bytesprocessor_spark.functions.vectors import whiten_embeddings
+    from bytesprocessor_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(300)
+    out = whiten_embeddings(emb)
+    mat = np.vstack([r.embedding for r in out.select("embedding").collect()])
+    assert mat.shape == (300, 64)
+    cov = np.cov(mat, rowvar=False, bias=True)
+    # eps regularization keeps eigenvalues just below 1; everything
+    # off-diagonal collapses
+    assert np.abs(cov - np.eye(64)).max() < 0.05
+    assert np.abs(np.diag(cov) - 1.0).max() < 0.05
