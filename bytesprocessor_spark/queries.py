@@ -653,6 +653,7 @@ _CHECK_ORDER = [
     "eval_ndcg",
     "eval_confusion_matrix",
     "stream_drift_monitor",
+    "corpus_fingerprint",
     "sql_group_by_all",
     "bitwise_funcs",
     "grouping_sets_sql",

@@ -558,3 +558,53 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# L12: dataset content fingerprint (version pinning)
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_fingerprint",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(CAST('0x' || substr(md5(
+                  CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|'
+                  || CAST(n_chars AS VARCHAR) || '|' || text), 1, 15) AS BIGINT))
+                AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12 dataset version pin: an order-independent content
+    fingerprint of the corpus — XOR-fold of a 60-bit hash of every
+    row's canonical serialization, plus the row count (XOR alone is
+    blind to duplicated-row pairs; the count disambiguates).  Two
+    snapshots with equal (n_rows, fingerprint) are byte-equivalent
+    with collision probability ~2^-60; any single-row change flips
+    the fingerprint.  This is what a training run records to pin
+    EXACTLY which data produced a checkpoint, engine- and
+    partitioning-independent (XOR commutes, so Spark's reduction
+    order doesn't matter).
+
+    Plan: map-side hash + one scalar XOR aggregate — the cheapest
+    full-scan audit in the registry; at 100 TB it is bounded by the
+    scan itself."""
+    from bytesprocessor_spark.queries_curation import _h60
+
+    docs = _t(spark, sf_dir, "documents")
+    row_ser = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string"),
+        F.col("text"),
+    )
+    return (
+        docs.select(_h60(row_ser).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+        )
+    )

@@ -143,3 +143,33 @@ def test_weighted_sample_favors_heavy_docs(spark):
     assert all(p <= 0 for p in pri)  # ln(u)/w with u in (0,1]
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > mean_w
+
+
+def test_corpus_fingerprint_flips_on_any_row_change(spark):
+    """Version-pin sensitivity: removing a row or editing one char
+    changes the fingerprint; recomputation is order-independent."""
+    from bytesprocessor_spark.queries_curation import _h60
+
+    docs = load_table(spark, SF_DIR, "documents")
+    row_ser = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string"),
+        F.col("text"),
+    )
+
+    def fp(df):
+        r = df.select(_h60(row_ser).alias("h")).agg(
+            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("f")
+        ).collect()[0]
+        return (r.n, r.f)
+
+    base = fp(docs)
+    assert base == fp(docs.repartition(7))          # order/partitioning independent
+    assert base != fp(docs.where(F.col("doc_id") != 3))  # row removal flips
+    edited = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 3, F.concat(F.col("text"), F.lit("x"))).otherwise(F.col("text"))
+    )
+    assert base != fp(edited)                        # one-char edit flips
