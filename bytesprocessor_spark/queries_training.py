@@ -1,7 +1,7 @@
 """Round-5 training-pipeline additions (SURVEY §2 L-family widening).
 
-Four operators a 100 TB pretraining-data platform runs between
-curation and the trainer:
+Operators a 100 TB pretraining-data platform runs between curation
+and the trainer:
 
   * dedup_minhash_incremental — near-dup ADMISSION of a delta batch
     against the standing corpus (the LSH sibling of L1b's exact-hash
@@ -17,6 +17,14 @@ curation and the trainer:
   * corpus_shard_manifest — deterministic shard assignment for the
     training-shard writer plus the balance audit (per-shard load in
     ppm of ideal) that decides whether the layout needs salting.
+  * corpus_weighted_sample — Efraimidis-Spirakis A-Res exact weighted
+    sampling without replacement, seeded and reproducible.
+  * corpus_leakage_safe_split — near-dup clusters hashed BY CLUSTER
+    into train/val/test so near-dup families never straddle the split.
+  * dedup_threshold_sweep — pairs/drops/yield per threshold from ONE
+    loose pair scan: the dedup-aggressiveness planning curve.
+  * corpus_fingerprint — order-independent content fingerprint + row
+    count, the dataset version pin a training run records.
 
 All rows follow the corpus determinism contract (queries.py module
 docstring): exact integer arithmetic end-to-end — squared distances
