@@ -130,6 +130,7 @@ HEADLINE = [
     "embedding_dim_stats",
     "eval_ndcg",
     "eval_confusion_matrix",
+    "corpus_fingerprint",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
