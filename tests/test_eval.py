@@ -300,3 +300,16 @@ def test_auc_library_randomized_against_pairwise(spark):
             assert got.auc_micro == (two_u * 1_000_000) // (2 * n_pos * n_neg)
         else:
             assert got.auc_micro is None
+
+
+def test_pr_curve_library_custom_grid(spark):
+    from bytesprocessor_spark.operators.evalmetrics import normalize_micro, pr_curve
+
+    pm = normalize_micro(
+        _mk_scored(spark, [(0, 0), (0, 1), (1, 2), (1, 3), (1, 4)])
+    )
+    rows = pr_curve(pm, n_thresholds=5).collect()
+    assert [r.threshold_micro for r in rows] == [0, 250000, 500000, 750000, 1000000]
+    assert rows[0].recall_ppm == 1_000_000
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
