@@ -131,6 +131,14 @@ HEADLINE = [
     "eval_ndcg",
     "eval_confusion_matrix",
     "corpus_fingerprint",
+    # round-5 continuation batch — BM25 first (full-corpus tokenize
+    # feeding two doc_id aggregates), then the iterative BFS
+    "text_bm25_topk",
+    "graph_bfs_reach",
+    "linkage_blocked_fuzzy",
+    "scd2_asof_lookup",
+    "events_holt_forecast",
+    "privacy_k_anonymity",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -151,3 +151,54 @@ def pagerank(
             ).cast("long").alias("p"),
         )
     return p
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "seed",
+    max_depth: int = 3,
+) -> DataFrame:
+    """(seed, node, dist): minimum hop count from each seed to every
+    node reachable within ``max_depth`` hops — multi-source BFS, the
+    traversal primitive behind "blast radius" / n-degree-reach
+    questions over an entity graph.
+
+    Exactness: hop counts are integers; no floats anywhere, so the
+    result is engine-independent by construction (the oracle is a
+    recursive-CTE closure over the same edge table).
+
+    Plan shape: the frontier-expansion loop is the standard scalable
+    BFS — each level is ONE join of the current frontier against the
+    (persisted) edge list keyed on src plus one min-aggregate to drop
+    already-visited nodes; lineage is cut per level with
+    localCheckpoint so the plan stays flat across iterations.  Cost
+    per level is bounded by edges incident to the frontier; the seed
+    dimension rides along as a second shuffle-key column, so k seeds
+    cost one traversal, not k.  At 100 TB the edge list partitions on
+    src and each level is edge-linear — same contract as
+    connected_components/pagerank above.
+    """
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    e = persist_intermediate(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).cast("int").alias("dist"))
+    ).localCheckpoint()
+    for level in range(1, max_depth + 1):
+        frontier = dist.where(F.col("dist") == level - 1)
+        expanded = frontier.join(e, frontier.node == e.u).select(
+            "seed", F.col("v").alias("node"), F.lit(level).cast("int").alias("dist")
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        ).localCheckpoint()
+    return dist

@@ -518,6 +518,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_warehouse  # noqa: F401
     import bytesprocessor_spark.queries_training  # noqa: F401
     import bytesprocessor_spark.queries_eval  # noqa: F401
+    import bytesprocessor_spark.queries_retrieval  # noqa: F401
 
 
 @query(
@@ -613,6 +614,15 @@ _CHECK_ORDER = [
     "corpus_shard_manifest",
     "stream_neardup_admission",
     "corpus_weighted_sample",
+    # round-5 continuation batch: retrieval / linkage / traversal /
+    # forecast / privacy / dimension-time-travel — new code takes
+    # window priority (ADVICE r4)
+    "text_bm25_topk",
+    "linkage_blocked_fuzzy",
+    "graph_bfs_reach",
+    "events_holt_forecast",
+    "scd2_asof_lookup",
+    "privacy_k_anonymity",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",
@@ -621,13 +631,7 @@ _CHECK_ORDER = [
     "events_gap_fill",
     "profile_orders_card",
     "audit_referential_integrity",
-    "orders_incremental_rollup",
-    "text_classifier_score",
-    "graph_triangles",
-    "similarity_prefix_rerank",
-    "agg_approx_percentile",
     "stream_trending_topk",
-    "events_time_split",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",
@@ -671,6 +675,14 @@ _CHECK_ORDER = [
     "agg_histogram",
     # --- beyond the 50-entry window: remaining never-checked
     # --- entries queue for the round-6 rotation ---
+    # displaced from the r5 window by the continuation batch (each is
+    # independently pytest-pinned); first in line for round 6
+    "orders_incremental_rollup",
+    "text_classifier_score",
+    "graph_triangles",
+    "similarity_prefix_rerank",
+    "agg_approx_percentile",
+    "events_time_split",
     "session_sequences",
     "q6_forecast_revenue",
     "q10_returned_items",

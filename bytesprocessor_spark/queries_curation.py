@@ -1874,3 +1874,80 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+@query(
+    "privacy_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             COUNT(*) AS k
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(SUM(k) AS BIGINT) AS total FROM g)
+    SELECT CASE WHEN k = 1 THEN 'k=1' WHEN k < 5 THEN 'k=2-4'
+                WHEN k < 10 THEN 'k=5-9' ELSE 'k>=10' END AS k_bucket,
+           COUNT(*) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(SUM(k) * 1000000 // MAX(tot.total) AS BIGINT) AS rows_ppm,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM g CROSS JOIN tot
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 k-anonymity audit: group sizes over the quasi-identifier
+    tuple (market segment, nation, $1000 account-balance band) bucketed
+    into the re-identification risk bands a privacy review reads —
+    k=1 rows are unique under the quasi-identifiers (directly
+    re-identifiable), k<5 is the usual suppression threshold.  The
+    rows_ppm column is the share of the table that each risk band
+    holds, in exact ppm integer arithmetic.
+
+    This is the privacy-side gate a training-data pipeline runs before
+    releasing a tabular extract, sibling to the PII scrub (L4e) that
+    gates free text.  Plan shape: one hash aggregate on the
+    quasi-identifier tuple (map-side partials absorb the heavy scan),
+    a 1-row total broadcast back, and a 4-row final aggregate —
+    nothing here scales with anything but the group count.
+
+    Determinism: the balance band is integer floor division over exact
+    cents (never a double divide near a band boundary), and every
+    output column is exact integer math."""
+    c = _t(spark, sf_dir, "customer")
+    g = (
+        c.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.expr(
+                "CAST(ROUND(c_acctbal * 100) AS BIGINT) div 100000"
+            ).alias("bal_band"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(F.count("*").alias("k"))
+    )
+    tot = g.agg(F.sum("k").cast("long").alias("total"))
+    bucket = (
+        F.when(F.col("k") == 1, "k=1")
+        .when(F.col("k") < 5, "k=2-4")
+        .when(F.col("k") < 10, "k=5-9")
+        .otherwise("k>=10")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy(bucket.alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.expr("CAST(SUM(k) * 1000000 div MAX(total) AS BIGINT)").alias("rows_ppm"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )

@@ -1,0 +1,312 @@
+"""Retrieval, record-linkage, and graph-traversal operators.
+
+The discovery-side complement of the dedup/similarity machinery: once
+a corpus is curated, users search it (BM25 ranked retrieval over the
+inverted-index machinery of L4c), resolve noisy external references
+into it (blocked fuzzy linkage — the scale-out form of F10's
+Levenshtein matcher), and walk entity relationships extracted from it
+(multi-source BFS — the traversal primitive behind n-degree-reach /
+blast-radius questions, completing the GR family next to connected
+components, PageRank, and triangles).
+
+All rows follow the corpus determinism contract (queries.py module
+docstring): transcendentals are quantized to integer micro-units
+per-term BEFORE any reduction, so no float sum depends on reduction
+order; hop counts and edit distances are integers by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import _t, query
+from bytesprocessor_spark.functions.text import tokenize
+
+# ---------------------------------------------------------------------------
+# L4p: BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_DUCK_TOKS_ALL = (
+    "[x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if len(x) > 0]"
+)
+
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS_ALL}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    tot AS (SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+    q AS (SELECT unnest({list(_BM25_TERMS)!r}) AS token),
+    tf AS (
+      SELECT t.doc_id, t.token, COUNT(*) AS tf
+      FROM toks t JOIN q USING (token)
+      GROUP BY t.doc_id, t.token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               LN(1.0 + (CAST(tot.n_docs - df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * {1.0 + _BM25_K1})
+                  / (CAST(tf.tf AS DOUBLE)
+                     + {_BM25_K1} * ({1.0 - _BM25_B}
+                        + {_BM25_B} * (CAST(dl.dl * tot.n_docs AS DOUBLE)
+                                       / CAST(tot.total_tokens AS DOUBLE)))))
+               * 1000000) AS BIGINT) AS s_micro
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_terms,
+             CAST(SUM(s_micro) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, score_micro,
+           ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+    FROM agg ORDER BY rank LIMIT {_BM25_TOPK}
+"""
+
+
+@query("text_bm25_topk", _BM25_SQL)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4p BM25 ranked retrieval: top-k documents for a fixed query
+    term set, scored with the Robertson BM25 formula (k1=1.2, b=0.75,
+    idf = ln(1 + (N-df+0.5)/(df+0.5))) over the same tokenizer the
+    inverted index (L4c) uses.
+
+    Determinism: each (doc, term) partial score is quantized to an
+    integer micro-unit BEFORE the per-document sum, so the only float
+    reduction in the query is replaced by exact int64 addition; the
+    ln/divide tree is a fixed sequence of IEEE ops written identically
+    in both engines.
+
+    Plan shape: one corpus scan feeds both the doc-length table and
+    the term postings (Catalyst prunes to the 2 referenced columns);
+    df (3 rows) and the corpus totals (1 row) broadcast onto the
+    postings, so the only corpus-scale shuffles are the two hash
+    aggregates on doc_id — at 100 TB this is exactly the inverted-
+    index build plus a broadcast-annotated rescore, and the top-k is
+    a distributed TakeOrdered, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tot = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("total_tokens")
+    )
+    tf = (
+        toks.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count("*").alias("df"))
+    j = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    frac = (F.col("tf").cast("double") * (1.0 + _BM25_K1)) / (
+        F.col("tf").cast("double")
+        + _BM25_K1
+        * (
+            (1.0 - _BM25_B)
+            + _BM25_B
+            * (
+                (F.col("dl") * F.col("n_docs")).cast("double")
+                / F.col("total_tokens").cast("double")
+            )
+        )
+    )
+    scored = j.select(
+        "doc_id", F.round(idf * frac * 1000000).cast("long").alias("s_micro")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"), F.sum("s_micro").cast("long").alias("score_micro")
+    )
+    top = agg.orderBy(F.col("score_micro").desc(), "doc_id").limit(_BM25_TOPK)
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return top.select(
+        "doc_id", "n_terms", "score_micro", F.row_number().over(w).alias("rank")
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# F10b: blocked fuzzy record linkage
+# ---------------------------------------------------------------------------
+
+_LINKAGE_SQL = """
+    WITH probes AS (
+      SELECT p_partkey AS probe_id,
+             '#' || substr(p_name, 2) AS probe
+      FROM part WHERE p_partkey < 100
+    ),
+    pb AS (
+      SELECT probe_id, probe,
+             regexp_extract(probe, '[a-z]+$') AS block_key
+      FROM probes
+    ),
+    cb AS (
+      SELECT p_partkey, p_name,
+             regexp_extract(p_name, '[a-z]+$') AS block_key
+      FROM part
+    ),
+    cand AS (
+      SELECT pb.probe_id, pb.probe, cb.p_partkey, cb.p_name,
+             levenshtein(pb.probe, cb.p_name) AS dist
+      FROM pb JOIN cb USING (block_key)
+    ),
+    best AS (
+      SELECT probe_id, probe, p_partkey, p_name, dist,
+             COUNT(*) OVER (PARTITION BY probe_id) AS n_candidates,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY dist, p_partkey) AS rk
+      FROM cand
+    )
+    SELECT probe_id, probe, p_partkey AS matched_id, p_name AS matched_name,
+           CAST(dist AS BIGINT) AS dist,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM best WHERE rk = 1 ORDER BY probe_id
+"""
+
+
+@query("linkage_blocked_fuzzy", _LINKAGE_SQL)
+def linkage_blocked_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10b blocked fuzzy record linkage — the scale-out form of F10
+    (sql_fuzzy_match): noisy probe names (deterministic first-char
+    corruption) resolve back to the catalog WITHOUT a cross join.  The
+    block key is derived from the PROBE text itself (its last intact
+    word), so the demonstration is honest: a real linkage never sees
+    the clean source row at blocking time.  Candidates = probe x
+    catalog pairs sharing a block key; only those pairs pay the
+    Levenshtein verify; min-distance with id tiebreak picks the match,
+    and n_candidates exposes the blocking selectivity per probe.
+
+    Plan shape: one equi-join (shuffle or broadcast on the block key)
+    replaces F10's O(probes x catalog) cross join — the same
+    block-then-verify pattern as the MinHash-LSH dedup family, applied
+    to entity resolution.  At 100 TB the block key is the unit of
+    skew: a hot key (stopword noun) is the salting case operators/
+    skew.py handles; the verify cost is candidate-bounded either way."""
+    part = _t(spark, sf_dir, "part")
+    probes = part.where(F.col("p_partkey") < 100).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(F.lit("#"), F.expr("substr(p_name, 2)")).alias("probe"),
+    )
+    pb = probes.withColumn("block_key", F.regexp_extract("probe", "[a-z]+$", 0))
+    cb = part.select(
+        "p_partkey", "p_name", F.regexp_extract("p_name", "[a-z]+$", 0).alias("block_key")
+    )
+    cand = pb.join(cb, "block_key").select(
+        "probe_id", "probe", "p_partkey", "p_name",
+        F.levenshtein("probe", "p_name").alias("dist"),
+    )
+    w = Window.partitionBy("probe_id")
+    best = cand.select(
+        "*",
+        F.count("*").over(w).alias("n_candidates"),
+        F.row_number().over(w.orderBy("dist", "p_partkey")).alias("rk"),
+    )
+    return (
+        best.where(F.col("rk") == 1)
+        .select(
+            "probe_id", "probe",
+            F.col("p_partkey").alias("matched_id"),
+            F.col("p_name").alias("matched_name"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GR4: multi-source BFS hop distances
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 3
+_BFS_SEED_MAX = 4  # custkeys 0..4 seed the traversal
+
+_BFS_SQL = f"""
+    WITH RECURSIVE eb AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT c AS src, s AS dst FROM eb
+          UNION ALL SELECT s AS src, c AS dst FROM eb),
+    seeds AS (SELECT DISTINCT o_custkey * 2 AS seed FROM orders
+              WHERE o_custkey <= {_BFS_SEED_MAX}),
+    walk AS (
+      SELECT seed, seed AS node, 0 AS d FROM seeds
+      UNION
+      SELECT w.seed, e.dst AS node, w.d + 1 AS d
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.d < {_BFS_DEPTH}
+    ),
+    m AS (SELECT seed, node, MIN(d) AS dist FROM walk GROUP BY seed, node)
+    SELECT CAST(seed // 2 AS BIGINT) AS seed_custkey,
+           CAST(dist AS BIGINT) AS dist,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_checksum
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("graph_bfs_reach", _BFS_SQL)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR4 multi-source BFS over the bipartite customer-supplier trade
+    graph (same node packing as GR2 PageRank): minimum hop distance
+    from each seed customer to every node within {_BFS_DEPTH} hops,
+    reported as a per-(seed, distance) reach histogram with a node-id
+    checksum — the n-degree-reach / blast-radius primitive.
+
+    Determinism: hop counts are integers; the oracle is a recursive-
+    CTE closure over the identical edge table.  Plan shape: the level
+    loop in operators/graph.py:bfs_distances is one frontier-edge join
+    plus one min-aggregate per level with localCheckpoint lineage
+    cuts; k seeds ride one traversal as a second key column.  At
+    100 TB each level is edge-linear, the same contract as connected
+    components."""
+    from bytesprocessor_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= _BFS_SEED_MAX)
+        .select((F.col("o_custkey") * 2).alias("seed"))
+        .distinct()
+    )
+    dist = bfs_distances(edges, seeds, max_depth=_BFS_DEPTH)
+    return (
+        dist.groupBy(
+            F.expr("seed div 2").alias("seed_custkey"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("node").cast("long").alias("node_checksum"),
+        )
+        .orderBy("seed_custkey", "dist")
+    )

@@ -1356,3 +1356,239 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# A31: Holt double-exponential-smoothing forecast
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_holt_forecast",
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS yc
+      FROM events GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT event_type, yc,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM d
+    ),
+    r AS (
+      SELECT o1.event_type, 1 AS t,
+             CAST(o1.yc AS DOUBLE) AS l,
+             CAST(o2.yc AS DOUBLE) - CAST(o1.yc AS DOUBLE) AS b
+      FROM o o1 JOIN o o2
+        ON o1.event_type = o2.event_type AND o1.rn = 1 AND o2.rn = 2
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             (CAST(o.yc AS DOUBLE) + (r.l + r.b)) * 0.5,
+             ((((CAST(o.yc AS DOUBLE) + (r.l + r.b)) * 0.5) - r.l) + r.b) * 0.5
+      FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.t + 1
+    ),
+    mx AS (SELECT event_type, MAX(rn) AS n FROM o GROUP BY 1)
+    SELECT r.event_type, CAST(r.t AS BIGINT) AS n_days,
+           CAST(ROUND(r.l * 1000) AS BIGINT) AS level_mc,
+           CAST(ROUND(r.b * 1000) AS BIGINT) AS trend_mc,
+           CAST(ROUND((r.l + r.b * 1) * 1000) AS BIGINT) AS fc1_mc,
+           CAST(ROUND((r.l + r.b * 2) * 1000) AS BIGINT) AS fc2_mc,
+           CAST(ROUND((r.l + r.b * 3) * 1000) AS BIGINT) AS fc3_mc
+    FROM r JOIN mx ON r.event_type = mx.event_type AND r.t = mx.n
+    ORDER BY r.event_type
+    """,
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31 Holt linear-trend exponential smoothing (alpha=beta=1/2)
+    over each event type's daily value series, with 1/2/3-step-ahead
+    forecasts — the classic capacity-planning readout one step beyond
+    W8's EWMA (which tracks level only; Holt also carries trend).
+
+    Determinism: daily totals are exact cents integers; the recurrence
+    l' = (y + (l+b))/2, b' = ((l'-l) + b)/2 is written as the
+    IDENTICAL IEEE expression tree on both engines and folded in the
+    same strictly-sequential order (Spark: F.aggregate over the
+    day-sorted array; DuckDB: a recursive CTE stepping rn), so every
+    intermediate double is bit-identical; outputs quantize to
+    milli-cent integers only after the fold.
+
+    Plan shape: one shuffle for the per-(type, day) aggregate, one for
+    the per-type collect.  State per series is O(days) — bounded by
+    the calendar, not the event volume, so at 100 TB the heavy scan
+    reduces map-side into <= types x days rows and the fold is
+    driver-free constant work per series."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(cents(F.col("value"))).alias("yc"))
+    arr = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "yc"))).alias("pts")
+    )
+    ys = F.transform(F.col("pts"), lambda p: p.getField("yc").cast("double"))
+    a = arr.select("event_type", ys.alias("ys"))
+    init = F.struct(
+        F.element_at(F.col("ys"), 1).alias("l"),
+        (F.element_at(F.col("ys"), 2) - F.element_at(F.col("ys"), 1)).alias("b"),
+    )
+    rest = F.slice(F.col("ys"), 2, F.size(F.col("ys")) - 1)
+    state = F.aggregate(
+        rest,
+        init,
+        lambda acc, y: F.struct(
+            ((y + (acc.getField("l") + acc.getField("b"))) * 0.5).alias("l"),
+            (
+                (
+                    ((y + (acc.getField("l") + acc.getField("b"))) * 0.5)
+                    - acc.getField("l")
+                    + acc.getField("b")
+                )
+                * 0.5
+            ).alias("b"),
+        ),
+    )
+    s = a.select(
+        "event_type", F.size("ys").cast("long").alias("n_days"), state.alias("st")
+    )
+    l, b = F.col("st.l"), F.col("st.b")
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round(l * 1000).cast("long").alias("level_mc"),
+        F.round(b * 1000).cast("long").alias("trend_mc"),
+        F.round((l + b * 1) * 1000).cast("long").alias("fc1_mc"),
+        F.round((l + b * 2) * 1000).cast("long").alias("fc2_mc"),
+        F.round((l + b * 3) * 1000).cast("long").alias("fc3_mc"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# J11: SCD2 as-of fact enrichment (dimension time travel)
+# ---------------------------------------------------------------------------
+
+@query(
+    "scd2_asof_lookup",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             LAG(o_orderpriority) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_p
+      FROM orders WHERE o_custkey <= 300
+    ),
+    v AS (
+      SELECT *,
+             SUM(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM seq
+    ),
+    g AS (
+      SELECT o_custkey AS custkey, version,
+             MIN(o_orderdate) AS vf,
+             MIN(o_orderpriority) AS priority
+      FROM v GROUP BY o_custkey, version
+    ),
+    dim AS (
+      SELECT custkey, version, priority, vf,
+             LEAD(vf) OVER (PARTITION BY custkey ORDER BY version) AS vt
+      FROM g
+    ),
+    f AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate AS ship,
+             o.o_custkey AS custkey, o.o_orderpriority AS prio_at_order
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey <= 300
+    ),
+    j AS (
+      SELECT f.l_orderkey, f.prio_at_order,
+             COALESCE(d.priority, 'PRE-HISTORY') AS prio_at_ship,
+             COALESCE(d.version, 0) AS version
+      FROM f LEFT JOIN dim d
+        ON f.custkey = d.custkey
+       AND f.ship >= d.vf AND (d.vt IS NULL OR f.ship < d.vt)
+    )
+    SELECT prio_at_ship, COUNT(*) AS n_facts,
+           CAST(SUM(CASE WHEN prio_at_ship <> prio_at_order
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted,
+           CAST(SUM(version) AS BIGINT) AS version_mass,
+           CAST(SUM(l_orderkey) AS BIGINT) AS fact_checksum
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 dimension time travel: every lineitem fact of the tracked
+    customers is enriched with the SCD2 priority that was valid AT
+    SHIP TIME (J10's history build consumed as a lookup side), next to
+    the priority on the fact's own order — n_drifted counts facts
+    whose dimension attribute changed between order and ship.  Facts
+    shipped before the customer's first tracked version surface as
+    'PRE-HISTORY' instead of silently dropping (the synthetic fixture
+    ships ~half its lines before the order date).
+
+    Plan shape: the dimension build is J10's single custkey shuffle;
+    the validity ranges per customer are disjoint, so the as-of join
+    matches at most one version per fact.  The dim side is key-bounded
+    (<= versions per tracked customer) and broadcast onto the fact
+    scan — at 100 TB the fact table never shuffles for the lookup,
+    which is the entire point of consuming SCD2 ranges instead of
+    re-sorting facts."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    chg = F.when(
+        F.col("prev_p").isNull() | (F.col("prev_p") != F.col("o_orderpriority")), 1
+    ).otherwise(0)
+    v = seq.withColumn(
+        "version", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    g = v.groupBy(F.col("o_custkey").alias("custkey"), "version").agg(
+        F.min("o_orderdate").alias("vf"),
+        F.min("o_orderpriority").alias("priority"),
+    )
+    w2 = Window.partitionBy("custkey").orderBy("version")
+    dim = g.select(
+        "custkey", "version", "priority", "vf", F.lead("vf").over(w2).alias("vt")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").alias("ship")
+    )
+    facts = li.join(
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 300)
+        .select("o_orderkey", "o_custkey", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        "ship",
+        F.col("o_orderpriority").alias("prio_at_order"),
+    )
+    d = F.broadcast(dim).alias("d")
+    j = facts.alias("f").join(
+        d,
+        (F.col("f.custkey") == F.col("d.custkey"))
+        & (F.col("f.ship") >= F.col("d.vf"))
+        & (F.col("d.vt").isNull() | (F.col("f.ship") < F.col("d.vt"))),
+        "left",
+    )
+    out = j.select(
+        "f.l_orderkey",
+        "f.prio_at_order",
+        F.coalesce(F.col("d.priority"), F.lit("PRE-HISTORY")).alias("prio_at_ship"),
+        F.coalesce(F.col("d.version"), F.lit(0)).alias("version"),
+    )
+    return (
+        out.groupBy("prio_at_ship")
+        .agg(
+            F.count("*").alias("n_facts"),
+            F.sum(
+                F.when(F.col("prio_at_ship") != F.col("prio_at_order"), 1).otherwise(0)
+            ).cast("long").alias("n_drifted"),
+            F.sum("version").cast("long").alias("version_mass"),
+            F.sum("l_orderkey").cast("long").alias("fact_checksum"),
+        )
+        .orderBy("prio_at_ship")
+    )

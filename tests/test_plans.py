@@ -704,3 +704,53 @@ def test_leakage_split_text_never_in_exchange(spark):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text" not in m.group(0), m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation batch: retrieval / linkage / traversal /
+# forecast / privacy / dimension time travel
+# ---------------------------------------------------------------------------
+
+def test_bm25_prunes_scan_and_broadcasts_stats(spark):
+    """The corpus scan reads only (doc_id, text); document frequency
+    (3 rows) and corpus totals (1 row) broadcast onto the postings —
+    the corpus-scale shuffles are the doc_id aggregates only."""
+    df = QUERIES["text_bm25_topk"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_linkage_blocked_join_is_equi_not_cartesian(spark):
+    """Blocking must turn the fuzzy match into an equi-join: no
+    cartesian and no nested-loop pair enumeration anywhere — this IS
+    the scale contract vs F10's declared cross join."""
+    df = QUERIES["linkage_blocked_fuzzy"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_asof_lookup_broadcasts_dimension(spark):
+    """The fact side never shuffles for the lookup: the SCD2 ranges
+    broadcast, and the only exchanges are the dimension build's
+    custkey window plus the final small aggregate."""
+    df = QUERIES["scd2_asof_lookup"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan  # equi on custkey, range as residual
+
+
+def test_holt_forecast_two_aggregation_shuffles(spark):
+    """Holt reduces map-side to (type, day) partials, then collects
+    per-type series: two exchanges, nothing proportional to events."""
+    df = QUERIES["events_holt_forecast"](spark, SF_DIR)
+    assert shuffle_count(df) <= 3  # day agg + type collect (+AQE read)
+    assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_k_anonymity_single_pass(spark):
+    """One hash aggregate over the quasi-identifier tuple; the total
+    is a 1-row broadcast back onto the 4-bucket result."""
+    df = QUERIES["privacy_k_anonymity"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True)
+    assert all(len(c) <= 3 for c in scan_columns(df))

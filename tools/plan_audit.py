@@ -67,6 +67,10 @@ ALLOW_NESTED_LOOP = {
     "text_collocations",
     "text_bigram_surprisal",
     "agg_winsorized_stats",
+    # 1-row corpus-totals frame (N, total_tokens / table total)
+    # broadcast onto the postings / quasi-identifier groups
+    "text_bm25_topk",
+    "privacy_k_anonymity",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
