@@ -623,6 +623,11 @@ _CHECK_ORDER = [
     "events_holt_forecast",
     "scd2_asof_lookup",
     "privacy_k_anonymity",
+    "corpus_doremi_mixture",
+    "dedup_source_matrix",
+    "text_distinctive_terms",
+    "orders_quantile_bins",
+    "events_rolling_robust",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",
@@ -636,11 +641,6 @@ _CHECK_ORDER = [
     "agg_heavy_hitters",
     "q2_min_cost_supplier",
     "q20_excess_suppliers",
-    "drift_psi_orders",
-    "embedding_gram_matrix",
-    "agg_winsorized_stats",
-    "text_vocab_growth",
-    "events_cuped",
     "stream_running_totals",
     # round-5 eval/curation batch — new code takes window priority
     # over the long-local-green function-wrapper rows (ADVICE r4: new
@@ -683,6 +683,11 @@ _CHECK_ORDER = [
     "similarity_prefix_rerank",
     "agg_approx_percentile",
     "events_time_split",
+    "drift_psi_orders",
+    "embedding_gram_matrix",
+    "agg_winsorized_stats",
+    "text_vocab_growth",
+    "events_cuped",
     "session_sequences",
     "q6_forecast_revenue",
     "q10_returned_items",

@@ -310,3 +310,99 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed_custkey", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# L4q: distinctive terms per source (log-odds with informative prior)
+# ---------------------------------------------------------------------------
+
+_DISTINCT_TERMS_SQL = """
+    WITH t AS (
+      SELECT source,
+             unnest([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     if len(x) > 0]) AS tok
+      FROM documents
+    ),
+    sw AS (SELECT source, tok, COUNT(*) AS y_sw FROM t GROUP BY 1, 2),
+    wt AS (SELECT tok, CAST(SUM(y_sw) AS BIGINT) AS y_w FROM sw GROUP BY tok),
+    st AS (SELECT source, CAST(SUM(y_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+    tot AS (SELECT CAST(SUM(y_w) AS BIGINT) AS n FROM wt),
+    d AS (
+      SELECT sw.source, sw.tok, sw.y_sw, wt.y_w, st.n_s, tot.n,
+             CAST(ROUND(LN(CAST(sw.y_sw + wt.y_w AS DOUBLE)
+                           / CAST(st.n_s + tot.n - (sw.y_sw + wt.y_w) AS DOUBLE))
+                        * 1000000) AS BIGINT)
+             - CAST(ROUND(LN(CAST((wt.y_w - sw.y_sw) + wt.y_w AS DOUBLE)
+                             / CAST((tot.n - st.n_s) + tot.n
+                                    - ((wt.y_w - sw.y_sw) + wt.y_w) AS DOUBLE))
+                          * 1000000) AS BIGINT) AS delta_micro
+      FROM sw JOIN wt USING (tok) JOIN st USING (source) CROSS JOIN tot
+    ),
+    r AS (
+      SELECT source, tok, y_sw, delta_micro,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY delta_micro DESC, tok) AS rk
+      FROM d
+    )
+    SELECT source, rk, tok, CAST(y_sw AS BIGINT) AS y_sw, delta_micro
+    FROM r WHERE rk <= 3 ORDER BY source, rk
+"""
+
+
+@query("text_distinctive_terms", _DISTINCT_TERMS_SQL)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4q distinctive terms per source: log-odds ratio with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008 —
+    "Fightin' Words"), the corpus-linguistics complement of TF-IDF
+    (L4i scores terms within a DOCUMENT; this contrasts a SOURCE
+    against the rest of the corpus, with the corpus itself as the
+    prior so rare-term noise is damped).  Top-3 terms per source by
+    the quantized log-odds delta.
+
+    Determinism: each ln is quantized to integer micro-units before
+    the subtraction (the PSI/surprisal idiom); everything after is
+    int64.  Plan shape: one token explode -> one (source, token) hash
+    agg; the token-total and source-total tables are vocabulary- and
+    K-sized broadcasts back onto it; the top-3 window partitions on
+    source over the vocab-bounded scored table."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+    sw = t.groupBy("source", "tok").agg(F.count("*").alias("y_sw"))
+    wt = sw.groupBy("tok").agg(F.sum("y_sw").cast("long").alias("y_w"))
+    st = sw.groupBy("source").agg(F.sum("y_sw").cast("long").alias("n_s"))
+    tot = wt.agg(F.sum("y_w").cast("long").alias("n"))
+    d = (
+        sw.join(F.broadcast(wt), "tok")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    ln1 = F.round(
+        F.log(
+            (F.col("y_sw") + F.col("y_w")).cast("double")
+            / (F.col("n_s") + F.col("n") - (F.col("y_sw") + F.col("y_w"))).cast("double")
+        )
+        * 1000000
+    ).cast("long")
+    ln2 = F.round(
+        F.log(
+            ((F.col("y_w") - F.col("y_sw")) + F.col("y_w")).cast("double")
+            / (
+                (F.col("n") - F.col("n_s"))
+                + F.col("n")
+                - ((F.col("y_w") - F.col("y_sw")) + F.col("y_w"))
+            ).cast("double")
+        )
+        * 1000000
+    ).cast("long")
+    scored = d.select(
+        "source", "tok", "y_sw", (ln1 - ln2).alias("delta_micro")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("delta_micro").desc(), "tok")
+    return (
+        scored.select(
+            "source", F.row_number().over(w).alias("rk"), "tok",
+            F.col("y_sw").cast("long").alias("y_sw"), "delta_micro",
+        )
+        .where(F.col("rk") <= 3)
+        .orderBy("source", "rk")
+    )

@@ -616,3 +616,184 @@ def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").alias("fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L13: loss-aware domain mixture (DoReMi-style softmax reweighting)
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_doremi_mixture",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             unnest([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     if len(x) > 0]) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n FROM t),
+    lp AS (
+      SELECT tok,
+             CAST(ROUND(LN(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS lp_q
+      FROM cnt CROSS JOIN tot
+    ),
+    s AS (
+      SELECT t.source, COUNT(*) AS n_tokens,
+             CAST(SUM(lp_q) AS BIGINT) AS slp
+      FROM t JOIN lp USING (tok) GROUP BY t.source
+    ),
+    e AS (
+      SELECT source, n_tokens,
+             slp // n_tokens AS mean_surp_micro,
+             CAST(ROUND(EXP(1.0 * (CAST(slp // n_tokens AS DOUBLE) / 1000000.0))
+                        * 1000000) AS BIGINT) AS e_q
+      FROM s
+    ),
+    z AS (SELECT CAST(SUM(e_q) AS BIGINT) AS ze,
+                 CAST(SUM(n_tokens) AS BIGINT) AS nt FROM e)
+    SELECT source, n_tokens, mean_surp_micro,
+           CAST(e_q * 1000000 // MAX(z.ze) AS BIGINT) AS weight_ppm,
+           CAST(n_tokens * 1000000 // MAX(z.nt) AS BIGINT) AS baseline_ppm,
+           CAST((e_q * 1000000 // MAX(z.ze)) * 10000
+                // (n_tokens * 1000000 // MAX(z.nt)) AS BIGINT) AS boost_bp
+    FROM e CROSS JOIN z
+    GROUP BY source, n_tokens, mean_surp_micro, e_q
+    ORDER BY source
+    """,
+)
+def corpus_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13 loss-aware domain mixture: each source's sampling weight is
+    a softmax over its mean token surprisal under the corpus unigram
+    model (the L4j loss proxy) — the fixed point of DoReMi-style
+    exponentiated-gradient domain reweighting (arXiv:2305.10429) for a
+    static loss vector: hard domains (high excess loss) are upweighted
+    relative to their token share, easy boilerplate domains shrink.
+    boost_bp reads the result directly: weight vs proportional-to-size
+    baseline, in basis points.
+
+    Determinism: the exp() of each domain is quantized to an integer
+    micro-unit BEFORE the normalizing sum (the BM25 idiom), so the
+    softmax is exact int64 arithmetic; mean surprisal uses the
+    established 1e-6-quantized-ln + integer-division idiom.
+
+    Plan shape: one token explode feeds the vocabulary count (one
+    token shuffle) and, with the vocab-sized lp table broadcast back,
+    the per-source sums (one source shuffle).  The softmax itself is
+    K-domain-row work; nothing past the two partial aggs scales with
+    the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    from bytesprocessor_spark.functions.text import tokenize
+
+    t = docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+    cnt = t.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = t.agg(F.count("*").alias("n"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.log(F.col("n").cast("double") / F.col("c")) * 1000000)
+        .cast("long")
+        .alias("lp_q"),
+    )
+    s = (
+        t.join(F.broadcast(lp), "tok")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp_q").cast("long").alias("slp"))
+    )
+    e = s.select(
+        "source",
+        "n_tokens",
+        F.expr("slp div n_tokens").alias("mean_surp_micro"),
+        F.round(
+            F.exp(1.0 * (F.expr("slp div n_tokens").cast("double") / 1000000.0))
+            * 1000000
+        )
+        .cast("long")
+        .alias("e_q"),
+    )
+    z = e.agg(
+        F.sum("e_q").cast("long").alias("ze"),
+        F.sum("n_tokens").cast("long").alias("nt"),
+    )
+    return (
+        e.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            "mean_surp_micro",
+            F.expr("CAST(e_q * 1000000 div ze AS LONG)").alias("weight_ppm"),
+            F.expr("CAST(n_tokens * 1000000 div nt AS LONG)").alias("baseline_ppm"),
+            F.expr(
+                "CAST((e_q * 1000000 div ze) * 10000"
+                " div (n_tokens * 1000000 div nt) AS LONG)"
+            ).alias("boost_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2f: cross-source near-dup contamination matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_source_matrix",
+    f"""
+    WITH sh AS ({_DUCK_WORD3}),
+    t  AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    i  AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    p  AS (SELECT id_a, id_b
+           FROM i JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+           WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+    m  AS (SELECT least(da.source, db.source) AS source_a,
+                  greatest(da.source, db.source) AS source_b,
+                  id_a, id_b
+           FROM p JOIN documents da ON p.id_a = da.doc_id
+                  JOIN documents db ON p.id_b = db.doc_id)
+    SELECT source_a, source_b, COUNT(*) AS n_pairs,
+           CAST(SUM(id_a + id_b) AS BIGINT) AS pair_checksum
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2f cross-source contamination matrix: the L2 exact near-dup
+    pair scan aggregated by (source, source) — which corpus feeds
+    duplicate INTO which.  Off-diagonal mass is cross-source leakage
+    (one crawler re-ingesting another's content; eval sets bleeding
+    into train sources); the diagonal is within-source redundancy.
+    This is the readout that decides WHICH source to drop documents
+    from, where L1/L2 only decide which documents.
+
+    Plan shape: identical to dedup_jaccard_pairs (shuffle keys are
+    shingles, never pairs) plus two source-label joins on the pair
+    list (pair-bounded, not corpus-bounded) and a K x K aggregate.
+    The source labels ride a broadcast of (doc_id, source) only if the
+    dimension is small; here they join the bounded pair list, so at
+    100 TB the added cost is O(pairs)."""
+    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
+    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
+    src = docs.select("doc_id", "source")
+    m = (
+        pairs.select("id_a", "id_b")
+        .join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "sb"), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "id_a",
+            "id_b",
+        )
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("pair_checksum"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1592,3 +1592,99 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio_at_ship")
     )
+
+
+# ---------------------------------------------------------------------------
+# FE1: histogram-based equi-depth quantile binning (feature discretizer)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_quantile_bins",
+    """
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000 AS band
+      FROM orders
+    ),
+    h AS (SELECT band, COUNT(*) AS cnt FROM v GROUP BY band),
+    c AS (
+      SELECT band, cnt,
+             SUM(cnt) OVER (ORDER BY band
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             CAST((SELECT SUM(cnt) FROM h) AS BIGINT) AS n
+      FROM h
+    ),
+    cuts AS (
+      SELECT k, MIN(band) AS cut_band
+      FROM c CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS k)
+      WHERE cum * 10 >= k * n
+      GROUP BY k
+    ),
+    a AS (
+      SELECT v.o_orderkey, v.cents,
+             1 + COUNT(cuts.k) AS bin
+      FROM v LEFT JOIN cuts ON v.band > cuts.cut_band
+      GROUP BY v.o_orderkey, v.cents
+    )
+    SELECT bin, COUNT(*) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM a GROUP BY bin ORDER BY bin
+    """,
+)
+def orders_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FE1 equi-depth quantile binning (the Bucketizer/discretizer of
+    classic feature engineering): order values are bucketed into ~10
+    equal-population bins whose cutpoints come from a $100-band
+    histogram — the production-scale formulation (Spark ML's own
+    QuantileDiscretizer is histogram/sketch-based for the same
+    reason): cutpoints live at band granularity, so the bin populations
+    are equi-depth up to band ties while cutpoint selection is a
+    window over the BOUNDED band table, never a global sort of raw
+    rows.
+
+    Plan shape: one hash agg to the band histogram (map-side partials
+    absorb the scan), a cumulative window over <= bands rows, the
+    9-row cutpoint table broadcast back onto the value stream for
+    assignment, one final per-bin agg.  All arithmetic is exact cents
+    integers; the cut rule ``cum*10 >= k*n`` is integer math on both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("cents"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000").alias("band"),
+    )
+    h = v.groupBy("band").agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    n = h.agg(F.sum("cnt").cast("long").alias("n"))
+    c = h.select("band", F.sum("cnt").over(wc).alias("cum")).crossJoin(F.broadcast(n))
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    cuts = (
+        c.join(F.broadcast(ks), F.col("cum") * 10 >= F.col("k") * F.col("n"))
+        .groupBy("k")
+        .agg(F.min("band").alias("cut_band"))
+    )
+    # assignment is map-only: the <=9 cutpoints collapse to ONE sorted
+    # array broadcast onto the value stream; bin = 1 + #cuts below the
+    # band, computed in codegen — no per-row join, no row-key shuffle
+    cut_arr = cuts.agg(F.array_sort(F.collect_list("cut_band")).alias("cbs"))
+    a = v.crossJoin(F.broadcast(cut_arr)).select(
+        "cents",
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("cbs"), lambda x: F.col("band") > x))
+        ).cast("long").alias("bin"),
+    )
+    return (
+        a.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("bin")
+    )

@@ -974,3 +974,81 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         (F.sum("monetary_cents").cast("double") / 100.0).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W12: rolling robust outlier flag (windowed median + MAD)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_rolling_robust",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'),
+    w AS (
+      SELECT event_id, user_id, v,
+             list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS vs
+      FROM e),
+    m AS (
+      SELECT event_id, user_id, v, len(vs) AS n,
+             list_sort(vs)[(len(vs) + 1) // 2] AS med, vs
+      FROM w),
+    d AS (
+      SELECT event_id, user_id, v, n, med,
+             list_sort(list_transform(vs, x -> abs(x - med)))[(n + 1) // 2] AS mad
+      FROM m)
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS n,
+           med AS med_cents, mad AS mad_cents,
+           abs(v - med) > 3 * mad AS is_outlier
+    FROM d
+    """,
+)
+def events_rolling_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 rolling robust anomaly flag: per-user windowed median and
+    MAD (median absolute deviation) over the trailing <=9 purchase
+    values, flagging |v - med| > 3*MAD — the outlier rule that, unlike
+    the rolling mean/stddev z-score, is not itself corrupted by the
+    outliers it hunts (50% breakdown point vs 0%).  The robust sibling
+    of W8's EWMA on the same frame.
+
+    Determinism: cents integers end-to-end — the lower median of a
+    sorted integer frame and integer MAD need no floats at all, so
+    there is nothing to drift cross-engine.
+
+    Plan shape: one shuffle on user_id; the frame is bounded (9 rows),
+    so the per-row sort is O(9 log 9) constant work — at 100 TB this
+    is a single exchange + linear scan, the same contract as the
+    framed running aggregates."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    e = ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-8, 0)
+    vs = F.array_sort(F.collect_list("v").over(w))
+    return (
+        e.select(
+            "event_id", "user_id", "v",
+            F.size(vs).cast("long").alias("n"),
+            F.element_at(vs, ((F.size(vs) + 1) / 2).cast("int")).alias("med_cents"),
+            vs.alias("vss"),
+        )
+        .select(
+            "event_id", "user_id",
+            "n", "med_cents",
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.col("vss"), lambda x: F.abs(x - F.col("med_cents"))
+                    )
+                ),
+                ((F.col("n") + 1) / 2).cast("int"),
+            ).alias("mad_cents"),
+            (F.abs(F.col("v") - F.col("med_cents")) > 3 * F.col("mad_cents")).alias(
+                "is_outlier"
+            ),
+        )
+    )
