@@ -139,6 +139,14 @@ HEADLINE = [
     "scd2_asof_lookup",
     "events_holt_forecast",
     "privacy_k_anonymity",
+    # round-5 feature-engineering batch — doremi first (full-corpus
+    # tokenize feeding the vocab + per-source aggregates), then the
+    # shingle pair scan
+    "corpus_doremi_mixture",
+    "dedup_source_matrix",
+    "text_distinctive_terms",
+    "orders_quantile_bins",
+    "events_rolling_robust",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

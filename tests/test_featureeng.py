@@ -1,0 +1,200 @@
+"""Independent-recompute and invariant tests for the round-5
+feature-engineering batch (L13 DoReMi mixture, L2f source matrix,
+L4q distinctive terms, FE1 quantile bins, W12 rolling robust).
+Exact cross-engine values are pinned by the DuckDB oracle rows; these
+re-derive the semantics in plain Python on the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+from bytesprocessor_spark.queries import QUERIES
+from bytesprocessor_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _rnd(x: float) -> int:
+    """ROUND half-away-from-zero (DuckDB ROUND / Spark F.round)."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _toks(text: str) -> list[str]:
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def _word3(text: str) -> set[str]:
+    t = _toks(text)
+    return {" ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 1))}
+
+
+# ---------------------------------------------------------------------------
+# L13 DoReMi mixture
+# ---------------------------------------------------------------------------
+
+def test_doremi_matches_independent_python_recompute(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    cnt: Counter = Counter()
+    per_src_toks: dict[str, list[str]] = defaultdict(list)
+    for r in docs:
+        t = _toks(r.text)
+        cnt.update(t)
+        per_src_toks[r.source].extend(t)
+    n = sum(cnt.values())
+    lp = {tok: _rnd(math.log(n / c) * 1000000) for tok, c in cnt.items()}
+    rows = {}
+    for src, toks in per_src_toks.items():
+        n_tokens = len(toks)
+        slp = sum(lp[t] for t in toks)
+        mean = slp // n_tokens
+        e_q = _rnd(math.exp(mean / 1000000.0) * 1000000)
+        rows[src] = (n_tokens, mean, e_q)
+    ze = sum(e for _, _, e in rows.values())
+    nt = sum(ntk for ntk, _, _ in rows.values())
+    expected = {}
+    for src, (n_tokens, mean, e_q) in rows.items():
+        w = e_q * 1000000 // ze
+        b = n_tokens * 1000000 // nt
+        expected[src] = (n_tokens, mean, w, b, w * 10000 // b)
+    got = QUERIES["corpus_doremi_mixture"](spark, SF_DIR).collect()
+    assert {
+        r.source: (r.n_tokens, r.mean_surp_micro, r.weight_ppm, r.baseline_ppm, r.boost_bp)
+        for r in got
+    } == expected
+    # softmax identity: weights are a probability vector (up to the
+    # K-domain floor-division loss) and diverge from token share
+    assert 1000000 - len(got) <= sum(r.weight_ppm for r in got) <= 1000000
+    assert 1000000 - len(got) <= sum(r.baseline_ppm for r in got) <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# L2f cross-source contamination matrix
+# ---------------------------------------------------------------------------
+
+def test_source_matrix_matches_python_pair_scan(spark):
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    sh = {r.doc_id: _word3(r.text) for r in docs}
+    src = {r.doc_id: r.source for r in docs}
+    ids = sorted(sh)
+    exp_pairs: Counter = Counter()
+    exp_ck: Counter = Counter()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.5:
+                key = tuple(sorted((src[a], src[b])))
+                exp_pairs[key] += 1
+                exp_ck[key] += a + b
+    got = QUERIES["dedup_source_matrix"](spark, SF_DIR).collect()
+    assert {(r.source_a, r.source_b): (r.n_pairs, r.pair_checksum) for r in got} == {
+        k: (exp_pairs[k], exp_ck[k]) for k in exp_pairs
+    }
+    # matrix orientation: upper-triangular keys only
+    assert all(r.source_a <= r.source_b for r in got)
+
+
+# ---------------------------------------------------------------------------
+# L4q distinctive terms
+# ---------------------------------------------------------------------------
+
+def test_distinctive_terms_matches_python_recompute(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    sw: Counter = Counter()
+    for r in docs:
+        for t in _toks(r.text):
+            sw[(r.source, t)] += 1
+    wt: Counter = Counter()
+    st: Counter = Counter()
+    for (s, t), y in sw.items():
+        wt[t] += y
+        st[s] += y
+    n = sum(wt.values())
+    scored = defaultdict(list)
+    for (s, t), y in sw.items():
+        y_w, n_s = wt[t], st[s]
+        ln1 = _rnd(math.log((y + y_w) / (n_s + n - (y + y_w))) * 1000000)
+        ln2 = _rnd(
+            math.log(((y_w - y) + y_w) / ((n - n_s) + n - ((y_w - y) + y_w))) * 1000000
+        )
+        scored[s].append((ln1 - ln2, t, y))
+    expected = []
+    for s in sorted(scored):
+        top = sorted(scored[s], key=lambda x: (-x[0], x[1]))[:3]
+        for rk, (d, t, y) in enumerate(top, 1):
+            expected.append((s, rk, t, y, d))
+    got = QUERIES["text_distinctive_terms"](spark, SF_DIR).collect()
+    assert [(r.source, r.rk, r.tok, r.y_sw, r.delta_micro) for r in got] == expected
+
+
+# ---------------------------------------------------------------------------
+# FE1 quantile bins
+# ---------------------------------------------------------------------------
+
+def test_quantile_bins_matches_python_recompute(spark):
+    orders = load_table(spark, SF_DIR, "orders").select("o_totalprice").collect()
+    cents = [_rnd(r.o_totalprice * 100) for r in orders]
+    hist: Counter = Counter(c // 10000 for c in cents)
+    bands = sorted(hist)
+    n = len(cents)
+    cuts = []
+    for k in range(1, 10):
+        cum = 0
+        for b in bands:
+            cum += hist[b]
+            if cum * 10 >= k * n:
+                cuts.append(b)
+                break
+    agg = defaultdict(lambda: [0, math.inf, -math.inf, 0])
+    for c in cents:
+        bin_ = 1 + sum(1 for cb in cuts if c // 10000 > cb)
+        a = agg[bin_]
+        a[0] += 1
+        a[1] = min(a[1], c)
+        a[2] = max(a[2], c)
+        a[3] += c
+    got = QUERIES["orders_quantile_bins"](spark, SF_DIR).collect()
+    assert {r.bin: [r.n_rows, r.min_cents, r.max_cents, r.sum_cents] for r in got} == dict(
+        agg
+    )
+    # equi-depth up to band ties: bins partition the table and are
+    # value-ordered with no overlap
+    assert sum(r.n_rows for r in got) == n
+    for a, b in zip(got, got[1:]):
+        assert a.max_cents < b.min_cents
+
+
+# ---------------------------------------------------------------------------
+# W12 rolling robust outliers
+# ---------------------------------------------------------------------------
+
+def test_rolling_robust_matches_python_recompute(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .where("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    expected = {}
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        vals = [_rnd(r.value * 100) for r in rows]
+        for i, r in enumerate(rows):
+            frame = sorted(vals[max(0, i - 8) : i + 1])
+            m = len(frame)
+            med = frame[(m + 1) // 2 - 1]
+            mad = sorted(abs(x - med) for x in frame)[(m + 1) // 2 - 1]
+            expected[r.event_id] = (u, m, med, mad, abs(vals[i] - med) > 3 * mad)
+    got = QUERIES["events_rolling_robust"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    assert {
+        r.event_id: (r.user_id, r.n, r.med_cents, r.mad_cents, r.is_outlier)
+        for r in got
+    } == expected

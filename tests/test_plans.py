@@ -754,3 +754,50 @@ def test_k_anonymity_single_pass(spark):
     df = QUERIES["privacy_k_anonymity"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True)
     assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_doremi_scan_pruned_and_stats_broadcast(spark):
+    """The corpus is tokenized once from a (source, text) scan; the
+    vocab lp table and the 1-row totals/normalizer frames broadcast —
+    the corpus-scale shuffles are the token and source aggregates."""
+    df = QUERIES["corpus_doremi_mixture"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_source_matrix_no_pair_enumeration(spark):
+    """The contamination matrix rides the inverted-index pair scan:
+    no cartesian and no nested-loop anywhere — shuffle keys are
+    shingle hashes, then source pairs."""
+    df = QUERIES["dedup_source_matrix"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_distinctive_terms_broadcasts_vocab_stats(spark):
+    """One (source, tok) hash agg over the token explode; the token
+    totals / source totals / corpus total all broadcast back."""
+    df = QUERIES["text_distinctive_terms"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_quantile_bins_no_raw_row_window(spark):
+    """The cumulative window runs over the BOUNDED band histogram and
+    bin assignment is a broadcast sorted-cutpoint array in codegen —
+    the raw value stream is never globally sorted or windowed."""
+    df = QUERIES["orders_quantile_bins"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    plan = executed_plan(df)
+    # every Window in the plan sits downstream of the band HashAggregate,
+    # never over the orders scan: the scan feeds exactly 2 columns
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_rolling_robust_single_user_exchange(spark):
+    """One shuffle on user_id (plus AQE reads); the purchase filter
+    reaches the parquet scan."""
+    df = QUERIES["events_rolling_robust"](spark, SF_DIR)
+    assert shuffle_count(df) <= 2
+    assert any("event_type" in p for p in pushed_filters(df))

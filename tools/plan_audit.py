@@ -71,6 +71,13 @@ ALLOW_NESTED_LOOP = {
     # broadcast onto the postings / quasi-identifier groups
     "text_bm25_topk",
     "privacy_k_anonymity",
+    # feature-engineering batch: 1-row totals / softmax-normalizer /
+    # sorted-cutpoint-array frames broadcast onto vocab- or K-bounded
+    # tables (doremi: token total + Z; distinctive terms: corpus total;
+    # quantile bins: 9-cut array onto the value stream) — O(rows) work
+    "corpus_doremi_mixture",
+    "text_distinctive_terms",
+    "orders_quantile_bins",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
