@@ -147,6 +147,9 @@ HEADLINE = [
     "text_distinctive_terms",
     "orders_quantile_bins",
     "events_rolling_robust",
+    "agg_kmv_distinct",
+    "orders_abc_pareto",
+    "privacy_l_diversity",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -628,6 +628,13 @@ _CHECK_ORDER = [
     "text_distinctive_terms",
     "orders_quantile_bins",
     "events_rolling_robust",
+    # round-5 closing batch: mergeable KMV distinct sketch, Pareto
+    # classification, l-diversity — window priority per the rotation
+    # rule; the displaced eval-batch tail (group_kfold, ann_recall,
+    # knn_label_prop) leads the round-6 window
+    "agg_kmv_distinct",
+    "orders_abc_pareto",
+    "privacy_l_diversity",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

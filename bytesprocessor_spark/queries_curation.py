@@ -1951,3 +1951,79 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q10: l-diversity audit (companion to Q9 k-anonymity)
+# ---------------------------------------------------------------------------
+
+@query(
+    "privacy_l_diversity",
+    """
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             COUNT(*) AS k,
+             COUNT(DISTINCT c_mktsegment) AS l
+      FROM customer GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(k) AS BIGINT) AS total FROM g)
+    SELECT CASE WHEN l = 1 THEN 'l=1' WHEN l = 2 THEN 'l=2'
+                ELSE 'l>=3' END AS l_bucket,
+           COUNT(*) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(SUM(k) * 1000000 // MAX(tot.total) AS BIGINT) AS rows_ppm,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(MAX(l) AS BIGINT) AS max_l
+    FROM g CROSS JOIN tot
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 l-diversity audit (Machanavajjhala et al. ICDE'06): Q9's
+    k-anonymity counts how many rows SHARE a quasi-identifier tuple;
+    this counts how many DISTINCT sensitive values each group holds —
+    a group can be k-anonymous yet leak the sensitive attribute
+    outright when every member shares it (l=1, homogeneity attack).
+    Quasi-identifiers here are (nation, $1000 balance band); the
+    sensitive attribute is the market segment.  Groups bucket into
+    l=1 (attribute disclosure), l=2 (50% guess), l>=3.
+
+    Plan shape: one hash aggregate on (QI tuple, sensitive) collapsed
+    to a distinct count per QI group (Spark plans COUNT(DISTINCT) via
+    expand + two partial aggs — both key-bounded), a 1-row total
+    broadcast back, 3-row final agg.  Exact integer math throughout
+    (cents band floor-div, ppm shares)."""
+    c = _t(spark, sf_dir, "customer")
+    g = (
+        c.select(
+            "c_nationkey",
+            F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) div 100000").alias(
+                "bal_band"
+            ),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count("*").alias("k"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+    )
+    tot = g.agg(F.sum("k").cast("long").alias("total"))
+    bucket = (
+        F.when(F.col("l") == 1, "l=1")
+        .when(F.col("l") == 2, "l=2")
+        .otherwise("l>=3")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy(bucket.alias("l_bucket"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.expr("CAST(SUM(k) * 1000000 div MAX(total) AS BIGINT)").alias("rows_ppm"),
+            F.min("l").cast("long").alias("min_l"),
+            F.max("l").cast("long").alias("max_l"),
+        )
+        .orderBy("l_bucket")
+    )

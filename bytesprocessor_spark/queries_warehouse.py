@@ -1688,3 +1688,163 @@ def orders_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# A32: KMV (bottom-k) distinct sketch with exact-error readout
+# ---------------------------------------------------------------------------
+
+# 52-bit hash space: (k-1) * 2^52 stays far inside int64 for any
+# practical k, so the estimator is exact integer division end-to-end
+# (the 60-bit idiom would overflow (k-1) << 60 at k = 64).
+_KMV_K = 64
+_KMV_SCALE = 1 << 52
+
+
+@query(
+    "agg_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+      FROM lineitem
+    ),
+    b AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_k,
+                 CAST(MAX(hv) AS BIGINT) AS kth_hash
+          FROM b),
+    x AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+          FROM lineitem)
+    SELECT n_k, kth_hash,
+           CAST((n_k - 1) * {_KMV_SCALE} // kth_hash AS BIGINT) AS est_distinct,
+           exact_distinct,
+           CAST(abs((n_k - 1) * {_KMV_SCALE} // kth_hash - exact_distinct)
+                * 1000000 // exact_distinct AS BIGINT) AS err_ppm
+    FROM s CROSS JOIN x
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32 KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002;
+    Beyer et al. SIGMOD'07 unbiased estimator (k-1)/h_(k)): keep the k
+    smallest 52-bit hash values of the key stream; the k-th smallest
+    estimates the distinct count.  Unlike HLL (A11) the sketch is a
+    plain sorted list of longs — trivially mergeable by union+re-trim
+    (pinned by pytest), supports set operations on sketches, and both
+    engines compute it EXACTLY (same md5-derived hashes, same bottom-k,
+    same integer-division estimator), so the oracle row hash-checks the
+    full sketch semantics, not a tolerance band.
+
+    The exact distinct count and err_ppm ride along as the audit
+    readout (KMV relative error ~ 1/sqrt(k-1) ~ 12.7% at k=64).
+
+    Plan shape: map-side hash projection collapses duplicates in the
+    partial DISTINCT aggregate (the shuffle carries distinct 8-byte
+    longs, never raw keys); the bottom-k is TakeOrdered (per-partition
+    k then a k-row merge at the driver stage); the exact count is one
+    more partial agg over the same pruned scan.  Nothing proportional
+    to row count crosses the wire."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    b = h.orderBy("hv").limit(_KMV_K)
+    s = b.agg(
+        F.count("*").cast("long").alias("n_k"),
+        F.max("hv").cast("long").alias("kth_hash"),
+    )
+    x = li.agg(F.countDistinct("l_partkey").cast("long").alias("exact_distinct"))
+    return s.crossJoin(F.broadcast(x)).select(
+        "n_k",
+        "kth_hash",
+        F.expr(f"CAST((n_k - 1) * {_KMV_SCALE} div kth_hash AS LONG)").alias(
+            "est_distinct"
+        ),
+        "exact_distinct",
+        F.expr(
+            f"CAST(abs((n_k - 1) * {_KMV_SCALE} div kth_hash - exact_distinct)"
+            " * 1000000 div exact_distinct AS LONG)"
+        ).alias("err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A33: ABC / Pareto revenue classification
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_abc_pareto",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM r),
+    c AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r
+    ),
+    cl AS (
+      SELECT o_custkey, rev,
+             CASE WHEN cum * 1000000 // t.total <= 800000 THEN 'A'
+                  WHEN cum * 1000000 // t.total <= 950000 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cum * 1000000 // t.total AS cum_ppm
+      FROM c CROSS JOIN t
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_customers,
+           CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+           CAST(MAX(cum_ppm) AS BIGINT) AS max_cum_ppm
+    FROM cl GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33 ABC / Pareto classification: customers ranked by revenue,
+    class A = the head that carries the first 80% of cumulative
+    revenue, B = to 95%, C = the long tail — the 80/20 readout behind
+    inventory policy, account tiering, and (in a training-data
+    pipeline) the source-weighting decision of which corpora carry the
+    token mass.
+
+    Determinism: exact cents, the cumulative share is integer ppm
+    floor division (never a double compare at the 80%/95% boundary),
+    and the running sum orders by (rev DESC, custkey) so revenue ties
+    are deterministic.
+
+    Plan shape: one hash agg to the per-customer revenue table, then a
+    cumulative window over that ENTITY-BOUNDED table (customers, not
+    orders — the RFM/ranking posture: the window input is the
+    aggregate, row count bounded by |customers|), a 1-row total
+    broadcast, and a 3-row final agg."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev")
+    )
+    t = r.agg(F.sum("rev").cast("long").alias("total"))
+    w = Window.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = r.select("o_custkey", "rev", F.sum("rev").over(w).alias("cum"))
+    cl = c.crossJoin(F.broadcast(t)).select(
+        "rev",
+        F.expr("cum * 1000000 div total").alias("cum_ppm"),
+    )
+    abc = (
+        F.when(F.col("cum_ppm") <= 800000, "A")
+        .when(F.col("cum_ppm") <= 950000, "B")
+        .otherwise("C")
+    )
+    return (
+        cl.groupBy(abc.alias("abc_class"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+            F.max("cum_ppm").cast("long").alias("max_cum_ppm"),
+        )
+        .orderBy("abc_class")
+    )

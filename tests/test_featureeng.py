@@ -198,3 +198,106 @@ def test_rolling_robust_matches_python_recompute(spark):
         r.event_id: (r.user_id, r.n, r.med_cents, r.mad_cents, r.is_outlier)
         for r in got
     } == expected
+
+
+# ---------------------------------------------------------------------------
+# A32 KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+def _md5_52(v) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
+
+
+def test_kmv_matches_python_recompute_and_merges(spark):
+    keys = {
+        r.l_partkey
+        for r in load_table(spark, SF_DIR, "lineitem").select("l_partkey").collect()
+    }
+    hashes = sorted({_md5_52(k) for k in keys})
+    bottom = hashes[:64]
+    n_k, kth = len(bottom), bottom[-1]
+    est = (n_k - 1) * (1 << 52) // kth
+    got = QUERIES["agg_kmv_distinct"](spark, SF_DIR).collect()[0]
+    assert (got.n_k, got.kth_hash, got.est_distinct, got.exact_distinct) == (
+        n_k,
+        kth,
+        est,
+        len(keys),
+    )
+    assert got.err_ppm == abs(est - len(keys)) * 1000000 // len(keys)
+    # mergeability: the union of two shards' bottom-k re-trimmed to k
+    # IS the global bottom-k — the property that makes KMV a sketch
+    ks = sorted(keys)
+    half_a = sorted({_md5_52(k) for k in ks[::2]})[:64]
+    half_b = sorted({_md5_52(k) for k in ks[1::2]})[:64]
+    assert sorted(set(half_a) | set(half_b))[:64] == bottom
+
+
+# ---------------------------------------------------------------------------
+# A33 ABC / Pareto
+# ---------------------------------------------------------------------------
+
+def test_abc_pareto_matches_python_recompute(spark):
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    rev: Counter = Counter()
+    for r in orders:
+        rev[r.o_custkey] += _rnd(r.o_totalprice * 100)
+    total = sum(rev.values())
+    agg = defaultdict(lambda: [0, 0, 0])
+    cum = 0
+    for ck in sorted(rev, key=lambda c: (-rev[c], c)):
+        cum += rev[ck]
+        ppm = cum * 1000000 // total
+        cls = "A" if ppm <= 800000 else ("B" if ppm <= 950000 else "C")
+        a = agg[cls]
+        a[0] += 1
+        a[1] += rev[ck]
+        a[2] = max(a[2], ppm)
+    got = QUERIES["orders_abc_pareto"](spark, SF_DIR).collect()
+    assert {r.abc_class: [r.n_customers, r.revenue_cents, r.max_cum_ppm] for r in got} == dict(agg)
+    # the tail class closes the distribution exactly
+    assert max(r.max_cum_ppm for r in got) == 1000000
+    assert sum(r.revenue_cents for r in got) == total
+
+
+# ---------------------------------------------------------------------------
+# Q10 l-diversity
+# ---------------------------------------------------------------------------
+
+def test_l_diversity_matches_python_recompute(spark):
+    cust = (
+        load_table(spark, SF_DIR, "customer")
+        .select("c_nationkey", "c_acctbal", "c_mktsegment")
+        .collect()
+    )
+    groups = defaultdict(set)
+    sizes: Counter = Counter()
+    for r in cust:
+        c = _rnd(r.c_acctbal * 100)
+        # engine integer division truncates toward zero (Spark div,
+        # DuckDB // on BIGINT) — Python // floors, so trunc explicitly
+        qi = (r.c_nationkey, int(math.copysign(abs(c) // 100000, c)))
+        groups[qi].add(r.c_mktsegment)
+        sizes[qi] += 1
+    total = sum(sizes.values())
+    agg = defaultdict(lambda: [0, 0, math.inf, 0])
+    for qi, seg in groups.items():
+        l = len(seg)
+        b = "l=1" if l == 1 else ("l=2" if l == 2 else "l>=3")
+        a = agg[b]
+        a[0] += 1
+        a[1] += sizes[qi]
+        a[2] = min(a[2], l)
+        a[3] = max(a[3], l)
+    got = QUERIES["privacy_l_diversity"](spark, SF_DIR).collect()
+    assert {
+        r.l_bucket: [r.n_groups, r.n_rows, r.min_l, r.max_l] for r in got
+    } == {b: a for b, a in agg.items()}
+    for r in got:
+        assert r.rows_ppm == agg[r.l_bucket][1] * 1000000 // total

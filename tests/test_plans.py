@@ -801,3 +801,31 @@ def test_rolling_robust_single_user_exchange(spark):
     df = QUERIES["events_rolling_robust"](spark, SF_DIR)
     assert shuffle_count(df) <= 2
     assert any("event_type" in p for p in pushed_filters(df))
+
+
+def test_kmv_bottom_k_is_take_ordered(spark):
+    """The bottom-k is TakeOrdered (per-partition k then a k-row
+    merge), the DISTINCT shuffle carries 8-byte hash longs only, and
+    the scan reads the single key column."""
+    df = QUERIES["agg_kmv_distinct"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert all(len(c) <= 1 for c in scan_columns(df))
+
+
+def test_abc_pareto_window_over_entity_table(spark):
+    """The cumulative window input is the per-customer aggregate (one
+    hash agg absorbs the orders scan); the total is a 1-row
+    broadcast."""
+    df = QUERIES["orders_abc_pareto"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_l_diversity_single_qi_aggregate(spark):
+    """One (QI, sensitive) aggregate pass (Spark expands the distinct
+    count into two key-bounded partials); 1-row total broadcast back
+    onto the 3-bucket readout."""
+    df = QUERIES["privacy_l_diversity"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 3 for c in scan_columns(df))

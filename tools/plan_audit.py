@@ -78,6 +78,11 @@ ALLOW_NESTED_LOOP = {
     "corpus_doremi_mixture",
     "text_distinctive_terms",
     "orders_quantile_bins",
+    # closing batch: 1-row exact-count / revenue-total / table-total
+    # frames broadcast onto k-row sketches or bucket readouts
+    "agg_kmv_distinct",
+    "orders_abc_pareto",
+    "privacy_l_diversity",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
