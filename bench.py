@@ -150,6 +150,7 @@ HEADLINE = [
     "agg_kmv_distinct",
     "orders_abc_pareto",
     "privacy_l_diversity",
+    "events_acf",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

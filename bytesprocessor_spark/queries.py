@@ -635,6 +635,7 @@ _CHECK_ORDER = [
     "agg_kmv_distinct",
     "orders_abc_pareto",
     "privacy_l_diversity",
+    "events_acf",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

@@ -1848,3 +1848,122 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# A34: autocorrelation function (ACF) of the daily series
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_acf",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) // 100 AS v
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1
+      FROM s GROUP BY 1
+    ),
+    j AS (
+      SELECT s.event_type, s.v, st.n, st.s1,
+             LAG(v, 1) OVER w AS v1,
+             LAG(v, 2) OVER w AS v2,
+             LAG(v, 3) OVER w AS v3
+      FROM s JOIN st USING (event_type)
+      WINDOW w AS (PARTITION BY s.event_type ORDER BY s.d)
+    ),
+    a AS (
+      SELECT event_type, MAX(n) AS n_days,
+             CAST(SUM((n*v - s1) * (n*v - s1)) AS BIGINT) AS den,
+             CAST(SUM(CASE WHEN v1 IS NULL THEN 0
+                           ELSE (n*v - s1) * (n*v1 - s1) END) AS BIGINT) AS num1,
+             CAST(SUM(CASE WHEN v2 IS NULL THEN 0
+                           ELSE (n*v - s1) * (n*v2 - s1) END) AS BIGINT) AS num2,
+             CAST(SUM(CASE WHEN v3 IS NULL THEN 0
+                           ELSE (n*v - s1) * (n*v3 - s1) END) AS BIGINT) AS num3
+      FROM j GROUP BY event_type
+    )
+    SELECT event_type, lag,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(num * 1000000 // GREATEST(den, 1) AS BIGINT) AS acf_ppm
+    FROM a, (VALUES (1), (2), (3)) AS lags(lag),
+         LATERAL (SELECT CASE lag WHEN 1 THEN num1 WHEN 2 THEN num2
+                                  ELSE num3 END AS num) x
+    ORDER BY event_type, lag
+    """,
+)
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34 autocorrelation function: ACF at lags 1-3 of each event
+    type's daily revenue series — the diagnostic read before picking a
+    seasonal window (A19) or trusting a trend fit (A16/A31); ACF(1)
+    near zero says the daily series is white noise, persistent
+    positive lags say momentum.
+
+    Exactness: with S = sum(v) and n days, n^2 * (v_t - mean) =
+    n*(n*v_t - S)/1, so num_l = sum((n*v_t - S)(n*v_{t-l} - S)) and
+    den = sum((n*v_t - S)^2) carry the n^2 factor IDENTICALLY and it
+    cancels in the ratio — the ppm ACF is exact int64 arithmetic, no
+    float mean anywhere.  Daily sums are truncated to whole dollars to
+    bound the products: |n*v - S| <= n*max(v) ~ 1e8 dollars at sf10,
+    squared 1e16, x365 days ~ 4e18 < int64 — past sf~30 switch the
+    quantization down a decade (the documented Gram-matrix bound
+    convention).
+
+    Plan shape: one (type, day) partial agg absorbs the scan; the
+    per-type stats join back broadcast (types are K-bounded); the lag
+    window partitions BY TYPE over day-count-bounded series; the
+    3-lag unpivot is a 4-row literal stack.  Nothing past the first
+    agg scales with event volume."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.expr("CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) div 100").alias("v"))
+    )
+    st = s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("v").cast("long").alias("s1")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    j = s.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "v",
+        "n",
+        "s1",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    dev = F.col("n") * F.col("v") - F.col("s1")
+    term = lambda c: F.sum(  # noqa: E731
+        F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+            dev * (F.col("n") * F.col(c) - F.col("s1"))
+        )
+    ).cast("long")
+    a = j.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.sum(dev * dev).cast("long").alias("den"),
+        term("v1").alias("num1"),
+        term("v2").alias("num2"),
+        term("v3").alias("num3"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    num = (
+        F.when(F.col("lag") == 1, F.col("num1"))
+        .when(F.col("lag") == 2, F.col("num2"))
+        .otherwise(F.col("num3"))
+    )
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .select(
+            "event_type",
+            "lag",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.expr(
+                "CAST((CASE lag WHEN 1 THEN num1 WHEN 2 THEN num2 ELSE num3 END)"
+                " * 1000000 div GREATEST(den, 1) AS LONG)"
+            ).alias("acf_ppm"),
+        )
+        .orderBy("event_type", "lag")
+    )

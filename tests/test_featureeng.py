@@ -301,3 +301,35 @@ def test_l_diversity_matches_python_recompute(spark):
     } == {b: a for b, a in agg.items()}
     for r in got:
         assert r.rows_ppm == agg[r.l_bucket][1] * 1000000 // total
+
+
+# ---------------------------------------------------------------------------
+# A34 autocorrelation
+# ---------------------------------------------------------------------------
+
+def test_acf_matches_python_recompute(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    daily = defaultdict(Counter)
+    for r in ev:
+        daily[r.event_type][r.ts.date()] += _rnd(r.value * 100)
+    expected = {}
+    for t, days in daily.items():
+        vs = [days[d] // 100 for d in sorted(days)]
+        n, s1 = len(vs), sum(v // 1 for v in vs)
+        s1 = sum(vs)
+        dev = [n * v - s1 for v in vs]
+        den = max(sum(d * d for d in dev), 1)
+        for lag in (1, 2, 3):
+            num = sum(dev[i] * dev[i - lag] for i in range(lag, n))
+            q = num * 1000000
+            acf = int(math.copysign(abs(q) // den, q))
+            expected[(t, lag)] = (n, acf)
+    got = QUERIES["events_acf"](spark, SF_DIR).collect()
+    assert {(r.event_type, r.lag): (r.n_days, r.acf_ppm) for r in got} == expected
+    # ACF is a correlation: bounded in ppm (allowing lag-truncation
+    # slack the textbook estimator shares)
+    assert all(-1100000 <= r.acf_ppm <= 1100000 for r in got)

@@ -829,3 +829,12 @@ def test_l_diversity_single_qi_aggregate(spark):
     df = QUERIES["privacy_l_diversity"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_acf_collapses_before_type_window(spark):
+    """The (type, day) partial agg absorbs the event scan; the lag
+    window partitions by type over day-bounded series; per-type stats
+    and the 3-row lag literal broadcast."""
+    df = QUERIES["events_acf"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 3 for c in scan_columns(df))

@@ -83,6 +83,8 @@ ALLOW_NESTED_LOOP = {
     "agg_kmv_distinct",
     "orders_abc_pareto",
     "privacy_l_diversity",
+    # 3-row lag-literal frame broadcast onto the K-type ACF aggregate
+    "events_acf",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
