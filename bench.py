@@ -151,6 +151,8 @@ HEADLINE = [
     "orders_abc_pareto",
     "privacy_l_diversity",
     "events_acf",
+    "drift_ks_orders",
+    "orders_gini",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

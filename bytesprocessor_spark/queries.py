@@ -636,6 +636,8 @@ _CHECK_ORDER = [
     "orders_abc_pareto",
     "privacy_l_diversity",
     "events_acf",
+    "drift_ks_orders",
+    "orders_gini",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

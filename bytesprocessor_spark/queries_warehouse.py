@@ -1967,3 +1967,176 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11: two-sample Kolmogorov-Smirnov drift test
+# ---------------------------------------------------------------------------
+
+_KS_BAND_C = 1_000_000  # $10,000 ECDF bands over exact cents
+
+
+@query(
+    "drift_ks_orders",
+    f"""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // {_KS_BAND_C} AS band,
+             CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS era
+      FROM orders
+    ),
+    h AS (
+      SELECT band,
+             COUNT(CASE WHEN era = 0 THEN 1 END) AS ca,
+             COUNT(CASE WHEN era = 1 THEN 1 END) AS cb
+      FROM b GROUP BY band
+    ),
+    c AS (
+      SELECT band,
+             SUM(ca) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_b,
+             CAST((SELECT SUM(ca) FROM h) AS BIGINT) AS na,
+             CAST((SELECT SUM(cb) FROM h) AS BIGINT) AS nb
+      FROM h
+    ),
+    d AS (
+      SELECT band, na, nb,
+             abs(CAST(cum_a * 1000000 // na AS BIGINT)
+                 - CAST(cum_b * 1000000 // nb AS BIGINT)) AS gap_ppm
+      FROM c
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_base,
+           CAST(MAX(nb) AS BIGINT) AS n_delta,
+           CAST(MAX(gap_ppm) AS BIGINT) AS d_ppm,
+           CAST(MIN(CASE WHEN gap_ppm = (SELECT MAX(gap_ppm) FROM d)
+                         THEN band END) AS BIGINT) AS argmax_band
+    FROM d
+    """,
+)
+def drift_ks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 two-sample Kolmogorov-Smirnov drift test: D = max ECDF gap
+    between the pre/post-1998 order-value distributions — the
+    nonparametric sibling of Q8's PSI (PSI weights every bucket; KS
+    reads the single worst point of the CDF, catching localized shift
+    PSI smooths away).  D is exact integer ppm: both ECDFs are
+    cumulative counts x 1e6 // n at $10,000 band edges (the ECDF at
+    band granularity IS the KS statistic of the banded distribution —
+    no float compare anywhere), argmax band rides along with a MIN
+    tiebreak.
+
+    Plan shape: one hash agg to the band histogram absorbs the scan;
+    the cumulative window runs over the BOUNDED band table (the FE1
+    posture); the final readout is a 1-row aggregate.  Nothing past
+    the histogram scales with row count."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div {_KS_BAND_C}").alias(
+            "band"
+        ),
+        F.when(
+            F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp"), 0
+        ).otherwise(1).alias("era"),
+    )
+    h = b.groupBy("band").agg(
+        F.count(F.when(F.col("era") == 0, 1)).alias("ca"),
+        F.count(F.when(F.col("era") == 1, 1)).alias("cb"),
+    )
+    tot = h.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    wc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "band",
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+    ).crossJoin(F.broadcast(tot))
+    d = c.select(
+        "band",
+        "na",
+        "nb",
+        F.abs(
+            F.expr("CAST(cum_a * 1000000 div na AS BIGINT)")
+            - F.expr("CAST(cum_b * 1000000 div nb AS BIGINT)")
+        ).alias("gap_ppm"),
+    )
+    return d.agg(
+        F.max("na").cast("long").alias("n_base"),
+        F.max("nb").cast("long").alias("n_delta"),
+        F.max("gap_ppm").cast("long").alias("d_ppm"),
+        F.expr("CAST(min_by(band, struct(-gap_ppm, band)) AS BIGINT)").alias(
+            "argmax_band"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A35: Gini coefficient / Lorenz concentration
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_gini",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    k AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+      FROM r
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS BIGINT) AS s,
+             CAST(SUM(i * rev) AS BIGINT) AS si
+      FROM k
+    )
+    SELECT n AS n_customers, s AS total_cents,
+           CAST(ROUND(CAST(2 * si - (n + 1) * s AS DOUBLE)
+                      / CAST(n AS DOUBLE) / CAST(s AS DOUBLE)
+                      * 1000000) AS BIGINT) AS gini_ppm
+    FROM a
+    """,
+)
+def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35 Gini coefficient: revenue concentration across customers
+    via the discrete Lorenz formula G = (2*sum(i*x_(i)) - (n+1)*S) /
+    (n*S) over the ascending-sorted revenue sequence — the scalar
+    summary behind A33's ABC classes (ABC says WHERE the 80% cut
+    falls; Gini says HOW concentrated the whole curve is; 0 = uniform,
+    ->1 = one customer is the revenue).
+
+    Determinism: sum(i*x_i) and S are exact int64 (rank ties broken by
+    custkey); the final ratio is two IEEE double divisions of exact
+    integer operands in a pinned order — identical on both engines
+    (the q1 'final division back to double' idiom) — then ppm
+    quantized.
+
+    Plan shape: one custkey hash agg, a rank window over the
+    ENTITY-BOUNDED revenue table (the A33/RFM posture), one 1-row
+    reduction."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    k = r.select("rev", F.row_number().over(w).alias("i"))
+    return (
+        k.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("rev").cast("long").alias("s"),
+            F.sum(F.col("i") * F.col("rev")).cast("long").alias("si"),
+        )
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("s").alias("total_cents"),
+            F.round(
+                (2 * F.col("si") - (F.col("n") + 1) * F.col("s")).cast("double")
+                / F.col("n").cast("double")
+                / F.col("s").cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("gini_ppm"),
+        )
+    )

@@ -333,3 +333,63 @@ def test_acf_matches_python_recompute(spark):
     # ACF is a correlation: bounded in ppm (allowing lag-truncation
     # slack the textbook estimator shares)
     assert all(-1100000 <= r.acf_ppm <= 1100000 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Q11 KS drift
+# ---------------------------------------------------------------------------
+
+def test_ks_drift_matches_python_recompute(spark):
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_totalprice", "o_orderdate")
+        .collect()
+    )
+    import datetime
+
+    split = datetime.datetime(1998, 1, 1)
+    ha: Counter = Counter()
+    hb: Counter = Counter()
+    for r in orders:
+        band = _rnd(r.o_totalprice * 100) // 1_000_000
+        (ha if r.o_orderdate < split else hb)[band] += 1
+    na, nb = sum(ha.values()), sum(hb.values())
+    cum_a = cum_b = 0
+    best = (-1, None)
+    for band in sorted(set(ha) | set(hb)):
+        cum_a += ha[band]
+        cum_b += hb[band]
+        gap = abs(cum_a * 1000000 // na - cum_b * 1000000 // nb)
+        if gap > best[0]:
+            best = (gap, band)
+    got = QUERIES["drift_ks_orders"](spark, SF_DIR).collect()[0]
+    assert (got.n_base, got.n_delta, got.d_ppm, got.argmax_band) == (
+        na,
+        nb,
+        best[0],
+        best[1],
+    )
+    # D is a probability-scale statistic
+    assert 0 <= got.d_ppm <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# A35 Gini
+# ---------------------------------------------------------------------------
+
+def test_gini_matches_python_recompute(spark):
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    rev: Counter = Counter()
+    for r in orders:
+        rev[r.o_custkey] += _rnd(r.o_totalprice * 100)
+    xs = [rev[c] for c in sorted(rev, key=lambda c: (rev[c], c))]
+    n, s = len(xs), sum(xs)
+    si = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = _rnd((2 * si - (n + 1) * s) / n / s * 1000000)
+    got = QUERIES["orders_gini"](spark, SF_DIR).collect()[0]
+    assert (got.n_customers, got.total_cents, got.gini_ppm) == (n, s, gini)
+    assert 0 <= got.gini_ppm < 1000000

@@ -838,3 +838,18 @@ def test_acf_collapses_before_type_window(spark):
     df = QUERIES["events_acf"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_ks_drift_window_over_band_histogram(spark):
+    """One band-histogram agg absorbs the scan; the ECDF window runs
+    over the bounded band table; totals broadcast; 1-row readout."""
+    df = QUERIES["drift_ks_orders"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_gini_rank_over_entity_table(spark):
+    """The rank window input is the per-customer aggregate; one 1-row
+    reduction after it — the orders scan feeds exactly 2 columns."""
+    df = QUERIES["orders_gini"](spark, SF_DIR)
+    assert all(len(c) <= 2 for c in scan_columns(df))

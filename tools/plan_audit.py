@@ -85,6 +85,8 @@ ALLOW_NESTED_LOOP = {
     "privacy_l_diversity",
     # 3-row lag-literal frame broadcast onto the K-type ACF aggregate
     "events_acf",
+    # 1-row era-totals frame broadcast onto the bounded band ECDF
+    "drift_ks_orders",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
