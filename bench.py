@@ -153,6 +153,7 @@ HEADLINE = [
     "events_acf",
     "drift_ks_orders",
     "orders_gini",
+    "text_jsd_sources",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -638,6 +638,7 @@ _CHECK_ORDER = [
     "events_acf",
     "drift_ks_orders",
     "orders_gini",
+    "text_jsd_sources",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

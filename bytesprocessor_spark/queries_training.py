@@ -797,3 +797,101 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# L4r: Jensen-Shannon divergence per source (text-domain drift)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_jsd_sources",
+    """
+    WITH t AS (
+      SELECT source,
+             unnest([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     if len(x) > 0]) AS tok
+      FROM documents
+    ),
+    sw AS (SELECT source, tok, COUNT(*) AS y_sw FROM t GROUP BY 1, 2),
+    wt AS (SELECT tok, CAST(SUM(y_sw) AS BIGINT) AS y_w FROM sw GROUP BY tok),
+    st AS (SELECT source, CAST(SUM(y_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+    tot AS (SELECT CAST(SUM(y_w) AS BIGINT) AS n FROM wt),
+    grid AS (
+      SELECT st.source, wt.tok, wt.y_w, st.n_s, tot.n,
+             COALESCE(sw.y_sw, 0) AS y_sw
+      FROM st CROSS JOIN wt CROSS JOIN tot
+      LEFT JOIN sw ON sw.source = st.source AND sw.tok = wt.tok
+    ),
+    c AS (
+      SELECT source, n_s,
+             GREATEST(CAST(y_sw * 1000000 // n_s AS BIGINT), 1) AS pm,
+             GREATEST(CAST((y_w - y_sw) * 1000000 // (n - n_s) AS BIGINT), 1) AS qm
+      FROM grid
+    )
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           CAST(SUM(pm * CAST(ROUND(LN(CAST(2 * pm AS DOUBLE) / (pm + qm))
+                                    * 1000000) AS BIGINT)
+                    + qm * CAST(ROUND(LN(CAST(2 * qm AS DOUBLE) / (pm + qm))
+                                      * 1000000) AS BIGINT)) // 2 AS BIGINT)
+             AS jsd_pico
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def text_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4r Jensen-Shannon divergence of each source's unigram
+    distribution against the REST of the corpus — the text-domain
+    drift readout (Q8's PSI monitors a numeric column; this monitors
+    the vocabulary itself): a source whose JSD spikes is feeding the
+    corpus different text (new crawler, template change, language
+    shift).  JSD is symmetric and bounded (unlike raw KL), the
+    standard corpus-divergence metric.
+
+    Determinism: the PSI idiom end-to-end — p and q are exact integer
+    micro-proportions with a GREATEST(.,1) floor (ln always defined),
+    each ln quantized to integer micro-units BEFORE the p*ln products,
+    pico-unit contributions summed in int64, halved by integer
+    division.
+
+    Plan shape: one token explode -> (source, tok) hash agg; the
+    evaluation grid is sources x VOCABULARY (both bounded — K-row and
+    vocab-row broadcasts, never corpus rows); one final per-source
+    agg.  Nothing past the first shuffle scales with corpus size."""
+    from bytesprocessor_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+    sw = t.groupBy("source", "tok").agg(F.count("*").alias("y_sw"))
+    wt = sw.groupBy("tok").agg(F.sum("y_sw").cast("long").alias("y_w"))
+    st = sw.groupBy("source").agg(F.sum("y_sw").cast("long").alias("n_s"))
+    tot = wt.agg(F.sum("y_w").cast("long").alias("n"))
+    grid = (
+        st.crossJoin(wt)
+        .crossJoin(F.broadcast(tot))
+        .join(sw, ["source", "tok"], "left")
+        .select(
+            "source",
+            "n_s",
+            "n",
+            "y_w",
+            F.coalesce(F.col("y_sw"), F.lit(0)).alias("y_sw"),
+        )
+    )
+    c = grid.select(
+        "source",
+        "n_s",
+        F.greatest(F.expr("y_sw * 1000000 div n_s"), F.lit(1)).alias("pm"),
+        F.greatest(F.expr("(y_w - y_sw) * 1000000 div (n - n_s)"), F.lit(1)).alias(
+            "qm"
+        ),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(SUM(pm * CAST(ROUND(LN(CAST(2 * pm AS DOUBLE) / (pm + qm)) * 1000000) AS BIGINT)"
+                " + qm * CAST(ROUND(LN(CAST(2 * qm AS DOUBLE) / (pm + qm)) * 1000000) AS BIGINT)) div 2 AS BIGINT)"
+            ).alias("jsd_pico"),
+        )
+        .orderBy("source")
+    )

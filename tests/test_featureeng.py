@@ -393,3 +393,40 @@ def test_gini_matches_python_recompute(spark):
     got = QUERIES["orders_gini"](spark, SF_DIR).collect()[0]
     assert (got.n_customers, got.total_cents, got.gini_ppm) == (n, s, gini)
     assert 0 <= got.gini_ppm < 1000000
+
+
+# ---------------------------------------------------------------------------
+# L4r Jensen-Shannon divergence per source
+# ---------------------------------------------------------------------------
+
+def test_jsd_matches_python_recompute(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    sw: Counter = Counter()
+    for r in docs:
+        for t in _toks(r.text):
+            sw[(r.source, t)] += 1
+    wt: Counter = Counter()
+    st: Counter = Counter()
+    for (s, t), y in sw.items():
+        wt[t] += y
+        st[s] += y
+    n = sum(wt.values())
+    expected = {}
+    for s in st:
+        n_s = st[s]
+        acc = 0
+        for t, y_w in wt.items():
+            y = sw.get((s, t), 0)
+            pm = max(y * 1000000 // n_s, 1)
+            qm = max((y_w - y) * 1000000 // (n - n_s), 1)
+            acc += pm * _rnd(math.log(2 * pm / (pm + qm)) * 1000000)
+            acc += qm * _rnd(math.log(2 * qm / (pm + qm)) * 1000000)
+        # engine div truncates toward zero; acc is non-negative (JSD >= 0
+        # up to quantization) so // matches
+        expected[s] = (n_s, int(math.copysign(abs(acc) // 2, acc)))
+    got = QUERIES["text_jsd_sources"](spark, SF_DIR).collect()
+    assert {r.source: (r.n_tokens, r.jsd_pico) for r in got} == expected
+    # JSD is bounded by ln 2 (693147 micro-nats x 1e6 ppm mass = pico
+    # scale) and non-negative up to the +1-floor quantization slack
+    for r in got:
+        assert -1000 * 1000000 <= r.jsd_pico <= 693147 * 1000000

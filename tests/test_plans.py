@@ -853,3 +853,12 @@ def test_gini_rank_over_entity_table(spark):
     reduction after it — the orders scan feeds exactly 2 columns."""
     df = QUERIES["orders_gini"](spark, SF_DIR)
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_jsd_grid_is_vocab_bounded(spark):
+    """The evaluation grid is sources x vocabulary — built from the
+    two AGGREGATED tables; the corpus-scale shuffle is the (source,
+    tok) count only, and the scan reads (source, text)."""
+    df = QUERIES["text_jsd_sources"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True)
+    assert all(len(c) <= 2 for c in scan_columns(df))

@@ -87,6 +87,9 @@ ALLOW_NESTED_LOOP = {
     "events_acf",
     # 1-row era-totals frame broadcast onto the bounded band ECDF
     "drift_ks_orders",
+    # K-source x vocabulary evaluation grid built from two AGGREGATED
+    # frames (JSD needs the union support); corpus rows never pair
+    "text_jsd_sources",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
