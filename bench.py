@@ -154,6 +154,7 @@ HEADLINE = [
     "drift_ks_orders",
     "orders_gini",
     "text_jsd_sources",
+    "retrieval_rrf_fusion",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

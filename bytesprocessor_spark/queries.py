@@ -639,6 +639,7 @@ _CHECK_ORDER = [
     "drift_ks_orders",
     "orders_gini",
     "text_jsd_sources",
+    "retrieval_rrf_fusion",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

@@ -406,3 +406,120 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# L4s: reciprocal-rank-fusion hybrid retrieval (BM25 + embedding)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard RRF damping constant (Cormack 2009)
+_RRF_PROBE = 7       # pinned probe vector: doc_id/vec_id alignment
+_RRF_LIST = 20       # per-list depth fused
+_RRF_TOPK = 10
+
+_RRF_QUANT = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+
+_RRF_SQL = f"""
+    WITH bm AS (
+      SELECT doc_id, rank AS r_b FROM ({_BM25_SQL})
+    ),
+    e AS (SELECT vec_id, {_RRF_QUANT} AS v FROM embeddings),
+    qp AS (SELECT v AS qv FROM e WHERE vec_id = {_RRF_PROBE}),
+    s AS (
+      SELECT e.vec_id,
+             list_dot_product(qv, v)
+               / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))) AS sim
+      FROM e CROSS JOIN qp
+      WHERE e.vec_id <> {_RRF_PROBE}
+    ),
+    cr AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS r_c
+      FROM s
+    ),
+    cl AS (SELECT doc_id, r_c FROM cr WHERE r_c <= {_RRF_LIST}),
+    f AS (
+      SELECT COALESCE(bm.doc_id, cl.doc_id) AS doc_id,
+             CAST(COALESCE(bm.r_b, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(cl.r_c, 0) AS BIGINT) AS cos_rank,
+             CAST(COALESCE(1000000 // ({_RRF_K} + bm.r_b), 0)
+                  + COALESCE(1000000 // ({_RRF_K} + cl.r_c), 0) AS BIGINT) AS rrf_micro
+      FROM bm FULL OUTER JOIN cl ON bm.doc_id = cl.doc_id
+    )
+    SELECT doc_id, bm25_rank, cos_rank, rrf_micro,
+           ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+    FROM f ORDER BY rank LIMIT {_RRF_TOPK}
+"""
+
+
+@query("retrieval_rrf_fusion", _RRF_SQL)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4s hybrid retrieval via reciprocal rank fusion (Cormack,
+    Clarke & Buettcher SIGIR'09): the lexical ranking (L4p BM25, fixed
+    term query) and the semantic ranking (exact cosine against a
+    pinned probe embedding, doc_id/vec_id aligned) fuse by
+    rrf(d) = sum over lists of 1/(60 + rank_d) — the standard way
+    production search combines keyword and vector retrieval without
+    score calibration, since RRF consumes only RANKS (scale-free,
+    robust to one list's score distribution drifting).
+
+    Determinism: each reciprocal is the integer 1000000 // (60+rank)
+    BEFORE the sum (micro-quantization idiom); both input rankings are
+    deterministic (BM25 micro-scores; cosine doubles from identical
+    IEEE trees over integer-quantized vectors, vec_id tiebreaks).
+    Absent-from-list contributes exactly 0, rank columns report 0.
+
+    Plan shape: the BM25 branch is the L4p plan unchanged (two doc_id
+    aggs + broadcasts, TakeOrdered top-20); the cosine branch is one
+    corpus scan against a 1-row broadcast probe with a top-20 window;
+    the fusion itself is a full outer join of two <=20-row lists —
+    driver-trivial at any scale."""
+    from bytesprocessor_spark.queries import QUERIES
+    from bytesprocessor_spark.functions.vectors import dot_product
+
+    bm = (
+        QUERIES["text_bm25_topk"](spark, sf_dir)
+        .select("doc_id", F.col("rank").alias("r_b"))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000000.0)).alias(
+            "v"
+        ),
+    )
+    qp = F.broadcast(
+        quant.where(F.col("vec_id") == _RRF_PROBE).select(F.col("v").alias("qv"))
+    )
+    sim = dot_product(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot_product(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot_product(F.col("v"), F.col("v")))
+    )
+    s = (
+        quant.where(F.col("vec_id") != _RRF_PROBE)
+        .crossJoin(qp)
+        .withColumn("sim", sim)
+    )
+    wc = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    cl = (
+        s.withColumn("r_c", F.row_number().over(wc))
+        .where(F.col("r_c") <= _RRF_LIST)
+        .select(F.col("vec_id").alias("doc_id"), "r_c")
+    )
+    f = bm.join(cl, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("r_b"), F.lit(0)).cast("long").alias("bm25_rank"),
+        F.coalesce(F.col("r_c"), F.lit(0)).cast("long").alias("cos_rank"),
+        (
+            F.coalesce(F.expr(f"1000000 div ({_RRF_K} + r_b)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({_RRF_K} + r_c)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    wf = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        f.withColumn("rank", F.row_number().over(wf))
+        .orderBy("rank")
+        .limit(_RRF_TOPK)
+    )

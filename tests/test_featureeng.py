@@ -430,3 +430,52 @@ def test_jsd_matches_python_recompute(spark):
     # scale) and non-negative up to the +1-floor quantization slack
     for r in got:
         assert -1000 * 1000000 <= r.jsd_pico <= 693147 * 1000000
+
+
+# ---------------------------------------------------------------------------
+# L4s RRF hybrid fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fusion_matches_python_recompute(spark):
+    """Recompute the fusion from the two REGISTERED rankings (each is
+    independently recompute-tested), pinning the rank-only contract:
+    rrf = sum of 1e6 // (60 + rank) over the lists the doc appears in."""
+    bm = {
+        r.doc_id: r.rank
+        for r in QUERIES["text_bm25_topk"](spark, SF_DIR).collect()
+    }
+    import hashlib  # noqa: F401 (parallel structure with other tests)
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    qv = [round(float(x) * 1000000.0) for x in next(r.embedding for r in emb if r.vec_id == 7)]
+
+    def cos(v):
+        vq = [round(float(x) * 1000000.0) for x in v]
+        dot = na = nb = 0.0
+        for a, b in zip(qv, vq):
+            dot += a * b
+            na += a * a
+            nb += b * b
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    ranked = sorted(
+        ((cos(r.embedding), r.vec_id) for r in emb if r.vec_id != 7),
+        key=lambda t: (-t[0], t[1]),
+    )
+    cr = {vid: i + 1 for i, (_, vid) in enumerate(ranked[:20])}
+    fused = {}
+    for d in set(bm) | set(cr):
+        fused[d] = (1000000 // (60 + bm[d]) if d in bm else 0) + (
+            1000000 // (60 + cr[d]) if d in cr else 0
+        )
+    expected = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got = QUERIES["retrieval_rrf_fusion"](spark, SF_DIR).collect()
+    assert [(r.doc_id, r.rrf_micro) for r in got] == expected
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    for r in got:
+        assert (r.bm25_rank > 0) == (r.doc_id in bm)
+        assert (r.cos_rank > 0) == (r.doc_id in cr)
+        # docs on BOTH lists outrank equal-rank single-list docs —
+        # the property RRF exists for
+        if r.bm25_rank and r.cos_rank:
+            assert r.rrf_micro >= 1000000 // 61

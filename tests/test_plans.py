@@ -862,3 +862,12 @@ def test_jsd_grid_is_vocab_bounded(spark):
     df = QUERIES["text_jsd_sources"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True)
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_rrf_fusion_branches_stay_bounded(spark):
+    """The BM25 branch keeps its L4p shape (broadcast stats, pruned
+    scan); the cosine branch is a 1-row broadcast probe; the fusion
+    join itself is over two <=20-row lists."""
+    df = QUERIES["retrieval_rrf_fusion"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 2 for c in scan_columns(df))

@@ -90,6 +90,9 @@ ALLOW_NESTED_LOOP = {
     # K-source x vocabulary evaluation grid built from two AGGREGATED
     # frames (JSD needs the union support); corpus rows never pair
     "text_jsd_sources",
+    # 1-row broadcast probe vector onto the corpus scan (cosine
+    # branch), plus the BM25 branch's 1-row totals frame
+    "retrieval_rrf_fusion",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
