@@ -155,6 +155,7 @@ HEADLINE = [
     "orders_gini",
     "text_jsd_sources",
     "retrieval_rrf_fusion",
+    "events_bot_score",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -640,6 +640,7 @@ _CHECK_ORDER = [
     "orders_gini",
     "text_jsd_sources",
     "retrieval_rrf_fusion",
+    "events_bot_score",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

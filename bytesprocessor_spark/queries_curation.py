@@ -2027,3 +2027,128 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12: metronomic-user (bot) screen over inter-event gaps
+# ---------------------------------------------------------------------------
+
+_BOT_MIN_GAPS = 5
+_BOT_TOPK = 20
+
+
+@query(
+    "events_bot_score",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) // 1000 AS t,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS seq
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, seq,
+             t - LAG(t) OVER (PARTITION BY user_id
+                              ORDER BY seq) AS gap_s
+      FROM e
+      QUALIFY gap_s IS NOT NULL
+    ),
+    n AS (SELECT user_id, COUNT(*) AS n_gaps FROM g GROUP BY user_id),
+    r1 AS (
+      SELECT g.user_id, g.gap_s, n.n_gaps,
+             ROW_NUMBER() OVER (PARTITION BY g.user_id
+                                ORDER BY g.gap_s, g.seq) AS rn
+      FROM g JOIN n USING (user_id)
+    ),
+    med AS (
+      SELECT user_id, n_gaps, CAST(gap_s AS BIGINT) AS med_gap_s
+      FROM r1 WHERE rn = (n_gaps + 1) // 2
+    ),
+    r2 AS (
+      SELECT g.user_id, abs(g.gap_s - med.med_gap_s) AS d,
+             ROW_NUMBER() OVER (PARTITION BY g.user_id
+                                ORDER BY abs(g.gap_s - med.med_gap_s), g.seq) AS rn
+      FROM g JOIN med USING (user_id)
+    ),
+    mad AS (
+      SELECT r2.user_id, CAST(r2.d AS BIGINT) AS mad_gap_s
+      FROM r2 JOIN med USING (user_id)
+      WHERE r2.rn = (med.n_gaps + 1) // 2
+    )
+    SELECT med.user_id, CAST(med.n_gaps AS BIGINT) AS n_gaps,
+           med.med_gap_s, mad.mad_gap_s,
+           CAST(mad.mad_gap_s * 1000000 // GREATEST(med.med_gap_s, 1) AS BIGINT)
+             AS regularity_ppm
+    FROM med JOIN mad USING (user_id)
+    WHERE med.n_gaps >= {_BOT_MIN_GAPS}
+    ORDER BY regularity_ppm, med.user_id
+    LIMIT {_BOT_TOPK}
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 metronomic-user screen: per user, the median and MAD of
+    inter-event gaps in whole seconds; regularity = MAD/median in ppm.
+    Humans are bursty (high MAD relative to median); schedulers,
+    crawlers, and replay bots fire on near-constant intervals
+    (regularity -> 0) — the behavioral filter a training-data pipeline
+    runs so synthetic traffic doesn't become training text.  Output is
+    the {_BOT_TOPK} most metronomic users with >= {_BOT_MIN_GAPS}
+    gaps, most-suspicious first.
+
+    Determinism: epoch-second integers end-to-end; both median and
+    MAD are the LOWER median selected BY RANK (row_number with seq
+    tiebreaks), never an interpolating percentile — so there is no
+    float anywhere until the final ppm ratio, which is integer
+    division.
+
+    Plan shape: fully distributed rank-median — NO per-user array
+    collection (the skew-safe alternative to collect_list medians):
+    one user_id exchange feeds the sequence/gap windows, the median
+    and MAD are each one more rank-window pass over the gaps table,
+    all shuffles keyed on user_id.  Hot users cost O(their events),
+    never memory."""
+    ev = _t(spark, sf_dir, "events")
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.row_number().over(ws).alias("seq"),
+    )
+    wg = Window.partitionBy("user_id").orderBy("seq")
+    g = (
+        e.withColumn("gap_s", F.col("t") - F.lag("t").over(wg))
+        .where(F.col("gap_s").isNotNull())
+        .select("user_id", "seq", "gap_s")
+    )
+    n = g.groupBy("user_id").agg(F.count("*").alias("n_gaps"))
+    w1 = Window.partitionBy("user_id").orderBy("gap_s", "seq")
+    r1 = g.join(n, "user_id").withColumn("rn", F.row_number().over(w1))
+    med = (
+        r1.where(F.col("rn") == F.expr("(n_gaps + 1) div 2"))
+        .select("user_id", "n_gaps", F.col("gap_s").cast("long").alias("med_gap_s"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.abs(F.col("gap_s") - F.col("med_gap_s")), "seq")
+    r2 = (
+        g.join(med, "user_id")
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == F.expr("(n_gaps + 1) div 2"))
+        .select(
+            "user_id",
+            F.abs(F.col("gap_s") - F.col("med_gap_s")).cast("long").alias("mad_gap_s"),
+        )
+    )
+    return (
+        med.join(r2, "user_id")
+        .where(F.col("n_gaps") >= _BOT_MIN_GAPS)
+        .select(
+            "user_id",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            "med_gap_s",
+            "mad_gap_s",
+            F.expr("CAST(mad_gap_s * 1000000 div GREATEST(med_gap_s, 1) AS BIGINT)").alias(
+                "regularity_ppm"
+            ),
+        )
+        .orderBy("regularity_ppm", "user_id")
+        .limit(_BOT_TOPK)
+    )

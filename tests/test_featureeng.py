@@ -479,3 +479,41 @@ def test_rrf_fusion_matches_python_recompute(spark):
         # the property RRF exists for
         if r.bm25_rank and r.cos_rank:
             assert r.rrf_micro >= 1000000 // 61
+
+
+# ---------------------------------------------------------------------------
+# Q12 bot screen
+# ---------------------------------------------------------------------------
+
+def test_bot_score_matches_python_recompute(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    rows = []
+    for u, es in by_user.items():
+        es.sort()
+        secs = [int(t.timestamp()) for t, _ in es]
+        gaps = [b - a for a, b in zip(secs, secs[1:])]
+        n = len(gaps)
+        if n < 5:
+            continue
+        # lower median BY RANK with arrival-order (seq) tiebreak —
+        # ties in gap value resolve by position, matching the engines
+        order = sorted(range(n), key=lambda i: (gaps[i], i))
+        med = gaps[order[(n + 1) // 2 - 1]]
+        dorder = sorted(range(n), key=lambda i: (abs(gaps[i] - med), i))
+        mad = abs(gaps[dorder[(n + 1) // 2 - 1]] - med)
+        rows.append((mad * 1000000 // max(med, 1), u, n, med, mad))
+    rows.sort(key=lambda t: (t[0], t[1]))
+    expected = [(u, n, med, mad, reg) for reg, u, n, med, mad in rows[:20]]
+    got = QUERIES["events_bot_score"](spark, SF_DIR).collect()
+    assert [
+        (r.user_id, r.n_gaps, r.med_gap_s, r.mad_gap_s, r.regularity_ppm) for r in got
+    ] == expected
+    # most-suspicious-first ordering
+    assert all(a.regularity_ppm <= b.regularity_ppm for a, b in zip(got, got[1:]))

@@ -871,3 +871,13 @@ def test_rrf_fusion_branches_stay_bounded(spark):
     df = QUERIES["retrieval_rrf_fusion"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_bot_score_no_array_collection(spark):
+    """The rank-median is fully distributed: every shuffle keys on
+    user_id, and no collect_list/ObjectHashAggregate materializes a
+    per-user gap array (the skew hazard the design avoids)."""
+    df = QUERIES["events_bot_score"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "collect_list" not in plan
+    assert all(len(c) <= 3 for c in scan_columns(df))
