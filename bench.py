@@ -156,6 +156,7 @@ HEADLINE = [
     "text_jsd_sources",
     "retrieval_rrf_fusion",
     "events_bot_score",
+    "profile_entropy_orders",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

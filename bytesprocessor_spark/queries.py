@@ -641,6 +641,7 @@ _CHECK_ORDER = [
     "text_jsd_sources",
     "retrieval_rrf_fusion",
     "events_bot_score",
+    "profile_entropy_orders",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

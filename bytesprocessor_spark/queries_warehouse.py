@@ -2140,3 +2140,94 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gini_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13: categorical-entropy profile (column diversity audit)
+# ---------------------------------------------------------------------------
+
+@query(
+    "profile_entropy_orders",
+    """
+    WITH u AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'order_year', CAST(YEAR(o_orderdate) AS VARCHAR) FROM orders
+    ),
+    c AS (SELECT col, val, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+    t AS (SELECT col, CAST(SUM(cnt) AS BIGINT) AS n,
+                 COUNT(*) AS n_distinct FROM c GROUP BY col),
+    p AS (
+      SELECT c.col, t.n_distinct,
+             GREATEST(CAST(cnt * 1000000 // t.n AS BIGINT), 1) AS pm
+      FROM c JOIN t USING (col)
+    )
+    SELECT col, CAST(MAX(n_distinct) AS BIGINT) AS n_distinct,
+           CAST(-SUM(pm * CAST(ROUND(LN(CAST(pm AS DOUBLE) / 1000000)
+                                     * 1000000) AS BIGINT)) // 1000000 AS BIGINT)
+             AS entropy_micronats,
+           CAST((-SUM(pm * CAST(ROUND(LN(CAST(pm AS DOUBLE) / 1000000)
+                                      * 1000000) AS BIGINT)) // 1000000)
+                * 1000000
+                // GREATEST(CAST(ROUND(LN(CAST(MAX(n_distinct) AS DOUBLE))
+                                       * 1000000) AS BIGINT), 1) AS BIGINT)
+             AS norm_entropy_ppm
+    FROM p GROUP BY col ORDER BY col
+    """,
+)
+def profile_entropy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 categorical-entropy profile: Shannon entropy (micro-nats)
+    and its ln(n_distinct)-normalized form for each audited
+    categorical column — the diversity row the one-pass profile card
+    (Q5) lacks: near-zero normalized entropy flags a column that is
+    practically constant (drop it from features / stratification
+    keys), near-1e6 ppm flags uniform spread.
+
+    Determinism: the PSI idiom — proportions as floored integer
+    micro-units (GREATEST 1), ln quantized to micro-nats before the
+    p*ln products, pico sums scaled back by integer division; the
+    normalizer ln(n_distinct) is itself micro-quantized.
+
+    Plan shape: the 3-column unpivot is a same-scan union (one table
+    pass per column expression, Catalyst prunes each branch to its
+    column); one (col, val) hash agg bounded by the columns'
+    cardinality; per-column totals broadcast back; K-row readout."""
+    o = _t(spark, sf_dir, "orders")
+    u = (
+        o.select(F.lit("o_orderstatus").alias("col"), F.col("o_orderstatus").alias("val"))
+        .unionAll(
+            o.select(F.lit("o_orderpriority"), F.col("o_orderpriority"))
+        )
+        .unionAll(
+            o.select(F.lit("order_year"), F.year("o_orderdate").cast("string"))
+        )
+    )
+    c = u.groupBy("col", "val").agg(F.count("*").alias("cnt"))
+    t = c.groupBy("col").agg(
+        F.sum("cnt").cast("long").alias("n"), F.count("*").alias("n_distinct")
+    )
+    p = c.join(F.broadcast(t), "col").select(
+        "col",
+        "n_distinct",
+        F.greatest(F.expr("cnt * 1000000 div n"), F.lit(1)).alias("pm"),
+    )
+    ent = F.expr(
+        "-SUM(pm * CAST(ROUND(LN(CAST(pm AS DOUBLE) / 1000000) * 1000000) AS BIGINT))"
+        " div 1000000"
+    )
+    return (
+        p.groupBy("col")
+        .agg(
+            F.max("n_distinct").cast("long").alias("n_distinct"),
+            ent.cast("long").alias("entropy_micronats"),
+            F.expr(
+                "CAST((-SUM(pm * CAST(ROUND(LN(CAST(pm AS DOUBLE) / 1000000)"
+                " * 1000000) AS BIGINT)) div 1000000) * 1000000"
+                " div GREATEST(CAST(ROUND(LN(CAST(MAX(n_distinct) AS DOUBLE))"
+                " * 1000000) AS BIGINT), 1) AS BIGINT)"
+            ).alias("norm_entropy_ppm"),
+        )
+        .orderBy("col")
+    )

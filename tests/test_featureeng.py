@@ -517,3 +517,40 @@ def test_bot_score_matches_python_recompute(spark):
     ] == expected
     # most-suspicious-first ordering
     assert all(a.regularity_ppm <= b.regularity_ppm for a, b in zip(got, got[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Q13 categorical entropy profile
+# ---------------------------------------------------------------------------
+
+def test_entropy_profile_matches_python_recompute(spark):
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderstatus", "o_orderpriority", "o_orderdate")
+        .collect()
+    )
+    cols = {
+        "o_orderstatus": Counter(r.o_orderstatus for r in orders),
+        "o_orderpriority": Counter(r.o_orderpriority for r in orders),
+        "order_year": Counter(str(r.o_orderdate.year) for r in orders),
+    }
+    expected = {}
+    for col, cnt in cols.items():
+        n = sum(cnt.values())
+        acc = 0
+        for c in cnt.values():
+            pm = max(c * 1000000 // n, 1)
+            acc += pm * _rnd(math.log(pm / 1000000) * 1000000)
+        # -SUM(...) div 1e6 with engine trunc-toward-zero semantics:
+        # negate first, then truncate
+        ent = int(math.copysign(abs(-acc) // 1000000, -acc))
+        k = len(cnt)
+        norm = ent * 1000000 // max(_rnd(math.log(k) * 1000000), 1) if k > 1 else 0
+        expected[col] = (k, ent, norm)
+    got = QUERIES["profile_entropy_orders"](spark, SF_DIR).collect()
+    assert {r.col: (r.n_distinct, r.entropy_micronats, r.norm_entropy_ppm) for r in got} == expected
+    # normalized entropy is a [0, 1e6]-scale share (floor-quantization
+    # can push a uniform column a hair past the bound, never by more
+    # than the pm floor slack)
+    for r in got:
+        assert 0 <= r.norm_entropy_ppm <= 1001000

@@ -881,3 +881,11 @@ def test_bot_score_no_array_collection(spark):
     plan = executed_plan(df)
     assert "collect_list" not in plan
     assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_entropy_profile_prunes_each_union_branch(spark):
+    """Each unpivot branch scans only its own column (plus the shared
+    date column for the year branch) — no branch reads the table wide."""
+    df = QUERIES["profile_entropy_orders"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 1 for c in scan_columns(df))
