@@ -157,6 +157,7 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "events_bot_score",
     "profile_entropy_orders",
+    "agg_kmv_set_ops",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -642,6 +642,7 @@ _CHECK_ORDER = [
     "retrieval_rrf_fusion",
     "events_bot_score",
     "profile_entropy_orders",
+    "agg_kmv_set_ops",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

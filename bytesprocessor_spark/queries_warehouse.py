@@ -2231,3 +2231,116 @@ def profile_entropy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# A36: KMV sketch set operations (union / intersection estimation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_kmv_set_ops",
+    f"""
+    WITH ha AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+      FROM orders
+    ),
+    hb AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+      FROM customer
+    ),
+    sa AS (SELECT hv FROM ha ORDER BY hv LIMIT {_KMV_K}),
+    sb AS (SELECT hv FROM hb ORDER BY hv LIMIT {_KMV_K}),
+    su AS (SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)
+           ORDER BY hv LIMIT {_KMV_K}),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sa) AS ka,
+             (SELECT CAST(MAX(hv) AS BIGINT) FROM sa) AS ma,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sb) AS kb,
+             (SELECT CAST(MAX(hv) AS BIGINT) FROM sb) AS mb,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM su) AS ku,
+             (SELECT CAST(MAX(hv) AS BIGINT) FROM su) AS mu,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM su
+              WHERE hv IN (SELECT hv FROM sa)
+                AND hv IN (SELECT hv FROM sb)) AS matches,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT o_custkey FROM orders INTERSECT
+                 SELECT c_custkey FROM customer)) AS exact_intersection
+    )
+    SELECT ka AS k, matches, exact_intersection,
+           CAST((ka - 1) * {_KMV_SCALE} // ma AS BIGINT) AS est_a,
+           CAST((kb - 1) * {_KMV_SCALE} // mb AS BIGINT) AS est_b,
+           CAST((ku - 1) * {_KMV_SCALE} // mu AS BIGINT) AS est_union,
+           CAST(matches * ((ku - 1) * {_KMV_SCALE} // mu) // ku AS BIGINT)
+             AS est_intersection
+    FROM stats
+    """,
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36 KMV sketch SET OPERATIONS — the property A32 exists for:
+    two independently-built bottom-k sketches (ordering customers vs
+    the customer dimension) answer |A|, |B|, |A UNION B| and
+    |A INTERSECT B| WITHOUT rescanning either table.  Union = re-trim
+    of the sketch union (exactly the shard-merge path); intersection
+    via the Beyer et al. ratio estimator: the fraction of the union's
+    bottom-k present in BOTH sketches estimates Jaccard, scaled by the
+    union estimate.  The exact intersection rides along as the audit
+    column.
+
+    Both engines compute identical sketches (md5-derived 52-bit
+    hashes), so every estimate is hash-checked exactly — including the
+    deliberately-biased small-k behavior.
+
+    Plan shape: two distinct-hash partial aggs (8-byte longs on the
+    wire), two TakeOrdered bottom-k's, then pure k-row arithmetic; the
+    exact-intersection audit is one more key-level join.  At 100 TB
+    the sketches are the only thing that moves after the scans."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def sketch(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(
+                F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10)
+                .cast("long")
+                .alias("hv")
+            )
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K)
+        )
+
+    sa = sketch(orders, "o_custkey").cache()
+    sb = sketch(cust, "c_custkey").cache()
+    su = sa.union(sb).distinct().orderBy("hv").limit(_KMV_K)
+    in_both = (
+        su.join(sa.withColumnRenamed("hv", "ha"), F.col("hv") == F.col("ha"), "left_semi")
+        .join(sb.withColumnRenamed("hv", "hb"), F.col("hv") == F.col("hb"), "left_semi")
+    )
+    stats_a = sa.agg(F.count("*").cast("long").alias("ka"), F.max("hv").cast("long").alias("ma"))
+    stats_b = sb.agg(F.count("*").cast("long").alias("kb"), F.max("hv").cast("long").alias("mb"))
+    stats_u = su.agg(F.count("*").cast("long").alias("ku"), F.max("hv").cast("long").alias("mu"))
+    matches = in_both.agg(F.count("*").cast("long").alias("matches"))
+    exact = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .intersect(cust.select(F.col("c_custkey").alias("k")))
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    return (
+        stats_a.crossJoin(F.broadcast(stats_b))
+        .crossJoin(F.broadcast(stats_u))
+        .crossJoin(F.broadcast(matches))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("ka").alias("k"),
+            "matches",
+            "exact_intersection",
+            F.expr(f"CAST((ka - 1) * {_KMV_SCALE} div ma AS LONG)").alias("est_a"),
+            F.expr(f"CAST((kb - 1) * {_KMV_SCALE} div mb AS LONG)").alias("est_b"),
+            F.expr(f"CAST((ku - 1) * {_KMV_SCALE} div mu AS LONG)").alias("est_union"),
+            F.expr(
+                f"CAST(matches * ((ku - 1) * {_KMV_SCALE} div mu) div ku AS LONG)"
+            ).alias("est_intersection"),
+        )
+    )

@@ -554,3 +554,38 @@ def test_entropy_profile_matches_python_recompute(spark):
     # than the pm floor slack)
     for r in got:
         assert 0 <= r.norm_entropy_ppm <= 1001000
+
+
+# ---------------------------------------------------------------------------
+# A36 KMV set operations
+# ---------------------------------------------------------------------------
+
+def test_kmv_set_ops_matches_python_recompute(spark):
+    a_keys = {
+        r.o_custkey
+        for r in load_table(spark, SF_DIR, "orders").select("o_custkey").collect()
+    }
+    b_keys = {
+        r.c_custkey
+        for r in load_table(spark, SF_DIR, "customer").select("c_custkey").collect()
+    }
+    sa = sorted({_md5_52(k) for k in a_keys})[:64]
+    sb = sorted({_md5_52(k) for k in b_keys})[:64]
+    su = sorted(set(sa) | set(sb))[:64]
+    ka, kb, ku = len(sa), len(sb), len(su)
+    matches = sum(1 for h in su if h in set(sa) and h in set(sb))
+    est_u = (ku - 1) * (1 << 52) // su[-1]
+    got = QUERIES["agg_kmv_set_ops"](spark, SF_DIR).collect()[0]
+    assert (got.k, got.matches, got.exact_intersection) == (
+        ka,
+        matches,
+        len(a_keys & b_keys),
+    )
+    assert got.est_a == (ka - 1) * (1 << 52) // sa[-1]
+    assert got.est_b == (kb - 1) * (1 << 52) // sb[-1]
+    assert got.est_union == est_u
+    assert got.est_intersection == matches * est_u // ku
+    # sketch algebra sanity: the union estimate is not below either
+    # side's estimate by more than sketch noise, and the intersection
+    # estimate is bounded by the union estimate
+    assert got.est_intersection <= got.est_union

@@ -889,3 +889,13 @@ def test_entropy_profile_prunes_each_union_branch(spark):
     df = QUERIES["profile_entropy_orders"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 1 for c in scan_columns(df))
+
+
+def test_kmv_set_ops_sketch_only_movement(spark):
+    """Both sketches are TakeOrdered bottom-k over distinct-hash
+    partials; everything downstream is k-row arithmetic (the exact
+    audit column is the only key-level join)."""
+    df = QUERIES["agg_kmv_set_ops"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert all(len(c) <= 1 for c in scan_columns(df))

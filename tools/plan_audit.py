@@ -93,6 +93,9 @@ ALLOW_NESTED_LOOP = {
     # 1-row broadcast probe vector onto the corpus scan (cosine
     # branch), plus the BM25 branch's 1-row totals frame
     "retrieval_rrf_fusion",
+    # five 1-row sketch-stat frames cross-joined into the single
+    # readout row; all k-row work
+    "agg_kmv_set_ops",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
