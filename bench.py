@@ -158,6 +158,7 @@ HEADLINE = [
     "events_bot_score",
     "profile_entropy_orders",
     "agg_kmv_set_ops",
+    "events_markov_stationary",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -643,6 +643,7 @@ _CHECK_ORDER = [
     "events_bot_score",
     "profile_entropy_orders",
     "agg_kmv_set_ops",
+    "events_markov_stationary",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

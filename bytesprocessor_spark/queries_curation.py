@@ -2152,3 +2152,91 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("regularity_ppm", "user_id")
         .limit(_BOT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# A15b: Markov stationary distribution (quantized power iteration)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 10
+
+
+@query(
+    "events_markov_stationary",
+    f"""
+    WITH RECURSIVE o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    t AS (SELECT prev, event_type AS next, COUNT(*) AS n
+          FROM o WHERE prev IS NOT NULL GROUP BY prev, next),
+    s AS (SELECT prev, SUM(n) AS tot FROM t GROUP BY prev),
+    p AS (SELECT t.prev, t.next,
+                 CAST((1000000 * t.n) // s.tot AS BIGINT) AS p_micro
+          FROM t JOIN s ON t.prev = s.prev),
+    states AS (SELECT DISTINCT prev AS state FROM p),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+    v0 AS (SELECT state, CAST(1000000 // k AS BIGINT) AS v
+           FROM states CROSS JOIN k),
+    it AS (
+      SELECT 0 AS i, state, v FROM v0
+      UNION ALL
+      SELECT it.i + 1, p.next AS state,
+             CAST(SUM(it.v * p.p_micro) // 1000000 AS BIGINT) AS v
+      FROM it JOIN p ON p.prev = it.state
+      WHERE it.i < {_MARKOV_ITERS}
+      GROUP BY it.i, p.next
+    )
+    SELECT state, v AS pi_ppm
+    FROM it WHERE i = {_MARKOV_ITERS}
+    ORDER BY state
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15b stationary distribution of the A15 behavior chain: where a
+    user session settles in the long run, computed by {_MARKOV_ITERS}
+    quantized power-iteration steps v <- v P from uniform — the
+    equilibrium readout (compare against the EMPIRICAL event mix to
+    see whether observed traffic is still in a transient).
+
+    Determinism: the fixed point is defined IN the quantized space —
+    each step is exact int64 products of ppm vectors and ppm rows,
+    re-quantized by integer division AFTER each per-state sum, so both
+    engines walk the identical integer trajectory (the iterative twin
+    of the PSI/softmax idioms; float power iteration would diverge in
+    ulps by iteration 3).
+
+    Plan shape: the transition estimation is A15's plan (one lag
+    window + one pair agg — the only corpus-scale work); the power
+    iteration is {_MARKOV_ITERS} joins over the K^2-bounded matrix
+    (K = event types), each a broadcast of a K-row vector.  Spark
+    unrolls the loop lazily; DuckDB runs the same trajectory as a
+    recursive CTE."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    t = o.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").alias("n")
+    )
+    s = t.groupBy("prev").agg(F.sum("n").alias("tot"))
+    p = (
+        t.join(s, "prev")
+        .select("prev", "next", F.expr("(1000000 * n) div tot").alias("p_micro"))
+        .persist()
+    )
+    states = p.select(F.col("prev").alias("state")).distinct()
+    k = states.agg(F.count("*").cast("long").alias("k"))
+    v = states.crossJoin(F.broadcast(k)).select(
+        "state", F.expr("CAST(1000000 div k AS BIGINT)").alias("v")
+    )
+    for _ in range(_MARKOV_ITERS):
+        v = (
+            F.broadcast(v)
+            .join(p, v["state"] == p["prev"])
+            .groupBy(F.col("next").alias("state"))
+            .agg(F.expr("CAST(SUM(v * p_micro) div 1000000 AS BIGINT)").alias("v"))
+        )
+    return v.select("state", F.col("v").alias("pi_ppm")).orderBy("state")

@@ -589,3 +589,39 @@ def test_kmv_set_ops_matches_python_recompute(spark):
     # side's estimate by more than sketch noise, and the intersection
     # estimate is bounded by the union estimate
     assert got.est_intersection <= got.est_union
+
+
+# ---------------------------------------------------------------------------
+# A15b Markov stationary distribution
+# ---------------------------------------------------------------------------
+
+def test_markov_stationary_matches_python_recompute(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans: Counter = Counter()
+    for es in by_user.values():
+        es.sort()
+        for (_, _, a), (_, _, b) in zip(es, es[1:]):
+            trans[(a, b)] += 1
+    tot: Counter = Counter()
+    for (a, _), n in trans.items():
+        tot[a] += n
+    p = {(a, b): 1000000 * n // tot[a] for (a, b), n in trans.items()}
+    states = sorted(tot)
+    k = len(states)
+    v = {s: 1000000 // k for s in states}
+    for _ in range(10):
+        nxt = defaultdict(int)
+        for (a, b), pm in p.items():
+            nxt[b] += v[a] * pm
+        v = {s: acc // 1000000 for s, acc in nxt.items()}
+    got = QUERIES["events_markov_stationary"](spark, SF_DIR).collect()
+    assert {r.state: r.pi_ppm for r in got} == v
+    # equilibrium is a (quantization-lossy) probability vector
+    assert 1000000 - 50 * len(got) <= sum(r.pi_ppm for r in got) <= 1000000

@@ -899,3 +899,12 @@ def test_kmv_set_ops_sketch_only_movement(spark):
     plan = executed_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert all(len(c) <= 1 for c in scan_columns(df))
+
+
+def test_markov_stationary_iterations_are_broadcast(spark):
+    """The corpus-scale work is A15's lag window + pair agg; every
+    power-iteration step joins a BROADCAST K-row vector against the
+    persisted K^2 matrix — no iteration shuffles corpus rows."""
+    df = QUERIES["events_markov_stationary"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 4 for c in scan_columns(df))

@@ -96,6 +96,8 @@ ALLOW_NESTED_LOOP = {
     # five 1-row sketch-stat frames cross-joined into the single
     # readout row; all k-row work
     "agg_kmv_set_ops",
+    # 1-row state-count frame onto the K-row uniform start vector
+    "events_markov_stationary",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
