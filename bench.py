@@ -159,6 +159,7 @@ HEADLINE = [
     "profile_entropy_orders",
     "agg_kmv_set_ops",
     "events_markov_stationary",
+    "orders_kaplan_meier",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -644,6 +644,7 @@ _CHECK_ORDER = [
     "profile_entropy_orders",
     "agg_kmv_set_ops",
     "events_markov_stationary",
+    "orders_kaplan_meier",
     "events_cusum",
     "quality_benford",
     "agg_weighted_median",

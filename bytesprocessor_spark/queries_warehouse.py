@@ -2344,3 +2344,125 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A37: Kaplan-Meier survival curve (order -> first-ship latency)
+# ---------------------------------------------------------------------------
+
+_KM_CUTOFF = "1995-07-01 00:00:00"   # administrative censoring date
+
+
+@query(
+    "orders_kaplan_meier",
+    f"""
+    WITH fs AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    obs AS (
+      SELECT CASE WHEN fs.first_ship <= TIMESTAMP '{_KM_CUTOFF}'
+                  THEN date_diff('day', o.o_orderdate, fs.first_ship)
+                  ELSE date_diff('day', o.o_orderdate, TIMESTAMP '{_KM_CUTOFF}')
+             END AS t,
+             CASE WHEN fs.first_ship <= TIMESTAMP '{_KM_CUTOFF}'
+                  THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '{_KM_CUTOFF}'
+    ),
+    h AS (
+      SELECT t, COUNT(*) AS m, CAST(SUM(ev) AS BIGINT) AS d
+      FROM obs GROUP BY t
+    ),
+    r AS (
+      SELECT t, d,
+             CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
+               - COALESCE(SUM(m) OVER (ORDER BY t
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS n_risk
+      FROM h
+    ),
+    steps AS (
+      SELECT t, d, n_risk,
+             CAST(ROUND(LN(CAST((n_risk - d) * 1000000 // n_risk AS DOUBLE)
+                           / 1000000) * 1000000) AS BIGINT) AS lnf
+      FROM r WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events,
+           CAST(ROUND(EXP(CAST(SUM(lnf) OVER (ORDER BY t
+                                              ROWS UNBOUNDED PRECEDING)
+                               AS DOUBLE) / 1000000) * 1000000) AS BIGINT)
+             AS surv_ppm
+    FROM steps ORDER BY t_day
+    """,
+)
+def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37 Kaplan-Meier estimator — the survival-analysis family:
+    S(t) = product over event times <= t of (1 - d_i/n_i) for the
+    order -> first-ship latency, with orders still unshipped at the
+    pinned cutoff RIGHT-CENSORED rather than dropped (the mistake
+    naive latency histograms make: throwing away censored subjects
+    biases the curve optimistic).  The same operator reads churn,
+    time-to-conversion, or job-completion curves.
+
+    Determinism: the per-step factor is first floored to integer ppm,
+    its ln quantized to micro-nats, and the running PRODUCT becomes a
+    running SUM in log space (order-free, exact int64) — one final
+    exp per emitted row, an identical IEEE op on both engines.
+
+    Plan shape: one orderkey agg (first ship) + one broadcast-scale
+    join back to orders, a histogram agg to <= max-latency-days rows,
+    then windows over that CALENDAR-BOUNDED step table.  Nothing past
+    the histogram scales with order count."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit(_KM_CUTOFF).cast("timestamp")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    obs = (
+        o.where(F.col("o_orderdate") < cutoff)
+        .join(fs, o["o_orderkey"] == fs["l_orderkey"])
+        .select(
+            F.when(
+                F.col("first_ship") <= cutoff,
+                F.datediff(F.col("first_ship"), F.col("o_orderdate")),
+            )
+            .otherwise(F.datediff(cutoff, F.col("o_orderdate")))
+            .alias("t"),
+            F.when(F.col("first_ship") <= cutoff, 1).otherwise(0).alias("ev"),
+        )
+    )
+    h = obs.groupBy("t").agg(
+        F.count("*").alias("m"), F.sum("ev").cast("long").alias("d")
+    )
+    n_total = obs.agg(F.count("*").cast("long").alias("n_total"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total") - F.coalesce(F.sum("m").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    steps = r.where(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(
+            F.log(
+                F.expr("CAST((n_risk - d) * 1000000 div n_risk AS DOUBLE)") / 1000000
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lnf"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        F.col("t").cast("long").alias("t_day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.round(F.exp(F.sum("lnf").over(wcum).cast("double") / 1000000) * 1000000)
+        .cast("long")
+        .alias("surv_ppm"),
+    ).orderBy("t_day")

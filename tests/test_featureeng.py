@@ -625,3 +625,61 @@ def test_markov_stationary_matches_python_recompute(spark):
     assert {r.state: r.pi_ppm for r in got} == v
     # equilibrium is a (quantization-lossy) probability vector
     assert 1000000 - 50 * len(got) <= sum(r.pi_ppm for r in got) <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# A37 Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+def test_kaplan_meier_matches_python_recompute(spark):
+    import datetime
+
+    cutoff = datetime.datetime(1995, 7, 1)
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    )
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    )
+    first_ship = {}
+    for r in li:
+        k = r.l_orderkey
+        if k not in first_ship or r.l_shipdate < first_ship[k]:
+            first_ship[k] = r.l_shipdate
+    obs = []
+    for r in orders:
+        if r.o_orderdate >= cutoff or r.o_orderkey not in first_ship:
+            continue
+        fsd = first_ship[r.o_orderkey]
+        if fsd <= cutoff:
+            obs.append(((fsd.date() - r.o_orderdate.date()).days, 1))
+        else:
+            obs.append(((cutoff.date() - r.o_orderdate.date()).days, 0))
+    n_total = len(obs)
+    h = defaultdict(lambda: [0, 0])
+    for t, ev in obs:
+        h[t][0] += 1
+        h[t][1] += ev
+    cum_prev = 0
+    lsum = 0
+    expected = []
+    for t in sorted(h):
+        m, d = h[t]
+        n_risk = n_total - cum_prev
+        cum_prev += m
+        if d == 0:
+            continue
+        f_ppm = (n_risk - d) * 1000000 // n_risk
+        lsum += _rnd(math.log(f_ppm / 1000000) * 1000000)
+        expected.append((t, n_risk, d, _rnd(math.exp(lsum / 1000000) * 1000000)))
+    got = QUERIES["orders_kaplan_meier"](spark, SF_DIR).collect()
+    assert [(r.t_day, r.n_risk, r.n_events, r.surv_ppm) for r in got] == expected
+    # survival is monotone non-increasing from ~1e6 (quantization can
+    # wobble a final exp by an ulp, never upward by more than 1)
+    for a, b in zip(got, got[1:]):
+        assert b.surv_ppm <= a.surv_ppm + 1
+    assert got[0].surv_ppm <= 1000000

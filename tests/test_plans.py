@@ -908,3 +908,12 @@ def test_markov_stationary_iterations_are_broadcast(spark):
     df = QUERIES["events_markov_stationary"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 4 for c in scan_columns(df))
+
+
+def test_kaplan_meier_windows_over_calendar_table(spark):
+    """The latency histogram absorbs the subjects; both windows run
+    over the calendar-bounded step table; the subject total is a 1-row
+    broadcast."""
+    df = QUERIES["orders_kaplan_meier"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 2 for c in scan_columns(df))

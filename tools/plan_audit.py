@@ -98,6 +98,8 @@ ALLOW_NESTED_LOOP = {
     "agg_kmv_set_ops",
     # 1-row state-count frame onto the K-row uniform start vector
     "events_markov_stationary",
+    # 1-row subject-total frame onto the calendar-bounded KM histogram
+    "orders_kaplan_meier",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
