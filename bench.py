@@ -160,6 +160,7 @@ HEADLINE = [
     "agg_kmv_set_ops",
     "events_markov_stationary",
     "orders_kaplan_meier",
+    "text_zipf_fit",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

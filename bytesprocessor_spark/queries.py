@@ -654,6 +654,7 @@ _CHECK_ORDER = [
     "profile_orders_card",
     "audit_referential_integrity",
     "stream_trending_topk",
+    "text_zipf_fit",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

@@ -895,3 +895,117 @@ def text_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# L4t: Zipf's-law fit over the token frequency spectrum
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 500
+
+
+@query(
+    "text_zipf_fit",
+    f"""
+    WITH t AS (
+      SELECT unnest([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     if len(x) > 0]) AS tok
+      FROM documents
+    ),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+    r AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM c QUALIFY rank <= {_ZIPF_TOP}
+    ),
+    xy AS (
+      SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM r
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT n AS n_ranks,
+           CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1000000) AS BIGINT) AS slope_micro,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro,
+           CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS r2_ppm
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4t Zipf's-law fit: least-squares slope of ln(frequency) on
+    ln(rank) over the top-{_ZIPF_TOP} tokens — natural corpora fit a
+    slope near -1 with high r^2; a corpus whose spectrum bends away
+    (slope >> -1: template/boilerplate flooding; r^2 collapse: synthetic
+    or shuffled text) fails the naturalness screen.  The companion to
+    Heaps-law vocab growth (L4o) on the frequency axis.
+
+    Determinism: ln(rank)/ln(count) quantized to integer micro-units
+    first (rank ties broken by token), the five regression moments
+    accumulated as EXACT int64 over the {_ZIPF_TOP}-row spectrum, and
+    the slope/intercept/r^2 combinations run in double over those
+    exact moments with the SAME pinned expression tree on both engines
+    (the A16 exact-moment idiom).
+
+    Plan shape: one token-count agg (map-side partials absorb the
+    explode), a TakeOrdered/window top-{_ZIPF_TOP}, then arithmetic
+    over {_ZIPF_TOP} rows."""
+    from bytesprocessor_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    c = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    wr = Window.orderBy(F.col("cnt").desc(), "tok")
+    r = c.withColumn("rank", F.row_number().over(wr)).where(
+        F.col("rank") <= _ZIPF_TOP
+    )
+    xy = r.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000000).cast("long").alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1000000).cast("long").alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = nd * sxyd - sxd * syd
+    den = nd * sxxd - sxd * sxd
+    slope = num / den
+    return m.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope * 1000000).cast("long").alias("slope_micro"),
+        F.round((syd - slope * sxd) / nd).cast("long").alias("intercept_micro"),
+        F.round(num * num / (den * (nd * syyd - syd * syd)) * 1000000)
+        .cast("long")
+        .alias("r2_ppm"),
+    )

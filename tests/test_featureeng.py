@@ -683,3 +683,37 @@ def test_kaplan_meier_matches_python_recompute(spark):
     for a, b in zip(got, got[1:]):
         assert b.surv_ppm <= a.surv_ppm + 1
     assert got[0].surv_ppm <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# L4t Zipf fit
+# ---------------------------------------------------------------------------
+
+def test_zipf_fit_matches_python_recompute(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    cnt: Counter = Counter()
+    for r in docs:
+        cnt.update(_toks(r.text))
+    spectrum = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+    xs = [_rnd(math.log(i + 1) * 1000000) for i in range(len(spectrum))]
+    ys = [_rnd(math.log(c) * 1000000) for _, c in spectrum]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = float(n) * float(sxx) - float(sx) * float(sx)
+    slope = num / den
+    got = QUERIES["text_zipf_fit"](spark, SF_DIR).collect()[0]
+    assert got.n_ranks == n
+    assert got.slope_micro == _rnd(slope * 1000000)
+    assert got.intercept_micro == _rnd((float(sy) - slope * float(sx)) / float(n))
+    assert got.r2_ppm == _rnd(
+        num * num / (den * (float(n) * float(syy) - float(sy) * float(sy))) * 1000000
+    )
+    # frequency spectra always slope down; r^2 is a [0,1e6] share (the
+    # synthetic sf0.001 fixture is templated, so only the bound holds —
+    # the naturalness screen reads the VALUE, not a fixed floor)
+    assert got.slope_micro < 0
+    assert 0 <= got.r2_ppm <= 1000000

@@ -917,3 +917,10 @@ def test_kaplan_meier_windows_over_calendar_table(spark):
     df = QUERIES["orders_kaplan_meier"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_zipf_fit_single_token_aggregate(spark):
+    """One token-count agg absorbs the explode; the spectrum window
+    and the moment reduction run over <=500 rows; scan reads text only."""
+    df = QUERIES["text_zipf_fit"](spark, SF_DIR)
+    assert all(len(c) <= 1 for c in scan_columns(df))
