@@ -161,6 +161,7 @@ HEADLINE = [
     "events_markov_stationary",
     "orders_kaplan_meier",
     "text_zipf_fit",
+    "text_readability",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -655,6 +655,7 @@ _CHECK_ORDER = [
     "audit_referential_integrity",
     "stream_trending_topk",
     "text_zipf_fit",
+    "text_readability",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

@@ -717,3 +717,27 @@ def test_zipf_fit_matches_python_recompute(spark):
     # the naturalness screen reads the VALUE, not a fixed floor)
     assert got.slope_micro < 0
     assert 0 <= got.r2_ppm <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# L4u Flesch readability
+# ---------------------------------------------------------------------------
+
+def test_readability_matches_python_recompute(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        w = len(_toks(r.text))
+        s = max(len(re.findall(r"[.!?]+", r.text)), 1)
+        y = len(re.findall(r"[aeiouy]+", r.text.lower()))
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += y
+    got = QUERIES["text_readability"](spark, SF_DIR).collect()
+    for r in got:
+        n, w, s, y = agg[r.source]
+        assert (r.n_docs, r.words, r.sentences, r.syllables) == (n, w, s, y)
+        assert r.flesch_milli == _rnd((206.835 - 1.015 * (w / s) - 84.6 * (y / w)) * 1000)
+    assert {r.source for r in got} == set(agg)

@@ -924,3 +924,12 @@ def test_zipf_fit_single_token_aggregate(spark):
     and the moment reduction run over <=500 rows; scan reads text only."""
     df = QUERIES["text_zipf_fit"](spark, SF_DIR)
     assert all(len(c) <= 1 for c in scan_columns(df))
+
+
+def test_readability_counts_in_scan_projection(spark):
+    """Per-doc regex counting happens in the projection (no explode);
+    one source hash agg; the scan reads (source, text) only."""
+    df = QUERIES["text_readability"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Generate" not in plan  # no explode anywhere
+    assert all(len(c) <= 2 for c in scan_columns(df))
