@@ -162,6 +162,7 @@ HEADLINE = [
     "orders_kaplan_meier",
     "text_zipf_fit",
     "text_readability",
+    "events_entropy_rate",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -189,6 +190,15 @@ MIN_OF_3 = {
     "graph_pagerank",
     "text_bpe_encode",
     "corpus_dsir_weights",
+    # late-suite entries measured 10x+ over solo steady-state on a
+    # single post-budget run (r5: ann_recall 29.6 s suite-tail vs
+    # 2.5 s solo — end-of-suite JVM/GC state, not code): guarantee
+    # the damping runs regardless of budget position
+    "eval_ann_recall",
+    "eval_knn_label_prop",
+    "eval_ndcg",
+    "eval_confusion_matrix",
+    "graph_bfs_reach",
 }
 
 

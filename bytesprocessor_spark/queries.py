@@ -656,6 +656,7 @@ _CHECK_ORDER = [
     "stream_trending_topk",
     "text_zipf_fit",
     "text_readability",
+    "events_entropy_rate",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

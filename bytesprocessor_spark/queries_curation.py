@@ -2240,3 +2240,123 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("CAST(SUM(v * p_micro) div 1000000 AS BIGINT)").alias("v"))
         )
     return v.select("state", F.col("v").alias("pi_ppm")).orderBy("state")
+
+
+# ---------------------------------------------------------------------------
+# A15c: Markov entropy rate (predictability of the behavior chain)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_entropy_rate",
+    f"""
+    WITH RECURSIVE o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    t AS (SELECT prev, event_type AS next, COUNT(*) AS n
+          FROM o WHERE prev IS NOT NULL GROUP BY prev, next),
+    s AS (SELECT prev, SUM(n) AS tot FROM t GROUP BY prev),
+    p AS (SELECT t.prev, t.next,
+                 CAST((1000000 * t.n) // s.tot AS BIGINT) AS p_micro
+          FROM t JOIN s ON t.prev = s.prev),
+    states AS (SELECT DISTINCT prev AS state FROM p),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+    it AS (
+      SELECT 0 AS i, state, CAST(1000000 // k AS BIGINT) AS v
+      FROM states CROSS JOIN k
+      UNION ALL
+      SELECT it.i + 1, p.next AS state,
+             CAST(SUM(it.v * p.p_micro) // 1000000 AS BIGINT) AS v
+      FROM it JOIN p ON p.prev = it.state
+      WHERE it.i < {_MARKOV_ITERS}
+      GROUP BY it.i, p.next
+    ),
+    pi AS (SELECT state, v AS pi_ppm FROM it WHERE i = {_MARKOV_ITERS}),
+    rowent AS (
+      SELECT prev,
+             CAST(-SUM(p_micro * CAST(ROUND(LN(CAST(p_micro AS DOUBLE) / 1000000)
+                                            * 1000000) AS BIGINT)) // 1000000
+                  AS BIGINT) AS h_micro
+      FROM p WHERE p_micro > 0 GROUP BY prev
+    )
+    SELECT CAST(SUM(pi.pi_ppm * rowent.h_micro) // 1000000 AS BIGINT)
+             AS entropy_rate_micronats,
+           CAST((SELECT CAST(ROUND(LN(CAST(k AS DOUBLE)) * 1000000) AS BIGINT)
+                 FROM k) AS BIGINT) AS max_entropy_micronats,
+           CAST(SUM(pi.pi_ppm * rowent.h_micro) // 1000000 * 1000000
+                // (SELECT GREATEST(CAST(ROUND(LN(CAST(k AS DOUBLE)) * 1000000)
+                                         AS BIGINT), 1) FROM k) AS BIGINT)
+             AS predictability_ppm
+    FROM pi JOIN rowent ON pi.state = rowent.prev
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15c entropy rate of the behavior chain: H = sum over states of
+    pi_i * H(row_i), the long-run bits-per-event of user behavior —
+    the single number that says how PREDICTABLE traffic is (H near
+    ln(K): users wander uniformly; H near 0: sessions are scripted
+    paths — which, like Q12's metronomic timing, is a bot/synthetic
+    signature on the TRANSITION axis).  Composes A15's quantized
+    transition matrix with A15b's quantized stationary vector.
+
+    Determinism: row entropies use the PSI idiom (micro-quantized ln,
+    int64 pico sums scaled back); the pi weighting is one more exact
+    integer dot product; the normalizing ln(K) is itself quantized.
+
+    Plan shape: A15's corpus-scale work (lag window + pair agg), the
+    A15b broadcast power iteration, then K-row arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    t = o.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").alias("n")
+    )
+    s = t.groupBy("prev").agg(F.sum("n").alias("tot"))
+    p = (
+        t.join(s, "prev")
+        .select("prev", "next", F.expr("(1000000 * n) div tot").alias("p_micro"))
+        .persist()
+    )
+    states = p.select(F.col("prev").alias("state")).distinct()
+    k = states.agg(F.count("*").cast("long").alias("k"))
+    v = states.crossJoin(F.broadcast(k)).select(
+        "state", F.expr("CAST(1000000 div k AS BIGINT)").alias("v")
+    )
+    for _ in range(_MARKOV_ITERS):
+        v = (
+            F.broadcast(v)
+            .join(p, v["state"] == p["prev"])
+            .groupBy(F.col("next").alias("state"))
+            .agg(F.expr("CAST(SUM(v * p_micro) div 1000000 AS BIGINT)").alias("v"))
+        )
+    rowent = (
+        p.where(F.col("p_micro") > 0)
+        .groupBy("prev")
+        .agg(
+            F.expr(
+                "CAST(-SUM(p_micro * CAST(ROUND(LN(CAST(p_micro AS DOUBLE) / 1000000)"
+                " * 1000000) AS BIGINT)) div 1000000 AS BIGINT)"
+            ).alias("h_micro")
+        )
+    )
+    lnk = k.select(
+        F.expr("CAST(ROUND(LN(CAST(k AS DOUBLE)) * 1000000) AS BIGINT)").alias("lnk")
+    )
+    return (
+        F.broadcast(v.withColumnRenamed("v", "pi_ppm"))
+        .join(rowent, F.col("state") == F.col("prev"))
+        .crossJoin(F.broadcast(lnk))
+        .agg(
+            F.expr("CAST(SUM(pi_ppm * h_micro) div 1000000 AS BIGINT)").alias(
+                "entropy_rate_micronats"
+            ),
+            F.max("lnk").alias("max_entropy_micronats"),
+            F.expr(
+                "CAST(SUM(pi_ppm * h_micro) div 1000000 * 1000000"
+                " div GREATEST(MAX(lnk), 1) AS BIGINT)"
+            ).alias("predictability_ppm"),
+        )
+    )

@@ -741,3 +741,52 @@ def test_readability_matches_python_recompute(spark):
         assert (r.n_docs, r.words, r.sentences, r.syllables) == (n, w, s, y)
         assert r.flesch_milli == _rnd((206.835 - 1.015 * (w / s) - 84.6 * (y / w)) * 1000)
     assert {r.source for r in got} == set(agg)
+
+
+# ---------------------------------------------------------------------------
+# A15c Markov entropy rate
+# ---------------------------------------------------------------------------
+
+def test_entropy_rate_matches_python_recompute(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans: Counter = Counter()
+    for es in by_user.values():
+        es.sort()
+        for (_, _, a), (_, _, b) in zip(es, es[1:]):
+            trans[(a, b)] += 1
+    tot: Counter = Counter()
+    for (a, _), n in trans.items():
+        tot[a] += n
+    p = {(a, b): 1000000 * n // tot[a] for (a, b), n in trans.items()}
+    states = sorted(tot)
+    k = len(states)
+    v = {s: 1000000 // k for s in states}
+    for _ in range(10):
+        nxt = defaultdict(int)
+        for (a, b), pm in p.items():
+            nxt[b] += v[a] * pm
+        v = {s: acc // 1000000 for s, acc in nxt.items()}
+    rowent = {}
+    for a in states:
+        acc = -sum(
+            pm * _rnd(math.log(pm / 1000000) * 1000000)
+            for (x, _b), pm in p.items()
+            if x == a and pm > 0
+        )
+        rowent[a] = int(math.copysign(abs(acc) // 1000000, acc))
+    h = sum(v[a] * rowent[a] for a in states)
+    h_rate = int(math.copysign(abs(h) // 1000000, h))
+    lnk = max(_rnd(math.log(k) * 1000000), 1)
+    got = QUERIES["events_entropy_rate"](spark, SF_DIR).collect()[0]
+    assert got.entropy_rate_micronats == h_rate
+    assert got.max_entropy_micronats == _rnd(math.log(k) * 1000000)
+    assert got.predictability_ppm == h_rate * 1000000 // lnk
+    # entropy rate is bounded by ln(K)
+    assert 0 <= got.entropy_rate_micronats <= got.max_entropy_micronats + 1000

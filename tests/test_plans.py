@@ -933,3 +933,11 @@ def test_readability_counts_in_scan_projection(spark):
     plan = executed_plan(df)
     assert "Generate" not in plan  # no explode anywhere
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_entropy_rate_k_row_composition(spark):
+    """A15's corpus-scale plan plus broadcast K-row iterations; the
+    entropy weighting itself is K-row arithmetic."""
+    df = QUERIES["events_entropy_rate"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 4 for c in scan_columns(df))

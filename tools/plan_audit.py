@@ -100,6 +100,8 @@ ALLOW_NESTED_LOOP = {
     "events_markov_stationary",
     # 1-row subject-total frame onto the calendar-bounded KM histogram
     "orders_kaplan_meier",
+    # 1-row state-count / ln(K) frames in the A15c composition
+    "events_entropy_rate",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
