@@ -163,6 +163,7 @@ HEADLINE = [
     "text_zipf_fit",
     "text_readability",
     "events_entropy_rate",
+    "graph_degree_histogram",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -657,6 +657,7 @@ _CHECK_ORDER = [
     "text_zipf_fit",
     "text_readability",
     "events_entropy_rate",
+    "graph_degree_histogram",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

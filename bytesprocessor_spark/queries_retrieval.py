@@ -523,3 +523,63 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(_RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# GR5: degree distribution of the trade graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_degree_histogram",
+    """
+    WITH eb AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT c AS src FROM eb UNION ALL SELECT s FROM eb),
+    d AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+           CAST(deg AS BIGINT) AS degree,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_checksum
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR5 degree distribution of the GR2/GR4 trade graph, per side of
+    the bipartition — the first diagnostic read before ANY iterative
+    graph algorithm at scale: the histogram's tail is the skew plan
+    (a power-law hub means the per-iteration edge shuffle needs
+    salting; a flat histogram means plain hash partitioning holds),
+    and its shape over time is the graph-drift monitor.  node_checksum
+    pins membership, not just counts.
+
+    Plan shape: one distinct-edge agg (the same first shuffle every
+    graph row pays), one degree agg keyed on node, one histogram agg
+    on (side, degree) — strictly cheaper than any traversal; all keys
+    are the graph's own ids."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    eb = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    e = eb.select(F.col("c").alias("src")).unionAll(eb.select(F.col("s")))
+    d = e.groupBy("src").agg(F.count("*").alias("deg"))
+    return (
+        d.groupBy(
+            F.when(F.col("src") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("side"),
+            F.col("deg").cast("long").alias("degree"),
+        )
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("src").cast("long").alias("node_checksum"),
+        )
+        .orderBy("side", "degree")
+    )

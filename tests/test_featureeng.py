@@ -790,3 +790,37 @@ def test_entropy_rate_matches_python_recompute(spark):
     assert got.predictability_ppm == h_rate * 1000000 // lnk
     # entropy rate is bounded by ln(K)
     assert 0 <= got.entropy_rate_micronats <= got.max_entropy_micronats + 1000
+
+
+# ---------------------------------------------------------------------------
+# GR5 degree histogram
+# ---------------------------------------------------------------------------
+
+def test_degree_histogram_matches_python_recompute(spark):
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .collect()
+    )
+    orders = (
+        load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey").collect()
+    )
+    cust_of = {r.o_orderkey: r.o_custkey for r in orders}
+    edges = {
+        (cust_of[r.l_orderkey] * 2, r.l_suppkey * 2 + 1)
+        for r in li
+        if r.l_orderkey in cust_of
+    }
+    deg: Counter = Counter()
+    for c, s in edges:
+        deg[c] += 1
+        deg[s] += 1
+    agg = defaultdict(lambda: [0, 0])
+    for node, d in deg.items():
+        key = ("customer" if node % 2 == 0 else "supplier", d)
+        agg[key][0] += 1
+        agg[key][1] += node
+    got = QUERIES["graph_degree_histogram"](spark, SF_DIR).collect()
+    assert {(r.side, r.degree): [r.n_nodes, r.node_checksum] for r in got} == dict(agg)
+    # the bipartition covers every node exactly once
+    assert sum(r.n_nodes for r in got) == len(deg)

@@ -941,3 +941,13 @@ def test_entropy_rate_k_row_composition(spark):
     df = QUERIES["events_entropy_rate"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 4 for c in scan_columns(df))
+
+
+def test_degree_histogram_three_aggregates_only(spark):
+    """Edge distinct -> degree agg -> histogram agg: strictly cheaper
+    than any traversal; no window, no nested loop."""
+    df = QUERIES["graph_degree_histogram"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
