@@ -20,6 +20,11 @@ the round-2 surface (SURVEY §2.11 additions).
   * O7 deterministic train/val/test split assignment — content-hash
     bucketing so the split is stable under reshuffles, re-runs, and
     engine changes (the property a reproducible data pipeline needs).
+  * Round-5 additions: Q12 metronomic-bot screen (distributed
+    rank-median over inter-event gaps, no array collection), A15b
+    Markov stationary distribution (quantized power iteration), A15c
+    entropy rate (predictability of the behavior chain), Q10
+    l-diversity audit (the homogeneity-attack companion to Q9).
 
 Cross-engine determinism: hashes are md5-derived 60-bit integers
 (identical in Spark ``conv(substr(md5(x),1,15),16,10)`` and DuckDB

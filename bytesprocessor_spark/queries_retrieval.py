@@ -9,6 +9,12 @@ Levenshtein matcher), and walk entity relationships extracted from it
 blast-radius questions, completing the GR family next to connected
 components, PageRank, and triangles).
 
+Round-5 additions: text_distinctive_terms (L4q log-odds with an
+informative prior — source vs corpus contrast), retrieval_rrf_fusion
+(L4s reciprocal rank fusion of the BM25 and exact-cosine rankings —
+calibration-free hybrid search), and graph_degree_histogram (GR5 —
+the pre-traversal skew diagnostic with membership checksums).
+
 All rows follow the corpus determinism contract (queries.py module
 docstring): transcendentals are quantized to integer micro-units
 per-term BEFORE any reduction, so no float sum depends on reduction

@@ -25,6 +25,16 @@ and the trainer:
     loose pair scan: the dedup-aggressiveness planning curve.
   * corpus_fingerprint — order-independent content fingerprint + row
     count, the dataset version pin a training run records.
+  * corpus_doremi_mixture — DoReMi-style softmax domain reweighting
+    over mean token surprisal (exact integer softmax).
+  * dedup_source_matrix — the near-dup pair scan aggregated to a
+    (source, source) cross-corpus contamination matrix.
+  * text_jsd_sources — Jensen-Shannon divergence of each source's
+    unigram distribution vs the rest (the vocabulary-drift monitor).
+  * text_zipf_fit — least-squares Zipf slope/r^2 of the frequency
+    spectrum (the naturalness screen).
+  * text_readability — Flesch Reading Ease per source from exact
+    regex counts (the psycholinguistic quality gate).
 
 All rows follow the corpus determinism contract (queries.py module
 docstring): exact integer arithmetic end-to-end — squared distances

@@ -12,6 +12,12 @@ replaces it in production needs the maintenance loop around the data
 it lands.  All rows follow the corpus determinism contract
 (queries.py module docstring): exact integer money math, unique
 tiebreak keys, timestamps emitted as formatted strings.
+
+Round-5 additions: FE1 histogram quantile binning, A32 KMV bottom-k
+distinct sketch + A36 sketch set operations, A33 ABC/Pareto classes +
+A35 Gini concentration, A34 exact-integer autocorrelation, Q11
+two-sample KS drift, Q13 categorical-entropy profile, and A37
+Kaplan-Meier survival with right-censoring.
 """
 
 from __future__ import annotations

@@ -9,6 +9,9 @@ compared as integer microseconds (Spark computes tumbling/sliding
 windows in integer micros from the epoch — the oracle mirrors that
 arithmetic exactly instead of trusting engine-specific bucketing
 helpers).
+
+Round-5 addition: W12 rolling robust outlier flag — per-user trailing
+median + MAD over bounded 9-row frames, cents integers end-to-end.
 """
 
 from __future__ import annotations
