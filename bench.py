@@ -164,6 +164,7 @@ HEADLINE = [
     "text_readability",
     "events_entropy_rate",
     "graph_degree_histogram",
+    "events_sprt",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -658,6 +658,7 @@ _CHECK_ORDER = [
     "text_readability",
     "events_entropy_rate",
     "graph_degree_histogram",
+    "events_sprt",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

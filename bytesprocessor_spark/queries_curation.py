@@ -2365,3 +2365,96 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("predictability_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A38: sequential probability ratio test (SPRT) over daily conversions
+# ---------------------------------------------------------------------------
+
+# H0: purchase share = 4%; H1: = 5%.  Wald boundaries for
+# alpha = beta = 0.05: ln((1-beta)/alpha) = ln 19, ln(beta/(1-alpha)).
+_SPRT_P0, _SPRT_P1 = "0.04", "0.05"
+_SPRT_A = "LN(19.0)"          # upper (accept H1)
+_SPRT_B = "LN(1.0 / 19.0)"    # lower (accept H0)
+
+
+@query(
+    "events_sprt",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n, x,
+             x * CAST(ROUND(LN({_SPRT_P1} / {_SPRT_P0}) * 1000000) AS BIGINT)
+             + (n - x) * CAST(ROUND(LN((1 - {_SPRT_P1}) / (1 - {_SPRT_P0}))
+                                    * 1000000) AS BIGINT) AS llr_day
+      FROM d
+    ),
+    s AS (
+      SELECT day, n, x,
+             CAST(SUM(llr_day) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS llr_micro
+      FROM c
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n_events,
+           x AS n_conversions, llr_micro,
+           CASE WHEN llr_micro >= CAST(ROUND({_SPRT_A} * 1000000) AS BIGINT)
+                  THEN 'accept_h1'
+                WHEN llr_micro <= CAST(ROUND({_SPRT_B} * 1000000) AS BIGINT)
+                  THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM s ORDER BY day
+    """,
+)
+def events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38 Wald sequential probability ratio test: the cumulative
+    log-likelihood ratio of the daily purchase share under H1 (5%)
+    vs H0 (4%), read against the ln(19) Wald boundaries
+    (alpha = beta = 0.05) — the SEQUENTIAL experimentation readout
+    that stops as soon as the evidence crosses a boundary, where
+    A18's fixed-horizon Welch test must wait out its full sample
+    (peeking at a fixed-horizon test inflates alpha; SPRT is the
+    design built to be peeked at).
+
+    Determinism: the two per-observation log-likelihood increments
+    are CONSTANTS quantized once to integer micro-nats, so each day's
+    contribution is x*c1 + (n-x)*c2 in exact int64 and the running sum
+    is a cumulative window over exact integers; the boundaries are
+    quantized the same way.  Nothing floats between days.
+
+    Plan shape: one (day) hash agg absorbs the scan; the cumulative
+    window runs over the CALENDAR-BOUNDED day table; decisions are
+    codegen CASE on integers."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    c1 = f"CAST(ROUND(LN({_SPRT_P1} / {_SPRT_P0}) * 1000000) AS BIGINT)"
+    c2 = (
+        f"CAST(ROUND(LN((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})) * 1000000) AS BIGINT)"
+    )
+    c = d.withColumn("llr_day", F.expr(f"x * {c1} + (n - x) * {c2}"))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = c.withColumn("llr_micro", F.sum("llr_day").over(wc).cast("long"))
+    ub = f"CAST(ROUND({_SPRT_A} * 1000000) AS BIGINT)"
+    lb = f"CAST(ROUND({_SPRT_B} * 1000000) AS BIGINT)"
+    return s.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("x").alias("n_conversions"),
+        "llr_micro",
+        F.expr(
+            f"CASE WHEN llr_micro >= {ub} THEN 'accept_h1'"
+            f" WHEN llr_micro <= {lb} THEN 'accept_h0'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+    ).orderBy("day")

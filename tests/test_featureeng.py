@@ -824,3 +824,34 @@ def test_degree_histogram_matches_python_recompute(spark):
     assert {(r.side, r.degree): [r.n_nodes, r.node_checksum] for r in got} == dict(agg)
     # the bipartition covers every node exactly once
     assert sum(r.n_nodes for r in got) == len(deg)
+
+
+# ---------------------------------------------------------------------------
+# A38 SPRT
+# ---------------------------------------------------------------------------
+
+def test_sprt_matches_python_recompute(spark):
+    ev = load_table(spark, SF_DIR, "events").select("ts", "event_type").collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        a = daily[r.ts.date()]
+        a[0] += 1
+        a[1] += r.event_type == "purchase"
+    c1 = _rnd(math.log(0.05 / 0.04) * 1000000)
+    c2 = _rnd(math.log(0.95 / 0.96) * 1000000)
+    ub = _rnd(math.log(19.0) * 1000000)
+    lb = _rnd(math.log(1.0 / 19.0) * 1000000)
+    llr = 0
+    expected = []
+    for day in sorted(daily):
+        n, x = daily[day]
+        llr += x * c1 + (n - x) * c2
+        dec = "accept_h1" if llr >= ub else ("accept_h0" if llr <= lb else "continue")
+        expected.append((day.isoformat(), n, x, llr, dec))
+    got = QUERIES["events_sprt"](spark, SF_DIR).collect()
+    assert [
+        (r.day, r.n_events, r.n_conversions, r.llr_micro, r.decision) for r in got
+    ] == expected
+    # a terminal decision, once reached under monotone evidence, is
+    # what the analyst reads off the LAST row — pin it matches Python
+    assert got[-1].decision == expected[-1][4]

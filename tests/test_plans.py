@@ -951,3 +951,11 @@ def test_degree_histogram_three_aggregates_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_sprt_window_over_day_table(spark):
+    """One day hash agg absorbs the scan; the cumulative LLR window
+    runs over the calendar-bounded day table."""
+    df = QUERIES["events_sprt"](spark, SF_DIR)
+    assert all(len(c) <= 2 for c in scan_columns(df))
+    assert shuffle_count(df) <= 3
