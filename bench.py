@@ -165,6 +165,7 @@ HEADLINE = [
     "events_entropy_rate",
     "graph_degree_histogram",
     "events_sprt",
+    "eval_isotonic_calibration",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

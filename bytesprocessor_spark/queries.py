@@ -659,6 +659,7 @@ _CHECK_ORDER = [
     "events_entropy_rate",
     "graph_degree_histogram",
     "events_sprt",
+    "eval_isotonic_calibration",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

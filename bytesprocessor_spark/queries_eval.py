@@ -718,3 +718,124 @@ def eval_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# EV10: isotonic (PAV) calibration map via the minimax identity
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_isotonic_calibration",
+    f"""
+    WITH {_DUCK_PM},
+    g AS (SELECT LEAST(pm // 100000, 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS sum_y
+          FROM p GROUP BY 1),
+    pre AS (
+      SELECT bin, n, sum_y,
+             CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cn,
+             CAST(SUM(sum_y) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cy
+      FROM g
+    ),
+    pairs AS (
+      SELECT a.bin AS a, b.bin AS b,
+             CAST(((b.cy - (a.cy - a.sum_y)) * 1000000)
+                  // (b.cn - (a.cn - a.n)) AS BIGINT) AS mean_micro
+      FROM pre a JOIN pre b ON a.bin <= b.bin
+    ),
+    mn AS (
+      SELECT i.bin AS bin, pairs.a,
+             CAST(MIN(pairs.mean_micro) AS BIGINT) AS m
+      FROM pre i JOIN pairs ON pairs.a <= i.bin AND pairs.b >= i.bin
+      GROUP BY i.bin, pairs.a
+    ),
+    iso AS (SELECT bin, CAST(MAX(m) AS BIGINT) AS iso_micro FROM mn GROUP BY bin)
+    SELECT g.bin AS bin, g.n,
+           CAST((g.sum_y * 1000000) // g.n AS BIGINT) AS raw_micro,
+           iso.iso_micro,
+           CAST(iso.iso_micro - (g.sum_y * 1000000) // g.n AS BIGINT)
+             AS adjustment_micro
+    FROM g JOIN iso ON g.bin = iso.bin
+    ORDER BY bin
+    """,
+)
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV10 isotonic calibration map: the monotone-nondecreasing fit
+    of the per-bin empirical positive rate, computed via the CLOSED
+    minimax identity iso(i) = max over a<=i of min over b>=i of
+    mean(a..b) — equivalent to pool-adjacent-violators but expressible
+    as two bounded joins instead of a sequential pooling loop (the
+    formulation that parallelizes; PAV's left-to-right pooling does
+    not).  The adjustment column IS the calibration correction a
+    serving layer applies to raw scores; EV3's reliability diagram
+    diagnoses, this row prescribes.
+
+    Determinism: interval means are floored integer micro-units from
+    exact prefix sums; min/max over integers — no ordering hazard
+    anywhere.  (Floor-quantizing means before the minimax can shift a
+    knot only where two pooled means differ by < 1 micro-unit — and
+    it shifts BOTH engines identically, which is the contract.)
+
+    Plan shape: the corpus collapses to <=10 bins in one partial agg;
+    prefix sums, the <=55-pair interval grid, and the minimax joins
+    are all bounded by the bin count."""
+    from bytesprocessor_spark.operators.evalmetrics import normalize_micro
+
+    p = normalize_micro(_scored(spark, sf_dir))
+    g = p.groupBy(
+        F.least(F.expr("pm div 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = g.select(
+        "bin",
+        "n",
+        "sum_y",
+        F.sum("n").over(wc).cast("long").alias("cn"),
+        F.sum("sum_y").over(wc).cast("long").alias("cy"),
+    )
+    a = pre.select(
+        F.col("bin").alias("a"),
+        (F.col("cy") - F.col("sum_y")).alias("cy_before"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+    )
+    b = pre.select(
+        F.col("bin").alias("b"), F.col("cy").alias("cy_b"), F.col("cn").alias("cn_b")
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("a") <= F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "CAST(((cy_b - cy_before) * 1000000) div (cn_b - cn_before) AS BIGINT)"
+            ).alias("mean_micro"),
+        )
+    )
+    i = pre.select(F.col("bin").alias("i"))
+    mn = (
+        F.broadcast(i)
+        .join(pairs, (F.col("a") <= F.col("i")) & (F.col("b") >= F.col("i")))
+        .groupBy("i", "a")
+        .agg(F.min("mean_micro").cast("long").alias("m"))
+    )
+    iso = mn.groupBy("i").agg(F.max("m").cast("long").alias("iso_micro"))
+    return (
+        g.join(iso, g["bin"] == iso["i"])
+        .select(
+            "bin",
+            "n",
+            F.expr("CAST((sum_y * 1000000) div n AS BIGINT)").alias("raw_micro"),
+            "iso_micro",
+            F.expr(
+                "CAST(iso_micro - (sum_y * 1000000) div n AS BIGINT)"
+            ).alias("adjustment_micro"),
+        )
+        .orderBy("bin")
+    )

@@ -855,3 +855,81 @@ def test_sprt_matches_python_recompute(spark):
     # a terminal decision, once reached under monotone evidence, is
     # what the analyst reads off the LAST row — pin it matches Python
     assert got[-1].decision == expected[-1][4]
+
+
+# ---------------------------------------------------------------------------
+# EV10 isotonic calibration
+# ---------------------------------------------------------------------------
+
+def test_isotonic_matches_python_recompute_and_pav(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    scored = [
+        (
+            r.label % 2,
+            _rnd(float(r.embedding[0]) * 1000000) + _rnd(float(r.embedding[1]) * 1000000),
+        )
+        for r in emb
+    ]
+    lo = min(s for _, s in scored)
+    hi = max(s for _, s in scored)
+    bins = defaultdict(lambda: [0, 0])
+    for y, s in scored:
+        pm = (s - lo) * 1000000 // max(hi - lo, 1)
+        b = min(pm // 100000, 9)
+        bins[b][0] += 1
+        bins[b][1] += y
+    order = sorted(bins)
+    cn = cy = 0
+    pre = {}
+    for b in order:
+        n, sy = bins[b]
+        pre[b] = (cn, cy)  # before-values
+        cn += n
+        cy += sy
+    cum_n = {b: pre[b][0] + bins[b][0] for b in order}
+    cum_y = {b: pre[b][1] + bins[b][1] for b in order}
+
+    def mean(a, b):
+        return (cum_y[b] - pre[a][1]) * 1000000 // (cum_n[b] - pre[a][0])
+
+    iso = {}
+    for i in order:
+        iso[i] = max(
+            min(mean(a, b) for b in order if b >= i) for a in order if a <= i
+        )
+    got = QUERIES["eval_isotonic_calibration"](spark, SF_DIR).collect()
+    assert {r.bin: (r.n, r.raw_micro, r.iso_micro) for r in got} == {
+        b: (bins[b][0], bins[b][1] * 1000000 // bins[b][0], iso[b]) for b in order
+    }
+    # the defining isotonic property: fitted values are monotone
+    # nondecreasing in the bin order
+    fitted = [r.iso_micro for r in sorted(got, key=lambda r: r.bin)]
+    assert fitted == sorted(fitted)
+    # and agree with classic sequential PAV pooling on the same
+    # floor-quantized means (cross-checks the minimax identity)
+    pools = [[bins[b][1], bins[b][0], b] for b in order]
+    merged = True
+    while merged:
+        merged = False
+        for j in range(len(pools) - 1):
+            if pools[j][0] * pools[j + 1][1] > pools[j + 1][0] * pools[j][1]:
+                pools[j][0] += pools[j + 1][0]
+                pools[j][1] += pools[j + 1][1]
+                del pools[j + 1]
+                merged = True
+                break
+    # map each bin to its pool's value: walk pools in order,
+    # consuming bins until the pool's weight is exhausted
+    vals = []
+    pi = 0
+    consumed = 0
+    for b in order:
+        sy, n, _ = pools[pi]
+        vals.append((b, sy * 1000000 // n))
+        consumed += bins[b][0]
+        if consumed >= n:
+            pi += 1
+            consumed = 0
+    assert {b: v for b, v in vals} == iso

@@ -959,3 +959,11 @@ def test_sprt_window_over_day_table(spark):
     df = QUERIES["events_sprt"](spark, SF_DIR)
     assert all(len(c) <= 2 for c in scan_columns(df))
     assert shuffle_count(df) <= 3
+
+
+def test_isotonic_bounded_minimax_joins(spark):
+    """The corpus collapses to <=10 bins in one partial agg; the
+    interval grid and minimax joins are bin-bounded broadcasts."""
+    df = QUERIES["eval_isotonic_calibration"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 3 for c in scan_columns(df))

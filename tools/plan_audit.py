@@ -102,6 +102,9 @@ ALLOW_NESTED_LOOP = {
     "orders_kaplan_meier",
     # 1-row state-count / ln(K) frames in the A15c composition
     "events_entropy_rate",
+    # bin-bounded interval-grid / minimax joins on non-equi bin
+    # predicates (<=10 bins; broadcast both sides)
+    "eval_isotonic_calibration",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
