@@ -166,6 +166,7 @@ HEADLINE = [
     "graph_degree_histogram",
     "events_sprt",
     "eval_isotonic_calibration",
+    "corpus_negative_sampling",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -660,6 +660,7 @@ _CHECK_ORDER = [
     "graph_degree_histogram",
     "events_sprt",
     "eval_isotonic_calibration",
+    "corpus_negative_sampling",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

@@ -1102,3 +1102,95 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flesch_milli"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# L14: negative-sampling distribution (unigram^0.75 smoothing)
+# ---------------------------------------------------------------------------
+
+_NEG_TOP = 50
+
+
+@query(
+    "corpus_negative_sampling",
+    f"""
+    WITH t AS (
+      SELECT unnest([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     if len(x) > 0]) AS tok
+      FROM documents
+    ),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+    s AS (
+      SELECT tok, cnt,
+             CAST(ROUND(EXP(0.75 * LN(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT)
+               AS sm_q
+      FROM c
+    ),
+    z AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(SUM(sm_q) AS BIGINT) AS zsm FROM s),
+    r AS (
+      SELECT tok, cnt, sm_q,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM s QUALIFY rank <= {_NEG_TOP}
+    )
+    SELECT rank, tok, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // z.total AS BIGINT) AS raw_ppm,
+           CAST(sm_q * 1000000 // z.zsm AS BIGINT) AS smoothed_ppm,
+           CAST((sm_q * 1000000 // z.zsm) * 10000
+                // GREATEST(cnt * 1000000 // z.total, 1) AS BIGINT) AS flatten_bp
+    FROM r CROSS JOIN z
+    ORDER BY rank
+    """,
+)
+def corpus_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14 negative-sampling distribution: the unigram distribution
+    raised to the 3/4 power and renormalized (Mikolov et al. 2013,
+    word2vec) — the standard draw table for contrastive negatives:
+    the exponent flattens the head so frequent tokens stop dominating
+    the negative pool while rare tokens still appear.  flatten_bp
+    reads the effect directly (smoothed share vs raw share, basis
+    points: <10000 = demoted head, >10000 = promoted tail).
+
+    Determinism: c^0.75 is the pinned EXP(0.75*LN(c)) double tree
+    quantized to integer micro-units per token BEFORE the normalizing
+    sum (the softmax/doremi idiom), so both shares are exact integer
+    division.
+
+    Plan shape: one token-count agg absorbs the explode; the smoothing
+    is a map expression on the vocab table; one 1-row totals broadcast;
+    TakeOrdered top-{_NEG_TOP}."""
+    from bytesprocessor_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    c = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    s = c.select(
+        "tok",
+        "cnt",
+        F.round(F.exp(0.75 * F.log(F.col("cnt").cast("double"))) * 1000000)
+        .cast("long")
+        .alias("sm_q"),
+    )
+    z = s.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.sum("sm_q").cast("long").alias("zsm"),
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), "tok")
+    r = s.withColumn("rank", F.row_number().over(wr)).where(
+        F.col("rank") <= _NEG_TOP
+    )
+    return (
+        r.crossJoin(F.broadcast(z))
+        .select(
+            "rank",
+            "tok",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("CAST(cnt * 1000000 div total AS BIGINT)").alias("raw_ppm"),
+            F.expr("CAST(sm_q * 1000000 div zsm AS BIGINT)").alias("smoothed_ppm"),
+            F.expr(
+                "CAST((sm_q * 1000000 div zsm) * 10000"
+                " div GREATEST(cnt * 1000000 div total, 1) AS BIGINT)"
+            ).alias("flatten_bp"),
+        )
+        .orderBy("rank")
+    )

@@ -933,3 +933,29 @@ def test_isotonic_matches_python_recompute_and_pav(spark):
             pi += 1
             consumed = 0
     assert {b: v for b, v in vals} == iso
+
+
+# ---------------------------------------------------------------------------
+# L14 negative-sampling distribution
+# ---------------------------------------------------------------------------
+
+def test_negative_sampling_matches_python_recompute(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    cnt: Counter = Counter()
+    for r in docs:
+        cnt.update(_toks(r.text))
+    sm = {t: _rnd(math.exp(0.75 * math.log(c)) * 1000000) for t, c in cnt.items()}
+    total, zsm = sum(cnt.values()), sum(sm.values())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    expected = []
+    for rank, (t, c) in enumerate(top, 1):
+        raw = c * 1000000 // total
+        smo = sm[t] * 1000000 // zsm
+        expected.append((rank, t, c, raw, smo, smo * 10000 // max(raw, 1)))
+    got = QUERIES["corpus_negative_sampling"](spark, SF_DIR).collect()
+    assert [
+        (r.rank, r.tok, r.cnt, r.raw_ppm, r.smoothed_ppm, r.flatten_bp) for r in got
+    ] == expected
+    # the 3/4 power demotes the head: the most frequent token's
+    # smoothed share is below its raw share
+    assert got[0].flatten_bp < 10000

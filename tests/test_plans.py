@@ -967,3 +967,11 @@ def test_isotonic_bounded_minimax_joins(spark):
     df = QUERIES["eval_isotonic_calibration"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_negative_sampling_vocab_bounded(spark):
+    """One token agg absorbs the explode; smoothing is a map
+    expression on the vocab table; 1-row totals broadcast."""
+    df = QUERIES["corpus_negative_sampling"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 1 for c in scan_columns(df))

@@ -105,6 +105,8 @@ ALLOW_NESTED_LOOP = {
     # bin-bounded interval-grid / minimax joins on non-equi bin
     # predicates (<=10 bins; broadcast both sides)
     "eval_isotonic_calibration",
+    # 1-row totals frame onto the vocab-bounded top-50
+    "corpus_negative_sampling",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
