@@ -167,6 +167,7 @@ HEADLINE = [
     "events_sprt",
     "eval_isotonic_calibration",
     "corpus_negative_sampling",
+    "text_rake_keyphrases",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

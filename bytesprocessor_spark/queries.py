@@ -661,6 +661,7 @@ _CHECK_ORDER = [
     "events_sprt",
     "eval_isotonic_calibration",
     "corpus_negative_sampling",
+    "text_rake_keyphrases",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

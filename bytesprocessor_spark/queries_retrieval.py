@@ -589,3 +589,142 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("side", "degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# L4v: RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_TOPK = 20
+_RAKE_MAXLEN = 3
+
+from bytesprocessor_spark.functions.text import _EN_STOPWORDS as _RAKE_STOPWORDS
+
+_RAKE_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS) + "]"
+
+_RAKE_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     if len(x) > 0]) AS tok,
+             generate_subscripts([x for x in
+               regexp_split_to_array(lower(text), '[^a-z0-9]+')
+               if len(x) > 0], 1) AS idx
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, tok, idx,
+             CASE WHEN list_contains({_RAKE_STOP_SQL}, tok) THEN 1 ELSE 0 END AS is_stop
+      FROM tk
+    ),
+    g AS (
+      SELECT doc_id, tok, idx, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY idx
+                                ROWS UNBOUNDED PRECEDING) AS grp
+      FROM f
+    ),
+    ph AS (
+      SELECT doc_id, grp,
+             string_agg(tok, ' ' ORDER BY idx) AS phrase,
+             COUNT(*) AS plen
+      FROM g WHERE is_stop = 0
+      GROUP BY doc_id, grp
+      HAVING COUNT(*) <= {_RAKE_MAXLEN}
+    ),
+    pw AS (
+      SELECT doc_id, grp, phrase, plen, unnest(string_split(phrase, ' ')) AS w
+      FROM ph
+    ),
+    ws AS (
+      SELECT w, CAST(SUM(plen) * 1000000 // COUNT(*) AS BIGINT) AS s_q
+      FROM pw GROUP BY w
+    ),
+    psc AS (
+      SELECT pw.doc_id, pw.grp, pw.phrase,
+             CAST(SUM(ws.s_q) AS BIGINT) AS score_micro
+      FROM pw JOIN ws ON pw.w = ws.w
+      GROUP BY pw.doc_id, pw.grp, pw.phrase
+    ),
+    agg AS (
+      SELECT phrase, COUNT(*) AS n_occurrences,
+             CAST(MAX(score_micro) AS BIGINT) AS score_micro
+      FROM psc GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, score_micro,
+           ROW_NUMBER() OVER (ORDER BY score_micro DESC, phrase) AS rank
+    FROM agg ORDER BY rank LIMIT {_RAKE_TOPK}
+"""
+
+
+@query("text_rake_keyphrases", _RAKE_SQL)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4v RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-delimited runs of content words
+    (capped at 3 words), each word scored deg/freq over the phrase
+    corpus (deg = summed lengths of the phrases it appears in — words
+    that live in long phrases score high), phrase score = sum of its
+    word scores; top-20 distinct phrases.  The unsupervised
+    key-term surface for corpus exploration and index seeding, built
+    from the same tokenizer and stopword list as L4's quality
+    heuristics.
+
+    Determinism: word scores are floored integer micro-units
+    (deg*1e6 // freq) BEFORE the per-phrase sum; phrase identity is
+    the joined token string; ranking ties break on the phrase text.
+
+    Plan shape: tokenize+posexplode -> stopword-prefix-sum window
+    keyed by doc -> phrase agg keyed by (doc, grp) -> word-score agg
+    keyed by word (vocab-bounded) joined back -> phrase-text agg.
+    Every shuffle is keyed by doc, word, or phrase — no pairing, no
+    driver loop."""
+    from bytesprocessor_spark.functions.text import tokenize, _EN_STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("idx", "tok")
+    )
+    f = tk.withColumn(
+        "is_stop", F.when(F.col("tok").isin(*_EN_STOPWORDS), 1).otherwise(0)
+    )
+    wg = Window.partitionBy("doc_id").orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    g = f.withColumn("grp", F.sum("is_stop").over(wg))
+    ph = (
+        g.where(F.col("is_stop") == 0)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .where(F.col("plen") <= _RAKE_MAXLEN)
+    )
+    pw = ph.select(
+        "doc_id", "grp", "phrase", "plen",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    ws = pw.groupBy("w").agg(
+        F.expr("CAST(SUM(plen) * 1000000 div COUNT(*) AS BIGINT)").alias("s_q")
+    )
+    psc = (
+        pw.join(F.broadcast(ws), "w")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum("s_q").cast("long").alias("score_micro"))
+    )
+    agg = psc.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"),
+        F.max("score_micro").cast("long").alias("score_micro"),
+    )
+    wr = Window.orderBy(F.col("score_micro").desc(), "phrase")
+    return (
+        agg.withColumn("rank", F.row_number().over(wr))
+        .orderBy("rank")
+        .limit(_RAKE_TOPK)
+        .select("phrase", "n_occurrences", "score_micro", "rank")
+    )

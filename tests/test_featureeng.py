@@ -959,3 +959,47 @@ def test_negative_sampling_matches_python_recompute(spark):
     # the 3/4 power demotes the head: the most frequent token's
     # smoothed share is below its raw share
     assert got[0].flatten_bp < 10000
+
+
+# ---------------------------------------------------------------------------
+# L4v RAKE keyphrases
+# ---------------------------------------------------------------------------
+
+def test_rake_matches_python_recompute(spark):
+    from bytesprocessor_spark.functions.text import _EN_STOPWORDS
+
+    stop = set(_EN_STOPWORDS)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    phrases = []  # (phrase_string, words)
+    for r in docs:
+        run = []
+        for t in _toks(r.text) + ["the"]:  # sentinel flush
+            if t in stop:
+                if run and len(run) <= 3:
+                    phrases.append(" ".join(run))
+                run = []
+            else:
+                run.append(t)
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for p in phrases:
+        ws = p.split(" ")
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    s_q = {w: deg[w] * 1000000 // freq[w] for w in freq}
+    scored = defaultdict(lambda: [0, 0])
+    for p in phrases:
+        sc = sum(s_q[w] for w in p.split(" "))
+        scored[p][0] += 1
+        scored[p][1] = sc
+    top = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    expected = [
+        (p, n_occ, sc, rank)
+        for rank, (p, (n_occ, sc)) in enumerate(top, 1)
+    ]
+    got = QUERIES["text_rake_keyphrases"](spark, SF_DIR).collect()
+    assert [(r.phrase, r.n_occurrences, r.score_micro, r.rank) for r in got] == expected
+    # RAKE's defining bias: multi-word phrases outrank their own
+    # constituent single words (deg >= freq always => s_q >= 1e6)
+    assert all(" " not in p or sc >= 2000000 for p, _, sc, _ in expected)

@@ -975,3 +975,14 @@ def test_negative_sampling_vocab_bounded(spark):
     df = QUERIES["corpus_negative_sampling"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 1 for c in scan_columns(df))
+
+
+def test_rake_shuffles_keyed_by_doc_word_phrase(spark):
+    """Phrase build windows/aggs key on doc; word scores on the
+    vocab-bounded word table (broadcast back); final agg on phrase.
+    No pairing, no nested loop."""
+    df = QUERIES["text_rake_keyphrases"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
