@@ -168,6 +168,7 @@ HEADLINE = [
     "eval_isotonic_calibration",
     "corpus_negative_sampling",
     "text_rake_keyphrases",
+    "dim_date_build",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -662,6 +662,7 @@ _CHECK_ORDER = [
     "eval_isotonic_calibration",
     "corpus_negative_sampling",
     "text_rake_keyphrases",
+    "dim_date_build",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

@@ -2472,3 +2472,72 @@ def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("surv_ppm"),
     ).orderBy("t_day")
+
+
+# ---------------------------------------------------------------------------
+# D1: date-dimension build (calendar spine generator)
+# ---------------------------------------------------------------------------
+
+_DIM_DATE_START, _DIM_DATE_END = "1992-01-01", "1998-12-31"
+
+
+@query(
+    "dim_date_build",
+    f"""
+    WITH s AS (
+      SELECT unnest(generate_series(DATE '{_DIM_DATE_START}',
+                                    DATE '{_DIM_DATE_END}',
+                                    INTERVAL 1 DAY)) AS d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS d,
+           CAST(YEAR(d) AS BIGINT) AS year,
+           CAST(QUARTER(d) AS BIGINT) AS quarter,
+           CAST(MONTH(d) AS BIGINT) AS month,
+           CAST(DAY(d) AS BIGINT) AS dom,
+           CAST(ISODOW(d) AS BIGINT) AS dow_iso,
+           CAST(WEEK(d) AS BIGINT) AS iso_week,
+           ISODOW(d) >= 6 AS is_weekend,
+           d = last_day(d) AS is_month_end
+    FROM s ORDER BY d
+    """,
+)
+def dim_date_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 date-dimension generator: the calendar spine every
+    warehouse joins facts against (the star-schema dimension the
+    TPC-H queries fake with inline date arithmetic), covering the
+    fixture date range with year/quarter/month/ISO-week/ISO-weekday,
+    weekend and month-end flags — extend with fiscal calendars or
+    holiday tables by joining onto this spine.
+
+    Determinism: pure calendar arithmetic on generated dates — both
+    engines implement ISO 8601 week/weekday identically; dates are
+    emitted as formatted strings per the corpus contract.
+
+    Plan shape: a generated sequence (no table scan at all), exploded
+    and mapped in codegen — embarrassingly parallel at any range
+    length; the W11 gap-fill row already demonstrates joining facts
+    against exactly this spine shape."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(_DIM_DATE_START).cast("date"),
+                    F.lit(_DIM_DATE_END).cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("dt")
+        )
+        .select(
+            F.date_format("dt", "yyyy-MM-dd").alias("d"),
+            F.year("dt").cast("long").alias("year"),
+            F.quarter("dt").cast("long").alias("quarter"),
+            F.month("dt").cast("long").alias("month"),
+            F.dayofmonth("dt").cast("long").alias("dom"),
+            (F.weekday("dt") + 1).cast("long").alias("dow_iso"),
+            F.weekofyear("dt").cast("long").alias("iso_week"),
+            (F.weekday("dt") + 1 >= 6).alias("is_weekend"),
+            (F.col("dt") == F.last_day("dt")).alias("is_month_end"),
+        )
+        .orderBy("d")
+    )

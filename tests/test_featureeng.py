@@ -1003,3 +1003,50 @@ def test_rake_matches_python_recompute(spark):
     # RAKE's defining bias: multi-word phrases outrank their own
     # constituent single words (deg >= freq always => s_q >= 1e6)
     assert all(" " not in p or sc >= 2000000 for p, _, sc, _ in expected)
+
+
+# ---------------------------------------------------------------------------
+# D1 date dimension
+# ---------------------------------------------------------------------------
+
+def test_dim_date_matches_python_calendar(spark):
+    import datetime
+
+    got = QUERIES["dim_date_build"](spark, SF_DIR).collect()
+    d = datetime.date(1992, 1, 1)
+    end = datetime.date(1998, 12, 31)
+    expected = []
+    while d <= end:
+        iso = d.isocalendar()
+        last = (d.replace(day=28) + datetime.timedelta(days=4)).replace(
+            day=1
+        ) - datetime.timedelta(days=1)
+        expected.append(
+            (
+                d.isoformat(),
+                d.year,
+                (d.month - 1) // 3 + 1,
+                d.month,
+                d.day,
+                iso[2],
+                iso[1],
+                iso[2] >= 6,
+                d == last,
+            )
+        )
+        d += datetime.timedelta(days=1)
+    assert [
+        (
+            r.d,
+            r.year,
+            r.quarter,
+            r.month,
+            r.dom,
+            r.dow_iso,
+            r.iso_week,
+            r.is_weekend,
+            r.is_month_end,
+        )
+        for r in got
+    ] == expected
+    assert len(got) == 2557

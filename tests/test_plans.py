@@ -986,3 +986,9 @@ def test_rake_shuffles_keyed_by_doc_word_phrase(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_dim_date_no_table_scan(spark):
+    """A generated spine: the plan contains no parquet scan at all."""
+    df = QUERIES["dim_date_build"](spark, SF_DIR)
+    assert scan_columns(df) == []
