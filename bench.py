@@ -169,6 +169,7 @@ HEADLINE = [
     "corpus_negative_sampling",
     "text_rake_keyphrases",
     "dim_date_build",
+    "events_theil_sen",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

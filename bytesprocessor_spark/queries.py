@@ -663,6 +663,7 @@ _CHECK_ORDER = [
     "corpus_negative_sampling",
     "text_rake_keyphrases",
     "dim_date_build",
+    "events_theil_sen",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

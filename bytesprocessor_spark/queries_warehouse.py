@@ -2541,3 +2541,96 @@ def dim_date_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# A39: Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_theil_sen",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) // 100 AS v
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             CAST(((b.v - a.v) * 1000000)
+                  // date_diff('day', a.d, b.d) AS BIGINT) AS slope_micro,
+             a.d AS da, b.d AS db
+      FROM s a JOIN s b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    r AS (
+      SELECT event_type, slope_micro,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope_micro, da, db) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM p
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n_days FROM s GROUP BY event_type)
+    SELECT r.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           r.slope_micro AS ts_slope_micro
+    FROM r JOIN n ON r.event_type = n.event_type
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    ORDER BY r.event_type
+    """,
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39 Theil-Sen robust trend: the median of all pairwise slopes
+    of each event type's daily revenue series — the robust sibling of
+    A16's least-squares fit (one corrupted day can drag an OLS slope
+    arbitrarily; Theil-Sen tolerates ~29% outliers), completing the
+    robust family (A14 global MAD, W12 rolling MAD) on the TREND axis.
+
+    Determinism: each pairwise slope is the exact integer
+    (dy*1e6) div dx (whole dollars over whole days); the median is the
+    LOWER median selected BY RANK with (slope, day-pair) tiebreaks —
+    no floats anywhere.
+
+    Plan shape: the corpus collapses to the (type, day) table in one
+    partial agg; the pair join is CALENDAR-BOUNDED (days^2 per type,
+    ~2k pairs per type-month-range, never corpus rows) and keyed on
+    event_type; the median is one rank window over the pair table."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) div 100"
+        ).alias("v")
+    )
+    a = s.select(
+        F.col("event_type"), F.col("d").alias("da"), F.col("v").alias("va")
+    )
+    b = s.select(
+        F.col("event_type").alias("et_b"), F.col("d").alias("db"), F.col("v").alias("vb")
+    )
+    p = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("da") < F.col("db"))
+    ).select(
+        "event_type",
+        F.expr(
+            "CAST(((vb - va) * 1000000) div datediff(db, da) AS BIGINT)"
+        ).alias("slope_micro"),
+        "da",
+        "db",
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_micro", "da", "db")
+    wn = Window.partitionBy("event_type")
+    r = p.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n_pairs", F.count("*").over(wn)
+    )
+    n = s.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return (
+        r.where(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .join(F.broadcast(n), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_micro").alias("ts_slope_micro"),
+        )
+        .orderBy("event_type")
+    )

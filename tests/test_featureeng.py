@@ -1050,3 +1050,34 @@ def test_dim_date_matches_python_calendar(spark):
         for r in got
     ] == expected
     assert len(got) == 2557
+
+
+# ---------------------------------------------------------------------------
+# A39 Theil-Sen
+# ---------------------------------------------------------------------------
+
+def test_theil_sen_matches_python_recompute(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    daily = defaultdict(Counter)
+    for r in ev:
+        daily[r.event_type][r.ts.date()] += _rnd(r.value * 100)
+    expected = {}
+    for t, days in daily.items():
+        ds = sorted(days)
+        vs = {d: days[d] // 100 for d in ds}
+        slopes = []
+        for i, da in enumerate(ds):
+            for db in ds[i + 1 :]:
+                dy = (vs[db] - vs[da]) * 1000000
+                dx = (db - da).days
+                slopes.append((int(math.copysign(abs(dy) // dx, dy)), da, db))
+        slopes.sort()
+        n_pairs = len(slopes)
+        med = slopes[(n_pairs + 1) // 2 - 1][0]
+        expected[t] = (len(ds), n_pairs, med)
+    got = QUERIES["events_theil_sen"](spark, SF_DIR).collect()
+    assert {r.event_type: (r.n_days, r.n_pairs, r.ts_slope_micro) for r in got} == expected

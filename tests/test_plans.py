@@ -992,3 +992,13 @@ def test_dim_date_no_table_scan(spark):
     """A generated spine: the plan contains no parquet scan at all."""
     df = QUERIES["dim_date_build"](spark, SF_DIR)
     assert scan_columns(df) == []
+
+
+def test_theil_sen_pair_join_calendar_bounded(spark):
+    """The pair join runs over the (type, day) AGGREGATE, keyed on
+    event_type — corpus rows never pair; the median is a rank window
+    over the pair table."""
+    df = QUERIES["events_theil_sen"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert all(len(c) <= 3 for c in scan_columns(df))
