@@ -170,6 +170,7 @@ HEADLINE = [
     "text_rake_keyphrases",
     "dim_date_build",
     "events_theil_sen",
+    "stream_sprt",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

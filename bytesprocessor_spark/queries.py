@@ -45,6 +45,7 @@ EAGER_QUERIES = frozenset({
     "stream_running_totals",
     "stream_neardup_admission",
     "stream_drift_monitor",
+    "stream_sprt",
 })
 
 
@@ -664,6 +665,7 @@ _CHECK_ORDER = [
     "text_rake_keyphrases",
     "dim_date_build",
     "events_theil_sen",
+    "stream_sprt",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

@@ -770,3 +770,97 @@ def stream_drift_monitor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_and_localize(live, finish)
     finally:
         shutil.rmtree(land, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ST14: streaming SPRT (sequential test deployed as a stream)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_sprt",
+    # identical semantics to the batch events_sprt row — the streaming
+    # aggregation must converge to the same per-day cumulative LLR
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n, x,
+             x * CAST(ROUND(LN(0.05 / 0.04) * 1000000) AS BIGINT)
+             + (n - x) * CAST(ROUND(LN((1 - 0.05) / (1 - 0.04))
+                                    * 1000000) AS BIGINT) AS llr_day
+      FROM d
+    ),
+    s AS (
+      SELECT day, n, x,
+             CAST(SUM(llr_day) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS llr_micro
+      FROM c
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n_events,
+           x AS n_conversions, llr_micro,
+           CASE WHEN llr_micro >= CAST(ROUND(LN(19.0) * 1000000) AS BIGINT)
+                  THEN 'accept_h1'
+                WHEN llr_micro <= CAST(ROUND(LN(1.0 / 19.0) * 1000000) AS BIGINT)
+                  THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM s ORDER BY day
+    """,
+)
+def stream_sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST14 streaming SPRT: the A38 Wald sequential test deployed the
+    way it is meant to run — as a STREAM, accumulating per-day
+    (trials, conversions) in streaming aggregation state across
+    micro-batches and reading the cumulative log-likelihood ratio
+    against the Wald boundaries after every update.  The drained final
+    state must reproduce the batch row exactly (the per-observation
+    LLR increments are integer constants, so the cumulative sum is
+    micro-batch-order independent — the same replay-validity argument
+    as the running-totals row).
+
+    Scale: state is O(days) (calendar-bounded); each micro-batch
+    shuffles only its own rows to their day's state partition."""
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(land, "events"))
+        )
+        daily = stream.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+
+        def finish(sink_df: DataFrame) -> DataFrame:
+            from pyspark.sql import Window
+
+            c1 = "CAST(ROUND(LN(0.05 / 0.04) * 1000000) AS BIGINT)"
+            c2 = "CAST(ROUND(LN((1 - 0.05) / (1 - 0.04)) * 1000000) AS BIGINT)"
+            c = sink_df.withColumn("llr_day", F.expr(f"x * {c1} + (n - x) * {c2}"))
+            wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+            s = c.withColumn("llr_micro", F.sum("llr_day").over(wc).cast("long"))
+            ub = "CAST(ROUND(LN(19.0) * 1000000) AS BIGINT)"
+            lb = "CAST(ROUND(LN(1.0 / 19.0) * 1000000) AS BIGINT)"
+            return s.select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                F.col("n").cast("long").alias("n_events"),
+                F.col("x").alias("n_conversions"),
+                "llr_micro",
+                F.expr(
+                    f"CASE WHEN llr_micro >= {ub} THEN 'accept_h1'"
+                    f" WHEN llr_micro <= {lb} THEN 'accept_h0'"
+                    " ELSE 'continue' END"
+                ).alias("decision"),
+            ).orderBy("day")
+
+        return _drain_and_localize(daily, finish, output_mode="complete")
+    finally:
+        shutil.rmtree(land, ignore_errors=True)

@@ -1081,3 +1081,18 @@ def test_theil_sen_matches_python_recompute(spark):
         expected[t] = (len(ds), n_pairs, med)
     got = QUERIES["events_theil_sen"](spark, SF_DIR).collect()
     assert {r.event_type: (r.n_days, r.n_pairs, r.ts_slope_micro) for r in got} == expected
+
+
+# ---------------------------------------------------------------------------
+# ST14 streaming SPRT
+# ---------------------------------------------------------------------------
+
+def test_stream_sprt_equals_batch_sprt(spark):
+    """Batch/stream parity: the drained streaming aggregation must
+    reproduce the batch sequential test row-for-row (the LLR
+    increments are integer constants, so micro-batch order cannot
+    move the cumulative sum)."""
+    batch = QUERIES["events_sprt"](spark, SF_DIR).collect()
+    stream = QUERIES["stream_sprt"](spark, SF_DIR).collect()
+    key = lambda r: (r.day, r.n_events, r.n_conversions, r.llr_micro, r.decision)  # noqa: E731
+    assert [key(r) for r in stream] == [key(r) for r in batch]
