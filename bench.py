@@ -171,6 +171,7 @@ HEADLINE = [
     "dim_date_build",
     "events_theil_sen",
     "stream_sprt",
+    "eval_cv_auc",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -666,6 +666,7 @@ _CHECK_ORDER = [
     "dim_date_build",
     "events_theil_sen",
     "stream_sprt",
+    "eval_cv_auc",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

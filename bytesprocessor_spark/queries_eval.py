@@ -839,3 +839,97 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# EV11: cross-validated AUC (per-fold spread)
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+
+@query(
+    "eval_cv_auc",
+    f"""
+    WITH b AS ({_DUCK_SCORED}),
+    fb AS (
+      SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % {_CV_FOLDS} AS fold,
+             y, score
+      FROM b
+    ),
+    s AS (SELECT fold, score,
+                 CAST(SUM(y) AS BIGINT) AS p,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS n
+          FROM fb GROUP BY fold, score),
+    c AS (SELECT fold, p, n,
+                 COALESCE(CAST(SUM(n) OVER (PARTITION BY fold ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS cumn
+          FROM s),
+    t AS (SELECT fold,
+                 CAST(SUM(p * (2 * cumn + n)) AS BIGINT) AS two_u,
+                 CAST(SUM(p) AS BIGINT) AS n_pos,
+                 CAST(SUM(n) AS BIGINT) AS n_neg
+          FROM c GROUP BY fold)
+    SELECT CAST(fold AS BIGINT) AS fold, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST((two_u * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+                END AS auc_micro
+    FROM t ORDER BY fold
+    """,
+)
+def eval_cv_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV11 cross-validated AUC: EV1's exact tie-aware rank-sum AUC
+    computed independently per md5-hash fold (the EV4 fold rule) —
+    the spread across folds is the variance evidence a single global
+    AUC hides: a model whose per-fold AUCs span 0.6-0.9 is not a 0.75
+    model, and fold-hash assignment makes the readout reproducible
+    across engines and runs.
+
+    Determinism: everything EV1 pins (integer rank-sum identity,
+    bounded distinct-score table) now keyed by fold; the fold hash is
+    the shared md5 idiom.
+
+    Plan shape: one map-side partial agg to the (fold, score) table
+    (bounded by folds x score domain, not corpus rows); the prefix
+    window partitions BY FOLD; a K-row readout."""
+    b = _scored(spark, sf_dir)
+    fb = b.select(
+        (
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % _CV_FOLDS
+        ).alias("fold"),
+        "y",
+        "score",
+    )
+    s = fb.groupBy("fold", "score").agg(
+        F.sum("y").cast("long").alias("p"),
+        (F.count("*") - F.sum("y")).cast("long").alias("n"),
+    )
+    wc = Window.partitionBy("fold").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = s.select(
+        "fold",
+        "p",
+        "n",
+        F.coalesce(F.sum("n").over(wc), F.lit(0)).cast("long").alias("cumn"),
+    )
+    t = c.groupBy("fold").agg(
+        F.sum(F.col("p") * (2 * F.col("cumn") + F.col("n")))
+        .cast("long")
+        .alias("two_u"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+    )
+    return t.select(
+        F.col("fold").cast("long").alias("fold"),
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("CAST((two_u * 1000000) div (2 * n_pos * n_neg) AS BIGINT)"),
+        ).alias("auc_micro"),
+    ).orderBy("fold")

@@ -1096,3 +1096,44 @@ def test_stream_sprt_equals_batch_sprt(spark):
     stream = QUERIES["stream_sprt"](spark, SF_DIR).collect()
     key = lambda r: (r.day, r.n_events, r.n_conversions, r.llr_micro, r.decision)  # noqa: E731
     assert [key(r) for r in stream] == [key(r) for r in batch]
+
+
+# ---------------------------------------------------------------------------
+# EV11 cross-validated AUC
+# ---------------------------------------------------------------------------
+
+def test_cv_auc_matches_python_recompute(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    folds = defaultdict(list)
+    import hashlib
+
+    for r in emb:
+        fold = int(hashlib.md5(str(r.vec_id).encode()).hexdigest()[:15], 16) % 5
+        score = _rnd(float(r.embedding[0]) * 1000000) + _rnd(
+            float(r.embedding[1]) * 1000000
+        )
+        folds[fold].append((r.label % 2, score))
+    expected = {}
+    for fold, rows in folds.items():
+        pos = sorted(s for y, s in rows if y == 1)
+        neg = sorted(s for y, s in rows if y == 0)
+        import bisect
+
+        two_u = 0
+        for s in pos:
+            lt = bisect.bisect_left(neg, s)
+            eq = bisect.bisect_right(neg, s) - lt
+            two_u += 2 * lt + eq
+        auc = (
+            two_u * 1000000 // (2 * len(pos) * len(neg))
+            if pos and neg
+            else None
+        )
+        expected[fold] = (len(pos), len(neg), auc)
+    got = QUERIES["eval_cv_auc"](spark, SF_DIR).collect()
+    assert {r.fold: (r.n_pos, r.n_neg, r.auc_micro) for r in got} == expected
+    # the spread readout exists: >1 fold, all AUCs in [0, 1e6]
+    assert len(got) > 1
+    assert all(r.auc_micro is None or 0 <= r.auc_micro <= 1000000 for r in got)

@@ -1002,3 +1002,12 @@ def test_theil_sen_pair_join_calendar_bounded(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_cv_auc_fold_partitioned_window(spark):
+    """The corpus collapses to the (fold, score) table map-side; the
+    prefix window partitions by fold (never single-partition over
+    corpus rows)."""
+    df = QUERIES["eval_cv_auc"](spark, SF_DIR)
+    assert all(len(c) <= 3 for c in scan_columns(df))
+    assert shuffle_count(df) <= 3
