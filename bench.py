@@ -172,6 +172,7 @@ HEADLINE = [
     "events_theil_sen",
     "stream_sprt",
     "eval_cv_auc",
+    "events_mann_whitney",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -667,6 +667,7 @@ _CHECK_ORDER = [
     "events_theil_sen",
     "stream_sprt",
     "eval_cv_auc",
+    "events_mann_whitney",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

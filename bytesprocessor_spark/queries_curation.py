@@ -2458,3 +2458,109 @@ def events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'continue' END"
         ).alias("decision"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# A40: Mann-Whitney U test (weekend vs weekday purchase values)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_mann_whitney",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN ISODOW(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS wk,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, v,
+             CAST(SUM(wk) AS BIGINT) AS p,
+             CAST(COUNT(*) - SUM(wk) AS BIGINT) AS n
+      FROM e GROUP BY event_type, v
+    ),
+    c AS (
+      SELECT event_type, p, n,
+             COALESCE(CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cumn
+      FROM s
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(SUM(p * (2 * cumn + n)) AS BIGINT) AS two_u,
+             CAST(SUM(p) AS BIGINT) AS m,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, m AS n_weekend, n AS n_weekday, two_u,
+           CAST(ROUND((CAST(two_u AS DOUBLE) - CAST(m AS DOUBLE) * CAST(n AS DOUBLE))
+                      / SQRT(CAST(m AS DOUBLE) * CAST(n AS DOUBLE)
+                             * (CAST(m AS DOUBLE) + CAST(n AS DOUBLE) + 1.0) / 3.0)
+                      * 1000000) AS BIGINT) AS z_micro,
+           ABS(CAST(ROUND((CAST(two_u AS DOUBLE)
+                           - CAST(m AS DOUBLE) * CAST(n AS DOUBLE))
+                      / SQRT(CAST(m AS DOUBLE) * CAST(n AS DOUBLE)
+                             * (CAST(m AS DOUBLE) + CAST(n AS DOUBLE) + 1.0) / 3.0)
+                      * 1000000) AS BIGINT)) >= 1959964 AS significant_5pct
+    FROM t ORDER BY event_type
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40 Mann-Whitney U test: does the weekend purchase-value
+    distribution differ from the weekday one, per event type?  The
+    NONPARAMETRIC two-sample location test (no normality assumption —
+    the right tool for skewed revenue values where A18's Welch t-test
+    leans on CLT), built on the same tie-aware integer rank-sum
+    identity as EV1's AUC: 2U = sum p_s (2 cumn_s + n_s) over the
+    distinct-value table.  The normal approximation
+    z = (U - mn/2) / sqrt(mn(m+n+1)/12) folds as (2U - mn) /
+    sqrt(mn(m+n+1)/3) — one pinned double tree over exact int64
+    moments (the Gini idiom), micro-quantized; the 5% flag compares
+    |z_micro| to the quantized 1.959964 critical value, so the
+    decision is an integer comparison.
+
+    Plan shape: one (type, value) partial agg bounded by the quantized
+    value domain; the prefix window partitions BY TYPE; K-row readout.
+    int64 bound: 2U <= 2mn — same envelope as EV1."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.when(F.weekday(F.col("ts").cast("date")) + 1 >= 6, 1)
+        .otherwise(0)
+        .alias("wk"),
+        cents(F.col("value")).alias("v"),
+    )
+    s = e.groupBy("event_type", "v").agg(
+        F.sum("wk").cast("long").alias("p"),
+        (F.count("*") - F.sum("wk")).cast("long").alias("n"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = s.select(
+        "event_type",
+        "p",
+        "n",
+        F.coalesce(F.sum("n").over(wc), F.lit(0)).cast("long").alias("cumn"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum(F.col("p") * (2 * F.col("cumn") + F.col("n")))
+        .cast("long")
+        .alias("two_u"),
+        F.sum("p").cast("long").alias("m"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    md, nd = F.col("m").cast("double"), F.col("n").cast("double")
+    z = (F.col("two_u").cast("double") - md * nd) / F.sqrt(
+        md * nd * (md + nd + 1.0) / 3.0
+    )
+    z_micro = F.round(z * 1000000).cast("long")
+    return t.select(
+        "event_type",
+        F.col("m").alias("n_weekend"),
+        F.col("n").alias("n_weekday"),
+        "two_u",
+        z_micro.alias("z_micro"),
+        (F.abs(z_micro) >= 1959964).alias("significant_5pct"),
+    ).orderBy("event_type")

@@ -1137,3 +1137,37 @@ def test_cv_auc_matches_python_recompute(spark):
     # the spread readout exists: >1 fold, all AUCs in [0, 1e6]
     assert len(got) > 1
     assert all(r.auc_micro is None or 0 <= r.auc_micro <= 1000000 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# A40 Mann-Whitney
+# ---------------------------------------------------------------------------
+
+def test_mann_whitney_matches_python_recompute(spark):
+    import bisect
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    groups = defaultdict(lambda: ([], []))  # (weekend, weekday)
+    for r in ev:
+        v = _rnd(r.value * 100)
+        wk = r.ts.date().isoweekday() >= 6
+        groups[r.event_type][0 if wk else 1].append(v)
+    got = QUERIES["events_mann_whitney"](spark, SF_DIR).collect()
+    for r in got:
+        we, wd = groups[r.event_type]
+        wd_sorted = sorted(wd)
+        two_u = 0
+        for v in we:
+            lt = bisect.bisect_left(wd_sorted, v)
+            eq = bisect.bisect_right(wd_sorted, v) - lt
+            two_u += 2 * lt + eq
+        m, n = len(we), len(wd)
+        z = (two_u - m * n) / math.sqrt(m * n * (m + n + 1.0) / 3.0)
+        assert (r.n_weekend, r.n_weekday, r.two_u) == (m, n, two_u)
+        assert r.z_micro == _rnd(z * 1000000)
+        assert r.significant_5pct == (abs(r.z_micro) >= 1959964)
+    assert {r.event_type for r in got} == set(groups)

@@ -1011,3 +1011,11 @@ def test_cv_auc_fold_partitioned_window(spark):
     df = QUERIES["eval_cv_auc"](spark, SF_DIR)
     assert all(len(c) <= 3 for c in scan_columns(df))
     assert shuffle_count(df) <= 3
+
+
+def test_mann_whitney_value_domain_bounded(spark):
+    """One (type, value) partial agg bounded by the quantized value
+    domain; the prefix window partitions by type."""
+    df = QUERIES["events_mann_whitney"](spark, SF_DIR)
+    assert all(len(c) <= 3 for c in scan_columns(df))
+    assert shuffle_count(df) <= 3
