@@ -173,6 +173,7 @@ HEADLINE = [
     "stream_sprt",
     "eval_cv_auc",
     "events_mann_whitney",
+    "events_chi_square",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

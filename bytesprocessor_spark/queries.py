@@ -668,6 +668,7 @@ _CHECK_ORDER = [
     "stream_sprt",
     "eval_cv_auc",
     "events_mann_whitney",
+    "events_chi_square",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

@@ -2564,3 +2564,92 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_micro.alias("z_micro"),
         (F.abs(z_micro) >= 1959964).alias("significant_5pct"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A41: chi-square independence test (event type x weekend)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_chi_square",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN ISODOW(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS wk
+      FROM events
+    ),
+    o AS (SELECT event_type, wk, CAST(COUNT(*) AS BIGINT) AS obs
+          FROM e GROUP BY event_type, wk),
+    rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_n FROM o GROUP BY event_type),
+    ct AS (SELECT wk, CAST(SUM(obs) AS BIGINT) AS col_n FROM o GROUP BY wk),
+    tt AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM o),
+    cells AS (
+      SELECT o.event_type, o.wk, o.obs, rt.row_n, ct.col_n, tt.total,
+             CAST(ROUND((CAST(o.obs AS DOUBLE)
+                         - CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+                           / CAST(tt.total AS DOUBLE))
+                        * (CAST(o.obs AS DOUBLE)
+                           - CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+                             / CAST(tt.total AS DOUBLE))
+                        / (CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+                           / CAST(tt.total AS DOUBLE))
+                        * 1000000) AS BIGINT) AS contrib_micro
+      FROM o JOIN rt USING (event_type) JOIN ct USING (wk) CROSS JOIN tt
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(DISTINCT event_type) - 1 AS BIGINT) AS dof,
+           CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro,
+           CAST(SUM(contrib_micro) AS BIGINT) >= 9487729 AS significant_5pct
+    FROM cells
+    """,
+)
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41 chi-square test of independence between event type and
+    weekend/weekday — the NOMINAL-axis companion to A40's ordinal
+    rank test: is the traffic MIX different on weekends, regardless of
+    values?  chi2 = sum (O-E)^2/E over the K x 2 contingency table
+    with E = row*col/total.
+
+    Determinism: observed counts and all marginals are exact int64;
+    each cell's contribution is ONE pinned double tree over those
+    exact integers, micro-quantized BEFORE the sum (the BM25/PSI
+    idiom), so the statistic is an exact integer sum; the 5% flag
+    compares against the quantized chi2 critical value for
+    dof = K-1 (9.487729 at K=5) — an integer comparison.
+
+    Plan shape: one (type, weekend) hash agg collapses the corpus to
+    2K cells; marginals are K- and 2-row aggregates of those cells
+    broadcast back; a 1-row readout."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.when(F.weekday(F.col("ts").cast("date")) + 1 >= 6, 1)
+        .otherwise(0)
+        .alias("wk"),
+    )
+    o = e.groupBy("event_type", "wk").agg(F.count("*").cast("long").alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("row_n"))
+    ct = o.groupBy("wk").agg(F.sum("obs").cast("long").alias("col_n"))
+    tt = o.agg(F.sum("obs").cast("long").alias("total"))
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("total").cast("double")
+    )
+    contrib = F.round(
+        (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp)
+        / exp
+        * 1000000
+    ).cast("long")
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "wk")
+        .crossJoin(F.broadcast(tt))
+        .select("event_type", contrib.alias("contrib_micro"))
+    )
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        (F.countDistinct("event_type") - 1).cast("long").alias("dof"),
+        F.sum("contrib_micro").cast("long").alias("chi2_micro"),
+        (F.sum("contrib_micro").cast("long") >= 9487729).alias("significant_5pct"),
+    )

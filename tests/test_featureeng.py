@@ -1171,3 +1171,28 @@ def test_mann_whitney_matches_python_recompute(spark):
         assert r.z_micro == _rnd(z * 1000000)
         assert r.significant_5pct == (abs(r.z_micro) >= 1959964)
     assert {r.event_type for r in got} == set(groups)
+
+
+# ---------------------------------------------------------------------------
+# A41 chi-square
+# ---------------------------------------------------------------------------
+
+def test_chi_square_matches_python_recompute(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "ts").collect()
+    obs: Counter = Counter()
+    for r in ev:
+        obs[(r.event_type, r.ts.date().isoweekday() >= 6)] += 1
+    row: Counter = Counter()
+    col: Counter = Counter()
+    for (t, wk), n in obs.items():
+        row[t] += n
+        col[wk] += n
+    total = sum(obs.values())
+    chi2 = 0
+    for (t, wk), n in obs.items():
+        e = row[t] * col[wk] / total
+        chi2 += _rnd((n - e) * (n - e) / e * 1000000)
+    got = QUERIES["events_chi_square"](spark, SF_DIR).collect()[0]
+    assert (got.n_cells, got.dof, got.chi2_micro) == (len(obs), len(row) - 1, chi2)
+    assert got.significant_5pct == (chi2 >= 9487729)
+    assert got.chi2_micro >= 0

@@ -1019,3 +1019,11 @@ def test_mann_whitney_value_domain_bounded(spark):
     df = QUERIES["events_mann_whitney"](spark, SF_DIR)
     assert all(len(c) <= 3 for c in scan_columns(df))
     assert shuffle_count(df) <= 3
+
+
+def test_chi_square_contingency_collapse(spark):
+    """The corpus collapses to the 2K-cell contingency table in one
+    hash agg; marginals broadcast back; 1-row readout."""
+    df = QUERIES["events_chi_square"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 2 for c in scan_columns(df))

@@ -107,6 +107,8 @@ ALLOW_NESTED_LOOP = {
     "eval_isotonic_calibration",
     # 1-row totals frame onto the vocab-bounded top-50
     "corpus_negative_sampling",
+    # 1-row grand-total frame onto the 2K-cell contingency table
+    "events_chi_square",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
