@@ -174,6 +174,7 @@ HEADLINE = [
     "eval_cv_auc",
     "events_mann_whitney",
     "events_chi_square",
+    "events_dau_growth",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -669,6 +669,7 @@ _CHECK_ORDER = [
     "eval_cv_auc",
     "events_mann_whitney",
     "events_chi_square",
+    "events_dau_growth",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

@@ -1055,3 +1055,103 @@ def events_rolling_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W13: active-user growth curve (DAU / rolling WAU / new / cumulative)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_dau_growth",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    fs AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id),
+    nu AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+           FROM fs GROUP BY first_day),
+    ex AS (
+      SELECT user_id,
+             unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY))::DATE AS tday
+      FROM ud
+    ),
+    wau AS (
+      SELECT tday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_7d
+      FROM ex GROUP BY tday
+    )
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+           dau.dau,
+           wau.wau_7d,
+           COALESCE(nu.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(nu.new_users, 0))
+                OVER (ORDER BY dau.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM dau
+    JOIN wau ON dau.day = wau.day
+    LEFT JOIN nu ON dau.day = nu.day
+    ORDER BY dau.day
+    """,
+)
+def events_dau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 active-user growth curve: per day, DAU (distinct active
+    users), rolling 7-day WAU, newly-seen users, and the cumulative
+    unique-user count — the product-analytics quartet behind every
+    growth dashboard, here in the exact distributed form: ROLLING
+    DISTINCT does not decompose as a windowed aggregate, so WAU
+    expands each (user, day) activity fact onto the 7 days it keeps
+    the user 'weekly active' (a bounded x7 linear map, the standard
+    scale-out trick) and counts distinct per target day; the
+    cumulative curve avoids expanding anything by summing first-seen
+    counts.
+
+    Determinism: counts of exact (user, day) facts; the only window
+    is the cumulative sum over the calendar-bounded day table.
+
+    Plan shape: one (user, day) distinct (the corpus-scale shuffle),
+    then day- and user-keyed aggregates; the x7 expansion is map-side
+    before its day-keyed distinct agg.  Nothing beyond the first
+    distinct scales with raw event count."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    fs = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    nu = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    ex = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 6),
+                F.expr("interval 1 day"),
+            )
+        ).alias("tday"),
+    )
+    wau = ex.groupBy(F.col("tday").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau_7d")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(wau, "day")
+        .join(nu, "day", "left")
+        .select(
+            "day",
+            "dau",
+            "wau_7d",
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+        )
+        .withColumn(
+            "cum_users", F.sum("new_users").over(wc).cast("long")
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau_7d",
+            "new_users",
+            "cum_users",
+        )
+        .orderBy("day")
+    )

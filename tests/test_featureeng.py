@@ -1196,3 +1196,37 @@ def test_chi_square_matches_python_recompute(spark):
     assert (got.n_cells, got.dof, got.chi2_micro) == (len(obs), len(row) - 1, chi2)
     assert got.significant_5pct == (chi2 >= 9487729)
     assert got.chi2_micro >= 0
+
+
+# ---------------------------------------------------------------------------
+# W13 DAU growth
+# ---------------------------------------------------------------------------
+
+def test_dau_growth_matches_python_recompute(spark):
+    import datetime
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    ud = {(r.user_id, r.ts.date()) for r in ev}
+    days = sorted({d for _, d in ud})
+    dau = Counter(d for _, d in ud)
+    first = {}
+    for u, d in sorted(ud, key=lambda t: t[1]):
+        first.setdefault(u, d)
+    nu = Counter(first.values())
+    wau = {
+        d: len({u for u, ad in ud if d - datetime.timedelta(days=6) <= ad <= d})
+        for d in days
+    }
+    cum = 0
+    expected = []
+    for d in days:
+        cum += nu[d]
+        expected.append((d.isoformat(), dau[d], wau[d], nu[d], cum))
+    got = QUERIES["events_dau_growth"](spark, SF_DIR).collect()
+    assert [
+        (r.day, r.dau, r.wau_7d, r.new_users, r.cum_users) for r in got
+    ] == expected
+    # identities: WAU >= DAU always; the cumulative curve ends at the
+    # total distinct user count
+    assert all(r.wau_7d >= r.dau for r in got)
+    assert got[-1].cum_users == len(first)

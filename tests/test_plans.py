@@ -1027,3 +1027,11 @@ def test_chi_square_contingency_collapse(spark):
     df = QUERIES["events_chi_square"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_dau_growth_distinct_then_bounded(spark):
+    """One (user, day) distinct is the only corpus-scale shuffle; the
+    x7 WAU expansion is map-side before its day-keyed agg; the only
+    window is the calendar-bounded cumulative sum."""
+    df = QUERIES["events_dau_growth"](spark, SF_DIR)
+    assert all(len(c) <= 2 for c in scan_columns(df))
