@@ -175,6 +175,7 @@ HEADLINE = [
     "events_mann_whitney",
     "events_chi_square",
     "events_dau_growth",
+    "orders_cohort_ltv",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -670,6 +670,7 @@ _CHECK_ORDER = [
     "events_mann_whitney",
     "events_chi_square",
     "events_dau_growth",
+    "orders_cohort_ltv",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

@@ -2634,3 +2634,95 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A42: cohort LTV curve (cumulative revenue per acquisition cohort)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_cohort_ltv",
+    """
+    WITH fo AS (
+      SELECT o_custkey,
+             MIN(CAST(strftime(o_orderdate, '%Y') AS BIGINT)) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT fo.cohort_year,
+             CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) - fo.cohort_year AS age,
+             o.o_custkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+    ),
+    cs AS (SELECT cohort_year, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fo
+           GROUP BY cohort_year),
+    a AS (
+      SELECT cohort_year, age,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers
+      FROM r GROUP BY cohort_year, age
+    )
+    SELECT a.cohort_year, a.age, cs.cohort_size, a.active_customers,
+           a.rev_cents,
+           CAST(SUM(a.rev_cents) OVER (PARTITION BY a.cohort_year ORDER BY a.age
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rev_cents,
+           CAST(SUM(a.rev_cents) OVER (PARTITION BY a.cohort_year ORDER BY a.age
+                                       ROWS UNBOUNDED PRECEDING)
+                * 100 // cs.cohort_size AS BIGINT) AS ltv_per_customer_centicents
+    FROM a JOIN cs ON a.cohort_year = cs.cohort_year
+    ORDER BY a.cohort_year, a.age
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A42 cohort lifetime-value curve: customers grouped by
+    acquisition year (first order), revenue accumulated by cohort age
+    — the curve that answers 'how much is a year-N customer worth by
+    year N+k', the forward-looking twin of W9's cohort RETENTION
+    (retention counts who comes back; LTV counts what they spend).
+    ltv_per_customer divides by the FULL cohort size, not just active
+    customers — the standard convention so churn shows up as curve
+    flattening.
+
+    Determinism: exact cents, integer year arithmetic, cumulative
+    window partitioned by cohort over the year-bounded age axis, and
+    the per-customer LTV is integer centi-cents floor division.
+
+    Plan shape: one custkey agg (first year), a broadcast-scale join
+    back, one (cohort, age) agg with a distinct-customer count, and
+    windows over the years x years bounded curve table."""
+    o = _t(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate").cast("long")).alias("cohort_year")
+    )
+    r = o.join(fo, "o_custkey").select(
+        "cohort_year",
+        (F.year("o_orderdate").cast("long") - F.col("cohort_year")).alias("age"),
+        "o_custkey",
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+    cs = fo.groupBy("cohort_year").agg(F.count("*").cast("long").alias("cohort_size"))
+    a = r.groupBy("cohort_year", "age").agg(
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.countDistinct("o_custkey").cast("long").alias("active_customers"),
+    )
+    wc = Window.partitionBy("cohort_year").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        a.join(F.broadcast(cs), "cohort_year")
+        .select(
+            "cohort_year",
+            "age",
+            "cohort_size",
+            "active_customers",
+            "rev_cents",
+            F.sum("rev_cents").over(wc).cast("long").alias("cum_rev_cents"),
+        )
+        .withColumn(
+            "ltv_per_customer_centicents",
+            F.expr("CAST(cum_rev_cents * 100 div cohort_size AS BIGINT)"),
+        )
+        .orderBy("cohort_year", "age")
+    )

@@ -1230,3 +1230,56 @@ def test_dau_growth_matches_python_recompute(spark):
     # total distinct user count
     assert all(r.wau_7d >= r.dau for r in got)
     assert got[-1].cum_users == len(first)
+
+
+# ---------------------------------------------------------------------------
+# A42 cohort LTV
+# ---------------------------------------------------------------------------
+
+def test_cohort_ltv_matches_python_recompute(spark):
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    first = {}
+    for r in orders:
+        y = r.o_orderdate.year
+        if r.o_custkey not in first or y < first[r.o_custkey]:
+            first[r.o_custkey] = y
+    size = Counter(first.values())
+    agg = defaultdict(lambda: [0, set()])
+    for r in orders:
+        cy = first[r.o_custkey]
+        age = r.o_orderdate.year - cy
+        a = agg[(cy, age)]
+        a[0] += _rnd(r.o_totalprice * 100)
+        a[1].add(r.o_custkey)
+    expected = []
+    for cy in sorted({k[0] for k in agg}):
+        cum = 0
+        for age in sorted(k[1] for k in agg if k[0] == cy):
+            rev, users = agg[(cy, age)]
+            cum += rev
+            expected.append(
+                (cy, age, size[cy], len(users), rev, cum, cum * 100 // size[cy])
+            )
+    got = QUERIES["orders_cohort_ltv"](spark, SF_DIR).collect()
+    assert [
+        (
+            r.cohort_year,
+            r.age,
+            r.cohort_size,
+            r.active_customers,
+            r.rev_cents,
+            r.cum_rev_cents,
+            r.ltv_per_customer_centicents,
+        )
+        for r in got
+    ] == expected
+    # LTV curves are monotone nondecreasing within a cohort
+    by_cohort = defaultdict(list)
+    for r in got:
+        by_cohort[r.cohort_year].append(r.cum_rev_cents)
+    for curve in by_cohort.values():
+        assert curve == sorted(curve)

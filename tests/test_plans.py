@@ -1035,3 +1035,11 @@ def test_dau_growth_distinct_then_bounded(spark):
     window is the calendar-bounded cumulative sum."""
     df = QUERIES["events_dau_growth"](spark, SF_DIR)
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_cohort_ltv_windows_over_curve_table(spark):
+    """One custkey agg + join back + one (cohort, age) agg; the
+    cumulative window runs over the years x years curve table."""
+    df = QUERIES["orders_cohort_ltv"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 3 for c in scan_columns(df))
