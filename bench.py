@@ -176,6 +176,7 @@ HEADLINE = [
     "events_chi_square",
     "events_dau_growth",
     "orders_cohort_ltv",
+    "events_audience_overlap",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

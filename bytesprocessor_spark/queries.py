@@ -671,6 +671,7 @@ _CHECK_ORDER = [
     "events_chi_square",
     "events_dau_growth",
     "orders_cohort_ltv",
+    "events_audience_overlap",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

@@ -1155,3 +1155,73 @@ def events_dau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# W14: audience-overlap matrix (pairwise Jaccard of user sets)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_audience_overlap",
+    """
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut
+           GROUP BY event_type),
+    i AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           CAST(i.n_both * 1000000 // (sa.n + sb.n - i.n_both) AS BIGINT)
+             AS jaccard_ppm
+    FROM i JOIN sz sa ON i.type_a = sa.event_type
+           JOIN sz sb ON i.type_b = sb.event_type
+    ORDER BY i.type_a, i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 audience-overlap matrix: exact Jaccard similarity between
+    every pair of event types' USER SETS — which behaviors share an
+    audience (the segmentation readout behind cross-sell targeting and
+    funnel design; in a training-data pipeline the same operator
+    measures user-population overlap between data sources).  The
+    exact-count sibling of A36's sketch estimate: at K event types
+    this is K(K-1)/2 cells and exact counting is cheap; A36 is the
+    path when the 'types' are thousands of sources.
+
+    Determinism: distinct-count integers and one ppm floor division.
+
+    Plan shape: one (type, user) distinct (the corpus-scale shuffle),
+    a self-join keyed on user_id (each user contributes its <=K type
+    pairs — bounded fan-out, not a cartesian), a K^2-bounded pair agg,
+    and K-row size lookups."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    sz = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("uid_b"))
+    i = (
+        a.join(b, (F.col("user_id") == F.col("uid_b")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        i.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("CAST(n_both * 1000000 div (n_a + n_b - n_both) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1283,3 +1283,30 @@ def test_cohort_ltv_matches_python_recompute(spark):
         by_cohort[r.cohort_year].append(r.cum_rev_cents)
     for curve in by_cohort.values():
         assert curve == sorted(curve)
+
+
+# ---------------------------------------------------------------------------
+# W14 audience overlap
+# ---------------------------------------------------------------------------
+
+def test_audience_overlap_matches_python_recompute(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id").collect()
+    sets = defaultdict(set)
+    for r in ev:
+        sets[r.event_type].add(r.user_id)
+    types = sorted(sets)
+    expected = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            both = len(sets[ta] & sets[tb])
+            if both == 0:
+                continue
+            na, nb = len(sets[ta]), len(sets[tb])
+            expected.append((ta, tb, na, nb, both, both * 1000000 // (na + nb - both)))
+    got = QUERIES["events_audience_overlap"](spark, SF_DIR).collect()
+    assert [
+        (r.type_a, r.type_b, r.n_a, r.n_b, r.n_both, r.jaccard_ppm) for r in got
+    ] == expected
+    # Jaccard is a [0, 1e6] similarity and symmetric keys are
+    # canonicalized to the upper triangle
+    assert all(0 <= r.jaccard_ppm <= 1000000 and r.type_a < r.type_b for r in got)

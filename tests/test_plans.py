@@ -1043,3 +1043,13 @@ def test_cohort_ltv_windows_over_curve_table(spark):
     df = QUERIES["orders_cohort_ltv"](spark, SF_DIR)
     assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
     assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_audience_overlap_user_keyed_self_join(spark):
+    """The self-join keys on user_id (bounded <=K fan-out per user,
+    not a cartesian); sizes broadcast back onto the K^2 pair table."""
+    df = QUERIES["events_audience_overlap"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
