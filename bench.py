@@ -177,6 +177,7 @@ HEADLINE = [
     "events_dau_growth",
     "orders_cohort_ltv",
     "events_audience_overlap",
+    "events_power_analysis",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -672,6 +672,7 @@ _CHECK_ORDER = [
     "events_dau_growth",
     "orders_cohort_ltv",
     "events_audience_overlap",
+    "events_power_analysis",
     "stream_dedup",
     "agg_heavy_hitters",
     "q2_min_cost_supplier",

@@ -2653,3 +2653,86 @@ def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("contrib_micro").cast("long").alias("chi2_micro"),
         (F.sum("contrib_micro").cast("long") >= 9487729).alias("significant_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A43: A/B power analysis (minimum detectable effect)
+# ---------------------------------------------------------------------------
+
+# z_{alpha/2} at 5% two-sided and z_beta at 80% power
+_POWER_ZA = "1.959964"
+_POWER_ZB = "0.841621"
+
+
+@query(
+    "events_power_analysis",
+    f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(s1 * 100 // n AS BIGINT) AS mean_centicents,
+           CAST(ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                AS BIGINT) AS var_cents2,
+           CAST(ROUND(({_POWER_ZA} + {_POWER_ZB})
+                      * SQRT(2.0
+                             * ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                             / (CAST(n AS DOUBLE) / 2.0))
+                      * 1000) AS BIGINT) AS mde_millicents,
+           CAST(ROUND(({_POWER_ZA} + {_POWER_ZB})
+                      * SQRT(2.0
+                             * ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                             / (CAST(n AS DOUBLE) / 2.0))
+                      / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1000000) AS BIGINT) AS mde_relative_ppm
+    FROM m ORDER BY event_type
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43 experiment power analysis: the minimum detectable effect on
+    mean value per event type if the OBSERVED population were split
+    into two equal arms — MDE = (z_a/2 + z_b) * sqrt(2 sigma^2 / (n/2))
+    at 5% two-sided / 80% power.  The DESIGN-side member of the
+    experimentation toolkit (A18 Welch runs the test, A38 SPRT runs it
+    sequentially, A30 CUPED shrinks sigma; this row says whether the
+    experiment is worth running at all — an MDE of 40% of the mean
+    means the planned test cannot see a 5% lift).
+
+    Determinism: n/s1/s2 are exact int64 moments; the variance and
+    MDE are ONE pinned double tree over those moments (Bessel form
+    n*s2 - s1^2 over n(n-1) — the A16/Gini idiom), milli-cent and ppm
+    quantized; the z constants are shared literals.
+
+    Plan shape: one partial agg to K rows; everything else is K-row
+    arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    v = cents(F.col("value"))
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s1"),
+        F.sum(v * v).cast("long").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var = (nd * s2d - s1d * s1d) / (nd * (nd - 1.0))
+    zsum = float(_POWER_ZA) + float(_POWER_ZB)
+    mde = zsum * F.sqrt(2.0 * var / (nd / 2.0))
+    return m.select(
+        "event_type",
+        "n",
+        F.expr("CAST(s1 * 100 div n AS BIGINT)").alias("mean_centicents"),
+        F.round(var).cast("long").alias("var_cents2"),
+        F.round(mde * 1000).cast("long").alias("mde_millicents"),
+        F.round(mde / (s1d / nd) * 1000000).cast("long").alias("mde_relative_ppm"),
+    ).orderBy("event_type")

@@ -1310,3 +1310,29 @@ def test_audience_overlap_matches_python_recompute(spark):
     # Jaccard is a [0, 1e6] similarity and symmetric keys are
     # canonicalized to the upper triangle
     assert all(0 <= r.jaccard_ppm <= 1000000 and r.type_a < r.type_b for r in got)
+
+
+# ---------------------------------------------------------------------------
+# A43 power analysis
+# ---------------------------------------------------------------------------
+
+def test_power_analysis_matches_python_recompute(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(_rnd(r.value * 100))
+    got = QUERIES["events_power_analysis"](spark, SF_DIR).collect()
+    for r in got:
+        vs = groups[r.event_type]
+        n, s1 = len(vs), sum(vs)
+        s2 = sum(v * v for v in vs)
+        var = (n * s2 - s1 * s1) / (n * (n - 1.0))
+        mde = (1.959964 + 0.841621) * math.sqrt(2.0 * var / (n / 2.0))
+        assert (r.n, r.mean_centicents) == (n, s1 * 100 // n)
+        assert r.var_cents2 == _rnd(var)
+        assert r.mde_millicents == _rnd(mde * 1000)
+        assert r.mde_relative_ppm == _rnd(mde / (s1 / n) * 1000000)
+        # sanity: the MDE shrinks as 1/sqrt(n) — it must be well under
+        # the mean at fixture sizes
+        assert 0 < r.mde_relative_ppm < 1000000
+    assert {r.event_type for r in got} == set(groups)

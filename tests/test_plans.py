@@ -1053,3 +1053,10 @@ def test_audience_overlap_user_keyed_self_join(spark):
     plan = executed_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_power_analysis_single_moment_pass(spark):
+    """One partial agg to K moment rows; K-row arithmetic after."""
+    df = QUERIES["events_power_analysis"](spark, SF_DIR)
+    assert shuffle_count(df) <= 2
+    assert all(len(c) <= 2 for c in scan_columns(df))
