@@ -178,6 +178,10 @@ HEADLINE = [
     "orders_cohort_ltv",
     "events_audience_overlap",
     "events_power_analysis",
+    "privacy_t_closeness",
+    "events_did",
+    "graph_adamic_adar",
+    "corpus_temperature_sample",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

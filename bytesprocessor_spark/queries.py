@@ -604,6 +604,13 @@ _CHECK_ORDER = [
     "stream_quality_gate",
     "events_seasonality",
     "text_stats",
+    # round-5 second-wave batch: privacy trio completion, causal DiD,
+    # link prediction, multilingual temperature sampling — new code
+    # takes window priority (ADVICE r4)
+    "privacy_t_closeness",
+    "events_did",
+    "graph_adamic_adar",
+    "corpus_temperature_sample",
     # round-5 new rows: generic pigeonhole Hamming join (aHash
     # geometry) + the training-pipeline batch (incremental near-dup
     # admission, intra-class outlier scrub, hard-negative mining,

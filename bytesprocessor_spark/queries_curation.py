@@ -2035,6 +2035,124 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q14: t-closeness audit (companion to Q9 k-anonymity / Q10 l-diversity)
+# ---------------------------------------------------------------------------
+
+@query(
+    "privacy_t_closeness",
+    """
+    WITH cell AS (
+      SELECT c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT c_nationkey, bal_band, CAST(SUM(c) AS BIGINT) AS k
+      FROM cell GROUP BY 1, 2
+    ),
+    gd AS (
+      SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS g FROM cell GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cell),
+    tvd AS (
+      SELECT cell.c_nationkey, cell.bal_band, MAX(grp.k) AS k,
+             CAST(SUM(GREATEST(cell.c * 1000000 // grp.k
+                               - gd.g * 1000000 // tot.total, 0))
+                  AS BIGINT) AS tvd_ppm
+      FROM cell
+      JOIN grp ON cell.c_nationkey = grp.c_nationkey
+              AND cell.bal_band = grp.bal_band
+      JOIN gd ON cell.c_mktsegment = gd.c_mktsegment
+      CROSS JOIN tot
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN tvd_ppm <= 100000 THEN 't<=0.10'
+                WHEN tvd_ppm <= 200000 THEN '0.10<t<=0.20'
+                ELSE 't>0.20' END AS t_bucket,
+           COUNT(*) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(tvd_ppm) AS BIGINT) AS min_tvd_ppm,
+           CAST(MAX(tvd_ppm) AS BIGINT) AS max_tvd_ppm
+    FROM tvd GROUP BY 1 ORDER BY 1
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 t-closeness audit (Li et al. ICDE'07), completing the
+    Q9/Q10 privacy trio: a group can be k-anonymous AND l-diverse yet
+    still leak — when its sensitive-value DISTRIBUTION differs sharply
+    from the table's, membership alone shifts an attacker's prior
+    (skewness attack).  Per quasi-identifier group (nation, $1000
+    balance band) this measures the total-variation distance between
+    the group's market-segment distribution and the global one, then
+    buckets groups by the released-data thresholds a review applies
+    (t<=0.10 releasable, 0.10-0.20 review, >0.20 suppress).
+
+    Determinism: TVD is computed in its positive-part form
+    sum_s max(p_g(s) - p(s), 0) over SEGMENTS PRESENT in the group —
+    absent segments have p_g = 0 and contribute nothing — so the whole
+    metric is exact floor-division ppm integer arithmetic; no double
+    ever forms.
+
+    Plan shape: one (QI, sensitive) hash aggregate absorbs the scan;
+    group totals and the 5-row global distribution derive from it
+    (grp re-aggregates the cell table, never the base table); the
+    global side and the 1-row total broadcast back; final agg is
+    3 rows.  Everything after the first aggregate is bounded by the
+    group count, not the row count."""
+    c = _t(spark, sf_dir, "customer")
+    cell = (
+        c.select(
+            "c_nationkey",
+            F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) div 100000").alias(
+                "bal_band"
+            ),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band", "c_mktsegment")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    grp = cell.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("c").cast("long").alias("k")
+    )
+    glob = cell.groupBy("c_mktsegment").agg(F.sum("c").cast("long").alias("g"))
+    tot = cell.agg(F.sum("c").cast("long").alias("total"))
+    tvd = (
+        cell.join(grp, ["c_nationkey", "bal_band"])
+        .join(F.broadcast(glob), "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.max("k").alias("k"),
+            F.sum(
+                F.greatest(
+                    F.expr("c * 1000000 div k - g * 1000000 div total"),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("tvd_ppm"),
+        )
+    )
+    bucket = (
+        F.when(F.col("tvd_ppm") <= 100000, "t<=0.10")
+        .when(F.col("tvd_ppm") <= 200000, "0.10<t<=0.20")
+        .otherwise("t>0.20")
+    )
+    return (
+        tvd.groupBy(bucket.alias("t_bucket"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("tvd_ppm").cast("long").alias("min_tvd_ppm"),
+            F.max("tvd_ppm").cast("long").alias("max_tvd_ppm"),
+        )
+        .orderBy("t_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q12: metronomic-user (bot) screen over inter-event gaps
 # ---------------------------------------------------------------------------
 

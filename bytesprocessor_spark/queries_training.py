@@ -1194,3 +1194,96 @@ def corpus_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# L15: temperature-scaled language sampling (multilingual balancing)
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = "0.3"
+
+
+@query(
+    "corpus_temperature_sample",
+    f"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n_docs, n_chars,
+             CAST(ROUND(EXP({_TEMP_ALPHA} * LN(CAST(n_chars AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS w_q
+      FROM c
+    ),
+    z AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total,
+                 CAST(SUM(w_q) AS BIGINT) AS zw FROM s)
+    SELECT lang, n_docs, n_chars,
+           CAST(n_chars * 1000000 // z.total AS BIGINT) AS raw_ppm,
+           CAST(w_q * 1000000 // z.zw AS BIGINT) AS sampled_ppm,
+           CAST((w_q * 1000000 // z.zw) * 10000
+                // GREATEST(n_chars * 1000000 // z.total, 1) AS BIGINT)
+             AS boost_bp
+    FROM s CROSS JOIN z
+    ORDER BY lang
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15 temperature-scaled language sampling (the multilingual
+    balancing rule of mBERT/XLM-R/mT5, arXiv:1911.02116 sec 3.1):
+    sample language i with probability proportional to its corpus
+    share raised to alpha = {_TEMP_ALPHA} — high-resource languages
+    are down-sampled, low-resource up-sampled, so the tail is seen
+    enough to learn while the head still dominates in proportion to
+    its real volume.  L14 applies the same power-law flattening to
+    word2vec negatives per TOKEN; L13 (DoReMi) reweights by measured
+    loss; this is the volume-only rule used when no proxy-model loss
+    exists.  boost_bp reads the per-language effect (<10000 =
+    down-sampled head, >10000 = up-sampled tail); the share basis is
+    characters (byte-budget proxy), n_docs is carried for the reader.
+
+    Determinism: share^alpha is the pinned EXP(alpha*LN(n)) double
+    tree over an exact int64 character count, micro-quantized per
+    language BEFORE the normalizing sum (the L13/L14 idiom) — both
+    output shares are exact integer division.
+
+    Plan shape: one map-side-combined aggregate to K language rows;
+    the power law is a map expression on that K-row table; one 1-row
+    totals broadcast.  At 100 TB this is a metadata query: one
+    partial-agg shuffle of K x 2 longs."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    s = c.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.exp(float(_TEMP_ALPHA) * F.log(F.col("n_chars").cast("double")))
+            * 1000000
+        )
+        .cast("long")
+        .alias("w_q"),
+    )
+    z = s.agg(
+        F.sum("n_chars").cast("long").alias("total"),
+        F.sum("w_q").cast("long").alias("zw"),
+    )
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            F.expr("CAST(n_chars * 1000000 div total AS BIGINT)").alias("raw_ppm"),
+            F.expr("CAST(w_q * 1000000 div zw AS BIGINT)").alias("sampled_ppm"),
+            F.expr(
+                "CAST((w_q * 1000000 div zw) * 10000"
+                " div GREATEST(n_chars * 1000000 div total, 1) AS BIGINT)"
+            ).alias("boost_bp"),
+        )
+        .orderBy("lang")
+    )

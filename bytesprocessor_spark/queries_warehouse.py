@@ -2726,3 +2726,304 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "age")
     )
+
+
+# ---------------------------------------------------------------------------
+# A44: difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_did",
+    f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN grp = 1 AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+             CAST(SUM(CASE WHEN grp = 1 AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_tq,
+             CAST(SUM(CASE WHEN grp = 0 AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+             CAST(SUM(CASE WHEN grp = 0 AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_cq,
+             CAST(SUM(CASE WHEN grp = 1 AND post THEN c ELSE 0 END) AS BIGINT) AS s_tp,
+             CAST(SUM(CASE WHEN grp = 1 AND NOT post THEN c ELSE 0 END) AS BIGINT) AS s_tq,
+             CAST(SUM(CASE WHEN grp = 0 AND post THEN c ELSE 0 END) AS BIGINT) AS s_cp,
+             CAST(SUM(CASE WHEN grp = 0 AND NOT post THEN c ELSE 0 END) AS BIGINT) AS s_cq,
+             CAST(SUM(CASE WHEN grp = 1 AND post THEN c * c ELSE 0 END) AS BIGINT) AS q_tp,
+             CAST(SUM(CASE WHEN grp = 1 AND NOT post THEN c * c ELSE 0 END) AS BIGINT) AS q_tq,
+             CAST(SUM(CASE WHEN grp = 0 AND post THEN c * c ELSE 0 END) AS BIGINT) AS q_cp,
+             CAST(SUM(CASE WHEN grp = 0 AND NOT post THEN c * c ELSE 0 END) AS BIGINT) AS q_cq
+      FROM (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS grp,
+               ts >= TIMESTAMP '{{split}}' AS post,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+      ) GROUP BY event_type
+    )
+    SELECT event_type, n_tp AS n_treat_post, n_tq AS n_treat_pre,
+           n_cp AS n_ctrl_post, n_cq AS n_ctrl_pre,
+           CAST(ROUND(((CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+                        - CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE))
+                       - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+                          - CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE))) * 1000)
+                AS BIGINT) AS did_millicents,
+           CAST(ROUND(SQRT(
+               ((CAST(n_tp AS DOUBLE) * CAST(q_tp AS DOUBLE) - CAST(s_tp AS DOUBLE) * CAST(s_tp AS DOUBLE))
+                / (CAST(n_tp AS DOUBLE) * (CAST(n_tp AS DOUBLE) - 1.0))) / CAST(n_tp AS DOUBLE)
+             + ((CAST(n_tq AS DOUBLE) * CAST(q_tq AS DOUBLE) - CAST(s_tq AS DOUBLE) * CAST(s_tq AS DOUBLE))
+                / (CAST(n_tq AS DOUBLE) * (CAST(n_tq AS DOUBLE) - 1.0))) / CAST(n_tq AS DOUBLE)
+             + ((CAST(n_cp AS DOUBLE) * CAST(q_cp AS DOUBLE) - CAST(s_cp AS DOUBLE) * CAST(s_cp AS DOUBLE))
+                / (CAST(n_cp AS DOUBLE) * (CAST(n_cp AS DOUBLE) - 1.0))) / CAST(n_cp AS DOUBLE)
+             + ((CAST(n_cq AS DOUBLE) * CAST(q_cq AS DOUBLE) - CAST(s_cq AS DOUBLE) * CAST(s_cq AS DOUBLE))
+                / (CAST(n_cq AS DOUBLE) * (CAST(n_cq AS DOUBLE) - 1.0))) / CAST(n_cq AS DOUBLE)
+           ) * 1000) AS BIGINT) AS se_millicents
+    FROM m ORDER BY event_type
+    """.replace("{split}", _CUPED_SPLIT),
+)
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44 difference-in-differences: the quasi-experimental estimator
+    for when randomization is impossible — compare the treated arm's
+    pre-to-post change against the control arm's, so any shared time
+    trend (seasonality, platform drift) cancels and what remains is
+    the treatment effect under the parallel-trends assumption.
+    Completes the causal toolkit: A18 Welch reads a randomized test,
+    A30 CUPED shrinks its variance, A38 SPRT sequences it, A43 sizes
+    it — this row covers the launch that SHIPPED to everyone at a
+    known date (the A30 split reused as the event date, its hash
+    assignment reused as the cohort).
+
+    Determinism: the 2x2 cell moments (n, sum-cents, sum-cents^2) are
+    exact int64 conditional aggregates in ONE pass; the DiD estimate
+    and its standard error (per-cell Bessel variance over n, summed,
+    rooted) are a FIXED IEEE-double tree over those integers,
+    milli-cent quantized.  Sum-of-squares stays inside int64 to
+    ~1e15 cent-events (documented bound, the Gram-matrix policy).
+
+    Plan shape: one map-side-combined hash aggregate on event_type
+    (grp/post/cents are scan-time expressions — no join, no window);
+    the double tree runs on K rows.  At 100 TB: one partial-agg
+    shuffle of K x 12 longs, full stop."""
+    ev = _t(spark, sf_dir, "events")
+    split_ts = F.lit(_CUPED_SPLIT).cast("timestamp")
+    base = ev.select(
+        "event_type",
+        (_h60_local(F.col("user_id").cast("string")) % 2).alias("grp"),
+        (F.col("ts") >= split_ts).alias("post"),
+        cents(F.col("value")).alias("c"),
+    )
+
+    def _cell(g: int, p: bool, col, zero=0):
+        cond = (F.col("grp") == g) & (F.col("post") if p else ~F.col("post"))
+        return F.sum(F.when(cond, col).otherwise(F.lit(zero))).cast("long")
+
+    cc = F.col("c")
+    m = base.groupBy("event_type").agg(
+        _cell(1, True, F.lit(1)).alias("n_tp"),
+        _cell(1, False, F.lit(1)).alias("n_tq"),
+        _cell(0, True, F.lit(1)).alias("n_cp"),
+        _cell(0, False, F.lit(1)).alias("n_cq"),
+        _cell(1, True, cc).alias("s_tp"),
+        _cell(1, False, cc).alias("s_tq"),
+        _cell(0, True, cc).alias("s_cp"),
+        _cell(0, False, cc).alias("s_cq"),
+        _cell(1, True, cc * cc).alias("q_tp"),
+        _cell(1, False, cc * cc).alias("q_tq"),
+        _cell(0, True, cc * cc).alias("q_cp"),
+        _cell(0, False, cc * cc).alias("q_cq"),
+    )
+
+    def _d(name: str):
+        return F.col(name).cast("double")
+
+    def _mean(s: str, n: str):
+        return _d(s) / _d(n)
+
+    def _vn(n: str, s: str, q: str):
+        # Bessel cell variance over its n: ((n*q - s*s) / (n*(n-1))) / n
+        return ((_d(n) * _d(q) - _d(s) * _d(s)) / (_d(n) * (_d(n) - 1.0))) / _d(n)
+
+    did = (_mean("s_tp", "n_tp") - _mean("s_tq", "n_tq")) - (
+        _mean("s_cp", "n_cp") - _mean("s_cq", "n_cq")
+    )
+    se = F.sqrt(
+        _vn("n_tp", "s_tp", "q_tp")
+        + _vn("n_tq", "s_tq", "q_tq")
+        + _vn("n_cp", "s_cp", "q_cp")
+        + _vn("n_cq", "s_cq", "q_cq")
+    )
+    return m.select(
+        "event_type",
+        F.col("n_tp").alias("n_treat_post"),
+        F.col("n_tq").alias("n_treat_pre"),
+        F.col("n_cp").alias("n_ctrl_post"),
+        F.col("n_cq").alias("n_ctrl_pre"),
+        F.round(did * 1000).cast("long").alias("did_millicents"),
+        F.round(se * 1000).cast("long").alias("se_millicents"),
+    ).orderBy("event_type")
+
+# ---------------------------------------------------------------------------
+# GR6: Adamic-Adar link prediction on the supplier co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 20
+
+
+@query(
+    "graph_adamic_adar",
+    f"""
+    WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    pairs AS (
+      SELECT a.s AS a, b.s AS b
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+    ),
+    pw AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2
+    ),
+    hist AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM pw GROUP BY w),
+    cum AS (
+      SELECT w,
+             SUM(c) OVER (ORDER BY w DESC) AS n_ge,
+             SUM(c) OVER () AS n
+      FROM hist
+    ),
+    thr AS (
+      SELECT COALESCE(MIN(CASE WHEN n_ge <= GREATEST(n // 10, 1)
+                                THEN w END),
+                      MAX(w)) AS t
+      FROM cum
+    ),
+    e AS (SELECT a, b FROM pw CROSS JOIN thr WHERE pw.w >= thr.t),
+    n AS (SELECT a AS z, b AS v FROM e UNION ALL SELECT b AS z, a AS v FROM e),
+    degw AS (
+      SELECT z, CAST(ROUND(1000000.0 / LN(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+               AS w_micro
+      FROM n GROUP BY z HAVING COUNT(*) >= 2
+    ),
+    wedge AS (
+      SELECT n1.v AS a, n2.v AS b, MAX(degw.w_micro) AS w_micro, n1.z AS z
+      FROM n n1
+      JOIN n n2 ON n1.z = n2.z AND n1.v < n2.v
+      JOIN degw ON degw.z = n1.z
+      GROUP BY n1.v, n2.v, n1.z
+    ),
+    aa AS (
+      SELECT w.a, w.b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(w.w_micro) AS BIGINT) AS aa_micro
+      FROM wedge w
+      LEFT JOIN e ON e.a = w.a AND e.b = w.b
+      WHERE e.a IS NULL
+      GROUP BY w.a, w.b
+    )
+    SELECT a AS supp_a, b AS supp_b, n_common, aa_micro
+    FROM aa ORDER BY aa_micro DESC, a, b LIMIT {_AA_TOPK}
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR6 Adamic-Adar link prediction: score every NON-adjacent
+    supplier pair by sum over common neighbours z of 1/ln(deg(z)) —
+    a shared rare partner is strong evidence the pair belongs
+    together, a shared hub is weak (Adamic & Adar 2003) — and return
+    the top-{topk} predicted edges of the supplier co-occurrence
+    graph.  The candidate-generation primitive behind "suppliers you
+    should also source from" and blocking for entity linkage.
+
+    Edge support is SCALE-ADAPTIVE: an edge is a top-decile
+    co-occurrence pair — the threshold is read off an integer weight
+    histogram (distinct co-order counts, a few dozen rows at any
+    scale), picking the smallest weight whose >=-weight pair count
+    fits in N//10 (falls back to the max weight when the top class
+    alone exceeds a decile).  A fixed absolute support either empties
+    the graph when volume grows 10x or goes complete when it shrinks
+    10x; a decile rule survives both.
+
+    Determinism: the threshold is exact integer logic over exact
+    counts; each neighbour's contribution 1/ln(deg) is micro-quantized
+    to int64 BEFORE any reduction (deg is an exact integer, so the
+    per-node double tree is fixed); the pair score is an exact integer
+    SUM; ties break on (a, b).
+
+    Plan shape: singleton pairs drop BEFORE the histogram (the GR3
+    prune-before-join discipline); the decile threshold costs one
+    aggregate over the pair table plus a window over the ~40-row
+    histogram (the single-partition window is histogram-sized, never
+    data-sized); wedges are one self-equi-join of the neighbour table
+    on the centre node — fan-out bounded by the pruned degree, never a
+    cross join (at scale, orient by degree to cap hub fan-out, the
+    GR3 note); existing edges drop via one anti join; the final agg
+    keys on the candidate pair; TakeOrdered keeps the top-k without a
+    total sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a_, b_ = os_.alias("a"), os_.alias("b")
+    pairs = a_.join(
+        b_, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))
+    ).select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
+    pw = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    hist = pw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_desc = Window.orderBy(F.desc("w")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "w",
+        F.sum("c").over(w_desc).alias("n_ge"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    thr = cum.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("n_ge") <= F.greatest(F.expr("n div 10"), F.lit(1)),
+                    F.col("w"),
+                )
+            ),
+            F.max("w"),
+        ).alias("t")
+    )
+    e = pw.crossJoin(F.broadcast(thr)).where(F.col("w") >= F.col("t")).select(
+        "a", "b"
+    )
+    n = e.select(F.col("a").alias("z"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    )
+    degw = (
+        n.groupBy("z")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") >= 2)
+        .select(
+            "z",
+            F.round(1000000.0 / F.log(F.col("d").cast("double")))
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    n1 = n.select(F.col("z").alias("zc"), F.col("v").alias("va"))
+    n2 = n.select(F.col("z").alias("z2"), F.col("v").alias("vb"))
+    wedge = (
+        n1.join(n2, (F.col("zc") == F.col("z2")) & (F.col("va") < F.col("vb")))
+        .join(degw, F.col("zc") == degw["z"])
+        .groupBy(F.col("va").alias("a"), F.col("vb").alias("b"), F.col("zc"))
+        .agg(F.max("w_micro").alias("w_micro"))
+    )
+    aa = (
+        wedge.join(e, ["a", "b"], "left_anti")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w_micro").cast("long").alias("aa_micro"),
+        )
+    )
+    return (
+        aa.select(
+            F.col("a").alias("supp_a"),
+            F.col("b").alias("supp_b"),
+            "n_common",
+            "aa_micro",
+        )
+        .orderBy(F.desc("aa_micro"), "supp_a", "supp_b")
+        .limit(_AA_TOPK)
+    )

@@ -6,9 +6,11 @@ re-derive the semantics in plain Python on the sf0.001 fixtures."""
 
 from __future__ import annotations
 
+import hashlib
 import math
 import re
 from collections import Counter, defaultdict
+from datetime import datetime
 
 from bytesprocessor_spark.queries import QUERIES
 from bytesprocessor_spark.sources.tables import load_table
@@ -1336,3 +1338,200 @@ def test_power_analysis_matches_python_recompute(spark):
         # the mean at fixture sizes
         assert 0 < r.mde_relative_ppm < 1000000
     assert {r.event_type for r in got} == set(groups)
+
+
+# ---------------------------------------------------------------------------
+# Q14 t-closeness
+# ---------------------------------------------------------------------------
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (DuckDB // / Spark div)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def test_t_closeness_matches_python_recompute(spark):
+    rows = load_table(spark, SF_DIR, "customer").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    cells: Counter = Counter()
+    for r in rows:
+        band = _tdiv(_rnd(r.c_acctbal * 100), 100000)
+        cells[(r.c_nationkey, band, r.c_mktsegment)] += 1
+    total = sum(cells.values())
+    glob: Counter = Counter()
+    grp: Counter = Counter()
+    for (nk, band, seg), c in cells.items():
+        glob[seg] += c
+        grp[(nk, band)] += c
+    buckets: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for (nk, band), k in grp.items():
+        tvd = sum(
+            max(c * 1000000 // k - glob[seg] * 1000000 // total, 0)
+            for (n2, b2, seg), c in cells.items()
+            if (n2, b2) == (nk, band)
+        )
+        b = (
+            "t<=0.10" if tvd <= 100000
+            else "0.10<t<=0.20" if tvd <= 200000
+            else "t>0.20"
+        )
+        buckets[b].append((k, tvd))
+    got = QUERIES["privacy_t_closeness"](spark, SF_DIR).collect()
+    assert {r.t_bucket for r in got} == set(buckets)
+    for r in got:
+        ks = buckets[r.t_bucket]
+        assert r.n_groups == len(ks)
+        assert r.n_rows == sum(k for k, _ in ks)
+        assert r.min_tvd_ppm == min(t for _, t in ks)
+        assert r.max_tvd_ppm == max(t for _, t in ks)
+        # TVD is a [0, 1e6] distance in its positive-part form
+        assert 0 <= r.min_tvd_ppm <= r.max_tvd_ppm <= 1000000
+    # every customer row lands in exactly one bucket
+    assert sum(r.n_rows for r in got) == total
+
+
+# ---------------------------------------------------------------------------
+# A44 difference-in-differences
+# ---------------------------------------------------------------------------
+
+_DID_SPLIT = datetime(2024, 1, 16)
+
+
+def test_did_matches_python_recompute(spark):
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id", "ts", "value"
+    ).collect()
+    cells: dict = defaultdict(lambda: [0, 0, 0])  # n, s, q per (type, grp, post)
+    for r in ev:
+        g = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:15], 16) % 2
+        p = r.ts >= _DID_SPLIT
+        c = _rnd(r.value * 100)
+        cell = cells[(r.event_type, g, p)]
+        cell[0] += 1
+        cell[1] += c
+        cell[2] += c * c
+    got = QUERIES["events_did"](spark, SF_DIR).collect()
+    types = {t for (t, _, _) in cells}
+    assert {r.event_type for r in got} == types
+    for r in got:
+        tp = cells[(r.event_type, 1, True)]
+        tq = cells[(r.event_type, 1, False)]
+        cp = cells[(r.event_type, 0, True)]
+        cq = cells[(r.event_type, 0, False)]
+        assert (r.n_treat_post, r.n_treat_pre, r.n_ctrl_post, r.n_ctrl_pre) == (
+            tp[0], tq[0], cp[0], cq[0],
+        )
+        did = (tp[1] / tp[0] - tq[1] / tq[0]) - (cp[1] / cp[0] - cq[1] / cq[0])
+        se = math.sqrt(sum(
+            ((n * q - s * s) / (n * (n - 1.0))) / n for n, s, q in (tp, tq, cp, cq)
+        ))
+        assert r.did_millicents == _rnd(did * 1000)
+        assert r.se_millicents == _rnd(se * 1000)
+        # the shared time trend cancels: |DiD| is far below the raw
+        # post-pre delta scale, and SE > 0 at fixture sizes
+        assert r.se_millicents > 0
+
+
+# ---------------------------------------------------------------------------
+# GR6 Adamic-Adar (recomputed at sf0.01 — the sf0.001 graph is
+# complete under the decile rule, leaving no non-adjacent pairs)
+# ---------------------------------------------------------------------------
+
+def test_adamic_adar_matches_python_recompute(spark):
+    sf01 = "/root/testdata/sf0.01"
+    li = load_table(spark, sf01, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    by_order: dict = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_suppkey)
+    pw: Counter = Counter()
+    for supps in by_order.values():
+        ss = sorted(supps)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                pw[(a, b)] += 1
+    pw = {k: v for k, v in pw.items() if v >= 2}
+    n_pairs = len(pw)
+    hist: Counter = Counter(pw.values())
+    budget = max(n_pairs // 10, 1)
+    thr = None
+    n_ge = 0
+    for w in sorted(hist, reverse=True):
+        n_ge += hist[w]
+        if n_ge <= budget:
+            thr = w
+    t = thr if thr is not None else max(hist)
+    edges = {k for k, v in pw.items() if v >= t}
+    nbrs: dict = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    wmic = {z: _rnd(1000000.0 / math.log(len(vs))) for z, vs in nbrs.items() if len(vs) >= 2}
+    aa: dict = defaultdict(lambda: [0, 0])
+    for z, vs in nbrs.items():
+        if z not in wmic:
+            continue
+        vss = sorted(vs)
+        for i, a in enumerate(vss):
+            for b in vss[i + 1:]:
+                if (a, b) in edges:
+                    continue
+                aa[(a, b)][0] += 1
+                aa[(a, b)][1] += wmic[z]
+    top = sorted(aa.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    expected = [(a, b, nc, s) for (a, b), (nc, s) in top]
+    got = QUERIES["graph_adamic_adar"](spark, sf01).collect()
+    assert [(r.supp_a, r.supp_b, r.n_common, r.aa_micro) for r in got] == expected
+    # predicted pairs are genuinely non-adjacent and oriented
+    assert all((r.supp_a, r.supp_b) not in edges and r.supp_a < r.supp_b for r in got)
+
+
+def test_adamic_adar_wait_thr_none_branch():
+    """The fallback branch: when the heaviest weight class alone
+    exceeds a decile, the threshold falls back to the max weight."""
+    hist = {3: 5, 2: 95}  # 100 pairs; budget 10; n_ge(3)=5<=10, n_ge(2)=100>10
+    budget = max(100 // 10, 1)
+    thr, n_ge = None, 0
+    for w in sorted(hist, reverse=True):
+        n_ge += hist[w]
+        if n_ge <= budget:
+            thr = w
+    assert thr == 3
+    hist2 = {2: 100}  # the single class exceeds the budget -> fallback
+    thr2, n_ge = None, 0
+    for w in sorted(hist2, reverse=True):
+        n_ge += hist2[w]
+        if n_ge <= budget:
+            thr2 = w
+    assert thr2 is None  # operator COALESCEs to MAX(w) = 2
+
+
+# ---------------------------------------------------------------------------
+# L15 temperature sampling
+# ---------------------------------------------------------------------------
+
+def test_temperature_sample_matches_python_recompute(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("lang", "n_chars").collect()
+    n_docs: Counter = Counter()
+    n_chars: Counter = Counter()
+    for r in docs:
+        n_docs[r.lang] += 1
+        n_chars[r.lang] += r.n_chars
+    wq = {l: _rnd(math.exp(0.3 * math.log(n_chars[l])) * 1000000) for l in n_chars}
+    total, zw = sum(n_chars.values()), sum(wq.values())
+    got = QUERIES["corpus_temperature_sample"](spark, SF_DIR).collect()
+    assert [r.lang for r in got] == sorted(n_chars)
+    for r in got:
+        raw = n_chars[r.lang] * 1000000 // total
+        smp = wq[r.lang] * 1000000 // zw
+        assert (r.n_docs, r.n_chars, r.raw_ppm, r.sampled_ppm) == (
+            n_docs[r.lang], n_chars[r.lang], raw, smp,
+        )
+        assert r.boost_bp == smp * 10000 // max(raw, 1)
+    # the defining property: the head is down-sampled, the tail up-sampled
+    head = max(n_chars, key=lambda l: n_chars[l])
+    tail = min(n_chars, key=lambda l: n_chars[l])
+    by_lang = {r.lang: r for r in got}
+    assert by_lang[head].boost_bp <= 10000 <= by_lang[tail].boost_bp

@@ -1060,3 +1060,46 @@ def test_power_analysis_single_moment_pass(spark):
     df = QUERIES["events_power_analysis"](spark, SF_DIR)
     assert shuffle_count(df) <= 2
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_t_closeness_cell_agg_absorbs_scan(spark):
+    """One (QI, sensitive) hash agg absorbs the customer scan; group
+    and global distributions re-aggregate the cell table; totals and
+    the 5-row global side broadcast back."""
+    df = QUERIES["privacy_t_closeness"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_did_single_moment_pass(spark):
+    """The 2x2 cell moments collapse in ONE map-side-combined hash
+    aggregate on event_type — no join, no window; the DiD/SE double
+    tree runs on K rows."""
+    df = QUERIES["events_did"](spark, SF_DIR)
+    assert shuffle_count(df) <= 2
+    plan = executed_plan(df)
+    assert "Join" not in plan  # pure aggregate, nothing to join
+    assert all(len(c) <= 4 for c in scan_columns(df))
+
+
+def test_adamic_adar_no_cartesian_and_pruned_scan(spark):
+    """Wedges come from an equi-join on the centre node over the
+    decile-pruned edge list — never a cartesian; the lineitem scan
+    reads exactly the two graph columns."""
+    df = QUERIES["graph_adamic_adar"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    # the only nested loop is the 1-row threshold frame broadcast onto
+    # the pair-weight table (allowlisted in tools/plan_audit.py); the
+    # wedge join itself must be a hash join on the centre node
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_temperature_sample_metadata_query(spark):
+    """One partial agg to K language rows absorbs the scan; every
+    exchange after it (global totals, final K-row sort) moves a
+    language-count-sized table — a metadata query at any SF."""
+    df = QUERIES["corpus_temperature_sample"](spark, SF_DIR)
+    assert shuffle_count(df) <= 5
+    assert all(len(c) <= 2 for c in scan_columns(df))

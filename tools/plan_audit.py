@@ -153,6 +153,10 @@ ALLOW_NESTED_LOOP = {
     "range_join_tiers",
     "graph_triangles",
     "sql_fuzzy_match",
+    # 1-row decile-threshold frame broadcast onto the pair-weight
+    # table (w >= t is a non-equi predicate over a single row —
+    # O(pairs) filter work, no pair blowup)
+    "graph_adamic_adar",
 }
 
 # Entries whose Python seam is a SQL UDTF (U5): Spark executes Python
