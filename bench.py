@@ -182,6 +182,10 @@ HEADLINE = [
     "events_did",
     "graph_adamic_adar",
     "corpus_temperature_sample",
+    "events_growth_accounting",
+    "events_forecast_baselines",
+    "part_skyline",
+    "text_quality_sweep",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

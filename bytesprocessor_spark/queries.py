@@ -611,6 +611,10 @@ _CHECK_ORDER = [
     "events_did",
     "graph_adamic_adar",
     "corpus_temperature_sample",
+    "events_growth_accounting",
+    "events_forecast_baselines",
+    "part_skyline",
+    "text_quality_sweep",
     # round-5 new rows: generic pigeonhole Hamming join (aHash
     # geometry) + the training-pipeline batch (incremental near-dup
     # admission, intra-class outlier scrub, hard-negative mining,

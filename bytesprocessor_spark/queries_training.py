@@ -418,6 +418,10 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from bytesprocessor_spark.queries_llm import _DUCK_WORD3
+from bytesprocessor_spark.queries_llm import (
+    _DUCK_TOKS as _DUCK_TOKS2,
+    _STOPWORDS_SQL as _STOPWORDS_SQL2,
+)
 
 
 @query(
@@ -1287,3 +1291,110 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# L16: quality-gate threshold sweep (stopword-density yield curve)
+# ---------------------------------------------------------------------------
+
+_QS_STEP = 20000  # 2% stopword-density steps, 10 buckets
+
+
+@query(
+    "text_quality_sweep",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {_DUCK_TOKS2} AS toks FROM documents
+    ),
+    d AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL2}, x)))
+               * 1000000
+               // GREATEST(len(toks), 1) AS stop_ppm
+      FROM t
+    ),
+    b AS (
+      SELECT LEAST(stop_ppm // {_QS_STEP}, 9) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM d GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket,
+             SUM(n_docs) OVER (ORDER BY bucket DESC) AS docs_kept,
+             SUM(n_chars) OVER (ORDER BY bucket DESC) AS chars_kept,
+             SUM(n_docs) OVER () AS total_docs,
+             SUM(n_chars) OVER () AS total_chars
+      FROM b
+    )
+    SELECT CAST(bucket * {_QS_STEP} AS BIGINT) AS threshold_ppm,
+           CAST(docs_kept AS BIGINT) AS docs_kept,
+           CAST(chars_kept AS BIGINT) AS chars_kept,
+           CAST(docs_kept * 1000000 // total_docs AS BIGINT) AS docs_share_ppm,
+           CAST(chars_kept * 1000000 // total_chars AS BIGINT) AS chars_share_ppm
+    FROM c ORDER BY threshold_ppm
+    """,
+)
+def text_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16 quality-gate threshold sweep: the yield curve for the
+    stopword-density quality filter — for each candidate threshold,
+    how many documents and characters survive "keep docs whose
+    stopword density >= t".  The curve is read BEFORE fixing the L7
+    curation gate (too strict starves the training mix, too loose
+    admits garbled text); the quality-axis sibling of
+    dedup_threshold_sweep's near-dup curve.
+
+    Determinism: per-doc stopword density quantizes to ppm by integer
+    floor division (GREATEST guards empty docs); docs land in 2%-wide
+    buckets and every threshold's yield is a reverse-cumulative exact
+    integer sum over the 10-row bucket histogram — ONE corpus pass
+    sweeps every threshold (the threshold_sweep discipline: never one
+    scan per candidate).
+
+    Plan shape: one map-side tokenize + bucket hash agg absorbs the
+    scan; the cumulative windows run over the 10-row histogram (the
+    single-partition window is histogram-sized, never data-sized)."""
+    from bytesprocessor_spark.functions.text import _EN_STOPWORDS, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
+    d = docs.select(
+        "n_chars",
+        (n_stop.cast("long") * 1000000).alias("stop_num"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("n_toks"),
+    ).select(
+        "n_chars",
+        F.expr("stop_num div n_toks").alias("stop_ppm_raw"),
+    ).select(
+        "n_chars",
+        F.expr(
+            f"LEAST(stop_ppm_raw div {_QS_STEP}, 9)"
+        ).alias("bucket"),
+    )
+    b = d.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    wrev = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = b.select(
+        "bucket",
+        F.sum("n_docs").over(wrev).alias("docs_kept"),
+        F.sum("n_chars").over(wrev).alias("chars_kept"),
+        F.sum("n_docs").over(wall).alias("total_docs"),
+        F.sum("n_chars").over(wall).alias("total_chars"),
+    )
+    return c.select(
+        (F.col("bucket") * _QS_STEP).cast("long").alias("threshold_ppm"),
+        F.col("docs_kept").cast("long").alias("docs_kept"),
+        F.col("chars_kept").cast("long").alias("chars_kept"),
+        F.expr("CAST(docs_kept * 1000000 div total_docs AS BIGINT)").alias(
+            "docs_share_ppm"
+        ),
+        F.expr("CAST(chars_kept * 1000000 div total_chars AS BIGINT)").alias(
+            "chars_share_ppm"
+        ),
+    ).orderBy("threshold_ppm")

@@ -3027,3 +3027,166 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_micro"), "supp_a", "supp_b")
         .limit(_AA_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# A45: forecast baseline backtest (naive / seasonal-naive)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_forecast_baselines",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT event_type, yc,
+             LAG(yc, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
+             LAG(yc, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
+      FROM d
+    ),
+    u AS (
+      SELECT event_type, 'naive' AS model, yc, f1 AS f FROM o WHERE f1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 'snaive' AS model, yc, f7 AS f FROM o WHERE f7 IS NOT NULL
+    )
+    SELECT event_type, model,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(yc - f)) // COUNT(*) AS BIGINT) AS mae_cents,
+           CAST(SUM(2000000 * ABS(yc - f) // GREATEST(ABS(yc) + ABS(f), 1))
+                // COUNT(*) AS BIGINT) AS smape_ppm
+    FROM u GROUP BY 1, 2 ORDER BY event_type, model
+    """,
+)
+def events_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45 forecast baseline backtest: the two baselines every
+    forecasting system must beat before it ships — naive (tomorrow =
+    today) and seasonal naive (tomorrow = same weekday last week) —
+    scored in-sample per event type as MAE and sMAPE over the daily
+    revenue series.  A31's Holt forecast gives a number; this row
+    gives the yardstick that says whether the number is worth
+    anything (a model whose sMAPE beats snaive is learning signal,
+    one that doesn't is fitting noise).  Assumes the daily series is
+    dense (fixture series are; gap-fill first with W11 when not).
+
+    Determinism: daily totals are exact cents; per-day absolute
+    errors are exact integers; sMAPE quantizes each day's
+    2|f-y|/(|f|+|y|) ratio to ppm by integer floor division BEFORE
+    the mean (GREATEST guards the zero-denominator day), so both
+    metrics are exact integer arithmetic end-to-end.
+
+    Plan shape: one (type, day) partial agg absorbs the scan; the
+    lags run type-partitioned over each type's day rows (two offsets
+    in ONE window pass); the model union doubles a day-count-sized
+    table, final agg is 2K rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("yc"))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    o = d.select(
+        "event_type",
+        "yc",
+        F.lag("yc", 1).over(wd).alias("f1"),
+        F.lag("yc", 7).over(wd).alias("f7"),
+    )
+    u = (
+        o.where(F.col("f1").isNotNull())
+        .select("event_type", F.lit("naive").alias("model"), "yc", F.col("f1").alias("f"))
+        .unionAll(
+            o.where(F.col("f7").isNotNull()).select(
+                "event_type", F.lit("snaive").alias("model"), "yc", F.col("f7").alias("f")
+            )
+        )
+    )
+    return (
+        u.groupBy("event_type", "model")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.expr("CAST(SUM(ABS(yc - f)) div COUNT(*) AS BIGINT)").alias(
+                "mae_cents"
+            ),
+            F.expr(
+                "CAST(SUM(2000000 * ABS(yc - f) div GREATEST(ABS(yc) + ABS(f), 1))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("smape_ppm"),
+        )
+        .orderBy("event_type", "model")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O8: skyline (Pareto-optimal preference query)
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_skyline",
+    """
+    WITH p AS (
+      SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(MIN(p_partkey) AS BIGINT) AS min_partkey
+      FROM part GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT price_c, size, n_parts, min_partkey,
+             MAX(size) OVER (PARTITION BY price_c) AS max_at_price
+      FROM p
+    ),
+    kept AS (
+      SELECT price_c, size, n_parts, min_partkey,
+             MAX(size) OVER (ORDER BY price_c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS staircase
+      FROM best WHERE size = max_at_price
+    )
+    SELECT price_c, size, n_parts, min_partkey
+    FROM kept
+    WHERE staircase IS NULL OR size > staircase
+    ORDER BY price_c
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 skyline / Pareto-optimal preference query (Borzsony et al.
+    ICDE'01): the parts no other part dominates on (price down, size
+    up) — a part is OFF the skyline iff some part is at most as
+    expensive AND at least as large with one strict.  The
+    multi-objective shortlist primitive ("cheapest for its size
+    class") that top-k by a single weighted score cannot express.
+
+    Algorithm: collapse to distinct (price, size) cells with counts
+    (exact duplicates are co-skyline by definition); per price keep
+    only the max size (cheaper-or-equal larger-size kills the rest);
+    then one staircase sweep in price order — a point survives iff
+    its size strictly exceeds every strictly-cheaper point's
+    (ROWS ... 1 PRECEDING excludes the current price's own row
+    because the per-price max already ran).  Pure exact integers.
+
+    Plan shape: one (price, size) hash agg absorbs the part scan; the
+    per-price window shuffles price-keyed cells; the ordered staircase
+    window runs over ONE row per distinct price — bounded by the
+    PRICE DOMAIN (cents), not the row count, which is what makes the
+    single-partition sweep safe at 100 TB (same argument as GR6's
+    weight histogram).  Verified against a quadratic NOT-EXISTS
+    dominance recompute in pytest."""
+    part = _t(spark, sf_dir, "part")
+    p = part.groupBy(
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    ).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.min("p_partkey").cast("long").alias("min_partkey"),
+    )
+    best = p.withColumn(
+        "max_at_price", F.max("size").over(Window.partitionBy("price_c"))
+    ).where(F.col("size") == F.col("max_at_price"))
+    stair = Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, -1)
+    kept = best.withColumn("staircase", F.max("size").over(stair))
+    return (
+        kept.where(F.col("staircase").isNull() | (F.col("size") > F.col("staircase")))
+        .select("price_c", "size", "n_parts", "min_partkey")
+        .orderBy("price_c")
+    )

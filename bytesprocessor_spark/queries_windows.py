@@ -1225,3 +1225,92 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# W15: growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_growth_accounting",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 1000 // 604800 AS wk FROM events
+    ),
+    s AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+      FROM uw
+    ),
+    a AS (
+      SELECT wk,
+             CAST(COUNT(*) AS BIGINT) AS active,
+             CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+             CAST(SUM(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS retained,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < wk - 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+      FROM s GROUP BY wk
+    )
+    SELECT a.wk, a.active, a.new_users, a.retained, a.resurrected,
+           CAST(COALESCE(p.active, 0) - a.retained AS BIGINT) AS churned
+    FROM a LEFT JOIN a p ON p.wk = a.wk - 1
+    ORDER BY a.wk
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 growth accounting: per week, the active-user count split
+    into new (first week ever), retained (active the week before),
+    resurrected (active before, but not last week), plus churned
+    (active last week, absent this week) — the standard DAU/MAU
+    decomposition identity active = new + retained + resurrected and
+    delta-active = new + resurrected - churned that growth teams read
+    weekly.  W13's DAU curve says HOW MANY; this says WHY it moved.
+
+    Weeks are integer epoch-week indices (epoch seconds // 604800) —
+    exact on both engines; a week with zero events yields no row, and
+    churn is attributed to the week AFTER the last active one when
+    that week has a row (the LEFT JOIN on wk-1).
+
+    Plan shape: one (user, week) distinct absorbs the event scan (the
+    only corpus-scale shuffle); the lag runs user-partitioned over
+    each user's few week rows; the week aggregate and its wk-1 self
+    join move week-count-sized tables."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.expr("unix_timestamp(ts) div 604800").alias("wk")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("wk")
+    s = uw.withColumn("prev", F.lag("wk").over(wu))
+    a = s.groupBy("wk").agg(
+        F.count("*").cast("long").alias("active"),
+        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("prev") == F.col("wk") - 1, 1).otherwise(0))
+        .cast("long")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("prev") < F.col("wk") - 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrected"),
+    )
+    p = a.select(F.col("wk").alias("pwk"), F.col("active").alias("pactive"))
+    return (
+        a.join(F.broadcast(p), a["wk"] == p["pwk"] + 1, "left")
+        .select(
+            "wk",
+            "active",
+            "new_users",
+            "retained",
+            "resurrected",
+            (F.coalesce(F.col("pactive"), F.lit(0)) - F.col("retained"))
+            .cast("long")
+            .alias("churned"),
+        )
+        .orderBy("wk")
+    )

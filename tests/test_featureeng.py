@@ -1535,3 +1535,139 @@ def test_temperature_sample_matches_python_recompute(spark):
     tail = min(n_chars, key=lambda l: n_chars[l])
     by_lang = {r.lang: r for r in got}
     assert by_lang[head].boost_bp <= 10000 <= by_lang[tail].boost_bp
+
+
+# ---------------------------------------------------------------------------
+# W15 growth accounting
+# ---------------------------------------------------------------------------
+
+def test_growth_accounting_matches_python_recompute(spark):
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    weeks: dict = defaultdict(set)
+    for r in ev:
+        weeks[r.user_id].add(int(r.ts.timestamp()) // 604800)
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])  # active, new, ret, res
+    for wk_set in weeks.values():
+        ws = sorted(wk_set)
+        for i, w in enumerate(ws):
+            a = agg[w]
+            a[0] += 1
+            if i == 0:
+                a[1] += 1
+            elif ws[i - 1] == w - 1:
+                a[2] += 1
+            else:
+                a[3] += 1
+    got = QUERIES["events_growth_accounting"](spark, SF_DIR).collect()
+    assert [r.wk for r in got] == sorted(agg)
+    for r in got:
+        act, new, ret, res = agg[r.wk]
+        assert (r.active, r.new_users, r.retained, r.resurrected) == (
+            act, new, ret, res,
+        )
+        # the growth-accounting identity
+        assert r.active == r.new_users + r.retained + r.resurrected
+        prev_active = agg[r.wk - 1][0] if (r.wk - 1) in agg else 0
+        assert r.churned == prev_active - r.retained
+
+
+# ---------------------------------------------------------------------------
+# A45 forecast baselines
+# ---------------------------------------------------------------------------
+
+def test_forecast_baselines_matches_python_recompute(spark):
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    daily: dict = defaultdict(int)
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += _rnd(r.value * 100)
+    series: dict = defaultdict(list)
+    for (t, d), yc in sorted(daily.items()):
+        series[t].append(yc)
+    expected = {}
+    for t, ys in series.items():
+        for model, k in (("naive", 1), ("snaive", 7)):
+            pairs = [(ys[i], ys[i - k]) for i in range(k, len(ys))]
+            n = len(pairs)
+            mae = sum(abs(y - f) for y, f in pairs) // n
+            smape = sum(
+                2000000 * abs(y - f) // max(abs(y) + abs(f), 1) for y, f in pairs
+            ) // n
+            expected[(t, model)] = (n, mae, smape)
+    got = QUERIES["events_forecast_baselines"](spark, SF_DIR).collect()
+    assert {(r.event_type, r.model) for r in got} == set(expected)
+    for r in got:
+        assert (r.n_days, r.mae_cents, r.smape_ppm) == expected[
+            (r.event_type, r.model)
+        ]
+        assert 0 <= r.smape_ppm <= 2000000  # sMAPE is bounded by 200%
+
+
+# ---------------------------------------------------------------------------
+# O8 skyline — verified against the quadratic NOT-EXISTS dominance
+# definition (a genuinely different algorithm than the staircase)
+# ---------------------------------------------------------------------------
+
+def test_skyline_matches_quadratic_dominance_recompute(spark):
+    rows = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    cells: dict = {}
+    for r in rows:
+        key = (_rnd(r.p_retailprice * 100), r.p_size)
+        n, mk = cells.get(key, (0, None))
+        cells[key] = (n + 1, r.p_partkey if mk is None else min(mk, r.p_partkey))
+    pts = list(cells)
+    sky = [
+        (p, s)
+        for (p, s) in pts
+        if not any(
+            q <= p and t >= s and (q < p or t > s) for (q, t) in pts
+        )
+    ]
+    expected = [
+        (p, s, cells[(p, s)][0], cells[(p, s)][1]) for p, s in sorted(sky)
+    ]
+    got = QUERIES["part_skyline"](spark, SF_DIR).collect()
+    assert [(r.price_c, r.size, r.n_parts, r.min_partkey) for r in got] == expected
+    # skyline staircase property: price strictly increases, size strictly
+    # increases along it (minimize price / maximize size orientation)
+    for a, b in zip(got, got[1:]):
+        assert a.price_c < b.price_c and a.size < b.size
+
+
+# ---------------------------------------------------------------------------
+# L16 quality sweep
+# ---------------------------------------------------------------------------
+
+_QS_STOPWORDS = {
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+    "on", "with", "as", "was", "be", "are", "this", "by", "at", "or",
+}
+
+
+def test_quality_sweep_matches_python_recompute(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("text", "n_chars").collect()
+    buckets: dict = defaultdict(lambda: [0, 0])
+    for r in docs:
+        toks = _toks(r.text)
+        n_stop = sum(1 for t in toks if t in _QS_STOPWORDS)
+        ppm = n_stop * 1000000 // max(len(toks), 1)
+        b = min(ppm // 20000, 9)
+        buckets[b][0] += 1
+        buckets[b][1] += r.n_chars
+    total_docs = sum(v[0] for v in buckets.values())
+    total_chars = sum(v[1] for v in buckets.values())
+    got = QUERIES["text_quality_sweep"](spark, SF_DIR).collect()
+    for r in got:
+        b = r.threshold_ppm // 20000
+        docs_kept = sum(v[0] for k, v in buckets.items() if k >= b)
+        chars_kept = sum(v[1] for k, v in buckets.items() if k >= b)
+        assert (r.docs_kept, r.chars_kept) == (docs_kept, chars_kept)
+        assert r.docs_share_ppm == docs_kept * 1000000 // total_docs
+        assert r.chars_share_ppm == chars_kept * 1000000 // total_chars
+    # yield is monotone non-increasing in the threshold
+    kept = [r.docs_kept for r in sorted(got, key=lambda r: r.threshold_ppm)]
+    assert kept == sorted(kept, reverse=True)
+    assert kept[0] == total_docs  # threshold 0 keeps everything

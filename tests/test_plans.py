@@ -1103,3 +1103,38 @@ def test_temperature_sample_metadata_query(spark):
     df = QUERIES["corpus_temperature_sample"](spark, SF_DIR)
     assert shuffle_count(df) <= 5
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_growth_accounting_single_corpus_shuffle(spark):
+    """The (user, week) distinct is the only corpus-scale exchange;
+    lag runs user-partitioned; the wk-1 self join moves week-count
+    tables and broadcasts."""
+    df = QUERIES["events_growth_accounting"](spark, SF_DIR)
+    assert_plan(df, requires_broadcast=True, forbid_cartesian=True)
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_forecast_baselines_one_window_pass(spark):
+    """Both lag offsets ride ONE type-partitioned window pass over the
+    (type, day) aggregate; the model union doubles day-count rows."""
+    df = QUERIES["events_forecast_baselines"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2
+    assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_skyline_windows_over_domain_bounded_cells(spark):
+    """The part scan collapses to distinct (price, size) cells first;
+    both windows run over cell tables bounded by the price domain,
+    and the scan reads only the three skyline columns."""
+    df = QUERIES["part_skyline"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_quality_sweep_histogram_sized_windows(spark):
+    """One tokenize+bucket agg absorbs the scan; every window after
+    runs over the 10-row bucket histogram."""
+    df = QUERIES["text_quality_sweep"](spark, SF_DIR)
+    assert shuffle_count(df) <= 4
+    assert all(len(c) <= 2 for c in scan_columns(df))
