@@ -109,6 +109,11 @@ ALLOW_NESTED_LOOP = {
     "corpus_negative_sampling",
     # 1-row grand-total frame onto the 2K-cell contingency table
     "events_chi_square",
+    # 1-row table-total frame onto the bounded QI-group TVD aggregate
+    "privacy_t_closeness",
+    # 1-row (total chars, softmax normalizer) frame onto the K-language
+    # share table
+    "corpus_temperature_sample",
     "similarity_prefix_rerank",
     "embedding_gram_matrix",
     "interval_concurrency",
