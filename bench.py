@@ -186,6 +186,12 @@ HEADLINE = [
     "events_forecast_baselines",
     "part_skyline",
     "text_quality_sweep",
+    # round-5 scale-pattern batch — the OOV rate first (full-corpus
+    # tokenize feeding the vocab top-k + the membership join)
+    "text_oov_rate",
+    "join_bloom_prune",
+    "corpus_curriculum",
+    "events_stl_decompose",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -520,6 +520,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_training  # noqa: F401
     import bytesprocessor_spark.queries_eval  # noqa: F401
     import bytesprocessor_spark.queries_retrieval  # noqa: F401
+    import bytesprocessor_spark.queries_scale  # noqa: F401
 
 
 @query(
@@ -722,6 +723,12 @@ _CHECK_ORDER = [
     "agg_histogram",
     # --- beyond the 50-entry window: remaining never-checked
     # --- entries queue for the round-6 rotation ---
+    # round-5 scale-pattern batch, added after the window filled —
+    # heads the round-6 window together with the displaced entries
+    "join_bloom_prune",
+    "events_stl_decompose",
+    "text_oov_rate",
+    "corpus_curriculum",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

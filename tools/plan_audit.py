@@ -111,6 +111,9 @@ ALLOW_NESTED_LOOP = {
     "events_chi_square",
     # 1-row table-total frame onto the bounded QI-group TVD aggregate
     "privacy_t_closeness",
+    # 1-row KB-scale Bloom position-set frame broadcast onto the fact
+    # scan — the pruning filter IS the nested loop, by design
+    "join_bloom_prune",
     # 1-row (total chars, softmax normalizer) frame onto the K-language
     # share table
     "corpus_temperature_sample",
