@@ -189,9 +189,15 @@ HEADLINE = [
     # round-5 scale-pattern batch — the OOV rate first (full-corpus
     # tokenize feeding the vocab top-k + the membership join)
     "text_oov_rate",
+    "similarity_mmr_rerank",
+    "eval_perplexity_holdout",
     "join_bloom_prune",
+    "corpus_span_corruption",
+    "events_rolling_distinct",
     "corpus_curriculum",
     "events_stl_decompose",
+    "events_lateness_histogram",
+    "privacy_dp_release",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

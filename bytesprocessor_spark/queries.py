@@ -729,6 +729,12 @@ _CHECK_ORDER = [
     "events_stl_decompose",
     "text_oov_rate",
     "corpus_curriculum",
+    "events_rolling_distinct",
+    "events_lateness_histogram",
+    "privacy_dp_release",
+    "corpus_span_corruption",
+    "eval_perplexity_holdout",
+    "similarity_mmr_rerank",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

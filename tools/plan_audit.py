@@ -114,6 +114,14 @@ ALLOW_NESTED_LOOP = {
     # 1-row KB-scale Bloom position-set frame broadcast onto the fact
     # scan — the pruning filter IS the nested loop, by design
     "join_bloom_prune",
+    # 1-row totals frame onto the 5-row lateness histogram
+    "events_lateness_histogram",
+    # 1-row (train total, vocab size) OOV-logprob frame onto the
+    # held-out token stream
+    "eval_perplexity_holdout",
+    # bounded rerank frames: 1-row query vector onto the corpus scan,
+    # then 20x20 candidate pair products — pool-sized by construction
+    "similarity_mmr_rerank",
     # 1-row (total chars, softmax normalizer) frame onto the K-language
     # share table
     "corpus_temperature_sample",
