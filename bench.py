@@ -198,6 +198,9 @@ HEADLINE = [
     "events_stl_decompose",
     "events_lateness_histogram",
     "privacy_dp_release",
+    "graph_k_core",
+    "events_path_regex",
+    "eval_mrr",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

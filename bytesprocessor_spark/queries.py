@@ -46,6 +46,9 @@ EAGER_QUERIES = frozenset({
     "stream_neardup_admission",
     "stream_drift_monitor",
     "stream_sprt",
+    # bounded candidate-pool collect at construction (driver-side
+    # greedy rerank over KBs)
+    "similarity_mmr_rerank",
 })
 
 
@@ -735,6 +738,9 @@ _CHECK_ORDER = [
     "corpus_span_corruption",
     "eval_perplexity_holdout",
     "similarity_mmr_rerank",
+    "graph_k_core",
+    "events_path_regex",
+    "eval_mrr",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -20,6 +20,23 @@ answer:
     (quartile ntile over avg token length) with deterministic md5
     shuffling inside each stage — the sampler manifest for
     easy-to-hard curriculum training.
+  * events_rolling_distinct — exact rolling 7-day COUNT(DISTINCT)
+    via expand-then-count (the window-distinct SQL can't express).
+  * events_lateness_histogram — event-time lateness distribution of
+    a jittered arrival replay: the watermark-delay design readout.
+  * privacy_dp_release — reproducible md5-seeded Laplace counts
+    (eps=1), completing the k-anon / l-div / t-close privacy family.
+  * corpus_span_corruption — T5 denoising mask manifest, map-only.
+  * eval_perplexity_holdout — add-one unigram LM on the hashed 80%
+    split, held-out perplexity per source.
+  * similarity_mmr_rerank — diversified MMR top-k over the exact
+    top-20 candidate pool (driver-side greedy on bounded KBs).
+  * graph_k_core — fixed-round degree peel to the 2-core with
+    per-round lineage cuts.
+  * events_path_regex — MATCH_RECOGNIZE-lite journey classification
+    by regex over per-session symbol strings.
+  * eval_mrr — first-relevant-rank / reciprocal-rank retrieval
+    readout per query vector.
 
 All rows follow the corpus determinism contract (queries.py module
 docstring): exact integer arithmetic end-to-end (floor-division ppm /
@@ -42,13 +59,16 @@ from bytesprocessor_spark.queries_llm import _DUCK_TOKS
 # arithmetic is exact and identical on both engines.
 _BLOOM_M = 65536
 _BLOOM_HASHES = [(40503, 7919), (40507, 104729), (40519, 1299709)]
+# the bit array packs 62 bits per BIGINT word (bits 62/63 unused so no
+# shift ever touches the sign bit on either engine)
+_BLOOM_WORDS = (_BLOOM_M + 61) // 62
 
 _VOCAB_SIZE = 512
 _CURR_STAGES = 4
 
 
 # ---------------------------------------------------------------------------
-# J11: Bloom-filter pruned semi join (manual runtime filter)
+# J12: Bloom-filter pruned semi join (manual runtime filter)
 # ---------------------------------------------------------------------------
 
 def _bloom_pos_sql(key: str) -> list[str]:
@@ -62,6 +82,13 @@ def _bloom_pos_col(key: str) -> list[F.Column]:
     ]
 
 
+def _bloom_test_sql(e: str) -> str:
+    return (
+        f"(bl[CAST(({e}) // 62 AS INTEGER) + 1]"
+        f" & (CAST(1 AS BIGINT) << CAST(({e}) % 62 AS INTEGER))) <> 0"
+    )
+
+
 @query(
     "join_bloom_prune",
     f"""
@@ -69,13 +96,22 @@ def _bloom_pos_col(key: str) -> list[F.Column]:
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     ),
     pos AS (
-      SELECT DISTINCT p
+      SELECT p
       FROM dim, UNNEST([{", ".join(_bloom_pos_sql("c_custkey"))}]) AS t(p)
     ),
-    bloom AS (SELECT list(p ORDER BY p) AS bl FROM pos),
+    sparse AS (
+      SELECT p // 62 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INTEGER)) AS m
+      FROM pos GROUP BY 1
+    ),
+    dense AS (
+      SELECT i AS w, COALESCE(m, 0) AS m
+      FROM range(0, {_BLOOM_WORDS}) t(i) LEFT JOIN sparse ON i = sparse.w
+    ),
+    bloom AS (SELECT list(m ORDER BY w) AS bl FROM dense),
     probe AS (
       SELECT o_orderpriority,
-             ({" AND ".join(f"list_contains(bl, {e})" for e in _bloom_pos_sql("o_custkey"))}) AS pass,
+             ({" AND ".join(_bloom_test_sql(e) for e in _bloom_pos_sql("o_custkey"))}) AS pass,
              o_custkey IN (SELECT c_custkey FROM dim) AS hit
       FROM orders CROSS JOIN bloom
     )
@@ -90,11 +126,11 @@ def _bloom_pos_col(key: str) -> list[F.Column]:
     """,
 )
 def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J11 Bloom-pruned semi join: build an m=65536 / k=3 Bloom filter
-    over the dim keys (represented as the sorted distinct position set
-    — the sparse form of the bit array, <=512 KB at full occupancy),
-    broadcast it onto the fact scan, and count survivors vs true
-    matches per priority class.  This is the manual form of the
+    """J12 Bloom-pruned semi join: build an m=65536 / k=3 Bloom filter
+    over the dim keys — a packed bit array of 62-bit BIGINT words,
+    8 KB total — broadcast it onto the fact scan, and count survivors
+    vs true matches per priority class.  Each probe is 3 O(1) bit
+    tests (element_at + AND), not a set scan.  This is the manual form of the
     runtime bloom filters AQE injects for shuffle joins
     (spark.sql.optimizer.runtime.bloomFilter.enabled): at 100 TB the
     fact side drops non-matching rows at the SCAN, before the join
@@ -115,21 +151,42 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     dim = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    bloom = (
+    sparse = (
         dim.select(F.explode(F.array(*_bloom_pos_col("c_custkey"))).alias("p"))
-        .distinct()
-        .agg(F.array_sort(F.collect_list("p")).alias("bl"))
+        .select(
+            F.expr("p div 62").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("m"))
+    )
+    bloom = (
+        spark.range(0, _BLOOM_WORDS)
+        .select(F.col("id").alias("iw"))
+        .join(F.broadcast(sparse), F.col("iw") == F.col("w"), "left")
+        .select("iw", F.coalesce("m", F.lit(0)).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("iw", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("bl")
+        )
     )
     hit_dim = dim.select(F.col("c_custkey").alias("hk"), F.lit(1).alias("hit"))
-    contains = [
-        F.array_contains(F.col("bl"), pos) for pos in _bloom_pos_col("o_custkey")
-    ]
+
+    def test(e: str) -> str:
+        return (
+            f"(element_at(bl, CAST(({e}) div 62 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(({e}) % 62 AS INT))) <> 0"
+        )
+
+    pass_expr = " AND ".join(test(e) for e in _bloom_pos_sql("o_custkey"))
     probe = (
         orders.crossJoin(F.broadcast(bloom))
         .join(F.broadcast(hit_dim), F.col("o_custkey") == F.col("hk"), "left")
         .select(
             "o_orderpriority",
-            (contains[0] & contains[1] & contains[2]).alias("pass"),
+            F.expr(pass_expr).alias("pass"),
             F.col("hit").isNotNull().alias("hit"),
         )
     )
@@ -152,7 +209,7 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A31: additive seasonal decomposition of the daily series
+# A46: additive seasonal decomposition of the daily series
 # ---------------------------------------------------------------------------
 
 @query(
@@ -189,7 +246,7 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A31 additive seasonal decomposition (the classical moving-
+    """A46 additive seasonal decomposition (the classical moving-
     average decomposition underlying STL, Cleveland et al. JOS'90):
     daily event counts split into trend (centered 7-day moving
     average), weekly seasonal (per-weekday lower median of the
@@ -244,7 +301,7 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L4p: tokenizer vocabulary coverage (OOV rate per source)
+# L4w: tokenizer vocabulary coverage (OOV rate per source)
 # ---------------------------------------------------------------------------
 
 @query(
@@ -275,7 +332,7 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4p tokenizer vocabulary coverage: the out-of-vocabulary token
+    """L4w tokenizer vocabulary coverage: the out-of-vocabulary token
     rate of each source against the corpus top-{_VOCAB_SIZE}
     vocabulary — the readout that decides whether an existing
     tokenizer/vocab fits a new data source or needs retraining (a
@@ -319,7 +376,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L16: curriculum ordering plan (difficulty stages, shuffled within)
+# L17: curriculum ordering plan (difficulty stages, shuffled within)
 # ---------------------------------------------------------------------------
 
 @query(
@@ -344,7 +401,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L16 curriculum ordering plan: assign every document a
+    """L17 curriculum ordering plan: assign every document a
     difficulty proxy (average token length in micro-chars — longer
     tokens track rarer vocabulary), cut the corpus into
     {_CURR_STAGES} difficulty stages (ntile), and emit a deterministic
@@ -397,7 +454,7 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# W14: exact rolling 7-day distinct users (the hard-at-scale rollup)
+# W16: exact rolling 7-day distinct users (the hard-at-scale rollup)
 # ---------------------------------------------------------------------------
 
 @query(
@@ -429,7 +486,7 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W14 exact rolling 7-day distinct users per day — the windowed
+    """W16 exact rolling 7-day distinct users per day — the windowed
     COUNT(DISTINCT) that naive SQL cannot express as a window function
     (DISTINCT is not frame-decomposable) and that HLL rows (A11) only
     approximate.  The exact scale shape is expand-then-count: each
@@ -477,7 +534,7 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ST12 (batch twin): event-time lateness audit (watermark design input)
+# ST15 (batch twin): event-time lateness audit (watermark design input)
 # ---------------------------------------------------------------------------
 
 @query(
@@ -515,7 +572,7 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST12 batch twin: the event-time lateness distribution that
+    """ST15 batch twin: the event-time lateness distribution that
     DECIDES a streaming job's watermark delay.  Replaying the event
     log in arrival order per user (the fixture log is perfectly
     time-ordered, so arrival is simulated as log order plus a
@@ -587,7 +644,7 @@ def events_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q9d: differentially-private count release (deterministic calibration)
+# Q15: differentially-private count release (deterministic calibration)
 # ---------------------------------------------------------------------------
 
 _DP_EPS_INV = 1.0  # b = sensitivity/epsilon = 1/1.0
@@ -616,7 +673,7 @@ _DP_EPS_INV = 1.0  # b = sensitivity/epsilon = 1/1.0
     """,
 )
 def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q9d differentially-private histogram release (Dwork et al.
+    """Q15 differentially-private histogram release (Dwork et al.
     TCC'06), completing the privacy family (k-anonymity Q9, l-diversity
     Q10, t-closeness Q14): per-category counts plus Laplace(b=1/eps)
     noise at eps=1 — the mechanism a data clean room applies before a
@@ -746,7 +803,7 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# E11: held-out unigram perplexity (tokenizer/LM eval on a clean split)
+# EV12: held-out unigram perplexity (tokenizer/LM eval on a clean split)
 # ---------------------------------------------------------------------------
 
 @query(
@@ -789,7 +846,7 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def eval_perplexity_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E11 held-out unigram perplexity per source: train an add-one-
+    """EV12 held-out unigram perplexity per source: train an add-one-
     smoothed unigram LM on the md5-hashed 80% split, score the held-out
     20% — the leakage-free twin of L4j (which scores the corpus under
     a model trained on ITSELF and so under-reports tail surprisal).
@@ -863,7 +920,7 @@ def eval_perplexity_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L3j: maximal-marginal-relevance diversified rerank
+# L3m: maximal-marginal-relevance diversified rerank
 # ---------------------------------------------------------------------------
 
 _MMR_POOL = 20
@@ -926,7 +983,7 @@ def _sim_micro(va, vb) -> F.Column:
 
 @query("similarity_mmr_rerank", _mmr_oracle())
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3j maximal-marginal-relevance rerank (Carbonell & Goldstein
+    """L3m maximal-marginal-relevance rerank (Carbonell & Goldstein
     SIGIR'98): from the brute-force top-{_MMR_POOL} candidate pool for
     one query vector, greedily select {_MMR_K} results maximizing
     lambda*sim(q,d) - (1-lambda)*max sim(d, selected) with lambda=0.7
@@ -941,12 +998,12 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id; lambda is the exact integer pair (7,3)/10.
 
     Plan shape: candidate generation is the standard broadcast-query
-    corpus scan + top-k heap; everything after operates on the
-    {_MMR_POOL}-row pool ({_MMR_POOL}^2 pair frame, {_MMR_K}
-    tiny-frame iterations) — bounded work independent of corpus size,
-    exactly like the driver-side rerank a vector DB performs, but
-    expressed as lazy DataFrame ops so the whole thing stays one
-    plan."""
+    corpus scan + top-k heap (TakeOrderedAndProject — per-partition
+    heaps, no shuffle); the greedy selection then runs driver-side on
+    the collected {_MMR_POOL}-row pool — bounded KBs independent of
+    corpus size, the agg_heavy_hitters contract, and exactly where a
+    serving-side reranker does this work.  EAGER_QUERIES member: the
+    collect runs at construction."""
     emb = _t(spark, sf_dir, "embeddings")
     from bytesprocessor_spark.functions.vectors import quantize_micro
 
@@ -959,49 +1016,331 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("qs").desc(), "vec_id")
         .limit(_MMR_POOL)
     )
-    cv = cand.join(e, "vec_id").select("vec_id", "qs", "v")
-    a = cv.select(
-        F.col("vec_id").alias("ai"), F.col("v").alias("va")
-    )
-    b = cv.select(F.col("vec_id").alias("bi"), F.col("v").alias("vb"))
-    psym = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("ai") != F.col("bi"))
-        .select("ai", "bi", _sim_micro(F.col("va"), F.col("vb")).alias("ps"))
-    )
-    sel = (
-        cand.orderBy(F.col("qs").desc(), "vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).alias("sel_rank"),
-            "vec_id",
-            F.col("qs").alias("q_sim_micro"),
-            (7 * F.col("qs")).alias("mmr_score"),
-        )
-    )
+    # The distributed part ends at the candidate pool: collect the
+    # {_MMR_POOL} (vec_id, qs, vector) rows — bounded KBs, the same
+    # driver-side-metadata contract as agg_heavy_hitters — and run the
+    # greedy selection in plain Python, mirroring how a serving-side
+    # reranker consumes an ANN candidate list.  (A lazy DataFrame-loop
+    # form works but pays ~k stage dispatches for 20 rows of data.)
+    import math
+
+    pool = cand.join(e, "vec_id").select("vec_id", "qs", "v").collect()
+    pool.sort(key=lambda r: (-r.qs, r.vec_id))
+
+    def half_up(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    def sim(va: list, vb: list) -> int:
+        # identical op sequence to _sim_micro / the DuckDB oracle:
+        # exact-integer dot (< 2^53, so the double sum is exact),
+        # correctly-rounded sqrt, one division, HALF_UP quantize
+        dot = float(sum(x * y for x, y in zip(va, vb)))
+        na = math.sqrt(float(sum(x * x for x in va)))
+        nb = math.sqrt(float(sum(x * x for x in vb)))
+        return half_up(dot / (na * nb) * 1000000.0)
+
+    first = pool[0]
+    out = [(1, first.vec_id, first.qs, 7 * first.qs)]
+    selected = [first]
+    remaining = pool[1:]
     for i in range(2, _MMR_K + 1):
-        sel_ids = sel.select("vec_id")
-        rem = cand.join(sel_ids, "vec_id", "left_anti")
-        ms = (
-            psym.join(sel_ids.withColumnRenamed("vec_id", "bi"), "bi")
-            .groupBy("ai")
-            .agg(F.max("ps").alias("ms"))
+        best = None
+        for r in remaining:
+            ms = max(sim(r.v, s.v) for s in selected)
+            mmr = 7 * r.qs - 3 * ms
+            if best is None or (mmr, -r.vec_id) > (best[1], -best[0].vec_id):
+                best = (r, mmr)
+        out.append((i, best[0].vec_id, best[0].qs, best[1]))
+        selected.append(best[0])
+        remaining = [r for r in remaining if r.vec_id != best[0].vec_id]
+    return spark.createDataFrame(
+        out, "sel_rank int, vec_id bigint, q_sim_micro bigint, mmr_score bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GR7: k-core decomposition (fixed-round peel)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+    WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.s AS a, b.s AS b
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )"""
+    ]
+    # every CTE is MATERIALIZED: DuckDB inlines multiply-referenced
+    # CTEs by default, and the 3-references-per-round structure would
+    # otherwise expand 3^rounds times (measured: blows the open-file
+    # limit on the parquet scan before it blows the planner)
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = i - 1
+        parts.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS z FROM e{p} UNION ALL SELECT b AS z FROM e{p})
+      GROUP BY z),
+    a{i} AS MATERIALIZED (SELECT z FROM d{i} WHERE d >= {_KCORE_K}),
+    e{i} AS MATERIALIZED (
+      SELECT e{p}.a, e{p}.b FROM e{p}
+      JOIN a{i} x ON e{p}.a = x.z
+      JOIN a{i} y ON e{p}.b = y.z)""")
+    r = _KCORE_ROUNDS
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT z AS node, d AS core_degree
+    FROM (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS z FROM e{r} UNION ALL SELECT b AS z FROM e{r})
+      GROUP BY z)
+    WHERE d >= {_KCORE_K}
+    ORDER BY node
+    """
+    )
+
+
+@query("graph_k_core", _kcore_oracle())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR7 k-core decomposition of the supplier co-occurrence graph
+    (Seidman'83): repeatedly peel nodes of degree < {_KCORE_K} until
+    the remaining subgraph — the k-core — is the maximal subgraph
+    where every node keeps >= {_KCORE_K} neighbors.  The k-core is the
+    standard dense-nucleus extractor (community seeding, spam-ring
+    detection, graph sparsification before an expensive algorithm);
+    the companion degree histogram (GR1b) says whether peeling is
+    worth it, this row does the peeling.
+
+    Semantics are pinned as EXACTLY {_KCORE_ROUNDS} peel rounds on
+    both engines — at the fixture scales the peel reaches its fixpoint
+    well inside that budget (verified: one extra round changes
+    nothing), so the output is the true 2-core; a production caller
+    loops until the alive-set count stops changing.
+
+    Determinism: set operations and integer degrees only.
+
+    Plan shape: per round, one degree aggregate (map-side combined)
+    plus two semi joins of the edge table against the alive set — the
+    edge table SHRINKS monotonically, so later rounds cost less; the
+    classic iterate-on-the-frontier profile that at 100 TB runs as
+    bounded rounds of co-partitioned joins on node id.  Each round
+    localCheckpoints the surviving edges (the connected_components /
+    pagerank idiom, operators/graph.py) — without the lineage cut the
+    lazy plan references the previous round's frame ~5x and analysis
+    cost grows exponentially in the round count."""
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    b = os_.select(F.col("o"), F.col("s").alias("s2"))
+    e = (
+        os_.join(b, "o")
+        .where(F.col("s") < F.col("s2"))
+        .groupBy(F.col("s").alias("a"), F.col("s2").alias("b"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("a", "b")
+    ).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("a").alias("z"))
+            .unionAll(e.select(F.col("b").alias("z")))
+            .groupBy("z")
+            .agg(F.count("*").alias("d"))
         )
-        pick = (
-            rem.join(ms, rem.vec_id == ms.ai)
-            .select(
-                "vec_id",
-                "qs",
-                (7 * F.col("qs") - 3 * F.col("ms")).alias("mmr"),
-            )
-            .orderBy(F.col("mmr").desc(), "vec_id")
-            .limit(1)
-            .select(
-                F.lit(i).alias("sel_rank"),
-                "vec_id",
-                F.col("qs").alias("q_sim_micro"),
-                F.col("mmr").alias("mmr_score"),
-            )
+        alive = deg.where(F.col("d") >= _KCORE_K).select("z")
+        e = (
+            e.join(alive.withColumnRenamed("z", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("z", "b"), "b", "left_semi")
+            .select("a", "b")
+        ).localCheckpoint()
+    return (
+        e.select(F.col("a").alias("z"))
+        .unionAll(e.select(F.col("b").alias("z")))
+        .groupBy("z")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .where(F.col("core_degree") >= _KCORE_K)
+        .select(F.col("z").alias("node"), "core_degree")
+        .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W17: behavioral path-pattern classification (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_path_regex",
+    """
+    WITH p AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+      FROM events
+      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    c AS (
+      SELECT user_id, len(path) AS plen,
+             CASE WHEN regexp_matches(path, 'v.*p') THEN 'a_browse_to_buy'
+                  WHEN regexp_matches(path, 'p')    THEN 'b_direct_buy'
+                  WHEN regexp_matches(path, 'v')    THEN 'c_browse_only'
+                  ELSE 'd_no_intent' END AS journey
+      FROM p
+    )
+    SELECT journey,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(plen) AS BIGINT) AS n_events,
+           CAST(SUM(plen) * 1000 // COUNT(*) AS BIGINT) AS avg_path_len_milli
+    FROM c GROUP BY journey ORDER BY journey
+    """,
+)
+def events_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 behavioral path-pattern classification — the
+    MATCH_RECOGNIZE workload expressed Spark-first: collapse each
+    (user, day) session's ordered event stream to a compact symbol
+    string (one initial per event type) and classify the journey with
+    regular expressions over that string (browse-then-buy / direct buy /
+    browse only / no purchase intent).  Row-pattern matching over
+    sequences is what SQL:2016 MATCH_RECOGNIZE does in Flink/Trino;
+    Spark lacks the clause, and the string-fold form is the idiomatic
+    equivalent — one shuffle, then ordinary regex, with the full
+    regex language available for richer patterns.
+
+    Determinism: the fold orders by (ts, event_id) — unique — and the
+    patterns are anchored-free literal classes identical in RE2/Java
+    regex; counts and floor-division milli-averages are integers.
+
+    Plan shape: one shuffle on user_id building the per-user string
+    (bounded by a user's event count), then a 4-row aggregate.  At
+    100 TB this is the sessionization shuffle every journey analysis
+    already pays, nothing more."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ini")).alias("s"),
         )
-        sel = sel.unionAll(pick)
-    return sel.orderBy("sel_rank")
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s.getField("ini")
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    c = p.select(
+        F.length("path").alias("plen"),
+        F.when(F.col("path").rlike("v.*p"), "a_browse_to_buy")
+        .when(F.col("path").rlike("p"), "b_direct_buy")
+        .when(F.col("path").rlike("v"), "c_browse_only")
+        .otherwise("d_no_intent")
+        .alias("journey"),
+    )
+    return (
+        c.groupBy("journey")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("plen").cast("long").alias("n_events"),
+            F.expr("CAST(sum(plen) * 1000 div count(*) AS BIGINT)").alias(
+                "avg_path_len_milli"
+            ),
+        )
+        .orderBy("journey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV13: mean reciprocal rank of label retrieval
+# ---------------------------------------------------------------------------
+
+_MRR_QUERIES = 20
+
+
+@query(
+    "eval_mrr",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_QUANT_SQL} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < {_MRR_QUERIES}),
+    s AS (
+      SELECT query_id, qlabel, e.vec_id, e.label,
+             {_MMR_SIM.format(a="qv", b="v")} AS sim
+      FROM q CROSS JOIN e WHERE e.vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, qlabel, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+      FROM s
+    ),
+    f AS (
+      SELECT query_id, qlabel, MIN(rk) AS first_hit_rank
+      FROM r WHERE label = qlabel GROUP BY query_id, qlabel
+    )
+    SELECT query_id, CAST(qlabel AS BIGINT) AS label,
+           CAST(first_hit_rank AS BIGINT) AS first_hit_rank,
+           CAST(1000000 // first_hit_rank AS BIGINT) AS rr_ppm
+    FROM f ORDER BY query_id
+    """,
+)
+def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV13 mean reciprocal rank of same-label retrieval: for each of
+    the first {_MRR_QUERIES} vectors as queries, rank the corpus by
+    exact cosine and report the rank of the first same-label neighbor
+    and its reciprocal (ppm).  The per-query RR vector is what an
+    embedding-quality dashboard tracks release-over-release (its mean
+    is MRR); complements eval_ndcg (graded gain against the exact
+    ranking) and eval_ann_recall (index fidelity) with the simplest
+    "did anything relevant come up first" readout.
+
+    Determinism: micro-quantized integer cosine with vec_id
+    tiebreaks; ranks and floor-division reciprocals are integers.
+
+    Plan shape: broadcast {_MRR_QUERIES}-row query batch onto one
+    corpus scan, per-query top-rank window, K-row output.  The scale
+    path swaps the exact scan for the IVF/LSH candidate stage like
+    every other L3 consumer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from bytesprocessor_spark.functions.vectors import quantize_micro
+
+    e = emb.select("vec_id", "label", quantize_micro(F.col("embedding")).alias("v"))
+    q = F.broadcast(
+        e.where(F.col("vec_id") < _MRR_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+        )
+    )
+    s = (
+        e.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "label",
+            "vec_id",
+            _sim_micro(F.col("qv"), F.col("v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .where(F.col("label") == F.col("qlabel"))
+        .groupBy("query_id", "qlabel")
+        .agg(F.min("rk").alias("first_hit_rank"))
+        .select(
+            "query_id",
+            F.col("qlabel").cast("long").alias("label"),
+            F.col("first_hit_rank").cast("long").alias("first_hit_rank"),
+            F.expr("CAST(1000000 div first_hit_rank AS BIGINT)").alias("rr_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -45,6 +45,7 @@ ALLOW_NESTED_LOOP = {
     # nested-loop by design, with LSH/IVF/PQ as the scale dispatch
     "similarity_topk",
     "similarity_hard_negatives",
+    "eval_mrr",
     "dedup_embedding_pairs",
     "dedup_embedding_keep",
     "multimodal_image_ann",
@@ -119,9 +120,6 @@ ALLOW_NESTED_LOOP = {
     # 1-row (train total, vocab size) OOV-logprob frame onto the
     # held-out token stream
     "eval_perplexity_holdout",
-    # bounded rerank frames: 1-row query vector onto the corpus scan,
-    # then 20x20 candidate pair products — pool-sized by construction
-    "similarity_mmr_rerank",
     # 1-row (total chars, softmax normalizer) frame onto the K-language
     # share table
     "corpus_temperature_sample",
