@@ -201,6 +201,7 @@ HEADLINE = [
     "graph_k_core",
     "events_path_regex",
     "eval_mrr",
+    "range_join_binned",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -741,6 +741,7 @@ _CHECK_ORDER = [
     "graph_k_core",
     "events_path_regex",
     "eval_mrr",
+    "range_join_binned",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -1344,3 +1344,58 @@ def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# J6b: bucketed (binned) range join — the large x large scale path
+# ---------------------------------------------------------------------------
+
+@query(
+    "range_join_binned",
+    """
+    SELECT tier, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    JOIN (VALUES ('small', 0.0, 9.99), ('medium', 10.0, 49.99), ('large', 50.0, 1000.0))
+         tiers(tier, lo, hi)
+      ON value BETWEEN lo AND hi
+    GROUP BY tier
+    """,
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6b the large x large range-join shape: explode each dim
+    interval onto a fixed-width bucket grid, EQUI-join fact rows to
+    buckets (shuffle-hash / sort-merge — co-partitionable, AQE- and
+    pushdown-friendly), then re-check the exact BETWEEN predicate.
+    Same tier semantics as J6's broadcast nested loop
+    (range_join_tiers) and hash-checked against the identical plain
+    BETWEEN oracle — this row pins operators/joins.py:
+    range_join_bucketed, the path J6's docstring promises for when
+    BOTH sides are too big to broadcast (calendar x fact, IP-range x
+    flow log, interval overlap at 100 TB: a nested loop is O(n*m),
+    the grid join is O(n + m + matches)).
+
+    Determinism: bucket ids are floor(x / width) on 2-decimal doubles
+    far from representability edges; counts and cents sums are exact
+    integers.
+
+    Plan shape: dim explodes to (hi-lo)/width bucket rows (bounded by
+    the value domain); one equi-join shuffle keyed on the bucket id;
+    the exact predicate filters inside the join stage; 3-row
+    aggregate."""
+    from bytesprocessor_spark.operators.joins import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 9.99), ("medium", 10.0, 49.99), ("large", 50.0, 1000.0)],
+        "tier string, lo double, hi double",
+    )
+    joined = range_join_bucketed(
+        ev, tiers, fact_key="value", dim_lo="lo", dim_hi="hi", bucket_width=10.0
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias(
+            "total_value"
+        ),
+    )

@@ -1138,3 +1138,35 @@ def test_quality_sweep_histogram_sized_windows(spark):
     df = QUERIES["text_quality_sweep"](spark, SF_DIR)
     assert shuffle_count(df) <= 4
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_range_join_binned_is_pure_equi_join(spark):
+    """J6b: the bucketed range join plans as an equi join on the grid
+    bucket — no nested-loop operator anywhere — and reproduces the
+    broadcast nested-loop form's result exactly (same tiers, same
+    aggregate)."""
+    df = QUERIES["range_join_binned"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    from pyspark.sql import functions as F
+
+    from bytesprocessor_spark.operators.joins import range_join
+    from bytesprocessor_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 9.99), ("medium", 10.0, 49.99), ("large", 50.0, 1000.0)],
+        "tier string, lo double, hi double",
+    )
+    nl = (
+        range_join(ev, tiers, fact_key="value", dim_lo="lo", dim_hi="hi")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0)
+            .alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, nl.collect()))
