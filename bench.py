@@ -202,6 +202,10 @@ HEADLINE = [
     "events_path_regex",
     "eval_mrr",
     "range_join_binned",
+    "events_poisson_rate",
+    "eval_lift_gains",
+    "text_script_mix",
+    "corpus_token_budget",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -742,6 +742,10 @@ _CHECK_ORDER = [
     "events_path_regex",
     "eval_mrr",
     "range_join_binned",
+    "events_poisson_rate",
+    "eval_lift_gains",
+    "text_script_mix",
+    "corpus_token_budget",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -1399,3 +1399,335 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A47: two-sample Poisson rate test (count-data axis)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_poisson_rate",
+    """
+    WITH d AS (
+      SELECT event_type,
+             (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') % 7 IN (2, 3)
+               AS is_weekend,
+             CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN is_weekend THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(SUM(CASE WHEN is_weekend THEN 0 ELSE 1 END) AS BIGINT) AS k2,
+             CAST(COUNT(DISTINCT CASE WHEN is_weekend THEN day END) AS BIGINT) AS t1,
+             CAST(COUNT(DISTINCT CASE WHEN NOT is_weekend THEN day END) AS BIGINT) AS t2
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, k1, k2, t1, t2,
+           CAST(ROUND((CAST(k1 AS DOUBLE) / t1 - CAST(k2 AS DOUBLE) / t2)
+                      / SQRT(CAST(k1 AS DOUBLE) / (CAST(t1 AS DOUBLE) * t1)
+                             + CAST(k2 AS DOUBLE) / (CAST(t2 AS DOUBLE) * t2))
+                      * 1000) AS BIGINT) AS z_milli,
+           ABS(ROUND((CAST(k1 AS DOUBLE) / t1 - CAST(k2 AS DOUBLE) / t2)
+                     / SQRT(CAST(k1 AS DOUBLE) / (CAST(t1 AS DOUBLE) * t1)
+                            + CAST(k2 AS DOUBLE) / (CAST(t2 AS DOUBLE) * t2))
+                     * 1000)) >= 1960 AS significant_5pct
+    FROM c ORDER BY event_type
+    """,
+)
+def events_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47 two-sample Poisson rate test per event type: is the
+    weekend events-per-day rate different from the weekday rate?  The
+    count-data member of the testing toolkit — A41's chi-square reads
+    the MIX, A40's Mann-Whitney reads VALUES, this reads RATES of
+    occurrence against exposure time (days observed per arm), the
+    right model for error/incident counts.  z is the Wald statistic
+    (k1/t1 - k2/t2) / sqrt(k1/t1^2 + k2/t2^2), milli-quantized, with
+    the 5% verdict as an integer comparison against 1.960.
+
+    Determinism: exact integer counts and exposures; z is one pinned
+    IEEE double tree quantized once (the A40/A43 idiom).
+
+    Plan shape: one conditional aggregate collapses the corpus to K
+    type rows (count-distinct over the <=7/<=25 day domain rides in
+    the same shuffle); the statistic is a map expression on K rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 7
+        ).isin(2, 3).alias("is_weekend"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )
+    c = d.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_weekend"), 1).otherwise(0)).cast("long").alias("k1"),
+        F.sum(F.when(F.col("is_weekend"), 0).otherwise(1)).cast("long").alias("k2"),
+        F.countDistinct(F.when(F.col("is_weekend"), F.col("day"))).cast("long").alias("t1"),
+        F.countDistinct(F.when(~F.col("is_weekend"), F.col("day"))).cast("long").alias("t2"),
+    )
+    z = F.round(
+        (
+            (F.col("k1").cast("double") / F.col("t1") - F.col("k2").cast("double") / F.col("t2"))
+            / F.sqrt(
+                F.col("k1").cast("double") / (F.col("t1").cast("double") * F.col("t1"))
+                + F.col("k2").cast("double") / (F.col("t2").cast("double") * F.col("t2"))
+            )
+        )
+        * 1000
+    ).cast("long")
+    return c.select(
+        "event_type",
+        "k1",
+        "k2",
+        "t1",
+        "t2",
+        z.alias("z_milli"),
+        (F.abs(z) >= 1960).alias("significant_5pct"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# EV14: decile lift / gains table
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_lift_gains",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             CAST('0x' || substr(md5('score:' || vec_id), 1, 15) AS BIGINT)
+               % 1000000 AS score,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ),
+    d AS (
+      SELECT pos, NTILE(10) OVER (ORDER BY score DESC, vec_id) AS decile FROM s
+    ),
+    g AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile
+    ),
+    t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos,
+                 CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT decile, n, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile) * 1000000 // total_pos AS BIGINT)
+             AS cum_capture_ppm,
+           CAST((n_pos * total * 1000) // (n * total_pos) AS BIGINT) AS lift_milli
+    FROM g CROSS JOIN t
+    ORDER BY decile
+    """,
+)
+def eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV14 decile lift / gains table: rank the population by model
+    score, cut into deciles, report per-decile positive capture,
+    cumulative gains (what % of all positives the top-k deciles
+    catch), and lift vs random — THE campaign-targeting readout (EV2's
+    PR curve for people who think in deciles and budgets).  The score
+    is the pinned md5-uniform proxy model over the embeddings fixture
+    (label 0 = positive class), same construction as the eval family's
+    fold assignments.
+
+    Determinism: integer scores, ntile over a unique (score, vec_id)
+    order, floor-division ppm/milli ratios.
+
+    Plan shape: one global ntile sort (range-partitioned at scale),
+    one 10-row aggregate, a 1-row totals broadcast, cumulative window
+    over 10 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from bytesprocessor_spark.queries_curation import _h60
+
+    s = emb.select(
+        "vec_id",
+        (_h60(F.concat(F.lit("score:"), F.col("vec_id").cast("string"))) % 1000000).alias(
+            "score"
+        ),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    d = s.select(
+        "pos",
+        F.ntile(10).over(Window.orderBy(F.col("score").desc(), "vec_id")).alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("pos").cast("long").alias("n_pos")
+    )
+    t = g.agg(
+        F.sum("n_pos").cast("long").alias("total_pos"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.expr(
+                "CAST(sum(n_pos) OVER (ORDER BY decile) * 1000000 div total_pos AS BIGINT)"
+            ).alias("cum_capture_ppm"),
+            F.expr("CAST((n_pos * total * 1000) div (n * total_pos) AS BIGINT)").alias(
+                "lift_milli"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4x: mixed-script / confusable-character gate
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_script_mix",
+    """
+    WITH c AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[a-zA-Z]')) AS n_latin,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS n_nonascii,
+             len(text) AS n_all
+      FROM documents
+    ),
+    f AS (
+      SELECT source,
+             CAST(n_nonascii * 1000000 // GREATEST(n_all, 1) AS BIGINT) AS na_ppm,
+             CASE WHEN n_nonascii > 0 AND n_latin > 0
+                   AND n_nonascii * 1000000 // GREATEST(n_all, 1) BETWEEN 1 AND 300000
+                  THEN 1 ELSE 0 END AS mixed
+      FROM c
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(mixed) AS BIGINT) AS n_mixed,
+           CAST(SUM(mixed) * 1000000 // COUNT(*) AS BIGINT) AS mixed_ppm,
+           CAST(SUM(na_ppm) // COUNT(*) AS BIGINT) AS mean_nonascii_ppm
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4x mixed-script gate: per source, the share of documents that
+    mix Latin letters with a MINORITY of non-ASCII characters (1 ppm
+    to 30%) — the homoglyph/confusable signature of spam, SEO cloaking
+    and phishing text (Cyrillic 'о' inside English words), and a data
+    bug signature (mojibake) — versus documents that are legitimately
+    non-Latin (majority non-ASCII passes the gate).  Completes the L4
+    quality axis with the script dimension next to length/stopword
+    (L4), repetition (L4h) and readability (L4u).
+
+    Determinism: regexp character-class counts and floor-division ppm
+    — integers only.
+
+    Plan shape: counting happens in the scan projection (no explode),
+    one aggregate to K source rows."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.select(
+        "source",
+        F.size(F.expr("regexp_extract_all(text, '[a-zA-Z]', 0)")).alias("n_latin"),
+        F.size(F.expr(r"regexp_extract_all(text, '[^\\x00-\\x7F]', 0)")).alias(
+            "n_nonascii"
+        ),
+        F.length("text").alias("n_all"),
+    )
+    f = c.select(
+        "source",
+        F.expr("CAST(n_nonascii * 1000000 div GREATEST(n_all, 1) AS BIGINT)").alias(
+            "na_ppm"
+        ),
+        F.when(
+            (F.col("n_nonascii") > 0)
+            & (F.col("n_latin") > 0)
+            & F.expr(
+                "n_nonascii * 1000000 div GREATEST(n_all, 1) BETWEEN 1 AND 300000"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("mixed"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("mixed").cast("long").alias("n_mixed"),
+            F.expr("CAST(sum(mixed) * 1000000 div count(*) AS BIGINT)").alias(
+                "mixed_ppm"
+            ),
+            F.expr("CAST(sum(na_ppm) div count(*) AS BIGINT)").alias(
+                "mean_nonascii_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L18: token-budget apportionment (largest-remainder rounding)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 1_000_000
+
+
+@query(
+    "corpus_token_budget",
+    f"""
+    WITH s AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
+    q AS (
+      SELECT source, w,
+             CAST((w * {_BUDGET_TOKENS}) // tw AS BIGINT) AS fl,
+             CAST((w * {_BUDGET_TOKENS}) % tw AS BIGINT) AS rem
+      FROM s CROSS JOIN t
+    ),
+    r AS (
+      SELECT source, w, fl, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             CAST({_BUDGET_TOKENS} - SUM(fl) OVER () AS BIGINT) AS short
+      FROM q
+    )
+    SELECT source, w AS weight_chars, fl AS floor_alloc,
+           CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM r ORDER BY source
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18 token-budget apportionment: split a fixed training budget
+    of {_BUDGET_TOKENS} tokens across sources proportionally to their
+    character mass with Hamilton largest-remainder rounding — the
+    allocations sum EXACTLY to the budget (naive per-source rounding
+    misses by up to K/2 tokens and a 100B-token run misses by
+    millions), each source within 1 of its exact quota.  The
+    apportionment feeds L7b's quota sampler; the same row reallocates
+    any budget (GPU-hours, eval samples) across any key.
+
+    Determinism: exact integer floor-division quotas and remainders;
+    the remainder distribution ranks on (rem DESC, source) — unique.
+
+    Plan shape: one aggregate to K source rows, a 1-row total
+    broadcast, two K-row windows.  Metadata query at any SF."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("w"))
+    t = s.agg(F.sum("w").cast("long").alias("tw"))
+    q = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "w",
+        F.expr(f"CAST((w * {_BUDGET_TOKENS}) div tw AS BIGINT)").alias("fl"),
+        F.expr(f"CAST((w * {_BUDGET_TOKENS}) % tw AS BIGINT)").alias("rem"),
+    )
+    r = q.select(
+        "source",
+        "w",
+        "fl",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "source")).alias("rk"),
+        F.expr(f"CAST({_BUDGET_TOKENS} - sum(fl) OVER () AS BIGINT)").alias("short"),
+    )
+    return r.select(
+        "source",
+        F.col("w").alias("weight_chars"),
+        F.col("fl").alias("floor_alloc"),
+        (F.col("fl") + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("source")

@@ -117,6 +117,10 @@ ALLOW_NESTED_LOOP = {
     "join_bloom_prune",
     # 1-row totals frame onto the 5-row lateness histogram
     "events_lateness_histogram",
+    # 1-row totals frame onto the 10-row decile gains table
+    "eval_lift_gains",
+    # 1-row budget-total frame onto the K-source quota table
+    "corpus_token_budget",
     # 1-row (train total, vocab size) OOV-logprob frame onto the
     # held-out token stream
     "eval_perplexity_holdout",
