@@ -206,6 +206,8 @@ HEADLINE = [
     "eval_lift_gains",
     "text_script_mix",
     "corpus_token_budget",
+    "events_bootstrap_ci",
+    "orders_price_index",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

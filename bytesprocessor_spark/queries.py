@@ -746,6 +746,8 @@ _CHECK_ORDER = [
     "eval_lift_gains",
     "text_script_mix",
     "corpus_token_budget",
+    "events_bootstrap_ci",
+    "orders_price_index",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bytesprocessor_spark.functions.text import token_count, tokenize
-from bytesprocessor_spark.queries import _t, query
+from bytesprocessor_spark.queries import _t, cents, query
 from bytesprocessor_spark.queries_llm import _DUCK_TOKS
 
 # Bloom geometry: m = 65536 positions, k = 3 independent affine hashes.
@@ -1731,3 +1731,205 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# A48: hash-seeded Bayesian-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 50  # bootstrap replicas
+
+
+@query(
+    "events_bootstrap_ci",
+    f"""
+    WITH x AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT b.b, x.v,
+             CAST(ROUND(-LN((CAST('0x' || substr(md5(x.event_id || ':' || b.b), 1, 15)
+                              AS BIGINT) % 1000000 + 0.5) / 1000000.0) * 1000)
+                  AS BIGINT) AS w
+      FROM x CROSS JOIN (SELECT UNNEST(range(1, {_BOOT_B} + 1)) AS b) b
+    ),
+    m AS (
+      SELECT b, CAST(SUM(w * v) // SUM(w) AS BIGINT) AS mean_cents
+      FROM r GROUP BY b
+    ),
+    o AS (
+      SELECT mean_cents, ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rk FROM m
+    )
+    SELECT
+      CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+      (SELECT CAST(SUM(v) // COUNT(*) AS BIGINT) FROM x) AS point_mean_cents,
+      (SELECT mean_cents FROM o WHERE rk = 2) AS ci_lo_cents,
+      (SELECT mean_cents FROM o WHERE rk = {_BOOT_B - 1}) AS ci_hi_cents
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48 bootstrap confidence interval for the mean purchase value —
+    the distribution-free uncertainty readout when no closed-form SE
+    applies (medians, ratios, trimmed means all reuse this harness).
+    Bayesian-bootstrap form (Rubin'81): each replica reweights every
+    row with an Exponential(1) draw instead of multinomial resampling,
+    which is the ONE-PASS distributed shape — no per-replica reshuffle
+    of the data, just a bounded x{_BOOT_B} fan-out and {_BOOT_B}
+    weighted means from the same scan.  The draws are md5-seeded
+    (event_id x replica), so the interval is REPRODUCIBLE run to run.
+    CI bounds are the 2nd/49th order statistics of the 50 replica
+    means (the 95% percentile interval on the replica grid).
+
+    Determinism: uniform draws on the 1e6 md5 grid; -ln(u) milli-
+    quantized BEFORE the weighted sums (w*v products < 2^53 through
+    sf~10, the documented Gram-matrix bound); replica means are exact
+    integer floor divisions; order statistics rank on (mean, b).
+
+    Plan shape: one scan with a constant x{_BOOT_B} explode feeding a
+    single {_BOOT_B}-group partial aggregate (map-side combined); the
+    quantile selection runs over {_BOOT_B} rows."""
+    ev = _t(spark, sf_dir, "events")
+    from bytesprocessor_spark.queries_curation import _h60
+
+    x = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    r = x.select(
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "v",
+        F.round(
+            -F.log(
+                (
+                    _h60(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    )
+                    % 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    m = r.groupBy("b").agg(
+        F.expr("CAST(sum(w * v) div sum(w) AS BIGINT)").alias("mean_cents")
+    )
+    o = m.select(
+        "mean_cents",
+        F.row_number().over(Window.orderBy("mean_cents", "b")).alias("rk"),
+    )
+    lo = o.where(F.col("rk") == 2).select(F.col("mean_cents").alias("ci_lo_cents"))
+    hi = o.where(F.col("rk") == _BOOT_B - 1).select(
+        F.col("mean_cents").alias("ci_hi_cents")
+    )
+    pt = x.agg(F.expr("CAST(sum(v) div count(*) AS BIGINT)").alias("point_mean_cents"))
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+            "point_mean_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A49: Laspeyres price index (base-period-weighted inflation readout)
+# ---------------------------------------------------------------------------
+
+_LASP_BASE_YEAR = 1995
+
+
+@query(
+    "orders_price_index",
+    f"""
+    WITH li AS (
+      SELECT l_partkey,
+             EXTRACT(year FROM l_shipdate) AS yr,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) BETWEEN {_LASP_BASE_YEAR} AND 2000
+    ),
+    pp AS (
+      SELECT l_partkey, yr,
+             CAST(SUM(price_c) * 1000 // SUM(qty_c) AS BIGINT) AS unit_milli,
+             CAST(SUM(qty_c) AS BIGINT) AS q
+      FROM li GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, unit_milli AS p0, q AS q0 FROM pp
+      WHERE yr = {_LASP_BASE_YEAR}
+    )
+    SELECT pp.yr,
+           COUNT(*) AS n_parts,
+           CAST(SUM(pp.unit_milli * base.q0 // 1000) AS BIGINT) AS basket_now_c,
+           CAST(SUM(base.p0 * base.q0 // 1000) AS BIGINT) AS basket_base_c,
+           CAST(SUM(pp.unit_milli * base.q0 // 1000) * 1000
+                // SUM(base.p0 * base.q0 // 1000) AS BIGINT) AS index_milli
+    FROM pp JOIN base USING (l_partkey)
+    WHERE pp.yr > {_LASP_BASE_YEAR}
+    GROUP BY pp.yr ORDER BY pp.yr
+    """,
+)
+def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49 Laspeyres price index: the {_LASP_BASE_YEAR} basket
+    (base-year quantities) re-priced at each later year's per-part
+    unit price, divided by its base-year cost — the fixed-basket
+    inflation readout (CPI construction) a revenue dashboard needs to
+    separate price movement from volume movement; only parts traded in
+    BOTH periods enter each year's basket (matched-model rule).
+
+    Determinism: per-(part, year) unit prices are exact integer
+    floor-division milli-cents; basket terms floor to cents before the
+    exact integer sums; the index is one floor division.
+
+    Plan shape: one (part, year) partial aggregate absorbs the scan;
+    the base-year slice self-joins back on partkey (co-partitioned —
+    same key as the aggregate); K-year output."""
+    li = _t(spark, sf_dir, "lineitem")
+    l = li.where(
+        F.year("l_shipdate").between(_LASP_BASE_YEAR, 2000)
+    ).select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        cents(F.col("l_quantity")).alias("qty_c"),
+    )
+    pp = l.groupBy("l_partkey", "yr").agg(
+        F.expr("CAST(sum(price_c) * 1000 div sum(qty_c) AS BIGINT)").alias(
+            "unit_milli"
+        ),
+        F.sum("qty_c").cast("long").alias("q"),
+    )
+    base = pp.where(F.col("yr") == _LASP_BASE_YEAR).select(
+        "l_partkey", F.col("unit_milli").alias("p0"), F.col("q").alias("q0")
+    )
+    return (
+        pp.where(F.col("yr") > _LASP_BASE_YEAR)
+        .join(base, "l_partkey")
+        .groupBy("yr")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.expr("unit_milli * q0 div 1000")).cast("long").alias("basket_now_c"),
+            F.sum(F.expr("p0 * q0 div 1000")).cast("long").alias("basket_base_c"),
+            F.expr(
+                "CAST(sum(unit_milli * q0 div 1000) * 1000"
+                " div sum(p0 * q0 div 1000) AS BIGINT)"
+            ).alias("index_milli"),
+        )
+        .orderBy("yr")
+    )

@@ -121,6 +121,9 @@ ALLOW_NESTED_LOOP = {
     "eval_lift_gains",
     # 1-row budget-total frame onto the K-source quota table
     "corpus_token_budget",
+    # three 1-row frames (point mean, CI lo, CI hi) cross-joined into
+    # the single readout row
+    "events_bootstrap_ci",
     # 1-row (train total, vocab size) OOV-logprob frame onto the
     # held-out token stream
     "eval_perplexity_holdout",
