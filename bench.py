@@ -208,6 +208,8 @@ HEADLINE = [
     "corpus_token_budget",
     "events_bootstrap_ci",
     "orders_price_index",
+    "dedup_cluster_sizes",
+    "quality_uniqueness",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

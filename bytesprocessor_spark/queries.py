@@ -748,6 +748,8 @@ _CHECK_ORDER = [
     "corpus_token_budget",
     "events_bootstrap_ci",
     "orders_price_index",
+    "dedup_cluster_sizes",
+    "quality_uniqueness",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -1933,3 +1933,196 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2g: near-dup cluster-size telemetry
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_cluster_sizes",
+    """
+    WITH RECURSIVE w3 AS (SELECT doc_id,
+                  list_distinct([array_to_string(tk[i:i+2], ' ')
+                                 for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS shingles
+           FROM (SELECT doc_id,
+                        [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                         if len(x) > 0] AS tk
+                 FROM documents)),
+    t  AS (SELECT doc_id, unnest(shingles) AS g FROM w3),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM w3),
+    i  AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    p  AS (SELECT id_a, id_b
+           FROM i JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+           WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+    e  AS (SELECT id_a AS a, id_b AS b FROM p
+           UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT d2.doc_id,
+             CAST(COALESCE(LEAST(d2.doc_id, MIN(r.b)), d2.doc_id) AS BIGINT)
+               AS component
+      FROM documents d2 LEFT JOIN reach r ON r.a = d2.doc_id
+      GROUP BY d2.doc_id
+    ),
+    cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize FROM comp GROUP BY 1)
+    SELECT csize AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(csize * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((csize - 1) * COUNT(*) AS BIGINT) AS n_dropped
+    FROM cs GROUP BY csize ORDER BY csize
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2g near-dup cluster-size telemetry: the size histogram of the
+    transitive near-dup families (L2b's components) — the dedup
+    DASHBOARD row: singletons = clean mass, long tail of big families
+    = template/boilerplate infestation (each size-s family drops s-1
+    docs, so n_dropped totals the dedup yield loss and its
+    distribution says whether one mega-cluster or many pairs caused
+    it).  Same edges (word-3-gram Jaccard >= 0.5) and the same
+    connected components as dedup_cluster_keep; the oracle recomputes
+    the closure with a recursive CTE.
+
+    Determinism: set arithmetic and integer counts only.
+
+    Plan shape: the pair scan and min-label iterations are L2b's
+    (shingle-keyed shuffles, localCheckpoint rounds); the histogram
+    is two bounded aggregates on top."""
+    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
+    from bytesprocessor_spark.operators.graph import cluster_keep
+    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
+    comp = cluster_keep(docs, pairs.select("id_a", "id_b"))
+    cs = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return (
+        cs.groupBy(F.col("csize").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16: uniqueness / key-candidate audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_uniqueness",
+    """
+    WITH cols AS (
+      SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    vc AS (
+      SELECT col, v, CAST(COUNT(*) AS BIGINT) AS c FROM cols GROUP BY col, v
+    ),
+    agg AS (
+      SELECT col,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM vc GROUP BY col
+    ),
+    top AS (
+      SELECT vc.col, MIN(vc.v) AS top_value
+      FROM vc JOIN agg ON vc.col = agg.col AND vc.c = agg.top_count
+      GROUP BY vc.col
+    )
+    SELECT agg.col, n_rows, n_distinct,
+           CAST(n_distinct * 1000000 // n_rows AS BIGINT) AS distinct_ppm,
+           n_distinct = n_rows AS is_key_candidate,
+           top.top_value,
+           CAST(top_count * 1000000 // n_rows AS BIGINT) AS top_share_ppm
+    FROM agg JOIN top ON agg.col = top.col
+    ORDER BY agg.col
+    """,
+)
+def quality_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 uniqueness / key-candidate audit: per audited column, the
+    distinct ratio (ppm), an exact is-this-a-key verdict, and the
+    modal value with its share — the PROFILING row that discovers
+    primary-key candidates (distinct == rows), near-keys (dedup
+    targets), and degenerate columns (one value dominating) before a
+    model or a MERGE trusts the column.  Complements Q5's numeric
+    profile card and Q13's entropy with the identity axis.
+
+    Determinism: counts, floor-division ppm, and a MIN tiebreak on
+    the modal value.
+
+    Plan shape: a pruned per-branch union (each branch scans ONE
+    column), one (col, value) aggregate, then K-row work; the modal
+    lookup joins the cardinality-bounded value-count table against
+    its own K-row maxima."""
+    orders = _t(spark, sf_dir, "orders")
+    branches = [
+        orders.select(
+            F.lit("o_orderkey").alias("col"),
+            F.col("o_orderkey").cast("string").alias("v"),
+        ),
+        orders.select(
+            F.lit("o_custkey").alias("col"),
+            F.col("o_custkey").cast("string").alias("v"),
+        ),
+        orders.select(
+            F.lit("o_orderstatus").alias("col"), F.col("o_orderstatus").alias("v")
+        ),
+        orders.select(
+            F.lit("o_orderpriority").alias("col"), F.col("o_orderpriority").alias("v")
+        ),
+    ]
+    cols = branches[0]
+    for b in branches[1:]:
+        cols = cols.unionAll(b)
+    vc = cols.groupBy("col", "v").agg(F.count("*").cast("long").alias("c"))
+    agg = vc.groupBy("col").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    top = (
+        vc.join(
+            F.broadcast(agg.select("col", "top_count")),
+            ["col"],
+        )
+        .where(F.col("c") == F.col("top_count"))
+        .groupBy("col")
+        .agg(F.min("v").alias("top_value"))
+    )
+    return (
+        agg.join(F.broadcast(top), "col")
+        .select(
+            "col",
+            "n_rows",
+            "n_distinct",
+            F.expr("CAST(n_distinct * 1000000 div n_rows AS BIGINT)").alias(
+                "distinct_ppm"
+            ),
+            (F.col("n_distinct") == F.col("n_rows")).alias("is_key_candidate"),
+            "top_value",
+            F.expr("CAST(top_count * 1000000 div n_rows AS BIGINT)").alias(
+                "top_share_ppm"
+            ),
+        )
+        .orderBy("col")
+    )
