@@ -210,6 +210,9 @@ HEADLINE = [
     "orders_price_index",
     "dedup_cluster_sizes",
     "quality_uniqueness",
+    "orders_mix_shift",
+    "orders_xyz_classes",
+    "text_template_mining",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -750,6 +750,9 @@ _CHECK_ORDER = [
     "orders_price_index",
     "dedup_cluster_sizes",
     "quality_uniqueness",
+    "orders_mix_shift",
+    "orders_xyz_classes",
+    "text_template_mining",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

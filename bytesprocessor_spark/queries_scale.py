@@ -2126,3 +2126,270 @@ def quality_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# A50: mix-shift decomposition (Oaxaca-Blinder-lite)
+# ---------------------------------------------------------------------------
+
+_MIX_SPLIT = "1998-01-01 00:00:00"
+
+
+@query(
+    "orders_mix_shift",
+    f"""
+    WITH o AS (
+      SELECT o_orderpriority AS seg,
+             CASE WHEN o_orderdate < TIMESTAMP '{_MIX_SPLIT}' THEN 0 ELSE 1 END AS era,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    c AS (
+      SELECT seg, era, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+      FROM o GROUP BY seg, era
+    ),
+    t AS (
+      SELECT era, CAST(SUM(n) AS BIGINT) AS tn FROM c GROUP BY era
+    ),
+    m AS (
+      SELECT c.seg,
+             MAX(CASE WHEN c.era = 0 THEN n * 1000000 // tn END) AS share0_ppm,
+             MAX(CASE WHEN c.era = 1 THEN n * 1000000 // tn END) AS share1_ppm,
+             MAX(CASE WHEN c.era = 0 THEN s // n END) AS rate0_c,
+             MAX(CASE WHEN c.era = 1 THEN s // n END) AS rate1_c
+      FROM c JOIN t ON c.era = t.era
+      GROUP BY c.seg
+    )
+    SELECT seg,
+           CAST(share0_ppm AS BIGINT) AS share0_ppm,
+           CAST(share1_ppm AS BIGINT) AS share1_ppm,
+           CAST(rate0_c AS BIGINT) AS rate0_cents,
+           CAST(rate1_c AS BIGINT) AS rate1_cents,
+           CAST((share1_ppm - share0_ppm) * rate0_c // 1000000 AS BIGINT)
+             AS mix_effect_cents,
+           CAST(share1_ppm * (rate1_c - rate0_c) // 1000000 AS BIGINT)
+             AS rate_effect_cents
+    FROM m ORDER BY seg
+    """,
+)
+def orders_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50 mix-shift decomposition of the average order value change
+    between eras (Oaxaca-Blinder / price-volume-mix form): per
+    segment, delta = (share1 - share0) * rate0  [mix effect: the
+    segment grew or shrank]  +  share1 * (rate1 - rate0)  [rate
+    effect: the segment itself got more/less valuable].  Summed over
+    segments the two columns reconstruct the era-over-era AOV change
+    exactly — the decomposition that answers 'did our metric move
+    because behavior changed, or because WHO shows up changed?', which
+    a plain A/B delta conflates.
+
+    Determinism: integer counts, cents sums, floor-division shares and
+    rates; effects are exact integer products floored once.
+
+    Plan shape: one (segment, era) conditional aggregate absorbs the
+    scan; era totals re-aggregate the K x 2 cell table; everything
+    after is K-row work."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_MIX_SPLIT).cast("timestamp"), 0
+        ).otherwise(1).alias("era"),
+        cents(F.col("o_totalprice")).alias("v"),
+    )
+    c = o.groupBy("seg", "era").agg(
+        F.count("*").cast("long").alias("n"), F.sum("v").cast("long").alias("s")
+    )
+    t = c.groupBy("era").agg(F.sum("n").cast("long").alias("tn"))
+    m = (
+        c.join(F.broadcast(t), "era")
+        .groupBy("seg")
+        .agg(
+            F.max(F.when(F.col("era") == 0, F.expr("n * 1000000 div tn"))).alias(
+                "share0_ppm"
+            ),
+            F.max(F.when(F.col("era") == 1, F.expr("n * 1000000 div tn"))).alias(
+                "share1_ppm"
+            ),
+            F.max(F.when(F.col("era") == 0, F.expr("s div n"))).alias("rate0_c"),
+            F.max(F.when(F.col("era") == 1, F.expr("s div n"))).alias("rate1_c"),
+        )
+    )
+    return m.select(
+        "seg",
+        F.col("share0_ppm").cast("long").alias("share0_ppm"),
+        F.col("share1_ppm").cast("long").alias("share1_ppm"),
+        F.col("rate0_c").cast("long").alias("rate0_cents"),
+        F.col("rate1_c").cast("long").alias("rate1_cents"),
+        F.expr(
+            "CAST((share1_ppm - share0_ppm) * rate0_c div 1000000 AS BIGINT)"
+        ).alias("mix_effect_cents"),
+        F.expr(
+            "CAST(share1_ppm * (rate1_c - rate0_c) div 1000000 AS BIGINT)"
+        ).alias("rate_effect_cents"),
+    ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# A51: XYZ demand-variability classes (the ABC companion)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_xyz_classes",
+    """
+    WITH d AS (
+      SELECT l_partkey,
+             EXTRACT(year FROM l_shipdate) * 12 + EXTRACT(month FROM l_shipdate) AS mth,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS q
+      FROM lineitem
+    ),
+    pm AS (
+      SELECT l_partkey, mth, CAST(SUM(q) AS BIGINT) AS mq FROM d GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(SUM(mq) AS BIGINT) AS s1,
+             CAST(SUM(mq * mq) AS BIGINT) AS s2
+      FROM pm GROUP BY 1 HAVING COUNT(*) >= 3
+    ),
+    cv AS (
+      SELECT l_partkey,
+             CAST(ROUND(SQRT(CAST(n_months * s2 - s1 * s1 AS DOUBLE)
+                             / (n_months * (n_months - 1)))
+                        / (CAST(s1 AS DOUBLE) / n_months) * 1000) AS BIGINT)
+               AS cv_milli
+      FROM s
+    )
+    SELECT CASE WHEN cv_milli < 500 THEN 'X_stable'
+                WHEN cv_milli < 1000 THEN 'Y_variable'
+                ELSE 'Z_erratic' END AS xyz_class,
+           COUNT(*) AS n_parts,
+           CAST(MIN(cv_milli) AS BIGINT) AS min_cv_milli,
+           CAST(MAX(cv_milli) AS BIGINT) AS max_cv_milli
+    FROM cv GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51 XYZ demand-variability classification: per part, the
+    coefficient of variation of monthly demand (Bessel stddev / mean,
+    milli-quantized) cut at the standard 0.5 / 1.0 boundaries —
+    X parts forecast well (A45's naive baselines suffice), Z parts
+    don't (safety stock, not forecasts).  The variability companion of
+    A33's ABC revenue classes; crossing the two tables yields the
+    ABC-XYZ planning matrix.
+
+    Determinism: exact int64 monthly sums and moments; the CV is one
+    pinned double tree (Bessel n*s2-s1^2 form, the A43 idiom)
+    quantized once; class cuts are integer comparisons.
+
+    Plan shape: one (part, month) partial agg absorbs the scan, one
+    part-level moment agg, 3-row readout."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mth"),
+        cents(F.col("l_quantity")).alias("q"),
+    )
+    pm = d.groupBy("l_partkey", "mth").agg(F.sum("q").cast("long").alias("mq"))
+    s = (
+        pm.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n_months"),
+            F.sum("mq").cast("long").alias("s1"),
+            F.sum(F.col("mq") * F.col("mq")).cast("long").alias("s2"),
+        )
+        .where(F.col("n_months") >= 3)
+    )
+    cv = s.select(
+        F.round(
+            F.sqrt(
+                (F.col("n_months") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                    "double"
+                )
+                / (F.col("n_months") * (F.col("n_months") - 1))
+            )
+            / (F.col("s1").cast("double") / F.col("n_months"))
+            * 1000
+        )
+        .cast("long")
+        .alias("cv_milli")
+    )
+    cls = (
+        F.when(F.col("cv_milli") < 500, "X_stable")
+        .when(F.col("cv_milli") < 1000, "Y_variable")
+        .otherwise("Z_erratic")
+    )
+    return (
+        cv.groupBy(cls.alias("xyz_class"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("cv_milli").cast("long").alias("min_cv_milli"),
+            F.max("cv_milli").cast("long").alias("max_cv_milli"),
+        )
+        .orderBy("xyz_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4y: template mining (Drain-lite log/boilerplate skeletons)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_template_mining",
+    """
+    WITH c AS (
+      SELECT source,
+             substr(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                                        '\\s+', ' ', 'g')), 1, 60) AS tpl
+      FROM documents
+    ),
+    g AS (
+      SELECT tpl, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM c GROUP BY tpl HAVING COUNT(*) >= 2
+    )
+    SELECT tpl AS template_prefix, n, n_sources
+    FROM g ORDER BY n DESC, tpl LIMIT 10
+    """,
+)
+def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4y template mining (Drain-lite): normalize digit runs to '#'
+    and whitespace to single spaces, then surface skeletons appearing
+    >= 2 times — the boilerplate/log-template/generated-text detector
+    (a template with a high count and many sources is sitewide chrome;
+    one source is a template spammer).  The n-gram dedup family (L2d
+    spans, L4h repetition) finds repeated SUBSTRINGS; this finds
+    whole-document skeletons that differ only in the numbers.
+
+    Determinism: regex normalization and counts; top-10 ordered on
+    (n DESC, template) — unique.
+
+    Plan shape: normalization in the scan projection, one template
+    aggregate, TakeOrdered top-10."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.select(
+        "source",
+        F.substring(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), "[0-9]+", "#"), "\\s+", " "
+                )
+            ),
+            1,
+            60,
+        ).alias("tpl"),
+    )
+    g = (
+        c.groupBy("tpl")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    return (
+        g.select(F.col("tpl").alias("template_prefix"), "n", "n_sources")
+        .orderBy(F.col("n").desc(), F.col("template_prefix"))
+        .limit(10)
+    )
