@@ -213,6 +213,8 @@ HEADLINE = [
     "orders_mix_shift",
     "orders_xyz_classes",
     "text_template_mining",
+    "eval_fairness_parity",
+    "events_runs_test",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -753,6 +753,8 @@ _CHECK_ORDER = [
     "orders_mix_shift",
     "orders_xyz_classes",
     "text_template_mining",
+    "eval_fairness_parity",
+    "events_runs_test",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -2393,3 +2393,209 @@ def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("template_prefix"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# EV15: fairness parity audit (demographic parity + equalized odds)
+# ---------------------------------------------------------------------------
+
+_FAIR_SEL = 300000       # select scores < 0.30 on the 1e6 md5 grid
+_FAIR_VALUE_C = 15000000  # 'high-value' label: total price >= $150,000
+
+
+@query(
+    "eval_fairness_parity",
+    f"""
+    WITH s AS (
+      SELECT o_orderpriority AS grp,
+             (CAST('0x' || substr(md5('fair:' || o_orderkey), 1, 15) AS BIGINT)
+              % 1000000 < {_FAIR_SEL}) AS sel,
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) >= {_FAIR_VALUE_C}) AS pos
+      FROM orders
+    ),
+    g AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+             CAST(SUM(CASE WHEN sel AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN sel AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp
+      FROM s GROUP BY grp
+    ),
+    t AS (
+      SELECT CAST(SUM(n_sel) * 1000000 // SUM(n) AS BIGINT) AS overall_sel_ppm
+      FROM g
+    )
+    SELECT grp, n,
+           CAST(n_sel * 1000000 // n AS BIGINT) AS sel_ppm,
+           CAST(tp * 1000000 // GREATEST(np, 1) AS BIGINT) AS tpr_ppm,
+           CAST(fp * 1000000 // GREATEST(n - np, 1) AS BIGINT) AS fpr_ppm,
+           CAST(n_sel * 1000000 // n - overall_sel_ppm AS BIGINT) AS parity_gap_ppm
+    FROM g CROSS JOIN t
+    ORDER BY grp
+    """,
+)
+def eval_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV15 fairness parity audit of a selection policy across groups:
+    per group, the selection rate (demographic parity axis), TPR and
+    FPR against the outcome label (equalized-odds axes, Hardt et al.
+    NeurIPS'16), and the gap between the group's selection rate and
+    the overall one — the pre-deployment review a scored policy gets
+    before it gates anything that matters.  Here the policy is the
+    pinned md5 proxy score and the label is the high-value-order flag;
+    swap in any score/label/group columns.
+
+    Determinism: integer counts and floor-division ppm rates; the md5
+    policy is the eval family's fold idiom.
+
+    Plan shape: one conditional aggregate to K group rows + a 1-row
+    overall broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    from bytesprocessor_spark.queries_curation import _h60
+
+    s = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        (
+            _h60(F.concat(F.lit("fair:"), F.col("o_orderkey").cast("string")))
+            % 1000000
+            < _FAIR_SEL
+        ).alias("sel"),
+        (cents(F.col("o_totalprice")) >= _FAIR_VALUE_C).alias("pos"),
+    )
+    g = s.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("sel"), 1).otherwise(0)).cast("long").alias("n_sel"),
+        F.sum(F.when(F.col("sel") & F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("np"),
+        F.sum(F.when(F.col("sel") & ~F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+    )
+    t = g.agg(
+        F.expr("CAST(sum(n_sel) * 1000000 div sum(n) AS BIGINT)").alias(
+            "overall_sel_ppm"
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "grp",
+            "n",
+            F.expr("CAST(n_sel * 1000000 div n AS BIGINT)").alias("sel_ppm"),
+            F.expr("CAST(tp * 1000000 div GREATEST(np, 1) AS BIGINT)").alias(
+                "tpr_ppm"
+            ),
+            F.expr("CAST(fp * 1000000 div GREATEST(n - np, 1) AS BIGINT)").alias(
+                "fpr_ppm"
+            ),
+            F.expr(
+                "CAST(n_sel * 1000000 div n - overall_sel_ppm AS BIGINT)"
+            ).alias("parity_gap_ppm"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A52: Wald-Wolfowitz runs test (randomness of the daily series)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_runs_test",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, day,
+             CASE WHEN n > LAG(n) OVER w THEN 1
+                  WHEN n < LAG(n) OVER w THEN -1 END AS sgn
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    s AS (SELECT event_type, day, sgn FROM d WHERE sgn IS NOT NULL),
+    r AS (
+      SELECT event_type, sgn,
+             CASE WHEN sgn <> LAG(sgn) OVER (PARTITION BY event_type ORDER BY day)
+                   OR LAG(sgn) OVER (PARTITION BY event_type ORDER BY day) IS NULL
+                  THEN 1 ELSE 0 END AS new_run
+      FROM s
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(new_run) AS BIGINT) AS n_runs,
+             CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_runs, n_up, n_down,
+           CAST(ROUND((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+                      / SQRT(2.0 * n_up * n_down
+                             * (2.0 * n_up * n_down - n_up - n_down)
+                             / ((CAST(n_up + n_down AS DOUBLE))
+                                * (n_up + n_down)
+                                * (n_up + n_down - 1)))
+                      * 1000) AS BIGINT) AS z_milli
+    FROM agg ORDER BY event_type
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52 Wald-Wolfowitz runs test on the up/down sign sequence of
+    each type's daily counts: too FEW runs = trending/sticky
+    (autocorrelated, violates the independence the A18/A43 readouts
+    assume), too MANY = oscillating (overdispersion, a load-balancer
+    or batching artifact) — the randomness sanity check that runs
+    BEFORE any i.i.d.-assuming test touches a time series, next to
+    A34's ACF (which measures the correlation this detects).
+
+    Determinism: signs, run starts and counts are exact integers over
+    a unique (type, day) order; z is one pinned double tree
+    milli-quantized (the A40 idiom).
+
+    Plan shape: one (type, day) partial agg absorbs the scan; two
+    type-partitioned windows over calendar-bounded series; K-row
+    readout."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        "day",
+        F.when(F.col("n") > F.lag("n").over(w), 1)
+        .when(F.col("n") < F.lag("n").over(w), -1)
+        .alias("sgn"),
+    ).where(F.col("sgn").isNotNull())
+    r = d.select(
+        "event_type",
+        "sgn",
+        F.when(
+            (F.col("sgn") != F.lag("sgn").over(w)) | F.lag("sgn").over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = r.groupBy("event_type").agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).cast("long").alias("n_down"),
+    )
+    nu, nd = F.col("n_up").cast("double"), F.col("n_down").cast("double")
+    tot = nu + nd
+    mu = 2.0 * nu * nd / tot + 1
+    var = (
+        2.0 * nu * nd * (2.0 * nu * nd - nu - nd) / (tot * tot * (tot - 1))
+    )
+    return agg.select(
+        "event_type",
+        "n_runs",
+        "n_up",
+        "n_down",
+        F.round((F.col("n_runs") - mu) / F.sqrt(var) * 1000).cast("long").alias(
+            "z_milli"
+        ),
+    ).orderBy("event_type")
