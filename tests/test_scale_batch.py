@@ -1,0 +1,236 @@
+"""Recompute / invariant tests for the queries_scale.py batch.
+
+Each row already hash-checks against its DuckDB oracle; these pin the
+ALGEBRAIC contracts the oracle comparison can't express (identities,
+bounds, fixpoints) — the house standard for every registry family.
+"""
+
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    """Bloom filters never drop a true match: n_match <= n_bloom_pass
+    per priority class, and false positives account for the exact gap."""
+    rows = QUERIES["join_bloom_prune"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_match <= r.n_bloom_pass <= r.n_orders
+        assert r.n_false_pos == r.n_bloom_pass - r.n_match
+
+
+def test_stl_decompose_additive_identity(spark):
+    """trend + seasonal + residual reconstructs the series exactly in
+    micro units — the decomposition is lossless by construction."""
+    rows = QUERIES["events_stl_decompose"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.trend_micro + r.seasonal_micro + r.resid_micro == r.n * 1_000_000
+
+
+def test_token_budget_sums_exactly(spark):
+    """Largest-remainder apportionment: allocations sum EXACTLY to the
+    budget and each source is within 1 of its exact quota."""
+    rows = QUERIES["corpus_token_budget"](spark, SF_DIR).collect()
+    budget = 1_000_000
+    assert sum(r.alloc for r in rows) == budget
+    total_w = sum(r.weight_chars for r in rows)
+    for r in rows:
+        exact = r.weight_chars * budget / total_w
+        assert abs(r.alloc - exact) < 1.0 + 1e-9
+        assert r.alloc in (r.floor_alloc, r.floor_alloc + 1)
+
+
+def test_rolling_distinct_bounds(spark):
+    """WAU_7d is sandwiched: >= the day's DAU, <= the sum of the
+    window's DAUs (distinct can't exceed the sum of dailies)."""
+    rows = QUERIES["events_rolling_distinct"](spark, SF_DIR).collect()
+    assert rows
+    dau = {r.day: r.dau for r in rows}
+    days = sorted(dau)
+    for r in rows:
+        assert r.wau_7d >= r.dau
+        idx = days.index(r.day)
+        window = days[max(0, idx - 6): idx + 1]
+        assert r.wau_7d <= sum(dau[d] for d in window)
+
+
+def test_span_corruption_spans_in_bounds_and_disjoint(spark):
+    """Every span lies inside its document and spans never overlap
+    (one span per equal segment by construction)."""
+    from collections import defaultdict
+
+    rows = QUERIES["corpus_span_corruption"](spark, SF_DIR).collect()
+    assert rows
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r.start_tok >= 1 and r.span_len >= 1
+        by_doc[r.doc_id].append((r.start_tok, r.span_len))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s1 + l1 <= s2
+
+
+def test_mmr_first_pick_is_max_relevance(spark):
+    """MMR rank 1 is the pure-relevance argmax; the 5 selections are
+    distinct and carry the declared lambda identity at rank 1."""
+    rows = QUERIES["similarity_mmr_rerank"](spark, SF_DIR).collect()
+    assert [r.sel_rank for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in rows}) == 5
+    first = rows[0]
+    assert first.mmr_score == 7 * first.q_sim_micro
+    assert first.q_sim_micro == max(r.q_sim_micro for r in rows)
+
+
+def test_k_core_fixpoint_reached(spark):
+    """The pinned round budget reaches the true 2-core at fixture
+    scale: every surviving node keeps degree >= 2, and one additional
+    peel round changes nothing (the docstring's fixpoint claim)."""
+    out = QUERIES["graph_k_core"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    assert all(r.core_degree >= 2 for r in rows)
+
+    import bytesprocessor_spark.queries_scale as qs
+
+    orig = qs._KCORE_ROUNDS
+    try:
+        qs._KCORE_ROUNDS = orig + 1
+        extra = qs.graph_k_core(spark, SF_DIR).collect()
+    finally:
+        qs._KCORE_ROUNDS = orig
+    assert sorted(map(tuple, extra)) == sorted(map(tuple, rows))
+
+
+def test_bootstrap_ci_ordering(spark):
+    """CI bounds are ordered and bracket the point estimate at this
+    sample size; 50 replicas as declared."""
+    r = QUERIES["events_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    assert r.n_replicas == 50
+    assert r.ci_lo_cents <= r.ci_hi_cents
+    assert r.ci_lo_cents <= r.point_mean_cents <= r.ci_hi_cents
+
+
+def test_uniqueness_flags_primary_key(spark):
+    """o_orderkey is the table key: distinct ratio 1e6 ppm and the
+    key-candidate verdict true; priority is a low-cardinality column."""
+    rows = {r.col: r for r in QUERIES["quality_uniqueness"](spark, SF_DIR).collect()}
+    ok = rows["o_orderkey"]
+    assert ok.is_key_candidate and ok.distinct_ppm == 1_000_000
+    pr = rows["o_orderpriority"]
+    assert not pr.is_key_candidate and pr.n_distinct <= 10
+
+
+def test_mix_shift_reconstructs_delta(spark):
+    """Summed per-segment mix+rate effects reconstruct the total AOV
+    change up to the per-segment floor rounding (< 1 cent each)."""
+    rows = QUERIES["orders_mix_shift"](spark, SF_DIR).collect()
+    assert rows
+    aov0 = sum(r.share0_ppm * r.rate0_cents for r in rows) / 1_000_000
+    aov1 = sum(r.share1_ppm * r.rate1_cents for r in rows) / 1_000_000
+    effects = sum(r.mix_effect_cents + r.rate_effect_cents for r in rows)
+    assert abs(effects - (aov1 - aov0)) <= 2 * len(rows)
+
+
+def test_lift_gains_monotone_and_complete(spark):
+    """Cumulative capture is monotone and ends at 100% (1e6 ppm)."""
+    rows = QUERIES["eval_lift_gains"](spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    caps = [r.cum_capture_ppm for r in rows]
+    assert all(a <= b for a, b in zip(caps, caps[1:]))
+    assert caps[-1] == 1_000_000
+
+
+def test_price_index_matched_model(spark):
+    """Every year's basket is non-empty and the index is positive;
+    basket_base uses base-year prices so year {base}+1..2000 rows share
+    no base-period drift."""
+    rows = QUERIES["orders_price_index"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_parts > 0
+        assert r.basket_base_c > 0 and r.basket_now_c > 0
+        assert r.index_milli > 0
+
+
+def test_cluster_sizes_account_for_corpus(spark):
+    """Cluster-size histogram covers every document exactly once."""
+    rows = QUERIES["dedup_cluster_sizes"](spark, SF_DIR).collect()
+    from bytesprocessor_spark.sources.tables import load_table
+
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.n_dropped == (r.cluster_size - 1) * r.n_clusters
+
+
+def test_runs_test_run_count_bounds(spark):
+    """Runs count is between 1 and the number of signed moves; up+down
+    moves equal the signed-move count."""
+    rows = QUERIES["events_runs_test"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        moves = r.n_up + r.n_down
+        assert 1 <= r.n_runs <= moves
+
+
+def test_fairness_parity_gaps_center(spark):
+    """Selection-count-weighted parity gaps reconstruct to ~zero
+    (the overall rate is the weighted mean of group rates)."""
+    rows = QUERIES["eval_fairness_parity"](spark, SF_DIR).collect()
+    assert rows
+    n = sum(r.n for r in rows)
+    weighted_gap = sum(r.parity_gap_ppm * r.n for r in rows) / n
+    assert abs(weighted_gap) < len(rows) * 2  # floor-rounding slack
+
+
+def test_poisson_rate_counts_consistent(spark):
+    """k1+k2 equals the type's event count; exposures match the day
+    domain split."""
+    rows = QUERIES["events_poisson_rate"](spark, SF_DIR).collect()
+    from bytesprocessor_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    totals = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r.k1 + r.k2 == totals[r.event_type]
+        assert r.t1 > 0 and r.t2 > 0
+
+
+def test_oov_rate_bounds(spark):
+    """OOV counts are bounded by token totals and ppm is the floor
+    ratio."""
+    rows = QUERIES["text_oov_rate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_ppm == r.n_oov * 1_000_000 // r.n_tokens
+        assert r.n_oov_types <= r.n_oov
+
+
+def test_perplexity_holdout_positive(spark):
+    """Held-out surprisal and perplexity are positive and ppl >= 1."""
+    rows = QUERIES["eval_perplexity_holdout"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.h_micro > 0
+        assert r.ppl_milli >= 1000
+        assert 0 <= r.n_oov <= r.n_tokens
+
+
+def test_curriculum_covers_corpus_once(spark):
+    """Every document appears exactly once; positions are contiguous
+    within each stage."""
+    rows = QUERIES["corpus_curriculum"](spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    by_stage = defaultdict(list)
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        by_stage[r.stage].append(r.pos)
+    for stage, poss in by_stage.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
