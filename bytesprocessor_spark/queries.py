@@ -593,7 +593,8 @@ QUERIES.update(_NO_ORACLE)
 #     rows, then the remaining never-checked backlog (session_
 #     sequences onward), then the long-green tail.
 #
-# Every entry has a DuckDB oracle (196/196): the two formerly-
+# Every entry has a DuckDB oracle (274/274 as of the round-5 close):
+# the two formerly-
 # declared-no-oracle entries were converted in round 3 (simhash ->
 # md5 hash mode, LSH top-k -> quantized-SRP form).
 _CHECK_ORDER = [
@@ -726,8 +727,11 @@ _CHECK_ORDER = [
     "agg_histogram",
     # --- beyond the 50-entry window: remaining never-checked
     # --- entries queue for the round-6 rotation ---
-    # round-5 scale-pattern batch, added after the window filled —
-    # heads the round-6 window together with the displaced entries
+    # round-5b scale-pattern batches (queries_scale.py), added after
+    # the window filled — they head the round-6 window together with
+    # the displaced entries below; every one is local-gate green
+    # (tools/check_oracle.py sf0.01) and invariant-pinned in
+    # tests/test_scale_batch.py
     "join_bloom_prune",
     "events_stl_decompose",
     "text_oov_rate",
