@@ -215,6 +215,9 @@ HEADLINE = [
     "text_template_mining",
     "eval_fairness_parity",
     "events_runs_test",
+    "events_srm_check",
+    "orders_shipping_sla",
+    "events_hourly_profile",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

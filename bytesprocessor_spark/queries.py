@@ -759,6 +759,9 @@ _CHECK_ORDER = [
     "text_template_mining",
     "eval_fairness_parity",
     "events_runs_test",
+    "events_srm_check",
+    "orders_shipping_sla",
+    "events_hourly_profile",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

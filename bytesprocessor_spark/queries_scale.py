@@ -2599,3 +2599,204 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_milli"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A53: sample-ratio-mismatch (SRM) guardrail
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_srm_check",
+    """
+    WITH a AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 2 AS arm
+      FROM events
+    ),
+    d AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM a GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n0, n1,
+           CAST(ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) * 1000000)
+                AS BIGINT) AS chi2_micro,
+           CAST(ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) * 1000000)
+                AS BIGINT) >= 3841459 AS srm_flag
+    FROM d ORDER BY day
+    """,
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53 sample-ratio-mismatch guardrail: per day, the chi-square
+    (1 dof) of the 50/50 hash split's arm counts against its expected
+    ratio — THE experimentation trust check (Fabijan et al. KDD'19:
+    ~6% of experiments at scale carry SRM, and any imbalance means
+    assignment/logging is broken, so every downstream readout —
+    A18/A30/A38/A44 — is void for that period).  A flagged day points
+    at exactly when the pipeline broke.
+
+    Determinism: exact integer arm counts on the md5 split; chi2 is
+    one pinned double op quantized to micro (critical value 3.841459
+    held as the quantized integer).
+
+    Plan shape: one (day) conditional aggregate absorbs the scan;
+    everything after is calendar-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    from bytesprocessor_spark.queries_curation import _h60
+
+    a = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (_h60(F.col("user_id").cast("string")) % 2).alias("arm"),
+    )
+    d = a.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    chi2 = F.round(
+        ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast("double")
+        / (F.col("n0") + F.col("n1"))
+        * 1000000
+    ).cast("long")
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n0",
+        "n1",
+        chi2.alias("chi2_micro"),
+        (chi2 >= 3841459).alias("srm_flag"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# A54: shipping SLA attainment
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_shipping_sla",
+    """
+    WITH f AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, f.first_ship) AS lat_days
+      FROM orders o JOIN f ON o.o_orderkey = f.l_orderkey
+    )
+    SELECT priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN lat_days <= 30 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS within_30d_ppm,
+           CAST(SUM(CASE WHEN lat_days <= 60 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS within_60d_ppm,
+           CAST(SUM(CASE WHEN lat_days <= 90 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS within_90d_ppm,
+           CAST(MAX(lat_days) AS BIGINT) AS worst_days
+    FROM j GROUP BY priority ORDER BY priority
+    """,
+)
+def orders_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54 SLA attainment curve: share of orders whose FIRST line item
+    shipped within 30/60/90 days of order placement, per priority —
+    the operations counterpart of A37's survival curve (KM is the full
+    distribution with censoring; this is the thresholds-that-were-
+    promised readout contracts reference).  worst_days rides along as
+    the tail witness.
+
+    Determinism: integer day differences, counts, floor-division ppm.
+
+    Plan shape: one orderkey aggregate for first-ship (co-partitioned
+    with the join that follows), one join shuffle, K-row priority
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    f = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    j = orders.join(f, orders.o_orderkey == f.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("first_ship"), F.col("o_orderdate")).alias("lat_days"),
+    )
+    def ppm(days):
+        return F.expr(
+            f"CAST(sum(CASE WHEN lat_days <= {days} THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        )
+
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            ppm(30).alias("within_30d_ppm"),
+            ppm(60).alias("within_60d_ppm"),
+            ppm(90).alias("within_90d_ppm"),
+            F.max("lat_days").cast("long").alias("worst_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W18: hour-of-week load profile (capacity heatmap)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hourly_profile",
+    """
+    WITH h AS (
+      SELECT (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') % 7 AS dow,
+             EXTRACT(hour FROM ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h),
+    p AS (
+      SELECT dow, hr, n,
+             CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+             n = MAX(n) OVER (PARTITION BY dow) AS is_peak_hour
+      FROM h CROSS JOIN t
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+           n, share_ppm, is_peak_hour
+    FROM p ORDER BY dow, hr
+    """,
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18 hour-of-week load profile: the 7x24 traffic heatmap (counts,
+    share ppm, per-day peak-hour flag) that sizes capacity, schedules
+    maintenance windows, and feeds A19/A46 their seasonality priors —
+    the operational readout behind every 'when do we scale down'
+    decision.  dow is epoch-day mod 7 (the engine-neutral origin used
+    by A46/A47).
+
+    Determinism: integer counts and floor-division shares; the peak
+    flag compares integers inside a dow-partitioned window.
+
+    Plan shape: one (dow, hour) aggregate absorbs the scan (168 cells
+    max); everything after is cell-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        (
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            % 7
+        ).alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    t = h.agg(F.sum("n").cast("long").alias("total"))
+    p = h.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hr",
+        "n",
+        F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("share_ppm"),
+        (F.col("n") == F.max("n").over(Window.partitionBy("dow"))).alias(
+            "is_peak_hour"
+        ),
+    )
+    return p.select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hr").cast("long").alias("hr"),
+        "n",
+        "share_ppm",
+        "is_peak_hour",
+    ).orderBy("dow", "hr")

@@ -121,6 +121,8 @@ ALLOW_NESTED_LOOP = {
     "eval_lift_gains",
     # 1-row overall-selection-rate frame onto the K-group parity table
     "eval_fairness_parity",
+    # 1-row totals frame onto the 168-cell hour-of-week heatmap
+    "events_hourly_profile",
     # 1-row budget-total frame onto the K-source quota table
     "corpus_token_budget",
     # three 1-row frames (point mean, CI lo, CI hi) cross-joined into
