@@ -218,6 +218,7 @@ HEADLINE = [
     "events_srm_check",
     "orders_shipping_sla",
     "events_hourly_profile",
+    "stream_srm_monitor",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

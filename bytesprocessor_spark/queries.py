@@ -46,6 +46,7 @@ EAGER_QUERIES = frozenset({
     "stream_neardup_admission",
     "stream_drift_monitor",
     "stream_sprt",
+    "stream_srm_monitor",
     # bounded candidate-pool collect at construction (driver-side
     # greedy rerank over KBs)
     "similarity_mmr_rerank",
@@ -762,6 +763,7 @@ _CHECK_ORDER = [
     "events_srm_check",
     "orders_shipping_sla",
     "events_hourly_profile",
+    "stream_srm_monitor",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -864,3 +864,81 @@ def stream_sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_and_localize(daily, finish, output_mode="complete")
     finally:
         shutil.rmtree(land, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ST16: streaming SRM monitor (the A53 guardrail as a stream)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_srm_monitor",
+    """
+    WITH a AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 2 AS arm
+      FROM events
+    ),
+    d AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM a GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n0, n1,
+           CAST(ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) * 1000000)
+                AS BIGINT) AS chi2_micro,
+           CAST(ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) * 1000000)
+                AS BIGINT) >= 3841459 AS srm_flag
+    FROM d ORDER BY day
+    """,
+)
+def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16 streaming SRM monitor: A53's sample-ratio-mismatch
+    guardrail deployed where it actually earns its keep — ON the
+    ingest stream, so a broken assignment/logging path pages someone
+    the day it breaks instead of voiding a week of experiment readouts
+    post hoc.  Per-day per-arm counts accumulate in streaming
+    aggregation state across micro-batches (complete-mode drain); the
+    chi-square readout is computed over the drained state and must
+    reproduce the batch row exactly (arm counts are order-independent
+    sums — the replay-validity argument of the running-totals family).
+
+    Scale: state is O(days x 2) integers; each micro-batch shuffles
+    only its own rows to their day's state partition."""
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(land, "events"))
+        )
+        arm = (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 2
+        )
+        daily = stream.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+            F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        )
+
+        def finish(sink_df: DataFrame) -> DataFrame:
+            chi2 = F.round(
+                ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+                    "double"
+                )
+                / (F.col("n0") + F.col("n1"))
+                * 1000000
+            ).cast("long")
+            return sink_df.select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n0",
+                "n1",
+                chi2.alias("chi2_micro"),
+                (chi2 >= 3841459).alias("srm_flag"),
+            ).orderBy("day")
+
+        return _drain_and_localize(daily, finish, output_mode="complete")
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
