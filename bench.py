@@ -219,6 +219,9 @@ HEADLINE = [
     "orders_shipping_sla",
     "events_hourly_profile",
     "stream_srm_monitor",
+    "orders_duplicate_payments",
+    "events_anova",
+    "orders_seasonal_index",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -764,6 +764,9 @@ _CHECK_ORDER = [
     "orders_shipping_sla",
     "events_hourly_profile",
     "stream_srm_monitor",
+    "orders_duplicate_payments",
+    "events_anova",
+    "orders_seasonal_index",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

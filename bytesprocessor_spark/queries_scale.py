@@ -2800,3 +2800,247 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_ppm",
         "is_peak_hour",
     ).orderBy("dow", "hr")
+
+
+# ---------------------------------------------------------------------------
+# Q17: duplicate-payment screen (same payer, same amount, close in time)
+# ---------------------------------------------------------------------------
+
+_DUP_WINDOW_DAYS = 30
+_DUP_BAND_C = 1000000  # $10,000 amount bands
+
+
+@query(
+    "orders_duplicate_payments",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) // {_DUP_BAND_C} AS band,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    p AS (
+      SELECT a.o_custkey AS custkey, a.band,
+             a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+             date_diff('day', a.d, b.d) AS gap_days
+      FROM o a JOIN o b
+        ON a.o_custkey = b.o_custkey AND a.band = b.band
+       AND a.o_orderkey < b.o_orderkey
+      WHERE abs(date_diff('day', a.d, b.d)) <= {_DUP_WINDOW_DAYS}
+    )
+    SELECT custkey, CAST(band AS BIGINT) AS amount_band, key_a, key_b,
+           CAST(gap_days AS BIGINT) AS gap_days
+    FROM p ORDER BY custkey, key_a, key_b
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 duplicate-payment screen: pairs of orders by the same
+    customer in the same $10k amount band within {_DUP_WINDOW_DAYS}
+    days — the accounts-payable double-charge audit (and, on event
+    data, the duplicate-ingestion detector ST5's stateful dedup
+    prevents upstream).  Joins the quality family's row-level checks
+    (Q1/Q2) with a RELATIONAL integrity screen across rows; tighten
+    the band to exact cents where amounts are discrete.
+
+    Determinism: exact (custkey, integer band) equality keys, integer
+    day gaps, (key_a < key_b) canonicalization with a unique sort.
+
+    Plan shape: self equi-join on the COMPOSITE (custkey, amount) key
+    — the pair fan-out is bounded by per-(cust, amount) multiplicity
+    (near 1 in honest data), never a time-only blowup; the date
+    predicate filters inside the join stage."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div {_DUP_BAND_C}"
+        ).alias("band"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("band"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("band"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("d").alias("db"),
+    )
+    p = (
+        a.join(b, ["custkey", "band"])
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.datediff(F.col("db"), F.col("da"))) <= _DUP_WINDOW_DAYS)
+        )
+        .select(
+            "custkey",
+            F.col("band").alias("amount_band"),
+            "key_a",
+            "key_b",
+            F.datediff(F.col("db"), F.col("da")).cast("long").alias("gap_days"),
+        )
+    )
+    return p.orderBy("custkey", "key_a", "key_b")
+
+
+# ---------------------------------------------------------------------------
+# A55: one-way ANOVA (between/within variance decomposition)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_anova",
+    """
+    WITH x AS (
+      SELECT event_type AS grp, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+      FROM x GROUP BY grp
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts,
+             CAST(SUM(ss) AS BIGINT) AS tss, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * s / n) AS BIGINT)) AS BIGINT)
+               AS sg
+      FROM g
+    ),
+    d AS (
+      SELECT k, tn,
+             sg - CAST(ts AS DOUBLE) * ts / tn AS ssb,
+             CAST(tss - sg AS DOUBLE) AS ssw
+      FROM t
+    )
+    SELECT k, tn AS n_total,
+           CAST(ROUND(ssb / 10000) AS BIGINT) AS ssb_dollars2,
+           CAST(ROUND(ssw / 10000) AS BIGINT) AS ssw_dollars2,
+           CAST(ROUND((ssb / (k - 1)) / (ssw / (tn - k)) * 1000) AS BIGINT)
+             AS f_milli,
+           CAST(ROUND(ssb / (ssb + ssw) * 1000000) AS BIGINT) AS eta2_ppm
+    FROM d
+    """,
+)
+def events_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55 one-way ANOVA across event types' values: the
+    between-group / within-group variance decomposition with the F
+    statistic and the eta-squared effect size (share of total variance
+    explained by the grouping) — the K-group generalization of A18's
+    two-arm Welch, and the readout that says whether a segmentation
+    column MEANS anything before it becomes a model feature or an
+    experiment stratum.
+
+    Determinism: exact int64 per-group moments (cents); SSB/SSW/F/eta2
+    form one pinned double tree over those integers, each output
+    quantized once (the A40/A43 idiom).
+
+    Plan shape: one conditional aggregate to K group rows; the
+    decomposition is K-row arithmetic with a 1-row total."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.select(
+        F.col("event_type").alias("grp"), cents(F.col("value")).alias("v")
+    )
+    g = x.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").cast("long").alias("ts"),
+        F.sum("ss").cast("long").alias("tss"),
+        F.count("*").cast("long").alias("k"),
+        # per-group term quantized to an integer BEFORE the cross-group
+        # sum, so no double reduction order exists (the corpus contract)
+        F.sum(
+            F.round(F.col("s").cast("double") * F.col("s") / F.col("n")).cast("long")
+        )
+        .cast("long")
+        .alias("sg"),
+    )
+    d = t.select(
+        "k",
+        F.col("tn").alias("n_total"),
+        (F.col("sg") - F.col("ts").cast("double") * F.col("ts") / F.col("tn")).alias(
+            "ssb"
+        ),
+        (F.col("tss") - F.col("sg")).cast("double").alias("ssw"),
+    )
+    return d.select(
+        "k",
+        "n_total",
+        F.round(F.col("ssb") / 10000).cast("long").alias("ssb_dollars2"),
+        F.round(F.col("ssw") / 10000).cast("long").alias("ssw_dollars2"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k")))
+            * 1000
+        )
+        .cast("long")
+        .alias("f_milli"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")) * 1000000)
+        .cast("long")
+        .alias("eta2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A56: monthly seasonal index (calendar multiplicative profile)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_seasonal_index",
+    """
+    WITH m AS (
+      SELECT EXTRACT(month FROM o_orderdate) AS mon,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(rev_c) AS BIGINT) AS trev, CAST(COUNT(*) AS BIGINT) AS k
+      FROM m
+    )
+    SELECT CAST(mon AS BIGINT) AS mon, n, rev_c,
+           CAST(rev_c * k * 1000 // trev AS BIGINT) AS seasonal_index_milli
+    FROM m CROSS JOIN t
+    ORDER BY mon
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A56 monthly seasonal index: each calendar month's revenue
+    relative to the average month (milli, 1000 = average) — the
+    multiplicative calendar profile a demand planner divides out
+    before trending, and the classical companion of A46's additive
+    weekly decomposition on the yearly axis (A45's seasonal-naive
+    baseline implicitly assumes this index is stable).
+
+    Determinism: exact cents sums, floor-division milli index.
+
+    Plan shape: one month aggregate absorbs the scan; 12-row work
+    after."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(F.month("o_orderdate").alias("mon")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_c"),
+    )
+    t = m.agg(
+        F.sum("rev_c").cast("long").alias("trev"),
+        F.count("*").cast("long").alias("k"),
+    )
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            F.col("mon").cast("long").alias("mon"),
+            "n",
+            "rev_c",
+            F.expr("CAST(rev_c * k * 1000 div trev AS BIGINT)").alias(
+                "seasonal_index_milli"
+            ),
+        )
+        .orderBy("mon")
+    )
