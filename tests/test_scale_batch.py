@@ -234,3 +234,99 @@ def test_curriculum_covers_corpus_once(spark):
         by_stage[r.stage].append(r.pos)
     for stage, poss in by_stage.items():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_sla_ppm_monotone(spark):
+    """SLA attainment is monotone in the threshold: 30d <= 60d <= 90d."""
+    rows = QUERIES["orders_shipping_sla"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.within_30d_ppm <= r.within_60d_ppm <= r.within_90d_ppm <= 1_000_000
+
+
+def test_hourly_profile_shares_and_peaks(spark):
+    """Shares sum to ~1e6 (floor slack) and every observed dow carries
+    exactly one peak-hour row unless tied."""
+    rows = QUERIES["events_hourly_profile"](spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) <= len(rows)
+    dows = {r.dow for r in rows}
+    for d in dows:
+        assert any(r.is_peak_hour for r in rows if r.dow == d)
+
+
+def test_srm_counts_cover_days(spark):
+    """Arm counts per day sum to the day's event count."""
+    rows = QUERIES["events_srm_check"](spark, SF_DIR).collect()
+    from bytesprocessor_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    total = ev.count()
+    assert sum(r.n0 + r.n1 for r in rows) == total
+
+
+def test_stream_srm_matches_batch(spark):
+    """The streaming drain reproduces the batch SRM row exactly —
+    per-day arm counts are order-independent sums."""
+    batch = QUERIES["events_srm_check"](spark, SF_DIR).collect()
+    stream = QUERIES["stream_srm_monitor"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_anova_decomposition_bounds(spark):
+    """eta2 is a share (0..1e6) and SSB/SSW are non-negative."""
+    r = QUERIES["events_anova"](spark, SF_DIR).collect()[0]
+    assert 0 <= r.eta2_ppm <= 1_000_000
+    assert r.ssb_dollars2 >= 0 and r.ssw_dollars2 >= 0
+    assert r.f_milli > 0
+
+
+def test_seasonal_index_averages_to_one(spark):
+    """Revenue-weighted (by definition, plain) mean of the index over
+    observed months is ~1000 milli."""
+    rows = QUERIES["orders_seasonal_index"](spark, SF_DIR).collect()
+    assert rows
+    k = len(rows)
+    total_rev = sum(r.rev_c for r in rows)
+    recomputed = [r.rev_c * k * 1000 // total_rev for r in rows]
+    assert [r.seasonal_index_milli for r in rows] == recomputed
+    assert abs(sum(recomputed) - 1000 * k) <= k  # floor slack
+
+
+def test_duplicate_payments_canonical_pairs(spark):
+    """Pairs are canonicalized (key_a < key_b) and gaps within the
+    window; both orders share customer and band by construction."""
+    rows = QUERIES["orders_duplicate_payments"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.key_a < r.key_b
+        assert abs(r.gap_days) <= 30
+
+
+def test_template_mining_thresholds(spark):
+    """Every surfaced template repeats and ordering is by count desc."""
+    rows = QUERIES["text_template_mining"](spark, SF_DIR).collect()
+    assert rows
+    counts = [r.n for r in rows]
+    assert all(c >= 2 for c in counts)
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_xyz_classes_partition_parts(spark):
+    """Class counts cover every part with >= 3 demand months."""
+    rows = QUERIES["orders_xyz_classes"](spark, SF_DIR).collect()
+    from bytesprocessor_spark.sources.tables import load_table
+    from pyspark.sql import functions as F2
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    eligible = (
+        li.groupBy(
+            "l_partkey",
+            (F2.year("l_shipdate") * 12 + F2.month("l_shipdate")).alias("m"),
+        )
+        .count()
+        .groupBy("l_partkey")
+        .count()
+        .where(F2.col("count") >= 3)
+        .count()
+    )
+    assert sum(r.n_parts for r in rows) == eligible
