@@ -222,6 +222,8 @@ HEADLINE = [
     "orders_duplicate_payments",
     "events_anova",
     "orders_seasonal_index",
+    "corpus_split_drift",
+    "orders_segment_migration",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -3044,3 +3044,189 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+# ---------------------------------------------------------------------------
+# L19: split-drift audit (is the val split distributionally fair?)
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_split_drift",
+    """
+    WITH s AS (
+      SELECT source,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 5 = 0
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    ),
+    c AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ntr,
+             CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS nva
+      FROM s GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(SUM(ntr) AS BIGINT) AS ttr, CAST(SUM(nva) AS BIGINT) AS tva FROM c
+    )
+    SELECT source, ntr AS n_train, nva AS n_val,
+           CAST(ntr * 1000000 // ttr AS BIGINT) AS train_share_ppm,
+           CAST(nva * 1000000 // GREATEST(tva, 1) AS BIGINT) AS val_share_ppm,
+           CAST(ABS(ntr * 1000000 // ttr - nva * 1000000 // GREATEST(tva, 1))
+                AS BIGINT) AS share_gap_ppm
+    FROM c CROSS JOIN t
+    ORDER BY source
+    """,
+)
+def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19 split-drift audit: per-source composition of the train vs
+    val split (the corpus_split_assign md5 rule) with the share gap in
+    ppm — the hygiene check that a hash split actually preserved the
+    source mixture (a skewed val set silently mis-ranks every model it
+    evaluates; run this BEFORE trusting eval numbers, the same way Q6
+    runs before trusting joins).  Large gaps on small sources say
+    'stratify the split' (events_group_kfold's stratification audit is
+    the k-fold sibling).
+
+    Determinism: md5 split, integer counts, floor-division ppm.
+
+    Plan shape: one conditional aggregate to K source rows + a 1-row
+    totals broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    from bytesprocessor_spark.queries_curation import _h60
+
+    s = docs.select(
+        "source",
+        F.when(_h60(F.col("doc_id").cast("string")) % 5 == 0, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+    c = s.groupBy("source").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("ntr"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("nva"),
+    )
+    t = c.agg(
+        F.sum("ntr").cast("long").alias("ttr"), F.sum("nva").cast("long").alias("tva")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("ntr").alias("n_train"),
+            F.col("nva").alias("n_val"),
+            F.expr("CAST(ntr * 1000000 div ttr AS BIGINT)").alias("train_share_ppm"),
+            F.expr("CAST(nva * 1000000 div GREATEST(tva, 1) AS BIGINT)").alias(
+                "val_share_ppm"
+            ),
+            F.expr(
+                "CAST(ABS(ntr * 1000000 div ttr - nva * 1000000 div GREATEST(tva, 1))"
+                " AS BIGINT)"
+            ).alias("share_gap_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A57: customer segment-migration matrix (longitudinal band transitions)
+# ---------------------------------------------------------------------------
+
+_MIG_Y0, _MIG_Y1 = 1996, 1997
+
+
+@query(
+    "orders_segment_migration",
+    f"""
+    WITH y AS (
+      SELECT o_custkey,
+             EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN ({_MIG_Y0}, {_MIG_Y1})
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT o_custkey, yr,
+             CASE WHEN rev_c >= 30000000 THEN 'hi'
+                  WHEN rev_c >= 15000000 THEN 'mid'
+                  ELSE 'lo' END AS band
+      FROM y
+    ),
+    m AS (
+      SELECT COALESCE(b0.band, 'none') AS band_from,
+             COALESCE(b1.band, 'none') AS band_to,
+             COUNT(*) AS n
+      FROM (SELECT o_custkey, band FROM b WHERE yr = {_MIG_Y0}) b0
+      FULL OUTER JOIN (SELECT o_custkey, band FROM b WHERE yr = {_MIG_Y1}) b1
+        ON b0.o_custkey = b1.o_custkey
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT band_from, CAST(SUM(n) AS BIGINT) AS row_total FROM m GROUP BY band_from
+    )
+    SELECT m.band_from, m.band_to, CAST(m.n AS BIGINT) AS n,
+           CAST(m.n * 1000000 // t.row_total AS BIGINT) AS row_share_ppm
+    FROM m JOIN t ON m.band_from = t.band_from
+    ORDER BY m.band_from, m.band_to
+    """,
+)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A57 segment-migration matrix: each customer's annual-revenue
+    band in {_MIG_Y0} crossed with their band in {_MIG_Y1} (including
+    'none' for churned/new via the full outer join) with row-share ppm
+    — the longitudinal mobility readout behind CRM planning (the
+    diagonal is band stickiness, the 'none' row/column are acquisition
+    and churn, and the off-diagonals price up-/down-migration).
+    A15's Markov chain reads event-to-event transitions; this reads
+    entity-level YEAR-over-year state transitions.
+
+    Determinism: exact cents sums, fixed band cuts, integer counts and
+    floor-division shares.
+
+    Plan shape: one (customer, year) aggregate absorbs the scan; the
+    two year slices full-outer-join co-partitioned on custkey; the
+    matrix is <= 16 cells."""
+    orders = _t(spark, sf_dir, "orders")
+    y = (
+        orders.where(F.year("o_orderdate").isin(_MIG_Y0, _MIG_Y1))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_c"))
+    )
+    band = (
+        F.when(F.col("rev_c") >= 30000000, "hi")
+        .when(F.col("rev_c") >= 15000000, "mid")
+        .otherwise("lo")
+    )
+    b = y.select("o_custkey", "yr", band.alias("band"))
+    b0 = b.where(F.col("yr") == _MIG_Y0).select(
+        F.col("o_custkey").alias("k0"), F.col("band").alias("f")
+    )
+    b1 = b.where(F.col("yr") == _MIG_Y1).select(
+        F.col("o_custkey").alias("k1"), F.col("band").alias("g")
+    )
+    m = (
+        b0.join(b1, b0.k0 == b1.k1, "full_outer")
+        .select(
+            F.coalesce(F.col("f"), F.lit("none")).alias("band_from"),
+            F.coalesce(F.col("g"), F.lit("none")).alias("band_to"),
+        )
+        .groupBy("band_from", "band_to")
+        .agg(F.count("*").alias("n"))
+    )
+    t = m.groupBy("band_from").agg(F.sum("n").cast("long").alias("row_total"))
+    return (
+        m.join(F.broadcast(t), "band_from")
+        .select(
+            "band_from",
+            "band_to",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(n * 1000000 div row_total AS BIGINT)").alias(
+                "row_share_ppm"
+            ),
+        )
+        .orderBy("band_from", "band_to")
+    )

@@ -125,6 +125,8 @@ ALLOW_NESTED_LOOP = {
     "events_hourly_profile",
     # 1-row (total revenue, month count) frame onto the 12-month index
     "orders_seasonal_index",
+    # 1-row split-totals frame onto the K-source share table
+    "corpus_split_drift",
     # 1-row budget-total frame onto the K-source quota table
     "corpus_token_budget",
     # three 1-row frames (point mean, CI lo, CI hi) cross-joined into
