@@ -224,6 +224,8 @@ HEADLINE = [
     "orders_seasonal_index",
     "corpus_split_drift",
     "orders_segment_migration",
+    "orders_open_aging",
+    "events_conversion_windows",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -3230,3 +3230,171 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_from", "band_to")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q18: open-order aging report (unshipped WIP buckets)
+# ---------------------------------------------------------------------------
+
+_AGING_ASOF = "2001-12-31"
+
+
+@query(
+    "orders_open_aging",
+    f"""
+    WITH open_o AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS amt_c,
+             date_diff('day', CAST(o.o_orderdate AS DATE), DATE '{_AGING_ASOF}')
+               AS age_days
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    )
+    SELECT o_orderpriority AS priority,
+           CASE WHEN age_days <= 365 THEN 'a_under_1y'
+                WHEN age_days <= 730 THEN 'b_1_2y'
+                WHEN age_days <= 1460 THEN 'c_2_4y'
+                ELSE 'd_over_4y' END AS age_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(amt_c) AS BIGINT) AS open_value_cents,
+           CAST(MAX(age_days) AS BIGINT) AS oldest_days
+    FROM open_o
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def orders_open_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 open-order aging: orders with NO shipped line items as of
+    the pinned snapshot date, bucketed by age with open value and the
+    oldest-case witness per priority — the WIP/backlog report every
+    fulfillment review starts from, and a referential-integrity signal
+    (Q6 finds orphaned children; this finds childless parents, which
+    is either backlog or a lost feed).
+
+    Determinism: anti-join set membership, integer day ages and cents.
+
+    Plan shape: a broadcast/shuffled LEFT ANTI join (orderkey is the
+    join key on both sides — co-partitionable), then a bounded
+    (priority x bucket) aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    open_o = orders.join(
+        li.select("l_orderkey").distinct(),
+        orders.o_orderkey == F.col("l_orderkey"),
+        "left_anti",
+    ).select(
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("amt_c"),
+        F.datediff(
+            F.lit(_AGING_ASOF).cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("age_days"),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 365, "a_under_1y")
+        .when(F.col("age_days") <= 730, "b_1_2y")
+        .when(F.col("age_days") <= 1460, "c_2_4y")
+        .otherwise("d_over_4y")
+    )
+    return (
+        open_o.groupBy(
+            F.col("o_orderpriority").alias("priority"), bucket.alias("age_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("amt_c").cast("long").alias("open_value_cents"),
+            F.max("age_days").cast("long").alias("oldest_days"),
+        )
+        .orderBy("priority", "age_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W19: conversion-window sweep (one pass, every window width)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_conversion_windows",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT v.user_id,
+             MIN(date_diff('second', v.v_ts, e.ts)) AS delay_s
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase' AND e.ts > v.v_ts
+      GROUP BY v.user_id
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers FROM v)
+    SELECT n_viewers,
+           CAST(COUNT(delay_s) AS BIGINT) AS n_converted_ever,
+           CAST(SUM(CASE WHEN delay_s <= 3600 THEN 1 ELSE 0 END) * 1000000
+                // n_viewers AS BIGINT) AS cvr_1h_ppm,
+           CAST(SUM(CASE WHEN delay_s <= 21600 THEN 1 ELSE 0 END) * 1000000
+                // n_viewers AS BIGINT) AS cvr_6h_ppm,
+           CAST(SUM(CASE WHEN delay_s <= 86400 THEN 1 ELSE 0 END) * 1000000
+                // n_viewers AS BIGINT) AS cvr_24h_ppm,
+           CAST(SUM(CASE WHEN delay_s <= 604800 THEN 1 ELSE 0 END) * 1000000
+                // n_viewers AS BIGINT) AS cvr_7d_ppm
+    FROM p CROSS JOIN t
+    GROUP BY n_viewers
+    """,
+)
+def events_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 conversion-window sweep: view-to-purchase conversion at
+    1h/6h/24h/7d attribution windows from ONE pass over the
+    first-view/first-purchase delays — the knob-tuning readout that
+    decides a funnel's window width (W6 runs the funnel at a chosen
+    window; this shows what every choice would report, the
+    threshold-sweep discipline of dedup_threshold_sweep applied to
+    time).
+
+    Determinism: integer second delays, counts, floor-division ppm.
+
+    Plan shape: two user-keyed aggregates and one user-keyed join —
+    all on the same partitioning; the sweep itself is conditional
+    aggregation, so wider windows cost nothing extra."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.col("ts").cast("long") - F.col("v_ts").cast("long")
+            ).alias("delay_s")
+        )
+    )
+    t = v.agg(F.count("*").cast("long").alias("n_viewers"))
+
+    def cvr(secs):
+        return F.expr(
+            f"CAST(sum(CASE WHEN delay_s <= {secs} THEN 1 ELSE 0 END) * 1000000"
+            " div n_viewers AS BIGINT)"
+        )
+
+    return (
+        p.crossJoin(F.broadcast(t))
+        .groupBy("n_viewers")
+        .agg(
+            F.count("delay_s").cast("long").alias("n_converted_ever"),
+            cvr(3600).alias("cvr_1h_ppm"),
+            cvr(21600).alias("cvr_6h_ppm"),
+            cvr(86400).alias("cvr_24h_ppm"),
+            cvr(604800).alias("cvr_7d_ppm"),
+        )
+        .select(
+            "n_viewers",
+            "n_converted_ever",
+            "cvr_1h_ppm",
+            "cvr_6h_ppm",
+            "cvr_24h_ppm",
+            "cvr_7d_ppm",
+        )
+    )

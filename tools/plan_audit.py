@@ -127,6 +127,8 @@ ALLOW_NESTED_LOOP = {
     "orders_seasonal_index",
     # 1-row split-totals frame onto the K-source share table
     "corpus_split_drift",
+    # 1-row viewer-count frame onto the converted-users aggregate
+    "events_conversion_windows",
     # 1-row budget-total frame onto the K-source quota table
     "corpus_token_budget",
     # three 1-row frames (point mean, CI lo, CI hi) cross-joined into
