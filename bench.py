@@ -226,6 +226,8 @@ HEADLINE = [
     "orders_segment_migration",
     "orders_open_aging",
     "events_conversion_windows",
+    "orders_drawdown",
+    "events_slo_burn",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

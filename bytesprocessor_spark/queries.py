@@ -771,6 +771,8 @@ _CHECK_ORDER = [
     "orders_segment_migration",
     "orders_open_aging",
     "events_conversion_windows",
+    "orders_drawdown",
+    "events_slo_burn",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

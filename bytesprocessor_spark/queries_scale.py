@@ -37,6 +37,28 @@ answer:
     by regex over per-session symbol strings.
   * eval_mrr — first-relevant-rank / reciprocal-rank retrieval
     readout per query vector.
+  * range_join_binned — the large x large range join as a bucketed
+    equi join (pins operators/joins.py:range_join_bucketed).
+  * events_poisson_rate / events_runs_test / events_anova /
+    events_srm_check / events_bootstrap_ci — the statistics wing:
+    count-data rate test, i.i.d. sanity check, K-group variance
+    decomposition, experiment trust guardrail, distribution-free CI.
+  * eval_lift_gains / eval_fairness_parity — decile gains and the
+    parity/equalized-odds review of a scored policy.
+  * text_script_mix / text_template_mining — script-mix confusable
+    gate and whole-document skeleton mining.
+  * corpus_token_budget / corpus_split_drift — exact largest-
+    remainder budget apportionment and split-composition hygiene.
+  * dedup_cluster_sizes / quality_uniqueness / orders_duplicate_
+    payments / orders_open_aging — dedup family telemetry, key
+    discovery, double-charge screen, childless-parent aging.
+  * orders_mix_shift / orders_xyz_classes / orders_price_index /
+    orders_seasonal_index / orders_segment_migration /
+    orders_shipping_sla — the warehouse analytics wing: metric
+    decomposition, demand variability, CPI basket, calendar index,
+    longitudinal band migration, SLA attainment.
+  * events_hourly_profile / events_conversion_windows — capacity
+    heatmap and attribution-window sweep.
 
 All rows follow the corpus determinism contract (queries.py module
 docstring): exact integer arithmetic end-to-end (floor-division ppm /
@@ -3398,3 +3420,137 @@ def events_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cvr_7d_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A58: maximum drawdown of the daily metric series
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_drawdown",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT day, rev_c,
+             MAX(rev_c) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak_c
+      FROM d
+    ),
+    dd AS (
+      SELECT day, rev_c, peak_c, peak_c - rev_c AS draw_c,
+             CAST((peak_c - rev_c) * 1000000 // peak_c AS BIGINT) AS draw_ppm
+      FROM r
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS trough_day,
+           rev_c AS trough_rev_cents,
+           peak_c AS peak_rev_cents,
+           draw_c AS drawdown_cents,
+           draw_ppm AS drawdown_ppm
+    FROM dd
+    ORDER BY draw_ppm DESC, day
+    LIMIT 5
+    """,
+)
+def orders_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A58 maximum drawdown of the daily revenue series: each day's
+    decline from the running peak, top-5 worst troughs — the
+    peak-to-trough lens risk reviews and incident postmortems use on
+    any KPI (A21's CUSUM finds WHEN the level shifted; this quantifies
+    HOW BAD the worst excursion got, in the metric's own units and
+    ppm of peak).
+
+    Determinism: exact cents sums, running max over a unique day
+    order, floor-division ppm, (draw DESC, day) unique top-5.
+
+    Plan shape: one day aggregate absorbs the scan; the running max
+    is a window over the calendar-bounded series; TakeOrdered top-5."""
+    orders = _t(spark, sf_dir, "orders")
+    d = (
+        orders.where(
+            F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_c"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    r = d.select("day", "rev_c", F.max("rev_c").over(w).alias("peak_c"))
+    dd = r.select(
+        F.date_format("day", "yyyy-MM-dd").alias("trough_day"),
+        F.col("rev_c").alias("trough_rev_cents"),
+        F.col("peak_c").alias("peak_rev_cents"),
+        (F.col("peak_c") - F.col("rev_c")).alias("drawdown_cents"),
+        F.expr("CAST((peak_c - rev_c) * 1000000 div peak_c AS BIGINT)").alias(
+            "drawdown_ppm"
+        ),
+    )
+    return dd.orderBy(F.col("drawdown_ppm").desc(), "trough_day").limit(5)
+
+
+# ---------------------------------------------------------------------------
+# Q19: SLO error-budget burn
+# ---------------------------------------------------------------------------
+
+_SLO_BUDGET_PPM = 250000  # SLO: error share must stay under 25%
+
+
+@query(
+    "events_slo_burn",
+    f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS errs
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT day, n, errs,
+             CAST(errs * 1000000 // n AS BIGINT) AS err_ppm,
+             CAST(errs * 1000000000 // (n * {_SLO_BUDGET_PPM}) AS BIGINT)
+               AS burn_milli
+      FROM d
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, errs, err_ppm, burn_milli,
+           burn_milli >= 2000 AS page_fast_burn
+    FROM b ORDER BY day
+    """,
+)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 SLO error-budget burn rate: per day, the error share
+    against a {_SLO_BUDGET_PPM}-ppm budget as a burn multiple (milli;
+    1000 = exactly on budget) with the standard fast-burn page at 2x —
+    the SRE consumption readout (Google SRE workbook ch.5) that turns
+    Q2's pass/fail expectations into a RATE against an agreed budget,
+    so one bad hour pages and a slow leak shows up in the trend.
+
+    Determinism: integer counts and floor divisions only.
+
+    Plan shape: one (day) conditional aggregate absorbs the scan;
+    calendar-bounded after."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    b = d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "errs",
+        F.expr("CAST(errs * 1000000 div n AS BIGINT)").alias("err_ppm"),
+        F.expr(
+            f"CAST(errs * 1000000000 div (n * {_SLO_BUDGET_PPM}) AS BIGINT)"
+        ).alias("burn_milli"),
+    )
+    return b.select(
+        "day", "n", "errs", "err_ppm", "burn_milli",
+        (F.col("burn_milli") >= 2000).alias("page_fast_burn"),
+    ).orderBy("day")
