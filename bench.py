@@ -228,6 +228,7 @@ HEADLINE = [
     "events_conversion_windows",
     "orders_drawdown",
     "events_slo_burn",
+    "packets_portscan",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -773,6 +773,7 @@ _CHECK_ORDER = [
     "events_conversion_windows",
     "orders_drawdown",
     "events_slo_burn",
+    "packets_portscan",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -369,3 +369,74 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderstatus") == "N", 1).otherwise(0)).alias("n_inserted"),
         F.sum("price_c").alias("total_price_c"),
     )
+
+
+@query(
+    "packets_portscan",
+    f"""
+    WITH packets AS (
+      SELECT event_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             'u' || CAST(user_id % 10 AS VARCHAR) AS src_ip,
+             'u' || CAST(event_id % 10 AS VARCHAR) AS dst_ip,
+             CAST(event_id % 1024 AS BIGINT) AS dst_port
+      FROM events
+    ),
+    s AS (
+      SELECT src_ip, day,
+             CAST(COUNT(*) AS BIGINT) AS n_packets,
+             CAST(COUNT(DISTINCT dst_port) AS BIGINT) AS n_ports,
+             CAST(COUNT(DISTINCT dst_ip) AS BIGINT) AS n_dsts
+      FROM packets GROUP BY 1, 2
+    )
+    SELECT src_ip,
+           COUNT(*) AS n_days,
+           CAST(SUM(n_packets) AS BIGINT) AS n_packets,
+           CAST(MAX(n_ports) AS BIGINT) AS max_ports_per_day,
+           CAST(MAX(n_dsts) AS BIGINT) AS max_dsts_per_day,
+           CAST(SUM(CASE WHEN n_ports >= 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_scan_days
+    FROM s GROUP BY src_ip ORDER BY src_ip
+    """,
+)
+def packets_portscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIDS detection analytic on the packets shape (the reference's
+    own domain, BytesProcessor.py's CICIDS2017 target): per source and
+    day, the distinct destination-port and destination-host fan-out,
+    rolled up to a per-source scan profile with the classic horizontal
+    port-scan flag (>= 64 distinct ports from one source in one day).
+    This is the query an analyst runs OVER the pipeline's labeled
+    parquet output — the flow aggregation (A9) builds conversations,
+    this screens for reconnaissance.
+
+    Determinism: integer distinct counts over synthesized ids (the
+    parity-view idiom of label_attacks_parity).
+
+    Plan shape: one (src, day) aggregate with two count-distincts
+    (expand strategy) absorbs the scan; the per-source rollup is
+    bounded by the address space."""
+    ev = _t(spark, sf_dir, "events")
+    packets = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("src_ip"),
+        F.concat(F.lit("u"), (F.col("event_id") % 10).cast("string")).alias("dst_ip"),
+        (F.col("event_id") % 1024).cast("long").alias("dst_port"),
+    )
+    s = packets.groupBy("src_ip", "day").agg(
+        F.count("*").cast("long").alias("n_packets"),
+        F.countDistinct("dst_port").cast("long").alias("n_ports"),
+        F.countDistinct("dst_ip").cast("long").alias("n_dsts"),
+    )
+    return (
+        s.groupBy("src_ip")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("n_packets").cast("long").alias("n_packets"),
+            F.max("n_ports").cast("long").alias("max_ports_per_day"),
+            F.max("n_dsts").cast("long").alias("max_dsts_per_day"),
+            F.sum(F.when(F.col("n_ports") >= 64, 1).otherwise(0))
+            .cast("long")
+            .alias("n_scan_days"),
+        )
+        .orderBy("src_ip")
+    )
