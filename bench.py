@@ -229,6 +229,7 @@ HEADLINE = [
     "orders_drawdown",
     "events_slo_burn",
     "packets_portscan",
+    "packets_ddos_fanin",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

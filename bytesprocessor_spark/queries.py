@@ -774,6 +774,7 @@ _CHECK_ORDER = [
     "orders_drawdown",
     "events_slo_burn",
     "packets_portscan",
+    "packets_ddos_fanin",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -440,3 +440,79 @@ def packets_portscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_ip")
     )
+
+
+@query(
+    "packets_ddos_fanin",
+    """
+    WITH packets AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             'u' || CAST(user_id % 10 AS VARCHAR) AS src_ip,
+             'u' || CAST(event_id % 10 AS VARCHAR) AS dst_ip
+      FROM events
+    ),
+    d AS (
+      SELECT dst_ip, day,
+             CAST(COUNT(*) AS BIGINT) AS n_packets,
+             CAST(COUNT(DISTINCT src_ip) AS BIGINT) AS fan_in
+      FROM packets GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT dst_ip,
+             list_sort(list(n_packets))[(COUNT(*) + 1) // 2] AS med_packets
+      FROM d GROUP BY dst_ip
+    )
+    SELECT d.dst_ip, strftime(d.day, '%Y-%m-%d') AS day,
+           d.n_packets, d.fan_in, m.med_packets,
+           d.n_packets * 10 >= m.med_packets * 15 AS surge_flag
+    FROM d JOIN m ON d.dst_ip = m.dst_ip
+    ORDER BY d.dst_ip, d.day
+    """,
+)
+def packets_ddos_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIDS volumetric screen, the mirror of packets_portscan: per
+    destination and day, packet volume and source fan-in, flagged
+    against the destination's OWN median daily volume (surge = >= 1.5x
+    median) — baseline-relative, so a busy server isn't 'attacked'
+    every day and a quiet one's flood isn't missed.  Together the pair
+    covers both reconnaissance (out-bound port fan-out) and volumetric
+    attack (in-bound source fan-in) over the pipeline's labeled
+    parquet.
+
+    Determinism: integer counts, lower median of an integer list,
+    the surge comparison as cross-multiplied integers (n*10 >= med*15
+    avoids any ratio float).
+
+    Plan shape: one (dst, day) aggregate absorbs the scan; the per-dst
+    median folds <=31 integers; the flag join is address-space
+    bounded."""
+    ev = _t(spark, sf_dir, "events")
+    packets = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("src_ip"),
+        F.concat(F.lit("u"), (F.col("event_id") % 10).cast("string")).alias("dst_ip"),
+    )
+    d = packets.groupBy("dst_ip", "day").agg(
+        F.count("*").cast("long").alias("n_packets"),
+        F.countDistinct("src_ip").cast("long").alias("fan_in"),
+    )
+    m = d.groupBy("dst_ip").agg(
+        F.element_at(
+            F.array_sort(F.collect_list("n_packets")),
+            ((F.count("*") + 1) / 2).cast("int"),
+        ).alias("med_packets")
+    )
+    return (
+        d.join(F.broadcast(m), "dst_ip")
+        .select(
+            "dst_ip",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_packets",
+            "fan_in",
+            "med_packets",
+            (F.col("n_packets") * 10 >= F.col("med_packets") * 15).alias(
+                "surge_flag"
+            ),
+        )
+        .orderBy("dst_ip", "day")
+    )
