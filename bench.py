@@ -230,6 +230,8 @@ HEADLINE = [
     "events_slo_burn",
     "packets_portscan",
     "packets_ddos_fanin",
+    "orders_rolling_yoy",
+    "eval_threshold_cost",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -775,6 +775,8 @@ _CHECK_ORDER = [
     "events_slo_burn",
     "packets_portscan",
     "packets_ddos_fanin",
+    "orders_rolling_yoy",
+    "eval_threshold_cost",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

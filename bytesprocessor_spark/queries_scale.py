@@ -3554,3 +3554,165 @@ def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "n", "errs", "err_ppm", "burn_milli",
         (F.col("burn_milli") >= 2000).alias("page_fast_burn"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# A59: year-over-year growth by month
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_rolling_yoy",
+    """
+    WITH m AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mon,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT yr, mon, rev_c, n,
+             LAG(rev_c, 12) OVER (ORDER BY yr * 12 + mon) AS prev_rev_c
+      FROM m
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(mon AS BIGINT) AS mon, n, rev_c,
+           CAST(prev_rev_c AS BIGINT) AS prev_rev_c,
+           CAST((rev_c - prev_rev_c) * 10000 // prev_rev_c AS BIGINT) AS yoy_bp
+    FROM l WHERE prev_rev_c IS NOT NULL
+    ORDER BY yr, mon
+    """,
+)
+def orders_rolling_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A59 year-over-year growth by month: each month's revenue vs the
+    same month one year earlier (basis points) — the seasonality-free
+    growth readout (month-over-month conflates growth with A56's
+    calendar profile; YoY divides it out by construction).  The lag-12
+    window is A45's seasonal-naive baseline reused as a REPORTING
+    axis.
+
+    Determinism: exact cents sums, integer lag on a unique month
+    index, floor-division basis points.
+
+    Plan shape: one (year, month) aggregate absorbs the scan; lag-12
+    runs over the calendar-bounded month table."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+    ).agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_c"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w = Window.orderBy(F.col("yr") * 12 + F.col("mon"))
+    l = m.withColumn("prev_rev_c", F.lag("rev_c", 12).over(w)).where(
+        F.col("prev_rev_c").isNotNull()
+    )
+    return l.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("mon").cast("long").alias("mon"),
+        "n",
+        "rev_c",
+        F.col("prev_rev_c").cast("long").alias("prev_rev_c"),
+        F.expr("CAST((rev_c - prev_rev_c) * 10000 div prev_rev_c AS BIGINT)").alias(
+            "yoy_bp"
+        ),
+    ).orderBy("yr", "mon")
+
+
+# ---------------------------------------------------------------------------
+# EV16: cost-optimal decision threshold
+# ---------------------------------------------------------------------------
+
+_COST_FP = 1      # cost units per false positive
+_COST_FN = 5      # cost units per false negative
+
+
+@query(
+    "eval_threshold_cost",
+    f"""
+    WITH s AS (
+      SELECT vec_id,
+             CAST('0x' || substr(md5('score:' || vec_id), 1, 15) AS BIGINT)
+               % 1000000 AS score,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ),
+    t AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS np, CAST(COUNT(*) AS BIGINT) AS n FROM s
+    ),
+    g AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(pos) AS BIGINT) AS cp
+      FROM s GROUP BY score
+    ),
+    c AS (
+      SELECT score,
+             SUM(c) OVER w AS n_sel,
+             SUM(cp) OVER w AS tp
+      FROM g WINDOW w AS (ORDER BY score DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+      SELECT score AS threshold,
+             CAST((n_sel - tp) * {_COST_FP} + (np - tp) * {_COST_FN} AS BIGINT)
+               AS cost,
+             CAST(tp AS BIGINT) AS tp,
+             CAST(n_sel - tp AS BIGINT) AS fp,
+             CAST(np - tp AS BIGINT) AS fn
+      FROM c CROSS JOIN t
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, cost, tp, fp, fn
+    FROM k ORDER BY cost, threshold LIMIT 1
+    """,
+)
+def eval_threshold_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV16 cost-optimal decision threshold: sweep every distinct
+    score as a cut, charge {_COST_FP} per false positive and
+    {_COST_FN} per false negative, return the argmin — the deployment
+    decision EV2's PR curve defers (a threshold is a COST statement;
+    'maximize F1' silently assumes FP and FN cost the same, which in
+    fraud/abuse/medical triage they never do).  Same one-pass
+    cumulative construction as the PR sweep: the corpus collapses to
+    the distinct-score table and every threshold is answered from one
+    window.
+
+    Determinism: integer counts and costs; the argmin breaks ties on
+    the lower threshold.
+
+    Plan shape: one score aggregate (bounded by the score domain), one
+    score-ordered cumulative window, a 1-row totals broadcast,
+    TakeOrdered argmin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from bytesprocessor_spark.queries_curation import _h60
+
+    s = emb.select(
+        (_h60(F.concat(F.lit("score:"), F.col("vec_id").cast("string"))) % 1000000).alias(
+            "score"
+        ),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    t = s.agg(
+        F.sum("pos").cast("long").alias("np"), F.count("*").cast("long").alias("n")
+    )
+    g = s.groupBy("score").agg(
+        F.count("*").cast("long").alias("c"), F.sum("pos").cast("long").alias("cp")
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select(
+        "score",
+        F.sum("c").over(w).alias("n_sel"),
+        F.sum("cp").over(w).alias("tp"),
+    )
+    k = c.crossJoin(F.broadcast(t)).select(
+        F.col("score").cast("long").alias("threshold"),
+        (
+            (F.col("n_sel") - F.col("tp")) * _COST_FP
+            + (F.col("np") - F.col("tp")) * _COST_FN
+        )
+        .cast("long")
+        .alias("cost"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("n_sel") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("np") - F.col("tp")).cast("long").alias("fn"),
+    )
+    return k.orderBy("cost", "threshold").limit(1)

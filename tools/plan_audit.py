@@ -129,6 +129,8 @@ ALLOW_NESTED_LOOP = {
     "corpus_split_drift",
     # 1-row viewer-count frame onto the converted-users aggregate
     "events_conversion_windows",
+    # 1-row positives-total frame onto the score-domain cost table
+    "eval_threshold_cost",
     # 1-row budget-total frame onto the K-source quota table
     "corpus_token_budget",
     # three 1-row frames (point mean, CI lo, CI hi) cross-joined into
