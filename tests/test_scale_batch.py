@@ -330,3 +330,117 @@ def test_xyz_classes_partition_parts(spark):
         .count()
     )
     assert sum(r.n_parts for r in rows) == eligible
+
+
+def test_open_aging_matches_anti_join(spark):
+    """Bucketed open orders equal the raw childless-parent count."""
+    rows = QUERIES["orders_open_aging"](spark, SF_DIR).collect()
+    from bytesprocessor_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_open = orders.join(
+        li.select("l_orderkey").distinct(),
+        orders.o_orderkey == F.col("l_orderkey"),
+        "left_anti",
+    ).count()
+    assert sum(r.n_orders for r in rows) == n_open
+
+
+def test_conversion_windows_monotone(spark):
+    """Wider attribution windows can only help: cvr monotone in width,
+    all bounded by ever-conversion share."""
+    r = QUERIES["events_conversion_windows"](spark, SF_DIR).collect()[0]
+    assert r.cvr_1h_ppm <= r.cvr_6h_ppm <= r.cvr_24h_ppm <= r.cvr_7d_ppm
+    assert r.cvr_7d_ppm <= r.n_converted_ever * 1_000_000 // r.n_viewers
+
+
+def test_drawdown_identity(spark):
+    """drawdown = peak - trough, ppm consistent, peak >= trough."""
+    rows = QUERIES["orders_drawdown"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.peak_rev_cents >= r.trough_rev_cents
+        assert r.drawdown_cents == r.peak_rev_cents - r.trough_rev_cents
+        assert r.drawdown_ppm == r.drawdown_cents * 1_000_000 // r.peak_rev_cents
+
+
+def test_slo_burn_identities(spark):
+    """burn multiple and page flag recompute from the raw counts."""
+    rows = QUERIES["events_slo_burn"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.err_ppm == r.errs * 1_000_000 // r.n
+        assert r.burn_milli == r.errs * 1_000_000_000 // (r.n * 250_000)
+        assert r.page_fast_burn == (r.burn_milli >= 2000)
+
+
+def test_portscan_bounds(spark):
+    """Fan-out counts respect the synthesized domains."""
+    rows = QUERIES["packets_portscan"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.max_ports_per_day <= 1024
+        assert r.max_dsts_per_day <= 10
+        assert r.n_scan_days <= r.n_days
+
+
+def test_ddos_fanin_surge_identity(spark):
+    """Surge flag is the documented cross-multiplied comparison."""
+    rows = QUERIES["packets_ddos_fanin"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.fan_in <= 10
+        assert r.surge_flag == (r.n_packets * 10 >= r.med_packets * 15)
+
+
+def test_yoy_identity(spark):
+    """Basis points recompute from the revenue pair."""
+    rows = QUERIES["orders_rolling_yoy"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expected = (r.rev_c - r.prev_rev_c) * 10_000
+        # both engines' integer division truncates toward ZERO on
+        # negatives (Python's // floors, so don't use it here)
+        q, rem = divmod(expected, r.prev_rev_c)
+        trunc = q if rem == 0 or expected >= 0 else q + 1
+        assert r.yoy_bp == trunc
+
+
+def test_threshold_cost_beats_trivial_policies(spark):
+    """The argmin threshold costs no more than select-all or
+    select-none, and its cost recomputes from the confusion cells."""
+    r = QUERIES["eval_threshold_cost"](spark, SF_DIR).collect()[0]
+    assert r.cost == r.fp * 1 + r.fn * 5
+    from bytesprocessor_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    np_ = emb.where(F.col("label") == 0).count()
+    select_all_cost = (n - np_) * 1      # every negative is a FP
+    select_none_cost = np_ * 5           # every positive is a FN
+    assert r.cost <= min(select_all_cost, select_none_cost)
+
+
+def test_split_drift_shares(spark):
+    """Per-split shares recompute and sum to ~1e6 each."""
+    rows = QUERIES["corpus_split_drift"](spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.train_share_ppm for r in rows) - 1_000_000) <= len(rows)
+    assert abs(sum(r.val_share_ppm for r in rows) - 1_000_000) <= len(rows)
+    for r in rows:
+        assert r.share_gap_ppm == abs(r.train_share_ppm - r.val_share_ppm)
+
+
+def test_segment_migration_rows_share(spark):
+    """Row shares per band_from sum to ~1e6 (full partition of the
+    from-state)."""
+    from collections import defaultdict
+
+    rows = QUERIES["orders_segment_migration"](spark, SF_DIR).collect()
+    assert rows
+    by_from = defaultdict(list)
+    for r in rows:
+        by_from[r.band_from].append(r.row_share_ppm)
+    for shares in by_from.values():
+        assert abs(sum(shares) - 1_000_000) <= len(shares)
