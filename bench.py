@@ -232,6 +232,8 @@ HEADLINE = [
     "packets_ddos_fanin",
     "orders_rolling_yoy",
     "eval_threshold_cost",
+    "orders_replenishment_cycle",
+    "events_return_hazard",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

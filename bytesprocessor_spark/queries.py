@@ -777,6 +777,8 @@ _CHECK_ORDER = [
     "packets_ddos_fanin",
     "orders_rolling_yoy",
     "eval_threshold_cost",
+    "orders_replenishment_cycle",
+    "events_return_hazard",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -3716,3 +3716,166 @@ def eval_threshold_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("np") - F.col("tp")).cast("long").alias("fn"),
     )
     return k.orderBy("cost", "threshold").limit(1)
+
+
+# ---------------------------------------------------------------------------
+# A60: replenishment cycle (inter-order interval per customer)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_replenishment_cycle",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             LAG(CAST(o_orderdate AS DATE))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_d
+      FROM orders
+    ),
+    g AS (
+      SELECT o_custkey, date_diff('day', prev_d, d) AS gap_days
+      FROM o WHERE prev_d IS NOT NULL
+    ),
+    c AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             list_sort(list(gap_days))[(COUNT(*) + 1) // 2] AS med_gap
+      FROM g GROUP BY o_custkey HAVING COUNT(*) >= 3
+    )
+    SELECT CASE WHEN med_gap <= 90 THEN 'a_quarterly'
+                WHEN med_gap <= 180 THEN 'b_semiannual'
+                WHEN med_gap <= 365 THEN 'c_annual'
+                ELSE 'd_dormant' END AS cycle_class,
+           COUNT(*) AS n_customers,
+           CAST(MIN(med_gap) AS BIGINT) AS min_med_gap,
+           CAST(MAX(med_gap) AS BIGINT) AS max_med_gap
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_replenishment_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A60 replenishment cycle: each repeat customer's MEDIAN
+    inter-order interval, classed into reorder cadences — the
+    purchase-rhythm readout behind replenishment reminders, churn
+    definitions ('dormant' means 2x their own cycle, not a global 90
+    days), and demand spacing for A51's variability classes.  Median,
+    not mean: one long vacation shouldn't reclassify a quarterly
+    buyer.
+
+    Determinism: integer day gaps over a unique (date, orderkey)
+    order; lower median of an integer list; fixed class cuts.
+
+    Plan shape: one custkey-partitioned lag window (the RFM
+    partitioning), a per-customer fold bounded by order count, a
+    4-row readout."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w).alias("prev_d"),
+    ).where(F.col("prev_d").isNotNull())
+    g = o.select("o_custkey", F.datediff("d", "prev_d").alias("gap_days"))
+    c = (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.element_at(
+                F.array_sort(F.collect_list("gap_days")),
+                ((F.count("*") + 1) / 2).cast("int"),
+            ).alias("med_gap"),
+        )
+        .where(F.col("n_gaps") >= 3)
+    )
+    cls = (
+        F.when(F.col("med_gap") <= 90, "a_quarterly")
+        .when(F.col("med_gap") <= 180, "b_semiannual")
+        .when(F.col("med_gap") <= 365, "c_annual")
+        .otherwise("d_dormant")
+    )
+    return (
+        c.groupBy(cls.alias("cycle_class"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("med_gap").cast("long").alias("min_med_gap"),
+            F.max("med_gap").cast("long").alias("max_med_gap"),
+        )
+        .orderBy("cycle_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A61: return-hazard curve (discrete-time inactivity hazard)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_return_hazard",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             date_diff('day',
+                       LAG(day) OVER (PARTITION BY user_id ORDER BY day),
+                       day) AS gap
+      FROM ud
+    ),
+    h AS (
+      SELECT gap, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g WHERE gap IS NOT NULL GROUP BY gap
+    ),
+    c AS (
+      SELECT gap, n,
+             SUM(n) OVER (ORDER BY gap DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_at_risk
+      FROM h
+    )
+    SELECT CAST(gap AS BIGINT) AS gap_days, n,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+    FROM c WHERE gap <= 14
+    ORDER BY gap
+    """,
+)
+def events_return_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A61 return-hazard curve: of the activity gaps that lasted AT
+    LEAST g days, what share ended at exactly g (the discrete-time
+    hazard h(g) = n(gap = g) / n(gap >= g))?  The retention-science
+    reading of inactivity: where the hazard collapses is where 'away'
+    becomes 'churned', which is how a principled churn window is
+    CHOSEN rather than copied from a blog post (A37's Kaplan-Meier is
+    the censored continuous-time sibling; W9's retention fixes the
+    window this row derives).
+
+    Determinism: integer day gaps from deduplicated (user, day) pairs,
+    exact counts, the at-risk set from a reverse cumulative window,
+    floor-division ppm.
+
+    Plan shape: one (user, day) distinct, one user-partitioned lag,
+    one gap histogram (bounded by the calendar), a window over that
+    bounded table."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = ud.select(
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    h = g.groupBy("gap").agg(F.count("*").cast("long").alias("n"))
+    wc = Window.orderBy(F.col("gap").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = h.select("gap", "n", F.sum("n").over(wc).alias("n_at_risk"))
+    return (
+        c.where(F.col("gap") <= 14)
+        .select(
+            F.col("gap").cast("long").alias("gap_days"),
+            "n",
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.expr("CAST(n * 1000000 div n_at_risk AS BIGINT)").alias("hazard_ppm"),
+        )
+        .orderBy("gap_days")
+    )
