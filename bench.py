@@ -234,6 +234,8 @@ HEADLINE = [
     "eval_threshold_cost",
     "orders_replenishment_cycle",
     "events_return_hazard",
+    "orders_hhi",
+    "supplier_lead_time",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

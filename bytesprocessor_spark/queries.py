@@ -779,6 +779,8 @@ _CHECK_ORDER = [
     "eval_threshold_cost",
     "orders_replenishment_cycle",
     "events_return_hazard",
+    "orders_hhi",
+    "supplier_lead_time",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -3879,3 +3879,163 @@ def events_return_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# A62: Herfindahl-Hirschman concentration index
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_hhi",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total FROM c),
+    s AS (
+      SELECT CAST(rev_c * 10000 // total AS BIGINT) AS share_bp
+      FROM c CROSS JOIN t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi_bp2,
+           CAST(10000 * 10000 // COUNT(*) AS BIGINT) AS hhi_uniform_bp2,
+           CAST(SUM(share_bp * share_bp) * 1000
+                // (10000 * 10000 // COUNT(*)) AS BIGINT) AS concentration_x_milli
+    FROM s
+    """,
+)
+def orders_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A62 Herfindahl-Hirschman index of revenue concentration: the
+    sum of squared customer revenue shares (basis points squared, the
+    antitrust scale where 10000^2 = monopoly) against the uniform
+    floor 1e8/n — concentration_x reads 'how many times more
+    concentrated than even' (A35's Gini ranks inequality; HHI is the
+    square-weighted form dominated by the LARGEST shares, which is why
+    regulators and key-account risk reviews use it).
+
+    Determinism: shares floor to integer basis points per customer
+    BEFORE squaring and summing — all-integer, order-free.
+
+    Plan shape: one custkey aggregate absorbs the scan, a 1-row totals
+    broadcast, one squared-share aggregate; entity-bounded
+    throughout."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_c")
+    )
+    t = c.agg(F.sum("rev_c").cast("long").alias("total"))
+    s = c.crossJoin(F.broadcast(t)).select(
+        F.expr("CAST(rev_c * 10000 div total AS BIGINT)").alias("share_bp")
+    )
+    return s.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.col("share_bp") * F.col("share_bp")).cast("long").alias("hhi_bp2"),
+        F.expr("CAST(10000 * 10000 div count(*) AS BIGINT)").alias(
+            "hhi_uniform_bp2"
+        ),
+        F.expr(
+            "CAST(sum(share_bp * share_bp) * 1000"
+            " div (10000 * 10000 div count(*)) AS BIGINT)"
+        ).alias("concentration_x_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A63: supplier lead-time reliability
+# ---------------------------------------------------------------------------
+
+@query(
+    "supplier_lead_time",
+    """
+    WITH j AS (
+      SELECT l.l_suppkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lead_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    s AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lead_days) AS BIGINT) AS s1,
+             CAST(SUM(lead_days * lead_days) AS BIGINT) AS s2
+      FROM j GROUP BY l_suppkey HAVING COUNT(*) >= 10
+    ),
+    v AS (
+      SELECT l_suppkey, n,
+             CAST(s1 * 1000 // n AS BIGINT) AS mean_milli,
+             CAST(ROUND(SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))
+                        * 1000) AS BIGINT) AS sd_milli
+      FROM s
+    )
+    SELECT CASE WHEN sd_milli * 2 <= mean_milli THEN 'a_reliable'
+                WHEN sd_milli <= mean_milli THEN 'b_variable'
+                ELSE 'c_erratic' END AS reliability,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(n) AS BIGINT) AS n_shipments,
+           CAST(MIN(mean_milli) AS BIGINT) AS min_mean_milli,
+           CAST(MAX(mean_milli) AS BIGINT) AS max_mean_milli
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+)
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A63 supplier lead-time reliability: per-supplier order-to-ship
+    mean and Bessel stddev (milli-days), classed by dispersion
+    relative to the mean (sd <= mean/2 reliable, <= mean variable,
+    else erratic) — the procurement scorecard that decides safety
+    stock and dual sourcing (A54 reads attainment against promised
+    thresholds; this reads the supplier's OWN consistency, which is
+    what makes lead time plannable).
+
+    Determinism: exact int64 day moments; the stddev is one pinned
+    double tree milli-quantized (the A51 CV idiom); class cuts are
+    integer comparisons.
+
+    Plan shape: one orderkey-co-partitioned join, one supplier moment
+    aggregate, 3-row readout."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lead_days"),
+    )
+    s = (
+        j.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("lead_days").cast("long").alias("s1"),
+            F.sum(F.col("lead_days") * F.col("lead_days")).cast("long").alias("s2"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    v = s.select(
+        "n",
+        F.expr("CAST(s1 * 1000 div n AS BIGINT)").alias("mean_milli"),
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+                / (F.col("n") * (F.col("n") - 1))
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("sd_milli"),
+    )
+    cls = (
+        F.when(F.col("sd_milli") * 2 <= F.col("mean_milli"), "a_reliable")
+        .when(F.col("sd_milli") <= F.col("mean_milli"), "b_variable")
+        .otherwise("c_erratic")
+    )
+    return (
+        v.groupBy(cls.alias("reliability"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("n").cast("long").alias("n_shipments"),
+            F.min("mean_milli").cast("long").alias("min_mean_milli"),
+            F.max("mean_milli").cast("long").alias("max_mean_milli"),
+        )
+        .orderBy("reliability")
+    )

@@ -131,6 +131,8 @@ ALLOW_NESTED_LOOP = {
     "events_conversion_windows",
     # 1-row positives-total frame onto the score-domain cost table
     "eval_threshold_cost",
+    # 1-row revenue-total frame onto the entity-bounded share table
+    "orders_hhi",
     # 1-row budget-total frame onto the K-source quota table
     "corpus_token_budget",
     # three 1-row frames (point mean, CI lo, CI hi) cross-joined into
