@@ -236,6 +236,7 @@ HEADLINE = [
     "events_return_hazard",
     "orders_hhi",
     "supplier_lead_time",
+    "corpus_release_manifest",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

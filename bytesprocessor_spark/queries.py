@@ -781,6 +781,7 @@ _CHECK_ORDER = [
     "events_return_hazard",
     "orders_hhi",
     "supplier_lead_time",
+    "corpus_release_manifest",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

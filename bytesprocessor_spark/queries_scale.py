@@ -4039,3 +4039,97 @@ def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("reliability")
     )
+
+
+# ---------------------------------------------------------------------------
+# L20: corpus release manifest (the curation capstone, one plan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_release_manifest",
+    """
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                  if len(x) > 0]) AS n_toks
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, n_chars, n_toks,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM d
+    ),
+    k AS (
+      SELECT doc_id, source, n_chars, n_toks,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 5 = 0
+                  THEN 'val' ELSE 'train' END AS split
+      FROM r WHERE rn = 1 AND n_toks >= 10
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(CAST('0x' || substr(md5('rel:' || doc_id), 1, 15) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS content_checksum
+    FROM k GROUP BY split, source
+    ORDER BY split, source
+    """,
+)
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20 corpus release manifest — the curation capstone composed
+    from the registered building blocks IN ONE PLAN: exact dedup
+    (L1's first-by-hash), minimum-length quality gate, leakage-safe
+    hash split (O7's rule), and per-(split, source) accounting with an
+    order-independent membership checksum (L7d corpus_fingerprint's
+    idiom) — exactly the table a training run pins in its config and
+    re-verifies at load time.  The mixture planner (L18 budget, L7b
+    quotas) consumes the n_tokens column; the checksum catches a
+    silently-changed shard.
+
+    Determinism: md5 fingerprints, row_number on unique (fp, doc_id),
+    md5 split, integer sums; the checksum is a SUM of md5-derived
+    residues — commutative, so shard order can't move it.
+
+    Plan shape: one fp-keyed dedup shuffle, map-side split/gate
+    expressions, one (split, source) aggregate — the L7 curation
+    contract with manifest columns instead of yield columns."""
+    docs = _t(spark, sf_dir, "documents")
+    from bytesprocessor_spark.queries_curation import _h60
+
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+        ).alias("fp"),
+        token_count(F.col("text")).alias("n_toks"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    k = r.where((F.col("rn") == 1) & (F.col("n_toks") >= 10)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "n_toks",
+        F.when(_h60(F.col("doc_id").cast("string")) % 5 == 0, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return (
+        k.groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum(
+                _h60(F.concat(F.lit("rel:"), F.col("doc_id").cast("string")))
+                % 1000000007
+            )
+            .cast("long")
+            .alias("content_checksum"),
+        )
+        .orderBy("split", "source")
+    )
