@@ -237,6 +237,9 @@ HEADLINE = [
     "orders_hhi",
     "supplier_lead_time",
     "corpus_release_manifest",
+    "events_gap_percentiles",
+    "orders_discount_effect",
+    "graph_assortativity",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

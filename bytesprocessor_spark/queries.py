@@ -782,6 +782,9 @@ _CHECK_ORDER = [
     "orders_hhi",
     "supplier_lead_time",
     "corpus_release_manifest",
+    "events_gap_percentiles",
+    "orders_discount_effect",
+    "graph_assortativity",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

@@ -4133,3 +4133,249 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# A64: exact latency percentiles via distributed rank selection
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_gap_percentiles",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(date_diff('second',
+                    LAG(ts) OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts, event_id),
+                    ts) AS BIGINT) AS gap_s
+      FROM events
+    ),
+    v AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+    r AS (
+      SELECT event_type, gap_s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_s) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS BIGINT) AS p50_s,
+           CAST(MAX(CASE WHEN rk = GREATEST(n * 95 // 100, 1) THEN gap_s END)
+                AS BIGINT) AS p95_s,
+           CAST(MAX(CASE WHEN rk = GREATEST(n * 99 // 100, 1) THEN gap_s END)
+                AS BIGINT) AS p99_s
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A64 exact inter-event gap percentiles (p50/p95/p99 seconds) per
+    event type via distributed RANK SELECTION: rank every gap, keep
+    the rows whose rank equals the percentile index — the
+    exact-at-scale alternative to both approx_percentile's error
+    budget (A24 verifies it; this needs no budget) and collect-sort
+    (which dies on hot keys).  Latency/SLI profiles are where p99
+    lives, and 'p99 of billions of rows, exactly' is precisely this
+    shape.
+
+    Determinism: integer second gaps over a unique order, integer
+    rank indices (lower percentile convention), MAX over the single
+    selected row per index.
+
+    Plan shape: one (type, user) lag window, one type-partitioned rank
+    window, one K-row aggregate — the bot_score no-array-collection
+    discipline: no per-group list ever materializes."""
+    ev = _t(spark, sf_dir, "events")
+    wl = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wl)).alias(
+            "gap_s"
+        ),
+    ).where(F.col("gap_s").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_s")
+    wn = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap_s",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    def at(idx_expr: str) -> F.Column:
+        return F.max(F.expr(f"CASE WHEN rk = {idx_expr} THEN gap_s END")).cast("long")
+
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            at("(n + 1) div 2").alias("p50_s"),
+            at("GREATEST(n * 95 div 100, 1)").alias("p95_s"),
+            at("GREATEST(n * 99 div 100, 1)").alias("p99_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A65: discount effectiveness (quantity response by discount band)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_discount_effect",
+    """
+    WITH l AS (
+      SELECT CAST(ROUND(l_discount * 10000) AS BIGINT) // 100 AS disc_pct,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+    )
+    SELECT disc_pct,
+           COUNT(*) AS n_lines,
+           CAST(SUM(qty_c) * 10 // COUNT(*) AS BIGINT) AS avg_qty_milli,
+           CAST(SUM(price_c) // COUNT(*) AS BIGINT) AS avg_price_cents,
+           CAST(SUM(price_c * (10000 - disc_pct * 100) // 10000) AS BIGINT)
+             AS net_revenue_cents
+    FROM l GROUP BY disc_pct ORDER BY disc_pct
+    """,
+)
+def orders_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A65 discount effectiveness: quantity and revenue response per
+    whole-percent discount band — the pricing readout behind 'does 5%
+    off move enough units to beat 0%?' (TPC-H Q6 computes the revenue
+    SACRIFICED to discounts; this shows what the sacrifice BOUGHT).
+    Flat average quantity across bands = discounts are pure margin
+    giveaway; rising = real elasticity (A49's index then separates
+    price from volume over time).
+
+    Determinism: discounts are exact basis-point integers banded by
+    floor division; quantities and prices are exact cents; averages
+    floor once.
+
+    Plan shape: one banded aggregate absorbs the scan; 11-row
+    output."""
+    li = _t(spark, sf_dir, "lineitem")
+    l = li.select(
+        F.expr("CAST(ROUND(l_discount * 10000) AS BIGINT) div 100").alias("disc_pct"),
+        cents(F.col("l_quantity")).alias("qty_c"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    return (
+        l.groupBy("disc_pct")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr("CAST(sum(qty_c) * 10 div count(*) AS BIGINT)").alias(
+                "avg_qty_milli"
+            ),
+            F.expr("CAST(sum(price_c) div count(*) AS BIGINT)").alias(
+                "avg_price_cents"
+            ),
+            F.sum(
+                F.expr("price_c * (10000 - disc_pct * 100) div 10000")
+            )
+            .cast("long")
+            .alias("net_revenue_cents"),
+        )
+        .orderBy("disc_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GR8: degree assortativity of the supplier graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_assortativity",
+    """
+    WITH os AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ),
+    pw AS MATERIALIZED (
+      SELECT a.s AS a, b.s AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    thr AS (SELECT CAST(SUM(w) // COUNT(*) AS BIGINT) AS aw FROM pw),
+    e AS MATERIALIZED (
+      SELECT a, b FROM pw CROSS JOIN thr WHERE w > aw
+    ),
+    deg AS MATERIALIZED (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS z FROM e UNION ALL SELECT b AS z FROM e) GROUP BY z
+    ),
+    p AS (
+      SELECT da.d AS x, db.d AS y
+      FROM e JOIN deg da ON e.a = da.z JOIN deg db ON e.b = db.z
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x + y) AS BIGINT) AS sxy1,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x + y * y) AS BIGINT) AS sxx
+      FROM p
+    )
+    SELECT n AS n_edges,
+           CAST(ROUND((4.0 * n * sxy - CAST(sxy1 AS DOUBLE) * sxy1)
+                      / (2.0 * n * sxx - CAST(sxy1 AS DOUBLE) * sxy1)
+                      * 1000000) AS BIGINT) AS assortativity_micro
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR8 degree assortativity (Newman PRL'02) of the supplier
+    co-occurrence graph: the Pearson correlation of endpoint degrees
+    over edges (symmetrized) — positive = hubs partner with hubs
+    (social-network shape), negative = hub-and-spoke (infrastructure
+    shape).  This single number decides the skew posture of every
+    downstream traversal (GR2-GR7): disassortative hubs are exactly
+    the keys J8's salting exists for.  Edge support is SCALE-ADAPTIVE
+    (above the mean co-occurrence weight, the GR6 discipline) — the
+    raw co-supplier graph is complete at small SF, where degree
+    variance (and so r) would not exist.
+
+    Determinism: the threshold is an exact integer mean; exact int64
+    degree moments over the symmetrized edge list; r is one pinned
+    double tree micro-quantized (the symmetrized identity
+    4n*Sxy - S1^2 over 2n*Sxx - S1^2).
+
+    Plan shape: the GR3 edge construction, two degree joins
+    co-partitioned on node id, one 1-row moment aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    b = os_.select(F.col("o"), F.col("s").alias("s2"))
+    pw = (
+        os_.join(b, "o")
+        .where(F.col("s") < F.col("s2"))
+        .groupBy(F.col("s").alias("a"), F.col("s2").alias("b"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    thr = pw.agg(F.expr("CAST(sum(w) div count(*) AS BIGINT)").alias("aw"))
+    e = pw.crossJoin(F.broadcast(thr)).where(F.col("w") > F.col("aw")).select("a", "b")
+    deg = (
+        e.select(F.col("a").alias("z"))
+        .unionAll(e.select(F.col("b").alias("z")))
+        .groupBy("z")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    p = (
+        e.join(deg.withColumnRenamed("z", "a").withColumnRenamed("d", "x"), "a")
+        .join(deg.withColumnRenamed("z", "b").withColumnRenamed("d", "y"), "b")
+        .select("x", "y")
+    )
+    m = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x") + F.col("y")).cast("long").alias("sxy1"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.round(
+            (4.0 * F.col("n") * F.col("sxy") - F.col("sxy1").cast("double") * F.col("sxy1"))
+            / (2.0 * F.col("n") * F.col("sxx") - F.col("sxy1").cast("double") * F.col("sxy1"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("assortativity_micro"),
+    )

@@ -133,6 +133,8 @@ ALLOW_NESTED_LOOP = {
     "eval_threshold_cost",
     # 1-row revenue-total frame onto the entity-bounded share table
     "orders_hhi",
+    # 1-row mean-weight threshold frame onto the bounded pair table
+    "graph_assortativity",
     # 1-row budget-total frame onto the K-source quota table
     "corpus_token_budget",
     # three 1-row frames (point mean, CI lo, CI hi) cross-joined into
