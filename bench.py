@@ -240,6 +240,7 @@ HEADLINE = [
     "events_gap_percentiles",
     "orders_discount_effect",
     "graph_assortativity",
+    "corpus_dataset_card",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

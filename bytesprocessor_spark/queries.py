@@ -785,6 +785,7 @@ _CHECK_ORDER = [
     "events_gap_percentiles",
     "orders_discount_effect",
     "graph_assortativity",
+    "corpus_dataset_card",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

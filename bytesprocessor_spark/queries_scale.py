@@ -4379,3 +4379,84 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("assortativity_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L21: dataset card (the datasheet row)
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_dataset_card",
+    """
+    WITH d AS (
+      SELECT doc_id, source, lang, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                  if len(x) > 0]) AS n_toks
+      FROM documents
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+      CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*) AS BIGINT)
+        AS exact_dup_ppm,
+      CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+      CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+      CAST(SUM(n_toks) // COUNT(*) AS BIGINT) AS mean_tokens,
+      CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_val_split
+    FROM d
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21 dataset card: the one-row datasheet (Gebru et al., CACM'21
+    'Datasheets for Datasets') a corpus release publishes next to its
+    data — volume (docs/tokens/chars), composition (sources,
+    languages), integrity (exact-duplicate ppm from content
+    fingerprints), length profile, and the split census — all from ONE
+    scan with multi-aggregate fusion (every statistic shares the same
+    partial-agg pass; no second read of the corpus).  The per-axis
+    detail lives in the registered family rows (L1 dedup stats, L4
+    quality, L19 split drift); this is their cover page.
+
+    Determinism: md5 fingerprints and split, exact integer counts and
+    floor divisions.
+
+    Plan shape: one scan -> one aggregate carrying three
+    count-distincts (expand strategy) and the conditional split count;
+    1-row output."""
+    docs = _t(spark, sf_dir, "documents")
+    from bytesprocessor_spark.queries_curation import _h60
+
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))).alias("fp"),
+        token_count(F.col("text")).alias("n_toks"),
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_unique_docs"),
+        F.expr(
+            "CAST((count(*) - count(DISTINCT fp)) * 1000000 div count(*) AS BIGINT)"
+        ).alias("exact_dup_ppm"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.min("n_toks").cast("long").alias("min_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+        F.expr("CAST(sum(n_toks) div count(*) AS BIGINT)").alias("mean_tokens"),
+        F.sum(
+            F.when(_h60(F.col("doc_id").cast("string")) % 5 == 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_val_split"),
+    )
