@@ -444,3 +444,96 @@ def test_segment_migration_rows_share(spark):
         by_from[r.band_from].append(r.row_share_ppm)
     for shares in by_from.values():
         assert abs(sum(shares) - 1_000_000) <= len(shares)
+
+
+def test_hazard_at_risk_monotone(spark):
+    """The at-risk set shrinks as gaps lengthen; hazard is a share."""
+    rows = QUERIES["events_return_hazard"](spark, SF_DIR).collect()
+    assert rows
+    risk = [r.n_at_risk for r in sorted(rows, key=lambda r: r.gap_days)]
+    assert all(a >= b for a, b in zip(risk, risk[1:]))
+    for r in rows:
+        assert 0 < r.hazard_ppm <= 1_000_000
+        assert r.hazard_ppm == r.n * 1_000_000 // r.n_at_risk
+
+
+def test_replenishment_classes_cover_repeat_customers(spark):
+    """Class counts cover every customer with >= 3 gaps (>= 4 orders)."""
+    rows = QUERIES["orders_replenishment_cycle"](spark, SF_DIR).collect()
+    from bytesprocessor_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    eligible = (
+        orders.groupBy("o_custkey").count().where(F.col("count") >= 4).count()
+    )
+    assert sum(r.n_customers for r in rows) == eligible
+
+
+def test_hhi_bounds(spark):
+    """HHI lies between the uniform floor (within quantization slack)
+    and the monopoly ceiling."""
+    r = QUERIES["orders_hhi"](spark, SF_DIR).collect()[0]
+    # per-customer bp shares floor individually, so the sum of squares
+    # can undershoot the uniform floor by at most ~2*n_customers*max_bp
+    assert r.hhi_bp2 <= 10_000 * 10_000
+    assert r.hhi_bp2 >= r.hhi_uniform_bp2 - 2 * 10_000
+    assert r.concentration_x_milli >= 900
+
+
+def test_lead_time_classes_cover_suppliers(spark):
+    """Reliability classes cover every supplier with >= 10 shipments."""
+    rows = QUERIES["supplier_lead_time"](spark, SF_DIR).collect()
+    from bytesprocessor_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    eligible = li.groupBy("l_suppkey").count().where(F.col("count") >= 10).count()
+    assert sum(r.n_suppliers for r in rows) == eligible
+
+
+def test_gap_percentiles_ordered(spark):
+    """p50 <= p95 <= p99 and all positive."""
+    rows = QUERIES["events_gap_percentiles"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.p50_s <= r.p95_s <= r.p99_s
+
+
+def test_discount_effect_net_revenue_bound(spark):
+    """Net revenue never exceeds gross average times lines (discounts
+    only subtract) and bands partition the table."""
+    rows = QUERIES["orders_discount_effect"](spark, SF_DIR).collect()
+    from bytesprocessor_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r.n_lines for r in rows) == li.count()
+    for r in rows:
+        assert r.net_revenue_cents <= r.avg_price_cents * r.n_lines + r.n_lines
+
+
+def test_assortativity_in_range(spark):
+    """A correlation lives in [-1, 1] (micro units)."""
+    r = QUERIES["graph_assortativity"](spark, SF_DIR).collect()[0]
+    assert -1_000_000 <= r.assortativity_micro <= 1_000_000
+    assert r.n_edges > 0
+
+
+def test_release_manifest_consistent_with_card(spark):
+    """The release manifest's kept universe is a subset of the card's
+    census, and the val split matches the card's count after gating."""
+    card = QUERIES["corpus_dataset_card"](spark, SF_DIR).collect()[0]
+    man = QUERIES["corpus_release_manifest"](spark, SF_DIR).collect()
+    kept_docs = sum(r.n_docs for r in man)
+    # dedup keeps at most one doc per fingerprint, the length gate can
+    # only remove more
+    assert kept_docs <= card.n_unique_docs
+    val_docs = sum(r.n_docs for r in man if r.split == "val")
+    assert val_docs <= card.n_val_split
+
+
+def test_dataset_card_identities(spark):
+    """Dup ppm and mean tokens recompute; split census bounded."""
+    r = QUERIES["corpus_dataset_card"](spark, SF_DIR).collect()[0]
+    assert r.exact_dup_ppm == (r.n_docs - r.n_unique_docs) * 1_000_000 // r.n_docs
+    assert r.mean_tokens == r.n_tokens // r.n_docs
+    assert r.min_tokens <= r.mean_tokens <= r.max_tokens
+    assert 0 <= r.n_val_split <= r.n_docs
