@@ -241,6 +241,8 @@ HEADLINE = [
     "orders_discount_effect",
     "graph_assortativity",
     "corpus_dataset_card",
+    "part_spearman",
+    "orders_period_end_loading",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -786,6 +786,8 @@ _CHECK_ORDER = [
     "orders_discount_effect",
     "graph_assortativity",
     "corpus_dataset_card",
+    "part_spearman",
+    "orders_period_end_loading",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

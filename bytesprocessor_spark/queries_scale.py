@@ -4460,3 +4460,144 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_val_split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A66: Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_spearman",
+    """
+    WITH r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY p_size, p_partkey) AS rx,
+             ROW_NUMBER() OVER (ORDER BY p_retailprice, p_partkey) AS ry
+      FROM part
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS d2
+      FROM r
+    )
+    SELECT n AS n_parts, d2 AS sum_sq_rank_diff,
+           CAST(ROUND((1 - 6.0 * d2 / (CAST(n AS DOUBLE) * (n * n - 1)))
+                      * 1000000) AS BIGINT) AS spearman_micro
+    FROM m
+    """,
+)
+def part_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A66 Spearman rank correlation between part size and retail
+    price: rho = 1 - 6*sum(d^2)/(n(n^2-1)) over the two rank vectors —
+    the MONOTONE-association test that survives outliers and
+    nonlinearity where A20's Pearson matrix reads only linear
+    co-movement (a monotone-but-curved pricing rule scores ~1 here and
+    much less there).  Ties broken by partkey on both axes, so ranks
+    are permutations and the classic d^2 identity applies exactly.
+
+    Determinism: integer ranks over unique orders, exact integer d^2
+    sum, one pinned double op quantized once.
+
+    Plan shape: two global rank windows over the part table
+    (range-partitioned sorts at scale — the ntile discipline), one
+    1-row moment aggregate."""
+    part = _t(spark, sf_dir, "part")
+    r = part.select(
+        F.row_number().over(Window.orderBy("p_size", "p_partkey")).alias("rx"),
+        F.row_number()
+        .over(Window.orderBy("p_retailprice", "p_partkey"))
+        .alias("ry"),
+    )
+    m = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("long")
+        .alias("d2"),
+    )
+    return m.select(
+        F.col("n").alias("n_parts"),
+        F.col("d2").alias("sum_sq_rank_diff"),
+        F.round(
+            (
+                1
+                - 6.0
+                * F.col("d2")
+                / (F.col("n").cast("double") * (F.col("n") * F.col("n") - 1))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("spearman_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A67: period-end loading screen (hockey-stick detection)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_period_end_loading",
+    """
+    WITH o AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mon,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS rev_c
+      FROM orders
+    ),
+    m AS (
+      SELECT yr, mon,
+             CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+             CAST(SUM(CASE WHEN EXTRACT(day FROM d) >= 24 THEN rev_c ELSE 0 END)
+                  AS BIGINT) AS tail_rev_c
+      FROM o GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT yr, mon, rev_c, tail_rev_c,
+             CAST(tail_rev_c * 1000000 // rev_c AS BIGINT) AS tail_share_ppm
+      FROM m
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(mon AS BIGINT) AS mon,
+           rev_c, tail_rev_c, tail_share_ppm,
+           tail_share_ppm >= 400000 AS loading_flag
+    FROM s ORDER BY yr, mon
+    """,
+)
+def orders_period_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A67 period-end loading screen: the share of each month's
+    revenue booked in the final week (day >= 24), flagged when it
+    exceeds 40% — the hockey-stick signature of quota-driven pull-ins
+    and channel stuffing that revenue-recognition reviews and forecast
+    sanity checks screen for (a month that books 25% of days but 40%+
+    of revenue at the end is borrowing from next month).
+
+    Determinism: exact cents sums, calendar day-of-month cut,
+    floor-division ppm, integer flag comparison.
+
+    Plan shape: one (year, month) conditional aggregate absorbs the
+    scan; calendar-bounded after."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        cents(F.col("o_totalprice")).alias("rev_c"),
+    )
+    m = o.groupBy("yr", "mon").agg(
+        F.sum("rev_c").cast("long").alias("rev_c"),
+        F.sum(F.when(F.col("dom") >= 24, F.col("rev_c")).otherwise(0))
+        .cast("long")
+        .alias("tail_rev_c"),
+    )
+    s = m.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("mon").cast("long").alias("mon"),
+        "rev_c",
+        "tail_rev_c",
+        F.expr("CAST(tail_rev_c * 1000000 div rev_c AS BIGINT)").alias(
+            "tail_share_ppm"
+        ),
+    )
+    return s.select(
+        "yr", "mon", "rev_c", "tail_rev_c", "tail_share_ppm",
+        (F.col("tail_share_ppm") >= 400000).alias("loading_flag"),
+    ).orderBy("yr", "mon")
