@@ -243,6 +243,7 @@ HEADLINE = [
     "corpus_dataset_card",
     "part_spearman",
     "orders_period_end_loading",
+    "stream_slo_burn",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

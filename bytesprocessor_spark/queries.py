@@ -47,6 +47,7 @@ EAGER_QUERIES = frozenset({
     "stream_drift_monitor",
     "stream_sprt",
     "stream_srm_monitor",
+    "stream_slo_burn",
     # bounded candidate-pool collect at construction (driver-side
     # greedy rerank over KBs)
     "similarity_mmr_rerank",
@@ -788,6 +789,7 @@ _CHECK_ORDER = [
     "corpus_dataset_card",
     "part_spearman",
     "orders_period_end_loading",
+    "stream_slo_burn",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

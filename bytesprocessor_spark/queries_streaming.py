@@ -942,3 +942,73 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_and_localize(daily, finish, output_mode="complete")
     finally:
         shutil.rmtree(land, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ST17: streaming SLO burn monitor (Q19 deployed where it pages)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_slo_burn",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS errs
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT day, n, errs,
+             CAST(errs * 1000000 // n AS BIGINT) AS err_ppm,
+             CAST(errs * 1000000000 // (n * 250000) AS BIGINT) AS burn_milli
+      FROM d
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, errs, err_ppm, burn_milli,
+           burn_milli >= 2000 AS page_fast_burn
+    FROM b ORDER BY day
+    """,
+)
+def stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17 streaming SLO burn monitor: Q19's error-budget burn rate
+    running ON the ingest stream — the deployment where a fast-burn
+    condition pages within a micro-batch instead of appearing in
+    tomorrow's batch report.  Per-day (total, error) counts accumulate
+    in streaming aggregation state (complete-mode drain); burn
+    multiples are computed over the drained state and reproduce the
+    batch row exactly (order-independent sums, the ST16 argument).
+
+    Scale: state is O(days x 2) integers; each micro-batch shuffles
+    only its own rows."""
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(land, "events"))
+        )
+        daily = stream.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("errs"),
+        )
+
+        def finish(sink_df: DataFrame) -> DataFrame:
+            b = sink_df.select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n",
+                "errs",
+                F.expr("CAST(errs * 1000000 div n AS BIGINT)").alias("err_ppm"),
+                F.expr(
+                    "CAST(errs * 1000000000 div (n * 250000) AS BIGINT)"
+                ).alias("burn_milli"),
+            )
+            return b.select(
+                "day", "n", "errs", "err_ppm", "burn_milli",
+                (F.col("burn_milli") >= 2000).alias("page_fast_burn"),
+            ).orderBy("day")
+
+        return _drain_and_localize(daily, finish, output_mode="complete")
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
