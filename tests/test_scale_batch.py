@@ -537,3 +537,30 @@ def test_dataset_card_identities(spark):
     assert r.mean_tokens == r.n_tokens // r.n_docs
     assert r.min_tokens <= r.mean_tokens <= r.max_tokens
     assert 0 <= r.n_val_split <= r.n_docs
+
+
+def test_stream_slo_burn_matches_batch(spark):
+    """The streaming drain reproduces the batch SLO-burn rows exactly
+    (order-independent per-day sums, the SRM-parity argument)."""
+    batch = QUERIES["events_slo_burn"](spark, SF_DIR).collect()
+    stream = QUERIES["stream_slo_burn"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_spearman_in_range(spark):
+    """Spearman rho is a correlation; d2 bounded by the identity's
+    denominator scale."""
+    r = QUERIES["part_spearman"](spark, SF_DIR).collect()[0]
+    assert -1_000_000 <= r.spearman_micro <= 1_000_000
+    n = r.n_parts
+    assert 0 <= r.sum_sq_rank_diff <= n * (n * n - 1) // 3
+
+
+def test_period_end_loading_shares(spark):
+    """Tail revenue is a sub-share of the month and flags recompute."""
+    rows = QUERIES["orders_period_end_loading"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.tail_rev_c <= r.rev_c
+        assert r.tail_share_ppm == r.tail_rev_c * 1_000_000 // r.rev_c
+        assert r.loading_flag == (r.tail_share_ppm >= 400_000)
