@@ -244,6 +244,7 @@ HEADLINE = [
     "part_spearman",
     "orders_period_end_loading",
     "stream_slo_burn",
+    "events_mix_entropy_daily",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

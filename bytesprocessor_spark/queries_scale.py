@@ -4601,3 +4601,109 @@ def orders_period_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr", "mon", "rev_c", "tail_rev_c", "tail_share_ppm",
         (F.col("tail_share_ppm") >= 400000).alias("loading_flag"),
     ).orderBy("yr", "mon")
+
+
+# ---------------------------------------------------------------------------
+# A68: daily mix-entropy drift (composition watch with robust fences)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_mix_entropy_daily",
+    """
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT day, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY day
+    ),
+    e AS (
+      SELECT c.day,
+             CAST(SUM(GREATEST(n * 1000000 // tot, 1)
+                      * CAST(ROUND(LN(1000000.0 / GREATEST(n * 1000000 // tot, 1))
+                                   * 1000000) AS BIGINT)) // 1000000
+                  AS BIGINT) AS h_micro
+      FROM c JOIN t ON c.day = t.day
+      GROUP BY c.day
+    ),
+    m AS (
+      SELECT list_sort(list(h_micro))[(COUNT(*) + 1) // 2] AS med FROM e
+    ),
+    d AS (
+      SELECT e.day, e.h_micro, m.med,
+             ABS(e.h_micro - m.med) AS dev
+      FROM e CROSS JOIN m
+    ),
+    mad AS (
+      SELECT list_sort(list(dev))[(COUNT(*) + 1) // 2] AS mad FROM d
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.h_micro AS BIGINT) AS h_micro,
+           CAST(d.med AS BIGINT) AS median_h_micro,
+           CAST(mad.mad AS BIGINT) AS mad_micro,
+           d.dev > 3 * mad.mad AS mix_shift_flag
+    FROM d CROSS JOIN mad
+    ORDER BY day
+    """,
+)
+def events_mix_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A68 daily mix-entropy drift: each day's event-type Shannon
+    entropy (PSI micro-proportion idiom: floored ppm shares, micro-
+    quantized ln, pico sums scaled back), fenced at 3x the MAD around
+    the median entropy — a ONE-NUMBER-per-day composition watch that
+    fires when the traffic MIX changes shape (a new bot flattens the
+    mix, a broken producer spikes one type), complementing Q8/Q11's
+    pairwise-era drift tests with a continuous daily trace and A14's
+    robust fences reused on a derived series.
+
+    Determinism: exact integer entropy terms (per-type quantized
+    before summation), lower medians of integer lists, integer fence
+    comparison.
+
+    Plan shape: one (day, type) aggregate absorbs the scan; entropy
+    per day folds K terms; median/MAD fold the calendar-bounded day
+    list; two 1-row broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    t = c.groupBy("day").agg(F.sum("n").cast("long").alias("tot"))
+    e = (
+        c.join(t, "day")
+        .select(
+            "day",
+            F.expr(
+                "GREATEST(n * 1000000 div tot, 1)"
+                " * CAST(ROUND(LN(1000000.0 / GREATEST(n * 1000000 div tot, 1))"
+                " * 1000000) AS BIGINT)"
+            ).alias("term_pico"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(term_pico) div 1000000 AS BIGINT)").alias("h_micro"))
+    )
+    m = e.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("h_micro")),
+            ((F.count("*") + 1) / 2).cast("int"),
+        ).alias("med")
+    )
+    d = e.crossJoin(F.broadcast(m)).select(
+        "day", "h_micro", "med", F.abs(F.col("h_micro") - F.col("med")).alias("dev")
+    )
+    mad = d.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("dev")), ((F.count("*") + 1) / 2).cast("int")
+        ).alias("mad")
+    )
+    return (
+        d.crossJoin(F.broadcast(mad))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("h_micro").cast("long").alias("h_micro"),
+            F.col("med").cast("long").alias("median_h_micro"),
+            F.col("mad").cast("long").alias("mad_micro"),
+            (F.col("dev") > 3 * F.col("mad")).alias("mix_shift_flag"),
+        )
+        .orderBy("day")
+    )

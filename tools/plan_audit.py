@@ -135,6 +135,9 @@ ALLOW_NESTED_LOOP = {
     "orders_hhi",
     # 1-row mean-weight threshold frame onto the bounded pair table
     "graph_assortativity",
+    # two 1-row median/MAD frames onto the calendar-bounded entropy
+    # trace
+    "events_mix_entropy_daily",
     # 1-row budget-total frame onto the K-source quota table
     "corpus_token_budget",
     # three 1-row frames (point mean, CI lo, CI hi) cross-joined into
