@@ -564,3 +564,17 @@ def test_period_end_loading_shares(spark):
         assert 0 <= r.tail_rev_c <= r.rev_c
         assert r.tail_share_ppm == r.tail_rev_c * 1_000_000 // r.rev_c
         assert r.loading_flag == (r.tail_share_ppm >= 400_000)
+
+
+def test_mix_entropy_bounds_and_flag(spark):
+    """Entropy stays under ln(K) and flags recompute from the fences."""
+    import math
+
+    rows = QUERIES["events_mix_entropy_daily"](spark, SF_DIR).collect()
+    assert rows
+    cap = int(math.log(5) * 1_000_000) + 1000  # 5 event types + slack
+    for r in rows:
+        assert 0 < r.h_micro <= cap
+        assert r.mix_shift_flag == (
+            abs(r.h_micro - r.median_h_micro) > 3 * r.mad_micro
+        )
