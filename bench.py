@@ -245,6 +245,7 @@ HEADLINE = [
     "orders_period_end_loading",
     "stream_slo_burn",
     "events_mix_entropy_daily",
+    "sql_try_cast_tolerance",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -1231,3 +1231,33 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare aggregate that needs NO quantization discipline.  Same text
     both engines; one hash-agg shuffle."""
     return _sql(spark, sf_dir, _BITWISE_SQL, ("lineitem",))
+
+
+_TRY_CAST_SQL = """
+    WITH d AS (
+      SELECT event_type,
+             TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k_num,
+             TRY_CAST(event_type AS BIGINT) AS type_num
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(k_num) AS n_props_parsed,
+           COUNT(type_num) AS n_type_numeric,
+           CAST(SUM(COALESCE(k_num, 0)) AS BIGINT) AS k_total
+    FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("sql_try_cast_tolerance", _TRY_CAST_SQL)
+def sql_try_cast_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant schema-on-read parsing, pinned: TRY_CAST yields NULL
+    instead of failing the job on malformed input — under ANSI mode
+    (this engine's default posture) a plain CAST of dirty data KILLS
+    the query, so ingestion layers must reach for the TRY_ family, and
+    this row proves both engines agree on the tolerant semantics (the
+    numeric extraction parses on every row; casting a word column
+    yields NULL on every row — both outcomes exercised).  One verbatim
+    text on both engines, the sql_not_in_nulls discipline for the
+    error-handling axis."""
+    return _sql(spark, sf_dir, _TRY_CAST_SQL, ("events",))
