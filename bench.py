@@ -246,6 +246,7 @@ HEADLINE = [
     "stream_slo_burn",
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",
+    "events_event_study",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

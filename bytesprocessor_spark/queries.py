@@ -792,6 +792,7 @@ _CHECK_ORDER = [
     "stream_slo_burn",
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",
+    "events_event_study",
     # displaced from the r5 window by the continuation batch (each is
     # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",

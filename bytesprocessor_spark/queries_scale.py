@@ -4707,3 +4707,106 @@ def events_mix_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# A69: event-study trajectory (the parallel-trends diagnostic)
+# ---------------------------------------------------------------------------
+
+_ES_SPLIT = "2024-01-16 00:00:00"
+
+
+@query(
+    "events_event_study",
+    f"""
+    WITH b AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 2 AS grp,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             ts >= TIMESTAMP '{_ES_SPLIT}' AS post
+      FROM events
+    ),
+    d AS (
+      SELECT day, MAX(post) AS post,
+             CAST(SUM(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS s_t,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS s_c,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+      FROM b GROUP BY day
+    ),
+    g AS (
+      SELECT day, post,
+             CAST(s_t * 1000 // n_t - s_c * 1000 // n_c AS BIGINT) AS gap_milli
+      FROM d
+    ),
+    base AS (
+      SELECT CAST(SUM(gap_milli) // COUNT(*) AS BIGINT) AS base_gap_milli
+      FROM g WHERE NOT post
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, post, gap_milli,
+           base_gap_milli,
+           CAST(gap_milli - base_gap_milli AS BIGINT) AS effect_milli
+    FROM g CROSS JOIN base
+    ORDER BY day
+    """,
+)
+def events_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A69 event-study trajectory: the per-day treated-minus-control
+    value gap, centered on the pre-period baseline gap — the plot a
+    DiD readout (A44) must publish alongside its single number,
+    because the pre-period effect_milli trace IS the parallel-trends
+    test (pre effects hugging zero validate A44's identifying
+    assumption; a pre trend invalidates it) and the post trace shows
+    effect DYNAMICS (ramp, overshoot, decay) the pooled estimate
+    averages away.
+
+    Determinism: exact cents sums and integer counts per (day, arm);
+    gaps and the baseline are floor divisions; the centering is
+    integer subtraction.
+
+    Plan shape: one (day) conditional aggregate absorbs the scan, a
+    1-row pre-baseline broadcast, calendar-bounded output."""
+    ev = _t(spark, sf_dir, "events")
+    from bytesprocessor_spark.queries_curation import _h60
+
+    b = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (_h60(F.col("user_id").cast("string")) % 2).alias("grp"),
+        cents(F.col("value")).alias("c"),
+        (F.col("ts") >= F.lit(_ES_SPLIT).cast("timestamp")).alias("post"),
+    )
+    d = b.groupBy("day").agg(
+        F.max("post").alias("post"),
+        F.sum(F.when(F.col("grp") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("s_t"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("grp") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("s_c"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+    )
+    g = d.select(
+        "day",
+        "post",
+        F.expr("CAST(s_t * 1000 div n_t - s_c * 1000 div n_c AS BIGINT)").alias(
+            "gap_milli"
+        ),
+    )
+    base = g.where(~F.col("post")).agg(
+        F.expr("CAST(sum(gap_milli) div count(*) AS BIGINT)").alias("base_gap_milli")
+    )
+    return (
+        g.crossJoin(F.broadcast(base))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "post",
+            "gap_milli",
+            "base_gap_milli",
+            (F.col("gap_milli") - F.col("base_gap_milli"))
+            .cast("long")
+            .alias("effect_milli"),
+        )
+        .orderBy("day")
+    )

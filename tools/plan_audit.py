@@ -138,6 +138,9 @@ ALLOW_NESTED_LOOP = {
     # two 1-row median/MAD frames onto the calendar-bounded entropy
     # trace
     "events_mix_entropy_daily",
+    # 1-row pre-period baseline frame onto the calendar-bounded gap
+    # trace
+    "events_event_study",
     # 1-row budget-total frame onto the K-source quota table
     "corpus_token_budget",
     # three 1-row frames (point mean, CI lo, CI hi) cross-joined into
