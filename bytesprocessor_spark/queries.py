@@ -595,7 +595,7 @@ QUERIES.update(_NO_ORACLE)
 #     rows, then the remaining never-checked backlog (session_
 #     sequences onward), then the long-green tail.
 #
-# Every entry has a DuckDB oracle (300/300 as of the round-5 close):
+# Every entry has a DuckDB oracle (306/306 as of the round-5 close):
 # the two formerly-
 # declared-no-oracle entries were converted in round 3 (simhash ->
 # md5 hash mode, LSH top-k -> quantized-SRP form).
