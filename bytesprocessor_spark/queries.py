@@ -555,116 +555,21 @@ from bytesprocessor_spark.queries_llm import QUERIES_NO_ORACLE as _NO_ORACLE  # 
 
 QUERIES.update(_NO_ORACLE)
 
-# The driver's correctness gate evaluates entries in registration order
-# and checks a bounded prefix (rounds 1-2: exactly the first 50
-# registered entries got a CORRECTNESS row).  The window ROTATES per
-# round so the union of rounds gives hard driver signal across the
-# whole corpus:
-#
-#   round 2 window: the 50 canonical per-family rows (all green in
-#     CORRECTNESS_r02.json — now the tail of this list).
-#   round 3 window: the 48 entries the round-2 window could not reach
-#     (TPC-H composites, salted join/agg, merge, pivot/HLL/histogram/
-#     mode, sampling, funnel/concurrency, centroids, winnow/inverted/
-#     chunking/repetition, cluster-keep, mixture) plus the two
-#     streaming-CDC/enrich rows.  NOTE: CORRECTNESS_r03.json was never
-#     delivered to the repo, so if the round-3 driver check did not
-#     run, these 50 carry local-gate + round-2-judge-rerun evidence
-#     only; they sit immediately after the round-4 window so a future
-#     rotation can pick them back up if needed.
-#   round 4 window (this ordering): the 54 entries added during round
-#     3 (persisted-IVF probe, SemDeDup, TF-IDF, unigram/bigram
-#     surprisal, stream interval join, the converted simhash/SRP rows,
-#     length batching, skew report, EWMA, incremental dedup, cohort/
-#     RFM, and the late-round curation batch: span-scan, k-means,
-#     DSIR, MAD fences, splits, BPE learn/encode, PQ-ADC, PageRank,
-#     containment, Markov, snapshot diff, mixture sampling, streaming
-#     gate, the Spark-4 SQL rows, regression/attribution/AB/
-#     seasonality/correlation/CUSUM/Benford, weighted median, market
-#     basket).  First 50 land in the driver check; the 4 overflow
-#     entries head the round-5 queue together with anything added
-#     during round 4.
-#   round 5 window (this ordering): the 10 ever-driver-red entries
-#     first (oracle dtype hardening applied this round — CASTs +
-#     kmeans scalarization; green = the fix is proven), then the
-#     round-4/round-5 additions with window priority (ADVICE r4: new
-#     code must reach the checked prefix), then never-driver-checked
-#     backlog.  Round-6 queue, in order: embedding_dim_stats /
-#     eval_ndcg / eval_confusion_matrix / stream_drift_monitor (added
-#     after the window filled), the three displaced function-wrapper
-#     rows, then the remaining never-checked backlog (session_
-#     sequences onward), then the long-green tail.
-#
-# Every entry has a DuckDB oracle (306/306 as of the round-5 close):
-# the two formerly-
-# declared-no-oracle entries were converted in round 3 (simhash ->
-# md5 hash mode, LSH top-k -> quantized-SRP form).
+
 _CHECK_ORDER = [
-    # --- round-5 driver window (first 50) ---
-    "pack_length_batches",
-    "dedup_span_ngrams",
-    "embedding_kmeans",
-    "events_mad_outliers",
-    "corpus_split_assign",
-    "text_bpe_learn",
-    "events_markov_transitions",
-    "stream_quality_gate",
-    "events_seasonality",
-    "text_stats",
-    # round-5 second-wave batch: privacy trio completion, causal DiD,
-    # link prediction, multilingual temperature sampling — new code
-    # takes window priority (ADVICE r4)
-    "privacy_t_closeness",
-    "events_did",
-    "graph_adamic_adar",
-    "corpus_temperature_sample",
-    "events_growth_accounting",
-    "events_forecast_baselines",
-    "part_skyline",
-    "text_quality_sweep",
-    # round-5 new rows: generic pigeonhole Hamming join (aHash
-    # geometry) + the training-pipeline batch (incremental near-dup
-    # admission, intra-class outlier scrub, hard-negative mining,
-    # shard manifest)
-    "dedup_block_hamming",
-    "dedup_minhash_incremental",
-    "embedding_outliers",
-    "similarity_hard_negatives",
-    "corpus_shard_manifest",
-    "stream_neardup_admission",
-    "corpus_weighted_sample",
-    # round-5 continuation batch: retrieval / linkage / traversal /
-    # forecast / privacy / dimension-time-travel — new code takes
-    # window priority (ADVICE r4)
-    "text_bm25_topk",
-    "linkage_blocked_fuzzy",
-    "graph_bfs_reach",
-    "events_holt_forecast",
-    "scd2_asof_lookup",
-    "privacy_k_anonymity",
-    "corpus_doremi_mixture",
-    "dedup_source_matrix",
-    "text_distinctive_terms",
-    "orders_quantile_bins",
-    "events_rolling_robust",
-    # round-5 closing batch: mergeable KMV distinct sketch, Pareto
-    # classification, l-diversity — window priority per the rotation
-    # rule; the displaced eval-batch tail (group_kfold, ann_recall,
-    # knn_label_prop) leads the round-6 window
-    "agg_kmv_distinct",
-    "orders_abc_pareto",
-    "privacy_l_diversity",
-    "events_acf",
-    "drift_ks_orders",
-    "orders_gini",
-    "text_jsd_sources",
-    "retrieval_rrf_fusion",
-    "events_bot_score",
-    "profile_entropy_orders",
-    "agg_kmv_set_ops",
-    "events_markov_stationary",
-    "orders_kaplan_meier",
-    "events_cusum",
+    # --- round-6 driver window (first 50) ---
+    # Rotation policy (VERDICT r5 #1): 162 of 306 registry entries
+    # have never appeared in the driver's 50-entry CORRECTNESS window
+    # (they are green in the local tools/check_oracle.py gate, which
+    # runs the same DuckDB comparison, but the contract signal is
+    # CORRECTNESS_r*.json).  Rounds 6 and 7 burn down that backlog:
+    # this ordering puts ALL 162 never-driver-checked entries first
+    # (round-6 window = first 50, round-7 picks up the next 50 by
+    # promoting them to the prefix), followed by the 144 entries with
+    # at least one driver-green row (r1/r2/r4/r5).  New entries added
+    # during round 6 take window priority (ADVICE r4: new code must
+    # reach the checked prefix) and are inserted at the head.
+
     "quality_benford",
     "agg_weighted_median",
     "orders_market_basket",
@@ -696,9 +601,6 @@ _CHECK_ORDER = [
     "q2_min_cost_supplier",
     "q20_excess_suppliers",
     "stream_running_totals",
-    # round-5 eval/curation batch — new code takes window priority
-    # over the long-local-green function-wrapper rows (ADVICE r4: new
-    # entries must reach the checked prefix)
     "corpus_leakage_safe_split",
     "dedup_threshold_sweep",
     "eval_auc",
@@ -727,13 +629,6 @@ _CHECK_ORDER = [
     "sample_stratified",
     "text_inverted_index",
     "agg_histogram",
-    # --- beyond the 50-entry window: remaining never-checked
-    # --- entries queue for the round-6 rotation ---
-    # round-5b scale-pattern batches (queries_scale.py), added after
-    # the window filled — they head the round-6 window together with
-    # the displaced entries below; every one is local-gate green
-    # (tools/check_oracle.py sf0.01) and invariant-pinned in
-    # tests/test_scale_batch.py
     "join_bloom_prune",
     "events_stl_decompose",
     "text_oov_rate",
@@ -793,8 +688,6 @@ _CHECK_ORDER = [
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",
     "events_event_study",
-    # displaced from the r5 window by the continuation batch (each is
-    # independently pytest-pinned); first in line for round 6
     "orders_incremental_rollup",
     "text_classifier_score",
     "graph_triangles",
@@ -839,6 +732,57 @@ _CHECK_ORDER = [
     "interval_concurrency",
     "stream_static_enrich",
     "stream_cdc_apply",
+    # --- entries with >=1 driver-green CORRECTNESS row (r1/r2/r4/r5), most recently checked last ---
+    "pack_length_batches",
+    "dedup_span_ngrams",
+    "embedding_kmeans",
+    "events_mad_outliers",
+    "corpus_split_assign",
+    "text_bpe_learn",
+    "events_markov_transitions",
+    "stream_quality_gate",
+    "events_seasonality",
+    "text_stats",
+    "privacy_t_closeness",
+    "events_did",
+    "graph_adamic_adar",
+    "corpus_temperature_sample",
+    "events_growth_accounting",
+    "events_forecast_baselines",
+    "part_skyline",
+    "text_quality_sweep",
+    "dedup_block_hamming",
+    "dedup_minhash_incremental",
+    "embedding_outliers",
+    "similarity_hard_negatives",
+    "corpus_shard_manifest",
+    "stream_neardup_admission",
+    "corpus_weighted_sample",
+    "text_bm25_topk",
+    "linkage_blocked_fuzzy",
+    "graph_bfs_reach",
+    "events_holt_forecast",
+    "scd2_asof_lookup",
+    "privacy_k_anonymity",
+    "corpus_doremi_mixture",
+    "dedup_source_matrix",
+    "text_distinctive_terms",
+    "orders_quantile_bins",
+    "events_rolling_robust",
+    "agg_kmv_distinct",
+    "orders_abc_pareto",
+    "privacy_l_diversity",
+    "events_acf",
+    "drift_ks_orders",
+    "orders_gini",
+    "text_jsd_sources",
+    "retrieval_rrf_fusion",
+    "events_bot_score",
+    "profile_entropy_orders",
+    "agg_kmv_set_ops",
+    "events_markov_stationary",
+    "orders_kaplan_meier",
+    "events_cusum",
     "similarity_ivf_index_topk",
     "dedup_semantic_pairs",
     "dedup_semantic_keep",

@@ -2015,15 +2015,13 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: set arithmetic and integer counts only.
 
     Plan shape: the pair scan and min-label iterations are L2b's
-    (shingle-keyed shuffles, localCheckpoint rounds); the histogram
-    is two bounded aggregates on top."""
-    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
-    from bytesprocessor_spark.operators.graph import cluster_keep
-    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+    (shingle-keyed shuffles, localCheckpoint rounds), but shared:
+    components come from the session memo (shared_components_05), so
+    the scan runs once per session for the whole cluster family and
+    this entry is the histogram — two bounded aggregates — on top."""
+    from bytesprocessor_spark.queries_llm import shared_components_05
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
-    comp = cluster_keep(docs, pairs.select("id_a", "id_b"))
+    comp = shared_components_05(spark, sf_dir)
     cs = comp.groupBy("component").agg(F.count("*").alias("csize"))
     return (
         cs.groupBy(F.col("csize").alias("cluster_size"))

@@ -478,14 +478,13 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix filtering — shuffle keys are shingles, never pairs);
     components iterate min-label propagation with localCheckpoint
     lineage cuts; the split itself is a map-side hash of the component
-    id.  Nothing beyond the pair scan scales superlinearly."""
-    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
-    from bytesprocessor_spark.operators.graph import cluster_keep
-    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+    id.  Nothing beyond the pair scan scales superlinearly.  The pair
+    scan + components are the session-shared memo
+    (shared_components_05): one scan per session feeds the whole
+    near-dup cluster family."""
+    from bytesprocessor_spark.queries_llm import shared_components_05
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
-    comp = cluster_keep(docs, pairs.select("id_a", "id_b"))
+    comp = shared_components_05(spark, sf_dir)
     from bytesprocessor_spark.queries_curation import _h60
 
     slot = _h60(F.col("component").cast("string")) % 10
@@ -552,12 +551,12 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (prefix-filtered inverted-index join — shuffle keys are shingles,
     never pairs); the sweep itself cross-joins the pair list with a
     4-row broadcast literal.  Cost = one 0.5-threshold scan,
-    amortized over all thresholds."""
-    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
-    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+    amortized over all thresholds — and across the whole cluster
+    family via the session-shared memo (shared_pairs_05)."""
+    from bytesprocessor_spark.queries_llm import shared_pairs_05
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
+    pairs = shared_pairs_05(spark, sf_dir)
     th = spark.createDataFrame(
         [(t,) for t in _SWEEP_THRESHOLDS], "threshold_micro long"
     )
@@ -785,12 +784,12 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     list (pair-bounded, not corpus-bounded) and a K x K aggregate.
     The source labels ride a broadcast of (doc_id, source) only if the
     dimension is small; here they join the bounded pair list, so at
-    100 TB the added cost is O(pairs)."""
-    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
-    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+    100 TB the added cost is O(pairs).  The pair list is the
+    session-shared memo (shared_pairs_05)."""
+    from bytesprocessor_spark.queries_llm import shared_pairs_05
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(docs, threshold=0.5, tokens=_word3_hashed_tokens(docs))
+    pairs = shared_pairs_05(spark, sf_dir)
     src = docs.select("doc_id", "source")
     m = (
         pairs.select("id_a", "id_b")

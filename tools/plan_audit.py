@@ -17,12 +17,14 @@ Checks per entry:
                               Python seams must be Arrow-batched
                               (ArrowEvalPython / FlatMapsInPandas)
 
-Caveat: two entries (dedup_cluster_keep, corpus_leakage_safe_split)
-run connected-components at DataFrame-construction time (min-label
-propagation iterates with eager localCheckpoints), so "EXPLAIN-ing"
-them executes bounded work — seconds at the audit's sf0.001, by
-design; they stay in the audit because their FINAL plan is exactly
-what ships.
+Caveat: the near-dup cluster family (dedup_cluster_keep,
+dedup_cluster_sizes, corpus_leakage_safe_split, dedup_threshold_sweep,
+dedup_source_matrix) reads the session-shared 0.5-threshold pair /
+component memo (queries_llm.shared_pairs_05), whose FIRST construction
+per session runs the pair scan and the min-label component iterations
+eagerly (localCheckpoint) — bounded seconds at the audit's sf0.001, by
+design; the entries stay in the audit because their FINAL plans (on
+top of the checkpointed table) are exactly what ships.
 
 Usage:
     python tools/plan_audit.py [--sf /root/testdata/sf0.001]
