@@ -570,6 +570,10 @@ _CHECK_ORDER = [
     # during round 6 take window priority (ADVICE r4: new code must
     # reach the checked prefix) and are inserted at the head.
 
+    # round-6 new entries (window priority: new code reaches the
+    # checked prefix first — ADVICE r4)
+    "flow_aggregate",
+    "biflow_aggregate",
     "quality_benford",
     "agg_weighted_median",
     "orders_market_basket",

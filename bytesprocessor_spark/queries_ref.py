@@ -516,3 +516,217 @@ def packets_ddos_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dst_ip", "day")
     )
+
+
+@query(
+    "flow_aggregate",
+    """
+    WITH p AS (
+      SELECT epoch_us(ts) // 1000000 AS ts_s,
+             'u' || CAST(user_id % 10 AS VARCHAR) AS src_ip,
+             'u' || CAST(event_id % 5 AS VARCHAR) AS dst_ip,
+             CAST(1024 + event_id % 8 AS BIGINT) AS src_port,
+             CAST(event_id % 4 AS BIGINT) AS dst_port,
+             CAST(CASE WHEN event_id % 2 = 0 THEN 6 ELSE 17 END AS BIGINT)
+               AS protocol,
+             CAST(length(substr(props, 1, CAST(1 + event_id % 40 AS INT)))
+                  AS BIGINT) AS plen
+      FROM events
+    ),
+    b AS (
+      SELECT *, CASE WHEN ts_s - LAG(ts_s) OVER
+                  (PARTITION BY src_ip, dst_ip, src_port, dst_port, protocol
+                   ORDER BY ts_s) > 1800 THEN 1 ELSE 0 END AS brk
+      FROM p
+    ),
+    g AS (
+      SELECT *, SUM(brk) OVER
+                  (PARTITION BY src_ip, dst_ip, src_port, dst_port, protocol
+                   ORDER BY ts_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM b
+    ),
+    f AS (
+      SELECT src_ip, dst_ip, src_port, dst_port, protocol, sess,
+             CAST(COUNT(*) AS BIGINT) AS n_packets,
+             CAST(SUM(plen) AS BIGINT) AS n_bytes,
+             MIN(ts_s) AS t_first, MAX(ts_s) AS t_last,
+             MAX(ts_s) - MIN(ts_s) AS duration
+      FROM g GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT src_ip, dst_ip, protocol,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(SUM(n_packets) AS BIGINT) AS n_packets,
+           CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+           CAST(MAX(duration) AS BIGINT) AS max_duration_s,
+           CAST(MIN(t_first) AS BIGINT) AS t_first_s,
+           CAST(MAX(t_last) AS BIGINT) AS t_last_s
+    FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def flow_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 flow aggregation, oracle-checked (VERDICT r5 #4): netflow
+    records from operators/flows.py:flow_stats over the parity-view
+    packet shape (the synthesized-ids idiom of packets_portscan), with
+    the idle-gap session split exercised for real — gap 1800.5 s over
+    integer-second timestamps, so Spark's session_window semantics
+    (merge iff diff <= 1800 s) and the oracle's island rule
+    (break iff diff > 1800 s) are provably identical with no boundary
+    ambiguity.  The per-flow records roll up to a bounded
+    (src, dst, protocol) conversation profile — every flow counter
+    (packet count, payload bytes, first/last/duration from the
+    session split) feeds the checked output, so a wrong session
+    assignment or counter shows up in the hash.
+
+    Determinism: integer epoch seconds (unix_micros // 1e6 both
+    engines), integer counters, no floats anywhere.
+
+    Plan shape: flow_stats is ONE hash aggregation keyed on
+    (session_window, 5-tuple) — partial + final, no window sort; the
+    rollup is address-space bounded (100 rows).  The oracle's
+    lag-window formulation is the SQL-semantics twin of the same
+    split."""
+    from bytesprocessor_spark.operators.flows import flow_stats
+
+    ev = _t(spark, sf_dir, "events")
+    packets = ev.select(
+        F.expr("unix_micros(ts) div 1000000").alias("timestamp"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("src_ip"),
+        F.concat(F.lit("u"), (F.col("event_id") % 5).cast("string")).alias("dst_ip"),
+        (F.lit(1024) + F.col("event_id") % 8).cast("long").alias("src_port"),
+        (F.col("event_id") % 4).cast("long").alias("dst_port"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(6))
+        .otherwise(F.lit(17))
+        .cast("long")
+        .alias("protocol"),
+        F.substring(F.col("props"), 1, (F.lit(1) + F.col("event_id") % 40).cast("int"))
+        .alias("payload"),
+    )
+    flows = flow_stats(packets, gap_seconds=1800.5)
+    return (
+        flows.groupBy("src_ip", "dst_ip", "protocol")
+        .agg(
+            F.count("*").cast("long").alias("n_flows"),
+            F.sum("n_packets").cast("long").alias("n_packets"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.max("duration").cast("long").alias("max_duration_s"),
+            F.min("t_first").cast("long").alias("t_first_s"),
+            F.max("t_last").cast("long").alias("t_last_s"),
+        )
+        .orderBy("src_ip", "dst_ip", "protocol")
+    )
+
+
+@query(
+    "biflow_aggregate",
+    """
+    WITH p AS (
+      SELECT epoch_us(ts) // 1000000 AS ts_s,
+             'u' || CAST(user_id % 10 AS VARCHAR) AS src_ip,
+             'u' || CAST(event_id % 5 AS VARCHAR) AS dst_ip,
+             CAST(1024 + event_id % 8 AS BIGINT) AS src_port,
+             CAST(event_id % 4 AS BIGINT) AS dst_port,
+             CAST(CASE WHEN event_id % 2 = 0 THEN 6 ELSE 17 END AS BIGINT)
+               AS protocol,
+             CAST(length(substr(props, 1, CAST(1 + event_id % 40 AS INT)))
+                  AS BIGINT) AS plen
+      FROM events
+    ),
+    o AS (
+      SELECT CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+                  THEN src_ip ELSE dst_ip END AS ip_a,
+             CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+                  THEN dst_ip ELSE src_ip END AS ip_b,
+             CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+                  THEN src_port ELSE dst_port END AS port_a,
+             CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+                  THEN dst_port ELSE src_port END AS port_b,
+             protocol,
+             (src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port))
+               AS is_fwd,
+             ts_s, plen
+      FROM p
+    ),
+    b AS (
+      SELECT *, CASE WHEN ts_s - LAG(ts_s) OVER
+                  (PARTITION BY ip_a, ip_b, port_a, port_b, protocol
+                   ORDER BY ts_s) > 1800 THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    g AS (
+      SELECT *, SUM(brk) OVER
+                  (PARTITION BY ip_a, ip_b, port_a, port_b, protocol
+                   ORDER BY ts_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM b
+    ),
+    f AS (
+      SELECT ip_a, ip_b, port_a, port_b, protocol, sess,
+             CAST(COUNT(*) AS BIGINT) AS n_packets,
+             CAST(SUM(CASE WHEN is_fwd THEN 1 ELSE 0 END) AS BIGINT) AS n_fwd,
+             CAST(SUM(CASE WHEN is_fwd THEN 0 ELSE 1 END) AS BIGINT) AS n_rev,
+             CAST(SUM(plen) AS BIGINT) AS n_bytes,
+             CAST(SUM(CASE WHEN is_fwd THEN plen ELSE 0 END) AS BIGINT)
+               AS bytes_fwd,
+             CAST(SUM(CASE WHEN is_fwd THEN 0 ELSE plen END) AS BIGINT)
+               AS bytes_rev,
+             MIN(ts_s) AS t_first, MAX(ts_s) AS t_last
+      FROM g GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT ip_a, ip_b, protocol,
+           CAST(COUNT(*) AS BIGINT) AS n_convs,
+           CAST(SUM(n_packets) AS BIGINT) AS n_packets,
+           CAST(SUM(n_fwd) AS BIGINT) AS n_fwd,
+           CAST(SUM(n_rev) AS BIGINT) AS n_rev,
+           CAST(SUM(bytes_fwd) AS BIGINT) AS bytes_fwd,
+           CAST(SUM(bytes_rev) AS BIGINT) AS bytes_rev,
+           CAST(MIN(t_first) AS BIGINT) AS t_first_s,
+           CAST(MAX(t_last) AS BIGINT) AS t_last_s
+    FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def biflow_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 biflow aggregation, oracle-checked: bidirectional
+    conversation records from operators/flows.py:biflow_stats — the
+    endpoint canonicalization ((ip, port) lexicographic min first),
+    per-direction packet/byte counters, and the same unambiguous
+    1800.5 s session split as flow_aggregate, rolled up to a bounded
+    (ip_a, ip_b, protocol) profile.  The oracle repeats the
+    orientation CASE and the island split in SQL, so the canonical
+    key, the fwd/rev attribution, and the session assembly are all
+    value-checked.
+
+    Determinism / plan shape: as flow_aggregate — one session-window
+    hash aggregation on the canonical key (both directions hash to
+    the same reducer), bounded rollup on top."""
+    from bytesprocessor_spark.operators.flows import biflow_stats
+
+    ev = _t(spark, sf_dir, "events")
+    packets = ev.select(
+        F.expr("unix_micros(ts) div 1000000").alias("timestamp"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("src_ip"),
+        F.concat(F.lit("u"), (F.col("event_id") % 5).cast("string")).alias("dst_ip"),
+        (F.lit(1024) + F.col("event_id") % 8).cast("long").alias("src_port"),
+        (F.col("event_id") % 4).cast("long").alias("dst_port"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(6))
+        .otherwise(F.lit(17))
+        .cast("long")
+        .alias("protocol"),
+        F.substring(F.col("props"), 1, (F.lit(1) + F.col("event_id") % 40).cast("int"))
+        .alias("payload"),
+    )
+    biflows = biflow_stats(packets, gap_seconds=1800.5)
+    return (
+        biflows.groupBy("ip_a", "ip_b", "protocol")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.sum("n_packets").cast("long").alias("n_packets"),
+            F.sum("n_fwd").cast("long").alias("n_fwd"),
+            F.sum("n_rev").cast("long").alias("n_rev"),
+            F.sum("bytes_fwd").cast("long").alias("bytes_fwd"),
+            F.sum("bytes_rev").cast("long").alias("bytes_rev"),
+            F.min("t_first").cast("long").alias("t_first_s"),
+            F.max("t_last").cast("long").alias("t_last_s"),
+        )
+        .orderBy("ip_a", "ip_b", "protocol")
+    )
