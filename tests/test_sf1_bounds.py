@@ -1,0 +1,110 @@
+"""sf1 overflow spot-fixture (VERDICT r5 #6): the registry documents
+int64 headroom for a handful of exact-integer-arithmetic entries
+(events_acf "past sf~30 drop a decade", embedding_gram_matrix's
+d(d+1)/2 cells, events_cuped's double products, the KMV hash
+bottom-k).  This test turns those comments into evidence at sf1
+VOLUME: it generates the minimal columns at 10x the sf0.1 row counts
+(events 1M, lineitem 6M, embeddings 20k x 64) and re-runs the SAME
+registry query against the SAME registry oracle on the generated
+parquet.
+
+The overflow oracle is DuckDB itself: its SUM over BIGINT accumulates
+in HUGEINT (128-bit), so if any Spark-side int64 product or sum
+wrapped at this volume the value compare would mismatch — a pass
+means the documented bounds hold with real margin at sf1.
+"""
+
+import importlib.util
+from pathlib import Path
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle", Path(__file__).resolve().parents[1] / "tools" / "check_oracle.py"
+)
+_co = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_co)
+
+_SECONDS_30D = 30 * 24 * 3600
+_T0 = 1704067200  # 2024-01-01 00:00:00 UTC — matches the fixture epoch
+
+
+@pytest.fixture(scope="module")
+def sf1_dir(spark, tmp_path_factory):
+    """Minimal-column tables at sf1 volume, deterministic via xxhash64."""
+    d = str(tmp_path_factory.mktemp("sf1"))
+
+    types = F.array(*[F.lit(t) for t in ["view", "click", "purchase", "refund", "share"]])
+    events = spark.range(1_000_000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(_T0) + F.pmod(F.xxhash64("id"), F.lit(_SECONDS_30D))
+        )
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50_000)).alias("user_id"),
+        F.element_at(
+            types, (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) + 1).cast("int")
+        ).alias("event_type"),
+        # value in [0, 560.21] as exact cents/100 — the real table's range
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(56_021)).cast("double") / 100.0)
+        .alias("value"),
+        F.lit('{"k":1}').alias("props"),
+    )
+    events.write.parquet(f"{d}/events.parquet")
+
+    lineitem = spark.range(6_000_000).select(
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(200_000)).alias("l_partkey")
+    )
+    lineitem.write.parquet(f"{d}/lineitem.parquet")
+
+    dims = F.sequence(F.lit(1), F.lit(64))
+    embeddings = spark.range(20_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            dims,
+            lambda j: (
+                (F.pmod(F.xxhash64("id", j), F.lit(2001)) - 1000).cast("double")
+                / 1000.0
+            ).cast("float"),
+        ).alias("embedding"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(16)).cast("int").alias("label"),
+    )
+    embeddings.write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def _check(spark, sf1_dir, name, tables):
+    from bytesprocessor_spark.queries import ORACLE, QUERIES
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf1_dir}/{t}.parquet/*.parquet')"
+        )
+    duck = con.execute(ORACLE[name]).fetchdf()
+    sdf = QUERIES[name](spark, sf1_dir).toPandas()
+    duck_cols, duck_rows = _co._pdf_rows(duck)
+    spark_cols, spark_rows = _co._pdf_rows(sdf)
+    problems = _co.compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
+    assert not problems, f"{name} diverged at sf1 volume: " + "\n".join(problems)
+    assert len(spark_rows) > 0
+
+
+def test_events_acf_sf1(spark, sf1_dir):
+    _check(spark, sf1_dir, "events_acf", ["events"])
+
+
+def test_events_cuped_sf1(spark, sf1_dir):
+    _check(spark, sf1_dir, "events_cuped", ["events"])
+
+
+def test_agg_kmv_distinct_sf1(spark, sf1_dir):
+    _check(spark, sf1_dir, "agg_kmv_distinct", ["lineitem"])
+
+
+def test_embedding_gram_matrix_sf1(spark, sf1_dir):
+    _check(spark, sf1_dir, "embedding_gram_matrix", ["embeddings"])
