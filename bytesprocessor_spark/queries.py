@@ -48,6 +48,7 @@ EAGER_QUERIES = frozenset({
     "stream_sprt",
     "stream_srm_monitor",
     "stream_slo_burn",
+    "stream_lateness_audit",
     # bounded candidate-pool collect at construction (driver-side
     # greedy rerank over KBs)
     "similarity_mmr_rerank",
@@ -573,6 +574,7 @@ _CHECK_ORDER = [
     # round-6 new entries (window priority: new code reaches the
     # checked prefix first — ADVICE r4)
     "flow_aggregate",
+    "stream_lateness_audit",
     "biflow_aggregate",
     "quality_benford",
     "agg_weighted_median",
