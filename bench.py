@@ -247,6 +247,12 @@ HEADLINE = [
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",
     "events_event_study",
+    # round-6 batch: the A9 flow oracle rows and the ST4 three-drain
+    # lateness audit (dedup_cluster_sizes, already above, now reads
+    # the session-shared pair memo — VERDICT r5 #3)
+    "flow_aggregate",
+    "biflow_aggregate",
+    "stream_lateness_audit",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -31,11 +31,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 # Entries whose callable EXECUTES Spark jobs at construction time
-# (streaming drains that must run a query to produce their sink rows,
-# and the Count-Min row that deserializes a JVM sketch): plan sweeps /
-# EXPLAIN-only tooling should skip these or expect full jobs to run.
+# (streaming drains that must run a query to produce their sink rows):
+# plan sweeps / EXPLAIN-only tooling should skip these or expect full
+# jobs to run.  (agg_heavy_hitters left this list in round 6: its
+# Count-Min sketch is now declarative DataFrame ops, fully lazy.)
 EAGER_QUERIES = frozenset({
-    "agg_heavy_hitters",
     "stream_dedup",
     "stream_static_enrich",
     "stream_interval_join",

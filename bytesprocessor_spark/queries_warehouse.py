@@ -880,7 +880,11 @@ def events_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_EPS = 0.001
 _CMS_CONF = 0.99
-_CMS_SEED = 42
+# CMS geometry from the standard guarantees (Cormode & Muthukrishnan
+# '05): width w = ceil(e / eps) buckets per row bounds the overcount by
+# eps*N with probability 1 - (1/e)^d; depth d = ceil(ln(1/(1-conf))).
+_CMS_WIDTH = 2719   # ceil(e / 0.001)
+_CMS_DEPTH = 5      # ceil(ln(1 / 0.01))
 
 
 @query(
@@ -902,58 +906,72 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A25 heavy hitters with the sketch accuracy contract (the
     agg_hll_sketch pattern, for frequencies): the exact top-10 keys by
     count are pinned by the oracle, and a Count-Min sketch (Cormode &
-    Muthukrishnan '05; Spark's mergeable count_min_sketch aggregate)
-    built in ONE pass must bound every one of them — estimate >= exact
-    (structural: CMS never undercounts) and estimate <= exact + eps*N
-    (the epsilon guarantee, deterministic here under the fixed seed).
+    Muthukrishnan '05) built in ONE pass must bound every one of them
+    — estimate >= exact (structural: CMS never undercounts) and
+    estimate <= exact + eps*N (the epsilon guarantee).
 
-    Plan: the sketch is a decomposable aggregate — each partition
-    builds a partial sketch, partials merge by counter addition
-    (commutative, so any reduction order gives the identical sketch) —
-    one scan, no key shuffle at all.  The driver materializes only the
-    sketch bytes (eps/confidence-sized, ~KB) and the 10 verified keys.
+    The sketch is DECLARATIVE DataFrame ops, not the JVM
+    CountMinSketch aggregate (which forced this entry to execute at
+    construction and deserialize sketch bytes through the py4j
+    gateway — the round-5 'eager + classic-session-only' wart): each
+    input row projects its d = 5 (row, xxhash64(key, row) % w) counter
+    coordinates through one exploded literal array — no join, no
+    extra scan — and the (row, bucket) hash aggregate IS the sketch:
+    map-side partials collapse every task to <= d*w rows, and partial
+    merge by counter addition is exactly CMS sketch merging, so the
+    shuffle carries at most d*w = 13,595 longs per task regardless of
+    input volume.  Estimates for the candidate keys probe the counter
+    table with a broadcast 10*d-row frame and take min over rows.
+    Fully lazy: plan-auditable, Connect-compatible, one logical scan
+    for sketch + N + exact top-10 (Catalyst reuses the exchange).
+
     At 100 TB this is how per-source frequency monitoring rides the
-    ingest: persist per-batch sketches, merge on demand, never re-scan
-    (same rollup story as the HLL row).  N for the epsilon slack comes
-    from the sketch's own totalCount() — no second scan.
-
-    NOTE: unlike the relational entries this row EXECUTES at
-    construction (sketch build + top-10 verification, like the
-    streaming drain rows) and deserializes the sketch via the JVM
-    gateway — classic-session only, not Spark Connect.
-    """
+    ingest: persist per-batch (row, bucket, c) counter tables, merge
+    by SUM on demand, never re-scan (same rollup story as the HLL
+    row)."""
     li = _t(spark, sf_dir, "lineitem")
-    sk_row = li.agg(
-        F.count_min_sketch(
-            "l_partkey", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
-        ).alias("sk")
-    ).collect()[0]
-    jvm = spark._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(sk_row.sk))
+    rows_lit = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
+
+    def coords(df: DataFrame) -> DataFrame:
+        e = df.select("*", F.explode(rows_lit).alias("i"))
+        return e.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("l_partkey"), F.col("i")), F.lit(_CMS_WIDTH))
+        )
+
+    counters = (
+        coords(li.select("l_partkey"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    total = li.agg(F.count(F.lit(1)).alias("n_total")).withColumn("k", F.lit(1))
+    w10 = Window.orderBy(F.col("exact_count").desc(), "l_partkey")
     top = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .orderBy(F.col("exact_count").desc(), "l_partkey")
         .limit(10)
-        .collect()
+        .withColumn("rank", F.row_number().over(w10))
     )
-    slack = _CMS_EPS * cms.totalCount()  # N from the sketch: no extra scan
-    rows = [
-        (
-            i + 1,
-            r.l_partkey,
-            r.exact_count,
-            cms.estimateCount(r.l_partkey) >= r.exact_count,
-            cms.estimateCount(r.l_partkey) <= r.exact_count + slack,
+    est = (
+        coords(top)
+        .join(counters, ["i", "bucket"], "left")
+        .groupBy("rank", "l_partkey", "exact_count")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_est"))
+    )
+    return (
+        est.withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .select(
+            "rank",
+            "l_partkey",
+            "exact_count",
+            (F.col("cms_est") >= F.col("exact_count")).alias("cms_ge_exact"),
+            (
+                F.col("cms_est")
+                <= F.col("exact_count") + F.lit(_CMS_EPS) * F.col("n_total")
+            ).alias("cms_within_eps"),
         )
-        for i, r in enumerate(top)
-    ]
-    return spark.createDataFrame(
-        rows,
-        "rank long, l_partkey long, exact_count long, "
-        "cms_ge_exact boolean, cms_within_eps boolean",
+        .orderBy("rank")
     )
 
 

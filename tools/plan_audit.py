@@ -70,6 +70,9 @@ ALLOW_NESTED_LOOP = {
     "text_collocations",
     "text_bigram_surprisal",
     "agg_winsorized_stats",
+    # 1-row n_total frame (the CMS epsilon slack eps*N) broadcast onto
+    # the 10-row verified-heavy-hitter result — O(10) work
+    "agg_heavy_hitters",
     # 1-row corpus-totals frame (N, total_tokens / table total)
     # broadcast onto the postings / quasi-identifier groups
     "text_bm25_topk",
