@@ -253,6 +253,10 @@ HEADLINE = [
     "flow_aggregate",
     "biflow_aggregate",
     "stream_lateness_audit",
+    "events_ols",
+    "orders_clamped_balance",
+    "text_lexical_diversity",
+    "text_novelty_gain",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

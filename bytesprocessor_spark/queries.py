@@ -527,6 +527,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_eval  # noqa: F401
     import bytesprocessor_spark.queries_retrieval  # noqa: F401
     import bytesprocessor_spark.queries_scale  # noqa: F401
+    import bytesprocessor_spark.queries_mlstats  # noqa: F401
 
 
 @query(
@@ -574,6 +575,10 @@ _CHECK_ORDER = [
     # round-6 new entries (window priority: new code reaches the
     # checked prefix first — ADVICE r4)
     "flow_aggregate",
+    "events_ols",
+    "orders_clamped_balance",
+    "text_lexical_diversity",
+    "text_novelty_gain",
     "stream_lateness_audit",
     "biflow_aggregate",
     "quality_benford",

@@ -1,0 +1,390 @@
+"""Round-6 analytics batch: distributed model-fitting / stateful-scan
+operators that round out the §2 analytics surface.
+
+- A70 events_ols: multi-feature ordinary least squares fitted in ONE
+  aggregation pass via the normal equations — the canonical "learn a
+  linear model over 100 TB without a training loop" shape.  The Gram
+  sums are exact int64 (quantized features), the 3x3 Cramer solve is a
+  FIXED tree of IEEE-double ops over those exact integers (the CUPED
+  determinism pattern, queries_warehouse.py:events_cuped) — so the
+  micro-unit coefficients are bit-identical across engines.
+
+- U6 orders_clamped_balance: per-key CLAMPED running balance (stock
+  can't go negative) — the classic non-window-expressible per-key
+  state machine: c_t = max(0, c_{t-1} + delta_t) has no closed
+  prefix-sum form, so it runs as an ordered Arrow scan per key
+  (applyInPandas), value-checked against a DuckDB recursive CTE that
+  replays the same recurrence in SQL.
+
+Reference scope note: the reference engine ends at the labeled packet
+table (BytesProcessor.py:121-187); these are EXT rows of the analytics
+surface SURVEY §2 declares on top of it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.queries import _t, cents, query
+
+# ---------------------------------------------------------------------------
+# A70: multi-feature OLS via one-pass normal equations
+# ---------------------------------------------------------------------------
+#
+# y = value in exact cents; features h = hour-of-day (0-23) and
+# d = epoch-day mod 7 (the engine-neutral dow origin used repo-wide).
+# Normal equations  [n  sh  sd ] [b0]   [sy ]
+#                   [sh shh shd] [b1] = [shy]
+#                   [sd shd sdd] [b2]   [sdy]
+# solved by Cramer's rule.  int64 bounds for the SUMS at sf1: h<=23,
+# d<=6, y<=56,021 cents -> shy <= 23*56021*1e6 ~ 1.3e12.  The
+# DETERMINANT products (three-sum products ~ 2e18 at sf0.1, ~2e21 at
+# sf1) would overflow int64, so they are formed in double from the
+# exact integer sums — the documented CUPED convention.
+
+_OLS_DET = """
+    CAST({a} AS DOUBLE) * (CAST({e} AS DOUBLE) * CAST({i} AS DOUBLE)
+                           - CAST({f} AS DOUBLE) * CAST({h} AS DOUBLE))
+  - CAST({b} AS DOUBLE) * (CAST({d} AS DOUBLE) * CAST({i} AS DOUBLE)
+                           - CAST({f} AS DOUBLE) * CAST({g} AS DOUBLE))
+  + CAST({c} AS DOUBLE) * (CAST({d} AS DOUBLE) * CAST({h} AS DOUBLE)
+                           - CAST({e} AS DOUBLE) * CAST({g} AS DOUBLE))
+"""
+
+
+def _det(a, b, c, d, e, f, g, h, i) -> str:
+    return _OLS_DET.format(a=a, b=b, c=c, d=d, e=e, f=f, g=g, h=h, i=i)
+
+
+_OLS_D = _det("n", "sh", "sd", "sh", "shh", "shd", "sd", "shd", "sdd")
+_OLS_D0 = _det("sy", "sh", "sd", "shy", "shh", "shd", "sdy", "shd", "sdd")
+_OLS_D1 = _det("n", "sy", "sd", "sh", "shy", "shd", "sd", "sdy", "sdd")
+_OLS_D2 = _det("n", "sh", "sy", "sh", "shh", "shy", "sd", "shd", "sdy")
+
+
+@query(
+    "events_ols",
+    f"""
+    WITH f AS (
+      SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+             (epoch_us(ts) // 86400000000) % 7 AS d,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(d) AS BIGINT) AS sd,
+             CAST(SUM(h * h) AS BIGINT) AS shh,
+             CAST(SUM(h * d) AS BIGINT) AS shd,
+             CAST(SUM(d * d) AS BIGINT) AS sdd,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(h * y) AS BIGINT) AS shy,
+             CAST(SUM(d * y) AS BIGINT) AS sdy
+      FROM f
+    )
+    SELECT n, sy,
+           CAST(ROUND(({_OLS_D0}) / ({_OLS_D}) * 10000.0) AS BIGINT)
+             AS b0_cb,
+           CAST(ROUND(({_OLS_D1}) / ({_OLS_D}) * 10000.0) AS BIGINT)
+             AS b1_cb,
+           CAST(ROUND(({_OLS_D2}) / ({_OLS_D}) * 10000.0) AS BIGINT)
+             AS b2_cb
+    FROM g
+    """,
+)
+def events_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A70 one-pass multi-feature OLS: fit value_cents ~ b0 + b1*hour
+    + b2*dow over the whole event stream with the normal equations —
+    ONE partial-aggregated scan accumulates the 9 Gram/moment sums
+    (exact int64: quantized features, cent-quantized target), the 3x3
+    Cramer solve runs on the single result row.  This is regression
+    at the 100 TB design point: no gradient loop, no per-row model
+    state, the shuffle carries 9 longs total.  Coefficients in
+    centi-bp (1e-4 cents) from a FIXED double expression tree over
+    the exact sums — bit-identical across engines (CUPED pattern).
+
+    hour/dow come from integer epoch arithmetic (epoch_us // 3600e6 %
+    24, // 86400e6 % 7) — the engine-neutral origin used repo-wide.
+
+    Plan shape: Project -> partial hash agg (9 sums, map-side
+    combined) -> single-row final agg -> scalar projection.  Nothing
+    scales past the scan."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        F.expr("unix_micros(ts) div 3600000000 % 24").alias("h"),
+        F.expr("unix_micros(ts) div 86400000000 % 7").alias("d"),
+        cents(F.col("value")).alias("y"),
+    )
+    g = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("h").cast("long").alias("sh"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("h") * F.col("h")).cast("long").alias("shh"),
+        F.sum(F.col("h") * F.col("d")).cast("long").alias("shd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("h") * F.col("y")).cast("long").alias("shy"),
+        F.sum(F.col("d") * F.col("y")).cast("long").alias("sdy"),
+    )
+    return g.selectExpr(
+        "n",
+        "sy",
+        f"CAST(ROUND(({_OLS_D0}) / ({_OLS_D}) * 10000.0) AS BIGINT) AS b0_cb",
+        f"CAST(ROUND(({_OLS_D1}) / ({_OLS_D}) * 10000.0) AS BIGINT) AS b1_cb",
+        f"CAST(ROUND(({_OLS_D2}) / ({_OLS_D}) * 10000.0) AS BIGINT) AS b2_cb",
+    )
+
+
+# ---------------------------------------------------------------------------
+# U6: clamped running balance (per-key state machine)
+# ---------------------------------------------------------------------------
+#
+# Daily net stock movement per part bucket: order-line quantities drain
+# stock, a deterministic subset (every 3rd line) counts as restock.
+# The balance recurrence c_t = max(0, c_{t-1} + delta_t) is NOT a
+# prefix sum (the clamp makes it non-associative), so no window frame
+# expresses it — the textbook case for an ordered per-key Arrow scan.
+
+
+@query(
+    "orders_clamped_balance",
+    """
+    WITH RECURSIVE d AS (
+      SELECT l_partkey % 100 AS part_bucket,
+             epoch_us(l_shipdate) // 86400000000 AS day,
+             CAST(SUM(CASE WHEN l_linenumber % 3 = 0 THEN CAST(l_quantity AS BIGINT)
+                           ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS delta
+      FROM lineitem GROUP BY 1, 2
+    ),
+    bal(part_bucket, day, rn, c, n_clamped) AS (
+      SELECT part_bucket, day, rn, GREATEST(delta, 0),
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END
+      FROM (SELECT *, ROW_NUMBER() OVER
+              (PARTITION BY part_bucket ORDER BY day) AS rn FROM d)
+      WHERE rn = 1
+      UNION ALL
+      SELECT x.part_bucket, x.day, x.rn,
+             GREATEST(b.c + x.delta, 0),
+             b.n_clamped + CASE WHEN b.c + x.delta < 0 THEN 1 ELSE 0 END
+      FROM bal b
+      JOIN (SELECT *, ROW_NUMBER() OVER
+              (PARTITION BY part_bucket ORDER BY day) AS rn FROM d) x
+        ON x.part_bucket = b.part_bucket AND x.rn = b.rn + 1
+    ),
+    last AS (
+      SELECT part_bucket, MAX(rn) AS max_rn, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM bal GROUP BY 1
+    )
+    SELECT b.part_bucket, l.n_days,
+           CAST(b.c AS BIGINT) AS final_balance,
+           CAST(b.n_clamped AS BIGINT) AS n_clamped
+    FROM bal b JOIN last l
+      ON b.part_bucket = l.part_bucket AND b.rn = l.max_rn
+    ORDER BY b.part_bucket
+    """,
+)
+def orders_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 clamped running balance: per part bucket, replay the daily
+    net stock movement with a floor at zero (c_t = max(0, c_{t-1} +
+    delta_t)) and report the final balance plus how many days the
+    clamp fired (each clamp day = unmet demand — the stockout count).
+    The clamp makes the recurrence non-associative, so it cannot be a
+    window prefix sum; it runs as an ordered per-key Arrow scan
+    (applyInPandas over the DAILY deltas, never raw lines), and the
+    oracle replays the identical recurrence with a recursive CTE —
+    iterative per-key state semantics value-checked against SQL.
+
+    Determinism: integer quantities, integer epoch days, per-key
+    ordered scan on a unique (bucket, day) key.
+
+    Plan shape: the volume work is the (bucket, day) delta aggregate
+    — one map-side-combined shuffle of the scan; the stateful replay
+    touches only the K x days table (calendar-bounded, ~100 x 2500
+    rows at sf1).  At 100 TB the same split holds: aggregate first,
+    iterate on the bounded daily series."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = (
+        li.select(
+            (F.col("l_partkey") % 100).alias("part_bucket"),
+            F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").alias("day"),
+            F.when(
+                F.col("l_linenumber") % 3 == 0, F.col("l_quantity").cast("long")
+            )
+            .otherwise(-F.col("l_quantity").cast("long"))
+            .alias("q"),
+        )
+        .groupBy("part_bucket", "day")
+        .agg(F.sum("q").cast("long").alias("delta"))
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        c = 0
+        n_clamped = 0
+        for delta in pdf["delta"]:
+            c += int(delta)
+            if c < 0:
+                c = 0
+                n_clamped += 1
+        return pd.DataFrame(
+            {
+                "part_bucket": [int(pdf["part_bucket"].iloc[0])],
+                "n_days": [len(pdf)],
+                "final_balance": [c],
+                "n_clamped": [n_clamped],
+            }
+        )
+
+    out = d.groupBy("part_bucket").applyInPandas(
+        replay,
+        "part_bucket long, n_days long, final_balance long, n_clamped long",
+    )
+    return out.orderBy("part_bucket")
+
+
+# ---------------------------------------------------------------------------
+# L4z: lexical diversity profile (TTR + corpus hapax)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_lexical_diversity",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest([x for x in
+               regexp_split_to_array(lower(text), '[^a-z0-9]+')
+               if len(x) > 0]) AS tok
+      FROM documents
+    ),
+    d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+          FROM t GROUP BY 1),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+    h AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hapax
+          FROM t JOIN c ON t.tok = c.tok WHERE c.cnt = 1 GROUP BY 1)
+    SELECT d.doc_id, d.n_tokens, d.n_types,
+           CAST(d.n_types * 1000000 // d.n_tokens AS BIGINT) AS ttr_ppm,
+           CAST(COALESCE(h.n_hapax, 0) AS BIGINT) AS n_corpus_hapax
+    FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4z lexical diversity: per-document type-token ratio (the
+    classic repetitiveness screen — low TTR = template/boilerplate
+    text even when Gopher's line-level rules pass) plus the document's
+    count of CORPUS hapax legomena (tokens occurring exactly once in
+    the whole corpus — the vocabulary a doc uniquely contributes;
+    docs with zero corpus-hapax add no new lexical mass and are
+    prime dedup/downsample candidates).
+
+    Determinism: integer counts, floor-division ppm.
+
+    Plan shape: one token explode feeds (a) the per-doc aggregate
+    (doc-keyed shuffle) and (b) the corpus token counts (token-keyed
+    shuffle, map-side combined); the hapax set joins back ON THE
+    TOKEN KEY — no broadcast of an unbounded vocabulary, no pair
+    blowup.  At 100 TB both shuffles carry (key, count) partials
+    only."""
+    from bytesprocessor_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    d = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_types"),
+    )
+    c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    h = (
+        toks.join(c.where(F.col("cnt") == 1), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hapax"))
+    )
+    return (
+        d.join(h, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+            F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_corpus_hapax"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2h: marginal novelty gain (arrival-order shingle novelty)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_novelty_gain",
+    """
+    WITH w3 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 1) + 1)])
+               AS shingles
+      FROM (SELECT doc_id, [x for x in
+              regexp_split_to_array(lower(text), '[^a-z0-9]+')
+              if len(x) > 0] AS toks FROM documents)
+    ),
+    t AS (SELECT doc_id, unnest(shingles) AS g FROM w3),
+    m AS (SELECT g, MIN(doc_id) AS first_doc FROM t GROUP BY g),
+    d AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(CASE WHEN m.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_novel
+          FROM t JOIN m ON t.g = m.g GROUP BY t.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_ppm
+    FROM d ORDER BY doc_id
+    """,
+)
+def text_novelty_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2h marginal novelty: per document in arrival (doc_id) order,
+    the fraction of its distinct word-3-gram shingles never seen in
+    any EARLIER document — the marginal-utility telemetry behind
+    greedy corpus selection (a doc whose shingles are all owned by
+    earlier docs contributes nothing the dedup pass hasn't already
+    kept; novelty_ppm is the per-doc data-value curve that threshold
+    sweeps read).  First-occurrence attribution = MIN(doc_id) per
+    shingle, so the whole computation is shingle-keyed.
+
+    Determinism: integer counts over distinct shingle sets, floor ppm.
+
+    Plan shape: one distinct-shingle explode; MIN(doc_id) per shingle
+    is a map-side-combined aggregate on the shingle key; attribution
+    joins back ON THE SHINGLE KEY (inverted-index style, never pairs);
+    the per-doc rollup is doc-keyed.  Two bounded shuffles at any
+    scale — the same posture as the PPJoin pair scan."""
+    from bytesprocessor_spark.queries_llm import _word3_hashed_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = _word3_hashed_tokens(docs).select(
+        F.col("id").alias("doc_id"), F.col("h").alias("g")
+    ).distinct()
+    m = t.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    d = (
+        t.join(m, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("n_novel * 1000000 div n_shingles").alias("novelty_ppm"),
+    ).orderBy("doc_id")
