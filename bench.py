@@ -257,6 +257,9 @@ HEADLINE = [
     "orders_clamped_balance",
     "text_lexical_diversity",
     "text_novelty_gain",
+    "events_holt_winters",
+    "embedding_jl_distortion",
+    "quality_cross_field_rules",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -579,6 +579,9 @@ _CHECK_ORDER = [
     "orders_clamped_balance",
     "text_lexical_diversity",
     "text_novelty_gain",
+    "events_holt_winters",
+    "embedding_jl_distortion",
+    "quality_cross_field_rules",
     "stream_lateness_audit",
     "biflow_aggregate",
     "quality_benford",

@@ -388,3 +388,439 @@ def text_novelty_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         F.expr("n_novel * 1000000 div n_shingles").alias("novelty_ppm"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# A71: Holt-Winters triple exponential smoothing (integer recurrences)
+# ---------------------------------------------------------------------------
+#
+# Additive Holt-Winters over each event type's daily revenue with a
+# 7-observation season, alpha/beta/gamma = 0.3/0.1/0.2 in micro-units.
+# ALL state (level l, trend b, seasonal s) lives in milli-cent ints and
+# every smoothing step is  (coef * x + (M - coef) * prev) // M  with
+# FLOOR division — Python's // and DuckDB's // both floor, so the
+# sequential recurrence is bit-identical across engines with no float
+# anywhere.  int64 bound: coef(1e6) x state(y_cents x 1e3) stays under
+# 2^63 through sf~10 daily volumes (documented next to the ACF/Gram
+# bound convention).
+
+_HW_A, _HW_B, _HW_G = 300_000, 100_000, 200_000
+_HW_M, _HW_SC = 1_000_000, 1_000
+
+
+@query(
+    "events_holt_winters",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY event_type ORDER BY day) AS rn FROM d),
+    hw(event_type, rn, l, b, s_list) AS (
+      SELECT event_type, rn, y * {_HW_SC}, CAST(0 AS BIGINT),
+             [CAST(0 AS BIGINT)]
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.rn,
+             ({_HW_A} * (x.y * {_HW_SC}
+                - CASE WHEN x.rn > 7 THEN hw.s_list[x.rn - 7] ELSE 0 END)
+              + ({_HW_M} - {_HW_A}) * (hw.l + hw.b)) // {_HW_M},
+             ({_HW_B} * ((({_HW_A} * (x.y * {_HW_SC}
+                - CASE WHEN x.rn > 7 THEN hw.s_list[x.rn - 7] ELSE 0 END)
+                + ({_HW_M} - {_HW_A}) * (hw.l + hw.b)) // {_HW_M}) - hw.l)
+              + ({_HW_M} - {_HW_B}) * hw.b) // {_HW_M},
+             list_append(hw.s_list,
+               ({_HW_G} * (x.y * {_HW_SC}
+                  - (({_HW_A} * (x.y * {_HW_SC}
+                      - CASE WHEN x.rn > 7 THEN hw.s_list[x.rn - 7] ELSE 0 END)
+                      + ({_HW_M} - {_HW_A}) * (hw.l + hw.b)) // {_HW_M}))
+                + ({_HW_M} - {_HW_G})
+                  * CASE WHEN x.rn > 7 THEN hw.s_list[x.rn - 7] ELSE 0 END)
+               // {_HW_M})
+      FROM hw JOIN r x
+        ON x.event_type = hw.event_type AND x.rn = hw.rn + 1
+    ),
+    last AS (SELECT event_type, MAX(rn) AS n FROM hw GROUP BY 1),
+    fin AS (SELECT hw.*, last.n FROM hw
+            JOIN last ON hw.event_type = last.event_type AND hw.rn = last.n)
+    SELECT f.event_type, CAST(h.h AS BIGINT) AS h,
+           CAST((f.l + h.h * f.b + f.s_list[f.n - 7 + h.h]) // {_HW_SC}
+                AS BIGINT) AS forecast_c
+    FROM fin f, (SELECT UNNEST(range(1, 8)) AS h) h
+    ORDER BY 1, 2
+    """,
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A71 Holt-Winters forecast: additive triple exponential
+    smoothing (level + trend + 7-slot season) over each event type's
+    daily revenue, forecasting the next 7 horizons — the seasonal
+    upgrade of A31's Holt linear trend and the model-based counterpart
+    of A45's naive baselines.  The smoothing recurrence is sequential
+    and non-associative, so like U6 it runs as an ordered per-key
+    Arrow replay over the DAILY aggregate (calendar-bounded, <= 31
+    rows per series at every sf), and the oracle replays the identical
+    integer recurrence with a recursive CTE carrying the seasonal
+    state as a list column.
+
+    Determinism: all state in milli-cent ints, every step a fixed
+    (coef * x + (M - coef) * prev) / M integer division with
+    TRUNCATION toward zero — DuckDB's // truncates on negatives
+    (unlike Python's floor //), so the replay uses a sign-adjusted
+    truncating div.  No float anywhere.
+
+    Plan shape: volume work = one (type, day) map-side-combined
+    aggregate; the replay touches K x days rows.  At 100 TB the same
+    split: aggregate first, iterate the bounded series."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            cents(F.col("value")).alias("yc"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("yc").cast("long").alias("y"))
+    )
+
+    A, B, G, M, SC = _HW_A, _HW_B, _HW_G, _HW_M, _HW_SC
+
+    def tdiv(a: int, m: int) -> int:
+        # truncation toward zero, matching DuckDB's integer //
+        q = abs(a) // m
+        return q if a >= 0 else -q
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = [int(v) for v in pdf["y"]]
+        l = ys[0] * SC
+        b = 0
+        s = [0]
+        for i in range(2, len(ys) + 1):
+            y = ys[i - 1]
+            sprev = s[i - 7 - 1] if i > 7 else 0
+            l_new = tdiv(A * (y * SC - sprev) + (M - A) * (l + b), M)
+            b = tdiv(B * (l_new - l) + (M - B) * b, M)
+            s.append(tdiv(G * (y * SC - l_new) + (M - G) * sprev, M))
+            l = l_new
+        n = len(ys)
+        et = pdf["event_type"].iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": [et] * 7,
+                "h": list(range(1, 8)),
+                "forecast_c": [
+                    tdiv(l + h * b + s[n - 7 + h - 1], SC)
+                    for h in range(1, 8)
+                ],
+            }
+        )
+
+    out = d.groupBy("event_type").applyInPandas(
+        replay, "event_type string, h long, forecast_c long"
+    )
+    return out.orderBy("event_type", "h")
+
+
+# ---------------------------------------------------------------------------
+# L3n: Johnson-Lindenstrauss projection + distortion audit
+# ---------------------------------------------------------------------------
+#
+# A fixed 16x64 Rademacher (+-1) projection matrix, generated once at
+# authoring time from md5 digests (deterministic, engine-independent —
+# the matrix is embedded as a LITERAL in both the Spark plan and the
+# oracle SQL, so no cross-engine hash parity is ever needed).  For
+# +-1 entries E[||Pq||^2] = k * ||q||^2, so ratio_ppm ~ 1e6 with JL
+# concentration — the audit histograms the per-vector distortion.
+
+import hashlib as _hashlib
+
+_JL_K, _JL_D = 16, 64
+_JL_P = [
+    [
+        1 if _hashlib.md5(f"jl_{j}_{i}".encode()).digest()[0] % 2 == 0 else -1
+        for i in range(_JL_D)
+    ]
+    for j in range(_JL_K)
+]
+
+
+def _jl_proj_sql(vec: str, base: int) -> list[str]:
+    """One sum-of-signed-terms expression per projected coordinate.
+    Identical arithmetic structure for both engines; only the bracket
+    base differs (Spark SQL arr[i] is 0-based, DuckDB 1-based)."""
+    outs = []
+    for j in range(_JL_K):
+        terms = [
+            ("+ " if s > 0 else "- ") + f"{vec}[{i + base}]"
+            for i, s in enumerate(_JL_P[j])
+        ]
+        outs.append("(" + " ".join(terms).lstrip("+ ") + ")")
+    return outs
+
+
+_JL_COORDS_SPARK = _jl_proj_sql("q", 0)
+_JL_COORDS_DUCK = _jl_proj_sql("q", 1)
+_JL_PROJ_N2 = " + ".join(f"p{j} * p{j}" for j in range(_JL_K))
+_JL_COORD_SELECT = ", ".join(
+    f"{c} AS p{j}" for j, c in enumerate(_JL_COORDS_DUCK)
+)
+
+
+@query(
+    "embedding_jl_distortion",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(ROUND(x * 1000) AS BIGINT) for x in embedding] AS q
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, q,
+             list_sum([x * x for x in q]) AS orig_n2
+      FROM q
+    ),
+    p AS (
+      SELECT vec_id, orig_n2, {_JL_COORD_SELECT}
+      FROM n WHERE orig_n2 > 0
+    ),
+    r AS (
+      SELECT vec_id,
+             CAST(({_JL_PROJ_N2}) * 1000000 // ({_JL_K} * orig_n2) AS BIGINT)
+               AS ratio_ppm
+      FROM p
+    )
+    SELECT CAST(ratio_ppm // 100000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(ratio_ppm) AS BIGINT) AS min_ppm,
+           CAST(MAX(ratio_ppm) AS BIGINT) AS max_ppm
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3n Johnson-Lindenstrauss audit: project every embedding from
+    64 to 16 dims with a fixed Rademacher matrix and histogram the
+    norm distortion ratio ||Pq||^2 / (k ||q||^2) — the measurement a
+    pipeline runs before switching its ANN index to the projected
+    space (JL says the buckets concentrate near 1e6 ppm; heavy tails
+    mean 16 dims is too aggressive for this corpus).  The projection
+    itself is the scale artifact: 16 signed-sum expressions in one
+    whole-stage-codegen projection, no shuffle, no UDF — the same
+    map-only shape that would feed a projected IVF build at 100 TB.
+
+    Determinism: the +-1 matrix is a module literal (md5-seeded at
+    authoring time) embedded in BOTH plans; quantized int vectors,
+    integer norms, floor-div ppm.
+
+    Plan shape: scan -> project (codegen) -> K-bucket aggregate."""
+    from pyspark.sql.types import LongType
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    n = q.select(
+        "vec_id",
+        "q",
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("orig_n2"),
+    ).where(F.col("orig_n2") > 0)
+    p = n.selectExpr("vec_id", "orig_n2", *[
+        f"{c} AS p{j}" for j, c in enumerate(_JL_COORDS_SPARK)
+    ])
+    r = p.selectExpr(
+        "vec_id",
+        f"CAST(({_JL_PROJ_N2}) * 1000000 div ({_JL_K} * orig_n2) AS BIGINT)"
+        " AS ratio_ppm",
+    )
+    return (
+        r.groupBy(F.expr("ratio_ppm div 100000").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("ratio_ppm").cast("long").alias("min_ppm"),
+            F.max("ratio_ppm").cast("long").alias("max_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20: cross-field conditional-rule audit (data contracts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_cross_field_rules",
+    """
+    WITH j AS (
+      SELECT o.o_orderstatus, o.o_orderdate, o.o_totalprice,
+             l.l_linestatus, l.l_shipdate, l.l_discount, l.l_quantity
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    c AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_f_lines,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' AND l_linestatus <> 'F'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+             AS BIGINT) AS v_ship,
+        CAST(SUM(CASE WHEN CAST(ROUND(l_discount * 10000) AS BIGINT)
+                           NOT BETWEEN 0 AND 1000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        CAST(SUM(CASE WHEN CAST(ROUND(l_quantity * 100) AS BIGINT)
+                           NOT BETWEEN 100 AND 5000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+      FROM j
+    ),
+    o2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_price
+      FROM orders
+    ),
+    rules AS (
+      SELECT 'closed_order_lines_closed' AS rule, n_f_lines AS n_checked,
+             v_status AS n_violations FROM c
+      UNION ALL
+      SELECT 'ship_on_or_after_order', n_lines, v_ship FROM c
+      UNION ALL
+      SELECT 'discount_in_0_10pct', n_lines, v_disc FROM c
+      UNION ALL
+      SELECT 'quantity_in_1_50', n_lines, v_qty FROM c
+      UNION ALL
+      SELECT 'order_price_positive', n_orders, v_price FROM o2
+    )
+    SELECT rule, n_checked, n_violations,
+           CAST(CASE WHEN n_checked = 0 THEN 0
+                     ELSE n_violations * 1000000 // n_checked END AS BIGINT)
+             AS violation_ppm
+    FROM rules ORDER BY rule
+    """,
+)
+def quality_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 cross-field data-contract audit: conditional rules that
+    relate COLUMNS TO EACH OTHER (closed orders must have closed
+    lines; lines ship on/after their order date; discount and
+    quantity inside their business domains; prices positive) — the
+    referential step past Q1's per-column null checks and Q2's
+    per-row expectations, and the batch twin of what a CDC apply
+    (J9/ST9) should assert before merging.  One fact-dimension join
+    feeds ALL line-level rules in a single conditional aggregate;
+    the order-level rule is a second scan-free aggregate; output is
+    one row per rule with its violation ppm.
+
+    Determinism: integer counts; domain compares on cent/bp
+    quantized values; floor-div ppm.
+
+    Plan shape: one orderkey-keyed join (the honest cost; at scale
+    both sides co-partition/bucket on the key) + two conditional
+    aggregates; the rule stack is a 5-row literal union."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(
+        orders,
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        "o_orderstatus", "o_orderdate", "o_totalprice",
+        "l_linestatus", "l_shipdate", "l_discount", "l_quantity",
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    c = j.agg(
+        F.count(one).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_f_lines"),
+        F.sum(
+            F.when(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("l_linestatus") != "F"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_status"),
+        F.sum(
+            F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_ship"),
+        F.sum(
+            F.when(
+                ~F.round(F.col("l_discount") * 10000)
+                .cast("long")
+                .between(0, 1000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_disc"),
+        F.sum(
+            F.when(
+                ~F.round(F.col("l_quantity") * 100)
+                .cast("long")
+                .between(100, 5000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_qty"),
+    )
+    o2 = orders.agg(
+        F.count(one).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_price"),
+    )
+    rules = (
+        c.selectExpr(
+            "'closed_order_lines_closed' AS rule",
+            "n_f_lines AS n_checked",
+            "v_status AS n_violations",
+        )
+        .unionByName(
+            c.selectExpr(
+                "'ship_on_or_after_order' AS rule",
+                "n_lines AS n_checked",
+                "v_ship AS n_violations",
+            )
+        )
+        .unionByName(
+            c.selectExpr(
+                "'discount_in_0_10pct' AS rule",
+                "n_lines AS n_checked",
+                "v_disc AS n_violations",
+            )
+        )
+        .unionByName(
+            c.selectExpr(
+                "'quantity_in_1_50' AS rule",
+                "n_lines AS n_checked",
+                "v_qty AS n_violations",
+            )
+        )
+        .unionByName(
+            o2.selectExpr(
+                "'order_price_positive' AS rule",
+                "n_orders AS n_checked",
+                "v_price AS n_violations",
+            )
+        )
+    )
+    return rules.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.expr(
+            "CAST(CASE WHEN n_checked = 0 THEN 0"
+            " ELSE n_violations * 1000000 div n_checked END AS BIGINT)"
+        ).alias("violation_ppm"),
+    ).orderBy("rule")
