@@ -152,26 +152,29 @@ def events_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "orders_clamped_balance",
     """
-    WITH RECURSIVE d AS (
+    WITH RECURSIVE d AS MATERIALIZED (
       SELECT l_partkey % 100 AS part_bucket,
              epoch_us(l_shipdate) // 86400000000 AS day,
              CAST(SUM(CASE WHEN l_linenumber % 3 = 0 THEN CAST(l_quantity AS BIGINT)
                            ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS delta
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    r AS MATERIALIZED (
+      SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY part_bucket ORDER BY day) AS rn FROM d
     ),
     bal(part_bucket, day, rn, c, n_clamped) AS (
       SELECT part_bucket, day, rn, GREATEST(delta, 0),
              CASE WHEN delta < 0 THEN 1 ELSE 0 END
-      FROM (SELECT *, ROW_NUMBER() OVER
-              (PARTITION BY part_bucket ORDER BY day) AS rn FROM d)
-      WHERE rn = 1
+      FROM r WHERE rn = 1
       UNION ALL
       SELECT x.part_bucket, x.day, x.rn,
              GREATEST(b.c + x.delta, 0),
              b.n_clamped + CASE WHEN b.c + x.delta < 0 THEN 1 ELSE 0 END
       FROM bal b
-      JOIN (SELECT *, ROW_NUMBER() OVER
-              (PARTITION BY part_bucket ORDER BY day) AS rn FROM d) x
+      JOIN r x
         ON x.part_bucket = b.part_bucket AND x.rn = b.rn + 1
     ),
     last AS (
@@ -205,7 +208,9 @@ def orders_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only the K x days table (calendar-bounded, ~100 x 2500
     rows at sf1).  At 100 TB the same split holds: aggregate first,
     iterate on the bounded daily series."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
     d = (
         li.select(
             (F.col("l_partkey") % 100).alias("part_bucket"),
