@@ -1,0 +1,189 @@
+"""S15 — transaction-log table format: snapshot-isolated parquet
+tables with time travel, in the spirit of the open lakehouse formats
+(Delta/Iceberg's core idea: the TABLE is the log, not the directory).
+
+Why the engine needs it: the ingest jobs in this repo (partition
+backfill S13, CDC apply J9/ST9, compaction S9) all assume readers can
+see a CONSISTENT snapshot while writers land new files.  Plain
+directory-listing parquet cannot give that — a reader that lists
+mid-commit sees half a write.  The fix is the standard one: data files
+are immutable and anonymous; a numbered JSON manifest names the exact
+file set of each version; readers resolve the manifest chain, never
+the directory.
+
+Layout::
+
+    table_dir/
+      _txnlog/00000000.json     # one manifest per committed version
+      _txnlog/00000001.json
+      data/v0-<uuid>/...parquet # immutable, written before commit
+
+Each manifest is a FULL snapshot (Iceberg-style), not a delta: it
+carries the complete relative file list, so any version is readable
+without replaying history.
+
+Concurrency: optimistic.  The commit writes ``_txnlog/<next>.json``
+with O_EXCL — if another writer took that version number first, the
+create fails, the writer re-reads the latest snapshot and retries
+with the next number.  Data files are written BEFORE the manifest, so
+a crashed writer leaves only unreferenced files (cleaned by
+``vacuum``), never a corrupt table.
+
+Scale posture: commits are O(1) metadata writes regardless of data
+volume; reads are manifest-resolved (no object-store LIST on the data
+path — the operation that kills S3-scale tables); history is bounded
+by ``vacuum(keep_versions=...)``.  On a real deployment the O_EXCL
+create maps to the object store's if-none-match/conditional-put.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txnlog"
+_DATA_DIR = "data"
+
+
+class TxnConflict(RuntimeError):
+    """Another writer committed the version this writer targeted."""
+
+
+def _log_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _LOG_DIR)
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_path(table_dir), f"{version:08d}.json")
+
+
+def _list_versions(table_dir: str) -> list[int]:
+    log = _log_path(table_dir)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        if name.endswith(".json"):
+            try:
+                out.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_version(table_dir: str) -> int | None:
+    vs = _list_versions(table_dir)
+    return vs[-1] if vs else None
+
+
+def read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def txn_write(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    max_retries: int = 5,
+) -> int:
+    """Commit ``df`` to the table; returns the committed version.
+
+    ``mode="append"`` adds the new files to the current snapshot;
+    ``mode="overwrite"`` replaces the snapshot.  Data lands fully
+    before the manifest is attempted, so concurrent readers never see
+    partial data; version-number collision with a concurrent writer
+    retries against the refreshed snapshot (the new files are already
+    on disk and stay valid — only the manifest race is retried).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_log_path(table_dir), exist_ok=True)
+
+    # 1. land immutable data under an anonymous directory
+    target = latest_version(table_dir)
+    next_v = 0 if target is None else target + 1
+    rel = os.path.join(_DATA_DIR, f"v{next_v}-{uuid.uuid4().hex[:12]}")
+    df.write.parquet(os.path.join(table_dir, rel))
+
+    # 2. commit the manifest with O_EXCL; on collision refresh + retry
+    for _ in range(max_retries):
+        current = latest_version(table_dir)
+        version = 0 if current is None else current + 1
+        if mode == "append" and current is not None:
+            files = list(read_manifest(table_dir, current)["files"])
+        else:
+            files = []
+        files.append(rel)
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": files,
+            "schema": df.schema.json(),
+        }
+        path = _manifest_path(table_dir, version)
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue  # lost the race — re-read snapshot, try next number
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return version
+    raise TxnConflict(
+        f"could not commit to {table_dir} after {max_retries} attempts"
+    )
+
+
+def txn_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: resolve the manifest (latest, or ``version`` for
+    time travel) and scan exactly its file set — never the directory."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions in {table_dir}")
+    path = _manifest_path(table_dir, version)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"version {version} does not exist in {table_dir} "
+            f"(vacuumed or never committed)"
+        )
+    manifest = read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
+    return spark.read.parquet(*paths)
+
+
+def txn_vacuum(table_dir: str, keep_versions: int = 1) -> dict:
+    """Drop data directories unreferenced by the ``keep_versions``
+    newest manifests, and the manifests older than those.  Returns
+    counts.  Readers pinned to a vacuumed version get a clean
+    FileNotFoundError from txn_read."""
+    import shutil
+
+    versions = _list_versions(table_dir)
+    if not versions:
+        return {"removed_files": 0, "removed_manifests": 0}
+    kept = versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in kept:
+        referenced.update(read_manifest(table_dir, v)["files"])
+
+    removed_files = 0
+    data_root = os.path.join(table_dir, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
+                removed_files += 1
+
+    removed_manifests = 0
+    for v in versions:
+        if v not in kept:
+            os.remove(_manifest_path(table_dir, v))
+            removed_manifests += 1
+    return {"removed_files": removed_files, "removed_manifests": removed_manifests}

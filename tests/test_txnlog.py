@@ -1,0 +1,93 @@
+"""S15 transaction-log table format (sources/txnlog.py): snapshot
+isolation, time travel, optimistic-concurrency retry, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytesprocessor_spark.sources.txnlog import (
+    TxnConflict,
+    _manifest_path,
+    latest_version,
+    read_manifest,
+    txn_read,
+    txn_vacuum,
+    txn_write,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select("id", (F.col("id") * 10).alias("x"))
+
+
+def test_append_accumulates_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = txn_write(_df(spark, 0, 10), t, mode="append")
+    v1 = txn_write(_df(spark, 10, 15), t, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert txn_read(spark, t).count() == 15
+    assert txn_read(spark, t, version=0).count() == 10
+    assert sorted(r.id for r in txn_read(spark, t, version=1).collect()) == list(range(15))
+
+
+def test_overwrite_replaces_snapshot_keeps_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 10), t, mode="append")
+    v1 = txn_write(_df(spark, 100, 103), t, mode="overwrite")
+    assert v1 == 1
+    assert txn_read(spark, t).count() == 3
+    # the pre-overwrite snapshot is still fully readable (time travel)
+    assert txn_read(spark, t, version=0).count() == 10
+
+
+def test_conflict_retry_takes_next_version(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 5), t)
+    # simulate a concurrent writer that already claimed version 1
+    os.makedirs(os.path.dirname(_manifest_path(t, 1)), exist_ok=True)
+    with open(_manifest_path(t, 1), "w") as f:
+        f.write('{"version": 1, "mode": "append", "files": []}')
+    v = txn_write(_df(spark, 5, 8), t, mode="append")
+    assert v == 2, "writer must retry past the claimed version"
+    # the retried commit appended onto the REFRESHED snapshot (v1 = empty files)
+    assert txn_read(spark, t, version=2).count() == 3
+
+
+def test_conflict_exhaustion_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 5), t)
+    for v in range(1, 4):
+        with open(_manifest_path(t, v), "w") as f:
+            f.write(f'{{"version": {v}, "mode": "append", "files": []}}')
+
+    # every retry keeps colliding: pre-claim far ahead
+    for v in range(4, 10):
+        with open(_manifest_path(t, v), "w") as f:
+            f.write(f'{{"version": {v}, "mode": "append", "files": []}}')
+    with pytest.raises(TxnConflict):
+        # latest keeps being taken; max_retries=0 forces instant failure
+        txn_write(_df(spark, 5, 8), t, max_retries=0)
+
+
+def test_vacuum_drops_unreferenced_and_old_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 10), t, mode="append")
+    txn_write(_df(spark, 100, 103), t, mode="overwrite")
+    stats = txn_vacuum(t, keep_versions=1)
+    # v0's data dir is unreferenced by the latest snapshot -> dropped
+    assert stats == {"removed_files": 1, "removed_manifests": 1}
+    assert latest_version(t) == 1
+    assert txn_read(spark, t).count() == 3
+    with pytest.raises(FileNotFoundError):
+        txn_read(spark, t, version=0)
+
+
+def test_manifest_carries_full_snapshot(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 5), t)
+    txn_write(_df(spark, 5, 9), t)
+    m = read_manifest(t, 1)
+    assert len(m["files"]) == 2 and m["version"] == 1
+    # schema is recorded for readers that need it without data access
+    assert "fields" in m["schema"]
