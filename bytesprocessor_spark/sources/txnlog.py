@@ -89,6 +89,7 @@ def txn_write(
     table_dir: str,
     mode: str = "append",
     max_retries: int = 5,
+    extra: dict | None = None,
 ) -> int:
     """Commit ``df`` to the table; returns the committed version.
 
@@ -123,6 +124,7 @@ def txn_write(
             "mode": mode,
             "files": files,
             "schema": df.schema.json(),
+            **(extra or {}),
         }
         path = _manifest_path(table_dir, version)
         try:
@@ -187,3 +189,34 @@ def txn_vacuum(table_dir: str, keep_versions: int = 1) -> dict:
             os.remove(_manifest_path(table_dir, v))
             removed_manifests += 1
     return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+
+
+def txn_exactly_once_sink(table_dir: str, mode: str = "append"):
+    """ST18 — exactly-once streaming sink over the transaction log.
+
+    Structured Streaming's file sink is at-least-once across query
+    restarts (a batch that wrote data but crashed before the sink
+    commit is REPLAYED).  This returns a ``foreachBatch`` function
+    that makes the replay idempotent the standard lakehouse way: each
+    commit's manifest records its ``batch_id``, and a batch whose id
+    is already present in the manifest chain is skipped wholesale —
+    the data files the crashed attempt landed stay unreferenced (no
+    manifest points at them) and are reclaimed by ``vacuum``.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(txn_exactly_once_sink(table_dir))
+             .option("checkpointLocation", ckpt).start())
+
+    Scale: the id check scans manifests (metadata, bounded by
+    ``vacuum``), never data.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for v in _list_versions(table_dir):
+            if read_manifest(table_dir, v).get("batch_id") == batch_id:
+                return  # replayed batch — already committed
+        txn_write(batch_df, table_dir, mode=mode, extra={"batch_id": batch_id})
+
+    return write_batch

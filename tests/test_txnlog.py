@@ -91,3 +91,42 @@ def test_manifest_carries_full_snapshot(spark, tmp_path):
     assert len(m["files"]) == 2 and m["version"] == 1
     # schema is recorded for readers that need it without data access
     assert "fields" in m["schema"]
+
+
+def test_exactly_once_sink_replay_is_idempotent(spark, tmp_path):
+    """ST18: a replayed foreachBatch (post-crash at-least-once
+    redelivery) must not double-commit; fresh batch ids append."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from bytesprocessor_spark.sources.txnlog import txn_exactly_once_sink
+
+    t = str(tmp_path / "sink_tbl")
+    land = _tempfile.mkdtemp(prefix="bp_txn_src_")
+    try:
+        batch = _df(spark, 0, 20)
+        batch.write.parquet(_os.path.join(land, "in"))
+        sink = txn_exactly_once_sink(t)
+        stream = spark.readStream.schema(batch.schema).parquet(
+            _os.path.join(land, "in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _os.path.join(land, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        assert txn_read(spark, t).count() == 20
+
+        # crash-replay: same batch id delivered again -> no-op
+        sink(_df(spark, 0, 20), 0)
+        assert txn_read(spark, t).count() == 20
+        assert latest_version(t) == 0
+
+        # a genuinely new batch id appends
+        sink(_df(spark, 20, 25), 1)
+        assert txn_read(spark, t).count() == 25
+    finally:
+        _shutil.rmtree(land, ignore_errors=True)
