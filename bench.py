@@ -260,6 +260,7 @@ HEADLINE = [
     "events_holt_winters",
     "embedding_jl_distortion",
     "quality_cross_field_rules",
+    "eval_brier_profile",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

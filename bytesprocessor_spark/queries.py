@@ -582,6 +582,7 @@ _CHECK_ORDER = [
     "events_holt_winters",
     "embedding_jl_distortion",
     "quality_cross_field_rules",
+    "eval_brier_profile",
     "stream_lateness_audit",
     "biflow_aggregate",
     "quality_benford",

@@ -933,3 +933,92 @@ def eval_cv_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((two_u * 1000000) div (2 * n_pos * n_neg) AS BIGINT)"),
         ).alias("auc_micro"),
     ).orderBy("fold")
+
+
+# ---------------------------------------------------------------------------
+# EV17: Brier score profile (per-bin + total)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eval_brier_profile",
+    f"""
+    WITH {_DUCK_PM},
+    s AS (SELECT LEAST(pm // 100000, 9) AS bin, y, pm,
+                 (pm - 1000000 * y) * (pm - 1000000 * y) AS sq
+          FROM p),
+    g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pm) AS BIGINT) AS sum_pm,
+                 CAST(SUM(y) AS BIGINT) AS sum_y,
+                 CAST(SUM(sq) AS BIGINT) AS sse
+          FROM s GROUP BY 1)
+    SELECT CAST(bin AS VARCHAR) AS bin, n,
+           CAST(sum_pm // n AS BIGINT) AS mean_pred_micro,
+           CAST((sum_y * 1000000) // n AS BIGINT) AS frac_pos_micro,
+           CAST(sse // n AS BIGINT) AS brier_e12
+    FROM g
+    UNION ALL
+    SELECT '_TOTAL', CAST(SUM(n) AS BIGINT),
+           CAST(SUM(sum_pm) // SUM(n) AS BIGINT),
+           CAST((SUM(sum_y) * 1000000) // SUM(n) AS BIGINT),
+           CAST(SUM(sse) // SUM(n) AS BIGINT)
+    FROM g
+    ORDER BY bin
+    """,
+)
+def eval_brier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV17 Brier score profile: the mean squared error of the
+    micro-probability forecast, per reliability bin and in total —
+    the PROPER scoring rule that EV3's ECE is not (ECE can be gamed
+    by predicting the base rate; Brier penalizes both
+    miscalibration AND lack of resolution, Murphy 1973's
+    reliability - resolution + uncertainty).  Per-bin rows expose the
+    decomposition visually (mean_pred vs frac_pos = reliability gap;
+    frac_pos spread across bins = resolution); the '_TOTAL' row is
+    the headline score.
+
+    Determinism: pm in [0, 1e6] micro-units (EV1's min-max
+    normalization), squared errors summed as exact int64
+    (<= 1e12 x N — safe through sf~100), floor-div means.
+
+    Plan shape: one scan -> <=10-bin partial aggregate; the total row
+    folds the bin table.  Same shape as EV3."""
+    from bytesprocessor_spark.operators.evalmetrics import normalize_micro
+
+    p = normalize_micro(_scored(spark, sf_dir))
+    sq = (F.col("pm") - 1_000_000 * F.col("y")) * (
+        F.col("pm") - 1_000_000 * F.col("y")
+    )
+    g = (
+        p.select(
+            F.least(F.expr("pm div 100000"), F.lit(9)).alias("bin"),
+            "y",
+            "pm",
+            sq.alias("sq"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pm").cast("long").alias("sum_pm"),
+            F.sum("y").cast("long").alias("sum_y"),
+            F.sum("sq").cast("long").alias("sse"),
+        )
+    )
+    bins = g.select(
+        F.col("bin").cast("string").alias("bin"),
+        "n",
+        F.expr("sum_pm div n").alias("mean_pred_micro"),
+        F.expr("sum_y * 1000000 div n").alias("frac_pos_micro"),
+        F.expr("sse div n").alias("brier_e12"),
+    )
+    total = g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.expr("CAST(SUM(sum_pm) div SUM(n) AS BIGINT)").alias(
+            "mean_pred_micro"
+        ),
+        F.expr("CAST(SUM(sum_y) * 1000000 div SUM(n) AS BIGINT)").alias(
+            "frac_pos_micro"
+        ),
+        F.expr("CAST(SUM(sse) div SUM(n) AS BIGINT)").alias("brier_e12"),
+    ).select(F.lit("_TOTAL").alias("bin"), "n", "mean_pred_micro", "frac_pos_micro", "brier_e12")
+    return bins.unionByName(total).orderBy("bin")
