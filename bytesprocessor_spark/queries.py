@@ -560,6 +560,8 @@ QUERIES.update(_NO_ORACLE)
 
 _CHECK_ORDER = [
     # --- round-6 driver window (first 50) ---
+    # Round-6 head: the 13 new round-6 oracle rows (new code takes
+    # window priority — ADVICE r4), then the backlog below.
     # Rotation policy (VERDICT r5 #1): 162 of 306 registry entries
     # have never appeared in the driver's 50-entry CORRECTNESS window
     # (they are green in the local tools/check_oracle.py gate, which
