@@ -167,6 +167,8 @@ ALLOW_NESTED_LOOP = {
     # positive/total counts) broadcast back onto bounded grids/bins
     "eval_pr_curve",
     "eval_calibration",
+    # same 1-row min/max normalization frame broadcast onto the scan
+    "eval_brier_profile",
     # recall audit reuses similarity_topk's declared brute-force
     # ground truth over the bounded probe sample
     "eval_ann_recall",
