@@ -103,7 +103,50 @@ def main(argv: list[str] | None = None) -> int:
         help="skip the in-flight no-NaN invariant observation",
     )
 
+    lq = sub.add_parser(
+        "list-queries",
+        help="list every registry query (the SURVEY §2 operator corpus)",
+    )
+    lq.add_argument(
+        "--prefix", default=None, help="only names starting with PREFIX"
+    )
+
+    qp = sub.add_parser(
+        "query",
+        help="run one registry query against a fixture directory and "
+        "print the result",
+    )
+    qp.add_argument("name")
+    qp.add_argument(
+        "--sf",
+        default="/root/testdata/sf0.001",
+        help="fixture directory with the standard parquet tables",
+    )
+    qp.add_argument("--limit", type=int, default=20, help="rows to show")
+
     args = parser.parse_args(argv)
+
+    if args.command == "list-queries":
+        from bytesprocessor_spark.queries import ORACLE, QUERIES
+
+        for name in QUERIES:
+            if args.prefix and not name.startswith(args.prefix):
+                continue
+            tag = "oracle" if name in ORACLE else "rows-only"
+            print(f"{name}\t{tag}")
+        return 0
+
+    if args.command == "query":
+        from bytesprocessor_spark.queries import QUERIES
+        from bytesprocessor_spark.session import get_spark
+
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r} — see list-queries", file=sys.stderr)
+            return 2
+        spark = get_spark("bytesprocessor-cli")
+        df = QUERIES[args.name](spark, args.sf)
+        df.show(args.limit, truncate=False)
+        return 0
 
     if args.command == "process-pcap":
         from bytesprocessor_spark.operators.labeling import AttackSpec  # noqa: F401

@@ -74,3 +74,22 @@ def test_cli_ranges_all_no_attacks(spark, tmp_path):
     # every parseable IPv4 TCP/UDP packet (9 of the 12 fixture frames)
     assert len(data) == 9
     assert {r.label for r in data} == {"benign"}
+
+
+def test_cli_list_queries(capsys):
+    rc = main(["list-queries", "--prefix", "q1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary\toracle" in out
+
+
+def test_cli_query_runs_registry_entry(spark, capsys):
+    rc = main(["query", "q1_pricing_summary", "--sf", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sum_qty" in out and "count_order" in out
+
+
+def test_cli_query_unknown_name(capsys):
+    rc = main(["query", "no_such_query"])
+    assert rc == 2
