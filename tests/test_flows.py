@@ -55,3 +55,30 @@ def test_biflow_merges_directions(spark, tmp_path):
     assert conv.n_fwd == 2 and conv.n_rev == 1
     assert conv.bytes_fwd > 0 and conv.bytes_rev > 0
     assert conv.t_first == 1000.5
+
+
+def test_flow_oracle_rows_conserve_packets(spark):
+    """flow_aggregate / biflow_aggregate (A9 oracle rows): session
+    splitting and endpoint canonicalization must CONSERVE packets and
+    bytes — every input packet lands in exactly one flow and one
+    conversation, and biflow fwd+rev counters partition the packets."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+
+    flows = QUERIES["flow_aggregate"](spark, sf).collect()
+    assert sum(r.n_packets for r in flows) == n_events
+    assert all(r.n_flows >= 1 and r.t_first_s <= r.t_last_s for r in flows)
+
+    bi = QUERIES["biflow_aggregate"](spark, sf).collect()
+    assert sum(r.n_packets for r in bi) == n_events
+    for r in bi:
+        assert r.n_fwd + r.n_rev == r.n_packets
+        assert r.ip_a <= r.ip_b  # canonical endpoint order
+    # both rollups see the same total byte mass
+    from pyspark.sql import functions as F  # noqa: F401
+
+    assert sum(r.bytes_fwd + r.bytes_rev for r in bi) == sum(
+        r.n_bytes for r in flows
+    )
