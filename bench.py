@@ -261,6 +261,10 @@ HEADLINE = [
     "embedding_jl_distortion",
     "quality_cross_field_rules",
     "eval_brier_profile",
+    # ST19: three stream-stream-join drains with checkpoint restore —
+    # the ~35 s is micro-batch + state-store machinery (the DuckDB
+    # replay is a 0.05 s batch join); kept in the suite for honesty
+    "stream_interval_join_outer",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -49,6 +49,7 @@ EAGER_QUERIES = frozenset({
     "stream_srm_monitor",
     "stream_slo_burn",
     "stream_lateness_audit",
+    "stream_interval_join_outer",
     # bounded candidate-pool collect at construction (driver-side
     # greedy rerank over KBs)
     "similarity_mmr_rerank",
@@ -585,6 +586,7 @@ _CHECK_ORDER = [
     "embedding_jl_distortion",
     "quality_cross_field_rules",
     "eval_brier_profile",
+    "stream_interval_join_outer",
     "stream_lateness_audit",
     "biflow_aggregate",
     "quality_benford",

@@ -1161,3 +1161,140 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(land, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(outd, ignore_errors=True)
+
+
+@query(
+    "stream_interval_join_outer",
+    """
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                 CAST(ROUND(value * 100) AS BIGINT) AS purchase_c
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT v.user_id, v.view_id, p.purchase_id, p.purchase_c
+          FROM v LEFT JOIN p
+            ON v.user_id = p.user_id
+           AND p.purchase_ts >= v.view_ts
+           AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR)
+    SELECT CAST(user_id % 50 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN purchase_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched,
+           CAST(COALESCE(SUM(purchase_c), 0) AS BIGINT) AS sum_purchase_c
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST19 stream-stream LEFT OUTER interval join — the semantics
+    ST8's inner join defers: an unmatched left row (a view with no
+    purchase inside its 2-hour window) must STILL be emitted, null-
+    padded, and Structured Streaming can only do that once the
+    watermark proves no future match can arrive.  Driven like the ST4
+    lateness audit: single-file drains over one checkpoint — the real
+    events, then two successively later sentinel rows (on BOTH sides,
+    so both state stores' watermarks advance) whose drains flush every
+    real view's unmatched verdict before the readout.  Sentinels are
+    excluded from the result by user_id sign.
+
+    The oracle is the plain batch LEFT JOIN with the identical
+    interval condition — equality proves both match completeness
+    (state never evicted early) AND unmatched-emission completeness
+    (every flushed view accounted, none emitted twice).
+
+    Determinism: matches are order-independent; unmatched emission is
+    forced by the sentinel watermark; integer counts/cents rollup per
+    user bucket.
+
+    Scale shape: the join state is watermark + interval bounded
+    (a buffered view is droppable once the purchase watermark passes
+    view_ts + 2h); the readout is a 50-row bucket aggregate."""
+    from bytesprocessor_spark.streaming.joins import interval_join
+
+    land = tempfile.mkdtemp(prefix="bp_oj_src_")
+    ckpt = tempfile.mkdtemp(prefix="bp_oj_ckpt_")
+    outd = tempfile.mkdtemp(prefix="bp_oj_out_")
+    try:
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        src = os.path.join(land, "ev")
+        schema = ev.schema
+
+        def drain() -> None:
+            stream = spark.readStream.schema(schema).parquet(src)
+            views = stream.where(F.col("event_type") == "view").select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            purch = stream.where(F.col("event_type") == "purchase").select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            joined = interval_join(
+                views,
+                purch,
+                key="user_id",
+                left_ts="view_ts",
+                right_ts="purchase_ts",
+                lower="0 seconds",
+                upper="2 hours",
+                watermark="1 hour",
+                how="left_outer",
+            )
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", os.path.join(outd, "sink"))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        ev.coalesce(1).write.parquet(src)
+        drain()
+        for i, day in enumerate(("2024-06-01", "2024-07-01")):
+            sent = spark.createDataFrame(
+                [
+                    (-1 - i, day, -1, "view", 0.0, "{}"),
+                    (-100 - i, day, -1, "purchase", 0.0, "{}"),
+                ],
+                "event_id long, ts string, user_id long, event_type string,"
+                " value double, props string",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            sent.coalesce(1).write.mode("append").parquet(src)
+            drain()
+
+        sink = spark.read.parquet(os.path.join(outd, "sink")).where(
+            F.col("user_id") >= 0
+        )
+        out = (
+            sink.groupBy((F.col("user_id") % 50).alias("user_bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("purchase_id").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_matched"),
+                F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_unmatched"),
+                F.coalesce(F.sum(cents(F.col("purchase_value"))), F.lit(0))
+                .cast("long")
+                .alias("sum_purchase_c"),
+            )
+            .orderBy("user_bucket")
+        )
+        # bounded localize (<= 50 rows) so the temp dirs can drop
+        local = spark.createDataFrame(out.collect(), out.schema)
+        return local
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(outd, ignore_errors=True)
