@@ -130,3 +130,41 @@ def test_exactly_once_sink_replay_is_idempotent(spark, tmp_path):
         assert txn_read(spark, t).count() == 25
     finally:
         _shutil.rmtree(land, ignore_errors=True)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.tuples(st.sampled_from(["append", "overwrite"]), st.integers(1, 4)),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_txnlog_matches_model_under_random_histories(spark, tmp_path_factory, ops):
+    """Property: any append/overwrite history yields snapshots equal to
+    the obvious list model, at every version (time travel included)."""
+    t = str(tmp_path_factory.mktemp("prop"))
+    model_snapshots = []
+    model = []
+    base = 0
+    for mode, n in ops:
+        batch = list(range(base, base + n))
+        base += n
+        if mode == "append":
+            model = model + batch
+        else:
+            model = list(batch)
+        model_snapshots.append(list(model))
+        df = spark.createDataFrame([(i,) for i in batch], "id long")
+        txn_write(df, t, mode=mode)
+    for v, snap in enumerate(model_snapshots):
+        got = sorted(r.id for r in txn_read(spark, t, version=v).collect())
+        assert got == sorted(snap), f"version {v} diverged"
