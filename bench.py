@@ -265,6 +265,7 @@ HEADLINE = [
     # the ~35 s is micro-batch + state-store machinery (the DuckDB
     # replay is a 0.05 s batch join); kept in the suite for honesty
     "stream_interval_join_outer",
+    "orders_join_ivm",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -587,6 +587,7 @@ _CHECK_ORDER = [
     "quality_cross_field_rules",
     "eval_brier_profile",
     "stream_interval_join_outer",
+    "orders_join_ivm",
     "stream_lateness_audit",
     "biflow_aggregate",
     "quality_benford",

@@ -829,3 +829,75 @@ def quality_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE n_violations * 1000000 div n_checked END AS BIGINT)"
         ).alias("violation_ppm"),
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# J13: incremental join view maintenance (delta decomposition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_join_ivm",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 incremental view maintenance for a JOIN: maintain the
+    materialized lineitem-orders join under deltas to BOTH sides with
+    the standard decomposition
+
+        (L0 + dL) x (O0 + dO)
+          = L0xO0  +  dL x O0  +  L0 x dO  +  dL x dO
+
+    — the identity every streaming/batch IVM engine (and ST9's CDC
+    apply) rests on.  The fixture is split deterministically into
+    base and delta partitions (orders by key % 10, lineitem by key %
+    7), the FOUR delta terms are computed and unioned, and the
+    readout aggregates the UNION.  The oracle aggregates the plain
+    full join — equality proves the decomposition loses and
+    duplicates nothing across all four quadrants.
+
+    Determinism: partition by key arithmetic; integer cents.
+
+    Plan shape: at 100 TB only the three delta terms run per batch
+    (L0xO0 is the standing materialization — here it is recomputed
+    because the fixture has no persisted state); each term is an
+    orderkey-equi join, co-partitionable/bucketable on the key, and
+    the delta sides are small by construction, so dLxO0 / L0xdO
+    broadcast their delta side."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l0 = li.where(F.col("l_orderkey") % 7 != 0)
+    dl = li.where(F.col("l_orderkey") % 7 == 0)
+    o0 = orders.where(F.col("o_orderkey") % 10 != 0)
+    do = orders.where(F.col("o_orderkey") % 10 == 0)
+
+    def j(left: DataFrame, right: DataFrame) -> DataFrame:
+        return left.join(right, left["l_orderkey"] == right["o_orderkey"]).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+
+    maintained = (
+        j(l0, o0)
+        .unionByName(j(dl, o0))
+        .unionByName(j(l0, do))
+        .unionByName(j(dl, do))
+    )
+    from bytesprocessor_spark.queries import cents as _cents
+
+    return (
+        maintained.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("revenue_c"),
+        )
+        .orderBy("o_orderpriority")
+    )
