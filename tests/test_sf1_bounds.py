@@ -108,3 +108,13 @@ def test_agg_kmv_distinct_sf1(spark, sf1_dir):
 
 def test_embedding_gram_matrix_sf1(spark, sf1_dir):
     _check(spark, sf1_dir, "embedding_gram_matrix", ["embeddings"])
+
+
+def test_events_ols_sf1(spark, sf1_dir):
+    # 9 Gram/moment sums exact int64 at 1M rows; Cramer solve in double
+    _check(spark, sf1_dir, "events_ols", ["events"])
+
+
+def test_events_holt_winters_sf1(spark, sf1_dir):
+    # milli-cent state x 1e6 coefs at sf1 daily volumes stays in int64
+    _check(spark, sf1_dir, "events_holt_winters", ["events"])
