@@ -266,6 +266,7 @@ HEADLINE = [
     # replay is a 0.05 s batch join); kept in the suite for honesty
     "stream_interval_join_outer",
     "orders_join_ivm",
+    "txnlog_snapshot_read",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -50,6 +50,8 @@ EAGER_QUERIES = frozenset({
     "stream_slo_burn",
     "stream_lateness_audit",
     "stream_interval_join_outer",
+    # S15 oracle row: writes + reads a temp txnlog table at construction
+    "txnlog_snapshot_read",
     # bounded candidate-pool collect at construction (driver-side
     # greedy rerank over KBs)
     "similarity_mmr_rerank",
@@ -588,6 +590,7 @@ _CHECK_ORDER = [
     "eval_brier_profile",
     "stream_interval_join_outer",
     "orders_join_ivm",
+    "txnlog_snapshot_read",
     "stream_lateness_audit",
     "biflow_aggregate",
     "quality_benford",

@@ -64,6 +64,18 @@ _OLS_D0 = _det("sy", "sh", "sd", "shy", "shh", "shd", "sdy", "shd", "sdd")
 _OLS_D1 = _det("n", "sy", "sd", "sh", "shy", "shd", "sd", "sdy", "sdd")
 _OLS_D2 = _det("n", "sh", "sy", "sh", "shh", "shy", "sd", "shd", "sdy")
 
+# R^2 via the normal-equations identity SSE = Syy - b.[sy, shy, sdy]
+# (exact when b solves the normal equations); SST = Syy - sy^2/n.
+# Same fixed double tree on both engines.
+_OLS_SSE = f"""(CAST(syy AS DOUBLE)
+  - ((({_OLS_D0}) / ({_OLS_D})) * CAST(sy AS DOUBLE)
+     + (({_OLS_D1}) / ({_OLS_D})) * CAST(shy AS DOUBLE)
+     + (({_OLS_D2}) / ({_OLS_D})) * CAST(sdy AS DOUBLE)))"""
+_OLS_SST = ("(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+            " / CAST(n AS DOUBLE))")
+_OLS_R2 = (f"CAST(ROUND((1.0 - ({_OLS_SSE}) / ({_OLS_SST})) * 1000000.0)"
+           " AS BIGINT)")
+
 
 @query(
     "events_ols",
@@ -82,7 +94,8 @@ _OLS_D2 = _det("n", "sh", "sy", "sh", "shh", "shy", "sd", "shd", "sdy")
              CAST(SUM(d * d) AS BIGINT) AS sdd,
              CAST(SUM(y) AS BIGINT) AS sy,
              CAST(SUM(h * y) AS BIGINT) AS shy,
-             CAST(SUM(d * y) AS BIGINT) AS sdy
+             CAST(SUM(d * y) AS BIGINT) AS sdy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
       FROM f
     )
     SELECT n, sy,
@@ -91,7 +104,8 @@ _OLS_D2 = _det("n", "sh", "sy", "sh", "shh", "shy", "sd", "shd", "sdy")
            CAST(ROUND(({_OLS_D1}) / ({_OLS_D}) * 10000.0) AS BIGINT)
              AS b1_cb,
            CAST(ROUND(({_OLS_D2}) / ({_OLS_D}) * 10000.0) AS BIGINT)
-             AS b2_cb
+             AS b2_cb,
+           {_OLS_R2} AS r2_ppm
     FROM g
     """,
 )
@@ -128,6 +142,7 @@ def events_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("h") * F.col("y")).cast("long").alias("shy"),
         F.sum(F.col("d") * F.col("y")).cast("long").alias("sdy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
     return g.selectExpr(
         "n",
@@ -135,6 +150,7 @@ def events_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(ROUND(({_OLS_D0}) / ({_OLS_D}) * 10000.0) AS BIGINT) AS b0_cb",
         f"CAST(ROUND(({_OLS_D1}) / ({_OLS_D}) * 10000.0) AS BIGINT) AS b1_cb",
         f"CAST(ROUND(({_OLS_D2}) / ({_OLS_D}) * 10000.0) AS BIGINT) AS b2_cb",
+        f"{_OLS_R2} AS r2_ppm",
     )
 
 
@@ -901,3 +917,71 @@ def orders_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# S15 oracle row: transaction-log snapshot + time-travel read
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "txnlog_snapshot_read",
+    """
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+    agg AS (
+      SELECT 'v0' AS snapshot, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+      FROM base GROUP BY 2
+      UNION ALL
+      SELECT 'latest', o_orderpriority,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM orders GROUP BY 2
+    )
+    SELECT snapshot, o_orderpriority, n_orders, revenue_c
+    FROM agg ORDER BY snapshot, o_orderpriority
+    """,
+)
+def txnlog_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 as an ORACLE row (previously pytest-only): commit the
+    orders table to a transaction-log table in two versions (v0 =
+    orderkey % 10 != 0, v1 = append the rest), then aggregate BOTH
+    the time-travel read of v0 and the latest snapshot.  The oracle
+    recomputes the same aggregates from the plain table with the
+    version predicates — equality proves the manifest chain loses and
+    duplicates no files across commits, and that time travel
+    reconstructs the exact historical file set.
+
+    EAGER: writes a temp txnlog table at construction (like the
+    streaming drains); the table is removed before returning — the
+    result is localized (calendar-of-priorities bounded, 10 rows).
+
+    Scale shape: commits are O(1) manifest writes; the snapshot reads
+    scan exactly the manifest's file list (no directory listing); the
+    readout is a 5-priority aggregate per snapshot."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from bytesprocessor_spark.sources.txnlog import txn_read, txn_write
+
+    orders = _t(spark, sf_dir, "orders")
+    tdir = _tempfile.mkdtemp(prefix="bp_txn_tbl_")
+    try:
+        txn_write(orders.where(F.col("o_orderkey") % 10 != 0), tdir, mode="append")
+        txn_write(orders.where(F.col("o_orderkey") % 10 == 0), tdir, mode="append")
+
+        def agg(df: DataFrame, tag: str) -> DataFrame:
+            return df.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(cents(F.col("o_totalprice"))).cast("long").alias("revenue_c"),
+            ).select(F.lit(tag).alias("snapshot"), "o_orderpriority", "n_orders", "revenue_c")
+
+        out = agg(txn_read(spark, tdir, version=0), "v0").unionByName(
+            agg(txn_read(spark, tdir), "latest")
+        ).orderBy("snapshot", "o_orderpriority")
+        # localize before the temp table is deleted (bounded rows)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(tdir, ignore_errors=True)
