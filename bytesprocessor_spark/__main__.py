@@ -157,6 +157,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.ranges == "from-attacks" and attacks:
             ranges = tuple((a.ts_start, a.ts_end) for a in attacks)
         else:
+            if args.ranges == "from-attacks":
+                # the reference derives ranges from the attack list;
+                # with no attacks config that list is empty — make the
+                # whole-capture fallback explicit instead of silent
+                print(
+                    "no attacks config given: extracting the WHOLE "
+                    "capture (pass --attacks for attack-window "
+                    "extraction)",
+                    file=sys.stderr,
+                )
             ranges = ()
 
         spark = get_spark("bytesprocessor-cli")

@@ -55,8 +55,14 @@ _MEMO: dict[tuple, DataFrame] = {}
 
 def memo_checkpoint(spark, key: tuple, build) -> DataFrame:
     """Return the memoized local-checkpointed DataFrame for ``key``
-    (scoped to the live SparkSession), building it on first use."""
-    full = (spark.sparkContext.applicationId,) + tuple(key)
+    (scoped to the live SparkSession), building it on first use.
+    Entries keyed by OTHER applicationIds belong to stopped sessions
+    and can never hit again — they are evicted here so a long-lived
+    process that restarts sessions doesn't pin dead py4j handles."""
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _MEMO if k[0] != app_id]:
+        del _MEMO[stale]
+    full = (app_id,) + tuple(key)
     df = _MEMO.get(full)
     if df is None:
         df = build().localCheckpoint(eager=True)

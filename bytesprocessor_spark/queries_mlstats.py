@@ -418,10 +418,11 @@ def text_novelty_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Additive Holt-Winters over each event type's daily revenue with a
 # 7-observation season, alpha/beta/gamma = 0.3/0.1/0.2 in micro-units.
 # ALL state (level l, trend b, seasonal s) lives in milli-cent ints and
-# every smoothing step is  (coef * x + (M - coef) * prev) // M  with
-# FLOOR division — Python's // and DuckDB's // both floor, so the
-# sequential recurrence is bit-identical across engines with no float
-# anywhere.  int64 bound: coef(1e6) x state(y_cents x 1e3) stays under
+# every smoothing step is  (coef * x + (M - coef) * prev) / M  integer
+# division with TRUNCATION toward zero — DuckDB's // truncates on
+# negatives (verified: -7 // 2 = -3) while Python's // floors, so the
+# replay uses a sign-adjusted truncating div (tdiv below).  Any new
+# integer-recurrence entry in this file MUST do the same.  int64 bound: coef(1e6) x state(y_cents x 1e3) stays under
 # 2^63 through sf~10 daily volumes (documented next to the ACF/Gram
 # bound convention).
 
@@ -468,8 +469,10 @@ _HW_M, _HW_SC = 1_000_000, 1_000
     fin AS (SELECT hw.*, last.n FROM hw
             JOIN last ON hw.event_type = last.event_type AND hw.rn = last.n)
     SELECT f.event_type, CAST(h.h AS BIGINT) AS h,
-           CAST((f.l + h.h * f.b + f.s_list[f.n - 7 + h.h]) // {_HW_SC}
-                AS BIGINT) AS forecast_c
+           CAST((f.l + h.h * f.b
+                 + CASE WHEN f.n - 7 + h.h >= 1
+                        THEN f.s_list[f.n - 7 + h.h] ELSE 0 END)
+                // {_HW_SC} AS BIGINT) AS forecast_c
     FROM fin f, (SELECT UNNEST(range(1, 8)) AS h) h
     ORDER BY 1, 2
     """,
@@ -533,7 +536,14 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type": [et] * 7,
                 "h": list(range(1, 8)),
                 "forecast_c": [
-                    tdiv(l + h * b + s[n - 7 + h - 1], SC)
+                    # series shorter than the season fall back to a 0
+                    # seasonal term — mirrors the oracle's NULL-guard
+                    # CASE (Python negative indexing would WRAP here)
+                    tdiv(
+                        l + h * b
+                        + (s[n - 7 + h - 1] if n - 7 + h - 1 >= 0 else 0),
+                        SC,
+                    )
                     for h in range(1, 8)
                 ],
             }
@@ -636,8 +646,6 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer norms, floor-div ppm.
 
     Plan shape: scan -> project (codegen) -> K-bucket aggregate."""
-    from pyspark.sql.types import LongType
-
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",

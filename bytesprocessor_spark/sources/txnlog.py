@@ -159,13 +159,30 @@ def txn_read(
     return spark.read.parquet(*paths)
 
 
-def txn_vacuum(table_dir: str, keep_versions: int = 1) -> dict:
+def txn_vacuum(
+    table_dir: str, keep_versions: int = 1, min_age_seconds: float = 0.0
+) -> dict:
     """Drop data directories unreferenced by the ``keep_versions``
     newest manifests, and the manifests older than those.  Returns
     counts.  Readers pinned to a vacuumed version get a clean
-    FileNotFoundError from txn_read."""
-    import shutil
+    FileNotFoundError from txn_read.
 
+    CONCURRENCY CONTRACT: an in-flight writer that has landed data
+    (txn_write step 1) but not yet committed its manifest looks
+    unreferenced — vacuuming it would corrupt the writer's imminent
+    commit.  When writers may be live, pass ``min_age_seconds``
+    greater than the longest possible write duration (the standard
+    lakehouse retention-window rule); directories younger than that
+    are skipped.  The default 0 is only safe with no concurrent
+    writers."""
+    import shutil
+    import time
+
+    if keep_versions < 1:
+        raise ValueError(
+            f"keep_versions must be >= 1 (got {keep_versions}); the"
+            " latest snapshot must always survive a vacuum"
+        )
     versions = _list_versions(table_dir)
     if not versions:
         return {"removed_files": 0, "removed_manifests": 0}
@@ -177,11 +194,20 @@ def txn_vacuum(table_dir: str, keep_versions: int = 1) -> dict:
     removed_files = 0
     data_root = os.path.join(table_dir, _DATA_DIR)
     if os.path.isdir(data_root):
+        now = time.time()
         for name in os.listdir(data_root):
             rel = os.path.join(_DATA_DIR, name)
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
-                removed_files += 1
+            if rel in referenced:
+                continue
+            full = os.path.join(table_dir, rel)
+            if min_age_seconds > 0:
+                try:
+                    if now - os.path.getmtime(full) < min_age_seconds:
+                        continue  # possibly an in-flight writer's data
+                except OSError:
+                    continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed_files += 1
 
     removed_manifests = 0
     for v in versions:
