@@ -37,3 +37,23 @@ def test_memo_key_isolation(spark):
     b = memo_checkpoint(spark, ("test_memo", "kb"), lambda: spark.range(5))
     assert a.count() == 3 and b.count() == 5
     assert a is not b
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE / MIN_OF_3 name must exist in the
+    registry — a typo here would crash the driver's per-round bench."""
+    import re
+    from pathlib import Path
+
+    from bytesprocessor_spark.queries import QUERIES
+
+    src = (Path(__file__).resolve().parents[1] / "bench.py").read_text()
+    synthetic = {"pcap_pipeline_20k", "similarity_ivf_probe"}
+    names = re.findall(
+        r'"([a-z0-9_]+)"', re.search(r"HEADLINE = \[(.*?)\n\]", src, re.S).group(1)
+    )
+    assert not [n for n in names if n not in QUERIES and n not in synthetic]
+    m3 = re.findall(
+        r'"([a-z0-9_]+)"', re.search(r"MIN_OF_3 = \{(.*?)\}", src, re.S).group(1)
+    )
+    assert not [n for n in m3 if n not in QUERIES and n not in synthetic]
