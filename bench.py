@@ -267,6 +267,7 @@ HEADLINE = [
     "stream_interval_join_outer",
     "orders_join_ivm",
     "txnlog_snapshot_read",
+    "part_sourcing_risk",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -591,6 +591,7 @@ _CHECK_ORDER = [
     "stream_interval_join_outer",
     "orders_join_ivm",
     "txnlog_snapshot_read",
+    "part_sourcing_risk",
     "stream_lateness_audit",
     "biflow_aggregate",
     "quality_benford",

@@ -993,3 +993,82 @@ def txnlog_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         _shutil.rmtree(tdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# A72: part-sourcing concentration risk
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_sourcing_risk",
+    """
+    WITH s AS (
+      SELECT l_partkey % 200 AS part_bucket, l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT part_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(n_lines) AS BIGINT) AS total_lines
+      FROM s GROUP BY 1
+    ),
+    h AS (
+      SELECT s.part_bucket,
+             CAST(SUM(((s.n_lines * 10000) // t.total_lines)
+                      * ((s.n_lines * 10000) // t.total_lines)) AS BIGINT)
+               AS hhi_e8
+      FROM s JOIN t ON s.part_bucket = t.part_bucket
+      GROUP BY 1
+    )
+    SELECT t.part_bucket, t.n_suppliers, t.total_lines, h.hhi_e8,
+           t.n_suppliers = 1 AS single_sourced,
+           h.hhi_e8 >= 25000000 AS concentrated
+    FROM t JOIN h ON t.part_bucket = h.part_bucket
+    ORDER BY t.part_bucket
+    """,
+)
+def part_sourcing_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A72 sourcing-concentration risk: per part bucket, the distinct
+    supplier count and the Herfindahl index of supplier line shares —
+    the procurement-risk screen (single-sourced parts and HHI >= 0.25
+    'concentrated' buckets are the supply-chain fragility list; the
+    per-part view A62's firm-level HHI aggregates away).  Shares in
+    basis points with floor division, so the squared-share sum is
+    exact int64 on both engines.
+
+    Plan shape: one (bucket, supplier) map-side-combined aggregate
+    absorbs the scan; the per-bucket rollup and the HHI join run on
+    the bounded bucket x supplier table.  At 100 TB: one shuffle of
+    (bucket, supplier) partials, everything after is key-space
+    bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = (
+        li.select((F.col("l_partkey") % 200).alias("part_bucket"), "l_suppkey")
+        .groupBy("part_bucket", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+    t = s.groupBy("part_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("n_lines").cast("long").alias("total_lines"),
+    )
+    share = F.expr("n_lines * 10000 div total_lines")
+    h = (
+        s.join(t, "part_bucket")
+        .select("part_bucket", (share * share).alias("sq"))
+        .groupBy("part_bucket")
+        .agg(F.sum("sq").cast("long").alias("hhi_e8"))
+    )
+    return (
+        t.join(h, "part_bucket")
+        .select(
+            "part_bucket",
+            "n_suppliers",
+            "total_lines",
+            "hhi_e8",
+            (F.col("n_suppliers") == 1).alias("single_sourced"),
+            (F.col("hhi_e8") >= 25_000_000).alias("concentrated"),
+        )
+        .orderBy("part_bucket")
+    )
