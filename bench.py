@@ -268,6 +268,7 @@ HEADLINE = [
     "orders_join_ivm",
     "txnlog_snapshot_read",
     "part_sourcing_risk",
+    "orders_ratio_to_report",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -592,6 +592,7 @@ _CHECK_ORDER = [
     "orders_join_ivm",
     "txnlog_snapshot_read",
     "part_sourcing_risk",
+    "orders_ratio_to_report",
     "stream_lateness_audit",
     "biflow_aggregate",
     "quality_benford",

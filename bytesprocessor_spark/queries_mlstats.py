@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bytesprocessor_spark.queries import _t, cents, query
@@ -1072,3 +1072,78 @@ def part_sourcing_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# W20: ratio-to-report (windowed share-of-total + rank)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_ratio_to_report",
+    """
+    WITH a AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 // 365 AS BIGINT)
+               AS year_idx,
+             o_orderpriority,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT year_idx, o_orderpriority, revenue_c,
+           CAST((revenue_c * 1000000)
+                // SUM(revenue_c) OVER (PARTITION BY year_idx) AS BIGINT)
+             AS share_ppm,
+           CAST(RANK() OVER (PARTITION BY year_idx
+                             ORDER BY revenue_c DESC, o_orderpriority)
+                AS BIGINT) AS rnk
+    FROM a ORDER BY year_idx, rnk
+    """,
+)
+def orders_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W20 ratio-to-report: each priority's share of its epoch-year's
+    revenue plus its within-year rank — the classic report analytic
+    (Oracle's RATIO_TO_REPORT) expressed as a window over the
+    GROUPED table, not the fact table: the share denominator is a
+    full-partition window sum over <= 5 rows per year, so the window
+    never sees event volume.  Epoch-year index keeps the bucket
+    engine-neutral (no calendar-year extraction differences).
+
+    Determinism: integer cents, floor-div ppm, rank tie-broken on the
+    priority string.
+
+    Plan shape: one (year, priority) map-combined aggregate absorbs
+    the scan; the window runs on the K-row result."""
+    orders = _t(spark, sf_dir, "orders")
+    a = (
+        orders.select(
+            F.expr(
+                "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                " div 86400000000 div 365 AS BIGINT)"
+            ).alias("year_idx"),
+            "o_orderpriority",
+            cents(F.col("o_totalprice")).alias("c"),
+        )
+        .groupBy("year_idx", "o_orderpriority")
+        .agg(F.sum("c").cast("long").alias("revenue_c"))
+    )
+    w = Window.partitionBy("year_idx")
+    wr = Window.partitionBy("year_idx").orderBy(
+        F.col("revenue_c").desc(), "o_orderpriority"
+    )
+    return a.select(
+        "year_idx",
+        "o_orderpriority",
+        "revenue_c",
+        F.expr(
+            "CAST(revenue_c * 1000000 AS BIGINT)"
+        ).alias("__num"),
+        F.sum("revenue_c").over(w).alias("__den"),
+        F.rank().over(wr).cast("long").alias("rnk"),
+    ).select(
+        "year_idx",
+        "o_orderpriority",
+        "revenue_c",
+        F.expr("__num div __den").alias("share_ppm"),
+        "rnk",
+    ).orderBy("year_idx", "rnk")
