@@ -562,73 +562,18 @@ QUERIES.update(_NO_ORACLE)
 
 
 _CHECK_ORDER = [
-    # --- round-6 driver window (first 50) ---
-    # Round-6 head: the 13 new round-6 oracle rows (new code takes
-    # window priority — ADVICE r4), then the backlog below.
-    # Rotation policy (VERDICT r5 #1): 162 of 306 registry entries
-    # have never appeared in the driver's 50-entry CORRECTNESS window
-    # (they are green in the local tools/check_oracle.py gate, which
-    # runs the same DuckDB comparison, but the contract signal is
-    # CORRECTNESS_r*.json).  Rounds 6 and 7 burn down that backlog:
-    # this ordering puts ALL 162 never-driver-checked entries first
-    # (round-6 window = first 50, round-7 picks up the next 50 by
-    # promoting them to the prefix), followed by the 144 entries with
-    # at least one driver-green row (r1/r2/r4/r5).  New entries added
-    # during round 6 take window priority (ADVICE r4: new code must
-    # reach the checked prefix) and are inserted at the head.
+    # --- round-7 driver window (first 50) ---
+    # Rotation policy (VERDICT r6 #1): after round 6, 128 of 322
+    # registry entries have never appeared in a driver CORRECTNESS
+    # window.  This ordering puts ALL 128 never-driver-checked entries
+    # first (round-7 window = first 50, round-8 promotes the next 50),
+    # followed by the 194 entries with at least one driver-green row
+    # (r1/r2/r4/r5/r6; the round-6 window sits last as most recently
+    # checked).  New round-7 entries are inserted at the head (ADVICE
+    # r4: new code reaches the checked prefix first), capped so the
+    # window still retires >=40 backlog entries (VERDICT r6 #1).
 
-    # round-6 new entries (window priority: new code reaches the
-    # checked prefix first — ADVICE r4)
-    "flow_aggregate",
-    "events_ols",
-    "orders_clamped_balance",
-    "text_lexical_diversity",
-    "text_novelty_gain",
-    "events_holt_winters",
-    "embedding_jl_distortion",
-    "quality_cross_field_rules",
-    "eval_brier_profile",
-    "stream_interval_join_outer",
-    "orders_join_ivm",
-    "txnlog_snapshot_read",
-    "part_sourcing_risk",
-    "orders_ratio_to_report",
-    "stream_lateness_audit",
-    "biflow_aggregate",
-    "quality_benford",
-    "agg_weighted_median",
-    "orders_market_basket",
-    "scd2_order_priority",
-    "events_gap_fill",
-    "profile_orders_card",
-    "audit_referential_integrity",
-    "stream_trending_topk",
-    "text_zipf_fit",
-    "text_readability",
-    "events_entropy_rate",
-    "graph_degree_histogram",
-    "events_sprt",
-    "eval_isotonic_calibration",
-    "corpus_negative_sampling",
-    "text_rake_keyphrases",
-    "dim_date_build",
-    "events_theil_sen",
-    "stream_sprt",
-    "eval_cv_auc",
-    "events_mann_whitney",
-    "events_chi_square",
-    "events_dau_growth",
-    "orders_cohort_ltv",
-    "events_audience_overlap",
-    "events_power_analysis",
-    "stream_dedup",
-    "agg_heavy_hitters",
-    "q2_min_cost_supplier",
-    "q20_excess_suppliers",
-    "stream_running_totals",
-    "corpus_leakage_safe_split",
-    "dedup_threshold_sweep",
-    "eval_auc",
+    # --- never driver-checked backlog (128) ---
     "eval_pr_curve",
     "eval_calibration",
     "events_group_kfold",
@@ -757,7 +702,7 @@ _CHECK_ORDER = [
     "interval_concurrency",
     "stream_static_enrich",
     "stream_cdc_apply",
-    # --- entries with >=1 driver-green CORRECTNESS row (r1/r2/r4/r5), most recently checked last ---
+    # --- entries with >=1 driver-green CORRECTNESS row (r1-r5), most recently checked last ---
     "pack_length_batches",
     "dedup_span_ngrams",
     "embedding_kmeans",
@@ -902,6 +847,57 @@ _CHECK_ORDER = [
     "text_pii_scrub",
     "embedding_quantize",
     "text_bpe_tokens",
+    # --- round-6 driver window (checked r6) ---
+    "flow_aggregate",
+    "events_ols",
+    "orders_clamped_balance",
+    "text_lexical_diversity",
+    "text_novelty_gain",
+    "events_holt_winters",
+    "embedding_jl_distortion",
+    "quality_cross_field_rules",
+    "eval_brier_profile",
+    "stream_interval_join_outer",
+    "orders_join_ivm",
+    "txnlog_snapshot_read",
+    "part_sourcing_risk",
+    "orders_ratio_to_report",
+    "stream_lateness_audit",
+    "biflow_aggregate",
+    "quality_benford",
+    "agg_weighted_median",
+    "orders_market_basket",
+    "scd2_order_priority",
+    "events_gap_fill",
+    "profile_orders_card",
+    "audit_referential_integrity",
+    "stream_trending_topk",
+    "text_zipf_fit",
+    "text_readability",
+    "events_entropy_rate",
+    "graph_degree_histogram",
+    "events_sprt",
+    "eval_isotonic_calibration",
+    "corpus_negative_sampling",
+    "text_rake_keyphrases",
+    "dim_date_build",
+    "events_theil_sen",
+    "stream_sprt",
+    "eval_cv_auc",
+    "events_mann_whitney",
+    "events_chi_square",
+    "events_dau_growth",
+    "orders_cohort_ltv",
+    "events_audience_overlap",
+    "events_power_analysis",
+    "stream_dedup",
+    "agg_heavy_hitters",
+    "q2_min_cost_supplier",
+    "q20_excess_suppliers",
+    "stream_running_totals",
+    "corpus_leakage_safe_split",
+    "dedup_threshold_sweep",
+    "eval_auc",
 ]
 
 
