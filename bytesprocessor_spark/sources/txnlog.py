@@ -22,12 +22,17 @@ Each manifest is a FULL snapshot (Iceberg-style), not a delta: it
 carries the complete relative file list, so any version is readable
 without replaying history.
 
-Concurrency: optimistic.  The commit writes ``_txnlog/<next>.json``
-with O_EXCL — if another writer took that version number first, the
-create fails, the writer re-reads the latest snapshot and retries
-with the next number.  Data files are written BEFORE the manifest, so
-a crashed writer leaves only unreferenced files (cleaned by
-``vacuum``), never a corrupt table.
+Concurrency: optimistic.  The commit writes the manifest body to a
+temp file (json + flush + fsync), then claims ``_txnlog/<next>.json``
+atomically with ``os.link`` — the version file either exists with its
+FULL body or not at all, so concurrent readers can never load a
+partial manifest, and a writer crash mid-commit leaves only an
+orphaned temp file (reclaimed by ``vacuum``), never a truncated
+manifest.  If another writer claimed the version number first, the
+link fails (FileExistsError), the writer re-reads the latest snapshot
+and retries with the next number.  Data files are written BEFORE the
+manifest, so a crashed writer leaves only unreferenced files (cleaned
+by ``vacuum``), never a corrupt table.
 
 Scale posture: commits are O(1) metadata writes regardless of data
 volume; reads are manifest-resolved (no object-store LIST on the data
@@ -104,20 +109,23 @@ def txn_write(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_path(table_dir), exist_ok=True)
 
-    # 1. land immutable data under an anonymous directory
-    target = latest_version(table_dir)
-    next_v = 0 if target is None else target + 1
-    rel = os.path.join(_DATA_DIR, f"v{next_v}-{uuid.uuid4().hex[:12]}")
+    # 1. land immutable data under an anonymous directory (uuid only —
+    # no version prefix: the committed version is decided by the
+    # manifest race below, so a name chosen now could be stale after a
+    # collision retry; manifests reference paths, names carry no meaning)
+    rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     df.write.parquet(os.path.join(table_dir, rel))
 
-    # 2. commit the manifest with O_EXCL; on collision refresh + retry
+    # 2. commit the manifest: write the FULL body to a temp file
+    # (flush + fsync), then claim the version atomically with
+    # os.link — a reader can never observe a partial manifest and a
+    # crash never leaves a truncated one; link's FileExistsError on
+    # collision preserves the optimistic-retry semantics.
     for _ in range(max_retries):
         current = latest_version(table_dir)
         version = 0 if current is None else current + 1
-        if mode == "append" and current is not None:
-            files = list(read_manifest(table_dir, current)["files"])
-        else:
-            files = []
+        prev = read_manifest(table_dir, current) if current is not None else {}
+        files = list(prev["files"]) if mode == "append" and prev else []
         files.append(rel)
         manifest = {
             "version": version,
@@ -126,14 +134,27 @@ def txn_write(
             "schema": df.schema.json(),
             **(extra or {}),
         }
-        path = _manifest_path(table_dir, version)
+        # Exactly-once bookkeeping survives manifest vacuuming: every
+        # manifest carries the highest batch_id ever committed, so the
+        # replay check needs only the LATEST manifest (Delta's txn
+        # app-version idea), not the full — prunable — history.
+        prev_max = prev.get("max_batch_id", -1)
+        this_batch = manifest.get("batch_id", -1)
+        manifest["max_batch_id"] = max(prev_max, this_batch)
+        tmp = os.path.join(_log_path(table_dir), f".tmp-{uuid.uuid4().hex}.json")
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
         try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-        except FileExistsError:
-            continue  # lost the race — re-read snapshot, try next number
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        return version
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, _manifest_path(table_dir, version))
+            except FileExistsError:
+                continue  # lost the race — re-read snapshot, try next number
+            return version
+        finally:
+            os.unlink(tmp)
     raise TxnConflict(
         f"could not commit to {table_dir} after {max_retries} attempts"
     )
@@ -214,6 +235,19 @@ def txn_vacuum(
         if v not in kept:
             os.remove(_manifest_path(table_dir, v))
             removed_manifests += 1
+
+    # orphaned commit temp files (writer crashed between temp write and
+    # the os.link claim) — same age guard as in-flight data above
+    log = _log_path(table_dir)
+    now = time.time()
+    for name in os.listdir(log):
+        if name.startswith(".tmp-") and name.endswith(".json"):
+            full = os.path.join(log, name)
+            try:
+                if now - os.path.getmtime(full) >= min_age_seconds:
+                    os.remove(full)
+            except OSError:
+                pass
     return {"removed_files": removed_files, "removed_manifests": removed_manifests}
 
 
@@ -224,10 +258,16 @@ def txn_exactly_once_sink(table_dir: str, mode: str = "append"):
     restarts (a batch that wrote data but crashed before the sink
     commit is REPLAYED).  This returns a ``foreachBatch`` function
     that makes the replay idempotent the standard lakehouse way: each
-    commit's manifest records its ``batch_id``, and a batch whose id
-    is already present in the manifest chain is skipped wholesale —
-    the data files the crashed attempt landed stay unreferenced (no
-    manifest points at them) and are reclaimed by ``vacuum``.
+    commit's manifest records its ``batch_id`` and carries forward
+    ``max_batch_id`` (the highest ever committed), so a replayed batch
+    (``batch_id <= max_batch_id`` of the LATEST manifest — Structured
+    Streaming batch ids are monotone per checkpoint) is skipped
+    wholesale — the data files the crashed attempt landed stay
+    unreferenced (no manifest points at them) and are reclaimed by
+    ``vacuum``.  Because the high-water mark rides every manifest,
+    idempotence SURVIVES ``txn_vacuum`` pruning old manifests (the
+    retention caveat Delta documents for txn app-id dedup does not
+    apply here).
 
     Usage::
 
@@ -235,13 +275,13 @@ def txn_exactly_once_sink(table_dir: str, mode: str = "append"):
              .foreachBatch(txn_exactly_once_sink(table_dir))
              .option("checkpointLocation", ckpt).start())
 
-    Scale: the id check scans manifests (metadata, bounded by
-    ``vacuum``), never data.
+    Scale: the id check reads ONE manifest (the latest), never data.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        for v in _list_versions(table_dir):
-            if read_manifest(table_dir, v).get("batch_id") == batch_id:
+        current = latest_version(table_dir)
+        if current is not None:
+            if batch_id <= read_manifest(table_dir, current).get("max_batch_id", -1):
                 return  # replayed batch — already committed
         txn_write(batch_df, table_dir, mode=mode, extra={"batch_id": batch_id})
 

@@ -132,6 +132,44 @@ def test_exactly_once_sink_replay_is_idempotent(spark, tmp_path):
         _shutil.rmtree(land, ignore_errors=True)
 
 
+def test_exactly_once_survives_vacuum(spark, tmp_path):
+    """ADVICE r6: the batch-id high-water mark rides every manifest, so
+    a replay arriving AFTER vacuum pruned the committing manifest is
+    still skipped (no duplicate commit)."""
+    from bytesprocessor_spark.sources.txnlog import txn_exactly_once_sink
+
+    t = str(tmp_path / "tbl")
+    sink = txn_exactly_once_sink(t)
+    sink(_df(spark, 0, 10), 0)
+    sink(_df(spark, 10, 15), 1)
+    txn_vacuum(t, keep_versions=1)  # manifest 0 (batch 0's commit) is gone
+    sink(_df(spark, 0, 10), 0)  # crash-replay of the vacuumed batch
+    assert latest_version(t) == 1
+    assert txn_read(spark, t).count() == 15
+    # and a genuinely new id still appends
+    sink(_df(spark, 15, 18), 2)
+    assert txn_read(spark, t).count() == 18
+
+
+def test_commit_leaves_no_temp_files_and_vacuum_reclaims_orphans(spark, tmp_path):
+    """ADVICE r6: manifests are claimed via temp-write + os.link; a
+    successful commit unlinks its temp, and vacuum reclaims temps a
+    crashed writer left behind."""
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 5), t)
+    txn_write(_df(spark, 5, 9), t)
+    log = os.path.join(t, "_txnlog")
+    assert not [n for n in os.listdir(log) if n.startswith(".tmp-")]
+    # plant an orphan (writer died between temp write and link)
+    orphan = os.path.join(log, ".tmp-deadbeef.json")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    txn_vacuum(t, keep_versions=2)
+    assert not os.path.exists(orphan)
+    # orphan temps never count as versions
+    assert latest_version(t) == 1
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
