@@ -1193,10 +1193,12 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     padded, and Structured Streaming can only do that once the
     watermark proves no future match can arrive.  Driven like the ST4
     lateness audit: single-file drains over one checkpoint — the real
-    events, then two successively later sentinel rows (on BOTH sides,
-    so both state stores' watermarks advance) whose drains flush every
-    real view's unmatched verdict before the readout.  Sentinels are
-    excluded from the result by user_id sign.
+    events, then ONE far-future sentinel row on BOTH sides (so both
+    state stores' watermarks advance); the sentinel drain's trailing
+    no-data micro-batch flushes every real view's unmatched verdict
+    before the readout (collapsed from two sentinel generations —
+    VERDICT r6 #2).  Sentinels are excluded from the result by
+    user_id sign.
 
     The oracle is the plain batch LEFT JOIN with the identical
     interval condition — equality proves both match completeness
@@ -1258,17 +1260,21 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ev.coalesce(1).write.parquet(src)
         drain()
-        for i, day in enumerate(("2024-06-01", "2024-07-01")):
-            sent = spark.createDataFrame(
-                [
-                    (-1 - i, day, -1, "view", 0.0, "{}"),
-                    (-100 - i, day, -1, "purchase", 0.0, "{}"),
-                ],
-                "event_id long, ts string, user_id long, event_type string,"
-                " value double, props string",
-            ).withColumn("ts", F.col("ts").cast("timestamp"))
-            sent.coalesce(1).write.mode("append").parquet(src)
-            drain()
+        # ONE sentinel drain suffices (VERDICT r6 #2): the sentinel
+        # batch advances the watermark past max(view_ts) + 2h + delay,
+        # and the engine's trailing no-data micro-batch (run within the
+        # same availableNow drain) evicts + null-pads every remaining
+        # buffered view against that watermark.
+        sent = spark.createDataFrame(
+            [
+                (-1, "2024-07-01", -1, "view", 0.0, "{}"),
+                (-100, "2024-07-01", -1, "purchase", 0.0, "{}"),
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sent.coalesce(1).write.mode("append").parquet(src)
+        drain()
 
         sink = spark.read.parquet(os.path.join(outd, "sink")).where(
             F.col("user_id") >= 0
