@@ -269,6 +269,9 @@ HEADLINE = [
     "txnlog_snapshot_read",
     "part_sourcing_risk",
     "orders_ratio_to_report",
+    # round-7: mixed pcap+pcapng end-to-end (capture synthesis +
+    # one-read-path parse + labeling; bounded 2000-packet fixture)
+    "packets_mixed_capture",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

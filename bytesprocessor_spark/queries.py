@@ -52,6 +52,9 @@ EAGER_QUERIES = frozenset({
     "stream_interval_join_outer",
     # S15 oracle row: writes + reads a temp txnlog table at construction
     "txnlog_snapshot_read",
+    # S1/S1b oracle row: collects the bounded event slice and writes
+    # the mixed pcap+pcapng capture directory at construction
+    "packets_mixed_capture",
     # bounded candidate-pool collect at construction (driver-side
     # greedy rerank over KBs)
     "similarity_mmr_rerank",
@@ -573,6 +576,8 @@ _CHECK_ORDER = [
     # r4: new code reaches the checked prefix first), capped so the
     # window still retires >=40 backlog entries (VERDICT r6 #1).
 
+    # round-7 new entries (window priority — ADVICE r4)
+    "packets_mixed_capture",
     # --- never driver-checked backlog (128) ---
     "eval_pr_curve",
     "eval_calibration",
