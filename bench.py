@@ -272,6 +272,11 @@ HEADLINE = [
     # round-7: mixed pcap+pcapng end-to-end (capture synthesis +
     # one-read-path parse + labeling; bounded 2000-packet fixture)
     "packets_mixed_capture",
+    "orders_target_encoding",
+    "schema_evolution_read",
+    "part_kendall_tau",
+    "events_overdispersion",
+    "orders_interval_overlap",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

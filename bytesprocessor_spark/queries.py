@@ -55,6 +55,9 @@ EAGER_QUERIES = frozenset({
     # S1/S1b oracle row: collects the bounded event slice and writes
     # the mixed pcap+pcapng capture directory at construction
     "packets_mixed_capture",
+    # S16 oracle row: writes the two-schema parquet fixture at
+    # construction
+    "schema_evolution_read",
     # bounded candidate-pool collect at construction (driver-side
     # greedy rerank over KBs)
     "similarity_mmr_rerank",
@@ -534,6 +537,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_retrieval  # noqa: F401
     import bytesprocessor_spark.queries_scale  # noqa: F401
     import bytesprocessor_spark.queries_mlstats  # noqa: F401
+    import bytesprocessor_spark.queries_r7  # noqa: F401
 
 
 @query(
@@ -578,6 +582,11 @@ _CHECK_ORDER = [
 
     # round-7 new entries (window priority — ADVICE r4)
     "packets_mixed_capture",
+    "orders_target_encoding",
+    "schema_evolution_read",
+    "part_kendall_tau",
+    "events_overdispersion",
+    "orders_interval_overlap",
     # --- never driver-checked backlog (128) ---
     "eval_pr_curve",
     "eval_calibration",
