@@ -277,6 +277,7 @@ HEADLINE = [
     "part_kendall_tau",
     "events_overdispersion",
     "orders_interval_overlap",
+    "stream_session_windows",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -313,6 +314,10 @@ MIN_OF_3 = {
     "eval_ndcg",
     "eval_confusion_matrix",
     "graph_bfs_reach",
+    # streaming drains with checkpoint restarts: per-drain micro-batch
+    # machinery swings with host state (VERDICT r6 #2 flagged the
+    # single-run evidence) — guarantee the damping runs
+    "stream_session_windows",
 }
 
 

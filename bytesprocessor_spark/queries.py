@@ -50,6 +50,7 @@ EAGER_QUERIES = frozenset({
     "stream_slo_burn",
     "stream_lateness_audit",
     "stream_interval_join_outer",
+    "stream_session_windows",
     # S15 oracle row: writes + reads a temp txnlog table at construction
     "txnlog_snapshot_read",
     # S1/S1b oracle row: collects the bounded event slice and writes
@@ -587,6 +588,7 @@ _CHECK_ORDER = [
     "part_kendall_tau",
     "events_overdispersion",
     "orders_interval_overlap",
+    "stream_session_windows",
     # --- never driver-checked backlog (128) ---
     "eval_pr_curve",
     "eval_calibration",

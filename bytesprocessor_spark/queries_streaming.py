@@ -1304,3 +1304,132 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(land, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(outd, ignore_errors=True)
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(user_id % 50 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(span_us) AS BIGINT) AS sum_span_us,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM sess GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST21 — session windows ON THE STREAM (the batch twin is ST3's
+    window_session): per-user 30-minute-gap sessions via
+    ``session_window`` under a watermark in APPEND mode, driven like
+    the ST4 lateness audit — one single-file drain of the real events,
+    then one far-future sentinel drain whose trailing no-data
+    micro-batch pushes the watermark past every real session's end so
+    append mode flushes them all (the sentinel's own still-open
+    session is never emitted and is excluded by user sign anyway).
+
+    The oracle is the classic gaps-and-islands rewrite; equality
+    proves Spark's incremental session-merge state machine (sessions
+    extend/merge as events arrive across micro-batches) converges to
+    exactly the batch islands — per session, not just in total: the
+    per-bucket readout sums session COUNTS, event counts, and
+    min-to-max spans, all of which differ the moment a session is
+    split or merged wrongly.
+
+    Scale shape: session state is per-key and watermark-bounded (a
+    closed session leaves the store on emission); the readout is a
+    50-row bucket rollup.  Determinism: µs-integer spans; the 30-min
+    merge boundary (diff <= gap merges) maps to the strict
+    ``> 1800000000`` µs island rule exactly."""
+    land = tempfile.mkdtemp(prefix="bp_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="bp_sess_ckpt_")
+    outd = tempfile.mkdtemp(prefix="bp_sess_out_")
+    try:
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        src = os.path.join(land, "ev")
+        schema = ev.schema
+
+        def drain() -> None:
+            stream = spark.readStream.schema(schema).parquet(src)
+            agg = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(
+                    "user_id",
+                    F.col("sw.start").alias("s_start"),
+                    F.col("sw.end").alias("s_end"),
+                    "n_events",
+                )
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", os.path.join(outd, "sink"))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        ev.coalesce(1).write.parquet(src)
+        drain()
+        sentinel = spark.createDataFrame(
+            [(int(-1), "2024-07-01 00:00:00", int(-1), "_sentinel", 0.0, "{}")],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        drain()
+
+        sink = spark.read.parquet(os.path.join(outd, "sink")).where(
+            F.col("user_id") >= 0
+        )
+        out = (
+            sink.groupBy((F.col("user_id") % 50).alias("user_bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                F.sum("n_events").cast("long").alias("n_events"),
+                # session_window.end = last_ts + gap, so the min-to-max
+                # span is (end - start) - gap, summed in exact µs
+                F.sum(
+                    F.unix_micros("s_end")
+                    - F.unix_micros("s_start")
+                    - F.lit(1800000000)
+                )
+                .cast("long")
+                .alias("sum_span_us"),
+                F.max("n_events").cast("long").alias("max_session_events"),
+            )
+            .orderBy("user_bucket")
+        )
+        # bounded localize (<= 50 rows) so the temp dirs can drop
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(outd, ignore_errors=True)
