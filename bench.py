@@ -278,6 +278,7 @@ HEADLINE = [
     "events_overdispersion",
     "orders_interval_overlap",
     "stream_session_windows",
+    "graph_lpa_communities",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

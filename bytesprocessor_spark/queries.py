@@ -589,6 +589,7 @@ _CHECK_ORDER = [
     "events_overdispersion",
     "orders_interval_overlap",
     "stream_session_windows",
+    "graph_lpa_communities",
     # --- never driver-checked backlog (128) ---
     "eval_pr_curve",
     "eval_calibration",

@@ -449,3 +449,139 @@ def orders_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# GR9: label-propagation community detection (synchronous LPA)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle_sql() -> str:
+    parts = [
+        """
+    WITH os AS MATERIALIZED (
+      SELECT DISTINCT l.l_orderkey AS o, l.l_suppkey AS s, su.s_nationkey AS nk
+      FROM lineitem l JOIN supplier su ON l.l_suppkey = su.s_suppkey
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a.s AS a, b.s AS b
+      FROM os a JOIN os b ON a.o = b.o AND a.nk = b.nk AND a.s < b.s
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    l0 AS MATERIALIZED (
+      SELECT z, z AS lbl
+      FROM (SELECT a AS z FROM e0 UNION SELECT b AS z FROM e0)
+    )"""
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        p = i - 1
+        parts.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT z, lbl, COUNT(*) AS cnt FROM (
+        SELECT e.a AS z, l.lbl FROM e0 e JOIN l{p} l ON e.b = l.z
+        UNION ALL
+        SELECT e.b AS z, l.lbl FROM e0 e JOIN l{p} l ON e.a = l.z
+      ) GROUP BY z, lbl),
+    l{i} AS MATERIALIZED (
+      SELECT z, lbl FROM (
+        SELECT z, lbl,
+               ROW_NUMBER() OVER (PARTITION BY z
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM c{i}
+      ) WHERE rn = 1)""")
+    parts.append(f""",
+    comm AS (
+      SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM l{_LPA_ITERS} GROUP BY lbl
+    )
+    SELECT n_members AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(n_members) AS BIGINT) AS n_nodes,
+           CAST(MIN(lbl) AS BIGINT) AS min_label
+    FROM comm GROUP BY 1 ORDER BY 1
+    """)
+    # head, then the per-iteration CTE pairs comma-joined, then the
+    # final readout (which begins with its own comma)
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+@query("graph_lpa_communities", _lpa_oracle_sql())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR9 community detection by synchronous label propagation
+    (Raghavan et al. 2007, arXiv:0709.2938) over the NATION-blocked
+    co-supplier graph (same-nation suppliers sharing >= 2 orders — the
+    GR7 edge rule restricted to regional networks, which keeps the
+    community structure non-trivial; the unblocked graph is so dense
+    one label floods everything in 3 rounds): every
+    node starts as its own label; each round it adopts the most
+    frequent label among its neighbors (ties -> smallest label), run
+    for a FIXED 3 synchronized rounds so the trajectory — normally
+    update-order-dependent, the reason LPA results are hard to
+    reproduce — is bit-deterministic and SQL-replayable (the oracle
+    chains one CTE per round).
+
+    Readout: the community-size histogram (how many communities of
+    each size, total membership, smallest label as a spot check) —
+    bounded by the distinct-size count.
+
+    Scale shape: per round, one union of two equi-joins
+    (edges x labels) + one (node, label) count + one per-node argmax
+    aggregate — all shuffles keyed on node ids, labels are longs, the
+    argmax is min_by over a (-count, label) struct (a pure aggregate,
+    no per-node sort); lineage is cut per round with localCheckpoint
+    like GR2's power iteration."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("nk")
+    )
+    os_ = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .join(F.broadcast(su), "s")
+    )
+    a, b = os_.alias("a"), os_.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.nk") == F.col("b.nk"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
+        .count()
+        .where(F.col("count") >= 2)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e0.select(F.col("a").alias("z"))
+        .union(e0.select(F.col("b").alias("z")))
+        .distinct()
+        .select("z", F.col("z").alias("lbl"))
+    )
+    for _ in range(_LPA_ITERS):
+        nbr = (
+            e0.join(labels.withColumnRenamed("z", "b"), "b")
+            .select(F.col("a").alias("z"), "lbl")
+            .union(
+                e0.join(labels.withColumnRenamed("z", "a"), "a").select(
+                    F.col("b").alias("z"), "lbl"
+                )
+            )
+        )
+        counts = nbr.groupBy("z", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = counts.groupBy("z").agg(
+            F.expr("min_by(lbl, named_struct('nc', -cnt, 'lbl', lbl))").alias("lbl")
+        ).localCheckpoint(eager=False)
+    comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    return (
+        comm.groupBy(F.col("n_members").alias("community_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum("n_members").cast("long").alias("n_nodes"),
+            F.min("lbl").cast("long").alias("min_label"),
+        )
+        .orderBy("community_size")
+    )
