@@ -578,8 +578,9 @@ _CHECK_ORDER = [
     # followed by the 194 entries with at least one driver-green row
     # (r1/r2/r4/r5/r6; the round-6 window sits last as most recently
     # checked).  New round-7 entries are inserted at the head (ADVICE
-    # r4: new code reaches the checked prefix first), capped so the
-    # window still retires >=40 backlog entries (VERDICT r6 #1).
+    # r4: new code reaches the checked prefix first), capped at 8 so
+    # the window still retires >=40 backlog entries (VERDICT r6 #1:
+    # 8 new + 42 backlog in the round-7 first-50).
 
     # round-7 new entries (window priority — ADVICE r4)
     "packets_mixed_capture",
