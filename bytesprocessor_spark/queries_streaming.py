@@ -59,6 +59,32 @@ def _landing_dir(spark: SparkSession, sf_dir: str, table: str) -> tuple[str, Dat
     return land, batch
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Pin spark.sql.shuffle.partitions (which fixes a stateful
+    streaming query's STATE partition count at first checkpoint) to a
+    fixture-sized value for the duration of a drain, restoring after.
+
+    Rationale: every stateful operator materializes one state-store
+    instance per shuffle partition per micro-batch — at local[32]'s
+    default 32 partitions the fixture drains spend most of their time
+    opening/committing near-empty state files (measured on
+    stream_interval_join_outer at sf0.1: 19.4 s steady at 32
+    partitions -> 11.3 s at 8).  This is the knob a real deployment
+    sizes to key cardinality x executor count; the fixture value only
+    needs enough parallelism to keep the state tasks off the critical
+    path."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _drain_and_localize(out: DataFrame, finish, output_mode: str = "append") -> DataFrame:
     """Drain ``out`` (availableNow) into a memory sink, apply
     ``finish`` (sink_df -> small result df), then pull the small result
@@ -70,14 +96,15 @@ def _drain_and_localize(out: DataFrame, finish, output_mode: str = "append") -> 
     tail windows that append mode would hold back."""
     spark = out.sparkSession
     sink = f"bp_sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = finish(spark.table(sink))
     local = spark.createDataFrame(result.collect(), result.schema)
     spark.catalog.dropTempView(sink)
@@ -1116,15 +1143,16 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n",
                 )
             )
-            q = (
-                agg.writeStream.format("parquet")
-                .option("path", os.path.join(outd, "sink"))
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with _state_partitions(spark):
+                q = (
+                    agg.writeStream.format("parquet")
+                    .option("path", os.path.join(outd, "sink"))
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
 
         on_time.coalesce(1).write.parquet(src)
         drain()
@@ -1248,15 +1276,16 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 watermark="1 hour",
                 how="left_outer",
             )
-            q = (
-                joined.writeStream.format("parquet")
-                .option("path", os.path.join(outd, "sink"))
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with _state_partitions(spark):
+                q = (
+                    joined.writeStream.format("parquet")
+                    .option("path", os.path.join(outd, "sink"))
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
 
         ev.coalesce(1).write.parquet(src)
         drain()
@@ -1386,15 +1415,16 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events",
                 )
             )
-            q = (
-                agg.writeStream.format("parquet")
-                .option("path", os.path.join(outd, "sink"))
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with _state_partitions(spark):
+                q = (
+                    agg.writeStream.format("parquet")
+                    .option("path", os.path.join(outd, "sink"))
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
 
         ev.coalesce(1).write.parquet(src)
         drain()
