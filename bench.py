@@ -279,6 +279,13 @@ HEADLINE = [
     "orders_interval_overlap",
     "stream_session_windows",
     "graph_lpa_communities",
+    # round-7 late additions (round-8 window head): calibration first
+    # (shingle pair scan over the doc sample)
+    "dedup_minhash_calibration",
+    "partitioned_table_prune",
+    "eval_regression_metrics",
+    "orders_cramers_v",
+    "part_frequency_encoding",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -59,6 +59,9 @@ EAGER_QUERIES = frozenset({
     # S16 oracle row: writes the two-schema parquet fixture at
     # construction
     "schema_evolution_read",
+    # S17 oracle row: writes the hive-partitioned fixture at
+    # construction
+    "partitioned_table_prune",
     # bounded candidate-pool collect at construction (driver-side
     # greedy rerank over KBs)
     "similarity_mmr_rerank",
@@ -720,6 +723,15 @@ _CHECK_ORDER = [
     "interval_concurrency",
     "stream_static_enrich",
     "stream_cdc_apply",
+    # round-7 LATE additions: registered after the round-7 window was
+    # locked at 8 new entries (the >=40-backlog-retirement cap), so
+    # they sit past the first 50 — the round-8 rotation promotes them
+    # to the window head per the new-code-first policy.
+    "eval_regression_metrics",
+    "part_frequency_encoding",
+    "orders_cramers_v",
+    "partitioned_table_prune",
+    "dedup_minhash_calibration",
     # --- entries with >=1 driver-green CORRECTNESS row (r1-r5), most recently checked last ---
     "pack_length_batches",
     "dedup_span_ngrams",

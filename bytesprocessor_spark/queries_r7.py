@@ -585,3 +585,497 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# EV21: regression error metrics per segment (exact-integer SSE/SAE/R2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_regression_metrics",
+    """
+    WITH y AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(ROUND(o_totalprice) AS BIGINT) AS y_d
+      FROM orders
+    ),
+    cat AS (
+      SELECT o_orderpriority,
+             CAST(SUM(y_d) // COUNT(*) AS BIGINT) AS pred_d
+      FROM y GROUP BY o_orderpriority
+    ),
+    r AS (
+      SELECT y.o_orderstatus AS segment, y.y_d, cat.pred_d,
+             y.y_d - cat.pred_d AS res
+      FROM y JOIN cat USING (o_orderpriority)
+    ),
+    s AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(res * res) AS BIGINT) AS sse_dd,
+             CAST(SUM(ABS(res)) AS BIGINT) AS sae_d,
+             CAST(SUM(y_d) AS BIGINT) AS sum_y,
+             CAST(SUM(y_d * y_d) AS BIGINT) AS sum_y2
+      FROM r GROUP BY segment
+    )
+    SELECT segment, n, sse_dd, sae_d,
+           CAST(sae_d // n AS BIGINT) AS mae_d,
+           CAST(1000000 - sse_dd //
+                ((sum_y2 - sum_y * (sum_y // n)) // 1000000 + 1)
+                AS BIGINT) AS r2_ppm
+    FROM s ORDER BY segment
+    """,
+)
+def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV21 regression error metrics: residual profile of the FE2
+    category-mean predictor (the baseline every regression model must
+    beat), per order-status segment — n, SSE, SAE, MAE, and R^2 (one
+    minus SSE over the segment's centered total sum of squares), the
+    readout a model-eval pipeline runs per slice to find segments
+    where the model underperforms.
+
+    Exact arithmetic: WHOLE-DOLLAR targets (cents would overflow: sum
+    of squared cent residuals passes 2^63 already at sf0.1), integer
+    predictor (truncating mean), so SSE/SAE are exact int64 to sf1
+    and beyond (res^2 <= 2.5e11 x 1.5e7 rows ~ 4e18 < 2^63); R^2 at
+    ppm scale divides SSE by SST pre-scaled down by 1e6 (+1 floor
+    guard) — every op a truncating integer div identical across
+    engines; SST uses the truncated mean (sum_y2 - sum_y*(sum_y div
+    n)), a deterministic definition documented here.
+
+    Scale shape: the predictor table (5 rows) broadcasts onto the
+    fact scan; everything else is one hash aggregate on the segment
+    key — two passes total, no window, no sort."""
+    y = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice")).cast("long").alias("y_d"),
+    )
+    cat = y.groupBy("o_orderpriority").agg(
+        F.expr("sum(y_d) div count(*)").alias("pred_d")
+    )
+    r = y.join(F.broadcast(cat), "o_orderpriority").select(
+        F.col("o_orderstatus").alias("segment"),
+        "y_d",
+        (F.col("y_d") - F.col("pred_d")).alias("res"),
+    )
+    s = r.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("res") * F.col("res")).cast("long").alias("sse_dd"),
+        F.sum(F.abs(F.col("res"))).cast("long").alias("sae_d"),
+        F.sum("y_d").cast("long").alias("sum_y"),
+        F.sum(F.col("y_d") * F.col("y_d")).cast("long").alias("sum_y2"),
+    )
+    return s.select(
+        "segment",
+        "n",
+        "sse_dd",
+        "sae_d",
+        F.expr("sae_d div n").alias("mae_d"),
+        F.expr(
+            "1000000 - sse_dd div"
+            " ((sum_y2 - sum_y * (sum_y div n)) div 1000000 + 1)"
+        ).alias("r2_ppm"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# FE4: frequency encoding with rare-category collapse
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_frequency_encoding",
+    """
+    WITH f AS (
+      SELECT p_type,
+             CAST(COUNT(*) AS BIGINT) AS n_cat,
+             CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM part) AS BIGINT)
+               AS freq_ppm
+      FROM part GROUP BY p_type
+    ),
+    enc AS (
+      SELECT CASE WHEN freq_ppm < 5000 THEN '__OTHER__' ELSE p_type END
+               AS bucket,
+             n_cat, freq_ppm
+      FROM f
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_categories,
+           CAST(SUM(n_cat) AS BIGINT) AS n_rows,
+           CAST(MIN(freq_ppm) AS BIGINT) AS min_freq_ppm,
+           CAST(MAX(freq_ppm) AS BIGINT) AS max_freq_ppm
+    FROM enc GROUP BY bucket ORDER BY bucket
+    """,
+)
+def part_frequency_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FE4 frequency encoding + rare-category collapse: each category's
+    encode is its corpus frequency (ppm), and categories below 0.5%
+    fold into ``__OTHER__`` — the standard high-cardinality-categorical
+    treatment (rare levels carry no signal individually but their
+    union does, and unseen-at-serving levels get the OTHER encode for
+    free).
+
+    Scale shape: one hash aggregate builds the frequency table; the
+    corpus total rides in as a 1-row broadcast (scalar subquery), and
+    at serving time the bounded (category -> bucket, freq) map
+    broadcasts onto the scan exactly like FE2.  Readout is the
+    bounded encoded-bucket profile.
+
+    Determinism: ppm frequencies by truncating division."""
+    p = _t(spark, sf_dir, "part")
+    total = p.select(F.count("*").alias("__total"))
+    f = (
+        p.groupBy("p_type")
+        .agg(F.count("*").cast("long").alias("n_cat"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p_type",
+            "n_cat",
+            F.expr("n_cat * 1000000 div __total").alias("freq_ppm"),
+        )
+    )
+    enc = f.select(
+        F.when(F.col("freq_ppm") < 5000, F.lit("__OTHER__"))
+        .otherwise(F.col("p_type"))
+        .alias("bucket"),
+        "n_cat",
+        "freq_ppm",
+    )
+    return (
+        enc.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_categories"),
+            F.sum("n_cat").cast("long").alias("n_rows"),
+            F.min("freq_ppm").cast("long").alias("min_freq_ppm"),
+            F.max("freq_ppm").cast("long").alias("max_freq_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A80: Cramér's V categorical association
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_cramers_v",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY b),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+                 CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+          FROM o),
+    cell AS (
+      SELECT CAST(ROUND(
+               CAST((o.obs * t.n - ra.rt * cb.ct) AS DOUBLE)
+               * CAST((o.obs * t.n - ra.rt * cb.ct) AS DOUBLE)
+               / (CAST(ra.rt AS DOUBLE) * CAST(cb.ct AS DOUBLE)
+                  * CAST(t.n AS DOUBLE)) * 1000000) AS BIGINT) AS chi_micro
+      FROM o JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN t
+    )
+    SELECT t.n, t.r, t.c,
+           CAST(SUM(cell.chi_micro) AS BIGINT) AS chi2_micro,
+           CAST(ROUND(SQRT(CAST(SUM(cell.chi_micro) AS DOUBLE) / 1000000.0
+                / (CAST(t.n AS DOUBLE)
+                   * CAST(LEAST(t.r - 1, t.c - 1) AS DOUBLE))) * 1000000)
+             AS BIGINT) AS cramers_v_ppm
+    FROM cell CROSS JOIN t
+    GROUP BY t.n, t.r, t.c
+    """,
+)
+def orders_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A80 Cramér's V: the [0,1]-normalized strength of association
+    between two categoricals (here order priority x order status) —
+    the effect-size companion to A41's chi-square test (which only
+    says WHETHER they associate, not how strongly), and the statistic
+    a feature-selection pass computes pairwise over categorical
+    columns before model training.
+
+    Determinism (the CUPED/OLS pattern): each cell's chi-square term
+    (obs*n - rowtot*coltot)^2 / (rowtot*coltot*n) is one FIXED tree of
+    IEEE-double ops over exact int64 inputs — bit-identical across
+    engines — quantized to integer micro BEFORE the cross-cell sum so
+    summation order cannot matter; V adds one correctly-rounded sqrt
+    on an engine-identical double.
+
+    Scale shape: one contingency aggregate (bounded r x c cells), two
+    bounded marginal rollups broadcast back — the fact table is
+    touched once."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("a"),
+            F.col("o_orderstatus").alias("b"),
+        )
+        .agg(F.count("*").cast("long").alias("obs"))
+    )
+    ra = o.groupBy("a").agg(F.sum("obs").cast("long").alias("rt"))
+    cb = o.groupBy("b").agg(F.sum("obs").cast("long").alias("ct"))
+    t = o.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"),
+    )
+    cell = (
+        o.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n",
+            "r",
+            "c",
+            F.expr(
+                "CAST(ROUND("
+                " CAST((obs * n - rt * ct) AS DOUBLE)"
+                " * CAST((obs * n - rt * ct) AS DOUBLE)"
+                " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+                "    * CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("chi_micro"),
+        )
+    )
+    return cell.groupBy("n", "r", "c").agg(
+        F.sum("chi_micro").cast("long").alias("chi2_micro"),
+    ).select(
+        "n",
+        "r",
+        "c",
+        "chi2_micro",
+        F.expr(
+            "CAST(ROUND(SQRT(CAST(chi2_micro AS DOUBLE) / 1000000.0"
+            " / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("cramers_v_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S17: hive-partitioned rewrite + partition-pruned read
+# ---------------------------------------------------------------------------
+
+@query(
+    "partitioned_table_prune",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events WHERE event_type IN ('view', 'purchase')
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)
+def partitioned_table_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 hive-partitioned layout round-trip: the events table is
+    rewritten ``partitionBy("event_type")`` (the standard lake layout
+    for a low-cardinality filter column), then read back with a
+    partition-value filter and aggregated.  The oracle recomputes from
+    the flat table — equality proves the partition column survives the
+    directory-encoding round trip (values become path segments and are
+    re-inferred on read; a type/escaping bug here silently corrupts
+    the column) and that the pruned read loses no rows.
+
+    The plan-level guarantee (only the two matching ``event_type=...``
+    directories are LISTED, not filtered post-scan) is asserted by the
+    PartitionFilters gate in tests/test_plans.py — the property that
+    makes a 100 TB scan of one partition cost one partition.
+
+    EAGER_QUERIES member: writes the partitioned fixture at
+    construction."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", cents(F.col("value")).alias("value_c")
+    )
+    land = tempfile.mkdtemp(prefix="bp_hivepart_")
+    try:
+        root = os.path.join(land, "tbl")
+        # cluster rows by the partition column before the partitioned
+        # write (one file per partition here; at scale repartition(N,
+        # col) for a few hundred MB per file) — same rationale as the
+        # IVF index build
+        ev.repartition("event_type").write.partitionBy("event_type").parquet(root)
+        out = (
+            spark.read.parquet(root)
+            .where(F.col("event_type").isin("view", "purchase"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+                F.sum("value_c").cast("long").alias("sum_value_c"),
+                F.min("event_id").cast("long").alias("min_event_id"),
+                F.max("event_id").cast("long").alias("max_event_id"),
+            )
+            .orderBy("event_type")
+        )
+        # bounded localize (2 rows) so the fixture dir can drop
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# L33: MinHash estimator calibration (estimated vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+_CAL_HASHES = 24
+_CAL_MOD = (1 << 31) - 1
+
+
+def _cal_family() -> list[tuple[int, int]]:
+    from bytesprocessor_spark.operators.dedup import _hash_family
+
+    return _hash_family(_CAL_HASHES)
+
+
+def _cal_oracle_sql() -> str:
+    fam = _cal_family()
+    mins = ",\n             ".join(
+        f"MIN(({a} * h31 + {b}) % {_CAL_MOD}) AS m{i}"
+        for i, (a, b) in enumerate(fam)
+    )
+    matches = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(_CAL_HASHES)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+               WHERE doc_id % 20 = 0),
+    sh AS (SELECT doc_id,
+                  list_distinct([t[i:i+4]
+                                 for i in range(1, greatest(len(t) - 4, 1) + 1)]) AS s
+           FROM d),
+    t2 AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(unnest(s)), 1, 15) AS BIGINT)
+                    % {_CAL_MOD} AS h31
+           FROM sh),
+    tu AS (SELECT DISTINCT doc_id, h31 FROM t2),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM tu GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM tu a JOIN tu b ON a.h31 = b.h31 AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    p AS (
+      SELECT i.id_a, i.id_b,
+             c * 1000000 // (sa.n + sb.n - c) AS exact_ppm,
+             ({matches}) * 1000000 // {_CAL_HASHES} AS est_ppm
+      FROM i
+      JOIN sz sa ON i.id_a = sa.doc_id
+      JOIN sz sb ON i.id_b = sb.doc_id
+      JOIN sig x ON i.id_a = x.doc_id
+      JOIN sig y ON i.id_b = y.doc_id
+    )
+    SELECT CAST(exact_ppm // 100000 AS BIGINT) AS exact_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ABS(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
+             AS mean_abs_err_ppm,
+           CAST(MAX(ABS(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+    FROM p GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("dedup_minhash_calibration", _cal_oracle_sql())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33 estimator-quality audit for the near-dup family: MinHash's
+    ESTIMATED Jaccard (matching signature slots / {k} hashes) compared
+    against the EXACT shingle Jaccard, per exact-similarity decile,
+    over every co-candidate pair (docs sharing >= 1 shingle) of a 5%
+    document sample — the calibration read a dedup pipeline runs
+    before trusting a signature-only threshold (EV5 audits ANN recall
+    the same way; this audits the dedup estimator).  A deliberately
+    coarse {k}-hash signature makes the error structure visible.
+
+    Determinism: the md5-mode 60-bit shingle hash (bit-identical
+    cross-engine, the SimHash idiom) feeds the affine min-hash family
+    (exact int64 ops mod 2^31-1, the same `_hash_family` constants on
+    both sides), so estimated AND exact ppm values are integers that
+    match exactly.
+
+    Scale shape: signature build is one hash aggregate over the token
+    table; the pair enumeration is the shared-shingle equi-join
+    bounded by the sample (at production scale the candidate source
+    is the banded LSH table, same join key discipline)."""
+    fam = _cal_family()
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    t = F.lower(F.col("text"))
+    tokens = (
+        docs.select(F.col("doc_id").alias("id"), t.alias("__t"))
+        .select(
+            "id",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("__t") - 4, F.lit(1)))
+            ).alias("__i"),
+        )
+        .select(
+            "id",
+            F.expr(
+                "CAST(conv(substring(md5(substring(__t, __i, 5)), 1, 15),"
+                f" 16, 10) AS BIGINT) % {_CAL_MOD}"
+            ).alias("h31"),
+        )
+        .distinct()
+        .persist()
+    )
+    sz = tokens.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+    sig = tokens.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h31") + F.lit(b)) % _CAL_MOD).alias(f"m{i}")
+            for i, (a, b) in enumerate(fam)
+        ]
+    )
+    a_, b_ = tokens.alias("a"), tokens.alias("b")
+    inter = (
+        a_.join(
+            b_,
+            (F.col("a.h31") == F.col("b.h31")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    matches = None
+    for i in range(_CAL_HASHES):
+        term = F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    p = (
+        inter.join(sz.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .join(sig.alias("x"), F.col("id_a") == F.col("x.id"))
+        .join(sig.alias("y"), F.col("id_b") == F.col("y.id"))
+        .select(
+            F.expr("c * 1000000 div (na + nb - c)").alias("exact_ppm"),
+            (matches.cast("long") * F.lit(1000000)).alias("__mm"),
+        )
+        .select(
+            "exact_ppm",
+            F.expr(f"__mm div {_CAL_HASHES}").alias("est_ppm"),
+        )
+    )
+    return (
+        p.groupBy(F.expr("exact_ppm div 100000").alias("exact_decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "sum(abs(est_ppm - exact_ppm)) div count(*)"
+            ).alias("mean_abs_err_ppm"),
+            F.max(F.abs(F.col("est_ppm") - F.col("exact_ppm")))
+            .cast("long")
+            .alias("max_abs_err_ppm"),
+        )
+        .orderBy("exact_decile")
+    )

@@ -636,6 +636,29 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert j.count() > 0
 
 
+def test_static_partition_pruning_on_partition_value_filter(spark, tmp_path):
+    """S17 plan gate: a literal filter on the hive partition column
+    must land in the scan's PartitionFilters (directory-level pruning
+    — unmatched partitions are never listed), not as a post-scan
+    Filter.  This is the property that makes partitioned_table_prune's
+    layout pay off at 100 TB: reading one partition costs one
+    partition."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    part_dir = str(tmp_path / "events_part")
+    ev.select("event_id", "event_type").write.partitionBy(
+        "event_type"
+    ).parquet(part_dir)
+    pruned = spark.read.parquet(part_dir).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    plan = executed_plan(pruned)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    assert pruned.count() > 0
+
+
 def test_corpus_wide_plan_audit_clean(spark):
     """The whole-registry generalization of the gates above: EXPLAIN
     every non-eager entry and assert no un-allowlisted cartesian /

@@ -70,6 +70,12 @@ ALLOW_NESTED_LOOP = {
     "text_collocations",
     "text_bigram_surprisal",
     "agg_winsorized_stats",
+    # 1-row corpus-total frame broadcast onto the bounded category
+    # aggregate (freq_ppm denominator) — O(categories) work
+    "part_frequency_encoding",
+    # 1-row (n, r, c) totals frame broadcast onto the bounded r x c
+    # contingency cells — O(cells) work
+    "orders_cramers_v",
     # 1-row n_total frame (the CMS epsilon slack eps*N) broadcast onto
     # the 10-row verified-heavy-hitter result — O(10) work
     "agg_heavy_hitters",
