@@ -134,3 +134,77 @@ def test_schema_evolution_nulls_only_from_old_files(spark, tmp_path):
     assert by_type["view"]["sum_value_c"] == 250  # event_id 1 only
     assert by_type["click"]["n_pre_evolution"] == 1
     assert by_type["click"]["sum_value_c"] == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_interval_rows = st.lists(
+    st.tuples(
+        st.integers(0, 400),      # o_orderkey (drives length 1 + k%21)
+        st.sampled_from(["O", "F"]),
+        st.integers(0, 27),       # start day within one month-ish span
+    ),
+    min_size=2,
+    max_size=24,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_interval_rows)
+def test_interval_overlap_matches_oracle_on_random_intervals(
+    spark, tmp_path_factory, rows
+):
+    """Property: the month-bin blocked join equals the naive overlap
+    join (the DuckDB oracle) on arbitrary interval sets — including
+    boundary-touching and multi-month-straddling pairs."""
+    d = str(tmp_path_factory.mktemp("iv"))
+    orders = [
+        (
+            key,
+            7,  # custkey slice %50 = 7
+            status,
+            10.0,
+            f"2024-01-{day + 1:02d} 00:00:00",
+            "1-URGENT",
+        )
+        for key, status, day in rows
+    ]
+    _orders(spark, orders).write.parquet(f"{d}/orders.parquet")
+    _cross_check(spark, "orders_interval_overlap", d, ["orders"])
+
+
+_kendall_rows = st.lists(
+    st.tuples(st.integers(1, 6), st.integers(0, 40)),  # (p_size, price decis)
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_kendall_rows)
+def test_kendall_tau_matches_oracle_on_random_metrics(
+    spark, tmp_path_factory, rows
+):
+    """Property: concordant/discordant/tie accounting agrees with the
+    SQL pair enumeration for arbitrary (size, metric) profiles,
+    including heavy ties and reversed orderings."""
+    d = str(tmp_path_factory.mktemp("kt"))
+    parts = [
+        (i, "Brand#P", size, price / 10.0)
+        for i, (size, price) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        parts, "p_partkey long, p_brand string, p_size int, p_retailprice double"
+    ).write.parquet(f"{d}/part.parquet")
+    _cross_check(spark, "part_kendall_tau", d, ["part"])
