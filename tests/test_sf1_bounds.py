@@ -73,6 +73,33 @@ def sf1_dir(spark, tmp_path_factory):
         F.pmod(F.xxhash64("id", F.lit(5)), F.lit(16)).cast("int").alias("label"),
     )
     embeddings.write.parquet(f"{d}/embeddings.parquet")
+
+    prios = F.array(
+        *[F.lit(p) for p in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECI", "5-LOW"]]
+    )
+    stats = F.array(*[F.lit(s) for s in ["O", "F", "P"]])
+    orders = spark.range(1_500_000).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(6)), F.lit(150_000)).alias("o_custkey"),
+        F.element_at(
+            stats, (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(3)) + 1).cast("int")
+        ).alias("o_orderstatus"),
+        # totalprice in [900, 555975] as exact cents/100 — TPC-H's range
+        (
+            (F.pmod(F.xxhash64("id", F.lit(8)), F.lit(55_507_500)) + 90_000)
+            .cast("double")
+            / 100.0
+        ).alias("o_totalprice"),
+        F.timestamp_seconds(
+            F.lit(_T0) + F.pmod(F.xxhash64("id", F.lit(9)), F.lit(_SECONDS_30D))
+        )
+        .cast("timestamp_ntz")
+        .alias("o_orderdate"),
+        F.element_at(
+            prios, (F.pmod(F.xxhash64("id", F.lit(10)), F.lit(5)) + 1).cast("int")
+        ).alias("o_orderpriority"),
+    )
+    orders.write.parquet(f"{d}/orders.parquet")
     return d
 
 
@@ -118,3 +145,21 @@ def test_events_ols_sf1(spark, sf1_dir):
 def test_events_holt_winters_sf1(spark, sf1_dir):
     # milli-cent state x 1e6 coefs at sf1 daily volumes stays in int64
     _check(spark, sf1_dir, "events_holt_winters", ["events"])
+
+
+def test_eval_regression_metrics_sf1(spark, sf1_dir):
+    # the documented bound: whole-dollar residuals squared x 1.5M rows
+    # stay under 2^63 (cents would wrap — the reason for the scale)
+    _check(spark, sf1_dir, "eval_regression_metrics", ["orders"])
+
+
+def test_orders_cramers_v_sf1(spark, sf1_dir):
+    # obs*n products at n=1.5M stay exact in double (< 2^53) before
+    # the micro-quantization; a wrap or rounding split would mismatch
+    _check(spark, sf1_dir, "orders_cramers_v", ["orders"])
+
+
+def test_orders_target_encoding_sf1(spark, sf1_dir):
+    # (sum_cat - y) * 100 at 300k-row categories of <=5.6e7 cents
+    # stays well inside int64
+    _check(spark, sf1_dir, "orders_target_encoding", ["orders"])
