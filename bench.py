@@ -329,6 +329,10 @@ MIN_OF_3 = {
     "stream_session_windows",
     "stream_interval_join_outer",
     "stream_lateness_audit",
+    # iterative (LPA rounds) / pair-scan entries at the HEADLINE tail:
+    # same late-suite single-run exposure
+    "graph_lpa_communities",
+    "dedup_minhash_calibration",
 }
 
 
