@@ -1066,7 +1066,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"__mm div {_CAL_HASHES}").alias("est_ppm"),
         )
     )
-    return (
+    out = (
         p.groupBy(F.expr("exact_ppm div 100000").alias("exact_decile"))
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
@@ -1079,3 +1079,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("exact_decile")
     )
+    # ADVICE r7: localize the bounded result (<= 11 decile rows) so the
+    # persisted token table can be released NOW — a lazy return would
+    # leave one cached copy per bench invocation until LRU eviction.
+    try:
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        tokens.unpersist()

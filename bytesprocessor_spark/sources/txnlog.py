@@ -16,7 +16,7 @@ Layout::
     table_dir/
       _txnlog/00000000.json     # one manifest per committed version
       _txnlog/00000001.json
-      data/v0-<uuid>/...parquet # immutable, written before commit
+      data/<uuid>/...parquet    # immutable, written before commit
 
 Each manifest is a FULL snapshot (Iceberg-style), not a delta: it
 carries the complete relative file list, so any version is readable
@@ -37,8 +37,11 @@ by ``vacuum``), never a corrupt table.
 Scale posture: commits are O(1) metadata writes regardless of data
 volume; reads are manifest-resolved (no object-store LIST on the data
 path — the operation that kills S3-scale tables); history is bounded
-by ``vacuum(keep_versions=...)``.  On a real deployment the O_EXCL
-create maps to the object store's if-none-match/conditional-put.
+by ``vacuum(keep_versions=...)``.  On a real deployment the
+temp-write + ``os.link`` claim collapses to a SINGLE conditional PUT
+(if-none-match) of the complete manifest body — the object store's
+atomic create-if-absent gives the same no-partial-manifest guarantee
+the local temp+link dance provides.
 """
 
 from __future__ import annotations
@@ -135,12 +138,27 @@ def txn_write(
             **(extra or {}),
         }
         # Exactly-once bookkeeping survives manifest vacuuming: every
-        # manifest carries the highest batch_id ever committed, so the
-        # replay check needs only the LATEST manifest (Delta's txn
-        # app-version idea), not the full — prunable — history.
-        prev_max = prev.get("max_batch_id", -1)
+        # manifest carries, PER QUERY IDENTITY, the highest batch_id
+        # that query ever committed (Delta's (txnAppId, txnVersion)
+        # pattern), so the replay check reads only the LATEST manifest,
+        # not the full — prunable — history.  Keying per query id is
+        # what lets two streaming queries (two checkpoints, each with
+        # its own monotone batch-id sequence starting at 0) share one
+        # table without one query's high-water mark swallowing the
+        # other's batches.  Marks from manifests written before this
+        # field existed (legacy single "max_batch_id") are migrated
+        # under the "default" query id — the only identity the old
+        # single-query-per-table protocol could have meant.
+        marks = dict(prev.get("txn_max_batch", {}))
+        if "txn_max_batch" not in prev and "max_batch_id" in prev:
+            marks["default"] = prev["max_batch_id"]
+        qid = manifest.get("txn_query_id")
         this_batch = manifest.get("batch_id", -1)
-        manifest["max_batch_id"] = max(prev_max, this_batch)
+        if qid is not None and this_batch >= 0:
+            marks[qid] = max(marks.get(qid, -1), this_batch)
+        manifest["txn_max_batch"] = marks
+        # legacy field kept for readers of the old protocol
+        manifest["max_batch_id"] = max(prev.get("max_batch_id", -1), this_batch)
         tmp = os.path.join(_log_path(table_dir), f".tmp-{uuid.uuid4().hex}.json")
         fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
         try:
@@ -152,9 +170,17 @@ def txn_write(
                 os.link(tmp, _manifest_path(table_dir, version))
             except FileExistsError:
                 continue  # lost the race — re-read snapshot, try next number
+            except FileNotFoundError:
+                # a concurrent vacuum (min_age_seconds too small) swept
+                # our live temp between write and link — non-fatal: the
+                # next loop iteration rewrites a fresh temp and retries
+                continue
             return version
         finally:
-            os.unlink(tmp)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass  # already swept by a concurrent vacuum
     raise TxnConflict(
         f"could not commit to {table_dir} after {max_retries} attempts"
     )
@@ -204,6 +230,25 @@ def txn_vacuum(
             f"keep_versions must be >= 1 (got {keep_versions}); the"
             " latest snapshot must always survive a vacuum"
         )
+    # orphaned commit temp files (writer crashed between temp write and
+    # the os.link claim) — swept FIRST, before the committed-version
+    # early-exit below, so a table with zero committed versions still
+    # reclaims its orphans.  Same age guard as in-flight data: a LIVE
+    # committer's temp younger than min_age_seconds is spared (and a
+    # sweep that does race a committer is non-fatal — txn_write retries
+    # on the resulting FileNotFoundError).
+    log = _log_path(table_dir)
+    if os.path.isdir(log):
+        now = time.time()
+        for name in os.listdir(log):
+            if name.startswith(".tmp-") and name.endswith(".json"):
+                full = os.path.join(log, name)
+                try:
+                    if now - os.path.getmtime(full) >= min_age_seconds:
+                        os.remove(full)
+                except OSError:
+                    pass
+
     versions = _list_versions(table_dir)
     if not versions:
         return {"removed_files": 0, "removed_manifests": 0}
@@ -235,44 +280,45 @@ def txn_vacuum(
         if v not in kept:
             os.remove(_manifest_path(table_dir, v))
             removed_manifests += 1
-
-    # orphaned commit temp files (writer crashed between temp write and
-    # the os.link claim) — same age guard as in-flight data above
-    log = _log_path(table_dir)
-    now = time.time()
-    for name in os.listdir(log):
-        if name.startswith(".tmp-") and name.endswith(".json"):
-            full = os.path.join(log, name)
-            try:
-                if now - os.path.getmtime(full) >= min_age_seconds:
-                    os.remove(full)
-            except OSError:
-                pass
     return {"removed_files": removed_files, "removed_manifests": removed_manifests}
 
 
-def txn_exactly_once_sink(table_dir: str, mode: str = "append"):
+def txn_exactly_once_sink(
+    table_dir: str, mode: str = "append", query_id: str = "default"
+):
     """ST18 — exactly-once streaming sink over the transaction log.
 
     Structured Streaming's file sink is at-least-once across query
     restarts (a batch that wrote data but crashed before the sink
     commit is REPLAYED).  This returns a ``foreachBatch`` function
-    that makes the replay idempotent the standard lakehouse way: each
-    commit's manifest records its ``batch_id`` and carries forward
-    ``max_batch_id`` (the highest ever committed), so a replayed batch
-    (``batch_id <= max_batch_id`` of the LATEST manifest — Structured
-    Streaming batch ids are monotone per checkpoint) is skipped
-    wholesale — the data files the crashed attempt landed stay
-    unreferenced (no manifest points at them) and are reclaimed by
-    ``vacuum``.  Because the high-water mark rides every manifest,
-    idempotence SURVIVES ``txn_vacuum`` pruning old manifests (the
-    retention caveat Delta documents for txn app-id dedup does not
-    apply here).
+    that makes the replay idempotent the standard lakehouse way —
+    Delta's ``(txnAppId, txnVersion)`` pattern: each commit's manifest
+    records ``(query_id, batch_id)`` and carries forward
+    ``txn_max_batch`` (the highest batch id ever committed PER query
+    id), so a replayed batch (``batch_id <= txn_max_batch[query_id]``
+    of the LATEST manifest — Structured Streaming batch ids are
+    monotone per checkpoint) is skipped wholesale — the data files the
+    crashed attempt landed stay unreferenced (no manifest points at
+    them) and are reclaimed by ``vacuum``.  Because the high-water
+    marks ride every manifest, idempotence SURVIVES ``txn_vacuum``
+    pruning old manifests (the retention caveat Delta documents for
+    txn app-id dedup does not apply here).
+
+    ``query_id`` is the query's durable identity — it must be stable
+    across restarts of the SAME query (same checkpoint) and DISTINCT
+    for different queries writing the same table.  Two queries with
+    their own checkpoints both restart batch ids at 0; without
+    per-identity keying one query's high-water mark would silently
+    swallow the other's batches.  If you delete a query's checkpoint
+    (its batch ids restart at 0), pass a fresh ``query_id`` — to the
+    table that is a new query.  Tables written by older builds carry
+    their single high-water mark under the ``"default"`` identity.
 
     Usage::
 
         q = (stream.writeStream
-             .foreachBatch(txn_exactly_once_sink(table_dir))
+             .foreachBatch(txn_exactly_once_sink(table_dir,
+                                                 query_id="ingest-v1"))
              .option("checkpointLocation", ckpt).start())
 
     Scale: the id check reads ONE manifest (the latest), never data.
@@ -281,8 +327,18 @@ def txn_exactly_once_sink(table_dir: str, mode: str = "append"):
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         current = latest_version(table_dir)
         if current is not None:
-            if batch_id <= read_manifest(table_dir, current).get("max_batch_id", -1):
-                return  # replayed batch — already committed
-        txn_write(batch_df, table_dir, mode=mode, extra={"batch_id": batch_id})
+            m = read_manifest(table_dir, current)
+            marks = m.get("txn_max_batch")
+            if marks is None:
+                # legacy manifest: its single mark belongs to "default"
+                marks = {"default": m.get("max_batch_id", -1)}
+            if batch_id <= marks.get(query_id, -1):
+                return  # replayed batch — this query already committed it
+        txn_write(
+            batch_df,
+            table_dir,
+            mode=mode,
+            extra={"batch_id": batch_id, "txn_query_id": query_id},
+        )
 
     return write_batch

@@ -151,6 +151,84 @@ def test_exactly_once_survives_vacuum(spark, tmp_path):
     assert txn_read(spark, t).count() == 18
 
 
+def test_exactly_once_two_queries_share_table(spark, tmp_path):
+    """ADVICE r7: high-water marks are keyed per query identity
+    (Delta's (txnAppId, txnVersion) pattern).  Two streaming queries —
+    two checkpoints, each with batch ids restarting at 0 — can share
+    one table: neither query's mark swallows the other's batches, and
+    each query's own replays are still skipped."""
+    from bytesprocessor_spark.sources.txnlog import txn_exactly_once_sink
+
+    t = str(tmp_path / "tbl")
+    a = txn_exactly_once_sink(t, query_id="query-a")
+    b = txn_exactly_once_sink(t, query_id="query-b")
+    a(_df(spark, 0, 10), 0)
+    a(_df(spark, 10, 15), 1)
+    # query B starts from ITS batch 0 — must commit, not be dropped
+    b(_df(spark, 100, 104), 0)
+    assert txn_read(spark, t).count() == 19
+    # each query's crash-replay is still a no-op
+    a(_df(spark, 0, 10), 0)
+    a(_df(spark, 10, 15), 1)
+    b(_df(spark, 100, 104), 0)
+    assert txn_read(spark, t).count() == 19
+    # fresh ids on both sides append
+    a(_df(spark, 15, 17), 2)
+    b(_df(spark, 104, 105), 1)
+    assert txn_read(spark, t).count() == 22
+    # the marks survive vacuum independently
+    txn_vacuum(t, keep_versions=1)
+    a(_df(spark, 15, 17), 2)
+    b(_df(spark, 104, 105), 1)
+    assert txn_read(spark, t).count() == 22
+
+
+def test_exactly_once_legacy_manifest_marks_default_query(spark, tmp_path):
+    """A table written by the pre-r8 protocol (single "max_batch_id",
+    no "txn_max_batch") keeps replay protection for the "default"
+    query identity, and a NEW query identity is not poisoned by the
+    legacy mark."""
+    import json as _json
+
+    from bytesprocessor_spark.sources.txnlog import txn_exactly_once_sink
+
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 10), t)
+    # rewrite manifest 0 to the legacy shape
+    path = _manifest_path(t, 0)
+    with open(path) as f:
+        m = _json.load(f)
+    m.pop("txn_max_batch", None)
+    m["max_batch_id"] = 3
+    os.remove(path)
+    with open(path, "w") as f:
+        _json.dump(m, f)
+
+    legacy = txn_exactly_once_sink(t)  # "default" identity
+    legacy(_df(spark, 0, 5), 3)  # genuine crash-replay of the legacy query
+    assert latest_version(t) == 0, "legacy replay must be skipped"
+    legacy(_df(spark, 10, 12), 4)
+    assert txn_read(spark, t).count() == 12
+    # a distinct new query starts at batch 0 despite legacy mark 3
+    fresh = txn_exactly_once_sink(t, query_id="query-new")
+    fresh(_df(spark, 100, 101), 0)
+    assert txn_read(spark, t).count() == 13
+
+
+def test_vacuum_reclaims_orphan_temps_with_zero_versions(spark, tmp_path):
+    """ADVICE r7: the orphan-temp sweep runs even when the table has no
+    committed versions (writer crashed before its very first commit)."""
+    t = str(tmp_path / "tbl")
+    log = os.path.join(t, "_txnlog")
+    os.makedirs(log)
+    orphan = os.path.join(log, ".tmp-deadbeef.json")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    stats = txn_vacuum(t, keep_versions=1)
+    assert not os.path.exists(orphan)
+    assert stats == {"removed_files": 0, "removed_manifests": 0}
+
+
 def test_commit_leaves_no_temp_files_and_vacuum_reclaims_orphans(spark, tmp_path):
     """ADVICE r6: manifests are claimed via temp-write + os.link; a
     successful commit unlinks its temp, and vacuum reclaims temps a
