@@ -573,70 +573,51 @@ QUERIES.update(_NO_ORACLE)
 
 
 _CHECK_ORDER = [
-    # --- round-7 driver window (first 50) ---
-    # Rotation policy (VERDICT r6 #1): after round 6, 128 of 322
-    # registry entries have never appeared in a driver CORRECTNESS
-    # window.  This ordering puts ALL 128 never-driver-checked entries
-    # first (round-7 window = first 50, round-8 promotes the next 50),
-    # followed by the 194 entries with at least one driver-green row
-    # (r1/r2/r4/r5/r6; the round-6 window sits last as most recently
-    # checked).  New round-7 entries are inserted at the head (ADVICE
-    # r4: new code reaches the checked prefix first), capped at 8 so
-    # the window still retires >=40 backlog entries (VERDICT r6 #1:
-    # 8 new + 42 backlog in the round-7 first-50).
+    # --- round-8 driver window (first 50) ---
+    # Rotation policy (VERDICT r7 #1, third-round burn-down): after
+    # round 7, 91 of 335 registry entries have never appeared in a
+    # driver CORRECTNESS window.  The round-8 window is PURE backlog —
+    # 50 never-driver-checked entries retire this round, 41 remain for
+    # round 9 (which closes the backlog to zero).  Front-loaded per
+    # VERDICT r7: the 5 round-7 late additions (newest code first),
+    # the 17 TPC-H composites, the reference's own NIDS-domain queries
+    # (portscan / ddos fan-in), and the window/agg rows the judge
+    # named; the rest follow in prior backlog order.  New round-8
+    # entries go AFTER the backlog block (next-window head) so the
+    # burn-down is not diluted.
 
-    # round-7 new entries (window priority — ADVICE r4)
-    "packets_mixed_capture",
-    "orders_target_encoding",
-    "schema_evolution_read",
-    "part_kendall_tau",
-    "events_overdispersion",
-    "orders_interval_overlap",
-    "stream_session_windows",
-    "graph_lpa_communities",
-    # --- never driver-checked backlog (128) ---
-    "eval_pr_curve",
-    "eval_calibration",
-    "events_group_kfold",
-    "eval_ann_recall",
-    "eval_knn_label_prop",
-    "embedding_dim_stats",
-    "eval_ndcg",
-    "eval_confusion_matrix",
-    "stream_drift_monitor",
-    "corpus_fingerprint",
-    "sql_group_by_all",
-    "bitwise_funcs",
-    "grouping_sets_sql",
-    "from_json_funcs",
-    "multimodal_video_frames",
-    "sql_exists_in_subquery",
-    "text_winnow_fingerprint",
-    "agg_salted",
-    "join_salted",
-    "agg_pivot",
-    "unpivot_metrics",
-    "sample_hash",
-    "sample_stratified",
-    "text_inverted_index",
-    "agg_histogram",
-    "join_bloom_prune",
-    "events_stl_decompose",
-    "text_oov_rate",
-    "corpus_curriculum",
-    "events_rolling_distinct",
-    "events_lateness_histogram",
-    "privacy_dp_release",
-    "corpus_span_corruption",
-    "eval_perplexity_holdout",
-    "similarity_mmr_rerank",
-    "graph_k_core",
-    "events_path_regex",
-    "eval_mrr",
-    "range_join_binned",
-    "events_poisson_rate",
-    "eval_lift_gains",
-    "text_script_mix",
+    # round-7 late additions (newest code — certified at 3 scales)
+    "eval_regression_metrics",
+    "part_frequency_encoding",
+    "orders_cramers_v",
+    "partitioned_table_prune",
+    "dedup_minhash_calibration",
+    # TPC-H composites q4-q22 (q1/q2/q3/q5/q20 already driver-green)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # reference NIDS domain + judge-named window/agg rows
+    "packets_portscan",
+    "packets_ddos_fanin",
+    "window_distribution",
+    "window_range_frame",
+    "agg_mode",
+    "agg_hll_sketch",
+    # remainder of the window, prior backlog order
     "corpus_token_budget",
     "events_bootstrap_ci",
     "orders_price_index",
@@ -659,9 +640,8 @@ _CHECK_ORDER = [
     "orders_open_aging",
     "events_conversion_windows",
     "orders_drawdown",
+    # --- never driver-checked backlog (41 — round-9 window head) ---
     "events_slo_burn",
-    "packets_portscan",
-    "packets_ddos_fanin",
     "orders_rolling_yoy",
     "eval_threshold_cost",
     "orders_replenishment_cycle",
@@ -691,48 +671,19 @@ _CHECK_ORDER = [
     "text_vocab_growth",
     "events_cuped",
     "session_sequences",
-    "q6_forecast_revenue",
-    "q10_returned_items",
     "text_chunking",
-    "window_distribution",
-    "agg_mode",
-    "q18_large_orders",
-    "q14_promo_revenue",
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q19_disjunctive_predicates",
     "multimodal_image_ann",
-    "window_range_frame",
-    "agg_hll_sketch",
     "dedup_cluster_keep",
     "merge_upsert_orders",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q22_dormant_customers",
     "text_repetition",
     "corpus_mixture",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_shipping_delay",
-    "q21_waiting_suppliers",
     "events_funnel",
     "embedding_centroids",
     "interval_concurrency",
     "stream_static_enrich",
     "stream_cdc_apply",
-    # round-7 LATE additions: registered after the round-7 window was
-    # locked at 8 new entries (the >=40-backlog-retirement cap), so
-    # they sit past the first 50 — the round-8 rotation promotes them
-    # to the window head per the new-code-first policy.
-    "eval_regression_metrics",
-    "part_frequency_encoding",
-    "orders_cramers_v",
-    "partitioned_table_prune",
-    "dedup_minhash_calibration",
-    # --- entries with >=1 driver-green CORRECTNESS row (r1-r5), most recently checked last ---
+    # --- entries with >=1 driver-green CORRECTNESS row, most recently
+    # checked last (r1-r6 block, then the round-7 window) ---
     "pack_length_batches",
     "dedup_span_ngrams",
     "embedding_kmeans",
@@ -877,7 +828,6 @@ _CHECK_ORDER = [
     "text_pii_scrub",
     "embedding_quantize",
     "text_bpe_tokens",
-    # --- round-6 driver window (checked r6) ---
     "flow_aggregate",
     "events_ols",
     "orders_clamped_balance",
@@ -928,6 +878,57 @@ _CHECK_ORDER = [
     "corpus_leakage_safe_split",
     "dedup_threshold_sweep",
     "eval_auc",
+    # --- round-7 driver window (checked r7) ---
+    "packets_mixed_capture",
+    "orders_target_encoding",
+    "schema_evolution_read",
+    "part_kendall_tau",
+    "events_overdispersion",
+    "orders_interval_overlap",
+    "stream_session_windows",
+    "graph_lpa_communities",
+    "eval_pr_curve",
+    "eval_calibration",
+    "events_group_kfold",
+    "eval_ann_recall",
+    "eval_knn_label_prop",
+    "embedding_dim_stats",
+    "eval_ndcg",
+    "eval_confusion_matrix",
+    "stream_drift_monitor",
+    "corpus_fingerprint",
+    "sql_group_by_all",
+    "bitwise_funcs",
+    "grouping_sets_sql",
+    "from_json_funcs",
+    "multimodal_video_frames",
+    "sql_exists_in_subquery",
+    "text_winnow_fingerprint",
+    "agg_salted",
+    "join_salted",
+    "agg_pivot",
+    "unpivot_metrics",
+    "sample_hash",
+    "sample_stratified",
+    "text_inverted_index",
+    "agg_histogram",
+    "join_bloom_prune",
+    "events_stl_decompose",
+    "text_oov_rate",
+    "corpus_curriculum",
+    "events_rolling_distinct",
+    "events_lateness_histogram",
+    "privacy_dp_release",
+    "corpus_span_corruption",
+    "eval_perplexity_holdout",
+    "similarity_mmr_rerank",
+    "graph_k_core",
+    "events_path_regex",
+    "eval_mrr",
+    "range_join_binned",
+    "events_poisson_rate",
+    "eval_lift_gains",
+    "text_script_mix",
 ]
 
 
