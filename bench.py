@@ -286,6 +286,9 @@ HEADLINE = [
     "eval_regression_metrics",
     "orders_cramers_v",
     "part_frequency_encoding",
+    # round-8: tolerant-CSV ingest oracle row (writes + reads the
+    # dirty-CSV fixture; one cached scan feeds both splits)
+    "csv_quarantine_scan",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -65,6 +65,8 @@ EAGER_QUERIES = frozenset({
     # bounded candidate-pool collect at construction (driver-side
     # greedy rerank over KBs)
     "similarity_mmr_rerank",
+    # S6 oracle row: writes the dirty-CSV fixture at construction
+    "csv_quarantine_scan",
 })
 
 
@@ -542,6 +544,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_scale  # noqa: F401
     import bytesprocessor_spark.queries_mlstats  # noqa: F401
     import bytesprocessor_spark.queries_r7  # noqa: F401
+    import bytesprocessor_spark.queries_r8  # noqa: F401
 
 
 @query(
@@ -640,7 +643,9 @@ _CHECK_ORDER = [
     "orders_open_aging",
     "events_conversion_windows",
     "orders_drawdown",
-    # --- never driver-checked backlog (41 — round-9 window head) ---
+    # --- never driver-checked backlog (round-9 window head) ---
+    # round-8 additions first (new-code-first once the burn-down ends)
+    "csv_quarantine_scan",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

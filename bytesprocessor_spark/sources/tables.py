@@ -137,16 +137,20 @@ def read_csv_tolerant(
     path: str,
     schema: str,
     corrupt_col: str = "_corrupt_record",
+    with_handle: bool = False,
 ):
     """Error-tolerant CSV scan (S6): PERMISSIVE mode with the corrupt
     raw line captured in ``corrupt_col`` instead of failing the job —
     the lake-scale posture (a 100 TB ingest WILL contain bad rows; a
     FAILFAST job dies hours in, a silent DROPMALFORMED loses data
     unaccountably).  Returns (good_rows, bad_rows): callers write
-    ``bad_rows`` to a quarantine sink and alert on its count, then
-    ``good_rows.unpersist()`` once both sinks are written (the scan is
-    cached so the two splits share one pass; cache discipline is the
-    caller's, as with the dedup persist helpers).
+    ``bad_rows`` to a quarantine sink and alert on its count.
+
+    The scan is cached so the two splits share one pass.  To release
+    that cache once both sinks are written, pass ``with_handle=True``
+    and call ``handle.unpersist()`` on the third returned value —
+    unpersisting ``good_rows``/``bad_rows`` would NOT release it (they
+    are children of the cached scan, and unpersist is not inherited).
     """
     df = (
         spark.read.schema(f"{schema}, {corrupt_col} string")
@@ -159,6 +163,8 @@ def read_csv_tolerant(
     )
     good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    if with_handle:
+        return good, bad, df
     return good, bad
 
 
