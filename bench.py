@@ -289,6 +289,13 @@ HEADLINE = [
     # round-8: tolerant-CSV ingest oracle row (writes + reads the
     # dirty-CSV fixture; one cached scan feeds both splits)
     "csv_quarantine_scan",
+    # round-8: local clustering-coefficient histogram (rank-cut edges,
+    # triangle enumeration), conversion-latency percentiles,
+    # hashing-trick collision audit, bigram vocab coverage curve
+    "graph_clustering_coeff",
+    "events_conversion_latency",
+    "feature_hashing_trick",
+    "vocab_coverage_curve",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

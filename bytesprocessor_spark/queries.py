@@ -646,6 +646,10 @@ _CHECK_ORDER = [
     # --- never driver-checked backlog (round-9 window head) ---
     # round-8 additions first (new-code-first once the burn-down ends)
     "csv_quarantine_scan",
+    "graph_clustering_coeff",
+    "events_conversion_latency",
+    "feature_hashing_trick",
+    "vocab_coverage_curve",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

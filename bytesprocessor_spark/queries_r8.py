@@ -11,6 +11,21 @@
   arithmetic alone.  This checks the full tolerant-scan contract:
   no row lost, no row double-counted, corrupt capture preserves the
   raw line verbatim.
+- GR10 graph_clustering_coeff: per-node LOCAL clustering coefficient
+  distribution (GR3's triangles give only the global 3T/W) — the
+  community-structure read run before trusting LPA/k-core outputs.
+- A84 events_conversion_latency: view→purchase time-to-convert with
+  EXACT discrete percentiles (p50/p90/p99 in µs) — the latency read
+  behind attribution windows; running-MAX-over-window carry of the
+  last view avoids any join.
+- FE5 feature_hashing_trick: the hashing-trick encoder's collision
+  audit — features md5-hashed into a deliberately small bucket space,
+  reporting the distinct-features-per-bucket histogram (the quantity
+  that decides whether 2^k buckets is enough for the feature set).
+- L26 vocab_coverage_curve: cumulative corpus coverage of the top-k
+  BIGRAM vocabulary (k = 50/200/800) — the tokenizer-budget read
+  (what OOV rate a k-entry vocab buys) complementing L4w's oov_rate
+  at fixed vocab.
 
 Reference scope note: the reference engine ends at the labeled packet
 table (BytesProcessor.py:121-187); these are EXT rows of the analytics
@@ -25,6 +40,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bytesprocessor_spark.queries import _t, cents, query
 from bytesprocessor_spark.sources.tables import read_csv_tolerant
@@ -123,3 +139,381 @@ def csv_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         if handle is not None:
             handle.unpersist()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# GR10: local clustering coefficient distribution
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_clustering_coeff",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    pairs AS (
+      SELECT a.s AS a, b.s AS b
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+    ),
+    pw AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY a, b),
+    rkd AS (SELECT a, b,
+                   ROW_NUMBER() OVER (ORDER BY w DESC, a ASC, b ASC) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM pw),
+    e AS (SELECT a, b FROM rkd WHERE rk * 10 <= n),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      GROUP BY v
+    ),
+    t3 AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tn AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+      FROM (SELECT x AS v FROM t3 UNION ALL SELECT y AS v FROM t3
+            UNION ALL SELECT z AS v FROM t3)
+      GROUP BY v
+    ),
+    cc AS (
+      SELECT deg.v, deg.d, COALESCE(tn.t, 0) AS t,
+             CASE WHEN deg.d >= 2
+                  THEN COALESCE(tn.t, 0) * 2000000 // (deg.d * (deg.d - 1))
+                  ELSE 0 END AS cc_ppm
+      FROM deg LEFT JOIN tn ON deg.v = tn.v
+    )
+    SELECT CAST(cc_ppm // 100000 AS BIGINT) AS cc_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d) AS BIGINT) AS sum_degree,
+           CAST(SUM(t) AS BIGINT) AS sum_triangles
+    FROM cc GROUP BY 1 ORDER BY 1
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR10 — LOCAL clustering coefficient per node, reported as a
+    decile histogram: cc(v) = 2·T(v) / (d(v)·(d(v)−1)) over the
+    supplier co-occurrence graph.  GR3 gives the global 3T/W; the
+    LOCAL distribution is what distinguishes a few dense cliques from
+    uniform clustering — the read run before trusting community
+    outputs (LPA, k-core) on the graph.
+
+    Edge rule: the top 10% of supplier pairs by co-order weight —
+    GR8's adaptive-support discipline taken to a deterministic RANK
+    cut (ties broken by the pair ids), because any absolute floor is
+    degenerate somewhere in the fixture range (the co-supply graph is
+    complete at small scales and weight-1-dominated at sf0.1).
+
+    Exactness: cc is quantized to ppm by truncating integer division
+    (both engines truncate toward zero on non-negatives), so decile
+    assignment is bit-identical.
+
+    Scale shape: the oriented (a < b) edge enumeration and the
+    two-equi-join triangle listing are GR3's plan; per-node triangle
+    counts are ONE extra hash aggregate over the triangle list (each
+    triangle feeds its three corners via explode — no new join), and
+    the decile rollup is a <= 11-row aggregate.  The rank cut prunes
+    the pair explosion BEFORE any triangle join (its window sorts the
+    VOCABULARY-sized pair table, not lineitem; at 100 TB make the cut
+    per blocking key to keep that sort partitioned), so text-free
+    integer keys are all that ever shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    pairs = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))
+    ).select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
+    pw = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    wrk = Window.orderBy(F.col("w").desc(), F.col("a").asc(), F.col("b").asc())
+    ranked = pw.select(
+        "a",
+        "b",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    e = ranked.where(F.col("rk") * 10 <= F.col("n")).select("a", "b")
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    t3 = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    tn = (
+        t3.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    cc = deg.join(tn, "v", "left").select(
+        "d",
+        F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        F.when(
+            F.col("d") >= 2,
+            F.expr("coalesce(t, 0) * 2000000 div (d * (d - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cc_ppm"),
+    )
+    return (
+        cc.groupBy(F.expr("cc_ppm div 100000").alias("cc_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("sum_degree"),
+            F.sum("t").cast("long").alias("sum_triangles"),
+        )
+        .orderBy("cc_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A84: view -> purchase conversion latency, exact discrete percentiles
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_conversion_latency",
+    """
+    WITH s AS (
+      SELECT event_type,
+             epoch_us(ts) AS us,
+             MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view_us
+      FROM events),
+    lat AS (
+      SELECT us - last_view_us AS lat_us FROM s
+      WHERE event_type = 'purchase' AND last_view_us IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us) AS BIGINT)
+             AS p50_us,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us) AS BIGINT)
+             AS p90_us,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY lat_us) AS BIGINT)
+             AS p99_us,
+           CAST(SUM(lat_us) AS BIGINT) AS sum_lat_us
+    FROM lat
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A84 — time-to-convert: for every purchase, the µs elapsed since
+    the SAME user's most recent prior view, summarized as exact
+    discrete percentiles (p50/p90/p99 pick actual data points — no
+    interpolation, so the values are integers both engines agree on).
+    This is the read that sizes an attribution window (J7's asof join
+    assigns credit; this measures the latency distribution the window
+    must cover).
+
+    The last-view carry is a running MAX over (user, time) — MAX
+    ignores NULLs, and within a user's timeline the max view
+    timestamp IS the latest one, so no join and no IGNORE NULLS
+    dialect divergence.  Ordering ties broken by event_id (unique).
+
+    Scale shape: one shuffle by user_id for the window, then a global
+    aggregate over ~conversions rows — percentile_disc's sort domain
+    is bounded by the purchase count, and at 100 TB the same readout
+    runs per segment with a groupBy before the WITHIN GROUP."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.max(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        )
+        .over(w)
+        .alias("last_view_us"),
+    )
+    lat = s.where(
+        (F.col("event_type") == "purchase") & F.col("last_view_us").isNotNull()
+    ).select((F.col("us") - F.col("last_view_us")).alias("lat_us"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us)")
+        .cast("long")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us)")
+        .cast("long")
+        .alias("p90_us"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY lat_us)")
+        .cast("long")
+        .alias("p99_us"),
+        F.sum("lat_us").cast("long").alias("sum_lat_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FE5: hashing-trick encoder collision audit
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64  # deliberately small so the collision structure is visible
+
+
+@query(
+    "feature_hashing_trick",
+    f"""
+    WITH f AS (
+      SELECT 'brand=' || p_brand AS feat FROM part
+      UNION ALL SELECT 'type=' || p_type FROM part
+      UNION ALL SELECT 'size=' || CAST(p_size AS VARCHAR) FROM part),
+    h AS (SELECT feat,
+                 CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % {_FH_BUCKETS}
+                   AS bucket
+          FROM f),
+    b AS (SELECT bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT feat) AS BIGINT) AS n_feats
+          FROM h GROUP BY bucket)
+    SELECT n_feats AS features_in_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FE5 — the hashing-trick encoder (categoricals -> fixed 2^k
+    buckets via a hash, no vocabulary to build or ship) with its
+    COLLISION AUDIT: per bucket, how many DISTINCT source features
+    landed there, histogrammed.  That histogram is the decision input
+    for sizing k — the encoder is only lossless-enough when the
+    heavy-feature buckets stay near 1 distinct feature.  Features are
+    namespaced 'column=value' (the standard trick for multi-column
+    hashing) over part's brand/type/size; {_FH_BUCKETS} buckets force
+    visible collisions at every fixture scale.
+
+    Determinism: md5-derived buckets (same 60-bit prefix integer on
+    both engines) — no engine hash leaks into the result.
+
+    Scale shape: map-only hash on the scan, one bucket-keyed hash
+    aggregate (64 groups), one histogram aggregate — the encoder
+    itself never shuffles the fact table at 100 TB; only this audit's
+    64-row summary moves."""
+    p = _t(spark, sf_dir, "part")
+    f = p.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("brand="), F.col("p_brand")),
+                F.concat(F.lit("type="), F.col("p_type")),
+                F.concat(F.lit("size="), F.col("p_size").cast("string")),
+            )
+        ).alias("feat")
+    )
+    h = f.select(
+        "feat",
+        F.expr(
+            "CAST(conv(substring(md5(feat), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_FH_BUCKETS}"
+        ).alias("bucket"),
+    )
+    b = h.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("feat").cast("long").alias("n_feats"),
+    )
+    return (
+        b.groupBy(F.col("n_feats").alias("features_in_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy("features_in_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L26: top-k bigram vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_COV_KS = (50, 200, 800)
+
+
+@query(
+    "vocab_coverage_curve",
+    f"""
+    WITH d AS (
+      SELECT [x FOR x IN regexp_split_to_array(lower(text), '[^a-z0-9]+')
+              IF len(x) > 0] AS ts
+      FROM documents),
+    bg AS (
+      SELECT unnest([ts[i] || ' ' || ts[i + 1]
+                     FOR i IN range(1, len(ts))]) AS b
+      FROM d),
+    tf AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS f FROM bg GROUP BY b),
+    r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, b ASC) AS rk FROM tf),
+    cum AS (SELECT rk,
+                   SUM(f) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cf
+            FROM r),
+    sel AS (SELECT
+      CAST(MAX(CASE WHEN rk <= {_COV_KS[0]} THEN cf END) AS BIGINT) AS c0,
+      CAST(MAX(CASE WHEN rk <= {_COV_KS[1]} THEN cf END) AS BIGINT) AS c1,
+      CAST(MAX(CASE WHEN rk <= {_COV_KS[2]} THEN cf END) AS BIGINT) AS c2,
+      CAST(MAX(cf) AS BIGINT) AS ctot,
+      CAST(MAX(rk) AS BIGINT) AS n_vocab FROM cum)
+    SELECT CAST({_COV_KS[0]} AS BIGINT) AS k,
+           COALESCE(c0, ctot) * 1000000 // ctot AS covered_ppm,
+           n_vocab FROM sel
+    UNION ALL
+    SELECT {_COV_KS[1]}, COALESCE(c1, ctot) * 1000000 // ctot, n_vocab FROM sel
+    UNION ALL
+    SELECT {_COV_KS[2]}, COALESCE(c2, ctot) * 1000000 // ctot, n_vocab FROM sel
+    ORDER BY k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26 — tokenizer-budget curve: what fraction (ppm, exact integer
+    division) of all corpus BIGRAM occurrences the top-k vocabulary
+    covers, for k = {_COV_KS}.  L4w's oov_rate answers "given this
+    vocab, what misses"; this answers the sizing question "how big
+    must the vocab be" — the pair brackets a tokenizer decision.
+    Bigrams (not unigrams) because coverage curves only bend where the
+    vocab tail is long.  Rank ties broken by bigram text so the curve
+    is deterministic.
+
+    Scale shape: one token-keyed aggregate builds the frequency table;
+    the rank/cumsum window runs over the VOCABULARY (bounded by
+    distinct bigrams, not corpus rows) — at 100 TB that single-
+    partition window is still a vocab-sized sort, and the readout is
+    {len(_COV_KS)} rows via conditional aggregation (no range join,
+    no nested-loop)."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+    bgs = F.expr(
+        "CASE WHEN size(__arr) >= 2 THEN transform(sequence(1, size(__arr) - 1),"
+        " i -> concat(element_at(__arr, i), ' ', element_at(__arr, i + 1)))"
+        " ELSE array() END"
+    )
+    bg = (
+        docs.select(arr.alias("__arr"))
+        .select(F.explode(bgs).alias("b"))
+    )
+    tf = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    wr = Window.orderBy(F.col("f").desc(), F.col("b").asc())
+    r = tf.select("f", F.row_number().over(wr).alias("rk"))
+    wc = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = r.select("rk", F.sum("f").over(wc).alias("cf"))
+    sel = cum.agg(
+        *[
+            F.max(F.when(F.col("rk") <= k, F.col("cf")))
+            .cast("long")
+            .alias(f"c{i}")
+            for i, k in enumerate(_COV_KS)
+        ],
+        F.max("cf").cast("long").alias("ctot"),
+        F.max("rk").cast("long").alias("n_vocab"),
+    )
+    stack = ", ".join(
+        f"{k}L, coalesce(c{i}, ctot) * 1000000 div ctot" for i, k in enumerate(_COV_KS)
+    )
+    return sel.selectExpr(
+        f"stack({len(_COV_KS)}, {stack}) AS (k, covered_ppm)", "n_vocab"
+    ).orderBy("k")
