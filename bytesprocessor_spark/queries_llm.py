@@ -219,6 +219,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-5-gram Jaccard >= 0.9 confirms.  The oracle computes the
     exact pair set directly; LSH only shrinks the candidate space, so
     the verified outputs coincide."""
+    from bytesprocessor_spark.operators.caching import memo_checkpoint
     from bytesprocessor_spark.operators.dedup import (
         exact_jaccard_pairs,
         hashed_shingle_tokens,
@@ -226,7 +227,14 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     # One shingle pass feeds both LSH and verify (16 bytes/token row).
-    tokens = hashed_shingle_tokens(docs, shingle_size=5).persist()
+    # Session-memoized (ADVICE r7: a per-call .persist() left one
+    # cached copy per invocation until LRU eviction — the memo keys one
+    # materialization per (session, sf_dir) and survives clearCache).
+    tokens = memo_checkpoint(
+        spark,
+        ("mhv_tokens5", sf_dir),
+        lambda: hashed_shingle_tokens(docs, shingle_size=5),
+    )
     cands = minhash_lsh_pairs(
         docs, num_hashes=126, bands=21, shingle_size=5, tokens=tokens
     )
