@@ -296,6 +296,10 @@ HEADLINE = [
     "events_conversion_latency",
     "feature_hashing_trick",
     "vocab_coverage_curve",
+    # round-8: CUSUM-argmax changepoint, WOE encoder, Welch's t-test
+    "events_changepoint",
+    "orders_woe_encoding",
+    "events_welch_ttest",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -650,6 +650,9 @@ _CHECK_ORDER = [
     "events_conversion_latency",
     "feature_hashing_trick",
     "vocab_coverage_curve",
+    "events_changepoint",
+    "orders_woe_encoding",
+    "events_welch_ttest",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

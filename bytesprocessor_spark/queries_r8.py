@@ -517,3 +517,311 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.selectExpr(
         f"stack({len(_COV_KS)}, {stack}) AS (k, covered_ppm)", "n_vocab"
     ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# A86: single changepoint by binary segmentation (integer CUSUM argmax)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS d,
+             SUM(n) OVER (PARTITION BY event_type) AS t
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, day, k, s, d, t,
+             ABS(d * s - k * t) AS score
+      FROM idx WHERE k < d
+    ),
+    best AS (
+      SELECT event_type, day, k, s, d, t, score,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY score DESC, k ASC) AS r
+      FROM scored
+    )
+    SELECT event_type,
+           STRFTIME(day, '%Y-%m-%d') AS split_day,
+           CAST(k AS BIGINT) AS split_k,
+           CAST(d AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS pre_sum,
+           CAST(t - s AS BIGINT) AS post_sum,
+           CAST(score AS BIGINT) AS score
+    FROM best WHERE r = 1 ORDER BY event_type
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A86 — single changepoint per event type by binary segmentation
+    over the daily count series: the split k maximizing the CUSUM
+    deviation |D·S_k − k·T| (S_k = prefix sum, T = total, D = days) —
+    equivalent to the argmax of the scaled two-segment mean gap, and
+    the first split CUSUM/PELT-style monitors take.  A38's SPRT asks
+    "has the rate changed by now" online; this answers "where did the
+    level shift" in retrospect.
+
+    Exactness: the score is a pure int64 expression (no division at
+    all — the usual k(D−k) variance normalizer is dropped, which is
+    the standard 'weighted CUSUM' variant), ties broken by earliest k,
+    so the argmax is bit-deterministic.
+
+    Scale shape: one calendar-bounded daily aggregate, then windows
+    over <= D rows per type — the fact table is touched once; the
+    argmax never leaves the engine."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wk = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wk).alias("k"),
+        F.sum("n").over(wk.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("d"),
+        F.sum("n").over(wall).alias("t"),
+    )
+    scored = idx.where(F.col("k") < F.col("d")).select(
+        "event_type",
+        "day",
+        "k",
+        "s",
+        "d",
+        "t",
+        F.abs(F.col("d") * F.col("s") - F.col("k") * F.col("t")).alias("score"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("k").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(wb))
+        .where(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("k").cast("long").alias("split_k"),
+            F.col("d").cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("pre_sum"),
+            (F.col("t") - F.col("s")).cast("long").alias("post_sum"),
+            F.col("score").cast("long").alias("score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FE6: weight-of-evidence categorical encoding
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_woe_encoding",
+    """
+    WITH y AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    c AS (
+      SELECT cat,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+      FROM y GROUP BY cat
+    ),
+    t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+                 CAST(SUM(n_neg) AS BIGINT) AS tn FROM c)
+    SELECT c.cat,
+           c.n_pos, c.n_neg,
+           c.n_pos * 1000000 // t.tp AS pos_share_ppm,
+           c.n_neg * 1000000 // t.tn AS neg_share_ppm,
+           CAST(ROUND(LN(
+             (CAST(c.n_pos AS DOUBLE) * CAST(t.tn AS DOUBLE))
+             / (CAST(c.n_neg AS DOUBLE) * CAST(t.tp AS DOUBLE))
+           ) * 1000000) AS BIGINT) AS woe_micro
+    FROM c CROSS JOIN t
+    WHERE c.n_pos > 0 AND c.n_neg > 0
+    ORDER BY c.cat
+    """,
+)
+def orders_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FE6 — weight of evidence, THE categorical encoder of credit-risk
+    scorecards: WOE(c) = ln((pos_c/pos_tot)/(neg_c/neg_tot)) — rewritten
+    as one fused ratio so a single ln is the only transcendental.
+    Target = order fell through (status 'F'); FE2 encodes a continuous
+    target, this encodes a binary one with class-imbalance correction
+    built in.  Categories missing a class are excluded (the standard
+    unsmoothed-WOE domain rule), bounded shares in exact ppm.
+
+    Determinism (the GR6 1/ln(deg) precedent): the WOE value is one
+    FIXED IEEE-double tree over exact int64 counts, micro-quantized at
+    the row — no cross-row float summation anywhere.
+
+    Scale shape: one category aggregate (bounded), a 1-row total
+    broadcast back onto it — the fact table never shuffles (the FE2
+    broadcast discipline)."""
+    y = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    c = y.groupBy("cat").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    t = c.agg(
+        F.sum("n_pos").cast("long").alias("tp"),
+        F.sum("n_neg").cast("long").alias("tn"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "cat",
+            "n_pos",
+            "n_neg",
+            F.expr("n_pos * 1000000 div tp").alias("pos_share_ppm"),
+            F.expr("n_neg * 1000000 div tn").alias("neg_share_ppm"),
+            F.expr(
+                "CAST(ROUND(LN("
+                " (CAST(n_pos AS DOUBLE) * CAST(tn AS DOUBLE))"
+                " / (CAST(n_neg AS DOUBLE) * CAST(tp AS DOUBLE))"
+                ") * 1000000) AS BIGINT)"
+            ).alias("woe_micro"),
+        )
+        .orderBy("cat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A81: Welch's t-test (unequal variances)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_welch_ttest",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN vc ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN vc * vc ELSE 0 END) AS BIGINT) AS q1,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END) AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN vc * vc ELSE 0 END) AS BIGINT) AS q2
+      FROM v
+    )
+    SELECT n1, n2,
+      CAST(ROUND(
+        (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        / SQRT(
+            ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
+            / CAST(n1 AS DOUBLE)
+            + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))
+            / CAST(n2 AS DOUBLE)
+          ) * 1000000) AS BIGINT) AS t_micro,
+      CAST(ROUND(
+        (
+          ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+            / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+          + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+            / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)
+        ) * (
+          ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+            / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+          + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+            / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)
+        ) / (
+          (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE))
+          * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE))
+          / CAST(n1 - 1 AS DOUBLE)
+          + (((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+             / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+          * (((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+             / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+          / CAST(n2 - 1 AS DOUBLE)
+        ) * 1000) AS BIGINT) AS df_milli
+    FROM m
+    """,
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A81 — Welch's unequal-variance t-test between the value
+    distributions of two event populations (view vs purchase): the
+    default two-sample mean test (Student's pooled variant is only
+    valid under equal variances), with Welch–Satterthwaite effective
+    degrees of freedom.  A40's Mann-Whitney is the rank alternative;
+    this is the parametric one a metrics platform reports next to it.
+
+    Determinism (the A80/CUPED pattern): the engine aggregates ONLY
+    exact int64 moments (n, Σx, Σx² in cents); t and df are each one
+    FIXED IEEE-double expression tree over those six integers —
+    bit-identical across engines — quantized to micro/milli at the
+    end.  No float ever crosses rows.
+
+    Scale shape: one filtered scan, one 6-column global aggregate
+    (map-side combined), a 1-row readout — the canonical
+    moments-then-statistic shape every sufficient-statistic test
+    inherits at 100 TB."""
+    v = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", cents(F.col("value")).alias("vc"))
+    )
+    is1 = F.col("event_type") == "view"
+    is2 = F.col("event_type") == "purchase"
+    m = v.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(is1, F.col("vc")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(is1, F.col("vc") * F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(is2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is2, F.col("vc")).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(is2, F.col("vc") * F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("q2"),
+    )
+    # shared sub-expressions spelled out ONCE in python, inlined into
+    # the same tree shape the oracle uses (se_i = (Q - S^2/n)/(n-1)/n)
+    se1 = (
+        "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)"
+    )
+    se2 = (
+        "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)"
+    )
+    t_expr = (
+        "CAST(ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        f" / SQRT({se1} + {se2}) * 1000000) AS BIGINT)"
+    )
+    df_expr = (
+        f"CAST(ROUND(({se1} + {se2}) * ({se1} + {se2})"
+        f" / ({se1} * {se1} / CAST(n1 - 1 AS DOUBLE)"
+        f"    + {se2} * {se2} / CAST(n2 - 1 AS DOUBLE)) * 1000) AS BIGINT)"
+    )
+    return m.select(
+        "n1",
+        "n2",
+        F.expr(t_expr).alias("t_micro"),
+        F.expr(df_expr).alias("df_milli"),
+    )

@@ -76,6 +76,10 @@ ALLOW_NESTED_LOOP = {
     # 1-row (n, r, c) totals frame broadcast onto the bounded r x c
     # contingency cells — O(cells) work
     "orders_cramers_v",
+    # 1-row (pos_tot, neg_tot) frame broadcast onto the bounded
+    # category aggregate (WOE denominators) — O(categories) work,
+    # the FE2/FE4 broadcast discipline
+    "orders_woe_encoding",
     # 1-row n_total frame (the CMS epsilon slack eps*N) broadcast onto
     # the 10-row verified-heavy-hitter result — O(10) work
     "agg_heavy_hitters",
