@@ -352,6 +352,10 @@ MIN_OF_3 = {
     # same late-suite single-run exposure
     "graph_lpa_communities",
     "dedup_minhash_calibration",
+    # round-8 tail additions with the same exposure: the triangle-join
+    # histogram and the eager dirty-CSV fixture write
+    "graph_clustering_coeff",
+    "csv_quarantine_scan",
 }
 
 
