@@ -163,3 +163,24 @@ def test_orders_target_encoding_sf1(spark, sf1_dir):
     # (sum_cat - y) * 100 at 300k-row categories of <=5.6e7 cents
     # stays well inside int64
     _check(spark, sf1_dir, "orders_target_encoding", ["orders"])
+
+
+def test_events_welch_ttest_sf1(spark, sf1_dir):
+    # the Σx² moment is the bound: vc <= 56_021 cents squared ~ 3.1e9,
+    # x ~200k rows per group ~ 6e14 — three orders of magnitude of
+    # int64 headroom at sf1 (wraps only past ~sf3000); t/df double
+    # trees over the six moments must agree to the quantum
+    _check(spark, sf1_dir, "events_welch_ttest", ["events"])
+
+
+def test_events_changepoint_sf1(spark, sf1_dir):
+    # the score |D*S_k - k*T| is bounded by D*T ~ 30 x 1e6 = 3e7 at
+    # sf1 (int64-trivial); what sf1 actually stresses is the argmax
+    # tie-break determinism over denser daily counts
+    _check(spark, sf1_dir, "events_changepoint", ["events"])
+
+
+def test_orders_woe_encoding_sf1(spark, sf1_dir):
+    # pure-count WOE: n_pos * tn products ~ 3e5 x 1e6 = 3e11 reach the
+    # double tree exactly (< 2^53); ln + micro-quantize must agree
+    _check(spark, sf1_dir, "orders_woe_encoding", ["orders"])
