@@ -1193,3 +1193,83 @@ def test_range_join_binned_is_pure_equi_join(spark):
         )
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, nl.collect()))
+
+
+# --- round-8 entries ---
+
+
+def test_welch_ttest_single_moment_pass(spark):
+    """A81: the six int64 moments collapse in ONE map-side-combined
+    global aggregate — no join, no window; the t/df double trees run
+    on one row."""
+    df = QUERIES["events_welch_ttest"](spark, SF_DIR)
+    assert shuffle_count(df) <= 1
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_feature_hashing_map_only_then_bounded_aggs(spark):
+    """FE5: the encoder is a map-side hash on the scan; the only
+    exchanges move the 64-bucket table and its histogram — no join,
+    and the part scan reads exactly the three feature columns."""
+    df = QUERIES["feature_hashing_trick"](spark, SF_DIR)
+    # 4 exchanges: bucket agg, the two-phase distinct inside it, the
+    # histogram agg, the readout sort — all over <= 64-row tables
+    assert shuffle_count(df) <= 4
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_conversion_latency_user_keyed_window_no_join(spark):
+    """A84: the last-view carry is ONE user-partitioned window — no
+    join anywhere; the readout aggregate runs over the purchase rows."""
+    df = QUERIES["events_conversion_latency"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 4 for c in scan_columns(df))
+
+
+def test_changepoint_windows_over_daily_aggregate(spark):
+    """A86: the corpus collapses to (type, day) counts first; every
+    window and the argmax run over the calendar-bounded daily table,
+    and the scan reads exactly the two columns."""
+    df = QUERIES["events_changepoint"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_woe_category_aggregate_plus_total_broadcast(spark):
+    """FE6: one category aggregate absorbs the scan; the only
+    nested-loop is the allowlisted 1-row totals frame broadcast onto
+    the bounded category table (FE2/FE4 discipline)."""
+    df = QUERIES["orders_woe_encoding"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    # 5 exchanges, but only the category agg's partial sees corpus
+    # rows — totals, the broadcast prep, and the readout sort all move
+    # the <= |categories|-row table
+    assert shuffle_count(df) <= 5
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_vocab_coverage_windows_over_vocabulary(spark):
+    """L26: one bigram-keyed aggregate absorbs the corpus; the
+    rank/cumsum windows and the stack readout run over the vocabulary
+    table; the documents scan reads only the text column."""
+    df = QUERIES["vocab_coverage_curve"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 1 for c in scan_columns(df))
+
+
+def test_clustering_coeff_equi_joins_only(spark):
+    """GR10: the rank cut, triangle enumeration, and per-node rollup
+    plan as hash/sort-merge equi joins — no cartesian, no nested loop
+    — and the lineitem scan reads exactly the two graph columns."""
+    df = QUERIES["graph_clustering_coeff"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
