@@ -98,6 +98,7 @@ def txn_write(
     mode: str = "append",
     max_retries: int = 5,
     extra: dict | None = None,
+    allow_schema_change: bool = False,
 ) -> int:
     """Commit ``df`` to the table; returns the committed version.
 
@@ -107,6 +108,16 @@ def txn_write(
     partial data; version-number collision with a concurrent writer
     retries against the refreshed snapshot (the new files are already
     on disk and stay valid — only the manifest race is retried).
+
+    Appends are SCHEMA-GUARDED: a batch whose schema differs from the
+    current snapshot's is rejected (the silent-widening failure mode —
+    a reader resolving the manifest would otherwise scan mixed-schema
+    file sets).  Pass ``allow_schema_change=True`` for a deliberate
+    evolution (the new schema becomes the snapshot schema; old files
+    surface the usual mergeSchema NULL semantics), or use
+    ``mode="overwrite"`` which replaces the file set anyway.  A
+    rejected append leaves only an unreferenced data dir (reclaimed by
+    ``vacuum``), never a manifest.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -128,6 +139,24 @@ def txn_write(
         current = latest_version(table_dir)
         version = 0 if current is None else current + 1
         prev = read_manifest(table_dir, current) if current is not None else {}
+        if (
+            mode == "append"
+            and not allow_schema_change
+            and prev.get("schema") is not None
+        ):
+            # nullability-free comparison: a batch-vs-stream or
+            # range-vs-parquet round trip flips nullable flags without
+            # changing the data contract
+            from pyspark.sql.types import StructType
+
+            prev_sig = StructType.fromJson(json.loads(prev["schema"])).simpleString()
+            if prev_sig != df.schema.simpleString():
+                raise ValueError(
+                    f"append schema differs from snapshot v{current} of"
+                    f" {table_dir} ({df.schema.simpleString()} vs"
+                    f" {prev_sig}); pass allow_schema_change=True for a"
+                    " deliberate evolution"
+                )
         files = list(prev["files"]) if mode == "append" and prev else []
         files.append(rel)
         manifest = {
@@ -204,6 +233,90 @@ def txn_read(
     manifest = read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
     return spark.read.parquet(*paths)
+
+
+def txn_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    min_files: int = 2,
+) -> int | None:
+    """Snapshot-isolated compaction (the lakehouse OPTIMIZE): rewrite
+    the CURRENT snapshot's file set into ~``target_file_bytes`` files
+    under a NEW version, leaving every older version readable for time
+    travel (old files are reclaimed by ``vacuum`` once retention
+    passes).  Row set and schema are unchanged — only layout.
+
+    Concurrency is compare-and-swap, NOT retry: the compaction is only
+    valid against the exact snapshot it read, so if ANY writer commits
+    between the read and the manifest claim, the claim fails and this
+    raises :class:`TxnConflict` — rerun against the new snapshot (a
+    retry loop here would silently drop the interleaved append, the
+    lost-update bug table formats document for OPTIMIZE).  Streaming
+    exactly-once marks ride the new manifest unchanged, so replay
+    protection survives compaction like it survives vacuum.
+
+    Returns the committed version, or ``None`` when the snapshot
+    already has fewer than ``min_files`` files (nothing to do).  At
+    100 TB run per partition on a schedule, like ``compact_parquet``;
+    the transaction here is what lets readers keep resolving a
+    consistent snapshot while the rewrite lands.
+    """
+    import shutil
+
+    current = latest_version(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    prev = read_manifest(table_dir, current)
+    if len(prev["files"]) < min_files:
+        return None
+
+    total = 0
+    for rel in prev["files"]:
+        root = os.path.join(table_dir, rel)
+        for dirpath, _, names in os.walk(root):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, n))
+                for n in names
+                if n.endswith(".parquet")
+            )
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+
+    rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+    txn_read(spark, table_dir, version=current).coalesce(n_out).write.parquet(
+        os.path.join(table_dir, rel)
+    )
+
+    version = current + 1
+    manifest = dict(prev)
+    manifest.update(
+        {"version": version, "mode": "compact", "files": [rel],
+         "compaction_of": current}
+    )
+    tmp = os.path.join(_log_path(table_dir), f".tmp-{uuid.uuid4().hex}.json")
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _manifest_path(table_dir, version))
+        except FileExistsError:
+            # a writer committed after our snapshot read — committing
+            # anyway would drop their files (lost update).  Abandon the
+            # rewritten dir to vacuum and surface the conflict.
+            shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
+            raise TxnConflict(
+                f"snapshot advanced past v{current} during compaction of"
+                f" {table_dir}; rerun against the new snapshot"
+            )
+        return version
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def txn_vacuum(

@@ -284,3 +284,97 @@ def test_txnlog_matches_model_under_random_histories(spark, tmp_path_factory, op
     for v, snap in enumerate(model_snapshots):
         got = sorted(r.id for r in txn_read(spark, t, version=v).collect())
         assert got == sorted(snap), f"version {v} diverged"
+
+
+def test_compact_preserves_rows_history_and_marks(spark, tmp_path):
+    """txn_compact rewrites the snapshot layout under a new version:
+    row set identical, older versions still time-travel, exactly-once
+    replay marks survive, vacuum reclaims the pre-compaction dirs."""
+    from bytesprocessor_spark.sources.txnlog import txn_compact, txn_exactly_once_sink
+
+    t = str(tmp_path / "tbl")
+    sink = txn_exactly_once_sink(t, query_id="q")
+    sink(_df(spark, 0, 10), 0)
+    sink(_df(spark, 10, 15), 1)
+    txn_write(_df(spark, 15, 18), t)  # a plain batch append too
+    v = txn_compact(spark, t, min_files=2)
+    assert v == 3
+    m = read_manifest(t, v)
+    assert m["mode"] == "compact" and m["compaction_of"] == 2
+    assert len(m["files"]) == 1
+    assert sorted(r.id for r in txn_read(spark, t).collect()) == list(range(18))
+    # time travel to the pre-compaction snapshot still works
+    assert txn_read(spark, t, version=2).count() == 18
+    assert txn_read(spark, t, version=1).count() == 15
+    # exactly-once marks rode the compaction manifest
+    sink(_df(spark, 0, 10), 0)  # replay -> still skipped
+    assert latest_version(t) == 3
+    # vacuum reclaims the three pre-compaction data dirs
+    stats = txn_vacuum(t, keep_versions=1)
+    assert stats["removed_files"] == 3
+    assert txn_read(spark, t).count() == 18
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """CAS semantics: a writer landing between the snapshot read and
+    the manifest claim must abort the compaction (retrying would drop
+    the interleaved append — the OPTIMIZE lost-update bug)."""
+    import json as _json
+
+    import bytesprocessor_spark.sources.txnlog as tl
+
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 5), t)
+    txn_write(_df(spark, 5, 9), t)
+
+    orig_read = tl.txn_read
+
+    def racing_read(spark_, table_dir, version=None):
+        df = orig_read(spark_, table_dir, version)
+        # the concurrent writer commits AFTER our snapshot read but
+        # BEFORE our manifest claim
+        m = read_manifest(t, 1)
+        m["version"] = 2
+        with open(_manifest_path(t, 2), "w") as f:
+            _json.dump(m, f)
+        return df
+
+    monkeypatch.setattr(tl, "txn_read", racing_read)
+    import pytest as _pytest
+
+    with _pytest.raises(TxnConflict):
+        tl.txn_compact(spark, t)
+    monkeypatch.undo()
+    # the abandoned rewrite dir was cleaned up (two committed dirs left)
+    assert len(os.listdir(os.path.join(t, "data"))) == 2
+    # and the interleaved commit is intact
+    assert txn_read(spark, t, version=2).count() == 9
+
+
+def test_compact_noop_below_min_files(spark, tmp_path):
+    from bytesprocessor_spark.sources.txnlog import txn_compact
+
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 5), t)
+    assert txn_compact(spark, t, min_files=2) is None
+    assert latest_version(t) == 0
+
+
+def test_append_schema_guard(spark, tmp_path):
+    """An append whose schema differs from the snapshot is rejected
+    unless the evolution is deliberate; overwrite replaces freely."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 5), t)
+    evolved = _df(spark, 5, 8).withColumn("extra", F2.lit(1))
+    with _pytest.raises(ValueError, match="schema differs"):
+        txn_write(evolved, t, mode="append")
+    # rejected append left no manifest
+    assert latest_version(t) == 0
+    v = txn_write(evolved, t, mode="append", allow_schema_change=True)
+    assert v == 1
+    assert "extra" in read_manifest(t, 1)["schema"]
+    # overwrite never consults the old schema
+    assert txn_write(_df(spark, 0, 3), t, mode="overwrite") == 2
