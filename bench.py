@@ -300,6 +300,8 @@ HEADLINE = [
     "events_changepoint",
     "orders_woe_encoding",
     "events_welch_ttest",
+    # round-8: txnlog OPTIMIZE end-to-end (3 appends + compact + read)
+    "txnlog_compact_read",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -353,9 +355,10 @@ MIN_OF_3 = {
     "graph_lpa_communities",
     "dedup_minhash_calibration",
     # round-8 tail additions with the same exposure: the triangle-join
-    # histogram and the eager dirty-CSV fixture write
+    # histogram and the eager fixture-writing rows
     "graph_clustering_coeff",
     "csv_quarantine_scan",
+    "txnlog_compact_read",
 }
 
 

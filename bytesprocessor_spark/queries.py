@@ -67,6 +67,9 @@ EAGER_QUERIES = frozenset({
     "similarity_mmr_rerank",
     # S6 oracle row: writes the dirty-CSV fixture at construction
     "csv_quarantine_scan",
+    # S15+ oracle row: writes, compacts, and reads a temp txnlog
+    # table at construction
+    "txnlog_compact_read",
 })
 
 
@@ -653,6 +656,7 @@ _CHECK_ORDER = [
     "events_changepoint",
     "orders_woe_encoding",
     "events_welch_ttest",
+    "txnlog_compact_read",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

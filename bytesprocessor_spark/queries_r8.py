@@ -825,3 +825,84 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(t_expr).alias("t_micro"),
         F.expr(df_expr).alias("df_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S15+ oracle row: snapshot-isolated compaction end-to-end
+# ---------------------------------------------------------------------------
+
+@query(
+    "txnlog_compact_read",
+    """
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price_c) AS BIGINT) AS revenue_c,
+           CAST(3 AS BIGINT) AS n_files_before,
+           CAST(1 AS BIGINT) AS n_files_after
+    FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def txnlog_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15+ — ``txn_compact`` end-to-end as an ORACLE row (the pytest
+    suite pins the mechanics; this pins the DATA contract): an orders
+    slice lands in a transaction-log table as THREE separate appends
+    (three data dirs), the table is compacted, and the post-compaction
+    snapshot's aggregate must equal the base-table arithmetic — any
+    row lost, duplicated, or mangled by the rewrite fails the hash.
+    The manifest file counts before/after ride along as output
+    columns (constants by construction on the oracle side), so the
+    compaction having actually COLLAPSED the layout is value-checked
+    too, not just asserted.
+
+    Scale shape: the compaction itself is the one full-snapshot
+    rewrite OPTIMIZE always pays, amortized by partition at 100 TB;
+    the readout is a bounded priority aggregate."""
+    from bytesprocessor_spark.sources.txnlog import (
+        read_manifest,
+        txn_compact,
+        txn_read,
+        txn_write,
+    )
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            cents(F.col("o_totalprice")).alias("price_c"),
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="bp_txnc_")
+    try:
+        t = os.path.join(workdir, "tbl")
+        for part in range(3):
+            txn_write(base.where(F.col("o_orderkey") % 3 == part), t)
+        n_before = len(read_manifest(t, 2)["files"])
+        v = txn_compact(spark, t, min_files=2)
+        n_after = len(read_manifest(t, v)["files"])
+        out = (
+            txn_read(spark, t)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("price_c").cast("long").alias("revenue_c"),
+            )
+            .select(
+                "o_orderpriority",
+                "n_orders",
+                "revenue_c",
+                F.lit(n_before).cast("long").alias("n_files_before"),
+                F.lit(n_after).cast("long").alias("n_files_after"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # bounded localize (<= |priorities| rows) so the temp table drops
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
