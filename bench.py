@@ -302,6 +302,21 @@ HEADLINE = [
     "events_welch_ttest",
     # round-8: txnlog OPTIMIZE end-to-end (3 appends + compact + read)
     "txnlog_compact_read",
+    # round-8 second batch: k-group rank test, paired-classifier and
+    # inter-annotator agreement tests, two-arm survival compare, and
+    # IPS offline policy evaluation
+    "events_kruskal_wallis",
+    "eval_mcnemar",
+    "eval_cohens_kappa",
+    "orders_logrank",
+    "eval_ips_policy_value",
+    # round-8 second batch (cont.): tolerant-JSONL ingest oracle row,
+    # integer HITS hubs/authorities, Croston intermittent demand,
+    # Benjamini-Hochberg FDR over the weekday-mix test family
+    "jsonl_quarantine_scan",
+    "graph_hits",
+    "part_croston_demand",
+    "events_fdr_bh",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -359,6 +374,10 @@ MIN_OF_3 = {
     "graph_clustering_coeff",
     "csv_quarantine_scan",
     "txnlog_compact_read",
+    # second-batch eager fixture-writer and iterative-join entries with
+    # the same late-suite exposure
+    "jsonl_quarantine_scan",
+    "graph_hits",
 }
 
 

@@ -67,6 +67,8 @@ EAGER_QUERIES = frozenset({
     "similarity_mmr_rerank",
     # S6 oracle row: writes the dirty-CSV fixture at construction
     "csv_quarantine_scan",
+    # S6b oracle row: writes the dirty-JSONL fixture at construction
+    "jsonl_quarantine_scan",
     # S15+ oracle row: writes, compacts, and reads a temp txnlog
     # table at construction
     "txnlog_compact_read",
@@ -548,6 +550,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_mlstats  # noqa: F401
     import bytesprocessor_spark.queries_r7  # noqa: F401
     import bytesprocessor_spark.queries_r8  # noqa: F401
+    import bytesprocessor_spark.queries_r8b  # noqa: F401
 
 
 @query(
@@ -657,6 +660,15 @@ _CHECK_ORDER = [
     "orders_woe_encoding",
     "events_welch_ttest",
     "txnlog_compact_read",
+    "events_kruskal_wallis",
+    "eval_mcnemar",
+    "eval_cohens_kappa",
+    "orders_logrank",
+    "eval_ips_policy_value",
+    "jsonl_quarantine_scan",
+    "graph_hits",
+    "part_croston_demand",
+    "events_fdr_bh",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

@@ -1,0 +1,1294 @@
+"""Round-8 second analytics batch: experimentation + evaluation stats.
+
+- A87 events_kruskal_wallis: the k-group rank test (the non-parametric
+  ANOVA) across ALL event types — extends A40's two-group Mann-Whitney
+  the same way A55's ANOVA extends Welch's t.  Tie-corrected H.
+- EV22 eval_mcnemar: paired comparison of two classifiers on the SAME
+  rows (discordant-pair test) — the significance read behind "model B
+  beats model A on this eval set"; accuracy deltas without it are
+  noise at small eval sizes.
+- EV23 eval_cohens_kappa: inter-annotator agreement beyond chance for
+  a k-class labeling task — the gate a labeling pipeline runs before
+  trusting human (or LLM-judge) labels as training data.
+- A88 orders_logrank: two-arm survival comparison (the inferential
+  companion to A37's Kaplan-Meier curves) on time-to-first-shipment,
+  censored at 90 days.
+- EV24 eval_ips_policy_value: offline policy evaluation via inverse
+  propensity scoring — learn a greedy per-context action policy on a
+  training split, estimate its value on a held-out logged split
+  (IPS + match-rate diagnostics).  The counterfactual "what would
+  this policy have earned" read behind every bandit/recsys launch.
+
+Determinism (the A80/A81 pattern throughout): engines aggregate ONLY
+exact int64 counts/sums; every statistic is a single fixed IEEE-double
+expression tree over those integers, quantized to micro at the end.
+Where a statistic sums per-group float terms (log-rank E/V, K-W rank
+contributions, IPS per-context terms), each term is quantized to an
+integer scale FIRST and the cross-group sum is exact int64 — no
+float reduction order anywhere.
+
+Reference scope note: the reference engine ends at the labeled packet
+table (BytesProcessor.py:121-187); these are EXT rows of the analytics
+surface SURVEY §2 declares on top of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bytesprocessor_spark.queries import _t, cents, query
+
+
+# ---------------------------------------------------------------------------
+# A87: Kruskal-Wallis k-group rank test
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_kruskal_wallis",
+    """
+    WITH e AS (
+      SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    t AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS tie FROM e GROUP BY v),
+    cb AS (
+      SELECT v, tie,
+             COALESCE(CAST(SUM(tie) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cum
+      FROM t
+    ),
+    c AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY g, v),
+    r AS (
+      SELECT c.g,
+             CAST(SUM(c.c * (2 * cb.cum + cb.tie + 1)) AS BIGINT) AS two_r,
+             CAST(SUM(c.c) AS BIGINT) AS n
+      FROM c JOIN cb ON c.v = cb.v GROUP BY c.g
+    ),
+    gl AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CAST(ROUND(CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE)
+                 / CAST(n AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS rsum,
+             (SELECT CAST(SUM(tie * tie * tie - tie) AS BIGINT) FROM t) AS tcorr
+      FROM r
+    )
+    SELECT r.g AS event_type, r.n, r.two_r,
+      CAST(ROUND(
+        (12.0 / (CAST(gl.nn AS DOUBLE) * CAST(gl.nn + 1 AS DOUBLE))
+          * CAST(gl.rsum AS DOUBLE)
+         - 3.0 * CAST(gl.nn + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS h_micro,
+      CASE WHEN gl.nn > 1
+                AND CAST(gl.tcorr AS DOUBLE) < CAST(gl.nn AS DOUBLE)
+                    * CAST(gl.nn AS DOUBLE) * CAST(gl.nn AS DOUBLE)
+                    - CAST(gl.nn AS DOUBLE) THEN
+        CAST(ROUND(
+          (12.0 / (CAST(gl.nn AS DOUBLE) * CAST(gl.nn + 1 AS DOUBLE))
+            * CAST(gl.rsum AS DOUBLE)
+           - 3.0 * CAST(gl.nn + 1 AS DOUBLE))
+          / (1.0 - CAST(gl.tcorr AS DOUBLE)
+             / (CAST(gl.nn AS DOUBLE) * CAST(gl.nn AS DOUBLE)
+                * CAST(gl.nn AS DOUBLE) - CAST(gl.nn AS DOUBLE)))
+          * 1000000) AS BIGINT)
+      ELSE NULL END AS h_adj_micro
+    FROM r, gl ORDER BY event_type
+    """,
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A87 — Kruskal-Wallis H across all k event-type populations on
+    the value column: the k-group generalization of Mann-Whitney (A40)
+    and the rank counterpart of one-way ANOVA (A55); the omnibus
+    "are these populations even the same?" screen run before any
+    pairwise test.
+
+    Rank handling without materializing ranks (the A40 device): group
+    by distinct value, a cumulative count over the value ordering
+    gives each tie-group's rank block, and twice the average rank of
+    the block is the INTEGER 2*cum_before + tie + 1 — so per-group
+    rank sums (2R_j) are exact int64.  Each group's H contribution
+    (2R_j)^2/(4 n_j) is one double expression quantized to an integer
+    before the k-row sum, and the tie correction 1 - sum(t^3-t)/(N^3-N)
+    is applied as a second fixed expression.
+
+    Scale shape: two hash aggregations keyed by value (cardinality-
+    bounded — cents values), one window over the distinct-value table
+    (not the events), a k-row readout.  No global sort of raw rows."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), cents(F.col("value")).alias("v")
+    )
+    # one scan: the (group, value) counts; tie sizes and the cumulative
+    # rank offset come from windows over THAT table (k rows per value),
+    # never re-reading or re-aggregating events
+    c = e.groupBy("g", "v").agg(F.count("*").cast("long").alias("c"))
+    w_tie = Window.partitionBy("v")
+    w_cum = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, -1)
+    ranked = c.select(
+        "g",
+        "v",
+        "c",
+        F.sum("c").over(w_tie).cast("long").alias("tie"),
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).cast("long").alias("cum"),
+    )
+    # tie correction folds into the same aggregate: since sum_g c = tie
+    # per value, sum over rows of c*(tie^2 - 1) == sum over distinct
+    # values of (tie^3 - tie) — exact int64 throughout
+    r = ranked.groupBy("g").agg(
+        F.sum(F.col("c") * (2 * F.col("cum") + F.col("tie") + 1))
+        .cast("long")
+        .alias("two_r"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * (F.col("tie") * F.col("tie") - 1))
+        .cast("long")
+        .alias("tc_part"),
+    )
+    term = F.round(
+        F.col("two_r").cast("double")
+        * F.col("two_r").cast("double")
+        / F.col("n").cast("double")
+        / 4.0
+    ).cast("long")
+    # globals via an unpartitioned window over the k-row group table —
+    # keeps ONE plan (a crossJoin with a separate agg would recompute
+    # the whole aggregation lineage twice); k = #event types, so the
+    # single-partition window is bounded
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withg = r.select(
+        "g",
+        "n",
+        "two_r",
+        F.sum("n").over(w_all).cast("long").alias("nn"),
+        F.sum(term).over(w_all).cast("long").alias("rsum"),
+        F.sum("tc_part").over(w_all).cast("long").alias("tcorr"),
+    )
+    nn = F.col("nn").cast("double")
+    h = (
+        12.0 / (nn * (F.col("nn") + 1).cast("double")) * F.col("rsum").cast("double")
+        - 3.0 * (F.col("nn") + 1).cast("double")
+    )
+    corr = 1.0 - F.col("tcorr").cast("double") / (nn * nn * nn - nn)
+    # all-tied (tcorr == N^3-N) or single-row inputs have no defined
+    # tie-corrected H: NULL in both engines (DuckDB would throw on
+    # CAST(NaN AS BIGINT); Spark would silently emit 0)
+    # guard compares in DOUBLE: nn^3 overflows int64 past ~2.1M rows
+    adj_defined = (F.col("nn") > 1) & (F.col("tcorr").cast("double") < nn * nn * nn - nn)
+    return withg.select(
+        F.col("g").alias("event_type"),
+        "n",
+        "two_r",
+        F.round(h * 1000000).cast("long").alias("h_micro"),
+        F.when(adj_defined, F.round(h / corr * 1000000).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("h_adj_micro"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# EV22: McNemar paired classifier comparison
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_mcnemar",
+    """
+    WITH e AS (
+      SELECT (event_type = 'purchase') AS y,
+             (CAST(ROUND(value * 100) AS BIGINT) >= 5000) AS a,
+             (CAST(ROUND(value * 100) AS BIGINT)
+              + 10 * (user_id % 7) >= 5200) AS b
+      FROM events
+    ),
+    m AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN (a = y) AND (b <> y) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_a_only,
+        CAST(SUM(CASE WHEN (b = y) AND (a <> y) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_b_only,
+        CAST(SUM(CASE WHEN a = y THEN 1 ELSE 0 END) AS BIGINT) AS n_a_correct,
+        CAST(SUM(CASE WHEN b = y THEN 1 ELSE 0 END) AS BIGINT) AS n_b_correct
+      FROM e
+    )
+    SELECT n, n_a_correct, n_b_correct, n_a_only, n_b_only,
+      CASE WHEN n_a_only + n_b_only > 0 THEN
+        CAST(ROUND(
+          (ABS(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE)) - 1.0)
+          * (ABS(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE)) - 1.0)
+          / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE))
+          * 1000000) AS BIGINT)
+      ELSE NULL END AS chi2_micro,
+      CASE WHEN n_a_only + n_b_only > 0 THEN
+        CAST(ROUND(
+          (ABS(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE)) - 1.0)
+          * (ABS(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE)) - 1.0)
+          / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE))
+          * 1000000) AS BIGINT) >= 3841459
+      ELSE FALSE END AS significant_5pct
+    FROM m
+    """,
+)
+def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV22 — McNemar's test on paired predictions: two rule models
+    predict the purchase label on the SAME events, and the test asks
+    whether their accuracies differ using only the DISCORDANT pairs
+    (rows where exactly one model is right) — concordant rows carry no
+    information about the difference, which is why comparing raw
+    accuracy deltas over-states significance.  Continuity-corrected
+    chi-square (|b-c|-1)^2/(b+c), 1 dof.
+
+    This is the paired-eval primitive behind "ship model B": on an
+    eval set scored by both models, one scan suffices.
+
+    Scale shape: one pass, five conditional int64 counters, map-side
+    combined to a single row."""
+    v = cents(F.col("value"))
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").alias("y"),
+        (v >= 5000).alias("a"),
+        ((v + 10 * (F.col("user_id") % 7)) >= 5200).alias("b"),
+    )
+    m = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a_only"),
+        F.sum(F.when((F.col("b") == F.col("y")) & (F.col("a") != F.col("y")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b_only"),
+        F.sum(F.when(F.col("a") == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a_correct"),
+        F.sum(F.when(F.col("b") == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b_correct"),
+    )
+    d = F.abs(F.col("n_a_only").cast("double") - F.col("n_b_only").cast("double"))
+    chi2 = (
+        (d - 1.0)
+        * (d - 1.0)
+        / (F.col("n_a_only").cast("double") + F.col("n_b_only").cast("double"))
+    )
+    # no discordant pairs -> the test is undefined: NULL in both
+    # engines (DuckDB would throw on CAST(NaN AS BIGINT))
+    defined = (F.col("n_a_only") + F.col("n_b_only")) > 0
+    chi2_micro = F.when(defined, F.round(chi2 * 1000000).cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )
+    return m.select(
+        "n",
+        "n_a_correct",
+        "n_b_correct",
+        "n_a_only",
+        "n_b_only",
+        chi2_micro.alias("chi2_micro"),
+        # no discordant evidence = cannot reject the null -> FALSE
+        # (a NULL boolean canonicalizes differently across engines)
+        F.when(defined, chi2_micro >= 3841459)
+        .otherwise(F.lit(False))
+        .alias("significant_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV23: Cohen's kappa inter-annotator agreement
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_cohens_kappa",
+    """
+    WITH lab AS (
+      SELECT event_type AS r1,
+             CASE WHEN event_id % 5 = 0 THEN
+               CASE event_type
+                 WHEN 'click' THEN 'error' WHEN 'error' THEN 'purchase'
+                 WHEN 'purchase' THEN 'signup' WHEN 'signup' THEN 'view'
+                 ELSE 'click' END
+             ELSE event_type END AS r2
+      FROM events
+    ),
+    per AS (
+      SELECT r1 AS label,
+             CAST(COUNT(*) AS BIGINT) AS n_r1,
+             CAST(SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM lab GROUP BY r1
+    ),
+    per2 AS (SELECT r2 AS label, CAST(COUNT(*) AS BIGINT) AS n_r2
+             FROM lab GROUP BY r2),
+    j AS (
+      SELECT per.label, per.n_r1, COALESCE(per2.n_r2, 0) AS n_r2, per.n_agree
+      FROM per LEFT JOIN per2 ON per.label = per2.label
+    ),
+    gl AS (
+      SELECT CAST(SUM(n_r1) AS BIGINT) AS n,
+             CAST(SUM(n_agree) AS BIGINT) AS agree,
+             CAST(SUM(n_r1 * n_r2) AS BIGINT) AS chance
+      FROM j
+    )
+    SELECT j.label, j.n_r1, j.n_r2, j.n_agree,
+      CASE WHEN CAST(gl.chance AS DOUBLE)
+                < CAST(gl.n AS DOUBLE) * CAST(gl.n AS DOUBLE) THEN
+        CAST(ROUND(
+          (CAST(gl.agree AS DOUBLE) / CAST(gl.n AS DOUBLE)
+           - CAST(gl.chance AS DOUBLE)
+             / (CAST(gl.n AS DOUBLE) * CAST(gl.n AS DOUBLE)))
+          / (1.0 - CAST(gl.chance AS DOUBLE)
+             / (CAST(gl.n AS DOUBLE) * CAST(gl.n AS DOUBLE)))
+          * 1000000) AS BIGINT)
+      ELSE NULL END AS kappa_micro
+    FROM j, gl ORDER BY j.label
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV23 — Cohen's kappa between two annotators on a k-class task:
+    observed agreement corrected for the agreement two annotators
+    would reach by chance given their marginal label distributions
+    (raw percent-agreement overstates reliability whenever the label
+    distribution is skewed).  kappa = (p_o - p_e)/(1 - p_e) with
+    p_e = sum_i row_i * col_i / N^2.
+
+    Annotator fixture: rater 1 is the event type; rater 2 agrees
+    except on a deterministic 20% slice (event_id % 5 == 0) where it
+    assigns the cyclically-next label — a worst-case systematic
+    disagreement pattern (chance-corrected agreement must price in
+    that the confusions are structured, not uniform).
+
+    This is the label-quality gate a labeling pipeline runs before
+    admitting a batch of human or LLM-judge labels as training truth.
+
+    Scale shape: one pass for both marginal count tables (per-label,
+    k rows each), a broadcast-joined k-row readout; kappa is one fixed
+    expression over three int64 totals."""
+    ev = _t(spark, sf_dir, "events")
+    nxt = (
+        F.when(F.col("event_type") == "click", "error")
+        .when(F.col("event_type") == "error", "purchase")
+        .when(F.col("event_type") == "purchase", "signup")
+        .when(F.col("event_type") == "signup", "view")
+        .otherwise("click")
+    )
+    lab = ev.select(
+        F.col("event_type").alias("r1"),
+        F.when(F.col("event_id") % 5 == 0, nxt).otherwise(F.col("event_type")).alias("r2"),
+    )
+    per = lab.groupBy(F.col("r1").alias("label")).agg(
+        F.count("*").cast("long").alias("n_r1"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    per2 = lab.groupBy(F.col("r2").alias("label")).agg(
+        F.count("*").cast("long").alias("n_r2")
+    )
+    j = per.join(per2, "label", "left").select(
+        "label",
+        "n_r1",
+        F.coalesce(F.col("n_r2"), F.lit(0)).cast("long").alias("n_r2"),
+        "n_agree",
+    )
+    # totals via an unpartitioned window over the k-row label table —
+    # one plan, the two marginal scans run exactly once
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withg = j.select(
+        "label",
+        "n_r1",
+        "n_r2",
+        "n_agree",
+        F.sum("n_r1").over(w_all).cast("long").alias("n"),
+        F.sum("n_agree").over(w_all).cast("long").alias("agree"),
+        F.sum(F.col("n_r1") * F.col("n_r2")).over(w_all).cast("long").alias("chance"),
+    )
+    nD = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / nD
+    pe = F.col("chance").cast("double") / (nD * nD)
+    # pe == 1 (both raters constant on one label) leaves kappa
+    # undefined: NULL in both engines (guard in DOUBLE — n^2 overflows
+    # int64 only past ~3e9 rows, but stay consistent with the oracle)
+    defined = F.col("chance").cast("double") < nD * nD
+    return withg.select(
+        "label",
+        "n_r1",
+        "n_r2",
+        "n_agree",
+        F.when(defined, F.round((po - pe) / (1.0 - pe) * 1000000).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("kappa_micro"),
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# A88: log-rank two-arm survival test
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_logrank",
+    """
+    WITH d AS (
+      SELECT o.o_orderkey,
+             (o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS arm1,
+             LEAST(CAST(DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(s.first_ship AS DATE)) AS BIGINT),
+                   90) AS t,
+             (DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                        CAST(s.first_ship AS DATE)) <= 90) AS observed
+      FROM orders o
+      JOIN (SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+            FROM lineitem GROUP BY l_orderkey) s
+        ON o.o_orderkey = s.l_orderkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN arm1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM d
+    ),
+    ev AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN observed AND arm1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS dt,
+             CAST(SUM(CASE WHEN arm1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(COUNT(*) AS BIGINT) AS at
+      FROM d GROUP BY t
+    ),
+    rk AS (
+      SELECT t, d1, dt, tot.m1, tot.m,
+             tot.m1 - COALESCE(CAST(SUM(a1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS n1,
+             tot.m - COALESCE(CAST(SUM(at) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS nt
+      FROM ev, tot
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(d1) AS BIGINT) AS o1,
+        CAST(SUM(CAST(ROUND(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+             / CAST(nt AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT)
+          AS e1_nano,
+        CAST(SUM(CAST(ROUND(
+             CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+             * (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+             * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+             / (CAST(nt AS DOUBLE) - 1.0) * 1000000000) AS BIGINT))
+          AS BIGINT) AS v_nano,
+        CAST(MAX(m1) AS BIGINT) AS m1,
+        CAST(MAX(m) AS BIGINT) AS m
+      FROM rk WHERE dt > 0 AND nt > 1
+    )
+    SELECT s.m1 AS n_arm1, s.m - s.m1 AS n_arm2, s.o1, s.e1_nano,
+           s.v_nano,
+      CASE WHEN s.v_nano > 0 THEN
+        CAST(ROUND(
+          (CAST(s.o1 AS DOUBLE) - CAST(s.e1_nano AS DOUBLE) / 1000000000.0)
+          * (CAST(s.o1 AS DOUBLE) - CAST(s.e1_nano AS DOUBLE) / 1000000000.0)
+          / (CAST(s.v_nano AS DOUBLE) / 1000000000.0) * 1000000) AS BIGINT)
+      ELSE NULL END AS chi2_micro
+    FROM s
+    """,
+)
+def orders_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A88 — log-rank test comparing time-to-first-shipment between
+    urgent-priority orders (arm 1: 1-URGENT/2-HIGH) and the rest,
+    right-censored at 90 days: the inferential companion to A37's
+    Kaplan-Meier curves (KM shows the curves; log-rank says whether
+    they differ).  At each distinct event time the observed arm-1
+    events d1 are compared to the expectation dt*n1/nt under the null
+    of equal hazards, with hypergeometric variance; the statistic is
+    (O-E)^2/V ~ chi-square(1).
+
+    Determinism: risk sets n1/nt come from cumulative int64 counts
+    over the (<=91-row) distinct-time table; each time's E and V terms
+    are single double expressions quantized to nano-units BEFORE the
+    cross-time sum, so the sum is exact integer arithmetic.
+
+    Scale shape: one join keyed by orderkey (the same shuffle Q3
+    does), one hash agg to the per-day event table (calendar-bounded,
+    <=91 rows), window + readout on that tiny table."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    d = orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey).select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("arm1"),
+        F.least(
+            F.datediff(F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")).cast("long"),
+            F.lit(90).cast("long"),
+        ).alias("t"),
+        (
+            F.datediff(F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")) <= 90
+        ).alias("observed"),
+    )
+    ev = d.groupBy("t").agg(
+        F.sum(F.when(F.col("observed") & F.col("arm1"), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("long").alias("dt"),
+        F.sum(F.when(F.col("arm1"), 1).otherwise(0)).cast("long").alias("a1"),
+        F.count("*").cast("long").alias("at"),
+    )
+    # arm totals AND risk sets both come from windows over the
+    # calendar-bounded (<=91 rows) per-day table — one plan, the big
+    # orders⋈lineitem join runs exactly once
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rk = ev.select(
+        "t",
+        "d1",
+        "dt",
+        F.sum("a1").over(w_all).cast("long").alias("m1"),
+        F.sum("at").over(w_all).cast("long").alias("m"),
+        (F.sum("a1").over(w_all) - F.coalesce(F.sum("a1").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+        (F.sum("at").over(w_all) - F.coalesce(F.sum("at").over(w), F.lit(0)))
+        .cast("long")
+        .alias("nt"),
+    ).where((F.col("dt") > 0) & (F.col("nt") > 1))
+    frac = F.col("n1").cast("double") / F.col("nt").cast("double")
+    e_term = F.round(F.col("dt").cast("double") * frac * 1e9).cast("long")
+    v_term = F.round(
+        F.col("dt").cast("double")
+        * frac
+        * (1.0 - frac)
+        * (F.col("nt").cast("double") - F.col("dt").cast("double"))
+        / (F.col("nt").cast("double") - 1.0)
+        * 1e9
+    ).cast("long")
+    s = rk.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e_term).cast("long").alias("e1_nano"),
+        F.sum(v_term).cast("long").alias("v_nano"),
+        F.max("m1").cast("long").alias("m1"),
+        F.max("m").cast("long").alias("m"),
+    )
+    oe = F.col("o1").cast("double") - F.col("e1_nano").cast("double") / 1e9
+    chi2 = oe * oe / (F.col("v_nano").cast("double") / 1e9)
+    # zero variance (single-arm input, or every event time saturated)
+    # leaves the test undefined: NULL in both engines
+    return s.select(
+        F.col("m1").alias("n_arm1"),
+        (F.col("m") - F.col("m1")).cast("long").alias("n_arm2"),
+        "o1",
+        "e1_nano",
+        "v_nano",
+        F.when(F.col("v_nano") > 0, F.round(chi2 * 1000000).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("chi2_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV24: inverse-propensity-scored offline policy evaluation
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_ips_policy_value",
+    """
+    WITH e AS (
+      SELECT user_id % 10 AS ctx, event_type AS act,
+             CAST(ROUND(value * 100) AS BIGINT) AS r,
+             event_id % 2 = 0 AS train
+      FROM events
+    ),
+    pol AS (
+      SELECT ctx, act AS pi_act FROM (
+        SELECT ctx, act,
+               ROW_NUMBER() OVER (PARTITION BY ctx ORDER BY
+                 CAST(SUM(r) AS DOUBLE) / COUNT(*) DESC, act) AS rk
+        FROM e WHERE train GROUP BY ctx, act
+      ) WHERE rk = 1
+    ),
+    logged AS (
+      SELECT ctx, act,
+             CAST(COUNT(*) AS BIGINT) AS n_ca,
+             CAST(SUM(r) AS BIGINT) AS r_ca
+      FROM e WHERE NOT train GROUP BY ctx, act
+    ),
+    nctx AS (
+      SELECT ctx, CAST(SUM(n_ca) AS BIGINT) AS n_c FROM logged GROUP BY ctx
+    ),
+    perc AS (
+      SELECT nctx.ctx, pol.pi_act, nctx.n_c,
+             COALESCE(logged.n_ca, 0) AS n_match,
+             COALESCE(logged.r_ca, 0) AS r_match,
+             CASE WHEN COALESCE(logged.n_ca, 0) > 0 THEN
+               CAST(ROUND(CAST(logged.r_ca AS DOUBLE)
+                    * CAST(nctx.n_c AS DOUBLE)
+                    / CAST(logged.n_ca AS DOUBLE)) AS BIGINT)
+             ELSE 0 END AS ips_c
+      FROM nctx
+      JOIN pol ON nctx.ctx = pol.ctx
+      LEFT JOIN logged ON logged.ctx = nctx.ctx AND logged.act = pol.pi_act
+    ),
+    gl AS (
+      SELECT CAST(SUM(n_c) AS BIGINT) AS n_eval,
+             CAST(SUM(ips_c) AS BIGINT) AS ips_sum_c,
+             CAST(SUM(n_match) AS BIGINT) AS n_matched
+      FROM perc
+    )
+    SELECT perc.ctx, perc.pi_act, perc.n_c, perc.n_match, perc.ips_c,
+      CAST(ROUND(CAST(gl.ips_sum_c AS DOUBLE) / CAST(gl.n_eval AS DOUBLE)
+           * 10000) AS BIGINT) AS policy_value_microdollar,
+      CAST(ROUND(CAST(gl.n_matched AS DOUBLE) / CAST(gl.n_eval AS DOUBLE)
+           * 1000000) AS BIGINT) AS match_rate_micro
+    FROM perc, gl ORDER BY perc.ctx
+    """,
+)
+def eval_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV24 — offline (counterfactual) policy evaluation by inverse
+    propensity scoring: learn a greedy action policy per context on a
+    training split (argmax of mean logged reward), then estimate what
+    that policy WOULD have earned on the held-out logged split without
+    deploying it — each matching logged row is up-weighted by the
+    inverse of the logging policy's empirical propensity
+    p(a|ctx) = n_ca/n_c, so IPS_ctx = r_match * n_c / n_match.  The
+    standard eval loop for bandit/recommendation policies over logged
+    interaction data.
+
+    Determinism: propensities and reward sums are exact int64 counts;
+    the per-context IPS contribution is one double expression
+    quantized to cents before the cross-context integer sum; the
+    argmax over the training split orders by an exact-input double
+    ratio with the action name as total tiebreak.  Match-rate (the
+    IPS support diagnostic — a low rate means the estimate leans on
+    few rows) is reported alongside.
+
+    Scale shape: two hash aggregations keyed by (ctx, action) — both
+    map-side combinable, cardinality = contexts x actions — a
+    broadcast of the tiny policy table, a k-row readout."""
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("ctx"),
+        F.col("event_type").alias("act"),
+        cents(F.col("value")).alias("r"),
+        (F.col("event_id") % 2 == 0).alias("train"),
+    )
+    train_stats = (
+        e.where("train")
+        .groupBy("ctx", "act")
+        .agg(F.sum("r").alias("rsum"), F.count("*").alias("cnt"))
+    )
+    wpol = Window.partitionBy("ctx").orderBy(
+        (F.col("rsum").cast("double") / F.col("cnt")).desc(), F.col("act")
+    )
+    pol = (
+        train_stats.withColumn("rk", F.row_number().over(wpol))
+        .where(F.col("rk") == 1)
+        .select("ctx", F.col("act").alias("pi_act"))
+    )
+    logged = (
+        e.where(~F.col("train"))
+        .groupBy("ctx", "act")
+        .agg(F.count("*").cast("long").alias("n_ca"), F.sum("r").cast("long").alias("r_ca"))
+    )
+    nctx = logged.groupBy("ctx").agg(F.sum("n_ca").cast("long").alias("n_c"))
+    perc = (
+        nctx.join(F.broadcast(pol), "ctx")
+        .join(
+            logged.withColumnRenamed("act", "pi_act"),
+            ["ctx", "pi_act"],
+            "left",
+        )
+        .select(
+            "ctx",
+            "pi_act",
+            "n_c",
+            F.coalesce(F.col("n_ca"), F.lit(0)).cast("long").alias("n_match"),
+            F.coalesce(F.col("r_ca"), F.lit(0)).cast("long").alias("r_match"),
+        )
+        .withColumn(
+            "ips_c",
+            F.when(
+                F.col("n_match") > 0,
+                F.round(
+                    F.col("r_match").cast("double")
+                    * F.col("n_c").cast("double")
+                    / F.col("n_match").cast("double")
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    # totals via an unpartitioned window over the per-context table —
+    # one plan, both splits' aggregations run exactly once
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withg = perc.select(
+        "ctx",
+        "pi_act",
+        "n_c",
+        "n_match",
+        "ips_c",
+        F.sum("n_c").over(w_all).cast("long").alias("n_eval"),
+        F.sum("ips_c").over(w_all).cast("long").alias("ips_sum_c"),
+        F.sum("n_match").over(w_all).cast("long").alias("n_matched"),
+    )
+    return withg.select(
+        "ctx",
+        "pi_act",
+        "n_c",
+        "n_match",
+        "ips_c",
+        F.round(
+            F.col("ips_sum_c").cast("double") / F.col("n_eval").cast("double") * 10000
+        )
+        .cast("long")
+        .alias("policy_value_microdollar"),
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_eval").cast("double") * 1000000
+        )
+        .cast("long")
+        .alias("match_rate_micro"),
+    ).orderBy("ctx")
+
+
+# ---------------------------------------------------------------------------
+# S6b: tolerant JSONL scan with quarantine accounting
+# ---------------------------------------------------------------------------
+
+@query(
+    "jsonl_quarantine_scan",
+    """
+    WITH e AS (
+      SELECT event_type,
+             (event_id % 11 = 0) AS quarantined,
+             CAST(ROUND(value * 100) AS BIGINT) AS val_c
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN quarantined THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_admitted,
+           CAST(SUM(CASE WHEN quarantined THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(SUM(CASE WHEN quarantined THEN 0 ELSE val_c END) AS BIGINT)
+             AS sum_val_admitted_c
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)
+def jsonl_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6b oracle row: tolerant JSON-lines ingest with quarantine
+    accounting — the `csv_quarantine_scan` contract over the OTHER
+    tolerant text source, exercising JSONL's distinct failure mode:
+    every ``event_id % 11 == 0`` row is serialized with a STRING where
+    the schema demands a number (valid JSON, type-mismatched), which
+    PERMISSIVE must quarantine with the raw line captured verbatim.
+    The readback accounts per event type, parsing the type back out of
+    the quarantined raw line with get_json_object — so a dropped,
+    duplicated, or mangled corrupt record fails the count or checksum
+    against the base-table oracle.
+
+    Scale shape: one cached scan feeds both splits (S6's posture); the
+    gate is row-local; only per-type counters shuffle.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from bytesprocessor_spark.sources.tables import read_json_tolerant
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("val_c")
+    )
+    val_txt = F.when(
+        F.col("event_id") % 11 == 0,
+        F.concat(F.lit('"x'), F.col("val_c").cast("string"), F.lit('"')),
+    ).otherwise(F.col("val_c").cast("string"))
+    line = F.concat(
+        F.lit('{"event_id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"event_type":"'),
+        F.col("event_type"),
+        F.lit('","val_c":'),
+        val_txt,
+        F.lit("}"),
+    )
+
+    workdir = tempfile.mkdtemp(prefix="bp_jsonq_")
+    handle = None
+    try:
+        dirty = os.path.join(workdir, "dirty_jsonl")
+        ev.select(line.alias("value")).write.mode("overwrite").text(dirty)
+        good, bad, handle = read_json_tolerant(
+            spark,
+            dirty,
+            "event_id long, event_type string, val_c long",
+            with_handle=True,
+        )
+        adm = good.groupBy("event_type").agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("val_c").alias("sum_val_admitted_c"),
+        )
+        quar = (
+            bad.select(
+                F.get_json_object(F.col("_corrupt_record"), "$.event_type").alias(
+                    "event_type"
+                )
+            )
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_quarantined"))
+        )
+        out = (
+            adm.join(quar, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (
+                    F.coalesce(F.col("n_admitted"), F.lit(0))
+                    + F.coalesce(F.col("n_quarantined"), F.lit(0))
+                ).alias("n_in"),
+                F.coalesce(F.col("n_admitted"), F.lit(0)).alias("n_admitted"),
+                F.coalesce(F.col("n_quarantined"), F.lit(0)).alias("n_quarantined"),
+                F.coalesce(F.col("sum_val_admitted_c"), F.lit(0)).alias(
+                    "sum_val_admitted_c"
+                ),
+            )
+            .orderBy("event_type")
+        )
+        # bounded result (one row per event type) — localize so the
+        # temp dir can be deleted and the cached scan released now
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if handle is not None:
+            handle.unpersist()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# GR11: HITS hubs/authorities over the customer->part purchase graph
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 2
+_HITS_TOPK = 15
+
+
+def _duck_hits_sql(rounds: int = _HITS_ROUNDS, k: int = _HITS_TOPK) -> str:
+    """DuckDB replay of the unnormalized integer HITS iterations."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    h0 AS (SELECT DISTINCT c, CAST(1 AS BIGINT) AS h FROM e)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    a{i} AS (SELECT e.p, CAST(SUM(h{i - 1}.h) AS BIGINT) AS a
+            FROM e JOIN h{i - 1} ON e.c = h{i - 1}.c GROUP BY e.p),
+    h{i} AS (SELECT e.c, CAST(SUM(a{i}.a) AS BIGINT) AS h
+            FROM e JOIN a{i} ON e.p = a{i}.p GROUP BY e.c)"""
+        )
+    parts.append(
+        f"""
+    SELECT * FROM (
+      SELECT 'authority' AS role, 'p:' || p AS node, a AS score,
+             ROW_NUMBER() OVER (ORDER BY a DESC, p) AS rank
+      FROM a{rounds} QUALIFY rank <= {k}
+      UNION ALL
+      SELECT 'hub' AS role, 'c:' || c AS node, h AS score,
+             ROW_NUMBER() OVER (ORDER BY h DESC, c) AS rank
+      FROM h{rounds} QUALIFY rank <= {k}
+    ) ORDER BY role, rank"""
+    )
+    return "".join(parts)
+
+
+@query("graph_hits", _duck_hits_sql())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR11 — HITS (Kleinberg hubs/authorities) over the bipartite
+    customer->part purchase graph: authorities are parts endorsed by
+    well-connected customers, hubs are customers whose purchases
+    concentrate on authoritative parts — the mutual-reinforcement read
+    GR2's PageRank (a random-walk centrality) does not give.
+
+    Exactness: HITS rankings are invariant to score scaling, so the
+    per-round normalization is DROPPED and scores stay exact int64
+    sums (h0 = 1): after r rounds a score is bounded by maxdeg^(2r) —
+    int64-safe to maxdeg ~ 30k at 2 rounds; beyond that rescale h0
+    down or add a per-round integer floor-div rescale (plan shape
+    unchanged).  Bit-identical across engines and reduction orders,
+    which float HITS is not.
+
+    Plan shape: the edge build is the only corpus-scale join (distinct
+    trading pairs — the GR2 build); each half-round is one edge-table
+    equi-join + hash aggregate keyed on an 8-byte int; top-k per side
+    is a distributed TakeOrdered.  cost = 2*rounds edge shuffles."""
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = persist_intermediate(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    h = e.select("c").distinct().withColumn("h", F.lit(1).cast("long"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        a = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        h = (
+            e.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+    wa = Window.orderBy(F.col("a").desc(), "p")
+    wh = Window.orderBy(F.col("h").desc(), "c")
+    top_a = (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.concat(F.lit("p:"), F.col("p").cast("string")).alias("node"),
+            F.col("a").alias("score"),
+            F.row_number().over(wa).alias("rank"),
+        )
+        .where(F.col("rank") <= _HITS_TOPK)
+    )
+    top_h = (
+        h.select(
+            F.lit("hub").alias("role"),
+            F.concat(F.lit("c:"), F.col("c").cast("string")).alias("node"),
+            F.col("h").alias("score"),
+            F.row_number().over(wh).alias("rank"),
+        )
+        .where(F.col("rank") <= _HITS_TOPK)
+    )
+    return top_a.unionByName(top_h).orderBy("role", "rank")
+
+
+# ---------------------------------------------------------------------------
+# A89: Croston's method for intermittent demand
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_croston_demand",
+    """
+    WITH wk AS (
+      SELECT l_partkey AS part,
+             DATE_DIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 7
+               AS week,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT part, week, d,
+             week - LAG(week) OVER (PARTITION BY part ORDER BY week) AS gap,
+             ROW_NUMBER() OVER (PARTITION BY part ORDER BY week DESC) AS rdesc,
+             COUNT(*) OVER (PARTITION BY part) AS n_points
+      FROM wk
+    ),
+    z AS (
+      SELECT part, n_points,
+             list(d) OVER (PARTITION BY part ORDER BY week
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS ds,
+             rdesc
+      FROM g
+    ),
+    zl AS (
+      SELECT part, n_points,
+             CAST(list_sum(list_transform(range(1, len(ds) + 1),
+                  i -> ds[i] * (1::BIGINT << (i - 1)))) AS BIGINT) AS z_num,
+             (1::BIGINT << len(ds)) - 1 AS z_den
+      FROM z WHERE rdesc = 1
+    ),
+    iv AS (
+      SELECT part, gap,
+             ROW_NUMBER() OVER (PARTITION BY part ORDER BY week DESC) AS rdesc2,
+             list(gap) OVER (PARTITION BY part ORDER BY week
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS gaps
+      FROM g WHERE gap IS NOT NULL
+    ),
+    pl AS (
+      SELECT part,
+             CAST(list_sum(list_transform(range(1, len(gaps) + 1),
+                  i -> gaps[i] * (1::BIGINT << (i - 1)))) AS BIGINT) AS p_num,
+             (1::BIGINT << len(gaps)) - 1 AS p_den
+      FROM iv WHERE rdesc2 = 1
+    )
+    SELECT zl.part, zl.n_points, zl.z_num, zl.z_den, pl.p_num, pl.p_den,
+      CAST(ROUND(CAST(zl.z_num AS DOUBLE) * CAST(pl.p_den AS DOUBLE)
+           / (CAST(zl.z_den AS DOUBLE) * CAST(pl.p_num AS DOUBLE))
+           * 10000) AS BIGINT) AS croston_micro
+    FROM zl JOIN pl ON zl.part = pl.part
+    WHERE zl.n_points >= 4
+    ORDER BY zl.part
+    """,
+)
+def part_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A89 — Croston's method for INTERMITTENT demand (the standard
+    forecaster when most periods have zero demand — spare parts, long
+    -tail SKUs — where plain EWMA systematically lags): separate
+    exponential smoothing of (a) non-zero demand SIZES and (b) the
+    INTERVALS between demand occurrences, forecast = size / interval
+    per period.  A45's Holt/naive baselines assume dense series; this
+    is the sparse-series member of the forecasting family.
+
+    Determinism (the W8 EWMA device): both smoothers run with
+    alpha = 1/2 over the last <= 8 points, so every weight is a power
+    of two over exact integers — numerator Σ d_i·2^(i-1) and
+    denominator 2^n − 1 are exact int64 in both engines; the Croston
+    ratio (z_num·p_den)/(z_den·p_num) is one fixed double tree over
+    four integers, micro-quantized.  Parts with < 4 demand points are
+    excluded (no meaningful interval smoother).
+
+    Scale shape: one (part, week) hash aggregate absorbs the corpus;
+    the lag/window/list machinery runs over the demand-point table
+    (bounded by parts x active weeks, sparse by construction); the
+    final join is part-keyed on two one-row-per-part tables."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.expr(
+            "datediff(cast(l_shipdate as date), date'1995-01-01') div 7"
+        ).alias("week"),
+        cents(F.col("l_quantity")).alias("qc"),
+    )
+    wk = li.groupBy("part", "week").agg(F.sum("qc").cast("long").alias("d"))
+    w_ord = Window.partitionBy("part").orderBy("week")
+    w_desc = Window.partitionBy("part").orderBy(F.col("week").desc())
+    w_part = Window.partitionBy("part")
+    g = wk.select(
+        "part",
+        "week",
+        "d",
+        (F.col("week") - F.lag("week").over(w_ord)).alias("gap"),
+        F.row_number().over(w_desc).alias("rdesc"),
+        F.count("*").over(w_part).alias("n_points"),
+    )
+
+    def _dyadic(col_list):
+        # sum_i v_i * 2^(i-1): powers of two over exact ints, every
+        # partial exactly representable in a double (W8 rationale)
+        return F.aggregate(
+            F.zip_with(
+                col_list,
+                F.sequence(F.lit(1), F.size(col_list)),
+                lambda v, i: v.cast("double")
+                * F.pow(F.lit(2.0), (i - 1).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+
+    w_frame = (
+        Window.partitionBy("part").orderBy("week").rowsBetween(-7, 0)
+    )
+    ds = F.collect_list("d").over(w_frame)
+    zl = (
+        g.select(
+            "part",
+            "n_points",
+            "rdesc",
+            _dyadic(ds).alias("z_num"),
+            (
+                F.pow(F.lit(2.0), F.size(ds).cast("double")).cast("long") - 1
+            ).alias("z_den"),
+        )
+        .where(F.col("rdesc") == 1)
+        .drop("rdesc")
+    )
+    gaps_rows = g.where(F.col("gap").isNotNull())
+    w_frame2 = (
+        Window.partitionBy("part").orderBy("week").rowsBetween(-7, 0)
+    )
+    w_desc2 = Window.partitionBy("part").orderBy(F.col("week").desc())
+    gaps = F.collect_list("gap").over(w_frame2)
+    pl = (
+        gaps_rows.select(
+            "part",
+            F.row_number().over(w_desc2).alias("rdesc2"),
+            _dyadic(gaps).alias("p_num"),
+            (
+                F.pow(F.lit(2.0), F.size(gaps).cast("double")).cast("long") - 1
+            ).alias("p_den"),
+        )
+        .where(F.col("rdesc2") == 1)
+        .drop("rdesc2")
+    )
+    croston = F.round(
+        F.col("z_num").cast("double")
+        * F.col("p_den").cast("double")
+        / (F.col("z_den").cast("double") * F.col("p_num").cast("double"))
+        * 10000
+    ).cast("long")
+    return (
+        zl.join(pl, "part")
+        .where(F.col("n_points") >= 4)
+        .select(
+            "part",
+            "n_points",
+            "z_num",
+            "z_den",
+            "p_num",
+            "p_den",
+            croston.alias("croston_micro"),
+        )
+        .orderBy("part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A90: Benjamini-Hochberg FDR control over a test family
+# ---------------------------------------------------------------------------
+
+# shared formula text (identical SQL on both engines): two-sided normal
+# p-value via the Abramowitz-Stegun 26.2.17 tail polynomial (|eps| <
+# 7.5e-8 — far below the micro quantization), evaluated on |z|
+_PHI_TAIL = (
+    "(EXP(-(ZG) * (ZG) / 2.0) / SQRT(2.0 * PI())"
+    " * ((1.0 / (1.0 + 0.2316419 * (ZG)))"
+    "    * (0.319381530 + (1.0 / (1.0 + 0.2316419 * (ZG)))"
+    "       * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * (ZG)))"
+    "          * (1.781477937 + (1.0 / (1.0 + 0.2316419 * (ZG)))"
+    "             * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * (ZG)))"
+    "                * 1.330274429))))))"
+)
+
+
+def _fdr_sql() -> str:
+    z = (
+        "((CAST(n_gd AS DOUBLE) / CAST(n_d AS DOUBLE)"
+        " - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        " / SQRT(CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE)"
+        "        * (1.0 - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        "        / CAST(n_d AS DOUBLE)))"
+    )
+    tail = _PHI_TAIL.replace("ZG", f"ABS({z})")
+    return f"""
+    WITH cell AS (
+      SELECT event_type AS g, ISODOW(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_gd
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT g, dow, n_gd,
+             CAST(SUM(n_gd) OVER (PARTITION BY dow) AS BIGINT) AS n_d,
+             CAST(SUM(n_gd) OVER (PARTITION BY g) AS BIGINT) AS n_g,
+             CAST(SUM(n_gd) OVER () AS BIGINT) AS nn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_tests
+      FROM cell
+    ),
+    p AS (
+      SELECT g, dow, n_gd, n_d, n_tests,
+             CAST(ROUND({z} * 1000000) AS BIGINT) AS z_micro,
+             CAST(ROUND(2.0 * {tail} * 1000000) AS BIGINT) AS p_micro
+      FROM m WHERE n_g < nn
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_micro, g, dow) AS BIGINT)
+                  AS rank
+      FROM p
+    ),
+    st AS (
+      SELECT *,
+             CAST(MAX(CASE WHEN p_micro * n_tests <= rank * 50000
+                           THEN rank ELSE 0 END) OVER () AS BIGINT) AS i_star,
+             CAST(LEAST(1000000, MIN(
+               CAST(ROUND(CAST(p_micro AS DOUBLE) * CAST(n_tests AS DOUBLE)
+                    / CAST(rank AS DOUBLE)) AS BIGINT))
+               OVER (ORDER BY rank DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS BIGINT) AS qval_micro
+      FROM r
+    )
+    SELECT g AS event_type, dow, n_gd, n_d, z_micro, p_micro, rank,
+           rank <= i_star AS rejected, qval_micro
+    FROM st ORDER BY rank
+    """
+
+
+@query("events_fdr_bh", _fdr_sql())
+def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A90 — Benjamini-Hochberg FDR control across a FAMILY of tests:
+    35 one-sample proportion z-tests (is event type g over/under-
+    represented on ISO weekday d vs its overall share?), ranked by
+    p-value with the BH step-up rule at q = 0.05 and per-test
+    q-values (the metrics-platform multiple-comparisons gate — A41/
+    A53 report single tests; running 35 of them at alpha = 0.05
+    uncorrected yields ~2 false flags by construction).
+
+    Determinism: cell counts are exact int64; z is one fixed double
+    tree; the two-sided normal p uses the Abramowitz-Stegun 26.2.17
+    tail polynomial (|eps| < 7.5e-8) spelled as the SAME expression
+    text on both engines, micro-quantized BEFORE ranking so the BH
+    order is integer; the step-up comparison p_(i) <= (i/m)q runs as
+    the exact integer cross-multiplication p_micro*m <= i*50000.
+
+    Scale shape: one (type, weekday)-keyed aggregate absorbs the
+    corpus; every window (marginals, ranking, step-up, q-value
+    cummin) runs over the 35-row test table."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        (F.expr("weekday(ts)") + 1).cast("int").alias("dow"),
+    )
+    cell = ev.groupBy("g", "dow").agg(F.count("*").cast("long").alias("n_gd"))
+    w_d = Window.partitionBy("dow")
+    w_g = Window.partitionBy("g")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m = cell.select(
+        "g",
+        "dow",
+        "n_gd",
+        F.sum("n_gd").over(w_d).cast("long").alias("n_d"),
+        F.sum("n_gd").over(w_g).cast("long").alias("n_g"),
+        F.sum("n_gd").over(w_all).cast("long").alias("nn"),
+        F.count("*").over(w_all).cast("long").alias("n_tests"),
+    )
+    z_sql = (
+        "((CAST(n_gd AS DOUBLE) / CAST(n_d AS DOUBLE)"
+        " - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        " / SQRT(CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE)"
+        "        * (1.0 - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        "        / CAST(n_d AS DOUBLE)))"
+    )
+    tail_sql = _PHI_TAIL.replace("ZG", f"ABS({z_sql})")
+    p = m.where(F.col("n_g") < F.col("nn")).select(
+        "g",
+        "dow",
+        "n_gd",
+        "n_d",
+        "n_tests",
+        F.expr(f"CAST(ROUND({z_sql} * 1000000) AS BIGINT)").alias("z_micro"),
+        F.expr(f"CAST(ROUND(2.0 * {tail_sql} * 1000000) AS BIGINT)").alias(
+            "p_micro"
+        ),
+    )
+    w_rank = Window.orderBy("p_micro", "g", "dow")
+    r = p.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+    w_all2 = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_qd = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    qterm = F.round(
+        F.col("p_micro").cast("double")
+        * F.col("n_tests").cast("double")
+        / F.col("rank").cast("double")
+    ).cast("long")
+    st = r.select(
+        "g",
+        "dow",
+        "n_gd",
+        "n_d",
+        "z_micro",
+        "p_micro",
+        "rank",
+        F.max(
+            F.when(
+                F.col("p_micro") * F.col("n_tests") <= F.col("rank") * 50000,
+                F.col("rank"),
+            ).otherwise(F.lit(0))
+        )
+        .over(w_all2)
+        .cast("long")
+        .alias("i_star"),
+        F.least(F.lit(1000000).cast("long"), F.min(qterm).over(w_qd).cast("long")).alias(
+            "qval_micro"
+        ),
+    )
+    return st.select(
+        F.col("g").alias("event_type"),
+        "dow",
+        "n_gd",
+        "n_d",
+        "z_micro",
+        "p_micro",
+        "rank",
+        (F.col("rank") <= F.col("i_star")).alias("rejected"),
+        "qval_micro",
+    ).orderBy("rank")

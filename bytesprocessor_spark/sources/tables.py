@@ -168,6 +168,40 @@ def read_csv_tolerant(
     return good, bad
 
 
+def read_json_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+    with_handle: bool = False,
+):
+    """Error-tolerant JSON-lines scan (S6b): the `read_csv_tolerant`
+    contract over JSONL — PERMISSIVE parse, corrupt raw line captured
+    verbatim in ``corrupt_col``, (good, bad) splits off one cached
+    scan.  JSONL has a failure mode CSV doesn't: a line can be VALID
+    JSON but type-mismatched against the schema (a string where a
+    number belongs); PERMISSIVE nulls the bad field and still captures
+    the raw line, so the gate below treats it as quarantined.
+
+    Same cache-release contract as the CSV sibling: pass
+    ``with_handle=True`` and unpersist the third return value once
+    both sinks are written.
+    """
+    df = (
+        spark.read.schema(f"{schema}, {corrupt_col} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()  # one scan feeds both splits; PERMISSIVE requires a
+        # materialization boundary before filtering on the corrupt col
+    )
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    if with_handle:
+        return good, bad, df
+    return good, bad
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (S6)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)

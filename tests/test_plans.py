@@ -1273,3 +1273,92 @@ def test_clustering_coeff_equi_joins_only(spark):
     plan = executed_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+# --- round-8 second batch (experimentation/eval stats) ---
+
+
+def test_kruskal_wallis_single_scan_bounded_windows(spark):
+    """A85: ONE events scan feeds the (group, value) aggregate; the
+    tie/cum windows and the global-total window all run over tables
+    bounded by value cardinality or group count — no join, no second
+    scan of the corpus."""
+    df = QUERIES["events_kruskal_wallis"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_mcnemar_single_moment_pass(spark):
+    """EV22: the five paired counters collapse in one map-side-combined
+    global aggregate — the A81 single-pass shape."""
+    df = QUERIES["eval_mcnemar"](spark, SF_DIR)
+    assert shuffle_count(df) <= 1
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_cohens_kappa_marginal_aggregates_only(spark):
+    """EV23: both marginal tables are label-keyed hash aggregates; the
+    join and the totals window run over k-row tables."""
+    df = QUERIES["eval_cohens_kappa"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_logrank_one_orderkey_join_then_daily_table(spark):
+    """A86: the only corpus-sized operation is the orders⋈lineitem
+    equi-join (Q3's shuffle); risk sets, arm totals, and the O/E/V
+    readout all run over the calendar-bounded per-day table."""
+    df = QUERIES["orders_logrank"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_ips_policy_value_context_keyed_aggs(spark):
+    """EV24: both splits collapse to (ctx, action) hash aggregates;
+    the policy table broadcast and the totals window run over
+    context-bounded tables."""
+    df = QUERIES["eval_ips_policy_value"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert all(len(c) <= 4 for c in scan_columns(df))
+
+
+def test_hits_equi_joins_and_persisted_edges(spark):
+    """GR11: each half-round is an edge-table equi-join + hash
+    aggregate (GR2's shape); no cartesian, no nested loop; scans read
+    only the two join columns per table."""
+    df = QUERIES["graph_hits"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_croston_weekly_aggregate_then_demand_point_windows(spark):
+    """A89: one (part, week) hash aggregate absorbs the corpus; lag /
+    list windows run over the sparse demand-point table; the final
+    join is part-keyed; the lineitem scan reads exactly the three
+    needed columns."""
+    df = QUERIES["part_croston_demand"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_fdr_single_cell_aggregate_then_tiny_windows(spark):
+    """A90: one (type, weekday) aggregate absorbs the corpus; the
+    marginal/rank/step-up/q-value windows all run over the 35-row test
+    table; no join; scan reads two columns."""
+    df = QUERIES["events_fdr_bh"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))

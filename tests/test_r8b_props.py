@@ -1,0 +1,489 @@
+"""Property and edge tests for the round-8 experimentation/eval batch:
+
+- events_kruskal_wallis: on RANDOM multi-group samples the engine H
+  (and tie-corrected H) must equal the textbook rank computation done
+  brute-force in python (explicit average ranks), with both engines
+  agreeing; the all-tied degenerate emits NULL for the corrected H.
+- eval_mcnemar: hand case checked against the continuity-corrected
+  formula; the zero-discordant degenerate emits NULL (DuckDB would
+  throw on CAST(NaN AS BIGINT) if it were computed).
+- eval_cohens_kappa: hand case vs the po/pe formula, including a label
+  absent from rater 2's marginals; the constant-rater degenerate is
+  NULL.
+- orders_logrank: random small survival fixtures vs a brute-force
+  python log-rank (risk sets recomputed per event time, per-time E/V
+  terms quantized to nano exactly as the engines do).
+- eval_ips_policy_value: hand case with known propensities and a
+  context whose greedy action never appears in the eval split
+  (IPS contribution 0, match diagnostics must say so).
+"""
+
+import importlib.util
+import math
+from pathlib import Path
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle_r8b",
+    Path(__file__).resolve().parents[1] / "tools" / "check_oracle.py",
+)
+_co = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_co)
+
+
+def _cross_check(spark, name, d, views):
+    from bytesprocessor_spark.queries import ORACLE, QUERIES
+
+    con = duckdb.connect()
+    for t in views:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    duck = con.execute(ORACLE[name]).fetchdf()
+    sdf = QUERIES[name](spark, d).toPandas()
+    duck_cols, duck_rows = _co._pdf_rows(duck)
+    spark_cols, spark_rows = _co._pdf_rows(sdf)
+    problems = _co.compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
+    assert not problems, "\n".join(problems)
+    return sdf
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def _half_away(x: float) -> int:
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _kw_reference(groups):
+    """Textbook Kruskal-Wallis with average ranks, replicating the
+    engine's per-group term quantization."""
+    pooled = sorted(v for g in groups.values() for v in g)
+    n_total = len(pooled)
+    # average rank per distinct value
+    avg_rank, i = {}, 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        avg_rank[pooled[i]] = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        i = j
+    rsum = 0
+    for g in groups.values():
+        two_r = sum(int(2 * avg_rank[v]) for v in g)
+        rsum += _half_away(two_r * two_r / len(g) / 4.0)
+    h = 12.0 / (n_total * (n_total + 1)) * rsum - 3.0 * (n_total + 1)
+    ties, i = 0, 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        t = j - i
+        ties += t * t * t - t
+        i = j
+    corr = 1.0 - ties / (n_total**3 - n_total) if n_total > 1 else 0.0
+    return h, corr, ties
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["click", "view", "purchase"]), st.integers(0, 5)),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_kruskal_wallis_matches_bruteforce(spark, tmp_path_factory, vals):
+    d = str(tmp_path_factory.mktemp("kw"))
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, g, v / 1.0, "{}")
+        for i, (g, v) in enumerate(vals)
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_kruskal_wallis", d, ["events"])
+
+    groups = {}
+    for g, v in vals:
+        groups.setdefault(g, []).append(v * 100)  # cents
+    h, corr, ties = _kw_reference(groups)
+    n_total = sum(len(g) for g in groups.values())
+    assert len(sdf) == len(groups)
+    for _, row in sdf.iterrows():
+        assert row["n"] == len(groups[row["event_type"]])
+        assert row["h_micro"] == _half_away(h * 1_000_000)
+        if n_total > 1 and ties < n_total**3 - n_total:
+            assert row["h_adj_micro"] == _half_away(h / corr * 1_000_000)
+        else:
+            assert row["h_adj_micro"] is None or (
+                isinstance(row["h_adj_micro"], float)
+                and math.isnan(row["h_adj_micro"])
+            )
+
+
+def test_mcnemar_hand_case_and_degenerate(spark, tmp_path):
+    d = str(tmp_path)
+    # y = (type == purchase); A: value >= 50.00; B: value + 0.10*(uid%7) >= 52.00
+    rows = [
+        # both right (concordant): purchase @ 60 -> a=T b=T
+        (1, "2024-01-01 00:00:00", 0, "purchase", 60.0, "{}"),
+        # A right, B wrong: purchase @ 51.0, uid 0 -> a=T, b=F
+        (2, "2024-01-01 00:00:00", 0, "purchase", 51.0, "{}"),
+        # B right, A wrong: view @ 51.0 uid 0 -> a=T (wrong), b=F (right)
+        (3, "2024-01-01 00:00:00", 0, "view", 51.0, "{}"),
+        # another A-only: purchase @ 50.0 uid 1 -> a=T, b: 5000+10 < 5200 F
+        (4, "2024-01-01 00:00:00", 1, "purchase", 50.0, "{}"),
+        # both wrong (concordant): purchase @ 10 -> a=F b=F
+        (5, "2024-01-01 00:00:00", 0, "purchase", 10.0, "{}"),
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "eval_mcnemar", d, ["events"])
+    row = sdf.iloc[0]
+    assert (row["n"], row["n_a_only"], row["n_b_only"]) == (5, 2, 1)
+    chi2 = (abs(2 - 1) - 1) ** 2 / (2 + 1)
+    assert row["chi2_micro"] == _half_away(chi2 * 1_000_000)
+    assert not row["significant_5pct"]
+
+
+def test_mcnemar_no_discordant_is_null(spark, tmp_path):
+    d = str(tmp_path)
+    rows = [  # models always agree with each other
+        (1, "2024-01-01 00:00:00", 0, "purchase", 60.0, "{}"),
+        (2, "2024-01-01 00:00:00", 0, "view", 10.0, "{}"),
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "eval_mcnemar", d, ["events"])
+    row = sdf.iloc[0]
+    assert row["n_a_only"] == 0 and row["n_b_only"] == 0
+    assert row["chi2_micro"] is None or (
+        isinstance(row["chi2_micro"], float) and math.isnan(row["chi2_micro"])
+    )
+
+
+def test_cohens_kappa_formula_and_missing_marginal(spark, tmp_path):
+    d = str(tmp_path)
+    # event_id % 5 == 0 rows get the cyclically-next label.
+    # 'view' (id 0) -> rater2 'click'; others agree.
+    rows = [
+        (0, "2024-01-01 00:00:00", 0, "view", 1.0, "{}"),  # r2=click
+        (1, "2024-01-01 00:00:00", 0, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:00:00", 0, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:00:00", 0, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 00:00:00", 0, "purchase", 1.0, "{}"),
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "eval_cohens_kappa", d, ["events"])
+    # marginals: r1 = {view:2, click:1, purchase:2}
+    #            r2 = {click:2, view:1, purchase:2}
+    n, agree = 5, 4
+    chance = 2 * 1 + 1 * 2 + 2 * 2  # view + click + purchase
+    po, pe = agree / n, chance / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert list(sdf["label"]) == ["click", "purchase", "view"]
+    assert list(sdf["n_r1"]) == [1, 2, 2]
+    assert list(sdf["n_r2"]) == [2, 2, 1]
+    assert list(sdf["n_agree"]) == [1, 2, 1]
+    for k in sdf["kappa_micro"]:
+        assert k == _half_away(kappa * 1_000_000)
+
+
+def test_cohens_kappa_constant_raters_null(spark, tmp_path):
+    d = str(tmp_path)
+    rows = [  # ids not divisible by 5 -> raters agree; one label only
+        (1, "2024-01-01 00:00:00", 0, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:00:00", 0, "view", 1.0, "{}"),
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "eval_cohens_kappa", d, ["events"])
+    row = sdf.iloc[0]
+    assert row["kappa_micro"] is None or (
+        isinstance(row["kappa_micro"], float) and math.isnan(row["kappa_micro"])
+    )
+
+
+def _logrank_reference(subjects):
+    """Brute-force log-rank over (arm1, t, observed) triples with the
+    engines' per-time nano quantization."""
+    times = sorted({t for _, t, obs in subjects if obs})
+    o1 = e1_nano = v_nano = 0
+    for t in times:
+        n1 = sum(1 for a, tt, _ in subjects if a and tt >= t)
+        nt = sum(1 for _, tt, _ in subjects if tt >= t)
+        d1 = sum(1 for a, tt, obs in subjects if a and tt == t and obs)
+        dt = sum(1 for _, tt, obs in subjects if tt == t and obs)
+        if dt == 0 or nt <= 1:
+            continue
+        o1 += d1
+        frac = n1 / nt
+        e1_nano += _half_away(dt * frac * 1e9)
+        v_nano += _half_away(dt * frac * (1 - frac) * (nt - dt) / (nt - 1) * 1e9)
+    return o1, e1_nano, v_nano
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    subjects=st.lists(
+        st.tuples(st.booleans(), st.integers(0, 5)),  # (urgent, ship_delay days)
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_logrank_matches_bruteforce(spark, tmp_path_factory, subjects):
+    d = str(tmp_path_factory.mktemp("lr"))
+    orows, lrows = [], []
+    for i, (urgent, delay) in enumerate(subjects):
+        pri = "1-URGENT" if urgent else "5-LOW"
+        orows.append((i, 1, "F", 10.0, "1995-01-01 00:00:00", pri))
+        ship = f"1995-01-{delay + 1:02d} 00:00:00"
+        lrows.append((i, 1, 1, 1.0, 1.0, 0.0, "N", "O", ship))
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    sdf = _cross_check(spark, "orders_logrank", d, ["orders", "lineitem"])
+    row = sdf.iloc[0]
+
+    subs = [(u, min(delay, 90), delay <= 90) for u, delay in subjects]
+    o1, e1_nano, v_nano = _logrank_reference(subs)
+    assert row["o1"] == o1
+    assert row["e1_nano"] == e1_nano
+    assert row["v_nano"] == v_nano
+    if v_nano > 0:
+        chi2 = (o1 - e1_nano / 1e9) ** 2 / (v_nano / 1e9)
+        assert row["chi2_micro"] == _half_away(chi2 * 1_000_000)
+    else:
+        assert row["chi2_micro"] is None or (
+            isinstance(row["chi2_micro"], float) and math.isnan(row["chi2_micro"])
+        )
+
+
+def test_ips_policy_value_hand_case(spark, tmp_path):
+    d = str(tmp_path)
+    rows = [
+        # ctx 0 train (even ids): purchase mean 40, view mean 10 -> pi=purchase
+        (0, "2024-01-01 00:00:00", 0, "purchase", 40.0, "{}"),
+        (2, "2024-01-01 00:00:00", 0, "view", 10.0, "{}"),
+        # ctx 0 eval (odd ids): 2 purchases (30, 50), 2 views (5, 7)
+        (1, "2024-01-01 00:00:00", 0, "purchase", 30.0, "{}"),
+        (3, "2024-01-01 00:00:00", 0, "purchase", 50.0, "{}"),
+        (5, "2024-01-01 00:00:00", 0, "view", 5.0, "{}"),
+        (7, "2024-01-01 00:00:00", 0, "view", 7.0, "{}"),
+        # ctx 1 train: click mean 20 -> pi=click; eval has NO click rows
+        (10, "2024-01-01 00:00:00", 1, "click", 20.0, "{}"),
+        (11, "2024-01-01 00:00:00", 1, "view", 3.0, "{}"),
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "eval_ips_policy_value", d, ["events"])
+    assert list(sdf["ctx"]) == [0, 1]
+    c0, c1 = sdf.iloc[0], sdf.iloc[1]
+    assert c0["pi_act"] == "purchase"
+    # eval ctx0: n_c=4, matched purchases n=2 r=8000c; IPS = 8000*4/2
+    assert (c0["n_c"], c0["n_match"], c0["ips_c"]) == (4, 2, 16000)
+    assert c1["pi_act"] == "click"
+    assert (c1["n_c"], c1["n_match"], c1["ips_c"]) == (1, 0, 0)
+    # value = 16000c / 5 rows = 3200c -> *10000/100 = micro$ of 32.00
+    assert c0["policy_value_microdollar"] == _half_away(16000 / 5 * 10000)
+    assert c0["match_rate_micro"] == _half_away(2 / 5 * 1_000_000)
+
+
+# --- second batch: HITS / Croston / FDR / JSONL quarantine ---
+
+
+def test_hits_matches_bruteforce_tiny_graph(spark, tmp_path):
+    """GR11: on a hand-built bipartite graph the unnormalized integer
+    HITS scores equal the brute-force python iteration (h0=1,
+    a = sum of adjacent h, h = sum of adjacent a, two rounds)."""
+    d = str(tmp_path)
+    # customers 1,2,3; parts 10,20; edges: 1-10, 2-10, 2-20, 3-20
+    edges = [(1, 10), (2, 10), (2, 20), (3, 20)]
+    orows = [(i, c, "F", 1.0, "1995-01-01 00:00:00", "5-LOW") for i, (c, _) in enumerate(edges)]
+    lrows = [
+        (i, p, 1, 1.0, 1.0, 0.0, "N", "O", "1995-01-02 00:00:00")
+        for i, (_, p) in enumerate(edges)
+    ]
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    sdf = _cross_check(spark, "graph_hits", d, ["orders", "lineitem"])
+
+    # brute force, two rounds
+    h = {1: 1, 2: 1, 3: 1}
+    a = {}
+    for _ in range(2):
+        a = {p: sum(h[c] for c, pp in edges if pp == p) for p in {10, 20}}
+        h = {c: sum(a[p] for cc, p in edges if cc == c) for c in {1, 2, 3}}
+    auth = sdf[sdf["role"] == "authority"]
+    hubs = sdf[sdf["role"] == "hub"]
+    assert {r["node"]: r["score"] for _, r in auth.iterrows()} == {
+        f"p:{p}": s for p, s in a.items()
+    }
+    assert {r["node"]: r["score"] for _, r in hubs.iterrows()} == {
+        f"c:{c}": s for c, s in h.items()
+    }
+
+
+def test_croston_formula_hand_case(spark, tmp_path):
+    """A89: one part with demand at weeks 0,2,3,7 (sizes 100,300,100,
+    200 cents): z = dyadic EWMA of sizes, p = dyadic EWMA of gaps
+    [2,1,4], forecast = z/p."""
+    d = str(tmp_path)
+    lrows = []
+    demands = [(0, 1.0), (2, 3.0), (3, 1.0), (7, 2.0)]
+    for i, (week, qty) in enumerate(demands):
+        ship = 1 + week * 7  # day-of-year start
+        mm, dd = 1 + (ship - 1) // 28, 1 + (ship - 1) % 28
+        lrows.append(
+            (i, 42, 1, qty, 1.0, 0.0, "N", "O", f"1995-{mm:02d}-{dd:02d} 00:00:00")
+        )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    sdf = _cross_check(spark, "part_croston_demand", d, ["lineitem"])
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    import datetime
+
+    # recompute weeks the way the query does (vs 1995-01-01)
+    weeks = []
+    for i, (week, qty) in enumerate(demands):
+        ship = 1 + week * 7
+        mm, dd = 1 + (ship - 1) // 28, 1 + (ship - 1) % 28
+        wk = (datetime.date(1995, mm, dd) - datetime.date(1995, 1, 1)).days // 7
+        weeks.append((wk, round(qty * 100)))
+    weeks.sort()
+    sizes = [q for _, q in weeks]
+    gaps = [weeks[i][0] - weeks[i - 1][0] for i in range(1, len(weeks))]
+    z_num = sum(v * (1 << i) for i, v in enumerate(sizes))
+    z_den = (1 << len(sizes)) - 1
+    p_num = sum(v * (1 << i) for i, v in enumerate(gaps))
+    p_den = (1 << len(gaps)) - 1
+    assert (row["z_num"], row["z_den"]) == (z_num, z_den)
+    assert (row["p_num"], row["p_den"]) == (p_num, p_den)
+    assert row["croston_micro"] == _half_away(
+        z_num * p_den / (z_den * p_num) * 10000
+    )
+    assert row["n_points"] == 4
+
+
+def _phi_tail(x: float) -> float:
+    t = 1.0 / (1.0 + 0.2316419 * x)
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    return math.exp(-x * x / 2.0) / math.sqrt(2.0 * math.pi) * poly
+
+
+def test_fdr_bh_matches_bruteforce(spark, tmp_path):
+    """A90: engine ranks, rejection set, and q-values equal a python
+    BH run over the same quantized p-values."""
+    d = str(tmp_path)
+    rows, eid = [], 0
+    # 3 types x 3 ISO weekdays with skewed counts
+    # 2024-01-01 is a Monday; use Jan 1 (Mon), 2 (Tue), 3 (Wed)
+    counts = {
+        ("click", 1): 30, ("click", 2): 10, ("click", 3): 10,
+        ("view", 1): 10, ("view", 2): 30, ("view", 3): 10,
+        ("purchase", 1): 10, ("purchase", 2): 10, ("purchase", 3): 31,
+    }
+    for (g, dow), c in counts.items():
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{dow:02d} 10:00:00", 1, g, 1.0, "{}"))
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_fdr_bh", d, ["events"])
+
+    total = sum(counts.values())
+    n_g = {}
+    n_d = {}
+    for (g, dow), c in counts.items():
+        n_g[g] = n_g.get(g, 0) + c
+        n_d[dow] = n_d.get(dow, 0) + c
+    tests = []
+    for (g, dow), c in counts.items():
+        p0 = n_g[g] / total
+        z = (c / n_d[dow] - p0) / math.sqrt(p0 * (1 - p0) / n_d[dow])
+        p = 2.0 * _phi_tail(abs(z))
+        tests.append((g, dow, _half_away(p * 1e6)))
+    m = len(tests)
+    tests.sort(key=lambda t: (t[2], t[0], t[1]))
+    i_star = max(
+        (i + 1 for i, t in enumerate(tests) if t[2] * m <= (i + 1) * 50000),
+        default=0,
+    )
+    # q-values: cummin from the bottom of round(p*m/rank)
+    qvals = [0] * m
+    run = 10**18
+    for i in range(m - 1, -1, -1):
+        run = min(run, _half_away(tests[i][2] * m / (i + 1)))
+        qvals[i] = min(1_000_000, run)
+    assert len(sdf) == m
+    for i, (_, row) in enumerate(sdf.iterrows()):
+        g, dow, p_micro = tests[i]
+        assert (row["event_type"], row["dow"], row["p_micro"]) == (g, dow, p_micro)
+        assert row["rank"] == i + 1
+        assert bool(row["rejected"]) == ((i + 1) <= i_star)
+        assert row["qval_micro"] == qvals[i]
+
+
+def test_jsonl_quarantine_accounting_small(spark, tmp_path):
+    """S6b: every 11th event quarantined, type recovered from the raw
+    JSON line; counts and admitted checksum match the base table."""
+    d = str(tmp_path)
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "view" if i % 2 else "click", i * 1.0, "{}")
+        for i in range(23)
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "jsonl_quarantine_scan", d, ["events"])
+    tot = {r["event_type"]: r for _, r in sdf.iterrows()}
+    # ids 0, 11, 22 are corrupted: 0/22 click, 11 view
+    assert tot["click"]["n_quarantined"] == 2
+    assert tot["view"]["n_quarantined"] == 1
+    assert tot["click"]["n_admitted"] + tot["view"]["n_admitted"] == 20
+    assert tot["click"]["n_in"] == 12 and tot["view"]["n_in"] == 11

@@ -295,3 +295,25 @@ def test_merge_upsert_cross_batch_version_guard(spark):
     replay = spark.createDataFrame([(1, "new", 2)], "id long, v string, version long")
     out2 = {r.id: r.v for r in merge_upsert(target, replay, ["id"], version_col="version").collect()}
     assert out2[1] == "new"
+
+
+def test_read_json_tolerant_quarantines_bad_rows(spark, tmp_path):
+    """S6b error tolerance over JSONL: structurally-broken AND
+    valid-JSON-but-type-mismatched lines both land in quarantine with
+    the raw text preserved; good rows parse completely."""
+    from bytesprocessor_spark.sources.tables import read_json_tolerant
+
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "alice", "v": 10.5}\n')
+        f.write('{"id": 2, "name": "bob", "v": "not_a_number"}\n')  # type clash
+        f.write('{"id": 3, "name": "carol", "v": 7.25\n')  # truncated JSON
+        f.write('{"id": 4, "name": "dave", "v": 1.0}\n')
+    good, bad = read_json_tolerant(spark, p, "id int, name string, v double")
+    g = sorted((r.id, r.name, r.v) for r in good.collect())
+    assert g == [(1, "alice", 10.5), (4, "dave", 1.0)]
+    b = sorted(r[0] for r in bad.collect())
+    assert b == [
+        '{"id": 2, "name": "bob", "v": "not_a_number"}',
+        '{"id": 3, "name": "carol", "v": 7.25',
+    ]
