@@ -317,6 +317,15 @@ HEADLINE = [
     "graph_hits",
     "part_croston_demand",
     "events_fdr_bh",
+    # round-8 second batch (cont.): TextRank keywords over the word
+    # co-occurrence graph (integer PageRank reuse)
+    "text_textrank_keywords",
+    # round-8 third batch: trend test, variance-homogeneity check,
+    # Qini uplift curve, Krippendorff's alpha
+    "events_cochran_armitage",
+    "events_brown_forsythe",
+    "eval_qini_uplift",
+    "eval_krippendorff_alpha",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -378,6 +387,7 @@ MIN_OF_3 = {
     # the same late-suite exposure
     "jsonl_quarantine_scan",
     "graph_hits",
+    "text_textrank_keywords",
 }
 
 

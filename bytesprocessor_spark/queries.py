@@ -669,6 +669,11 @@ _CHECK_ORDER = [
     "graph_hits",
     "part_croston_demand",
     "events_fdr_bh",
+    "text_textrank_keywords",
+    "events_cochran_armitage",
+    "events_brown_forsythe",
+    "eval_qini_uplift",
+    "eval_krippendorff_alpha",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

@@ -1292,3 +1292,583 @@ def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rank") <= F.col("i_star")).alias("rejected"),
         "qval_micro",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# L27: TextRank keyword extraction over the corpus word graph
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 2
+_TR_TOPK = 20
+_TR_TOKS = (
+    "[x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+    " if len(x) >= 4]"
+)
+
+
+def _duck_textrank_sql(n_iter: int = _TR_ITERS, k: int = _TR_TOPK) -> str:
+    """DuckDB replay: same word graph, same integer fixed-point
+    PageRank iterations as _duck_pagerank_sql."""
+    parts = [
+        f"""
+    WITH d AS (SELECT {_TR_TOKS} AS ws FROM documents),
+    adjp AS (
+      SELECT unnest([{{'u': ws[i], 'v': ws[i + 1]}}
+                     for i in range(1, len(ws))]) AS pv
+      FROM d WHERE len(ws) >= 2),
+    skipp AS (
+      SELECT unnest([{{'u': ws[i], 'v': ws[i + 2]}}
+                     for i in range(1, len(ws) - 1)]) AS pv
+      FROM d WHERE len(ws) >= 3),
+    eb AS (
+      SELECT DISTINCT pv.u AS u, pv.v AS v FROM (
+        SELECT pv FROM adjp UNION ALL SELECT pv FROM skipp)
+      WHERE pv.u <> pv.v),
+    e AS (SELECT u, v FROM eb UNION SELECT v AS u, u AS v FROM eb),
+    deg AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    c{i} AS (SELECT e.v AS node, p{i - 1}.p // deg.outdeg AS c
+            FROM e JOIN deg ON e.u = deg.u JOIN p{i - 1} ON e.u = p{i - 1}.node),
+    s{i} AS (SELECT node, SUM(c) AS s FROM c{i} GROUP BY node),
+    p{i} AS (SELECT n.node,
+                   CAST(150000 + (850000 * COALESCE(s{i}.s, 0)) // 1000000 AS BIGINT) AS p
+            FROM nodes n LEFT JOIN s{i} ON n.node = s{i}.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS word, p AS textrank_micro, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY p DESC, node) AS rank
+          FROM p{n_iter})
+    WHERE rank <= {k} ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+@query("text_textrank_keywords", _duck_textrank_sql())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27 — TextRank keyword extraction (Mihalcea & Tarau 2004,
+    arXiv:cs/0409007-adjacent): corpus-level keywords as PageRank over
+    the word co-occurrence graph (window 3 on the candidate-filtered
+    token sequence, words >= 4 chars standing in for the POS filter),
+    undirected via symmetrization.  L4v's RAKE scores phrases by
+    degree statistics inside each doc; TextRank ranks by global graph
+    centrality — the two standard unsupervised keyphrase families.
+
+    Exactness: reuses GR2's integer fixed-point PageRank verbatim
+    (micro-unit scores, floor-div contributions — bit-identical across
+    engines and reduction orders); the graph build is deterministic
+    (distinct pairs, lexical self-loop drop); top-k ties break on the
+    word.
+
+    Plan shape: token pairs are map-only transforms on the text scan;
+    the graph collapses to DISTINCT edges (vocabulary-bounded, never
+    corpus-bounded); each iteration is one edge-table join + agg —
+    at 100 TB the corpus is touched once, everything after runs on
+    the vocabulary graph."""
+    from bytesprocessor_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: F.length(t) >= 4,
+    )
+    d = docs.select(ws.alias("ws"))
+    adj = d.where(F.size("ws") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("u"),
+                    F.element_at("ws", i + 1).alias("v"),
+                ),
+            )
+        ).alias("pv")
+    )
+    skip = d.where(F.size("ws") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("u"),
+                    F.element_at("ws", i + 2).alias("v"),
+                ),
+            )
+        ).alias("pv")
+    )
+    eb = (
+        adj.unionByName(skip)
+        .select(F.col("pv.u").alias("u"), F.col("pv.v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = (
+        eb.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(eb.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+    )
+    p = pagerank(edges, n_iter=_TR_ITERS)
+    w = Window.orderBy(F.col("p").desc(), "node")
+    return (
+        p.select(
+            F.col("node").alias("word"),
+            F.col("p").alias("textrank_micro"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= _TR_TOPK)
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A91: Cochran-Armitage trend test across ordered categories
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_cochran_armitage",
+    """
+    WITH cell AS (
+      SELECT ISODOW(CAST(ts AS DATE)) AS dose,
+             CAST(COUNT(*) AS BIGINT) AS n_d,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_d
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT dose, n_d, r_d,
+             CAST(SUM(n_d) OVER () AS BIGINT) AS nn,
+             CAST(SUM(r_d) OVER () AS BIGINT) AS rr,
+             CAST(SUM(dose * r_d) OVER () AS BIGINT) AS swr,
+             CAST(SUM(dose * n_d) OVER () AS BIGINT) AS swn,
+             CAST(SUM(dose * dose * n_d) OVER () AS BIGINT) AS sw2n
+      FROM cell
+    )
+    SELECT dose, n_d, r_d,
+      CAST(ROUND(
+        (CAST(swr AS DOUBLE) - CAST(rr AS DOUBLE) * CAST(swn AS DOUBLE)
+           / CAST(nn AS DOUBLE))
+        / SQRT(CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)
+               * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE)
+                  * CAST(swn AS DOUBLE) / CAST(nn AS DOUBLE)))
+        * 1000000) AS BIGINT) AS z_micro
+    FROM m ORDER BY dose
+    """,
+)
+def events_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A91 — Cochran-Armitage trend test: does the purchase rate rise
+    or fall MONOTONICALLY across an ordered factor (ISO weekday 1..7
+    as the dose scores)?  A41's chi-square asks "is the rate the same
+    everywhere" and burns power on non-monotone wiggles; CA targets
+    the one-degree-of-freedom linear trend — the test behind
+    "conversion degrades over the week" claims.
+
+    Z = [Σw·r_d − R·Σw·n_d/N] / sqrt(p(1-p)·(Σw²n_d − (Σw·n_d)²/N)),
+    all five moments exact int64 from one pass, Z one fixed double
+    tree, micro-quantized.
+
+    Scale shape: one weekday-keyed aggregate absorbs the corpus; the
+    moment windows run over 7 rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.expr("weekday(ts)") + 1).cast("int").alias("dose"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    cell = ev.groupBy("dose").agg(
+        F.count("*").cast("long").alias("n_d"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("r_d"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m = cell.select(
+        "dose",
+        "n_d",
+        "r_d",
+        F.sum("n_d").over(w_all).cast("long").alias("nn"),
+        F.sum("r_d").over(w_all).cast("long").alias("rr"),
+        F.sum(F.col("dose") * F.col("r_d")).over(w_all).cast("long").alias("swr"),
+        F.sum(F.col("dose") * F.col("n_d")).over(w_all).cast("long").alias("swn"),
+        F.sum(F.col("dose") * F.col("dose") * F.col("n_d"))
+        .over(w_all)
+        .cast("long")
+        .alias("sw2n"),
+    )
+    nnD, rrD = F.col("nn").cast("double"), F.col("rr").cast("double")
+    swrD, swnD, sw2nD = (
+        F.col("swr").cast("double"),
+        F.col("swn").cast("double"),
+        F.col("sw2n").cast("double"),
+    )
+    pbar = rrD / nnD
+    z = (swrD - rrD * swnD / nnD) / F.sqrt(
+        pbar * (1.0 - pbar) * (sw2nD - swnD * swnD / nnD)
+    )
+    return m.select(
+        "dose",
+        "n_d",
+        "r_d",
+        F.round(z * 1000000).cast("long").alias("z_micro"),
+    ).orderBy("dose")
+
+
+# ---------------------------------------------------------------------------
+# A92: Brown-Forsythe variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_brown_forsythe",
+    """
+    WITH e AS (
+      SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (
+      SELECT g, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med FROM e GROUP BY g
+    ),
+    z AS (
+      SELECT e.g, ABS(e.v - med.med) AS z
+      FROM e JOIN med ON e.g = med.g
+    ),
+    s AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z) AS BIGINT) AS s1,
+             CAST(SUM(z * z) AS BIGINT) AS s2
+      FROM z GROUP BY g
+    ),
+    m AS (
+      SELECT g, n, s1, s2,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn,
+             CAST(SUM(s1) OVER () AS BIGINT) AS ss,
+             CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS BIGINT)) OVER () AS BIGINT) AS bterm,
+             CAST(SUM(s2) OVER () AS BIGINT) AS q,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM s
+    )
+    SELECT g AS event_type, n, s1, s2,
+      CAST(ROUND(
+        ((CAST(bterm AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+            / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        / ((CAST(q AS DOUBLE) - CAST(bterm AS DOUBLE))
+           / CAST(nn - k AS DOUBLE))
+        * 1000000) AS BIGINT) AS f_micro
+    FROM m ORDER BY event_type
+    """,
+)
+def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A92 — Brown-Forsythe test (Levene's test with group MEDIANS)
+    for variance homogeneity across the event-type populations: the
+    assumption check behind A55's one-way ANOVA (whose F is only
+    calibrated under equal variances) and the robust default (mean-
+    centered Levene is itself fragile under skew).  W = one-way ANOVA
+    F computed on z = |x - median_g|.
+
+    Determinism: group medians are percentile_disc — actual data
+    points, exact int64 cents — so z is exact int64; the ANOVA F
+    reduces to exact moments (n, Σz, Σz² per group) with the per-group
+    between-term s1²/n quantized to an integer before the k-row sum
+    (the A87 device), F one fixed double tree.
+
+    Scale shape: one aggregate computes the k medians (percentile_disc
+    is a single-pass sketchless aggregate here — the value domain is
+    bounded), the medians broadcast back onto the scan, one moment
+    aggregate finishes; windows run over k rows."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), cents(F.col("value")).alias("v")
+    )
+    med = e.groupBy("g").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("long")
+        .alias("med")
+    )
+    z = e.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    s = z.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("s2"),
+    )
+    bterm_row = F.round(
+        F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n").cast("double")
+    ).cast("long")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m = s.select(
+        "g",
+        "n",
+        "s1",
+        "s2",
+        F.sum("n").over(w_all).cast("long").alias("nn"),
+        F.sum("s1").over(w_all).cast("long").alias("ss"),
+        F.sum(bterm_row).over(w_all).cast("long").alias("bterm"),
+        F.sum("s2").over(w_all).cast("long").alias("q"),
+        F.count("*").over(w_all).cast("long").alias("k"),
+    )
+    nnD, ssD = F.col("nn").cast("double"), F.col("ss").cast("double")
+    btD, qD = F.col("bterm").cast("double"), F.col("q").cast("double")
+    between = (btD - ssD * ssD / nnD) / (F.col("k") - 1).cast("double")
+    within = (qD - btD) / (F.col("nn") - F.col("k")).cast("double")
+    return m.select(
+        F.col("g").alias("event_type"),
+        "n",
+        "s1",
+        "s2",
+        F.round(between / within * 1000000).cast("long").alias("f_micro"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# EV25: Qini uplift curve for treatment-effect model evaluation
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_qini_uplift",
+    """
+    WITH e AS (
+      SELECT event_id,
+             (user_id % 2 = 0) AS treated,
+             (event_type = 'purchase') AS y,
+             CAST(ROUND(value * 100) AS BIGINT) + 7 * (user_id % 13) AS score
+      FROM events
+    ),
+    dec AS (
+      SELECT treated, y,
+             NTILE(10) OVER (ORDER BY score DESC, event_id) AS decile
+      FROM e
+    ),
+    cell AS (
+      SELECT decile,
+             CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(SUM(CASE WHEN treated AND y THEN 1 ELSE 0 END) AS BIGINT)
+               AS r_t,
+             CAST(SUM(CASE WHEN NOT treated AND y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_c
+      FROM dec GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n_t, n_c, r_t, r_c,
+             CAST(SUM(n_t) OVER (ORDER BY decile) AS BIGINT) AS cn_t,
+             CAST(SUM(n_c) OVER (ORDER BY decile) AS BIGINT) AS cn_c,
+             CAST(SUM(r_t) OVER (ORDER BY decile) AS BIGINT) AS cr_t,
+             CAST(SUM(r_c) OVER (ORDER BY decile) AS BIGINT) AS cr_c
+      FROM cell
+    )
+    SELECT decile, n_t, n_c, r_t, r_c,
+      CASE WHEN cn_c > 0 THEN
+        CAST(ROUND((CAST(cr_t AS DOUBLE)
+             - CAST(cr_c AS DOUBLE) * CAST(cn_t AS DOUBLE)
+               / CAST(cn_c AS DOUBLE)) * 1000000) AS BIGINT)
+      ELSE NULL END AS qini_micro
+    FROM cum ORDER BY decile
+    """,
+)
+def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV25 — Qini curve: the standard evaluation for UPLIFT models
+    (does targeting the model's top-k% actually cause more
+    conversions than random?), over a logged 50/50 experiment
+    (treatment = user parity).  At each score decile k the cumulative
+    incremental conversions are Qini(k) = R_t(k) − R_c(k)·N_t(k)/
+    N_c(k) — the treated conversions minus what the control arm
+    predicts they'd have converted anyway, scaled to the treated
+    exposure.  EV14's lift/gains grade a RESPONSE model (who
+    converts); Qini grades a TREATMENT-EFFECT model (who converts
+    BECAUSE treated) — confusing the two over-targets sure things.
+
+    Determinism: NTILE over a UNIQUE total order (score desc,
+    event_id) assigns identical deciles in both engines (both put the
+    remainder rows in the leading buckets); all counts exact int64;
+    Qini one fixed double tree per decile row.
+
+    Scale shape: the decile assignment is one global sort-partition
+    (TakeOrdered-class shuffle at 100 TB — or replace NTILE with a
+    pre-computed score-quantile broadcast, plan shape otherwise
+    unchanged); everything after runs on 10 rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("event_type") == "purchase").alias("y"),
+        (cents(F.col("value")) + 7 * (F.col("user_id") % 13)).alias("score"),
+    )
+    w_rank = Window.orderBy(F.col("score").desc(), "event_id")
+    dec = ev.select("treated", "y", F.ntile(10).over(w_rank).alias("decile"))
+    cell = dec.groupBy("decile").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated") & F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("r_t"),
+        F.sum(F.when(~F.col("treated") & F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("r_c"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cell.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "r_t",
+        "r_c",
+        F.sum("n_t").over(w_cum).cast("long").alias("cn_t"),
+        F.sum("n_c").over(w_cum).cast("long").alias("cn_c"),
+        F.sum("r_t").over(w_cum).cast("long").alias("cr_t"),
+        F.sum("r_c").over(w_cum).cast("long").alias("cr_c"),
+    )
+    qini = (
+        F.col("cr_t").cast("double")
+        - F.col("cr_c").cast("double")
+        * F.col("cn_t").cast("double")
+        / F.col("cn_c").cast("double")
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "r_t",
+        "r_c",
+        F.when(F.col("cn_c") > 0, F.round(qini * 1000000).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("qini_micro"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# EV26: Krippendorff's alpha (multi-rater, missing-tolerant agreement)
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_krippendorff_alpha",
+    """
+    WITH lab AS (
+      SELECT event_id AS unit, r,
+             CASE WHEN (r = 1 AND event_id % 5 = 0)
+                    OR (r = 2 AND event_id % 7 = 0) THEN
+               CASE event_type
+                 WHEN 'click' THEN 'error' WHEN 'error' THEN 'purchase'
+                 WHEN 'purchase' THEN 'signup' WHEN 'signup' THEN 'view'
+                 ELSE 'click' END
+             ELSE event_type END AS label
+      FROM events, (SELECT unnest([0, 1, 2]) AS r)
+      WHERE (event_id + r) % 4 <> 0
+    ),
+    o AS (
+      SELECT unit, label, CAST(COUNT(*) AS BIGINT) AS o
+      FROM lab GROUP BY unit, label
+    ),
+    u AS (
+      SELECT unit, CAST(SUM(o) AS BIGINT) AS m,
+             CAST(SUM(o * o) AS BIGINT) AS so2
+      FROM o GROUP BY unit
+    ),
+    douv AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               CAST(m * m - so2 AS DOUBLE) / CAST(m - 1 AS DOUBLE)
+               * 1000000000) AS BIGINT)) AS BIGINT) AS do_nano,
+             CAST(SUM(m) AS BIGINT) AS n_ratings,
+             CAST(COUNT(*) AS BIGINT) AS n_units
+      FROM u WHERE m >= 2
+    ),
+    lc AS (
+      SELECT label, CAST(SUM(o) AS BIGINT) AS n_c
+      FROM o JOIN u USING (unit) WHERE u.m >= 2 GROUP BY label
+    ),
+    de AS (
+      SELECT CAST(SUM(n_c) AS BIGINT) AS n_tot,
+             CAST(SUM(n_c * n_c) AS BIGINT) AS sn2
+      FROM lc
+    )
+    SELECT douv.n_units, douv.n_ratings, douv.do_nano,
+      CAST(ROUND(
+        (CAST(de.n_tot AS DOUBLE) * CAST(de.n_tot AS DOUBLE)
+         - CAST(de.sn2 AS DOUBLE))
+        / (CAST(de.n_tot AS DOUBLE) * (CAST(de.n_tot AS DOUBLE) - 1.0))
+        * 1000000) AS BIGINT) AS de_micro,
+      CAST(ROUND(
+        (1.0 - (CAST(douv.do_nano AS DOUBLE) / 1000000000.0
+                / CAST(douv.n_ratings AS DOUBLE))
+         / ((CAST(de.n_tot AS DOUBLE) * CAST(de.n_tot AS DOUBLE)
+             - CAST(de.sn2 AS DOUBLE))
+            / (CAST(de.n_tot AS DOUBLE)
+               * (CAST(de.n_tot AS DOUBLE) - 1.0))))
+        * 1000000) AS BIGINT) AS alpha_micro
+    FROM douv, de
+    """,
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV26 — Krippendorff's alpha (nominal): the agreement
+    coefficient that EV23's kappa cannot be — it handles ANY number
+    of raters and MISSING ratings (every real labeling pipeline has
+    raters who skipped units).  Three deterministic raters label
+    events (rater 0 = truth; raters 1/2 disagree on fixed slices;
+    each rater skips units on an id-arithmetic schedule, so units
+    carry 2-3 ratings).
+
+    alpha = 1 − D_o/D_e with nominal disagreement: per pairable unit
+    D_o term = (m_u² − Σ_c o_uc²)/(m_u−1) (ordered disagreeing
+    pairs), D_e from the pooled label marginals (n² − Σn_c²)/(n(n−1)).
+    Per-unit terms quantize to nano BEFORE the cross-unit sum (exact
+    integer reduction — the A88 device); both coefficients and alpha
+    are fixed double trees over int64 totals.
+
+    Scale shape: the rater fan-out is a 3-row array explode on the
+    scan; one (unit,label) aggregate, one unit rollup, one label
+    rollup — all hash aggs keyed by unit or label; readout is 1 row."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    r = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r")
+    fan = ev.select("event_id", "event_type", r).where(
+        (F.col("event_id") + F.col("r")) % 4 != 0
+    )
+    nxt = (
+        F.when(F.col("event_type") == "click", "error")
+        .when(F.col("event_type") == "error", "purchase")
+        .when(F.col("event_type") == "purchase", "signup")
+        .when(F.col("event_type") == "signup", "view")
+        .otherwise("click")
+    )
+    lab = fan.select(
+        F.col("event_id").alias("unit"),
+        F.when(
+            ((F.col("r") == 1) & (F.col("event_id") % 5 == 0))
+            | ((F.col("r") == 2) & (F.col("event_id") % 7 == 0)),
+            nxt,
+        )
+        .otherwise(F.col("event_type"))
+        .alias("label"),
+    )
+    o = lab.groupBy("unit", "label").agg(F.count("*").cast("long").alias("o"))
+    u = o.groupBy("unit").agg(
+        F.sum("o").cast("long").alias("m"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("so2"),
+    )
+    term_nano = F.round(
+        (F.col("m") * F.col("m") - F.col("so2")).cast("double")
+        / (F.col("m") - 1).cast("double")
+        * 1e9
+    ).cast("long")
+    douv = u.where(F.col("m") >= 2).agg(
+        F.sum(term_nano).cast("long").alias("do_nano"),
+        F.sum("m").cast("long").alias("n_ratings"),
+        F.count("*").cast("long").alias("n_units"),
+    )
+    lc = (
+        o.join(u.where(F.col("m") >= 2).select("unit"), "unit")
+        .groupBy("label")
+        .agg(F.sum("o").cast("long").alias("n_c"))
+    )
+    de = lc.agg(
+        F.sum("n_c").cast("long").alias("n_tot"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("long").alias("sn2"),
+    )
+    ntD = F.col("n_tot").cast("double")
+    de_val = (ntD * ntD - F.col("sn2").cast("double")) / (ntD * (ntD - 1.0))
+    do_val = F.col("do_nano").cast("double") / 1e9 / F.col("n_ratings").cast("double")
+    return douv.crossJoin(F.broadcast(de)).select(
+        "n_units",
+        "n_ratings",
+        "do_nano",
+        F.round(de_val * 1000000).cast("long").alias("de_micro"),
+        F.round((1.0 - do_val / de_val) * 1000000).cast("long").alias("alpha_micro"),
+    )

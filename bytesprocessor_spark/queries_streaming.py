@@ -63,7 +63,7 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _state_partitions(spark: SparkSession, n: int = 8):
+def _state_partitions(spark: SparkSession, n: int = 4):
     """Pin spark.sql.shuffle.partitions (which fixes a stateful
     streaming query's STATE partition count at first checkpoint) to a
     fixture-sized value for the duration of a drain, restoring after.
@@ -73,9 +73,11 @@ def _state_partitions(spark: SparkSession, n: int = 8):
     default 32 partitions the fixture drains spend most of their time
     opening/committing near-empty state files (measured on
     stream_interval_join_outer at sf0.1: 19.4 s steady at 32
-    partitions -> 11.3 s at 8).  This is the knob a real deployment
-    sizes to key cardinality x executor count; the fixture value only
-    needs enough parallelism to keep the state tasks off the critical
+    partitions -> 11.3 s at 8; session windows 6.7 s at 8 -> 5.7 s at
+    4, flat below that — the remainder is checkpoint-restart floor,
+    not state files).  This is the knob a real deployment sizes to
+    key cardinality x executor count; the fixture value only needs
+    enough parallelism to keep the state tasks off the critical
     path."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))

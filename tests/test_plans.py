@@ -1362,3 +1362,53 @@ def test_fdr_single_cell_aggregate_then_tiny_windows(spark):
     plan = executed_plan(df)
     assert "Join" not in plan
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_textrank_vocabulary_graph_iterations(spark):
+    """L27: the corpus is touched once (map-only pair transforms on
+    the text scan); the graph collapses to DISTINCT edges and each
+    PageRank iteration is an equi-join + agg over the vocabulary
+    graph — no cartesian, no nested loop."""
+    df = QUERIES["text_textrank_keywords"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 1 for c in scan_columns(df))
+
+
+def test_cochran_armitage_one_aggregate_seven_rows(spark):
+    """A91: one weekday-keyed aggregate absorbs the corpus; moment
+    windows run over 7 rows; no join."""
+    df = QUERIES["events_cochran_armitage"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_brown_forsythe_median_broadcast(spark):
+    """A92: the k-row median table broadcasts back onto the scan (no
+    shuffle of the fact table for the join); moment windows run over
+    k rows."""
+    df = QUERIES["events_brown_forsythe"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_qini_decile_assignment_then_ten_rows(spark):
+    """EV25: after the decile window, every aggregate and cumsum runs
+    over 10 rows; no join."""
+    df = QUERIES["eval_qini_uplift"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 4 for c in scan_columns(df))
+
+
+def test_krippendorff_hash_aggs_only(spark):
+    """EV26: rater fan-out is an array explode on the scan; unit and
+    label rollups are hash aggregates; the only join keys on unit."""
+    df = QUERIES["eval_krippendorff_alpha"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert all(len(c) <= 2 for c in scan_columns(df))

@@ -487,3 +487,217 @@ def test_jsonl_quarantine_accounting_small(spark, tmp_path):
     assert tot["view"]["n_quarantined"] == 1
     assert tot["click"]["n_admitted"] + tot["view"]["n_admitted"] == 20
     assert tot["click"]["n_in"] == 12 and tot["view"]["n_in"] == 11
+
+
+def test_textrank_matches_manual_tiny_corpus(spark, tmp_path):
+    """L27: on a two-doc corpus the word graph and the 2-round integer
+    PageRank equal a brute-force python replay."""
+    d = str(tmp_path)
+    docs = [
+        (1, "alpha beta gamma alpha", "en", "s", 10),
+        (2, "beta gamma delta", "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    sdf = _cross_check(spark, "text_textrank_keywords", d, ["documents"])
+
+    # graph build: window-3 pairs on >=4-char tokens, self-drop,
+    # distinct, symmetrized
+    token_docs = [["alpha", "beta", "gamma", "alpha"], ["beta", "gamma", "delta"]]
+    eb = set()
+    for ws in token_docs:
+        for i in range(len(ws) - 1):
+            if ws[i] != ws[i + 1]:
+                eb.add((ws[i], ws[i + 1]))
+        for i in range(len(ws) - 2):
+            if ws[i] != ws[i + 2]:
+                eb.add((ws[i], ws[i + 2]))
+    edges = set()
+    for u, v in eb:
+        edges.add((u, v))
+        edges.add((v, u))
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    p = {n: 1_000_000 for n in nodes}
+    for _ in range(2):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += p[u] // outdeg[u]
+        p = {n: 150_000 + (850_000 * s[n]) // 1_000_000 for n in nodes}
+    expect = sorted(p.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [(r["word"], r["textrank_micro"]) for _, r in sdf.iterrows()]
+    assert got == expect[: len(got)]
+
+
+# --- third batch: trend / variance-homogeneity / uplift / alpha ---
+
+
+def test_cochran_armitage_formula_hand_case(spark, tmp_path):
+    """A91: the trend z on a 3-dose hand case equals the textbook
+    formula with weekday dose scores."""
+    d = str(tmp_path)
+    # 2024-01-01=Mon(1), 02=Tue(2), 03=Wed(3)
+    spec = {1: (10, 2), 2: (10, 5), 3: (10, 8)}  # dose -> (n, purchases)
+    rows, eid = [], 0
+    for dow, (n, r) in spec.items():
+        for i in range(n):
+            t = "purchase" if i < r else "view"
+            rows.append((eid, f"2024-01-{dow:02d} 09:00:00", 1, t, 1.0, "{}"))
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_cochran_armitage", d, ["events"])
+    nn = sum(n for n, _ in spec.values())
+    rr = sum(r for _, r in spec.values())
+    swr = sum(d_ * r for d_, (_, r) in spec.items())
+    swn = sum(d_ * n for d_, (n, _) in spec.items())
+    sw2n = sum(d_ * d_ * n for d_, (n, _) in spec.items())
+    p = rr / nn
+    z = (swr - rr * swn / nn) / math.sqrt(p * (1 - p) * (sw2n - swn * swn / nn))
+    for _, row in sdf.iterrows():
+        assert row["z_micro"] == _half_away(z * 1_000_000)
+    assert list(sdf["dose"]) == [1, 2, 3]
+    assert list(sdf["r_d"]) == [2, 5, 8]
+
+
+def test_brown_forsythe_formula_hand_case(spark, tmp_path):
+    """A92: F on |x - group median| equals the one-way ANOVA formula
+    with percentile_disc medians (actual data points)."""
+    d = str(tmp_path)
+    groups = {"click": [1.0, 2.0, 3.0, 10.0], "view": [5.0, 5.0, 6.0]}
+    rows, eid = [], 0
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((eid, "2024-01-01 00:00:00", 1, g, v, "{}"))
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_brown_forsythe", d, ["events"])
+
+    def disc_median(xs):
+        xs = sorted(xs)
+        # percentile_disc(0.5): smallest x with cume_dist >= 0.5
+        import math as _m
+
+        idx = _m.ceil(0.5 * len(xs)) - 1
+        return xs[idx]
+
+    stats = {}
+    for g, vals in groups.items():
+        cents_v = [round(v * 100) for v in vals]
+        med = disc_median(cents_v)
+        z = [abs(x - med) for x in cents_v]
+        stats[g] = (len(z), sum(z), sum(x * x for x in z))
+    nn = sum(n for n, _, _ in stats.values())
+    ss = sum(s1 for _, s1, _ in stats.values())
+    bterm = sum(_half_away(s1 * s1 / n) for n, s1, _ in stats.values())
+    q = sum(s2 for _, _, s2 in stats.values())
+    k = len(stats)
+    f = ((bterm - ss * ss / nn) / (k - 1)) / ((q - bterm) / (nn - k))
+    for _, row in sdf.iterrows():
+        g = row["event_type"]
+        assert (row["n"], row["s1"], row["s2"]) == stats[g]
+        assert row["f_micro"] == _half_away(f * 1_000_000)
+
+
+def test_qini_matches_bruteforce(spark, tmp_path):
+    """EV25: deciles, counts, and the Qini values equal a python
+    replay with the same NTILE semantics (remainder rows to leading
+    buckets over the unique total order)."""
+    d = str(tmp_path)
+    rows = []
+    for eid in range(37):
+        uid = eid % 4  # treated iff uid % 2 == 0
+        t = "purchase" if (eid * 7) % 5 == 0 else "view"
+        rows.append((eid, "2024-01-01 00:00:00", uid, t, float(eid % 11), "{}"))
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "eval_qini_uplift", d, ["events"])
+
+    pop = []
+    for eid, _, uid, t, v, _p in rows:
+        score = round(v * 100) + 7 * (uid % 13)
+        pop.append((score, eid, uid % 2 == 0, t == "purchase"))
+    pop.sort(key=lambda x: (-x[0], x[1]))
+    n = len(pop)
+    base, rem = divmod(n, 10)
+    deciles = []
+    for b in range(10):
+        sz = base + (1 if b < rem else 0)
+        deciles.append(pop[:sz])
+        pop = pop[sz:]
+    cn_t = cn_c = cr_t = cr_c = 0
+    for i, bucket in enumerate(deciles):
+        n_t = sum(1 for _, _, tr, _ in bucket if tr)
+        n_c = len(bucket) - n_t
+        r_t = sum(1 for _, _, tr, y in bucket if tr and y)
+        r_c = sum(1 for _, _, tr, y in bucket if not tr and y)
+        cn_t += n_t
+        cn_c += n_c
+        cr_t += r_t
+        cr_c += r_c
+        row = sdf.iloc[i]
+        assert (row["n_t"], row["n_c"], row["r_t"], row["r_c"]) == (
+            n_t,
+            n_c,
+            r_t,
+            r_c,
+        ), f"decile {i + 1}"
+        if cn_c > 0:
+            assert row["qini_micro"] == _half_away(
+                (cr_t - cr_c * cn_t / cn_c) * 1_000_000
+            )
+
+
+def test_krippendorff_alpha_matches_bruteforce(spark, tmp_path):
+    """EV26: alpha on a small fixture equals the textbook coincidence
+    computation (python, exact rationals via the same nano
+    quantization)."""
+    d = str(tmp_path)
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, t, 1.0, "{}")
+        for i, t in enumerate(
+            ["view", "click", "purchase", "view", "signup", "click", "error",
+             "view", "purchase", "click", "view", "error"]
+        )
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "eval_krippendorff_alpha", d, ["events"])
+    row = sdf.iloc[0]
+
+    cyc = {"click": "error", "error": "purchase", "purchase": "signup",
+           "signup": "view", "view": "click"}
+    units = {}
+    for eid, _, _, t, _, _ in rows:
+        for r in (0, 1, 2):
+            if (eid + r) % 4 == 0:
+                continue
+            lab = t
+            if (r == 1 and eid % 5 == 0) or (r == 2 and eid % 7 == 0):
+                lab = cyc[t]
+            units.setdefault(eid, []).append(lab)
+    do_nano = n_ratings = n_units = 0
+    label_tot = {}
+    for labs in units.values():
+        if len(labs) < 2:
+            continue
+        m = len(labs)
+        counts = {}
+        for lb in labs:
+            counts[lb] = counts.get(lb, 0) + 1
+            label_tot[lb] = label_tot.get(lb, 0) + 1
+        so2 = sum(c * c for c in counts.values())
+        do_nano += _half_away((m * m - so2) / (m - 1) * 1e9)
+        n_ratings += m
+        n_units += 1
+    n_tot = sum(label_tot.values())
+    sn2 = sum(c * c for c in label_tot.values())
+    de = (n_tot * n_tot - sn2) / (n_tot * (n_tot - 1))
+    do = do_nano / 1e9 / n_ratings
+    assert (row["n_units"], row["n_ratings"], row["do_nano"]) == (
+        n_units,
+        n_ratings,
+        do_nano,
+    )
+    assert row["de_micro"] == _half_away(de * 1_000_000)
+    assert row["alpha_micro"] == _half_away((1.0 - do / de) * 1_000_000)

@@ -56,7 +56,18 @@ def sf1_dir(spark, tmp_path_factory):
     events.write.parquet(f"{d}/events.parquet")
 
     lineitem = spark.range(6_000_000).select(
-        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(200_000)).alias("l_partkey")
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(200_000)).alias("l_partkey"),
+        # extra columns for the r8b survival/demand entries: order link,
+        # ship date inside the 30-day window, small-integer quantity
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(1_500_000)).alias("l_orderkey"),
+        F.timestamp_seconds(
+            F.lit(_T0) + F.pmod(F.xxhash64("id", F.lit(12)), F.lit(_SECONDS_30D))
+        )
+        .cast("timestamp_ntz")
+        .alias("l_shipdate"),
+        (F.pmod(F.xxhash64("id", F.lit(13)), F.lit(50)) + 1).cast("double").alias(
+            "l_quantity"
+        ),
     )
     lineitem.write.parquet(f"{d}/lineitem.parquet")
 
@@ -184,3 +195,80 @@ def test_orders_woe_encoding_sf1(spark, sf1_dir):
     # pure-count WOE: n_pos * tn products ~ 3e5 x 1e6 = 3e11 reach the
     # double tree exactly (< 2^53); ln + micro-quantize must agree
     _check(spark, sf1_dir, "orders_woe_encoding", ["orders"])
+
+
+def test_events_kruskal_wallis_sf1(spark, sf1_dir):
+    # 2R_j ~ 2 * (1M/5 rows) * 1M max-rank ~ 4e11; the per-group term
+    # (2R)^2/(4n) evaluates in double (identical tree both engines)
+    # and quantizes to ~2e17 — rsum over 5 groups stays inside int64;
+    # tie blocks (~18 rows per distinct cent value) keep tc_part tiny
+    _check(spark, sf1_dir, "events_kruskal_wallis", ["events"])
+
+
+def test_eval_cohens_kappa_sf1(spark, sf1_dir):
+    # chance = sum of marginal products ~ 5 * (2e5)^2 = 2e11 — exact
+    # int64 with 7 orders of magnitude headroom
+    _check(spark, sf1_dir, "eval_cohens_kappa", ["events"])
+
+
+def test_eval_mcnemar_sf1(spark, sf1_dir):
+    _check(spark, sf1_dir, "eval_mcnemar", ["events"])
+
+
+def test_eval_ips_policy_value_sf1(spark, sf1_dir):
+    # per-context IPS term r_ca * n_c / n_ca: worst case ~1e10 cents
+    # x 5e4 rows / 1 match ~ 5e14 before quantization — int64-safe
+    _check(spark, sf1_dir, "eval_ips_policy_value", ["events"])
+
+
+def test_events_fdr_bh_sf1(spark, sf1_dir):
+    # what sf1 stresses is the A&S tail agreement at dense counts
+    # (z in the hundreds -> p underflows to 0 micro identically) and
+    # the integer step-up cross-multiplication at m=35
+    _check(spark, sf1_dir, "events_fdr_bh", ["events"])
+
+
+def test_orders_logrank_sf1(spark, sf1_dir):
+    # risk sets ~1.5M at t=0; per-time E/V nano terms ~ dt * 1e9 with
+    # dt up to ~50k/day -> 5e13 per term, ~30 terms -> 1.5e15 sum
+    _check(spark, sf1_dir, "orders_logrank", ["orders", "lineitem"])
+
+
+def test_part_croston_demand_sf1(spark, sf1_dir):
+    # dyadic EWMA: demand sums per (part, week) ~ 30 rows x 50 qty x
+    # 100 cents ~ 1.5e5; x 2^7 weight ~ 2e7 — trivially exact; sf1
+    # stresses the 200k-part window fan-out, not the arithmetic
+    _check(spark, sf1_dir, "part_croston_demand", ["lineitem"])
+
+
+def test_graph_hits_sf1(spark, sf1_dir):
+    # unnormalized integer HITS: mean degree ~40 (6M edges / 150k
+    # customers), two rounds bound scores by ~maxdeg^4 — far inside
+    # int64; sf1 stresses the edge-table distinct + iteration joins
+    _check(spark, sf1_dir, "graph_hits", ["orders", "lineitem"])
+
+
+def test_events_cochran_armitage_sf1(spark, sf1_dir):
+    # dose-weighted moments: w^2 * n ~ 49 x 1e6 = 5e7 — int64-trivial;
+    # sf1 pins the fixed Z tree at dense counts
+    _check(spark, sf1_dir, "events_cochran_armitage", ["events"])
+
+
+def test_events_brown_forsythe_sf1(spark, sf1_dir):
+    # the bound: z^2 <= (56021)^2 ~ 3.1e9 x 1M rows ~ 3e15 in the s2
+    # moment — three orders of int64 headroom; per-group between-terms
+    # quantize before the 5-row sum
+    _check(spark, sf1_dir, "events_brown_forsythe", ["events"])
+
+
+def test_eval_qini_uplift_sf1(spark, sf1_dir):
+    # what sf1 stresses is NTILE agreement over a 1M-row unique total
+    # order (remainder-bucket placement must match cross-engine)
+    _check(spark, sf1_dir, "eval_qini_uplift", ["events"])
+
+
+def test_eval_krippendorff_alpha_sf1(spark, sf1_dir):
+    # ~2.25M ratings; per-unit nano terms <= 6e9 x 1M units ~ 6e15 in
+    # the D_o sum — inside int64; D_e marginal products ~ (1e6)^2 =
+    # 1e12 reach the double tree exactly (< 2^53)
+    _check(spark, sf1_dir, "eval_krippendorff_alpha", ["events"])

@@ -217,6 +217,9 @@ ALLOW_NESTED_LOOP = {
     # table (w >= t is a non-equi predicate over a single row —
     # O(pairs) filter work, no pair blowup)
     "graph_adamic_adar",
+    # 1-row pooled-marginals (D_e) frame cross-joined into the single
+    # alpha readout row — O(1) work
+    "eval_krippendorff_alpha",
 }
 
 # Entries whose Python seam is a SQL UDTF (U5): Spark executes Python
