@@ -326,6 +326,12 @@ HEADLINE = [
     "events_brown_forsythe",
     "eval_qini_uplift",
     "eval_krippendorff_alpha",
+    # round-8 fourth batch: panel fixed-effects, term burstiness,
+    # tokenizer-budget audit, Weibull median-rank fit
+    "events_panel_within",
+    "text_burstiness",
+    "corpus_tokenizer_audit",
+    "orders_weibull_fit",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -388,6 +394,13 @@ MIN_OF_3 = {
     "jsonl_quarantine_scan",
     "graph_hits",
     "text_textrank_keywords",
+    # single-run tail entries measured 1.5-2x over their solo steady
+    # state in the r8 continued-session pair (croston 3.95 vs ~2
+    # solo; adamic-adar 5.5 vs 3.6; k-core 4.5 vs 3.5) — guarantee
+    # the damping runs regardless of the min-of-2 budget position
+    "part_croston_demand",
+    "graph_adamic_adar",
+    "graph_k_core",
 }
 
 

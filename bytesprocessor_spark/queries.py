@@ -674,6 +674,10 @@ _CHECK_ORDER = [
     "events_brown_forsythe",
     "eval_qini_uplift",
     "eval_krippendorff_alpha",
+    "events_panel_within",
+    "text_burstiness",
+    "corpus_tokenizer_audit",
+    "orders_weibull_fit",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

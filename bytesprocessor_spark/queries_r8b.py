@@ -1872,3 +1872,440 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(de_val * 1000000).cast("long").alias("de_micro"),
         F.round((1.0 - do_val / de_val) * 1000000).cast("long").alias("alpha_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A93: panel fixed-effects (within) estimator
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_panel_within",
+    """
+    WITH e AS (
+      SELECT user_id AS u, ISODOW(CAST(ts AS DATE)) AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    peru AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM e GROUP BY u
+    ),
+    terms AS (
+      SELECT n, sx, sy, sxy, sxx,
+        CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS num_micro,
+        CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS den_micro
+      FROM peru
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(num_micro) AS BIGINT) AS wnum,
+             CAST(SUM(den_micro) AS BIGINT) AS wden,
+             CAST(SUM(sx) AS BIGINT) AS gsx, CAST(SUM(sy) AS BIGINT) AS gsy,
+             CAST(SUM(sxy) AS BIGINT) AS gsxy,
+             CAST(SUM(sxx) AS BIGINT) AS gsxx
+      FROM terms
+    )
+    SELECT n_users, n_rows,
+      CAST(ROUND(CAST(wnum AS DOUBLE) / CAST(wden AS DOUBLE) * 1000000)
+           AS BIGINT) AS beta_within_micro,
+      CAST(ROUND(
+        (CAST(n_rows AS DOUBLE) * CAST(gsxy AS DOUBLE)
+         - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))
+        / (CAST(n_rows AS DOUBLE) * CAST(gsxx AS DOUBLE)
+           - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE))
+        * 1000000) AS BIGINT) AS beta_pooled_micro
+    FROM g
+    """,
+)
+def events_panel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A93 — panel fixed-effects (within) estimator: the slope of
+    value on weekday AFTER removing per-user level differences —
+    the workhorse of metric econometrics (A70's OLS pools users, so
+    heavy users' levels confound the slope; the within transform
+    y−ȳ_u, x−x̄_u is algebraically the user-fixed-effects
+    regression).  Reported next to the pooled slope: the gap IS the
+    confound.
+
+    Determinism: per-user moments (n, Σx, Σy, Σxy, Σxx) are exact
+    int64; each user's demeaned cross/sum-of-squares contribution
+    (n·Σxy − ΣxΣy)/n is one double expression micro-quantized BEFORE
+    the cross-user sum (the A88 device); both betas are single
+    divisions over int64 totals.
+
+    Scale shape: one user-keyed hash aggregate absorbs the corpus
+    (map-side combinable); the term table is entity-bounded; readout
+    is 1 row.  Bound: per-user micro terms ~1e13 x 5e4 users at sf1
+    stays inside int64 (documented rescale path: drop to milli past
+    ~1e9 users)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        (F.expr("weekday(ts)") + 1).cast("long").alias("x"),
+        cents(F.col("value")).alias("y"),
+    )
+    peru = e.groupBy("u").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nD = F.col("n").cast("double")
+    num_micro = F.round(
+        (nD * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / nD
+        * 1000000
+    ).cast("long")
+    den_micro = F.round(
+        (nD * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / nD
+        * 1000000
+    ).cast("long")
+    g = peru.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(num_micro).cast("long").alias("wnum"),
+        F.sum(den_micro).cast("long").alias("wden"),
+        F.sum("sx").cast("long").alias("gsx"),
+        F.sum("sy").cast("long").alias("gsy"),
+        F.sum("sxy").cast("long").alias("gsxy"),
+        F.sum("sxx").cast("long").alias("gsxx"),
+    )
+    nrD = F.col("n_rows").cast("double")
+    pooled = (
+        nrD * F.col("gsxy").cast("double")
+        - F.col("gsx").cast("double") * F.col("gsy").cast("double")
+    ) / (
+        nrD * F.col("gsxx").cast("double")
+        - F.col("gsx").cast("double") * F.col("gsx").cast("double")
+    )
+    return g.select(
+        "n_users",
+        "n_rows",
+        F.round(F.col("wnum").cast("double") / F.col("wden").cast("double") * 1000000)
+        .cast("long")
+        .alias("beta_within_micro"),
+        F.round(pooled * 1000000).cast("long").alias("beta_pooled_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L28: term burstiness (variance-to-mean over containing docs)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_burstiness",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             unnest([x for x in regexp_split_to_array(lower(text),
+                     '[^a-z0-9]+') if len(x) >= 3]) AS w
+      FROM documents
+    ),
+    c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM d GROUP BY doc_id, w),
+    s AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM c GROUP BY w HAVING COUNT(*) >= 5
+    )
+    SELECT w AS term, df, s1 AS total_count,
+      CAST(ROUND(
+        ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+            / CAST(df AS DOUBLE)) / CAST(df - 1 AS DOUBLE))
+        / (CAST(s1 AS DOUBLE) / CAST(df AS DOUBLE))
+        * 1000000) AS BIGINT) AS vmr_micro
+    FROM s
+    ORDER BY vmr_micro DESC, term LIMIT 15
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 — term burstiness (Church & Gale): the variance-to-mean
+    ratio of a term's per-document counts over the documents that
+    CONTAIN it.  Content words are bursty (VMR >> 1: once a doc
+    mentions them, it mentions them repeatedly); function words are
+    Poisson-ish (VMR ~ 1).  The statistic behind burstiness-aware
+    term weighting and stopword discovery — a different axis than
+    frequency (L4d) or distinctiveness (L4q): a rare term can still
+    be non-bursty.
+
+    Determinism: per-(doc, term) counts and the per-term moments
+    (df, Σc, Σc²) are exact int64; VMR is one fixed double tree,
+    micro-quantized; top-k ties break on the term.
+
+    Scale shape: map-only tokenize + explode on the text scan, one
+    (doc, term) aggregate, one term rollup (vocabulary-bounded), a
+    distributed TakeOrdered readout.  df >= 5 keeps the estimator
+    out of the small-sample regime."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: F.length(t) >= 3,
+    )
+    d = docs.select("doc_id", F.explode(ws).alias("w"))
+    c = d.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("c"))
+    s = (
+        c.groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("c").cast("long").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        )
+        .where(F.col("df") >= 5)
+    )
+    dfD, s1D, s2D = (
+        F.col("df").cast("double"),
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+    )
+    vmr = ((s2D - s1D * s1D / dfD) / (F.col("df") - 1).cast("double")) / (s1D / dfD)
+    return (
+        s.select(
+            F.col("w").alias("term"),
+            "df",
+            F.col("s1").alias("total_count"),
+            F.round(vmr * 1000000).cast("long").alias("vmr_micro"),
+        )
+        .orderBy(F.col("vmr_micro").desc(), "term")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L29: per-source tokenizer-budget audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_tokenizer_audit",
+    """
+    WITH d AS (
+      SELECT source,
+             len([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                  if len(x) > 0]) AS n_toks,
+             CAST(COALESCE(list_sum(
+               [len(x) for x in regexp_split_to_array(lower(text),
+                '[^a-z0-9]+') if len(x) > 0]), 0) AS BIGINT) AS tok_chars,
+             strlen(text) AS n_bytes
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(tok_chars, 0)) AS BIGINT) AS n_tok_chars,
+             CAST(SUM(n_bytes) AS BIGINT) AS n_bytes
+      FROM d GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, n_tok_chars, n_bytes,
+      CAST(ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1000)
+           AS BIGINT) AS toks_per_doc_milli,
+      CAST(ROUND(CAST(n_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           * 1000) AS BIGINT) AS chars_per_tok_milli,
+      CAST(ROUND(CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000)
+           AS BIGINT) AS bytes_per_tok_milli
+    FROM s ORDER BY source
+    """,
+)
+def corpus_tokenizer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29 — per-source tokenizer-budget audit: docs, tokens, token
+    chars, raw bytes, and the three budget ratios (tokens/doc,
+    chars/token = fertility, bytes/token) per corpus source — the
+    read a pretraining-data team runs to price each source in token
+    budget terms and spot fertility outliers (a source whose
+    bytes/token is 2x the rest is binary-ish or non-language).  L26
+    prices the vocab; this prices the SOURCES.
+
+    Determinism: all five counters are exact int64; ratios are single
+    divisions milli-quantized.
+
+    Scale shape: map-only tokenize on the scan (counts only — token
+    strings never shuffle), one source-keyed aggregate; readout is
+    k-source rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: F.length(t) > 0,
+    )
+    d = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("tok_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("tok_chars").cast("long").alias("n_tok_chars"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_tok_chars",
+        "n_bytes",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs").cast("double") * 1000)
+        .cast("long")
+        .alias("toks_per_doc_milli"),
+        F.round(
+            F.col("n_tok_chars").cast("double") / F.col("n_tokens").cast("double") * 1000
+        )
+        .cast("long")
+        .alias("chars_per_tok_milli"),
+        F.round(F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double") * 1000)
+        .cast("long")
+        .alias("bytes_per_tok_milli"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# A94: Weibull survival fit by median-rank regression
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_weibull_fit",
+    """
+    WITH d AS (
+      SELECT CAST(DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                            CAST(s.first_ship AS DATE)) AS BIGINT) AS t,
+             o.o_orderkey AS k
+      FROM orders o
+      JOIN (SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+            FROM lineitem GROUP BY l_orderkey) s
+        ON o.o_orderkey = s.l_orderkey
+      WHERE DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                      CAST(s.first_ship AS DATE)) >= 1
+    ),
+    r AS (
+      SELECT t, ROW_NUMBER() OVER (ORDER BY t, k) AS i,
+             COUNT(*) OVER () AS n
+      FROM d
+    ),
+    q AS (
+      SELECT
+        CAST(ROUND(LN(CAST(t AS DOUBLE)) * 10000) AS BIGINT) AS xq,
+        CAST(ROUND(LN(-LN(1.0 - (CAST(i AS DOUBLE) - 0.3)
+                              / (CAST(n AS DOUBLE) + 0.4))) * 10000)
+             AS BIGINT) AS yq,
+        n
+      FROM r
+    ),
+    m AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+             CAST(SUM(xq * xq) AS BIGINT) AS sxx
+      FROM q
+    )
+    SELECT n,
+      CAST(ROUND(
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000) AS BIGINT)
+        AS shape_milli,
+      CAST(ROUND(EXP(
+        -((CAST(sy AS DOUBLE) / 10000.0
+           - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE) / 10000.0) / CAST(n AS DOUBLE))
+        / ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+        * 1000) AS BIGINT) AS scale_days_milli
+    FROM m
+    """,
+)
+def orders_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A94 — parametric Weibull fit of time-to-first-shipment by
+    median-rank regression (the probability-plot method): plot
+    ln(t) against ln(-ln(1-F_i)) with Bernard's median-rank
+    F_i = (i-0.3)/(n+0.4) and fit a line — slope = Weibull shape k
+    (k<1 infant-mortality hazard, k~1 exponential/memoryless, k>1
+    wear-out), intercept gives scale lambda = exp(-b/k).  A37's
+    Kaplan-Meier is the non-parametric curve, A88's log-rank compares
+    two curves; this COMPRESSES the curve to two interpretable
+    parameters a capacity model can extrapolate with.
+
+    Determinism: the plot coordinates are each quantized to 1e-4
+    BEFORE the moment sums, so Σx, Σy, Σxy, Σxx are exact int64
+    (products of 5e4-scale ints x 1.5M rows stay under 2^63 — the
+    1e-4 grid is why outputs are milli-, not micro-, quantized);
+    shape and scale are fixed double trees over those five integers.
+
+    Scale shape: the orderkey equi-join (Q3's shuffle), one global
+    rank window over the duration column (the same
+    sort-once-then-aggregate posture as EV25's deciles), one moment
+    aggregate; readout 1 row.  t >= 1 day keeps ln defined
+    (same-day shipments belong to a point mass a two-part model
+    would handle separately)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    d = (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .select(
+            F.datediff(
+                F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("long")
+            .alias("t"),
+            F.col("o_orderkey").alias("k"),
+        )
+        .where(F.col("t") >= 1)
+    )
+    w_rank = Window.orderBy("t", "k")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = d.select(
+        "t",
+        F.row_number().over(w_rank).cast("long").alias("i"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    xq = F.round(F.log(F.col("t").cast("double")) * 10000).cast("long")
+    yq = F.round(
+        F.log(
+            -F.log(
+                1.0
+                - (F.col("i").cast("double") - 0.3) / (F.col("n").cast("double") + 0.4)
+            )
+        )
+        * 10000
+    ).cast("long")
+    q = r.select(xq.alias("xq"), yq.alias("yq"), "n")
+    m = q.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    nD = F.col("n").cast("double")
+    slope = (
+        nD * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nD * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") / 10000.0
+        - slope * F.col("sx").cast("double") / 10000.0
+    ) / nD
+    return m.select(
+        "n",
+        F.round(slope * 1000).cast("long").alias("shape_milli"),
+        F.round(F.exp(-intercept / slope) * 1000).cast("long").alias("scale_days_milli"),
+    )

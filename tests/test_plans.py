@@ -1412,3 +1412,43 @@ def test_krippendorff_hash_aggs_only(spark):
     assert_plan(df, forbid_cartesian=True)
     plan = executed_plan(df)
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_panel_within_single_user_aggregate(spark):
+    """A93: one user-keyed hash aggregate absorbs the corpus; both
+    betas come from one global rollup of the entity-bounded term
+    table; no join."""
+    df = QUERIES["events_panel_within"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_burstiness_vocab_rollup_takeordered(spark):
+    """L28: (doc, term) aggregate then a vocabulary-bounded term
+    rollup; top-k plans as TakeOrderedAndProject; no join; only the
+    two needed columns scanned."""
+    df = QUERIES["text_burstiness"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_tokenizer_audit_map_only_counters(spark):
+    """L29: token counting is map-only on the scan (token strings
+    never shuffle); one source-keyed aggregate; no join."""
+    df = QUERIES["corpus_tokenizer_audit"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_weibull_orderkey_join_then_moments(spark):
+    """A94: the orderkey equi-join is the only corpus-sized op; the
+    rank window and moment aggregate run over the duration column."""
+    df = QUERIES["orders_weibull_fit"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))

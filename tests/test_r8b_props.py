@@ -701,3 +701,153 @@ def test_krippendorff_alpha_matches_bruteforce(spark, tmp_path):
     )
     assert row["de_micro"] == _half_away(de * 1_000_000)
     assert row["alpha_micro"] == _half_away((1.0 - do / de) * 1_000_000)
+
+
+# --- fourth batch: panel FE / burstiness / tokenizer audit / Weibull ---
+
+
+def test_panel_within_vs_pooled_hand_case(spark, tmp_path):
+    """A93: within slope removes the user level confound the pooled
+    slope absorbs; both equal the python formulas."""
+    d = str(tmp_path)
+    # UNBALANCED design: the high-level user is observed on later
+    # weekdays, so the pooled slope absorbs the level difference
+    # (user 1: Tue 10.00, Wed 10.01; user 2: Mon 1.00, Tue 1.01)
+    rows = [
+        (1, "2024-01-02 09:00:00", 1, "view", 10.00, "{}"),
+        (2, "2024-01-03 09:00:00", 1, "view", 10.01, "{}"),
+        (3, "2024-01-01 09:00:00", 2, "view", 1.00, "{}"),
+        (4, "2024-01-02 09:00:00", 2, "view", 1.01, "{}"),
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_panel_within", d, ["events"])
+    row = sdf.iloc[0]
+    users = {1: [(2, 1000), (3, 1001)], 2: [(1, 100), (2, 101)]}
+    wnum = wden = 0
+    gs = dict(n=0, sx=0, sy=0, sxy=0, sxx=0)
+    for pts in users.values():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        wnum += _half_away((n * sxy - sx * sy) / n * 1e6)
+        wden += _half_away((n * sxx - sx * sx) / n * 1e6)
+        gs["n"] += n
+        gs["sx"] += sx
+        gs["sy"] += sy
+        gs["sxy"] += sxy
+        gs["sxx"] += sxx
+    beta_w = wnum / wden
+    beta_p = (gs["n"] * gs["sxy"] - gs["sx"] * gs["sy"]) / (
+        gs["n"] * gs["sxx"] - gs["sx"] * gs["sx"]
+    )
+    assert row["n_users"] == 2 and row["n_rows"] == 4
+    assert row["beta_within_micro"] == _half_away(beta_w * 1e6)
+    assert row["beta_pooled_micro"] == _half_away(beta_p * 1e6)
+    # the fixture is built so the confound flips magnitude visibly
+    assert abs(row["beta_within_micro"]) < abs(row["beta_pooled_micro"])
+
+
+def test_burstiness_vmr_hand_case(spark, tmp_path):
+    """L28: VMR of per-containing-doc counts matches the formula; the
+    df >= 5 floor excludes thin terms."""
+    d = str(tmp_path)
+    # 'zap' appears in 5 docs with counts [4,1,1,1,1] (bursty);
+    # 'flat' in 5 docs with counts [1,1,1,1,1] (VMR 0 under n-1 var);
+    # 'thin' in only 2 docs -> excluded
+    docs = []
+    for i in range(5):
+        zap = " ".join(["zap"] * (4 if i == 0 else 1))
+        extra = " thin" if i < 2 else ""
+        docs.append((i, f"{zap} flat{extra}", "en", "s", 20))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    sdf = _cross_check(spark, "text_burstiness", d, ["documents"])
+    got = {r["term"]: r for _, r in sdf.iterrows()}
+    assert "thin" not in got
+    c = [4, 1, 1, 1, 1]
+    s1, s2, df = sum(c), sum(x * x for x in c), len(c)
+    vmr = ((s2 - s1 * s1 / df) / (df - 1)) / (s1 / df)
+    assert got["zap"]["vmr_micro"] == _half_away(vmr * 1e6)
+    assert got["zap"]["df"] == 5 and got["zap"]["total_count"] == 8
+    assert got["flat"]["vmr_micro"] == 0
+
+
+def test_tokenizer_audit_ratios(spark, tmp_path):
+    """L29: counts and the three budget ratios per source."""
+    d = str(tmp_path)
+    docs = [
+        (1, "Hello world", "en", "web", 11),   # 2 toks, 10 tok chars
+        (2, "a bb ccc", "en", "web", 8),        # 3 toks, 6 tok chars
+        (3, "xx yy", "en", "book", 5),          # 2 toks, 4 tok chars
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    sdf = _cross_check(spark, "corpus_tokenizer_audit", d, ["documents"])
+    web = sdf[sdf["source"] == "web"].iloc[0]
+    assert (web["n_docs"], web["n_tokens"], web["n_tok_chars"]) == (2, 5, 16)
+    assert web["n_bytes"] == 11 + 8
+    assert web["toks_per_doc_milli"] == _half_away(5 / 2 * 1000)
+    assert web["chars_per_tok_milli"] == _half_away(16 / 5 * 1000)
+    assert web["bytes_per_tok_milli"] == _half_away(19 / 5 * 1000)
+
+
+def test_weibull_fit_recovers_exponential(spark, tmp_path):
+    """A94: median-rank regression on a small fixture equals the
+    python replay (same 1e-4 plot-coordinate quantization), and a
+    geometric-ish duration sample fits shape near 1."""
+    d = str(tmp_path)
+    durations = [1, 1, 2, 2, 3, 4, 5, 7, 9, 13]  # exponential-ish
+    orows, lrows = [], []
+    for i, t in enumerate(durations):
+        orows.append((i, 1, "F", 1.0, "1995-01-01 00:00:00", "5-LOW"))
+        mm, dd = 1 + t // 28, 1 + t % 28
+        lrows.append(
+            (i, 1, 1, 1.0, 1.0, 0.0, "N", "O", f"1995-{mm:02d}-{dd:02d} 00:00:00")
+        )
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    sdf = _cross_check(spark, "orders_weibull_fit", d, ["orders", "lineitem"])
+    row = sdf.iloc[0]
+
+    import datetime
+
+    ts = []
+    for i, t in enumerate(durations):
+        mm, dd = 1 + t // 28, 1 + t % 28
+        days = (datetime.date(1995, mm, dd) - datetime.date(1995, 1, 1)).days
+        if days >= 1:
+            ts.append((days, i))
+    ts.sort()
+    n = len(ts)
+    xs, ys = [], []
+    for rank, (t, _) in enumerate(ts, start=1):
+        xs.append(_half_away(math.log(t) * 10000))
+        f = (rank - 0.3) / (n + 0.4)
+        ys.append(_half_away(math.log(-math.log(1 - f)) * 10000))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy / 10000.0 - slope * sx / 10000.0) / n
+    assert row["n"] == n
+    assert row["shape_milli"] == _half_away(slope * 1000)
+    assert row["scale_days_milli"] == _half_away(math.exp(-intercept / slope) * 1000)
+    # an exponential-ish sample should land near shape 1
+    assert 500 <= row["shape_milli"] <= 1800

@@ -272,3 +272,17 @@ def test_eval_krippendorff_alpha_sf1(spark, sf1_dir):
     # the D_o sum — inside int64; D_e marginal products ~ (1e6)^2 =
     # 1e12 reach the double tree exactly (< 2^53)
     _check(spark, sf1_dir, "eval_krippendorff_alpha", ["events"])
+
+
+def test_events_panel_within_sf1(spark, sf1_dir):
+    # per-user micro terms: (n*Sxy - SxSy)/n ~ 1e7 x 1e6 quantum =
+    # 1e13, x 5e4 users ~ 5e17 in the cross-user sum — inside int64
+    # (documented rescale to milli past ~1e9 users)
+    _check(spark, sf1_dir, "events_panel_within", ["events"])
+
+
+def test_eval_qini_and_weibull_rank_windows_sf1(spark, sf1_dir):
+    # Weibull: 1e-4-quantized plot coords -> products ~2.5e9 x 6M
+    # rows ~ 1.5e16 in Sxy — inside int64; the global rank window at
+    # sf1 volume is the stress
+    _check(spark, sf1_dir, "orders_weibull_fit", ["orders", "lineitem"])
