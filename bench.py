@@ -332,6 +332,10 @@ HEADLINE = [
     "text_burstiness",
     "corpus_tokenizer_audit",
     "orders_weibull_fit",
+    # round-8 fifth batch: capture-recapture coverage estimate,
+    # Bradley-Terry preference fit
+    "events_capture_recapture",
+    "eval_bradley_terry",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -678,6 +678,8 @@ _CHECK_ORDER = [
     "text_burstiness",
     "corpus_tokenizer_audit",
     "orders_weibull_fit",
+    "events_capture_recapture",
+    "eval_bradley_terry",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

@@ -2309,3 +2309,270 @@ def orders_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope * 1000).cast("long").alias("shape_milli"),
         F.round(F.exp(-intercept / slope) * 1000).cast("long").alias("scale_days_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A95: capture-recapture (Lincoln-Petersen / Chapman) population estimate
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_capture_recapture",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS in_b
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(in_b) AS BIGINT) AS n_b,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_ab,
+             CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM u
+    )
+    SELECT n_a, n_b, n_ab, n_true,
+      CAST(ROUND((CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+           / CAST(n_ab + 1 AS DOUBLE) - 1.0) * 1000) AS BIGINT)
+        AS chapman_est_milli,
+      CAST(ROUND(
+        (CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+         * CAST(n_a - n_ab AS DOUBLE) * CAST(n_b - n_ab AS DOUBLE))
+        / (CAST(n_ab + 1 AS DOUBLE) * CAST(n_ab + 1 AS DOUBLE)
+           * CAST(n_ab + 2 AS DOUBLE)) * 1000) AS BIGINT)
+        AS var_est_milli
+    FROM m
+    """,
+)
+def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A95 — capture-recapture population estimation (Chapman's
+    bias-corrected Lincoln-Petersen): estimate the TRUE number of
+    distinct users from two INDEPENDENT partial observation channels
+    (samples A and B; the overlap n_ab calibrates each channel's
+    coverage).  The estimator behind "how many users/entities/dupes
+    did we NOT see" questions — coverage estimation for logging
+    pipelines, crawl frontiers, and dedup completeness — where A32's
+    KMV estimates the distinct count of what WAS seen, this estimates
+    what WASN'T.  The fixture's ground truth (n_true) rides along so
+    the estimate is auditable.
+
+    N_hat = (n_a+1)(n_b+1)/(n_ab+1) − 1, with Chapman's variance.
+    All four counts exact int64 from one user rollup; both outputs
+    fixed double trees, milli-quantized (the +1s keep the estimator
+    defined at zero overlap).
+
+    Scale shape: one user-keyed hash aggregate (map-side combinable
+    MAX flags), one 4-counter global rollup; readout 1 row."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_id") % 3 == 0, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("event_id") % 5 == 0, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    m = u.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_ab"),
+        F.count("*").cast("long").alias("n_true"),
+    )
+    naD = (F.col("n_a") + 1).cast("double")
+    nbD = (F.col("n_b") + 1).cast("double")
+    nabD = (F.col("n_ab") + 1).cast("double")
+    est = naD * nbD / nabD - 1.0
+    var = (
+        naD
+        * nbD
+        * (F.col("n_a") - F.col("n_ab")).cast("double")
+        * (F.col("n_b") - F.col("n_ab")).cast("double")
+    ) / (nabD * nabD * (F.col("n_ab") + 2).cast("double"))
+    return m.select(
+        "n_a",
+        "n_b",
+        "n_ab",
+        "n_true",
+        F.round(est * 1000).cast("long").alias("chapman_est_milli"),
+        F.round(var * 1000).cast("long").alias("var_est_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV27: Bradley-Terry preference-strength fit (fixed MM iterations)
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 3
+
+
+def _duck_bt_sql(n_iter: int = _BT_ITERS) -> str:
+    """DuckDB replay of the integer fixed-point MM iterations."""
+    parts = [
+        """
+    WITH daily AS (
+      SELECT event_type AS item, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    duel AS (
+      SELECT a.item AS i, b.item AS j,
+             CAST(SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) AS BIGINT) AS w_f,
+             CAST(SUM(CASE WHEN b.v > a.v THEN 1 ELSE 0 END) AS BIGINT) AS w_r
+      FROM daily a JOIN daily b ON a.day = b.day AND a.item < b.item
+      GROUP BY a.item, b.item
+    ),
+    np AS (
+      SELECT i, j, w_f AS w_ij, w_f + w_r AS n_ij FROM duel
+      UNION ALL
+      SELECT j AS i, i AS j, w_r AS w_ij, w_f + w_r AS n_ij FROM duel
+    ),
+    items AS (SELECT DISTINCT i AS item FROM np),
+    p0 AS (SELECT item, CAST(1000000000 AS BIGINT) AS p FROM items)"""
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    upd{it} AS (
+      SELECT np.i AS item,
+             CAST(SUM(np.w_ij) AS BIGINT) AS wins,
+             CAST(SUM(CAST(ROUND(CAST(np.n_ij AS DOUBLE)
+                  / (CAST(pi.p AS DOUBLE) + CAST(pj.p AS DOUBLE))
+                  * 1000000000) AS BIGINT)) AS BIGINT) AS denom_nano
+      FROM np
+      JOIN p{it - 1} pi ON np.i = pi.item
+      JOIN p{it - 1} pj ON np.j = pj.item
+      GROUP BY np.i
+    ),
+    raw{it} AS (
+      SELECT item,
+             CAST(ROUND(CAST(wins AS DOUBLE)
+                  / (CAST(denom_nano AS DOUBLE) / 1000000000.0)
+                  * 1000000000) AS BIGINT) AS p
+      FROM upd{it}
+    ),
+    p{it} AS (
+      SELECT item,
+             CAST(ROUND(CAST(p AS DOUBLE)
+                  / (SELECT CAST(SUM(p) AS DOUBLE) FROM raw{it})
+                  * 5000000000) AS BIGINT) AS p
+      FROM raw{it}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT item, p AS strength_nano,
+           ROW_NUMBER() OVER (ORDER BY p DESC, item) AS rank
+    FROM p{n_iter} ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+@query("eval_bradley_terry", _duck_bt_sql())
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV27 — Bradley-Terry preference-strength fit: turn PAIRWISE
+    win/loss records into a consistent per-item strength ranking —
+    the model behind preference-data aggregation (LLM judge A-vs-B
+    verdicts, ranker comparisons, match outcomes).  Win matrix: for
+    each day, type i beats type j when its daily value total is
+    higher; strengths fit by the standard MM algorithm
+    p_i <- W_i / Σ_j n_ij/(p_i+p_j), FIXED 3 iterations.
+
+    Determinism (the GR9 fixed-round device): each iteration's
+    denominator terms quantize to nano BEFORE the per-item sum, the
+    raw strengths re-quantize, and the renormalization (Σp pinned to
+    5e9) is itself a quantized fixed tree — the trajectory is
+    bit-identical across engines, so the oracle replays it as
+    unrolled CTEs.
+
+    Scale shape: the duel table is one (item, day) aggregate plus a
+    day-keyed self-join bounded by items-per-day (k²·days rows, never
+    corpus-scale); each MM iteration joins the k²-row pair table to
+    the k-row strength table.  At 100 TB the corpus is touched once
+    (the daily aggregate); the fit runs on the bounded duel matrix."""
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("item"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    duel = (
+        a.join(b, (F.col("a.day") == F.col("b.day")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(
+            F.sum(F.when(F.col("a.v") > F.col("b.v"), 1).otherwise(0))
+            .cast("long")
+            .alias("w_f"),
+            F.sum(F.when(F.col("b.v") > F.col("a.v"), 1).otherwise(0))
+            .cast("long")
+            .alias("w_r"),
+        )
+    )
+    # directed (i, j) pair table: wins of i over j + duel totals
+    np_tbl = persist_intermediate(
+        duel.select(
+            "i",
+            "j",
+            F.col("w_f").alias("w_ij"),
+            (F.col("w_f") + F.col("w_r")).cast("long").alias("n_ij"),
+        ).unionByName(
+            duel.select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                F.col("w_r").alias("w_ij"),
+                (F.col("w_f") + F.col("w_r")).cast("long").alias("n_ij"),
+            )
+        )
+    )
+    items = persist_intermediate(np_tbl.select(F.col("i").alias("item")).distinct())
+    p = items.withColumn("p", F.lit(1_000_000_000).cast("long"))
+    for _ in range(_BT_ITERS):
+        pi = p.withColumnRenamed("item", "i").withColumnRenamed("p", "p_i")
+        pj = p.withColumnRenamed("item", "j").withColumnRenamed("p", "p_j")
+        upd = (
+            np_tbl.join(pi, "i")
+            .join(pj, "j")
+            .groupBy(F.col("i").alias("item"))
+            .agg(
+                F.sum("w_ij").cast("long").alias("wins"),
+                F.sum(
+                    F.round(
+                        F.col("n_ij").cast("double")
+                        / (F.col("p_i").cast("double") + F.col("p_j").cast("double"))
+                        * 1e9
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("denom_nano"),
+            )
+        )
+        raw = upd.select(
+            "item",
+            F.round(
+                F.col("wins").cast("double")
+                / (F.col("denom_nano").cast("double") / 1e9)
+                * 1e9
+            )
+            .cast("long")
+            .alias("p"),
+        )
+        w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        p = raw.select(
+            "item",
+            F.round(
+                F.col("p").cast("double")
+                / F.sum("p").over(w_all).cast("double")
+                * 5_000_000_000
+            )
+            .cast("long")
+            .alias("p"),
+        )
+    w_rank = Window.orderBy(F.col("p").desc(), "item")
+    return p.select(
+        "item",
+        F.col("p").alias("strength_nano"),
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+    ).orderBy("rank")

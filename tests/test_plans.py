@@ -1452,3 +1452,24 @@ def test_weibull_orderkey_join_then_moments(spark):
     plan = executed_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_capture_recapture_two_aggregates(spark):
+    """A95: one user-keyed rollup (map-side-combinable MAX flags) +
+    one 4-counter global rollup; no join."""
+    df = QUERIES["events_capture_recapture"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_bradley_terry_bounded_duel_iterations(spark):
+    """EV27: the daily aggregate absorbs the corpus; the duel build is
+    a day-keyed equi self-join bounded by items-per-day; each MM
+    iteration joins the k^2 pair table to the k-row strength table —
+    no cartesian, no nested loop."""
+    df = QUERIES["eval_bradley_terry"](spark, SF_DIR)
+    assert_plan(df, forbid_cartesian=True)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert all(len(c) <= 3 for c in scan_columns(df))

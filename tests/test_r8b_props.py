@@ -851,3 +851,86 @@ def test_weibull_fit_recovers_exponential(spark, tmp_path):
     assert row["scale_days_milli"] == _half_away(math.exp(-intercept / slope) * 1000)
     # an exponential-ish sample should land near shape 1
     assert 500 <= row["shape_milli"] <= 1800
+
+
+# --- fifth batch: capture-recapture / Bradley-Terry ---
+
+
+def test_capture_recapture_chapman_formula(spark, tmp_path):
+    """A95: Chapman estimate and variance from the two channel flags
+    equal the formulas; ground truth rides along."""
+    d = str(tmp_path)
+    # 12 users; user u's events have ids chosen to control channel
+    # membership: A = has an event_id % 3 == 0; B = % 5 == 0
+    ids_for_user = {
+        0: [3, 5], 1: [3], 2: [5], 3: [15], 4: [1], 5: [3, 10],
+        6: [9], 7: [25], 8: [7], 9: [30], 10: [2], 11: [45],
+    }
+    rows = []
+    for u, ids in ids_for_user.items():
+        for i in ids:
+            # make ids unique per row while preserving i mod 15
+            uid_offset = 15 * 100 * (u + 1)
+            rows.append((uid_offset + i, "2024-01-01 00:00:00", u, "view", 1.0, "{}"))
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_capture_recapture", d, ["events"])
+    row = sdf.iloc[0]
+
+    in_a = {u for u, ids in ids_for_user.items() if any(i % 3 == 0 for i in ids)}
+    in_b = {u for u, ids in ids_for_user.items() if any(i % 5 == 0 for i in ids)}
+    n_a, n_b, n_ab, n_true = len(in_a), len(in_b), len(in_a & in_b), 12
+    assert (row["n_a"], row["n_b"], row["n_ab"], row["n_true"]) == (
+        n_a, n_b, n_ab, n_true,
+    )
+    est = (n_a + 1) * (n_b + 1) / (n_ab + 1) - 1
+    var = ((n_a + 1) * (n_b + 1) * (n_a - n_ab) * (n_b - n_ab)) / (
+        (n_ab + 1) ** 2 * (n_ab + 2)
+    )
+    assert row["chapman_est_milli"] == _half_away(est * 1000)
+    assert row["var_est_milli"] == _half_away(var * 1000)
+
+
+def test_bradley_terry_matches_bruteforce(spark, tmp_path):
+    """EV27: the 3-iteration quantized MM trajectory equals a python
+    replay, and a dominant item ranks first."""
+    d = str(tmp_path)
+    # 3 types over 4 days; purchase always wins, click always loses
+    vals = {
+        "purchase": [30.0, 40.0, 50.0, 60.0],
+        "view": [20.0, 25.0, 55.0, 10.0],
+        "click": [10.0, 5.0, 8.0, 9.0],
+    }
+    rows, eid = [], 0
+    for t, per_day in vals.items():
+        for day, v in enumerate(per_day):
+            rows.append((eid, f"2024-01-{day + 1:02d} 10:00:00", 1, t, v, "{}"))
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "eval_bradley_terry", d, ["events"])
+
+    items = sorted(vals)
+    wins = {}
+    for x in items:
+        for y in items:
+            if x < y:
+                w_f = sum(1 for a, b in zip(vals[x], vals[y]) if a * 100 > b * 100)
+                w_r = sum(1 for a, b in zip(vals[x], vals[y]) if b * 100 > a * 100)
+                wins[(x, y)] = (w_f, w_f + w_r)
+                wins[(y, x)] = (w_r, w_f + w_r)
+    p = {i: 1_000_000_000 for i in items}
+    for _ in range(3):
+        raw = {}
+        for i in items:
+            w_i = sum(wins[(i, j)][0] for j in items if j != i)
+            denom_nano = sum(
+                _half_away(wins[(i, j)][1] / (p[i] + p[j]) * 1e9)
+                for j in items
+                if j != i
+            )
+            raw[i] = _half_away(w_i / (denom_nano / 1e9) * 1e9)
+        tot = sum(raw.values())
+        p = {i: _half_away(raw[i] / tot * 5_000_000_000) for i in items}
+    expect = sorted(p.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [(r["item"], r["strength_nano"]) for _, r in sdf.iterrows()]
+    assert got == expect
+    assert got[0][0] == "purchase" and got[-1][0] == "click"

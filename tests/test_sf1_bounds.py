@@ -286,3 +286,16 @@ def test_eval_qini_and_weibull_rank_windows_sf1(spark, sf1_dir):
     # rows ~ 1.5e16 in Sxy — inside int64; the global rank window at
     # sf1 volume is the stress
     _check(spark, sf1_dir, "orders_weibull_fit", ["orders", "lineitem"])
+
+
+def test_events_capture_recapture_sf1(spark, sf1_dir):
+    # pure counts at 50k users; sf1 stresses nothing numeric — it pins
+    # the flag-rollup determinism at dense ids
+    _check(spark, sf1_dir, "events_capture_recapture", ["events"])
+
+
+def test_eval_bradley_terry_sf1(spark, sf1_dir):
+    # per-pair denominator terms ~ n_ij/(p_i+p_j) ~ 30/(1e10) * 1e9 =
+    # 3 nano-units x k=4 js — the quantized MM trajectory must agree
+    # at 30 dense duel days
+    _check(spark, sf1_dir, "eval_bradley_terry", ["events"])
