@@ -336,6 +336,10 @@ HEADLINE = [
     # Bradley-Terry preference fit
     "events_capture_recapture",
     "eval_bradley_terry",
+    # round-8 sixth batch: extreme-value pair (Gumbel block maxima,
+    # peaks-over-threshold GPD)
+    "events_extreme_gumbel",
+    "events_peaks_over_threshold",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -680,6 +680,8 @@ _CHECK_ORDER = [
     "orders_weibull_fit",
     "events_capture_recapture",
     "eval_bradley_terry",
+    "events_extreme_gumbel",
+    "events_peaks_over_threshold",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

@@ -2576,3 +2576,204 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("strength_nano"),
         F.row_number().over(w_rank).cast("long").alias("rank"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# A96: Gumbel extreme-value fit on daily maxima (block maxima method)
+# ---------------------------------------------------------------------------
+
+_EULER_GAMMA = "0.5772156649015329"
+_PI = "3.141592653589793"
+
+@query(
+    "events_extreme_gumbel",
+    f"""
+    WITH dm AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS s1,
+             CAST(SUM(m * m) AS BIGINT) AS s2
+      FROM dm
+    )
+    SELECT n, s1, s2,
+      CAST(ROUND(
+        SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+        * SQRT(6.0) / {_PI} * 1000) AS BIGINT) AS beta_c_milli,
+      CAST(ROUND(
+        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+         - {_EULER_GAMMA}
+           * SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+           * SQRT(6.0) / {_PI}) * 1000) AS BIGINT) AS mu_c_milli,
+      CAST(ROUND(
+        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+         - {_EULER_GAMMA}
+           * SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+           * SQRT(6.0) / {_PI})
+        - SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+          * SQRT(6.0) / {_PI} * LN(-LN(0.99))
+        ) AS BIGINT) AS rl99_c
+    FROM s
+    """,
+)
+def events_extreme_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A96 — Gumbel (EV type I) fit on DAILY MAXIMA by the method of
+    moments: beta = s*sqrt(6)/pi, mu = mean - gamma*beta, and the
+    99% return level mu - beta*ln(-ln(0.99)) — "what daily peak
+    should we provision for" (percentiles of the raw distribution
+    systematically UNDER-state extremes; block maxima converge to
+    the EV family, which is the defensible extrapolation).  A14's
+    MAD flags today's outliers; this prices NEXT quarter's peak.
+
+    Determinism: daily maxima and their two moments are exact int64;
+    beta/mu/return-level are fixed double trees over (n, Σm, Σm²)
+    with sqrt/ln on literals — milli-quantized (the return level
+    rounds to whole cents: ln(-ln(.99)) is a shared literal
+    expression, identical in both engines).
+
+    Scale shape: one calendar-keyed max aggregate absorbs the corpus
+    (map-side combinable MAX), one 3-counter rollup over the
+    calendar-bounded daily table; readout 1 row."""
+    dm = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.max(cents(F.col("value"))).cast("long").alias("m"))
+    )
+    s = dm.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("s2"),
+    )
+    nD = F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / nD
+    ) / (F.col("n") - 1).cast("double")
+    import math as _math
+
+    beta = F.sqrt(var) * _math.sqrt(6.0) / _math.pi
+    mu = F.col("s1").cast("double") / nD - 0.5772156649015329 * beta
+    rl99 = mu - beta * _math.log(-_math.log(0.99))
+    return s.select(
+        "n",
+        "s1",
+        "s2",
+        F.round(beta * 1000).cast("long").alias("beta_c_milli"),
+        F.round(mu * 1000).cast("long").alias("mu_c_milli"),
+        F.round(rl99).cast("long").alias("rl99_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A97: peaks-over-threshold GPD fit (probability-weighted moments)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_peaks_over_threshold",
+    """
+    WITH v AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+    ),
+    th AS (SELECT CAST(quantile_disc(c, 0.95) AS BIGINT) AS u,
+                  CAST(COUNT(*) AS BIGINT) AS n_total FROM v),
+    exc AS (
+      SELECT v.c - th.u AS y, v.event_id, th.u, th.n_total
+      FROM v, th WHERE v.c > th.u
+    ),
+    rk AS (
+      SELECT y, u, n_total,
+             CAST(ROW_NUMBER() OVER (ORDER BY y, event_id) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM exc
+    ),
+    m AS (
+      SELECT CAST(MAX(u) AS BIGINT) AS u, CAST(MAX(n_total) AS BIGINT)
+               AS n_total,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s1,
+             CAST(SUM((i - 1) * y) AS BIGINT) AS sw
+      FROM rk
+    )
+    SELECT n, u AS threshold_c,
+      CAST(ROUND(
+        (2.0 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+             - 2.0 * CAST(sw AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+        * 1000000) AS BIGINT) AS xi_micro,
+      CAST(ROUND(
+        (2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sw AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+         / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+            - 2.0 * CAST(sw AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+        * 1000) AS BIGINT) AS sigma_c_milli
+    FROM m
+    """,
+)
+def events_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A97 — peaks-over-threshold: generalized Pareto fit to the
+    exceedances over the exact p95 threshold, by probability-weighted
+    moments (Hosking-Wallis): with b0 = mean(y) and
+    b1 = Σ(i-1)y_(i)/(n(n-1)) over the ASCENDING order statistics,
+    xi = 2 - b0/(b0-2b1) and sigma = 2*b0*b1/(b0-2b1).  The tail-
+    shape read behind A96's block-maxima fit: xi > 0 says the value
+    tail is heavy (power-law-ish — provision for multiples, not
+    increments), xi <= 0 says it is bounded/exponential.  POT uses
+    every exceedance where block maxima keep one point per day — the
+    higher-resolution member of the extreme-value pair.
+
+    Determinism: the threshold is percentile_disc (an actual data
+    point, exact int64); exceedances are exact ints; the weighted
+    moment Σ(i-1)·y_i is EXACT int64 over the unique (y, event_id)
+    order (no per-row quantization needed — the weights are
+    integers); xi/sigma are fixed double trees, micro/milli-quantized.
+
+    Scale shape: one pass for the threshold (bounded value domain),
+    one filtered scan for exceedances, one global rank window over
+    the ~5% tail (the EV25/A94 sort-once posture), one 5-counter
+    rollup; readout 1 row.  Bound: (i-1)*y at sf1 ~ 5e4 * 5.6e6 =
+    2.8e11 per row, 1.4e16 summed — inside int64 to ~sf30."""
+    v = _t(spark, sf_dir, "events").select("event_id", cents(F.col("value")).alias("c"))
+    th = v.agg(
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("u"),
+        F.count("*").cast("long").alias("n_total"),
+    )
+    exc = v.join(F.broadcast(th)).where(F.col("c") > F.col("u")).select(
+        (F.col("c") - F.col("u")).alias("y"), "event_id", "u", "n_total"
+    )
+    w_rank = Window.orderBy("y", "event_id")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rk = exc.select(
+        "y",
+        "u",
+        "n_total",
+        F.row_number().over(w_rank).cast("long").alias("i"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    m = rk.agg(
+        F.max("u").cast("long").alias("u"),
+        F.max("n_total").cast("long").alias("n_total"),
+        F.max("n").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum((F.col("i") - 1) * F.col("y")).cast("long").alias("sw"),
+    )
+    nD = F.col("n").cast("double")
+    b0 = F.col("s1").cast("double") / nD
+    b1 = F.col("sw").cast("double") / (nD * (F.col("n") - 1).cast("double"))
+    xi = 2.0 - b0 / (b0 - 2.0 * b1)
+    sigma = 2.0 * b0 * b1 / (b0 - 2.0 * b1)
+    return m.select(
+        "n",
+        F.col("u").alias("threshold_c"),
+        F.round(xi * 1000000).cast("long").alias("xi_micro"),
+        F.round(sigma * 1000).cast("long").alias("sigma_c_milli"),
+    )

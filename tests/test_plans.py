@@ -1473,3 +1473,22 @@ def test_bradley_terry_bounded_duel_iterations(spark):
     plan = executed_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert all(len(c) <= 3 for c in scan_columns(df))
+
+
+def test_gumbel_calendar_max_then_rollup(spark):
+    """A96: one calendar-keyed MAX aggregate absorbs the corpus; the
+    moment rollup runs over the daily table; no join."""
+    df = QUERIES["events_extreme_gumbel"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_pot_threshold_broadcast_then_tail_rank(spark):
+    """A97: the exact-p95 threshold is a 1-row broadcast onto the
+    scan (allowlisted non-equi filter); the rank window runs over the
+    ~5% tail only."""
+    df = QUERIES["events_peaks_over_threshold"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))

@@ -934,3 +934,61 @@ def test_bradley_terry_matches_bruteforce(spark, tmp_path):
     got = [(r["item"], r["strength_nano"]) for _, r in sdf.iterrows()]
     assert got == expect
     assert got[0][0] == "purchase" and got[-1][0] == "click"
+
+
+# --- sixth batch: extreme-value pair ---
+
+
+def test_gumbel_moments_formula(spark, tmp_path):
+    """A96: beta/mu/rl99 equal the method-of-moments formulas over
+    hand-built daily maxima."""
+    d = str(tmp_path)
+    # 4 days, daily max values 10.00 / 20.00 / 15.00 / 25.00
+    day_vals = {1: [10.0, 3.0], 2: [20.0, 5.0], 3: [15.0], 4: [25.0, 1.0]}
+    rows, eid = [], 0
+    for day, vs in day_vals.items():
+        for v in vs:
+            rows.append((eid, f"2024-01-{day:02d} 10:00:00", 1, "view", v, "{}"))
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_extreme_gumbel", d, ["events"])
+    row = sdf.iloc[0]
+    maxima = [1000, 2000, 1500, 2500]
+    n, s1, s2 = len(maxima), sum(maxima), sum(m * m for m in maxima)
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    beta = math.sqrt(var) * math.sqrt(6.0) / math.pi
+    mu = s1 / n - 0.5772156649015329 * beta
+    rl99 = mu - beta * math.log(-math.log(0.99))
+    assert (row["n"], row["s1"], row["s2"]) == (n, s1, s2)
+    assert row["beta_c_milli"] == _half_away(beta * 1000)
+    assert row["mu_c_milli"] == _half_away(mu * 1000)
+    assert row["rl99_c"] == _half_away(rl99)
+    # the 99% return level must exceed every observed daily max
+    assert row["rl99_c"] > max(maxima)
+
+
+def test_pot_gpd_pwm_formula(spark, tmp_path):
+    """A97: the PWM GPD fit over the exceedances of the exact p95
+    threshold equals the Hosking-Wallis formulas."""
+    d = str(tmp_path)
+    # 40 values 1..40 dollars -> cents 100..4000; p95 disc = 3800
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "view", float(i + 1), "{}") for i in range(40)
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_peaks_over_threshold", d, ["events"])
+    row = sdf.iloc[0]
+    cents_v = [(i + 1) * 100 for i in range(40)]
+    sv = sorted(cents_v)
+    u = sv[math.ceil(0.95 * len(sv)) - 1]
+    ys = sorted(c - u for c in cents_v if c > u)
+    n = len(ys)
+    s1 = sum(ys)
+    sw = sum(i * y for i, y in enumerate(ys))  # (rank-1)*y, rank from 1
+    b0 = s1 / n
+    b1 = sw / (n * (n - 1))
+    xi = 2.0 - b0 / (b0 - 2.0 * b1)
+    sigma = 2.0 * b0 * b1 / (b0 - 2.0 * b1)
+    assert (row["n"], row["threshold_c"]) == (n, u)
+    assert row["xi_micro"] == _half_away(xi * 1e6)
+    assert row["sigma_c_milli"] == _half_away(sigma * 1000)

@@ -299,3 +299,15 @@ def test_eval_bradley_terry_sf1(spark, sf1_dir):
     # 3 nano-units x k=4 js — the quantized MM trajectory must agree
     # at 30 dense duel days
     _check(spark, sf1_dir, "eval_bradley_terry", ["events"])
+
+
+def test_events_extreme_gumbel_sf1(spark, sf1_dir):
+    # daily-max moments: m^2 ~ 3.1e9 x 30 days — trivial; sf1 pins the
+    # MAX-rollup determinism at dense days
+    _check(spark, sf1_dir, "events_extreme_gumbel", ["events"])
+
+
+def test_events_peaks_over_threshold_sf1(spark, sf1_dir):
+    # the documented bound: (i-1)*y at 50k exceedances of <=2801-cent
+    # excess ~ 1.4e8 per row, ~3.5e12 summed — int64-safe to ~sf30
+    _check(spark, sf1_dir, "events_peaks_over_threshold", ["events"])

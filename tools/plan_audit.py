@@ -220,6 +220,9 @@ ALLOW_NESTED_LOOP = {
     # 1-row pooled-marginals (D_e) frame cross-joined into the single
     # alpha readout row — O(1) work
     "eval_krippendorff_alpha",
+    # 1-row exact-p95 threshold frame broadcast onto the scan (c > u
+    # is a non-equi predicate over a single row — O(rows) filter)
+    "events_peaks_over_threshold",
 }
 
 # Entries whose Python seam is a SQL UDTF (U5): Spark executes Python
