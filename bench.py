@@ -337,9 +337,10 @@ HEADLINE = [
     "events_capture_recapture",
     "eval_bradley_terry",
     # round-8 sixth batch: extreme-value pair (Gumbel block maxima,
-    # peaks-over-threshold GPD)
+    # peaks-over-threshold GPD), txnlog change-feed read
     "events_extreme_gumbel",
     "events_peaks_over_threshold",
+    "txnlog_changes_read",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -409,6 +410,8 @@ MIN_OF_3 = {
     "part_croston_demand",
     "graph_adamic_adar",
     "graph_k_core",
+    # eager fixture-writing txnlog rows (three commits + reads each)
+    "txnlog_changes_read",
 }
 
 

@@ -72,6 +72,9 @@ EAGER_QUERIES = frozenset({
     # S15+ oracle row: writes, compacts, and reads a temp txnlog
     # table at construction
     "txnlog_compact_read",
+    # S18 oracle row: writes three commits and reads the change feed
+    # at construction
+    "txnlog_changes_read",
 })
 
 
@@ -682,6 +685,7 @@ _CHECK_ORDER = [
     "eval_bradley_terry",
     "events_extreme_gumbel",
     "events_peaks_over_threshold",
+    "txnlog_changes_read",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

@@ -2777,3 +2777,75 @@ def events_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(xi * 1000000).cast("long").alias("xi_micro"),
         F.round(sigma * 1000).cast("long").alias("sigma_c_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S18: transaction-log incremental (change-feed) read
+# ---------------------------------------------------------------------------
+
+@query(
+    "txnlog_changes_read",
+    """
+    WITH base AS (
+      SELECT event_type,
+             event_id % 3 AS batch,
+             CAST(ROUND(value * 100) AS BIGINT) AS val_c
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN batch IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(CASE WHEN batch IN (1, 2) THEN val_c ELSE 0 END)
+                AS BIGINT) AS sum_changed_c,
+           CAST(SUM(1) AS BIGINT) AS n_snapshot
+    FROM base GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txnlog_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 — the transaction log's INCREMENTAL read as an oracle row:
+    three event slices land as three append commits (v0, v1, v2);
+    ``txn_changes(v0 -> v2)`` must return EXACTLY the rows of commits
+    v1+v2 — no v0 row leaking in, none of the delta lost — and the
+    full snapshot count rides along so the delta is checked AGAINST
+    the snapshot it belongs to.  This is the consumer loop of every
+    downstream incremental job (process the delta, advance the
+    high-water version): S15 gives snapshots and time travel, this
+    gives the change feed between them.
+
+    Scale shape: the change read scans ONLY the delta file set
+    resolved from two manifests — never the table directory; the
+    readout is a per-type aggregate over the delta."""
+    import os
+    import shutil
+    import tempfile
+
+    from bytesprocessor_spark.sources.txnlog import txn_changes, txn_read, txn_write
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("val_c")
+    )
+    workdir = tempfile.mkdtemp(prefix="bp_txncf_")
+    try:
+        t = os.path.join(workdir, "tbl")
+        for part in range(3):
+            txn_write(ev.where(F.col("event_id") % 3 == part), t)
+        delta = txn_changes(spark, t, from_version=0, to_version=2)
+        snap_n = (
+            txn_read(spark, t)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_snapshot"))
+        )
+        out = (
+            delta.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_changed"),
+                F.sum("val_c").cast("long").alias("sum_changed_c"),
+            )
+            .join(snap_n, "event_type")
+            .select("event_type", "n_changed", "sum_changed_c", "n_snapshot")
+            .orderBy("event_type")
+        )
+        # bounded localize (<= |event types| rows) so the temp table drops
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

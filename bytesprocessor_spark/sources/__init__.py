@@ -4,6 +4,7 @@ from bytesprocessor_spark.sources.tables import (
     load_table,
     load_tables,
     read_csv_tolerant,
+    read_json_tolerant,
     register_views,
     write_bucketed,
 )
@@ -12,6 +13,7 @@ from bytesprocessor_spark.sources.pcap import read_pcap, read_pcap_split, write_
 from bytesprocessor_spark.sources.pcapng import write_pcapng
 from bytesprocessor_spark.sources.txnlog import (
     TxnConflict,
+    txn_changes,
     txn_compact,
     txn_exactly_once_sink,
     txn_read,
@@ -21,6 +23,7 @@ from bytesprocessor_spark.sources.txnlog import (
 
 __all__ = [
     "TxnConflict",
+    "txn_changes",
     "txn_compact",
     "txn_exactly_once_sink",
     "txn_read",
@@ -34,6 +37,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_csv_tolerant",
+    "read_json_tolerant",
     "register_views",
     "write_bucketed",
     "read_pcap",

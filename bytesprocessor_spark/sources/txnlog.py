@@ -235,6 +235,57 @@ def txn_read(
     return spark.read.parquet(*paths)
 
 
+def txn_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental (change-feed) read: the rows APPENDED between
+    ``from_version`` (exclusive) and ``to_version`` (inclusive,
+    default latest) — scan exactly the manifest file-set difference,
+    never the whole table.  The consumer loop a downstream
+    incremental job runs: remember the last version it processed,
+    read only the delta, advance.
+
+    Append-only semantics are REQUIRED and verified: if any file of
+    the from-snapshot is missing from the to-snapshot, an overwrite
+    or compaction rewrote history inside the range, and the file-set
+    difference is NOT the logical change set — raises ``ValueError``
+    (re-sync from a full snapshot instead; a compaction rewrites
+    bytes, not rows, but the diff can no longer attribute them).
+    An empty range returns an empty frame with the snapshot schema.
+    """
+    if to_version is None:
+        to_version = latest_version(table_dir)
+        if to_version is None:
+            raise FileNotFoundError(f"no committed versions in {table_dir}")
+    if to_version < from_version:
+        raise ValueError(
+            f"to_version {to_version} precedes from_version {from_version}"
+        )
+    m_from = read_manifest(table_dir, from_version)
+    m_to = read_manifest(table_dir, to_version)
+    from_files = set(m_from["files"])
+    missing = from_files - set(m_to["files"])
+    if missing:
+        raise ValueError(
+            f"non-append history between v{from_version} and v{to_version}"
+            f" of {table_dir}: {len(missing)} base file(s) rewritten"
+            " (overwrite/compact inside the range) — the manifest diff is"
+            " not a change feed; re-sync from a snapshot read"
+        )
+    new_files = [rel for rel in m_to["files"] if rel not in from_files]
+    if not new_files:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m_to["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(
+        *[os.path.join(table_dir, rel) for rel in new_files]
+    )
+
+
 def txn_compact(
     spark: SparkSession,
     table_dir: str,

@@ -378,3 +378,47 @@ def test_append_schema_guard(spark, tmp_path):
     assert "extra" in read_manifest(t, 1)["schema"]
     # overwrite never consults the old schema
     assert txn_write(_df(spark, 0, 3), t, mode="overwrite") == 2
+
+
+def test_changes_returns_exactly_the_delta(spark, tmp_path):
+    """txn_changes(v_from -> v_to) is exactly the rows of the commits
+    in the range — no base row leaks, none of the delta is lost."""
+    from bytesprocessor_spark.sources.txnlog import txn_changes
+
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 5), t)      # v0
+    txn_write(_df(spark, 5, 8), t)      # v1
+    txn_write(_df(spark, 8, 10), t)     # v2
+    got = sorted(r.id for r in txn_changes(spark, t, 0).collect())
+    assert got == list(range(5, 10))
+    got01 = sorted(r.id for r in txn_changes(spark, t, 0, 1).collect())
+    assert got01 == list(range(5, 8))
+    # empty range: same version on both ends -> empty frame, snapshot schema
+    empty = txn_changes(spark, t, 2, 2)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "x"}
+
+
+def test_changes_rejects_rewritten_history(spark, tmp_path):
+    """An overwrite (or compaction) inside the range invalidates the
+    manifest diff as a change feed — loud error, not silent wrong
+    rows."""
+    from bytesprocessor_spark.sources.txnlog import txn_changes, txn_compact
+
+    t = str(tmp_path / "tbl")
+    txn_write(_df(spark, 0, 5), t)                      # v0
+    txn_write(_df(spark, 5, 8), t)                      # v1
+    txn_write(_df(spark, 0, 3), t, mode="overwrite")    # v2
+    with pytest.raises(ValueError, match="not a change feed"):
+        txn_changes(spark, t, 0)
+    # but reading from the overwrite forward is a valid feed again
+    txn_write(_df(spark, 3, 4), t)                      # v3
+    got = sorted(r.id for r in txn_changes(spark, t, 2).collect())
+    assert got == [3]
+    # compaction rewrites the file set -> same rejection across it
+    t2 = str(tmp_path / "tbl2")
+    txn_write(_df(spark, 0, 5), t2)
+    txn_write(_df(spark, 5, 8), t2)
+    txn_compact(spark, t2, min_files=2)
+    with pytest.raises(ValueError, match="not a change feed"):
+        txn_changes(spark, t2, 0)
