@@ -341,6 +341,8 @@ HEADLINE = [
     "events_extreme_gumbel",
     "events_peaks_over_threshold",
     "txnlog_changes_read",
+    # round-8 seventh: empirical-Bayes rate shrinkage
+    "events_eb_shrinkage",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

@@ -686,6 +686,7 @@ _CHECK_ORDER = [
     "events_extreme_gumbel",
     "events_peaks_over_threshold",
     "txnlog_changes_read",
+    "events_eb_shrinkage",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

@@ -2849,3 +2849,151 @@ def txnlog_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# A98: empirical-Bayes (beta-binomial) shrinkage of per-user rates
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_eb_shrinkage",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, n, k,
+             CAST(ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * 1000000)
+                  AS BIGINT) AS rate_u
+      FROM u
+    ),
+    pri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(rate_u) AS BIGINT) AS s1,
+             CAST(SUM(rate_u * rate_u) AS BIGINT) AS s2
+      FROM r
+    ),
+    pk AS (
+      SELECT n_users, s1, s2,
+        CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE) / 1000000.0 AS m,
+        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+           / CAST(n_users AS DOUBLE)) / CAST(n_users - 1 AS DOUBLE)
+          / 1000000.0 / 1000000.0 AS v
+      FROM pri
+    ),
+    kk AS (
+      SELECT n_users, m, v,
+             CASE WHEN v > 0 AND m * (1.0 - m) / v > 1.0
+                  THEN m * (1.0 - m) / v - 1.0 ELSE NULL END AS kmass
+      FROM pk
+    ),
+    sh AS (
+      SELECT r.user_id, r.n, r.k, r.rate_u, kk.n_users, kk.kmass,
+        CAST(ROUND((CAST(r.k AS DOUBLE) + kk.m * kk.kmass)
+             / (CAST(r.n AS DOUBLE) + kk.kmass) * 1000000) AS BIGINT)
+          AS shrunk_u
+      FROM r, kk
+    ),
+    dec AS (
+      SELECT *, NTILE(10) OVER (ORDER BY shrunk_u, user_id) AS decile
+      FROM sh
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users_bin,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(rate_u) AS BIGINT) AS sum_rate_u,
+           CAST(SUM(shrunk_u) AS BIGINT) AS sum_shrunk_u,
+           CAST(ROUND(MAX(kmass) * 1000) AS BIGINT) AS k_milli
+    FROM dec GROUP BY decile ORDER BY decile
+    """,
+)
+def events_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A98 — empirical-Bayes shrinkage of per-user purchase rates
+    (beta-binomial, method-of-moments prior): a user with 1/2
+    purchases is NOT a 50% converter — small-sample rates are mostly
+    noise, and ranking or segmenting on them top-ranks the noisiest
+    users.  The MoM prior mass K = m(1-m)/v - 1 says how much each
+    user shrinks toward the population mean: shrunk = (k + mK)/(n + K)
+    — users with little data move most.  The standard fix before any
+    per-entity rate ranking (A42's LTV, Q12's bot scores).
+
+    Determinism: per-user (n, k) are exact; the per-user rate
+    quantizes to micro BEFORE the prior moments (A88 device — rate^2
+    sums stay int64 to ~1e6 users, documented), m/v/K/shrunk are fixed
+    double trees; the decile readout buckets by NTILE over a unique
+    total order and sums quantized integers.  Overdispersion beyond
+    Bernoulli (v >= m(1-m)) leaves the prior undefined: NULL K and
+    unshrunk output would be wrong, so the whole readout nulls.
+
+    Scale shape: one user-keyed aggregate absorbs the corpus, prior
+    moments via one rollup, the shrink is a map over the user table
+    with the 1-row prior broadcast, decile readout 10 rows."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    r = u.select(
+        "user_id",
+        "n",
+        "k",
+        F.round(F.col("k").cast("double") / F.col("n").cast("double") * 1000000)
+        .cast("long")
+        .alias("rate_u"),
+    )
+    pri = r.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("rate_u").cast("long").alias("s1"),
+        F.sum(F.col("rate_u") * F.col("rate_u")).cast("long").alias("s2"),
+    )
+    nuD = F.col("n_users").cast("double")
+    m = F.col("s1").cast("double") / nuD / 1e6
+    v = (
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / nuD)
+        / (F.col("n_users") - 1).cast("double")
+        / 1e6
+        / 1e6
+    )
+    kk = pri.select(
+        "n_users",
+        m.alias("m"),
+        v.alias("v"),
+        F.when((v > 0) & (m * (1.0 - m) / v > 1.0), m * (1.0 - m) / v - 1.0)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("kmass"),
+    )
+    sh = r.crossJoin(F.broadcast(kk)).select(
+        "user_id",
+        "n",
+        "rate_u",
+        "kmass",
+        F.round(
+            (F.col("k").cast("double") + F.col("m") * F.col("kmass"))
+            / (F.col("n").cast("double") + F.col("kmass"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("shrunk_u"),
+    )
+    w_dec = Window.orderBy("shrunk_u", "user_id")
+    dec = sh.withColumn("decile", F.ntile(10).over(w_dec))
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users_bin"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("rate_u").cast("long").alias("sum_rate_u"),
+            F.sum("shrunk_u").cast("long").alias("sum_shrunk_u"),
+            F.round(F.max("kmass") * 1000).cast("long").alias("k_milli"),
+        )
+        .orderBy("decile")
+    )

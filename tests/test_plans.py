@@ -1492,3 +1492,13 @@ def test_pot_threshold_broadcast_then_tail_rank(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_eb_shrinkage_user_rollup_then_prior_broadcast(spark):
+    """A98: one user-keyed aggregate absorbs the corpus; the 1-row
+    MoM prior broadcasts onto the entity-bounded rate table
+    (allowlisted); the decile readout runs over users, not events."""
+    df = QUERIES["events_eb_shrinkage"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))

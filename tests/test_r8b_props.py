@@ -992,3 +992,47 @@ def test_pot_gpd_pwm_formula(spark, tmp_path):
     assert (row["n"], row["threshold_c"]) == (n, u)
     assert row["xi_micro"] == _half_away(xi * 1e6)
     assert row["sigma_c_milli"] == _half_away(sigma * 1000)
+
+
+def test_eb_shrinkage_matches_bruteforce(spark, tmp_path):
+    """A98: prior mass and shrunk rates equal the MoM beta-binomial
+    replay; heavy users barely move, light users shrink to the mean."""
+    d = str(tmp_path)
+    # users with (events, purchases): heavy precise, light noisy
+    spec = {1: (20, 10), 2: (20, 2), 3: (2, 2), 4: (2, 0), 5: (10, 5),
+            6: (10, 1), 7: (4, 2), 8: (4, 1), 9: (8, 4), 10: (8, 0)}
+    rows, eid = [], 0
+    for uid, (n, k) in spec.items():
+        for i in range(n):
+            t = "purchase" if i < k else "view"
+            rows.append((eid, "2024-01-01 00:00:00", uid, t, 1.0, "{}"))
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_eb_shrinkage", d, ["events"])
+
+    rates = {u: _half_away(k / n * 1e6) for u, (n, k) in spec.items()}
+    nu = len(spec)
+    s1 = sum(rates.values())
+    s2 = sum(v * v for v in rates.values())
+    m = s1 / nu / 1e6
+    v = (s2 - s1 * s1 / nu) / (nu - 1) / 1e12
+    kmass = m * (1 - m) / v - 1
+    assert kmass > 0
+    shrunk = {
+        u: _half_away((k + m * kmass) / (n + kmass) * 1e6)
+        for u, (n, k) in spec.items()
+    }
+    order = sorted(spec, key=lambda u: (shrunk[u], u))
+    base, rem = divmod(nu, 10)
+    # 10 users, 10 deciles -> one per bucket
+    assert list(sdf["n_users_bin"]) == [1] * 10
+    for i, (_, row) in enumerate(sdf.iterrows()):
+        u = order[i]
+        assert row["sum_rate_u"] == rates[u]
+        assert row["sum_shrunk_u"] == shrunk[u]
+        assert row["k_milli"] == _half_away(kmass * 1000)
+    # shrinkage property: the 2-event perfect converter (user 3) ends
+    # closer to the mean than its raw 100% rate
+    assert shrunk[3] < 1_000_000 and shrunk[3] < rates[3]
+    # and the 20-event converter moved less (relative to its raw rate)
+    assert abs(shrunk[1] - rates[1]) < abs(shrunk[3] - rates[3])

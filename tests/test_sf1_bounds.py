@@ -311,3 +311,9 @@ def test_events_peaks_over_threshold_sf1(spark, sf1_dir):
     # the documented bound: (i-1)*y at 50k exceedances of <=2801-cent
     # excess ~ 1.4e8 per row, ~3.5e12 summed — int64-safe to ~sf30
     _check(spark, sf1_dir, "events_peaks_over_threshold", ["events"])
+
+
+def test_events_eb_shrinkage_sf1(spark, sf1_dir):
+    # the documented bound: rate_micro^2 ~ 1e12 x 50k users ~ 5e16 in
+    # the prior's s2 — int64-safe to ~1e6 users (then drop a decade)
+    _check(spark, sf1_dir, "events_eb_shrinkage", ["events"])

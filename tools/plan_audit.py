@@ -223,6 +223,9 @@ ALLOW_NESTED_LOOP = {
     # 1-row exact-p95 threshold frame broadcast onto the scan (c > u
     # is a non-equi predicate over a single row — O(rows) filter)
     "events_peaks_over_threshold",
+    # 1-row MoM-prior frame broadcast onto the entity-bounded user
+    # rate table — O(users) map work
+    "events_eb_shrinkage",
 }
 
 # Entries whose Python seam is a SQL UDTF (U5): Spark executes Python
