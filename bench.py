@@ -341,8 +341,10 @@ HEADLINE = [
     "events_extreme_gumbel",
     "events_peaks_over_threshold",
     "txnlog_changes_read",
-    # round-8 seventh: empirical-Bayes rate shrinkage
+    # round-8 seventh: empirical-Bayes rate shrinkage, Kleinberg
+    # burst detection
     "events_eb_shrinkage",
+    "events_burst_kleinberg",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

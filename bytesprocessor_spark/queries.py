@@ -687,6 +687,7 @@ _CHECK_ORDER = [
     "events_peaks_over_threshold",
     "txnlog_changes_read",
     "events_eb_shrinkage",
+    "events_burst_kleinberg",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

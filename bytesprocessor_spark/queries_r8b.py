@@ -2997,3 +2997,165 @@ def events_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# A99: Kleinberg two-state burst detection over daily type shares
+# ---------------------------------------------------------------------------
+
+def _duck_burst_sql() -> str:
+    """DuckDB replay: same integer-quantized emissions, recursive-CTE
+    Viterbi carrying best-path state lists."""
+    return """
+    WITH RECURSIVE cell AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT day, CAST(SUM(k) AS BIGINT) AS n FROM cell GROUP BY day),
+    types AS (SELECT DISTINCT g FROM cell),
+    grid AS (
+      SELECT t.g, d.day, d.n, COALESCE(c.k, 0) AS k
+      FROM types t CROSS JOIN days d
+      LEFT JOIN cell c ON c.g = t.g AND c.day = d.day
+    ),
+    rate AS (
+      SELECT g, CAST(SUM(k) AS BIGINT) AS kk, CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM grid GROUP BY g
+    ),
+    em AS (
+      SELECT grid.g, grid.day, grid.k, grid.n,
+             ROW_NUMBER() OVER (PARTITION BY grid.g ORDER BY grid.day) AS rn,
+             CAST(ROUND(-(CAST(grid.k AS DOUBLE)
+                  * LN(CAST(rate.kk AS DOUBLE) / CAST(rate.nn AS DOUBLE))
+                  + CAST(grid.n - grid.k AS DOUBLE)
+                  * LN(1.0 - CAST(rate.kk AS DOUBLE)
+                       / CAST(rate.nn AS DOUBLE))) * 1000000) AS BIGINT)
+               AS e0,
+             CAST(ROUND(-(CAST(grid.k AS DOUBLE)
+                  * LN(LEAST(2.0 * CAST(rate.kk AS DOUBLE)
+                       / CAST(rate.nn AS DOUBLE), 0.999999))
+                  + CAST(grid.n - grid.k AS DOUBLE)
+                  * LN(1.0 - LEAST(2.0 * CAST(rate.kk AS DOUBLE)
+                       / CAST(rate.nn AS DOUBLE), 0.999999))) * 1000000)
+               AS BIGINT) AS e1,
+             CAST(ROUND(LN(CAST(rate.nd AS DOUBLE)) * 1000000) AS BIGINT)
+               AS t01
+      FROM grid JOIN rate ON grid.g = rate.g
+    ),
+    vit(g, rn, c0, c1, p0, p1) AS (
+      SELECT g, rn, e0, e1 + t01,
+             [CAST(0 AS BIGINT)], [CAST(1 AS BIGINT)]
+      FROM em WHERE rn = 1
+      UNION ALL
+      SELECT x.g, x.rn,
+             x.e0 + LEAST(v.c0, v.c1),
+             x.e1 + LEAST(v.c0 + x.t01, v.c1),
+             list_append(CASE WHEN v.c0 <= v.c1 THEN v.p0 ELSE v.p1 END,
+                         CAST(0 AS BIGINT)),
+             list_append(CASE WHEN v.c0 + x.t01 <= v.c1 THEN v.p0 ELSE v.p1
+                         END, CAST(1 AS BIGINT))
+      FROM vit v JOIN em x ON x.g = v.g AND x.rn = v.rn + 1
+    ),
+    fin AS (
+      SELECT g, CASE WHEN c0 <= c1 THEN p0 ELSE p1 END AS path
+      FROM vit QUALIFY rn = MAX(rn) OVER (PARTITION BY g)
+    ),
+    st AS (
+      SELECT fin.g, u.i AS rn, fin.path[u.i] AS state
+      FROM fin, (SELECT UNNEST(range(1, 1000)) AS i) u
+      WHERE u.i <= len(fin.path)
+    )
+    SELECT em.g AS event_type, STRFTIME(em.day, '%Y-%m-%d') AS day,
+           em.k, em.n, CAST(st.state AS BIGINT) AS burst
+    FROM em JOIN st ON em.g = st.g AND em.rn = st.rn
+    ORDER BY event_type, day
+    """
+
+
+@query("events_burst_kleinberg", _duck_burst_sql())
+def events_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A99 — Kleinberg two-state burst detection (KDD 2002) on each
+    event type's daily share: a low state emitting at the type's
+    baseline rate p0 and a burst state at min(2*p0, cap), with an
+    entry toll gamma*ln(D) — the Viterbi path labels each day
+    burst/normal.  A86's changepoint finds ONE level shift; A38's
+    SPRT answers "changed by now?" online; this segments the whole
+    series into burst episodes with hysteresis (the toll suppresses
+    one-day blips), the trending-topics primitive.
+
+    Determinism: day/type counts are exact; per-day emission costs
+    -(k ln p + (n-k) ln(1-p)) quantize to MICRO-INT before the DP
+    (the LN-then-quantize device every surprisal entry uses), the
+    toll likewise — so the Viterbi recursion is pure integer min/add
+    with a fixed tie rule (state 0 wins ties), bit-identical across
+    engines; the oracle replays it as a recursive CTE carrying
+    best-path lists.
+
+    Scale shape: volume work is one (type, day) aggregate + a
+    calendar-bounded grid; the sequential DP runs as an ordered
+    per-type Arrow replay over <= days rows (the A71 posture)."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("event_type").alias("g"), F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("k"))
+    days = cell.groupBy("day").agg(F.sum("k").cast("long").alias("n"))
+    types = cell.select("g").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(cell, ["g", "day"], "left")
+        .select("g", "day", "n", F.coalesce(F.col("k"), F.lit(0)).alias("k"))
+    )
+    rate = grid.groupBy("g").agg(
+        F.sum("k").cast("long").alias("kk"),
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    p0 = "CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE)"
+    p1 = f"LEAST(2.0 * {p0}, 0.999999)"
+    em = grid.join(F.broadcast(rate), "g").selectExpr(
+        "g",
+        "day",
+        "k",
+        "n",
+        f"CAST(ROUND(-(CAST(k AS DOUBLE) * LN({p0})"
+        f" + CAST(n - k AS DOUBLE) * LN(1.0 - {p0})) * 1000000) AS BIGINT)"
+        " AS e0",
+        f"CAST(ROUND(-(CAST(k AS DOUBLE) * LN({p1})"
+        f" + CAST(n - k AS DOUBLE) * LN(1.0 - {p1})) * 1000000) AS BIGINT)"
+        " AS e1",
+        "CAST(ROUND(LN(CAST(nd AS DOUBLE)) * 1000000) AS BIGINT) AS t01",
+    )
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        e0 = [int(v) for v in pdf["e0"]]
+        e1 = [int(v) for v in pdf["e1"]]
+        t01 = int(pdf["t01"].iloc[0])
+        c0, c1 = e0[0], e1[0] + t01
+        p0l, p1l = [0], [1]
+        for t in range(1, len(e0)):
+            # pure integer min/add; ties prefer state 0 (<=)
+            n0 = e0[t] + (c0 if c0 <= c1 else c1)
+            np0 = (p0l if c0 <= c1 else p1l) + [0]
+            n1 = e1[t] + (c0 + t01 if c0 + t01 <= c1 else c1)
+            np1 = (p0l if c0 + t01 <= c1 else p1l) + [1]
+            c0, c1, p0l, p1l = n0, n1, np0, np1
+        path = p0l if c0 <= c1 else p1l
+        out = pdf[["g", "day", "k", "n"]].copy()
+        out["burst"] = path
+        return out
+
+    res = em.groupBy("g").applyInPandas(
+        viterbi, "g string, day date, k long, n long, burst long"
+    )
+    return res.select(
+        F.col("g").alias("event_type"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "k",
+        "n",
+        "burst",
+    ).orderBy("event_type", "day")

@@ -1502,3 +1502,16 @@ def test_eb_shrinkage_user_rollup_then_prior_broadcast(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_burst_kleinberg_bounded_grid_arrow_replay(spark):
+    """A99: volume work is the (type, day) aggregate; the grid and
+    emissions are calendar-bounded; the sequential Viterbi runs as an
+    ordered per-type Arrow replay (A71's posture) — no cartesian
+    blowup beyond the types x days grid."""
+    df = QUERIES["events_burst_kleinberg"](spark, SF_DIR)
+    plan = executed_plan(df)
+    # the only nested-loop is the allowlisted k-types x days calendar
+    # grid (bounded by construction); the corpus never cross-joins
+    assert "FlatMapGroupsInPandas" in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))

@@ -1036,3 +1036,59 @@ def test_eb_shrinkage_matches_bruteforce(spark, tmp_path):
     assert shrunk[3] < 1_000_000 and shrunk[3] < rates[3]
     # and the 20-event converter moved less (relative to its raw rate)
     assert abs(shrunk[1] - rates[1]) < abs(shrunk[3] - rates[3])
+
+
+def test_burst_kleinberg_matches_bruteforce(spark, tmp_path):
+    """A99: on a hand-built series with a clear mid-run burst the
+    engine's Viterbi path equals the python integer replay (same
+    quantized emissions) and flags exactly the burst days."""
+    d = str(tmp_path)
+    # two types over 23 days: a long quiet baseline keeps p0 low, so
+    # the days 11-13 spike is a genuine burst under the 2*p0 state
+    hot = [1] * 10 + [12, 12, 12] + [1] * 10
+    cold = [9] * 23
+    rows, eid = [], 0
+    for day in range(len(hot)):
+        for _ in range(hot[day]):
+            rows.append((eid, f"2024-01-{day + 1:02d} 10:00:00", 1, "hot", 1.0, "{}"))
+            eid += 1
+        for _ in range(cold[day]):
+            rows.append((eid, f"2024-01-{day + 1:02d} 10:00:00", 1, "cold", 1.0, "{}"))
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_burst_kleinberg", d, ["events"])
+
+    def replay(ks, ns):
+        kk, nn, nd = sum(ks), sum(ns), len(ks)
+        p0 = kk / nn
+        p1 = min(2.0 * p0, 0.999999)
+        e0 = [
+            _half_away(-(k * math.log(p0) + (n - k) * math.log(1 - p0)) * 1e6)
+            for k, n in zip(ks, ns)
+        ]
+        e1 = [
+            _half_away(-(k * math.log(p1) + (n - k) * math.log(1 - p1)) * 1e6)
+            for k, n in zip(ks, ns)
+        ]
+        t01 = _half_away(math.log(nd) * 1e6)
+        c0, c1 = e0[0], e1[0] + t01
+        path0, path1 = [0], [1]
+        for t in range(1, nd):
+            n0 = e0[t] + (c0 if c0 <= c1 else c1)
+            np0 = (path0 if c0 <= c1 else path1) + [0]
+            n1 = e1[t] + (c0 + t01 if c0 + t01 <= c1 else c1)
+            np1 = (path0 if c0 + t01 <= c1 else path1) + [1]
+            c0, c1, path0, path1 = n0, n1, np0, np1
+        return path0 if c0 <= c1 else path1
+
+    totals = [h + c for h, c in zip(hot, cold)]
+    hot_path = replay(hot, totals)
+    cold_path = replay(cold, totals)
+    got_hot = list(sdf[sdf["event_type"] == "hot"].sort_values("day")["burst"])
+    got_cold = list(sdf[sdf["event_type"] == "cold"].sort_values("day")["burst"])
+    assert got_hot == hot_path
+    assert got_cold == cold_path
+    # the construction must actually flag the injected burst window
+    assert hot_path[10:13] == [1, 1, 1]
+    assert hot_path[0] == 0 and hot_path[-1] == 0
+    assert all(s == 0 for s in cold_path)

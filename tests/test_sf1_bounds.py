@@ -317,3 +317,10 @@ def test_events_eb_shrinkage_sf1(spark, sf1_dir):
     # the documented bound: rate_micro^2 ~ 1e12 x 50k users ~ 5e16 in
     # the prior's s2 — int64-safe to ~1e6 users (then drop a decade)
     _check(spark, sf1_dir, "events_eb_shrinkage", ["events"])
+
+
+def test_events_burst_kleinberg_sf1(spark, sf1_dir):
+    # emission magnitudes k*ln(p) ~ 2e5 * 1.6 -> 3e11 micro-units per
+    # day; the integer Viterbi sums ~30 of them — int64-trivial; sf1
+    # pins the LN-quantize agreement at dense daily counts
+    _check(spark, sf1_dir, "events_burst_kleinberg", ["events"])

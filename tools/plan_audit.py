@@ -226,6 +226,9 @@ ALLOW_NESTED_LOOP = {
     # 1-row MoM-prior frame broadcast onto the entity-bounded user
     # rate table — O(users) map work
     "events_eb_shrinkage",
+    # k-types x calendar-days dense grid (both sides bounded): the
+    # zero-count days Kleinberg's DP must see
+    "events_burst_kleinberg",
 }
 
 # Entries whose Python seam is a SQL UDTF (U5): Spark executes Python
