@@ -342,9 +342,10 @@ HEADLINE = [
     "events_peaks_over_threshold",
     "txnlog_changes_read",
     # round-8 seventh: empirical-Bayes rate shrinkage, Kleinberg
-    # burst detection
+    # burst detection, Hill tail index
     "events_eb_shrinkage",
     "events_burst_kleinberg",
+    "orders_hill_tail",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible

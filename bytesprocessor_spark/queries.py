@@ -688,6 +688,7 @@ _CHECK_ORDER = [
     "txnlog_changes_read",
     "events_eb_shrinkage",
     "events_burst_kleinberg",
+    "orders_hill_tail",
     "events_slo_burn",
     "orders_rolling_yoy",
     "eval_threshold_cost",

@@ -3159,3 +3159,112 @@ def events_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "burst",
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# A100: Hill tail-index estimator on order values
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_hill_tail",
+    """
+    WITH v AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, o_orderkey) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM v
+    ),
+    ks AS (SELECT UNNEST([50, 100, 200]) AS k),
+    top AS (
+      SELECT ks.k, r.c, r.i,
+             CAST(ROUND(LN(CAST(r.c AS DOUBLE)) * 1000000) AS BIGINT) AS lq
+      FROM r JOIN ks ON r.i <= ks.k + 1
+      WHERE ks.k + 1 <= (SELECT MAX(n) FROM r)
+    ),
+    agg AS (
+      SELECT k,
+             CAST(SUM(CASE WHEN i <= k THEN lq ELSE 0 END) AS BIGINT)
+               AS sum_lq,
+             CAST(MAX(CASE WHEN i = k + 1 THEN lq ELSE 0 END) AS BIGINT)
+               AS ref_lq
+      FROM top GROUP BY k
+    )
+    SELECT k,
+      CAST(ROUND((CAST(sum_lq AS DOUBLE) / 1000000.0 / CAST(k AS DOUBLE)
+           - CAST(ref_lq AS DOUBLE) / 1000000.0) * 1000000) AS BIGINT)
+        AS hill_gamma_micro,
+      CASE WHEN sum_lq > k * ref_lq THEN
+        CAST(ROUND(1.0 / (CAST(sum_lq AS DOUBLE) / 1000000.0
+             / CAST(k AS DOUBLE) - CAST(ref_lq AS DOUBLE) / 1000000.0)
+             * 1000) AS BIGINT)
+      ELSE NULL END AS alpha_milli
+    FROM agg ORDER BY k
+    """,
+)
+def orders_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A100 — Hill estimator of the price tail index at k = 50/100/
+    200 order statistics: gamma(k) = (1/k)*sum ln(x_(i)/x_(k+1)) over
+    the top k, alpha = 1/gamma.  The k-sweep IS the read (the "Hill
+    plot"): a stable plateau across k says the power-law fit is
+    trustworthy, disagreement says the tail is not Pareto — the
+    classic order-statistics alternative to A97's PWM-GPD fit
+    (POT estimates (xi, sigma) from all exceedances; Hill reads gamma
+    straight off the top-k ratios).
+
+    Determinism: per-row ln quantizes to micro BEFORE the top-k sum
+    (integer reduction, the surprisal device); the reference statistic
+    x_(k+1) resolves over the unique (value desc, orderkey) order;
+    alpha nulls LOUDLY when gamma <= 0 (a degenerate tail where the
+    top k ties the reference).
+
+    Scale shape: one rank window over the value column (the EV25/A94
+    sort-once posture — at 100 TB replace with a top-(k+1)
+    TakeOrdered per k, plan otherwise unchanged); all sums run over
+    <= k+1 rows."""
+    v = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("c")
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), "o_orderkey")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = v.select(
+        "c",
+        F.row_number().over(w_rank).cast("long").alias("i"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    ks = spark.createDataFrame([(50,), (100,), (200,)], "k long")
+    top = (
+        r.join(F.broadcast(ks), F.col("i") <= F.col("k") + 1)
+        .where(F.col("k") + 1 <= F.col("n"))
+        .select(
+            "k",
+            "i",
+            F.round(F.log(F.col("c").cast("double")) * 1000000)
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    agg = top.groupBy("k").agg(
+        F.sum(F.when(F.col("i") <= F.col("k"), F.col("lq")).otherwise(0))
+        .cast("long")
+        .alias("sum_lq"),
+        F.max(F.when(F.col("i") == F.col("k") + 1, F.col("lq")).otherwise(0))
+        .cast("long")
+        .alias("ref_lq"),
+    )
+    gamma = (
+        F.col("sum_lq").cast("double") / 1e6 / F.col("k").cast("double")
+        - F.col("ref_lq").cast("double") / 1e6
+    )
+    return agg.select(
+        "k",
+        F.round(gamma * 1000000).cast("long").alias("hill_gamma_micro"),
+        F.when(
+            F.col("sum_lq") > F.col("k") * F.col("ref_lq"),
+            F.round(1.0 / gamma * 1000).cast("long"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("alpha_milli"),
+    ).orderBy("k")

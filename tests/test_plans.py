@@ -1515,3 +1515,13 @@ def test_burst_kleinberg_bounded_grid_arrow_replay(spark):
     # grid (bounded by construction); the corpus never cross-joins
     assert "FlatMapGroupsInPandas" in plan
     assert all(len(c) <= 2 for c in scan_columns(df))
+
+
+def test_hill_tail_rank_window_then_k_bounded_sums(spark):
+    """A100: one rank window over the value column; the only
+    nested-loop is the allowlisted 3-row k-grid broadcast; every sum
+    runs over <= k+1 rows."""
+    df = QUERIES["orders_hill_tail"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert all(len(c) <= 2 for c in scan_columns(df))

@@ -1092,3 +1092,39 @@ def test_burst_kleinberg_matches_bruteforce(spark, tmp_path):
     assert hot_path[10:13] == [1, 1, 1]
     assert hot_path[0] == 0 and hot_path[-1] == 0
     assert all(s == 0 for s in cold_path)
+
+
+def test_hill_tail_matches_bruteforce(spark, tmp_path):
+    """A100: gamma at each k equals the python replay with identical
+    per-row ln quantization; a Pareto-ish sample recovers its index."""
+    d = str(tmp_path)
+    # Pareto(alpha=2)-ish deterministic sample: x_i = 100 / u^(1/2)
+    # with u on a uniform grid — tail index alpha ~ 2
+    n = 300
+    vals = [100.0 / ((i + 0.5) / n) ** 0.5 for i in range(n)]
+    rows = [
+        (i, 1, "F", round(v, 2), "1995-01-01 00:00:00", "5-LOW")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    sdf = _cross_check(spark, "orders_hill_tail", d, ["orders"])
+
+    cents_v = sorted(
+        ((round(round(v, 2) * 100), i) for i, v in enumerate(vals)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    for _, row in sdf.iterrows():
+        k = int(row["k"])
+        lqs = [_half_away(math.log(c) * 1e6) for c, _ in cents_v[: k + 1]]
+        gamma = sum(lqs[:k]) / 1e6 / k - lqs[k] / 1e6
+        assert row["hill_gamma_micro"] == _half_away(gamma * 1e6)
+        assert row["alpha_milli"] == _half_away(1.0 / gamma * 1000)
+        # the sample's true tail index is 2: the estimate must land
+        # in a generous neighborhood at every k
+        assert 1200 <= row["alpha_milli"] <= 3200

@@ -324,3 +324,10 @@ def test_events_burst_kleinberg_sf1(spark, sf1_dir):
     # day; the integer Viterbi sums ~30 of them — int64-trivial; sf1
     # pins the LN-quantize agreement at dense daily counts
     _check(spark, sf1_dir, "events_burst_kleinberg", ["events"])
+
+
+def test_orders_hill_tail_sf1(spark, sf1_dir):
+    # ln quantized to micro over the top 201 order statistics: sums
+    # ~ 201 x 1.8e7 micro-units — int64-trivial; sf1 pins the rank
+    # window + LN agreement at 1.5M rows
+    _check(spark, sf1_dir, "orders_hill_tail", ["orders"])

@@ -229,6 +229,9 @@ ALLOW_NESTED_LOOP = {
     # k-types x calendar-days dense grid (both sides bounded): the
     # zero-count days Kleinberg's DP must see
     "events_burst_kleinberg",
+    # 3-row k-grid broadcast joined on the non-equi rank predicate
+    # (i <= k+1) — O(rows x 3) filter work, no pair blowup
+    "orders_hill_tail",
 }
 
 # Entries whose Python seam is a SQL UDTF (U5): Spark executes Python
