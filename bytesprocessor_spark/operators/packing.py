@@ -98,11 +98,19 @@ def length_batches(
     offsets = (
         base.groupBy("__pid")
         .agg(F.count("*").alias("__n"))
+        # #partitions-row table: coalesce(1) + a materialized
+        # spark_partition_id() partition column declares the bounded
+        # single group without an Exchange SinglePartition or the
+        # empty-spec WindowExec warning (lit(0) would be folded away)
+        .coalesce(1)
+        .withColumn("__opid", F.spark_partition_id())
         .withColumn(
             "__offset",
             F.coalesce(
                 F.sum("__n").over(
-                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                    Window.partitionBy("__opid")
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),

@@ -585,74 +585,19 @@ QUERIES.update(_NO_ORACLE)
 
 
 _CHECK_ORDER = [
-    # --- round-8 driver window (first 50) ---
-    # Rotation policy (VERDICT r7 #1, third-round burn-down): after
-    # round 7, 91 of 335 registry entries have never appeared in a
-    # driver CORRECTNESS window.  The round-8 window is PURE backlog —
-    # 50 never-driver-checked entries retire this round, 41 remain for
-    # round 9 (which closes the backlog to zero).  Front-loaded per
-    # VERDICT r7: the 5 round-7 late additions (newest code first),
-    # the 17 TPC-H composites, the reference's own NIDS-domain queries
-    # (portscan / ddos fan-in), and the window/agg rows the judge
-    # named; the rest follow in prior backlog order.  New round-8
-    # entries go AFTER the backlog block (next-window head) so the
-    # burn-down is not diluted.
+    # --- round-9 driver window (first 50) ---
+    # Rotation policy (VERDICT r8 #3, fourth-round burn-down): the
+    # round-8 window retired 50 backlog entries (all green in
+    # CORRECTNESS_r08) and was rotated to the driver-green tail; the
+    # 76 remaining never-driver-checked entries now head the order, so
+    # round 9 checks 50 of them and round 10 closes the backlog.
+    # Front-loaded per VERDICT r8: the 35 round-8 additions (newest
+    # code first), then merge_upsert / W5-W7 / multimodal_image_ann /
+    # dedup_cluster_keep / ST7+ST9 and the rest in prior backlog
+    # order.  New round-9 entries go AFTER the backlog block
+    # (next-window head) so the burn-down is not diluted.
 
-    # round-7 late additions (newest code — certified at 3 scales)
-    "eval_regression_metrics",
-    "part_frequency_encoding",
-    "orders_cramers_v",
-    "partitioned_table_prune",
-    "dedup_minhash_calibration",
-    # TPC-H composites q4-q22 (q1/q2/q3/q5/q20 already driver-green)
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipping_delay",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # reference NIDS domain + judge-named window/agg rows
-    "packets_portscan",
-    "packets_ddos_fanin",
-    "window_distribution",
-    "window_range_frame",
-    "agg_mode",
-    "agg_hll_sketch",
-    # remainder of the window, prior backlog order
-    "corpus_token_budget",
-    "events_bootstrap_ci",
-    "orders_price_index",
-    "dedup_cluster_sizes",
-    "quality_uniqueness",
-    "orders_mix_shift",
-    "orders_xyz_classes",
-    "text_template_mining",
-    "eval_fairness_parity",
-    "events_runs_test",
-    "events_srm_check",
-    "orders_shipping_sla",
-    "events_hourly_profile",
-    "stream_srm_monitor",
-    "orders_duplicate_payments",
-    "events_anova",
-    "orders_seasonal_index",
-    "corpus_split_drift",
-    "orders_segment_migration",
-    "orders_open_aging",
-    "events_conversion_windows",
-    "orders_drawdown",
-    # --- never driver-checked backlog (round-9 window head) ---
+    # --- never driver-checked backlog (76 entries) ---
     # round-8 additions first (new-code-first once the burn-down ends)
     "csv_quarantine_scan",
     "graph_clustering_coeff",
@@ -977,6 +922,57 @@ _CHECK_ORDER = [
     "events_poisson_rate",
     "eval_lift_gains",
     "text_script_mix",
+    # --- round-8 driver window (checked r8, 50/50 green) ---
+    "eval_regression_metrics",
+    "part_frequency_encoding",
+    "orders_cramers_v",
+    "partitioned_table_prune",
+    "dedup_minhash_calibration",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "packets_portscan",
+    "packets_ddos_fanin",
+    "window_distribution",
+    "window_range_frame",
+    "agg_mode",
+    "agg_hll_sketch",
+    "corpus_token_budget",
+    "events_bootstrap_ci",
+    "orders_price_index",
+    "dedup_cluster_sizes",
+    "quality_uniqueness",
+    "orders_mix_shift",
+    "orders_xyz_classes",
+    "text_template_mining",
+    "eval_fairness_parity",
+    "events_runs_test",
+    "events_srm_check",
+    "orders_shipping_sla",
+    "events_hourly_profile",
+    "stream_srm_monitor",
+    "orders_duplicate_payments",
+    "events_anova",
+    "orders_seasonal_index",
+    "corpus_split_drift",
+    "orders_segment_migration",
+    "orders_open_aging",
+    "events_conversion_windows",
+    "orders_drawdown",
 ]
 
 

@@ -1034,8 +1034,14 @@ def part_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     final join is part-keyed on two one-row-per-part tables."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("part"),
+        # FLOOR division, not `div` (truncate-toward-zero): for
+        # shipdates before the 1995-01-01 epoch the two disagree on
+        # negative day counts (-10 div 7 = -1 but -10 // 7 = -2) and
+        # the DuckDB oracle uses floor — datediff stays well inside
+        # double-exact range so floor(x/7) is exact
         F.expr(
-            "datediff(cast(l_shipdate as date), date'1995-01-01') div 7"
+            "cast(floor(datediff(cast(l_shipdate as date),"
+            " date'1995-01-01') / 7) as long)"
         ).alias("week"),
         cents(F.col("l_quantity")).alias("qc"),
     )
@@ -1053,18 +1059,16 @@ def part_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _dyadic(col_list):
-        # sum_i v_i * 2^(i-1): powers of two over exact ints, every
-        # partial exactly representable in a double (W8 rationale)
+        # sum_i v_i * 2^(i-1) in EXACT int64 (matching the oracle's
+        # integer list arithmetic): Horner over the reversed list,
+        # acc = acc*2 + v — no double partials, so per-(part, week)
+        # demands >= ~2^46 cents cannot silently diverge between
+        # engines past the 2^53 double-integer ceiling
         return F.aggregate(
-            F.zip_with(
-                col_list,
-                F.sequence(F.lit(1), F.size(col_list)),
-                lambda v, i: v.cast("double")
-                * F.pow(F.lit(2.0), (i - 1).cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).cast("long")
+            F.reverse(col_list),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * F.lit(2).cast("long") + v.cast("long"),
+        )
 
     w_frame = (
         Window.partitionBy("part").orderBy("week").rowsBetween(-7, 0)
@@ -1683,18 +1687,22 @@ def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     remainder rows in the leading buckets); all counts exact int64;
     Qini one fixed double tree per decile row.
 
-    Scale shape: the decile assignment is one global sort-partition
-    (TakeOrdered-class shuffle at 100 TB — or replace NTILE with a
-    pre-computed score-quantile broadcast, plan shape otherwise
-    unchanged); everything after runs on 10 rows."""
+    Scale shape: the decile assignment is the DISTRIBUTED NTILE
+    device (operators/ranking.py: range-partitioned local rank +
+    broadcast offsets + exact-int64 bucket arithmetic — bit-identical
+    to SQL NTILE, no single-partition window); everything after runs
+    on 10 rows."""
+    from bytesprocessor_spark.operators.ranking import distributed_ntile
+
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         (F.col("user_id") % 2 == 0).alias("treated"),
         (F.col("event_type") == "purchase").alias("y"),
         (cents(F.col("value")) + 7 * (F.col("user_id") % 13)).alias("score"),
     )
-    w_rank = Window.orderBy(F.col("score").desc(), "event_id")
-    dec = ev.select("treated", "y", F.ntile(10).over(w_rank).alias("decile"))
+    dec = distributed_ntile(
+        ev, [F.col("score").desc(), F.col("event_id").asc()], 10, tile_col="decile"
+    ).select("treated", "y", "decile")
     cell = dec.groupBy("decile").agg(
         F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("long").alias("n_t"),
         F.sum(F.when(~F.col("treated"), 1).otherwise(0)).cast("long").alias("n_c"),
@@ -1705,7 +1713,14 @@ def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r_c"),
     )
-    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    cell = bounded_single_group(cell)  # 10-row decile aggregate
+    w_cum = (
+        Window.partitionBy("__opid")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = cell.select(
         "decile",
         "n_t",
@@ -2246,12 +2261,15 @@ def orders_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4 grid is why outputs are milli-, not micro-, quantized);
     shape and scale are fixed double trees over those five integers.
 
-    Scale shape: the orderkey equi-join (Q3's shuffle), one global
-    rank window over the duration column (the same
-    sort-once-then-aggregate posture as EV25's deciles), one moment
-    aggregate; readout 1 row.  t >= 1 day keeps ln defined
-    (same-day shipments belong to a point mass a two-part model
-    would handle separately)."""
+    Scale shape: the orderkey equi-join (Q3's shuffle), then the
+    DISTRIBUTED rank device over the duration column
+    (operators/ranking.py — every task ranks only its range slice;
+    no single-partition window anywhere), one moment aggregate;
+    readout 1 row.  t >= 1 day keeps ln defined (same-day shipments
+    belong to a point mass a two-part model would handle
+    separately)."""
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
@@ -2267,12 +2285,8 @@ def orders_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("t") >= 1)
     )
-    w_rank = Window.orderBy("t", "k")
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    r = d.select(
-        "t",
-        F.row_number().over(w_rank).cast("long").alias("i"),
-        F.count("*").over(w_all).cast("long").alias("n"),
+    r = distributed_rank(
+        d, [F.col("t").asc(), F.col("k").asc()], rank_col="i", total_col="n"
     )
     xq = F.round(F.log(F.col("t").cast("double")) * 10000).cast("long")
     yq = F.round(
@@ -2736,10 +2750,15 @@ def events_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers); xi/sigma are fixed double trees, micro/milli-quantized.
 
     Scale shape: one pass for the threshold (bounded value domain),
-    one filtered scan for exceedances, one global rank window over
-    the ~5% tail (the EV25/A94 sort-once posture), one 5-counter
-    rollup; readout 1 row.  Bound: (i-1)*y at sf1 ~ 5e4 * 5.6e6 =
-    2.8e11 per row, 1.4e16 summed — inside int64 to ~sf30."""
+    one filtered scan for exceedances, then the DISTRIBUTED rank
+    device over the ~5% tail (operators/ranking.py: range-partitioned
+    local row_number + broadcast per-slice offsets — still 5 TB of
+    exceedances at 100 TB, so no single-partition window), one
+    5-counter rollup; readout 1 row.  Bound: (i-1)*y at sf1 ~
+    5e4 * 5.6e6 = 2.8e11 per row, 1.4e16 summed — inside int64 to
+    ~sf30."""
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
     v = _t(spark, sf_dir, "events").select("event_id", cents(F.col("value")).alias("c"))
     th = v.agg(
         F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c)")
@@ -2750,19 +2769,13 @@ def events_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     exc = v.join(F.broadcast(th)).where(F.col("c") > F.col("u")).select(
         (F.col("c") - F.col("u")).alias("y"), "event_id", "u", "n_total"
     )
-    w_rank = Window.orderBy("y", "event_id")
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    rk = exc.select(
-        "y",
-        "u",
-        "n_total",
-        F.row_number().over(w_rank).cast("long").alias("i"),
-        F.count("*").over(w_all).cast("long").alias("n"),
+    rk = distributed_rank(
+        exc, [F.col("y").asc(), F.col("event_id").asc()], rank_col="i"
     )
     m = rk.agg(
         F.max("u").cast("long").alias("u"),
         F.max("n_total").cast("long").alias("n_total"),
-        F.max("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("s1"),
         F.sum((F.col("i") - 1) * F.col("y")).cast("long").alias("sw"),
     )
@@ -3063,9 +3076,10 @@ def _duck_burst_sql() -> str:
       FROM vit QUALIFY rn = MAX(rn) OVER (PARTITION BY g)
     ),
     st AS (
-      SELECT fin.g, u.i AS rn, fin.path[u.i] AS state
-      FROM fin, (SELECT UNNEST(range(1, 1000)) AS i) u
-      WHERE u.i <= len(fin.path)
+      -- lateral driven by the ACTUAL path length (a fixed range cap
+      -- would silently truncate calendars past the cap)
+      SELECT fin.g, CAST(u.i AS BIGINT) AS rn, fin.path[CAST(u.i AS BIGINT)] AS state
+      FROM fin, LATERAL (SELECT UNNEST(range(1, len(fin.path) + 1)) AS i) u
     )
     SELECT em.g AS event_type, STRFTIME(em.day, '%Y-%m-%d') AS day,
            em.k, em.n, CAST(st.state AS BIGINT) AS burst
@@ -3220,20 +3234,25 @@ def orders_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha nulls LOUDLY when gamma <= 0 (a degenerate tail where the
     top k ties the reference).
 
-    Scale shape: one rank window over the value column (the EV25/A94
-    sort-once posture — at 100 TB replace with a top-(k+1)
-    TakeOrdered per k, plan otherwise unchanged); all sums run over
-    <= k+1 rows."""
+    Scale shape: only the top max(k)+1 = 201 order statistics matter,
+    so the plan is a TakeOrderedAndProject (per-partition top-201
+    heaps, merged at the driver-side-free limit — no global sort, no
+    single-partition window over the table) plus a 1-row exact count
+    broadcast for the k+1 <= n guard; the rank window runs over the
+    201 surviving rows only."""
     v = _t(spark, sf_dir, "orders").select(
         "o_orderkey", cents(F.col("o_totalprice")).alias("c")
     )
-    w_rank = Window.orderBy(F.col("c").desc(), "o_orderkey")
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    r = v.select(
-        "c",
-        F.row_number().over(w_rank).cast("long").alias("i"),
-        F.count("*").over(w_all).cast("long").alias("n"),
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    n_df = v.agg(F.count("*").cast("long").alias("n"))
+    top201 = bounded_single_group(
+        v.orderBy(F.col("c").desc(), "o_orderkey").limit(201)
     )
+    w_rank = Window.partitionBy("__opid").orderBy(F.col("c").desc(), "o_orderkey")
+    r = top201.select(
+        "c", F.row_number().over(w_rank).cast("long").alias("i")
+    ).crossJoin(F.broadcast(n_df))
     ks = spark.createDataFrame([(50,), (100,), (200,)], "k long")
     top = (
         r.join(F.broadcast(ks), F.col("i") <= F.col("k") + 1)

@@ -437,11 +437,19 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique (difficulty, doc_id) order, row_number over a unique
     (md5, doc_id) order.
 
-    Plan shape: difficulty is a map expression on the scan; the two
-    windows are the unavoidable global sort of a total-order plan —
-    at 100 TB the same plan runs as a range-partitioned sort
-    (ntile/row_number parallelize per range partition), and the output
-    would be written sharded, not collected."""
+    Plan shape: difficulty is a map expression on the scan; the stage
+    cut is the DISTRIBUTED NTILE device and the within-stage shuffle
+    position is a SECOND distributed rank over (stage, md5, doc_id)
+    re-based per stage by a {_CURR_STAGES}-row min-rank broadcast
+    (operators/ranking.py) — no single-partition window AND no
+    per-stage task funnel (a plain row_number PARTITION BY stage
+    would put 1/{_CURR_STAGES} of the corpus in one task); the output
+    would be written sharded at 100 TB, not collected."""
+    from bytesprocessor_spark.operators.ranking import (
+        distributed_ntile,
+        distributed_rank,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "source", "n_chars", token_count(F.col("text")).alias("n_toks")
@@ -452,27 +460,30 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "difficulty_micro"
         ),
     )
-    staged = d.select(
-        "doc_id",
-        "source",
-        "difficulty_micro",
-        F.ntile(_CURR_STAGES)
-        .over(Window.orderBy("difficulty_micro", "doc_id"))
-        .alias("stage"),
+    staged = distributed_ntile(
+        d,
+        [F.col("difficulty_micro").asc(), F.col("doc_id").asc()],
+        _CURR_STAGES,
+        tile_col="stage",
     )
-    return staged.select(
-        "stage",
-        F.row_number()
-        .over(
-            Window.partitionBy("stage").orderBy(
-                F.md5(F.col("doc_id").cast("string")), "doc_id"
-            )
+    shuf = staged.withColumn("__md5", F.md5(F.col("doc_id").cast("string")))
+    ranked = distributed_rank(
+        shuf,
+        [F.col("stage").asc(), F.col("__md5").asc(), F.col("doc_id").asc()],
+        rank_col="__grk",
+    )
+    stage_base = ranked.groupBy("stage").agg(F.min("__grk").alias("__smin"))
+    return (
+        ranked.join(F.broadcast(stage_base), "stage")
+        .select(
+            "stage",
+            (F.col("__grk") - F.col("__smin") + 1).cast("int").alias("pos"),
+            "doc_id",
+            "source",
+            "difficulty_micro",
         )
-        .alias("pos"),
-        "doc_id",
-        "source",
-        "difficulty_micro",
-    ).orderBy("stage", "pos")
+        .orderBy("stage", "pos")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1555,10 +1566,13 @@ def eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer scores, ntile over a unique (score, vec_id)
     order, floor-division ppm/milli ratios.
 
-    Plan shape: one global ntile sort (range-partitioned at scale),
+    Plan shape: decile assignment via the DISTRIBUTED NTILE device
+    (operators/ranking.py — range-partitioned local rank + broadcast
+    offsets, bit-identical to SQL NTILE, no single-partition window),
     one 10-row aggregate, a 1-row totals broadcast, cumulative window
     over 10 rows."""
     emb = _t(spark, sf_dir, "embeddings")
+    from bytesprocessor_spark.operators.ranking import distributed_ntile
     from bytesprocessor_spark.queries_curation import _h60
 
     s = emb.select(
@@ -1568,10 +1582,9 @@ def eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
     )
-    d = s.select(
-        "pos",
-        F.ntile(10).over(Window.orderBy(F.col("score").desc(), "vec_id")).alias("decile"),
-    )
+    d = distributed_ntile(
+        s, [F.col("score").desc(), F.col("vec_id").asc()], 10, tile_col="decile"
+    ).select("pos", "decile")
     g = d.groupBy("decile").agg(
         F.count("*").alias("n"), F.sum("pos").cast("long").alias("n_pos")
     )
@@ -1579,14 +1592,17 @@ def eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").cast("long").alias("total_pos"),
         F.sum("n").cast("long").alias("total"),
     )
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
     return (
-        g.crossJoin(F.broadcast(t))
+        bounded_single_group(g.crossJoin(F.broadcast(t)))  # 10-row gains table
         .select(
             "decile",
             "n",
             "n_pos",
             F.expr(
-                "CAST(sum(n_pos) OVER (ORDER BY decile) * 1000000 div total_pos AS BIGINT)"
+                "CAST(sum(n_pos) OVER (PARTITION BY __opid ORDER BY decile)"
+                " * 1000000 div total_pos AS BIGINT)"
             ).alias("cum_capture_ppm"),
             F.expr("CAST((n_pos * total * 1000) div (n * total_pos) AS BIGINT)").alias(
                 "lift_milli"
@@ -4495,16 +4511,25 @@ def part_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer ranks over unique orders, exact integer d^2
     sum, one pinned double op quantized once.
 
-    Plan shape: two global rank windows over the part table
-    (range-partitioned sorts at scale — the ntile discipline), one
-    1-row moment aggregate."""
+    Plan shape: two DISTRIBUTED rank passes over the part table
+    (operators/ranking.py — each axis range-partitions on its own
+    sort key, ranks locally, re-bases by broadcast offsets), re-joined
+    on p_partkey (one hash shuffle), one 1-row moment aggregate; no
+    single-partition window anywhere."""
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
     part = _t(spark, sf_dir, "part")
-    r = part.select(
-        F.row_number().over(Window.orderBy("p_size", "p_partkey")).alias("rx"),
-        F.row_number()
-        .over(Window.orderBy("p_retailprice", "p_partkey"))
-        .alias("ry"),
-    )
+    rx = distributed_rank(
+        part.select("p_partkey", "p_size"),
+        [F.col("p_size").asc(), F.col("p_partkey").asc()],
+        rank_col="rx",
+    ).select("p_partkey", "rx")
+    ry = distributed_rank(
+        part.select("p_partkey", "p_retailprice"),
+        [F.col("p_retailprice").asc(), F.col("p_partkey").asc()],
+        rank_col="ry",
+    ).select("p_partkey", "ry")
+    r = rx.join(ry, "p_partkey").select("rx", "ry")
     m = r.agg(
         F.count("*").cast("long").alias("n"),
         F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))

@@ -955,8 +955,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency/frequency/monetary quartiles
     (deterministic NTILE with user_id tiebreaks), segment sizes and
     exact-cents value per (r, f, m) cell — the classic behavioral
-    segmentation.  One user_id shuffle for the profile, window quartile
-    assignment, one small segment agg."""
+    segmentation.  One user_id shuffle for the profile (persisted —
+    three consumers), then three DISTRIBUTED NTILE passes
+    (operators/ranking.py: each axis range-partitions on its own key,
+    no single-partition window even at billions of users) re-joined
+    on user_id, one small segment agg."""
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+    from bytesprocessor_spark.operators.ranking import distributed_ntile
+
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     anchor = F.lit("2024-02-01").cast("date")
     p = ev.groupBy("user_id").agg(
@@ -964,14 +970,30 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
     )
-    s = p.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id")).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(), "user_id")).alias("m"),
+    p = persist_intermediate(p)
+    r_q = distributed_ntile(
+        p.select("user_id", "recency_days"),
+        [F.col("recency_days").asc(), F.col("user_id").asc()],
+        4,
+        tile_col="r",
+    ).select("user_id", "r")
+    f_q = distributed_ntile(
+        p.select("user_id", "frequency"),
+        [F.col("frequency").desc(), F.col("user_id").asc()],
+        4,
+        tile_col="f",
+    ).select("user_id", "f")
+    m_q = distributed_ntile(
+        p.select("user_id", "monetary_cents"),
+        [F.col("monetary_cents").desc(), F.col("user_id").asc()],
+        4,
+        tile_col="m",
+    ).select("user_id", "m")
+    s = (
+        p.select("user_id", "monetary_cents")
+        .join(r_q, "user_id")
+        .join(f_q, "user_id")
+        .join(m_q, "user_id")
     )
     return s.groupBy("r", "f", "m").agg(
         F.count("*").alias("n_users"),

@@ -444,15 +444,15 @@ def test_incremental_dedup_never_shuffles_text(spark):
 
 def test_length_batches_no_full_data_single_partition(spark):
     """Distributed global rank: the full-data row_number window must be
-    partitioned (by the range-partition id), and the only
-    single-partition exchange in the plan is the #partitions-sized
-    offsets table on the broadcast side — never the corpus (the naive
-    global Window.orderBy plan funnels every row through one task)."""
+    partitioned (by the range-partition id), and the plan has NO
+    single-partition exchange at all — the #partitions-sized offsets
+    table runs its cumulative window coalesced with an explicit
+    single-group column (the naive global Window.orderBy plan funnels
+    every row through one task)."""
     df = QUERIES["pack_length_batches"](spark, SF_DIR)
     plan = executed_plan(df)
     assert "windowspecdefinition(__pid" in plan
-    assert plan.count("Exchange SinglePartition") == 1
-    assert plan.index("Exchange SinglePartition") > plan.index("BroadcastExchange")
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_simhash_sketch_partial_aggregation(spark):
@@ -669,6 +669,37 @@ def test_corpus_wide_plan_audit_clean(spark):
     from tools.plan_audit import audit
 
     assert audit(spark, SF_DIR) == []
+
+
+def test_plan_audit_flags_injected_global_ntile(spark):
+    """The single-partition detector itself: a deliberately-injected
+    global ntile over lineitem (the exact shape the r8 verdict called
+    the last structural scale-killer) must be flagged; the same window
+    over a bounded aggregate and over a LIMIT output must not."""
+    from pyspark.sql import Window
+
+    from tools.plan_audit import unbounded_single_partition
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    bad = li.select(
+        F.ntile(10)
+        .over(Window.orderBy("l_extendedprice", "l_orderkey"))
+        .alias("d")
+    )
+    assert unbounded_single_partition(executed_plan(bad))
+    agg = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    ok = agg.select(F.sum("n").over(Window.orderBy("l_returnflag")).alias("c"))
+    assert not unbounded_single_partition(executed_plan(ok))
+    ok2 = (
+        li.orderBy("l_extendedprice", "l_orderkey")
+        .limit(100)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("l_extendedprice", "l_orderkey"))
+            .alias("r")
+        )
+    )
+    assert not unbounded_single_partition(executed_plan(ok2))
 
 
 def test_eval_auc_partial_agg_then_bounded_window(spark):
@@ -1397,11 +1428,13 @@ def test_brown_forsythe_median_broadcast(spark):
 
 
 def test_qini_decile_assignment_then_ten_rows(spark):
-    """EV25: after the decile window, every aggregate and cumsum runs
-    over 10 rows; no join."""
+    """EV25: decile assignment is the distributed-ntile device (range
+    exchange + broadcast offsets — NO single-partition exchange);
+    after it every aggregate and cumsum runs over 10 rows."""
     df = QUERIES["eval_qini_uplift"](spark, SF_DIR)
     plan = executed_plan(df)
-    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan  # offsets join must broadcast
     assert all(len(c) <= 4 for c in scan_columns(df))
 
 

@@ -410,6 +410,88 @@ def test_croston_formula_hand_case(spark, tmp_path):
     assert row["n_points"] == 4
 
 
+def test_croston_pre_epoch_shipdates_floor_weeks(spark, tmp_path):
+    """A89 regression (ADVICE r8): shipdates BEFORE the 1995-01-01
+    epoch produce negative day counts, where truncate-toward-zero
+    (`div`) and floor division disagree (-10 div 7 = -1, -10 // 7 =
+    -2).  Both engines must bucket with FLOOR semantics — TPC-H-style
+    data ships from 1992."""
+    import datetime
+
+    d = str(tmp_path)
+    lrows = []
+    base = datetime.date(1992, 6, 3)  # 938 days before the epoch
+    demands = [(0, 1.0), (2, 3.0), (3, 1.0), (7, 2.0), (9, 5.0)]
+    for i, (week, qty) in enumerate(demands):
+        ship = base + datetime.timedelta(days=week * 7 + (i % 3))
+        lrows.append(
+            (i, 42, 1, qty, 1.0, 0.0, "N", "O", f"{ship} 00:00:00")
+        )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    sdf = _cross_check(spark, "part_croston_demand", d, ["lineitem"])
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    # floor-week buckets recomputed by hand
+    buckets = {}
+    for i, (week, qty) in enumerate(demands):
+        ship = base + datetime.timedelta(days=week * 7 + (i % 3))
+        wk = (ship - datetime.date(1995, 1, 1)).days // 7
+        assert wk < 0  # the divergent regime is actually exercised
+        buckets[wk] = buckets.get(wk, 0) + round(qty * 100)
+    weeks = sorted(buckets.items())
+    sizes = [q for _, q in weeks][-8:]
+    gaps = [weeks[i][0] - weeks[i - 1][0] for i in range(1, len(weeks))][-8:]
+    z_num = sum(v * (1 << i) for i, v in enumerate(sizes))
+    p_num = sum(v * (1 << i) for i, v in enumerate(gaps))
+    assert (row["z_num"], row["p_num"]) == (z_num, p_num)
+
+
+def test_croston_dyadic_sum_exact_past_double_ceiling(spark, tmp_path):
+    """A89 regression (ADVICE r8): the dyadic EWMA numerator must be
+    EXACT int64 — per-(part, week) demand sums around 2^52 cents make
+    the 2^(i-1)-weighted sum exceed 2^53, where a double-precision
+    reduction silently loses low bits and diverges from the oracle's
+    integer list arithmetic."""
+    d = str(tmp_path)
+    big = (1 << 46) // 100 + 13  # quantity whose cents ~ 2^46, odd tail
+    lrows = []
+    for i, week in enumerate([0, 1, 2, 3, 4, 5, 6, 8]):
+        ship = 1 + week * 7
+        mm, dd = 1 + (ship - 1) // 28, 1 + (ship - 1) % 28
+        lrows.append(
+            (
+                i,
+                7,
+                1,
+                float(big + i),
+                1.0,
+                0.0,
+                "N",
+                "O",
+                f"1995-{mm:02d}-{dd:02d} 00:00:00",
+            )
+        )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    # the cross-check IS the assertion: engine and oracle must agree
+    # bit-for-bit on z_num even though the weighted sum tops 2^53
+    sdf = _cross_check(spark, "part_croston_demand", d, ["lineitem"])
+    assert len(sdf) == 1 and int(sdf.iloc[0]["z_num"]) > (1 << 53)
+
+
 def _phi_tail(x: float) -> float:
     t = 1.0 / (1.0 + 0.2316419 * x)
     poly = t * (
@@ -1092,6 +1174,30 @@ def test_burst_kleinberg_matches_bruteforce(spark, tmp_path):
     assert hot_path[10:13] == [1, 1, 1]
     assert hot_path[0] == 0 and hot_path[-1] == 0
     assert all(s == 0 for s in cold_path)
+
+
+def test_burst_kleinberg_calendar_past_1000_days(spark, tmp_path):
+    """A99 regression (ADVICE r8): the oracle's Viterbi-path unnest
+    was capped at 999 days, silently truncating longer calendars while
+    the Spark replay handled any length — a >=1000-day series must now
+    round-trip with identical row counts on both engines."""
+    d = str(tmp_path)
+    n_days = 1005
+    import datetime
+
+    base = datetime.date(2021, 1, 1)
+    rows, eid = [], 0
+    for i in range(n_days):
+        day = base + datetime.timedelta(days=i)
+        rows.append((eid, f"{day} 10:00:00", 1, "click", 1.0, "{}"))
+        eid += 1
+        if i % 9 == 0:  # sparse second type so shares vary
+            rows.append((eid, f"{day} 10:00:00", 1, "view", 1.0, "{}"))
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_burst_kleinberg", d, ["events"])
+    # every (type, day) grid cell present — nothing truncated at 999
+    assert len(sdf) == 2 * n_days
 
 
 def test_hill_tail_matches_bruteforce(spark, tmp_path):

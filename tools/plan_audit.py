@@ -16,6 +16,20 @@ Checks per entry:
   * BatchEvalPython / row-at-a-time PythonUDF — always forbidden; the
                               Python seams must be Arrow-batched
                               (ArrowEvalPython / FlatMapsInPandas)
+  * unbounded Exchange SinglePartition — the one-task funnel behind
+                              a global Window.orderBy / ntile over an
+                              unbounded input (the VERDICT r8 family).
+                              A SinglePartition exchange is fine when
+                              its input subtree is provably bounded
+                              (an Aggregate, a Limit/TakeOrdered, or a
+                              literal LocalTableScan below it — k-row
+                              frames by construction); anything else
+                              is the plan that dies at 100 TB and must
+                              be rewritten with
+                              operators/ranking.py:distributed_rank /
+                              distributed_ntile (or declared in
+                              ALLOW_SINGLE_PARTITION with a per-entry
+                              scale justification).
 
 Caveat: the near-dup cluster family (dedup_cluster_keep,
 dedup_cluster_sizes, corpus_leakage_safe_split, dedup_threshold_sweep,
@@ -241,6 +255,60 @@ ALLOW_PYTHON_UDTF = {
     "udtf_chunk_ranges",
 }
 
+# Entries allowed to keep an Exchange SinglePartition whose input the
+# boundedness heuristic cannot see — each line carries the reason the
+# input is in fact k-row AT SCALE.  (Entries whose single-partition
+# input contains an Aggregate / Limit / literal scan pass
+# automatically and do not belong here.)
+ALLOW_SINGLE_PARTITION: dict[str, str] = {}
+
+# Physical nodes that prove the subtree feeding an Exchange
+# SinglePartition is bounded: an aggregate collapses the corpus to its
+# group count before the exchange; a limit/TakeOrdered caps rows; a
+# LocalTableScan is a literal frame; a ReusedExchange refers to an
+# exchange audited at its original site.
+_BOUNDED_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalTableScan",
+    "ReusedExchange",
+)
+
+_TREE_PREFIX = " :+-*()0123456789"
+
+
+def _node_depth(line: str) -> int:
+    """Character offset of the node name in a physical-plan tree line
+    (past the ':  +- *(n) ' scaffolding)."""
+    return len(line) - len(line.lstrip(_TREE_PREFIX))
+
+
+def unbounded_single_partition(plan: str) -> bool:
+    """True when the plan contains an Exchange SinglePartition whose
+    input subtree has no bounding node — the global-sort/window
+    one-task funnel."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = _node_depth(line)
+        bounded = False
+        for sub in lines[i + 1 :]:
+            if not sub.strip():
+                break
+            if _node_depth(sub) <= depth:
+                break
+            if sub.lstrip(_TREE_PREFIX).startswith(_BOUNDED_NODES):
+                bounded = True
+                break
+        if not bounded:
+            return True
+    return False
+
 
 def audit(spark, sf_dir: str, verbose: bool = False) -> list[str]:
     from bytesprocessor_spark.plans.explain import executed_plan
@@ -262,6 +330,14 @@ def audit(spark, sf_dir: str, verbose: bool = False) -> list[str]:
             probs.append("BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan and name not in ALLOW_PYTHON_UDTF:
             probs.append("row-at-a-time PythonUDF (BatchEvalPython)")
+        if (
+            unbounded_single_partition(plan)
+            and name not in ALLOW_SINGLE_PARTITION
+        ):
+            probs.append(
+                "unbounded Exchange SinglePartition (global sort/window"
+                " one-task funnel — use operators/ranking.py)"
+            )
         if probs:
             violations.append(f"{name}: {', '.join(probs)}")
         elif verbose:
