@@ -420,6 +420,45 @@ MIN_OF_3 = {
 }
 
 
+# Entries added AFTER the round-8-close measurement bracket (the
+# 344-entry registry whose four Spark-vs-DuckDB pairs BASELINE.md
+# records at 1.22-1.37x).  Every sub-second statistics row added since
+# widens the headline ratio BY CONSTRUCTION (Spark's ~0.3-0.6 s
+# local-mode per-entry constant vs a ~10 ms one-row DuckDB oracle), so
+# the emitted JSON carries value_legacy/n_legacy — the suite total
+# over the bracket-comparable subset — next to the headline total
+# (VERDICT r8 #5).  Each round APPENDS its additions here.
+POST_BRACKET_ADDITIONS = {
+    # round-8 continued session (26)
+    "events_kruskal_wallis",
+    "eval_mcnemar",
+    "eval_cohens_kappa",
+    "orders_logrank",
+    "eval_ips_policy_value",
+    "jsonl_quarantine_scan",
+    "graph_hits",
+    "part_croston_demand",
+    "events_fdr_bh",
+    "text_textrank_keywords",
+    "events_cochran_armitage",
+    "events_brown_forsythe",
+    "eval_qini_uplift",
+    "eval_krippendorff_alpha",
+    "events_panel_within",
+    "text_burstiness",
+    "corpus_tokenizer_audit",
+    "orders_weibull_fit",
+    "events_capture_recapture",
+    "eval_bradley_terry",
+    "events_extreme_gumbel",
+    "events_peaks_over_threshold",
+    "txnlog_changes_read",
+    "events_eb_shrinkage",
+    "events_burst_kleinberg",
+    "orders_hill_tail",
+}
+
+
 def make_bench_pcap(path: str, n_packets: int, seed: int = 42) -> None:
     """Synthetic capture: TCP/UDP mix, payload 40-1400 bytes, 10% of
     traffic attacker-sourced inside the attack window."""
@@ -585,10 +624,18 @@ def main() -> None:
     run_vectors["pcap_pipeline_20k"] = pcap_runs
     canary_end = canary()
     total = round(sum(timings.values()), 3)
+    legacy = {n: t for n, t in timings.items() if n not in POST_BRACKET_ADDITIONS}
     headline = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        # composition-controlled companion: the same suite total over
+        # the round-8-close bracket-comparable subset (the registry
+        # keeps growing with sub-second rows that each bill Spark's
+        # local-mode per-entry constant against a ~10 ms oracle —
+        # compare value_legacy, not value, against BASELINE.md's pairs)
+        "value_legacy": round(sum(legacy.values()), 3),
+        "n_legacy": len(legacy),
         "queries": timings,
         # [start, end] of the trivial-query canary: if either is
         # several x the usual ~0.1-0.3 s, the whole run sat in a host

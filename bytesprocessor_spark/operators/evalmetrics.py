@@ -41,11 +41,19 @@ def auc(scored: DataFrame, y_col: str = "y", score_col: str = "score") -> DataFr
     pos x neg pairs; past that swap the micro constants for
     decimal(38) (the Gram-matrix escape hatch).
     """
-    s = scored.groupBy(F.col(score_col).alias("score")).agg(
-        F.sum(y_col).alias("p"),
-        (F.count(F.lit(1)) - F.sum(y_col)).alias("n"),
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    s = bounded_single_group(
+        scored.groupBy(F.col(score_col).alias("score")).agg(
+            F.sum(y_col).alias("p"),
+            (F.count(F.lit(1)) - F.sum(y_col)).alias("n"),
+        )
+    )  # score-domain-bounded table: the single group is declared
+    w = (
+        Window.partitionBy("__opid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     c = s.select("p", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cumn"))
     t = c.agg(
         F.sum(F.col("p") * (2 * F.col("cumn") + F.col("n"))).alias("two_u"),
@@ -103,16 +111,22 @@ def pr_curve(pm: DataFrame, n_thresholds: int = 11) -> DataFrame:
         F.sum("y").alias("tp_b"),
         (F.count(F.lit(1)) - F.sum("y")).alias("fp_b"),
     )
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
     grid = spark.range(0, n_thresholds).select(F.col("id").alias("bkt"))
-    j = grid.join(F.broadcast(g), "bkt", "left").select(
-        "bkt",
-        F.coalesce("tp_b", F.lit(0)).alias("tp_b"),
-        F.coalesce("fp_b", F.lit(0)).alias("fp_b"),
+    j = bounded_single_group(
+        grid.join(F.broadcast(g), "bkt", "left").select(
+            "bkt",
+            F.coalesce("tp_b", F.lit(0)).alias("tp_b"),
+            F.coalesce("fp_b", F.lit(0)).alias("fp_b"),
+        )
+    )  # grid-bounded (n_thresholds rows)
+    w = (
+        Window.partitionBy("__opid")
+        .orderBy(F.col("bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.orderBy(F.col("bkt").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy().rowsBetween(
+    wall = Window.partitionBy("__opid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     c = j.select(
@@ -154,7 +168,10 @@ def calibration(pm: DataFrame, n_bins: int = 10) -> DataFrame:
         F.sum("pm").alias("sum_pm"),
         F.sum("y").alias("sum_y"),
     )
-    wall = Window.partitionBy().rowsBetween(
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    g = bounded_single_group(g)  # bin-bounded (n_bins rows)
+    wall = Window.partitionBy("__opid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     mean_pred = F.expr("sum_pm div n")

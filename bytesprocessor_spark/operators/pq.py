@@ -46,12 +46,14 @@ def pq_codebook(emb: DataFrame, m: int, k_c: int, id_col: str = "vec_id",
     """One row per subspace j: an ordered array of the k_c centroid
     sub-vectors (quantized).  Deterministic: centroids come from the
     k_c lowest ids, ordered by id."""
-    base = (
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    base = bounded_single_group(
         emb.orderBy(id_col)
         .limit(k_c)
         .select(F.col(id_col).alias("_cid_src"), _quant(F.col(vec_col)).alias("v"))
-    )
-    w = Window.orderBy("_cid_src")
+    )  # LIMIT-bounded (k_c rows)
+    w = Window.partitionBy("__opid").orderBy("_cid_src")
     numbered = base.select((F.row_number().over(w) - 1).alias("c"), "v")
     dim_per = F.floor(F.size("v") / m).cast("int")
     sub = numbered.select(

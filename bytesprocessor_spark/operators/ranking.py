@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 
 from bytesprocessor_spark.operators.caching import persist_intermediate
 
-__all__ = ["bounded_single_group", "distributed_rank", "distributed_ntile"]
+__all__ = [
+    "bounded_single_group",
+    "distributed_cumsum",
+    "distributed_ntile",
+    "distributed_rank",
+]
 
 
 def bounded_single_group(df: DataFrame, col_name: str = "__opid") -> DataFrame:
@@ -115,6 +120,52 @@ def distributed_rank(
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__total"))
     return out.drop("__pid", "__lrn", "__offset", "__total")
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    cum_col: str = "cum",
+) -> DataFrame:
+    """Append the running SUM of ``value_col`` over the global total
+    order ``order_cols`` (frame ``ROWS UNBOUNDED PRECEDING``) without
+    a single-partition window — the prefix-sum sibling of
+    :func:`distributed_rank`: each range slice computes a LOCAL
+    cumulative sum and the per-slice value totals broadcast back as
+    offsets.
+    """
+    base = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    base = persist_intermediate(base)
+    counts = (
+        base.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__v"))
+        .coalesce(1)
+        .withColumn("__opid", F.spark_partition_id())
+    )
+    w_off = Window.partitionBy("__opid").orderBy("__pid")
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__v").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__voff"),
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("__lcum", F.sum(value_col).over(local_w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(cum_col, F.col("__voff") + F.col("__lcum"))
+        .drop("__pid", "__lcum", "__voff")
+    )
 
 
 def distributed_ntile(

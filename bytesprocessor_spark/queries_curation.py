@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bytesprocessor_spark.operators.ranking import bounded_single_group
 from bytesprocessor_spark.queries import cents, query, _t
 from bytesprocessor_spark.functions.text import tokenize
 from bytesprocessor_spark.queries_llm import _DUCK_TOKS, _DUCK_WORD3
@@ -228,10 +229,9 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = persist_intermediate(
         emb.select("vec_id", quantize_micro(F.col("embedding")).alias("v"))
     )
-    w = Window.orderBy("vec_id")
+    w = Window.partitionBy("__opid").orderBy("vec_id")
     cent = (
-        e.orderBy("vec_id")
-        .limit(_KM_K)
+        bounded_single_group(e.orderBy("vec_id").limit(_KM_K))
         .select(F.row_number().over(w).alias("cid"), F.col("v").alias("cv"))
     )
     stats = None
@@ -555,8 +555,8 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_feats"), F.sum("lw_q").alias("s"))
     )
-    top = d.orderBy(F.col("s").desc(), "doc_id").limit(_DSIR_TOPK)
-    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    top = bounded_single_group(d.orderBy(F.col("s").desc(), "doc_id").limit(_DSIR_TOPK))
+    w = Window.partitionBy("__opid").orderBy(F.col("s").desc(), "doc_id")
     return top.select(
         F.row_number().over(w).alias("rank"),
         "doc_id",
@@ -784,8 +784,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     p = pagerank(edges, n_iter=_PR_ITERS)
-    top = p.orderBy(F.col("p").desc(), "node").limit(_PR_TOPK)
-    w = Window.orderBy(F.col("p").desc(), "node")
+    top = bounded_single_group(p.orderBy(F.col("p").desc(), "node").limit(_PR_TOPK))
+    w = Window.partitionBy("__opid").orderBy(F.col("p").desc(), "node")
     return top.select(
         F.when(F.col("node") % 2 == 0, F.concat(F.lit("c:"), F.expr("node div 2")))
         .otherwise(F.concat(F.lit("s:"), F.expr("node div 2")))
@@ -2560,8 +2560,14 @@ def events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = (
         f"CAST(ROUND(LN((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})) * 1000000) AS BIGINT)"
     )
-    c = d.withColumn("llr_day", F.expr(f"x * {c1} + (n - x) * {c2}"))
-    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = bounded_single_group(
+        d.withColumn("llr_day", F.expr(f"x * {c1} + (n - x) * {c2}"))
+    )  # calendar-bounded day table
+    wc = (
+        Window.partitionBy("__opid")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     s = c.withColumn("llr_micro", F.sum("llr_day").over(wc).cast("long"))
     ub = f"CAST(ROUND({_SPRT_A} * 1000000) AS BIGINT)"
     lb = f"CAST(ROUND({_SPRT_B} * 1000000) AS BIGINT)"

@@ -279,10 +279,14 @@ def events_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_h60(F.col("user_id").cast("string")) % _K_FOLDS).alias("fold"),
         "event_type",
     )
-    g = f.groupBy("fold", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    # fold/type/global totals are windows over the TINY (K x n_types)
-    # cell table — one corpus scan total, zero joins (re-aggregating
-    # g's lineage would rescan events once per total)
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    g = bounded_single_group(  # TINY (K x n_types) cell table
+        f.groupBy("fold", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    # fold/type/global totals are windows over that cell table — one
+    # corpus scan total, zero joins (re-aggregating g's lineage would
+    # rescan events once per total)
     w = g.select(
         "fold",
         "event_type",
@@ -291,7 +295,7 @@ def events_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(Window.partitionBy("event_type")).alias("type_total"),
         F.sum("n")
         .over(
-            Window.partitionBy().rowsBetween(
+            Window.partitionBy("__opid").rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         )
@@ -791,7 +795,14 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("sum_y"),
     )
-    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    g = bounded_single_group(g)  # 10-bin bounded table
+    wc = (
+        Window.partitionBy("__opid")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     pre = g.select(
         "bin",
         "n",

@@ -1702,8 +1702,10 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one token explode, one shuffle on token for counts,
     the vocabulary-sized lp table broadcasts back onto the token
     stream, one shuffle on doc_id for the per-doc sum.  The tercile
-    NTILE ranks on integer-division surprisal with a doc_id tiebreak,
-    so bucket boundaries are deterministic in both engines."""
+    NTILE ranks on integer-division surprisal with a doc_id tiebreak
+    (deterministic in both engines) via the DISTRIBUTED NTILE device
+    (operators/ranking.py) — the per-doc table is corpus-sized, so a
+    bare global window here would be a one-task funnel at 100 TB."""
     docs = _t(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
     cnt = t.groupBy("tok").agg(F.count("*").alias("c"))
@@ -1719,14 +1721,22 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("lp_q").alias("s"))
     )
-    w = Window.orderBy(
-        (F.col("s") * 1000 / F.col("n_tokens")).cast("long"), F.col("doc_id")
-    )
-    return d.select(
+    # the tercile cut ranks the PER-DOC table — corpus-sized, so the
+    # distributed NTILE device, not a single-partition window
+    from bytesprocessor_spark.operators.ranking import distributed_ntile
+
+    return distributed_ntile(
+        d.withColumn(
+            "__surp", (F.col("s") * 1000 / F.col("n_tokens")).cast("long")
+        ),
+        [F.col("__surp").asc(), F.col("doc_id").asc()],
+        3,
+        tile_col="bucket",
+    ).select(
         "doc_id",
         "n_tokens",
         F.round(F.col("s") / 1000000.0 / F.col("n_tokens"), 6).alias("mean_surprisal"),
-        F.ntile(3).over(w).alias("bucket"),
+        "bucket",
     )
 
 

@@ -213,10 +213,12 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are ONE extra hash aggregate over the triangle list (each
     triangle feeds its three corners via explode — no new join), and
     the decile rollup is a <= 11-row aggregate.  The rank cut prunes
-    the pair explosion BEFORE any triangle join (its window sorts the
-    VOCABULARY-sized pair table, not lineitem; at 100 TB make the cut
-    per blocking key to keep that sort partitioned), so text-free
-    integer keys are all that ever shuffle."""
+    the pair explosion BEFORE any triangle join, and it ranks the
+    pair-weight table with the DISTRIBUTED rank device
+    (operators/ranking.py — range-partitioned local sort, no
+    single-partition window even when the co-occurrence table is
+    billions of pairs), so text-free integer keys are all that ever
+    shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     os_ = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
@@ -225,13 +227,17 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))
     ).select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
     pw = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("w"))
-    wrk = Window.orderBy(F.col("w").desc(), F.col("a").asc(), F.col("b").asc())
-    ranked = pw.select(
-        "a",
-        "b",
-        F.row_number().over(wrk).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # the pair-weight table grows with the co-occurrence graph, so the
+    # rank cut uses the DISTRIBUTED rank device (range-partitioned
+    # sort), not a single-partition window
+    ranked = distributed_rank(
+        pw,
+        [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
+        rank_col="rk",
+        total_col="n",
     )
     e = ranked.where(F.col("rk") * 10 <= F.col("n")).select("a", "b")
     deg = (
@@ -480,11 +486,15 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic.
 
     Scale shape: one token-keyed aggregate builds the frequency table;
-    the rank/cumsum window runs over the VOCABULARY (bounded by
-    distinct bigrams, not corpus rows) — at 100 TB that single-
-    partition window is still a vocab-sized sort, and the readout is
+    only the top max(k) = {max(_COV_KS)} rows and two scalar totals
+    (Σf, vocab count) matter after it, so the plan is a
+    TakeOrderedAndProject prefix + a 1-row totals broadcast — the
+    rank/cumsum window runs over the {max(_COV_KS)}-row prefix, never
+    a vocab-sized single-partition sort — and the readout is
     {len(_COV_KS)} rows via conditional aggregation (no range join,
     no nested-loop)."""
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
     docs = _t(spark, sf_dir, "documents")
     arr = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
     bgs = F.expr(
@@ -497,9 +507,23 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(bgs).alias("b"))
     )
     tf = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("f"))
-    wr = Window.orderBy(F.col("f").desc(), F.col("b").asc())
-    r = tf.select("f", F.row_number().over(wr).alias("rk"))
-    wc = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    tf = persist_intermediate(tf)  # totals pass + top-k prefix share it
+    totals = tf.agg(
+        F.sum("f").cast("long").alias("ctot"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    top = bounded_single_group(
+        tf.orderBy(F.col("f").desc(), F.col("b").asc()).limit(max(_COV_KS))
+    )
+    wr = Window.partitionBy("__opid").orderBy(F.col("f").desc(), F.col("b").asc())
+    r = top.select("f", "__opid", F.row_number().over(wr).alias("rk"))
+    wc = (
+        Window.partitionBy("__opid")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = r.select("rk", F.sum("f").over(wc).alias("cf"))
     sel = cum.agg(
         *[
@@ -508,9 +532,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"c{i}")
             for i, k in enumerate(_COV_KS)
         ],
-        F.max("cf").cast("long").alias("ctot"),
-        F.max("rk").cast("long").alias("n_vocab"),
-    )
+    ).crossJoin(F.broadcast(totals))
     stack = ", ".join(
         f"{k}L, coalesce(c{i}, ctot) * 1000000 div ctot" for i, k in enumerate(_COV_KS)
     )

@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bytesprocessor_spark.operators.ranking import bounded_single_group as _bsg
+
 from bytesprocessor_spark.queries import _t, cents, query
 
 
@@ -120,9 +122,17 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scan: the (group, value) counts; tie sizes and the cumulative
     # rank offset come from windows over THAT table (k rows per value),
     # never re-reading or re-aggregating events
-    c = e.groupBy("g", "v").agg(F.count("*").cast("long").alias("c"))
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    c = bounded_single_group(  # distinct-(g, v) value-domain table
+        e.groupBy("g", "v").agg(F.count("*").cast("long").alias("c"))
+    )
     w_tie = Window.partitionBy("v")
-    w_cum = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, -1)
+    w_cum = (
+        Window.partitionBy("__opid")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
     ranked = c.select(
         "g",
         "v",
@@ -152,8 +162,10 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps ONE plan (a crossJoin with a separate agg would recompute
     # the whole aggregation lineage twice); k = #event types, so the
     # single-partition window is bounded
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    withg = r.select(
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withg = _bsg(r).select(
         "g",
         "n",
         "two_r",
@@ -387,8 +399,10 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # totals via an unpartitioned window over the k-row label table —
     # one plan, the two marginal scans run exactly once
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    withg = j.select(
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withg = _bsg(j).select(
         "label",
         "n_r1",
         "n_r2",
@@ -528,8 +542,17 @@ def orders_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arm totals AND risk sets both come from windows over the
     # calendar-bounded (<=91 rows) per-day table — one plan, the big
     # orders⋈lineitem join runs exactly once
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    ev = bounded_single_group(ev)  # calendar-bounded (<=91 rows)
+    w = (
+        Window.partitionBy("__opid")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     rk = ev.select(
         "t",
         "d1",
@@ -708,8 +731,10 @@ def eval_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # totals via an unpartitioned window over the per-context table —
     # one plan, both splits' aggregations run exactly once
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    withg = perc.select(
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withg = _bsg(perc).select(
         "ctx",
         "pi_act",
         "n_c",
@@ -930,25 +955,27 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("h"))
         )
-    wa = Window.orderBy(F.col("a").desc(), "p")
-    wh = Window.orderBy(F.col("h").desc(), "c")
-    top_a = (
-        a.select(
-            F.lit("authority").alias("role"),
-            F.concat(F.lit("p:"), F.col("p").cast("string")).alias("node"),
-            F.col("a").alias("score"),
-            F.row_number().over(wa).alias("rank"),
-        )
-        .where(F.col("rank") <= _HITS_TOPK)
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    # entity-scale vertex tables: TakeOrdered each top list, rank the
+    # bounded prefix (identical under the unique order)
+    wa = Window.partitionBy("__opid").orderBy(F.col("a").desc(), "p")
+    wh = Window.partitionBy("__opid").orderBy(F.col("h").desc(), "c")
+    top_a = bounded_single_group(
+        a.orderBy(F.col("a").desc(), "p").limit(_HITS_TOPK)
+    ).select(
+        F.lit("authority").alias("role"),
+        F.concat(F.lit("p:"), F.col("p").cast("string")).alias("node"),
+        F.col("a").alias("score"),
+        F.row_number().over(wa).alias("rank"),
     )
-    top_h = (
-        h.select(
-            F.lit("hub").alias("role"),
-            F.concat(F.lit("c:"), F.col("c").cast("string")).alias("node"),
-            F.col("h").alias("score"),
-            F.row_number().over(wh).alias("rank"),
-        )
-        .where(F.col("rank") <= _HITS_TOPK)
+    top_h = bounded_single_group(
+        h.orderBy(F.col("h").desc(), "c").limit(_HITS_TOPK)
+    ).select(
+        F.lit("hub").alias("role"),
+        F.concat(F.lit("c:"), F.col("c").cast("string")).alias("node"),
+        F.col("h").alias("score"),
+        F.row_number().over(wh).alias("rank"),
     )
     return top_a.unionByName(top_h).orderBy("role", "rank")
 
@@ -1224,8 +1251,10 @@ def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = ev.groupBy("g", "dow").agg(F.count("*").cast("long").alias("n_gd"))
     w_d = Window.partitionBy("dow")
     w_g = Window.partitionBy("g")
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    m = cell.select(
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = _bsg(cell).select(
         "g",
         "dow",
         "n_gd",
@@ -1253,11 +1282,18 @@ def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_micro"
         ),
     )
-    w_rank = Window.orderBy("p_micro", "g", "dow")
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    p = bounded_single_group(p)  # (k-group x 7-dow)-bounded test grid
+    w_rank = Window.partitionBy("__opid").orderBy("p_micro", "g", "dow")
     r = p.withColumn("rank", F.row_number().over(w_rank).cast("long"))
-    w_all2 = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    w_qd = Window.orderBy(F.col("rank").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    w_all2 = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_qd = (
+        Window.partitionBy("__opid")
+        .orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     qterm = F.round(
         F.col("p_micro").cast("double")
@@ -1416,14 +1452,20 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     p = pagerank(edges, n_iter=_TR_ITERS)
-    w = Window.orderBy(F.col("p").desc(), "node")
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    # vocabulary-sized rank table: TakeOrdered the top-k, rank the
+    # bounded prefix (identical under the unique order)
+    w = Window.partitionBy("__opid").orderBy(F.col("p").desc(), "node")
     return (
-        p.select(
+        bounded_single_group(
+            p.orderBy(F.col("p").desc(), "node").limit(_TR_TOPK)
+        )
+        .select(
             F.col("node").alias("word"),
             F.col("p").alias("textrank_micro"),
             F.row_number().over(w).alias("rank"),
         )
-        .where(F.col("rank") <= _TR_TOPK)
         .orderBy("rank")
     )
 
@@ -1485,8 +1527,10 @@ def events_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_d"),
         F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("r_d"),
     )
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    m = cell.select(
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = _bsg(cell).select(
         "dose",
         "n_d",
         "r_d",
@@ -1598,8 +1642,10 @@ def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bterm_row = F.round(
         F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n").cast("double")
     ).cast("long")
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    m = s.select(
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = _bsg(s).select(
         "g",
         "n",
         "s1",
@@ -2573,7 +2619,12 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("p"),
         )
-        w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+        raw = bounded_single_group(raw)  # k-item duel table
+        w_all = Window.partitionBy("__opid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
         p = raw.select(
             "item",
             F.round(
@@ -2584,8 +2635,10 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("p"),
         )
-    w_rank = Window.orderBy(F.col("p").desc(), "item")
-    return p.select(
+    from bytesprocessor_spark.operators.ranking import bounded_single_group as _bsg
+
+    w_rank = Window.partitionBy("__opid").orderBy(F.col("p").desc(), "item")
+    return _bsg(p).select(
         "item",
         F.col("p").alias("strength_nano"),
         F.row_number().over(w_rank).cast("long").alias("rank"),
@@ -2997,8 +3050,16 @@ def events_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shrunk_u"),
     )
-    w_dec = Window.orderBy("shrunk_u", "user_id")
-    dec = sh.withColumn("decile", F.ntile(10).over(w_dec))
+    # per-USER table — entity-scale at 100x, so the distributed NTILE
+    # device, not a single-partition window
+    from bytesprocessor_spark.operators.ranking import distributed_ntile
+
+    dec = distributed_ntile(
+        sh,
+        [F.col("shrunk_u").asc(), F.col("user_id").asc()],
+        10,
+        tile_col="decile",
+    )
     return (
         dec.groupBy("decile")
         .agg(

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bytesprocessor_spark.operators.ranking import bounded_single_group
 from bytesprocessor_spark.queries import _t, query
 from bytesprocessor_spark.functions.text import tokenize
 
@@ -140,8 +141,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_terms"), F.sum("s_micro").cast("long").alias("score_micro")
     )
-    top = agg.orderBy(F.col("score_micro").desc(), "doc_id").limit(_BM25_TOPK)
-    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    top = bounded_single_group(
+        agg.orderBy(F.col("score_micro").desc(), "doc_id").limit(_BM25_TOPK)
+    )
+    w = Window.partitionBy("__opid").orderBy(F.col("score_micro").desc(), "doc_id")
     return top.select(
         "doc_id", "n_terms", "score_micro", F.row_number().over(w).alias("rank")
     ).orderBy("rank")
@@ -506,11 +509,17 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(qp)
         .withColumn("sim", sim)
     )
-    wc = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
-    cl = (
-        s.withColumn("r_c", F.row_number().over(wc))
-        .where(F.col("r_c") <= _RRF_LIST)
-        .select(F.col("vec_id").alias("doc_id"), "r_c")
+    # rank-then-filter over the scored corpus would single-partition
+    # the whole table: TakeOrdered the top list FIRST, rank the
+    # bounded prefix (identical result under the unique total order)
+    top_c = bounded_single_group(
+        s.select("vec_id", "sim")
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(_RRF_LIST)
+    )
+    wc = Window.partitionBy("__opid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    cl = top_c.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wc).alias("r_c")
     )
     f = bm.join(cl, "doc_id", "full_outer").select(
         "doc_id",
@@ -523,11 +532,14 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rrf_micro"),
     )
-    wf = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    # f is the union of two bounded top lists
+    wf = Window.partitionBy("__opid").orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
     return (
-        f.withColumn("rank", F.row_number().over(wf))
+        bounded_single_group(f)
+        .withColumn("rank", F.row_number().over(wf))
         .orderBy("rank")
         .limit(_RRF_TOPK)
+        .drop("__opid")
     )
 
 
@@ -721,10 +733,14 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occurrences"),
         F.max("score_micro").cast("long").alias("score_micro"),
     )
-    wr = Window.orderBy(F.col("score_micro").desc(), "phrase")
+    # phrase vocabulary can be large: TakeOrdered the top-k first,
+    # rank the bounded prefix (identical under the unique order)
+    top = bounded_single_group(
+        agg.orderBy(F.col("score_micro").desc(), "phrase").limit(_RAKE_TOPK)
+    )
+    wr = Window.partitionBy("__opid").orderBy(F.col("score_micro").desc(), "phrase")
     return (
-        agg.withColumn("rank", F.row_number().over(wr))
+        top.withColumn("rank", F.row_number().over(wr))
         .orderBy("rank")
-        .limit(_RAKE_TOPK)
         .select("phrase", "n_occurrences", "score_micro", "rank")
     )

@@ -72,6 +72,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bytesprocessor_spark.functions.text import token_count, tokenize
+from bytesprocessor_spark.operators.ranking import bounded_single_group
 from bytesprocessor_spark.queries import _t, cents, query
 from bytesprocessor_spark.queries_llm import _DUCK_TOKS
 
@@ -288,18 +289,19 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     window warning is on a frame bounded by the calendar, not the
     data."""
     ev = _t(spark, sf_dir, "events")
-    daily = (
+    daily = bounded_single_group(  # calendar-bounded day table
         ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(F.count("*").cast("long").alias("n"))
     )
-    w = Window.orderBy("day").rowsBetween(-3, 3)
     tr = daily.select(
         "day",
         "n",
         (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
         F.expr(
-            "sum(n * 1000000) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
-            " div count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+            "sum(n * 1000000) OVER (PARTITION BY __opid ORDER BY day"
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+            " div count(*) OVER (PARTITION BY __opid ORDER BY day"
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
         ).alias("trend_micro"),
     )
     det = tr.withColumn("det_micro", F.col("n") * 1000000 - F.col("trend_micro"))
@@ -1592,8 +1594,6 @@ def eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").cast("long").alias("total_pos"),
         F.sum("n").cast("long").alias("total"),
     )
-    from bytesprocessor_spark.operators.ranking import bounded_single_group
-
     return (
         bounded_single_group(g.crossJoin(F.broadcast(t)))  # 10-row gains table
         .select(
@@ -1754,12 +1754,18 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST((w * {_BUDGET_TOKENS}) div tw AS BIGINT)").alias("fl"),
         F.expr(f"CAST((w * {_BUDGET_TOKENS}) % tw AS BIGINT)").alias("rem"),
     )
+    q = bounded_single_group(q)  # K-source bounded quota table
     r = q.select(
         "source",
         "w",
         "fl",
-        F.row_number().over(Window.orderBy(F.col("rem").desc(), "source")).alias("rk"),
-        F.expr(f"CAST({_BUDGET_TOKENS} - sum(fl) OVER () AS BIGINT)").alias("short"),
+        F.row_number()
+        .over(Window.partitionBy("__opid").orderBy(F.col("rem").desc(), "source"))
+        .alias("rk"),
+        F.expr(
+            f"CAST({_BUDGET_TOKENS} - sum(fl) OVER (PARTITION BY __opid)"
+            " AS BIGINT)"
+        ).alias("short"),
     )
     return r.select(
         "source",
@@ -1863,9 +1869,12 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = r.groupBy("b").agg(
         F.expr("CAST(sum(w * v) div sum(w) AS BIGINT)").alias("mean_cents")
     )
+    m = bounded_single_group(m)  # B bootstrap replicates (bounded)
     o = m.select(
         "mean_cents",
-        F.row_number().over(Window.orderBy("mean_cents", "b")).alias("rk"),
+        F.row_number()
+        .over(Window.partitionBy("__opid").orderBy("mean_cents", "b"))
+        .alias("rk"),
     )
     lo = o.where(F.col("rk") == 2).select(F.col("mean_cents").alias("ci_lo_cents"))
     hi = o.where(F.col("rk") == _BOOT_B - 1).select(
@@ -3493,7 +3502,12 @@ def orders_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_c"))
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    d = bounded_single_group(d)  # calendar-bounded day table
+    w = (
+        Window.partitionBy("__opid")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     r = d.select("day", "rev_c", F.max("rev_c").over(w).alias("peak_c"))
     dd = r.select(
         F.date_format("day", "yyyy-MM-dd").alias("trough_day"),
@@ -3616,7 +3630,8 @@ def orders_rolling_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_c"),
         F.count("*").cast("long").alias("n"),
     )
-    w = Window.orderBy(F.col("yr") * 12 + F.col("mon"))
+    m = bounded_single_group(m)  # calendar-bounded month table
+    w = Window.partitionBy("__opid").orderBy(F.col("yr") * 12 + F.col("mon"))
     l = m.withColumn("prev_rev_c", F.lag("rev_c", 12).over(w)).where(
         F.col("prev_rev_c").isNotNull()
     )
@@ -3709,8 +3724,11 @@ def eval_threshold_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("score").agg(
         F.count("*").cast("long").alias("c"), F.sum("pos").cast("long").alias("cp")
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    g = bounded_single_group(g)  # score-domain-bounded table
+    w = (
+        Window.partitionBy("__opid")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     c = g.select(
         "score",
@@ -3878,9 +3896,13 @@ def events_return_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ud.select(
         F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap")
     ).where(F.col("gap").isNotNull())
-    h = g.groupBy("gap").agg(F.count("*").cast("long").alias("n"))
-    wc = Window.orderBy(F.col("gap").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    h = bounded_single_group(
+        g.groupBy("gap").agg(F.count("*").cast("long").alias("n"))
+    )  # gap-domain-bounded table
+    wc = (
+        Window.partitionBy("__opid")
+        .orderBy(F.col("gap").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     c = h.select("gap", "n", F.sum("n").over(wc).alias("n_at_risk"))
     return (

@@ -756,8 +756,10 @@ def stream_drift_monitor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         live = stream.where(F.col("event_id") % 2 == 1).select(bucket)
 
         def finish(sink_df: DataFrame) -> DataFrame:
+            from bytesprocessor_spark.operators.ranking import bounded_single_group
+
             obs = sink_df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_live"))
-            c = (
+            c = bounded_single_group(  # bucket-domain-bounded table
                 ref.join(obs, "bucket", "full")
                 .select(
                     "bucket",
@@ -771,13 +773,15 @@ def stream_drift_monitor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_live",
                 F.greatest(
                     F.expr(
-                        f"((n_ref + 1) * 1000000) div sum(n_ref + 1) over ()"
+                        "((n_ref + 1) * 1000000)"
+                        " div sum(n_ref + 1) over (PARTITION BY __opid)"
                     ),
                     F.lit(1),
                 ).alias("pm"),
                 F.greatest(
                     F.expr(
-                        f"((n_live + 1) * 1000000) div sum(n_live + 1) over ()"
+                        "((n_live + 1) * 1000000)"
+                        " div sum(n_live + 1) over (PARTITION BY __opid)"
                     ),
                     F.lit(1),
                 ).alias("qm"),
@@ -873,8 +877,16 @@ def stream_sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             c1 = "CAST(ROUND(LN(0.05 / 0.04) * 1000000) AS BIGINT)"
             c2 = "CAST(ROUND(LN((1 - 0.05) / (1 - 0.04)) * 1000000) AS BIGINT)"
-            c = sink_df.withColumn("llr_day", F.expr(f"x * {c1} + (n - x) * {c2}"))
-            wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+            from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+            c = bounded_single_group(
+                sink_df.withColumn("llr_day", F.expr(f"x * {c1} + (n - x) * {c2}"))
+            )  # calendar-bounded day table
+            wc = (
+                Window.partitionBy("__opid")
+                .orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
             s = c.withColumn("llr_micro", F.sum("llr_day").over(wc).cast("long"))
             ub = "CAST(ROUND(LN(19.0) * 1000000) AS BIGINT)"
             lb = "CAST(ROUND(LN(1.0 / 19.0) * 1000000) AS BIGINT)"

@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bytesprocessor_spark.operators.ranking import bounded_single_group
 from bytesprocessor_spark.queries import _t, query
 
 _N_SHARDS = 16
@@ -402,8 +403,10 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("priority_nano"),
     )
-    top = b.orderBy(F.col("priority_nano").desc(), "doc_id").limit(_WS_K)
-    w = Window.orderBy(F.col("priority_nano").desc(), "doc_id")
+    top = bounded_single_group(
+        b.orderBy(F.col("priority_nano").desc(), "doc_id").limit(_WS_K)
+    )
+    w = Window.partitionBy("__opid").orderBy(F.col("priority_nano").desc(), "doc_id")
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"),
         "doc_id",
@@ -991,10 +994,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
     c = t.groupBy("tok").agg(F.count("*").alias("cnt"))
-    wr = Window.orderBy(F.col("cnt").desc(), "tok")
-    r = c.withColumn("rank", F.row_number().over(wr)).where(
-        F.col("rank") <= _ZIPF_TOP
+    # vocab-sized frequency table: TakeOrdered the top slice first,
+    # rank the bounded prefix (identical under the unique order)
+    top = bounded_single_group(
+        c.orderBy(F.col("cnt").desc(), "tok").limit(_ZIPF_TOP)
     )
+    wr = Window.partitionBy("__opid").orderBy(F.col("cnt").desc(), "tok")
+    r = top.withColumn("rank", F.row_number().over(wr))
     xy = r.select(
         F.round(F.log(F.col("rank").cast("double")) * 1000000).cast("long").alias("x"),
         F.round(F.log(F.col("cnt").cast("double")) * 1000000).cast("long").alias("y"),
@@ -1178,9 +1184,14 @@ def corpus_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("total"),
         F.sum("sm_q").cast("long").alias("zsm"),
     )
-    wr = Window.orderBy(F.col("cnt").desc(), "tok")
-    r = s.withColumn("rank", F.row_number().over(wr)).where(
-        F.col("rank") <= _NEG_TOP
+    # vocab-sized table: TakeOrdered the top slice, rank the prefix
+    r = bounded_single_group(
+        s.orderBy(F.col("cnt").desc(), "tok").limit(_NEG_TOP)
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("__opid").orderBy(F.col("cnt").desc(), "tok")
+        ),
     )
     return (
         r.crossJoin(F.broadcast(z))
@@ -1375,10 +1386,13 @@ def text_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
-    wrev = Window.orderBy(F.desc("bucket")).rowsBetween(
-        Window.unboundedPreceding, 0
+    b = bounded_single_group(b)  # 10-bucket bounded table
+    wrev = (
+        Window.partitionBy("__opid")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wall = Window.partitionBy()
+    wall = Window.partitionBy("__opid")
     c = b.select(
         "bucket",
         F.sum("n_docs").over(wrev).alias("docs_kept"),

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bytesprocessor_spark.operators.ranking import bounded_single_group
 from bytesprocessor_spark.queries import _t, cents, query
 from bytesprocessor_spark.queries_llm import _DUCK_TOKS
 from bytesprocessor_spark.queries_curation import _h60 as _h60_local
@@ -944,13 +945,18 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     total = li.agg(F.count(F.lit(1)).alias("n_total")).withColumn("k", F.lit(1))
-    w10 = Window.orderBy(F.col("exact_count").desc(), "l_partkey")
+    w10 = Window.partitionBy("__opid").orderBy(
+        F.col("exact_count").desc(), "l_partkey"
+    )
     top = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .orderBy(F.col("exact_count").desc(), "l_partkey")
-        .limit(10)
+        bounded_single_group(
+            li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("exact_count"))
+            .orderBy(F.col("exact_count").desc(), "l_partkey")
+            .limit(10)
+        )
         .withColumn("rank", F.row_number().over(w10))
+        .drop("__opid")
     )
     est = (
         coords(top)
@@ -1682,8 +1688,13 @@ def orders_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 10000").alias("band"),
     )
     h = v.groupBy("band").agg(F.count("*").alias("cnt"))
-    wc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
     n = h.agg(F.sum("cnt").cast("long").alias("n"))
+    h = bounded_single_group(h)  # band-domain-bounded table
+    wc = (
+        Window.partitionBy("__opid")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     c = h.select("band", F.sum("cnt").over(wc).alias("cum")).crossJoin(F.broadcast(n))
     ks = spark.range(1, 10).select(F.col("id").alias("k"))
     cuts = (
@@ -1840,20 +1851,22 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the running sum orders by (rev DESC, custkey) so revenue ties
     are deterministic.
 
-    Plan shape: one hash agg to the per-customer revenue table, then a
-    cumulative window over that ENTITY-BOUNDED table (customers, not
-    orders — the RFM/ranking posture: the window input is the
-    aggregate, row count bounded by |customers|), a 1-row total
-    broadcast, and a 3-row final agg."""
+    Plan shape: one hash agg to the per-customer revenue table, then
+    the DISTRIBUTED prefix-sum device over it
+    (operators/ranking.py:distributed_cumsum — the customer table is
+    billions of rows at 100x, so no single-partition window: each
+    range slice cumsums locally and per-slice totals broadcast back),
+    a 1-row total broadcast, and a 3-row final agg."""
+    from bytesprocessor_spark.operators.ranking import distributed_cumsum
+
     o = _t(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
         F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev")
     )
     t = r.agg(F.sum("rev").cast("long").alias("total"))
-    w = Window.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    c = distributed_cumsum(
+        r, [F.col("rev").desc(), F.col("o_custkey").asc()], "rev", cum_col="cum"
     )
-    c = r.select("o_custkey", "rev", F.sum("rev").over(w).alias("cum"))
     cl = c.crossJoin(F.broadcast(t)).select(
         "rev",
         F.expr("cum * 1000000 div total").alias("cum_ppm"),
@@ -2067,7 +2080,12 @@ def drift_ks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = h.agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
-    wc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    h = bounded_single_group(h)  # band-domain-bounded table
+    wc = (
+        Window.partitionBy("__opid")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     c = h.select(
         "band",
         F.sum("ca").over(wc).alias("cum_a"),
@@ -2136,15 +2154,19 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q1 'final division back to double' idiom) — then ppm
     quantized.
 
-    Plan shape: one custkey hash agg, a rank window over the
-    ENTITY-BOUNDED revenue table (the A33/RFM posture), one 1-row
-    reduction."""
+    Plan shape: one custkey hash agg, then the DISTRIBUTED rank
+    device over the per-customer revenue table
+    (operators/ranking.py — billions of customers at 100x, so no
+    single-partition window), one 1-row reduction."""
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
     o = _t(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
         F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev")
     )
-    w = Window.orderBy("rev", "o_custkey")
-    k = r.select("rev", F.row_number().over(w).alias("i"))
+    k = distributed_rank(
+        r, [F.col("rev").asc(), F.col("o_custkey").asc()], rank_col="i"
+    ).select("rev", "i")
     return (
         k.agg(
             F.count("*").cast("long").alias("n"),
@@ -2460,7 +2482,12 @@ def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("m"), F.sum("ev").cast("long").alias("d")
     )
     n_total = obs.agg(F.count("*").cast("long").alias("n_total"))
-    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    h = bounded_single_group(h)  # duration-domain-bounded table
+    wprev = (
+        Window.partitionBy("__opid")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     r = h.crossJoin(F.broadcast(n_total)).select(
         "t",
         "d",
@@ -2481,7 +2508,12 @@ def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lnf"),
     )
-    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    steps = bounded_single_group(steps, col_name="__opid2")
+    wcum = (
+        Window.partitionBy("__opid2")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return steps.select(
         F.col("t").cast("long").alias("t_day"),
         F.col("n_risk").cast("long").alias("n_risk"),
@@ -2982,14 +3014,18 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .where(F.col("w") >= 2)
     )
-    hist = pw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w_desc = Window.orderBy(F.desc("w")).rowsBetween(
-        Window.unboundedPreceding, 0
+    hist = bounded_single_group(
+        pw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )  # weight-domain-bounded histogram
+    w_desc = (
+        Window.partitionBy("__opid")
+        .orderBy(F.desc("w"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = hist.select(
         "w",
         F.sum("c").over(w_desc).alias("n_ge"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum("c").over(Window.partitionBy("__opid")).alias("n"),
     )
     thr = cum.agg(
         F.coalesce(
@@ -3198,10 +3234,16 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_parts"),
         F.min("p_partkey").cast("long").alias("min_partkey"),
     )
-    best = p.withColumn(
-        "max_at_price", F.max("size").over(Window.partitionBy("price_c"))
-    ).where(F.col("size") == F.col("max_at_price"))
-    stair = Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, -1)
+    best = bounded_single_group(  # one row per distinct price (domain-bounded)
+        p.withColumn(
+            "max_at_price", F.max("size").over(Window.partitionBy("price_c"))
+        ).where(F.col("size") == F.col("max_at_price"))
+    )
+    stair = (
+        Window.partitionBy("__opid")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     kept = best.withColumn("staircase", F.max("size").over(stair))
     return (
         kept.where(F.col("staircase").isNull() | (F.col("size") > F.col("staircase")))

@@ -1155,15 +1155,23 @@ def events_dau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     wau = ex.groupBy(F.col("tday").alias("day")).agg(
         F.countDistinct("user_id").cast("long").alias("wau_7d")
     )
-    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    wc = (
+        Window.partitionBy("__opid")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
-        dau.join(wau, "day")
-        .join(nu, "day", "left")
-        .select(
-            "day",
-            "dau",
-            "wau_7d",
-            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+        bounded_single_group(  # calendar-bounded day table
+            dau.join(wau, "day")
+            .join(nu, "day", "left")
+            .select(
+                "day",
+                "dau",
+                "wau_7d",
+                F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+            )
         )
         .withColumn(
             "cum_users", F.sum("new_users").over(wc).cast("long")

@@ -688,8 +688,21 @@ def test_plan_audit_flags_injected_global_ntile(spark):
     )
     assert unbounded_single_partition(executed_plan(bad))
     agg = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
-    ok = agg.select(F.sum("n").over(Window.orderBy("l_returnflag")).alias("c"))
-    assert not unbounded_single_partition(executed_plan(ok))
+    # a bare global window over an aggregate ALSO flags — group count
+    # is not boundedness (per-entity keys are corpus-sized; this is
+    # the RFM/surprisal shape)
+    bad2 = agg.select(F.sum("n").over(Window.orderBy("l_returnflag")).alias("c"))
+    assert unbounded_single_partition(executed_plan(bad2))
+    # the blessed bounded form removes the SinglePartition entirely
+    from bytesprocessor_spark.operators.ranking import bounded_single_group
+
+    okb = bounded_single_group(agg).select(
+        F.sum("n").over(Window.partitionBy("__opid").orderBy("l_returnflag")).alias("c")
+    )
+    assert not unbounded_single_partition(executed_plan(okb))
+    # a global (no-groupBy) aggregate's merge exchange stays fine
+    ok_agg = li.agg(F.count("*").alias("n"))
+    assert not unbounded_single_partition(executed_plan(ok_agg))
     ok2 = (
         li.orderBy("l_extendedprice", "l_orderkey")
         .limit(100)

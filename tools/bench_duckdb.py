@@ -55,11 +55,17 @@ def main() -> None:
         total += dt
         print(f"  duckdb {name}: {dt:.2f}s", file=sys.stderr)
 
+    from bench import POST_BRACKET_ADDITIONS  # noqa: E402
+
+    legacy = {n: t for n, t in timings.items() if n not in POST_BRACKET_ADDITIONS}
     print(
         json.dumps(
             {
                 "metric": "duckdb_headline_seconds",
                 "value": round(total, 3),
+                # same composition-controlled split bench.py emits
+                "value_legacy": round(sum(legacy.values()), 3),
+                "n_legacy": len(legacy),
                 "unit": "sec",
                 "queries": timings,
                 "sf": args.sf,

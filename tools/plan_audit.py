@@ -246,6 +246,10 @@ ALLOW_NESTED_LOOP = {
     # 3-row k-grid broadcast joined on the non-equi rank predicate
     # (i <= k+1) — O(rows x 3) filter work, no pair blowup
     "orders_hill_tail",
+    # 1-row (Σf, vocab-count) totals frame cross-joined onto the
+    # 3-row coverage readout — O(1) work (the top-k prefix replaced
+    # the vocab-sized global sort, r9)
+    "vocab_coverage_curve",
 }
 
 # Entries whose Python seam is a SQL UDTF (U5): Spark executes Python
@@ -263,19 +267,38 @@ ALLOW_PYTHON_UDTF = {
 ALLOW_SINGLE_PARTITION: dict[str, str] = {}
 
 # Physical nodes that prove the subtree feeding an Exchange
-# SinglePartition is bounded: an aggregate collapses the corpus to its
-# group count before the exchange; a limit/TakeOrdered caps rows; a
+# SinglePartition is HARD-bounded: a limit/TakeOrdered caps rows; a
 # LocalTableScan is a literal frame; a ReusedExchange refers to an
-# exchange audited at its original site.
+# exchange audited at its original site.  An AGGREGATE below the
+# exchange is deliberately NOT on this list: a groupBy collapses the
+# corpus only to its GROUP COUNT, and per-entity keys (doc_id,
+# user_id, custkey) keep that corpus-sized — the exact shape of the
+# r8 single-partition-window family (RFM quartiles over the per-user
+# profile, surprisal terciles over the per-doc table).  Bounded
+# k-row aggregates (day/bucket/score-domain tables) declare
+# themselves with operators/ranking.py:bounded_single_group, which
+# removes the SinglePartition exchange entirely — so any that remains
+# under a Sort/Window is a defect (or an ALLOW_SINGLE_PARTITION entry
+# with a written justification).
 _BOUNDED_NODES = (
-    "HashAggregate",
-    "SortAggregate",
-    "ObjectHashAggregate",
     "TakeOrderedAndProject",
     "GlobalLimit",
     "CollectLimit",
     "LocalTableScan",
     "ReusedExchange",
+)
+
+# Parents for which a SinglePartition input is the NORMAL bounded
+# merge step, not a funnel: the final stage of a global (no groupBy)
+# aggregate reduces #partitions pre-aggregated rows, and a limit's
+# single-partition gather is capped by the limit itself.
+_MERGE_PARENTS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "GlobalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
 )
 
 _TREE_PREFIX = " :+-*()0123456789"
@@ -288,14 +311,22 @@ def _node_depth(line: str) -> int:
 
 
 def unbounded_single_partition(plan: str) -> bool:
-    """True when the plan contains an Exchange SinglePartition whose
-    input subtree has no bounding node — the global-sort/window
-    one-task funnel."""
+    """True when the plan contains an Exchange SinglePartition that is
+    neither a global-aggregate/limit merge step (judged by its parent
+    node) nor fed by a hard-bounded subtree (limit / literal) — i.e.
+    the global-sort/window one-task funnel."""
     lines = plan.splitlines()
     for i, line in enumerate(lines):
-        if "Exchange SinglePartition" not in line:
+        if not line.lstrip(_TREE_PREFIX).startswith("Exchange SinglePartition"):
             continue
         depth = _node_depth(line)
+        parent = None
+        for prev in reversed(lines[:i]):
+            if prev.strip() and _node_depth(prev) < depth:
+                parent = prev.lstrip(_TREE_PREFIX)
+                break
+        if parent is not None and parent.startswith(_MERGE_PARENTS):
+            continue
         bounded = False
         for sub in lines[i + 1 :]:
             if not sub.strip():
