@@ -346,6 +346,19 @@ HEADLINE = [
     "events_eb_shrinkage",
     "events_burst_kleinberg",
     "orders_hill_tail",
+    # round-9 batch: inequality / inventory / drift / calibration /
+    # link-pred operators plus the streaming Page-Hinkley drain
+    "orders_theil_index",
+    "orders_newsvendor",
+    "part_cv2_adi_classes",
+    "events_page_hinkley",
+    "events_user_burstiness",
+    "part_abc_xyz_matrix",
+    "eval_spiegelhalter_z",
+    "eval_topk_accuracy",
+    "corpus_length_profile",
+    "graph_jaccard_linkpred",
+    "stream_page_hinkley",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -417,6 +430,9 @@ MIN_OF_3 = {
     "graph_k_core",
     # eager fixture-writing txnlog rows (three commits + reads each)
     "txnlog_changes_read",
+    # round-9 streaming drain (checkpoint-restart machinery swings
+    # with host state like the other drains)
+    "stream_page_hinkley",
 }
 
 
@@ -429,6 +445,18 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
+    # round-9 additions (11)
+    "orders_theil_index",
+    "orders_newsvendor",
+    "part_cv2_adi_classes",
+    "events_page_hinkley",
+    "events_user_burstiness",
+    "part_abc_xyz_matrix",
+    "eval_spiegelhalter_z",
+    "eval_topk_accuracy",
+    "corpus_length_profile",
+    "graph_jaccard_linkpred",
+    "stream_page_hinkley",
     # round-8 continued session (26)
     "events_kruskal_wallis",
     "eval_mcnemar",

@@ -75,6 +75,8 @@ EAGER_QUERIES = frozenset({
     # S18 oracle row: writes three commits and reads the change feed
     # at construction
     "txnlog_changes_read",
+    # ST22 streaming drain
+    "stream_page_hinkley",
 })
 
 
@@ -554,6 +556,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_r7  # noqa: F401
     import bytesprocessor_spark.queries_r8  # noqa: F401
     import bytesprocessor_spark.queries_r8b  # noqa: F401
+    import bytesprocessor_spark.queries_r9  # noqa: F401
 
 
 @query(
@@ -675,6 +678,18 @@ _CHECK_ORDER = [
     "interval_concurrency",
     "stream_static_enrich",
     "stream_cdc_apply",
+    # --- round-9 additions (next-window head, after the backlog) ---
+    "orders_theil_index",
+    "orders_newsvendor",
+    "part_cv2_adi_classes",
+    "events_page_hinkley",
+    "events_user_burstiness",
+    "part_abc_xyz_matrix",
+    "eval_spiegelhalter_z",
+    "eval_topk_accuracy",
+    "corpus_length_profile",
+    "graph_jaccard_linkpred",
+    "stream_page_hinkley",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the round-7 window) ---
     "pack_length_batches",

@@ -1,0 +1,1131 @@
+"""Round-9 analytics batch: inequality / inventory / drift /
+calibration operators, each built on the round-9 distributed-rank
+discipline (no single-partition window anywhere — entity-scale ranks
+use operators/ranking.py, k-row frames declare themselves with
+bounded_single_group).
+
+- A101 orders_theil_index: Theil-T inequality decomposition of order
+  revenue across priorities (between- vs within-group concentration)
+  — the additive-decomposable alternative to A35's Gini.
+- A102 orders_newsvendor: critical-fractile (cu/(cu+co)) stocking
+  levels per priority via percentile_disc, with exact stockout share.
+- A103 part_cv2_adi_classes: Syntetos-Boylan demand classification
+  (ADI x CV^2 quadrants: smooth / intermittent / erratic / lumpy) —
+  the screen that decides when A89's Croston applies at all.
+- A104 events_page_hinkley: Page-Hinkley change detection on the
+  daily purchase-value mean (cumulative deviation minus running
+  minimum against a lambda threshold) — the sequential drift test
+  behind ST13's distribution monitor.
+- A105 events_user_burstiness: per-user inter-event burstiness
+  B = (sigma - mu)/(sigma + mu) (Goh-Barabasi), read as a bounded
+  20-bucket histogram over users.
+- A106 part_abc_xyz_matrix: the 9-cell ABC (revenue Pareto, via the
+  distributed prefix-sum device) x XYZ (demand variability) planning
+  matrix over parts — the join of A33's and A51's axes the A51
+  docstring promises.
+- EV28 eval_spiegelhalter_z: Spiegelhalter's Z calibration test over
+  the pinned md5-uniform probability proxy — the significance read
+  behind EV3's reliability diagram.
+- EV29 eval_topk_accuracy: top-k accuracy (k = 1, 2, 3) of a pinned
+  5-class score model with deterministic tiebreaks — the multi-class
+  companion of EV9's confusion matrix.
+- L30 corpus_length_profile: per-source log2-bucket document-length
+  histogram with char-mass shares — the shard-sizing readout a
+  training-data pipeline reads before packing (L6).
+- GR12 graph_jaccard_linkpred: common-neighbor Jaccard scores over
+  the supplier co-occurrence graph, top-20 — the normalized sibling
+  of GR6's Adamic-Adar.
+- ST22 stream_page_hinkley: A104 as a stream — per-day state
+  accumulates across micro-batches, the PH replay runs on the drained
+  sink (replay-valid: integer day aggregates are batch-order
+  independent).
+
+Determinism contract (the A80/A81 pattern): engines aggregate ONLY
+exact int64 counts/sums (per-row ln/sqrt terms quantize to an integer
+scale FIRST); class boundaries compare via integer cross-
+multiplication, never rounded doubles; every remaining statistic is a
+single fixed IEEE-double tree over exact integers, quantized once.
+
+Reference scope note: the reference engine ends at the labeled packet
+table (BytesProcessor.py:121-187); these are EXT rows of the
+analytics surface SURVEY §2 declares on top of it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bytesprocessor_spark.operators.ranking import (
+    bounded_single_group,
+    distributed_cumsum,
+)
+from bytesprocessor_spark.queries import _t, cents, query
+
+
+def _h60(col):
+    """Cross-engine 60-bit non-negative hash (md5 prefix as integer) —
+    the queries_curation idiom, local copy to avoid an import cycle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_H60_DUCK = "CAST('0x' || substr(md5({0}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# A101: Theil-T inequality decomposition across order priorities
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_theil_index",
+    """
+    WITH x AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             CAST(ROUND(LN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * 1000)
+                  AS BIGINT) AS lq
+      FROM orders
+    ),
+    grp AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * lq) AS BIGINT) AS xl
+      FROM x GROUP BY g
+    ),
+    tot AS (
+      SELECT grp.*,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn,
+             CAST(SUM(s) OVER () AS BIGINT) AS ss
+      FROM grp
+    )
+    SELECT g AS priority, n AS n_orders, s AS revenue_cents,
+      CAST(s * 1000000 // ss AS BIGINT) AS share_ppm,
+      CAST(ROUND((CAST(xl AS DOUBLE) / 1000.0 / CAST(s AS DOUBLE)
+           - LN(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000) AS BIGINT)
+        AS theil_within_micro,
+      CAST(ROUND(CAST(s AS DOUBLE) / CAST(ss AS DOUBLE)
+           * LN((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))) * 1000000)
+        AS BIGINT) AS between_term_micro
+    FROM tot ORDER BY priority
+    """,
+)
+def orders_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A101 — Theil-T inequality index decomposed across order
+    priorities: T = T_between + Σ_g share_g · T_g, with per-group
+    T_g = Σ x·ln(x) / S_g − ln(μ_g) and between-term
+    share_g · ln(μ_g / μ).  Unlike A35's Gini, Theil decomposes
+    ADDITIVELY — the readout says how much revenue concentration
+    lives across priorities vs inside each one (the standard question
+    for corpus-source token-mass audits too).
+
+    Determinism: per-row ln quantizes to milli-nats BEFORE the
+    weighted sum (x·lq is exact int64: ~1e12 per row, inside int64 to
+    ~sf5000 rows-per-group aggregate); T_g and the between term are
+    fixed double trees over (n, s, xl, nn, ss), micro-quantized.
+
+    Scale shape: one priority-keyed hash aggregate absorbs the scan
+    (map-side combinable); totals ride a bounded 5-row window
+    (bounded_single_group); readout 5 rows."""
+    x = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        cents(F.col("o_totalprice")).alias("x"),
+    ).withColumn(
+        "lq", F.round(F.log(F.col("x").cast("double")) * 1000).cast("long")
+    )
+    grp = x.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("lq")).cast("long").alias("xl"),
+    )
+    grp = bounded_single_group(grp)  # 5-priority bounded table
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = grp.select(
+        "g",
+        "n",
+        "s",
+        "xl",
+        F.sum("n").over(w_all).cast("long").alias("nn"),
+        F.sum("s").over(w_all).cast("long").alias("ss"),
+    )
+    sD, nD = F.col("s").cast("double"), F.col("n").cast("double")
+    ssD, nnD = F.col("ss").cast("double"), F.col("nn").cast("double")
+    t_within = F.col("xl").cast("double") / 1000.0 / sD - F.log(sD / nD)
+    t_between = sD / ssD * F.log((sD / nD) / (ssD / nnD))
+    return tot.select(
+        F.col("g").alias("priority"),
+        F.col("n").alias("n_orders"),
+        F.col("s").alias("revenue_cents"),
+        F.expr("CAST(s * 1000000 div ss AS BIGINT)").alias("share_ppm"),
+        F.round(t_within * 1000000).cast("long").alias("theil_within_micro"),
+        F.round(t_between * 1000000).cast("long").alias("between_term_micro"),
+    ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# A102: newsvendor critical-fractile stocking levels
+# ---------------------------------------------------------------------------
+
+_NV_CU, _NV_CO = 9, 1  # underage:overage 9:1 -> fractile 0.9
+
+
+@query(
+    "orders_newsvendor",
+    f"""
+    WITH v AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    lvl AS (
+      SELECT g, CAST(quantile_disc(x, {_NV_CU / (_NV_CU + _NV_CO)}) AS BIGINT)
+               AS level_c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY g
+    )
+    SELECT v.g AS priority,
+           CAST({_NV_CU * 1000000 // (_NV_CU + _NV_CO)} AS BIGINT)
+             AS fractile_ppm,
+           CAST(MAX(lvl.level_c) AS BIGINT) AS stock_level_cents,
+           CAST(MAX(lvl.n) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN v.x > lvl.level_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stockout,
+           CAST(SUM(CASE WHEN v.x > lvl.level_c THEN 1 ELSE 0 END) * 1000000
+                // MAX(lvl.n) AS BIGINT) AS stockout_ppm
+    FROM v JOIN lvl ON v.g = lvl.g
+    GROUP BY v.g ORDER BY priority
+    """,
+)
+def orders_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A102 — newsvendor critical fractile: with underage cost cu and
+    overage cost co, the optimal stocking level is the cu/(cu+co)
+    quantile of demand — here the 0.9-fractile of order value per
+    priority (percentile_disc: an actual data point, exact int64),
+    with the realized stockout share (orders strictly above the
+    level) as the service-level check.  THE one-period inventory
+    primitive behind every safety-stock table.
+
+    Determinism: quantile_disc picks a data point (no interpolation);
+    counts exact; floor-division ppm.
+
+    Scale shape: one priority-keyed percentile aggregate (sketchless —
+    the value domain is bounded), the k-row level table broadcasts
+    back onto the scan for the strict-exceedance count; readout 5
+    rows."""
+    v = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        cents(F.col("o_totalprice")).alias("x"),
+    )
+    q = _NV_CU / (_NV_CU + _NV_CO)
+    lvl = v.groupBy("g").agg(
+        F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY x)")
+        .cast("long")
+        .alias("level_c"),
+        F.count("*").cast("long").alias("n"),
+    )
+    j = v.join(F.broadcast(lvl), "g")
+    return (
+        j.groupBy("g")
+        .agg(
+            F.max("level_c").alias("stock_level_cents"),
+            F.max("n").alias("n_orders"),
+            F.sum(F.when(F.col("x") > F.col("level_c"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_stockout"),
+        )
+        .select(
+            F.col("g").alias("priority"),
+            F.lit(_NV_CU * 1000000 // (_NV_CU + _NV_CO))
+            .cast("long")
+            .alias("fractile_ppm"),
+            "stock_level_cents",
+            "n_orders",
+            "n_stockout",
+            F.expr("CAST(n_stockout * 1000000 div n_orders AS BIGINT)").alias(
+                "stockout_ppm"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A103: Syntetos-Boylan demand classification (ADI x CV^2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_cv2_adi_classes",
+    """
+    WITH wk AS (
+      SELECT l_partkey AS part,
+             DATE_DIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 7
+               AS week,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS s1,
+             CAST(SUM(d * d) AS BIGINT) AS s2,
+             CAST(MAX(week) - MIN(week) AS BIGINT) AS span
+      FROM wk GROUP BY part HAVING COUNT(*) >= 2
+    ),
+    cl AS (
+      SELECT part, n, span,
+             (span * 100 >= 132 * (n - 1)) AS slow,
+             (100 * (n * s2 - s1 * s1) >= 49 * s1 * s1) AS variable
+      FROM p
+    )
+    SELECT CASE WHEN NOT slow AND NOT variable THEN 'smooth'
+                WHEN slow AND NOT variable THEN 'intermittent'
+                WHEN NOT slow AND variable THEN 'erratic'
+                ELSE 'lumpy' END AS demand_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(n) AS BIGINT) AS n_demand_points,
+           CAST(SUM(span) AS BIGINT) AS sum_span_weeks
+    FROM cl GROUP BY 1 ORDER BY demand_class
+    """,
+)
+def part_cv2_adi_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A103 — Syntetos-Boylan demand classification: per part the
+    average inter-demand interval ADI = span/(n−1) over floor-week
+    demand buckets (A89's epoch discipline) and the squared
+    coefficient of variation CV² = (n·Σd² − (Σd)²)/(Σd)² of demand
+    sizes, cut at the standard 1.32 / 0.49 boundaries into the four
+    quadrants — smooth (forecast with A45/A71), intermittent (A89's
+    Croston), erratic, lumpy (safety stock, not forecasts).  The
+    screen that says WHICH forecaster family each part belongs to.
+
+    Determinism: NO doubles anywhere — both class cuts are exact
+    integer cross-multiplications (span·100 >= 132·(n−1);
+    100·(n·Σd²−(Σd)²) >= 49·(Σd)²), so quadrant assignment cannot
+    drift.  Bound: d is part-week cents (~2e4 at sf1); (Σd)² per part
+    ~1e13, well inside int64.
+
+    Scale shape: one (part, week) hash aggregate absorbs the corpus,
+    one part-keyed rollup (entity-bounded), one 4-row class
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.expr(
+            "cast(floor(datediff(cast(l_shipdate as date),"
+            " date'1995-01-01') / 7) as long)"
+        ).alias("week"),
+        cents(F.col("l_quantity")).alias("qc"),
+    )
+    wk = li.groupBy("part", "week").agg(F.sum("qc").cast("long").alias("d"))
+    p = (
+        wk.groupBy("part")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("d").cast("long").alias("s1"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
+            (F.max("week") - F.min("week")).cast("long").alias("span"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    cl = p.select(
+        "n",
+        "span",
+        (F.col("span") * 100 >= 132 * (F.col("n") - 1)).alias("slow"),
+        (
+            100 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            >= 49 * F.col("s1") * F.col("s1")
+        ).alias("variable"),
+    )
+    demand_class = (
+        F.when(~F.col("slow") & ~F.col("variable"), "smooth")
+        .when(F.col("slow") & ~F.col("variable"), "intermittent")
+        .when(~F.col("slow") & F.col("variable"), "erratic")
+        .otherwise("lumpy")
+    )
+    return (
+        cl.groupBy(demand_class.alias("demand_class"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("n").cast("long").alias("n_demand_points"),
+            F.sum("span").cast("long").alias("sum_span_weeks"),
+        )
+        .orderBy("demand_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A104: Page-Hinkley drift detection on the daily purchase mean
+# ---------------------------------------------------------------------------
+
+_PH_LAMBDA = 20000  # milli-cents
+
+
+@query(
+    "events_page_hinkley",
+    f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    m AS (
+      SELECT day, n, CAST(s * 1000 // n AS BIGINT) AS m_milli FROM d
+    ),
+    r AS (
+      SELECT day, n, m_milli,
+             CAST(SUM(m_milli) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  // ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS runmean
+      FROM m
+    ),
+    c AS (
+      SELECT day, n, m_milli,
+             CAST(SUM(m_milli - runmean) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM r
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, m_milli,
+      CAST(cum - MIN(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS ph_milli,
+      (cum - MIN(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+        > {_PH_LAMBDA} AS drift_flag
+    FROM c ORDER BY day
+    """,
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A104 — Page-Hinkley change detection on the daily mean purchase
+    value: PH_t = cum_t − min_{{i<=t}} cum_i with cum the running sum
+    of deviations from the running mean; a day with PH above lambda
+    (20 k milli-cents) flags an upward level shift.  The sequential
+    drift test (Page 1954, Hinkley 1971) behind streaming model-input
+    monitors — A38's SPRT tests a KNOWN alternative rate; PH detects
+    an UNKNOWN mean shift.
+
+    Determinism: the daily mean, running mean, deviations, cumulative
+    sum and running minimum are ALL exact int64 (floor-division
+    milli-cent means; both engines floor on non-negative operands);
+    no doubles anywhere.
+
+    Scale shape: one day-keyed hash aggregate absorbs the scan; every
+    window runs over the calendar-bounded day table declared with
+    bounded_single_group; readout one row per day."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents(F.col("value"))).cast("long").alias("s"),
+        )
+    )
+    m = bounded_single_group(  # calendar-bounded day table
+        d.select("day", "n", F.expr("CAST(s * 1000 div n AS BIGINT)").alias("m_milli"))
+    )
+    w_cum = (
+        Window.partitionBy("__opid")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rn = Window.partitionBy("__opid").orderBy("day")
+    r = m.select(
+        "day",
+        "n",
+        "m_milli",
+        "__opid",
+        F.expr(
+            "CAST(sum(m_milli) OVER (PARTITION BY __opid ORDER BY day"
+            " ROWS UNBOUNDED PRECEDING) div row_number() OVER"
+            " (PARTITION BY __opid ORDER BY day) AS BIGINT)"
+        ).alias("runmean"),
+    )
+    c = r.select(
+        "day",
+        "n",
+        "m_milli",
+        "__opid",
+        F.sum(F.col("m_milli") - F.col("runmean")).over(w_cum).cast("long").alias("cum"),
+    )
+    ph = (F.col("cum") - F.min("cum").over(w_cum)).cast("long")
+    return c.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "m_milli",
+        ph.alias("ph_milli"),
+        (ph > _PH_LAMBDA).alias("drift_flag"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# A105: per-user inter-event burstiness histogram
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_user_burstiness",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST((epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id)) // 60000000 AS BIGINT) AS gap_min
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_min) AS BIGINT) AS s1,
+             CAST(SUM(gap_min * gap_min) AS BIGINT) AS s2
+      FROM g WHERE gap_min IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) >= 2
+    ),
+    b AS (
+      SELECT user_id,
+             CAST(ROUND((SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                         - CAST(s1 AS DOUBLE))
+                        / (SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                           + CAST(s1 AS DOUBLE)) * 1000) AS BIGINT) AS b_milli
+      FROM u WHERE s1 > 0
+    )
+    SELECT CAST(LEAST(GREATEST((b_milli + 1000) // 100, 0), 19) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM b GROUP BY 1 ORDER BY bucket
+    """,
+)
+def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A105 — Goh-Barabasi burstiness of each user's inter-event gap
+    sequence: B = (σ − μ)/(σ + μ) over minute-quantized gaps, with the
+    population-σ identity σ/μ = sqrt(n·Σg² − (Σg)²)/Σg so the n
+    cancels and ONE sqrt per user suffices.  B → −1 is metronomic,
+    B ≈ 0 Poisson, B → 1 bursty — the traffic-shape fingerprint that
+    separates bots (periodic) from humans (bursty) next to Q12's
+    rule-based bot score.  Read as a 20-bucket histogram over users.
+
+    Determinism: gaps quantize to integer minutes; per-user moments
+    are exact int64 (n·Σg² ~1e17 at sf1 — inside int64); B is one
+    fixed double tree per user, milli-quantized, and bucket assignment
+    is integer floor-division on the quantized value.
+
+    Scale shape: one user-partitioned lag (the W-family shuffle), one
+    user-keyed moment rollup (entity-bounded), one 20-row histogram
+    aggregate — the entity table never sees a global window."""
+    ev = _t(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = (
+        ev.select(
+            "user_id",
+            (us - F.lag(us).over(w_u)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("CAST(gap_us div 60000000 AS BIGINT)").alias("gap_min"))
+    )
+    u = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("gap_min").cast("long").alias("s1"),
+            F.sum(F.col("gap_min") * F.col("gap_min")).cast("long").alias("s2"),
+        )
+        .where((F.col("n") >= 2) & (F.col("s1") > 0))
+    )
+    sd = F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+    b_milli = F.round(
+        (sd - F.col("s1").cast("double")) / (sd + F.col("s1").cast("double")) * 1000
+    ).cast("long")
+    return (
+        u.select(b_milli.alias("b_milli"))
+        .groupBy(
+            F.expr(
+                "CAST(LEAST(GREATEST((b_milli + 1000) div 100, 0), 19) AS BIGINT)"
+            ).alias("bucket")
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A106: ABC x XYZ planning matrix over parts
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_abc_xyz_matrix",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS part,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total FROM rev),
+    abc AS (
+      SELECT part, rev_c,
+             CASE WHEN SUM(rev_c) OVER (ORDER BY rev_c DESC, part
+                       ROWS UNBOUNDED PRECEDING) * 1000000 // t.total <= 800000
+                  THEN 'A'
+                  WHEN SUM(rev_c) OVER (ORDER BY rev_c DESC, part
+                       ROWS UNBOUNDED PRECEDING) * 1000000 // t.total <= 950000
+                  THEN 'B' ELSE 'C' END AS abc_class
+      FROM rev CROSS JOIN t
+    ),
+    mth AS (
+      SELECT l_partkey AS part,
+             date_trunc('month', CAST(l_shipdate AS DATE)) AS mon,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem GROUP BY 1, 2
+    ),
+    xyz AS (
+      SELECT part,
+             CASE WHEN COUNT(*) < 2 THEN 'Z'
+                  WHEN 100 * (COUNT(*) * SUM(d * d) - SUM(d) * SUM(d))
+                       < 25 * (COUNT(*) - 1) * SUM(d) * SUM(d) THEN 'X'
+                  WHEN 100 * (COUNT(*) * SUM(d * d) - SUM(d) * SUM(d))
+                       < 100 * (COUNT(*) - 1) * SUM(d) * SUM(d) THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM mth GROUP BY part
+    )
+    SELECT abc.abc_class, xyz.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(abc.rev_c) AS BIGINT) AS revenue_cents
+    FROM abc JOIN xyz ON abc.part = xyz.part
+    GROUP BY 1, 2 ORDER BY abc_class, xyz_class
+    """,
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A106 — the ABC x XYZ planning matrix over parts: ABC from the
+    revenue Pareto (cumulative share cut at 80% / 95% over parts
+    ranked by revenue — computed with the DISTRIBUTED prefix-sum
+    device, operators/ranking.py:distributed_cumsum, because the part
+    table is entity-scale) crossed with XYZ demand-variability classes
+    (monthly-demand CV² cut at 0.5 / 1.0 via exact integer
+    cross-multiplication with Bessel's n−1 — A51's cuts on CV map to
+    CV² cuts 0.25 / 1.0 on the variance ratio).  The 9-cell readout
+    every inventory/sourcing policy table starts from — and the join
+    A33's and A51's docstrings promise.
+
+    Determinism: exact int64 sums; the Pareto boundary is integer ppm
+    floor-division; XYZ cuts are integer cross-multiplications (no
+    sqrt — comparing CV² avoids it); parts with a single demand month
+    are Z by definition.
+
+    Scale shape: two part-keyed hash aggregates absorb the corpus
+    (revenue, monthly demand), one distributed prefix-sum over the
+    part-revenue table, one part-keyed equi-join, one 9-row
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(cents(F.col("l_extendedprice"))).cast("long").alias("rev_c")
+    )
+    t = rev.agg(F.sum("rev_c").cast("long").alias("total"))
+    cum = distributed_cumsum(
+        rev, [F.col("rev_c").desc(), F.col("part").asc()], "rev_c", cum_col="cum"
+    )
+    abc = cum.crossJoin(F.broadcast(t)).select(
+        "part",
+        "rev_c",
+        F.when(F.expr("cum * 1000000 div total") <= 800000, "A")
+        .when(F.expr("cum * 1000000 div total") <= 950000, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    mth = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("mon"),
+    ).agg(F.sum(cents(F.col("l_quantity"))).cast("long").alias("d"))
+    x = mth.groupBy("part").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
+    )
+    var_num = 100 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    mean_sq = (F.col("n") - 1) * F.col("s1") * F.col("s1")
+    xyz = x.select(
+        "part",
+        F.when(F.col("n") < 2, "Z")
+        .when(var_num < 25 * mean_sq, "X")
+        .when(var_num < 100 * mean_sq, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "part")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_c").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV28: Spiegelhalter's Z calibration test
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_spiegelhalter_z",
+    f"""
+    WITH s AS (
+      SELECT {_H60_DUCK.format("'p:' || CAST(vec_id AS VARCHAR)")} % 1000001
+               AS pm,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((y * 1000000 - pm) * (1000000 - 2 * pm)) AS BIGINT)
+               AS num,
+             CAST(SUM(CAST(ROUND(
+               (CAST(1000000 - 2 * pm AS DOUBLE) / 1000000.0)
+               * (CAST(1000000 - 2 * pm AS DOUBLE) / 1000000.0)
+               * (CAST(pm AS DOUBLE) / 1000000.0)
+               * (1.0 - CAST(pm AS DOUBLE) / 1000000.0) * 1000000000000.0)
+               AS BIGINT)) AS BIGINT) AS den_q
+      FROM s
+    )
+    SELECT n, num, den_q,
+      CASE WHEN den_q > 0 THEN
+        CAST(ROUND(CAST(num AS DOUBLE) / SQRT(CAST(den_q AS DOUBLE)))
+             AS BIGINT)
+      ELSE NULL END AS z_micro,
+      CASE WHEN den_q > 0 THEN
+        ABS(CAST(ROUND(CAST(num AS DOUBLE) / SQRT(CAST(den_q AS DOUBLE)))
+            AS BIGINT)) < 1960000
+      ELSE NULL END AS well_calibrated
+    FROM m
+    """,
+)
+def eval_spiegelhalter_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV28 — Spiegelhalter's Z test of calibration: with predicted
+    probabilities p_i and outcomes y_i,
+    Z = Σ(y_i − p_i)(1 − 2p_i) / sqrt(Σ(1 − 2p_i)² p_i (1 − p_i)) —
+    mean-zero unit-variance under perfect calibration, so |Z| < 1.96
+    passes at 5%.  EV3's reliability diagram SHOWS miscalibration;
+    this is the significance test that says whether the wiggle is
+    noise.  Probabilities are the pinned md5-uniform proxy (the eval
+    family's fold-assignment construction) over the embeddings
+    fixture, label 0 = positive.
+
+    Determinism: the numerator is EXACT int64 in micro² units
+    (|term| <= 1e12/row — inside int64 to ~9e6 rows… at larger scale
+    swap micro for milli); each denominator term quantizes to an
+    integer 1e-12 grid BEFORE the sum; Z is one fixed double tree,
+    micro-quantized.  NULL (not a fake pass) when the denominator
+    degenerates.
+
+    Scale shape: one map-side-combinable scalar aggregate; readout 1
+    row."""
+    s = _t(spark, sf_dir, "embeddings").select(
+        (
+            _h60(F.concat(F.lit("p:"), F.col("vec_id").cast("string"))) % 1000001
+        ).alias("pm"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+    )
+    den_term = F.round(
+        ((1000000 - 2 * F.col("pm")).cast("double") / 1000000.0)
+        * ((1000000 - 2 * F.col("pm")).cast("double") / 1000000.0)
+        * (F.col("pm").cast("double") / 1000000.0)
+        * (1.0 - F.col("pm").cast("double") / 1000000.0)
+        * 1000000000000.0
+    ).cast("long")
+    m = s.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("y") * 1000000 - F.col("pm")) * (1000000 - 2 * F.col("pm")))
+        .cast("long")
+        .alias("num"),
+        F.sum(den_term).cast("long").alias("den_q"),
+    )
+    # units: num carries 1e12 (micro^2), den_q carries 1e12 — so
+    # Z = num / (1e6 * sqrt(den_q)) and z_micro = round(num/sqrt(den_q))
+    z = F.round(
+        F.col("num").cast("double") / F.sqrt(F.col("den_q").cast("double"))
+    ).cast("long")
+    return m.select(
+        "n",
+        "num",
+        "den_q",
+        F.when(F.col("den_q") > 0, z).otherwise(F.lit(None).cast("long")).alias(
+            "z_micro"
+        ),
+        F.when(F.col("den_q") > 0, F.abs(z) < 1960000)
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("well_calibrated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV29: top-k accuracy of a pinned 5-class score model
+# ---------------------------------------------------------------------------
+
+_TOPK_CLASSES = ("click", "error", "purchase", "signup", "view")
+_TOPK_BOOST = 250000
+
+
+@query(
+    "eval_topk_accuracy",
+    f"""
+    WITH r AS (
+      SELECT event_id, event_type,
+             1 + len([c FOR c IN {list(_TOPK_CLASSES)!r} IF c != event_type AND
+               (({_H60_DUCK.format("'cls:' || CAST(event_id AS VARCHAR) || ':' || c")} % 1000000)
+                > ({_H60_DUCK.format("'cls:' || CAST(event_id AS VARCHAR) || ':' || event_type")} % 1000000) + {_TOPK_BOOST}
+                OR (({_H60_DUCK.format("'cls:' || CAST(event_id AS VARCHAR) || ':' || c")} % 1000000)
+                    = ({_H60_DUCK.format("'cls:' || CAST(event_id AS VARCHAR) || ':' || event_type")} % 1000000) + {_TOPK_BOOST}
+                    AND c < event_type))]) AS rnk
+      FROM events
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN rnk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+             CAST(SUM(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+      FROM r
+    )
+    SELECT CAST(1 AS BIGINT) AS k, h1 AS n_hits,
+           CAST(h1 * 1000000 // n AS BIGINT) AS accuracy_ppm FROM t
+    UNION ALL
+    SELECT 2, h2, CAST(h2 * 1000000 // n AS BIGINT) FROM t
+    UNION ALL
+    SELECT 3, h3, CAST(h3 * 1000000 // n AS BIGINT) FROM t
+    ORDER BY k
+    """,
+)
+def eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV29 — top-k accuracy (k = 1, 2, 3) of a pinned 5-class
+    scoring model: per event the true class is event_type; each
+    class's score is the md5-uniform hash of (event_id, class) with a
+    +0.25 boost on the true class (so the model is right more often
+    than chance but not always — the interesting regime).  The true
+    class's rank is 1 + the number of classes strictly outranking it
+    under the unique (score desc, class asc) order; top-k accuracy is
+    the share of events with rank <= k.  The multi-class companion of
+    EV9's confusion matrix (which is argmax-only = k=1 by class).
+
+    Determinism: integer scores, deterministic tiebreak by class
+    name, exact integer counts, floor-division ppm.
+
+    Scale shape: the rank is computed INLINE per row with array
+    expressions (5-literal class array → no explode, no join, no
+    shuffle of scores); one scalar aggregate; readout 3 rows."""
+    ev = _t(spark, sf_dir, "events")
+    classes = F.array(*[F.lit(c) for c in _TOPK_CLASSES])
+
+    def score(cls_col):
+        return (
+            _h60(
+                F.concat(
+                    F.lit("cls:"),
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    cls_col,
+                )
+            )
+            % 1000000
+        )
+
+    true_score = score(F.col("event_type")) + _TOPK_BOOST
+    rnk = F.lit(1) + F.size(
+        F.filter(
+            classes,
+            lambda c: (c != F.col("event_type"))
+            & (
+                (score(c) > true_score)
+                | ((score(c) == true_score) & (c < F.col("event_type")))
+            ),
+        )
+    )
+    r = ev.select(rnk.alias("rnk"))
+    t = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("rnk") <= 1, 1).otherwise(0)).cast("long").alias("h1"),
+        F.sum(F.when(F.col("rnk") <= 2, 1).otherwise(0)).cast("long").alias("h2"),
+        F.sum(F.when(F.col("rnk") <= 3, 1).otherwise(0)).cast("long").alias("h3"),
+    )
+    return t.selectExpr(
+        "stack(3, 1L, h1, CAST(h1 * 1000000 div n AS BIGINT),"
+        " 2L, h2, CAST(h2 * 1000000 div n AS BIGINT),"
+        " 3L, h3, CAST(h3 * 1000000 div n AS BIGINT))"
+        " AS (k, n_hits, accuracy_ppm)"
+    ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# L30: per-source log2 document-length profile
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_length_profile",
+    """
+    WITH b AS (
+      SELECT source,
+             CAST(FLOOR(LOG2(CAST(GREATEST(n_chars, 1) AS DOUBLE))) AS BIGINT)
+               AS bucket,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    h AS (
+      SELECT source, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM b GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT source, CAST(SUM(chars) AS BIGINT) AS src_chars
+      FROM h GROUP BY source
+    )
+    SELECT h.source, h.bucket, h.n_docs, h.chars,
+           CAST(h.chars * 1000000 // t.src_chars AS BIGINT) AS char_share_ppm
+    FROM h JOIN t ON h.source = t.source
+    ORDER BY h.source, h.bucket
+    """,
+)
+def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30 — per-source document-length profile in log2 buckets
+    (floor(log2(n_chars))): doc counts, char mass and the char-mass
+    share of each bucket within its source.  The shard-sizing /
+    truncation-policy readout a training pipeline takes before
+    sequence packing (L6) — a source whose mass sits in bucket 14+
+    needs long-context packing; one concentrated at bucket 6 is
+    padding waste.
+
+    Determinism: log2 of an integer is exact at powers of two and
+    floor is stable everywhere else (both engines IEEE log2); counts
+    and shares are exact integers.
+
+    Scale shape: bucket is a map expression on the scan; one
+    (source, bucket) hash aggregate (map-side combinable), one
+    source-keyed rollup joined back broadcast; readout is
+    sources x <=20 buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)).cast("double")))
+        .cast("long")
+        .alias("bucket"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    h = b.groupBy("source", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    t = h.groupBy("source").agg(F.sum("chars").cast("long").alias("src_chars"))
+    return (
+        h.join(F.broadcast(t), "source")
+        .select(
+            "source",
+            "bucket",
+            "n_docs",
+            "chars",
+            F.expr("CAST(chars * 1000000 div src_chars AS BIGINT)").alias(
+                "char_share_ppm"
+            ),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GR12: common-neighbor Jaccard link scores (top-20)
+# ---------------------------------------------------------------------------
+
+_JAC_TOPK = 20
+
+
+@query(
+    "graph_jaccard_linkpred",
+    f"""
+    WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+    ),
+    e AS (
+      SELECT a AS u, b AS v FROM e0
+      UNION ALL SELECT b AS u, a AS v FROM e0
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+    cn AS (
+      SELECT e1.u AS a, e2.u AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.v AND e1.u < e2.u
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT cn.a, cn.b, cn.c, da.d AS deg_a, db.d AS deg_b,
+             CAST(cn.c * 1000000 // (da.d + db.d - cn.c) AS BIGINT)
+               AS jaccard_ppm
+      FROM cn JOIN deg da ON cn.a = da.u JOIN deg db ON cn.b = db.u
+    )
+    SELECT a, b, c AS common_neighbors, deg_a, deg_b, jaccard_ppm
+    FROM sc
+    ORDER BY jaccard_ppm DESC, a, b LIMIT {_JAC_TOPK}
+    """,
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR12 — common-neighbor Jaccard link scores over the supplier
+    co-occurrence graph: J(a, b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+    for every pair sharing at least one neighbor, top-{_JAC_TOPK}.
+    GR6's Adamic-Adar weights rare neighbors; Jaccard NORMALIZES by
+    both degrees — high-degree hubs stop dominating, which is the
+    right read for "are these two suppliers substitutes" (same
+    neighborhoods) vs "do they co-occur a lot".
+
+    Determinism: exact integer neighbor counts, floor-division ppm,
+    full (score desc, a, b) tiebreak on the top-k.
+
+    Scale shape: GR3's oriented edge enumeration, one shared-neighbor
+    equi self-join (bounded by Σ deg(v)² — the standard triangle/
+    link-pred bound), two degree joins, TakeOrdered top-{_JAC_TOPK};
+    integer keys only in every shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    e = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    cn = (
+        e1.join(e2, (F.col("e1.v") == F.col("e2.v")) & (F.col("e1.u") < F.col("e2.u")))
+        .groupBy(F.col("e1.u").alias("a"), F.col("e2.u").alias("b"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sc = (
+        cn.join(deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("c").alias("common_neighbors"),
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(c * 1000000 div (deg_a + deg_b - c) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return sc.orderBy(F.col("jaccard_ppm").desc(), "a", "b").limit(_JAC_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# ST22: streaming Page-Hinkley drift monitor
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_page_hinkley",
+    # same readout as the batch A104 row: the drained per-day state
+    # must reproduce it exactly (integer day aggregates are
+    # micro-batch-order independent)
+    f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    m AS (
+      SELECT day, n, CAST(s * 1000 // n AS BIGINT) AS m_milli FROM d
+    ),
+    r AS (
+      SELECT day, n, m_milli,
+             CAST(SUM(m_milli) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  // ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS runmean
+      FROM m
+    ),
+    c AS (
+      SELECT day, n, m_milli,
+             CAST(SUM(m_milli - runmean) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM r
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, m_milli,
+      CAST(cum - MIN(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS ph_milli,
+      (cum - MIN(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+        > {_PH_LAMBDA} AS drift_flag
+    FROM c ORDER BY day
+    """,
+)
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST22 — A104's Page-Hinkley drift detector deployed as a
+    STREAM: per-day (count, value-sum) accumulates in streaming
+    aggregation state across micro-batches; the PH replay (running
+    mean, cumulative deviation, running minimum — all exact int64)
+    runs on the drained sink, so the result is micro-batch-order
+    independent and must equal the batch row bit-for-bit.
+
+    Scale: state is O(days) (calendar-bounded); each micro-batch
+    shuffles only its own rows to their day's state partition; the
+    drained replay is the A104 bounded-window plan."""
+    from bytesprocessor_spark.queries_streaming import (
+        _drain_and_localize,
+        _landing_dir,
+    )
+
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(land, "events"))
+        )
+        daily = (
+            stream.where(F.col("event_type") == "purchase")
+            .groupBy(F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(cents(F.col("value"))).cast("long").alias("s"),
+            )
+        )
+
+        def finish(sink_df: DataFrame) -> DataFrame:
+            m = bounded_single_group(
+                sink_df.select(
+                    "day",
+                    "n",
+                    F.expr("CAST(s * 1000 div n AS BIGINT)").alias("m_milli"),
+                )
+            )
+            w_cum = (
+                Window.partitionBy("__opid")
+                .orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            r = m.select(
+                "day",
+                "n",
+                "m_milli",
+                "__opid",
+                F.expr(
+                    "CAST(sum(m_milli) OVER (PARTITION BY __opid ORDER BY day"
+                    " ROWS UNBOUNDED PRECEDING) div row_number() OVER"
+                    " (PARTITION BY __opid ORDER BY day) AS BIGINT)"
+                ).alias("runmean"),
+            )
+            c = r.select(
+                "day",
+                "n",
+                "m_milli",
+                "__opid",
+                F.sum(F.col("m_milli") - F.col("runmean"))
+                .over(w_cum)
+                .cast("long")
+                .alias("cum"),
+            )
+            ph = (F.col("cum") - F.min("cum").over(w_cum)).cast("long")
+            return c.select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n",
+                "m_milli",
+                ph.alias("ph_milli"),
+                (ph > _PH_LAMBDA).alias("drift_flag"),
+            ).orderBy("day")
+
+        return _drain_and_localize(daily, finish, output_mode="complete")
+    finally:
+        shutil.rmtree(land, ignore_errors=True)

@@ -1,0 +1,245 @@
+"""Round-9 operator properties: hand cases + engine/oracle
+cross-checks on synthetic fixtures (the test_r8b_props harness)."""
+
+from __future__ import annotations
+
+import datetime
+import importlib.util
+import math
+from pathlib import Path
+
+import duckdb  # noqa: F401 (the harness uses it)
+from pyspark.sql import functions as F
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle_r9",
+    Path(__file__).resolve().parents[1] / "tools" / "check_oracle.py",
+)
+_co = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_co)
+
+
+def _cross_check(spark, name, d, views):
+    import duckdb
+
+    from bytesprocessor_spark.queries import ORACLE, QUERIES
+
+    con = duckdb.connect()
+    for t in views:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    duck = con.execute(ORACLE[name]).fetchdf()
+    sdf = QUERIES[name](spark, d).toPandas()
+    duck_cols, duck_rows = _co._pdf_rows(duck)
+    spark_cols, spark_rows = _co._pdf_rows(sdf)
+    problems = _co.compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
+    assert not problems, "\n".join(problems)
+    return sdf
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def test_page_hinkley_flags_level_shift(spark, tmp_path):
+    """A104: 10 quiet days at ~$1 means then 5 days at ~$50 — PH must
+    stay under lambda through the quiet phase and flag after the
+    shift; both engines agree exactly."""
+    d = str(tmp_path)
+    rows, eid = [], 0
+    for day in range(1, 16):
+        val = 1.0 if day <= 10 else 50.0
+        for j in range(4):
+            rows.append(
+                (eid, f"2024-01-{day:02d} 0{j + 1}:00:00", 1, "purchase", val, "{}")
+            )
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_page_hinkley", d, ["events"])
+    flags = list(sdf.sort_values("day")["drift_flag"])
+    assert not any(flags[:10])
+    assert flags[-1]  # the shift is eventually flagged
+    # PH is nondecreasing through a pure upward shift tail
+    ph = list(sdf.sort_values("day")["ph_milli"])
+    assert ph[-1] > ph[9]
+
+
+def test_cv2_adi_quadrants(spark, tmp_path):
+    """A103: four constructed parts land in the four quadrants —
+    steady-weekly/constant (smooth), sparse/constant (intermittent),
+    weekly/wild (erratic), sparse/wild (lumpy)."""
+    d = str(tmp_path)
+    lrows = []
+
+    def add(part, weeks, qtys):
+        for i, (w, q) in enumerate(zip(weeks, qtys)):
+            ship = datetime.date(1995, 1, 2) + datetime.timedelta(days=7 * w)
+            lrows.append(
+                (
+                    len(lrows),
+                    part,
+                    1,
+                    float(q),
+                    1.0,
+                    0.0,
+                    "N",
+                    "O",
+                    f"{ship} 00:00:00",
+                )
+            )
+
+    add(1, range(8), [10] * 8)                 # ADI=1, constant -> smooth
+    add(2, [0, 4, 8, 12], [10] * 4)            # ADI=4, constant -> intermittent
+    add(3, range(8), [1, 90, 1, 90, 1, 90, 1, 90])   # ADI=1, wild -> erratic
+    add(4, [0, 4, 8, 12], [1, 90, 1, 90])      # ADI=4, wild -> lumpy
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    sdf = _cross_check(spark, "part_cv2_adi_classes", d, ["lineitem"])
+    got = {r["demand_class"]: r["n_parts"] for _, r in sdf.iterrows()}
+    assert got == {"smooth": 1, "intermittent": 1, "erratic": 1, "lumpy": 1}
+
+
+def test_theil_uniform_is_zero(spark, tmp_path):
+    """A101: identical order values within and across groups give a
+    zero within-index and zero between-terms (up to the milli-nat
+    per-row ln quantization, < 600 micro)."""
+    d = str(tmp_path)
+    rows = [
+        (i, 1, "F", 100.0, "1995-01-01 00:00:00", p)
+        for i, p in enumerate(
+            ["1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH", "5-LOW", "5-LOW"]
+        )
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    sdf = _cross_check(spark, "orders_theil_index", d, ["orders"])
+    assert (sdf["theil_within_micro"].abs() <= 600).all()
+    assert (sdf["between_term_micro"].abs() <= 600).all()
+
+
+def test_topk_accuracy_monotone_and_replay(spark, tmp_path):
+    """EV29: accuracy is nondecreasing in k, and the k=1 count matches
+    a python replay of the pinned scoring rule."""
+    import hashlib
+
+    d = str(tmp_path)
+    types = ["click", "error", "purchase", "signup", "view"]
+    rows = [
+        (i, "2024-01-05 10:00:00", i % 7, types[i % 5], 1.0, "{}")
+        for i in range(200)
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "eval_topk_accuracy", d, ["events"])
+    acc = list(sdf.sort_values("k")["accuracy_ppm"])
+    assert acc[0] <= acc[1] <= acc[2]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    hits1 = 0
+    for i in range(200):
+        true = types[i % 5]
+        st = h60(f"cls:{i}:{true}") % 1000000 + 250000
+        best = True
+        for c in types:
+            if c == true:
+                continue
+            sc = h60(f"cls:{i}:{c}") % 1000000
+            if sc > st or (sc == st and c < true):
+                best = False
+        hits1 += best
+    assert int(sdf[sdf["k"] == 1].iloc[0]["n_hits"]) == hits1
+
+
+def test_burstiness_periodic_vs_bursty(spark, tmp_path):
+    """A105: a perfectly periodic user lands in the B=-1 bucket (0);
+    a heavy-tailed user lands in a positive-B bucket (>=10)."""
+    d = str(tmp_path)
+    rows, eid = [], 0
+    for k in range(20):  # periodic: every 60 min exactly
+        rows.append((eid, f"2024-01-01 {k:02d}:00:00", 1, "click", 1.0, "{}"))
+        eid += 1
+    # bursty: tight cluster then huge gaps
+    mins = [0, 1, 2, 3, 4, 2000, 2001, 2002, 2003, 12000]
+    for m in mins:
+        rows.append(
+            (
+                eid,
+                f"2024-01-{10 + m // 1440:02d} {(m % 1440) // 60:02d}:{m % 60:02d}:00",
+                2,
+                "click",
+                1.0,
+                "{}",
+            )
+        )
+        eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_user_burstiness", d, ["events"])
+    buckets = {int(r["bucket"]): int(r["n_users"]) for _, r in sdf.iterrows()}
+    assert buckets.get(0, 0) == 1  # sigma=0 -> B=-1 -> bucket 0
+    assert sum(n for b, n in buckets.items() if b >= 10) == 1
+
+
+def test_spiegelhalter_z_perfect_calibration_small(spark, tmp_path):
+    """EV28: with y drawn AS the deterministic proxy's own Bernoulli
+    (y=1 iff a second independent hash falls under pm), Z should be
+    modest — and both engines must agree exactly on the quantized
+    statistic (the cross-check is the real assertion)."""
+    d = str(tmp_path)
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = []
+    for i in range(400):
+        pm = h60(f"p:{i}") % 1000001
+        y = 1 if (h60(f"draw:{i}") % 1000000) < pm else 0
+        # label 0 encodes positive in the query's convention
+        rows.append((i, [0.0], 0 if y else 1))
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long").write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+    sdf = _cross_check(spark, "eval_spiegelhalter_z", d, ["embeddings"])
+    z = sdf.iloc[0]["z_micro"]
+    assert abs(z) < 4_000_000  # |Z| < 4 for a calibrated draw of n=400
+
+
+def test_jaccard_linkpred_hand_graph(spark, tmp_path):
+    """GR12: a 4-supplier hand graph — suppliers 1 and 2 share both
+    neighbors {3, 4} (J = 2/(2+2-2) = 1.0); check the top row."""
+    d = str(tmp_path)
+    lrows = []
+    # orders: (o, suppliers) — 1-3, 1-4, 2-3, 2-4 edges via co-orders
+    co = [(100, 1, 3), (101, 1, 4), (102, 2, 3), (103, 2, 4)]
+    for o, s1, s2 in co:
+        for s in (s1, s2):
+            lrows.append((o, 1, s, 1.0, 1.0, 0.0, "N", "O", "1995-06-01 00:00:00"))
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    sdf = _cross_check(spark, "graph_jaccard_linkpred", d, ["lineitem"])
+    top = sdf.iloc[0]
+    assert (top["a"], top["b"]) == (1, 2) and top["jaccard_ppm"] == 1000000

@@ -250,6 +250,10 @@ ALLOW_NESTED_LOOP = {
     # 3-row coverage readout — O(1) work (the top-k prefix replaced
     # the vocab-sized global sort, r9)
     "vocab_coverage_curve",
+    # 1-row revenue-total frame broadcast onto the part-revenue
+    # prefix-sum table for the Pareto cut — O(parts) map work, no
+    # pair blowup (the A33 discipline)
+    "part_abc_xyz_matrix",
 }
 
 # Entries whose Python seam is a SQL UDTF (U5): Spark executes Python
