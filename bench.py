@@ -358,6 +358,10 @@ HEADLINE = [
     "eval_topk_accuracy",
     "corpus_length_profile",
     "graph_jaccard_linkpred",
+    "eval_auc_delong_ci",
+    "eval_average_precision",
+    "orders_target_encoding_oof",
+    "events_odds_ratio_mh",
     "stream_page_hinkley",
 ]
 
@@ -445,7 +449,11 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-9 additions (11)
+    # round-9 additions (15)
+    "eval_auc_delong_ci",
+    "eval_average_precision",
+    "orders_target_encoding_oof",
+    "events_odds_ratio_mh",
     "orders_theil_index",
     "orders_newsvendor",
     "part_cv2_adi_classes",

@@ -690,6 +690,10 @@ _CHECK_ORDER = [
     "corpus_length_profile",
     "graph_jaccard_linkpred",
     "stream_page_hinkley",
+    "eval_auc_delong_ci",
+    "eval_average_precision",
+    "orders_target_encoding_oof",
+    "events_odds_ratio_mh",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the round-7 window) ---
     "pack_length_batches",

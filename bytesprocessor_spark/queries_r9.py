@@ -1129,3 +1129,441 @@ def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_and_localize(daily, finish, output_mode="complete")
     finally:
         shutil.rmtree(land, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# EV30: DeLong variance / confidence interval for ROC-AUC
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_auc_delong_ci",
+    """
+    WITH s AS (
+      SELECT CAST('0x' || substr(md5('dl:' || CAST(vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000000 AS score,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    g AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS p,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n
+      FROM s GROUP BY score
+    ),
+    c AS (
+      SELECT p, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cumn,
+             CAST(COALESCE(SUM(p) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cump,
+             CAST(SUM(p) OVER () AS BIGINT) AS pp,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn
+      FROM g
+    ),
+    m AS (
+      SELECT CAST(MAX(pp) AS BIGINT) AS pp, CAST(MAX(nn) AS BIGINT) AS nn,
+             CAST(SUM(p * (2 * cumn + n)) AS BIGINT) AS a1,
+             CAST(SUM(p * (2 * cumn + n) * (2 * cumn + n)) AS BIGINT) AS a2,
+             CAST(SUM(n * (2 * (pp - cump) - p)) AS BIGINT) AS b1,
+             CAST(SUM(n * (2 * (pp - cump) - p) * (2 * (pp - cump) - p))
+                  AS BIGINT) AS b2
+      FROM c
+    )
+    SELECT pp AS n_pos, nn AS n_neg,
+      CASE WHEN pp > 1 AND nn > 1 THEN
+        CAST(ROUND(CAST(a1 AS DOUBLE)
+             / (2.0 * CAST(pp AS DOUBLE) * CAST(nn AS DOUBLE)) * 1000000)
+             AS BIGINT) ELSE NULL END AS auc_micro,
+      CASE WHEN pp > 1 AND nn > 1 THEN
+        CAST(ROUND(SQRT(
+          ((CAST(a2 AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+            - CAST(pp AS DOUBLE)
+              * (CAST(a1 AS DOUBLE) / (2.0 * CAST(pp AS DOUBLE) * CAST(nn AS DOUBLE)))
+              * (CAST(a1 AS DOUBLE) / (2.0 * CAST(pp AS DOUBLE) * CAST(nn AS DOUBLE))))
+           / (CAST(pp AS DOUBLE) - 1.0)) / CAST(pp AS DOUBLE)
+          + ((CAST(b2 AS DOUBLE) / (4.0 * CAST(pp AS DOUBLE) * CAST(pp AS DOUBLE))
+              - CAST(nn AS DOUBLE)
+                * (CAST(a1 AS DOUBLE) / (2.0 * CAST(pp AS DOUBLE) * CAST(nn AS DOUBLE)))
+                * (CAST(a1 AS DOUBLE) / (2.0 * CAST(pp AS DOUBLE) * CAST(nn AS DOUBLE))))
+             / (CAST(nn AS DOUBLE) - 1.0)) / CAST(nn AS DOUBLE)
+        ) * 1000000) AS BIGINT) ELSE NULL END AS se_micro
+    FROM m
+    """,
+)
+def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV30 — DeLong's variance for ROC-AUC: per-positive placement
+    values v10 (fraction of negatives it outranks, ties half) and
+    per-negative v01, with var(AUC) = S10/P + S01/N over their sample
+    variances — the distribution-free CI behind "model A's AUC 0.91
+    beats B's 0.89" claims (EV1 gives the point estimate; without
+    this the comparison is noise).  Scores are the pinned md5-uniform
+    proxy over embeddings, label 0 = positive.
+
+    Exactness device: with score-grouped counts, 2N·v10 at a score is
+    the INTEGER 2·cumn + n (and 2P·v01 = 2·(P − cump) − p), so the
+    placement-value moments A1 = Σp·(2N·v10), A2 = Σp·(2N·v10)²,
+    B1, B2 are EXACT int64 (A2 ~ p·(2N)² — inside int64 to ~sf50 on
+    the embeddings table); AUC = A1/(2PN) (identical to EV1's
+    rank-sum), and se is one fixed double tree over the six integers,
+    micro-quantized; NULL when either class has < 2 members.
+
+    Scale shape: one partial agg collapses the corpus to the
+    distinct-score table (bounded by the 1e6 score domain, declared
+    with bounded_single_group), prefix windows + one scalar rollup."""
+    s = _t(spark, sf_dir, "embeddings").select(
+        (
+            _h60(F.concat(F.lit("dl:"), F.col("vec_id").cast("string"))) % 1000000
+        ).alias("score"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").cast("long").alias("p"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n"),
+    )
+    g = bounded_single_group(g)  # score-domain-bounded table
+    w_prev = (
+        Window.partitionBy("__opid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("__opid")
+    c = g.select(
+        "p",
+        "n",
+        F.coalesce(F.sum("n").over(w_prev), F.lit(0)).cast("long").alias("cumn"),
+        F.coalesce(F.sum("p").over(w_prev), F.lit(0)).cast("long").alias("cump"),
+        F.sum("p").over(w_tot).cast("long").alias("pp"),
+        F.sum("n").over(w_tot).cast("long").alias("nn"),
+    )
+    v10 = 2 * F.col("cumn") + F.col("n")
+    v01 = 2 * (F.col("pp") - F.col("cump")) - F.col("p")
+    m = c.agg(
+        F.max("pp").cast("long").alias("pp"),
+        F.max("nn").cast("long").alias("nn"),
+        F.sum(F.col("p") * v10).cast("long").alias("a1"),
+        F.sum(F.col("p") * v10 * v10).cast("long").alias("a2"),
+        F.sum(F.col("n") * v01).cast("long").alias("b1"),
+        F.sum(F.col("n") * v01 * v01).cast("long").alias("b2"),
+    )
+    ppD, nnD = F.col("pp").cast("double"), F.col("nn").cast("double")
+    auc = F.col("a1").cast("double") / (2.0 * ppD * nnD)
+    s10 = (
+        F.col("a2").cast("double") / (4.0 * nnD * nnD) - ppD * auc * auc
+    ) / (ppD - 1.0)
+    s01 = (
+        F.col("b2").cast("double") / (4.0 * ppD * ppD) - nnD * auc * auc
+    ) / (nnD - 1.0)
+    se = F.sqrt(s10 / ppD + s01 / nnD)
+    ok = (F.col("pp") > 1) & (F.col("nn") > 1)
+    return m.select(
+        F.col("pp").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.when(ok, F.round(auc * 1000000).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("auc_micro"),
+        F.when(ok, F.round(se * 1000000).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("se_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV31: exact average precision (PR-AUC by the step definition)
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_average_precision",
+    """
+    WITH s AS (
+      SELECT CAST('0x' || substr(md5('dl:' || CAST(vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000000 AS score,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    g AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS p,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n
+      FROM s GROUP BY score
+    ),
+    c AS (
+      SELECT p,
+             CAST(SUM(p) OVER (ORDER BY score DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+             CAST(SUM(n) OVER (ORDER BY score DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+             CAST(SUM(p) OVER () AS BIGINT) AS pp,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn
+      FROM g
+    )
+    SELECT CAST(MAX(pp) AS BIGINT) AS n_pos, CAST(MAX(nn) AS BIGINT) AS n_neg,
+           CAST(SUM(p * tp * 1000000 // (tp + fp)) // MAX(pp) AS BIGINT)
+             AS ap_ppm
+    FROM c
+    """,
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV31 — exact average precision (the step-function PR-AUC):
+    AP = Σ_blocks ΔR·P = Σ over distinct scores (desc) of
+    (p_s / P) · tp_s / (tp_s + fp_s), with ties handled as one block
+    (the sklearn 'average_precision' convention).  EV2's pr_curve
+    samples 11 thresholds; this integrates the EXACT curve — the
+    right scalar when positives are rare and ROC-AUC (EV1/EV30)
+    flatters.  Same pinned score proxy as EV30, so the pair reads
+    together.
+
+    Determinism: per-block precision quantizes by integer floor
+    division BEFORE the sum (p·tp·1e6 div (tp+fp) — exact int64 to
+    ~sf50 embeddings), final ppm one more floor division.
+
+    Scale shape: one partial agg to the score-domain-bounded table
+    (bounded_single_group), two prefix windows, one scalar rollup."""
+    s = _t(spark, sf_dir, "embeddings").select(
+        (
+            _h60(F.concat(F.lit("dl:"), F.col("vec_id").cast("string"))) % 1000000
+        ).alias("score"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").cast("long").alias("p"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n"),
+    )
+    g = bounded_single_group(g)  # score-domain-bounded table
+    w_desc = (
+        Window.partitionBy("__opid")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("__opid")
+    c = g.select(
+        "p",
+        F.sum("p").over(w_desc).cast("long").alias("tp"),
+        F.sum("n").over(w_desc).cast("long").alias("fp"),
+        F.sum("p").over(w_tot).cast("long").alias("pp"),
+        F.sum("n").over(w_tot).cast("long").alias("nn"),
+    )
+    return c.agg(
+        F.max("pp").cast("long").alias("n_pos"),
+        F.max("nn").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST(sum(p * tp * 1000000 div (tp + fp)) div max(pp) AS BIGINT)"
+        ).alias("ap_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FE7: out-of-fold (leakage-safe) target encoding
+# ---------------------------------------------------------------------------
+
+_OOF_FOLDS, _OOF_M = 5, 20
+
+
+@query(
+    "orders_target_encoding_oof",
+    f"""
+    WITH o AS (
+      SELECT o_orderpriority AS cat,
+             CAST('0x' || substr(md5('fold:' || CAST(o_orderkey AS VARCHAR)),
+                  1, 15) AS BIGINT) % {_OOF_FOLDS} AS fold,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS t
+      FROM orders
+    ),
+    cell AS (
+      SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n_cf,
+             CAST(SUM(t) AS BIGINT) AS s_cf
+      FROM o GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT cat, fold, n_cf, s_cf,
+             CAST(SUM(n_cf) OVER (PARTITION BY cat) AS BIGINT) AS n_c,
+             CAST(SUM(s_cf) OVER (PARTITION BY cat) AS BIGINT) AS s_c,
+             CAST(SUM(n_cf) OVER (PARTITION BY fold) AS BIGINT) AS n_f,
+             CAST(SUM(s_cf) OVER (PARTITION BY fold) AS BIGINT) AS s_f,
+             CAST(SUM(n_cf) OVER () AS BIGINT) AS n_tot,
+             CAST(SUM(s_cf) OVER () AS BIGINT) AS s_tot
+      FROM cell
+    )
+    SELECT cat AS priority, fold, n_cf AS n_rows,
+      CAST(ROUND(
+        (CAST(s_c - s_cf AS DOUBLE)
+         + {_OOF_M}.0 * CAST(s_tot - s_f AS DOUBLE) / CAST(n_tot - n_f AS DOUBLE))
+        / (CAST(n_c - n_cf AS DOUBLE) + {_OOF_M}.0) * 1000) AS BIGINT)
+        AS enc_cents_milli
+    FROM w ORDER BY priority, fold
+    """,
+)
+def orders_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FE7 — OUT-OF-FOLD target encoding: each (category, fold) cell
+    is encoded with the smoothed target mean computed from the OTHER
+    folds only — enc = (S_c − S_cf + m·μ_−f) / (n_c − n_cf + m) with
+    the global prior μ_−f itself fold-excluded.  FE2's plain target
+    encoding leaks the row's own label into its feature (optimistic
+    CV, collapses on rare categories); this is the leakage-safe
+    variant every gradient-boosting pipeline actually ships, and the
+    FE sibling of EV4's GroupKFold / L10's leakage-safe split.
+
+    Determinism: md5 fold assignment, exact int64 cell sums, every
+    marginal from windows over the 25-row cell table (one plan — no
+    re-aggregation of the scan), one fixed double tree milli-
+    quantized.
+
+    Scale shape: one (category, fold) hash aggregate absorbs the
+    corpus; everything after runs on k·K rows (bounded_single_group);
+    readout 25 rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (
+            _h60(F.concat(F.lit("fold:"), F.col("o_orderkey").cast("string")))
+            % _OOF_FOLDS
+        ).alias("fold"),
+        cents(F.col("o_totalprice")).alias("t"),
+    )
+    cell = o.groupBy("cat", "fold").agg(
+        F.count("*").cast("long").alias("n_cf"),
+        F.sum("t").cast("long").alias("s_cf"),
+    )
+    cell = bounded_single_group(cell)  # k x K bounded cell table
+    w_c = Window.partitionBy("cat")
+    w_f = Window.partitionBy("fold")
+    w_t = Window.partitionBy("__opid")
+    w = cell.select(
+        "cat",
+        "fold",
+        "n_cf",
+        "s_cf",
+        F.sum("n_cf").over(w_c).cast("long").alias("n_c"),
+        F.sum("s_cf").over(w_c).cast("long").alias("s_c"),
+        F.sum("n_cf").over(w_f).cast("long").alias("n_f"),
+        F.sum("s_cf").over(w_f).cast("long").alias("s_f"),
+        F.sum("n_cf").over(w_t).cast("long").alias("n_tot"),
+        F.sum("s_cf").over(w_t).cast("long").alias("s_tot"),
+    )
+    mu_excl = (F.col("s_tot") - F.col("s_f")).cast("double") / (
+        F.col("n_tot") - F.col("n_f")
+    ).cast("double")
+    enc = (
+        (F.col("s_c") - F.col("s_cf")).cast("double") + float(_OOF_M) * mu_excl
+    ) / ((F.col("n_c") - F.col("n_cf")).cast("double") + float(_OOF_M))
+    return w.select(
+        F.col("cat").alias("priority"),
+        "fold",
+        F.col("n_cf").alias("n_rows"),
+        F.round(enc * 1000).cast("long").alias("enc_cents_milli"),
+    ).orderBy("priority", "fold")
+
+
+# ---------------------------------------------------------------------------
+# A107: Mantel-Haenszel pooled odds ratio across day strata
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_odds_ratio_mh",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(user_id % 2 AS BIGINT) AS exposed,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    st AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN exposed = 1 AND hit = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN exposed = 1 AND hit = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN exposed = 0 AND hit = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN exposed = 0 AND hit = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM e GROUP BY day
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(a) AS BIGINT) AS aa, CAST(SUM(b) AS BIGINT) AS bb,
+             CAST(SUM(c) AS BIGINT) AS cc, CAST(SUM(d) AS BIGINT) AS dd,
+             CAST(SUM(a * d * 1000000 // (a + b + c + d)) AS BIGINT) AS t1,
+             CAST(SUM(b * c * 1000000 // (a + b + c + d)) AS BIGINT) AS t2
+      FROM st WHERE a + b + c + d > 0
+    )
+    SELECT n_strata, aa AS n_exposed_hit, cc AS n_unexposed_hit,
+      CASE WHEN t2 > 0 THEN
+        CAST(ROUND(CAST(t1 AS DOUBLE) / CAST(t2 AS DOUBLE) * 1000) AS BIGINT)
+      ELSE NULL END AS or_mh_milli,
+      CASE WHEN bb > 0 AND cc > 0 THEN
+        CAST(ROUND(CAST(aa AS DOUBLE) * CAST(dd AS DOUBLE)
+             / (CAST(bb AS DOUBLE) * CAST(cc AS DOUBLE)) * 1000) AS BIGINT)
+      ELSE NULL END AS or_crude_milli
+    FROM m
+    """,
+)
+def events_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A107 — Mantel-Haenszel pooled odds ratio across DAY strata for
+    the (user-parity exposure) x (purchase outcome) 2x2 tables:
+    OR_MH = Σ a_i·d_i/n_i / Σ b_i·c_i/n_i — the stratification-robust
+    pooled effect that stays honest when daily traffic mix shifts,
+    next to the crude pooled OR whose disagreement with it is the
+    Simpson's-paradox alarm (A44's DiD is the continuous-outcome
+    sibling; this is the classic discrete one).
+
+    Determinism: per-stratum MH terms quantize by integer floor
+    division BEFORE the sum (a·d·1e6 div n — exact int64: a·d ~1e9 at
+    sf1 daily volumes, x1e6 inside int64); both ratios are single
+    double divisions of exact integers, milli-quantized; NULL (not a
+    crash) on degenerate margins.
+
+    Scale shape: one day-keyed hash aggregate absorbs the scan; one
+    scalar rollup over the calendar-bounded stratum table; readout 1
+    row."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (F.col("user_id") % 2).cast("long").alias("exposed"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+    )
+    st = e.groupBy("day").agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("hit") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("hit") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    tot = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    m = st.where(tot > 0).agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("aa"),
+        F.sum("b").cast("long").alias("bb"),
+        F.sum("c").cast("long").alias("cc"),
+        F.sum("d").cast("long").alias("dd"),
+        F.sum(F.expr("a * d * 1000000 div (a + b + c + d)"))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.expr("b * c * 1000000 div (a + b + c + d)"))
+        .cast("long")
+        .alias("t2"),
+    )
+    or_mh = F.round(F.col("t1").cast("double") / F.col("t2").cast("double") * 1000).cast(
+        "long"
+    )
+    or_crude = F.round(
+        F.col("aa").cast("double")
+        * F.col("dd").cast("double")
+        / (F.col("bb").cast("double") * F.col("cc").cast("double"))
+        * 1000
+    ).cast("long")
+    return m.select(
+        "n_strata",
+        F.col("aa").alias("n_exposed_hit"),
+        F.col("cc").alias("n_unexposed_hit"),
+        F.when(F.col("t2") > 0, or_mh).otherwise(F.lit(None).cast("long")).alias(
+            "or_mh_milli"
+        ),
+        F.when((F.col("bb") > 0) & (F.col("cc") > 0), or_crude)
+        .otherwise(F.lit(None).cast("long"))
+        .alias("or_crude_milli"),
+    )

@@ -243,3 +243,138 @@ def test_jaccard_linkpred_hand_graph(spark, tmp_path):
     sdf = _cross_check(spark, "graph_jaccard_linkpred", d, ["lineitem"])
     top = sdf.iloc[0]
     assert (top["a"], top["b"]) == (1, 2) and top["jaccard_ppm"] == 1000000
+
+
+def test_delong_and_ap_match_python_replay(spark, tmp_path):
+    """EV30/EV31: AUC, DeLong SE and average precision all match an
+    independent python replay of the pinned score proxy."""
+    import hashlib
+
+    d = str(tmp_path)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n_rows = 300
+    rows = [(i, [0.0], i % 3) for i in range(n_rows)]  # label 0 = positive
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    sdf = _cross_check(spark, "eval_auc_delong_ci", d, ["embeddings"])
+    apdf = _cross_check(spark, "eval_average_precision", d, ["embeddings"])
+
+    scored = sorted(
+        ((h60(f"dl:{i}") % 1000000, 1 if i % 3 == 0 else 0) for i in range(n_rows))
+    )
+    pos = [s for s, y in scored if y]
+    neg = [s for s, y in scored if not y]
+    P, N = len(pos), len(neg)
+    # placement values
+    v10 = []
+    for s in pos:
+        below = sum(1 for t in neg if t < s)
+        ties = sum(1 for t in neg if t == s)
+        v10.append((below + 0.5 * ties) / N)
+    v01 = []
+    for s in neg:
+        above = sum(1 for t in pos if t > s)
+        ties = sum(1 for t in pos if t == s)
+        v01.append((above + 0.5 * ties) / P)
+    auc = sum(v10) / P
+    s10 = sum((v - auc) ** 2 for v in v10) / (P - 1)
+    s01 = sum((v - auc) ** 2 for v in v01) / (N - 1)
+    se = math.sqrt(s10 / P + s01 / N)
+    row = sdf.iloc[0]
+    assert row["n_pos"] == P and row["n_neg"] == N
+    assert abs(row["auc_micro"] - round(auc * 1e6)) <= 1
+    assert abs(row["se_micro"] - round(se * 1e6)) <= 1
+    # average precision replay with the same integer-floor quantization
+    from collections import Counter
+
+    pc, nc = Counter(pos), Counter(neg)
+    scores_desc = sorted(set(pos) | set(neg), reverse=True)
+    tp = fp = 0
+    acc = 0
+    for s in scores_desc:
+        tp += pc.get(s, 0)
+        fp += nc.get(s, 0)
+        acc += pc.get(s, 0) * tp * 1000000 // (tp + fp)
+    assert int(apdf.iloc[0]["ap_ppm"]) == acc // P
+
+
+def test_oof_encoding_excludes_own_fold(spark, tmp_path):
+    """FE7: poisoning ONE fold of one category with extreme values
+    must leave THAT fold's encoding untouched (it only sees the other
+    folds) while shifting the other folds' encodings up."""
+    import hashlib
+
+    d = str(tmp_path)
+
+    def fold_of(k):
+        return (
+            int(hashlib.md5(f"fold:{k}".encode()).hexdigest()[:15], 16) % 5
+        )
+
+    rows = []
+    # populate every (cat, fold) cell with value $100
+    k = 0
+    cats = ["1-URGENT", "2-HIGH"]
+    placed = {(c, f): 0 for c in cats for f in range(5)}
+    while min(placed.values()) < 4:
+        f = fold_of(k)
+        c = cats[k % 2]
+        if placed[(c, f)] < 4:
+            rows.append((k, 1, "F", 100.0, "1995-01-01 00:00:00", c))
+            placed[(c, f)] += 1
+        k += 1
+    # poison: cat 1-URGENT, one specific fold gets huge values
+    poison_fold = 3
+    extra = 0
+    kk = k
+    while extra < 6:
+        if fold_of(kk) == poison_fold:
+            rows.append((kk, 1, "F", 9000.0, "1995-01-01 00:00:00", "1-URGENT"))
+            extra += 1
+        kk += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    sdf = _cross_check(spark, "orders_target_encoding_oof", d, ["orders"])
+    urgent = sdf[sdf["priority"] == "1-URGENT"].set_index("fold")["enc_cents_milli"]
+    # the poisoned fold's own encoding saw only clean $100 folds
+    others = [urgent[f] for f in range(5) if f != poison_fold]
+    assert all(urgent[poison_fold] < o for o in others)
+
+
+def test_odds_ratio_mh_hand_case(spark, tmp_path):
+    """A107: two hand strata — MH pools to the known value and the
+    crude OR differs (a Simpson construction)."""
+    d = str(tmp_path)
+    rows, eid = [], 0
+
+    def stratum(day, a, b, c, dd):
+        nonlocal eid
+        # exposed = user_id % 2 == 1; hit = purchase
+        for _ in range(a):
+            rows.append((eid, f"2024-01-{day:02d} 01:00:00", 1, "purchase", 1.0, "{}")); eid += 1
+        for _ in range(b):
+            rows.append((eid, f"2024-01-{day:02d} 02:00:00", 1, "view", 1.0, "{}")); eid += 1
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{day:02d} 03:00:00", 2, "purchase", 1.0, "{}")); eid += 1
+        for _ in range(dd):
+            rows.append((eid, f"2024-01-{day:02d} 04:00:00", 2, "view", 1.0, "{}")); eid += 1
+
+    stratum(1, 8, 2, 4, 6)   # OR = 8*6/(2*4) = 6
+    stratum(2, 1, 9, 3, 7)   # OR = 7/27
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_odds_ratio_mh", d, ["events"])
+    row = sdf.iloc[0]
+    t1 = 8 * 6 * 1000000 // 20 + 1 * 7 * 1000000 // 20
+    t2 = 2 * 4 * 1000000 // 20 + 9 * 3 * 1000000 // 20
+    assert row["or_mh_milli"] == round(t1 / t2 * 1000)
+    aa, bb, cc, dd_ = 9, 11, 7, 13
+    assert row["or_crude_milli"] == round(aa * dd_ / (bb * cc) * 1000)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from bytesprocessor_spark.operators.caching import unpersist_intermediates
 from bytesprocessor_spark.operators.ranking import (
     bounded_single_group,
+    distributed_cumsum,
     distributed_ntile,
     distributed_rank,
 )
@@ -62,6 +63,26 @@ def test_ntile_matches_ground_truth_all_shapes(spark):
             "id", F.ntile(n).over(Window.orderBy("v", "id")).alias("t_ref")
         )
         assert got.join(ref, "id").where("t != t_ref").count() == 0, n
+    unpersist_intermediates()
+
+
+def test_cumsum_matches_ground_truth(spark):
+    df = _fixture(spark, n=500, seed=9)
+    got = distributed_cumsum(
+        df, [F.col("v").desc(), F.col("id").asc()], "v", cum_col="cum"
+    )
+    ref = df.select(
+        "id",
+        F.sum("v")
+        .over(
+            Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_ref"),
+    )
+    assert got.join(ref, "id").where("cum != cum_ref").count() == 0
+    assert "Exchange SinglePartition" not in executed_plan(got)
     unpersist_intermediates()
 
 
