@@ -22,7 +22,13 @@ NTILE is then pure arithmetic on (rank, total): with ``q = total div
 n`` and ``rem = total % n``, SQL NTILE gives the first ``rem`` buckets
 ``q + 1`` rows and the rest ``q`` — bit-identical to the engines'
 ``NTILE`` over the same total order, but with no single-partition
-exchange anywhere in the plan.
+exchange anywhere in the plan.  :func:`distributed_cumsum` is the
+prefix-sum sibling (per-slice local cumsum + broadcast value
+offsets), and :func:`bounded_single_group` is the companion for
+frames that genuinely ARE k-row (calendar/day tables, score-domain
+aggregates, LIMIT outputs): it declares the single group explicitly
+so the plan carries neither the ``Exchange SinglePartition`` node nor
+the WindowExec warning.
 
 Determinism: callers must pass a TOTAL order (include a unique
 tiebreak key in ``order_cols``); ranks are then independent of range

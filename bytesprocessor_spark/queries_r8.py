@@ -219,17 +219,10 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window even when the co-occurrence table is
     billions of pairs), so text-free integer keys are all that ever
     shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    pairs = a.join(
-        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))
-    ).select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
+    from bytesprocessor_spark.operators.graph import supplier_pair_weights
     from bytesprocessor_spark.operators.ranking import distributed_rank
 
-    pw = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    pw = supplier_pair_weights(spark, sf_dir)
     # the pair-weight table grows with the co-occurrence graph, so the
     # rank cut uses the DISTRIBUTED rank device (range-partitioned
     # sort), not a single-partition window

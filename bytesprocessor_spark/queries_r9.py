@@ -124,9 +124,11 @@ def orders_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     for corpus-source token-mass audits too).
 
     Determinism: per-row ln quantizes to milli-nats BEFORE the
-    weighted sum (x·lq is exact int64: ~1e12 per row, inside int64 to
-    ~sf5000 rows-per-group aggregate); T_g and the between term are
-    fixed double trees over (n, s, xl, nn, ss), micro-quantized.
+    weighted sum (x·lq is exact int64: ~1e12 per row, so the group
+    sum stays inside int64 to ~9e6 rows per group ≈ sf30 — past that
+    drop to centi-nat quantization or decimal(38), the Gram-matrix
+    escape hatch); T_g and the between term are fixed double trees
+    over (n, s, xl, nn, ss), micro-quantized.
 
     Scale shape: one priority-keyed hash aggregate absorbs the scan
     (map-side combinable); totals ride a bounded 5-row window
@@ -936,10 +938,18 @@ _JAC_TOPK = 20
     "graph_jaccard_linkpred",
     f"""
     WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
-    e0 AS (
-      SELECT DISTINCT a.s AS a, b.s AS b
+    pw AS (
+      SELECT a.s AS a, b.s AS b, CAST(COUNT(*) AS BIGINT) AS w
       FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      GROUP BY 1, 2
     ),
+    rkd AS (
+      SELECT a, b,
+             ROW_NUMBER() OVER (ORDER BY w DESC, a, b) AS rk,
+             COUNT(*) OVER () AS n
+      FROM pw
+    ),
+    e0 AS (SELECT a, b FROM rkd WHERE rk <= GREATEST(n // 10, 10)),
     e AS (
       SELECT a AS u, b AS v FROM e0
       UNION ALL SELECT b AS u, a AS v FROM e0
@@ -970,23 +980,35 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     right read for "are these two suppliers substitutes" (same
     neighborhoods) vs "do they co-occur a lot".
 
-    Determinism: exact integer neighbor counts, floor-division ppm,
-    full (score desc, a, b) tiebreak on the top-k.
+    Edge rule: the shared-neighbor join is Σ deg(v)² — on the
+    near-complete co-supplier graph that is O(|V|³), for BOTH engines
+    — so the graph is first cut to the STRONG edges (GR10's
+    deterministic rank-cut discipline: top 10% of pairs by co-order
+    weight, floor 10 edges so tiny fixtures keep their structure),
+    computed with the DISTRIBUTED rank device.
 
-    Scale shape: GR3's oriented edge enumeration, one shared-neighbor
-    equi self-join (bounded by Σ deg(v)² — the standard triangle/
-    link-pred bound), two degree joins, TakeOrdered top-{_JAC_TOPK};
-    integer keys only in every shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    e0 = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
+    Determinism: exact integer neighbor counts, floor-division ppm,
+    full (score desc, a, b) tiebreak on the top-k, rank cut over the
+    unique (w desc, a, b) order.
+
+    Scale shape: GR3's oriented edge enumeration + pair-weight
+    aggregate, the distributed rank cut, one shared-neighbor equi
+    self-join (now bounded by the PRUNED Σ deg(v)²), two degree
+    joins, TakeOrdered top-{_JAC_TOPK}; integer keys only in every
+    shuffle."""
+    from bytesprocessor_spark.operators.graph import supplier_pair_weights
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
+    pw = supplier_pair_weights(spark, sf_dir)
+    rkd = distributed_rank(
+        pw,
+        [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
+        rank_col="rk",
+        total_col="n",
     )
+    e0 = rkd.where(
+        F.col("rk") <= F.greatest(F.expr("n div 10"), F.lit(10))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
     e = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = e.groupBy("u").agg(F.count("*").cast("long").alias("d"))
     e1, e2 = e.alias("e1"), e.alias("e2")
@@ -1203,8 +1225,10 @@ def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness device: with score-grouped counts, 2N·v10 at a score is
     the INTEGER 2·cumn + n (and 2P·v01 = 2·(P − cump) − p), so the
     placement-value moments A1 = Σp·(2N·v10), A2 = Σp·(2N·v10)²,
-    B1, B2 are EXACT int64 (A2 ~ p·(2N)² — inside int64 to ~sf50 on
-    the embeddings table); AUC = A1/(2PN) (identical to EV1's
+    B1, B2 are EXACT int64 (A2 <= P·(2N)² ~ 4N³ — inside int64 to
+    N ~ 1.3e6 ≈ sf10 on the embeddings table; past that swap the
+    moment accumulators for decimal(38)); AUC = A1/(2PN) (identical
+    to EV1's
     rank-sum), and se is one fixed double tree over the six integers,
     micro-quantized; NULL when either class has < 2 members.
 
@@ -1313,8 +1337,9 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     together.
 
     Determinism: per-block precision quantizes by integer floor
-    division BEFORE the sum (p·tp·1e6 div (tp+fp) — exact int64 to
-    ~sf50 embeddings), final ppm one more floor division.
+    division BEFORE the sum (p·tp·1e6 div (tp+fp) <= P²·1e6 — exact
+    int64 to P ~ 3e6 ≈ sf20 embeddings; decimal(38) past that),
+    final ppm one more floor division.
 
     Scale shape: one partial agg to the score-domain-bounded table
     (bounded_single_group), two prefix windows, one scalar rollup."""

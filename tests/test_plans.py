@@ -1298,13 +1298,21 @@ def test_woe_category_aggregate_plus_total_broadcast(spark):
     assert all(len(c) <= 2 for c in scan_columns(df))
 
 
-def test_vocab_coverage_windows_over_vocabulary(spark):
-    """L26: one bigram-keyed aggregate absorbs the corpus; the
-    rank/cumsum windows and the stack readout run over the vocabulary
-    table; the documents scan reads only the text column."""
+def test_vocab_coverage_takeordered_prefix(spark):
+    """L26 (r9 rewrite): one bigram-keyed aggregate absorbs the
+    corpus; only the TakeOrdered top-max(k) prefix and a 1-row totals
+    broadcast survive it — the rank/cumsum windows run over the
+    bounded prefix, never a vocab-sized single-partition sort; the
+    documents scan reads only the text column."""
+    from tools.plan_audit import unbounded_single_partition
+
     df = QUERIES["vocab_coverage_curve"](spark, SF_DIR)
     plan = executed_plan(df)
-    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the only SinglePartition exchange left is the benign 1-row
+    # totals-aggregate merge (parent-aware detector passes it)
+    assert not unbounded_single_partition(plan)
+    assert "SortMergeJoin" not in plan  # totals frame must broadcast
     assert all(len(c) <= 1 for c in scan_columns(df))
 
 
