@@ -362,6 +362,11 @@ HEADLINE = [
     "eval_average_precision",
     "orders_target_encoding_oof",
     "events_odds_ratio_mh",
+    "events_bass_diffusion",
+    "events_user_active_span",
+    "orders_fill_rate_otif",
+    "eval_reliability_sharpness",
+    "events_wilson_ci",
     "stream_page_hinkley",
 ]
 
@@ -449,7 +454,12 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-9 additions (15)
+    # round-9 additions (20)
+    "events_bass_diffusion",
+    "events_user_active_span",
+    "orders_fill_rate_otif",
+    "eval_reliability_sharpness",
+    "events_wilson_ci",
     "eval_auc_delong_ci",
     "eval_average_precision",
     "orders_target_encoding_oof",

@@ -694,6 +694,11 @@ _CHECK_ORDER = [
     "eval_average_precision",
     "orders_target_encoding_oof",
     "events_odds_ratio_mh",
+    "events_bass_diffusion",
+    "events_user_active_span",
+    "orders_fill_rate_otif",
+    "eval_reliability_sharpness",
+    "events_wilson_ci",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the round-7 window) ---
     "pack_length_batches",

@@ -1592,3 +1592,513 @@ def events_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("long"))
         .alias("or_crude_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A109: Bass diffusion fit on cumulative signups
+# ---------------------------------------------------------------------------
+
+_BASS_SCALE = 10  # adopter counts regress in units of 10 users
+
+
+@query(
+    "events_bass_diffusion",
+    f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // {_BASS_SCALE} AS BIGINT) AS x
+      FROM d
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2,
+             CAST(SUM(x * x * x) AS BIGINT) AS s3,
+             CAST(SUM(x * x * x * x) AS BIGINT) AS s4,
+             CAST(SUM(n) AS BIGINT) AS sy,
+             CAST(SUM(x * n) AS BIGINT) AS sxy,
+             CAST(SUM(x * x * n) AS BIGINT) AS sx2y
+      FROM c
+    )
+    SELECT k AS n_days, s1, s2, s3, s4, sy, sxy, sx2y,
+      CAST(ROUND((
+        CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sx2y AS DOUBLE))
+      ) / (
+        CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      ) * 1000000) AS BIGINT) AS a_micro,
+      CAST(ROUND((
+        CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))
+        - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))
+      ) / (
+        CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      ) * 1000000) AS BIGINT) AS b_micro,
+      CAST(ROUND((
+        CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      ) / (
+        CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      ) * 1000000) AS BIGINT) AS c_micro
+    FROM m
+    """,
+)
+def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A109 — Bass diffusion regression on daily signups: the discrete
+    Bass model n_t = a + b·Y_{{t-1}} + c·Y_{{t-1}}² (a = pM,
+    b = q − p, c = −q/M — innovation p, imitation q, market size M
+    recoverable from the roots) fit by least squares on the
+    cumulative-adopter regressor — THE product-growth curve read
+    (Bass 1969), next to A31/A45's time-series baselines which see
+    only the calendar, not the saturation term.
+
+    Determinism: the regressor is integer (cumulative signups in
+    units of {_BASS_SCALE}, floor division — keeps Σx⁴ inside int64
+    to ~3e4 scaled cumulative adopters ≈ sf100); ALL regression
+    moments are exact int64; the three coefficients are Cramer's-rule
+    double trees over the eight moment integers with IDENTICAL
+    parenthesization on both engines, micro-quantized.  The raw
+    (a, b, c) are emitted rather than (p, q, M): the root extraction
+    is a client-side two-liner and keeping the readout linear in the
+    moments avoids a second quantization layer.
+
+    Scale shape: one day-keyed hash aggregate absorbs the scan; the
+    cumulative regressor is a window over the calendar-bounded day
+    table (bounded_single_group); one scalar moment rollup; readout
+    1 row."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    d = bounded_single_group(d)  # calendar-bounded day table
+    w_prev = (
+        Window.partitionBy("__opid")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "n",
+        F.expr(
+            f"CAST(coalesce(sum(n) OVER (PARTITION BY __opid ORDER BY day"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            f" div {_BASS_SCALE} AS BIGINT)"
+        ).alias("x"),
+    )
+    m = c.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.expr("x * x")).cast("long").alias("s2"),
+        F.sum(F.expr("x * x * x")).cast("long").alias("s3"),
+        F.sum(F.expr("x * x * x * x")).cast("long").alias("s4"),
+        F.sum("n").cast("long").alias("sy"),
+        F.sum(F.expr("x * n")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x * n")).cast("long").alias("sx2y"),
+    )
+    kD = F.col("k").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    sy, sxy = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    sx2y = F.col("sx2y").cast("double")
+    det = (
+        kD * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    det_a = (
+        sy * (s2 * s4 - s3 * s3)
+        - s1 * (sxy * s4 - s3 * sx2y)
+        + s2 * (sxy * s3 - s2 * sx2y)
+    )
+    det_b = (
+        kD * (sxy * s4 - s3 * sx2y)
+        - sy * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * sx2y - sxy * s2)
+    )
+    det_c = (
+        kD * (s2 * sx2y - sxy * s3)
+        - s1 * (s1 * sx2y - sxy * s2)
+        + sy * (s1 * s3 - s2 * s2)
+    )
+    return m.select(
+        F.col("k").alias("n_days"),
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        "sy",
+        "sxy",
+        "sx2y",
+        F.round(det_a / det * 1000000).cast("long").alias("a_micro"),
+        F.round(det_b / det * 1000000).cast("long").alias("b_micro"),
+        F.round(det_c / det * 1000000).cast("long").alias("c_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W21: per-user engaged time via capped-gap stitching
+# ---------------------------------------------------------------------------
+
+_ENG_CAP_US = 15 * 60 * 1000000  # 15-minute engagement gap cap
+
+
+@query(
+    "events_user_active_span",
+    f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(LEAST(gap_us, {_ENG_CAP_US})) // 60000000 AS BIGINT)
+               AS engaged_min
+      FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT CAST(LEAST(engaged_min // 60, 19) AS BIGINT) AS bucket_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(engaged_min) AS BIGINT) AS engaged_min
+    FROM u GROUP BY 1 ORDER BY bucket_hours
+    """,
+)
+def events_user_active_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W21 — engaged time per user by CAPPED-gap stitching: each
+    consecutive-event gap contributes min(gap, 15 min), which equals
+    the union length of 15-min-padded activity intervals without ever
+    materializing the merge (the gaps-and-islands identity) — the
+    engagement denominator behind DAU-quality metrics, read as a
+    20-bucket hours histogram over users.  ST21/W3 build the session
+    STRUCTURE; this is the one-pass TIME-MASS readout.
+
+    Determinism: integer microsecond gaps, integer cap/floor
+    divisions — no doubles anywhere.
+
+    Scale shape: one user-partitioned lag (the W-family shuffle), one
+    user-keyed sum (entity-bounded), one 20-row histogram
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w_u)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    u = g.groupBy("user_id").agg(
+        F.expr(
+            f"CAST(sum(LEAST(gap_us, {_ENG_CAP_US})) div 60000000 AS BIGINT)"
+        ).alias("engaged_min")
+    )
+    return (
+        u.groupBy(
+            F.expr("CAST(LEAST(engaged_min div 60, 19) AS BIGINT)").alias(
+                "bucket_hours"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("engaged_min").cast("long").alias("engaged_min"),
+        )
+        .orderBy("bucket_hours")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A110: on-time-in-full (OTIF) fill rate by order month
+# ---------------------------------------------------------------------------
+
+_OTIF_DAYS = 30
+
+
+@query(
+    "orders_fill_rate_otif",
+    f"""
+    WITH s AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+      FROM lineitem GROUP BY 1
+    ),
+    o AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mon,
+             CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), s.last_ship)
+                       <= {_OTIF_DAYS} THEN 1 ELSE 0 END AS otif
+      FROM orders JOIN s ON o_orderkey = s.l_orderkey
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(mon AS BIGINT) AS mon,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(otif) AS BIGINT) AS n_otif,
+           CAST(SUM(otif) * 1000000 // COUNT(*) AS BIGINT) AS otif_ppm
+    FROM o GROUP BY 1, 2 ORDER BY yr, mon
+    """,
+)
+def orders_fill_rate_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A110 — on-time-in-full fill rate: an order counts as OTIF only
+    when its LAST line ships within {_OTIF_DAYS} days of the order
+    date (every line, not any line — MAX(l_shipdate) is the
+    completion time), rolled up by order month.  THE supply-chain
+    service KPI; A54's shipping-SLA row reads per-LINE lateness,
+    this reads per-ORDER completeness — a 10-line order with one
+    late line is late here and 90% fine there.
+
+    Determinism: exact date arithmetic and integer counts;
+    floor-division ppm.
+
+    Scale shape: one orderkey-keyed MAX aggregate absorbs lineitem
+    (map-side combinable), one orderkey equi-join (Q3's shuffle), one
+    (year, month) aggregate; readout is calendar-bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    s = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship")
+    )
+    o = orders.join(s, orders.o_orderkey == s.l_orderkey).select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.when(
+            F.datediff(F.col("last_ship"), F.col("o_orderdate").cast("date"))
+            <= _OTIF_DAYS,
+            1,
+        )
+        .otherwise(0)
+        .alias("otif"),
+    )
+    return (
+        o.groupBy(
+            F.col("yr").cast("long").alias("yr"),
+            F.col("mon").cast("long").alias("mon"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("otif").cast("long").alias("n_otif"),
+        )
+        .select(
+            "yr",
+            "mon",
+            "n_orders",
+            "n_otif",
+            F.expr("CAST(n_otif * 1000000 div n_orders AS BIGINT)").alias(
+                "otif_ppm"
+            ),
+        )
+        .orderBy("yr", "mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV32: Murphy decomposition of the Brier score
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_reliability_sharpness",
+    """
+    WITH s AS (
+      SELECT CAST('0x' || substr(md5('p:' || CAST(vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000001 AS pm,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    b AS (
+      SELECT LEAST(pm // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pm) AS BIGINT) AS sum_pm,
+             CAST(SUM(y) AS BIGINT) AS sum_y
+      FROM s GROUP BY 1
+    ),
+    t AS (
+      SELECT bin, n, sum_pm, sum_y,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn,
+             CAST(SUM(sum_y) OVER () AS BIGINT) AS yy
+      FROM b
+    ),
+    q AS (
+      SELECT nn, yy,
+        CAST(ROUND(CAST(n AS DOUBLE)
+          * (CAST(sum_pm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+             - CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sum_pm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+             - CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000000.0)
+          AS BIGINT) AS rel_q,
+        CAST(ROUND(CAST(n AS DOUBLE)
+          * (CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE))
+          * (CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000000000.0)
+          AS BIGINT) AS res_q
+      FROM t
+    )
+    SELECT CAST(MAX(nn) AS BIGINT) AS n,
+      CAST(ROUND(CAST(SUM(rel_q) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE)
+           / 1000000.0) AS BIGINT) AS reliability_micro,
+      CAST(ROUND(CAST(SUM(res_q) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE)
+           / 1000000.0) AS BIGINT) AS resolution_micro,
+      CAST(ROUND(CAST(MAX(yy) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE)
+           * (1.0 - CAST(MAX(yy) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE))
+           * 1000000) AS BIGINT) AS uncertainty_micro
+    FROM q
+    """,
+)
+def eval_reliability_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV32 — Murphy decomposition of the (binned) Brier score:
+    Brier = RELIABILITY − RESOLUTION + UNCERTAINTY, with
+    REL = Σ n_k (p̄_k − ȳ_k)²/N (calibration error — want 0),
+    RES = Σ n_k (ȳ_k − ȳ)²/N (sharpness — want big) and
+    UNC = ȳ(1−ȳ) (the data's own difficulty).  EV3 plots the
+    reliability diagram and EV17 profiles the raw Brier; this is the
+    decomposition that says WHY a Brier score is what it is — a model
+    can be perfectly calibrated and useless (RES = 0).  Same pinned
+    proxy and 10-bin layout as EV3/EV28, so the family reads
+    together.
+
+    Determinism: exact int64 bin moments; each bin's REL/RES term is
+    one fixed double tree quantized to a 1e-12 grid BEFORE the k-row
+    sum (the A87 device); the three readouts are single divisions,
+    micro-quantized.
+
+    Scale shape: one bin-keyed partial aggregate absorbs the scan;
+    totals via a 10-row bounded window; readout 1 row."""
+    s = _t(spark, sf_dir, "embeddings").select(
+        (
+            _h60(F.concat(F.lit("p:"), F.col("vec_id").cast("string"))) % 1000001
+        ).alias("pm"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy(
+        F.least(F.expr("pm div 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pm").cast("long").alias("sum_pm"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    b = bounded_single_group(b)  # 10-bin bounded table
+    w_tot = Window.partitionBy("__opid")
+    t = b.select(
+        "bin",
+        "n",
+        "sum_pm",
+        "sum_y",
+        F.sum("n").over(w_tot).cast("long").alias("nn"),
+        F.sum("sum_y").over(w_tot).cast("long").alias("yy"),
+    )
+    nD = F.col("n").cast("double")
+    pbar = F.col("sum_pm").cast("double") / nD / 1000000.0
+    ybar_k = F.col("sum_y").cast("double") / nD
+    ybar = F.col("yy").cast("double") / F.col("nn").cast("double")
+    q = t.select(
+        "nn",
+        "yy",
+        F.round(nD * (pbar - ybar_k) * (pbar - ybar_k) * 1000000000000.0)
+        .cast("long")
+        .alias("rel_q"),
+        F.round(nD * (ybar_k - ybar) * (ybar_k - ybar) * 1000000000000.0)
+        .cast("long")
+        .alias("res_q"),
+    )
+    nnD = F.max("nn").cast("double")
+    yyD = F.max("yy").cast("double")
+    return q.agg(
+        F.max("nn").cast("long").alias("n"),
+        F.round(F.sum("rel_q").cast("double") / nnD / 1000000.0)
+        .cast("long")
+        .alias("reliability_micro"),
+        F.round(F.sum("res_q").cast("double") / nnD / 1000000.0)
+        .cast("long")
+        .alias("resolution_micro"),
+        F.round(yyD / nnD * (1.0 - yyD / nnD) * 1000000)
+        .cast("long")
+        .alias("uncertainty_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A111: Wilson score intervals for weekend-share proportions
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_wilson_ci",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN ISODOW(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS wknd
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(wknd) AS BIGINT) AS k
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n, k,
+      CAST(k * 1000000 // n AS BIGINT) AS p_ppm,
+      CAST(ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+            + 1.9599639845400545 * 1.9599639845400545 / (2.0 * CAST(n AS DOUBLE))
+            - 1.9599639845400545 * SQRT(
+                CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                + 1.9599639845400545 * 1.9599639845400545
+                  / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1.0 + 1.9599639845400545 * 1.9599639845400545 / CAST(n AS DOUBLE))
+           * 1000000) AS BIGINT) AS ci_lo_ppm,
+      CAST(ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+            + 1.9599639845400545 * 1.9599639845400545 / (2.0 * CAST(n AS DOUBLE))
+            + 1.9599639845400545 * SQRT(
+                CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                + 1.9599639845400545 * 1.9599639845400545
+                  / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1.0 + 1.9599639845400545 * 1.9599639845400545 / CAST(n AS DOUBLE))
+           * 1000000) AS BIGINT) AS ci_hi_ppm
+    FROM g ORDER BY event_type
+    """,
+)
+def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A111 — Wilson score 95% intervals for each event type's
+    weekend share: the proportion CI that stays inside [0, 1] and
+    behaves at small n / extreme p where the naive Wald interval
+    collapses (the industry default for conversion-rate error bars —
+    A18's two-sample test COMPARES arms; this puts honest bars on a
+    SINGLE proportion).
+
+    Determinism: exact int64 (k, n); both bounds are one fixed double
+    tree each over (k, n) with the z constant pinned to the same
+    17-digit literal in both engines, ppm-quantized.
+
+    Scale shape: one event-type-keyed aggregate absorbs the scan
+    (map-side combinable); the CI arithmetic runs on k rows; readout
+    k rows."""
+    z = 1.9599639845400545
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.expr("weekday(ts)") >= 5, 1).otherwise(0).alias("wknd"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("wknd").cast("long").alias("k"),
+    )
+    nD, kD = F.col("n").cast("double"), F.col("k").cast("double")
+    p = kD / nD
+    center = p + z * z / (2.0 * nD)
+    half = z * F.sqrt(p * (1.0 - p) / nD + z * z / (4.0 * nD * nD))
+    denom = 1.0 + z * z / nD
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        F.expr("CAST(k * 1000000 div n AS BIGINT)").alias("p_ppm"),
+        F.round((center - half) / denom * 1000000).cast("long").alias("ci_lo_ppm"),
+        F.round((center + half) / denom * 1000000).cast("long").alias("ci_hi_ppm"),
+    ).orderBy("event_type")

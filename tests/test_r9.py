@@ -378,3 +378,142 @@ def test_odds_ratio_mh_hand_case(spark, tmp_path):
     assert row["or_mh_milli"] == round(t1 / t2 * 1000)
     aa, bb, cc, dd_ = 9, 11, 7, 13
     assert row["or_crude_milli"] == round(aa * dd_ / (bb * cc) * 1000)
+
+
+def test_bass_recovers_planted_quadratic(spark, tmp_path):
+    """A109: plant daily signup counts that EXACTLY follow
+    n_t = a + b*x + c*x^2 in the scaled regressor — the fit must
+    return the planted coefficients to quantization."""
+    d = str(tmp_path)
+    a0, b0, c0 = 20, 6, -1  # in scaled-x units (x = cum signups / 10)
+    rows, eid, cum = [], 0, 0
+    for day in range(1, 21):
+        x = cum // 10
+        n_t = a0 + b0 * x + c0 * x * x
+        if n_t <= 0:  # saturation reached — the Bass process stops
+            break
+        for _ in range(n_t):
+            rows.append(
+                (eid, f"2024-01-{day:02d} 10:00:00", eid % 9, "signup", 1.0, "{}")
+            )
+            eid += 1
+        cum += n_t
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_bass_diffusion", d, ["events"])
+    row = sdf.iloc[0]
+    assert abs(row["a_micro"] - a0 * 1000000) <= 5
+    assert abs(row["b_micro"] - b0 * 1000000) <= 5
+    assert abs(row["c_micro"] - c0 * 1000000) <= 5
+
+
+def test_active_span_capped_gaps(spark, tmp_path):
+    """W21: a user with gaps [5, 10, 120] minutes accrues
+    5 + 10 + 15 (capped) = 30 engaged minutes -> bucket 0."""
+    d = str(tmp_path)
+    rows = []
+    mins = [0, 5, 15, 135]
+    for i, m in enumerate(mins):
+        rows.append((i, f"2024-01-01 {m // 60:02d}:{m % 60:02d}:00", 1, "click", 1.0, "{}"))
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_user_active_span", d, ["events"])
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    assert (row["bucket_hours"], row["n_users"], row["engaged_min"]) == (0, 1, 30)
+
+
+def test_otif_last_line_rule(spark, tmp_path):
+    """A110: an order whose FIRST line ships on time but whose last
+    line ships on day 40 is NOT OTIF (per-order completeness)."""
+    d = str(tmp_path)
+    orows = [
+        (1, 1, "F", 100.0, "1995-03-01 00:00:00", "1-URGENT"),
+        (2, 1, "F", 100.0, "1995-03-02 00:00:00", "1-URGENT"),
+    ]
+    lrows = [
+        # order 1: lines at +5 and +40 days -> late
+        (1, 10, 1, 1.0, 1.0, 0.0, "N", "O", "1995-03-06 00:00:00"),
+        (1, 11, 1, 1.0, 1.0, 0.0, "N", "O", "1995-04-10 00:00:00"),
+        # order 2: single line at +10 days -> OTIF
+        (2, 12, 1, 1.0, 1.0, 0.0, "N", "O", "1995-03-12 00:00:00"),
+    ]
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    sdf = _cross_check(spark, "orders_fill_rate_otif", d, ["orders", "lineitem"])
+    row = sdf.iloc[0]
+    assert (row["n_orders"], row["n_otif"], row["otif_ppm"]) == (2, 1, 500000)
+
+
+def test_murphy_identity_on_fixture(spark):
+    """EV32: REL - RES + UNC equals the binned Brier score computed
+    directly from the same bins (to quantization slack)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    from bytesprocessor_spark.queries import QUERIES
+
+    sdf = QUERIES["eval_reliability_sharpness"](spark, sf).toPandas()
+    row = sdf.iloc[0]
+    brier_decomp = (
+        row["reliability_micro"] - row["resolution_micro"] + row["uncertainty_micro"]
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    # binned Brier: forecast = bin mean prediction
+    direct = con.execute(
+        """
+        WITH s AS (
+          SELECT CAST('0x' || substr(md5('p:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 1000001 AS pm,
+                 CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+          FROM embeddings
+        ),
+        b AS (
+          SELECT LEAST(pm // 100000, 9) AS bin, COUNT(*) AS n,
+                 AVG(pm / 1000000.0) AS pbar, AVG(y) AS ybar
+          FROM s GROUP BY 1
+        )
+        SELECT SUM(n * (pbar - ybar) * (pbar - ybar)) / SUM(n)
+               - SUM(n * (ybar - (SELECT AVG(y) FROM s))
+                       * (ybar - (SELECT AVG(y) FROM s))) / SUM(n)
+               + (SELECT AVG(y) * (1 - AVG(y)) FROM s)
+        FROM b
+        """
+    ).fetchone()[0]
+    assert abs(brier_decomp - direct * 1e6) <= 5
+
+
+def test_wilson_ci_python_replay(spark, tmp_path):
+    """A111: bounds match the textbook Wilson formula and bracket the
+    point estimate."""
+    d = str(tmp_path)
+    rows = []
+    # 2024-01-06 is a Saturday, 2024-01-08 a Monday
+    for i in range(40):
+        day = "06" if i < 12 else "08"
+        rows.append((i, f"2024-01-{day} 10:00:00", 1, "click", 1.0, "{}"))
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_wilson_ci", d, ["events"])
+    row = sdf.iloc[0]
+    k, n, z = 12, 40, 1.9599639845400545
+    p = k / n
+    center = p + z * z / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    assert row["ci_lo_ppm"] == round((center - half) / denom * 1e6)
+    assert row["ci_hi_ppm"] == round((center + half) / denom * 1e6)
+    assert row["ci_lo_ppm"] < row["p_ppm"] < row["ci_hi_ppm"]
