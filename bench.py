@@ -454,6 +454,13 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
+    # round-9 second batch (6)
+    "events_ljung_box",
+    "events_jarque_bera",
+    "eval_mcc_multiclass",
+    "part_eoq_policy",
+    "orders_bullwhip",
+    "events_neyman_allocation",
     # round-9 additions (20)
     "events_bass_diffusion",
     "events_user_active_span",

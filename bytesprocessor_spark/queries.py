@@ -557,6 +557,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_r8  # noqa: F401
     import bytesprocessor_spark.queries_r8b  # noqa: F401
     import bytesprocessor_spark.queries_r9  # noqa: F401
+    import bytesprocessor_spark.queries_r9b  # noqa: F401
 
 
 @query(
@@ -699,6 +700,12 @@ _CHECK_ORDER = [
     "orders_fill_rate_otif",
     "eval_reliability_sharpness",
     "events_wilson_ci",
+    "events_ljung_box",
+    "events_jarque_bera",
+    "eval_mcc_multiclass",
+    "part_eoq_policy",
+    "orders_bullwhip",
+    "events_neyman_allocation",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the round-7 window) ---
     "pack_length_batches",
