@@ -454,6 +454,27 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
+    # round-9 sixth batch (3)
+    "orders_ipf_raking",
+    "orders_price_elasticity",
+    "orders_cyclic_encoding",
+    # round-9 fifth batch (4)
+    "asof_nearest_events",
+    "events_user_streaks",
+    "similarity_range_search",
+    "events_decayed_engagement",
+    # round-9 fourth batch (4)
+    "stream_first_touch",
+    "events_hurst_rs",
+    "eval_ece",
+    "orders_littles_law",
+    # round-9 third batch (6)
+    "graph_modularity",
+    "eval_err_at_k",
+    "events_gtest",
+    "orders_gk_gamma",
+    "eval_pinball_loss",
+    "orders_lorenz_deciles",
     # round-9 second batch (6)
     "events_ljung_box",
     "events_jarque_bera",

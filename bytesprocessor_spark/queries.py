@@ -706,6 +706,23 @@ _CHECK_ORDER = [
     "part_eoq_policy",
     "orders_bullwhip",
     "events_neyman_allocation",
+    "graph_modularity",
+    "eval_err_at_k",
+    "events_gtest",
+    "orders_gk_gamma",
+    "eval_pinball_loss",
+    "orders_lorenz_deciles",
+    "stream_first_touch",
+    "events_hurst_rs",
+    "eval_ece",
+    "orders_littles_law",
+    "asof_nearest_events",
+    "events_user_streaks",
+    "similarity_range_search",
+    "events_decayed_engagement",
+    "orders_ipf_raking",
+    "orders_price_elasticity",
+    "orders_cyclic_encoding",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the round-7 window) ---
     "pack_length_batches",

@@ -458,7 +458,13 @@ def orders_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ITERS = 3
 
 
-def _lpa_oracle_sql() -> str:
+def lpa_cte_chain() -> str:
+    """The WITH chain that replays GR9's deterministic 3-round LPA in
+    SQL — reusable prefix: callers append their own readout CTEs
+    (starting with a comma) against ``e0`` (edges) and
+    ``l{_LPA_ITERS}`` (final node→label).  Factored out so GR13's
+    modularity oracle replays the exact trajectory the GR9 oracle
+    pins."""
     parts = [
         """
     WITH os AS MATERIALIZED (
@@ -491,7 +497,11 @@ def _lpa_oracle_sql() -> str:
                                   ORDER BY cnt DESC, lbl) AS rn
         FROM c{i}
       ) WHERE rn = 1)""")
-    parts.append(f""",
+    return ",".join(parts)
+
+
+def _lpa_oracle_sql() -> str:
+    return lpa_cte_chain() + f""",
     comm AS (
       SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members
       FROM l{_LPA_ITERS} GROUP BY lbl
@@ -501,10 +511,7 @@ def _lpa_oracle_sql() -> str:
            CAST(SUM(n_members) AS BIGINT) AS n_nodes,
            CAST(MIN(lbl) AS BIGINT) AS min_label
     FROM comm GROUP BY 1 ORDER BY 1
-    """)
-    # head, then the per-iteration CTE pairs comma-joined, then the
-    # final readout (which begins with its own comma)
-    return ",".join(parts[:-1]) + parts[-1]
+    """
 
 
 @query("graph_lpa_communities", _lpa_oracle_sql())
@@ -532,6 +539,25 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is min_by over a (-count, label) struct (a pure aggregate,
     no per-node sort); lineage is cut per round with localCheckpoint
     like GR2's power iteration."""
+    e0, labels = lpa_run(spark, sf_dir)
+    comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    return (
+        comm.groupBy(F.col("n_members").alias("community_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum("n_members").cast("long").alias("n_nodes"),
+            F.min("lbl").cast("long").alias("min_label"),
+        )
+        .orderBy("community_size")
+    )
+
+
+def lpa_run(spark: SparkSession, sf_dir: str):
+    """Build the GR9 nation-blocked co-supplier edge set and run the
+    deterministic 3-round synchronous LPA.  Returns ``(e0, labels)``:
+    the (a, b) edge table and the final (z, lbl) node→community
+    assignment — the shared substrate for GR9's size histogram and
+    GR13's modularity readout."""
     li = _t(spark, sf_dir, "lineitem")
     su = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("nk")
@@ -575,16 +601,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = counts.groupBy("z").agg(
             F.expr("min_by(lbl, named_struct('nc', -cnt, 'lbl', lbl))").alias("lbl")
         ).localCheckpoint(eager=False)
-    comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
-    return (
-        comm.groupBy(F.col("n_members").alias("community_size"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_communities"),
-            F.sum("n_members").cast("long").alias("n_nodes"),
-            F.min("lbl").cast("long").alias("min_label"),
-        )
-        .orderBy("community_size")
-    )
+    return e0, labels
 
 
 # ---------------------------------------------------------------------------

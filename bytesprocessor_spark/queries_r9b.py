@@ -862,3 +862,1821 @@ def events_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_proportional"
         ),
     ).orderBy("stratum")
+
+
+# ---------------------------------------------------------------------------
+# GR13: modularity of the GR9 LPA communities
+# ---------------------------------------------------------------------------
+
+def _modularity_oracle_sql() -> str:
+    from bytesprocessor_spark.queries_r7 import _LPA_ITERS, lpa_cte_chain
+
+    return lpa_cte_chain() + f""",
+    deg AS (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS z FROM e0 UNION ALL SELECT b AS z FROM e0
+      ) GROUP BY z
+    ),
+    md AS (
+      SELECT l.lbl, CAST(SUM(d.d) AS BIGINT) AS dc,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM l{_LPA_ITERS} l JOIN deg d ON l.z = d.z GROUP BY l.lbl
+    ),
+    ie AS (
+      SELECT la.lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS ec
+      FROM e0 e
+      JOIN l{_LPA_ITERS} la ON e.a = la.z
+      JOIN l{_LPA_ITERS} lb ON e.b = lb.z
+      WHERE la.lbl = lb.lbl GROUP BY la.lbl
+    ),
+    c AS (
+      SELECT md.lbl, md.n_members, md.dc,
+             CAST(COALESCE(ie.ec, 0) AS BIGINT) AS ec,
+             CAST(SUM(md.dc) OVER () AS BIGINT) AS m2
+      FROM md LEFT JOIN ie ON md.lbl = ie.lbl
+    )
+    SELECT CAST(lbl AS BIGINT) AS community, n_members,
+           ec AS intra_edges, dc AS degree_sum,
+      CAST(ROUND((CAST(2 * ec AS DOUBLE) / m2
+           - (CAST(dc AS DOUBLE) / m2) * (CAST(dc AS DOUBLE) / m2))
+           * 1000000) AS BIGINT) AS q_contrib_micro
+    FROM c ORDER BY community
+    """
+
+
+@query("graph_modularity", _modularity_oracle_sql())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR13 — Newman modularity of the GR9 LPA partition:
+    Q = Σ_c (e_c/m − (D_c/2m)²) over communities, read out per
+    community (members, intra-edges, degree mass, Q contribution).
+    GR9 SAYS what the communities are; this says whether the
+    partition is any GOOD (Q near 0 = no better than random wiring)
+    — the fitness read behind every community-driven curation
+    decision (L2b's dedup clusters, GR10's co-occurrence groups).
+
+    Determinism: reuses GR9's bit-deterministic 3-round trajectory
+    (`queries_r7.lpa_run` / `lpa_cte_chain` — same edges, same
+    labels); e_c, D_c, 2m are exact int64 counts; each community's
+    Q contribution is one fixed double tree, micro-quantized.
+
+    Scale shape: on top of GR9's per-round equi-joins, one degree
+    aggregate, one labels⋈degrees join, one 2-sided edge⋈labels
+    equi-join (all node-keyed shuffles), community-keyed rollups;
+    readout is community-bounded (entity scale)."""
+    from bytesprocessor_spark.queries_r7 import lpa_run
+
+    e0, labels = lpa_run(spark, sf_dir)
+    deg = (
+        e0.select(F.col("a").alias("z"))
+        .unionAll(e0.select(F.col("b").alias("z")))
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    md = (
+        labels.join(deg, "z")
+        .groupBy("lbl")
+        .agg(
+            F.sum("d").cast("long").alias("dc"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )
+    la = labels.select(F.col("z").alias("a"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("z").alias("b"), F.col("lbl").alias("lb"))
+    ie = (
+        e0.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+    )
+    c = md.join(ie, "lbl", "left").select(
+        "lbl",
+        "n_members",
+        "dc",
+        F.coalesce("ec", F.lit(0)).cast("long").alias("ec"),
+    )
+    c = bounded_single_group(c)  # community-bounded table
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = c.withColumn("m2", F.sum("dc").over(w_all).cast("long"))
+    m2D = F.col("m2").cast("double")
+    dcD = F.col("dc").cast("double")
+    q = (F.col("ec") * 2).cast("double") / F.col("m2") - (dcD / m2D) * (
+        dcD / m2D
+    )
+    return c.select(
+        F.col("lbl").cast("long").alias("community"),
+        "n_members",
+        F.col("ec").alias("intra_edges"),
+        F.col("dc").alias("degree_sum"),
+        F.round(q * 1000000).cast("long").alias("q_contrib_micro"),
+    ).orderBy("community")
+
+
+# ---------------------------------------------------------------------------
+# EV34: expected reciprocal rank @10 over a pinned graded ranking
+# ---------------------------------------------------------------------------
+
+_ERR_QUERIES = 20
+_ERR_K = 10
+
+
+@query(
+    "eval_err_at_k",
+    f"""
+    WITH q AS (SELECT UNNEST(range(0, {_ERR_QUERIES})) AS query_id),
+    s AS (
+      SELECT q.query_id, d.doc_id,
+             GREATEST(0, {_H60_DUCK.format(
+                 "'errg:' || CAST(q.query_id AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)"
+             )} % 16 - 12) AS g,
+             {_H60_DUCK.format(
+                 "'errs:' || CAST(q.query_id AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)"
+             )} % 262144 AS noise
+      FROM q CROSS JOIN documents d
+    ),
+    r AS (
+      SELECT query_id, doc_id, g,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY g * 262144 + noise DESC, doc_id) AS rk
+      FROM s
+    ),
+    t AS (
+      SELECT query_id, rk, (1::BIGINT << g) - 1 AS num
+      FROM r WHERE rk <= {_ERR_K}
+    ),
+    tp AS (
+      SELECT query_id, rk, num,
+             CAST(COALESCE(PRODUCT(8 - num) OVER (PARTITION BY query_id
+                 ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 1) AS BIGINT) AS t
+      FROM t
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           CAST(SUM(CAST(ROUND(CAST(num * t AS DOUBLE)
+                / CAST(rk * (1::BIGINT << (3 * rk)) AS DOUBLE)
+                * 1000000000) AS BIGINT)) AS BIGINT) AS err_nano
+    FROM tp GROUP BY query_id ORDER BY query_id
+    """,
+)
+def eval_err_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV34 — expected reciprocal rank @10 of a pinned graded ranking
+    over the documents corpus: relevance g ∈ {{0..3}} per (query, doc)
+    from an md5 grade hash, ranking score = g·2^18 + md5 noise (so the
+    ranker is good but imperfect — the interesting regime), and
+    ERR = Σ_r (1/r)·R_r·Π_{{i<r}}(1−R_i) with R = (2^g−1)/8.  The
+    cascade-model metric that, unlike EV8's NDCG, says a user STOPS
+    at the first satisfying result — the readout that separates
+    'good at rank 1' from 'good on average'.
+
+    Determinism: grades and noise are exact ints with (score desc,
+    doc_id) total order; R is an exact eighth, so the survival
+    product T_r = Π(8−num_i) is an exact int64 (≤ 8^9) — DuckDB reads
+    it off a windowed PRODUCT (exact: every partial product < 2^53),
+    Spark folds the ordered num array with integer (T, 8^r)
+    accumulators; each term is ONE double division of exact int64s,
+    nano-quantized before the integer sum.
+
+    Scale shape: {_ERR_QUERIES}-row query frame broadcast onto one
+    corpus scan (the EV13 posture), per-query top-{_ERR_K} window,
+    k-rows-per-query fold; readout {_ERR_QUERIES} rows.  The scale
+    path swaps the exact scan for an index candidate stage like
+    every other L3 consumer."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    q = F.broadcast(
+        spark.range(_ERR_QUERIES).select(F.col("id").alias("query_id"))
+    )
+
+    def h(tag):
+        return _h60(
+            F.concat(
+                F.lit(tag),
+                F.col("query_id").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+
+    s = docs.crossJoin(q).select(
+        "query_id",
+        "doc_id",
+        F.greatest(F.lit(0), h("errg:") % 16 - 12).alias("g"),
+        (h("errs:") % 262144).alias("noise"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        (F.col("g") * 262144 + F.col("noise")).desc(), "doc_id"
+    )
+    t = (
+        s.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ERR_K)
+        .select(
+            "query_id",
+            "rk",
+            F.expr("CAST(shiftleft(1, CAST(g AS INT)) AS BIGINT) - 1").alias(
+                "num"
+            ),
+        )
+    )
+    arr = (
+        t.groupBy("query_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rk", "num"))
+            ).alias("a")
+        )
+        .select("query_id", F.expr("transform(a, x -> x.num)").alias("nums"))
+    )
+    fold = F.aggregate(
+        F.col("nums"),
+        F.struct(
+            F.lit(1).cast("long").alias("t"),
+            F.lit(1).cast("long").alias("d"),
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("s"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["t"] * (F.lit(8) - x)).cast("long").alias("t"),
+            (acc["d"] * 8).cast("long").alias("d"),
+            (acc["r"] + 1).cast("long").alias("r"),
+            (
+                acc["s"]
+                + F.round(
+                    (x * acc["t"]).cast("double")
+                    / ((acc["r"] + 1) * (acc["d"] * 8)).cast("double")
+                    * 1000000000
+                ).cast("long")
+            ).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+    return arr.select(
+        "query_id",
+        F.size("nums").cast("long").alias("n_ranked"),
+        fold.alias("err_nano"),
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# A117: G-test of independence (type x weekend)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_gtest",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             CASE WHEN ISODOW(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS wknd,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, wknd, o,
+             CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY wknd) AS BIGINT) AS c,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    t AS (
+      SELECT n,
+             CAST(ROUND(CAST(o AS DOUBLE)
+                  * LN(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))
+                  * 1000000) AS BIGINT) AS term_micro,
+             event_type, wknd
+      FROM m WHERE o > 0
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(2 * SUM(term_micro) AS BIGINT) AS g_micro,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT wknd) - 1) AS BIGINT) AS df,
+           CAST(CASE (COUNT(DISTINCT event_type) - 1)
+                     * (COUNT(DISTINCT wknd) - 1)
+                WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815
+                WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592
+                WHEN 7 THEN 14067 ELSE 15507 END AS BIGINT) AS crit_milli,
+           2 * SUM(term_micro) > 1000 * CASE (COUNT(DISTINCT event_type) - 1)
+                     * (COUNT(DISTINCT wknd) - 1)
+                WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815
+                WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592
+                WHEN 7 THEN 14067 ELSE 15507 END AS reject_independence
+    FROM t
+    """,
+)
+def events_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A117 — G-test (log-likelihood-ratio test) of independence
+    between event type and weekend: G = 2 Σ O·ln(O·n/(r·c)) over the
+    type × weekend contingency, against the chi-square((R−1)(C−1))
+    95% critical.  The additive counterpart of A41's Pearson χ²: G
+    decomposes exactly across nested partitions (the property that
+    makes it the standard for hierarchical log-linear reads), and is
+    the better approximation when expected cells are small.
+
+    Determinism: exact int64 cells and margins; each cell's
+    O·ln(O·n/(r·c)) is one fixed double tree micro-quantized BEFORE
+    the bounded sum; criticals are pinned milli literals keyed by df.
+
+    Scale shape: one (type, weekend)-keyed aggregate absorbs the
+    scan; margins ride windows over the ≤2k-cell bounded table;
+    readout 1 row."""
+    cells = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.when(F.expr("weekday(ts)") >= 5, 1).otherwise(0).alias("wknd"),
+        )
+        .groupBy("event_type", "wknd")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    cells = bounded_single_group(cells)  # type x weekend bounded cells
+    w_r = Window.partitionBy("__opid", "event_type")
+    w_c = Window.partitionBy("__opid", "wknd")
+    w_all = Window.partitionBy("__opid")
+    m = cells.select(
+        "event_type",
+        "wknd",
+        "o",
+        F.sum("o").over(w_r).cast("long").alias("r"),
+        F.sum("o").over(w_c).cast("long").alias("c"),
+        F.sum("o").over(w_all).cast("long").alias("n"),
+    ).where(F.col("o") > 0)
+    oD = F.col("o").cast("double")
+    term = F.round(
+        oD * F.log(oD * F.col("n") / (F.col("r").cast("double") * F.col("c")))
+        * 1000000
+    ).cast("long")
+    t = m.select("n", term.alias("term_micro"), "event_type", "wknd")
+    crit = (
+        "CASE (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT wknd) - 1) "
+        "WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815 "
+        "WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592 "
+        "WHEN 7 THEN 14067 ELSE 15507 END"
+    )
+    return t.agg(
+        F.max("n").cast("long").alias("n"),
+        (F.sum("term_micro") * 2).cast("long").alias("g_micro"),
+        F.expr(
+            "CAST((COUNT(DISTINCT event_type) - 1)"
+            " * (COUNT(DISTINCT wknd) - 1) AS BIGINT)"
+        ).alias("df"),
+        F.expr(f"CAST({crit} AS BIGINT)").alias("crit_milli"),
+        F.expr(f"2 * SUM(term_micro) > 1000 * {crit}").alias(
+            "reject_independence"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A118: Goodman-Kruskal gamma + Somers' D (ordinal association)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_gk_gamma",
+    """
+    WITH v AS (
+      SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS val
+      FROM orders
+    ),
+    cuts AS (
+      SELECT CAST(quantile_disc(val, 0.25) AS BIGINT) AS q1,
+             CAST(quantile_disc(val, 0.50) AS BIGINT) AS q2,
+             CAST(quantile_disc(val, 0.75) AS BIGINT) AS q3
+      FROM v
+    ),
+    b AS (
+      SELECT x,
+             1 + CASE WHEN val > q1 THEN 1 ELSE 0 END
+               + CASE WHEN val > q2 THEN 1 ELSE 0 END
+               + CASE WHEN val > q3 THEN 1 ELSE 0 END AS y
+      FROM v CROSS JOIN cuts
+    ),
+    cells AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY x, y
+    ),
+    pairs AS (
+      SELECT
+        CAST(SUM(CASE WHEN c2.x > c1.x AND c2.y > c1.y
+                 THEN CAST(c1.o AS HUGEINT) * c2.o ELSE 0 END) AS DOUBLE)
+          AS conc,
+        CAST(SUM(CASE WHEN c2.x > c1.x AND c2.y < c1.y
+                 THEN CAST(c1.o AS HUGEINT) * c2.o ELSE 0 END) AS DOUBLE)
+          AS disc
+      FROM cells c1 CROSS JOIN cells c2
+    ),
+    marg AS (
+      SELECT (SELECT CAST(SUM(o) AS BIGINT) FROM cells) AS n,
+             CAST(SUM(CAST(rx AS HUGEINT) * (rx - 1)) AS DOUBLE) / 2 AS tx
+      FROM (SELECT CAST(SUM(o) AS BIGINT) AS rx FROM cells GROUP BY x)
+    )
+    SELECT n AS n_orders, conc AS c_pairs, disc AS d_pairs,
+      CAST(ROUND((conc - disc) / (conc + disc) * 1000000) AS BIGINT)
+        AS gamma_micro,
+      CAST(ROUND((conc - disc)
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2 - tx)
+           * 1000000) AS BIGINT) AS somers_d_micro
+    FROM pairs CROSS JOIN marg
+    """,
+)
+def orders_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A118 — ordinal association between order priority (5 ordered
+    levels) and order-value quartile: Goodman-Kruskal gamma =
+    (C−D)/(C+D) over concordant/discordant pairs, and Somers'
+    D(y|x) = (C−D)/(n(n−1)/2 − T_x) which additionally charges pairs
+    tied on the OUTCOME.  The ordinal-vs-ordinal companion of A73's
+    Kendall tau-b (which handles continuous ties) and A80's nominal
+    Cramér's V — the right association read when both axes are
+    ordered categories.
+
+    Determinism: quartile cuts are percentile_disc data points
+    (exact int64, broadcast); the r×c contingency is exact int64;
+    C/D/T accumulate per-cell-pair products in exact int128
+    (HUGEINT / decimal(38)) over the ≤20-cell table; gamma and
+    Somers' D are fixed double trees, micro-quantized.
+
+    Scale shape: one global percentile aggregate (1 row, broadcast
+    back), one (x, y)-keyed aggregate absorbs the scan; the pair
+    scan is a ≤20×20 bounded self-join (declared nested-loop);
+    readout 1 row."""
+    v = _t(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+        cents(F.col("o_totalprice")).alias("val"),
+    )
+    cuts = v.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY val)")
+        .cast("long")
+        .alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY val)")
+        .cast("long")
+        .alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY val)")
+        .cast("long")
+        .alias("q3"),
+    )
+    b = v.crossJoin(F.broadcast(cuts)).select(
+        "x",
+        (
+            F.lit(1)
+            + F.when(F.col("val") > F.col("q1"), 1).otherwise(0)
+            + F.when(F.col("val") > F.col("q2"), 1).otherwise(0)
+            + F.when(F.col("val") > F.col("q3"), 1).otherwise(0)
+        ).alias("y"),
+    )
+    cells = b.groupBy("x", "y").agg(F.count("*").cast("long").alias("o"))
+    c1 = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("o").alias("o1")
+    )
+    c2 = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("o").alias("o2")
+    )
+    prod = F.col("o1").cast("decimal(38,0)") * F.col("o2")
+    pairs = c1.crossJoin(c2).agg(
+        F.sum(
+            F.when((F.col("x2") > F.col("x1")) & (F.col("y2") > F.col("y1")), prod)
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("conc"),
+        F.sum(
+            F.when((F.col("x2") > F.col("x1")) & (F.col("y2") < F.col("y1")), prod)
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("disc"),
+    )
+    rx = cells.groupBy("x").agg(F.sum("o").cast("long").alias("rx"))
+    marg = cells.agg(F.sum("o").cast("long").alias("n")).crossJoin(
+        rx.agg(
+            (
+                F.sum(F.col("rx").cast("decimal(38,0)") * (F.col("rx") - 1))
+                .cast("double")
+                / 2
+            ).alias("tx")
+        )
+    )
+    j = pairs.crossJoin(marg)
+    nD = F.col("n").cast("double")
+    return j.select(
+        F.col("n").alias("n_orders"),
+        F.col("conc").alias("c_pairs"),
+        F.col("disc").alias("d_pairs"),
+        F.round(
+            (F.col("conc") - F.col("disc")) / (F.col("conc") + F.col("disc"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("gamma_micro"),
+        F.round(
+            (F.col("conc") - F.col("disc")) / (nD * (nD - 1) / 2 - F.col("tx"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("somers_d_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EV35: pinball (quantile) loss of parity-split quantile forecasts
+# ---------------------------------------------------------------------------
+
+_PINBALL_QTS = (1, 5, 9)  # tenths: q = 0.1, 0.5, 0.9
+
+
+def _pinball_oracle() -> str:
+    arms = []
+    for qt in _PINBALL_QTS:
+        arms.append(
+            f"""
+    SELECT t.event_type, CAST({qt} AS BIGINT) AS q_tenths,
+           p.p{qt} AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n_test_days,
+           CAST(SUM(GREATEST({qt} * (t.x - p.p{qt}),
+                             ({qt} - 10) * (t.x - p.p{qt}))) AS BIGINT)
+             AS pinball_sum_tenths,
+           CAST(SUM(GREATEST({qt} * (t.x - p.p{qt}),
+                             ({qt} - 10) * (t.x - p.p{qt}))) * 100
+                // COUNT(*) AS BIGINT) AS mean_loss_milli
+    FROM test t JOIN preds p ON t.event_type = p.event_type
+    GROUP BY t.event_type, p.p{qt}"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+    WITH day AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    split AS (
+      SELECT event_type, x,
+             DATE_DIFF('day', DATE '1970-01-01', day) % 2 AS par
+      FROM day
+    ),
+    preds AS (
+      SELECT event_type,
+             CAST(quantile_disc(x, 0.1) AS BIGINT) AS p1,
+             CAST(quantile_disc(x, 0.5) AS BIGINT) AS p5,
+             CAST(quantile_disc(x, 0.9) AS BIGINT) AS p9
+      FROM split WHERE par = 0 GROUP BY event_type
+    ),
+    test AS (SELECT event_type, x FROM split WHERE par = 1)
+    {body}
+    ORDER BY event_type, q_tenths
+    """
+
+
+@query("eval_pinball_loss", _pinball_oracle())
+def eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV35 — pinball (quantile) loss of a parity-split quantile
+    forecast: per event type, the 0.1/0.5/0.9 quantiles of daily
+    counts on even days (train) are scored on odd days (test) with
+    L_q(y, ŷ) = max(q(y−ŷ), (q−1)(y−ŷ)).  THE proper scoring rule
+    for quantile forecasts — EV21 scores point predictions, this
+    scores the P10/P50/P90 band a capacity planner actually ships
+    (under-prediction of P90 hurts 9× more than over).
+
+    Determinism: integer day counts; percentile_disc picks data
+    points (exact int64); the loss is exact integer arithmetic in
+    tenths (GREATEST of two integer products), floor-division milli
+    mean.
+
+    Scale shape: one (type, day) aggregate absorbs the scan
+    (calendar-bounded), a k-row train-quantile table joins the
+    bounded test-day table; readout 3 rows per type."""
+    day = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    split = day.select(
+        "event_type",
+        "x",
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 2).alias(
+            "par"
+        ),
+    )
+    preds = (
+        split.where(F.col("par") == 0)
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc(0.{qt}) WITHIN GROUP (ORDER BY x)"
+                )
+                .cast("long")
+                .alias(f"p{qt}")
+                for qt in _PINBALL_QTS
+            ]
+        )
+    )
+    test = split.where(F.col("par") == 1).select("event_type", "x")
+    j = test.join(F.broadcast(preds), "event_type")
+    arms = []
+    for qt in _PINBALL_QTS:
+        loss = F.greatest(
+            F.lit(qt) * (F.col("x") - F.col(f"p{qt}")),
+            F.lit(qt - 10) * (F.col("x") - F.col(f"p{qt}")),
+        )
+        arms.append(
+            j.groupBy("event_type", f"p{qt}").agg(
+                F.count("*").cast("long").alias("n_test_days"),
+                F.sum(loss).cast("long").alias("pinball_sum_tenths"),
+            ).select(
+                "event_type",
+                F.lit(qt).cast("long").alias("q_tenths"),
+                F.col(f"p{qt}").alias("pred"),
+                "n_test_days",
+                "pinball_sum_tenths",
+                F.expr(
+                    "CAST(pinball_sum_tenths * 100 div n_test_days AS BIGINT)"
+                ).alias("mean_loss_milli"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("event_type", "q_tenths")
+
+
+# ---------------------------------------------------------------------------
+# A119: Lorenz curve deciles (distributed NTILE at entity scale)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_lorenz_deciles",
+    """
+    WITH t AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             NTILE(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100)
+                 AS BIGINT), o_orderkey) AS tile
+      FROM orders
+    ),
+    d AS (
+      SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS v
+      FROM t GROUP BY tile
+    ),
+    c AS (
+      SELECT tile, n, v,
+             CAST(SUM(n) OVER (ORDER BY tile ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cn,
+             CAST(SUM(v) OVER (ORDER BY tile ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cv,
+             CAST(SUM(n) OVER () AS BIGINT) AS tn,
+             CAST(SUM(v) OVER () AS BIGINT) AS tv
+      FROM d
+    )
+    SELECT CAST(tile AS BIGINT) AS decile, n AS n_orders, v AS value_cents,
+      CAST(cn * 1000000 // tn AS BIGINT) AS cum_pop_ppm,
+      CAST(cv * 1000000 // tv AS BIGINT) AS cum_value_ppm,
+      CAST(cn * 1000000 // tn - cv * 1000000 // tv AS BIGINT)
+        AS lorenz_gap_ppm
+    FROM c ORDER BY decile
+    """,
+)
+def orders_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A119 — the Lorenz curve read out at deciles: orders ranked by
+    value (ascending, orderkey tiebreak) are cut into SQL-NTILE
+    deciles; each row reports cumulative population share vs
+    cumulative value share and their gap.  A35's Gini integrates this
+    curve to one number — this is the curve itself, the readout a
+    pricing/concentration analyst actually plots (and the corpus
+    token-mass analogue for sources).
+
+    Determinism: cent values with orderkey tiebreak make the NTILE
+    order total; decile aggregates and ppm shares are exact int64
+    floor divisions.
+
+    Scale shape: the decile assignment is the DISTRIBUTED NTILE
+    device (operators/ranking.py: range repartition + local
+    row_number + broadcast offsets — bit-identical to SQL NTILE, no
+    single-partition window); one 10-row aggregate + bounded cum
+    window; readout 10 rows."""
+    from bytesprocessor_spark.operators.ranking import distributed_ntile
+
+    v = _t(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("x"),
+        F.col("o_orderkey").alias("k"),
+    )
+    t = distributed_ntile(v, [F.col("x").asc(), F.col("k").asc()], 10)
+    d = t.groupBy("tile").agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("v")
+    )
+    d = bounded_single_group(d)  # 10-row decile table
+    w_cum = (
+        Window.partitionBy("__opid")
+        .orderBy("tile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = d.select(
+        "tile",
+        "n",
+        "v",
+        F.sum("n").over(w_cum).cast("long").alias("cn"),
+        F.sum("v").over(w_cum).cast("long").alias("cv"),
+        F.sum("n").over(w_all).cast("long").alias("tn"),
+        F.sum("v").over(w_all).cast("long").alias("tv"),
+    )
+    return c.select(
+        F.col("tile").cast("long").alias("decile"),
+        F.col("n").alias("n_orders"),
+        F.col("v").alias("value_cents"),
+        F.expr("CAST(cn * 1000000 div tn AS BIGINT)").alias("cum_pop_ppm"),
+        F.expr("CAST(cv * 1000000 div tv AS BIGINT)").alias("cum_value_ppm"),
+        F.expr(
+            "CAST(cn * 1000000 div tn - cv * 1000000 div tv AS BIGINT)"
+        ).alias("lorenz_gap_ppm"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# A120: Hurst exponent by rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+_HURST_WINDOWS = (4, 8, 16)
+# ln(w) pinned micro literals (the A111 constant discipline)
+_HURST_LNW_MICRO = {4: 1386294, 8: 2079442, 16: 2772589}
+
+
+def _hurst_oracle() -> str:
+    per_w = []
+    heads = []
+    for w in _HURST_WINDOWS:
+        heads.append(f"""
+    b{w} AS (SELECT (rn - 1) // {w} AS blk, rn, x FROM idx),
+    s{w} AS (
+      SELECT blk, CAST(SUM(x) AS BIGINT) AS s
+      FROM b{w} GROUP BY blk HAVING COUNT(*) = {w}
+    ),
+    c{w} AS (
+      SELECT b.blk, b.x - s.s // {w} AS d,
+             CAST(SUM(b.x - s.s // {w}) OVER (PARTITION BY b.blk
+                 ORDER BY b.rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM b{w} b JOIN s{w} s ON b.blk = s.blk
+    ),
+    r{w} AS (
+      SELECT blk, CAST(MAX(cum) - MIN(cum) AS BIGINT) AS rng,
+             CAST(SUM(d * d) AS BIGINT) AS s2
+      FROM c{w} GROUP BY blk
+    ),
+    v{w} AS (
+      SELECT CAST({w} AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CAST(ROUND(CAST(rng AS DOUBLE)
+                  / SQRT(CAST(s2 AS DOUBLE) / {w}) * 1000000) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS avg_rs_micro
+      FROM r{w} WHERE s2 > 0
+    )""")
+        per_w.append(f"SELECT * FROM v{w}")
+    xmu_case = " ".join(
+        f"WHEN {w} THEN {_HURST_LNW_MICRO[w]}" for w in _HURST_WINDOWS
+    )
+    return f"""
+    WITH wk AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM wk
+    ),{",".join(heads)},
+    u AS (
+      SELECT w, n_blocks, avg_rs_micro,
+             CAST(CASE w {xmu_case} END AS BIGINT) AS xmu,
+             CAST(ROUND(LN(CAST(avg_rs_micro AS DOUBLE)) * 1000000)
+               AS BIGINT) AS ymu
+      FROM ({" UNION ALL ".join(per_w)})
+      WHERE n_blocks > 0 AND avg_rs_micro > 0
+    ),
+    t AS (
+      SELECT u.*,
+             CAST(SUM(xmu * ymu) OVER () AS BIGINT) AS sxy,
+             CAST(SUM(xmu) OVER () AS BIGINT) AS sx,
+             CAST(SUM(ymu) OVER () AS BIGINT) AS sy,
+             CAST(SUM(xmu * xmu) OVER () AS BIGINT) AS sxx,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM u
+    )
+    SELECT w, n_blocks, avg_rs_micro,
+      CAST(ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+           / CAST(k * sxx - sx * sx AS DOUBLE) * 1000) AS BIGINT)
+        AS hurst_milli
+    FROM t ORDER BY w
+    """
+
+
+@query("events_hurst_rs", _hurst_oracle())
+def events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A120 — Hurst exponent by rescaled-range analysis of the daily
+    purchase-count series: for block sizes w ∈ {4, 8, 16}, each
+    complete w-day block contributes R/S (range of integer-centered
+    cumulative deviations over the block's population std); the
+    log-log slope of average R/S against w is H.  H ≈ 0.5 = no
+    memory, H > 0.5 = long-range persistence — the dependence read
+    A34's short-lag ACF and A112's Ljung-Box cannot see (LRD decays
+    too slowly for fixed lags).
+
+    Determinism: block means floor to integers (A104 idiom) so
+    cumulative deviations, ranges and Σd² are exact int64; per-block
+    R/S is one double tree micro-quantized BEFORE the per-w integer
+    average; ln(w) regressors are pinned micro literals, ln(avg R/S)
+    quantizes to micro, and the slope is one double ratio of exact
+    int64 regression moments (the 1e6 scale cancels in centering).
+
+    Scale shape: one day-keyed aggregate absorbs the scan (calendar-
+    bounded day table); block machinery rides bounded windows
+    (bounded_single_group); readout ≤3 rows."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    wk = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    wk = bounded_single_group(wk)  # calendar-bounded day table
+    w_ord = Window.partitionBy("__opid").orderBy("day")
+    idx = wk.select("x", "__opid", F.row_number().over(w_ord).alias("rn"))
+    per_w = []
+    for w in _HURST_WINDOWS:
+        b = idx.select(
+            "__opid",
+            "rn",
+            "x",
+            F.expr(f"(rn - 1) div {w}").alias("blk"),
+        )
+        s = (
+            b.groupBy("blk")
+            .agg(F.sum("x").cast("long").alias("s"), F.count("*").alias("cnt"))
+            .where(F.col("cnt") == w)
+            .select("blk", "s")
+        )
+        c = b.join(F.broadcast(s), "blk").select(
+            "__opid",
+            "blk",
+            "rn",
+            (F.col("x") - F.expr(f"s div {w}")).alias("d"),
+        )
+        w_blk = (
+            Window.partitionBy("__opid", "blk")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        c = c.withColumn("cum", F.sum("d").over(w_blk).cast("long"))
+        r = c.groupBy("blk").agg(
+            (F.max("cum") - F.min("cum")).cast("long").alias("rng"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
+        )
+        rs = F.round(
+            F.col("rng").cast("double")
+            / F.sqrt(F.col("s2").cast("double") / w)
+            * 1000000
+        ).cast("long")
+        v = (
+            r.where(F.col("s2") > 0)
+            .agg(
+                F.count("*").cast("long").alias("n_blocks"),
+                F.sum(rs).alias("rs_sum"),
+            )
+            .select(
+                F.lit(w).cast("long").alias("w"),
+                "n_blocks",
+                F.expr("CAST(rs_sum div n_blocks AS BIGINT)").alias(
+                    "avg_rs_micro"
+                ),
+            )
+        )
+        per_w.append(v)
+    u = per_w[0]
+    for v in per_w[1:]:
+        u = u.unionAll(v)
+    u = u.where((F.col("n_blocks") > 0) & (F.col("avg_rs_micro") > 0))
+    xmu_case = " ".join(
+        f"WHEN {w} THEN {_HURST_LNW_MICRO[w]}" for w in _HURST_WINDOWS
+    )
+    u = u.select(
+        "w",
+        "n_blocks",
+        "avg_rs_micro",
+        F.expr(f"CAST(CASE w {xmu_case} END AS BIGINT)").alias("xmu"),
+        F.round(F.log(F.col("avg_rs_micro").cast("double")) * 1000000)
+        .cast("long")
+        .alias("ymu"),
+    )
+    u = bounded_single_group(u)  # <=3-row regression table
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = u.select(
+        "w",
+        "n_blocks",
+        "avg_rs_micro",
+        F.sum(F.col("xmu") * F.col("ymu")).over(w_all).cast("long").alias("sxy"),
+        F.sum("xmu").over(w_all).cast("long").alias("sx"),
+        F.sum("ymu").over(w_all).cast("long").alias("sy"),
+        F.sum(F.col("xmu") * F.col("xmu")).over(w_all).cast("long").alias("sxx"),
+        F.count("*").over(w_all).cast("long").alias("k"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return t.select(
+        "w",
+        "n_blocks",
+        "avg_rs_micro",
+        F.round(slope * 1000).cast("long").alias("hurst_milli"),
+    ).orderBy("w")
+
+
+# ---------------------------------------------------------------------------
+# EV36: expected / maximum calibration error (ECE, MCE)
+# ---------------------------------------------------------------------------
+
+def _ece_oracle() -> str:
+    from bytesprocessor_spark.queries_eval import _DUCK_PM
+
+    return f"""
+    WITH {_DUCK_PM},
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM p),
+    g AS (SELECT LEAST(pm // 100000, 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pm) AS BIGINT) AS sum_pm,
+                 CAST(SUM(y) AS BIGINT) AS sum_y
+          FROM p GROUP BY 1)
+    SELECT MAX(total) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           CAST(SUM(n * ABS(sum_pm // n - (sum_y * 1000000) // n))
+                // MAX(total) AS BIGINT) AS ece_micro,
+           CAST(MAX(ABS(sum_pm // n - (sum_y * 1000000) // n)) AS BIGINT)
+             AS mce_micro
+    FROM g, t
+    """
+
+
+@query("eval_ece", _ece_oracle())
+def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV36 — expected and maximum calibration error over the EV3
+    10-bin reliability layout: ECE = Σ (n_b/n)·|acc_b − conf_b| (the
+    bin-weighted gap), MCE = max_b |acc_b − conf_b| (the worst bin).
+    EV3 shows the diagram and EV32 decomposes the Brier score; ECE/
+    MCE are the two headline scalars a model card actually quotes —
+    the dashboard number tracked release-over-release.
+
+    Determinism: reuses EV3's exact machinery (md5-uniform pinned
+    probability proxy, micro-integer bin means); per-bin gaps are
+    integer floor divisions, the weighted sum and max are exact
+    int64.
+
+    Scale shape: one partial aggregate to ≤10 bins, then a 1-row
+    rollup; readout 1 row."""
+    from bytesprocessor_spark.operators.evalmetrics import (
+        calibration,
+        normalize_micro,
+    )
+    from bytesprocessor_spark.queries_eval import _scored
+
+    bins = calibration(normalize_micro(_scored(spark, sf_dir)))
+    # bins: bin, n, mean_pred_micro, frac_pos_micro, gap_micro, weight_ppm
+    # total n recoverable exactly from any row: n * 1e6 div weight_ppm is
+    # NOT exact — carry it via the bin table instead
+    b = bounded_single_group(bins)
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = b.select(
+        "n",
+        "gap_micro",
+        F.sum("n").over(w_all).cast("long").alias("total"),
+        F.count("*").over(w_all).cast("long").alias("n_bins_used"),
+    )
+    return t.agg(
+        F.max("total").alias("n"),
+        F.max("n_bins_used").alias("n_bins_used"),
+        F.expr(
+            "CAST(SUM(n * gap_micro) div MAX(total) AS BIGINT)"
+        ).alias("ece_micro"),
+        F.max("gap_micro").cast("long").alias("mce_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A121: Little's law read (L vs lambda x W) per month
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_littles_law",
+    """
+    WITH dur AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_day,
+             MAX(CAST(l.l_shipdate AS DATE)) AS end_day
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        SELECT start_day AS day, 1 AS delta FROM dur
+        UNION ALL
+        SELECT end_day + INTERVAL 1 DAY, -1 FROM dur
+      ) GROUP BY day
+    ),
+    bounds AS (
+      SELECT MIN(start_day) AS mn, MAX(end_day) AS mx FROM dur
+    ),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+        AS day
+      FROM bounds
+    ),
+    open_t AS (
+      SELECT s.day,
+             CAST(SUM(COALESCE(d.delta, 0)) OVER (ORDER BY s.day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+      FROM spine s LEFT JOIN deltas d ON s.day = CAST(d.day AS DATE)
+    ),
+    lm AS (
+      SELECT STRFTIME(DATE_TRUNC('month', day), '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n_open) AS BIGINT) AS sum_open
+      FROM open_t GROUP BY 1
+    ),
+    am AS (
+      SELECT STRFTIME(DATE_TRUNC('month', start_day), '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+             CAST(SUM(DATE_DIFF('day', start_day, end_day) + 1) AS BIGINT)
+               AS sum_dur
+      FROM dur GROUP BY 1
+    )
+    SELECT lm.month, am.n_arrivals, lm.n_days,
+      CAST(lm.sum_open * 1000 // lm.n_days AS BIGINT) AS l_milli,
+      CAST(am.n_arrivals * 1000 // lm.n_days AS BIGINT) AS lambda_milli,
+      CAST(am.sum_dur * 1000 // am.n_arrivals AS BIGINT) AS w_milli,
+      CAST(lm.sum_open * 1000000 // am.sum_dur AS BIGINT)
+        AS littles_ratio_ppm
+    FROM lm JOIN am ON lm.month = am.month
+    ORDER BY lm.month
+    """,
+)
+def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A121 — Little's law read per month: L (average number of open
+    orders, integrated daily over a dense calendar spine) against
+    λ·W (arrival rate × average order-to-last-ship duration of that
+    month's arrivals).  The ratio L/(λW) ≈ 1 in steady state; a
+    drifting ratio means work-in-progress is building faster than
+    throughput explains — the queueing sanity check behind W7's
+    concurrency and A54's lateness reads (and the training-job
+    backlog read for a data-pipeline scheduler).
+
+    Determinism: open-count integration is exact integers (+1/−1
+    deltas cumulated over the dense day spine); all readouts are
+    integer floor divisions (the 1000/1e6 scales).
+
+    Scale shape: one orderkey-keyed duration aggregate (equi-join
+    orders⋈lineitem), delta and month tables are calendar-bounded;
+    the spine is a generated sequence (no data-scale window —
+    the cumsum rides the bounded day table); readout ≤84 rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("start_day")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    dur = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "start_day")
+        .agg(F.max("sd").alias("end_day"))
+    )
+    deltas = (
+        dur.select(F.col("start_day").alias("day"), F.lit(1).alias("delta"))
+        .unionAll(
+            dur.select(
+                F.date_add(F.col("end_day"), 1).alias("day"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    bounds = dur.agg(
+        F.min("start_day").alias("mn"), F.max("end_day").alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day")
+    )
+    sp = spine.join(deltas, "day", "left").select(
+        "day", F.coalesce("delta", F.lit(0)).cast("long").alias("delta")
+    )
+    sp = bounded_single_group(sp)  # calendar-bounded day spine
+    w_cum = (
+        Window.partitionBy("__opid")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    open_t = sp.select(
+        "day", F.sum("delta").over(w_cum).cast("long").alias("n_open")
+    )
+    lm = open_t.groupBy(
+        F.date_format(F.trunc("day", "month"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n_open").cast("long").alias("sum_open"),
+    )
+    am = dur.groupBy(
+        F.date_format(F.trunc("start_day", "month"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_arrivals"),
+        F.sum(F.datediff("end_day", "start_day") + 1)
+        .cast("long")
+        .alias("sum_dur"),
+    )
+    j = lm.join(am, "month")
+    return j.select(
+        "month",
+        "n_arrivals",
+        "n_days",
+        F.expr("CAST(sum_open * 1000 div n_days AS BIGINT)").alias("l_milli"),
+        F.expr("CAST(n_arrivals * 1000 div n_days AS BIGINT)").alias(
+            "lambda_milli"
+        ),
+        F.expr("CAST(sum_dur * 1000 div n_arrivals AS BIGINT)").alias(
+            "w_milli"
+        ),
+        F.expr("CAST(sum_open * 1000000 div sum_dur AS BIGINT)").alias(
+            "littles_ratio_ppm"
+        ),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# J15: nearest-within-tolerance as-of join (pandas merge_asof "nearest")
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_S = 3600
+
+
+@query(
+    "asof_nearest_events",
+    f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS p_sec
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT event_id AS e_id, user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS e_sec
+      FROM events WHERE event_type = 'error'
+    ),
+    cand AS (
+      SELECT p.p_id, e.e_id, e.e_sec - p.p_sec AS dt,
+             ABS(e.e_sec - p.p_sec) AS absdt, e.e_sec
+      FROM p JOIN e ON p.user_id = e.user_id
+      WHERE ABS(e.e_sec - p.p_sec) <= {_NEAREST_TOL_S}
+    ),
+    best AS (
+      SELECT p_id, e_id, dt,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                 ORDER BY absdt, e_sec, e_id) AS rn
+      FROM cand
+    )
+    SELECT CAST(FLOOR(dt / 60.0) AS BIGINT) AS minute_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(e_id) AS BIGINT) AS sum_err_ids
+    FROM best WHERE rn = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15 — nearest-within-tolerance as-of join (pandas
+    merge_asof(direction='nearest', tolerance=1h) semantics): each
+    purchase matches the SAME-USER error event minimizing |Δt| within
+    ±1 hour, ties broken (|Δt|, error time, error id).  The backward
+    as-of (J5) answers 'last state BEFORE'; this answers 'closest
+    context AROUND' — the error-correlation shape incident analysis
+    actually asks for.
+
+    Determinism: epoch-second integers, a total tiebreak order, and a
+    membership-pinning readout (signed-minute-bucket pair counts plus
+    the matched-error-id checksum — a wrong match changes the sum).
+
+    Scale shape: purchases explode to 3 hour buckets and equi-join
+    errors on (user, bucket) — no data-scale inequality join; the
+    per-purchase argmin is a min_by aggregate (no sort).  The oracle
+    states the same predicate as a plain user-equi join + filter
+    (identical result set by construction).  Readout ≤121 rows."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("p_sec"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("e_sec"),
+        F.expr(f"CAST(unix_timestamp(ts) div {_NEAREST_TOL_S} AS BIGINT)").alias(
+            "hb"
+        ),
+    )
+    px = p.select(
+        "p_id",
+        "user_id",
+        "p_sec",
+        F.explode(
+            F.array(
+                F.expr(f"CAST(p_sec div {_NEAREST_TOL_S} AS BIGINT) - 1"),
+                F.expr(f"CAST(p_sec div {_NEAREST_TOL_S} AS BIGINT)"),
+                F.expr(f"CAST(p_sec div {_NEAREST_TOL_S} AS BIGINT) + 1"),
+            )
+        ).alias("hb"),
+    )
+    cand = (
+        px.join(e, ["user_id", "hb"])
+        .select(
+            "p_id",
+            "e_id",
+            (F.col("e_sec") - F.col("p_sec")).alias("dt"),
+            F.abs(F.col("e_sec") - F.col("p_sec")).alias("absdt"),
+            "e_sec",
+        )
+        .where(F.col("absdt") <= _NEAREST_TOL_S)
+    )
+    best = cand.groupBy("p_id").agg(
+        F.expr(
+            "min_by(named_struct('dt', dt, 'eid', e_id),"
+            " named_struct('a', absdt, 'ts', e_sec, 'id', e_id))"
+        ).alias("w")
+    )
+    return (
+        best.select(
+            F.floor(F.col("w.dt") / 60).cast("long").alias("minute_bucket"),
+            F.col("w.eid").alias("e_id"),
+        )
+        .groupBy("minute_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("e_id").cast("long").alias("sum_err_ids"),
+        )
+        .orderBy("minute_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W22: per-user activity-streak histogram (gaps and islands)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_user_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    i AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY day) AS INTEGER) AS island
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+      FROM i GROUP BY user_id, island
+    ),
+    u AS (
+      SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest,
+             CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             CAST(SUM(len) AS BIGINT) AS active_days
+      FROM s GROUP BY user_id
+    )
+    SELECT longest AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(active_days) AS BIGINT) AS sum_active_days,
+           CAST(SUM(n_streaks) AS BIGINT) AS sum_streaks
+    FROM u GROUP BY longest ORDER BY streak_days
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W22 — longest consecutive-active-day streak per user (gaps and
+    islands: day minus the day's per-user rank is constant within a
+    run), read as a histogram of users by longest streak with total
+    active days and streak counts.  The engagement-streak product
+    metric next to W13's DAU growth and W15's growth accounting —
+    retention teams segment exactly on this.
+
+    Determinism: distinct (user, day) grid; island keys are exact
+    date arithmetic; all counts exact int64.
+
+    Scale shape: one distinct + one user-partitioned rank window
+    (entity-keyed — no global window), two keyed aggregates, bounded
+    histogram readout (streaks are calendar-bounded)."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    i = d.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w_u)).alias("island"),
+    )
+    s = i.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    u = s.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+    return (
+        u.groupBy(F.col("longest").alias("streak_days"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("active_days").cast("long").alias("sum_active_days"),
+            F.sum("n_streaks").cast("long").alias("sum_streaks"),
+        )
+        .orderBy("streak_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3o: cosine range search (all neighbors above a threshold)
+# ---------------------------------------------------------------------------
+
+_RANGE_SIM_THRESHOLD = 0.25
+_RANGE_QUERIES = 10
+
+
+@query(
+    "similarity_range_search",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))
+               AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {_RANGE_QUERIES}),
+    s AS (
+      SELECT query_id, e.vec_id,
+             list_dot_product(qv, v)
+               / (SQRT(list_dot_product(qv, qv))
+                  * SQRT(list_dot_product(v, v))) AS sim
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> query_id
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(ROUND(MAX(sim) * 1000000) AS BIGINT) AS max_sim_micro,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
+    FROM s WHERE sim >= {_RANGE_SIM_THRESHOLD}
+    GROUP BY query_id ORDER BY query_id
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3o — cosine range search: ALL corpus neighbors with
+    sim ≥ {_RANGE_SIM_THRESHOLD} per query (the other half of the ANN
+    API surface: L3's top-k asks 'the best k', range search asks
+    'everything this close' — the primitive behind near-dup blocking
+    thresholds and radius-bounded retrieval).  Readout pins exact
+    membership per query (count, max similarity, id checksum).
+
+    Determinism: the L3 micro-quantized integer-vector cosine (same
+    double tree as similarity_topk), threshold compare on identical
+    doubles, membership checksum.
+
+    Scale shape: {_RANGE_QUERIES}-row query batch broadcast onto one
+    corpus scan (declared bounded nested-loop, the L3 posture); no
+    per-query window at all — range search aggregates directly.  The
+    scale path dispatches to the IVF/LSH candidate stage like every
+    L3 consumer."""
+    from bytesprocessor_spark.functions.vectors import dot_product
+
+    emb = _t(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000000.0)
+        ).alias("v"),
+    )
+    q = F.broadcast(
+        quant.where(F.col("vec_id") < _RANGE_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    dot = dot_product(F.col("qv"), F.col("v"))
+    na = dot_product(F.col("qv"), F.col("qv"))
+    nb = dot_product(F.col("v"), F.col("v"))
+    s = (
+        quant.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (dot / (F.sqrt(na) * F.sqrt(nb))).alias("sim"),
+        )
+    )
+    return (
+        s.where(F.col("sim") >= _RANGE_SIM_THRESHOLD)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_neighbors"),
+            F.round(F.max("sim") * 1000000).cast("long").alias("max_sim_micro"),
+            F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A122: exponentially-decayed engagement scores (recency-weighted MAU)
+# ---------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_DAYS = 7
+# ROUND(2^(-r/7) * 1e6) for r = 0..6, pinned (pow is not correctly
+# rounded across libms — the fractional factors are literals and the
+# whole-week part is an exact integer shift, so no pow() at runtime)
+_DECAY_FRACS = (1000000, 905724, 820335, 742997, 672950, 609507, 552045)
+_DECAY_FRACS_SQL = ", ".join(str(f) for f in _DECAY_FRACS)
+
+
+@query(
+    "events_decayed_engagement",
+    f"""
+    WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events),
+    a AS (
+      SELECT user_id,
+             DATE_DIFF('day', CAST(ts AS DATE), ref_day) AS age
+      FROM events CROSS JOIN ref
+    ),
+    w AS (
+      SELECT user_id,
+             ([{_DECAY_FRACS_SQL}][1 + CAST(age % {_DECAY_HALF_LIFE_DAYS} AS INTEGER)])
+               // (1::BIGINT << LEAST(age // {_DECAY_HALF_LIFE_DAYS}, 62))
+               AS decay_micro
+      FROM a
+    ),
+    u AS (
+      SELECT user_id, CAST(SUM(decay_micro) AS BIGINT) AS score_micro
+      FROM w GROUP BY user_id
+    )
+    SELECT CAST(FLOOR(LOG2(CAST(GREATEST(score_micro, 1) AS DOUBLE)))
+             AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(score_micro) AS BIGINT) AS sum_score_micro
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A122 — recency-decayed engagement: each event contributes
+    2^(−age/7) (7-day half-life from the corpus's latest day), summed
+    per user and read as a log2-bucket histogram.  The
+    recency-weighted MAU primitive behind churn scores and trending
+    user segments — W13's DAU counts everyone equally; this is the
+    decay-weighted version ranking models actually consume.
+
+    Determinism: integer day ages against a 1-row reference frame;
+    the decay weight is PURE integer arithmetic — the seven
+    fractional half-life factors are pinned micro literals and the
+    whole-week part is an integer shift (pow() is not correctly
+    rounded across libms, so it never runs at query time); exact
+    per-user integer sums, log2 buckets of exact int64 scores.
+
+    Scale shape: 1-row ref-day frame broadcast onto the scan
+    (declared bounded nested-loop — the events_gap_fill family), one
+    user-keyed aggregate (entity scale, map-combinable), bounded
+    histogram readout."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.col("ts").cast("date")).alias("ref_day"))
+    fr = F.array(*[F.lit(f).cast("long") for f in _DECAY_FRACS])
+    a = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff(F.col("ref_day"), F.col("ts").cast("date"))
+        .cast("long")
+        .alias("age"),
+    )
+    w = a.select(
+        "user_id",
+        F.element_at(
+            fr, (F.col("age") % _DECAY_HALF_LIFE_DAYS).cast("int") + 1
+        ).alias("frac"),
+        F.expr(
+            f"CAST(shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(least(age div {_DECAY_HALF_LIFE_DAYS}, 62) AS INT))"
+            f" AS BIGINT)"
+        ).alias("denom"),
+    ).select("user_id", F.expr("frac div denom").alias("decay_micro"))
+    u = w.groupBy("user_id").agg(
+        F.sum("decay_micro").cast("long").alias("score_micro")
+    )
+    return (
+        u.groupBy(
+            F.floor(
+                F.log2(F.greatest(F.col("score_micro"), F.lit(1)).cast("double"))
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("score_micro").cast("long").alias("sum_score_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A123: IPF raking (iterative proportional fitting) of a sampled table
+# ---------------------------------------------------------------------------
+
+_IPF_ITERS = 3
+_IPF_SAMPLE_MOD = 10  # keep orderkeys with md5 % 10 == 0 (~10% sample)
+
+
+def _ipf_oracle() -> str:
+    h = _H60_DUCK.format("'ipf:' || CAST(o_orderkey AS VARCHAR)")
+    steps = []
+    prev = "w0"
+    for t in range(1, _IPF_ITERS + 1):
+        steps.append(f"""
+    r{t} AS (
+      SELECT p.i, p.j, p.n_sample, p.ri, p.cj,
+             p.w * CAST(FLOOR(p.ri * 1000000000.0
+                 / GREATEST(SUM(p.w) OVER (PARTITION BY p.i), 1)) AS BIGINT)
+                 // 1000 AS w
+      FROM {prev} p
+    ),
+    c{t} AS (
+      SELECT i, j, n_sample, ri, cj,
+             w * CAST(FLOOR(cj * 1000000000.0
+                 / GREATEST(SUM(w) OVER (PARTITION BY j), 1)) AS BIGINT)
+                 // 1000 AS w
+      FROM r{t}
+    )""")
+        prev = f"c{t}"
+    return f"""
+    WITH full_t AS (
+      SELECT o_orderpriority AS i, o_orderstatus AS j, o_orderkey,
+             {h} % {_IPF_SAMPLE_MOD} AS bucket
+      FROM orders
+    ),
+    rm AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ri FROM full_t GROUP BY i),
+    cm AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS cj FROM full_t GROUP BY j),
+    sm AS (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_sample
+      FROM full_t WHERE bucket = 0 GROUP BY i, j
+    ),
+    w0 AS (
+      SELECT sm.i, sm.j, sm.n_sample, rm.ri, cm.cj,
+             CAST(sm.n_sample * 1000000 AS BIGINT) AS w
+      FROM sm JOIN rm ON sm.i = rm.i JOIN cm ON sm.j = cm.j
+    ),{",".join(steps)}
+    SELECT i AS priority, j AS status, n_sample,
+           ri AS row_target, cj AS col_target,
+           w AS w_raked_micro
+    FROM {prev} ORDER BY priority, status
+    """
+
+
+@query("orders_ipf_raking", _ipf_oracle())
+def orders_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A123 — iterative proportional fitting (raking): a deterministic
+    ~10% hash sample of orders is re-weighted over {_IPF_ITERS} fixed
+    IPF rounds so its (priority × status) cell weights match the FULL
+    table's row and column margins.  THE survey-weighting primitive
+    for debiasing a sampled eval set toward known population margins
+    — the two-margin sibling of A116's one-dimensional Neyman
+    allocation, and the correction step behind every 'representative
+    subset' claim on a 100 TB corpus.
+
+    Determinism: exact int64 margins and sample cells; weights live
+    in micro units and each half-step multiplies by a milli-quantized
+    margin ratio (FLOOR(target·1e9 / current-sum) — one double
+    division of exact int64s, floored identically in both engines)
+    with integer floor division — the fixed-iteration unrolled
+    trajectory is SQL-replayable like GR9's LPA.
+
+    Scale shape: one scan feeds margins and sample cells (three keyed
+    aggregates); the IPF rounds run on the bounded ≤15-cell table
+    (bounded windows); readout ≤15 rows."""
+    h = _h60(F.concat(F.lit("ipf:"), F.col("o_orderkey").cast("string")))
+    full_t = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("i"),
+        F.col("o_orderstatus").alias("j"),
+        (h % _IPF_SAMPLE_MOD).alias("bucket"),
+    )
+    rm = full_t.groupBy("i").agg(F.count("*").cast("long").alias("ri"))
+    cm = full_t.groupBy("j").agg(F.count("*").cast("long").alias("cj"))
+    sm = (
+        full_t.where(F.col("bucket") == 0)
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("n_sample"))
+    )
+    w = (
+        sm.join(F.broadcast(rm), "i")
+        .join(F.broadcast(cm), "j")
+        .select(
+            "i",
+            "j",
+            "n_sample",
+            "ri",
+            "cj",
+            (F.col("n_sample") * 1000000).cast("long").alias("w"),
+        )
+    )
+    w = bounded_single_group(w)  # <=15-cell contingency table
+    w_row = Window.partitionBy("__opid", "i")
+    w_col = Window.partitionBy("__opid", "j")
+    for _ in range(_IPF_ITERS):
+        w = w.withColumn(
+            "w",
+            F.expr(
+                "CAST(w * CAST(FLOOR(ri * 1000000000.0 / GREATEST(SUM(w)"
+                " OVER (PARTITION BY __opid, i), 1)) AS BIGINT)"
+                " div 1000 AS BIGINT)"
+            ),
+        )
+        w = w.withColumn(
+            "w",
+            F.expr(
+                "CAST(w * CAST(FLOOR(cj * 1000000000.0 / GREATEST(SUM(w)"
+                " OVER (PARTITION BY __opid, j), 1)) AS BIGINT)"
+                " div 1000 AS BIGINT)"
+            ),
+        )
+    return w.select(
+        F.col("i").alias("priority"),
+        F.col("j").alias("status"),
+        "n_sample",
+        F.col("ri").alias("row_target"),
+        F.col("cj").alias("col_target"),
+        F.col("w").alias("w_raked_micro"),
+    ).orderBy("priority", "status")
+
+
+# ---------------------------------------------------------------------------
+# A124: price elasticity (log-log regression across parts)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_price_elasticity",
+    """
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS ext_c,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    x AS (
+      SELECT CAST(ROUND(LN(CAST(ext_c AS DOUBLE) / (CAST(qty_c AS DOUBLE)
+                 / 100)) * 1000) AS BIGINT) AS lx,
+             CAST(ROUND(LN(CAST(qty_c AS DOUBLE) / 100) * 1000) AS BIGINT)
+               AS ly
+      FROM p WHERE qty_c > 0 AND ext_c > 0
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+             CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+             CAST(SUM(ly * ly) AS BIGINT) AS syy
+      FROM x
+    )
+    SELECT n AS n_parts,
+      CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) * 1000) AS BIGINT)
+        AS elasticity_milli,
+      CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+           * CAST(n * sxy - sx * sy AS DOUBLE)
+           / (CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000) AS BIGINT)
+        AS r2_ppm
+    FROM m
+    """,
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A124 — price elasticity of demand across parts: the log-log
+    OLS slope of ln(total quantity) on ln(average unit price) over
+    the part cross-section (slope ≈ %Δquantity per %Δprice — the
+    pricing read behind A65's discount-effect and A49's price-index
+    rows; elasticity < −1 = revenue-losing price increases).
+
+    Determinism: per-part exact cent sums; ln(price)/ln(quantity)
+    milli-quantized to int64 BEFORE the regression moment sums
+    (A70's OLS discipline — all six moments exact int64); slope and
+    r² are single double ratios of exact integers.
+
+    Scale shape: one partkey-keyed aggregate absorbs the scan
+    (map-combinable, entity scale), one scalar moment aggregate;
+    readout 1 row."""
+    p = _t(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_extendedprice"))).cast("long").alias("ext_c"),
+        F.sum(cents(F.col("l_quantity"))).cast("long").alias("qty_c"),
+    )
+    x = p.where((F.col("qty_c") > 0) & (F.col("ext_c") > 0)).select(
+        F.round(
+            F.log(
+                F.col("ext_c").cast("double")
+                / (F.col("qty_c").cast("double") / 100)
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(F.col("qty_c").cast("double") / 100) * 1000)
+        .cast("long")
+        .alias("ly"),
+    )
+    m = x.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+        F.sum(F.col("ly") * F.col("ly")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("n").alias("n_parts"),
+        F.round(num / denx * 1000).cast("long").alias("elasticity_milli"),
+        F.round(num * num / (denx * deny) * 1000000)
+        .cast("long")
+        .alias("r2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FE8: cyclic (sin/cos) calendar encoding with pinned literals
+# ---------------------------------------------------------------------------
+
+_MONTH_SIN_MICRO = (
+    0, 500000, 866025, 1000000, 866025, 500000,
+    0, -500000, -866025, -1000000, -866025, -500000,
+)
+_MONTH_COS_MICRO = (
+    1000000, 866025, 500000, 0, -500000, -866025,
+    -1000000, -866025, -500000, 0, 500000, 866025,
+)
+
+
+def _cyclic_oracle() -> str:
+    sin_sql = ", ".join(str(v) for v in _MONTH_SIN_MICRO)
+    cos_sql = ", ".join(str(v) for v in _MONTH_COS_MICRO)
+    return f"""
+    WITH m AS (
+      SELECT CAST(MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS month,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT month,
+           CAST([{sin_sql}][CAST(month AS INTEGER)] AS BIGINT)
+             AS month_sin_micro,
+           CAST([{cos_sql}][CAST(month AS INTEGER)] AS BIGINT)
+             AS month_cos_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(c) // COUNT(*) AS BIGINT) AS avg_value_cents
+    FROM m GROUP BY month ORDER BY month
+    """
+
+
+@query("orders_cyclic_encoding", _cyclic_oracle())
+def orders_cyclic_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FE8 — cyclic calendar encoding: order month mapped to
+    (sin, cos) on the unit circle so December and January are
+    NEIGHBORS in feature space (an ordinal month-number feature puts
+    them 11 apart — the standard seasonality encoding for GBM/linear
+    models, next to FE2/FE4/FE7's categorical encoders).  Read out
+    as the 12-row month feature table with volume and average value.
+
+    Determinism: the 12 sin/cos values are PINNED micro literals
+    (trig is not correctly rounded across libms — same discipline as
+    A122's decay factors); counts and floor-division averages exact
+    int64.
+
+    Scale shape: one month-keyed aggregate absorbs the scan; the
+    encoding is a 12-literal lookup in the projection; readout 12
+    rows."""
+    sin_arr = F.array(*[F.lit(v).cast("long") for v in _MONTH_SIN_MICRO])
+    cos_arr = F.array(*[F.lit(v).cast("long") for v in _MONTH_COS_MICRO])
+    m = _t(spark, sf_dir, "orders").select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("month"),
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    g = m.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("c").cast("long").alias("sc"),
+    )
+    return g.select(
+        "month",
+        F.element_at(sin_arr, F.col("month").cast("int")).alias(
+            "month_sin_micro"
+        ),
+        F.element_at(cos_arr, F.col("month").cast("int")).alias(
+            "month_cos_micro"
+        ),
+        "n_orders",
+        F.expr("CAST(sc div n_orders AS BIGINT)").alias("avg_value_cents"),
+    ).orderBy("month")

@@ -1497,3 +1497,51 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(land, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(outd, ignore_errors=True)
+
+
+@query(
+    "stream_first_touch",
+    """
+    WITH f AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_first_touch
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_first_touch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST23 keyed first-touch dedup via dropDuplicatesWithinWatermark:
+    the state-TTL dedup primitive (ST5's dropDuplicates keeps state
+    keyed on event ids forever within the watermark; THIS keys state
+    on (user, type) and evicts it once the watermark passes — the
+    operator behind first-touch attribution and once-per-user-per-
+    campaign triggers at unbounded key cardinality).  The landing
+    directory again receives TWO copies of every file (at-least-once
+    delivery), so the state machine must absorb both redelivery and
+    in-key duplicates.
+
+    The hard oracle: per type, the surviving-row count must equal
+    batch COUNT(DISTINCT user) — valid regardless of WHICH duplicate
+    survives (survivor choice is micro-batch-order dependent; every
+    readout column is key-derived, so the choice is invisible — the
+    same determinism-by-construction discipline as ST5's pre-
+    quantized totals).
+
+    Scale: state is O(live keys within the watermark horizon), not
+    O(events) — the eviction bound is the entire point of the
+    WithinWatermark variant."""
+    land, batch = _landing_dir(spark, sf_dir, "events")
+    try:
+        batch.write.mode("append").parquet(os.path.join(land, "events"))
+        stream = spark.readStream.schema(batch.schema).parquet(
+            os.path.join(land, "events")
+        )
+        deduped = stream.withWatermark("ts", "60 days").dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        )
+        return _drain_and_localize(
+            deduped,
+            lambda sink_df: sink_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_first_touch"))
+            .orderBy("event_type"),
+        )
+    finally:
+        shutil.rmtree(land, ignore_errors=True)

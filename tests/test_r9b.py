@@ -291,3 +291,483 @@ def test_neyman_allocation_tracks_n_sigma(spark, tmp_path):
     assert (
         by["view"]["n_neyman"] + by["click"]["n_neyman"] <= 10000
     )  # floor division never over-allocates
+
+
+def test_modularity_two_triangles(spark, tmp_path):
+    """GR13: two disjoint co-supplier triangles -> two communities,
+    each with Q contribution 2*3/12 - (6/12)^2 = 0.25 (total Q 0.5,
+    the textbook two-clique value)."""
+    d = str(tmp_path)
+    lrows = []
+    okey = 0
+    for tri in ((1, 2, 3), (4, 5, 6)):
+        for a, b in ((tri[0], tri[1]), (tri[0], tri[2]), (tri[1], tri[2])):
+            for _ in range(2):  # edge rule needs >= 2 shared orders
+                okey += 1
+                for s in (a, b):
+                    lrows.append(
+                        (okey, 1, s, 1.0, 1.0, 0.0, "N", "O",
+                         "1995-03-01 00:00:00")
+                    )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    spark.createDataFrame(
+        [(s, 1) for s in range(1, 7)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(f"{d}/supplier.parquet")
+    sdf = _cross_check(spark, "graph_modularity", d, ["lineitem", "supplier"])
+    assert list(sdf["community"]) == [1, 4]
+    assert list(sdf["n_members"]) == [3, 3]
+    assert list(sdf["intra_edges"]) == [3, 3]
+    assert list(sdf["degree_sum"]) == [6, 6]
+    assert list(sdf["q_contrib_micro"]) == [250000, 250000]
+
+
+def test_err_matches_python_replay(spark, tmp_path):
+    """EV34: per-query ERR@10 matches an independent python replay of
+    the pinned grade/noise hashes and the cascade fold."""
+    d = str(tmp_path)
+    n_docs = 40
+    rows = [(i, "text %d" % i, "en", "web", 10) for i in range(n_docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    sdf = _cross_check(spark, "eval_err_at_k", d, ["documents"])
+    assert len(sdf) == 20
+    for q in (0, 7, 19):
+        scored = []
+        for doc in range(n_docs):
+            g = max(0, _h60(f"errg:{q}:{doc}") % 16 - 12)
+            noise = _h60(f"errs:{q}:{doc}") % 262144
+            scored.append((-(g * 262144 + noise), doc, g))
+        scored.sort()
+        top = [g for _, _, g in scored[:10]]
+        t_run, d_run, s = 1, 1, 0
+        for r, g in enumerate(top, start=1):
+            num = (1 << g) - 1
+            d_run *= 8
+            s += round(num * t_run / (r * d_run) * 1e9)
+            t_run *= 8 - num
+        row = sdf[sdf["query_id"] == q].iloc[0]
+        assert row["n_ranked"] == 10
+        assert row["err_nano"] == s
+
+
+def test_gtest_exact_independence_is_zero(spark, tmp_path):
+    """A117: margins exactly proportional -> every cell term is ln(1)
+    = 0, G = 0, no rejection."""
+    d = str(tmp_path)
+    rows, eid = [], 0
+    # Mon 2024-01-01 (weekday), Sat 2024-01-06 (weekend)
+    for etype, wd, we in (("click", 40, 10), ("view", 80, 20)):
+        for _ in range(wd):
+            rows.append((eid, "2024-01-01 08:00:00", 1, etype, 1.0, "{}"))
+            eid += 1
+        for _ in range(we):
+            rows.append((eid, "2024-01-06 08:00:00", 1, etype, 1.0, "{}"))
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_gtest", d, ["events"])
+    row = sdf.iloc[0]
+    assert row["n"] == 150
+    assert row["g_micro"] == 0
+    assert row["df"] == 1
+    assert not row["reject_independence"]
+
+
+def test_gk_gamma_perfect_monotone(spark, tmp_path):
+    """A118: priority rising in lockstep with value quartile -> gamma
+    and Somers' D both exactly 1."""
+    d = str(tmp_path)
+    orows = []
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"]
+    for i in range(8):
+        orows.append(
+            (i + 1, 1, "F", float(10 * (i + 1)),
+             "1995-03-01 00:00:00", prios[i // 2])
+        )
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    sdf = _cross_check(spark, "orders_gk_gamma", d, ["orders"])
+    row = sdf.iloc[0]
+    assert row["n_orders"] == 8
+    assert row["d_pairs"] == 0
+    assert row["gamma_micro"] == 1000000
+    assert row["somers_d_micro"] == 1000000
+
+
+def test_pinball_constant_shift(spark, tmp_path):
+    """EV35: train days (even parity) at 5 events, test days at 7 ->
+    pred 5 for every quantile; mean loss milli = 200/1000/1800."""
+    d = str(tmp_path)
+    rows, eid = [], 0
+    for day in range(1, 15):
+        # datediff(1970-01-01 -> 2024-01-d) = 19722 + d: parity of d
+        count = 5 if day % 2 == 0 else 7
+        for j in range(count):
+            rows.append(
+                (eid, f"2024-01-{day:02d} {8 + j:02d}:00:00", 1,
+                 "purchase", 1.0, "{}")
+            )
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "eval_pinball_loss", d, ["events"])
+    assert len(sdf) == 3
+    by = {r["q_tenths"]: r for _, r in sdf.iterrows()}
+    for qt, milli in ((1, 200), (5, 1000), (9, 1800)):
+        assert by[qt]["pred"] == 5
+        assert by[qt]["n_test_days"] == 7
+        assert by[qt]["mean_loss_milli"] == milli
+
+
+def test_lorenz_deciles_linear_values(spark, tmp_path):
+    """A119: ten orders valued 1..10 -> one per decile; cumulative
+    value share follows k(k+1)/110 exactly."""
+    d = str(tmp_path)
+    orows = [
+        (i, 1, "F", float(i), "1995-03-01 00:00:00", "1-URGENT")
+        for i in range(1, 11)
+    ]
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    sdf = _cross_check(spark, "orders_lorenz_deciles", d, ["orders"])
+    assert list(sdf["decile"]) == list(range(1, 11))
+    assert list(sdf["n_orders"]) == [1] * 10
+    for k in range(1, 11):
+        row = sdf[sdf["decile"] == k].iloc[0]
+        assert row["cum_pop_ppm"] == k * 1000000 // 10
+        assert row["cum_value_ppm"] == k * (k + 1) // 2 * 1000000 // 55
+    assert sdf["lorenz_gap_ppm"].max() > 0
+
+
+def test_stream_first_touch_dedups_keys(spark, tmp_path):
+    """ST23: duplicate (user, type) events — including full file
+    redelivery — collapse to one surviving row per key."""
+    d = str(tmp_path)
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        for etype in ("click", "view"):
+            for rep in range(3):  # in-key duplicates
+                rows.append(
+                    (eid, f"2024-01-0{rep + 1} 08:00:00", user, etype,
+                     1.0, "{}")
+                )
+                eid += 1
+    rows.append((eid, "2024-01-01 09:00:00", 3, "click", 1.0, "{}"))
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "stream_first_touch", d, ["events"])
+    by = {r["event_type"]: r["n_first_touch"] for _, r in sdf.iterrows()}
+    assert by == {"click": 3, "view": 2}
+
+
+def test_hurst_trending_series_is_persistent(spark, tmp_path):
+    """A120: a strongly trending series is persistent (H well above
+    0.5); the w=4 average R/S matches a python replay."""
+    d = str(tmp_path)
+    rows, eid = [], 0
+    counts = [3 * t for t in range(1, 33)]  # 32 days, strong trend
+    for day, c in enumerate(counts, start=1):
+        mm, dd = 1 + (day - 1) // 28, (day - 1) % 28 + 1
+        for _ in range(c):
+            rows.append(
+                (eid, f"2024-{mm:02d}-{dd:02d} 08:00:00", 1, "purchase",
+                 1.0, "{}")
+            )
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_hurst_rs", d, ["events"])
+    assert list(sdf["w"]) == [4, 8, 16]
+    assert sdf.iloc[0]["hurst_milli"] > 800  # persistent
+
+    # python replay for w=4
+    w = 4
+    rs_micro = []
+    for b0 in range(0, 32, w):
+        blk = counts[b0:b0 + w]
+        m = sum(blk) // w
+        dev = [x - m for x in blk]
+        cum, cums = 0, []
+        for dv in dev:
+            cum += dv
+            cums.append(cum)
+        rng = max(cums) - min(cums)
+        s2 = sum(dv * dv for dv in dev)
+        if s2 > 0:
+            rs_micro.append(round(rng / math.sqrt(s2 / w) * 1e6))
+    expect = sum(rs_micro) // len(rs_micro)
+    assert sdf.iloc[0]["avg_rs_micro"] == expect
+    assert sdf.iloc[0]["n_blocks"] == len(rs_micro)
+
+
+def test_ece_consistent_with_calibration_bins(spark, tmp_path):
+    """EV36: ECE/MCE equal the weighted/max per-bin gaps of the EV3
+    calibration table on the same fixture."""
+    d = str(tmp_path)
+    rows = []
+    for i in range(200):
+        rows.append((i, [float(i % 17) / 17.0, float(i % 5) / 5.0], i % 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    sdf = _cross_check(spark, "eval_ece", d, ["embeddings"])
+    from bytesprocessor_spark.queries import QUERIES
+
+    bins = QUERIES["eval_calibration"](spark, d).toPandas()
+    total = int(bins["n"].sum())
+    ece = int((bins["n"] * bins["gap_micro"]).sum()) // total
+    row = sdf.iloc[0]
+    assert row["n"] == total
+    assert row["ece_micro"] == ece
+    assert row["mce_micro"] == int(bins["gap_micro"].max())
+    assert row["n_bins_used"] == len(bins)
+
+
+def test_littles_law_exact_within_month(spark, tmp_path):
+    """A121: two orders fully contained in one month -> the ratio is
+    exactly 1 (sum of open-days equals sum of durations)."""
+    d = str(tmp_path)
+    orows = [
+        (1, 1, "F", 10.0, "1995-03-01 00:00:00", "1-URGENT"),
+        (2, 1, "F", 10.0, "1995-03-02 00:00:00", "1-URGENT"),
+    ]
+    lrows = [
+        (1, 10, 1, 1.0, 1.0, 0.0, "N", "O", "1995-03-03 00:00:00"),
+        (2, 11, 1, 1.0, 1.0, 0.0, "N", "O", "1995-03-06 00:00:00"),
+    ]
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    sdf = _cross_check(spark, "orders_littles_law", d, ["orders", "lineitem"])
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    assert row["month"] == "1995-03"
+    assert row["n_arrivals"] == 2
+    assert row["n_days"] == 6
+    # open: 1,2,2,1,1,1 = 8 open-days; durations 3 + 5 = 8
+    assert row["l_milli"] == 8 * 1000 // 6
+    assert row["w_milli"] == 4000
+    assert row["littles_ratio_ppm"] == 1000000
+
+
+def test_asof_nearest_tolerance_and_ties(spark, tmp_path):
+    """J15: nearest error within 1h wins with (|dt|, time, id)
+    tiebreak; out-of-tolerance purchases drop."""
+    d = str(tmp_path)
+    rows = [
+        # user 1: purchase 10:00; errors 09:30 / 10:20 / 12:00
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.0, "{}"),
+        (2, "2024-01-01 09:30:00", 1, "error", 1.0, "{}"),
+        (3, "2024-01-01 10:20:00", 1, "error", 1.0, "{}"),
+        (4, "2024-01-01 12:00:00", 1, "error", 1.0, "{}"),
+        # user 2: purchase 10:00; tie at +-20 min -> earlier error wins
+        (5, "2024-01-01 10:00:00", 2, "purchase", 1.0, "{}"),
+        (6, "2024-01-01 09:40:00", 2, "error", 1.0, "{}"),
+        (7, "2024-01-01 10:20:00", 2, "error", 1.0, "{}"),
+        # user 3: purchase with no error inside the hour -> unmatched
+        (8, "2024-01-01 10:00:00", 3, "purchase", 1.0, "{}"),
+        (9, "2024-01-01 11:30:00", 3, "error", 1.0, "{}"),
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "asof_nearest_events", d, ["events"])
+    by = {r["minute_bucket"]: r for _, r in sdf.iterrows()}
+    # user 1 matches error 3 at +20 min; user 2 matches error 6 at -20
+    assert by[20]["n_pairs"] == 1 and by[20]["sum_err_ids"] == 3
+    assert by[-20]["n_pairs"] == 1 and by[-20]["sum_err_ids"] == 6
+    assert sdf["n_pairs"].sum() == 2  # user 3 unmatched
+
+
+def test_user_streaks_islands(spark, tmp_path):
+    """W22: days {1,2,3,5,6} -> longest 3 with 2 streaks; a single
+    active day -> longest 1."""
+    d = str(tmp_path)
+    rows, eid = [], 0
+    for day in (1, 2, 3, 5, 6):
+        rows.append((eid, f"2024-01-{day:02d} 08:00:00", 1, "click", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, f"2024-01-{day:02d} 09:00:00", 1, "view", 1.0, "{}"))
+        eid += 1  # same-day second event must not split streaks
+    rows.append((eid, "2024-01-01 08:00:00", 2, "click", 1.0, "{}"))
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_user_streaks", d, ["events"])
+    by = {r["streak_days"]: r for _, r in sdf.iterrows()}
+    assert by[3]["n_users"] == 1
+    assert by[3]["sum_active_days"] == 5
+    assert by[3]["sum_streaks"] == 2
+    assert by[1]["n_users"] == 1
+
+
+def test_range_search_membership(spark, tmp_path):
+    """L3o: constructed vectors give a known neighbor set per query
+    (ids and max similarity pinned)."""
+    d = str(tmp_path)
+    rows = [
+        (0, [1.0, 0.0], 0),   # query
+        (10, [0.9, 0.1], 0),  # sim ~0.994 -> neighbor
+        (11, [0.5, 0.5], 0),  # sim ~0.707 -> neighbor
+        (12, [0.0, 1.0], 0),  # sim 0 -> not a neighbor
+        (13, [-1.0, 0.1], 0),  # negative sim -> not a neighbor
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    sdf = _cross_check(spark, "similarity_range_search", d, ["embeddings"])
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    assert row["query_id"] == 0
+    assert row["n_neighbors"] == 2
+    assert row["sum_vec_ids"] == 21
+    assert abs(row["max_sim_micro"] - round(0.9 / math.sqrt(0.81 + 0.01) * 1e6)) <= 1
+
+
+def test_decayed_engagement_pinned_factors(spark, tmp_path):
+    """A122: events at ages 0, 3 and 7 days score 1e6 + 742997 +
+    500000 exactly (pinned factors, integer halving)."""
+    d = str(tmp_path)
+    rows = [
+        (1, "2024-01-08 08:00:00", 1, "click", 1.0, "{}"),  # ref day, age 0
+        (2, "2024-01-05 08:00:00", 1, "click", 1.0, "{}"),  # age 3
+        (3, "2024-01-01 08:00:00", 1, "click", 1.0, "{}"),  # age 7
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_decayed_engagement", d, ["events"])
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    score = 1000000 + 742997 + 500000
+    assert row["n_users"] == 1
+    assert row["sum_score_micro"] == score
+    assert row["bucket"] == math.floor(math.log2(score))
+
+
+def test_ipf_raking_matches_margins(spark, tmp_path):
+    """A123: after 3 IPF rounds the raked weights reproduce the full
+    table's row margins to within rounding (column step ran last, so
+    column sums match even tighter)."""
+    d = str(tmp_path)
+    orows = []
+    prios = ["1-URGENT", "2-HIGH"]
+    stats = ["F", "O"]
+    k = 0
+    for i, prio in enumerate(prios):
+        for j, st in enumerate(stats):
+            # full-table cell sizes 400/200/200/200; the hash sample
+            # picks whatever ~10% subset it picks (large enough that
+            # every cell certainly lands sample rows) — IPF must
+            # re-balance it
+            n = 400 if (i, j) == (0, 0) else 200
+            for _ in range(n):
+                k += 1
+                orows.append(
+                    (k, 1, st, 100.0, "1995-03-01 00:00:00", prio)
+                )
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    sdf = _cross_check(spark, "orders_ipf_raking", d, ["orders"])
+    assert len(sdf) == 4
+    # column sums (last step) match targets to < 0.5% relative
+    for st in stats:
+        sub = sdf[sdf["status"] == st]
+        target = int(sub["col_target"].iloc[0]) * 1000000
+        got = int(sub["w_raked_micro"].sum())
+        assert abs(got - target) <= target * 0.005
+    # row sums close after the final column step too
+    for prio in prios:
+        sub = sdf[sdf["priority"] == prio]
+        target = int(sub["row_target"].iloc[0]) * 1000000
+        got = int(sub["w_raked_micro"].sum())
+        assert abs(got - target) <= target * 0.05
+
+
+def test_price_elasticity_planted_slope(spark, tmp_path):
+    """A124: parts constructed on an exact log-log line with slope -2
+    recover elasticity -2.0 and r^2 ~ 1."""
+    d = str(tmp_path)
+    lrows = []
+    k = 0
+    # part p: unit price 2^p, total qty 2^(20 - 2p) -> ln q = c - 2 ln p
+    for part in range(1, 7):
+        price = float(2 ** part)
+        qty = float(2 ** (20 - 2 * part))
+        k += 1
+        lrows.append(
+            (k, part, 1, qty, price * qty, 0.0, "N", "O",
+             "1995-03-01 00:00:00")
+        )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    sdf = _cross_check(spark, "orders_price_elasticity", d, ["lineitem"])
+    row = sdf.iloc[0]
+    assert row["n_parts"] == 6
+    assert abs(row["elasticity_milli"] + 2000) <= 2
+    assert row["r2_ppm"] >= 999990
+
+
+def test_cyclic_encoding_neighbors(spark, tmp_path):
+    """FE8: December and January encodings are adjacent on the circle
+    (distance 2*sin(pi/12) in micro units), and the pinned literals
+    sit on the unit circle."""
+    d = str(tmp_path)
+    orows = []
+    for m in range(1, 13):
+        orows.append(
+            (m, 1, "F", float(m), f"1995-{m:02d}-05 00:00:00", "1-URGENT")
+        )
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    sdf = _cross_check(spark, "orders_cyclic_encoding", d, ["orders"])
+    assert list(sdf["month"]) == list(range(1, 13))
+    by = {r["month"]: (r["month_sin_micro"], r["month_cos_micro"])
+          for _, r in sdf.iterrows()}
+    for m in range(1, 13):
+        s_, c_ = by[m]
+        assert abs(s_ * s_ + c_ * c_ - 10 ** 12) < 2e9  # on the circle
+    dec, jan = by[12], by[1]
+    dist = math.dist(dec, jan)
+    assert abs(dist - 2 * math.sin(math.pi / 12) * 1e6) < 2000
+    # ordinal encoding would put them 11 "months" apart; cyclic: 1
+    jun = by[6]
+    assert math.dist(jan, jun) > dist

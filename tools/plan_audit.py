@@ -62,6 +62,23 @@ ALLOW_NESTED_LOOP = {
     "similarity_topk",
     "similarity_hard_negatives",
     "eval_mrr",
+    # 20-row query frame broadcast onto one corpus scan (the eval_mrr
+    # posture) — O(20 x corpus) map fan-out, index candidate stage is
+    # the scale dispatch
+    "eval_err_at_k",
+    # 10-row query frame broadcast onto one corpus scan (the L3
+    # posture) — range search aggregates directly, no per-query window
+    "similarity_range_search",
+    # 1-row ref-day frame broadcast onto the scan (the events_gap_fill
+    # family) — O(rows) work, no pair blowup
+    "events_decayed_engagement",
+    # EV3's 1-row min/max normalization frame broadcast onto the scan
+    # (same machinery as eval_calibration) — O(rows) work
+    "eval_ece",
+    # 1-row quartile-cut frame broadcast onto the scan, then a <=20 x
+    # <=20 bounded contingency-cell self cross for concordance counts
+    # plus 1-row marginal frames — O(cells^2) work, no data-scale pairs
+    "orders_gk_gamma",
     "dedup_embedding_pairs",
     "dedup_embedding_keep",
     "multimodal_image_ann",
