@@ -723,6 +723,8 @@ _CHECK_ORDER = [
     "orders_ipf_raking",
     "orders_price_elasticity",
     "orders_cyclic_encoding",
+    "graph_katz_centrality",
+    "events_time_to_second",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the round-7 window) ---
     "pack_length_batches",

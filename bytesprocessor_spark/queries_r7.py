@@ -458,15 +458,11 @@ def orders_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ITERS = 3
 
 
-def lpa_cte_chain() -> str:
-    """The WITH chain that replays GR9's deterministic 3-round LPA in
-    SQL — reusable prefix: callers append their own readout CTEs
-    (starting with a comma) against ``e0`` (edges) and
-    ``l{_LPA_ITERS}`` (final node→label).  Factored out so GR13's
-    modularity oracle replays the exact trajectory the GR9 oracle
-    pins."""
-    parts = [
-        """
+def lpa_edges_cte() -> str:
+    """The WITH head that builds GR9's nation-blocked co-supplier
+    edge set (``os`` + ``e0``) — the shared graph substrate for GR9's
+    LPA, GR13's modularity and GR14's Katz centrality oracles."""
+    return """
     WITH os AS MATERIALIZED (
       SELECT DISTINCT l.l_orderkey AS o, l.l_suppkey AS s, su.s_nationkey AS nk
       FROM lineitem l JOIN supplier su ON l.l_suppkey = su.s_suppkey
@@ -475,7 +471,19 @@ def lpa_cte_chain() -> str:
       SELECT a.s AS a, b.s AS b
       FROM os a JOIN os b ON a.o = b.o AND a.nk = b.nk AND a.s < b.s
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
-    ),
+    )"""
+
+
+def lpa_cte_chain() -> str:
+    """The WITH chain that replays GR9's deterministic 3-round LPA in
+    SQL — reusable prefix: callers append their own readout CTEs
+    (starting with a comma) against ``e0`` (edges) and
+    ``l{_LPA_ITERS}`` (final node→label).  Factored out so GR13's
+    modularity oracle replays the exact trajectory the GR9 oracle
+    pins."""
+    parts = [
+        lpa_edges_cte()
+        + """,
     l0 AS MATERIALIZED (
       SELECT z, z AS lbl
       FROM (SELECT a AS z FROM e0 UNION SELECT b AS z FROM e0)
@@ -558,6 +566,33 @@ def lpa_run(spark: SparkSession, sf_dir: str):
     the (a, b) edge table and the final (z, lbl) node→community
     assignment — the shared substrate for GR9's size histogram and
     GR13's modularity readout."""
+    e0 = lpa_edges(spark, sf_dir)
+    labels = (
+        e0.select(F.col("a").alias("z"))
+        .union(e0.select(F.col("b").alias("z")))
+        .distinct()
+        .select("z", F.col("z").alias("lbl"))
+    )
+    for _ in range(_LPA_ITERS):
+        nbr = (
+            e0.join(labels.withColumnRenamed("z", "b"), "b")
+            .select(F.col("a").alias("z"), "lbl")
+            .union(
+                e0.join(labels.withColumnRenamed("z", "a"), "a").select(
+                    F.col("b").alias("z"), "lbl"
+                )
+            )
+        )
+        counts = nbr.groupBy("z", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = counts.groupBy("z").agg(
+            F.expr("min_by(lbl, named_struct('nc', -cnt, 'lbl', lbl))").alias("lbl")
+        ).localCheckpoint(eager=False)
+    return e0, labels
+
+
+def lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GR9 nation-blocked co-supplier edge table (a < b, >=2
+    shared orders) — the Python twin of :func:`lpa_edges_cte`."""
     li = _t(spark, sf_dir, "lineitem")
     su = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("nk")
@@ -581,27 +616,7 @@ def lpa_run(spark: SparkSession, sf_dir: str):
         .select("a", "b")
         .localCheckpoint(eager=False)
     )
-    labels = (
-        e0.select(F.col("a").alias("z"))
-        .union(e0.select(F.col("b").alias("z")))
-        .distinct()
-        .select("z", F.col("z").alias("lbl"))
-    )
-    for _ in range(_LPA_ITERS):
-        nbr = (
-            e0.join(labels.withColumnRenamed("z", "b"), "b")
-            .select(F.col("a").alias("z"), "lbl")
-            .union(
-                e0.join(labels.withColumnRenamed("z", "a"), "a").select(
-                    F.col("b").alias("z"), "lbl"
-                )
-            )
-        )
-        counts = nbr.groupBy("z", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
-        labels = counts.groupBy("z").agg(
-            F.expr("min_by(lbl, named_struct('nc', -cnt, 'lbl', lbl))").alias("lbl")
-        ).localCheckpoint(eager=False)
-    return e0, labels
+    return e0
 
 
 # ---------------------------------------------------------------------------

@@ -2680,3 +2680,194 @@ def orders_cyclic_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.expr("CAST(sc div n_orders AS BIGINT)").alias("avg_value_cents"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# GR14: Katz centrality (fixed-iteration, exact-integer attenuation)
+# ---------------------------------------------------------------------------
+
+_KATZ_ITERS = 3
+_KATZ_ATT_DIV = 10  # attenuation alpha = 1/10, pinned
+_KATZ_TOPK = 20
+
+
+def _katz_oracle() -> str:
+    from bytesprocessor_spark.queries_r7 import lpa_edges_cte
+
+    steps = []
+    prev = "x0"
+    for t in range(1, _KATZ_ITERS + 1):
+        steps.append(f"""
+    x{t} AS (
+      SELECT n.z,
+             1000000 + COALESCE(SUM(p.x), 0) // {_KATZ_ATT_DIV} AS x
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.a AS z, p.x FROM e0 e JOIN {prev} p ON e.b = p.z
+        UNION ALL
+        SELECT e.b AS z, p.x FROM e0 e JOIN {prev} p ON e.a = p.z
+      ) p ON n.z = p.z
+      GROUP BY n.z
+    )""")
+        prev = f"x{t}"
+    return lpa_edges_cte() + f""",
+    nodes AS (SELECT DISTINCT z FROM (
+      SELECT a AS z FROM e0 UNION ALL SELECT b AS z FROM e0)),
+    deg AS (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS z FROM e0 UNION ALL SELECT b AS z FROM e0
+      ) GROUP BY z
+    ),
+    x0 AS (SELECT z, CAST(1000000 AS BIGINT) AS x FROM nodes),{",".join(steps)}
+    SELECT CAST(k.z AS BIGINT) AS node, CAST(k.x AS BIGINT) AS katz_micro,
+           d.degree
+    FROM {prev} k JOIN deg d ON k.z = d.z
+    ORDER BY katz_micro DESC, node LIMIT {_KATZ_TOPK}
+    """
+
+
+@query("graph_katz_centrality", _katz_oracle())
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR14 — Katz centrality over the GR9 co-supplier graph:
+    x ← 1 + α·A·x for a FIXED {_KATZ_ITERS} iterations with α = 0.1,
+    top-{_KATZ_TOPK} nodes.  Counts attenuated walks of every length
+    — the influence read that distinguishes a node with ten isolated
+    neighbors from one wired into a dense core, where GR5's raw
+    degree cannot (and without GR2 PageRank's normalization, so it
+    works on fragments and near-DAGs).
+
+    Determinism: PURE integer trajectory — scores live in micro
+    units, each step is 1e6 + (Σ neighbor scores) div 10 (exact
+    int64: scores ≤ 1e6·(1 + d_max/10)^3), so the unrolled CTE
+    replay is bit-exact with no doubles anywhere.
+
+    Scale shape: per iteration one 2-sided edges⋈scores equi-join +
+    node-keyed sum (the GR9/GR2 round shape), lineage cut per round;
+    TakeOrdered top-{_KATZ_TOPK} readout (per-partition heaps, no
+    global sort)."""
+    from bytesprocessor_spark.queries_r7 import lpa_edges
+
+    e0 = lpa_edges(spark, sf_dir)
+    nodes = (
+        e0.select(F.col("a").alias("z"))
+        .unionAll(e0.select(F.col("b").alias("z")))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("z"))
+        .unionAll(e0.select(F.col("b").alias("z")))
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    x = nodes.select("z", F.lit(1000000).cast("long").alias("x"))
+    for _ in range(_KATZ_ITERS):
+        nbr = (
+            e0.join(x.withColumnRenamed("z", "b"), "b")
+            .select(F.col("a").alias("z"), "x")
+            .unionAll(
+                e0.join(x.withColumnRenamed("z", "a"), "a").select(
+                    F.col("b").alias("z"), "x"
+                )
+            )
+        )
+        sums = nbr.groupBy("z").agg(F.sum("x").cast("long").alias("sx"))
+        x = (
+            nodes.join(sums, "z", "left")
+            .select(
+                "z",
+                (
+                    F.lit(1000000).cast("long")
+                    + F.expr(
+                        f"CAST(COALESCE(sx, 0) div {_KATZ_ATT_DIV} AS BIGINT)"
+                    )
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = x.join(deg, "z").select(
+        F.col("z").cast("long").alias("node"),
+        F.col("x").alias("katz_micro"),
+        "degree",
+    )
+    return out.orderBy(F.col("katz_micro").desc(), "node").limit(_KATZ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# W23: time to second purchase (activation latency)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_time_to_second",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT user_id,
+             MIN(CASE WHEN rn = 1 THEN sec END) AS t1,
+             MIN(CASE WHEN rn = 2 THEN sec END) AS t2
+      FROM p WHERE rn <= 2 GROUP BY user_id
+    ),
+    d AS (SELECT t2 - t1 AS dt FROM u WHERE t2 IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(quantile_disc(dt, 0.25) AS BIGINT) AS p25_s,
+           CAST(quantile_disc(dt, 0.50) AS BIGINT) AS p50_s,
+           CAST(quantile_disc(dt, 0.75) AS BIGINT) AS p75_s,
+           CAST(quantile_disc(dt, 0.90) AS BIGINT) AS p90_s,
+           CAST(SUM(dt) * 1000 // COUNT(*) AS BIGINT) AS mean_milli_s
+    FROM d
+    """,
+)
+def events_time_to_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W23 — activation latency: per user the gap between first and
+    second purchase (total (ts, event_id) order), read as the
+    quartile/P90/mean table over users who converted twice.  THE
+    activation metric a growth team tracks next to W19's conversion
+    windows and W13's DAU — 'how long until the habit forms'.
+
+    Determinism: floored epoch seconds, total per-user order, exact
+    percentile_disc data points and floor-division mean.
+
+    Scale shape: one user-partitioned rank window over purchases
+    (entity-keyed — no global window), a user-keyed conditional
+    aggregate, one global percentile aggregate; readout 1 row."""
+    p = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("sec"),
+            "event_id",
+            F.col("ts").alias("ts"),
+        )
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = p.withColumn("rn", F.row_number().over(w_u)).where(F.col("rn") <= 2)
+    u = r.groupBy("user_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("sec"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("sec"))).alias("t2"),
+    )
+    d = u.where(F.col("t2").isNotNull()).select(
+        (F.col("t2") - F.col("t1")).alias("dt")
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY dt)")
+        .cast("long")
+        .alias("p25_s"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY dt)")
+        .cast("long")
+        .alias("p50_s"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY dt)")
+        .cast("long")
+        .alias("p75_s"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY dt)")
+        .cast("long")
+        .alias("p90_s"),
+        F.expr("CAST(SUM(dt) * 1000 div COUNT(*) AS BIGINT)").alias(
+            "mean_milli_s"
+        ),
+    )

@@ -771,3 +771,69 @@ def test_cyclic_encoding_neighbors(spark, tmp_path):
     # ordinal encoding would put them 11 "months" apart; cyclic: 1
     jun = by[6]
     assert math.dist(jan, jun) > dist
+
+
+def test_katz_star_center_dominates(spark, tmp_path):
+    """GR14: on a 5-node star the hub's Katz score is exactly
+    1 + 4a + 4a^2... in integer micro arithmetic — replayed in
+    python; hub ranks first."""
+    d = str(tmp_path)
+    lrows = []
+    okey = 0
+    # star: supplier 1 paired with 2..5 (2 shared orders each)
+    for leaf in (2, 3, 4, 5):
+        for _ in range(2):
+            okey += 1
+            for s in (1, leaf):
+                lrows.append(
+                    (okey, 1, s, 1.0, 1.0, 0.0, "N", "O",
+                     "1995-03-01 00:00:00")
+                )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    spark.createDataFrame(
+        [(s, 1) for s in range(1, 6)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(f"{d}/supplier.parquet")
+    sdf = _cross_check(spark, "graph_katz_centrality", d,
+                       ["lineitem", "supplier"])
+    # python replay of the integer trajectory
+    adj = {1: [2, 3, 4, 5], 2: [1], 3: [1], 4: [1], 5: [1]}
+    x = {z: 1000000 for z in adj}
+    for _ in range(3):
+        x = {z: 1000000 + sum(x[n] for n in adj[z]) // 10 for z in adj}
+    top = sdf.iloc[0]
+    assert top["node"] == 1
+    assert top["katz_micro"] == x[1]
+    assert top["degree"] == 4
+    leaf_row = sdf[sdf["node"] == 2].iloc[0]
+    assert leaf_row["katz_micro"] == x[2]
+    assert x[1] > x[2]
+
+
+def test_time_to_second_hand_case(spark, tmp_path):
+    """W23: gaps of 100s and 400s -> median disc picks 100, P90 400,
+    mean 250; single-purchase users excluded."""
+    d = str(tmp_path)
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.0, "{}"),
+        (2, "2024-01-01 10:01:40", 1, "purchase", 1.0, "{}"),  # +100 s
+        (3, "2024-01-01 10:05:00", 1, "purchase", 1.0, "{}"),  # third: ignored
+        (4, "2024-01-01 10:00:00", 2, "purchase", 1.0, "{}"),
+        (5, "2024-01-01 10:06:40", 2, "purchase", 1.0, "{}"),  # +400 s
+        (6, "2024-01-01 10:00:00", 3, "purchase", 1.0, "{}"),  # only one
+        (7, "2024-01-01 10:00:00", 4, "click", 1.0, "{}"),
+    ]
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_time_to_second", d, ["events"])
+    row = sdf.iloc[0]
+    assert row["n_users"] == 2
+    assert row["p25_s"] == 100
+    assert row["p50_s"] == 100
+    assert row["p90_s"] == 400
+    assert row["mean_milli_s"] == 250000
