@@ -725,6 +725,7 @@ _CHECK_ORDER = [
     "orders_cyclic_encoding",
     "graph_katz_centrality",
     "events_time_to_second",
+    "part_risk_pooling",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the round-7 window) ---
     "pack_length_batches",

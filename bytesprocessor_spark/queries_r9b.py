@@ -2871,3 +2871,151 @@ def events_time_to_second(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_milli_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A126: demand risk pooling (portfolio effect) per manufacturer
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_risk_pooling",
+    """
+    WITH li AS (
+      SELECT SUBSTRING(p.p_brand, 7, 1) AS mfgr, p.p_brand AS brand,
+             DATE_DIFF('day', DATE '1995-01-01', CAST(l.l_shipdate AS DATE))
+               // 7 AS week,
+             CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS q_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    bw AS (
+      SELECT mfgr, brand, week, CAST(SUM(q_c) AS BIGINT) AS d
+      FROM li GROUP BY 1, 2, 3
+    ),
+    wk AS (SELECT DISTINCT mfgr, week FROM bw),
+    br AS (SELECT DISTINCT mfgr, brand FROM bw),
+    grid AS (
+      SELECT br.mfgr, br.brand, wk.week, COALESCE(bw.d, 0) AS d
+      FROM br JOIN wk ON br.mfgr = wk.mfgr
+      LEFT JOIN bw ON bw.mfgr = br.mfgr AND bw.brand = br.brand
+                  AND bw.week = wk.week
+    ),
+    bsig AS (
+      SELECT mfgr, brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(ROUND(SQRT((CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                  - CAST(SUM(d) AS DOUBLE) * SUM(d) / COUNT(*))
+                  / (COUNT(*) - 1)) * 1000) AS BIGINT) AS sigma_milli
+      FROM grid GROUP BY mfgr, brand HAVING COUNT(*) >= 2
+    ),
+    mw AS (
+      SELECT mfgr, week, CAST(SUM(d) AS BIGINT) AS d
+      FROM grid GROUP BY mfgr, week
+    ),
+    msig AS (
+      SELECT mfgr, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             CAST(ROUND(SQRT((CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE)
+                  - CAST(SUM(d) AS DOUBLE) * SUM(d) / COUNT(*))
+                  / (COUNT(*) - 1)) * 1000) AS BIGINT) AS sigma_pooled_milli
+      FROM mw GROUP BY mfgr HAVING COUNT(*) >= 2
+    ),
+    agg AS (
+      SELECT mfgr, CAST(COUNT(*) AS BIGINT) AS n_brands,
+             CAST(SUM(sigma_milli) AS BIGINT) AS sigma_sum_milli
+      FROM bsig GROUP BY mfgr
+    )
+    SELECT a.mfgr, a.n_brands, m.n_weeks,
+           m.sigma_pooled_milli, a.sigma_sum_milli,
+           CAST((a.sigma_sum_milli - m.sigma_pooled_milli) * 1000000
+                // GREATEST(a.sigma_sum_milli, 1) AS BIGINT)
+             AS pooling_benefit_ppm
+    FROM agg a JOIN msig m ON a.mfgr = m.mfgr
+    ORDER BY a.mfgr
+    """,
+)
+def part_risk_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A126 — demand risk pooling (the portfolio effect): per
+    manufacturer (the leading digit of the TPC-H brand code —
+    Brand#ij belongs to Manufacturer#i), the pooled weekly-demand σ
+    against the SUM of its
+    brands' individual σs on a dense brand × week grid (missing
+    weeks are true zero demand).  Pooling benefit =
+    1 − σ_pooled/Σσ_brand — the sqrt-N aggregation dividend that
+    says how much safety stock (A114) centralizing inventory
+    actually saves; for imperfectly-correlated demands it is
+    strictly positive.
+
+    Determinism: floor-week grid (the A89/A114 epoch), dense grid
+    fill with exact zeros, Σd exact int64 / Σd² exact int128, each
+    σ ONE Bessel double tree milli-quantized BEFORE the brand sum;
+    benefit is an integer floor division.
+
+    Scale shape: lineitem⋈part equi-join, (mfgr, brand, week)
+    aggregate (map-combinable), the grid is entity × calendar
+    bounded (k brands × weeks), k-row rollups; readout ≤5 rows."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.substring("p_brand", 7, 1).alias("mfgr"),
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "cast(floor(datediff(cast(l_shipdate as date),"
+                " date'1995-01-01') / 7) as long)"
+            ).alias("week"),
+            cents(F.col("l_quantity")).alias("q_c"),
+        )
+    )
+    bw = li.groupBy("mfgr", "brand", "week").agg(
+        F.sum("q_c").cast("long").alias("d")
+    )
+    wk = bw.select("mfgr", "week").distinct()
+    br = bw.select("mfgr", "brand").distinct()
+    grid = (
+        br.join(wk, "mfgr")
+        .join(bw, ["mfgr", "brand", "week"], "left")
+        .select(
+            "mfgr", "brand", "week", F.coalesce("d", F.lit(0)).cast("long").alias("d")
+        )
+    )
+
+    def sigma_milli(df, keys, out):
+        nD = F.count("*").cast("double")
+        s = F.sum("d").cast("double")
+        s2 = F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).cast("double")
+        return (
+            df.groupBy(*keys)
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(
+                    F.sqrt((s2 - s * F.sum("d") / F.count("*")) / (F.count("*") - 1))
+                    * 1000
+                )
+                .cast("long")
+                .alias(out),
+            )
+            .where(F.col("n") >= 2)
+        )
+
+    bsig = sigma_milli(grid, ["mfgr", "brand"], "sigma_milli")
+    mw = grid.groupBy("mfgr", "week").agg(F.sum("d").cast("long").alias("d"))
+    msig = sigma_milli(mw, ["mfgr"], "sigma_pooled_milli").withColumnRenamed(
+        "n", "n_weeks"
+    )
+    agg = bsig.groupBy("mfgr").agg(
+        F.count("*").cast("long").alias("n_brands"),
+        F.sum("sigma_milli").cast("long").alias("sigma_sum_milli"),
+    )
+    j = agg.join(msig, "mfgr")
+    return j.select(
+        "mfgr",
+        "n_brands",
+        "n_weeks",
+        "sigma_pooled_milli",
+        "sigma_sum_milli",
+        F.expr(
+            "CAST((sigma_sum_milli - sigma_pooled_milli) * 1000000"
+            " div GREATEST(sigma_sum_milli, 1) AS BIGINT)"
+        ).alias("pooling_benefit_ppm"),
+    ).orderBy("mfgr")

@@ -837,3 +837,46 @@ def test_time_to_second_hand_case(spark, tmp_path):
     assert row["p50_s"] == 100
     assert row["p90_s"] == 400
     assert row["mean_milli_s"] == 250000
+
+
+def test_risk_pooling_anticorrelated_is_full(spark, tmp_path):
+    """A126: two perfectly anti-correlated brands pool to a constant
+    series -> sigma_pooled 0, benefit exactly 1e6 ppm; individual
+    sigmas match a python replay."""
+    d = str(tmp_path)
+    lrows = []
+    k = 0
+    demands = {"Brand#11": [10.0, 20.0, 10.0, 20.0],
+               "Brand#12": [20.0, 10.0, 20.0, 10.0]}
+    pk = {"Brand#11": 1, "Brand#12": 2}
+    for brand, qs in demands.items():
+        for wk2, q in enumerate(qs):
+            day = 2 + wk2 * 7
+            k += 1
+            lrows.append(
+                (k, pk[brand], 1, q, q * 2, 0.0, "N", "O",
+                 f"1995-01-{day:02d} 00:00:00")
+            )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz")).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    spark.createDataFrame(
+        [(1, "Brand#11"), (2, "Brand#12")], "p_partkey long, p_brand string"
+    ).write.parquet(f"{d}/part.parquet")
+    sdf = _cross_check(spark, "part_risk_pooling", d, ["lineitem", "part"])
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    assert row["mfgr"] == "1"
+    assert row["n_brands"] == 2 and row["n_weeks"] == 4
+    assert row["sigma_pooled_milli"] == 0
+    # each brand: d = [1000,2000,1000,2000] cents
+    import statistics
+
+    sig = round(statistics.stdev([1000, 2000, 1000, 2000]) * 1000)
+    assert row["sigma_sum_milli"] == 2 * sig
+    assert row["pooling_benefit_ppm"] == 1000000
