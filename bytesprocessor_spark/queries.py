@@ -726,6 +726,8 @@ _CHECK_ORDER = [
     "graph_katz_centrality",
     "events_time_to_second",
     "part_risk_pooling",
+    "events_changepoint_tree",
+    "eval_wilcoxon_signed_rank",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the round-7 window) ---
     "pack_length_batches",

@@ -3019,3 +3019,288 @@ def part_risk_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(sigma_sum_milli, 1) AS BIGINT)"
         ).alias("pooling_benefit_ppm"),
     ).orderBy("mfgr")
+
+
+# ---------------------------------------------------------------------------
+# A127: multiple changepoints by depth-2 binary segmentation
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_changepoint_tree",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx0 AS (
+      SELECT event_type, day, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS d,
+             SUM(n) OVER (PARTITION BY event_type) AS t
+      FROM daily
+    ),
+    best0 AS (
+      SELECT event_type, day, k, d, t, ABS(d * s - k * t) AS score,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY ABS(d * s - k * t) DESC, k ASC) AS r
+      FROM idx0 WHERE k < d
+    ),
+    k1 AS (SELECT event_type, day AS day1, k AS k1, score AS score0,
+                  d AS d0 FROM best0 WHERE r = 1),
+    seg AS (
+      SELECT i.event_type, i.day, i.n,
+             CASE WHEN i.k <= k1.k1 THEN 'left' ELSE 'right' END AS seg
+      FROM idx0 i JOIN k1 ON i.event_type = k1.event_type
+    ),
+    idx1 AS (
+      SELECT event_type, seg, day, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type, seg
+                 ORDER BY day) AS k,
+             SUM(n) OVER (PARTITION BY event_type, seg ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             COUNT(*) OVER (PARTITION BY event_type, seg) AS d,
+             SUM(n) OVER (PARTITION BY event_type, seg) AS t
+      FROM seg
+    ),
+    best1 AS (
+      SELECT event_type, seg, day, k, d, ABS(d * s - k * t) AS score,
+             ROW_NUMBER() OVER (PARTITION BY event_type, seg
+                 ORDER BY ABS(d * s - k * t) DESC, k ASC) AS r
+      FROM idx1 WHERE k < d
+    )
+    SELECT event_type, CAST(0 AS BIGINT) AS level, 'all' AS segment,
+           STRFTIME(day1, '%Y-%m-%d') AS split_day,
+           CAST(k1 AS BIGINT) AS split_k,
+           CAST(d0 AS BIGINT) AS seg_days,
+           CAST(score0 AS BIGINT) AS score
+    FROM k1
+    UNION ALL
+    SELECT event_type, CAST(1 AS BIGINT), seg,
+           STRFTIME(day, '%Y-%m-%d'), CAST(k AS BIGINT),
+           CAST(d AS BIGINT), CAST(score AS BIGINT)
+    FROM best1 WHERE r = 1
+    ORDER BY event_type, level, segment
+    """,
+)
+def events_changepoint_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A127 — MULTIPLE changepoints by depth-2 binary segmentation:
+    A86 finds the single best CUSUM split per type; this recurses
+    once — the same integer score |d·s − k·t| re-maximized inside
+    each half on SEGMENT-LOCAL prefix sums/totals — yielding up to
+    three splits per type (the first two levels of the PELT/binary-
+    segmentation tree monitors actually deploy; one split cannot
+    describe a ramp-then-drop series).
+
+    Determinism: A86's pure-int64 score with the same (score desc,
+    k asc) argmax tiebreak at every node; segment membership derives
+    from the level-0 argmax, so the whole tree is bit-deterministic
+    and SQL-replayable.
+
+    Scale shape: one calendar-bounded daily aggregate; both levels
+    are windows over ≤D rows per (type[, segment]) — the fact table
+    is touched once, the recursion never leaves the engine; readout
+    ≤3 rows per type."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wk = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    idx0 = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.row_number().over(wk).alias("k"),
+        F.sum("n").over(wk.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("d"),
+        F.sum("n").over(wall).alias("t"),
+    )
+    score0 = F.abs(F.col("d") * F.col("s") - F.col("k") * F.col("t"))
+    wb0 = Window.partitionBy("event_type").orderBy(
+        score0.desc(), F.col("k").asc()
+    )
+    k1 = (
+        idx0.where(F.col("k") < F.col("d"))
+        .withColumn("r", F.row_number().over(wb0))
+        .where(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("day1"),
+            F.col("k").alias("k1"),
+            score0.alias("score0"),
+            F.col("d").alias("d0"),
+        )
+    )
+    seg = idx0.join(F.broadcast(k1.select("event_type", "k1")), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.when(F.col("k") <= F.col("k1"), "left").otherwise("right").alias("seg"),
+    )
+    wks = Window.partitionBy("event_type", "seg").orderBy("day")
+    walls = Window.partitionBy("event_type", "seg")
+    idx1 = seg.select(
+        "event_type",
+        "seg",
+        "day",
+        F.row_number().over(wks).alias("k"),
+        F.sum("n").over(wks.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+        F.count(F.lit(1)).over(walls).alias("d"),
+        F.sum("n").over(walls).alias("t"),
+    )
+    score1 = F.abs(F.col("d") * F.col("s") - F.col("k") * F.col("t"))
+    wb1 = Window.partitionBy("event_type", "seg").orderBy(
+        score1.desc(), F.col("k").asc()
+    )
+    best1 = (
+        idx1.where(F.col("k") < F.col("d"))
+        .withColumn("r", F.row_number().over(wb1))
+        .where(F.col("r") == 1)
+    )
+    lvl0 = k1.select(
+        "event_type",
+        F.lit(0).cast("long").alias("level"),
+        F.lit("all").alias("segment"),
+        F.date_format("day1", "yyyy-MM-dd").alias("split_day"),
+        F.col("k1").cast("long").alias("split_k"),
+        F.col("d0").cast("long").alias("seg_days"),
+        F.col("score0").cast("long").alias("score"),
+    )
+    lvl1 = best1.select(
+        "event_type",
+        F.lit(1).cast("long").alias("level"),
+        F.col("seg").alias("segment"),
+        F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        F.col("k").cast("long").alias("split_k"),
+        F.col("d").cast("long").alias("seg_days"),
+        score1.cast("long").alias("score"),
+    )
+    return lvl0.unionAll(lvl1).orderBy("event_type", "level", "segment")
+
+
+# ---------------------------------------------------------------------------
+# EV37: Wilcoxon signed-rank paired-model comparison
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_wilcoxon_signed_rank",
+    """
+    WITH s AS (
+      SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+             CAST('0x' || substr(md5('wxa:' || CAST(vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000001 AS pa,
+             (CAST('0x' || substr(md5('wxb:' || CAST(vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 500001) + CAST(label % 2 AS BIGINT) * 500000 AS pb
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id,
+             ABS(y * 1000000 - pa) - ABS(y * 1000000 - pb) AS diff
+      FROM s
+    ),
+    nz AS (
+      SELECT vec_id, diff, ABS(diff) AS absd,
+             ROW_NUMBER() OVER (ORDER BY ABS(diff), vec_id) AS rn
+      FROM d WHERE diff <> 0
+    ),
+    g AS (
+      SELECT absd, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(rn) AS BIGINT) AS sum_rn,
+             CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+      FROM nz GROUP BY absd
+    ),
+    w AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(n_pos) AS BIGINT) AS npos,
+             CAST(SUM(CAST(n_pos AS HUGEINT)
+                  * (sum_rn * 1000000 // cnt)) AS DOUBLE) AS wp_micro
+      FROM g
+    )
+    SELECT n AS n_pairs, npos AS n_b_better, wp_micro AS w_plus_micro,
+      CAST(ROUND((wp_micro / 1000000.0
+           - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 4)
+           / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                  * (2 * CAST(n AS DOUBLE) + 1) / 24) * 1000) AS BIGINT)
+        AS z_milli,
+      (wp_micro / 1000000.0
+           - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 4)
+           / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                  * (2 * CAST(n AS DOUBLE) + 1) / 24) > 1.9599639845400545
+        AS model_b_better
+    FROM w
+    """,
+)
+def eval_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV37 — Wilcoxon signed-rank test between two pinned models on
+    the SAME eval rows: per row the loss difference d = loss_A −
+    loss_B (model B is constructed better: its md5 probability is
+    biased toward the true label), |d| ranked GLOBALLY with mean
+    ranks over ties, W+ = Σ mean-ranks of d > 0 against the normal
+    approximation.  The continuous-outcome sibling of EV22's
+    McNemar (binary) and the nonparametric alternative to a paired
+    t-test — the standard 'is model B actually better' read when
+    loss deltas are skewed.
+
+    Determinism: integer micro losses; the global |d| rank uses the
+    DISTRIBUTED rank device with a (|d|, vec_id) total order (no
+    single-partition window at eval scale); mean ranks enter W+ as
+    sum_rn·1e6 // cnt per tie group (floor-quantized identically),
+    summed in int128; z is one fixed double tree with the pinned z95
+    literal.
+
+    Scale shape: one scan computes both losses; the rank is range-
+    repartition + local row_number + broadcast offsets; one tie-group
+    aggregate + 1-row rollup; readout 1 row."""
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
+    e = _t(spark, sf_dir, "embeddings")
+    y = (F.col("label") % 2).cast("long")
+    pa = _h60(F.concat(F.lit("wxa:"), F.col("vec_id").cast("string"))) % 1000001
+    pb = (
+        _h60(F.concat(F.lit("wxb:"), F.col("vec_id").cast("string"))) % 500001
+        + y * 500000
+    )
+    d = e.select(
+        "vec_id",
+        (
+            F.abs(y * 1000000 - pa) - F.abs(y * 1000000 - pb)
+        ).alias("diff"),
+    ).where(F.col("diff") != 0)
+    d = d.withColumn("absd", F.abs(F.col("diff")))
+    ranked = distributed_rank(
+        d, [F.col("absd").asc(), F.col("vec_id").asc()], rank_col="rn"
+    )
+    g = ranked.groupBy("absd").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("rn").cast("long").alias("sum_rn"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    w = g.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("npos"),
+        F.sum(
+            F.col("n_pos").cast("decimal(38,0)")
+            * F.expr("sum_rn * 1000000 div cnt")
+        )
+        .cast("double")
+        .alias("wp_micro"),
+    )
+    nD = F.col("n").cast("double")
+    z = (F.col("wp_micro") / 1000000.0 - nD * (nD + 1) / 4) / F.sqrt(
+        nD * (nD + 1) * (2 * nD + 1) / 24
+    )
+    return w.select(
+        F.col("n").alias("n_pairs"),
+        F.col("npos").alias("n_b_better"),
+        F.col("wp_micro").alias("w_plus_micro"),
+        F.round(z * 1000).cast("long").alias("z_milli"),
+        (z > 1.9599639845400545).alias("model_b_better"),
+    )

@@ -880,3 +880,65 @@ def test_risk_pooling_anticorrelated_is_full(spark, tmp_path):
     sig = round(statistics.stdev([1000, 2000, 1000, 2000]) * 1000)
     assert row["sigma_sum_milli"] == 2 * sig
     assert row["pooling_benefit_ppm"] == 1000000
+
+
+def test_changepoint_tree_two_shifts(spark, tmp_path):
+    """A127: a series with two level shifts (days 1-10 at 5/day,
+    11-20 at 50/day, 21-30 at 5/day) splits at both boundaries across
+    the two levels."""
+    d = str(tmp_path)
+    rows, eid = [], 0
+    for day in range(1, 31):
+        c = 50 if 11 <= day <= 20 else 5
+        for _ in range(c):
+            rows.append(
+                (eid, f"2024-01-{day:02d} 08:00:00", 1, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    sdf = _cross_check(spark, "events_changepoint_tree", d, ["events"])
+    assert len(sdf) == 3
+    days = {r["segment"]: r["split_day"] for _, r in sdf.iterrows()}
+    # level 0 catches one boundary; level 1 catches the other inside
+    # its half — between them both shift days appear
+    found = set(days.values())
+    assert "2024-01-10" in found or "2024-01-20" in found
+    assert {"2024-01-10", "2024-01-20"} <= {
+        r["split_day"] for _, r in sdf.iterrows()
+    }
+
+
+def test_wilcoxon_b_better_and_replay(spark, tmp_path):
+    """EV37: the constructed model B dominates; W+ matches an
+    independent python replay of the rank arithmetic."""
+    d = str(tmp_path)
+    n_rows = 300
+    rows = [(i, [0.0], i % 2) for i in range(n_rows)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    sdf = _cross_check(spark, "eval_wilcoxon_signed_rank", d, ["embeddings"])
+    row = sdf.iloc[0]
+    assert row["model_b_better"]
+    assert row["z_milli"] > 1960
+
+    diffs = []
+    for i in range(n_rows):
+        y = i % 2
+        pa = _h60(f"wxa:{i}") % 1000001
+        pb = _h60(f"wxb:{i}") % 500001 + y * 500000
+        diff = abs(y * 1000000 - pa) - abs(y * 1000000 - pb)
+        if diff != 0:
+            diffs.append((abs(diff), i, diff))
+    diffs.sort()
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: [0, 0, 0])  # cnt, sum_rn, n_pos
+    for rn, (absd, _, diff) in enumerate(diffs, start=1):
+        g = groups[absd]
+        g[0] += 1
+        g[1] += rn
+        g[2] += 1 if diff > 0 else 0
+    wp = sum(npos * (srn * 1000000 // cnt) for cnt, srn, npos in groups.values())
+    assert row["n_pairs"] == len(diffs)
+    assert row["w_plus_micro"] == float(wp)
