@@ -454,7 +454,8 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-9 seventh batch (5)
+    # round-9 seventh batch (6)
+    "eval_permutation_test",
     "events_changepoint_tree",
     "eval_wilcoxon_signed_rank",
     "part_risk_pooling",

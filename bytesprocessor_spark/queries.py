@@ -728,6 +728,7 @@ _CHECK_ORDER = [
     "part_risk_pooling",
     "events_changepoint_tree",
     "eval_wilcoxon_signed_rank",
+    "eval_permutation_test",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the round-7 window) ---
     "pack_length_batches",

@@ -3304,3 +3304,142 @@ def eval_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z * 1000).cast("long").alias("z_milli"),
         (z > 1.9599639845400545).alias("model_b_better"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EV38: exact paired permutation test (md5-seeded sign flips)
+# ---------------------------------------------------------------------------
+
+_PERM_K = 200
+
+
+@query(
+    "eval_permutation_test",
+    f"""
+    WITH s AS (
+      SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+             CAST('0x' || substr(md5('wxa:' || CAST(vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000001 AS pa,
+             (CAST('0x' || substr(md5('wxb:' || CAST(vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 500001) + CAST(label % 2 AS BIGINT) * 500000 AS pb
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id,
+             ABS(y * 1000000 - pa) - ABS(y * 1000000 - pb) AS diff
+      FROM s
+    ),
+    perms AS (
+      SELECT CAST(UNNEST(range(-1, {_PERM_K})) AS BIGINT) AS k
+    ),
+    t AS (
+      SELECT p.k,
+             CAST(SUM(CASE WHEN p.k = -1 THEN d.diff
+                  WHEN CAST('0x' || substr(md5('perm:' || CAST(p.k AS VARCHAR)
+                       || ':' || CAST(d.vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 2 = 0 THEN d.diff ELSE -d.diff END) AS BIGINT) AS tk,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM d CROSS JOIN perms p
+      GROUP BY p.k
+    ),
+    obs AS (SELECT ABS(tk) AS t_obs, tk AS t_signed, n FROM t WHERE k = -1)
+    SELECT obs.n AS n_pairs, CAST({_PERM_K} AS BIGINT) AS k_perms,
+           obs.t_signed AS t_obs,
+           CAST(SUM(CASE WHEN ABS(t.tk) >= obs.t_obs THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_extreme,
+           CAST((SUM(CASE WHEN ABS(t.tk) >= obs.t_obs THEN 1 ELSE 0 END) + 1)
+                * 1000 // ({_PERM_K} + 1) AS BIGINT) AS p_milli
+    FROM t CROSS JOIN obs WHERE t.k >= 0
+    GROUP BY obs.n, obs.t_signed
+    """,
+)
+def eval_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV38 — exact paired permutation (sign-flip) test on the same
+    two pinned models as EV37: under H0 (no model difference) each
+    loss difference's sign is exchangeable, so the null distribution
+    is T_k = Σ s_ki·d_i over {_PERM_K} md5-seeded sign assignments;
+    p = (1 + #{{|T_k| ≥ |T_obs|}})/(K+1).  The assumption-free
+    inference device next to EV37's rank test and EV22's McNemar —
+    no normal approximation anywhere, and the md5 seeding makes the
+    'random' permutations bit-reproducible across engines and runs.
+
+    Determinism: integer micro losses, integer ±sums per
+    permutation (NO doubles in the whole query), integer floor-
+    division p-value; the identity permutation rides as k = −1 so
+    T_obs needs no second scan.
+
+    Scale shape: one scan computes d; the K-fold expansion is
+    map-only (explode against a {_PERM_K + 1}-row literal range) into
+    a K-key aggregate with map-side combine — the shuffle carries
+    K+1 rows per partition, not K×n; readout 1 row."""
+    e = _t(spark, sf_dir, "embeddings")
+    y = (F.col("label") % 2).cast("long")
+    pa = _h60(F.concat(F.lit("wxa:"), F.col("vec_id").cast("string"))) % 1000001
+    pb = (
+        _h60(F.concat(F.lit("wxb:"), F.col("vec_id").cast("string"))) % 500001
+        + y * 500000
+    )
+    d = e.select(
+        "vec_id",
+        (F.abs(y * 1000000 - pa) - F.abs(y * 1000000 - pb)).alias("diff"),
+    )
+    ex = d.select(
+        "vec_id",
+        "diff",
+        F.explode(F.sequence(F.lit(-1), F.lit(_PERM_K - 1))).alias("k"),
+    )
+    sign_hash = (
+        _h60(
+            F.concat(
+                F.lit("perm:"),
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("vec_id").cast("string"),
+            )
+        )
+        % 2
+    )
+    contrib = F.when(F.col("k") == -1, F.col("diff")).otherwise(
+        F.when(sign_hash == 0, F.col("diff")).otherwise(-F.col("diff"))
+    )
+    t = ex.groupBy("k").agg(
+        F.sum(contrib).cast("long").alias("tk"),
+        F.count("*").cast("long").alias("n"),
+    )
+    t = bounded_single_group(t)  # K+1-row permutation table
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = t.select(
+        "k",
+        "tk",
+        "n",
+        F.max(F.when(F.col("k") == -1, F.abs(F.col("tk")))).over(w_all).alias(
+            "t_obs_abs"
+        ),
+        F.max(F.when(F.col("k") == -1, F.col("tk"))).over(w_all).alias(
+            "t_obs"
+        ),
+    )
+    return (
+        t.where(F.col("k") >= 0)
+        .agg(
+            F.max("n").alias("n_pairs"),
+            F.lit(_PERM_K).cast("long").alias("k_perms"),
+            F.max("t_obs").alias("t_obs"),
+            F.sum(
+                F.when(F.abs(F.col("tk")) >= F.col("t_obs_abs"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+        )
+        .select(
+            "n_pairs",
+            "k_perms",
+            "t_obs",
+            "n_extreme",
+            F.expr(
+                f"CAST((n_extreme + 1) * 1000 div ({_PERM_K} + 1) AS BIGINT)"
+            ).alias("p_milli"),
+        )
+    )

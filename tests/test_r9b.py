@@ -942,3 +942,36 @@ def test_wilcoxon_b_better_and_replay(spark, tmp_path):
     wp = sum(npos * (srn * 1000000 // cnt) for cnt, srn, npos in groups.values())
     assert row["n_pairs"] == len(diffs)
     assert row["w_plus_micro"] == float(wp)
+
+
+def test_permutation_test_replay(spark, tmp_path):
+    """EV38: T_obs, the extreme count and the p-value all match an
+    independent python replay of the md5-seeded sign flips; the
+    constructed model difference is significant."""
+    d = str(tmp_path)
+    n_rows = 200
+    rows = [(i, [0.0], i % 2) for i in range(n_rows)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    sdf = _cross_check(spark, "eval_permutation_test", d, ["embeddings"])
+    row = sdf.iloc[0]
+
+    diffs = []
+    for i in range(n_rows):
+        y = i % 2
+        pa = _h60(f"wxa:{i}") % 1000001
+        pb = _h60(f"wxb:{i}") % 500001 + y * 500000
+        diffs.append((i, abs(y * 1000000 - pa) - abs(y * 1000000 - pb)))
+    t_obs = sum(dv for _, dv in diffs)
+    n_ext = 0
+    for k in range(200):
+        tk = sum(
+            dv if _h60(f"perm:{k}:{i}") % 2 == 0 else -dv for i, dv in diffs
+        )
+        if abs(tk) >= abs(t_obs):
+            n_ext += 1
+    assert row["t_obs"] == t_obs
+    assert row["n_extreme"] == n_ext
+    assert row["p_milli"] == (n_ext + 1) * 1000 // 201
+    assert row["p_milli"] < 50  # B is decisively better
