@@ -368,6 +368,37 @@ HEADLINE = [
     "eval_reliability_sharpness",
     "events_wilson_ci",
     "stream_page_hinkley",
+    # round-9 continued-session additions (29) — heavier entries first
+    # (graph/stream/raking), sub-second statistics tail last
+    "graph_modularity",
+    "graph_katz_centrality",
+    "stream_first_touch",
+    "orders_ipf_raking",
+    "eval_permutation_test",
+    "events_changepoint_tree",
+    "eval_wilcoxon_signed_rank",
+    "eval_err_at_k",
+    "eval_mcc_multiclass",
+    "asof_nearest_events",
+    "part_risk_pooling",
+    "part_eoq_policy",
+    "orders_littles_law",
+    "events_ljung_box",
+    "events_hurst_rs",
+    "events_decayed_engagement",
+    "events_user_streaks",
+    "similarity_range_search",
+    "orders_lorenz_deciles",
+    "eval_pinball_loss",
+    "events_jarque_bera",
+    "orders_bullwhip",
+    "events_neyman_allocation",
+    "events_gtest",
+    "orders_gk_gamma",
+    "eval_ece",
+    "orders_price_elasticity",
+    "orders_cyclic_encoding",
+    "events_time_to_second",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
