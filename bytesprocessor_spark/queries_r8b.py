@@ -989,8 +989,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH wk AS (
       SELECT l_partkey AS part,
-             DATE_DIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 7
-               AS week,
+             CAST(FLOOR(DATE_DIFF('day', DATE '1995-01-01',
+               CAST(l_shipdate AS DATE)) / 7.0) AS BIGINT) AS week,
              CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS d
       FROM lineitem GROUP BY 1, 2
     ),
@@ -1061,11 +1061,13 @@ def part_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     final join is part-keyed on two one-row-per-part tables."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("part"),
-        # FLOOR division, not `div` (truncate-toward-zero): for
-        # shipdates before the 1995-01-01 epoch the two disagree on
-        # negative day counts (-10 div 7 = -1 but -10 // 7 = -2) and
-        # the DuckDB oracle uses floor — datediff stays well inside
-        # double-exact range so floor(x/7) is exact
+        # FLOOR division on BOTH sides: DuckDB `//` TRUNCATES toward
+        # zero (-10 // 7 = -1, verified on 1.0.0), so the oracle spells
+        # out CAST(FLOOR(.../7.0) AS BIGINT) to get the floor-week grid
+        # (-10 -> week -2) that Spark's floor(x/7) computes — pre-epoch
+        # shipdates land in the same weekly bucket in both engines;
+        # datediff stays well inside double-exact range so floor(x/7)
+        # is exact
         F.expr(
             "cast(floor(datediff(cast(l_shipdate as date),"
             " date'1995-01-01') / 7) as long)"

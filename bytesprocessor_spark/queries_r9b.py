@@ -498,8 +498,8 @@ _EOQ_LEAD_WEEKS = 2
     f"""
     WITH li AS (
       SELECT p.p_brand AS brand,
-             DATE_DIFF('day', DATE '1995-01-01', CAST(l.l_shipdate AS DATE))
-               // 7 AS week,
+             CAST(FLOOR(DATE_DIFF('day', DATE '1995-01-01',
+               CAST(l.l_shipdate AS DATE)) / 7.0) AS BIGINT) AS week,
              CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS q_c,
              CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS ext_c
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -1270,10 +1270,11 @@ def events_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT CAST(SUM(o) AS BIGINT) AS rx FROM cells GROUP BY x)
     )
     SELECT n AS n_orders, conc AS c_pairs, disc AS d_pairs,
-      CAST(ROUND((conc - disc) / (conc + disc) * 1000000) AS BIGINT)
-        AS gamma_micro,
+      CAST(ROUND((conc - disc) / GREATEST(conc + disc, 1) * 1000000)
+        AS BIGINT) AS gamma_micro,
       CAST(ROUND((conc - disc)
-           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2 - tx)
+           / GREATEST(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2 - tx,
+                      1)
            * 1000000) AS BIGINT) AS somers_d_micro
     FROM pairs CROSS JOIN marg
     """,
@@ -1360,14 +1361,21 @@ def orders_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_orders"),
         F.col("conc").alias("c_pairs"),
         F.col("disc").alias("d_pairs"),
+        # degenerate-input guard (ADVICE r9): a one-cell contingency
+        # table gives conc+disc = 0 (and all-tied-on-x gives a zero
+        # Somers' denominator) — inf/nan sentinels differ across
+        # engines, so both sides pin the denominator at >= 1, making
+        # the degenerate statistic an agreed exact 0
         F.round(
-            (F.col("conc") - F.col("disc")) / (F.col("conc") + F.col("disc"))
+            (F.col("conc") - F.col("disc"))
+            / F.greatest(F.col("conc") + F.col("disc"), F.lit(1.0))
             * 1000000
         )
         .cast("long")
         .alias("gamma_micro"),
         F.round(
-            (F.col("conc") - F.col("disc")) / (nD * (nD - 1) / 2 - F.col("tx"))
+            (F.col("conc") - F.col("disc"))
+            / F.greatest(nD * (nD - 1) / 2 - F.col("tx"), F.lit(1.0))
             * 1000000
         )
         .cast("long")
@@ -2882,8 +2890,8 @@ def events_time_to_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH li AS (
       SELECT SUBSTRING(p.p_brand, 7, 1) AS mfgr, p.p_brand AS brand,
-             DATE_DIFF('day', DATE '1995-01-01', CAST(l.l_shipdate AS DATE))
-               // 7 AS week,
+             CAST(FLOOR(DATE_DIFF('day', DATE '1995-01-01',
+               CAST(l.l_shipdate AS DATE)) / 7.0) AS BIGINT) AS week,
              CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS q_c
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),

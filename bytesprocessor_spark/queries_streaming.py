@@ -1534,9 +1534,20 @@ def stream_first_touch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(batch.schema).parquet(
             os.path.join(land, "events")
         )
-        deduped = stream.withWatermark("ts", "60 days").dropDuplicatesWithinWatermark(
-            ["user_id", "event_type"]
-        )
+        # ORACLE DEPENDENCY (ADVICE r9): per-type survivors ==
+        # COUNT(DISTINCT user_id) holds only while NO (user, type)
+        # state is evicted during the replay — an evicted key would
+        # admit a second survivor if the drain ever splits into
+        # multiple micro-batches (maxFilesPerTrigger, file-count
+        # growth).  The delay is therefore pinned WIDER than any
+        # fixture's event-time span (events span 30 days at every SF;
+        # 3650 days gives 120x headroom), so watermark < min(ts) and
+        # eviction cannot fire regardless of batch split.  The state-
+        # TTL semantics under eviction are pinned separately by the
+        # pytest streaming twin.
+        deduped = stream.withWatermark(
+            "ts", "3650 days"
+        ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
         return _drain_and_localize(
             deduped,
             lambda sink_df: sink_df.groupBy("event_type")
