@@ -589,70 +589,20 @@ QUERIES.update(_NO_ORACLE)
 
 
 _CHECK_ORDER = [
-    # --- round-9 driver window (first 50) ---
-    # Rotation policy (VERDICT r8 #3, fourth-round burn-down): the
-    # round-8 window retired 50 backlog entries (all green in
-    # CORRECTNESS_r08) and was rotated to the driver-green tail; the
-    # 76 remaining never-driver-checked entries now head the order, so
-    # round 9 checks 50 of them and round 10 closes the backlog.
-    # Front-loaded per VERDICT r8: the 35 round-8 additions (newest
-    # code first), then merge_upsert / W5-W7 / multimodal_image_ann /
-    # dedup_cluster_keep / ST7+ST9 and the rest in prior backlog
-    # order.  New round-9 entries go AFTER the backlog block
-    # (next-window head) so the burn-down is not diluted.
+    # --- round-10 driver window (first 50) ---
+    # Rotation policy (VERDICT r9 #1, final burn-down leg): the
+    # round-9 window retired 50 backlog entries (all green in
+    # CORRECTNESS_r09; block moved to the tail below).  The 75
+    # remaining never-driver-checked entries head the order — the 26
+    # carried-over backlog rows (including the VERDICT-named
+    # merge_upsert_orders / session_sequences / events_funnel /
+    # interval_concurrency / stream_static_enrich / stream_cdc_apply /
+    # multimodal_image_ann / dedup_cluster_keep / graph_triangles /
+    # agg_approx_percentile) first, then the 49 round-9 additions, so
+    # round 10 checks 50 of them and <= 25 remain.  New round-10
+    # entries go AFTER this block so the burn-down is not diluted.
 
-    # --- never driver-checked backlog (76 entries) ---
-    # round-8 additions first (new-code-first once the burn-down ends)
-    "csv_quarantine_scan",
-    "graph_clustering_coeff",
-    "events_conversion_latency",
-    "feature_hashing_trick",
-    "vocab_coverage_curve",
-    "events_changepoint",
-    "orders_woe_encoding",
-    "events_welch_ttest",
-    "txnlog_compact_read",
-    "events_kruskal_wallis",
-    "eval_mcnemar",
-    "eval_cohens_kappa",
-    "orders_logrank",
-    "eval_ips_policy_value",
-    "jsonl_quarantine_scan",
-    "graph_hits",
-    "part_croston_demand",
-    "events_fdr_bh",
-    "text_textrank_keywords",
-    "events_cochran_armitage",
-    "events_brown_forsythe",
-    "eval_qini_uplift",
-    "eval_krippendorff_alpha",
-    "events_panel_within",
-    "text_burstiness",
-    "corpus_tokenizer_audit",
-    "orders_weibull_fit",
-    "events_capture_recapture",
-    "eval_bradley_terry",
-    "events_extreme_gumbel",
-    "events_peaks_over_threshold",
-    "txnlog_changes_read",
-    "events_eb_shrinkage",
-    "events_burst_kleinberg",
-    "orders_hill_tail",
-    "events_slo_burn",
-    "orders_rolling_yoy",
-    "eval_threshold_cost",
-    "orders_replenishment_cycle",
-    "events_return_hazard",
-    "orders_hhi",
-    "supplier_lead_time",
-    "corpus_release_manifest",
-    "events_gap_percentiles",
-    "orders_discount_effect",
-    "graph_assortativity",
-    "corpus_dataset_card",
-    "part_spearman",
-    "orders_period_end_loading",
-    "stream_slo_burn",
+    # --- never driver-checked backlog (26 carried-over entries) ---
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",
     "events_event_study",
@@ -679,7 +629,7 @@ _CHECK_ORDER = [
     "interval_concurrency",
     "stream_static_enrich",
     "stream_cdc_apply",
-    # --- round-9 additions (next-window head, after the backlog) ---
+    # --- round-9 additions, never driver-checked (49 entries) ---
     "orders_theil_index",
     "orders_newsvendor",
     "part_cv2_adi_classes",
@@ -730,7 +680,7 @@ _CHECK_ORDER = [
     "eval_wilcoxon_signed_rank",
     "eval_permutation_test",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
-    # checked last (r1-r6 block, then the round-7 window) ---
+    # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",
     "dedup_span_ngrams",
     "embedding_kmeans",
@@ -925,7 +875,6 @@ _CHECK_ORDER = [
     "corpus_leakage_safe_split",
     "dedup_threshold_sweep",
     "eval_auc",
-    # --- round-7 driver window (checked r7) ---
     "packets_mixed_capture",
     "orders_target_encoding",
     "schema_evolution_read",
@@ -976,7 +925,6 @@ _CHECK_ORDER = [
     "events_poisson_rate",
     "eval_lift_gains",
     "text_script_mix",
-    # --- round-8 driver window (checked r8, 50/50 green) ---
     "eval_regression_metrics",
     "part_frequency_encoding",
     "orders_cramers_v",
@@ -1027,6 +975,57 @@ _CHECK_ORDER = [
     "orders_open_aging",
     "events_conversion_windows",
     "orders_drawdown",
+    # --- round-9 driver window (checked r9, 50/50 green) ---
+    "csv_quarantine_scan",
+    "graph_clustering_coeff",
+    "events_conversion_latency",
+    "feature_hashing_trick",
+    "vocab_coverage_curve",
+    "events_changepoint",
+    "orders_woe_encoding",
+    "events_welch_ttest",
+    "txnlog_compact_read",
+    "events_kruskal_wallis",
+    "eval_mcnemar",
+    "eval_cohens_kappa",
+    "orders_logrank",
+    "eval_ips_policy_value",
+    "jsonl_quarantine_scan",
+    "graph_hits",
+    "part_croston_demand",
+    "events_fdr_bh",
+    "text_textrank_keywords",
+    "events_cochran_armitage",
+    "events_brown_forsythe",
+    "eval_qini_uplift",
+    "eval_krippendorff_alpha",
+    "events_panel_within",
+    "text_burstiness",
+    "corpus_tokenizer_audit",
+    "orders_weibull_fit",
+    "events_capture_recapture",
+    "eval_bradley_terry",
+    "events_extreme_gumbel",
+    "events_peaks_over_threshold",
+    "txnlog_changes_read",
+    "events_eb_shrinkage",
+    "events_burst_kleinberg",
+    "orders_hill_tail",
+    "events_slo_burn",
+    "orders_rolling_yoy",
+    "eval_threshold_cost",
+    "orders_replenishment_cycle",
+    "events_return_hazard",
+    "orders_hhi",
+    "supplier_lead_time",
+    "corpus_release_manifest",
+    "events_gap_percentiles",
+    "orders_discount_effect",
+    "graph_assortativity",
+    "corpus_dataset_card",
+    "part_spearman",
+    "orders_period_end_loading",
+    "stream_slo_burn",
 ]
 
 

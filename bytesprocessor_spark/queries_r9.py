@@ -266,8 +266,8 @@ def orders_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH wk AS (
       SELECT l_partkey AS part,
-             DATE_DIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 7
-               AS week,
+             CAST(FLOOR(DATE_DIFF('day', DATE '1995-01-01',
+               CAST(l_shipdate AS DATE)) / 7.0) AS BIGINT) AS week,
              CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS d
       FROM lineitem GROUP BY 1, 2
     ),
