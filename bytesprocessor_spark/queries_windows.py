@@ -519,12 +519,17 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     width_bucket's portability trap).  Map-only until one small hash
     agg on the bucket id; the scan reads a single column."""
     orders = _t(spark, sf_dir, "orders")
+    # trunc-div on BOTH sides (Spark `div` == DuckDB `//`, hazard-class
+    # (a) sweep r10): the previous floor(x/step) double path agreed
+    # only because prices are positive — a negative out-of-fixture
+    # value would floor to -1 here but truncate to 0 in the oracle
     bucket = F.least(
-        F.floor(cents(F.col("o_totalprice")) / F.lit(3_000_000)).cast("long"),
+        F.expr("CAST(c div 3000000 AS BIGINT)"),
         F.lit(19).cast("long"),
     )
     return (
-        orders.select(bucket.alias("bucket"), cents(F.col("o_totalprice")).alias("c"))
+        orders.select(cents(F.col("o_totalprice")).alias("c"))
+        .select(bucket.alias("bucket"), "c")
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
