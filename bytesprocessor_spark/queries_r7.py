@@ -644,15 +644,19 @@ def lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT segment,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(res * res) AS BIGINT) AS sse_dd,
-             CAST(SUM(ABS(res)) AS BIGINT) AS sae_d,
-             CAST(SUM(y_d) AS BIGINT) AS sum_y,
-             CAST(SUM(y_d * y_d) AS BIGINT) AS sum_y2
+             SUM(CAST(res AS HUGEINT) * res) AS sse_h,
+             SUM(CAST(ABS(res) AS HUGEINT)) AS sae_h,
+             SUM(CAST(y_d AS HUGEINT)) AS sum_y,
+             SUM(CAST(y_d AS HUGEINT) * y_d) AS sum_y2
       FROM r GROUP BY segment
     )
-    SELECT segment, n, sse_dd, sae_d,
-           CAST(sae_d // n AS BIGINT) AS mae_d,
-           CAST(1000000 - sse_dd //
+    SELECT segment, n,
+           CASE WHEN sse_h <= 9223372036854775807
+                THEN CAST(sse_h AS BIGINT) END AS sse_dd,
+           CASE WHEN sae_h <= 9223372036854775807
+                THEN CAST(sae_h AS BIGINT) END AS sae_d,
+           CAST(sae_h // n AS BIGINT) AS mae_d,
+           CAST(1000000 - sse_h //
                 ((sum_y2 - sum_y * (sum_y // n)) // 1000000 + 1)
                 AS BIGINT) AS r2_ppm
     FROM s ORDER BY segment
@@ -666,10 +670,12 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout a model-eval pipeline runs per slice to find segments
     where the model underperforms.
 
-    Exact arithmetic: WHOLE-DOLLAR targets (cents would overflow: sum
-    of squared cent residuals passes 2^63 already at sf0.1), integer
-    predictor (truncating mean), so SSE/SAE are exact int64 to sf1
-    and beyond (res^2 <= 2.5e11 x 1.5e7 rows ~ 4e18 < 2^63); R^2 at
+    Exact arithmetic: WHOLE-DOLLAR targets, integer predictor
+    (truncating mean); SSE/SAE/SST accumulate exact 128-bit
+    (decimal(38,0) <-> HUGEINT) so the old ~sf20 int64 envelope is
+    gone — the raw sse_dd/sae_d readouts go NULL LOUDLY (both
+    engines) if a segment's sum ever exceeds int64, while MAE/R^2
+    keep computing from the wide values (VERDICT r9 #3); R^2 at
     ppm scale divides SSE by SST pre-scaled down by 1e6 (+1 floor
     guard) — every op a truncating integer div identical across
     engines; SST uses the truncated mean (sum_y2 - sum_y*(sum_y div
@@ -692,22 +698,32 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y_d",
         (F.col("y_d") - F.col("pred_d")).alias("res"),
     )
+    # exact 128-bit SSE/SST (decimal <-> HUGEINT): squared-residual
+    # sums left int64 around sf20; the metric trees run in 128-bit on
+    # both engines (every op still a truncating integer div), and only
+    # the RAW sum readouts are guarded — NULL when they exceed int64
+    # instead of silently wrapping (VERDICT r9 #3)
     s = r.groupBy("segment").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.col("res") * F.col("res")).cast("long").alias("sse_dd"),
-        F.sum(F.abs(F.col("res"))).cast("long").alias("sae_d"),
-        F.sum("y_d").cast("long").alias("sum_y"),
-        F.sum(F.col("y_d") * F.col("y_d")).cast("long").alias("sum_y2"),
+        F.sum(F.col("res").cast("decimal(19,0)") * F.col("res")).alias("sse_h"),
+        F.sum(F.abs(F.col("res")).cast("decimal(38,0)")).alias("sae_h"),
+        F.sum(F.col("y_d").cast("decimal(38,0)")).alias("sum_y"),
+        F.sum(F.col("y_d").cast("decimal(19,0)") * F.col("y_d")).alias("sum_y2"),
     )
+    _i64 = "9223372036854775807"
     return s.select(
         "segment",
         "n",
-        "sse_dd",
-        "sae_d",
-        F.expr("sae_d div n").alias("mae_d"),
         F.expr(
-            "1000000 - sse_dd div"
-            " ((sum_y2 - sum_y * (sum_y div n)) div 1000000 + 1)"
+            f"CASE WHEN sse_h <= {_i64} THEN CAST(sse_h AS BIGINT) END"
+        ).alias("sse_dd"),
+        F.expr(
+            f"CASE WHEN sae_h <= {_i64} THEN CAST(sae_h AS BIGINT) END"
+        ).alias("sae_d"),
+        F.expr("CAST(sae_h div n AS BIGINT)").alias("mae_d"),
+        F.expr(
+            "CAST(1000000 - sse_h div"
+            " ((sum_y2 - sum_y * (sum_y div n)) div 1000000 + 1) AS BIGINT)"
         ).alias("r2_ppm"),
     ).orderBy("segment")
 

@@ -2765,8 +2765,8 @@ def events_extreme_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(MAX(u) AS BIGINT) AS u, CAST(MAX(n_total) AS BIGINT)
                AS n_total,
              CAST(MAX(n) AS BIGINT) AS n,
-             CAST(SUM(y) AS BIGINT) AS s1,
-             CAST(SUM((i - 1) * y) AS BIGINT) AS sw
+             SUM(CAST(y AS HUGEINT)) AS s1,
+             SUM(CAST(i - 1 AS HUGEINT) * y) AS sw
       FROM rk
     )
     SELECT n, u AS threshold_c,
@@ -2800,9 +2800,11 @@ def events_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the threshold is percentile_disc (an actual data
     point, exact int64); exceedances are exact ints; the weighted
-    moment Σ(i-1)·y_i is EXACT int64 over the unique (y, event_id)
-    order (no per-row quantization needed — the weights are
-    integers); xi/sigma are fixed double trees, micro/milli-quantized.
+    moment Σ(i-1)·y_i is EXACT 128-bit (decimal(38,0) <-> HUGEINT)
+    over the unique (y, event_id) order (no per-row quantization
+    needed — the weights are integers; the old int64 ~sf30 bound is
+    gone, VERDICT r9 #3); xi/sigma are fixed double trees,
+    micro/milli-quantized.
 
     Scale shape: one pass for the threshold (bounded value domain),
     one filtered scan for exceedances, then the DISTRIBUTED rank
@@ -2831,8 +2833,12 @@ def events_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("u").cast("long").alias("u"),
         F.max("n_total").cast("long").alias("n_total"),
         F.count("*").cast("long").alias("n"),
-        F.sum("y").cast("long").alias("s1"),
-        F.sum((F.col("i") - 1) * F.col("y")).cast("long").alias("sw"),
+        # exact 128-bit (decimal <-> the oracle's HUGEINT): Σ(i−1)·y
+        # left int64 at ~sf30; neither sum is emitted, both feed ONE
+        # double conversion, so widening removes the bound outright
+        # with no guard column needed (VERDICT r9 #3)
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("i") - 1).cast("decimal(19,0)") * F.col("y")).alias("sw"),
     )
     nD = F.col("n").cast("double")
     b0 = F.col("s1").cast("double") / nD
@@ -2991,7 +2997,8 @@ def events_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: per-user (n, k) are exact; the per-user rate
     quantizes to micro BEFORE the prior moments (A88 device — rate^2
-    sums stay int64 to ~1e6 users, documented), m/v/K/shrunk are fixed
+    sums exact 128-bit — the old ~1e6-user int64 bound is gone,
+    VERDICT r9 #3), m/v/K/shrunk are fixed
     double trees; the decile readout buckets by NTILE over a unique
     total order and sums quantized integers.  Overdispersion beyond
     Bernoulli (v >= m(1-m)) leaves the prior undefined: NULL K and
@@ -3020,8 +3027,11 @@ def events_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pri = r.agg(
         F.count("*").cast("long").alias("n_users"),
-        F.sum("rate_u").cast("long").alias("s1"),
-        F.sum(F.col("rate_u") * F.col("rate_u")).cast("long").alias("s2"),
+        # exact 128-bit prior moments (decimal <-> HUGEINT): Σrate²
+        # left int64 at ~1e6 users; both sums feed one double each, so
+        # widening removes the bound with no guard (VERDICT r9 #3)
+        F.sum(F.col("rate_u").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("rate_u").cast("decimal(19,0)") * F.col("rate_u")).alias("s2"),
     )
     nuD = F.col("n_users").cast("double")
     m = F.col("s1").cast("double") / nuD / 1e6

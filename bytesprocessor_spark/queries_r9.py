@@ -1616,46 +1616,86 @@ _BASS_SCALE = 10  # adopter counts regress in units of 10 users
                   // {_BASS_SCALE} AS BIGINT) AS x
       FROM d
     ),
-    m AS (
+    mh AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
-             CAST(SUM(x) AS BIGINT) AS s1,
-             CAST(SUM(x * x) AS BIGINT) AS s2,
-             CAST(SUM(x * x * x) AS BIGINT) AS s3,
-             CAST(SUM(x * x * x * x) AS BIGINT) AS s4,
-             CAST(SUM(n) AS BIGINT) AS sy,
-             CAST(SUM(x * n) AS BIGINT) AS sxy,
-             CAST(SUM(x * x * n) AS BIGINT) AS sx2y
+             SUM(CAST(x AS HUGEINT)) AS s1h,
+             SUM(CAST(x AS HUGEINT) * x) AS s2h,
+             SUM(CAST(x AS HUGEINT) * x * x) AS s3h,
+             SUM(CAST(x AS HUGEINT) * x * x * x) AS s4h,
+             SUM(CAST(n AS HUGEINT)) AS syh,
+             SUM(CAST(x AS HUGEINT) * n) AS sxyh,
+             SUM(CAST(x AS HUGEINT) * x * n) AS sx2yh
       FROM c
+    ),
+    m AS (
+      SELECT k,
+             (ABS(s1h) <= 9223372036854775807
+              AND ABS(s2h) <= 9223372036854775807
+              AND ABS(s3h) <= 9223372036854775807
+              AND ABS(s4h) <= 9223372036854775807
+              AND ABS(syh) <= 9223372036854775807
+              AND ABS(sxyh) <= 9223372036854775807
+              AND ABS(sx2yh) <= 9223372036854775807) AS ok,
+             CAST(s1h AS DOUBLE) AS s1d, CAST(s2h AS DOUBLE) AS s2d,
+             CAST(s3h AS DOUBLE) AS s3d, CAST(s4h AS DOUBLE) AS s4d,
+             CAST(syh AS DOUBLE) AS syd, CAST(sxyh AS DOUBLE) AS sxyd,
+             CAST(sx2yh AS DOUBLE) AS sx2yd,
+             s1h, s2h, s3h, s4h, syh, sxyh, sx2yh
+      FROM mh
+    ),
+    mg AS (
+      SELECT k,
+             CASE WHEN ok THEN CAST(s1h AS BIGINT) END AS s1,
+             CASE WHEN ok THEN CAST(s2h AS BIGINT) END AS s2,
+             CASE WHEN ok THEN CAST(s3h AS BIGINT) END AS s3,
+             CASE WHEN ok THEN CAST(s4h AS BIGINT) END AS s4,
+             CASE WHEN ok THEN CAST(syh AS BIGINT) END AS sy,
+             CASE WHEN ok THEN CAST(sxyh AS BIGINT) END AS sxy,
+             CASE WHEN ok THEN CAST(sx2yh AS BIGINT) END AS sx2y,
+             CASE WHEN ok THEN s1d END AS s1f,
+             CASE WHEN ok THEN s2d END AS s2f,
+             CASE WHEN ok THEN s3d END AS s3f,
+             CASE WHEN ok THEN s4d END AS s4f,
+             CASE WHEN ok THEN syd END AS syf,
+             CASE WHEN ok THEN sxyd END AS sxyf,
+             CASE WHEN ok THEN sx2yd END AS sx2yf
+      FROM m
+    ),
+    mr AS (
+      SELECT k, s1, s2, s3, s4, sy, sxy, sx2y,
+             s1f AS s1d, s2f AS s2d, s3f AS s3d, s4f AS s4d,
+             syf AS syd, sxyf AS sxyd, sx2yf AS sx2yd
+      FROM mg
     )
     SELECT k AS n_days, s1, s2, s3, s4, sy, sxy, sx2y,
       CAST(ROUND((
-        CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
-        - CAST(s1 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))
-        + CAST(s2 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sx2y AS DOUBLE))
+        syd * (s2d * s4d - s3d * s3d)
+        - s1d * (sxyd * s4d - s3d * sx2yd)
+        + s2d * (sxyd * s3d - s2d * sx2yd)
       ) / (
-        CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
-        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
-        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        CAST(k AS DOUBLE) * (s2d * s4d - s3d * s3d)
+        - s1d * (s1d * s4d - s3d * s2d)
+        + s2d * (s1d * s3d - s2d * s2d)
       ) * 1000000) AS BIGINT) AS a_micro,
       CAST(ROUND((
-        CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))
-        - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
-        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))
+        CAST(k AS DOUBLE) * (sxyd * s4d - s3d * sx2yd)
+        - syd * (s1d * s4d - s3d * s2d)
+        + s2d * (s1d * sx2yd - sxyd * s2d)
       ) / (
-        CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
-        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
-        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        CAST(k AS DOUBLE) * (s2d * s4d - s3d * s3d)
+        - s1d * (s1d * s4d - s3d * s2d)
+        + s2d * (s1d * s3d - s2d * s2d)
       ) * 1000000) AS BIGINT) AS b_micro,
       CAST(ROUND((
-        CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE))
-        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))
-        + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        CAST(k AS DOUBLE) * (s2d * sx2yd - sxyd * s3d)
+        - s1d * (s1d * sx2yd - sxyd * s2d)
+        + syd * (s1d * s3d - s2d * s2d)
       ) / (
-        CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
-        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
-        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        CAST(k AS DOUBLE) * (s2d * s4d - s3d * s3d)
+        - s1d * (s1d * s4d - s3d * s2d)
+        + s2d * (s1d * s3d - s2d * s2d)
       ) * 1000000) AS BIGINT) AS c_micro
-    FROM m
+    FROM mr
     """,
 )
 def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,11 +1708,15 @@ def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the calendar, not the saturation term.
 
     Determinism: the regressor is integer (cumulative signups in
-    units of {_BASS_SCALE}, floor division — keeps Σx⁴ inside int64
-    to ~3e4 scaled cumulative adopters ≈ sf100); ALL regression
-    moments are exact int64; the three coefficients are Cramer's-rule
-    double trees over the eight moment integers with IDENTICAL
-    parenthesization on both engines, micro-quantized.  The raw
+    units of {_BASS_SCALE}, floor division); ALL regression moments
+    accumulate EXACT 128-bit (decimal(38,0) / HUGEINT — Σx⁴ is exact
+    far past sf100); every readout is guarded by an exact integer
+    compare and goes NULL LOUDLY on both engines the moment any
+    moment leaves int64 (no silent wrap, no oracle throw — the
+    VERDICT r9 #3 guard discipline, proven to fire by
+    tests/test_sf1_bounds.py); the three coefficients are
+    Cramer's-rule double trees over the eight moment integers with
+    IDENTICAL parenthesization on both engines, micro-quantized.  The raw
     (a, b, c) are emitted rather than (p, q, M): the root extraction
     is a client-side two-liner and keeping the readout linear in the
     moments avoids a second quantization layer.
@@ -1701,21 +1745,47 @@ def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {_BASS_SCALE} AS BIGINT)"
         ).alias("x"),
     )
+    # exact decimal(38,0) accumulation (the sf1-bounds discipline,
+    # VERDICT r9 #3): int64 Σx⁴ binds at ~3e4 scaled cumulative
+    # adopters ≈ sf100 — past it Spark's long sum would WRAP silently
+    # while DuckDB's HUGEINT CAST would throw.  Both engines now
+    # accumulate exact 128-bit and NULL every readout LOUDLY when any
+    # moment leaves int64 (guard is an exact integer compare, no
+    # double ulp at the boundary).
+    dec = "CAST(x AS DECIMAL(38,0))"
     m = c.agg(
         F.count("*").cast("long").alias("k"),
-        F.sum("x").cast("long").alias("s1"),
-        F.sum(F.expr("x * x")).cast("long").alias("s2"),
-        F.sum(F.expr("x * x * x")).cast("long").alias("s3"),
-        F.sum(F.expr("x * x * x * x")).cast("long").alias("s4"),
-        F.sum("n").cast("long").alias("sy"),
-        F.sum(F.expr("x * n")).cast("long").alias("sxy"),
-        F.sum(F.expr("x * x * n")).cast("long").alias("sx2y"),
+        F.sum(F.expr(dec)).alias("s1h"),
+        F.sum(F.expr(f"{dec} * x")).alias("s2h"),
+        F.sum(F.expr(f"{dec} * x * x")).alias("s3h"),
+        F.sum(F.expr(f"{dec} * x * x * x")).alias("s4h"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0))")).alias("syh"),
+        F.sum(F.expr(f"{dec} * n")).alias("sxyh"),
+        F.sum(F.expr(f"{dec} * x * n")).alias("sx2yh"),
+    )
+    _I64 = "9223372036854775807"
+    ok = F.expr(
+        " AND ".join(
+            f"abs({c_}) <= {_I64}"
+            for c_ in ("s1h", "s2h", "s3h", "s4h", "syh", "sxyh", "sx2yh")
+        )
+    )
+    m = m.select(
+        "k",
+        *[
+            F.when(ok, F.col(h).cast("long")).alias(h[:-1])
+            for h in ("s1h", "s2h", "s3h", "s4h", "syh", "sxyh", "sx2yh")
+        ],
+        *[
+            F.when(ok, F.col(h).cast("double")).alias(h[:-1] + "d")
+            for h in ("s1h", "s2h", "s3h", "s4h", "syh", "sxyh", "sx2yh")
+        ],
     )
     kD = F.col("k").cast("double")
-    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
-    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
-    sy, sxy = F.col("sy").cast("double"), F.col("sxy").cast("double")
-    sx2y = F.col("sx2y").cast("double")
+    s1, s2 = F.col("s1d"), F.col("s2d")
+    s3, s4 = F.col("s3d"), F.col("s4d")
+    sy, sxy = F.col("syd"), F.col("sxyd")
+    sx2y = F.col("sx2yd")
     det = (
         kD * (s2 * s4 - s3 * s3)
         - s1 * (s1 * s4 - s3 * s2)

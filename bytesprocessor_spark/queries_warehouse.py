@@ -1912,20 +1912,26 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s JOIN st USING (event_type)
       WINDOW w AS (PARTITION BY s.event_type ORDER BY s.d)
     ),
+    jd AS (
+      SELECT *, CAST(n AS HUGEINT) * v - s1 AS dh FROM j
+    ),
     a AS (
       SELECT event_type, MAX(n) AS n_days,
-             CAST(SUM((n*v - s1) * (n*v - s1)) AS BIGINT) AS den,
-             CAST(SUM(CASE WHEN v1 IS NULL THEN 0
-                           ELSE (n*v - s1) * (n*v1 - s1) END) AS BIGINT) AS num1,
-             CAST(SUM(CASE WHEN v2 IS NULL THEN 0
-                           ELSE (n*v - s1) * (n*v2 - s1) END) AS BIGINT) AS num2,
-             CAST(SUM(CASE WHEN v3 IS NULL THEN 0
-                           ELSE (n*v - s1) * (n*v3 - s1) END) AS BIGINT) AS num3
-      FROM j GROUP BY event_type
+             SUM(dh * dh) AS den,
+             SUM(CASE WHEN v1 IS NULL THEN 0
+                      ELSE dh * (CAST(n AS HUGEINT)*v1 - s1) END) AS num1,
+             SUM(CASE WHEN v2 IS NULL THEN 0
+                      ELSE dh * (CAST(n AS HUGEINT)*v2 - s1) END) AS num2,
+             SUM(CASE WHEN v3 IS NULL THEN 0
+                      ELSE dh * (CAST(n AS HUGEINT)*v3 - s1) END) AS num3
+      FROM jd GROUP BY event_type
     )
     SELECT event_type, lag,
            CAST(n_days AS BIGINT) AS n_days,
-           CAST(num * 1000000 // GREATEST(den, 1) AS BIGINT) AS acf_ppm
+           CASE WHEN ABS(num) <= 1000000000000000000000000000000
+                 AND den <= 1000000000000000000000000000000
+                THEN CAST(num * 1000000 // GREATEST(den, 1) AS BIGINT)
+           END AS acf_ppm
     FROM a, (VALUES (1), (2), (3)) AS lags(lag),
          LATERAL (SELECT CASE lag WHEN 1 THEN num1 WHEN 2 THEN num2
                                   ELSE num3 END AS num) x
@@ -1942,12 +1948,12 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: with S = sum(v) and n days, n^2 * (v_t - mean) =
     n*(n*v_t - S)/1, so num_l = sum((n*v_t - S)(n*v_{t-l} - S)) and
     den = sum((n*v_t - S)^2) carry the n^2 factor IDENTICALLY and it
-    cancels in the ratio — the ppm ACF is exact int64 arithmetic, no
-    float mean anywhere.  Daily sums are truncated to whole dollars to
-    bound the products: |n*v - S| <= n*max(v) ~ 1e8 dollars at sf10,
-    squared 1e16, x365 days ~ 4e18 < int64 — past sf~30 switch the
-    quantization down a decade (the documented Gram-matrix bound
-    convention).
+    cancels in the ratio — the ppm ACF is exact integer arithmetic,
+    no float mean anywhere.  Deviation products accumulate in exact
+    128-bit (decimal(38,0) <-> HUGEINT), so the old int64 sf~30 bound
+    is gone; an exact integer guard NULLs acf_ppm LOUDLY on both
+    engines past Σ = 1e30 (where the x1e6 ppm scaling would leave
+    decimal(38)) — no silent-overflow path (VERDICT r9 #3).
 
     Plan shape: one (type, day) partial agg absorbs the scan; the
     per-type stats join back broadcast (types are K-bounded); the lag
@@ -1972,15 +1978,24 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("v", 2).over(w).alias("v2"),
         F.lag("v", 3).over(w).alias("v3"),
     )
-    dev = F.col("n") * F.col("v") - F.col("s1")
+    # exact 128-bit deviation products (decimal(38,0) <-> the oracle's
+    # HUGEINT): the old int64 Σdev² bound (~sf30) is replaced by an
+    # exact-integer guard that NULLs acf_ppm LOUDLY past 1e30 —
+    # no silent wrap (VERDICT r9 #3)
+    dev = (F.col("n").cast("decimal(19,0)") * F.col("v") - F.col("s1")).cast(
+        "decimal(19,0)"
+    )
     term = lambda c: F.sum(  # noqa: E731
-        F.when(F.col(c).isNull(), F.lit(0)).otherwise(
-            dev * (F.col("n") * F.col(c) - F.col("s1"))
+        F.when(F.col(c).isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
+            dev
+            * (F.col("n").cast("decimal(19,0)") * F.col(c) - F.col("s1")).cast(
+                "decimal(19,0)"
+            )
         )
-    ).cast("long")
+    )
     a = j.groupBy("event_type").agg(
         F.max("n").alias("n_days"),
-        F.sum(dev * dev).cast("long").alias("den"),
+        F.sum(dev * dev).alias("den"),
         term("v1").alias("num1"),
         term("v2").alias("num2"),
         term("v3").alias("num3"),
@@ -1998,8 +2013,14 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag",
             F.col("n_days").cast("long").alias("n_days"),
             F.expr(
-                "CAST((CASE lag WHEN 1 THEN num1 WHEN 2 THEN num2 ELSE num3 END)"
-                " * 1000000 div GREATEST(den, 1) AS LONG)"
+                "CASE WHEN abs(CASE lag WHEN 1 THEN num1 WHEN 2 THEN num2"
+                " ELSE num3 END) <= CAST('1000000000000000000000000000000'"
+                " AS DECIMAL(38,0))"
+                " AND den <= CAST('1000000000000000000000000000000'"
+                " AS DECIMAL(38,0))"
+                " THEN CAST((CASE lag WHEN 1 THEN num1 WHEN 2 THEN num2"
+                " ELSE num3 END)"
+                " * 1000000 div GREATEST(den, 1) AS LONG) END"
             ).alias("acf_ppm"),
         )
         .orderBy("event_type", "lag")

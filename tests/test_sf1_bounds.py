@@ -331,3 +331,46 @@ def test_orders_hill_tail_sf1(spark, sf1_dir):
     # ~ 201 x 1.8e7 micro-units — int64-trivial; sf1 pins the rank
     # window + LN agreement at 1.5M rows
     _check(spark, sf1_dir, "orders_hill_tail", ["orders"])
+
+
+def test_events_bass_diffusion_overflow_guard(spark, tmp_path):
+    """VERDICT r9 #3: A109's documented ~sf100 Σx⁴ bound now has an
+    explicit guard instead of a silent-overflow path.  600k day-1
+    signups push the day-2 cumulative regressor to x = 60,000, whose
+    x⁴ = 1.296e19 exceeds int64 — BOTH engines must agree the readout
+    is NULL (Spark would previously wrap silently; the DuckDB oracle
+    would throw on the HUGEINT->BIGINT cast)."""
+    from bytesprocessor_spark.queries import ORACLE, QUERIES
+
+    d = str(tmp_path)
+    day1 = spark.range(600_000).select(
+        F.lit("2024-01-01 12:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit("signup").alias("event_type"),
+    )
+    tail = spark.createDataFrame(
+        [("2024-01-02 12:00:00",), ("2024-01-03 12:00:00",)], ["t"]
+    ).select(
+        F.col("t").cast("timestamp_ntz").alias("ts"),
+        F.lit("signup").alias("event_type"),
+    )
+    day1.unionByName(tail).write.parquet(f"{d}/events.parquet")
+
+    sdf = QUERIES["events_bass_diffusion"](spark, d).toPandas()
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    assert row["n_days"] == 3
+    for col in ("s4", "sxy", "a_micro", "b_micro", "c_micro"):
+        assert row[col] is None or row.isna()[col], f"{col} not NULLed"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    duck = con.execute(ORACLE["events_bass_diffusion"]).fetchdf()
+    duck_cols, duck_rows = _co._pdf_rows(duck)
+    spark_cols, spark_rows = _co._pdf_rows(sdf)
+    problems = _co.compare(
+        "events_bass_diffusion", spark_cols, spark_rows, duck_cols, duck_rows
+    )
+    assert not problems, "guarded NULL rows diverged: " + "\n".join(problems)
