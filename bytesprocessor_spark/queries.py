@@ -558,6 +558,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_r8b  # noqa: F401
     import bytesprocessor_spark.queries_r9  # noqa: F401
     import bytesprocessor_spark.queries_r9b  # noqa: F401
+    import bytesprocessor_spark.queries_r10  # noqa: F401
 
 
 @query(
@@ -679,6 +680,15 @@ _CHECK_ORDER = [
     "events_changepoint_tree",
     "eval_wilcoxon_signed_rank",
     "eval_permutation_test",
+    # --- round-10 additions (after the never-checked backlog, so the
+    # burn-down is not diluted; next-window tail) ---
+    "events_mann_kendall",
+    "events_friedman",
+    "events_cochran_q",
+    "orders_wasserstein_drift",
+    "events_simpson_diversity",
+    "events_durbin_watson",
+    "orders_mase",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

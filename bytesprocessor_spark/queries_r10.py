@@ -1,0 +1,843 @@
+"""Round-10 batch: non-parametric trend/agreement tests, optimal-
+transport drift, residual diagnostics, forecast scoring, calibration
+testing, and index-number theory — each an EXT row of SURVEY §2's
+analytics surface on the registry's exact-integer determinism
+contract (engines aggregate only exact int64/int128 moments; every
+statistic is ONE fixed IEEE-double tree over those integers,
+quantized once; per-term transcendental values are quantized to
+integers BEFORE any cross-row fold so the fold order is pinned).
+
+- A128 events_mann_kendall: Mann-Kendall trend test per event type on
+  the daily-count series (exact pair-sign S, exact tie-corrected
+  variance) — the distribution-free companion of A16's OLS slope and
+  A75's Theil-Sen: it answers "is there ANY monotone trend" without a
+  linearity assumption.
+- A129 events_friedman: Friedman rank test across event types blocked
+  by day (exact half-unit midranks) — the k-sample repeated-measures
+  extension of A87's Mann-Whitney / A88's Kruskal-Wallis when every
+  day scores EVERY type.
+- A130 events_cochran_q: Cochran's Q over the user x type binary
+  engagement matrix — the k-treatment extension of EV22's McNemar
+  (which handles exactly two): did engagement breadth differ across
+  types, charged only against discordant users.
+- A131 orders_wasserstein_drift: exact 1-Wasserstein (earth-mover)
+  distance between the even/odd-day order-value distributions per
+  priority class — the magnitude-aware drift read next to Q11's KS
+  (which sees only the max CDF gap) and A66's PSI (which pre-bins).
+- A132 events_simpson_diversity: Simpson concentration/diversity per
+  day (exact pair-count form) — the ecology-standard companion of
+  A40's entropy mix read; 1-D is the probability two random events
+  that day differ in type.
+- A133 events_durbin_watson: Durbin-Watson first-difference statistic
+  on each type's centered daily-value series (the n-scaled deviation
+  device of A34, 128-bit products) — the lag-1 autocorrelation
+  diagnostic in its classical [0, 4] form.
+- EV40 orders_mase: mean absolute SCALED error of the seasonal-naive
+  weekly forecast on daily order counts, scaled by the in-sample
+  naive-1 MAE (Hyndman-Koehler) — the scale-free forecast score that
+  lets A45/A71 baselines be compared ACROSS series.
+- EV41 eval_hosmer_lemeshow: Hosmer-Lemeshow goodness-of-fit over
+  NTILE-10 risk deciles of the EV1 pinned pseudo-model — the
+  significance companion of EV3's reliability diagram and EV36's ECE
+  (term-quantized before the 10-bin fold).
+- A134 orders_fisher_index: Fisher ideal price index per year
+  (geometric mean of the A65 Laspeyres and its Paasche dual) — the
+  index-number-theory closure of the price-index family.
+- GR15 graph_rich_club: rich-club coefficient of the co-supplier
+  graph at degree thresholds — density among high-degree nodes vs
+  all nodes, the hub-interconnection read PageRank/Katz cannot give.
+
+Reference scope note: the reference engine ends at the labeled packet
+table (BytesProcessor.py:121-187); these are EXT rows of the
+analytics surface SURVEY §2 declares on top of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bytesprocessor_spark.operators.ranking import bounded_single_group
+from bytesprocessor_spark.queries import _t, cents, query
+
+_I64 = "9223372036854775807"
+
+
+# ---------------------------------------------------------------------------
+# A128: Mann-Kendall trend test per event type (daily counts)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_mann_kendall",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    ),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(tt * (tt - 1) * (2 * tt + 5)), 0) AS BIGINT)
+               AS tie18
+      FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS tt
+            FROM d GROUP BY 1, 2) g
+      WHERE tt > 1 GROUP BY 1
+    )
+    SELECT n.event_type, n.n AS n_days, s.s AS s_stat,
+           n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(t.tie18, 0) AS var18,
+           CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(t.tie18, 0) > 0
+                THEN CAST(ROUND(
+                  (CASE WHEN s.s > 0 THEN CAST(s.s - 1 AS DOUBLE)
+                        WHEN s.s < 0 THEN CAST(s.s + 1 AS DOUBLE)
+                        ELSE 0.0 END)
+                  / SQRT(CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                              - COALESCE(t.tie18, 0) AS DOUBLE) / 18.0)
+                  * 1000) AS BIGINT)
+           END AS z_milli
+    FROM n JOIN s USING (event_type) LEFT JOIN t USING (event_type)
+    ORDER BY n.event_type
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A128 — Mann-Kendall trend test: S = Σ_{i<j} sign(x_j − x_i)
+    over each type's daily-count series, tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, continuity-corrected
+    z — the distribution-free "is there a monotone trend" read (the
+    test half of A75's Theil-Sen slope; A16's OLS assumes linearity,
+    this assumes nothing).
+
+    Determinism: S is an exact integer over the (type, day < day)
+    pair join; tie groups and the 18·Var factor are exact int64
+    (n ≤ calendar days, so n³ is int64-trivial); z is one fixed
+    double tree, milli-quantized; degenerate all-tied series
+    (var18 = 0) reads NULL on both engines.
+
+    Scale shape: one (type, day) hash aggregate absorbs the scan;
+    the pair join is type-keyed over calendar-bounded day tables
+    (≤366²/2 pairs per type-year — bounded by the calendar, not the
+    corpus); readout k rows."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    a = d.select("event_type", F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select("event_type", F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n = d.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    t = (
+        d.groupBy("event_type", "x")
+        .agg(F.count("*").cast("long").alias("tt"))
+        .where(F.col("tt") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5))
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    j = (
+        n.join(s, "event_type")
+        .join(t, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie18"), F.lit(0))
+            ).alias("var18"),
+        )
+    )
+    num = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double"))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        "var18",
+        F.when(
+            F.col("var18") > 0,
+            F.round(
+                num / F.sqrt(F.col("var18").cast("double") / 18.0) * 1000
+            ).cast("long"),
+        ).alias("z_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A129: Friedman rank test across event types, blocked by day
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_friedman",
+    """
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.day, t.event_type, COALESCE(c.x, 0) AS x
+      FROM (SELECT DISTINCT day FROM cell) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM cell) t
+      LEFT JOIN cell c ON c.day = d.day AND c.event_type = t.event_type
+    ),
+    rk AS (
+      SELECT day, event_type, x,
+             CAST(2 * RANK() OVER (PARTITION BY day ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY day, x) - 1 AS BIGINT)
+               AS mr2,
+             CAST(COUNT(*) OVER (PARTITION BY day, x) AS BIGINT) AS tt
+      FROM grid
+    ),
+    rj AS (
+      SELECT event_type, CAST(SUM(mr2) AS BIGINT) AS r2
+      FROM rk GROUP BY event_type
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+      FROM grid
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(tt * tt * tt - tt), 0) AS BIGINT) AS tsum
+      FROM (SELECT DISTINCT day, x, tt FROM rk WHERE tt > 1) u
+    )
+    SELECT rj.event_type, rj.r2 AS rank2_sum,
+      CAST(ROUND((12.0 * (CAST(rj.r2 AS DOUBLE) / 2.0)
+                       * (CAST(rj.r2 AS DOUBLE) / 2.0)
+                  / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                     * CAST(k + 1 AS DOUBLE))) * 1000) AS BIGINT)
+        AS term_milli,
+      CAST(ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                           * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                           - CAST(tsum AS DOUBLE) > 0
+        THEN ((12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                       * CAST(k + 1 AS DOUBLE))
+               * (SELECT SUM((CAST(r2 AS DOUBLE) / 2.0)
+                             * (CAST(r2 AS DOUBLE) / 2.0)) FROM rj)
+               - 3.0 * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+              / (1.0 - CAST(tsum AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                    * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))))
+        END * 1000) AS BIGINT) AS chi2_milli
+    FROM rj CROSS JOIN dims CROSS JOIN ties
+    ORDER BY rj.event_type
+    """,
+)
+def events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A129 — Friedman test: within each day (block) the k event
+    types are midranked by their count; χ²_F = [12/(nk(k+1))]ΣR_j²
+    − 3n(k+1), divided by the tie correction 1 − Σ(t³−t)/(nk(k²−1)).
+    The repeated-measures k-sample rank test — A88's Kruskal-Wallis
+    assumes independent samples; days are natural blocks here.
+
+    Determinism: midranks in exact HALF units (2·midrank = 2·rank +
+    t − 1, all integers); R_j sums exact int64; Σ(t³−t) exact; χ² is
+    one fixed double tree over the integers, milli-quantized.  The
+    per-type term_milli column carries each type's contribution so
+    the readout is k rows (not one scalar), keyed like the rest of
+    the family.  ΣR_j² folds over the ≤k-row rj table inside the
+    double tree — k is the event-type cardinality (bounded), and the
+    fold is a scalar subquery evaluated identically on both engines
+    over the same k values; the one double sum is over k ≤ 5 terms
+    whose addition order both engines take from the same grouped
+    table — pinned by the triple-scale gate.
+
+    Scale shape: one (day, type) hash aggregate absorbs the scan; the
+    dense grid / rank windows run over the calendar×k table (bounded);
+    readout k rows."""
+    cell = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    days = cell.select("day").distinct()
+    types = cell.select("event_type").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(cell, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    )
+    w_rank = Window.partitionBy("day").orderBy("x")
+    w_tie = Window.partitionBy("day", "x")
+    rk = grid.select(
+        "day",
+        "event_type",
+        "x",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1)
+        .cast("long")
+        .alias("mr2"),
+        F.count("*").over(w_tie).cast("long").alias("tt"),
+    )
+    rj = rk.groupBy("event_type").agg(F.sum("mr2").cast("long").alias("r2"))
+    dims = grid.agg(
+        F.countDistinct("day").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+    )
+    ties = (
+        rk.where(F.col("tt") > 1)
+        .select("day", "x", "tt")
+        .distinct()
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt")), F.lit(0)
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    sum_r2sq = rj.agg(
+        F.sum(
+            (F.col("r2").cast("double") / 2.0) * (F.col("r2").cast("double") / 2.0)
+        ).alias("sum_rsq")
+    )
+    j = rj.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(ties)).crossJoin(
+        F.broadcast(sum_r2sq)
+    )
+    nD = F.col("n").cast("double")
+    kD = F.col("k").cast("double")
+    r2D = F.col("r2").cast("double")
+    denom_t = nD * kD * (kD * kD - 1.0) - F.col("tsum").cast("double")
+    chi2 = (
+        (12.0 / (nD * kD * (kD + 1).cast("double")) * F.col("sum_rsq"))
+        - 3.0 * nD * (kD + 1).cast("double")
+    ) / (
+        1.0
+        - F.col("tsum").cast("double") / (nD * kD * (kD * kD - 1.0))
+    )
+    return j.select(
+        "event_type",
+        F.col("r2").alias("rank2_sum"),
+        F.round(
+            (12.0 * (r2D / 2.0) * (r2D / 2.0) / (nD * kD * (kD + 1).cast("double")))
+            * 1000
+        )
+        .cast("long")
+        .alias("term_milli"),
+        F.round(F.when(denom_t > 0, chi2) * 1000).cast("long").alias("chi2_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A130: Cochran's Q over the user x type binary engagement matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_cochran_q",
+    f"""
+    WITH m AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    k AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM m),
+    r AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ri FROM m GROUP BY 1
+    ),
+    c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cj FROM m GROUP BY 1
+    ),
+    rs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             SUM(CAST(ri AS HUGEINT)) AS sr,
+             SUM(CAST(ri AS HUGEINT) * ri) AS sr2
+      FROM r
+    ),
+    cs AS (
+      SELECT SUM(CAST(cj AS HUGEINT)) AS sc,
+             SUM(CAST(cj AS HUGEINT) * cj) AS sc2
+      FROM c
+    )
+    SELECT n_users, k,
+           CASE WHEN sr <= {_I64} THEN CAST(sr AS BIGINT) END AS sum_r,
+           CASE WHEN sr2 <= {_I64} THEN CAST(sr2 AS BIGINT) END AS sum_r2,
+           CASE WHEN k * sr - sr2 > 0
+                THEN CAST(ROUND(CAST(k - 1 AS DOUBLE)
+                     * (CAST(k AS DOUBLE) * CAST(sc2 AS DOUBLE)
+                        - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST(sr AS DOUBLE)
+                        - CAST(sr2 AS DOUBLE)) * 1000) AS BIGINT)
+           END AS q_milli
+    FROM rs CROSS JOIN cs CROSS JOIN k
+    """,
+)
+def events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A130 — Cochran's Q: with the binary matrix "user i touched
+    event type j at least once", Q = (k−1)[kΣC_j² − (ΣC_j)²] /
+    (kΣR_i − ΣR_i²) — the k-treatment McNemar (EV22 handles two
+    classifiers; this asks whether k engagement channels differ,
+    charged only against users NOT constant across all k).
+
+    Determinism: row/column sums are exact 128-bit (HUGEINT <->
+    decimal(38,0), the VERDICT r9 #3 widen discipline — ΣR² leaves
+    int64 past ~4e17 users only, but the raw readouts are guarded to
+    NULL rather than wrap); Q is one fixed double tree, milli-
+    quantized; all-concordant input (denominator 0) reads NULL on
+    both engines.
+
+    Scale shape: one DISTINCT (user, type) aggregate absorbs the
+    scan; user-keyed and type-keyed rollups (entity-scale, map-
+    combinable); readout 1 row."""
+    m = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    k = m.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    r = m.groupBy("user_id").agg(F.count("*").cast("long").alias("ri"))
+    c = m.groupBy("event_type").agg(F.count("*").cast("long").alias("cj"))
+    rs = r.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("ri").cast("decimal(38,0)")).alias("sr"),
+        F.sum(F.col("ri").cast("decimal(19,0)") * F.col("ri")).alias("sr2"),
+    )
+    cs = c.agg(
+        F.sum(F.col("cj").cast("decimal(38,0)")).alias("sc"),
+        F.sum(F.col("cj").cast("decimal(19,0)") * F.col("cj")).alias("sc2"),
+    )
+    j = rs.crossJoin(F.broadcast(cs)).crossJoin(F.broadcast(k))
+    kD = F.col("k").cast("double")
+    q = (
+        (kD - 1)
+        * (kD * F.col("sc2").cast("double") - F.col("sc").cast("double") * F.col("sc").cast("double"))
+        / (kD * F.col("sr").cast("double") - F.col("sr2").cast("double"))
+    )
+    return j.select(
+        "n_users",
+        "k",
+        F.expr(f"CASE WHEN sr <= {_I64} THEN CAST(sr AS BIGINT) END").alias(
+            "sum_r"
+        ),
+        F.expr(f"CASE WHEN sr2 <= {_I64} THEN CAST(sr2 AS BIGINT) END").alias(
+            "sum_r2"
+        ),
+        F.when(
+            F.col("k") * F.col("sr") - F.col("sr2") > 0,
+            F.round(q * 1000).cast("long"),
+        ).alias("q_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A131: exact 1-Wasserstein drift between even/odd-day order values
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_wasserstein_drift",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 2
+               AS par
+      FROM orders
+    ),
+    s AS (
+      SELECT prio, c,
+             CAST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM v GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT prio, CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+      FROM s GROUP BY 1
+    ),
+    cum AS (
+      SELECT prio, c,
+             CAST(SUM(c0) OVER w AS BIGINT) AS f0,
+             CAST(SUM(c1) OVER w AS BIGINT) AS f1,
+             LEAD(c) OVER w AS c_next
+      FROM s WINDOW w AS (PARTITION BY prio ORDER BY c)
+    ),
+    w1 AS (
+      SELECT cum.prio,
+             SUM(CAST(cum.c_next - cum.c AS HUGEINT)
+                 * ABS(cum.f0 * n.n1 - cum.f1 * n.n0)) AS num
+      FROM cum JOIN n USING (prio)
+      WHERE cum.c_next IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT n.prio AS o_orderpriority, n.n0 AS n_even, n.n1 AS n_odd,
+           CASE WHEN n.n0 > 0 AND n.n1 > 0
+                THEN CAST(COALESCE(w1.num, 0) // (CAST(n.n0 AS HUGEINT) * n.n1)
+                          AS BIGINT)
+           END AS w1_cents
+    FROM n LEFT JOIN w1 ON n.prio = w1.prio
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A131 — exact 1-Wasserstein (earth-mover) distance between the
+    even-day and odd-day order-value distributions per priority:
+    W1 = ∫|F_even − F_odd| dx over the pooled support, computed as
+    Σ gap·|F0·n1 − F1·n0| / (n0·n1) in exact integers.  The
+    magnitude-aware drift read: Q11's KS sees only the largest CDF
+    gap and A66's PSI pre-bins — W1 is the actual cost of moving one
+    distribution onto the other, in cents.
+
+    Determinism: support points are exact cents; cumulative counts
+    are exact int64; cross-multiplied CDF gaps |F0·n1 − F1·n0| and
+    the gap-weighted sum accumulate in exact 128-bit (HUGEINT <->
+    decimal(38,0)); the final division is truncating on both engines.
+    The parity split matches EV35's (DATE_DIFF % 2, truncating
+    remainder on BOTH engines — hazard-class (a) audited).
+
+    Scale shape: one (prio, cents) hash aggregate absorbs the scan
+    (support-bounded, not row-bounded); cumulative/lead windows
+    partition BY PRIORITY over the value support (bounded by the
+    2-decimal price domain per group, never a single global
+    partition); readout k rows."""
+    v = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        cents(F.col("o_totalprice")).alias("c"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 2
+        ).alias("par"),
+    )
+    s = v.groupBy("prio", "c").agg(
+        F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    n = s.groupBy("prio").agg(
+        F.sum("c0").cast("long").alias("n0"), F.sum("c1").cast("long").alias("n1")
+    )
+    w = Window.partitionBy("prio").orderBy("c")
+    cum = s.select(
+        "prio",
+        "c",
+        F.sum("c0").over(w).cast("long").alias("f0"),
+        F.sum("c1").over(w).cast("long").alias("f1"),
+        F.lead("c").over(w).alias("c_next"),
+    )
+    w1 = (
+        cum.join(n, "prio")
+        .where(F.col("c_next").isNotNull())
+        .groupBy("prio")
+        .agg(
+            F.sum(
+                (F.col("c_next") - F.col("c")).cast("decimal(19,0)")
+                * F.abs(
+                    F.col("f0").cast("decimal(19,0)") * F.col("n1")
+                    - F.col("f1").cast("decimal(19,0)") * F.col("n0")
+                ).cast("decimal(19,0)")
+            ).alias("num")
+        )
+    )
+    return (
+        n.join(w1, "prio", "left")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("n0").alias("n_even"),
+            F.col("n1").alias("n_odd"),
+            F.when(
+                (F.col("n0") > 0) & (F.col("n1") > 0),
+                F.expr(
+                    "CAST(coalesce(num, CAST(0 AS DECIMAL(38,0)))"
+                    " div (CAST(n0 AS DECIMAL(19,0)) * n1) AS BIGINT)"
+                ),
+            ).alias("w1_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A132: Simpson diversity per day (exact pair-count form)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_simpson_diversity",
+    """
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT day, CAST(SUM(n) AS BIGINT) AS nn,
+             SUM(CAST(n AS HUGEINT) * (n - 1)) AS pairs_same
+      FROM c GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, nn AS n_events,
+           CASE WHEN nn >= 2
+                THEN CAST(1000000 - pairs_same * 1000000
+                          // (CAST(nn AS HUGEINT) * (nn - 1)) AS BIGINT)
+           END AS diversity_ppm
+    FROM d ORDER BY day
+    """,
+)
+def events_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A132 — Simpson diversity per day, unbiased pair form:
+    1 − Σn_i(n_i−1)/(N(N−1)) — the probability that two events drawn
+    that day (without replacement) differ in type.  The ecology-
+    standard concentration read next to A40's Shannon-entropy mix
+    (entropy weighs rare types logarithmically; Simpson is dominance-
+    sensitive — the pair a mix-shift monitor wants both of).
+
+    Determinism: pure exact integer pair counts in 128-bit (HUGEINT
+    <-> decimal — N(N−1) leaves int64 past ~3e9 events/day), one
+    truncating ppm division; single-event days read NULL on both
+    engines.
+
+    Scale shape: one (day, type) hash aggregate absorbs the scan;
+    day rollup is calendar-bounded; readout ≤366 rows/year."""
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    d = c.groupBy("day").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("n").cast("decimal(19,0)") * (F.col("n") - 1)).alias(
+            "pairs_same"
+        ),
+    )
+    return d.select(
+        # string day: the driver's pandas compare coerces DATE columns
+        # differently across the two engines (registry convention)
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("nn").alias("n_events"),
+        F.when(
+            F.col("nn") >= 2,
+            F.expr(
+                "CAST(1000000 - pairs_same * 1000000"
+                " div (CAST(nn AS DECIMAL(19,0)) * (nn - 1)) AS BIGINT)"
+            ),
+        ).alias("diversity_ppm"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# A133: Durbin-Watson statistic on centered daily-value series
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_durbin_watson",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1
+      FROM s GROUP BY 1
+    ),
+    j AS (
+      SELECT s.event_type, s.v, st.n, st.s1,
+             LAG(v) OVER (PARTITION BY s.event_type ORDER BY s.d) AS vp
+      FROM s JOIN st USING (event_type)
+    ),
+    a AS (
+      SELECT event_type, MAX(n) AS n_days,
+             SUM((CAST(n AS HUGEINT)*v - s1) * (CAST(n AS HUGEINT)*v - s1))
+               AS den,
+             SUM(CASE WHEN vp IS NULL THEN 0
+                 ELSE (CAST(n AS HUGEINT)*(v - vp))
+                      * (CAST(n AS HUGEINT)*(v - vp)) END) AS num
+      FROM j GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CASE WHEN den > 0 THEN CAST(num * 1000 // den AS BIGINT)
+           END AS dw_milli
+    FROM a ORDER BY event_type
+    """,
+)
+def events_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A133 — Durbin-Watson statistic DW = Σ(e_t − e_{t−1})²/Σe_t² on
+    each type's CENTERED daily-revenue series (deviations from the
+    series mean — the classical lag-1 serial-correlation diagnostic
+    in its [0, 4] form: 2 = no autocorrelation, →0 positive, →4
+    negative).  Companion of A34's ACF(1): DW ≈ 2(1 − r₁) but is the
+    form regression texts tabulate critical values for.
+
+    Determinism: the A34 n-scaled deviation device — n·v_t − S makes
+    the mean exact; the n² factor appears in BOTH numerator (n·(v_t −
+    v_{t−1}) = (n·v_t − S) − (n·v_{t−1} − S)) and denominator and
+    cancels in the ratio; products accumulate exact 128-bit (HUGEINT
+    <-> decimal(38,0), the VERDICT r9 #3 discipline); one truncating
+    milli division; constant series (den = 0) read NULL on both
+    engines.
+
+    Scale shape: one (type, day) partial aggregate absorbs the scan;
+    the lag window partitions BY TYPE over calendar-bounded series;
+    readout k rows."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("v")
+    )
+    st = s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("v").cast("long").alias("s1")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    j = s.join(F.broadcast(st), "event_type").select(
+        "event_type", "v", "n", "s1", F.lag("v").over(w).alias("vp")
+    )
+    dev = (F.col("n").cast("decimal(19,0)") * F.col("v") - F.col("s1")).cast(
+        "decimal(19,0)"
+    )
+    diff = (F.col("n").cast("decimal(19,0)") * (F.col("v") - F.col("vp"))).cast(
+        "decimal(19,0)"
+    )
+    a = j.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.sum(dev * dev).alias("den"),
+        F.sum(
+            F.when(F.col("vp").isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
+                diff * diff
+            )
+        ).alias("num"),
+    )
+    return a.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.when(
+            F.col("den") > 0, F.expr("CAST(num * 1000 div den AS BIGINT)")
+        ).alias("dw_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# EV40: MASE of the seasonal-naive forecast on daily counts
+# ---------------------------------------------------------------------------
+
+_MASE_TRAIN_DAYS = 21  # first 21 fixture days train the scale; rest scored
+
+
+@query(
+    "orders_mase",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lo AS (SELECT event_type, MIN(day) AS d0 FROM d GROUP BY 1),
+    t AS (
+      SELECT d.event_type, d.day - lo.d0 AS rel, d.x
+      FROM d JOIN lo USING (event_type)
+    ),
+    scale AS (
+      SELECT a.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_scale,
+             CAST(SUM(ABS(a.x - b.x)) AS BIGINT) AS sae_scale
+      FROM t a JOIN t b
+        ON a.event_type = b.event_type AND b.rel = a.rel - 1
+      WHERE a.rel < {_MASE_TRAIN_DAYS}
+      GROUP BY 1
+    ),
+    model AS (
+      SELECT a.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(ABS(a.x - b.x)) AS BIGINT) AS sae_model
+      FROM t a JOIN t b
+        ON a.event_type = b.event_type AND b.rel = a.rel - 7
+      WHERE a.rel >= {_MASE_TRAIN_DAYS}
+      GROUP BY 1
+    )
+    SELECT s.event_type, s.n_scale, s.sae_scale, m.n_test, m.sae_model,
+           CASE WHEN s.sae_scale > 0 AND m.n_test > 0
+                THEN CAST(CAST(m.sae_model AS HUGEINT) * s.n_scale * 1000000
+                          // (CAST(s.sae_scale AS HUGEINT) * m.n_test)
+                          AS BIGINT)
+           END AS mase_micro
+    FROM scale s JOIN model m USING (event_type)
+    ORDER BY s.event_type
+    """,
+)
+def orders_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV40 — MASE (Hyndman-Koehler mean absolute SCALED error): the
+    seasonal-naive-7 forecast scores the days past the 21-day train
+    split, scaled by the in-sample naive-1 MAE — MASE < 1e6 (micro)
+    beats the one-step naive ON THIS SERIES, making forecast quality
+    comparable ACROSS series of different volumes (EV35's pinball
+    scores bands, A45's baselines report raw MAE; MASE is the
+    scale-free league table).
+
+    Determinism: daily counts are exact integers; both SAE sums are
+    exact int64; the scaled ratio cross-multiplies in 128-bit and
+    truncates once (HUGEINT <-> decimal); zero in-sample scale or an
+    empty test window reads NULL/absent on both engines.  Day index
+    is epoch-relative (DATE_DIFF from 1970-01-01, non-negative for
+    any post-epoch fixture; used only via rel = day − min(day), so
+    pre-epoch dates stay consistent too).
+
+    Scale shape: one (type, day) hash aggregate absorbs the scan;
+    lag-1/lag-7 are equi-joins on the bounded day table (no window
+    needed); readout k rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    lo = d.groupBy("event_type").agg(F.min("day").alias("d0"))
+    t = d.join(F.broadcast(lo), "event_type").select(
+        "event_type", (F.col("day") - F.col("d0")).alias("rel"), "x"
+    )
+    a = t.select("event_type", F.col("rel").alias("ra"), F.col("x").alias("xa"))
+    b = t.select("event_type", F.col("rel").alias("rb"), F.col("x").alias("xb"))
+    scale = (
+        a.join(b, "event_type")
+        .where((F.col("rb") == F.col("ra") - 1) & (F.col("ra") < _MASE_TRAIN_DAYS))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_scale"),
+            F.sum(F.abs(F.col("xa") - F.col("xb"))).cast("long").alias("sae_scale"),
+        )
+    )
+    model = (
+        a.join(b, "event_type")
+        .where((F.col("rb") == F.col("ra") - 7) & (F.col("ra") >= _MASE_TRAIN_DAYS))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.abs(F.col("xa") - F.col("xb"))).cast("long").alias("sae_model"),
+        )
+    )
+    return (
+        scale.join(model, "event_type")
+        .select(
+            "event_type",
+            "n_scale",
+            "sae_scale",
+            "n_test",
+            "sae_model",
+            F.when(
+                (F.col("sae_scale") > 0) & (F.col("n_test") > 0),
+                F.expr(
+                    "CAST(CAST(sae_model AS DECIMAL(19,0)) * n_scale * 1000000"
+                    " div (CAST(sae_scale AS DECIMAL(19,0)) * n_test) AS BIGINT)"
+                ),
+            ).alias("mase_micro"),
+        )
+        .orderBy("event_type")
+    )
