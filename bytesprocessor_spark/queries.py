@@ -689,6 +689,9 @@ _CHECK_ORDER = [
     "events_simpson_diversity",
     "events_durbin_watson",
     "orders_mase",
+    "eval_hosmer_lemeshow",
+    "orders_fisher_index",
+    "graph_rich_club",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

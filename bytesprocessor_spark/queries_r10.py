@@ -841,3 +841,372 @@ def orders_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# EV41: Hosmer-Lemeshow goodness-of-fit over NTILE-10 risk deciles
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_hosmer_lemeshow",
+    """
+    WITH b AS (
+      SELECT vec_id,
+             CAST(label % 2 AS BIGINT) AS y,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           + CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+               AS score
+      FROM embeddings
+    ),
+    mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM b),
+    p AS (
+      SELECT vec_id, y,
+             CAST(((score - lo) * 1000000) // GREATEST(hi - lo, 1) AS BIGINT)
+               AS pm
+      FROM b, mm
+    ),
+    g AS (
+      SELECT *, CAST(NTILE(10) OVER (ORDER BY pm, vec_id) AS BIGINT) AS bin
+      FROM p
+    ),
+    s AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS obs_pos,
+             CAST(SUM(pm) AS BIGINT) AS exp_pos_micro
+      FROM g GROUP BY bin
+    ),
+    t AS (
+      SELECT bin, n, obs_pos, exp_pos_micro,
+             CASE WHEN exp_pos_micro > 0 AND exp_pos_micro < n * 1000000
+                  THEN CAST(ROUND(
+                    (CAST(obs_pos AS DOUBLE)
+                     - CAST(exp_pos_micro AS DOUBLE) / 1000000.0)
+                    * (CAST(obs_pos AS DOUBLE)
+                       - CAST(exp_pos_micro AS DOUBLE) / 1000000.0)
+                    / ((CAST(exp_pos_micro AS DOUBLE) / 1000000.0)
+                       * (1.0 - CAST(exp_pos_micro AS DOUBLE) / 1000000.0
+                                / CAST(n AS DOUBLE)))
+                    * 1000000000) AS BIGINT)
+                  ELSE 0 END AS term_nano
+      FROM s
+    )
+    SELECT bin, n, obs_pos, exp_pos_micro, term_nano,
+           CAST(SUM(term_nano) OVER () AS BIGINT) AS hl_nano
+    FROM t ORDER BY bin
+    """,
+)
+def eval_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV41 — Hosmer-Lemeshow goodness-of-fit: the EV1 pinned pseudo-
+    model's min-max micro-probabilities are cut into NTILE-10 risk
+    deciles ((pm, vec_id) total order); per decile the χ² term
+    (O − E)²/(E(1 − E/n)) compares observed positives against the
+    summed predicted probability; HL = Σ over the 10 bins, against
+    χ²(8) criticals.  EV3's reliability diagram SHOWS the miscali-
+    bration and EV36's ECE averages it; HL is the significance test a
+    model-validation report quotes.
+
+    Determinism: pm and per-bin sums are exact int64 (Σpm is the
+    exact expected-positive count in micro units); each bin's χ² term
+    is ONE fixed double tree NANO-QUANTIZED BEFORE the 10-bin fold,
+    so HL is an exact integer sum (the A112 Ljung-Box discipline);
+    degenerate bins (E = 0 or E = n) contribute an agreed exact 0.
+
+    Scale shape: the decile assignment uses the DISTRIBUTED ntile
+    device (range-partitioned rank, no single-partition window); one
+    10-bin hash aggregate; the Σ over 10 bins runs on the bounded
+    bin table; readout 10 rows."""
+    from bytesprocessor_spark.operators.ranking import distributed_ntile
+    from bytesprocessor_spark.queries_eval import _scored
+
+    b = _scored(spark, sf_dir)
+    mm = b.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    p = (
+        b.crossJoin(F.broadcast(mm))
+        .select(
+            "vec_id",
+            "y",
+            F.expr(
+                "CAST(((score - lo) * 1000000) div GREATEST(hi - lo, 1)"
+                " AS BIGINT)"
+            ).alias("pm"),
+        )
+    )
+    g = distributed_ntile(p, [F.col("pm").asc(), F.col("vec_id").asc()], 10,
+                          tile_col="bin")
+    s = g.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("obs_pos"),
+        F.sum("pm").cast("long").alias("exp_pos_micro"),
+    )
+    eD = F.col("exp_pos_micro").cast("double") / 1000000.0
+    oD = F.col("obs_pos").cast("double")
+    nD = F.col("n").cast("double")
+    term = F.when(
+        (F.col("exp_pos_micro") > 0)
+        & (F.col("exp_pos_micro") < F.col("n") * 1000000),
+        F.round((oD - eD) * (oD - eD) / (eD * (1.0 - eD / nD)) * 1000000000)
+        .cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    t = bounded_single_group(s.select("bin", "n", "obs_pos",
+                                      "exp_pos_micro", term.alias("term_nano")))
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return t.select(
+        "bin",
+        "n",
+        "obs_pos",
+        "exp_pos_micro",
+        "term_nano",
+        F.sum("term_nano").over(w_all).cast("long").alias("hl_nano"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# A134: Fisher ideal price index (Laspeyres x Paasche geometric mean)
+# ---------------------------------------------------------------------------
+
+_FISHER_BASE_YEAR = 1995
+
+
+@query(
+    "orders_fisher_index",
+    f"""
+    WITH li AS (
+      SELECT l_partkey,
+             EXTRACT(year FROM l_shipdate) AS yr,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) BETWEEN {_FISHER_BASE_YEAR} AND 2000
+    ),
+    pp AS (
+      SELECT l_partkey, yr,
+             CAST(SUM(price_c) * 1000 // SUM(qty_c) AS BIGINT) AS unit_milli,
+             CAST(SUM(qty_c) AS BIGINT) AS q
+      FROM li GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, unit_milli AS p0, q AS q0 FROM pp
+      WHERE yr = {_FISHER_BASE_YEAR}
+    ),
+    j AS (
+      SELECT pp.yr, pp.unit_milli AS pt, pp.q AS qt, base.p0, base.q0
+      FROM pp JOIN base USING (l_partkey)
+      WHERE pp.yr > {_FISHER_BASE_YEAR}
+    ),
+    k AS (
+      SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(pt * q0 // 1000) AS BIGINT) AS lasp_now,
+             CAST(SUM(p0 * q0 // 1000) AS BIGINT) AS lasp_base,
+             CAST(SUM(pt * qt // 1000) AS BIGINT) AS paasche_now,
+             CAST(SUM(p0 * qt // 1000) AS BIGINT) AS paasche_base
+      FROM j GROUP BY yr
+    )
+    SELECT yr, n_parts,
+           CAST(lasp_now * 1000 // lasp_base AS BIGINT) AS laspeyres_milli,
+           CAST(paasche_now * 1000 // paasche_base AS BIGINT)
+             AS paasche_milli,
+           CAST(ROUND(SQRT((CAST(lasp_now AS DOUBLE)
+                            / CAST(lasp_base AS DOUBLE))
+                           * (CAST(paasche_now AS DOUBLE)
+                              / CAST(paasche_base AS DOUBLE))) * 1000)
+                AS BIGINT) AS fisher_milli
+    FROM k ORDER BY yr
+    """,
+)
+def orders_fisher_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A134 — Fisher ideal price index per year: the geometric mean of
+    the Laspeyres index (base-year basket, A65) and the Paasche index
+    (current-year basket) — Laspeyres overstates inflation (frozen
+    basket ignores substitution), Paasche understates it; Fisher is
+    the superlative index national accounts actually publish, closing
+    the price-index family.
+
+    Determinism: unit prices are exact truncating milli-divisions of
+    cents sums; all four baskets are exact int64 sums of truncated
+    products (the A65 device); Laspeyres/Paasche are truncating milli
+    ratios; Fisher is ONE double tree (two exact-int ratios, a
+    product, a sqrt), milli-quantized.
+
+    Scale shape: one (part, year) partial aggregate absorbs the scan;
+    the base-year slice joins back on partkey (co-partitioned with
+    the aggregate); K-year readout."""
+    li = _t(spark, sf_dir, "lineitem")
+    l = li.where(F.year("l_shipdate").between(_FISHER_BASE_YEAR, 2000)).select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        cents(F.col("l_quantity")).alias("qty_c"),
+    )
+    pp = l.groupBy("l_partkey", "yr").agg(
+        F.expr("CAST(sum(price_c) * 1000 div sum(qty_c) AS BIGINT)").alias(
+            "unit_milli"
+        ),
+        F.sum("qty_c").cast("long").alias("q"),
+    )
+    base = pp.where(F.col("yr") == _FISHER_BASE_YEAR).select(
+        "l_partkey", F.col("unit_milli").alias("p0"), F.col("q").alias("q0")
+    )
+    k = (
+        pp.where(F.col("yr") > _FISHER_BASE_YEAR)
+        .join(base, "l_partkey")
+        .groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.expr("unit_milli * q0 div 1000")).cast("long").alias("lasp_now"),
+            F.sum(F.expr("p0 * q0 div 1000")).cast("long").alias("lasp_base"),
+            F.sum(F.expr("unit_milli * q div 1000")).cast("long").alias(
+                "paasche_now"
+            ),
+            F.sum(F.expr("p0 * q div 1000")).cast("long").alias("paasche_base"),
+        )
+    )
+    fisher = F.round(
+        F.sqrt(
+            (F.col("lasp_now").cast("double") / F.col("lasp_base").cast("double"))
+            * (
+                F.col("paasche_now").cast("double")
+                / F.col("paasche_base").cast("double")
+            )
+        )
+        * 1000
+    ).cast("long")
+    return k.select(
+        "yr",
+        "n_parts",
+        F.expr("CAST(lasp_now * 1000 div lasp_base AS BIGINT)").alias(
+            "laspeyres_milli"
+        ),
+        F.expr("CAST(paasche_now * 1000 div paasche_base AS BIGINT)").alias(
+            "paasche_milli"
+        ),
+        fisher.alias("fisher_milli"),
+    ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# GR15: rich-club coefficient of the strong-edge co-supplier graph
+# ---------------------------------------------------------------------------
+
+_RICH_CLUB_KS = (2, 4, 8, 16)
+
+
+@query(
+    "graph_rich_club",
+    f"""
+    WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    pw AS (
+      SELECT a.s AS a, b.s AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    rkd AS (
+      SELECT a, b,
+             ROW_NUMBER() OVER (ORDER BY w DESC, a, b) AS rk,
+             COUNT(*) OVER () AS n
+      FROM pw
+    ),
+    e0 AS (SELECT a, b FROM rkd WHERE rk <= GREATEST(n // 10, 10)),
+    deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS u FROM e0 UNION ALL SELECT b AS u FROM e0) x
+      GROUP BY u
+    ),
+    ks AS (SELECT UNNEST([{", ".join(str(k) for k in _RICH_CLUB_KS)}]) AS k),
+    nodes AS (
+      SELECT ks.k, CAST(COUNT(deg.u) AS BIGINT) AS n_nodes
+      FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k
+    ),
+    edges AS (
+      SELECT ks.k, CAST(COUNT(ee.a) AS BIGINT) AS n_edges
+      FROM ks LEFT JOIN (
+        SELECT e0.a, e0.b, da.d AS dda, db.d AS ddb
+        FROM e0 JOIN deg da ON e0.a = da.u JOIN deg db ON e0.b = db.u
+      ) ee ON ee.dda > ks.k AND ee.ddb > ks.k
+      GROUP BY ks.k
+    )
+    SELECT n.k, n.n_nodes, e.n_edges,
+           CASE WHEN n.n_nodes >= 2
+                THEN CAST(2 * e.n_edges * 1000000
+                          // (n.n_nodes * (n.n_nodes - 1)) AS BIGINT)
+           END AS phi_ppm
+    FROM nodes n JOIN edges e USING (k) ORDER BY n.k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR15 — rich-club coefficient φ(k) = 2·E_k / (N_k(N_k−1)) of
+    the strong-edge co-supplier graph: among nodes of degree > k, the
+    realized fraction of possible edges.  Rising φ(k) says hubs
+    preferentially interconnect (a rich club) — the topology read
+    PageRank/Katz (importance) and GR10 (local clustering) cannot
+    give; it is THE supply-chain concentration-risk structure metric.
+
+    Edge rule: GR12's strong-edge discipline (top 10% of pairs by
+    co-order weight, floor 10, distributed rank cut) — φ over the
+    near-complete raw graph is structurally 1.
+
+    Determinism: exact integer degrees/counts over the unique
+    (w desc, a, b) rank order; φ is a truncating ppm division;
+    clubs with fewer than 2 members read NULL on both engines.
+
+    Scale shape: the memoized pair-weight substrate + distributed
+    rank cut (GR12's plan); degrees and club filters are equi-joins
+    on integer keys; the k-grid is a 4-row broadcast; readout 4
+    rows."""
+    from bytesprocessor_spark.operators.graph import supplier_pair_weights
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
+    pw = supplier_pair_weights(spark, sf_dir)
+    rkd = distributed_rank(
+        pw,
+        [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
+        rank_col="rk",
+        total_col="n",
+    )
+    e0 = rkd.where(
+        F.col("rk") <= F.greatest(F.expr("n div 10"), F.lit(10))
+    ).select("a", "b")
+    deg = (
+        e0.select(F.col("a").alias("u"))
+        .unionAll(e0.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _RICH_CLUB_KS], ["k"]).select(
+        F.col("k").cast("long").alias("k")
+    )
+    nodes = (
+        ks.join(deg, deg.d > ks.k, "left")
+        .groupBy("k")
+        .agg(F.count(deg.u).cast("long").alias("n_nodes"))
+    )
+    ee = (
+        e0.join(deg.select(F.col("u").alias("ua"), F.col("d").alias("dda")),
+                F.col("a") == F.col("ua"))
+        .join(deg.select(F.col("u").alias("ub"), F.col("d").alias("ddb")),
+              F.col("b") == F.col("ub"))
+        .select("a", "b", "dda", "ddb")
+    )
+    edges = (
+        ks.join(ee, (ee.dda > ks.k) & (ee.ddb > ks.k), "left")
+        .groupBy("k")
+        .agg(F.count(ee.a).cast("long").alias("n_edges"))
+    )
+    return (
+        nodes.join(edges, "k")
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.when(
+                F.col("n_nodes") >= 2,
+                F.expr(
+                    "CAST(2 * n_edges * 1000000"
+                    " div (n_nodes * (n_nodes - 1)) AS BIGINT)"
+                ),
+            ).alias("phi_ppm"),
+        )
+        .orderBy("k")
+    )
