@@ -399,6 +399,20 @@ HEADLINE = [
     "orders_price_elasticity",
     "orders_cyclic_encoding",
     "events_time_to_second",
+    # round-10 additions (10) — heavier entries (graph/ntile/pair
+    # join) first, sub-second statistics tail last
+    "graph_rich_club",
+    "eval_hosmer_lemeshow",
+    "orders_wasserstein_drift",
+    "events_mann_kendall",
+    "events_friedman",
+    "events_cochran_q",
+    "events_durbin_watson",
+    "orders_mase",
+    "orders_fisher_index",
+    "events_simpson_diversity",
+    "orders_nelson_aalen",
+    "orders_holm_bonferroni",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -485,6 +499,19 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
+    # round-10 additions (12)
+    "orders_nelson_aalen",
+    "orders_holm_bonferroni",
+    "graph_rich_club",
+    "eval_hosmer_lemeshow",
+    "orders_wasserstein_drift",
+    "events_mann_kendall",
+    "events_friedman",
+    "events_cochran_q",
+    "events_durbin_watson",
+    "orders_mase",
+    "orders_fisher_index",
+    "events_simpson_diversity",
     # round-9 seventh batch (6)
     "eval_permutation_test",
     "events_changepoint_tree",

@@ -692,6 +692,8 @@ _CHECK_ORDER = [
     "eval_hosmer_lemeshow",
     "orders_fisher_index",
     "graph_rich_club",
+    "orders_nelson_aalen",
+    "orders_holm_bonferroni",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

@@ -1210,3 +1210,284 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# A135: Nelson-Aalen cumulative hazard (the A37 Kaplan-Meier twin)
+# ---------------------------------------------------------------------------
+
+_NA_CUTOFF = "1995-07-01 00:00:00"  # A37's administrative censoring date
+
+
+@query(
+    "orders_nelson_aalen",
+    f"""
+    WITH fs AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    obs AS (
+      SELECT CASE WHEN fs.first_ship <= TIMESTAMP '{_NA_CUTOFF}'
+                  THEN date_diff('day', o.o_orderdate, fs.first_ship)
+                  ELSE date_diff('day', o.o_orderdate, TIMESTAMP '{_NA_CUTOFF}')
+             END AS t,
+             CASE WHEN fs.first_ship <= TIMESTAMP '{_NA_CUTOFF}'
+                  THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '{_NA_CUTOFF}'
+    ),
+    h AS (
+      SELECT t, COUNT(*) AS m, CAST(SUM(ev) AS BIGINT) AS d
+      FROM obs GROUP BY t
+    ),
+    r AS (
+      SELECT t, d,
+             CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
+               - COALESCE(SUM(m) OVER (ORDER BY t
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS n_risk
+      FROM h
+    ),
+    steps AS (
+      SELECT t, d, n_risk,
+             CAST(d * 1000000 // n_risk AS BIGINT) AS inc_micro
+      FROM r WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events,
+           CAST(SUM(inc_micro) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS hazard_micro,
+           CAST(ROUND(EXP(-CAST(SUM(inc_micro) OVER (ORDER BY t
+                                                     ROWS UNBOUNDED PRECEDING)
+                            AS DOUBLE) / 1000000) * 1000000) AS BIGINT)
+             AS surv_fh_ppm
+    FROM steps ORDER BY t_day
+    """,
+)
+def orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A135 — Nelson-Aalen cumulative hazard over the A37 order→ship
+    duration data (same censoring design): H(t) = Σ_{{t_i≤t}} d_i/n_i,
+    plus the Fleming-Harrington survival exp(−H(t)) — the hazard-side
+    twin of Kaplan-Meier (A37 multiplies survival factors; NA sums
+    hazard increments, is defined even when a step empties the risk
+    set, and is what a proportional-hazards diagnostic actually
+    plots).
+
+    Determinism: per-step increments d/n are truncating micro
+    divisions (exact ints); the cumulative hazard is an EXACT integer
+    prefix sum of those quantized increments (never a double fold);
+    exp(−H) is one double per row, ppm-quantized.
+
+    Scale shape: A37's exact plan — (order, first-ship) aggregate,
+    duration-keyed hash aggregate, prefix windows over the duration-
+    DOMAIN-bounded step table (declared bounded_single_group);
+    readout ≤ duration-domain rows."""
+    from pyspark.sql.window import Window as W
+
+    cutoff = F.lit(_NA_CUTOFF).cast("timestamp_ntz")
+    li = _t(spark, sf_dir, "lineitem")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    o = _t(spark, sf_dir, "orders")
+    obs = (
+        o.where(F.col("o_orderdate") < cutoff)
+        .join(fs, o["o_orderkey"] == fs["l_orderkey"])
+        .select(
+            F.when(
+                F.col("first_ship") <= cutoff,
+                F.datediff(F.col("first_ship"), F.col("o_orderdate")),
+            )
+            .otherwise(F.datediff(cutoff, F.col("o_orderdate")))
+            .alias("t"),
+            F.when(F.col("first_ship") <= cutoff, 1).otherwise(0).alias("ev"),
+        )
+    )
+    h = obs.groupBy("t").agg(
+        F.count("*").alias("m"), F.sum("ev").cast("long").alias("d")
+    )
+    n_total = obs.agg(F.count("*").cast("long").alias("n_total"))
+    h = bounded_single_group(h)  # duration-domain-bounded table
+    wprev = (
+        W.partitionBy("__opid").orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = h.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d",
+        (F.col("n_total") - F.coalesce(F.sum("m").over(wprev), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    steps = r.where(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.expr("CAST(d * 1000000 div n_risk AS BIGINT)").alias("inc_micro"),
+    )
+    steps = bounded_single_group(steps, col_name="__opid2")
+    wcum = (
+        W.partitionBy("__opid2").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    )
+    hz = F.sum("inc_micro").over(wcum).cast("long")
+    return steps.select(
+        F.col("t").cast("long").alias("t_day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        hz.alias("hazard_micro"),
+        F.round(F.exp(-hz.cast("double") / 1000000) * 1000000)
+        .cast("long")
+        .alias("surv_fh_ppm"),
+    ).orderBy("t_day")
+
+
+# ---------------------------------------------------------------------------
+# A136: Holm-Bonferroni step-down over the A90 test family
+# ---------------------------------------------------------------------------
+
+def _holm_sql() -> str:
+    from bytesprocessor_spark.queries_r8b import _PHI_TAIL
+
+    z = (
+        "((CAST(n_gd AS DOUBLE) / CAST(n_d AS DOUBLE)"
+        " - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        " / SQRT(CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE)"
+        "        * (1.0 - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        "        / CAST(n_d AS DOUBLE)))"
+    )
+    tail = _PHI_TAIL.replace("ZG", f"ABS({z})")
+    return f"""
+    WITH cell AS (
+      SELECT event_type AS g, ISODOW(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_gd
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT g, dow, n_gd,
+             CAST(SUM(n_gd) OVER (PARTITION BY dow) AS BIGINT) AS n_d,
+             CAST(SUM(n_gd) OVER (PARTITION BY g) AS BIGINT) AS n_g,
+             CAST(SUM(n_gd) OVER () AS BIGINT) AS nn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_tests
+      FROM cell
+    ),
+    p AS (
+      SELECT g, dow, n_gd, n_tests,
+             CAST(ROUND(2.0 * {tail} * 1000000) AS BIGINT) AS p_micro
+      FROM m WHERE n_g < nn
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_micro, g, dow) AS BIGINT)
+                  AS rank
+      FROM p
+    ),
+    st AS (
+      SELECT *,
+             LEAST(1000000, p_micro * (n_tests - rank + 1)) AS raw_adj,
+             CAST(MIN(CASE WHEN p_micro * (n_tests - rank + 1) > 50000
+                           THEN rank ELSE NULL END) OVER () AS BIGINT)
+               AS first_accept
+      FROM r
+    )
+    SELECT g AS event_type, dow, n_gd, p_micro, rank,
+           CAST(MAX(raw_adj) OVER (ORDER BY rank
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS p_adj_micro,
+           (first_accept IS NULL OR rank < first_accept) AS rejected
+    FROM st ORDER BY rank
+    """
+
+
+@query("orders_holm_bonferroni", _holm_sql())
+def orders_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A136 — Holm-Bonferroni step-down over the A90 family (35
+    type×weekday proportion z-tests): reject while p_(i) ≤
+    α/(m−i+1), adjusted p = running max of min(1, p_(i)·(m−i+1)).
+    Controls FWER with NO independence assumption — the conservative
+    companion of A90's BH step-up (which controls FDR); a metrics
+    platform reports both.
+
+    Determinism: A90's exact machinery verbatim (integer cell counts,
+    the pinned Abramowitz-Stegun 26.2.17 normal tail, micro-quantized
+    p BEFORE any comparison); the step-down scan and running max run
+    over integer p_micro on the bounded 35-row family; the rejection
+    frontier is an integer rank compare at α = 0.05.
+
+    Scale shape: one (type, dow) hash aggregate absorbs the scan;
+    every window after it runs on the k×7-bounded test family;
+    readout 35 rows."""
+    from bytesprocessor_spark.queries_r8b import _PHI_TAIL
+
+    ev = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("event_type").alias("g"),
+        # A90's engine-neutral ISODOW device (Spark weekday: Monday=0)
+        (F.expr("weekday(ts)") + 1).cast("long").alias("dow"),
+    ).agg(F.count("*").cast("long").alias("n_gd"))
+    cell = bounded_single_group(cell)
+    w_dow = Window.partitionBy("__opid", "dow")
+    w_g = Window.partitionBy("__opid", "g")
+    w_all = Window.partitionBy("__opid")
+    m = cell.select(
+        "g",
+        "dow",
+        "n_gd",
+        F.sum("n_gd").over(w_dow).cast("long").alias("n_d"),
+        F.sum("n_gd").over(w_g).cast("long").alias("n_g"),
+        F.sum("n_gd").over(w_all).cast("long").alias("nn"),
+        F.count("*").over(w_all).cast("long").alias("n_tests"),
+        F.col("__opid"),
+    )
+    z = (
+        "((CAST(n_gd AS DOUBLE) / CAST(n_d AS DOUBLE)"
+        " - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        " / SQRT(CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE)"
+        "        * (1.0 - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        "        / CAST(n_d AS DOUBLE)))"
+    )
+    tail = _PHI_TAIL.replace("ZG", f"ABS({z})")
+    p = m.where(F.col("n_g") < F.col("nn")).select(
+        "g",
+        "dow",
+        "n_gd",
+        "n_tests",
+        "__opid",
+        F.expr(f"CAST(ROUND(2.0 * {tail} * 1000000) AS BIGINT)").alias("p_micro"),
+    )
+    w_rank = Window.partitionBy("__opid").orderBy("p_micro", "g", "dow")
+    r = p.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+    raw_adj = F.least(
+        F.lit(1000000).cast("long"),
+        F.col("p_micro") * (F.col("n_tests") - F.col("rank") + 1),
+    )
+    w_all2 = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    st = r.select(
+        "g",
+        "dow",
+        "n_gd",
+        "p_micro",
+        "rank",
+        "__opid",
+        raw_adj.alias("raw_adj"),
+        F.min(
+            F.when(
+                F.col("p_micro") * (F.col("n_tests") - F.col("rank") + 1) > 50000,
+                F.col("rank"),
+            )
+        )
+        .over(w_all2)
+        .cast("long")
+        .alias("first_accept"),
+    )
+    w_cum = Window.partitionBy("__opid").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return st.select(
+        F.col("g").alias("event_type"),
+        "dow",
+        "n_gd",
+        "p_micro",
+        "rank",
+        F.max("raw_adj").over(w_cum).cast("long").alias("p_adj_micro"),
+        (
+            F.col("first_accept").isNull() | (F.col("rank") < F.col("first_accept"))
+        ).alias("rejected"),
+    ).orderBy("rank")

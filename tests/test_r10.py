@@ -1,0 +1,318 @@
+"""Round-10 batch properties: hand-computed references + engine/
+oracle cross-checks on synthetic fixtures (third-implementation
+recomputes in pure Python, so a shared Spark/DuckDB misreading of a
+formula cannot self-certify)."""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+from pathlib import Path
+
+import duckdb
+from pyspark.sql import functions as F
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle_r10",
+    Path(__file__).resolve().parents[1] / "tools" / "check_oracle.py",
+)
+_co = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_co)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cross_check(spark, name, d, views):
+    from bytesprocessor_spark.queries import ORACLE, QUERIES
+
+    con = duckdb.connect()
+    for t in views:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    duck = con.execute(ORACLE[name]).fetchdf()
+    sdf = QUERIES[name](spark, d).toPandas()
+    duck_cols, duck_rows = _co._pdf_rows(duck)
+    spark_cols, spark_rows = _co._pdf_rows(sdf)
+    problems = _co.compare(name, spark_cols, spark_rows, duck_cols, duck_rows)
+    assert not problems, "\n".join(problems)
+    return sdf
+
+
+def _daily_counts():
+    """(type -> [counts in day order]) from the sf0.001 events table."""
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    out: dict[str, list[int]] = {}
+    for t, _, x in rows:
+        out.setdefault(t, []).append(int(x))
+    return out
+
+
+def test_mann_kendall_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_mann_kendall"](spark, SF).collect()
+    }
+    for t, xs in _daily_counts().items():
+        n = len(xs)
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        ties = Counter(xs)
+        tie18 = sum(c * (c - 1) * (2 * c + 5) for c in ties.values() if c > 1)
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        row = got[t]
+        assert row["s_stat"] == s and row["var18"] == var18
+        if var18 > 0:
+            num = s - 1 if s > 0 else s + 1 if s < 0 else 0
+            z = num / math.sqrt(var18 / 18.0)
+            assert row["z_milli"] == round(z * 1000)
+
+
+def test_cochran_q_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    pairs = duckdb.sql(
+        f"SELECT DISTINCT user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    r = Counter(u for u, _ in pairs)
+    c = Counter(t for _, t in pairs)
+    k = len(c)
+    sr, sr2 = sum(r.values()), sum(v * v for v in r.values())
+    sc, sc2 = sum(c.values()), sum(v * v for v in c.values())
+    row = QUERIES["events_cochran_q"](spark, SF).collect()[0]
+    assert row["n_users"] == len(r)
+    assert row["sum_r"] == sr and row["sum_r2"] == sr2
+    if k * sr - sr2 > 0:
+        q = (k - 1) * (k * sc2 - sc * sc) / (k * sr - sr2)
+        assert row["q_milli"] == round(q * 1000)
+    else:
+        # every user touched every type: Q undefined, agreed NULL
+        assert row["q_milli"] is None
+
+
+def test_wasserstein_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    vals = duckdb.sql(
+        f"""SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 %% 2 AS par
+        FROM '{SF}/orders.parquet'""".replace("%%", "%")
+    ).fetchall()
+    got = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["orders_wasserstein_drift"](spark, SF).collect()
+    }
+    prios = sorted({p for p, _, _ in vals})
+    for prio in prios:
+        a = sorted(c for p, c, par in vals if p == prio and par == 0)
+        b = sorted(c for p, c, par in vals if p == prio and par == 1)
+        if not a or not b:
+            continue
+        # brute-force CDF integral over the pooled support
+        support = sorted(set(a) | set(b))
+        num = 0
+        ia = ib = 0
+        for x, x_next in zip(support, support[1:]):
+            while ia < len(a) and a[ia] <= x:
+                ia += 1
+            while ib < len(b) and b[ib] <= x:
+                ib += 1
+            num += (x_next - x) * abs(ia * len(b) - ib * len(a))
+        expect = num // (len(a) * len(b))
+        assert got[prio]["w1_cents"] == expect
+
+
+def test_wasserstein_identical_distributions_zero(spark, tmp_path):
+    from bytesprocessor_spark.queries import QUERIES
+
+    d = str(tmp_path)
+    rows = [(i, 100.0 + (i % 7), "1-URGENT") for i in range(200)]
+    df = spark.createDataFrame(rows, ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    # even/odd days alternate so both halves see the same value multiset
+    df = df.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit("F").alias("o_orderstatus"),
+        F.expr(
+            "CAST(date_add(date'2024-01-01', CAST(o_orderkey % 2 AS INT))"
+            " AS TIMESTAMP_NTZ)"
+        ).alias("o_orderdate"),
+    )
+    # keys 2m and 2m+1 land on opposite parity days but share the value
+    # (key div 2), so the two halves see identical value multisets
+    df = df.withColumn(
+        "o_totalprice", 100.0 + (F.expr("o_orderkey div 2") % 7)
+    )
+    df.write.parquet(f"{d}/orders.parquet")
+    out = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["orders_wasserstein_drift"](spark, d).collect()
+    }
+    assert out["1-URGENT"]["w1_cents"] == 0
+
+
+def test_durbin_watson_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for t, _, v in rows:
+        series.setdefault(t, []).append(int(v))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_durbin_watson"](spark, SF).collect()
+    }
+    for t, vs in series.items():
+        n = len(vs)
+        s1 = sum(vs)
+        dev = [n * v - s1 for v in vs]
+        den = sum(d * d for d in dev)
+        num = sum((dev[i] - dev[i - 1]) ** 2 for i in range(1, n))
+        expect = num * 1000 // den if den > 0 else None
+        assert got[t]["dw_milli"] == expect
+
+
+def test_mase_seasonal_naive_beats_on_seasonal_series(spark, tmp_path):
+    """A perfectly 7-periodic series has zero seasonal-naive error —
+    MASE must be exactly 0 while the naive-1 scale is positive."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    d = str(tmp_path)
+    rows = []
+    eid = 0
+    for day in range(30):
+        for _ in range(10 + (day % 7) * 3):  # weekly pattern, no noise
+            rows.append((eid, f"2024-01-{day + 1:02d} 10:00:00", 1, "view"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "t", "user_id", "event_type"]
+    ).select(
+        "event_id",
+        F.col("t").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.write.parquet(f"{d}/events.parquet")
+    row = QUERIES["orders_mase"](spark, d).collect()[0]
+    assert row["sae_model"] == 0 and row["mase_micro"] == 0
+    assert row["sae_scale"] > 0
+
+
+def test_hosmer_lemeshow_terms_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["eval_hosmer_lemeshow"](spark, SF).collect()
+    assert len(rows) == 10
+    total = 0
+    for r in rows:
+        e = r["exp_pos_micro"] / 1e6
+        n = r["n"]
+        o = r["obs_pos"]
+        if 0 < r["exp_pos_micro"] < n * 1_000_000:
+            term = (o - e) ** 2 / (e * (1 - e / n))
+            assert r["term_nano"] == round(term * 1e9)
+        else:
+            assert r["term_nano"] == 0
+        total += r["term_nano"]
+        assert r["hl_nano"] == rows[0]["hl_nano"]
+    assert rows[0]["hl_nano"] == total
+
+
+def test_fisher_between_laspeyres_and_paasche(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    for r in QUERIES["orders_fisher_index"](spark, SF).collect():
+        lo = min(r["laspeyres_milli"], r["paasche_milli"])
+        hi = max(r["laspeyres_milli"], r["paasche_milli"])
+        # geometric mean sits between the two (±1 for the trunc/round
+        # quantization mismatch between the int ratios and the double)
+        assert lo - 1 <= r["fisher_milli"] <= hi + 1
+
+
+def test_rich_club_brute_force(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    pairs = duckdb.sql(
+        f"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+                       FROM '{SF}/lineitem.parquet'),
+        pw AS (SELECT a.s AS a, b.s AS b, COUNT(*) AS w
+               FROM os a JOIN os b ON a.o = b.o AND a.s < b.s GROUP BY 1, 2)
+        SELECT a, b, w FROM pw ORDER BY w DESC, a, b"""
+    ).fetchall()
+    keep = max(len(pairs) // 10, 10)
+    edges = [(a, b) for a, b, _ in pairs[:keep]]
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = {r["k"]: r for r in QUERIES["graph_rich_club"](spark, SF).collect()}
+    for k in (2, 4, 8, 16):
+        club = {u for u, d in deg.items() if d > k}
+        ek = sum(1 for a, b in edges if a in club and b in club)
+        nk = len(club)
+        assert got[k]["n_nodes"] == nk and got[k]["n_edges"] == ek
+        if nk >= 2:
+            assert got[k]["phi_ppm"] == 2 * ek * 1_000_000 // (nk * (nk - 1))
+        else:
+            assert got[k]["phi_ppm"] is None
+
+
+def test_friedman_term_consistency(spark):
+    """Σ term_milli over types ≈ the uncorrected χ² + 3n(k+1) scale
+    identity: recompute midranks in pure Python and compare rank sums."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    cells = duckdb.sql(
+        f"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS x
+        FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    days = sorted({d for d, _, _ in cells})
+    types = sorted({t for _, t, _ in cells})
+    grid = {(d, t): 0 for d in days for t in types}
+    for d, t, x in cells:
+        grid[(d, t)] = int(x)
+    r2 = {t: 0 for t in types}
+    for d in days:
+        vals = sorted((grid[(d, t)], t) for t in types)
+        xs = [v for v, _ in vals]
+        for v, t in vals:
+            min_rank = xs.index(v) + 1
+            tt = xs.count(v)
+            r2[t] += 2 * min_rank + tt - 1
+    got = {
+        r["event_type"]: r for r in QUERIES["events_friedman"](spark, SF).collect()
+    }
+    for t in types:
+        assert got[t]["rank2_sum"] == r2[t]
+
+
+def test_simpson_diversity_bounds(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    for r in QUERIES["events_simpson_diversity"](spark, SF).collect():
+        if r["diversity_ppm"] is not None:
+            assert 0 <= r["diversity_ppm"] <= 1_000_000

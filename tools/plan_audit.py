@@ -79,6 +79,19 @@ ALLOW_NESTED_LOOP = {
     # <=20 bounded contingency-cell self cross for concordance counts
     # plus 1-row marginal frames — O(cells^2) work, no data-scale pairs
     "orders_gk_gamma",
+    # round-10 bounded broadcast frames:
+    # k-row (<=k types) rank-sum table crossed with 1-row dims/ties/
+    # Σ R² scalar frames — O(k) work after the (day, type) aggregate
+    "events_friedman",
+    # two 1-row moment frames + the 1-row k frame crossed together —
+    # O(1) readout work after entity-keyed rollups
+    "events_cochran_q",
+    # EV3's 1-row min/max normalization frame broadcast onto the scan
+    # (the eval_ece posture) — O(rows) work
+    "eval_hosmer_lemeshow",
+    # 4-row degree-threshold grid non-equi-joined onto the BOUNDED
+    # strong-edge node/edge tables (GR12's pruned graph) — O(4 x E_cut)
+    "graph_rich_club",
     "dedup_embedding_pairs",
     "dedup_embedding_keep",
     "multimodal_image_ann",
@@ -147,6 +160,9 @@ ALLOW_NESTED_LOOP = {
     "events_markov_stationary",
     # 1-row subject-total frame onto the calendar-bounded KM histogram
     "orders_kaplan_meier",
+    # same 1-row subject-total frame onto the same duration-bounded
+    # histogram (the A37 plan verbatim, hazard-sum readout)
+    "orders_nelson_aalen",
     # 1-row state-count / ln(K) frames in the A15c composition
     "events_entropy_rate",
     # bin-bounded interval-grid / minimax joins on non-equi bin
