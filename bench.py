@@ -413,6 +413,11 @@ HEADLINE = [
     "events_simpson_diversity",
     "orders_nelson_aalen",
     "orders_holm_bonferroni",
+    "events_anderson_darling",
+    "events_grubbs",
+    "eval_youden_j",
+    "orders_tukey_fences",
+    "events_effect_sizes",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -499,7 +504,12 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (12)
+    # round-10 additions (17)
+    "events_anderson_darling",
+    "events_grubbs",
+    "eval_youden_j",
+    "orders_tukey_fences",
+    "events_effect_sizes",
     "orders_nelson_aalen",
     "orders_holm_bonferroni",
     "graph_rich_club",

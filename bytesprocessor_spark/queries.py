@@ -694,6 +694,11 @@ _CHECK_ORDER = [
     "graph_rich_club",
     "orders_nelson_aalen",
     "orders_holm_bonferroni",
+    "events_anderson_darling",
+    "events_grubbs",
+    "eval_youden_j",
+    "orders_tukey_fences",
+    "events_effect_sizes",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

@@ -1491,3 +1491,579 @@ def orders_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_accept").isNull() | (F.col("rank") < F.col("first_accept"))
         ).alias("rejected"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# A137: Anderson-Darling intra-day uniformity per (type, day)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_anderson_darling",
+    """
+    WITH u AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+             (2 * (epoch_us(ts) - epoch_us(CAST(CAST(ts AS DATE)
+                                            AS TIMESTAMP))) + 1) AS u2num
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, day,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                     ORDER BY u2num, event_id) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type, day) AS BIGINT) AS n,
+             CAST(ROUND(LN(CAST(u2num AS DOUBLE) / 172800000000.0)
+                        * 1000000) AS BIGINT) AS ln_u_micro,
+             CAST(ROUND(LN(1.0 - CAST(u2num AS DOUBLE) / 172800000000.0)
+                        * 1000000) AS BIGINT) AS ln_1mu_micro
+      FROM u
+    ),
+    pairs AS (
+      SELECT a.event_type, a.day, a.n,
+             SUM(CAST(2 * a.i - 1 AS HUGEINT)
+                 * (a.ln_u_micro + b.ln_1mu_micro)) AS w
+      FROM r a JOIN r b
+        ON a.event_type = b.event_type AND a.day = b.day
+       AND b.i = a.n + 1 - a.i
+      GROUP BY 1, 2, 3
+    ),
+    ad AS (
+      SELECT event_type, day, n,
+             CAST(ROUND((-CAST(n AS DOUBLE)
+                         - CAST(w AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+                        * 1000) AS BIGINT) AS a2_milli
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(a2_milli) // COUNT(*) AS BIGINT) AS mean_a2_milli,
+           CAST(MAX(a2_milli) AS BIGINT) AS max_a2_milli
+    FROM ad GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A137 — Anderson-Darling uniformity of INTRA-DAY event times,
+    per (type, day), rolled up per type: A² = −n − (1/n)Σ(2i−1)
+    [ln u_(i) + ln(1−u_(n+1−i))] with u = fraction of the day.  The
+    tail-sensitive distributional test (A-D weights the tails where
+    KS is flattest) — "are this type's events spread through the day
+    or bunched" is the load-shape read behind A42's hourly profile.
+
+    Determinism: u is the exact odd integer 2·µs+1 over 2·86400e6
+    (strictly inside (0,1) — no ln(0) edge); per-row ln values are
+    micro-quantized BEFORE the weighted sum, which is then EXACT
+    128-bit integer arithmetic over the (i, n+1−i) pairing join
+    (ties in u broken by event_id — documented rank convention);
+    A² is one double tree milli-quantized per day, and the per-type
+    rollup is an exact integer mean (truncating).
+
+    Scale shape: ranks partition by (type, day) — day-bounded windows,
+    never corpus-scale; the mirror pairing is a (type, day, i)-keyed
+    equi self-join; readout k rows."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        (
+            2
+            * (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("date").cast("timestamp"))
+            )
+            + 1
+        ).alias("u2num"),
+    )
+    w_rank = Window.partitionBy("event_type", "day").orderBy("u2num", "event_id")
+    w_n = Window.partitionBy("event_type", "day")
+    r = u.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_rank).cast("long").alias("i"),
+        F.count("*").over(w_n).cast("long").alias("n"),
+        F.round(F.log(F.col("u2num").cast("double") / 172800000000.0) * 1000000)
+        .cast("long")
+        .alias("ln_u_micro"),
+        F.round(
+            F.log(1.0 - F.col("u2num").cast("double") / 172800000000.0) * 1000000
+        )
+        .cast("long")
+        .alias("ln_1mu_micro"),
+    )
+    a = r.select("event_type", "day", "i", "n", "ln_u_micro")
+    b = r.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("i").alias("i2"),
+        "ln_1mu_micro",
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("day") == F.col("day2"))
+            & (F.col("i2") == F.col("n") + 1 - F.col("i")),
+        )
+        .groupBy("event_type", "day", "n")
+        .agg(
+            F.sum(
+                (2 * F.col("i") - 1).cast("decimal(19,0)")
+                * (F.col("ln_u_micro") + F.col("ln_1mu_micro"))
+            ).alias("w")
+        )
+    )
+    ad = pairs.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            (
+                -F.col("n").cast("double")
+                - F.col("w").cast("double") / 1000000.0 / F.col("n").cast("double")
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("a2_milli"),
+    )
+    return (
+        ad.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.expr("CAST(SUM(a2_milli) div COUNT(*) AS BIGINT)").alias(
+                "mean_a2_milli"
+            ),
+            F.max("a2_milli").cast("long").alias("max_a2_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A138: Grubbs outlier statistic on daily totals per type
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_grubbs",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2
+      FROM s GROUP BY 1
+    ),
+    dev AS (
+      SELECT s.event_type, s.day, s.v, st.n,
+             ABS(CAST(st.n AS HUGEINT) * s.v - st.s1) AS adev,
+             st.s1, st.s2
+      FROM s JOIN st USING (event_type)
+    ),
+    top AS (
+      SELECT event_type, day, v, n, adev, s1, s2,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY adev DESC, day) AS rk
+      FROM dev
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           strftime(day, '%Y-%m-%d') AS outlier_day,
+           CASE WHEN n >= 3 AND CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+                THEN CAST(ROUND(CAST(adev AS DOUBLE)
+                     / (CAST(n AS DOUBLE)
+                        * SQRT((CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                               / (CAST(n AS DOUBLE) - 1)))
+                     * 1000) AS BIGINT)
+           END AS g_milli
+    FROM top WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def events_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A138 — Grubbs statistic per type: G = max|x − x̄| / s over the
+    daily-revenue series, plus WHICH day achieved it.  The single-
+    outlier screen (A25's MAD flags by robust distance; Grubbs is the
+    classical normal-theory statistic a data-quality runbook
+    tabulates critical values for — emitted raw since the critical
+    depends on n).
+
+    Determinism: the A34 n-scaled deviation device (|n·v − S| exact
+    128-bit, so the argmax day needs no float); the (adev desc, day)
+    rank picks a unique witness; G is one double tree over exact
+    moments (Bessel s), milli-quantized; n < 3 or constant series
+    read NULL on both engines.
+
+    Scale shape: one (type, day) partial aggregate; type-partitioned
+    rank over calendar-bounded series; readout k rows."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("v")
+    )
+    st = s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("s2"),
+    )
+    dev = s.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        "v",
+        "n",
+        F.abs(
+            F.col("n").cast("decimal(19,0)") * F.col("v") - F.col("s1")
+        ).alias("adev"),
+        "s1",
+        "s2",
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("adev").desc(), F.col("day"))
+    top = dev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    nD = F.col("n").cast("double")
+    var_num = F.col("s2").cast("double") * nD - F.col("s1").cast("double") * F.col(
+        "s1"
+    ).cast("double")
+    g = F.col("adev").cast("double") / (
+        nD
+        * F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / nD
+            )
+            / (nD - 1)
+        )
+    )
+    return top.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.date_format("day", "yyyy-MM-dd").alias("outlier_day"),
+        F.when((F.col("n") >= 3) & (var_num > 0), F.round(g * 1000).cast("long"))
+        .alias("g_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# EV42: balanced accuracy, Youden's J, informedness/markedness
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_youden_j",
+    """
+    WITH b AS (
+      SELECT vec_id,
+             CAST(label % 2 AS BIGINT) AS y,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           + CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+               AS score
+      FROM embeddings
+    ),
+    mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM b),
+    p AS (
+      SELECT y,
+             CASE WHEN ((score - lo) * 1000000) // GREATEST(hi - lo, 1)
+                       >= 500000 THEN 1 ELSE 0 END AS yhat
+      FROM b, mm
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM p
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp * 1000000 // GREATEST(tp + fn, 1) AS BIGINT) AS sens_ppm,
+           CAST(tn * 1000000 // GREATEST(tn + fp, 1) AS BIGINT) AS spec_ppm,
+           CAST((tp * 1000000 // GREATEST(tp + fn, 1)
+                 + tn * 1000000 // GREATEST(tn + fp, 1)) // 2 AS BIGINT)
+             AS balanced_acc_ppm,
+           CAST(tp * 1000000 // GREATEST(tp + fn, 1)
+                + tn * 1000000 // GREATEST(tn + fp, 1) - 1000000 AS BIGINT)
+             AS youden_j_ppm,
+           CAST(tp * 1000000 // GREATEST(tp + fp, 1)
+                + tn * 1000000 // GREATEST(tn + fn, 1) - 1000000 AS BIGINT)
+             AS markedness_ppm
+    FROM c
+    """,
+)
+def eval_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV42 — balanced accuracy, Youden's J (informedness = sens +
+    spec − 1) and markedness (PPV + NPV − 1) of the EV1 pinned model
+    thresholded at 0.5: the pair of chance-corrected scalars that
+    stay honest under class imbalance (accuracy saturates, EV33's
+    MCC is their geometric mean — reading both factors separates
+    'misses positives' from 'cries wolf').
+
+    Determinism: PURE exact integer arithmetic end to end — confusion
+    counts, truncating ppm rates, integer sums; no doubles anywhere.
+
+    Scale shape: one min/max scalar broadcast, one confusion-count
+    aggregate absorbs the scan; readout 1 row."""
+    from bytesprocessor_spark.queries_eval import _scored
+
+    b = _scored(spark, sf_dir)
+    mm = b.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    p = b.crossJoin(F.broadcast(mm)).select(
+        "y",
+        F.when(
+            F.expr("((score - lo) * 1000000) div GREATEST(hi - lo, 1)") >= 500000,
+            1,
+        )
+        .otherwise(0)
+        .alias("yhat"),
+    )
+    c = p.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST(tp * 1000000 div GREATEST(tp + fn, 1) AS BIGINT)").alias(
+            "sens_ppm"
+        ),
+        F.expr("CAST(tn * 1000000 div GREATEST(tn + fp, 1) AS BIGINT)").alias(
+            "spec_ppm"
+        ),
+        F.expr(
+            "CAST((tp * 1000000 div GREATEST(tp + fn, 1)"
+            " + tn * 1000000 div GREATEST(tn + fp, 1)) div 2 AS BIGINT)"
+        ).alias("balanced_acc_ppm"),
+        F.expr(
+            "CAST(tp * 1000000 div GREATEST(tp + fn, 1)"
+            " + tn * 1000000 div GREATEST(tn + fp, 1) - 1000000 AS BIGINT)"
+        ).alias("youden_j_ppm"),
+        F.expr(
+            "CAST(tp * 1000000 div GREATEST(tp + fp, 1)"
+            " + tn * 1000000 div GREATEST(tn + fn, 1) - 1000000 AS BIGINT)"
+        ).alias("markedness_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A139: Tukey IQR fences per priority class
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_tukey_fences",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    q AS (
+      SELECT prio,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(quantile_disc(c, 0.25) AS BIGINT) AS q1,
+             CAST(quantile_disc(c, 0.75) AS BIGINT) AS q3
+      FROM v GROUP BY prio
+    )
+    SELECT q.prio AS o_orderpriority, q.n, q.q1, q.q3,
+           q.q3 - q.q1 AS iqr,
+           CAST(SUM(CASE WHEN v.c < q.q1 - 3 * (q.q3 - q.q1) // 2
+                           OR v.c > q.q3 + 3 * (q.q3 - q.q1) // 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outer_mild,
+           CAST(SUM(CASE WHEN v.c < q.q1 - 3 * (q.q3 - q.q1)
+                           OR v.c > q.q3 + 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+    FROM v JOIN q USING (prio)
+    GROUP BY q.prio, q.n, q.q1, q.q3
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A139 — Tukey boxplot fences per priority: counts outside
+    Q1/Q3 ± 1.5·IQR (mild) and ± 3·IQR (extreme).  The box-and-
+    whisker read every profiling card draws; A25's MAD flags by
+    robust z — Tukey is the quartile-geometry convention, and the
+    two disagree exactly on skewed tails (worth having both).
+
+    Determinism: quartiles are percentile_disc data points (exact
+    cents int64); the 1.5·IQR fence is 3·iqr//2 TRUNCATING INTEGER
+    division on BOTH engines (DuckDB `//` <-> Spark `div`; iqr ≥ 0
+    always since q3 ≥ q1, so trunc == floor — hazard-class (a)
+    audited); counts exact.
+
+    Scale shape: one percentile aggregate (k rows, broadcast back),
+    one counting aggregate absorbs the scan; readout k rows."""
+    v = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    q = v.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    mild_lo = F.col("q1") - F.expr("3 * (q3 - q1) div 2")
+    mild_hi = F.col("q3") + F.expr("3 * (q3 - q1) div 2")
+    ext_lo = F.col("q1") - 3 * iqr
+    ext_hi = F.col("q3") + 3 * iqr
+    return (
+        v.join(F.broadcast(q), "prio")
+        .groupBy("prio", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when((F.col("c") < mild_lo) | (F.col("c") > mild_hi), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_outer_mild"),
+            F.sum(
+                F.when((F.col("c") < ext_lo) | (F.col("c") > ext_hi), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+        )
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n",
+            "q1",
+            "q3",
+            iqr.alias("iqr"),
+            "n_outer_mild",
+            "n_extreme",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A140: effect sizes (Cohen's d, Hedges' g, Glass delta)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_effect_sizes",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN ISODOW(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS wk,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, wk,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT)) AS s1,
+             SUM(CAST(c AS HUGEINT) * c) AS s2
+      FROM v GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n1, b.n AS n0,
+             CAST(a.s1 AS DOUBLE) AS s11, CAST(a.s2 AS DOUBLE) AS s21,
+             CAST(b.s1 AS DOUBLE) AS s10, CAST(b.s2 AS DOUBLE) AS s20
+      FROM m a JOIN m b ON a.event_type = b.event_type
+      WHERE a.wk = 1 AND b.wk = 0
+    )
+    SELECT event_type, n1 AS n_weekend, n0 AS n_weekday,
+      CAST(ROUND((s11 / CAST(n1 AS DOUBLE) - s10 / CAST(n0 AS DOUBLE))
+        / SQRT((
+            (s21 - s11 * s11 / CAST(n1 AS DOUBLE))
+          + (s20 - s10 * s10 / CAST(n0 AS DOUBLE))
+          ) / CAST(n1 + n0 - 2 AS DOUBLE))
+        * 1000000) AS BIGINT) AS cohens_d_micro,
+      CAST(ROUND((s11 / CAST(n1 AS DOUBLE) - s10 / CAST(n0 AS DOUBLE))
+        / SQRT((
+            (s21 - s11 * s11 / CAST(n1 AS DOUBLE))
+          + (s20 - s10 * s10 / CAST(n0 AS DOUBLE))
+          ) / CAST(n1 + n0 - 2 AS DOUBLE))
+        * (1.0 - 3.0 / (4.0 * CAST(n1 + n0 AS DOUBLE) - 9.0))
+        * 1000000) AS BIGINT) AS hedges_g_micro,
+      CAST(ROUND((s11 / CAST(n1 AS DOUBLE) - s10 / CAST(n0 AS DOUBLE))
+        / SQRT((s20 - s10 * s10 / CAST(n0 AS DOUBLE))
+               / CAST(n0 - 1 AS DOUBLE))
+        * 1000000) AS BIGINT) AS glass_delta_micro
+    FROM w WHERE n1 >= 2 AND n0 >= 2
+    ORDER BY event_type
+    """,
+)
+def events_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A140 — effect sizes for the weekend-vs-weekday value contrast
+    per type: Cohen's d (pooled SD), Hedges' g (small-sample
+    correction 1 − 3/(4N−9)), Glass Δ (control-group SD) — the
+    MAGNITUDE companions of A43's Welch t (p-values say detectable,
+    effect sizes say how big; at 100 TB everything is 'significant'
+    and only d matters).
+
+    Determinism: exact 128-bit moment sums per (type, weekend) cell
+    (HUGEINT <-> decimal, the VERDICT r9 #3 discipline); every
+    statistic is one fixed double tree over the six moments with
+    identical parenthesization, micro-quantized; cells with n < 2
+    drop on both engines.
+
+    Scale shape: one (type, weekend-flag) hash aggregate absorbs the
+    scan; the weekend/weekday self-join is k-keyed; readout k rows."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.when(F.expr("weekday(ts)") + 1 >= 6, 1).otherwise(0).alias("wk"),
+        cents(F.col("value")).alias("c"),
+    )
+    m = v.groupBy("event_type", "wk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("s2"),
+    )
+    a = m.where(F.col("wk") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s1").cast("double").alias("s11"),
+        F.col("s2").cast("double").alias("s21"),
+    )
+    b = m.where(F.col("wk") == 0).select(
+        F.col("event_type").alias("et0"),
+        F.col("n").alias("n0"),
+        F.col("s1").cast("double").alias("s10"),
+        F.col("s2").cast("double").alias("s20"),
+    )
+    w = a.join(b, F.col("event_type") == F.col("et0")).where(
+        (F.col("n1") >= 2) & (F.col("n0") >= 2)
+    )
+    n1D, n0D = F.col("n1").cast("double"), F.col("n0").cast("double")
+    mean_diff = F.col("s11") / n1D - F.col("s10") / n0D
+    pooled = F.sqrt(
+        (
+            (F.col("s21") - F.col("s11") * F.col("s11") / n1D)
+            + (F.col("s20") - F.col("s10") * F.col("s10") / n0D)
+        )
+        / (F.col("n1") + F.col("n0") - 2).cast("double")
+    )
+    d = mean_diff / pooled
+    corr = 1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n0")).cast("double") - 9.0)
+    glass = mean_diff / F.sqrt(
+        (F.col("s20") - F.col("s10") * F.col("s10") / n0D) / (n0D - 1)
+    )
+    return w.select(
+        "event_type",
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        F.round(d * 1000000).cast("long").alias("cohens_d_micro"),
+        F.round(d * corr * 1000000).cast("long").alias("hedges_g_micro"),
+        F.round(glass * 1000000).cast("long").alias("glass_delta_micro"),
+    ).orderBy("event_type")

@@ -178,6 +178,29 @@ def test_date_diff_modulo_paired():
             )
 
 
+def test_spark_div_has_oracle_trunc_counterpart():
+    """The tukey-fence subclass: Spark ``div`` (truncating) paired
+    with plain ``/`` on the oracle side is DOUBLE division in DuckDB
+    — a half-unit fence the Spark side truncates away.  Every entry
+    whose Spark source uses ``div`` must have at least one ``//`` in
+    its oracle, or be allowlisted as an internal-only device."""
+    allow = {
+        # `p_sec div TOL` is candidate bucketing only — the oracle has
+        # no counterpart because the final nearest-match semantics are
+        # recomputed exactly (see _MIXED_DIV_ALLOWLIST)
+        "asof_nearest_events",
+    }
+    offenders = []
+    for name, sql in ORACLE.items():
+        src = _source(name)
+        if re.search(r"\bdiv\b", src) and "//" not in sql and name not in allow:
+            offenders.append(name)
+    assert not offenders, (
+        f"Spark div without an oracle // counterpart in {offenders}: "
+        "the oracle side is probably doing double division"
+    )
+
+
 # ---------------------------------------------------------------------------
 # class (b): literal iteration caps in oracle replay SQL
 # ---------------------------------------------------------------------------

@@ -316,3 +316,137 @@ def test_simpson_diversity_bounds(spark):
     for r in QUERIES["events_simpson_diversity"](spark, SF).collect():
         if r["diversity_ppm"] is not None:
             assert 0 <= r["diversity_ppm"] <= 1_000_000
+
+
+def test_grubbs_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    series: dict[str, list[tuple]] = {}
+    for t, d, v in rows:
+        series.setdefault(t, []).append((d, int(v)))
+    got = {r["event_type"]: r for r in QUERIES["events_grubbs"](spark, SF).collect()}
+    for t, pts in series.items():
+        n = len(pts)
+        s1 = sum(v for _, v in pts)
+        s2 = sum(v * v for _, v in pts)
+        best = max(pts, key=lambda p: (abs(n * p[1] - s1), -p[0].toordinal()))
+        # tiebreak: adev desc, day asc
+        best = min(
+            (p for p in pts if abs(n * p[1] - s1) == abs(n * best[1] - s1)),
+            key=lambda p: p[0],
+        )
+        row = got[t]
+        assert row["outlier_day"] == best[0].strftime("%Y-%m-%d")
+        if n >= 3:
+            s = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+            g = abs(n * best[1] - s1) / (n * s)
+            assert row["g_milli"] == round(g * 1000)
+
+
+def test_youden_identities(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    r = QUERIES["eval_youden_j"](spark, SF).collect()[0]
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] > 0
+    assert (
+        r["balanced_acc_ppm"] == (r["sens_ppm"] + r["spec_ppm"]) // 2
+    )
+    assert r["youden_j_ppm"] == r["sens_ppm"] + r["spec_ppm"] - 1_000_000
+    assert -1_000_000 <= r["youden_j_ppm"] <= 1_000_000
+
+
+def test_tukey_brute_force(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    vals = duckdb.sql(
+        f"""SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    got = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["orders_tukey_fences"](spark, SF).collect()
+    }
+    prios = sorted({p for p, _ in vals})
+    for prio in prios:
+        xs = sorted(c for p, c in vals if p == prio)
+        n = len(xs)
+        # percentile_disc: smallest value with cume_dist >= q
+        q1 = xs[math.ceil(0.25 * n) - 1]
+        q3 = xs[math.ceil(0.75 * n) - 1]
+        iqr = q3 - q1
+        mild = sum(
+            1 for x in xs if x < q1 - 3 * iqr // 2 or x > q3 + 3 * iqr // 2
+        )
+        ext = sum(1 for x in xs if x < q1 - 3 * iqr or x > q3 + 3 * iqr)
+        r = got[prio]
+        assert (r["q1"], r["q3"]) == (q1, q3)
+        assert (r["n_outer_mild"], r["n_extreme"]) == (mild, ext)
+
+
+def test_effect_sizes_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    vals = duckdb.sql(
+        f"""SELECT event_type,
+               CASE WHEN ISODOW(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END,
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_effect_sizes"](spark, SF).collect()
+    }
+    types = sorted({t for t, _, _ in vals})
+    for t in types:
+        a = [c for tt, wk, c in vals if tt == t and wk == 1]
+        b = [c for tt, wk, c in vals if tt == t and wk == 0]
+        if len(a) < 2 or len(b) < 2:
+            assert t not in got
+            continue
+        s11, s21 = float(sum(a)), float(sum(x * x for x in a))
+        s10, s20 = float(sum(b)), float(sum(x * x for x in b))
+        n1, n0 = len(a), len(b)
+        md = s11 / n1 - s10 / n0
+        pooled = math.sqrt(
+            ((s21 - s11 * s11 / n1) + (s20 - s10 * s10 / n0)) / (n1 + n0 - 2)
+        )
+        d = md / pooled
+        assert got[t]["cohens_d_micro"] == round(d * 1e6)
+        corr = 1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)
+        assert got[t]["hedges_g_micro"] == round(d * corr * 1e6)
+
+
+def test_anderson_darling_uniform_small(spark, tmp_path):
+    """A hand case: 3 events at known day fractions — A² recomputed
+    in pure Python with the registry's micro-quantized ln values."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    d = str(tmp_path)
+    secs = [21600, 43200, 64800]  # 0.25, 0.50, 0.75 of the day
+    rows = [
+        (i, f"2024-01-01 {s // 3600:02d}:{(s % 3600) // 60:02d}:00", 1, "view")
+        for i, s in enumerate(secs)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "t", "user_id", "event_type"])
+    df.select(
+        "event_id",
+        F.col("t").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(f"{d}/events.parquet")
+    row = QUERIES["events_anderson_darling"](spark, d).collect()[0]
+    us = [s * 1_000_000 for s in secs]
+    n = 3
+    lnu = [round(math.log((2 * u + 1) / 172800000000.0) * 1e6) for u in us]
+    ln1mu = [round(math.log(1 - (2 * u + 1) / 172800000000.0) * 1e6) for u in us]
+    wsum = sum((2 * (i + 1) - 1) * (lnu[i] + ln1mu[n - i - 1]) for i in range(n))
+    a2 = -n - wsum / 1e6 / n
+    assert row["mean_a2_milli"] == int(round(a2 * 1000)) // 1  # single day
+    assert row["n_days"] == 1

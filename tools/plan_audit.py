@@ -89,6 +89,7 @@ ALLOW_NESTED_LOOP = {
     # EV3's 1-row min/max normalization frame broadcast onto the scan
     # (the eval_ece posture) — O(rows) work
     "eval_hosmer_lemeshow",
+    "eval_youden_j",
     # 4-row degree-threshold grid non-equi-joined onto the BOUNDED
     # strong-edge node/edge tables (GR12's pruned graph) — O(4 x E_cut)
     "graph_rich_club",
