@@ -418,6 +418,8 @@ HEADLINE = [
     "eval_youden_j",
     "orders_tukey_fences",
     "events_effect_sizes",
+    "text_yule_k",
+    "quality_benford_digit2",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -504,7 +506,9 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (17)
+    # round-10 additions (19)
+    "text_yule_k",
+    "quality_benford_digit2",
     "events_anderson_darling",
     "events_grubbs",
     "eval_youden_j",

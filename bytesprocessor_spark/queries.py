@@ -699,6 +699,8 @@ _CHECK_ORDER = [
     "eval_youden_j",
     "orders_tukey_fences",
     "events_effect_sizes",
+    "text_yule_k",
+    "quality_benford_digit2",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

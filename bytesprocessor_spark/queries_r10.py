@@ -2067,3 +2067,196 @@ def events_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d * corr * 1000000).cast("long").alias("hedges_g_micro"),
         F.round(glass * 1000000).cast("long").alias("glass_delta_micro"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# L31: Yule's K lexical concentration per source
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_yule_k",
+    """
+    WITH t AS (
+      SELECT source, unnest([x for x in regexp_split_to_array(lower(text),
+                             '[^a-z0-9]+') if len(x) > 0]) AS token
+      FROM documents
+    ),
+    f AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS m
+      FROM t GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(m) AS BIGINT) AS n,
+             SUM(CAST(m AS HUGEINT) * m) AS sm2
+      FROM f GROUP BY 1
+    )
+    SELECT source, vocab, n AS n_tokens,
+           CASE WHEN n >= 2
+                THEN CAST((sm2 - n) * 10000000000
+                          // (CAST(n AS HUGEINT) * n) AS BIGINT)
+           END AS yule_k_micro
+    FROM s ORDER BY source
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31 — Yule's characteristic K per source: K = 10⁴·(Σm² − N)/N²
+    over the token-frequency spectrum (m = each type's count) — the
+    repeat-rate lexical-concentration constant that, unlike raw TTR
+    (L14's diversity suite), is length-invariant by construction: the
+    quadratic form estimates the probability two random tokens
+    coincide.  High K = formulaic/boilerplate text — a curation
+    signal next to L4e's repetition and L16's Zipf fit.
+
+    Determinism: token counts exact; Σm² exact 128-bit (HUGEINT <->
+    decimal); K emitted in micro units (×10¹⁰ // N² = 10⁴·10⁶·
+    (Σm²−N)/N²) by one truncating division; single-token sources read
+    NULL on both engines.
+
+    Scale shape: one (source, token) hash aggregate absorbs the token
+    explosion (vocabulary-bounded, not corpus-bounded); one source
+    rollup; readout k rows."""
+    from bytesprocessor_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    f = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    s = f.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("m").cast("decimal(19,0)") * F.col("m")).alias("sm2"),
+    )
+    return s.select(
+        "source",
+        "vocab",
+        F.col("n").alias("n_tokens"),
+        F.when(
+            F.col("n") >= 2,
+            F.expr(
+                "CAST((sm2 - n) * 10000000000"
+                " div (CAST(n AS DECIMAL(19,0)) * n) AS BIGINT)"
+            ),
+        ).alias("yule_k_micro"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Q12: second-digit Benford conformance with chi-square
+# ---------------------------------------------------------------------------
+
+def _benford2_expected() -> list[int]:
+    """Second-digit Benford probabilities in exact nano units,
+    computed once in Python (module constant shared by BOTH engine
+    texts — the literal-pinning discipline)."""
+    import math as _m
+
+    out = []
+    for d2 in range(10):
+        p = sum(_m.log10(1 + 1.0 / (10 * d1 + d2)) for d1 in range(1, 10))
+        out.append(round(p * 1_000_000_000))
+    return out
+
+
+_B2_NANO = _benford2_expected()
+
+
+@query(
+    "quality_benford_digit2",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 2, 1) AS INT) AS digit
+      FROM orders
+      WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= 10
+    ),
+    o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+          FROM d GROUP BY digit),
+    e AS (
+      SELECT UNNEST(range(0, 10)) AS digit,
+             UNNEST([{", ".join(str(x) for x in _B2_NANO)}]) AS p_nano
+    ),
+    t AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM o),
+    j AS (
+      SELECT e.digit, COALESCE(o.observed, 0) AS observed, e.p_nano, t.n
+      FROM e LEFT JOIN o USING (digit) CROSS JOIN t
+    ),
+    terms AS (
+      SELECT digit, observed, p_nano, n,
+             CAST(ROUND(
+               (CAST(observed AS DOUBLE)
+                - CAST(n AS DOUBLE) * CAST(p_nano AS DOUBLE) / 1e9)
+               * (CAST(observed AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(p_nano AS DOUBLE) / 1e9)
+               / (CAST(n AS DOUBLE) * CAST(p_nano AS DOUBLE) / 1e9)
+               * 1000000) AS BIGINT) AS term_micro
+      FROM j
+    )
+    SELECT digit, observed, p_nano AS expected_p_nano, term_micro,
+           CAST(SUM(term_micro) OVER () AS BIGINT) AS chi2_micro
+    FROM terms ORDER BY digit
+    """,
+)
+def quality_benford_digit2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 — second-digit Benford test: the observed second digit of
+    order-total cents against P(d₂) = Σ_{{d₁=1..9}} log10(1 +
+    1/(10d₁+d₂)), with the χ² statistic against the 9-df criticals.
+    The forensic follow-up to Q4's first-digit screen — fabricators
+    who learn to fake the first digit almost never fake the second
+    (Nigrini's standard audit pair).
+
+    Determinism: digits extract from the exact cents integer's
+    decimal string; expected probabilities are PINNED nano literals
+    computed once in Python and interpolated into BOTH engine texts;
+    each digit's χ² term is one double tree micro-quantized BEFORE
+    the 10-row fold, so χ² is an exact integer sum (the A112/EV41
+    discipline).
+
+    Scale shape: map-only digit extraction, one 10-row aggregate, the
+    fold on the bounded digit table; readout 10 rows."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(cents(F.col("o_totalprice")).alias("c")).where(
+        F.col("c") >= 10
+    ).select(
+        F.substring(F.col("c").cast("string"), 2, 1).cast("int").alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").cast("long").alias("observed"))
+    e = spark.createDataFrame(
+        [(i, _B2_NANO[i]) for i in range(10)], ["digit", "p_nano"]
+    ).select(F.col("digit").cast("int").alias("digit"), F.col("p_nano").cast("long"))
+    t = obs.agg(F.sum("observed").cast("long").alias("n"))
+    j = (
+        e.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+            "p_nano",
+            "n",
+        )
+    )
+    exp = F.col("n").cast("double") * F.col("p_nano").cast("double") / 1e9
+    term = (
+        F.round(
+            (F.col("observed").cast("double") - exp)
+            * (F.col("observed").cast("double") - exp)
+            / exp
+            * 1000000
+        )
+        .cast("long")
+        .alias("term_micro")
+    )
+    terms = bounded_single_group(j.select("digit", "observed", "p_nano", term))
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return terms.select(
+        "digit",
+        "observed",
+        F.col("p_nano").alias("expected_p_nano"),
+        "term_micro",
+        F.sum("term_micro").over(w_all).cast("long").alias("chi2_micro"),
+    ).orderBy("digit")
