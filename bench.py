@@ -420,6 +420,8 @@ HEADLINE = [
     "events_effect_sizes",
     "text_yule_k",
     "quality_benford_digit2",
+    "embedding_pca_power",
+    "orders_energy_distance",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -506,7 +508,9 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (19)
+    # round-10 additions (21)
+    "embedding_pca_power",
+    "orders_energy_distance",
     "text_yule_k",
     "quality_benford_digit2",
     "events_anderson_darling",

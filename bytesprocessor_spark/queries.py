@@ -77,6 +77,9 @@ EAGER_QUERIES = frozenset({
     "txnlog_changes_read",
     # ST22 streaming drain
     "stream_page_hinkley",
+    # L3j power iteration: localCheckpoint cuts the 3-round matvec
+    # lineage at construction (the GR2/GR14 iterative-graph pattern)
+    "embedding_pca_power",
 })
 
 
@@ -701,6 +704,8 @@ _CHECK_ORDER = [
     "events_effect_sizes",
     "text_yule_k",
     "quality_benford_digit2",
+    "embedding_pca_power",
+    "orders_energy_distance",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

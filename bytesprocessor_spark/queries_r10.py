@@ -2260,3 +2260,380 @@ def quality_benford_digit2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term_micro",
         F.sum("term_micro").over(w_all).cast("long").alias("chi2_micro"),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# L3j: dominant principal component by integer power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_DIMS = 64
+_PCA_SCALE = 1000  # same 1e3 vector quantization as the L3i Gram entry
+_PCA_ROUNDS = 3
+_PCA_TOPK = 8
+
+
+def _pca_oracle() -> str:
+    gram = f"""
+    e AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * {_PCA_SCALE})
+                                 AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    a AS (SELECT v, UNNEST(generate_series(1, {_PCA_DIMS})) AS i FROM e),
+    tt AS (SELECT i, v[i] AS vi, v,
+                  UNNEST(generate_series(1, {_PCA_DIMS})) AS j
+           FROM a),
+    g AS (
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+             CAST(SUM(vi * v[j]) AS BIGINT) AS g
+      FROM tt GROUP BY i, j
+    ),
+    x0 AS (SELECT UNNEST(generate_series(1, {_PCA_DIMS})) AS i,
+                  CAST(1000000 AS BIGINT) AS x)"""
+    steps = []
+    prev = "x0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        steps.append(
+            f"""
+    y{r} AS (
+      SELECT g.i, SUM(CAST(g.g AS HUGEINT) * {prev}.x) AS y
+      FROM g JOIN {prev} ON g.j = {prev}.i GROUP BY g.i
+    ),
+    m{r} AS (SELECT MAX(ABS(y)) AS m FROM y{r}),
+    x{r} AS (
+      SELECT i, CAST(y * 1000000 // GREATEST(m, 1) AS BIGINT) AS x
+      FROM y{r}, m{r}
+    )"""
+        )
+        prev = f"x{r}"
+    body = ",".join(steps)
+    last = prev
+    return f"""
+    WITH {gram},{body},
+    ray AS (
+      SELECT CAST(SUM(CAST(xx.x AS HUGEINT) * g.g * xj.x) AS DOUBLE)
+             / CAST((SELECT SUM(CAST(x AS HUGEINT) * x) FROM {last})
+                    AS DOUBLE) AS lam
+      FROM g JOIN {last} xx ON g.i = xx.i JOIN {last} xj ON g.j = xj.i
+    ),
+    topk AS (
+      SELECT i AS dim, x AS loading_micro,
+             ROW_NUMBER() OVER (ORDER BY ABS(x) DESC, i) AS rk
+      FROM {last}
+    )
+    SELECT rk, dim, loading_micro,
+           CAST(ROUND((SELECT lam FROM ray) * 1000) AS BIGINT)
+             AS rayleigh_milli
+    FROM topk WHERE rk <= {_PCA_TOPK} ORDER BY rk
+    """
+
+
+@query("embedding_pca_power", _pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3j — dominant principal component of the embedding corpus by
+    POWER ITERATION on the L3i exact Gram matrix: x ← G·x /
+    max|G·x| for 3 fixed rounds from the uniform start, read as the
+    top-8 loadings plus the Rayleigh quotient xᵀGx/xᵀx.  The missing
+    member of the embedding linear-algebra family — L3i ships the
+    Gram matrix "for a driver-side eigensolve"; this DOES the solve
+    distributively, the GR14 Katz discipline applied to PCA.  With a
+    FIXED round budget the Rayleigh quotient is a LOWER BOUND on
+    λ_max converging at (λ₂/λ₁)^2k — on a near-isotropic corpus
+    (this fixture: λ₂/λ₁ ≈ 0.93-0.98) 3 rounds read ~80-90% of
+    λ_max, which is itself the isotropy diagnostic (a spiked
+    spectrum converges in 2-3 rounds); the CONTRACT is the bit-exact
+    integer trajectory, pinned by a pure-Python recompute pytest.
+
+    Determinism: the trajectory is PURE integer — 1e3-quantized
+    vectors make G exact int64; each matvec accumulates exact 128-bit
+    (HUGEINT <-> decimal); normalization is a truncating division by
+    the max |component| (micro scale), so all three iterates are
+    bit-identical across engines and the SQL replay unrolls one CTE
+    per round; the Rayleigh quotient is ONE double ratio of two exact
+    128-bit integers, milli-quantized; (|x| desc, dim) tiebreak pins
+    the top-k.
+
+    Scale shape: the corpus collapses to the d×d Gram aggregate in
+    one pass (the L3i plan — only d(d+1)/2 partial cells shuffle);
+    every iteration is a d²-row join against a d-row vector (constant
+    work); readout 8 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * _PCA_SCALE)
+    )
+    terms = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_PCA_DIMS)),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.lit(_PCA_DIMS)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(F.col("__v"), i)
+                        * F.element_at(F.col("__v"), j)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    g = (
+        emb.select(v.alias("__v"))
+        .select(F.explode(terms).alias("t"))
+        .groupBy(F.col("t.i").cast("long").alias("i"),
+                 F.col("t.j").cast("long").alias("j"))
+        .agg(F.sum("t.p").cast("long").alias("g"))
+    )
+    g = g.localCheckpoint()  # cut lineage once; 64x64 rows
+    x = spark.createDataFrame(
+        [(i, 1000000) for i in range(1, _PCA_DIMS + 1)], ["i", "x"]
+    ).select(F.col("i").cast("long"), F.col("x").cast("long"))
+    for _ in range(_PCA_ROUNDS):
+        y = (
+            g.join(x.select(F.col("i").alias("j2"), "x"), g["j"] == F.col("j2"))
+            .groupBy(g["i"])
+            .agg(
+                F.sum(F.col("g").cast("decimal(19,0)") * F.col("x")).alias("y")
+            )
+        )
+        m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        x = (
+            y.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.expr(
+                    "CAST(y * 1000000 div GREATEST(m, CAST(1 AS DECIMAL(38,0)))"
+                    " AS BIGINT)"
+                ).alias("x"),
+            )
+            .localCheckpoint()
+        )
+    num = (
+        g.join(x.select(F.col("i").alias("i2"), F.col("x").alias("xi")),
+               g["i"] == F.col("i2"))
+        .join(x.select(F.col("i").alias("j2"), F.col("x").alias("xj")),
+              g["j"] == F.col("j2"))
+        .agg(
+            F.sum(
+                F.col("xi").cast("decimal(19,0)")
+                * F.col("g").cast("decimal(19,0)")
+                * F.col("xj")
+            )
+            .cast("double")
+            .alias("num")
+        )
+    )
+    den = x.agg(
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("double")
+        .alias("den")
+    )
+    ray = num.crossJoin(F.broadcast(den)).select(
+        F.round(F.col("num") / F.col("den") * 1000).cast("long").alias(
+            "rayleigh_milli"
+        )
+    )
+    topk = (
+        bounded_single_group(x)
+        .select(
+            F.row_number()
+            .over(
+                Window.partitionBy("__opid").orderBy(
+                    F.abs(F.col("x")).desc(), F.col("i")
+                )
+            )
+            .cast("long")
+            .alias("rk"),
+            F.col("i").alias("dim"),
+            F.col("x").alias("loading_micro"),
+        )
+        .where(F.col("rk") <= _PCA_TOPK)
+    )
+    return topk.crossJoin(F.broadcast(ray)).select(
+        "rk", "dim", "loading_micro", "rayleigh_milli"
+    ).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# A141: exact energy distance between the parity-split distributions
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_energy_distance",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 2
+               AS par
+      FROM orders
+    ),
+    s AS (
+      SELECT prio, c,
+             CAST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM v GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT prio, CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+      FROM s GROUP BY 1
+    ),
+    cum AS (
+      SELECT prio, c,
+             CAST(SUM(c0) OVER w AS BIGINT) AS f0,
+             CAST(SUM(c1) OVER w AS BIGINT) AS f1,
+             LEAD(c) OVER w AS c_next
+      FROM s WINDOW w AS (PARTITION BY prio ORDER BY c)
+    ),
+    acc AS (
+      SELECT cum.prio,
+             SUM(CAST(cum.c_next - cum.c AS HUGEINT)
+                 * (cum.f0 * (n.n1 - cum.f1) + cum.f1 * (n.n0 - cum.f0)))
+               AS axy,
+             SUM(CAST(cum.c_next - cum.c AS HUGEINT)
+                 * (2 * cum.f0 * (n.n0 - cum.f0))) AS bxx,
+             SUM(CAST(cum.c_next - cum.c AS HUGEINT)
+                 * (2 * cum.f1 * (n.n1 - cum.f1))) AS cyy
+      FROM cum JOIN n USING (prio)
+      WHERE cum.c_next IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT n.prio AS o_orderpriority, n.n0 AS n_even, n.n1 AS n_odd,
+           CASE WHEN n.n0 > 0 AND n.n1 > 0
+                THEN CAST(COALESCE(acc.axy, 0) * 1000
+                          // (CAST(n.n0 AS HUGEINT) * n.n1) AS BIGINT)
+           END AS e_xy_milli,
+           CASE WHEN n.n0 > 1
+                THEN CAST(COALESCE(acc.bxx, 0) * 1000
+                          // (CAST(n.n0 AS HUGEINT) * n.n0) AS BIGINT)
+           END AS e_xx_milli,
+           CASE WHEN n.n1 > 1
+                THEN CAST(COALESCE(acc.cyy, 0) * 1000
+                          // (CAST(n.n1 AS HUGEINT) * n.n1) AS BIGINT)
+           END AS e_yy_milli,
+           CASE WHEN n.n0 > 0 AND n.n1 > 0
+                THEN CAST(ROUND((2.0 * CAST(COALESCE(acc.axy, 0) AS DOUBLE)
+                          / CAST(n.n0 AS DOUBLE) / CAST(n.n1 AS DOUBLE)
+                        - CAST(COALESCE(acc.bxx, 0) AS DOUBLE)
+                          / CAST(n.n0 AS DOUBLE) / CAST(n.n0 AS DOUBLE)
+                        - CAST(COALESCE(acc.cyy, 0) AS DOUBLE)
+                          / CAST(n.n1 AS DOUBLE) / CAST(n.n1 AS DOUBLE))
+                        * 1000) AS BIGINT)
+           END AS energy_milli
+    FROM n LEFT JOIN acc ON n.prio = acc.prio
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A141 — exact energy distance D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|
+    between the even/odd-day order-value distributions per priority,
+    via the CDF identities E|X−Y| = ∫[F₀(1−F₁) + F₁(1−F₀)]dx on the
+    pooled support.  The rotation-free two-sample test of the Székely
+    family — zero IFF the distributions are identical, sensitive to
+    ALL moments where A131's W1 reads location-scale mass transport;
+    the pair is the standard drift dashboard duo.
+
+    Determinism: the A131 machinery verbatim (exact cents support,
+    exact cumulative counts, gap-weighted 128-bit integer sums for
+    all three expectations); the component expectations read out as
+    truncating milli ratios and D² is ONE double tree over the three
+    exact integers, milli-quantized.
+
+    Scale shape: identical to A131 — support-bounded aggregate,
+    priority-partitioned windows, k-row readout."""
+    v = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        cents(F.col("o_totalprice")).alias("c"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            % 2
+        ).alias("par"),
+    )
+    s = v.groupBy("prio", "c").agg(
+        F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    n = s.groupBy("prio").agg(
+        F.sum("c0").cast("long").alias("n0"), F.sum("c1").cast("long").alias("n1")
+    )
+    w = Window.partitionBy("prio").orderBy("c")
+    cum = s.select(
+        "prio",
+        "c",
+        F.sum("c0").over(w).cast("long").alias("f0"),
+        F.sum("c1").over(w).cast("long").alias("f1"),
+        F.lead("c").over(w).alias("c_next"),
+    )
+    gap = (F.col("c_next") - F.col("c")).cast("decimal(19,0)")
+    acc = (
+        cum.join(n, "prio")
+        .where(F.col("c_next").isNotNull())
+        .groupBy("prio")
+        .agg(
+            F.sum(
+                gap
+                * (
+                    F.col("f0").cast("decimal(19,0)") * (F.col("n1") - F.col("f1"))
+                    + F.col("f1").cast("decimal(19,0)")
+                    * (F.col("n0") - F.col("f0"))
+                ).cast("decimal(19,0)")
+            ).alias("axy"),
+            F.sum(
+                gap
+                * (
+                    2 * F.col("f0").cast("decimal(19,0)") * (F.col("n0") - F.col("f0"))
+                ).cast("decimal(19,0)")
+            ).alias("bxx"),
+            F.sum(
+                gap
+                * (
+                    2 * F.col("f1").cast("decimal(19,0)") * (F.col("n1") - F.col("f1"))
+                ).cast("decimal(19,0)")
+            ).alias("cyy"),
+        )
+    )
+    z = F.lit(0).cast("decimal(38,0)")
+    j = n.join(acc, "prio", "left").select(
+        "prio",
+        "n0",
+        "n1",
+        F.coalesce(F.col("axy"), z).alias("axy"),
+        F.coalesce(F.col("bxx"), z).alias("bxx"),
+        F.coalesce(F.col("cyy"), z).alias("cyy"),
+    )
+    n0D, n1D = F.col("n0").cast("double"), F.col("n1").cast("double")
+    energy = (
+        2.0 * F.col("axy").cast("double") / n0D / n1D
+        - F.col("bxx").cast("double") / n0D / n0D
+        - F.col("cyy").cast("double") / n1D / n1D
+    )
+    return j.select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("n0").alias("n_even"),
+        F.col("n1").alias("n_odd"),
+        F.when(
+            (F.col("n0") > 0) & (F.col("n1") > 0),
+            F.expr(
+                "CAST(axy * 1000 div (CAST(n0 AS DECIMAL(19,0)) * n1) AS BIGINT)"
+            ),
+        ).alias("e_xy_milli"),
+        F.when(
+            F.col("n0") > 1,
+            F.expr(
+                "CAST(bxx * 1000 div (CAST(n0 AS DECIMAL(19,0)) * n0) AS BIGINT)"
+            ),
+        ).alias("e_xx_milli"),
+        F.when(
+            F.col("n1") > 1,
+            F.expr(
+                "CAST(cyy * 1000 div (CAST(n1 AS DECIMAL(19,0)) * n1) AS BIGINT)"
+            ),
+        ).alias("e_yy_milli"),
+        F.when(
+            (F.col("n0") > 0) & (F.col("n1") > 0),
+            F.round(energy * 1000).cast("long"),
+        ).alias("energy_milli"),
+    ).orderBy("o_orderpriority")

@@ -450,3 +450,95 @@ def test_anderson_darling_uniform_small(spark, tmp_path):
     a2 = -n - wsum / 1e6 / n
     assert row["mean_a2_milli"] == int(round(a2 * 1000)) // 1  # single day
     assert row["n_days"] == 1
+
+
+def test_energy_distance_identities(spark):
+    """D² recomposed from the emitted exact component integers must
+    match energy_milli within quantization; identical halves give 0
+    (checked via the A131-zero fixture logic on the same parity
+    device, so only the identity check runs here)."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    for r in QUERIES["orders_energy_distance"](spark, SF).collect():
+        if r["energy_milli"] is None:
+            continue
+        d2 = (
+            2 * r["e_xy_milli"] - r["e_xx_milli"] - r["e_yy_milli"]
+        )
+        # components are individually trunc-quantized, D² is rounded
+        # from the unquantized doubles — they agree within 3 milli
+        assert abs(d2 - r["energy_milli"]) <= 3
+        assert r["energy_milli"] >= -3  # D² >= 0 up to quantization
+
+
+def test_pca_power_exact_trajectory(spark):
+    """The CONTRACT is the bit-exact integer trajectory: recompute
+    the 3 normalized matvec rounds in pure-Python big ints and match
+    the emitted loadings exactly; the Rayleigh quotient must be a
+    valid lower bound on numpy's lambda_max (within round-off) and
+    read a substantial fraction of it."""
+    import numpy as np
+
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_pca_power"](spark, SF).collect()
+    assert len(rows) == 8 and rows[0]["rk"] == 1
+    vecs = duckdb.sql(
+        f"SELECT embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    m = np.array(
+        [[round(float(x) * 1000) for x in v[0]] for v in vecs], dtype=np.int64
+    )
+    gram = (m.T @ m).astype(object)
+    x = [10**6] * 64
+    for _ in range(3):
+        y = [sum(int(gram[i][j]) * x[j] for j in range(64)) for i in range(64)]
+        mx = max(abs(t) for t in y)
+        # trunc division toward zero (Spark div / DuckDB //)
+        x = [
+            (t * 10**6) // mx if t >= 0 else -((-t * 10**6) // mx) for t in y
+        ]
+    order = sorted(range(64), key=lambda i: (-abs(x[i]), i))
+    for rk, r in enumerate(rows, start=1):
+        assert r["dim"] == order[rk - 1] + 1
+        assert r["loading_micro"] == x[order[rk - 1]]
+    xf = np.array([float(t) for t in x])
+    gf = (m.T @ m).astype(float)
+    ray = (xf @ gf @ xf) / (xf @ xf)
+    assert rows[0]["rayleigh_milli"] == round(ray * 1000)
+    lam = np.linalg.eigh(gf)[0][-1]
+    assert ray <= lam * 1.000001  # Rayleigh is a lower bound
+    assert ray >= 0.6 * lam  # fixed-budget read is substantial
+
+
+def test_yule_k_recompute(spark):
+    import re as _re
+
+    from bytesprocessor_spark.queries import QUERIES
+
+    docs = duckdb.sql(
+        f"SELECT source, lower(text) FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    freqs: dict[str, Counter] = {}
+    for src, text in docs:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text) if t]
+        freqs.setdefault(src, Counter()).update(toks)
+    got = {r["source"]: r for r in QUERIES["text_yule_k"](spark, SF).collect()}
+    for src, ctr in freqs.items():
+        n = sum(ctr.values())
+        sm2 = sum(v * v for v in ctr.values())
+        r = got[src]
+        assert r["vocab"] == len(ctr) and r["n_tokens"] == n
+        if n >= 2:
+            assert r["yule_k_micro"] == (sm2 - n) * 10_000_000_000 // (n * n)
+
+
+def test_benford2_chi2_exact_sum(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["quality_benford_digit2"](spark, SF).collect()
+    assert len(rows) == 10
+    assert rows[0]["chi2_micro"] == sum(r["term_micro"] for r in rows)
+    assert abs(sum(r["expected_p_nano"] for r in rows) - 1_000_000_000) <= 5
