@@ -223,6 +223,7 @@ _ORACLE_RANGE_LITERAL_ALLOWLIST = {
     "events_bootstrap_ci": "50 bootstrap resamples: pinned on both sides",
     "eval_pr_curve": "11 thresholds (0.0..1.0 by 0.1): metric definition",
     "multimodal_video_frames": "4 sampled frames: operator definition",
+    "quality_benford_digit2": "10 second digits 0..9: the digit domain",
 }
 
 
