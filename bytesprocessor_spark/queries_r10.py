@@ -1174,8 +1174,11 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u")
         .agg(F.count("*").cast("long").alias("d"))
     )
-    ks = spark.createDataFrame([(k,) for k in _RICH_CLUB_KS], ["k"]).select(
-        F.col("k").cast("long").alias("k")
+    ks = spark.range(len(_RICH_CLUB_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k).cast("long") for k in _RICH_CLUB_KS]),
+            F.col("id").cast("int") + 1,
+        ).alias("k")
     )
     nodes = (
         ks.join(deg, deg.d > ks.k, "left")
@@ -2224,19 +2227,33 @@ def quality_benford_digit2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("c").cast("string"), 2, 1).cast("int").alias("digit")
     )
     obs = d.groupBy("digit").agg(F.count("*").cast("long").alias("observed"))
-    e = spark.createDataFrame(
-        [(i, _B2_NANO[i]) for i in range(10)], ["digit", "p_nano"]
-    ).select(F.col("digit").cast("int").alias("digit"), F.col("p_nano").cast("long"))
-    t = obs.agg(F.sum("observed").cast("long").alias("n"))
-    j = (
-        e.join(obs, "digit", "left")
-        .crossJoin(F.broadcast(t))
-        .select(
+    # JVM-side literal grid (spark.range + array literal): a
+    # createDataFrame here plans as a Python RDD scan whose worker
+    # spin-up bills ~4 s/job on a cold pool — measured, not theoretical
+    nano = F.array(*[F.lit(x).cast("long") for x in _B2_NANO])
+    e = spark.range(10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(nano, F.col("id").cast("int") + 1).alias("p_nano"),
+    )
+    # total n folds as a window over the BOUNDED digit table so the
+    # orders scan runs once, not twice (one scan per aggregate branch
+    # was the 5 s plan; this is the eval_ece bounded-rollup device)
+    j0 = bounded_single_group(
+        e.join(obs, "digit", "left").select(
             "digit",
             F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
             "p_nano",
-            "n",
-        )
+        ),
+        col_name="__nopid",
+    )
+    w_n = Window.partitionBy("__nopid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = j0.select(
+        "digit",
+        "observed",
+        "p_nano",
+        F.sum("observed").over(w_n).cast("long").alias("n"),
     )
     exp = F.col("n").cast("double") * F.col("p_nano").cast("double") / 1e9
     term = (
@@ -2362,11 +2379,15 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * _PCA_SCALE)
     )
+    # UPPER-TRIANGLE explode (the L3i shape: d(d+1)/2 terms per row,
+    # half the full-matrix volume) mirrored to the symmetric G after
+    # the aggregate — the matvec needs all d² cells but the corpus
+    # pass only ever materializes the triangle
     terms = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.lit(_PCA_DIMS)),
             lambda i: F.transform(
-                F.sequence(F.lit(1), F.lit(_PCA_DIMS)),
+                F.sequence(i, F.lit(_PCA_DIMS)),
                 lambda j: F.struct(
                     i.alias("i"),
                     j.alias("j"),
@@ -2378,17 +2399,25 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    g = (
+    tri = (
         emb.select(v.alias("__v"))
         .select(F.explode(terms).alias("t"))
         .groupBy(F.col("t.i").cast("long").alias("i"),
                  F.col("t.j").cast("long").alias("j"))
         .agg(F.sum("t.p").cast("long").alias("g"))
     )
+    g = tri.unionByName(
+        tri.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
     g = g.localCheckpoint()  # cut lineage once; 64x64 rows
-    x = spark.createDataFrame(
-        [(i, 1000000) for i in range(1, _PCA_DIMS + 1)], ["i", "x"]
-    ).select(F.col("i").cast("long"), F.col("x").cast("long"))
+    # JVM-side literal start vector (a createDataFrame would plan as a
+    # Python RDD scan — worker spin-up tax per job)
+    x = spark.range(1, _PCA_DIMS + 1).select(
+        F.col("id").cast("long").alias("i"),
+        F.lit(1000000).cast("long").alias("x"),
+    )
     for _ in range(_PCA_ROUNDS):
         y = (
             g.join(x.select(F.col("i").alias("j2"), "x"), g["j"] == F.col("j2"))

@@ -90,8 +90,6 @@ ALLOW_NESTED_LOOP = {
     # (the eval_ece posture) — O(rows) work
     "eval_hosmer_lemeshow",
     "eval_youden_j",
-    # 1-row total frame crossed onto the 10-row digit grid — O(10)
-    "quality_benford_digit2",
     # 4-row degree-threshold grid non-equi-joined onto the BOUNDED
     # strong-edge node/edge tables (GR12's pruned graph) — O(4 x E_cut)
     "graph_rich_club",
