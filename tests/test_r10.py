@@ -542,3 +542,53 @@ def test_benford2_chi2_exact_sum(spark):
     assert len(rows) == 10
     assert rows[0]["chi2_micro"] == sum(r["term_micro"] for r in rows)
     assert abs(sum(r["expected_p_nano"] for r in rows) - 1_000_000_000) <= 5
+
+
+def test_nelson_aalen_vs_kaplan_meier(spark):
+    """H(t) is the -log twin of KM survival: exp(-H) >= KM S(t) at
+    every step (Fleming-Harrington dominates), both monotone, and the
+    increments recompute exactly from the emitted risk sets."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    na = QUERIES["orders_nelson_aalen"](spark, SF).collect()
+    km = {r["t_day"]: r for r in QUERIES["orders_kaplan_meier"](spark, SF).collect()}
+    prev_h = 0
+    cum = 0
+    for r in na:
+        inc = r["n_events"] * 1_000_000 // r["n_risk"]
+        cum += inc
+        assert r["hazard_micro"] == cum
+        assert r["hazard_micro"] >= prev_h
+        prev_h = r["hazard_micro"]
+        assert r["surv_fh_ppm"] == round(
+            math.exp(-r["hazard_micro"] / 1e6) * 1e6
+        )
+        if r["t_day"] in km:
+            assert km[r["t_day"]]["n_risk"] == r["n_risk"]
+            # FH survival dominates the KM product-limit estimate
+            assert r["surv_fh_ppm"] >= km[r["t_day"]]["surv_ppm"] - 1
+
+
+def test_holm_dominates_bh_and_is_monotone(spark):
+    """Holm adjusted p is a running max (monotone in rank); the Holm
+    rejection set is a SUBSET of BH's (FWER control is stricter than
+    FDR control at the same alpha)."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    holm = QUERIES["orders_holm_bonferroni"](spark, SF).collect()
+    bh = QUERIES["events_fdr_bh"](spark, SF).collect()
+    assert len(holm) == len(bh) == 35
+    prev = 0
+    m = len(holm)
+    for r in holm:
+        assert r["p_adj_micro"] >= prev
+        prev = r["p_adj_micro"]
+        raw = min(1_000_000, r["p_micro"] * (m - r["rank"] + 1))
+        assert r["p_adj_micro"] >= raw - 1
+    holm_rej = {(r["event_type"], r["dow"]) for r in holm if r["rejected"]}
+    bh_rej = {(r["event_type"], r["dow"]) for r in bh if r["rejected"]}
+    assert holm_rej <= bh_rej
+    # the two share the identical p-value machinery
+    hp = {(r["event_type"], r["dow"]): r["p_micro"] for r in holm}
+    bp = {(r["event_type"], r["dow"]): r["p_micro"] for r in bh}
+    assert hp == bp

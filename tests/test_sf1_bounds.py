@@ -374,3 +374,39 @@ def test_events_bass_diffusion_overflow_guard(spark, tmp_path):
         "events_bass_diffusion", spark_cols, spark_rows, duck_cols, duck_rows
     )
     assert not problems, "guarded NULL rows diverged: " + "\n".join(problems)
+
+
+def test_events_mann_kendall_sf1(spark, sf1_dir):
+    # pair-sign S over <=31-day series; counts at 1M rows stay trivial
+    _check(spark, sf1_dir, "events_mann_kendall", ["events"])
+
+
+def test_events_durbin_watson_sf1(spark, sf1_dir):
+    # 128-bit deviation products at 1M-row daily cent sums
+    _check(spark, sf1_dir, "events_durbin_watson", ["events"])
+
+
+def test_events_effect_sizes_sf1(spark, sf1_dir):
+    # 128-bit cent moment sums per (type, weekend) cell at 1M rows
+    _check(spark, sf1_dir, "events_effect_sizes", ["events"])
+
+
+def test_events_cochran_q_sf1(spark, sf1_dir):
+    # 128-bit row/column moments over 50k users
+    _check(spark, sf1_dir, "events_cochran_q", ["events"])
+
+
+def test_events_simpson_diversity_sf1(spark, sf1_dir):
+    # HUGEINT pair counts at ~33k events/day
+    _check(spark, sf1_dir, "events_simpson_diversity", ["events"])
+
+
+def test_orders_wasserstein_energy_sf1(spark, sf1_dir):
+    # 128-bit gap-weighted CDF sums over the 1.5M-order support
+    _check(spark, sf1_dir, "orders_wasserstein_drift", ["orders"])
+    _check(spark, sf1_dir, "orders_energy_distance", ["orders"])
+
+
+def test_orders_tukey_fences_sf1(spark, sf1_dir):
+    # percentile_disc + fence counts at 1.5M orders
+    _check(spark, sf1_dir, "orders_tukey_fences", ["orders"])
