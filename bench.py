@@ -422,6 +422,8 @@ HEADLINE = [
     "quality_benford_digit2",
     "embedding_pca_power",
     "orders_energy_distance",
+    "events_haar_energy",
+    "events_circular_rayleigh",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -508,7 +510,9 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (21)
+    # round-10 additions (23)
+    "events_haar_energy",
+    "events_circular_rayleigh",
     "embedding_pca_power",
     "orders_energy_distance",
     "text_yule_k",

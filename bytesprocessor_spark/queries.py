@@ -706,6 +706,8 @@ _CHECK_ORDER = [
     "quality_benford_digit2",
     "embedding_pca_power",
     "orders_energy_distance",
+    "events_haar_energy",
+    "events_circular_rayleigh",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

@@ -54,6 +54,8 @@ analytics surface SURVEY §2 declares on top of it.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2666,3 +2668,205 @@ def orders_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(energy * 1000).cast("long"),
         ).alias("energy_milli"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# A143: Haar wavelet scale energies of the daily series (exact integer)
+# ---------------------------------------------------------------------------
+
+_HAAR_SLOTS = 32  # dyadic pad of the <=31-day fixture calendar
+
+
+@query(
+    "events_haar_energy",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lo AS (SELECT event_type, MIN(day) AS d0 FROM d GROUP BY 1),
+    t AS (
+      SELECT d.event_type, d.day - lo.d0 AS idx, d.x
+      FROM d JOIN lo USING (event_type)
+      WHERE d.day - lo.d0 < {_HAAR_SLOTS}
+    ),
+    lv AS (SELECT UNNEST([1, 2, 3, 4, 5]) AS level),
+    det AS (
+      SELECT t.event_type, lv.level,
+             t.idx // (1 << lv.level) AS block,
+             CAST(SUM(CASE WHEN (t.idx // (1 << (lv.level - 1))) % 2 = 0
+                           THEN t.x ELSE -t.x END) AS BIGINT) AS dcoef
+      FROM t CROSS JOIN lv
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(level AS BIGINT) AS level, n_blocks, energy
+    FROM (
+      SELECT event_type, level,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CAST(dcoef AS HUGEINT) * dcoef)
+                  // (1 << level) AS BIGINT) AS energy
+      FROM det GROUP BY event_type, level
+    ) x ORDER BY event_type, level
+    """,
+)
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A143 — Haar wavelet scale energies of each type's daily-count
+    series (32-slot dyadic frame; absent days contribute 0 to every
+    detail sum, and blocks with no observed day — detail 0 — emit no
+    row on either engine): at
+    level L the detail coefficient of each 2^L-day block is (sum of
+    first half) − (sum of second half), and energy_L = Σd²/2^L — the
+    multi-resolution variance decomposition that localizes WHERE the
+    variation lives (level 1 = day-to-day jitter, level 3 ≈ weekly
+    structure, level 5 = fortnight drift).  The scale-domain read
+    A19's fixed seasonal window and A34's fixed-lag ACF cannot give —
+    and unlike a DFT it is EXACT integer arithmetic end to end.
+
+    Determinism: counts are integers; each detail coefficient is one
+    signed integer sum (block/half indices from truncating division
+    of non-negative day offsets — hazard-class (a) audited); energies
+    are exact 128-bit squares with a truncating 2^L normalization.
+
+    Scale shape: one (type, day) hash aggregate absorbs the scan; the
+    block aggregate runs over the calendar-bounded (type, level,
+    block) grid (≤ 5·32 cells/type); readout 5k rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    lo = d.groupBy("event_type").agg(F.min("day").alias("d0"))
+    t = (
+        d.join(F.broadcast(lo), "event_type")
+        .select("event_type", (F.col("day") - F.col("d0")).alias("idx"), "x")
+        .where(F.col("idx") < _HAAR_SLOTS)
+    )
+    lv = spark.range(1, 6).select(F.col("id").cast("int").alias("level"))
+    det = (
+        t.crossJoin(F.broadcast(lv))
+        .groupBy(
+            "event_type",
+            "level",
+            F.expr("idx div (1 << level)").alias("block"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(idx div (1 << (level - 1))) % 2 = 0"), F.col("x")
+                ).otherwise(-F.col("x"))
+            )
+            .cast("long")
+            .alias("dcoef")
+        )
+    )
+    return (
+        det.groupBy("event_type", "level")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.expr(
+                "CAST(SUM(CAST(dcoef AS DECIMAL(19,0)) * dcoef)"
+                " div (1 << level) AS BIGINT)"
+            ).alias("energy"),
+        )
+        .select(
+            "event_type",
+            F.col("level").cast("long").alias("level"),
+            "n_blocks",
+            "energy",
+        )
+        .orderBy("event_type", "level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A144: circular statistics — Rayleigh test on time-of-day
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_circular_rayleigh",
+    """
+    WITH u AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)))
+               AS us
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             CAST(ROUND(COS(2 * PI() * CAST(us AS DOUBLE) / 86400000000.0)
+                        * 1000000) AS BIGINT) AS c_micro,
+             CAST(ROUND(SIN(2 * PI() * CAST(us AS DOUBLE) / 86400000000.0)
+                        * 1000000) AS BIGINT) AS s_micro
+      FROM u
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c_micro AS HUGEINT)) AS sc,
+             SUM(CAST(s_micro AS HUGEINT)) AS ss
+      FROM q GROUP BY 1
+    )
+    SELECT event_type, n,
+      CAST(ROUND(SQRT(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                      + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                 / CAST(n AS DOUBLE)) AS BIGINT) AS r_micro,
+      CAST(ROUND((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                  + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 * 1000)
+           AS BIGINT) AS rayleigh_z_milli,
+      CAST(ROUND(ATAN2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) * 1000)
+           AS BIGINT) AS mean_angle_milli_rad
+    FROM m ORDER BY event_type
+    """,
+)
+def events_circular_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A144 — circular statistics of event TIME-OF-DAY per type:
+    resultant length R = |Σe^(iθ)|/n with θ = 2π·(µs of day)/86400e6,
+    the Rayleigh uniformity statistic z = nR², and the mean angle
+    atan2(Σsin, Σcos) — the CIRCULAR read A42's hourly histogram
+    linearizes away (23:00 and 01:00 are 2 h apart on the circle, 22
+    bins apart on the histogram); R ≈ 0 = uniform load, R → 1 = one
+    sharp daily peak at the mean angle.
+
+    Determinism: per-row cos/sin are micro-quantized BEFORE the sums
+    (the A137 per-row-transcendental discipline — both engines
+    evaluate the identical double tree on the identical exact input,
+    and the 1e-6 quantization absorbs any last-ulp libm divergence
+    except exactly at a .5 boundary, which the triple-scale gate
+    polices); the component sums are exact 128-bit; R/z/angle are
+    fixed double trees over the two exact integers, quantized once.
+
+    Scale shape: map-only trig + one (type) hash aggregate absorbs
+    the scan; readout k rows."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("date").cast("timestamp")
+    )
+    theta = 2 * math.pi * us.cast("double") / 86400000000.0
+    q = ev.select(
+        "event_type",
+        F.round(F.cos(theta) * 1000000).cast("long").alias("c_micro"),
+        F.round(F.sin(theta) * 1000000).cast("long").alias("s_micro"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("c_micro").cast("decimal(38,0)")).alias("sc"),
+        F.sum(F.col("s_micro").cast("decimal(38,0)")).alias("ss"),
+    )
+    scD, ssD = F.col("sc").cast("double"), F.col("ss").cast("double")
+    nD = F.col("n").cast("double")
+    r2 = scD * scD + ssD * ssD
+    return m.select(
+        "event_type",
+        "n",
+        F.round(F.sqrt(r2) / nD).cast("long").alias("r_micro"),
+        F.round(r2 / nD / 1000000.0 / 1000000.0 * 1000)
+        .cast("long")
+        .alias("rayleigh_z_milli"),
+        F.round(F.atan2(ssD, scD) * 1000).cast("long").alias(
+            "mean_angle_milli_rad"
+        ),
+    ).orderBy("event_type")

