@@ -424,6 +424,8 @@ HEADLINE = [
     "orders_energy_distance",
     "events_haar_energy",
     "events_circular_rayleigh",
+    "orc_roundtrip_read",
+    "text_compression_quality",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -510,7 +512,9 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (23)
+    # round-10 additions (25)
+    "orc_roundtrip_read",
+    "text_compression_quality",
     "events_haar_energy",
     "events_circular_rayleigh",
     "embedding_pca_power",

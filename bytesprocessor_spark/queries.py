@@ -80,6 +80,8 @@ EAGER_QUERIES = frozenset({
     # L3j power iteration: localCheckpoint cuts the 3-round matvec
     # lineage at construction (the GR2/GR14 iterative-graph pattern)
     "embedding_pca_power",
+    # S19 oracle row: writes + reads the temp ORC copy at construction
+    "orc_roundtrip_read",
 })
 
 
@@ -708,6 +710,8 @@ _CHECK_ORDER = [
     "orders_energy_distance",
     "events_haar_energy",
     "events_circular_rayleigh",
+    "orc_roundtrip_read",
+    "text_compression_quality",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

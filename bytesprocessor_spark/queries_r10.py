@@ -56,6 +56,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2870,3 +2872,134 @@ def events_circular_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_angle_milli_rad"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# S19: ORC round-trip source (write at construction, read + aggregate)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orc_roundtrip_read",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def orc_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 — ORC round-trip: the events table is written to ORC (zlib,
+    Spark's built-in columnar sibling of parquet) at construction and
+    the readout aggregates FROM THE ORC COPY; the oracle recomputes
+    the identical aggregate from the parquet source, so equality
+    proves the ORC writer/reader preserve every row, timestamp-free
+    value, and key exactly.  Closes the columnar-format matrix next
+    to S5 (parquet), S6/S6b (tolerant CSV/JSONL) and S12
+    (WebDataset tars).
+
+    Determinism: exact cents / counts only (no timestamp columns are
+    read back, so ORC's timestamp-zone handling cannot enter the
+    hash); the ORC copy lives under /tmp keyed by sf_dir and is
+    rebuilt per call (cheap at fixture scale, temp-cleaned).
+
+    Scale shape: one columnar write + one columnar scan + a k-row
+    hash aggregate; at the design point the write is the one-time
+    format migration and every read after it prunes columns exactly
+    like parquet."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    out = tempfile.mkdtemp(prefix="bp_orc_")
+    try:
+        ev.write.mode("overwrite").orc(f"{out}/events_orc")
+        back = spark.read.orc(f"{out}/events_orc")
+        res = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(cents(F.col("value"))).cast("long").alias("sum_c"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+            .orderBy("event_type")
+        )
+        # bounded localize (k rows) so the temp dir can drop
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# L32: compression-ratio quality signal (Arrow pandas UDF; pytest twin)
+# ---------------------------------------------------------------------------
+
+def _zlib_ratio_micro():
+    """Arrow-batched zlib-compressibility: ratio = compressed/raw in
+    exact micro units (level 6 pinned).  Deterministic for a given
+    zlib version — pinned by the pure-Python pytest twin, not a SQL
+    oracle (DuckDB has no zlib surface)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def ratio(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                out.append(1_000_000)
+                continue
+            comp = zlib.compress(raw, 6)
+            out.append(len(comp) * 1_000_000 // len(raw))
+        return pd.Series(out)
+
+    return ratio
+
+
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L32 — zlib compression-ratio quality signal per source: the
+    Gopher-style boilerplate detector (highly compressible text =
+    repetitive templates; incompressible = dense prose or noise),
+    read as per-source doc counts in three compressibility bands plus
+    the exact mean ratio.  The Python seam is the SANCTIONED one — an
+    Arrow-batched pandas UDF (one vectorized crossing per batch,
+    never per row); no SQL oracle exists for zlib, so the driver
+    records the rows-only check and the pure-Python pytest twin pins
+    the byte-exact ratios (same zlib, bit-identical).
+
+    Scale shape: map-only UDF over the document scan, one source-
+    keyed hash aggregate; readout k rows."""
+    ratio = _zlib_ratio_micro()
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", ratio(F.col("text")).alias("r_micro")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("r_micro") < 300000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_template_like"),
+            F.sum(
+                F.when(
+                    (F.col("r_micro") >= 300000) & (F.col("r_micro") < 700000), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_normal"),
+            F.sum(F.when(F.col("r_micro") >= 700000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_incompressible"),
+            F.expr("CAST(SUM(r_micro) div COUNT(*) AS BIGINT)").alias(
+                "mean_ratio_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+from bytesprocessor_spark.queries_llm import QUERIES_NO_ORACLE  # noqa: E402
+
+QUERIES_NO_ORACLE["text_compression_quality"] = text_compression_quality

@@ -659,3 +659,57 @@ def test_circular_rayleigh_recompute(spark):
         )
         assert r["mean_angle_milli_rad"] == round(math.atan2(ss, sc) * 1000)
         assert 0 <= r["r_micro"] <= 1_000_000
+
+
+def test_compression_quality_zlib_twin(spark):
+    """Byte-exact pure-Python twin of the L32 Arrow pandas UDF (same
+    zlib, level 6) — the rows-only driver check gets its value gate
+    here instead of a SQL oracle."""
+    import zlib
+
+    from bytesprocessor_spark.queries import QUERIES
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    agg: dict[str, list[int]] = {}
+    for src, text in docs:
+        raw = (text or "").encode("utf-8")
+        r = (
+            1_000_000
+            if not raw
+            else len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+        )
+        a = agg.setdefault(src, [0, 0, 0, 0, 0])
+        a[0] += 1
+        if r < 300_000:
+            a[1] += 1
+        elif r < 700_000:
+            a[2] += 1
+        else:
+            a[3] += 1
+        a[4] += r
+    got = {
+        r["source"]: r
+        for r in QUERIES["text_compression_quality"](spark, SF).collect()
+    }
+    for src, (n, lo, mid, hi, s) in agg.items():
+        r = got[src]
+        assert (r["n_docs"], r["n_template_like"], r["n_normal"],
+                r["n_incompressible"]) == (n, lo, mid, hi)
+        assert r["mean_ratio_micro"] == s // n
+
+
+def test_orc_roundtrip_matches_parquet(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    got = {r["event_type"]: r for r in QUERIES["orc_roundtrip_read"](spark, SF).collect()}
+    exp = duckdb.sql(
+        f"""SELECT event_type, COUNT(*),
+               SUM(CAST(ROUND(value * 100) AS BIGINT)),
+               COUNT(DISTINCT user_id)
+        FROM '{SF}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    for t, n, s, u in exp:
+        r = got[t]
+        assert (r["n"], r["sum_c"], r["n_users"]) == (n, s, u)
