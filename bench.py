@@ -426,6 +426,8 @@ HEADLINE = [
     "events_circular_rayleigh",
     "orc_roundtrip_read",
     "text_compression_quality",
+    "similarity_reciprocal_nn",
+    "graph_ktruss",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -512,7 +514,9 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (25)
+    # round-10 additions (27)
+    "similarity_reciprocal_nn",
+    "graph_ktruss",
     "orc_roundtrip_read",
     "text_compression_quality",
     "events_haar_energy",

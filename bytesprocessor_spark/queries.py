@@ -82,6 +82,8 @@ EAGER_QUERIES = frozenset({
     "embedding_pca_power",
     # S19 oracle row: writes + reads the temp ORC copy at construction
     "orc_roundtrip_read",
+    # GR16 k-truss: 2 peeling rounds count/checkpoint at construction
+    "graph_ktruss",
 })
 
 
@@ -712,6 +714,8 @@ _CHECK_ORDER = [
     "events_circular_rayleigh",
     "orc_roundtrip_read",
     "text_compression_quality",
+    "similarity_reciprocal_nn",
+    "graph_ktruss",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

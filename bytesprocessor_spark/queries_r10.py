@@ -3003,3 +3003,219 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 from bytesprocessor_spark.queries_llm import QUERIES_NO_ORACLE  # noqa: E402
 
 QUERIES_NO_ORACLE["text_compression_quality"] = text_compression_quality
+
+
+# ---------------------------------------------------------------------------
+# L33: reciprocal nearest-neighbor pairs (mutual top-1 cosine)
+# ---------------------------------------------------------------------------
+
+@query(
+    "similarity_reciprocal_nn",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (SQRT(list_dot_product(a.v, a.v))
+                  * SQRT(list_dot_product(b.v, b.v))) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    sym AS (
+      SELECT id_a AS id, id_b AS nbr, sim FROM s
+      UNION ALL SELECT id_b AS id, id_a AS nbr, sim FROM s
+    ),
+    nn AS (
+      SELECT id, nbr, sim
+      FROM (SELECT id, nbr, sim,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY sim DESC, nbr) AS rk
+            FROM sym) r
+      WHERE rk = 1
+    )
+    SELECT a.id AS id_a, a.nbr AS id_b, ROUND(a.sim, 6) AS sim
+    FROM nn a JOIN nn b ON a.nbr = b.id AND b.nbr = a.id AND a.id < b.id
+    ORDER BY id_a
+    """,
+)
+def similarity_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33 — reciprocal nearest-neighbor pairs: (a, b) such that b is
+    a's top-1 cosine neighbor AND a is b's — the mutual-NN pairing
+    rule behind RNN-descent graph builds, bitext mining, and the
+    strictest near-dup pairing (one-sided NN over-pairs hubs; mutual
+    NN is hub-resistant by construction).  L3's top-k ranks per
+    query; this emits the corpus's SELF-pairing.
+
+    Determinism: the L2 quantized exact-cosine device (1e-6 fixed-
+    point components, every product exact) so argmax ties cannot
+    ulp-flip; top-1 under the (sim desc, neighbor id) total order;
+    mutuality is an exact self-join; sim rounded to 6 on both
+    engines.
+
+    Scale shape: the block-partitioned all-pairs GEMM (L2's
+    declared-exact small-side path — the LSH/IVF candidate stage is
+    the 100 TB dispatch); the argmax window partitions BY VECTOR ID
+    (entity-keyed, never global); mutual join on integer ids;
+    readout ≤ n/2 rows."""
+    from bytesprocessor_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, threshold=-2.0, quantize=True)
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "sim"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr"))
+    nn = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("id", "nbr", "sim")
+    )
+    other = nn.select(
+        F.col("id").alias("id2"), F.col("nbr").alias("nbr2")
+    )
+    return (
+        nn.join(
+            other,
+            (F.col("nbr") == F.col("id2"))
+            & (F.col("nbr2") == F.col("id"))
+            & (F.col("id") < F.col("id2")),
+        )
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("nbr").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+        .orderBy("id_a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GR16: k-truss peeling on the strong-edge co-supplier graph
+# ---------------------------------------------------------------------------
+
+_TRUSS_K = 4  # edges must sit in >= k-2 = 2 triangles
+_TRUSS_ROUNDS = 2
+
+
+def _truss_oracle() -> str:
+    base = """
+    WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    pw AS (
+      SELECT a.s AS a, b.s AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    rkd AS (
+      SELECT a, b,
+             ROW_NUMBER() OVER (ORDER BY w DESC, a, b) AS rk,
+             COUNT(*) OVER () AS n
+      FROM pw
+    ),
+    e0 AS (SELECT a, b FROM rkd WHERE rk <= GREATEST(n // 10, 10))"""
+    prev = "e0"
+    steps = []
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        steps.append(f"""
+    d{r} AS (
+      SELECT u, v FROM (SELECT a AS u, b AS v FROM {prev}
+                        UNION ALL SELECT b AS u, a AS v FROM {prev}) x
+    ),
+    sup{r} AS (
+      SELECT e.a, e.b, CAST(COUNT(w1.v) AS BIGINT) AS support
+      FROM {prev} e
+      LEFT JOIN d{r} w1 ON w1.u = e.a
+      LEFT JOIN d{r} w2 ON w2.u = e.b AND w2.v = w1.v
+      WHERE w2.v IS NOT NULL OR w1.v IS NULL
+      GROUP BY e.a, e.b
+    ),
+    e{r} AS (SELECT a, b FROM sup{r} WHERE support >= {_TRUSS_K - 2})""")
+        prev = f"e{r}"
+    arms = []
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        arms.append(f"""
+    SELECT CAST({r} AS BIGINT) AS round,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             (SELECT a AS u FROM e{r} UNION SELECT b AS u FROM e{r}) nu)
+             AS n_nodes
+    FROM e{r}""")
+    body = ",".join(steps)
+    sel = " UNION ALL ".join(arms)
+    return (
+        base
+        + ","
+        + body
+        + "\n    SELECT round, n_edges, n_nodes FROM ("
+        + sel
+        + ") z ORDER BY round"
+    )
+
+
+@query("graph_ktruss", _truss_oracle())
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR16 — k-truss peeling (k=4) on the GR12 strong-edge
+    co-supplier graph: each round recomputes every surviving edge's
+    triangle support (common-neighbor count) and drops edges in
+    fewer than k−2 triangles; 2 fixed rounds, read as edge/node
+    counts per round.  The EDGE-cohesion community core — GR7's
+    k-core peels by degree (a hub with pendant edges survives);
+    k-truss requires the edges themselves to be triangle-reinforced,
+    the standard stronger cohesion filter.
+
+    Determinism: pure integer set operations over the deterministic
+    strong-edge cut (the GR12 rank discipline); fixed round count so
+    the SQL replay unrolls one support-join per round.
+
+    Scale shape: each support round is the GR3 oriented common-
+    neighbor equi-join on the PRUNED edge set (Σdeg² bounded by the
+    cut); readout 2 rows."""
+    from bytesprocessor_spark.operators.graph import supplier_pair_weights
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
+    pw = supplier_pair_weights(spark, sf_dir)
+    rkd = distributed_rank(
+        pw,
+        [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
+        rank_col="rk",
+        total_col="n",
+    )
+    edges = rkd.where(
+        F.col("rk") <= F.greatest(F.expr("n div 10"), F.lit(10))
+    ).select("a", "b")
+    out_rows = []
+    for rnd in range(1, _TRUSS_ROUNDS + 1):
+        d = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        w1 = d.select(F.col("u").alias("ua"), F.col("v").alias("cn"))
+        w2 = d.select(F.col("u").alias("ub"), F.col("v").alias("cn2"))
+        sup = (
+            edges.join(w1, F.col("a") == F.col("ua"), "left")
+            .join(
+                w2,
+                (F.col("b") == F.col("ub")) & (F.col("cn2") == F.col("cn")),
+                "left",
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.col("cn2")).cast("long").alias("support"))
+        )
+        edges = sup.where(F.col("support") >= _TRUSS_K - 2).select("a", "b")
+        edges = edges.localCheckpoint()
+        nodes = (
+            edges.select(F.col("a").alias("u"))
+            .unionByName(edges.select(F.col("b").alias("u")))
+            .distinct()
+            .count()
+        )
+        out_rows.append((rnd, edges.count(), nodes))
+    return spark.createDataFrame(
+        out_rows, "round long, n_edges long, n_nodes long"
+    )

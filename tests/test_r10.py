@@ -713,3 +713,59 @@ def test_orc_roundtrip_matches_parquet(spark):
     for t, n, s, u in exp:
         r = got[t]
         assert (r["n"], r["sum_c"], r["n_users"]) == (n, s, u)
+
+
+def test_reciprocal_nn_brute_force(spark):
+    import numpy as np
+
+    from bytesprocessor_spark.queries import QUERIES
+
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [v for v, _ in vecs]
+    m = np.array([[round(float(x) * 1e6) for x in e] for _, e in vecs])
+    norms = np.sqrt((m * m).sum(axis=1))
+    sims = (m @ m.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -2.0)
+    nn = {}
+    for i, vid in enumerate(ids):
+        # (sim desc, neighbor id asc) total order
+        j = min(range(len(ids)), key=lambda j: (-sims[i][j], ids[j]))
+        nn[vid] = ids[j]
+    expect = sorted(
+        (a, b) for a, b in ((v, nn[v]) for v in ids) if nn.get(b) == a and a < b
+    )
+    got = [
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["similarity_reciprocal_nn"](spark, SF).collect()
+    ]
+    assert got == expect
+
+
+def test_ktruss_brute_force(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    pairs = duckdb.sql(
+        f"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+                       FROM '{SF}/lineitem.parquet'),
+        pw AS (SELECT a.s AS a, b.s AS b, COUNT(*) AS w
+               FROM os a JOIN os b ON a.o = b.o AND a.s < b.s GROUP BY 1, 2)
+        SELECT a, b, w FROM pw ORDER BY w DESC, a, b"""
+    ).fetchall()
+    keep = max(len(pairs) // 10, 10)
+    edges = {(a, b) for a, b, _ in pairs[:keep]}
+    got = {r["round"]: r for r in QUERIES["graph_ktruss"](spark, SF).collect()}
+    for rnd in (1, 2):
+        adj: dict[int, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        edges = {
+            (a, b)
+            for a, b in edges
+            if len(adj[a] & adj[b]) >= 2  # k-2 for k=4
+        }
+        nodes = {u for e in edges for u in e}
+        assert got[rnd]["n_edges"] == len(edges)
+        assert got[rnd]["n_nodes"] == len(nodes)
