@@ -428,6 +428,8 @@ HEADLINE = [
     "text_compression_quality",
     "similarity_reciprocal_nn",
     "graph_ktruss",
+    "events_tost_equivalence",
+    "orders_chain_ladder",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -514,7 +516,9 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (27)
+    # round-10 additions (29)
+    "events_tost_equivalence",
+    "orders_chain_ladder",
     "similarity_reciprocal_nn",
     "graph_ktruss",
     "orc_roundtrip_read",

@@ -716,6 +716,8 @@ _CHECK_ORDER = [
     "text_compression_quality",
     "similarity_reciprocal_nn",
     "graph_ktruss",
+    "events_tost_equivalence",
+    "orders_chain_ladder",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

@@ -3219,3 +3219,230 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "round long, n_edges long, n_nodes long"
     )
+
+
+# ---------------------------------------------------------------------------
+# A145: TOST equivalence test (weekend vs weekday value, per type)
+# ---------------------------------------------------------------------------
+
+_TOST_MARGIN_CENTS = 500  # +/- $5 equivalence margin on the mean
+_TOST_Z95 = 1.6448536269514722  # one-sided 95% normal critical, pinned
+
+
+@query(
+    "events_tost_equivalence",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN ISODOW(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS wk,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, wk,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT)) AS s1,
+             SUM(CAST(c AS HUGEINT) * c) AS s2
+      FROM v GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.event_type, a.n AS n1, b.n AS n0,
+             CAST(a.s1 AS DOUBLE) AS s11, CAST(a.s2 AS DOUBLE) AS s21,
+             CAST(b.s1 AS DOUBLE) AS s10, CAST(b.s2 AS DOUBLE) AS s20
+      FROM m a JOIN m b ON a.event_type = b.event_type
+      WHERE a.wk = 1 AND b.wk = 0 AND a.n >= 2 AND b.n >= 2
+    ),
+    t AS (
+      SELECT event_type, n1, n0,
+             (s11 / CAST(n1 AS DOUBLE) - s10 / CAST(n0 AS DOUBLE)) AS diff,
+             SQRT((s21 - s11 * s11 / CAST(n1 AS DOUBLE))
+                  / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                + (s20 - s10 * s10 / CAST(n0 AS DOUBLE))
+                  / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS se
+      FROM w
+    )
+    SELECT event_type, n1 AS n_weekend, n0 AS n_weekday,
+           CAST(ROUND(diff) AS BIGINT) AS mean_diff_c,
+           CAST(ROUND((diff + {_TOST_MARGIN_CENTS}) / se * 1000) AS BIGINT)
+             AS t_lower_milli,
+           CAST(ROUND((diff - {_TOST_MARGIN_CENTS}) / se * 1000) AS BIGINT)
+             AS t_upper_milli,
+           ((diff + {_TOST_MARGIN_CENTS}) / se > {_TOST_Z95}
+            AND (diff - {_TOST_MARGIN_CENTS}) / se < -{_TOST_Z95})
+             AS equivalent
+    FROM t ORDER BY event_type
+    """,
+)
+def events_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A145 — TOST equivalence test (two one-sided tests, Schuirmann):
+    is the weekend/weekday mean-value difference provably INSIDE the
+    ±$5 margin?  A43's Welch t can only fail to find a difference —
+    absence of evidence; TOST provides evidence of absence (both
+    one-sided tests must reject: diff > −δ AND diff < +δ), the
+    launch-gate read for "this change is value-neutral".
+
+    Determinism: exact 128-bit cent moments per (type, weekend) cell
+    (the A140 device); diff/SE/t are fixed double trees with the
+    pinned z95 literal (17 digits, the A111 discipline), milli-
+    quantized; the verdict is a double compare WELL away from the
+    quantization boundary in practice and pinned by the triple-scale
+    gate.
+
+    Scale shape: one (type, flag) hash aggregate absorbs the scan;
+    k-keyed self-join; readout k rows."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.when(F.expr("weekday(ts)") + 1 >= 6, 1).otherwise(0).alias("wk"),
+        cents(F.col("value")).alias("c"),
+    )
+    m = v.groupBy("event_type", "wk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("s2"),
+    )
+    a = m.where((F.col("wk") == 1) & (F.col("n") >= 2)).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s1").cast("double").alias("s11"),
+        F.col("s2").cast("double").alias("s21"),
+    )
+    b = m.where((F.col("wk") == 0) & (F.col("n") >= 2)).select(
+        F.col("event_type").alias("et0"),
+        F.col("n").alias("n0"),
+        F.col("s1").cast("double").alias("s10"),
+        F.col("s2").cast("double").alias("s20"),
+    )
+    w = a.join(b, F.col("event_type") == F.col("et0"))
+    n1D, n0D = F.col("n1").cast("double"), F.col("n0").cast("double")
+    diff = F.col("s11") / n1D - F.col("s10") / n0D
+    se = F.sqrt(
+        (F.col("s21") - F.col("s11") * F.col("s11") / n1D) / (n1D - 1) / n1D
+        + (F.col("s20") - F.col("s10") * F.col("s10") / n0D) / (n0D - 1) / n0D
+    )
+    t_lo = (diff + _TOST_MARGIN_CENTS) / se
+    t_hi = (diff - _TOST_MARGIN_CENTS) / se
+    return w.select(
+        "event_type",
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        F.round(diff).cast("long").alias("mean_diff_c"),
+        F.round(t_lo * 1000).cast("long").alias("t_lower_milli"),
+        F.round(t_hi * 1000).cast("long").alias("t_upper_milli"),
+        ((t_lo > _TOST_Z95) & (t_hi < -_TOST_Z95)).alias("equivalent"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A146: chain-ladder development factors on the order->ship triangle
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_chain_ladder",
+    """
+    WITH base AS (
+      SELECT DATE_TRUNC('month', o.o_orderdate) AS cohort,
+             CAST(DATE_DIFF('month', DATE_TRUNC('month', o.o_orderdate),
+                            DATE_TRUNC('month', l.l_shipdate)) AS BIGINT)
+               AS dev,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS c
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1995-12-01 00:00:00'
+    ),
+    inc AS (
+      SELECT cohort, dev, CAST(SUM(c) AS BIGINT) AS v
+      FROM base WHERE dev BETWEEN 0 AND 4 GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, dev,
+             CAST(SUM(v) OVER (PARTITION BY cohort ORDER BY dev) AS BIGINT)
+               AS cv
+      FROM inc
+    ),
+    f AS (
+      SELECT a.dev AS from_dev,
+             CAST(SUM(b.cv) AS BIGINT) AS num,
+             CAST(SUM(a.cv) AS BIGINT) AS den,
+             CAST(COUNT(*) AS BIGINT) AS n_cohorts
+      FROM cum a JOIN cum b
+        ON a.cohort = b.cohort AND b.dev = a.dev + 1
+      GROUP BY a.dev
+    )
+    SELECT from_dev, n_cohorts, num AS sum_next_c, den AS sum_curr_c,
+           CAST(num * 1000 // GREATEST(den, 1) AS BIGINT) AS factor_milli
+    FROM f ORDER BY from_dev
+    """,
+)
+def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A146 — chain-ladder development factors on the order→ship
+    value triangle: cohorts = order months (H1 1995), development
+    age = months from order to ship, cumulative shipped value per
+    (cohort, age); the volume-weighted factor f_j = Σ_i C_{i,j+1} /
+    Σ_i C_{i,j} is THE actuarial/finance run-off estimator (claims
+    reserving, receivables aging, backlog burn-down) — the triangle
+    read A68's open-order aging snapshots cannot give.
+
+    Determinism: exact cents; month arithmetic via DATE_TRUNC /
+    month-diff (identical on both engines for post-epoch dates);
+    cumulative values are exact integer prefix sums over the
+    dev-bounded (≤5-step) per-cohort windows; factors are truncating
+    milli ratios.
+
+    Scale shape: one orders⋈lineitem equi-join (AQE-planned) and one
+    (cohort, dev) hash aggregate absorb the scan; everything after
+    runs on the ≤6×5 triangle; readout ≤4 rows."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") < F.lit("1995-12-01 00:00:00").cast("timestamp")
+    )
+    base = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.date_trunc("month", "o_orderdate").alias("cohort"),
+        (
+            (F.year("l_shipdate") - F.year("o_orderdate")) * 12
+            + (F.month("l_shipdate") - F.month("o_orderdate"))
+        )
+        .cast("long")
+        .alias("dev"),
+        cents(F.col("l_extendedprice")).alias("c"),
+    )
+    inc = (
+        base.where(F.col("dev").between(0, 4))
+        .groupBy("cohort", "dev")
+        .agg(F.sum("c").cast("long").alias("v"))
+    )
+    w = Window.partitionBy("cohort").orderBy("dev")
+    cum = inc.select(
+        "cohort", "dev", F.sum("v").over(w).cast("long").alias("cv")
+    )
+    nxt = cum.select(
+        F.col("cohort").alias("cohort2"),
+        F.col("dev").alias("dev2"),
+        F.col("cv").alias("cv_next"),
+    )
+    f = (
+        cum.join(
+            nxt,
+            (F.col("cohort") == F.col("cohort2"))
+            & (F.col("dev2") == F.col("dev") + 1),
+        )
+        .groupBy(F.col("dev").alias("from_dev"))
+        .agg(
+            F.sum("cv_next").cast("long").alias("num"),
+            F.sum("cv").cast("long").alias("den"),
+            F.count("*").cast("long").alias("n_cohorts"),
+        )
+    )
+    return f.select(
+        "from_dev",
+        "n_cohorts",
+        F.col("num").alias("sum_next_c"),
+        F.col("den").alias("sum_curr_c"),
+        F.expr("CAST(num * 1000 div GREATEST(den, 1) AS BIGINT)").alias(
+            "factor_milli"
+        ),
+    ).orderBy("from_dev")

@@ -769,3 +769,88 @@ def test_ktruss_brute_force(spark):
         nodes = {u for e in edges for u in e}
         assert got[rnd]["n_edges"] == len(edges)
         assert got[rnd]["n_nodes"] == len(nodes)
+
+
+def test_tost_recompute_and_welch_relationship(spark):
+    """TOST t-pair recomputed in pure Python; equivalence requires the
+    CI inside the margin, so |mean diff| must be < margin whenever
+    equivalent is true."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    vals = duckdb.sql(
+        f"""SELECT event_type,
+               CASE WHEN ISODOW(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END,
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_tost_equivalence"](spark, SF).collect()
+    }
+    types = sorted({t for t, _, _ in vals})
+    for t in types:
+        a = [c for tt, wk, c in vals if tt == t and wk == 1]
+        b = [c for tt, wk, c in vals if tt == t and wk == 0]
+        if len(a) < 2 or len(b) < 2:
+            assert t not in got
+            continue
+        n1, n0 = len(a), len(b)
+        s11, s21 = float(sum(a)), float(sum(x * x for x in a))
+        s10, s20 = float(sum(b)), float(sum(x * x for x in b))
+        diff = s11 / n1 - s10 / n0
+        se = math.sqrt(
+            (s21 - s11 * s11 / n1) / (n1 - 1) / n1
+            + (s20 - s10 * s10 / n0) / (n0 - 1) / n0
+        )
+        r = got[t]
+        assert r["t_lower_milli"] == round((diff + 500) / se * 1000)
+        assert r["t_upper_milli"] == round((diff - 500) / se * 1000)
+        if r["equivalent"]:
+            assert abs(diff) < 500
+
+
+def test_chain_ladder_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"""SELECT DATE_TRUNC('month', o.o_orderdate),
+               DATE_DIFF('month', DATE_TRUNC('month', o.o_orderdate),
+                         DATE_TRUNC('month', l.l_shipdate)),
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+        FROM '{SF}/orders.parquet' o JOIN '{SF}/lineitem.parquet' l
+          ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1995-07-01'
+          AND l.l_shipdate < TIMESTAMP '1995-12-01'"""
+    ).fetchall()
+    inc: dict[tuple, int] = {}
+    for coh, dev, c in rows:
+        if 0 <= dev <= 4:
+            inc[(coh, int(dev))] = inc.get((coh, int(dev)), 0) + int(c)
+    cohorts = sorted({k[0] for k in inc})
+    cum = {}
+    for coh in cohorts:
+        run = 0
+        for dev in range(5):
+            if (coh, dev) in inc:
+                run += inc[(coh, dev)]
+                cum[(coh, dev)] = run
+    got = {r["from_dev"]: r for r in QUERIES["orders_chain_ladder"](spark, SF).collect()}
+    for dev in range(4):
+        num = den = cnt = 0
+        for coh in cohorts:
+            if (coh, dev) in cum and (coh, dev + 1) in cum:
+                num += cum[(coh, dev + 1)]
+                den += cum[(coh, dev)]
+                cnt += 1
+        if cnt == 0:
+            assert dev not in got
+            continue
+        r = got[dev]
+        assert (r["n_cohorts"], r["sum_next_c"], r["sum_curr_c"]) == (
+            cnt,
+            num,
+            den,
+        )
+        assert r["factor_milli"] == num * 1000 // max(den, 1)
+        assert r["factor_milli"] >= 1000  # cumulative values never shrink
