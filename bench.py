@@ -430,6 +430,8 @@ HEADLINE = [
     "graph_ktruss",
     "events_tost_equivalence",
     "orders_chain_ladder",
+    "embedding_isotropy",
+    "events_xmr_chart",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -516,7 +518,9 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (29)
+    # round-10 additions (31)
+    "embedding_isotropy",
+    "events_xmr_chart",
     "events_tost_equivalence",
     "orders_chain_ladder",
     "similarity_reciprocal_nn",

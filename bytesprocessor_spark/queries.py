@@ -718,6 +718,8 @@ _CHECK_ORDER = [
     "graph_ktruss",
     "events_tost_equivalence",
     "orders_chain_ladder",
+    "embedding_isotropy",
+    "events_xmr_chart",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

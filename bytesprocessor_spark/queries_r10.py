@@ -3446,3 +3446,237 @@ def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "factor_milli"
         ),
     ).orderBy("from_dev")
+
+
+# ---------------------------------------------------------------------------
+# L3k: embedding isotropy (mean pairwise cosine via the sum-vector identity)
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_isotropy",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(label % 2 AS BIGINT) AS grp,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id, grp,
+             list_transform(v, x -> CAST(ROUND(x / SQRT(list_dot_product(n.v, n.v))
+                                          * 1000000) AS BIGINT)) AS uv
+      FROM n
+    ),
+    comp AS (
+      SELECT grp, UNNEST(generate_series(1, 64)) AS dim, uv
+      FROM u
+    ),
+    sums AS (
+      SELECT grp, dim, SUM(CAST(uv[dim] AS HUGEINT)) AS s
+      FROM comp GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(list_dot_product(uv, uv) AS HUGEINT)) AS self_sq
+      FROM u GROUP BY 1
+    ),
+    tot AS (
+      SELECT grp, SUM(s * s) AS s_sq FROM sums GROUP BY grp
+    )
+    SELECT norms.grp AS label_parity, norms.n AS n_vectors,
+           CAST(ROUND((CAST(tot.s_sq AS DOUBLE) - CAST(norms.self_sq AS DOUBLE))
+                / (CAST(norms.n AS DOUBLE) * (CAST(norms.n AS DOUBLE) - 1))
+                / 1e12 * 1000000) AS BIGINT) AS mean_cosine_micro
+    FROM norms JOIN tot USING (grp)
+    ORDER BY label_parity
+    """,
+)
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3k — embedding isotropy per label parity: the mean pairwise
+    cosine of all n(n−1) ordered pairs via the SUM-VECTOR identity
+    Σ_{i≠j} v̂ᵢ·v̂ⱼ = |Σv̂|² − Σ|v̂ᵢ|² — ONE corpus pass instead of the
+    O(n²) pair scan (the anisotropy diagnostic of Ethayarajh 2019:
+    contextual embeddings cluster in a narrow cone; mean cosine ≈ 0 =
+    isotropic, → 1 = collapsed — the health check before cosine
+    thresholds like L2's 0.45 are trusted, and the one-pass companion
+    of L3j's spectral read).
+
+    Determinism: unit vectors are micro-quantized per row (the A137
+    per-row-transcendental discipline — one sqrt per vector, then
+    exact integers); component sums, |S|², and Σ|v̂ᵢ|² are exact
+    128-bit; the mean cosine is one fixed double tree over two exact
+    integers, micro-quantized.
+
+    Scale shape: one explode to (grp, dim) component sums (64k cells
+    — dimension-bounded, not corpus-bounded) + one per-group norm
+    aggregate; NO pair join anywhere; readout 2 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    u = emb.select(
+        (F.col("label") % 2).cast("long").alias("grp"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / norm * 1000000).cast("long"),
+        ).alias("uv"),
+    )
+    comp = u.select(
+        "grp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.struct(
+                    i.alias("dim"), F.element_at("uv", i).alias("c")
+                ),
+            )
+        ).alias("t"),
+    )
+    sums = comp.groupBy("grp", F.col("t.dim").alias("dim")).agg(
+        F.sum(F.col("t.c").cast("decimal(38,0)")).alias("s")
+    )
+    tot = sums.groupBy("grp").agg(
+        F.sum(F.col("s") * F.col("s")).alias("s_sq")
+    )
+    self_sq = F.aggregate(
+        F.transform("uv", lambda x: x.cast("decimal(19,0)") * x),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    norms = u.select("grp", self_sq.alias("ss")).groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"), F.sum("ss").alias("self_sq")
+    )
+    nD = F.col("n").cast("double")
+    return (
+        norms.join(tot, "grp")
+        .select(
+            F.col("grp").alias("label_parity"),
+            F.col("n").alias("n_vectors"),
+            F.round(
+                (F.col("s_sq").cast("double") - F.col("self_sq").cast("double"))
+                / (nD * (nD - 1))
+                / 1e12
+                * 1000000
+            )
+            .cast("long")
+            .alias("mean_cosine_micro"),
+        )
+        .orderBy("label_parity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A147: XmR (individuals / moving-range) Shewhart control chart
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_xmr_chart",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    mr AS (
+      SELECT event_type, d, v,
+             ABS(v - LAG(v) OVER (PARTITION BY event_type ORDER BY d)) AS r
+      FROM s
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(COUNT(r) AS BIGINT) AS n_r,
+             CAST(SUM(r) AS BIGINT) AS sr
+      FROM mr GROUP BY 1
+    ),
+    lim AS (
+      SELECT event_type, n_days, sv, n_r, sr,
+             CAST(sv AS DOUBLE) / CAST(n_days AS DOUBLE) AS center,
+             2.66 * CAST(sr AS DOUBLE) / CAST(n_r AS DOUBLE) AS spread
+      FROM st WHERE n_r >= 1
+    )
+    SELECT l.event_type, l.n_days,
+           CAST(ROUND(l.center) AS BIGINT) AS center_c,
+           CAST(ROUND(l.spread) AS BIGINT) AS spread_c,
+           CAST(SUM(CASE WHEN CAST(s.v AS DOUBLE) > l.center + l.spread
+                           OR CAST(s.v AS DOUBLE) < l.center - l.spread
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_control
+    FROM s JOIN lim l USING (event_type)
+    GROUP BY l.event_type, l.n_days, l.center, l.spread
+    ORDER BY l.event_type
+    """,
+)
+def events_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A147 — XmR (individuals & moving-range) Shewhart chart on each
+    type's daily revenue: center = x̄, natural process limits = x̄ ±
+    2.66·MR̄ (the d2-based individuals-chart constant), out-of-control
+    day count.  THE classical SPC chart — A83's CUSUM and A18's EWMA
+    detect small sustained shifts; XmR flags any single excursion
+    past the voice-of-the-process limits, which is what an ops
+    runbook pages on.
+
+    Determinism: exact integer daily sums and moving ranges; center/
+    spread are fixed double trees with the pinned 2.66 literal; the
+    out-of-control compare is integer-vs-double with both sides
+    computing the identical IEEE values (the A111 discipline).
+
+    Scale shape: one (type, day) partial aggregate; type-partitioned
+    lag window over calendar-bounded series; one broadcast-back
+    counting aggregate; readout k rows."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    mr = s.select(
+        "event_type",
+        "d",
+        "v",
+        F.abs(F.col("v") - F.lag("v").over(w)).alias("r"),
+    )
+    st = mr.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("v").cast("long").alias("sv"),
+        F.count("r").cast("long").alias("n_r"),
+        F.sum("r").cast("long").alias("sr"),
+    )
+    lim = st.where(F.col("n_r") >= 1).select(
+        "event_type",
+        "n_days",
+        (F.col("sv").cast("double") / F.col("n_days").cast("double")).alias(
+            "center"
+        ),
+        (2.66 * F.col("sr").cast("double") / F.col("n_r").cast("double")).alias(
+            "spread"
+        ),
+    )
+    j = s.join(F.broadcast(lim), "event_type")
+    return (
+        j.groupBy("event_type", "n_days", "center", "spread")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("v").cast("double") > F.col("center") + F.col("spread"))
+                    | (
+                        F.col("v").cast("double")
+                        < F.col("center") - F.col("spread")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out_of_control")
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round("center").cast("long").alias("center_c"),
+            F.round("spread").cast("long").alias("spread_c"),
+            "n_out_of_control",
+        )
+        .orderBy("event_type")
+    )

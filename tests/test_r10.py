@@ -854,3 +854,65 @@ def test_chain_ladder_recompute(spark):
         )
         assert r["factor_milli"] == num * 1000 // max(den, 1)
         assert r["factor_milli"] >= 1000  # cumulative values never shrink
+
+
+def test_isotropy_matches_brute_force(spark):
+    """The sum-vector identity must equal the O(n^2) brute-force mean
+    pairwise cosine of the SAME quantized unit vectors."""
+    import numpy as np
+
+    from bytesprocessor_spark.queries import QUERIES
+
+    vecs = duckdb.sql(
+        f"SELECT label % 2, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    got = {
+        r["label_parity"]: r
+        for r in QUERIES["embedding_isotropy"](spark, SF).collect()
+    }
+    for grp in (0, 1):
+        us = []
+        for g, e in vecs:
+            if g != grp:
+                continue
+            v = np.array([float(x) for x in e])
+            nv = v / math.sqrt(float(v @ v))
+            us.append(np.array([round(x * 1e6) for x in nv], dtype=np.int64))
+        m = np.stack(us)
+        n = len(us)
+        s = m.sum(axis=0).astype(object)
+        s_sq = int(sum(int(x) * int(x) for x in s))
+        self_sq = int(sum(int((r * r).sum()) for r in m))
+        mean_cos = (s_sq - self_sq) / (n * (n - 1)) / 1e12
+        r = got[grp]
+        assert r["n_vectors"] == n
+        assert r["mean_cosine_micro"] == round(mean_cos * 1e6)
+        # near-isotropic synthetic corpus: mean cosine well below 0.5
+        assert abs(r["mean_cosine_micro"]) < 500_000
+
+
+def test_xmr_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for t, _, v in rows:
+        series.setdefault(t, []).append(int(v))
+    got = {r["event_type"]: r for r in QUERIES["events_xmr_chart"](spark, SF).collect()}
+    for t, vs in series.items():
+        n = len(vs)
+        rs = [abs(vs[i] - vs[i - 1]) for i in range(1, n)]
+        if not rs:
+            assert t not in got
+            continue
+        center = sum(vs) / n
+        spread = 2.66 * sum(rs) / len(rs)
+        out = sum(1 for v in vs if v > center + spread or v < center - spread)
+        r = got[t]
+        assert r["center_c"] == round(center)
+        assert r["spread_c"] == round(spread)
+        assert r["n_out_of_control"] == out
