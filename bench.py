@@ -432,6 +432,8 @@ HEADLINE = [
     "orders_chain_ladder",
     "embedding_isotropy",
     "events_xmr_chart",
+    "events_sampen",
+    "text_burrows_delta",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -518,7 +520,9 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (31)
+    # round-10 additions (33)
+    "events_sampen",
+    "text_burrows_delta",
     "embedding_isotropy",
     "events_xmr_chart",
     "events_tost_equivalence",

@@ -3680,3 +3680,387 @@ def events_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A148: sample entropy (SampEn) of the daily-count series
+# ---------------------------------------------------------------------------
+
+_SAMPEN_M = 2  # template length; matches compared at m and m+1
+
+
+@query(
+    "events_sampen",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lo AS (SELECT event_type, MIN(day) AS d0 FROM d GROUP BY 1),
+    t AS (
+      SELECT d.event_type, d.day - lo.d0 AS i, d.x
+      FROM d JOIN lo USING (event_type)
+    ),
+    r AS (
+      SELECT event_type,
+             CAST(GREATEST((MAX(x) - MIN(x)) * 2 // 10, 1) AS BIGINT) AS tol
+      FROM t GROUP BY 1
+    ),
+    w AS (
+      SELECT a.event_type, a.i AS ia, b.i AS ib,
+             GREATEST(ABS(a.x - b.x),
+                      ABS(a2.x - b2.x)) AS dist_m,
+             GREATEST(ABS(a.x - b.x), ABS(a2.x - b2.x),
+                      ABS(a3.x - b3.x)) AS dist_m1,
+             (a3.x IS NOT NULL AND b3.x IS NOT NULL) AS has_m1
+      FROM t a
+      JOIN t a2 ON a2.event_type = a.event_type AND a2.i = a.i + 1
+      JOIN t b  ON b.event_type = a.event_type AND b.i > a.i
+      JOIN t b2 ON b2.event_type = a.event_type AND b2.i = b.i + 1
+      LEFT JOIN t a3 ON a3.event_type = a.event_type AND a3.i = a.i + 2
+      LEFT JOIN t b3 ON b3.event_type = a.event_type AND b3.i = b.i + 2
+    ),
+    cnt AS (
+      SELECT w.event_type,
+             CAST(SUM(CASE WHEN w.dist_m <= r.tol THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b_matches,
+             CAST(SUM(CASE WHEN w.has_m1 AND w.dist_m1 <= r.tol
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a_matches
+      FROM w JOIN r USING (event_type)
+      GROUP BY 1
+    )
+    SELECT cnt.event_type, r.tol AS tolerance, b_matches, a_matches,
+           CASE WHEN a_matches > 0 AND b_matches > 0
+                THEN CAST(ROUND(-LN(CAST(a_matches AS DOUBLE)
+                                    / CAST(b_matches AS DOUBLE)) * 1000)
+                          AS BIGINT)
+           END AS sampen_milli
+    FROM cnt JOIN r USING (event_type)
+    ORDER BY cnt.event_type
+    """,
+)
+def events_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A148 — sample entropy (Richman-Moorman) of each type's daily-
+    count series: SampEn(m=2, r=0.2·range) = −ln(A/B) where B counts
+    template pairs matching at length m (Chebyshev distance ≤ r) and
+    A those still matching at m+1 — the regularity read of the
+    nonlinear-dynamics family (low SampEn = repetitive/predictable
+    days, high = irregular), next to A120's Hurst (long memory) and
+    A112's Ljung-Box (linear autocorrelation): SampEn sees NONLINEAR
+    regularity both miss, and unlike ApEn it is self-match-free.
+
+    Determinism: integer tolerance (20% of the integer range,
+    truncating, floor 1); template distances are exact integer
+    Chebyshev maxima over the (i < j) pair join; A/B exact counts;
+    SampEn one ln over an exact ratio, milli-quantized; A or B = 0
+    reads NULL on both engines.
+
+    Scale shape: one (type, day) hash aggregate absorbs the scan;
+    the template pair join is type-keyed over calendar-bounded day
+    tables (≤ n²/2 pairs per type-year, calendar-bounded like A128);
+    readout k rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    lo = d.groupBy("event_type").agg(F.min("day").alias("d0"))
+    t = d.join(F.broadcast(lo), "event_type").select(
+        "event_type", (F.col("day") - F.col("d0")).alias("i"), "x"
+    )
+    r = t.groupBy("event_type").agg(
+        F.greatest(
+            F.expr("(MAX(x) - MIN(x)) * 2 div 10"), F.lit(1).cast("long")
+        ).alias("tol")
+    )
+
+    def ts(alias, off):
+        return t.select(
+            F.col("event_type").alias(f"et_{alias}"),
+            (F.col("i") - off).alias(f"i_{alias}"),
+            F.col("x").alias(f"x_{alias}"),
+        )
+
+    a = t.select("event_type", F.col("i").alias("ia"), F.col("x").alias("xa"))
+    w = (
+        a.join(
+            ts("a2", 1),
+            (F.col("et_a2") == F.col("event_type")) & (F.col("i_a2") == F.col("ia")),
+        )
+        .join(
+            t.select(
+                F.col("event_type").alias("et_b"),
+                F.col("i").alias("ib"),
+                F.col("x").alias("xb"),
+            ),
+            (F.col("et_b") == F.col("event_type")) & (F.col("ib") > F.col("ia")),
+        )
+        .join(
+            ts("b2", 1),
+            (F.col("et_b2") == F.col("event_type")) & (F.col("i_b2") == F.col("ib")),
+        )
+        .join(
+            ts("a3", 2),
+            (F.col("et_a3") == F.col("event_type")) & (F.col("i_a3") == F.col("ia")),
+            "left",
+        )
+        .join(
+            ts("b3", 2),
+            (F.col("et_b3") == F.col("event_type")) & (F.col("i_b3") == F.col("ib")),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.greatest(
+                F.abs(F.col("xa") - F.col("xb")),
+                F.abs(F.col("x_a2") - F.col("x_b2")),
+            ).alias("dist_m"),
+            F.greatest(
+                F.abs(F.col("xa") - F.col("xb")),
+                F.abs(F.col("x_a2") - F.col("x_b2")),
+                F.abs(F.col("x_a3") - F.col("x_b3")),
+            ).alias("dist_m1"),
+            (F.col("x_a3").isNotNull() & F.col("x_b3").isNotNull()).alias(
+                "has_m1"
+            ),
+        )
+    )
+    cnt = (
+        w.join(F.broadcast(r), "event_type")
+        .groupBy("event_type", "tol")
+        .agg(
+            F.sum(F.when(F.col("dist_m") <= F.col("tol"), 1).otherwise(0))
+            .cast("long")
+            .alias("b_matches"),
+            F.sum(
+                F.when(
+                    F.col("has_m1") & (F.col("dist_m1") <= F.col("tol")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("a_matches"),
+        )
+    )
+    return cnt.select(
+        "event_type",
+        F.col("tol").alias("tolerance"),
+        "b_matches",
+        "a_matches",
+        F.when(
+            (F.col("a_matches") > 0) & (F.col("b_matches") > 0),
+            F.round(
+                -F.log(
+                    F.col("a_matches").cast("double")
+                    / F.col("b_matches").cast("double")
+                )
+                * 1000
+            ).cast("long"),
+        ).alias("sampen_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# L34: Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+_DELTA_TOPK_WORDS = 20
+
+
+@query(
+    "text_burrows_delta",
+    f"""
+    WITH t AS (
+      SELECT source, unnest([x for x in regexp_split_to_array(lower(text),
+                             '[^a-z0-9]+') if len(x) > 0]) AS token
+      FROM documents
+    ),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1
+    ),
+    tf AS (
+      SELECT t.source, t.token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT token FROM (
+        SELECT token, SUM(c) AS tc,
+               ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, token) AS rk
+        FROM tf GROUP BY token
+      ) x WHERE rk <= {_DELTA_TOPK_WORDS}
+    ),
+    freq AS (
+      SELECT tot.source, top.token,
+             CAST(COALESCE(tf.c, 0) * 1000000 // tot.n AS BIGINT) AS f_micro
+      FROM tot CROSS JOIN top
+      LEFT JOIN tf ON tf.source = tot.source AND tf.token = top.token
+    ),
+    stats AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(f_micro AS HUGEINT)) AS sf,
+             SUM(CAST(f_micro AS HUGEINT) * f_micro) AS sf2
+      FROM freq GROUP BY token
+    ),
+    z AS (
+      SELECT f.source, f.token,
+             (CAST(f.f_micro AS DOUBLE)
+              - CAST(s.sf AS DOUBLE) / CAST(s.k AS DOUBLE))
+             / SQRT((CAST(s.sf2 AS DOUBLE)
+                     - CAST(s.sf AS DOUBLE) * CAST(s.sf AS DOUBLE)
+                       / CAST(s.k AS DOUBLE))
+                    / CAST(s.k - 1 AS DOUBLE)) AS zval
+      FROM freq f JOIN stats s USING (token)
+      WHERE s.sf2 * s.k > s.sf * s.sf
+    ),
+    zq AS (
+      SELECT source, token, CAST(ROUND(zval * 1000000) AS BIGINT) AS z_micro
+      FROM z
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(ABS(a.z_micro - b.z_micro)) AS BIGINT) AS sum_absdiff,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM zq a JOIN zq b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT src_a, src_b, n_words,
+             CAST(sum_absdiff // n_words AS BIGINT) AS delta_micro,
+             ROW_NUMBER() OVER (ORDER BY sum_absdiff // n_words, src_a, src_b)
+               AS rk
+      FROM pairs
+    )
+    SELECT src_a, src_b, n_words, delta_micro
+    FROM scored WHERE rk <= 10 ORDER BY delta_micro, src_a, src_b
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34 — Burrows' Delta between sources: z-score each source's
+    relative frequency of the corpus's top-{_DELTA_TOPK_WORDS} words
+    (across-source mean/sd per word), Delta(a, b) = mean |z_a − z_b|;
+    the 10 closest pairs are the stylometric attribution readout —
+    THE standard authorship/provenance distance (Burrows 2002), a
+    different axis from L15's topical distinctive terms: function-
+    word PROFILES, not content.
+
+    Determinism: relative frequencies are truncating micro divisions;
+    per-word across-source moments exact 128-bit; z micro-quantized
+    per (source, word) BEFORE the pair fold so Delta is an exact
+    integer mean; degenerate words (zero across-source variance)
+    drop on both engines; full (delta, a, b) tiebreak on the top-10.
+
+    Scale shape: one (source, token) aggregate absorbs the token
+    explosion (vocabulary-bounded); everything after runs on the
+    k-source × {_DELTA_TOPK_WORDS}-word grid and its k²/2 pair join
+    (bounded by the source taxonomy, not the corpus); readout 10
+    rows."""
+    from bytesprocessor_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize(F.col("text"))).alias("token"))
+    tot = toks.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    tf = toks.groupBy("source", "token").agg(F.count("*").cast("long").alias("c"))
+    w_top = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("tc").desc(), F.col("token")
+    )
+    top = (
+        bounded_single_group(
+            tf.groupBy("token").agg(F.sum("c").cast("long").alias("tc"))
+        )
+        .select(
+            "token",
+            "tc",
+            F.row_number()
+            .over(
+                Window.partitionBy("__opid").orderBy(
+                    F.col("tc").desc(), F.col("token")
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= _DELTA_TOPK_WORDS)
+        .select("token")
+    )
+    freq = (
+        tot.crossJoin(F.broadcast(top))
+        .join(tf, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            F.expr("CAST(COALESCE(c, 0) * 1000000 div n AS BIGINT)").alias(
+                "f_micro"
+            ),
+        )
+    )
+    stats = freq.groupBy("token").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("f_micro").cast("decimal(38,0)")).alias("sf"),
+        F.sum(F.col("f_micro").cast("decimal(19,0)") * F.col("f_micro")).alias(
+            "sf2"
+        ),
+    )
+    kD = F.col("k").cast("double")
+    mean = F.col("sf").cast("double") / kD
+    sd = F.sqrt(
+        (F.col("sf2").cast("double") - F.col("sf").cast("double") * F.col("sf").cast("double") / kD)
+        / (kD - 1)
+    )
+    z = (
+        freq.join(F.broadcast(stats), "token")
+        .where(F.col("sf2") * F.col("k") > F.col("sf") * F.col("sf"))
+        .select(
+            "source",
+            "token",
+            F.round((F.col("f_micro").cast("double") - mean) / sd * 1000000)
+            .cast("long")
+            .alias("z_micro"),
+        )
+    )
+    zb = z.select(
+        F.col("source").alias("src_b"),
+        F.col("token").alias("token_b"),
+        F.col("z_micro").alias("z_b"),
+    )
+    pairs = (
+        z.join(
+            zb,
+            (F.col("token") == F.col("token_b"))
+            & (F.col("source") < F.col("src_b")),
+        )
+        .groupBy(F.col("source").alias("src_a"), "src_b")
+        .agg(
+            F.sum(F.abs(F.col("z_micro") - F.col("z_b")))
+            .cast("long")
+            .alias("sum_absdiff"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+    )
+    scored = bounded_single_group(
+        pairs.select(
+            "src_a",
+            "src_b",
+            "n_words",
+            F.expr("CAST(sum_absdiff div n_words AS BIGINT)").alias("delta_micro"),
+        )
+    ).select(
+        "src_a",
+        "src_b",
+        "n_words",
+        "delta_micro",
+        F.row_number()
+        .over(
+            Window.partitionBy("__opid").orderBy(
+                "delta_micro", "src_a", "src_b"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        scored.where(F.col("rk") <= 10)
+        .select("src_a", "src_b", "n_words", "delta_micro")
+        .orderBy("delta_micro", "src_a", "src_b")
+    )

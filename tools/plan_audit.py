@@ -93,6 +93,9 @@ ALLOW_NESTED_LOOP = {
     # 5-row level-literal grid crossed onto the calendar-bounded
     # (type, day-offset) table — O(5 x days x k) block expansion
     "events_haar_energy",
+    # 20-row top-word frame crossed onto the k-source totals table —
+    # O(k x 20) grid build before the z-score machinery
+    "text_burrows_delta",
     # 4-row degree-threshold grid non-equi-joined onto the BOUNDED
     # strong-edge node/edge tables (GR12's pruned graph) — O(4 x E_cut)
     "graph_rich_club",
