@@ -434,6 +434,8 @@ HEADLINE = [
     "events_xmr_chart",
     "events_sampen",
     "text_burrows_delta",
+    "eval_log_loss",
+    "events_transfer_entropy",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -520,7 +522,9 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (33)
+    # round-10 additions (35)
+    "eval_log_loss",
+    "events_transfer_entropy",
     "events_sampen",
     "text_burrows_delta",
     "embedding_isotropy",

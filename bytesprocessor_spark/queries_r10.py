@@ -4064,3 +4064,254 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_a", "src_b", "n_words", "delta_micro")
         .orderBy("delta_micro", "src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# EV43: classification log-loss (cross-entropy) of the pinned model
+# ---------------------------------------------------------------------------
+
+_LL_CLAMP = 1000  # pm clamped to [1e-3, 1-1e-3] in micro units
+
+
+@query(
+    "eval_log_loss",
+    f"""
+    WITH b AS (
+      SELECT vec_id,
+             CAST(label % 2 AS BIGINT) AS y,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           + CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+               AS score
+      FROM embeddings
+    ),
+    mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM b),
+    p AS (
+      SELECT y,
+             LEAST(GREATEST(((score - lo) * 1000000)
+                            // GREATEST(hi - lo, 1), {_LL_CLAMP}),
+                   1000000 - {_LL_CLAMP}) AS pm
+      FROM b, mm
+    ),
+    q AS (
+      SELECT y, pm,
+             CAST(ROUND(-LN(CASE WHEN y = 1
+                                 THEN CAST(pm AS DOUBLE) / 1000000.0
+                                 ELSE 1.0 - CAST(pm AS DOUBLE) / 1000000.0
+                            END) * 1000000000) AS BIGINT) AS nll_nano
+      FROM p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(nll_nano) AS BIGINT) AS sum_nll_nano,
+           CAST(SUM(nll_nano) // COUNT(*) AS BIGINT) AS log_loss_nano
+    FROM q
+    """,
+)
+def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV43 — classification log-loss (cross-entropy) of the EV1
+    pinned pseudo-model: mean −ln p(y) over clamped min-max micro-
+    probabilities ([1e-3, 1−1e-3] — the standard guard against
+    infinite penalty).  THE proper scoring rule the Brier score
+    (EV32) approximates quadratically; log-loss is what the training
+    objective actually was, so eval should read it too.
+
+    Determinism: pm is exact integer; the per-row −ln is NANO-
+    quantized BEFORE the sum (the A112/A137 per-row-transcendental
+    discipline) so the total and the truncating mean are exact
+    integers.
+
+    Scale shape: one min/max broadcast + one scalar aggregate absorbs
+    the scan; readout 1 row."""
+    from bytesprocessor_spark.queries_eval import _scored
+
+    b = _scored(spark, sf_dir)
+    mm = b.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    p = b.crossJoin(F.broadcast(mm)).select(
+        "y",
+        F.least(
+            F.greatest(
+                F.expr("((score - lo) * 1000000) div GREATEST(hi - lo, 1)"),
+                F.lit(_LL_CLAMP).cast("long"),
+            ),
+            F.lit(1000000 - _LL_CLAMP).cast("long"),
+        ).alias("pm"),
+    )
+    nll = F.round(
+        -F.log(
+            F.when(F.col("y") == 1, F.col("pm").cast("double") / 1000000.0)
+            .otherwise(1.0 - F.col("pm").cast("double") / 1000000.0)
+        )
+        * 1000000000
+    ).cast("long")
+    q = p.select("y", nll.alias("nll_nano"))
+    return q.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("nll_nano").cast("long").alias("sum_nll_nano"),
+        F.expr("CAST(SUM(nll_nano) div COUNT(*) AS BIGINT)").alias(
+            "log_loss_nano"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A149: binary transfer entropy between event-type daily series
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_transfer_entropy",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(quantile_disc(x, 0.5) AS BIGINT) AS m
+      FROM d GROUP BY 1
+    ),
+    bin AS (
+      SELECT d.event_type, d.day,
+             CASE WHEN d.x > med.m THEN 1 ELSE 0 END AS b
+      FROM d JOIN med USING (event_type)
+    ),
+    tri AS (
+      SELECT y.event_type AS tgt, x.event_type AS src,
+             yt.b AS y_now, y.b AS y_prev, x.b AS x_prev
+      FROM bin y
+      JOIN bin yt ON yt.event_type = y.event_type
+                 AND yt.day = y.day + INTERVAL 1 DAY
+      JOIN bin x ON x.day = y.day AND x.event_type <> y.event_type
+    ),
+    cells AS (
+      SELECT tgt, src, y_now, y_prev, x_prev,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tri GROUP BY 1, 2, 3, 4, 5
+    ),
+    m AS (
+      SELECT tgt, src, y_now, y_prev, x_prev, c,
+             CAST(SUM(c) OVER (PARTITION BY tgt, src) AS BIGINT) AS n,
+             CAST(SUM(c) OVER (PARTITION BY tgt, src, y_prev, x_prev)
+                  AS BIGINT) AS c_ypxp,
+             CAST(SUM(c) OVER (PARTITION BY tgt, src, y_prev) AS BIGINT)
+               AS c_yp,
+             CAST(SUM(c) OVER (PARTITION BY tgt, src, y_now, y_prev)
+                  AS BIGINT) AS c_ynyp
+      FROM cells
+    ),
+    terms AS (
+      SELECT tgt, src,
+             CAST(ROUND(CAST(c AS DOUBLE)
+                  * LN((CAST(c AS DOUBLE) * CAST(c_yp AS DOUBLE))
+                       / (CAST(c_ypxp AS DOUBLE) * CAST(c_ynyp AS DOUBLE)))
+                  * 1000000000) AS BIGINT) AS t_nano
+      FROM m
+    )
+    SELECT tgt AS target_type, src AS source_type,
+           CAST(SUM(t_nano) AS BIGINT) AS te_sum_nano
+    FROM terms GROUP BY 1, 2
+    ORDER BY target_type, source_type
+    """,
+)
+def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A149 — binary transfer entropy TE(X→Y) at lag 1 between every
+    ordered pair of event-type daily series (median-binarized):
+    N·TE = Σ_cells c·ln(c·c_{{y'}} / (c_{{y'x'}}·c_{{yy'}})) — the
+    DIRECTIONAL information-flow read (does knowing X yesterday
+    reduce uncertainty about Y today beyond Y's own history?) that
+    A39's symmetric correlation matrix and A57's G-test cannot give;
+    TE(X→Y) ≠ TE(Y→X) is the whole point (Schreiber 2000).
+
+    Determinism: median cuts are percentile_disc data points;
+    binarization and the ≤8-cell contingency per ordered pair are
+    exact integers; each cell's ln-term is NANO-quantized BEFORE the
+    exact integer sum (the A112 discipline — the emitted statistic is
+    N·TE in nano-nats, an exact integer); marginals by window sums
+    over the bounded cell table.
+
+    Scale shape: one (type, day) aggregate absorbs the scan; the
+    triple join runs on calendar-bounded binary series (k² ordered
+    pairs × ≤days rows); readout k(k−1) rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    med = d.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+        .cast("long")
+        .alias("m")
+    )
+    bin_ = d.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("b"),
+    )
+    y = bin_.select(
+        F.col("event_type").alias("tgt"),
+        F.col("day").alias("dy"),
+        F.col("b").alias("y_prev"),
+    )
+    yt = bin_.select(
+        F.col("event_type").alias("tgt2"),
+        F.col("day").alias("dyt"),
+        F.col("b").alias("y_now"),
+    )
+    xs = bin_.select(
+        F.col("event_type").alias("src"),
+        F.col("day").alias("dx"),
+        F.col("b").alias("x_prev"),
+    )
+    tri = (
+        y.join(
+            yt,
+            (F.col("tgt2") == F.col("tgt"))
+            & (F.col("dyt") == F.expr("dy + INTERVAL 1 DAY")),
+        )
+        .join(
+            xs,
+            (F.col("dx") == F.col("dy")) & (F.col("src") != F.col("tgt")),
+        )
+        .select("tgt", "src", "y_now", "y_prev", "x_prev")
+    )
+    cells = tri.groupBy("tgt", "src", "y_now", "y_prev", "x_prev").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_pair = Window.partitionBy("tgt", "src")
+    m = cells.select(
+        "tgt",
+        "src",
+        "y_now",
+        "y_prev",
+        "x_prev",
+        "c",
+        F.sum("c").over(w_pair).cast("long").alias("n"),
+        F.sum("c")
+        .over(Window.partitionBy("tgt", "src", "y_prev", "x_prev"))
+        .cast("long")
+        .alias("c_ypxp"),
+        F.sum("c")
+        .over(Window.partitionBy("tgt", "src", "y_prev"))
+        .cast("long")
+        .alias("c_yp"),
+        F.sum("c")
+        .over(Window.partitionBy("tgt", "src", "y_now", "y_prev"))
+        .cast("long")
+        .alias("c_ynyp"),
+    )
+    t_nano = F.round(
+        F.col("c").cast("double")
+        * F.log(
+            (F.col("c").cast("double") * F.col("c_yp").cast("double"))
+            / (F.col("c_ypxp").cast("double") * F.col("c_ynyp").cast("double"))
+        )
+        * 1000000000
+    ).cast("long")
+    return (
+        m.select("tgt", "src", t_nano.alias("t_nano"))
+        .groupBy(
+            F.col("tgt").alias("target_type"), F.col("src").alias("source_type")
+        )
+        .agg(F.sum("t_nano").cast("long").alias("te_sum_nano"))
+        .orderBy("target_type", "source_type")
+    )

@@ -968,3 +968,89 @@ def test_burrows_delta_properties(spark):
         assert r["src_a"] < r["src_b"]
         assert r["delta_micro"] >= 0
         assert r["n_words"] >= 1
+
+
+def test_log_loss_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    vecs = duckdb.sql(
+        f"""SELECT label % 2,
+               CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+             + CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+        FROM '{SF}/embeddings.parquet'"""
+    ).fetchall()
+    scores = [s for _, s in vecs]
+    lo, hi = min(scores), max(scores)
+    span = max(hi - lo, 1)
+    total = 0
+    for y, s in vecs:
+        pm = min(max((s - lo) * 1_000_000 // span, 1000), 999_000)
+        p = pm / 1e6 if y == 1 else 1 - pm / 1e6
+        total += round(-math.log(p) * 1e9)
+    r = QUERIES["eval_log_loss"](spark, SF).collect()[0]
+    assert r["n"] == len(vecs)
+    assert r["sum_nll_nano"] == total
+    assert r["log_loss_nano"] == total // len(vecs)
+
+
+def test_transfer_entropy_nonneg_and_recompute(spark):
+    """N*TE recomputed in pure Python; TE >= 0 up to the nano
+    quantization of the per-cell terms."""
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)
+        FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series: dict[str, dict] = {}
+    for t, d, x in rows:
+        series.setdefault(t, {})[d] = int(x)
+    import statistics
+
+    bins = {}
+    for t, m in series.items():
+        xs = sorted(m.values())
+        # percentile_disc(0.5): smallest value with cume_dist >= 0.5
+        med = xs[(len(xs) + 1) // 2 - 1]
+        bins[t] = {d: (1 if x > med else 0) for d, x in m.items()}
+    got = {
+        (r["target_type"], r["source_type"]): r["te_sum_nano"]
+        for r in QUERIES["events_transfer_entropy"](spark, SF).collect()
+    }
+    import datetime
+    from collections import Counter
+
+    types = sorted(bins)
+    for tgt in types:
+        for src in types:
+            if src == tgt:
+                continue
+            cells = Counter()
+            for d, yp in bins[tgt].items():
+                nd = d + datetime.timedelta(days=1)
+                if nd in bins[tgt] and d in bins[src]:
+                    cells[(bins[tgt][nd], yp, bins[src][d])] += 1
+            n = sum(cells.values())
+            if n == 0:
+                assert (tgt, src) not in got
+                continue
+            from collections import defaultdict
+
+            c_ypxp = defaultdict(int)
+            c_yp = defaultdict(int)
+            c_ynyp = defaultdict(int)
+            for (yn, yp, xp), c in cells.items():
+                c_ypxp[(yp, xp)] += c
+                c_yp[yp] += c
+                c_ynyp[(yn, yp)] += c
+            total = 0
+            for (yn, yp, xp), c in cells.items():
+                total += round(
+                    c
+                    * math.log(
+                        (c * c_yp[yp]) / (c_ypxp[(yp, xp)] * c_ynyp[(yn, yp)])
+                    )
+                    * 1e9
+                )
+            assert got[(tgt, src)] == total
+            assert got[(tgt, src)] >= -len(cells)  # >= 0 up to rounding

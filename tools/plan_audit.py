@@ -90,6 +90,7 @@ ALLOW_NESTED_LOOP = {
     # (the eval_ece posture) — O(rows) work
     "eval_hosmer_lemeshow",
     "eval_youden_j",
+    "eval_log_loss",
     # 5-row level-literal grid crossed onto the calendar-bounded
     # (type, day-offset) table — O(5 x days x k) block expansion
     "events_haar_energy",
