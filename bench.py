@@ -436,6 +436,7 @@ HEADLINE = [
     "text_burrows_delta",
     "eval_log_loss",
     "events_transfer_entropy",
+    "orders_quartiles_cont",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -522,7 +523,8 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (35)
+    # round-10 additions (36)
+    "orders_quartiles_cont",
     "eval_log_loss",
     "events_transfer_entropy",
     "events_sampen",

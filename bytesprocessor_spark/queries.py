@@ -724,6 +724,7 @@ _CHECK_ORDER = [
     "text_burrows_delta",
     "eval_log_loss",
     "events_transfer_entropy",
+    "orders_quartiles_cont",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

@@ -4315,3 +4315,96 @@ def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("t_nano").cast("long").alias("te_sum_nano"))
         .orderBy("target_type", "source_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A150: exact continuous (interpolated) quartiles in quarter-cents
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_quartiles_cont",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    r AS (
+      SELECT prio, c,
+             ROW_NUMBER() OVER (PARTITION BY prio
+                                ORDER BY c, prio) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+      FROM v
+    ),
+    pick AS (
+      SELECT prio, n, k,
+             MAX(CASE WHEN rn = (n - 1) * k // 4 + 1 THEN c END) AS lo,
+             MAX(CASE WHEN rn = LEAST((n - 1) * k // 4 + 2, n) THEN c END)
+               AS hi,
+             (n - 1) * k % 4 AS frac4
+      FROM r CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS k) ks
+      GROUP BY prio, n, k
+    )
+    SELECT prio AS o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS quartile,
+           CAST(lo * 4 + (hi - lo) * frac4 AS BIGINT) AS value_quarter_c
+    FROM pick ORDER BY o_orderpriority, quartile
+    """,
+)
+def orders_quartiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A150 — CONTINUOUS (linear-interpolated, type-7) quartiles per
+    priority with ZERO floats: position (n−1)·k/4 splits into an
+    exact integer index and a quarter fraction, so the interpolated
+    value lo + (hi−lo)·frac is an EXACT integer in quarter-cents
+    (value·4).  The registry's percentile_disc entries return data
+    points (exact but step-biased on small n); this is the
+    numpy/R-default interpolation made bit-exact cross-engine — the
+    portability trap is that each engine's built-in quantile_cont
+    interpolates in its own float order, differing in final ulps.
+
+    Determinism: order statistics under the (value, unique-ish) rank;
+    ties on value make any same-value pick equivalent; index/fraction
+    arithmetic is pure integer; the readout is an exact int64.
+
+    Scale shape: priority-partitioned rank windows (k-bounded
+    groups); the 3-quartile grid is a 3-row literal; readout 3k
+    rows."""
+    v = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    w = Window.partitionBy("prio").orderBy("c", "prio")
+    r = v.select(
+        "prio",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("prio")).cast("long").alias("n"),
+    )
+    ks = spark.range(1, 4).select(F.col("id").cast("long").alias("k"))
+    pick = (
+        r.crossJoin(F.broadcast(ks))
+        .groupBy("prio", "n", "k")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n - 1) * k div 4 + 1"), F.col("c")
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.least(F.expr("(n - 1) * k div 4 + 2"), F.col("n")),
+                    F.col("c"),
+                )
+            ).alias("hi"),
+            F.max(F.expr("(n - 1) * k % 4")).alias("frac4"),
+        )
+    )
+    return pick.select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("quartile"),
+        (F.col("lo") * 4 + (F.col("hi") - F.col("lo")) * F.col("frac4"))
+        .cast("long")
+        .alias("value_quarter_c"),
+    ).orderBy("o_orderpriority", "quartile")

@@ -1054,3 +1054,25 @@ def test_transfer_entropy_nonneg_and_recompute(spark):
                 )
             assert got[(tgt, src)] == total
             assert got[(tgt, src)] >= -len(cells)  # >= 0 up to rounding
+
+
+def test_quartiles_cont_matches_numpy(spark):
+    """Quarter-cent exact interpolation == numpy's default (linear /
+    type-7) quantile on the same data, times 4."""
+    import numpy as np
+
+    from bytesprocessor_spark.queries import QUERIES
+
+    vals = duckdb.sql(
+        f"""SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    got = {
+        (r["o_orderpriority"], r["quartile"]): r["value_quarter_c"]
+        for r in QUERIES["orders_quartiles_cont"](spark, SF).collect()
+    }
+    for prio in sorted({p for p, _ in vals}):
+        xs = np.array(sorted(c for p, c in vals if p == prio), dtype=np.int64)
+        for k in (1, 2, 3):
+            expect = float(np.quantile(xs, k / 4, method="linear")) * 4
+            assert got[(prio, k)] == round(expect), (prio, k)

@@ -153,6 +153,9 @@ ALLOW_NESTED_LOOP = {
     "privacy_l_diversity",
     # 3-row lag-literal frame broadcast onto the K-type ACF aggregate
     "events_acf",
+    # 3-row quartile-literal frame broadcast onto the ranked stream
+    # (map fan-out x3, collapses in the next aggregate)
+    "orders_quartiles_cont",
     # 1-row era-totals frame broadcast onto the bounded band ECDF
     "drift_ks_orders",
     # K-source x vocabulary evaluation grid built from two AGGREGATED
