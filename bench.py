@@ -437,6 +437,8 @@ HEADLINE = [
     "eval_log_loss",
     "events_transfer_entropy",
     "orders_quartiles_cont",
+    "events_mood_median",
+    "orders_jonckheere",
 ]
 
 # Entries whose round-2 driver numbers contradicted reproducible
@@ -523,7 +525,9 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
-    # round-10 additions (36)
+    # round-10 additions (38)
+    "events_mood_median",
+    "orders_jonckheere",
     "orders_quartiles_cont",
     "eval_log_loss",
     "events_transfer_entropy",

@@ -725,6 +725,8 @@ _CHECK_ORDER = [
     "eval_log_loss",
     "events_transfer_entropy",
     "orders_quartiles_cont",
+    "events_mood_median",
+    "orders_jonckheere",
     # --- entries with >=1 driver-green CORRECTNESS row, most recently
     # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
     "pack_length_batches",

@@ -4408,3 +4408,285 @@ def orders_quartiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_quarter_c"),
     ).orderBy("o_orderpriority", "quartile")
+
+
+# ---------------------------------------------------------------------------
+# A151: Mood's median test across event types
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_mood_median",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+    ),
+    gm AS (SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS med FROM v),
+    cell AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN c > med THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+             CAST(SUM(CASE WHEN c <= med THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below
+      FROM v CROSS JOIN gm GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+             CAST(SUM(n_below) AS BIGINT) AS tb,
+             CAST(SUM(n_above + n_below) AS BIGINT) AS n
+      FROM cell
+    ),
+    terms AS (
+      SELECT c.event_type, c.n_above, c.n_below,
+             CAST(ROUND((
+               (CAST(c.n_above AS DOUBLE)
+                - CAST(c.n_above + c.n_below AS DOUBLE)
+                  * CAST(t.ta AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(c.n_above AS DOUBLE)
+                  - CAST(c.n_above + c.n_below AS DOUBLE)
+                    * CAST(t.ta AS DOUBLE) / CAST(t.n AS DOUBLE))
+               / (CAST(c.n_above + c.n_below AS DOUBLE)
+                  * CAST(t.ta AS DOUBLE) / CAST(t.n AS DOUBLE))
+             + (CAST(c.n_below AS DOUBLE)
+                - CAST(c.n_above + c.n_below AS DOUBLE)
+                  * CAST(t.tb AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(c.n_below AS DOUBLE)
+                  - CAST(c.n_above + c.n_below AS DOUBLE)
+                    * CAST(t.tb AS DOUBLE) / CAST(t.n AS DOUBLE))
+               / (CAST(c.n_above + c.n_below AS DOUBLE)
+                  * CAST(t.tb AS DOUBLE) / CAST(t.n AS DOUBLE))
+             ) * 1000000) AS BIGINT) AS term_micro
+      FROM cell c CROSS JOIN tot t
+    )
+    SELECT event_type, n_above, n_below, term_micro,
+           CAST(SUM(term_micro) OVER () AS BIGINT) AS chi2_micro
+    FROM terms ORDER BY event_type
+    """,
+)
+def events_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A151 — Mood's median test: each type's value counts above/at-
+    or-below the GRAND median form a k×2 contingency; χ² against the
+    proportional expectation asks "do the k types share a median" —
+    the coarsest, most outlier-robust k-sample test (A88's Kruskal-
+    Wallis uses full ranks and is more powerful but less robust to
+    wild tails; a data-quality runbook wants both).
+
+    Determinism: the grand median is a percentile_disc data point;
+    counts exact; each type's χ² term is one fixed double tree
+    MICRO-quantized before the k-row fold (exact integer χ², the
+    A112 discipline).
+
+    Scale shape: one global percentile (1 row, broadcast), one type-
+    keyed counting aggregate absorbs the scan; readout k rows."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    gm = v.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("med")
+    )
+    cell = (
+        v.crossJoin(F.broadcast(gm))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("c") > F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(F.when(F.col("c") <= F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+        )
+    )
+    cell = bounded_single_group(cell)
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = cell.select(
+        "event_type",
+        "n_above",
+        "n_below",
+        F.sum("n_above").over(w_all).cast("long").alias("ta"),
+        F.sum("n_below").over(w_all).cast("long").alias("tb"),
+        F.sum(F.col("n_above") + F.col("n_below"))
+        .over(w_all)
+        .cast("long")
+        .alias("n"),
+        F.col("__opid"),
+    )
+    ri = (F.col("n_above") + F.col("n_below")).cast("double")
+    nD = F.col("n").cast("double")
+    ea = ri * F.col("ta").cast("double") / nD
+    eb = ri * F.col("tb").cast("double") / nD
+    term = F.round(
+        (
+            (F.col("n_above").cast("double") - ea)
+            * (F.col("n_above").cast("double") - ea)
+            / ea
+            + (F.col("n_below").cast("double") - eb)
+            * (F.col("n_below").cast("double") - eb)
+            / eb
+        )
+        * 1000000
+    ).cast("long")
+    terms = t.select(
+        "event_type", "n_above", "n_below", "__opid", term.alias("term_micro")
+    )
+    return terms.select(
+        "event_type",
+        "n_above",
+        "n_below",
+        "term_micro",
+        F.sum("term_micro").over(w_all).cast("long").alias("chi2_micro"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A152: Jonckheere-Terpstra ordered-alternative trend test
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_jonckheere",
+    """
+    WITH v AS (
+      SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    s AS (
+      SELECT c,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+             CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+             CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+             CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+             CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS m5
+      FROM v GROUP BY c
+    ),
+    cum AS (
+      SELECT c, m1, m2, m3, m4, m5,
+             CAST(SUM(m1) OVER w - m1 AS BIGINT) AS lt1,
+             CAST(SUM(m2) OVER w - m2 AS BIGINT) AS lt2,
+             CAST(SUM(m3) OVER w - m3 AS BIGINT) AS lt3,
+             CAST(SUM(m4) OVER w - m4 AS BIGINT) AS lt4
+      FROM s WINDOW w AS (ORDER BY c ROWS UNBOUNDED PRECEDING)
+    ),
+    u AS (
+      SELECT
+        SUM(CAST(m2 AS HUGEINT) * lt1
+          + CAST(m3 AS HUGEINT) * (lt1 + lt2)
+          + CAST(m4 AS HUGEINT) * (lt1 + lt2 + lt3)
+          + CAST(m5 AS HUGEINT) * (lt1 + lt2 + lt3 + lt4)) AS j2,
+        SUM(CAST(m2 AS HUGEINT) * m1
+          + CAST(m3 AS HUGEINT) * (m1 + m2)
+          + CAST(m4 AS HUGEINT) * (m1 + m2 + m3)
+          + CAST(m5 AS HUGEINT) * (m1 + m2 + m3 + m4)) AS ties2
+      FROM cum
+    ),
+    n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ni FROM v GROUP BY 1),
+    mo AS (
+      SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+             SUM(CAST(ni AS HUGEINT) * ni) AS sn2,
+             SUM(CAST(ni AS HUGEINT) * ni * (2 * ni + 3)) AS sn23
+      FROM n
+    )
+    SELECT mo.nn AS n_orders,
+           CAST(u.j2 AS BIGINT) AS j_stat,
+           CAST(u.ties2 AS BIGINT) AS tie_pairs,
+           CAST(ROUND(
+             (CAST(u.j2 AS DOUBLE) + CAST(u.ties2 AS DOUBLE) / 2.0
+              - (CAST(mo.nn AS DOUBLE) * CAST(mo.nn AS DOUBLE)
+                 - CAST(mo.sn2 AS DOUBLE)) / 4.0)
+             / SQRT((CAST(mo.nn AS DOUBLE) * CAST(mo.nn AS DOUBLE)
+                     * (2.0 * CAST(mo.nn AS DOUBLE) + 3.0)
+                     - CAST(mo.sn23 AS DOUBLE)) / 72.0)
+             * 1000) AS BIGINT) AS z_milli
+    FROM u CROSS JOIN mo
+    """,
+)
+def orders_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A152 — Jonckheere-Terpstra ordered-alternative test: J = Σ over
+    ordered group pairs (g_a < g_b) of #{value_b > value_a} (ties
+    counted half), z against the no-trend null — asks "does order
+    VALUE increase monotonically with PRIORITY level", which A88's
+    Kruskal-Wallis (any difference) and A57's G-test (association)
+    cannot answer: JT spends its power entirely on the ORDERED
+    alternative.
+
+    Determinism AND scale: the EV1 rank-sum device — the corpus
+    collapses to the value-domain-bounded grouped table (one column
+    of counts per priority level, k = 5 fixed), ONE prefix window
+    over that bounded support computes every group's
+    strictly-below cumulative, and J = Σ_v Σ_{a<b} m_b(v)·lt_a(v)
+    accumulates exact 128-bit with the tie mass alongside — NO pair
+    join anywhere (a naive grouped-pair join is O(n²) and measured
+    un-runnable at sf0.1).  The half-tie correction and the standard
+    no-tie variance enter one double tree, milli-quantized.
+
+    Scale shape: one (value) hash aggregate absorbs the scan
+    (bounded by the 2-decimal price domain, not corpus rows — the
+    EV1 argument); the prefix window runs over that bounded table
+    (declared bounded_single_group); readout 1 row."""
+    v = _t(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    s = v.groupBy("c").agg(
+        *[
+            F.sum(F.when(F.col("g") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"m{i}")
+            for i in range(1, 6)
+        ]
+    )
+    s = bounded_single_group(s)  # value-domain-bounded support table
+    w = (
+        Window.partitionBy("__opid")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = s.select(
+        "c",
+        *[F.col(f"m{i}") for i in range(1, 6)],
+        *[
+            (F.sum(f"m{i}").over(w) - F.col(f"m{i}")).cast("long").alias(f"lt{i}")
+            for i in range(1, 5)
+        ],
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(19,0)")  # noqa: E731
+    j2 = F.sum(
+        dec("m2") * F.col("lt1")
+        + dec("m3") * (F.col("lt1") + F.col("lt2"))
+        + dec("m4") * (F.col("lt1") + F.col("lt2") + F.col("lt3"))
+        + dec("m5") * (F.col("lt1") + F.col("lt2") + F.col("lt3") + F.col("lt4"))
+    )
+    ties2 = F.sum(
+        dec("m2") * F.col("m1")
+        + dec("m3") * (F.col("m1") + F.col("m2"))
+        + dec("m4") * (F.col("m1") + F.col("m2") + F.col("m3"))
+        + dec("m5") * (F.col("m1") + F.col("m2") + F.col("m3") + F.col("m4"))
+    )
+    u = cum.agg(j2.alias("j2"), ties2.alias("ties2"))
+    n = v.groupBy("g").agg(F.count("*").cast("long").alias("ni"))
+    mo = n.agg(
+        F.sum("ni").cast("long").alias("nn"),
+        F.sum(F.col("ni").cast("decimal(19,0)") * F.col("ni")).alias("sn2"),
+        F.sum(
+            F.col("ni").cast("decimal(19,0)")
+            * F.col("ni")
+            * (2 * F.col("ni") + 3)
+        ).alias("sn23"),
+    )
+    j = u.crossJoin(F.broadcast(mo))
+    nD = F.col("nn").cast("double")
+    z = (
+        F.col("j2").cast("double")
+        + F.col("ties2").cast("double") / 2.0
+        - (nD * nD - F.col("sn2").cast("double")) / 4.0
+    ) / F.sqrt(
+        (nD * nD * (2.0 * nD + 3.0) - F.col("sn23").cast("double")) / 72.0
+    )
+    return j.select(
+        F.col("nn").alias("n_orders"),
+        F.col("j2").cast("long").alias("j_stat"),
+        F.col("ties2").cast("long").alias("tie_pairs"),
+        F.round(z * 1000).cast("long").alias("z_milli"),
+    )

@@ -1076,3 +1076,66 @@ def test_quartiles_cont_matches_numpy(spark):
         for k in (1, 2, 3):
             expect = float(np.quantile(xs, k / 4, method="linear")) * 4
             assert got[(prio, k)] == round(expect), (prio, k)
+
+
+def test_mood_median_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    vals = duckdb.sql(
+        f"""SELECT event_type, CAST(ROUND(value * 100) AS BIGINT)
+        FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    xs = sorted(c for _, c in vals)
+    med = xs[(len(xs) + 1) // 2 - 1]  # percentile_disc(0.5)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_mood_median"](spark, SF).collect()
+    }
+    types = sorted({t for t, _ in vals})
+    ta = sum(1 for _, c in vals if c > med)
+    tb = len(vals) - ta
+    n = len(vals)
+    total = 0
+    for t in types:
+        na = sum(1 for tt, c in vals if tt == t and c > med)
+        nb = sum(1 for tt, c in vals if tt == t and c <= med)
+        ri = na + nb
+        ea, eb = ri * ta / n, ri * tb / n
+        term = (na - ea) ** 2 / ea + (nb - eb) ** 2 / eb
+        r = got[t]
+        assert (r["n_above"], r["n_below"]) == (na, nb)
+        assert r["term_micro"] == round(term * 1e6)
+        total += round(term * 1e6)
+    assert got[types[0]]["chi2_micro"] == total
+
+
+def test_jonckheere_brute_force(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    vals = duckdb.sql(
+        f"""SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT),
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    groups: dict[int, list[int]] = {}
+    for g, c in vals:
+        groups.setdefault(int(g), []).append(int(c))
+    j = ties = 0
+    gs = sorted(groups)
+    for i, ga in enumerate(gs):
+        for gb in gs[i + 1 :]:
+            for x in groups[ga]:
+                for y in groups[gb]:
+                    if y > x:
+                        j += 1
+                    elif y == x:
+                        ties += 1
+    r = QUERIES["orders_jonckheere"](spark, SF).collect()[0]
+    assert (r["j_stat"], r["tie_pairs"]) == (j, ties)
+    nn = len(vals)
+    sn2 = sum(len(v) ** 2 for v in groups.values())
+    sn23 = sum(len(v) ** 2 * (2 * len(v) + 3) for v in groups.values())
+    z = (j + ties / 2 - (nn * nn - sn2) / 4) / math.sqrt(
+        (nn * nn * (2 * nn + 3) - sn23) / 72
+    )
+    assert r["z_milli"] == round(z * 1000)

@@ -91,6 +91,10 @@ ALLOW_NESTED_LOOP = {
     "eval_hosmer_lemeshow",
     "eval_youden_j",
     "eval_log_loss",
+    # 1-row grand-median / moment frames broadcast onto the scan or
+    # onto 1-row partner frames — O(rows) / O(1) work
+    "events_mood_median",
+    "orders_jonckheere",
     # 5-row level-literal grid crossed onto the calendar-bounded
     # (type, day-offset) table — O(5 x days x k) block expansion
     "events_haar_energy",
