@@ -597,71 +597,14 @@ QUERIES.update(_NO_ORACLE)
 
 
 _CHECK_ORDER = [
-    # --- round-10 driver window (first 50) ---
-    # Rotation policy (VERDICT r9 #1, final burn-down leg): the
-    # round-9 window retired 50 backlog entries (all green in
-    # CORRECTNESS_r09; block moved to the tail below).  The 75
-    # remaining never-driver-checked entries head the order — the 26
-    # carried-over backlog rows (including the VERDICT-named
-    # merge_upsert_orders / session_sequences / events_funnel /
-    # interval_concurrency / stream_static_enrich / stream_cdc_apply /
-    # multimodal_image_ann / dedup_cluster_keep / graph_triangles /
-    # agg_approx_percentile) first, then the 49 round-9 additions, so
-    # round 10 checks 50 of them and <= 25 remain.  New round-10
-    # entries go AFTER this block so the burn-down is not diluted.
-
-    # --- never driver-checked backlog (26 carried-over entries) ---
-    "events_mix_entropy_daily",
-    "sql_try_cast_tolerance",
-    "events_event_study",
-    "orders_incremental_rollup",
-    "text_classifier_score",
-    "graph_triangles",
-    "similarity_prefix_rerank",
-    "agg_approx_percentile",
-    "events_time_split",
-    "drift_psi_orders",
-    "embedding_gram_matrix",
-    "agg_winsorized_stats",
-    "text_vocab_growth",
-    "events_cuped",
-    "session_sequences",
-    "text_chunking",
-    "multimodal_image_ann",
-    "dedup_cluster_keep",
-    "merge_upsert_orders",
-    "text_repetition",
-    "corpus_mixture",
-    "events_funnel",
-    "embedding_centroids",
-    "interval_concurrency",
-    "stream_static_enrich",
-    "stream_cdc_apply",
-    # --- round-9 additions, never driver-checked (49 entries) ---
-    "orders_theil_index",
-    "orders_newsvendor",
-    "part_cv2_adi_classes",
-    "events_page_hinkley",
-    "events_user_burstiness",
-    "part_abc_xyz_matrix",
-    "eval_spiegelhalter_z",
-    "eval_topk_accuracy",
-    "corpus_length_profile",
-    "graph_jaccard_linkpred",
-    "stream_page_hinkley",
-    "eval_auc_delong_ci",
-    "eval_average_precision",
-    "orders_target_encoding_oof",
-    "events_odds_ratio_mh",
-    "events_bass_diffusion",
-    "events_user_active_span",
-    "orders_fill_rate_otif",
-    "eval_reliability_sharpness",
-    "events_wilson_ci",
-    "events_ljung_box",
-    "events_jarque_bera",
-    "eval_mcc_multiclass",
-    "part_eoq_policy",
+    # --- round-11 rotation (VERDICT r10 #1: burn the certification
+    # backlog).  The 63 never-driver-checked entries (orders_bullwhip
+    # .. orders_jonckheere, preserved in their prior relative order)
+    # head the list; the driver window covers the first 50, leaving 13
+    # carried to round 12.  NEW round-11 entries are appended
+    # immediately AFTER this 63-entry block (before the already-
+    # certified tail) so the burn-down stays monotonic.
+    # --- never driver-checked backlog (63 entries) ---
     "orders_bullwhip",
     "events_neyman_allocation",
     "graph_modularity",
@@ -687,8 +630,6 @@ _CHECK_ORDER = [
     "events_changepoint_tree",
     "eval_wilcoxon_signed_rank",
     "eval_permutation_test",
-    # --- round-10 additions (after the never-checked backlog, so the
-    # burn-down is not diluted; next-window tail) ---
     "events_mann_kendall",
     "events_friedman",
     "events_cochran_q",
@@ -727,8 +668,58 @@ _CHECK_ORDER = [
     "orders_quartiles_cont",
     "events_mood_median",
     "orders_jonckheere",
-    # --- entries with >=1 driver-green CORRECTNESS row, most recently
-    # checked last (r1-r6 block, then the r7/r8/r9 windows) ---
+    # --- round-11 additions go here (appended behind the backlog block) ---
+    # --- already driver-certified (rounds 1-10 windows), rotated to tail ---
+    "events_mix_entropy_daily",
+    "sql_try_cast_tolerance",
+    "events_event_study",
+    "orders_incremental_rollup",
+    "text_classifier_score",
+    "graph_triangles",
+    "similarity_prefix_rerank",
+    "agg_approx_percentile",
+    "events_time_split",
+    "drift_psi_orders",
+    "embedding_gram_matrix",
+    "agg_winsorized_stats",
+    "text_vocab_growth",
+    "events_cuped",
+    "session_sequences",
+    "text_chunking",
+    "multimodal_image_ann",
+    "dedup_cluster_keep",
+    "merge_upsert_orders",
+    "text_repetition",
+    "corpus_mixture",
+    "events_funnel",
+    "embedding_centroids",
+    "interval_concurrency",
+    "stream_static_enrich",
+    "stream_cdc_apply",
+    "orders_theil_index",
+    "orders_newsvendor",
+    "part_cv2_adi_classes",
+    "events_page_hinkley",
+    "events_user_burstiness",
+    "part_abc_xyz_matrix",
+    "eval_spiegelhalter_z",
+    "eval_topk_accuracy",
+    "corpus_length_profile",
+    "graph_jaccard_linkpred",
+    "stream_page_hinkley",
+    "eval_auc_delong_ci",
+    "eval_average_precision",
+    "orders_target_encoding_oof",
+    "events_odds_ratio_mh",
+    "events_bass_diffusion",
+    "events_user_active_span",
+    "orders_fill_rate_otif",
+    "eval_reliability_sharpness",
+    "events_wilson_ci",
+    "events_ljung_box",
+    "events_jarque_bera",
+    "eval_mcc_multiclass",
+    "part_eoq_policy",
     "pack_length_batches",
     "dedup_span_ngrams",
     "embedding_kmeans",
@@ -1023,7 +1014,6 @@ _CHECK_ORDER = [
     "orders_open_aging",
     "events_conversion_windows",
     "orders_drawdown",
-    # --- round-9 driver window (checked r9, 50/50 green) ---
     "csv_quarantine_scan",
     "graph_clustering_coeff",
     "events_conversion_latency",
