@@ -408,11 +408,11 @@ HEADLINE = [
     "events_friedman",
     "events_cochran_q",
     "events_durbin_watson",
-    "orders_mase",
+    "events_mase",
     "orders_fisher_index",
     "events_simpson_diversity",
     "orders_nelson_aalen",
-    "orders_holm_bonferroni",
+    "events_holm_bonferroni",
     "events_anderson_darling",
     "events_grubbs",
     "eval_youden_j",
@@ -553,7 +553,7 @@ POST_BRACKET_ADDITIONS = {
     "orders_tukey_fences",
     "events_effect_sizes",
     "orders_nelson_aalen",
-    "orders_holm_bonferroni",
+    "events_holm_bonferroni",
     "graph_rich_club",
     "eval_hosmer_lemeshow",
     "orders_wasserstein_drift",
@@ -561,7 +561,7 @@ POST_BRACKET_ADDITIONS = {
     "events_friedman",
     "events_cochran_q",
     "events_durbin_watson",
-    "orders_mase",
+    "events_mase",
     "orders_fisher_index",
     "events_simpson_diversity",
     # round-9 seventh batch (6)

@@ -636,12 +636,12 @@ _CHECK_ORDER = [
     "orders_wasserstein_drift",
     "events_simpson_diversity",
     "events_durbin_watson",
-    "orders_mase",
+    "events_mase",
     "eval_hosmer_lemeshow",
     "orders_fisher_index",
     "graph_rich_club",
     "orders_nelson_aalen",
-    "orders_holm_bonferroni",
+    "events_holm_bonferroni",
     "events_anderson_darling",
     "events_grubbs",
     "eval_youden_j",

@@ -32,8 +32,8 @@ integers BEFORE any cross-row fold so the fold order is pinned).
   on each type's centered daily-value series (the n-scaled deviation
   device of A34, 128-bit products) — the lag-1 autocorrelation
   diagnostic in its classical [0, 4] form.
-- EV40 orders_mase: mean absolute SCALED error of the seasonal-naive
-  weekly forecast on daily order counts, scaled by the in-sample
+- EV40 events_mase: mean absolute SCALED error of the seasonal-naive
+  weekly forecast on per-type daily event counts, scaled by the in-sample
   naive-1 MAE (Hyndman-Koehler) — the scale-free forecast score that
   lets A45/A71 baselines be compared ACROSS series.
 - EV41 eval_hosmer_lemeshow: Hosmer-Lemeshow goodness-of-fit over
@@ -247,8 +247,8 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                            - CAST(tsum AS DOUBLE) > 0
         THEN ((12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
                        * CAST(k + 1 AS DOUBLE))
-               * (SELECT SUM((CAST(r2 AS DOUBLE) / 2.0)
-                             * (CAST(r2 AS DOUBLE) / 2.0)) FROM rj)
+               * (SELECT CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS DOUBLE)
+                         / 4.0 FROM rj)
                - 3.0 * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE))
               / (1.0 - CAST(tsum AS DOUBLE)
                  / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
@@ -270,12 +270,11 @@ def events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fixed double tree over the integers, milli-quantized.  The
     per-type term_milli column carries each type's contribution so
     the readout is k rows (not one scalar), keyed like the rest of
-    the family.  ΣR_j² folds over the ≤k-row rj table inside the
-    double tree — k is the event-type cardinality (bounded), and the
-    fold is a scalar subquery evaluated identically on both engines
-    over the same k values; the one double sum is over k ≤ 5 terms
-    whose addition order both engines take from the same grouped
-    table — pinned by the triple-scale gate.
+    the family.  ΣR_j² accumulates Σ(2R_j)² EXACTLY in
+    decimal(38,0) <-> HUGEINT (2·midranks are integers, so squares
+    are too) and divides by 4 ONCE inside the final double tree —
+    no cross-row double fold, honoring the module's quantize-before-
+    fold contract (ADVICE r10 fix).
 
     Scale shape: one (day, type) hash aggregate absorbs the scan; the
     dense grid / rank windows run over the calendar×k table (bounded);
@@ -321,8 +320,9 @@ def events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sum_r2sq = rj.agg(
-        F.sum(
-            (F.col("r2").cast("double") / 2.0) * (F.col("r2").cast("double") / 2.0)
+        (
+            F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2")).cast("double")
+            / 4.0
         ).alias("sum_rsq")
     )
     j = rj.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(ties)).crossJoin(
@@ -735,7 +735,7 @@ _MASE_TRAIN_DAYS = 21  # first 21 fixture days train the scale; rest scored
 
 
 @query(
-    "orders_mase",
+    "events_mase",
     f"""
     WITH d AS (
       SELECT event_type,
@@ -776,7 +776,7 @@ _MASE_TRAIN_DAYS = 21  # first 21 fixture days train the scale; rest scored
     ORDER BY s.event_type
     """,
 )
-def orders_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EV40 — MASE (Hyndman-Koehler mean absolute SCALED error): the
     seasonal-naive-7 forecast scores the days past the 21-day train
     split, scaled by the in-sample naive-1 MAE — MASE < 1e6 (micro)
@@ -1012,11 +1012,12 @@ _FISHER_BASE_YEAR = 1995
            CAST(lasp_now * 1000 // lasp_base AS BIGINT) AS laspeyres_milli,
            CAST(paasche_now * 1000 // paasche_base AS BIGINT)
              AS paasche_milli,
-           CAST(ROUND(SQRT((CAST(lasp_now AS DOUBLE)
-                            / CAST(lasp_base AS DOUBLE))
-                           * (CAST(paasche_now AS DOUBLE)
-                              / CAST(paasche_base AS DOUBLE))) * 1000)
-                AS BIGINT) AS fisher_milli
+           CAST(ROUND(CASE WHEN lasp_base > 0 AND paasche_base > 0
+                THEN SQRT((CAST(lasp_now AS DOUBLE)
+                           / CAST(lasp_base AS DOUBLE))
+                          * (CAST(paasche_now AS DOUBLE)
+                             / CAST(paasche_base AS DOUBLE)))
+                END * 1000) AS BIGINT) AS fisher_milli
     FROM k ORDER BY yr
     """,
 )
@@ -1067,13 +1068,23 @@ def orders_fisher_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("p0 * q div 1000")).cast("long").alias("paasche_base"),
         )
     )
+    # ADVICE r10 fix: a zero base basket made the double tree hit
+    # inf inside SQRT (DuckDB CAST throws, Spark NULLs) — both
+    # engines now agree on NULL via an identical positivity guard,
+    # matching the sibling integer-ratio columns' NULL convention.
     fisher = F.round(
-        F.sqrt(
-            (F.col("lasp_now").cast("double") / F.col("lasp_base").cast("double"))
-            * (
-                F.col("paasche_now").cast("double")
-                / F.col("paasche_base").cast("double")
-            )
+        F.when(
+            (F.col("lasp_base") > 0) & (F.col("paasche_base") > 0),
+            F.sqrt(
+                (
+                    F.col("lasp_now").cast("double")
+                    / F.col("lasp_base").cast("double")
+                )
+                * (
+                    F.col("paasche_now").cast("double")
+                    / F.col("paasche_base").cast("double")
+                )
+            ),
         )
         * 1000
     ).cast("long")
@@ -1401,8 +1412,8 @@ def _holm_sql() -> str:
     """
 
 
-@query("orders_holm_bonferroni", _holm_sql())
-def orders_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("events_holm_bonferroni", _holm_sql())
+def events_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A136 — Holm-Bonferroni step-down over the A90 family (35
     type×weekday proportion z-tests): reject while p_(i) ≤
     α/(m−i+1), adjusted p = running max of min(1, p_(i)·(m−i+1)).
@@ -2489,7 +2500,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A141: exact energy distance between the parity-split distributions
+# A142: exact energy distance between the parity-split distributions
 # ---------------------------------------------------------------------------
 
 @query(
@@ -2559,7 +2570,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A141 — exact energy distance D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|
+    """A142 — exact energy distance D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|
     between the even/odd-day order-value distributions per priority,
     via the CDF identities E|X−Y| = ∫[F₀(1−F₁) + F₁(1−F₀)]dx on the
     pooled support.  The rotation-free two-sample test of the Székely
@@ -4437,7 +4448,7 @@ def orders_quartiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT c.event_type, c.n_above, c.n_below,
-             CAST(ROUND((
+             CAST(ROUND(CASE WHEN t.ta > 0 AND t.tb > 0 THEN (
                (CAST(c.n_above AS DOUBLE)
                 - CAST(c.n_above + c.n_below AS DOUBLE)
                   * CAST(t.ta AS DOUBLE) / CAST(t.n AS DOUBLE))
@@ -4454,7 +4465,7 @@ def orders_quartiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * CAST(t.tb AS DOUBLE) / CAST(t.n AS DOUBLE))
                / (CAST(c.n_above + c.n_below AS DOUBLE)
                   * CAST(t.tb AS DOUBLE) / CAST(t.n AS DOUBLE))
-             ) * 1000000) AS BIGINT) AS term_micro
+             ) END * 1000000) AS BIGINT) AS term_micro
       FROM cell c CROSS JOIN tot t
     )
     SELECT event_type, n_above, n_below, term_micro,
@@ -4517,14 +4528,20 @@ def events_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     nD = F.col("n").cast("double")
     ea = ri * F.col("ta").cast("double") / nD
     eb = ri * F.col("tb").cast("double") / nD
+    # ADVICE r10 fix: when the grand median equals the corpus max
+    # (ta = 0, plausible on heavily tied cents), ea = 0 made the
+    # chi-square term 0/0 NaN — DuckDB errors on CAST(ROUND(nan))
+    # while Spark non-ANSI-casts, a divergent failure.  Both engine
+    # texts now guard the whole term with ta > 0 AND tb > 0 → NULL.
     term = F.round(
-        (
+        F.when(
+            (F.col("ta") > 0) & (F.col("tb") > 0),
             (F.col("n_above").cast("double") - ea)
             * (F.col("n_above").cast("double") - ea)
             / ea
             + (F.col("n_below").cast("double") - eb)
             * (F.col("n_below").cast("double") - eb)
-            / eb
+            / eb,
         )
         * 1000000
     ).cast("long")

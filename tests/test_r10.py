@@ -215,7 +215,7 @@ def test_mase_seasonal_naive_beats_on_seasonal_series(spark, tmp_path):
         F.lit("{}").alias("props"),
     )
     df.write.parquet(f"{d}/events.parquet")
-    row = QUERIES["orders_mase"](spark, d).collect()[0]
+    row = QUERIES["events_mase"](spark, d).collect()[0]
     assert row["sae_model"] == 0 and row["mase_micro"] == 0
     assert row["sae_scale"] > 0
 
@@ -575,7 +575,7 @@ def test_holm_dominates_bh_and_is_monotone(spark):
     FDR control at the same alpha)."""
     from bytesprocessor_spark.queries import QUERIES
 
-    holm = QUERIES["orders_holm_bonferroni"](spark, SF).collect()
+    holm = QUERIES["events_holm_bonferroni"](spark, SF).collect()
     bh = QUERIES["events_fdr_bh"](spark, SF).collect()
     assert len(holm) == len(bh) == 35
     prev = 0
