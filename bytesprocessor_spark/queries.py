@@ -566,6 +566,7 @@ def _load_extended_modules() -> None:
     import bytesprocessor_spark.queries_r9  # noqa: F401
     import bytesprocessor_spark.queries_r9b  # noqa: F401
     import bytesprocessor_spark.queries_r10  # noqa: F401
+    import bytesprocessor_spark.queries_r11  # noqa: F401
 
 
 @query(
@@ -668,7 +669,9 @@ _CHECK_ORDER = [
     "orders_quartiles_cont",
     "events_mood_median",
     "orders_jonckheere",
-    # --- round-11 additions go here (appended behind the backlog block) ---
+    # --- round-11 additions (appended behind the backlog block) ---
+    "avro_roundtrip_read",
+    "dedup_editratio_verified",
     # --- already driver-certified (rounds 1-10 windows), rotated to tail ---
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",
