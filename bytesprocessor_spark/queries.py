@@ -672,6 +672,12 @@ _CHECK_ORDER = [
     # --- round-11 additions (appended behind the backlog block) ---
     "avro_roundtrip_read",
     "dedup_editratio_verified",
+    "events_kpss",
+    "events_cramer_von_mises",
+    "events_ansari_bradley",
+    "events_bartlett",
+    "events_variance_ratio",
+    "orders_page_trend",
     # --- already driver-certified (rounds 1-10 windows), rotated to tail ---
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",

@@ -226,3 +226,767 @@ def dedup_editratio_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_ratio_micro") <= _EDIT_RATIO_MICRO)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# A153: KPSS level-stationarity statistic (l=0) per event type
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_kpss",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    dims AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS tot
+      FROM d GROUP BY 1
+    ),
+    s AS (
+      SELECT d.event_type, d.day, dims.n,
+             CAST(dims.n * d.x - dims.tot AS BIGINT) AS dev
+      FROM d JOIN dims USING (event_type)
+    ),
+    p AS (
+      SELECT event_type, n, dev,
+             CAST(SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps
+      FROM s
+    ),
+    agg AS (
+      SELECT event_type, MAX(n) AS n,
+             SUM(CAST(ps AS HUGEINT) * ps) AS sp2,
+             SUM(CAST(dev AS HUGEINT) * dev) AS sd2
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN sd2 > 0
+                THEN sp2 * 1000000 // (n * sd2) END AS BIGINT) AS kpss_micro
+    FROM agg ORDER BY event_type
+    """,
+)
+def events_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A153 — KPSS level-stationarity (l=0) per event type on the
+    observed daily-count series: eta = sum_t S_t^2 / (n^2 sigma2)
+    with S_t the partial sums of mean deviations and sigma2 the plain
+    variance.  The null-REVERSED companion of A128's Mann-Kendall:
+    KPSS nulls stationarity (big eta = wandering level), MK nulls
+    no-trend — the pair brackets the series diagnosis.
+
+    Determinism: with the A34 n-scaled device (dev_t = n*x_t - T) the
+    statistic is EXACTLY sum(P_t^2) / (n * sum(dev_t^2)) — a pure
+    integer rational; both engines accumulate in decimal(38,0) <->
+    HUGEINT and truncate one micro division.  No doubles anywhere.
+    Overflow: sum P^2 <= n^3 * max_dev^2 — 1e24-scale at fixture,
+    1e32 at the 100 TB design point, inside 38 digits.
+
+    Scale shape: one (type, day) hash aggregate absorbs the scan; the
+    running partial sum is a type-partitioned window over the bounded
+    calendar table; readout k rows."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    dims = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    s = d.join(F.broadcast(dims), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") * F.col("x") - F.col("tot")).cast("long").alias("dev"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = s.select(
+        "event_type", "n", "dev", F.sum("dev").over(w).cast("long").alias("ps")
+    )
+    agg = p.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("ps").cast("decimal(38,0)") * F.col("ps")).alias("sp2"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev")).alias("sd2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            F.col("sd2") > 0,
+            F.expr("CAST(sp2 * 1000000 div (n * sd2) AS BIGINT)"),
+        ).alias("kpss_micro"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A154: two-sample Cramér-von-Mises via the exact rank identity
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_cramer_von_mises",
+    """
+    WITH v AS (
+      SELECT event_type, user_id % 2 AS g,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, g, c,
+             CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY c)
+                  + COUNT(*) OVER (PARTITION BY event_type, c) - 1
+                  AS BIGINT) AS r2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type, g ORDER BY c)
+                  AS BIGINT) AS i
+      FROM v
+    ),
+    q AS (
+      SELECT event_type, g, CAST(COUNT(*) AS BIGINT) AS sz,
+             SUM(CAST(r2 - 2 * i AS HUGEINT) * (r2 - 2 * i)) AS qq
+      FROM rk GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.sz AS n, b.sz AS m, a.qq AS q0, b.qq AS q1
+      FROM q a JOIN q b ON a.event_type = b.event_type
+      WHERE a.g = 0 AND b.g = 1
+    )
+    SELECT event_type, n, m,
+           CAST(ROUND((CAST(n * q0 + m * q1 AS DOUBLE) / 4.0
+                       / (CAST(n + m AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(m AS DOUBLE))
+                       - (4.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE) - 1.0)
+                         / (6.0 * CAST(n + m AS DOUBLE))) * 1000000)
+                AS BIGINT) AS t_micro
+    FROM j ORDER BY event_type
+    """,
+)
+def events_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A154 — two-sample Cramér-von-Mises by the exact rank identity
+    (Anderson 1962): T = U/(N n m) - (4nm-1)/(6N) with U = n sum(r_i
+    - i)^2 + m sum(s_j - j)^2 over combined-sample ranks — the
+    integrated-CDF-gap companion of Q11's KS (max gap) and A135's
+    Anderson-Darling (tail-weighted): all three read the same two
+    empirical CDFs with different norms.  Samples: even vs odd
+    user_id within each event type (the A131 parity-split device).
+
+    Determinism: midranks in half units (2r integer, the A129
+    device); own-sample positions are ROW_NUMBER with arbitrary
+    tie-break — the SUM of (r2-2i)^2 over a tied block is invariant
+    to the break because the i-multiset in the block is fixed;
+    accumulations in HUGEINT <-> decimal(38,0); T is ONE fixed
+    double tree over (q0, q1, n, m), micro-quantized.
+
+    Scale shape: one combined rank window per type, one (type, g)
+    aggregate; readout k rows."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("g"),
+        cents(F.col("value")).alias("c"),
+    )
+    w_comb = Window.partitionBy("event_type").orderBy("c")
+    w_tie = Window.partitionBy("event_type", "c")
+    w_own = Window.partitionBy("event_type", "g").orderBy("c")
+    rk = v.select(
+        "event_type",
+        "g",
+        (2 * F.rank().over(w_comb) + F.count("*").over(w_tie) - 1)
+        .cast("long")
+        .alias("r2"),
+        F.row_number().over(w_own).cast("long").alias("i"),
+    )
+    dif = (F.col("r2") - 2 * F.col("i")).cast("decimal(38,0)")
+    q = rk.groupBy("event_type", "g").agg(
+        F.count("*").cast("long").alias("sz"),
+        F.sum(dif * dif).alias("qq"),
+    )
+    a = q.where(F.col("g") == 0).select(
+        "event_type", F.col("sz").alias("n"), F.col("qq").alias("q0")
+    )
+    b = q.where(F.col("g") == 1).select(
+        "event_type", F.col("sz").alias("m"), F.col("qq").alias("q1")
+    )
+    j = a.join(b, "event_type")
+    nD = F.col("n").cast("double")
+    mD = F.col("m").cast("double")
+    u4 = (F.col("n") * F.col("q0") + F.col("m") * F.col("q1")).cast("double")
+    t = u4 / 4.0 / ((nD + mD) * nD * mD) - (4.0 * nD * mD - 1.0) / (
+        6.0 * (nD + mD)
+    )
+    return j.select(
+        "event_type",
+        "n",
+        "m",
+        F.round(t * 1000000).cast("long").alias("t_micro"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A155: Ansari-Bradley rank scale (dispersion) test
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_ansari_bradley",
+    """
+    WITH v AS (
+      SELECT event_type, user_id % 2 AS g,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, g,
+             CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY c)
+                  + COUNT(*) OVER (PARTITION BY event_type, c) - 1
+                  AS BIGINT) AS r2,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+      FROM v
+    ),
+    sc AS (
+      SELECT event_type, g, nn,
+             CAST(LEAST(r2, 2 * (nn + 1) - r2) AS BIGINT) AS a2
+      FROM rk
+    ),
+    agg AS (
+      SELECT event_type, MAX(nn) AS nn,
+             CAST(SUM(CASE WHEN g = 0 THEN a2 ELSE 0 END) AS BIGINT) AS ab2,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+             CAST(SUM(a2) AS BIGINT) AS a2sum
+      FROM sc GROUP BY 1
+    ),
+    dev AS (
+      SELECT s.event_type,
+             SUM(CAST(s.a2 * g.nn - g.a2sum AS HUGEINT)
+                 * (s.a2 * g.nn - g.a2sum)) AS sd2
+      FROM sc s JOIN agg g USING (event_type)
+      GROUP BY 1
+    )
+    SELECT a.event_type, a.n, a.m, a.ab2,
+           CAST(ROUND(CASE WHEN d.sd2 > 0 THEN
+                  CAST(a.ab2 * a.nn - a.n * a.a2sum AS DOUBLE)
+                  * SQRT(CAST(a.nn AS DOUBLE) * (CAST(a.nn AS DOUBLE) - 1.0)
+                         / (CAST(a.n AS DOUBLE) * CAST(a.m AS DOUBLE)
+                            * CAST(d.sd2 AS DOUBLE)))
+                END * 1000) AS BIGINT) AS z_milli
+    FROM agg a JOIN dev d USING (event_type)
+    ORDER BY a.event_type
+    """,
+)
+def events_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A155 — Ansari-Bradley scale test: combined-sample scores a =
+    min(r, N+1-r) peak at the center, so a LOW sample-X score sum
+    means X occupies the tails — more dispersed.  The DISPERSION
+    counterpart of A151's Mood median test (location) on the same
+    parity-split device; Brown-Forsythe (A122) tests variances via
+    centered absolute deviations, AB via pure ranks.
+
+    Determinism: midranks in half units make 2a = min(r2, 2(N+1)-r2)
+    exact; the null z uses the finite-sampling variance of a
+    without-replacement score sum, all moments N-scaled to integers
+    (D_j = a2_j*N - A2, sum D = 0, sum D^2 in HUGEINT <->
+    decimal(38,0)); z is ONE double tree, milli-quantized, NULL on a
+    degenerate score spread (sd2 = 0) on both engines.
+
+    Scale shape: one combined rank window per type, two keyed
+    aggregates; readout k rows."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("g"),
+        cents(F.col("value")).alias("c"),
+    )
+    w_comb = Window.partitionBy("event_type").orderBy("c")
+    w_tie = Window.partitionBy("event_type", "c")
+    w_all = Window.partitionBy("event_type")
+    rk = v.select(
+        "event_type",
+        "g",
+        (2 * F.rank().over(w_comb) + F.count("*").over(w_tie) - 1)
+        .cast("long")
+        .alias("r2"),
+        F.count("*").over(w_all).cast("long").alias("nn"),
+    )
+    sc = rk.select(
+        "event_type",
+        "g",
+        "nn",
+        F.least(F.col("r2"), 2 * (F.col("nn") + 1) - F.col("r2"))
+        .cast("long")
+        .alias("a2"),
+    )
+    agg = sc.groupBy("event_type").agg(
+        F.max("nn").alias("nn"),
+        F.sum(F.when(F.col("g") == 0, F.col("a2")).otherwise(0))
+        .cast("long")
+        .alias("ab2"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("m"),
+        F.sum("a2").cast("long").alias("a2sum"),
+    )
+    dev_col = (F.col("a2") * F.col("nn_g") - F.col("a2sum")).cast("decimal(38,0)")
+    dev = (
+        sc.join(
+            F.broadcast(
+                agg.select(
+                    "event_type", F.col("nn").alias("nn_g"), "a2sum"
+                )
+            ),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(F.sum(dev_col * dev_col).alias("sd2"))
+    )
+    nnD = F.col("nn").cast("double")
+    z = F.when(
+        F.col("sd2") > 0,
+        (F.col("ab2") * F.col("nn") - F.col("n") * F.col("a2sum")).cast("double")
+        * F.sqrt(
+            nnD
+            * (nnD - 1.0)
+            / (
+                F.col("n").cast("double")
+                * F.col("m").cast("double")
+                * F.col("sd2").cast("double")
+            )
+        ),
+    )
+    return (
+        agg.join(dev, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "m",
+            "ab2",
+            F.round(z * 1000).cast("long").alias("z_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A156: Bartlett's variance-homogeneity test across event types
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_bartlett",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT)) AS sx,
+             SUM(CAST(c AS HUGEINT) * c) AS sxx
+      FROM v GROUP BY 1
+    ),
+    ss AS (
+      SELECT event_type, n,
+             (n * sxx - sx * sx) // n AS ssq
+      FROM g
+    ),
+    t AS (
+      SELECT event_type, n, ssq,
+             CASE WHEN n >= 2 AND ssq > 0 THEN
+               CAST(ROUND((n - 1) * (LN(CAST(ssq AS DOUBLE))
+                                     - LN(CAST(n - 1 AS DOUBLE))) * 1000000)
+                    AS BIGINT)
+             END AS term_micro,
+             CASE WHEN n >= 2 THEN 1000000000000 // (n - 1) END AS inv_pico
+      FROM ss
+    ),
+    w AS (
+      SELECT event_type, n,
+             CASE WHEN ssq <= 9223372036854775807 THEN CAST(ssq AS BIGINT)
+             END AS ss_c2,
+             term_micro,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k,
+             SUM(ssq) OVER () AS ssum,
+             CAST(SUM(term_micro) OVER () AS BIGINT) AS sumterm,
+             CAST(SUM(inv_pico) OVER () AS BIGINT) AS invsum
+      FROM t
+    )
+    SELECT event_type, n, ss_c2, term_micro,
+           CAST(ROUND(CASE WHEN k >= 2 AND nn > k AND ssum > 0
+                           AND sumterm IS NOT NULL THEN
+             ((CAST(nn - k AS DOUBLE)
+               * (LN(CAST(ssum AS DOUBLE)) - LN(CAST(nn - k AS DOUBLE)))
+               - CAST(sumterm AS DOUBLE) / 1000000.0)
+              / (1.0 + (CAST(invsum AS DOUBLE) / 1000000000000.0
+                        - 1.0 / CAST(nn - k AS DOUBLE))
+                       / (3.0 * CAST(k - 1 AS DOUBLE))))
+           END * 1000) AS BIGINT) AS chi2_milli
+    FROM w ORDER BY event_type
+    """,
+)
+def events_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A156 — Bartlett's test of variance homogeneity across the k
+    event types: chi2 = [(N-k) ln s_p^2 - sum (n_i-1) ln s_i^2] / C —
+    the classical (normal-theory, most powerful) companion of A122's
+    Brown-Forsythe (which trades power for robustness).
+
+    Determinism: group SS is the exact A34 device n*Sxx - Sx^2 in
+    HUGEINT <-> decimal(38,0), floor-divided ONCE by n (cents^2
+    units, identical truncation on both engines — this integer SS is
+    the pinned definition of the statistic); each group's ln term and
+    the 1/(n_i-1) reciprocal are quantized to micro/pico integers
+    BEFORE the k-fold (integer window sums, never a double fold); the
+    final chi2 is ONE double tree.  The common 1e6/ (n-1)e6 scale
+    offsets cancel between the pooled and group log terms, so plain
+    ln(SS) - ln(n-1) trees are used on both engines.  Degenerate
+    groups (n < 2 or zero spread) NULL the statistic identically;
+    ss_c2 readout carries the standard int64 overflow guard.
+
+    Scale shape: one type-keyed moment aggregate absorbs the scan;
+    everything after runs on the k-row table; readout k rows."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    g = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sxx"),
+    )
+    ss = g.select(
+        "event_type",
+        "n",
+        F.expr("(n * sxx - sx * sx) div n").cast("decimal(38,0)").alias("ssq"),
+    )
+    t = ss.select(
+        "event_type",
+        "n",
+        "ssq",
+        F.when(
+            (F.col("n") >= 2) & (F.col("ssq") > 0),
+            F.round(
+                (F.col("n") - 1)
+                * (
+                    F.log(F.col("ssq").cast("double"))
+                    - F.log((F.col("n") - 1).cast("double"))
+                )
+                * 1000000
+            ).cast("long"),
+        ).alias("term_micro"),
+        F.when(
+            F.col("n") >= 2, F.expr("1000000000000 div (n - 1)")
+        ).alias("inv_pico"),
+    )
+    t = bounded_single_group(t)
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = t.select(
+        "event_type",
+        "n",
+        F.when(
+            F.col("ssq") <= F.lit(9223372036854775807).cast("decimal(38,0)"),
+            F.col("ssq").cast("long"),
+        ).alias("ss_c2"),
+        "term_micro",
+        F.sum("n").over(w_all).cast("long").alias("nn"),
+        F.count("*").over(w_all).cast("long").alias("k"),
+        F.sum("ssq").over(w_all).alias("ssum"),
+        F.sum("term_micro").over(w_all).cast("long").alias("sumterm"),
+        F.sum("inv_pico").over(w_all).cast("long").alias("invsum"),
+    )
+    nnD = F.col("nn").cast("double")
+    kD = F.col("k").cast("double")
+    chi2 = F.when(
+        (F.col("k") >= 2)
+        & (F.col("nn") > F.col("k"))
+        & (F.col("ssum") > 0)
+        & F.col("sumterm").isNotNull(),
+        (
+            (nnD - kD)
+            * (F.log(F.col("ssum").cast("double")) - F.log(nnD - kD))
+            - F.col("sumterm").cast("double") / 1000000.0
+        )
+        / (
+            1.0
+            + (
+                F.col("invsum").cast("double") / 1000000000000.0
+                - 1.0 / (nnD - kD)
+            )
+            / (3.0 * (kD - 1.0))
+        ),
+    )
+    return w.select(
+        "event_type",
+        "n",
+        "ss_c2",
+        "term_micro",
+        F.round(chi2 * 1000).cast("long").alias("chi2_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A157: Lo-MacKinlay variance-ratio test on the dense daily series
+# ---------------------------------------------------------------------------
+
+_VR_LAGS = (2, 5, 10)
+
+
+@query(
+    "events_variance_ratio",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    lim AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+    cal AS (
+      SELECT CAST(r AS BIGINT) AS rel
+      FROM lim, LATERAL (
+        SELECT unnest(generate_series(0, DATE_DIFF('day', d0, d1))) AS r
+      )
+    ),
+    s AS (
+      SELECT cal.rel, COALESCE(d.x, 0) AS x
+      FROM cal CROSS JOIN lim LEFT JOIN d ON d.day = lim.d0 + CAST(cal.rel AS INT)
+    ),
+    dims AS (
+      SELECT CAST(MAX(rel) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN rel = 0 THEN x ELSE 0 END) AS BIGINT) AS x0,
+             CAST(SUM(CASE WHEN rel = (SELECT MAX(rel) FROM s)
+                           THEN x ELSE 0 END) AS BIGINT) AS xn
+      FROM s
+    ),
+    q AS (SELECT unnest([{", ".join(str(q) for q in _VR_LAGS)}]) AS q),
+    diffs AS (
+      SELECT q.q,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(dims.n * (a.x - b.x) - q.q * (dims.xn - dims.x0)
+                      AS HUGEINT)
+                 * (dims.n * (a.x - b.x) - q.q * (dims.xn - dims.x0)))
+               AS s2
+      FROM q CROSS JOIN dims
+      JOIN s a ON a.rel >= q.q
+      JOIN s b ON b.rel = a.rel - q.q
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT m AS mb, s2 AS sb FROM diffs WHERE q = 1
+    ),
+    onep AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS mb,
+             SUM(CAST(dims.n * (a.x - b.x) - (dims.xn - dims.x0) AS HUGEINT)
+                 * (dims.n * (a.x - b.x) - (dims.xn - dims.x0))) AS sb
+      FROM dims JOIN s a ON a.rel >= 1 JOIN s b ON b.rel = a.rel - 1
+    )
+    SELECT d.q, d.m, o.mb,
+           CAST(CASE WHEN o.sb > 0
+                THEN d.s2 * o.mb * 1000 // (o.sb * d.m * d.q)
+           END AS BIGINT) AS vr_milli
+    FROM diffs d CROSS JOIN onep o
+    ORDER BY d.q
+    """,
+)
+def events_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A157 — Lo-MacKinlay variance ratio VR(q) = Var(q-day change) /
+    (q * Var(1-day change)) on the DENSE daily event-count series
+    (missing days count 0): VR ~ 1 under a random walk, < 1 under
+    mean reversion, > 1 under momentum — the random-walk diagnostic
+    next to A127's Hurst R/S and A133's Durbin-Watson.
+
+    Determinism: drift-centering uses the exact n-scaled device A_t =
+    n(x_t - x_{{t-q}}) - q(x_n - x_0) (the per-interval drift mean
+    (x_n-x_0)/n never becomes a double); squared sums accumulate in
+    HUGEINT <-> decimal(38,0); VR is ONE truncating cross-multiplied
+    milli division — no doubles anywhere.  Plain (biased) variance
+    form, overlapping q-windows, documented as the pinned definition.
+
+    Scale shape: the dense calendar is bounded (sequence over the
+    min..max span); diffs are equi-joins on the bounded day table
+    with a 3-row broadcast lag grid; readout 3 rows."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    lim = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = lim.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("rel"),
+        "d0",
+    )
+    s = (
+        cal.join(
+            d.join(F.broadcast(lim.select("d0")), F.lit(True)).select(
+                F.datediff("day", "d0").alias("rel"), "x"
+            ),
+            "rel",
+            "left",
+        )
+        .select(F.col("rel").cast("long").alias("rel"),
+                F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    n_rel = s.agg(F.max("rel").alias("n"))
+    dims = (
+        s.join(F.broadcast(n_rel), F.lit(True))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum(F.when(F.col("rel") == 0, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("x0"),
+            F.sum(F.when(F.col("rel") == F.col("n"), F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("xn"),
+        )
+    )
+    qgrid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _VR_LAGS])).alias("q")
+    )
+    a = s.select(F.col("rel").alias("ra"), F.col("x").alias("xa"))
+    b = s.select(F.col("rel").alias("rb"), F.col("x").alias("xb"))
+    term = (
+        F.col("n") * (F.col("xa") - F.col("xb"))
+        - F.col("q") * (F.col("xn") - F.col("x0"))
+    ).cast("decimal(38,0)")
+    diffs = (
+        a.crossJoin(F.broadcast(qgrid))
+        .withColumn("rb", F.col("ra") - F.col("q"))
+        .where(F.col("rb") >= 0)
+        .join(b, "rb")
+        .crossJoin(F.broadcast(dims))
+        .groupBy("q")
+        .agg(F.count("*").cast("long").alias("m"), F.sum(term * term).alias("s2"))
+    )
+    term1 = (
+        F.col("n") * (F.col("xa") - F.col("xb")) - (F.col("xn") - F.col("x0"))
+    ).cast("decimal(38,0)")
+    onep = (
+        a.withColumn("rb", F.col("ra") - 1)
+        .where(F.col("rb") >= 0)
+        .join(b, "rb")
+        .crossJoin(F.broadcast(dims))
+        .agg(
+            F.count("*").cast("long").alias("mb"),
+            F.sum(term1 * term1).alias("sb"),
+        )
+    )
+    return (
+        diffs.crossJoin(F.broadcast(onep))
+        .select(
+            "q",
+            "m",
+            "mb",
+            F.when(
+                F.col("sb") > 0,
+                F.expr("CAST(s2 * mb * 1000 div (sb * m * q) AS BIGINT)"),
+            ).alias("vr_milli"),
+        )
+        .orderBy("q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A158: Page's L ordered trend test (weekday blocks x priority)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_page_trend",
+    """
+    WITH cell AS (
+      SELECT DATE_DIFF('day', DATE '1970-01-01', o_orderdate) % 7 AS blk,
+             CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS j,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cc
+      FROM orders GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT blk, j,
+             CAST(2 * RANK() OVER (PARTITION BY blk ORDER BY cc)
+                  + COUNT(*) OVER (PARTITION BY blk, cc) - 1 AS BIGINT) AS mr2
+      FROM cell
+    ),
+    rj AS (
+      SELECT j, CAST(SUM(mr2) AS BIGINT) AS r2
+      FROM rk GROUP BY 1
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+             CAST(COUNT(DISTINCT j) AS BIGINT) AS k
+      FROM cell
+    ),
+    l AS (SELECT CAST(SUM(j * r2) AS BIGINT) AS l2 FROM rj)
+    SELECT rj.j, rj.r2 AS rank2_sum,
+           l.l2,
+           CAST(ROUND(CASE WHEN dims.k > 1 THEN
+             (CAST(l.l2 AS DOUBLE) / 2.0
+              - CAST(dims.b AS DOUBLE) * CAST(dims.k AS DOUBLE)
+                * CAST(dims.k + 1 AS DOUBLE) * CAST(dims.k + 1 AS DOUBLE)
+                / 4.0)
+             / SQRT(CAST(dims.b AS DOUBLE)
+                    * CAST(dims.k * dims.k * dims.k - dims.k AS DOUBLE)
+                    * CAST(dims.k * dims.k * dims.k - dims.k AS DOUBLE)
+                    / (144.0 * CAST(dims.k - 1 AS DOUBLE)))
+           END * 1000) AS BIGINT) AS z_milli
+    FROM rj CROSS JOIN dims CROSS JOIN l
+    ORDER BY rj.j
+    """,
+)
+def orders_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A158 — Page's L test for an ordered alternative in the blocked
+    design: weekday blocks (epoch-day mod 7, the hazard-free weekday
+    key) x priority treatments ranked within each block by revenue;
+    L = sum_j j*R_j grows when revenue rises monotonically with
+    priority.  The BLOCKED counterpart of A152's Jonckheere
+    (independent groups) and the directional sharpening of A129's
+    Friedman (which only asks "any difference").
+
+    Determinism: cell revenues are exact cents sums; midranks in half
+    units (2R integer, A129 device); L2 = sum j*2R_j exact int64; z
+    is ONE double tree over (L2, b, k) using the classical no-tie
+    null moments E[L] = bk(k+1)^2/4, Var[L] = b(k^3-k)^2/(144(k-1))
+    (cents cell sums make ties measure-zero; the midrank device keeps
+    the statistic defined if they occur).
+
+    Scale shape: one (weekday, priority) aggregate absorbs the scan;
+    ranks run on the bounded 7xk grid; readout k rows."""
+    cell = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+                )
+                % 7
+            ).alias("blk"),
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("j"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("cc"))
+    )
+    w_rank = Window.partitionBy("blk").orderBy("cc")
+    w_tie = Window.partitionBy("blk", "cc")
+    rk = cell.select(
+        "blk",
+        "j",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1)
+        .cast("long")
+        .alias("mr2"),
+    )
+    rj = rk.groupBy("j").agg(F.sum("mr2").cast("long").alias("r2"))
+    dims = cell.agg(
+        F.countDistinct("blk").cast("long").alias("b"),
+        F.countDistinct("j").cast("long").alias("k"),
+    )
+    l = rj.agg(F.sum(F.col("j") * F.col("r2")).cast("long").alias("l2"))
+    j = rj.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(l))
+    bD, kD = F.col("b").cast("double"), F.col("k").cast("double")
+    kcube = (
+        F.col("k") * F.col("k") * F.col("k") - F.col("k")
+    ).cast("double")
+    z = F.when(
+        F.col("k") > 1,
+        (
+            F.col("l2").cast("double") / 2.0
+            - bD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+        )
+        / F.sqrt(bD * kcube * kcube / (144.0 * (kD - 1.0))),
+    )
+    return j.select(
+        "j",
+        F.col("r2").alias("rank2_sum"),
+        "l2",
+        F.round(z * 1000).cast("long").alias("z_milli"),
+    ).orderBy("j")
