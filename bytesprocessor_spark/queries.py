@@ -678,6 +678,10 @@ _CHECK_ORDER = [
     "events_bartlett",
     "events_variance_ratio",
     "orders_page_trend",
+    "events_benjamini_yekutieli",
+    "eval_brier_decomposition",
+    "part_safety_stock",
+    "sql_qualify_dedup",
     # --- already driver-certified (rounds 1-10 windows), rotated to tail ---
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",

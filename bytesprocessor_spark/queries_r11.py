@@ -990,3 +990,552 @@ def orders_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l2",
         F.round(z * 1000).cast("long").alias("z_milli"),
     ).orderBy("j")
+
+
+# ---------------------------------------------------------------------------
+# A159: Benjamini-Yekutieli dependence-robust FDR step-up
+# ---------------------------------------------------------------------------
+
+def _by_sql() -> str:
+    from bytesprocessor_spark.queries_r8b import _PHI_TAIL
+
+    z = (
+        "((CAST(n_gd AS DOUBLE) / CAST(n_d AS DOUBLE)"
+        " - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        " / SQRT(CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE)"
+        "        * (1.0 - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        "        / CAST(n_d AS DOUBLE)))"
+    )
+    tail = _PHI_TAIL.replace("ZG", f"ABS({z})")
+    return f"""
+    WITH cell AS (
+      SELECT event_type AS g, ISODOW(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_gd
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT g, dow, n_gd,
+             CAST(SUM(n_gd) OVER (PARTITION BY dow) AS BIGINT) AS n_d,
+             CAST(SUM(n_gd) OVER (PARTITION BY g) AS BIGINT) AS n_g,
+             CAST(SUM(n_gd) OVER () AS BIGINT) AS nn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_tests
+      FROM cell
+    ),
+    p AS (
+      SELECT g, dow, n_gd, n_tests,
+             CAST(ROUND(2.0 * {tail} * 1000000) AS BIGINT) AS p_micro
+      FROM m WHERE n_g < nn
+    ),
+    h AS (
+      SELECT CAST(SUM(1000000000000 // CAST(i AS BIGINT)) AS BIGINT) AS c_pico
+      FROM (SELECT unnest(generate_series(
+              1, (SELECT CAST(MAX(n_tests) AS INT) FROM p))) AS i)
+    ),
+    r AS (
+      SELECT p.*, h.c_pico,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_micro, g, dow) AS BIGINT)
+               AS rank
+      FROM p CROSS JOIN h
+    ),
+    st AS (
+      SELECT *,
+             CAST(MAX(CASE WHEN CAST(p_micro AS HUGEINT) * n_tests * c_pico
+                                <= CAST(rank AS HUGEINT) * 50000
+                                   * 1000000000000
+                           THEN rank ELSE 0 END) OVER () AS BIGINT) AS i_star,
+             CAST(LEAST(1000000, MIN(
+               CAST(ROUND(CAST(p_micro AS DOUBLE) * CAST(n_tests AS DOUBLE)
+                    * (CAST(c_pico AS DOUBLE) / 1000000000000.0)
+                    / CAST(rank AS DOUBLE)) AS BIGINT))
+               OVER (ORDER BY rank DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS BIGINT) AS qval_micro
+      FROM r
+    )
+    SELECT g AS event_type, dow, n_gd, p_micro, rank,
+           rank <= i_star AS rejected, qval_micro
+    FROM st ORDER BY rank
+    """
+
+
+@query("events_benjamini_yekutieli", _by_sql())
+def events_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A159 — Benjamini-Yekutieli step-up over the A90 35-test family
+    (type x ISO-weekday proportion z-tests): reject while p_(i) <=
+    i*alpha/(m*c(m)), c(m) = sum 1/i — FDR control valid under
+    ARBITRARY dependence, where A90's BH assumes positive dependence
+    and A136's Holm controls the stricter FWER.  Closes the
+    multiple-testing family with its dependence-robust member; A90's
+    exact machinery (pinned A-S normal tail, micro p) verbatim.
+
+    Determinism: the harmonic factor accumulates 1e12 // i pico
+    integers (never a double fold); the step-up comparison is a pure
+    128-bit integer cross-multiply (HUGEINT <-> decimal(38,0)); the
+    adjusted q-value is the standard running tail-min of a per-row
+    fixed double tree, micro-quantized per row before the min.
+
+    Scale shape: one (type, dow) aggregate absorbs the scan; the
+    step-up runs on the bounded 35-row test table."""
+    from bytesprocessor_spark.operators.ranking import (
+        bounded_single_group as _bsg,
+    )
+    from bytesprocessor_spark.queries_r8b import _PHI_TAIL
+
+    cell = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("g"),
+            # A90's engine-neutral ISODOW device (Spark weekday: Monday=0)
+            (F.expr("weekday(ts)") + 1).cast("long").alias("dow"),
+        )
+        .agg(F.count("*").cast("long").alias("n_gd"))
+    )
+    cell = _bsg(cell)
+    w_d = Window.partitionBy("__opid", "dow")
+    w_g = Window.partitionBy("__opid", "g")
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = cell.select(
+        "g",
+        "dow",
+        "n_gd",
+        F.sum("n_gd").over(w_d).cast("long").alias("n_d"),
+        F.sum("n_gd").over(w_g).cast("long").alias("n_g"),
+        F.sum("n_gd").over(w_all).cast("long").alias("nn"),
+        F.count("*").over(w_all).cast("long").alias("n_tests"),
+        F.col("__opid"),
+    )
+    z = (
+        "((CAST(n_gd AS DOUBLE) / CAST(n_d AS DOUBLE)"
+        " - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        " / SQRT(CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE)"
+        "        * (1.0 - CAST(n_g AS DOUBLE) / CAST(nn AS DOUBLE))"
+        "        / CAST(n_d AS DOUBLE)))"
+    )
+    tail = _PHI_TAIL.replace("ZG", f"ABS({z})")
+    p = m.where(F.col("n_g") < F.col("nn")).select(
+        "g",
+        "dow",
+        "n_gd",
+        "n_tests",
+        "__opid",
+        F.expr(f"CAST(ROUND(2.0 * {tail} * 1000000) AS BIGINT)").alias(
+            "p_micro"
+        ),
+    )
+    h = (
+        p.groupBy("__opid")
+        .agg(F.max("n_tests").alias("mt"))
+        .select(
+            "__opid",
+            F.explode(F.sequence(F.lit(1), F.col("mt"))).alias("i"),
+        )
+        .groupBy("__opid")
+        .agg(
+            F.sum(F.expr("1000000000000 div CAST(i AS BIGINT)"))
+            .cast("long")
+            .alias("c_pico")
+        )
+    )
+    r = p.join(F.broadcast(h), "__opid").withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.partitionBy("__opid").orderBy("p_micro", "g", "dow"))
+        .cast("long"),
+    )
+    w_all2 = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_qd = (
+        Window.partitionBy("__opid")
+        .orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    accept = F.expr(
+        "CAST(p_micro AS DECIMAL(38,0)) * n_tests * c_pico"
+        " <= CAST(rank AS DECIMAL(38,0)) * 50000 * 1000000000000"
+    )
+    qterm = F.round(
+        F.col("p_micro").cast("double")
+        * F.col("n_tests").cast("double")
+        * (F.col("c_pico").cast("double") / 1000000000000.0)
+        / F.col("rank").cast("double")
+    ).cast("long")
+    st = r.select(
+        "g",
+        "dow",
+        "n_gd",
+        "p_micro",
+        "rank",
+        F.max(F.when(accept, F.col("rank")).otherwise(F.lit(0)))
+        .over(w_all2)
+        .cast("long")
+        .alias("i_star"),
+        F.least(F.lit(1000000).cast("long"), F.min(qterm).over(w_qd).cast("long"))
+        .alias("qval_micro"),
+    )
+    return st.select(
+        F.col("g").alias("event_type"),
+        "dow",
+        "n_gd",
+        "p_micro",
+        "rank",
+        (F.col("rank") <= F.col("i_star")).alias("rejected"),
+        "qval_micro",
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# EV44: Murphy decomposition of the Brier score (reliability /
+# resolution / uncertainty) over the EV1 pinned pseudo-model
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_brier_decomposition",
+    """
+    WITH b AS (
+      SELECT vec_id,
+             CAST(label % 2 AS BIGINT) AS y,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           + CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+               AS score
+      FROM embeddings
+    ),
+    mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM b),
+    p AS (
+      SELECT vec_id, y,
+             CAST(((score - lo) * 1000000) // GREATEST(hi - lo, 1) AS BIGINT)
+               AS pm
+      FROM b, mm
+    ),
+    g AS (
+      SELECT *, CAST(NTILE(10) OVER (ORDER BY pm, vec_id) AS BIGINT) AS bin
+      FROM p
+    ),
+    s AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS obs_pos,
+             CAST(SUM(pm) AS BIGINT) AS sum_pm
+      FROM g GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(obs_pos) AS BIGINT) AS oo
+      FROM s
+    ),
+    t AS (
+      SELECT s.bin, s.n, s.obs_pos,
+             CAST(s.sum_pm // s.n AS BIGINT) AS pbar_micro,
+             CAST(ROUND(
+               CAST(s.sum_pm - s.obs_pos * 1000000 AS DOUBLE)
+               * CAST(s.sum_pm - s.obs_pos * 1000000 AS DOUBLE)
+               / (CAST(s.n AS DOUBLE) * 1000000000000.0) * 1000000000)
+               AS BIGINT) AS rel_nano,
+             CAST(ROUND(
+               CAST(s.obs_pos * tot.nn - tot.oo * s.n AS DOUBLE)
+               * CAST(s.obs_pos * tot.nn - tot.oo * s.n AS DOUBLE)
+               / (CAST(s.n AS DOUBLE) * CAST(tot.nn AS DOUBLE)
+                  * CAST(tot.nn AS DOUBLE)) * 1000000000)
+               AS BIGINT) AS res_nano,
+             tot.nn, tot.oo
+      FROM s CROSS JOIN tot
+    )
+    SELECT bin, n, obs_pos, pbar_micro, rel_nano, res_nano,
+           CAST(ROUND(CAST(SUM(rel_nano) OVER () AS DOUBLE)
+                      / CAST(nn AS DOUBLE) / 1000.0) AS BIGINT)
+             AS reliability_micro,
+           CAST(ROUND(CAST(SUM(res_nano) OVER () AS DOUBLE)
+                      / CAST(nn AS DOUBLE) / 1000.0) AS BIGINT)
+             AS resolution_micro,
+           CAST(ROUND(CAST(oo AS DOUBLE) * CAST(nn - oo AS DOUBLE)
+                      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                      * 1000000) AS BIGINT) AS uncertainty_micro
+    FROM t ORDER BY bin
+    """,
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV44 — Murphy's decomposition Brier = reliability - resolution
+    + uncertainty over the EV1 pinned pseudo-model's NTILE-10 bins:
+    reliability is the calibration gap EV3 draws and EV36 averages,
+    resolution is how far bin outcome rates stray from the base rate
+    (the part a sharper model EARNS), uncertainty is the base-rate
+    floor no model can beat — the additive account of WHERE the
+    Brier score comes from.
+
+    Determinism: bin moments are exact int64 (sum_pm is the exact
+    predicted mass in micro); each bin's reliability/resolution term
+    is one fixed double tree NANO-quantized BEFORE the 10-bin fold
+    (A112 discipline); the three readout columns are fixed double
+    trees over the integer window sums, micro-quantized.
+
+    Scale shape: distributed ntile (range-partitioned rank), one
+    10-bin aggregate; readout 10 rows."""
+    from bytesprocessor_spark.operators.ranking import distributed_ntile
+    from bytesprocessor_spark.queries_eval import _scored
+
+    b = _scored(spark, sf_dir)
+    mm = b.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    p = b.crossJoin(F.broadcast(mm)).select(
+        "vec_id",
+        "y",
+        F.expr(
+            "CAST(((score - lo) * 1000000) div GREATEST(hi - lo, 1) AS BIGINT)"
+        ).alias("pm"),
+    )
+    g = distributed_ntile(
+        p, [F.col("pm").asc(), F.col("vec_id").asc()], 10, tile_col="bin"
+    )
+    s = g.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("obs_pos"),
+        F.sum("pm").cast("long").alias("sum_pm"),
+    )
+    s = bounded_single_group(s)
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = s.select(
+        "bin",
+        "n",
+        "obs_pos",
+        "sum_pm",
+        F.sum("n").over(w_all).cast("long").alias("nn"),
+        F.sum("obs_pos").over(w_all).cast("long").alias("oo"),
+        F.col("__opid"),
+    )
+    d_rel = (F.col("sum_pm") - F.col("obs_pos") * 1000000).cast("double")
+    rel_nano = F.round(
+        d_rel * d_rel / (F.col("n").cast("double") * 1000000000000.0)
+        * 1000000000
+    ).cast("long")
+    d_res = (F.col("obs_pos") * F.col("nn") - F.col("oo") * F.col("n")).cast(
+        "double"
+    )
+    res_nano = F.round(
+        d_res
+        * d_res
+        / (
+            F.col("n").cast("double")
+            * F.col("nn").cast("double")
+            * F.col("nn").cast("double")
+        )
+        * 1000000000
+    ).cast("long")
+    t2 = t.select(
+        "bin",
+        "n",
+        "obs_pos",
+        F.expr("CAST(sum_pm div n AS BIGINT)").alias("pbar_micro"),
+        rel_nano.alias("rel_nano"),
+        res_nano.alias("res_nano"),
+        "nn",
+        "oo",
+        F.col("__opid"),
+    )
+    nnD = F.col("nn").cast("double")
+    ooD = F.col("oo").cast("double")
+    return t2.select(
+        "bin",
+        "n",
+        "obs_pos",
+        "pbar_micro",
+        "rel_nano",
+        "res_nano",
+        F.round(
+            F.sum("rel_nano").over(w_all).cast("double") / nnD / 1000.0
+        )
+        .cast("long")
+        .alias("reliability_micro"),
+        F.round(
+            F.sum("res_nano").over(w_all).cast("double") / nnD / 1000.0
+        )
+        .cast("long")
+        .alias("resolution_micro"),
+        F.round(ooD * (nnD - ooD) / (nnD * nnD) * 1000000)
+        .cast("long")
+        .alias("uncertainty_micro"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# SC7: safety stock / reorder point per brand at a pinned service ladder
+# ---------------------------------------------------------------------------
+
+_SS_LEAD_DAYS = 7  # pinned replenishment lead time
+
+
+@query(
+    "part_safety_stock",
+    f"""
+    WITH d AS (
+      SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    lim AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+    cal AS (
+      SELECT CAST(r AS BIGINT) AS rel
+      FROM lim, LATERAL (
+        SELECT unnest(generate_series(0, DATE_DIFF('day', d0, d1))) AS r
+      )
+    ),
+    grid AS (
+      SELECT b.p_brand, cal.rel, COALESCE(d.q, 0) AS q
+      FROM (SELECT DISTINCT p_brand FROM part) b
+      CROSS JOIN cal CROSS JOIN lim
+      LEFT JOIN d ON d.p_brand = b.p_brand
+                 AND d.day = lim.d0 + CAST(cal.rel AS INT)
+    ),
+    st AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(q) AS BIGINT) AS sx,
+             SUM(CAST(q AS HUGEINT) * q) AS sxx
+      FROM grid GROUP BY 1
+    ),
+    v AS (
+      SELECT p_brand, n_days, sx,
+             n_days * sxx - CAST(sx AS HUGEINT) * sx AS var_num
+      FROM st
+    )
+    SELECT p_brand, n_days, sx AS demand_sum_c,
+           CAST(ROUND(1.281552 * SQRT({_SS_LEAD_DAYS}.0
+                * CAST(var_num AS DOUBLE)) / CAST(n_days AS DOUBLE))
+                AS BIGINT) AS ss90_c,
+           CAST(ROUND(1.644854 * SQRT({_SS_LEAD_DAYS}.0
+                * CAST(var_num AS DOUBLE)) / CAST(n_days AS DOUBLE))
+                AS BIGINT) AS ss95_c,
+           CAST(ROUND(2.326348 * SQRT({_SS_LEAD_DAYS}.0
+                * CAST(var_num AS DOUBLE)) / CAST(n_days AS DOUBLE))
+                AS BIGINT) AS ss99_c,
+           CAST(sx * {_SS_LEAD_DAYS} // n_days
+                + CAST(ROUND(1.644854 * SQRT({_SS_LEAD_DAYS}.0
+                      * CAST(var_num AS DOUBLE)) / CAST(n_days AS DOUBLE))
+                      AS BIGINT) AS BIGINT) AS rop95_c
+    FROM v ORDER BY p_brand
+    """,
+)
+def part_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC7 — safety stock SS = z * sigma_d * sqrt(L) and reorder
+    point ROP = mu_d*L + SS per brand at the pinned 90/95/99 service
+    ladder (z constants 1.281552 / 1.644854 / 2.326348, both engine
+    texts carry the identical literals) — the service-level closure
+    of the supply-chain family: SC3's newsvendor prices ONE period's
+    over/under-age, SC5's risk pooling compares variance ACROSS
+    locations; safety stock is the operating policy a planner
+    actually sets.  Lead time L = 7 days pinned.
+
+    Determinism: daily demand (zero-filled over the dense calendar,
+    so quiet days lower the mean and raise nothing) in exact cents;
+    variance numerator n*Sxx - Sx^2 exact in HUGEINT <->
+    decimal(38,0); each SS column is ONE double tree (literal z,
+    sqrt of exact integer, one division), cents-rounded; mu_d*L is
+    an exact truncating integer division.
+
+    Scale shape: one (brand, day) aggregate absorbs the lineitem x
+    part broadcast join; the dense grid is brands x bounded
+    calendar; readout k brands."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("l_quantity"))).cast("long").alias("q"))
+    )
+    lim = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = lim.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("rel"),
+        "d0",
+    )
+    brands = pt.select("p_brand").distinct()
+    grid = (
+        brands.crossJoin(cal)
+        .join(
+            d.join(F.broadcast(lim.select("d0")), F.lit(True)).select(
+                "p_brand", F.datediff("day", "d0").alias("rel"), "q"
+            ),
+            ["p_brand", "rel"],
+            "left",
+        )
+        .select("p_brand", F.coalesce("q", F.lit(0)).alias("q"))
+    )
+    st = grid.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("q").cast("long").alias("sx"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sxx"),
+    )
+    v = st.select(
+        "p_brand",
+        "n_days",
+        "sx",
+        (
+            F.col("n_days") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).alias("var_num"),
+    )
+    sig = F.sqrt(
+        F.lit(float(_SS_LEAD_DAYS)) * F.col("var_num").cast("double")
+    ) / F.col("n_days").cast("double")
+    return v.select(
+        "p_brand",
+        "n_days",
+        F.col("sx").alias("demand_sum_c"),
+        F.round(F.lit(1.281552) * sig).cast("long").alias("ss90_c"),
+        F.round(F.lit(1.644854) * sig).cast("long").alias("ss95_c"),
+        F.round(F.lit(2.326348) * sig).cast("long").alias("ss99_c"),
+        (
+            F.expr(f"CAST(sx * {_SS_LEAD_DAYS} div n_days AS BIGINT)")
+            + F.round(F.lit(1.644854) * sig).cast("long")
+        ).alias("rop95_c"),
+    ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# SQL10: QUALIFY-style windowed dedup (latest order per customer)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sql_qualify_dedup",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC,
+                                        o_orderkey DESC) = 1
+    ORDER BY o_custkey
+    """,
+)
+def sql_qualify_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL10 — QUALIFY-idiom dedup: keep each customer's latest order
+    (date desc, orderkey desc as the deterministic tie-break).  The
+    oracle runs DuckDB's NATIVE QUALIFY clause; Spark has no QUALIFY,
+    so the engine expresses the same plan as a keyed window +
+    post-filter — pinning the cross-engine equivalence of the single
+    most common windowed-dedup idiom (the S16 merge-upsert and SCD2
+    rows both lean on it).
+
+    Determinism: ROW_NUMBER over a total order (orderkey unique);
+    dates emitted as strings per the driver contract.
+
+    Scale shape: one hash-partitioned window on the dedup key — the
+    same shuffle a groupBy would pay, no single-partition stage."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            cents(F.col("o_totalprice")).alias("total_c"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("o_custkey")
+    )
