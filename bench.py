@@ -453,6 +453,10 @@ HEADLINE = [
     "events_ansari_bradley",
     "orders_page_trend",
     "sql_qualify_dedup",
+    "events_quade",
+    "events_lilliefors",
+    "events_spectral_flatness",
+    "graph_double_sweep",
 ]
 
 
@@ -596,6 +600,10 @@ POST_BRACKET_ADDITIONS = {
     "events_ansari_bradley",
     "orders_page_trend",
     "sql_qualify_dedup",
+    "events_quade",
+    "events_lilliefors",
+    "events_spectral_flatness",
+    "graph_double_sweep",
     # round-10 additions (38)
     "events_mood_median",
     "orders_jonckheere",

@@ -682,6 +682,10 @@ _CHECK_ORDER = [
     "eval_brier_decomposition",
     "part_safety_stock",
     "sql_qualify_dedup",
+    "events_quade",
+    "events_lilliefors",
+    "events_spectral_flatness",
+    "graph_double_sweep",
     # --- already driver-certified (rounds 1-10 windows), rotated to tail ---
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",

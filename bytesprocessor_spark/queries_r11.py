@@ -1539,3 +1539,558 @@ def sql_qualify_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# A160: Quade test (range-weighted blocked ranks)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_quade",
+    """
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.day, t.event_type, COALESCE(c.x, 0) AS x
+      FROM (SELECT DISTINCT day FROM cell) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM cell) t
+      LEFT JOIN cell c ON c.day = d.day AND c.event_type = t.event_type
+    ),
+    rk AS (
+      SELECT day, event_type, x,
+             CAST(2 * RANK() OVER (PARTITION BY day ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY day, x) - 1 AS BIGINT) AS mr2
+      FROM grid
+    ),
+    rng AS (
+      SELECT day, CAST(MAX(x) - MIN(x) AS BIGINT) AS r FROM grid GROUP BY day
+    ),
+    qr AS (
+      SELECT day,
+             CAST(2 * RANK() OVER (ORDER BY r)
+                  + COUNT(*) OVER (PARTITION BY r) - 1 AS BIGINT) AS q2
+      FROM rng
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+      FROM grid
+    ),
+    s AS (
+      SELECT rk.event_type,
+             SUM(CAST(qr.q2 * (rk.mr2 - (dims.k + 1)) AS HUGEINT)) AS s4,
+             SUM(CAST(qr.q2 * (rk.mr2 - (dims.k + 1)) AS HUGEINT)
+                 * (qr.q2 * (rk.mr2 - (dims.k + 1)))) AS sa_j
+      FROM rk JOIN qr USING (day) CROSS JOIN dims
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT SUM(sa_j) AS sa, SUM(s4 * s4) AS sb FROM s
+    )
+    SELECT s.event_type,
+           CAST(s.s4 AS BIGINT) AS s4,
+           CAST(CASE WHEN dims.n * agg.sa - agg.sb > 0
+                THEN (dims.n - 1) * agg.sb * 1000
+                     // (dims.n * agg.sa - agg.sb)
+           END AS BIGINT) AS f_milli
+    FROM s CROSS JOIN agg CROSS JOIN dims
+    ORDER BY s.event_type
+    """,
+)
+def events_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A160 — Quade test: Friedman's blocked ranks WEIGHTED by each
+    block's range rank (big-spread days count more), F = (n-1)B /
+    (A-B) — more powerful than A129's Friedman for small k because
+    it uses the between-block magnitude information Friedman throws
+    away; completes the blocked-rank family A129 (any difference) /
+    A158 (ordered trend) / A160 (range-weighted).
+
+    Determinism: within-day midranks and across-day range midranks
+    both in half units (2r, 2Q integers); the scaled scores S4 =
+    2Q*(2r-(k+1)) are exact integers, so A and B fold exactly in
+    HUGEINT <-> decimal(38,0) and the common 1/16 scale cancels in
+    F = (n-1)*SB*1000 // (n*SA - SB) — a pure truncating integer
+    rational, NO doubles.  Degenerate spread (n*SA = SB) NULLs F on
+    both engines.
+
+    Scale shape: one (day, type) aggregate; within-day ranks on the
+    k-wide grid; the across-day range ranking uses the value-domain
+    -bounded prefix-count device (never a single-partition window
+    over raw rows); readout k rows."""
+    from bytesprocessor_spark.operators.ranking import (
+        bounded_single_group as _bsg,
+    )
+
+    cell = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    days = cell.select("day").distinct()
+    types = cell.select("event_type").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(cell, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+        )
+    )
+    w_rank = Window.partitionBy("day").orderBy("x")
+    w_tie = Window.partitionBy("day", "x")
+    rk = grid.select(
+        "day",
+        "event_type",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1)
+        .cast("long")
+        .alias("mr2"),
+    )
+    rng = grid.groupBy("day").agg(
+        (F.max("x") - F.min("x")).cast("long").alias("r")
+    )
+    # across-day range midrank via the value-domain-bounded
+    # prefix-count device (EV1 idiom): 2Q = 2*cum_before + cnt + 1
+    vals = _bsg(rng.groupBy("r").agg(F.count("*").cast("long").alias("cnt")))
+    w_val = Window.partitionBy("__opid").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vals = vals.select(
+        "r",
+        "cnt",
+        (2 * (F.sum("cnt").over(w_val) - F.col("cnt")) + F.col("cnt") + 1)
+        .cast("long")
+        .alias("q2"),
+    )
+    qr = rng.join(vals.select("r", "q2"), "r").select("day", "q2")
+    dims = grid.agg(
+        F.countDistinct("day").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+    )
+    s4cell = (
+        rk.join(qr, "day")
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "event_type",
+            "n",
+            (
+                F.col("q2") * (F.col("mr2") - (F.col("k") + 1))
+            ).cast("decimal(38,0)").alias("s4c"),
+        )
+    )
+    s = s4cell.groupBy("event_type").agg(
+        F.sum("s4c").alias("s4"),
+        F.sum(F.col("s4c") * F.col("s4c")).alias("sa_j"),
+        F.max("n").alias("n"),
+    )
+    agg = s.agg(
+        F.sum("sa_j").alias("sa"),
+        F.sum(F.col("s4") * F.col("s4")).alias("sb"),
+        F.max("n").alias("n"),
+    )
+    j = s.select("event_type", "s4").crossJoin(F.broadcast(agg))
+    return j.select(
+        "event_type",
+        F.col("s4").cast("long").alias("s4"),
+        F.when(
+            F.col("n") * F.col("sa") - F.col("sb") > 0,
+            F.expr(
+                "CAST((n - 1) * sb * 1000 div (n * sa - sb) AS BIGINT)"
+            ),
+        ).alias("f_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A161: Lilliefors normality statistic (KS with estimated parameters)
+# ---------------------------------------------------------------------------
+
+def _lilliefors_sql() -> str:
+    from bytesprocessor_spark.queries_r8b import _PHI_TAIL
+
+    z = "((CAST(n AS DOUBLE) * CAST(c AS DOUBLE) - CAST(sx AS DOUBLE))" \
+        " / SQRT(CAST(vnum AS DOUBLE)))"
+    tail = _PHI_TAIL.replace("ZG", f"ABS({z})")
+    return f"""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+    ),
+    mo AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS HUGEINT) * SUM(CAST(c AS HUGEINT) * c)
+               - CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT)
+                 * SUM(CAST(c AS HUGEINT)) AS vnum
+      FROM v GROUP BY 1
+    ),
+    dv AS (
+      SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, c, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM dv
+    ),
+    ph AS (
+      SELECT cum.event_type, cum.c, cum.cnt, cum.cum, mo.n, mo.sx,
+             CASE WHEN {z} >= 0
+                  THEN 1000000 - CAST(ROUND({tail} * 1000000) AS BIGINT)
+                  ELSE CAST(ROUND({tail} * 1000000) AS BIGINT)
+             END AS phi_micro
+      FROM cum JOIN mo USING (event_type)
+      WHERE mo.vnum > 0
+    ),
+    d AS (
+      SELECT event_type, MAX(n) AS n,
+             CAST(MAX(GREATEST(ABS(cum * 1000000 - phi_micro * n),
+                               ABS((cum - cnt) * 1000000 - phi_micro * n)))
+                  AS BIGINT) AS dnum
+      FROM ph GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(dnum // n AS BIGINT) AS d_micro
+    FROM d ORDER BY event_type
+    """
+
+
+@query("events_lilliefors", _lilliefors_sql())
+def events_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A161 — Lilliefors normality statistic per event type: the KS
+    distance between the value ECDF and Normal(mu-hat, sigma-hat)
+    WITH the parameters estimated from the same data (the correction
+    that makes plain KS-vs-fitted-normal anticonservative); the
+    normality companion of A96's Jarque-Bera (moment-based) and
+    A137's A-D (which tests intra-day uniformity, not value
+    normality).  Statistic only — compare to the Lilliefors table's
+    0.886/sqrt(n) family externally.
+
+    Determinism: the standardization collapses to the exact integer
+    device z_i = (n*c_i - Sx)/sqrt(n*Sxx - Sx^2) (population sigma,
+    pinned definition; 128-bit moments); Phi from the pinned A-S
+    tail polynomial micro-quantized per DISTINCT value; both D+ and
+    D- branches are exact integer |cum*1e6 - phi*n| numerators
+    folded with MAX, divided once (truncating) — fold-order-free.
+    Degenerate spread (vnum = 0) drops the type on both engines.
+
+    Scale shape: one (type, value) group collapses the corpus to the
+    bounded distinct-value table; one type-keyed prefix window; all
+    Phi trees run on distinct values only; readout k rows."""
+    from bytesprocessor_spark.queries_r8b import _PHI_TAIL
+
+    v = _t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    mo = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sx"),
+        (
+            F.count("*").cast("decimal(38,0)")
+            * F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            - F.sum(F.col("c").cast("decimal(38,0)"))
+            * F.sum(F.col("c").cast("decimal(38,0)"))
+        ).alias("vnum"),
+    )
+    dv = v.groupBy("event_type", "c").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dv.select(
+        "event_type", "c", "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+    )
+    z_sql = (
+        "((CAST(n AS DOUBLE) * CAST(c AS DOUBLE) - CAST(sx AS DOUBLE))"
+        " / SQRT(CAST(vnum AS DOUBLE)))"
+    )
+    tail_sql = _PHI_TAIL.replace("ZG", f"ABS({z_sql})")
+    ph = (
+        cum.join(mo, "event_type")
+        .where(F.col("vnum") > 0)
+        .withColumn(
+            "phi_micro",
+            F.expr(
+                f"CASE WHEN {z_sql} >= 0"
+                f" THEN 1000000 - CAST(ROUND({tail_sql} * 1000000) AS BIGINT)"
+                f" ELSE CAST(ROUND({tail_sql} * 1000000) AS BIGINT) END"
+            ),
+        )
+    )
+    d = ph.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.greatest(
+                F.abs(F.col("cum") * 1000000 - F.col("phi_micro") * F.col("n")),
+                F.abs(
+                    (F.col("cum") - F.col("cnt")) * 1000000
+                    - F.col("phi_micro") * F.col("n")
+                ),
+            )
+        )
+        .cast("long")
+        .alias("dnum"),
+    )
+    return d.select(
+        "event_type",
+        "n",
+        F.expr("CAST(dnum div n AS BIGINT)").alias("d_micro"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A162: DFT spectral flatness of the dense daily count series
+# ---------------------------------------------------------------------------
+
+_SPECTRAL_FREQS = 8
+_PI_LIT = "3.141592653589793"
+
+
+@query(
+    "events_spectral_flatness",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    lim AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+    cal AS (
+      SELECT CAST(r AS BIGINT) AS rel
+      FROM lim, LATERAL (
+        SELECT unnest(generate_series(0, DATE_DIFF('day', d0, d1))) AS r
+      )
+    ),
+    s AS (
+      SELECT cal.rel, COALESCE(d.x, 0) AS x
+      FROM cal CROSS JOIN lim LEFT JOIN d ON d.day = lim.d0 + CAST(cal.rel AS INT)
+    ),
+    dims AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM s),
+    fr AS (SELECT unnest(generate_series(1, {_SPECTRAL_FREQS})) AS f),
+    tr AS (
+      SELECT fr.f,
+             SUM(s.x * CAST(ROUND(COS(2.0 * {_PI_LIT} * fr.f * s.rel
+                                      / CAST(dims.nn AS DOUBLE)) * 1000000)
+                            AS HUGEINT)) AS cf,
+             SUM(s.x * CAST(ROUND(SIN(2.0 * {_PI_LIT} * fr.f * s.rel
+                                      / CAST(dims.nn AS DOUBLE)) * 1000000)
+                            AS HUGEINT)) AS sf
+      FROM fr CROSS JOIN dims CROSS JOIN s
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT f, cf * cf + sf * sf AS pw FROM tr
+    ),
+    t AS (
+      SELECT f, pw,
+             CASE WHEN pw > 0
+                  THEN CAST(ROUND(LN(CAST(pw AS DOUBLE)) * 1000000) AS BIGINT)
+             END AS ln_p_micro
+      FROM p
+    )
+    SELECT CAST(f AS BIGINT) AS f, ln_p_micro,
+           CAST(ROUND(CASE WHEN COUNT(*) OVER () = SUM(CASE WHEN pw > 0
+                                THEN 1 ELSE 0 END) OVER () THEN
+             EXP(CAST(SUM(ln_p_micro) OVER () AS DOUBLE)
+                 / ({_SPECTRAL_FREQS}.0 * 1000000.0))
+             / (CAST(SUM(pw) OVER () AS DOUBLE) / {_SPECTRAL_FREQS}.0)
+           END * 1000000) AS BIGINT) AS flatness_micro
+    FROM t ORDER BY f
+    """,
+)
+def events_spectral_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A162 — spectral flatness (Wiener entropy) of the dense daily
+    count series at DFT bins f = 1..8: geometric / arithmetic mean of
+    the periodogram — flatness near 1 reads white noise, near 0 a
+    strongly periodic series; the frequency-domain companion of
+    A146's Haar energy (dyadic time-domain) and A23's seasonality
+    read (single pinned period) — DFT asks ALL low frequencies at
+    once.
+
+    Determinism: per-row cos/sin are micro-quantized BEFORE the
+    multiply (the pinned pi literal appears verbatim in both engine
+    texts, and the angle tree 2*pi*f*t/N is identical), so c_f/s_f
+    are exact integer folds in HUGEINT <-> decimal(38,0) and the
+    periodogram P_f = c_f^2 + s_f^2 is exact; per-bin ln is
+    micro-quantized before the bounded 8-bin fold; flatness is ONE
+    double tree, NULL if any bin is exactly zero-power.
+
+    Scale shape: the 8-frequency grid broadcasts onto one pass of
+    the bounded dense calendar (8N quantized-trig rows); readout 8
+    rows."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    lim = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = lim.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("rel"),
+        "d0",
+    )
+    s = (
+        cal.join(
+            d.join(F.broadcast(lim.select("d0")), F.lit(True)).select(
+                F.datediff("day", "d0").alias("rel"), "x"
+            ),
+            "rel",
+            "left",
+        )
+        .select(
+            F.col("rel").cast("long").alias("rel"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+    )
+    dims = s.agg(F.count("*").cast("long").alias("nn"))
+    fr = spark.range(1, _SPECTRAL_FREQS + 1).select(F.col("id").alias("f"))
+    ang = f"2.0 * {_PI_LIT} * f * rel / CAST(nn AS DOUBLE)"
+    tr = (
+        s.crossJoin(F.broadcast(fr))
+        .crossJoin(F.broadcast(dims))
+        .groupBy("f")
+        .agg(
+            F.sum(
+                F.col("x")
+                * F.expr(
+                    f"CAST(ROUND(COS({ang}) * 1000000) AS DECIMAL(38,0))"
+                )
+            ).alias("cf"),
+            F.sum(
+                F.col("x")
+                * F.expr(
+                    f"CAST(ROUND(SIN({ang}) * 1000000) AS DECIMAL(38,0))"
+                )
+            ).alias("sf"),
+        )
+    )
+    p = tr.select(
+        "f", (F.col("cf") * F.col("cf") + F.col("sf") * F.col("sf")).alias("pw")
+    )
+    t = p.select(
+        "f",
+        "pw",
+        F.when(
+            F.col("pw") > 0,
+            F.round(F.log(F.col("pw").cast("double")) * 1000000).cast("long"),
+        ).alias("ln_p_micro"),
+    )
+    t = bounded_single_group(t)
+    w_all = Window.partitionBy("__opid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    kf = float(_SPECTRAL_FREQS)
+    flat = F.when(
+        F.count("*").over(w_all)
+        == F.sum(F.when(F.col("pw") > 0, 1).otherwise(0)).over(w_all),
+        F.exp(
+            F.sum("ln_p_micro").over(w_all).cast("double") / (kf * 1000000.0)
+        )
+        / (F.sum("pw").over(w_all).cast("double") / kf),
+    )
+    return t.select(
+        F.col("f").cast("long").alias("f"),
+        "ln_p_micro",
+        F.round(flat * 1000000).cast("long").alias("flatness_micro"),
+    ).orderBy("f")
+
+
+# ---------------------------------------------------------------------------
+# GR17: double-sweep BFS diameter lower bound
+# ---------------------------------------------------------------------------
+
+_DIAM_DEPTH = 8
+
+
+@query(
+    "graph_double_sweep",
+    f"""
+    WITH RECURSIVE eb AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT c AS src, s AS dst FROM eb
+          UNION ALL SELECT s AS src, c AS dst FROM eb),
+    seed1 AS (SELECT MIN(o_custkey) * 2 AS seed FROM orders),
+    w1 AS (
+      SELECT seed AS node, 0 AS d FROM seed1
+      UNION
+      SELECT e.dst AS node, w.d + 1 AS d
+      FROM w1 w JOIN e ON e.src = w.node
+      WHERE w.d < {_DIAM_DEPTH}
+    ),
+    m1 AS (SELECT node, MIN(d) AS dist FROM w1 GROUP BY node),
+    u AS (SELECT node AS u FROM m1 ORDER BY dist DESC, node LIMIT 1),
+    w2 AS (
+      SELECT u AS node, 0 AS d FROM u
+      UNION
+      SELECT e.dst AS node, w.d + 1 AS d
+      FROM w2 w JOIN e ON e.src = w.node
+      WHERE w.d < {_DIAM_DEPTH}
+    ),
+    m2 AS (SELECT node, MIN(d) AS dist FROM w2 GROUP BY node)
+    SELECT CAST(m2.dist AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(m2.node) AS BIGINT) AS node_checksum,
+           CAST(MAX(u.u) AS BIGINT) AS sweep2_root,
+           CAST((SELECT MAX(dist) FROM m2) AS BIGINT) AS ecc_lb
+    FROM m2 CROSS JOIN u
+    GROUP BY m2.dist ORDER BY m2.dist
+    """,
+)
+def graph_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR17 — double-sweep diameter lower bound on the bipartite
+    customer-supplier graph (GR2/GR4 node packing): BFS from the
+    min-id customer finds the farthest node u (ties -> min id), a
+    second BFS from u reports its full distance histogram and
+    eccentricity — the standard 2-BFS diameter estimate (exact on
+    trees, a tight lower bound on small-world graphs) that answers
+    "how wide is this graph" without the all-pairs pass GR4's reach
+    histogram cannot afford either.
+
+    Determinism: hop counts are integers; the u argmax is a pinned
+    (dist desc, node asc) total order; depth bounded at
+    {_DIAM_DEPTH} on both engines (bipartite trade graphs saturate
+    in far fewer sweeps).
+
+    Scale shape: two edge-linear BFS traversals (one frontier join +
+    min-aggregate per level, localCheckpoint lineage cuts via
+    operators/graph.py:bfs_distances); the u pick is a 1-row
+    ORDER-BY-LIMIT; readout <= depth rows."""
+    from bytesprocessor_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seed1 = o.agg((F.min("o_custkey") * 2).alias("seed"))
+    m1 = bfs_distances(edges, seed1, max_depth=_DIAM_DEPTH)
+    u = (
+        m1.orderBy(F.col("dist").desc(), F.col("node").asc())
+        .limit(1)
+        .select(F.col("node").alias("seed"))
+    )
+    m2 = bfs_distances(edges, u, max_depth=_DIAM_DEPTH)
+    ecc = m2.agg(F.max("dist").cast("long").alias("ecc_lb"))
+    hist = (
+        m2.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("node_checksum"),
+        )
+        .crossJoin(F.broadcast(u.select(F.col("seed").alias("sweep2_root"))))
+        .crossJoin(F.broadcast(ecc))
+        .select("dist", "n_nodes", "node_checksum", "sweep2_root", "ecc_lb")
+        .orderBy("dist")
+    )
+    return hist

@@ -336,3 +336,128 @@ def test_qualify_dedup_structure(spark):
     for r in rows[:50]:
         d, ok = want[r["o_custkey"]]
         assert r["odate"] == d[:10] and r["o_orderkey"] == ok
+
+
+# ---------------------------------------------------------------------------
+# A160 Quade
+# ---------------------------------------------------------------------------
+
+def test_quade_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    got = {r["event_type"]: r for r in QUERIES["events_quade"](spark, SF).collect()}
+    cells = defaultdict(dict)
+    for d, t, x in _rows(
+        f"""SELECT CAST(ts AS DATE), event_type, COUNT(*) FROM
+        '{SF}/events.parquet' GROUP BY 1,2"""
+    ):
+        cells[d][t] = int(x)
+    types = sorted({t for jc in cells.values() for t in jc})
+    n, k = len(cells), len(types)
+    # within-day midranks (2r) over the dense grid
+    mr2 = {}
+    for d in cells:
+        xs = [cells[d].get(t, 0) for t in types]
+        sx = sorted(xs)
+        for t in types:
+            x = cells[d].get(t, 0)
+            lo = sx.index(x) + 1
+            hi = len(sx) - sx[::-1].index(x)
+            mr2[(d, t)] = lo + hi
+    # across-day range midranks (2Q)
+    rngs = {d: max(cells[d].get(t, 0) for t in types)
+               - min(cells[d].get(t, 0) for t in types) for d in cells}
+    sr = sorted(rngs.values())
+    q2 = {}
+    for d, r in rngs.items():
+        lo = sr.index(r) + 1
+        hi = len(sr) - sr[::-1].index(r)
+        q2[d] = lo + hi
+    s4 = {t: sum(q2[d] * (mr2[(d, t)] - (k + 1)) for d in cells)
+          for t in types}
+    sa = sum(q2[d] ** 2 * (mr2[(d, t)] - (k + 1)) ** 2
+             for d in cells for t in types)
+    sb = sum(v * v for v in s4.values())
+    want_f = (n - 1) * sb * 1000 // (n * sa - sb) if n * sa > sb else None
+    for t in types:
+        assert got[t]["s4"] == s4[t], t
+        assert got[t]["f_milli"] == want_f
+
+
+# ---------------------------------------------------------------------------
+# A161 Lilliefors: D bounds + degenerate-free + cross-type sanity
+# ---------------------------------------------------------------------------
+
+def test_lilliefors_bounds(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    rows = QUERIES["events_lilliefors"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # D in (0, 1e6); uniform-ish cents values are far from normal,
+        # so D should comfortably exceed the 1% critical 1.031/sqrt(n)
+        assert 0 < r["d_micro"] < 1_000_000
+        crit = 1.031 / math.sqrt(r["n"])
+        assert r["d_micro"] > crit * 1e6 * 0.5
+
+
+# ---------------------------------------------------------------------------
+# A162 spectral flatness
+# ---------------------------------------------------------------------------
+
+def test_spectral_flatness_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+    from bytesprocessor_spark.queries_r11 import _SPECTRAL_FREQS
+
+    rows = QUERIES["events_spectral_flatness"](spark, SF).collect()
+    assert [r["f"] for r in rows] == list(range(1, _SPECTRAL_FREQS + 1))
+    days = dict(
+        (d, int(x))
+        for d, x in _rows(
+            f"""SELECT CAST(ts AS DATE), COUNT(*) FROM
+            '{SF}/events.parquet' GROUP BY 1"""
+        )
+    )
+    import datetime
+
+    d0, d1 = min(days), max(days)
+    nn = (d1 - d0).days + 1
+    xs = [days.get(d0 + datetime.timedelta(days=i), 0) for i in range(nn)]
+    lns = {}
+    pws = {}
+    for f in range(1, _SPECTRAL_FREQS + 1):
+        cf = sum(
+            x * round(math.cos(2.0 * math.pi * f * t / nn) * 1e6)
+            for t, x in enumerate(xs)
+        )
+        sf_ = sum(
+            x * round(math.sin(2.0 * math.pi * f * t / nn) * 1e6)
+            for t, x in enumerate(xs)
+        )
+        pws[f] = cf * cf + sf_ * sf_
+        lns[f] = round(math.log(pws[f]) * 1e6)
+    for r in rows:
+        assert r["ln_p_micro"] == lns[r["f"]], r["f"]
+    flat = math.exp(sum(lns.values()) / (_SPECTRAL_FREQS * 1e6)) / (
+        sum(pws.values()) / _SPECTRAL_FREQS
+    )
+    assert abs(rows[0]["flatness_micro"] - round(flat * 1e6)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# GR17 double sweep: BFS invariants
+# ---------------------------------------------------------------------------
+
+def test_double_sweep_structure(spark):
+    from bytesprocessor_spark.queries import QUERIES
+    from bytesprocessor_spark.queries_r11 import _DIAM_DEPTH
+
+    rows = QUERIES["graph_double_sweep"](spark, SF).collect()
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists) and dists[0] == 0
+    assert rows[0]["n_nodes"] == 1, "level 0 is the sweep-2 root alone"
+    assert rows[0]["node_checksum"] == rows[0]["sweep2_root"]
+    ecc = rows[0]["ecc_lb"]
+    assert ecc == max(dists) and ecc <= _DIAM_DEPTH
+    # sweep2 root is a real node of the bipartite packing
+    assert rows[0]["sweep2_root"] >= 0

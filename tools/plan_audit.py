@@ -64,6 +64,13 @@ ALLOW_NESTED_LOOP = {
     "orders_page_trend",
     "eval_brier_decomposition",
     "part_safety_stock",
+    # r11 second wave: k-row dims/agg frames (Quade's 1-row dims and
+    # A/B fold, the 8-row DFT frequency grid, the 1-row sweep root /
+    # eccentricity frames) broadcast onto bounded tables — O(k x
+    # bounded) fan-out, no pair blowup at any scale
+    "events_quade",
+    "events_spectral_flatness",
+    "graph_double_sweep",
     # declared brute-force exact scorers: the corpus side streams once
     # against a BROADCAST k-row query/probe batch — a bounded
     # nested-loop by design, with LSH/IVF/PQ as the scale dispatch
