@@ -193,6 +193,12 @@ def bfs_distances(
     ).localCheckpoint()
     for level in range(1, max_depth + 1):
         frontier = dist.where(F.col("dist") == level - 1)
+        # early exit: an empty frontier cannot add nodes at any later
+        # level, so the remaining rounds would only pay job/checkpoint
+        # overhead for identical results (the existence probe runs on
+        # the already-checkpointed dist table — one cheap local scan)
+        if frontier.isEmpty():
+            break
         expanded = frontier.join(e, frontier.node == e.u).select(
             "seed", F.col("v").alias("node"), F.lit(level).cast("int").alias("dist")
         )
