@@ -457,6 +457,7 @@ HEADLINE = [
     "events_lilliefors",
     "events_spectral_flatness",
     "graph_double_sweep",
+    "xml_roundtrip_read",
 ]
 
 
@@ -607,6 +608,7 @@ POST_BRACKET_ADDITIONS = {
     "events_lilliefors",
     "events_spectral_flatness",
     "graph_double_sweep",
+    "xml_roundtrip_read",
     # round-10 additions (38)
     "events_mood_median",
     "orders_jonckheere",

@@ -2094,3 +2094,66 @@ def graph_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist")
     )
     return hist
+
+
+# ---------------------------------------------------------------------------
+# S21: XML round-trip source (Spark 4 built-in XML, oracle-certified)
+# ---------------------------------------------------------------------------
+
+@query(
+    "xml_roundtrip_read",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def xml_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21 — XML round-trip: events written through Spark 4's
+    BUILT-IN XML sink (sources/tables.py:write_xml) and read back
+    with an explicit schema (no inference pass); the readout
+    aggregates FROM THE XML COPY while the oracle recomputes from
+    parquet — the S19/S20 device applied to the last mainstream
+    interchange format, upgrading the S6 XML claim from pytest-only
+    to oracle-certified.
+
+    Determinism: exact cents / counts only; Java's shortest-round-
+    trip double formatting re-parses to identical bits, so cents()
+    after the trip equals cents() before it (and the explicit read
+    schema removes any inference ambiguity).  DuckDB has no XML
+    reader — irrelevant: the oracle checks the AGGREGATE from the
+    original table, so any row lost or value mangled by the XML
+    writer/reader fails the hash.
+
+    Scale shape: one distributed XML write + one schema-pinned XML
+    scan + a k-row hash aggregate; XML is the interchange-export
+    surface, not the analytical store."""
+    import shutil
+    import tempfile
+
+    from bytesprocessor_spark.sources.tables import read_xml, write_xml
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    out = tempfile.mkdtemp(prefix="bp_xml_")
+    try:
+        write_xml(ev, f"{out}/events_xml", row_tag="event")
+        back = read_xml(
+            spark,
+            f"{out}/events_xml",
+            row_tag="event",
+            schema="event_type string, value double, user_id bigint",
+        )
+        res = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(cents(F.col("value"))).cast("long").alias("sum_c"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
