@@ -604,12 +604,14 @@ def events_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) OVER () AS BIGINT) AS k,
              SUM(ssq) OVER () AS ssum,
              CAST(SUM(term_micro) OVER () AS BIGINT) AS sumterm,
-             CAST(SUM(inv_pico) OVER () AS BIGINT) AS invsum
+             CAST(SUM(inv_pico) OVER () AS BIGINT) AS invsum,
+             CAST(SUM(CASE WHEN term_micro IS NULL THEN 1 ELSE 0 END)
+                  OVER () AS BIGINT) AS n_degenerate
       FROM t
     )
     SELECT event_type, n, ss_c2, term_micro,
            CAST(ROUND(CASE WHEN k >= 2 AND nn > k AND ssum > 0
-                           AND sumterm IS NOT NULL THEN
+                           AND n_degenerate = 0 THEN
              ((CAST(nn - k AS DOUBLE)
                * (LN(CAST(ssum AS DOUBLE)) - LN(CAST(nn - k AS DOUBLE)))
                - CAST(sumterm AS DOUBLE) / 1000000.0)
@@ -634,9 +636,12 @@ def events_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the k-fold (integer window sums, never a double fold); the
     final chi2 is ONE double tree.  The common 1e6/ (n-1)e6 scale
     offsets cancel between the pooled and group log terms, so plain
-    ln(SS) - ln(n-1) trees are used on both engines.  Degenerate
-    groups (n < 2 or zero spread) NULL the statistic identically;
-    ss_c2 readout carries the standard int64 overflow guard.
+    ln(SS) - ln(n-1) trees are used on both engines.  ANY degenerate
+    group (n < 2 or zero spread) NULLs the whole statistic
+    identically on both engines via an explicit degenerate COUNT (a
+    bare SUM over the NULL term would silently drop the group from
+    the numerator while keeping its n in N); ss_c2 readout carries
+    the standard int64 overflow guard.
 
     Scale shape: one type-keyed moment aggregate absorbs the scan;
     everything after runs on the k-row table; readout k rows."""
@@ -689,6 +694,10 @@ def events_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ssq").over(w_all).alias("ssum"),
         F.sum("term_micro").over(w_all).cast("long").alias("sumterm"),
         F.sum("inv_pico").over(w_all).cast("long").alias("invsum"),
+        F.sum(F.when(F.col("term_micro").isNull(), 1).otherwise(0))
+        .over(w_all)
+        .cast("long")
+        .alias("n_degenerate"),
     )
     nnD = F.col("nn").cast("double")
     kD = F.col("k").cast("double")
@@ -696,7 +705,7 @@ def events_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") >= 2)
         & (F.col("nn") > F.col("k"))
         & (F.col("ssum") > 0)
-        & F.col("sumterm").isNotNull(),
+        & (F.col("n_degenerate") == 0),
         (
             (nnD - kD)
             * (F.log(F.col("ssum").cast("double")) - F.log(nnD - kD))
@@ -764,9 +773,6 @@ _VR_LAGS = (2, 5, 10)
       JOIN s a ON a.rel >= q.q
       JOIN s b ON b.rel = a.rel - q.q
       GROUP BY 1
-    ),
-    base AS (
-      SELECT m AS mb, s2 AS sb FROM diffs WHERE q = 1
     ),
     onep AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS mb,
