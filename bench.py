@@ -458,6 +458,7 @@ HEADLINE = [
     "events_spectral_flatness",
     "graph_double_sweep",
     "xml_roundtrip_read",
+    "avro_schema_evolution",
 ]
 
 
@@ -609,6 +610,7 @@ POST_BRACKET_ADDITIONS = {
     "events_spectral_flatness",
     "graph_double_sweep",
     "xml_roundtrip_read",
+    "avro_schema_evolution",
     # round-10 additions (38)
     "events_mood_median",
     "orders_jonckheere",

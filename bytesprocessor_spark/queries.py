@@ -687,6 +687,7 @@ _CHECK_ORDER = [
     "events_spectral_flatness",
     "graph_double_sweep",
     "xml_roundtrip_read",
+    "avro_schema_evolution",
     # --- already driver-certified (rounds 1-10 windows), rotated to tail ---
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",

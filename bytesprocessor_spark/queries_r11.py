@@ -2163,3 +2163,71 @@ def xml_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# S20b: Avro schema-resolution (evolution) read
+# ---------------------------------------------------------------------------
+
+@query(
+    "avro_schema_evolution",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+           CAST(COUNT(*) AS BIGINT) AS n_day_null
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20b — Avro schema RESOLUTION: the events copy is written with
+    writer schema (event_type, value, user_id) and read back with an
+    EVOLVED reader schema — `value` dropped, nullable `day` added
+    (reads null), `user_id` promoted long -> double — per the spec's
+    Schema Resolution chapter (match by name, default-null for added
+    nullable fields, numeric promotion).  The readout aggregates from
+    the evolved view; the oracle recomputes from parquet with day
+    identically null, so equality proves drop/add/promote each
+    preserve row identity and values exactly.
+
+    Determinism: user_id values are far below 2^53, so the
+    long -> double promotion is exact and SUM over the promoted
+    doubles casts back to the exact integer sum; n_day_null == n
+    proves the added column reads null on every row.
+
+    Scale shape: identical to S20 (one distributed write + one
+    per-file-task resolved read + a k-row aggregate)."""
+    from pyspark.sql import types as T
+
+    from bytesprocessor_spark.sources.avro import read_avro, write_avro
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value", "user_id")
+        .repartition(8)
+    )
+    out = tempfile.mkdtemp(prefix="bp_avro_evo_")
+    try:
+        write_avro(ev, f"{out}/events_avro").collect()
+        evolved = T.StructType(
+            [
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("user_id", T.DoubleType(), True),
+                T.StructField("day", T.StringType(), True),
+            ]
+        )
+        back = read_avro(spark, f"{out}/events_avro", evolved, resolve=True)
+        res = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("user_id").cast("long").alias("sum_uid"),
+                F.sum(F.when(F.col("day").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_day_null"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -248,11 +248,71 @@ def write_avro_bytes(
     return out, total
 
 
+def _embedded_fields(embedded: dict) -> List[Tuple[str, str, bool]]:
+    """(name, type, nullable) triples from an embedded schema JSON."""
+    out = []
+    for f in embedded.get("fields", []):
+        t = f["type"]
+        if isinstance(t, list):
+            non_null = [x for x in t if x != "null"]
+            if len(non_null) != 1 or not isinstance(non_null[0], str):
+                raise ValueError(f"unsupported avro union {t!r}")
+            out.append((f["name"], non_null[0], True))
+        else:
+            out.append((f["name"], t, False))
+    return out
+
+
+# Avro spec schema-resolution promotions this reader supports
+# (writer type -> reader types it may widen to)
+_PROMOTIONS = {"long": {"double"}}
+
+
+def _resolve_fields(
+    writer: List[Tuple[str, str, bool]],
+    reader: List[Tuple[str, str, bool]],
+) -> List[int]:
+    """Avro schema resolution (spec "Schema Resolution" chapter):
+    match by field NAME; writer fields absent from the reader are
+    decoded and discarded; reader fields absent from the writer must
+    be nullable (default null); types must match or be a supported
+    promotion.  Returns, per reader field, the writer column index
+    or -1 for fill-with-null."""
+    widx = {f[0]: i for i, f in enumerate(writer)}
+    mapping = []
+    for rname, rtype, rnull in reader:
+        i = widx.get(rname)
+        if i is None:
+            if not rnull:
+                raise ValueError(
+                    f"avro resolution: reader field {rname!r} is absent "
+                    "from the file and not nullable"
+                )
+            mapping.append(-1)
+            continue
+        wtype = writer[i][1]
+        if wtype != rtype and rtype not in _PROMOTIONS.get(wtype, ()):
+            raise ValueError(
+                f"avro resolution: field {rname!r} is {wtype} in the file, "
+                f"cannot read as {rtype}"
+            )
+        mapping.append(i)
+    return mapping
+
+
 def parse_avro_bytes(
-    data: bytes, fields: List[Tuple[str, str, bool]]
+    data: bytes,
+    fields: List[Tuple[str, str, bool]],
+    resolve: bool = False,
 ) -> List[list]:
     """Decode one container file into per-column value lists,
-    verifying magic, embedded schema, and every sync marker."""
+    verifying magic, embedded schema, and every sync marker.
+
+    With ``resolve=False`` the embedded schema must name exactly the
+    requested fields in order.  With ``resolve=True`` the Avro
+    schema-resolution rules apply: fields match by name, dropped
+    writer fields are skipped, added nullable reader fields read
+    null, and long->double promotion is honored."""
     if data[:4] != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     pos = 4
@@ -271,13 +331,20 @@ def parse_avro_bytes(
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     embedded = json.loads(meta["avro.schema"].decode("utf-8"))
-    want = [f[0] for f in fields]
-    got = [f["name"] for f in embedded.get("fields", [])]
-    if got != want:
-        raise ValueError(f"avro schema mismatch: file has {got}, want {want}")
+    writer_fields = _embedded_fields(embedded)
+    if resolve:
+        mapping = _resolve_fields(writer_fields, fields)
+    else:
+        want = [f[0] for f in fields]
+        got = [f[0] for f in writer_fields]
+        if got != want:
+            raise ValueError(
+                f"avro schema mismatch: file has {got}, want {want}"
+            )
+        mapping = list(range(len(fields)))
     sync = data[pos : pos + SYNC_SIZE]
     pos += SYNC_SIZE
-    cols: List[list] = [[] for _ in fields]
+    wcols: List[list] = [[] for _ in writer_fields]
     n = len(data)
     while pos < n:
         count, pos = _decode_long(data, pos)
@@ -286,13 +353,24 @@ def parse_avro_bytes(
         pos += size
         if codec == "deflate":
             payload = zlib.decompress(payload, -15)
-        block_cols = _decode_rows(payload, 0, count, fields)
-        for acc, bc in zip(cols, block_cols):
+        block_cols = _decode_rows(payload, 0, count, writer_fields)
+        for acc, bc in zip(wcols, block_cols):
             acc.extend(bc)
         if data[pos : pos + SYNC_SIZE] != sync:
             raise ValueError("avro block sync-marker mismatch (corrupt file)")
         pos += SYNC_SIZE
-    return cols
+    n_rows = len(wcols[0]) if wcols else 0
+    out: List[list] = []
+    for (rname, rtype, _), wi in zip(fields, mapping):
+        if wi < 0:
+            out.append([None] * n_rows)
+        elif rtype == "double" and writer_fields[wi][1] == "long":
+            out.append(
+                [None if v is None else float(v) for v in wcols[wi]]
+            )
+        else:
+            out.append(wcols[wi])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -331,9 +409,14 @@ _PANDAS_DTYPE = {"long": "Int64", "double": "float64", "boolean": "boolean"}
 
 
 def read_avro(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    resolve: bool = False,
 ) -> DataFrame:
-    """Distributed Avro read: one file per task, schema-verified."""
+    """Distributed Avro read: one file per task, schema-verified.
+    ``resolve=True`` applies the spec's schema-resolution rules
+    (match by name, drop/add-nullable, long->double promotion)."""
     fields = _avro_fields(schema)
     files = sorted(
         os.path.join(path, f)
@@ -350,7 +433,7 @@ def read_avro(
         for pdf in batches:
             for f in pdf["path"]:
                 with open(f, "rb") as fh:
-                    cols = parse_avro_bytes(fh.read(), fields)
+                    cols = parse_avro_bytes(fh.read(), fields, resolve=resolve)
                 out = {}
                 for (fname, atype, _), vals in zip(fields, cols):
                     dtype = _PANDAS_DTYPE.get(atype)

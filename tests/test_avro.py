@@ -125,3 +125,43 @@ def test_spark_roundtrip_nulls(spark, tmp_path):  # noqa: F811
     write_avro(df, out, codec="null").collect()
     back = read_avro(spark, out, df.schema).collect()
     assert sorted((r.k, r.s) for r in back) == [(1, "x"), (2, None), (3, "z")]
+
+
+def test_schema_resolution_drop_add_promote(spark, tmp_path):  # noqa: F811
+    df = spark.createDataFrame(
+        [Row(k=1, v=1.5, s="a"), Row(k=2, v=None, s="b")],
+        T.StructType([
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("s", T.StringType(), True),
+        ]),
+    ).repartition(1)
+    out = str(tmp_path / "evo_avro")
+    write_avro(df, out).collect()
+    evolved = T.StructType([
+        T.StructField("s", T.StringType(), True),   # reordered
+        T.StructField("k", T.DoubleType(), True),   # promoted long->double
+        T.StructField("extra", T.LongType(), True), # added nullable
+    ])
+    back = sorted(
+        read_avro(spark, out, evolved, resolve=True).collect(),
+        key=lambda r: r.s,
+    )
+    assert [(r.s, r.k, r.extra) for r in back] == [
+        ("a", 1.0, None), ("b", 2.0, None)]
+
+
+def test_schema_resolution_rejects_bad_shapes(spark, tmp_path):  # noqa: F811
+    df = spark.createDataFrame(
+        [Row(k=1)], T.StructType([T.StructField("k", T.LongType(), False)])
+    ).repartition(1)
+    out = str(tmp_path / "evo_bad")
+    write_avro(df, out).collect()
+    import pytest as _pytest
+
+    missing_nonnull = T.StructType([T.StructField("z", T.LongType(), False)])
+    with _pytest.raises(Exception, match="not nullable"):
+        read_avro(spark, out, missing_nonnull, resolve=True).collect()
+    bad_promote = T.StructType([T.StructField("k", T.StringType(), True)])
+    with _pytest.raises(Exception, match="cannot read"):
+        read_avro(spark, out, bad_promote, resolve=True).collect()
