@@ -459,6 +459,10 @@ HEADLINE = [
     "graph_double_sweep",
     "xml_roundtrip_read",
     "avro_schema_evolution",
+    "jsonl_roundtrip_read",
+    "csv_roundtrip_read",
+    "events_seasonal_mann_kendall",
+    "events_sign_test",
 ]
 
 
@@ -611,6 +615,10 @@ POST_BRACKET_ADDITIONS = {
     "graph_double_sweep",
     "xml_roundtrip_read",
     "avro_schema_evolution",
+    "jsonl_roundtrip_read",
+    "csv_roundtrip_read",
+    "events_seasonal_mann_kendall",
+    "events_sign_test",
     # round-10 additions (38)
     "events_mood_median",
     "orders_jonckheere",

@@ -688,6 +688,10 @@ _CHECK_ORDER = [
     "graph_double_sweep",
     "xml_roundtrip_read",
     "avro_schema_evolution",
+    "jsonl_roundtrip_read",
+    "csv_roundtrip_read",
+    "events_seasonal_mann_kendall",
+    "events_sign_test",
     # --- already driver-certified (rounds 1-10 windows), rotated to tail ---
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",

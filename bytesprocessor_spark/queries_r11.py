@@ -2231,3 +2231,347 @@ def avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# S22/S23: JSONL and CSV round-trips (sink certification)
+# ---------------------------------------------------------------------------
+
+_RT_AGG_SQL = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
+def _roundtrip_agg(back: DataFrame, spark: SparkSession) -> DataFrame:
+    res = (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents(F.col("value"))).cast("long").alias("sum_c"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+    # bounded localize (k rows) so the temp dir can drop
+    return spark.createDataFrame(res.collect(), res.schema)
+
+
+@query("jsonl_roundtrip_read", _RT_AGG_SQL)
+def jsonl_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22 — JSON-lines round-trip: events through Spark's JSON sink
+    and back with an explicit schema, aggregate FROM THE JSON COPY vs
+    the parquet oracle — certifies the JSON WRITER (S6's tolerant
+    scan certifies only the read path); Java shortest-round-trip
+    double formatting re-parses bit-exactly, so exact cents survive.
+
+    Scale shape: one distributed write + schema-pinned scan + k-row
+    aggregate (the S19/S20/S21 device)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    out = tempfile.mkdtemp(prefix="bp_jsonl_")
+    try:
+        ev.write.mode("overwrite").json(f"{out}/events_jsonl")
+        back = spark.read.schema(
+            "event_type string, value double, user_id bigint"
+        ).json(f"{out}/events_jsonl")
+        return _roundtrip_agg(back, spark)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query("csv_roundtrip_read", _RT_AGG_SQL)
+def csv_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23 — CSV round-trip: events through Spark's CSV sink (header,
+    default quoting) and back with an explicit schema — certifies the
+    CSV WRITER next to S6's tolerant read; completes sink
+    certification for every text interchange format (JSONL S22, XML
+    S21, CSV here) on the same aggregate-equality device."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    out = tempfile.mkdtemp(prefix="bp_csvrt_")
+    try:
+        ev.write.mode("overwrite").option("header", True).csv(
+            f"{out}/events_csv"
+        )
+        back = (
+            spark.read.option("header", True)
+            .schema("event_type string, value double, user_id bigint")
+            .csv(f"{out}/events_csv")
+        )
+        return _roundtrip_agg(back, spark)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# A163: seasonal Mann-Kendall (Hirsch-Slack) by weekday season
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_seasonal_mann_kendall",
+    """
+    WITH d AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS wd,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.wd = b.wd AND a.day < b.day
+      GROUP BY 1
+    ),
+    vn AS (
+      SELECT event_type,
+             CAST(SUM(nw * (nw - 1) * (2 * nw + 5)) AS BIGINT) AS var18_n,
+             CAST(SUM(nw) AS BIGINT) AS n_days
+      FROM (SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS nw
+            FROM d GROUP BY 1, 2) g
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(tt * (tt - 1) * (2 * tt + 5)), 0) AS BIGINT)
+               AS tie18
+      FROM (SELECT event_type, wd, x, CAST(COUNT(*) AS BIGINT) AS tt
+            FROM d GROUP BY 1, 2, 3) g
+      WHERE tt > 1 GROUP BY 1
+    )
+    SELECT vn.event_type, vn.n_days, s.s AS s_stat,
+           vn.var18_n - COALESCE(t.tie18, 0) AS var18,
+           CASE WHEN vn.var18_n - COALESCE(t.tie18, 0) > 0
+                THEN CAST(ROUND(
+                  (CASE WHEN s.s > 0 THEN CAST(s.s - 1 AS DOUBLE)
+                        WHEN s.s < 0 THEN CAST(s.s + 1 AS DOUBLE)
+                        ELSE 0.0 END)
+                  / SQRT(CAST(vn.var18_n - COALESCE(t.tie18, 0) AS DOUBLE)
+                         / 18.0) * 1000) AS BIGINT)
+           END AS z_milli
+    FROM vn JOIN s USING (event_type) LEFT JOIN t USING (event_type)
+    ORDER BY vn.event_type
+    """,
+)
+def events_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A163 — seasonal Mann-Kendall (Hirsch-Slack): A128's S and
+    tie-corrected variance computed WITHIN each weekday season
+    (epoch-day mod 7, the hazard-free key) and summed — the trend
+    test that a weekly cycle cannot fake: A128 compares Mondays to
+    Saturdays and reads seasonality as trend; this compares Mondays
+    only to later Mondays.
+
+    Determinism: identical exact machinery as A128 (integer S over
+    season-keyed pair joins, int64 18*Var terms, one milli-quantized
+    continuity-corrected tree; all-tied degenerate NULL on both).
+
+    Scale shape: the pair join is (type, weekday)-keyed over
+    calendar-bounded day tables — 7x fewer pairs than A128's;
+    readout k rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 7
+        ).alias("wd"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    a = d.select(
+        "event_type", "wd", F.col("day").alias("da"), F.col("x").alias("xa")
+    )
+    b = d.select(
+        "event_type", "wd", F.col("day").alias("db"), F.col("x").alias("xb")
+    )
+    s = (
+        a.join(b, ["event_type", "wd"])
+        .where(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nw = d.groupBy("event_type", "wd").agg(F.count("*").cast("long").alias("nw"))
+    vn = nw.groupBy("event_type").agg(
+        F.sum(F.col("nw") * (F.col("nw") - 1) * (2 * F.col("nw") + 5))
+        .cast("long")
+        .alias("var18_n"),
+        F.sum("nw").cast("long").alias("n_days"),
+    )
+    tg = (
+        d.groupBy("event_type", "wd", "x")
+        .agg(F.count("*").cast("long").alias("tt"))
+        .where(F.col("tt") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    j = vn.join(s, "event_type").join(tg, "event_type", "left")
+    var18 = F.col("var18_n") - F.coalesce(F.col("tie18"), F.lit(0))
+    zc = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double"))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    z = F.when(var18 > 0, zc / F.sqrt(var18.cast("double") / 18.0))
+    return j.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("s_stat"),
+        var18.cast("long").alias("var18"),
+        F.round(z * 1000).cast("long").alias("z_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A164: paired sign test (weekend vs weekday rate per ISO-free week)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_sign_test",
+    """
+    WITH d AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    wk AS (
+      SELECT event_type, day // 7 AS week,
+             CASE WHEN (day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS we,
+             x
+      FROM d
+    ),
+    cell AS (
+      SELECT event_type, week,
+             CAST(SUM(CASE WHEN we = 1 THEN x ELSE 0 END) AS BIGINT) AS sum_we,
+             CAST(SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d_we,
+             CAST(SUM(CASE WHEN we = 0 THEN x ELSE 0 END) AS BIGINT) AS sum_wd,
+             CAST(SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_wd
+      FROM wk GROUP BY 1, 2
+    ),
+    sgn AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN sum_we * d_wd > sum_wd * d_we
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN sum_we * d_wd < sum_wd * d_we
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM cell WHERE d_we > 0 AND d_wd > 0
+      GROUP BY 1
+    )
+    SELECT event_type, n_pos, n_neg,
+           CASE WHEN n_pos + n_neg > 0 THEN CAST(ROUND(
+             (CASE WHEN n_pos > n_neg THEN CAST(n_pos - n_neg - 1 AS DOUBLE)
+                   WHEN n_pos < n_neg THEN CAST(n_pos - n_neg + 1 AS DOUBLE)
+                   ELSE 0.0 END)
+             / SQRT(CAST(n_pos + n_neg AS DOUBLE)) * 1000) AS BIGINT)
+           END AS z_milli
+    FROM sgn ORDER BY event_type
+    """,
+)
+def events_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A164 — paired sign test: each epoch-week is a matched pair
+    (weekend daily rate vs weekday daily rate per type); the test
+    counts only the DIRECTION of each week's difference — the
+    assumption-free floor under A140's effect sizes and EV25's
+    signed-rank (which need at least symmetric magnitudes), robust
+    to anything the week throws at the rates.
+
+    Determinism: the rate comparison cross-multiplies exact counts
+    (sum_we * d_wd vs sum_wd * d_we — day-count denominators never
+    become doubles); weekend membership is pure epoch-day integer
+    arithmetic ((day+4) mod 7 in {0,6}, identical both engines;
+    day // 7 == div is the pinned non-negative week key); exact
+    ties drop (classical convention); z is the continuity-corrected
+    normal tree, milli-quantized, NULL when every week ties.
+
+    Scale shape: one (type, day) aggregate, one (type, week)
+    re-aggregate, a k-row readout."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    wk = d.select(
+        "event_type",
+        F.expr("day div 7").alias("week"),
+        F.when(((F.col("day") + 4) % 7).isin(0, 6), 1).otherwise(0).alias("we"),
+        "x",
+    )
+    cell = wk.groupBy("event_type", "week").agg(
+        F.sum(F.when(F.col("we") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sum_we"),
+        F.sum(F.when(F.col("we") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("d_we"),
+        F.sum(F.when(F.col("we") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sum_wd"),
+        F.sum(F.when(F.col("we") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("d_wd"),
+    )
+    sgn = (
+        cell.where((F.col("d_we") > 0) & (F.col("d_wd") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("sum_we") * F.col("d_wd")
+                    > F.col("sum_wd") * F.col("d_we"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(
+                F.when(
+                    F.col("sum_we") * F.col("d_wd")
+                    < F.col("sum_wd") * F.col("d_we"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_neg"),
+        )
+    )
+    nn = F.col("n_pos") + F.col("n_neg")
+    zc = (
+        F.when(
+            F.col("n_pos") > F.col("n_neg"),
+            (F.col("n_pos") - F.col("n_neg") - 1).cast("double"),
+        )
+        .when(
+            F.col("n_pos") < F.col("n_neg"),
+            (F.col("n_pos") - F.col("n_neg") + 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    z = F.when(nn > 0, zc / F.sqrt(nn.cast("double")))
+    return sgn.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        F.round(z * 1000).cast("long").alias("z_milli"),
+    ).orderBy("event_type")

@@ -165,3 +165,49 @@ def test_schema_resolution_rejects_bad_shapes(spark, tmp_path):  # noqa: F811
     bad_promote = T.StructType([T.StructField("k", T.StringType(), True)])
     with _pytest.raises(Exception, match="cannot read"):
         read_avro(spark, out, bad_promote, resolve=True).collect()
+
+
+def test_codec_property_roundtrip():
+    """Hypothesis: arbitrary rows of every supported type survive the
+    byte-level container round-trip exactly (both codecs)."""
+    from hypothesis import given, settings, strategies as st
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField("v", T.DoubleType(), True),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("b", T.BinaryType(), True),
+        T.StructField("f", T.BooleanType(), True),
+    ])
+    fields = _avro_fields(schema)
+    sj = _avro_schema_json("t", fields)
+    row = st.tuples(
+        st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+        st.one_of(st.none(), st.floats(allow_nan=False)),
+        st.one_of(st.none(), st.text(max_size=40)),
+        st.one_of(st.none(), st.binary(max_size=40)),
+        st.one_of(st.none(), st.booleans()),
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(row, max_size=20), st.sampled_from(["null", "deflate"]))
+    def check(rows, codec):
+        # build nullable columns directly — a row-tuple DataFrame would
+        # route big ints through float64 and lose precision past 2^53
+        pdf = pd.DataFrame(
+            {
+                "k": pd.array([r[0] for r in rows], dtype="Int64"),
+                "v": pd.array([r[1] for r in rows], dtype="float64"),
+                "s": pd.Series([r[2] for r in rows], dtype="object"),
+                "b": pd.Series([r[3] for r in rows], dtype="object"),
+                "f": pd.array([r[4] for r in rows], dtype="boolean"),
+            }
+        )
+        data, total = write_avro_bytes([pdf], fields, sj, codec, b"S" * 16)
+        assert total == len(rows)
+        cols = parse_avro_bytes(bytes(data), fields)
+        for i, (name, _, _) in enumerate(fields):
+            want = [r[i] for r in rows]
+            assert cols[i] == want, name
+
+    check()

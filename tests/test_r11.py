@@ -461,3 +461,82 @@ def test_double_sweep_structure(spark):
     assert ecc == max(dists) and ecc <= _DIAM_DEPTH
     # sweep2 root is a real node of the bipartite packing
     assert rows[0]["sweep2_root"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# A163 seasonal Mann-Kendall / A164 sign test recomputes
+# ---------------------------------------------------------------------------
+
+def test_seasonal_mann_kendall_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_seasonal_mann_kendall"](spark, SF).collect()
+    }
+    series = defaultdict(list)
+    for t, day, x in _rows(
+        f"""SELECT event_type,
+        DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)), COUNT(*)
+        FROM '{SF}/events.parquet' GROUP BY 1,2 ORDER BY 1,2"""
+    ):
+        series[t].append((int(day), int(x)))
+    for t, pts in series.items():
+        S = 0
+        var18 = 0
+        for wd in range(7):
+            xs = [x for d, x in pts if d % 7 == wd]
+            nw = len(xs)
+            S += sum(
+                (xs[j] > xs[i]) - (xs[j] < xs[i])
+                for i in range(nw)
+                for j in range(i + 1, nw)
+            )
+            var18 += nw * (nw - 1) * (2 * nw + 5)
+            ties = defaultdict(int)
+            for x in xs:
+                ties[x] += 1
+            var18 -= sum(
+                tt * (tt - 1) * (2 * tt + 5) for tt in ties.values() if tt > 1
+            )
+        assert got[t]["s_stat"] == S, t
+        assert got[t]["var18"] == var18, t
+        if var18 > 0:
+            zc = S - 1 if S > 0 else (S + 1 if S < 0 else 0)
+            z = zc / math.sqrt(var18 / 18.0)
+            assert abs(got[t]["z_milli"] - round(z * 1000)) <= 1, t
+
+
+def test_sign_test_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_sign_test"](spark, SF).collect()
+    }
+    daily = defaultdict(dict)
+    for t, day, x in _rows(
+        f"""SELECT event_type,
+        DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)), COUNT(*)
+        FROM '{SF}/events.parquet' GROUP BY 1,2"""
+    ):
+        daily[t][int(day)] = int(x)
+    for t, dd in daily.items():
+        weeks = defaultdict(lambda: [0, 0, 0, 0])  # swe, dwe, swd, dwd
+        for day, x in dd.items():
+            w = day // 7
+            if (day + 4) % 7 in (0, 6):
+                weeks[w][0] += x
+                weeks[w][1] += 1
+            else:
+                weeks[w][2] += x
+                weeks[w][3] += 1
+        npos = nneg = 0
+        for swe, dwe, swd, dwd in weeks.values():
+            if dwe == 0 or dwd == 0:
+                continue
+            if swe * dwd > swd * dwe:
+                npos += 1
+            elif swe * dwd < swd * dwe:
+                nneg += 1
+        assert got[t]["n_pos"] == npos and got[t]["n_neg"] == nneg, t
