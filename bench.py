@@ -463,6 +463,8 @@ HEADLINE = [
     "csv_roundtrip_read",
     "events_seasonal_mann_kendall",
     "events_sign_test",
+    "eval_weighted_kappa",
+    "graph_harmonic_centrality",
 ]
 
 
@@ -619,6 +621,8 @@ POST_BRACKET_ADDITIONS = {
     "csv_roundtrip_read",
     "events_seasonal_mann_kendall",
     "events_sign_test",
+    "eval_weighted_kappa",
+    "graph_harmonic_centrality",
     # round-10 additions (38)
     "events_mood_median",
     "orders_jonckheere",

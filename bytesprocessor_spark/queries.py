@@ -692,6 +692,8 @@ _CHECK_ORDER = [
     "csv_roundtrip_read",
     "events_seasonal_mann_kendall",
     "events_sign_test",
+    "eval_weighted_kappa",
+    "graph_harmonic_centrality",
     # --- already driver-certified (rounds 1-10 windows), rotated to tail ---
     "events_mix_entropy_daily",
     "sql_try_cast_tolerance",

@@ -2575,3 +2575,240 @@ def events_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         F.round(z * 1000).cast("long").alias("z_milli"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# EV45: weighted Cohen's kappa (linear + quadratic ordinal weights)
+# ---------------------------------------------------------------------------
+
+@query(
+    "eval_weighted_kappa",
+    """
+    WITH lab AS (
+      SELECT event_type AS r1,
+             CASE WHEN event_id % 5 = 0 THEN
+               CASE event_type
+                 WHEN 'click' THEN 'error' WHEN 'error' THEN 'purchase'
+                 WHEN 'purchase' THEN 'signup' WHEN 'signup' THEN 'view'
+                 ELSE 'click' END
+             ELSE event_type END AS r2
+      FROM lab_src
+    ),
+    classes AS (
+      SELECT r1 AS label,
+             CAST(ROW_NUMBER() OVER (ORDER BY r1) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT r1 FROM lab)
+    ),
+    o AS (
+      SELECT ca.idx AS i, cb.idx AS j, CAST(COUNT(*) AS BIGINT) AS o_ij
+      FROM lab JOIN classes ca ON lab.r1 = ca.label
+               JOIN classes cb ON lab.r2 = cb.label
+      GROUP BY 1, 2
+    ),
+    row_m AS (SELECT i, CAST(SUM(o_ij) AS BIGINT) AS row_i FROM o GROUP BY 1),
+    col_m AS (SELECT j, CAST(SUM(o_ij) AS BIGINT) AS col_j FROM o GROUP BY 1),
+    num AS (
+      SELECT CAST(SUM(ABS(i - j) * o_ij) AS BIGINT) AS lin_o,
+             CAST(SUM((i - j) * (i - j) * o_ij) AS BIGINT) AS quad_o,
+             CAST(SUM(o_ij) AS BIGINT) AS n
+      FROM o
+    ),
+    den AS (
+      SELECT CAST(SUM(ABS(r.i - c.j) * r.row_i * c.col_j) AS BIGINT) AS lin_e,
+             SUM(CAST((r.i - c.j) * (r.i - c.j) AS HUGEINT)
+                 * r.row_i * c.col_j) AS quad_e
+      FROM row_m r CROSS JOIN col_m c
+    )
+    SELECT num.n, num.lin_o, num.quad_o,
+           CAST(CASE WHEN den.lin_e > 0
+             THEN 1000000 - CAST(num.lin_o AS HUGEINT) * num.n * 1000000
+                            // den.lin_e
+           END AS BIGINT) AS kappa_linear_micro,
+           CAST(CASE WHEN den.quad_e > 0
+             THEN 1000000 - CAST(num.quad_o AS HUGEINT) * num.n * 1000000
+                            // den.quad_e
+           END AS BIGINT) AS kappa_quadratic_micro
+    FROM num CROSS JOIN den
+    """.replace("lab_src", "events"),
+)
+def eval_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV45 — weighted Cohen's kappa on the EV23 annotator fixture:
+    ordinal disagreement weights (linear |i-j| and quadratic (i-j)^2
+    over the alphabetical class indexing, pinned) price NEAR misses
+    below FAR misses — the ordinal-label agreement gate (EV23's
+    unweighted kappa charges 'click vs error' and 'click vs view'
+    identically; quadratic weighted kappa is the ICC-equivalent
+    reliability number ordinal-rating pipelines quote).
+
+    Determinism: kappa_w = 1 - (sum w*O * N) / (sum w*E*N... the E
+    N-denominator cancels) collapses to a PURE integer rational —
+    1 - (sum w_ij O_ij * N * 1e6) // (sum w_ij row_i col_j) — exact
+    128-bit cross-multiply, no doubles anywhere; degenerate
+    all-one-class marginals NULL identically.
+
+    Scale shape: one confusion aggregate (k^2 cells), marginals and
+    the weighted sums on k-row tables; readout 1 row."""
+    ev = _t(spark, sf_dir, "events")
+    nxt = (
+        F.when(F.col("event_type") == "click", "error")
+        .when(F.col("event_type") == "error", "purchase")
+        .when(F.col("event_type") == "purchase", "signup")
+        .when(F.col("event_type") == "signup", "view")
+        .otherwise("click")
+    )
+    lab = ev.select(
+        F.col("event_type").alias("r1"),
+        F.when(F.col("event_id") % 5 == 0, nxt)
+        .otherwise(F.col("event_type"))
+        .alias("r2"),
+    )
+    from bytesprocessor_spark.operators.ranking import (
+        bounded_single_group as _bsg,
+    )
+
+    classes = _bsg(lab.select(F.col("r1").alias("label")).distinct())
+    w_cls = Window.partitionBy("__opid").orderBy("label")
+    classes = classes.select(
+        "label", (F.row_number().over(w_cls) - 1).cast("long").alias("idx")
+    )
+    o = (
+        lab.join(
+            F.broadcast(classes.select(F.col("label").alias("r1"),
+                                       F.col("idx").alias("i"))),
+            "r1",
+        )
+        .join(
+            F.broadcast(classes.select(F.col("label").alias("r2"),
+                                       F.col("idx").alias("j"))),
+            "r2",
+        )
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("o_ij"))
+    )
+    row_m = o.groupBy("i").agg(F.sum("o_ij").cast("long").alias("row_i"))
+    col_m = o.groupBy("j").agg(F.sum("o_ij").cast("long").alias("col_j"))
+    num = o.agg(
+        F.sum(F.abs(F.col("i") - F.col("j")) * F.col("o_ij"))
+        .cast("long")
+        .alias("lin_o"),
+        F.sum((F.col("i") - F.col("j")) * (F.col("i") - F.col("j")) * F.col("o_ij"))
+        .cast("long")
+        .alias("quad_o"),
+        F.sum("o_ij").cast("long").alias("n"),
+    )
+    den = row_m.crossJoin(col_m).agg(
+        F.sum(F.abs(F.col("i") - F.col("j")) * F.col("row_i") * F.col("col_j"))
+        .cast("decimal(38,0)")
+        .alias("lin_e"),
+        F.sum(
+            ((F.col("i") - F.col("j")) * (F.col("i") - F.col("j")))
+            .cast("decimal(38,0)")
+            * F.col("row_i")
+            * F.col("col_j")
+        ).alias("quad_e"),
+    )
+    j = num.crossJoin(F.broadcast(den))
+    return j.select(
+        "n",
+        "lin_o",
+        "quad_o",
+        F.when(
+            F.col("lin_e") > 0,
+            F.lit(1000000)
+            - F.expr(
+                "CAST(CAST(lin_o AS DECIMAL(38,0)) * n * 1000000"
+                " div lin_e AS BIGINT)"
+            ),
+        )
+        .cast("long")
+        .alias("kappa_linear_micro"),
+        F.when(
+            F.col("quad_e") > 0,
+            F.lit(1000000)
+            - F.expr(
+                "CAST(CAST(quad_o AS DECIMAL(38,0)) * n * 1000000"
+                " div quad_e AS BIGINT)"
+            ),
+        )
+        .cast("long")
+        .alias("kappa_quadratic_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GR18: harmonic centrality of the BFS seed set
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_harmonic_centrality",
+    """
+    WITH RECURSIVE eb AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT c AS src, s AS dst FROM eb
+          UNION ALL SELECT s AS src, c AS dst FROM eb),
+    seeds AS (SELECT DISTINCT o_custkey * 2 AS seed FROM orders
+              WHERE o_custkey <= 4),
+    walk AS (
+      SELECT seed, seed AS node, 0 AS d FROM seeds
+      UNION
+      SELECT w.seed, e.dst AS node, w.d + 1 AS d
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.d < 3
+    ),
+    m AS (SELECT seed, node, MIN(d) AS dist FROM walk GROUP BY seed, node)
+    SELECT CAST(seed // 2 AS BIGINT) AS seed_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
+    FROM m WHERE dist > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR18 — harmonic centrality H(s) = sum over reached nodes of
+    1/d(s,v) for the GR4 seed customers (depth-3 bound): the
+    closeness variant that stays defined on disconnected graphs
+    (unreached nodes contribute 0, not infinity) — the "how central
+    is this account in the trade web" single-number read on top of
+    GR4's per-distance histogram.
+
+    Determinism: per-node 1/d quantized as the exact truncating
+    integer 1e6 // d BEFORE the sum (Spark div == DuckDB //), so H
+    is an exact integer on both engines; same recursive-CTE closure
+    oracle as GR4.
+
+    Scale shape: reuses bfs_distances (k seeds ride one traversal);
+    one seed-keyed aggregate; readout k rows."""
+    from bytesprocessor_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        o.where(F.col("o_custkey") <= 4)
+        .select((F.col("o_custkey") * 2).alias("seed"))
+        .distinct()
+    )
+    dist = bfs_distances(edges, seeds, max_depth=3)
+    return (
+        dist.where(F.col("dist") > 0)
+        .groupBy(F.expr("seed div 2").alias("seed_custkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(F.expr("1000000 div dist")).cast("long").alias(
+                "harmonic_micro"
+            ),
+        )
+        .orderBy("seed_custkey")
+    )
