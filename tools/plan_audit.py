@@ -71,6 +71,9 @@ ALLOW_NESTED_LOOP = {
     "events_quade",
     "events_spectral_flatness",
     "graph_double_sweep",
+    # k-row x k-row marginal product for the weighted-kappa E matrix
+    # (k = label classes, bounded by the label domain) — O(k^2) cells
+    "eval_weighted_kappa",
     # declared brute-force exact scorers: the corpus side streams once
     # against a BROADCAST k-row query/probe batch — a bounded
     # nested-loop by design, with LSH/IVF/PQ as the scale dispatch
