@@ -58,6 +58,17 @@ fold).
   oracle while Spark expresses the same plan as window + filter,
   pinning the cross-engine equivalence of the idiom.
 
+Later round-11 waves extend the batch to 24 entries: A160
+events_quade (range-weighted blocked ranks), A161 events_lilliefors
+(KS vs fitted normal), A162 events_spectral_flatness (DFT Wiener
+entropy), GR17 graph_double_sweep (2-BFS diameter bound), S21
+xml_roundtrip_read (built-in XML sink certification), S20b
+avro_schema_evolution (spec schema resolution), S22/S23 JSONL/CSV
+sink certification, A163 events_seasonal_mann_kendall
+(Hirsch-Slack), A164 events_sign_test (paired direction floor),
+EV45 eval_weighted_kappa (ordinal agreement, pure integer
+rational), GR18 graph_harmonic_centrality (exact 1e6//d folds).
+
 Reference scope note: the reference engine ends at the labeled packet
 table (BytesProcessor.py:121-187); these are EXT/S/L rows of the
 surface SURVEY §2 declares on top of it.

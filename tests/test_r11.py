@@ -540,3 +540,66 @@ def test_sign_test_recompute(spark):
             elif swe * dwd < swd * dwe:
                 nneg += 1
         assert got[t]["n_pos"] == npos and got[t]["n_neg"] == nneg, t
+
+
+# ---------------------------------------------------------------------------
+# EV45 weighted kappa / GR18 harmonic centrality
+# ---------------------------------------------------------------------------
+
+def test_weighted_kappa_recompute(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    r = QUERIES["eval_weighted_kappa"](spark, SF).collect()[0]
+    classes = sorted(
+        t for (t,) in _rows(
+            f"SELECT DISTINCT event_type FROM '{SF}/events.parquet'"
+        )
+    )
+    idx = {c: i for i, c in enumerate(classes)}
+    nxt = {"click": "error", "error": "purchase", "purchase": "signup",
+           "signup": "view", "view": "click"}
+    conf = defaultdict(int)
+    for t, eid in _rows(
+        f"SELECT event_type, event_id FROM '{SF}/events.parquet'"
+    ):
+        r2 = nxt[t] if eid % 5 == 0 else t
+        conf[(idx[t], idx[r2])] += 1
+    n = sum(conf.values())
+    row = defaultdict(int)
+    col = defaultdict(int)
+    for (i, j), c in conf.items():
+        row[i] += c
+        col[j] += c
+    lin_o = sum(abs(i - j) * c for (i, j), c in conf.items())
+    quad_o = sum((i - j) ** 2 * c for (i, j), c in conf.items())
+    lin_e = sum(abs(i - j) * row[i] * col[j] for i in row for j in col)
+    quad_e = sum((i - j) ** 2 * row[i] * col[j] for i in row for j in col)
+    assert r["n"] == n and r["lin_o"] == lin_o and r["quad_o"] == quad_o
+    assert r["kappa_linear_micro"] == 1_000_000 - lin_o * n * 1_000_000 // lin_e
+    assert (
+        r["kappa_quadratic_micro"]
+        == 1_000_000 - quad_o * n * 1_000_000 // quad_e
+    )
+    # quadratic must forgive near misses more than linear here
+    assert r["kappa_quadratic_micro"] >= r["kappa_linear_micro"] - 1
+
+
+def test_harmonic_centrality_consistency(spark):
+    from bytesprocessor_spark.queries import QUERIES
+
+    # harmonic score must equal the exact fold over the GR4 reach
+    # histogram (same traversal, same quantization)
+    reach = QUERIES["graph_bfs_reach"](spark, SF).collect()
+    har = {
+        r["seed_custkey"]: r
+        for r in QUERIES["graph_harmonic_centrality"](spark, SF).collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for r in reach:
+        if r["dist"] > 0:
+            agg[r["seed_custkey"]][0] += r["n_nodes"]
+            agg[r["seed_custkey"]][1] += (1_000_000 // r["dist"]) * r["n_nodes"]
+    assert set(har) == set(agg)
+    for k, (nr, h) in agg.items():
+        assert har[k]["n_reached"] == nr
+        assert har[k]["harmonic_micro"] == h
