@@ -83,9 +83,19 @@ def to_matrix(series, quantize: bool):
     return np_round_half_away(M * 1e6) if quantize else M
 
 
-def cosine_pairs_udf(quantize: bool):
+def cosine_pairs_udf(quantize: bool, quantize_b: bool | None = None):
     """Vectorized (v_a, v_b) -> cosine pandas UDF for pair verification
     after a candidate join.
+
+    ``quantize_b`` (default: same as ``quantize``) allows PER-SIDE
+    fixed-pointing — the r11 optimization that moves the 1e-6
+    quantization of a corpus-scale side INTO the numpy batch (one
+    vectorized multiply+round) instead of an interpreted
+    ``F.transform`` higher-order function over every corpus row
+    (guide §4.2: hand whole batches to vectorized native code).  The
+    rounding (np_round_half_away == Spark round == DuckDB ROUND) and
+    the resulting exact-integer doubles are bit-identical to the
+    column-expression form, so scores are unchanged.
 
     Marked nondeterministic (it isn't — it's a pure function) purely to
     stop Catalyst's expression duplication: the common call shape
@@ -97,6 +107,8 @@ def cosine_pairs_udf(quantize: bool):
     results."""
     from pyspark.sql.functions import pandas_udf
 
+    qb = quantize if quantize_b is None else quantize_b
+
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         import numpy as np
@@ -104,7 +116,7 @@ def cosine_pairs_udf(quantize: bool):
         if len(va) == 0:
             return pd.Series([], dtype="float64")
         A = to_matrix(va, quantize)
-        B = to_matrix(vb, quantize)
+        B = to_matrix(vb, qb)
         dots = np.einsum("ij,ij->i", A, B)
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
         nb = np.sqrt(np.einsum("ij,ij->i", B, B))

@@ -673,12 +673,14 @@ def semantic_dedup_pairs(
         centroids = sample_centroids(
             df, n_cells, id_col=id_col, vec_col=vec_col, quantize=quantize
         )
-    v = F.col(vec_col)
-    if quantize:
-        v = F.transform(v, lambda x: F.round(x.cast("double") * 1000000.0))
+    # vectors stay RAW in the plan; the assignment GEMM and the pair
+    # cosine quantize them batch-wise when quantize=True (r11: the
+    # corpus-wide interpreted F.transform fixed-pointing was the
+    # slowest expression in this plan — guide §4.2, vectorize in the
+    # batch).  Identical rounding, bit-identical scores.
     assigned = _persist(
-        df.select(F.col(id_col).alias("id"), v.alias("__v")).withColumn(
-            "cell", ivf_assign_udf(centroids)(F.col("__v"))
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).withColumn(
+            "cell", ivf_assign_udf(centroids, quantize=quantize)(F.col("__v"))
         )
     )
     a = assigned.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"), "cell")
@@ -686,7 +688,7 @@ def semantic_dedup_pairs(
     return (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine_pairs_udf(False)(F.col("__va"), F.col("__vb")))
+        .withColumn("sim", cosine_pairs_udf(quantize)(F.col("__va"), F.col("__vb")))
         .where(F.col("sim") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "sim")
     )

@@ -264,26 +264,34 @@ def ivf_topk(
     pruned scan with no shuffle at all (:func:`ivf_index_topk`).
 
     ``quantize`` fixed-points the vectors (1e-6) so every score is
-    bit-identical across engines — the oracle-gate mode.  Pass
-    ``centroids`` (matching the quantize mode) to skip the sampling
-    job on repeated calls against the same corpus.
+    bit-identical across engines — the oracle-gate mode.  The corpus
+    side is quantized INSIDE the Arrow batches (``ivf_assign_udf``'s
+    GEMM and the per-side flag of ``cosine_pairs_udf``), never via an
+    interpreted ``F.transform`` over every corpus row — the r11
+    optimization that removed the corpus-wide higher-order function
+    from the hot path (guide §4.2); only the k-row query side keeps
+    the expression form, which ``ivf_probe_cells`` needs.  Rounding is
+    identical in both forms, so scores are bit-for-bit unchanged.
+    Pass ``centroids`` (matching the quantize mode) to skip the
+    sampling job on repeated calls against the same corpus.
     Output: (query_id, vec_id, sim, rank).
     """
-    cv = F.col(vec_col)
+    from bytesprocessor_spark.functions.vectors import cosine_pairs_udf
+
     qv = F.col(query_vec_col)
     if quantize:
-        cv = F.transform(cv, lambda x: F.round(x.cast("double") * 1000000.0))
         qv = F.transform(qv, lambda x: F.round(x.cast("double") * 1000000.0))
     if centroids is None:
         centroids = sample_centroids(
             corpus, n_cells, id_col=id_col, vec_col=vec_col, quantize=quantize
         )
-    # __cv/__qv are already in final (possibly fixed-point) form, so the
-    # assignment UDF must not re-quantize
+    # corpus vectors stay RAW in the plan; the assignment GEMM and the
+    # pair cosine quantize them batch-wise when quantize=True.  __qv is
+    # already in final form, so its side must not re-quantize.
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
-        cv.alias("__cv"),
-    ).withColumn("cell", ivf_assign_udf(centroids)(F.col("__cv")))
+        F.col(vec_col).alias("__cv"),
+    ).withColumn("cell", ivf_assign_udf(centroids, quantize=quantize)(F.col("__cv")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         qv.alias("__qv"),
@@ -291,7 +299,10 @@ def ivf_topk(
         "cell", F.explode(ivf_probe_cells(F.col("__qv"), centroids, nprobe))
     )
     cand = c.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("vec_id"))
-    scored = cand.withColumn("sim", _pair_cosine(F.col("__qv"), F.col("__cv")))
+    scored = cand.withColumn(
+        "sim",
+        cosine_pairs_udf(False, quantize)(F.col("__qv"), F.col("__cv")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -2075,6 +2075,7 @@ def graph_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregate per level, localCheckpoint lineage cuts via
     operators/graph.py:bfs_distances); the u pick is a 1-row
     ORDER-BY-LIMIT; readout <= depth rows."""
+    from bytesprocessor_spark.operators.caching import persist_intermediate
     from bytesprocessor_spark.operators.graph import bfs_distances
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -2087,8 +2088,16 @@ def graph_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    # r11 optimization: persist the symmetrized edge table ONCE — each
+    # bfs_distances call persists its own selection of the edge plan,
+    # so without this the corpus-scale lineitem⋈orders DISTINCT ran
+    # twice per query (once per sweep); with it the second sweep's
+    # edge materialization is a scan of this cache (guide §2.4 —
+    # remove repeated passes outright)
+    edges = persist_intermediate(
+        eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+            eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
     )
     seed1 = o.agg((F.min("o_custkey") * 2).alias("seed"))
     m1 = bfs_distances(edges, seed1, max_depth=_DIAM_DEPTH)
