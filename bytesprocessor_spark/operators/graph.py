@@ -210,6 +210,50 @@ def bfs_distances(
     return dist
 
 
+def trade_pairs_packed(spark, sf_dir: str) -> DataFrame:
+    """Session-memoized distinct (c, s) trading-pair table of the
+    bipartite customer-supplier graph, nodes packed into longs
+    (c = o_custkey*2, s = l_suppkey*2+1) — the base edge table of the
+    trade-graph family: GR2 PageRank, GR4 BFS reach, GR5 degree
+    histogram, GR17 double-sweep diameter, GR18 harmonic centrality.
+
+    r11 optimization: each of those five entries used to run the
+    corpus-scale lineitem ⋈ orders DISTINCT itself, so one session
+    paid the same first shuffle five times.  At the design point the
+    edge list is an ingest artifact persisted beside the corpus and
+    read by every graph consumer; the memo reproduces that at-rest
+    shape in-session (the supplier_pair_weights / shared_pairs_05
+    device), so the build is paid once and every consumer starts from
+    the checkpointed pair table."""
+    from bytesprocessor_spark.operators.caching import memo_checkpoint
+    from bytesprocessor_spark.sources.tables import load_table
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("c"),
+                (F.col("l_suppkey") * 2 + 1).alias("s"),
+            )
+            .distinct()
+        )
+
+    return memo_checkpoint(spark, ("trade_pairs_packed", sf_dir), build)
+
+
+def trade_edges_symmetric(spark, sf_dir: str) -> DataFrame:
+    """Symmetrized (src, dst) edge view over :func:`trade_pairs_packed`
+    — the traversal-ready form (both directions) the BFS/PageRank
+    consumers join on; a cheap union of two selects over the
+    checkpointed pair table."""
+    eb = trade_pairs_packed(spark, sf_dir)
+    return eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
 def supplier_pair_weights(spark, sf_dir: str) -> DataFrame:
     """Session-memoized supplier co-occurrence pair weights
     (a < b, w = co-order count) — the base table of the supplier-graph

@@ -768,21 +768,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered.  Nodes are packed into longs (custkey*2 / suppkey*2+1)
     so every shuffle and join keys on an 8-byte integer — the
     human-readable label is reconstructed only for the k output rows."""
-    from bytesprocessor_spark.operators.graph import pagerank
+    from bytesprocessor_spark.operators.graph import (
+        pagerank,
+        trade_edges_symmetric,
+    )
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    eb = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # r11: the distinct trading-pair build is the session-memoized
+    # trade_pairs_packed at-rest table (shared with GR4/GR5/GR17/GR18)
+    edges = trade_edges_symmetric(spark, sf_dir)
     p = pagerank(edges, n_iter=_PR_ITERS)
     top = bounded_single_group(p.orderBy(F.col("p").desc(), "node").limit(_PR_TOPK))
     w = Window.partitionBy("__opid").orderBy(F.col("p").desc(), "node")

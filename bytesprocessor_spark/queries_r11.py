@@ -2075,30 +2075,19 @@ def graph_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregate per level, localCheckpoint lineage cuts via
     operators/graph.py:bfs_distances); the u pick is a 1-row
     ORDER-BY-LIMIT; readout <= depth rows."""
-    from bytesprocessor_spark.operators.caching import persist_intermediate
-    from bytesprocessor_spark.operators.graph import bfs_distances
+    from bytesprocessor_spark.operators.graph import (
+        bfs_distances,
+        trade_edges_symmetric,
+    )
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    eb = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    # r11 optimization: persist the symmetrized edge table ONCE — each
-    # bfs_distances call persists its own selection of the edge plan,
-    # so without this the corpus-scale lineitem⋈orders DISTINCT ran
-    # twice per query (once per sweep); with it the second sweep's
-    # edge materialization is a scan of this cache (guide §2.4 —
+    # r11 optimization: the edge build is the session-memoized
+    # trade_pairs_packed at-rest table — each bfs_distances call used
+    # to persist its own selection of a fresh edge plan, so the
+    # corpus-scale lineitem⋈orders DISTINCT ran TWICE per query (once
+    # per sweep) and once more per sibling graph entry (guide §2.4 —
     # remove repeated passes outright)
-    edges = persist_intermediate(
-        eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-            eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-        )
-    )
+    edges = trade_edges_symmetric(spark, sf_dir)
     seed1 = o.agg((F.min("o_custkey") * 2).alias("seed"))
     m1 = bfs_distances(edges, seed1, max_depth=_DIAM_DEPTH)
     u = (
@@ -2800,21 +2789,14 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: reuses bfs_distances (k seeds ride one traversal);
     one seed-keyed aggregate; readout k rows."""
-    from bytesprocessor_spark.operators.graph import bfs_distances
+    from bytesprocessor_spark.operators.graph import (
+        bfs_distances,
+        trade_edges_symmetric,
+    )
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    eb = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # r11: edge build shared via the session-memoized trade_pairs_packed
+    edges = trade_edges_symmetric(spark, sf_dir)
     seeds = (
         o.where(F.col("o_custkey") <= 4)
         .select((F.col("o_custkey") * 2).alias("seed"))

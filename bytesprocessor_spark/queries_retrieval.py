@@ -286,21 +286,13 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts; k seeds ride one traversal as a second key column.  At
     100 TB each level is edge-linear, the same contract as connected
     components."""
-    from bytesprocessor_spark.operators.graph import bfs_distances
+    from bytesprocessor_spark.operators.graph import (
+        bfs_distances,
+        trade_edges_symmetric,
+    )
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    eb = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = eb.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        eb.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # r11: edge build shared via the session-memoized trade_pairs_packed
+    edges = trade_edges_symmetric(spark, sf_dir)
     seeds = (
         _t(spark, sf_dir, "orders")
         .where(F.col("o_custkey") <= _BFS_SEED_MAX)
@@ -576,16 +568,10 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph row pays), one degree agg keyed on node, one histogram agg
     on (side, degree) — strictly cheaper than any traversal; all keys
     are the graph's own ids."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    eb = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
+    from bytesprocessor_spark.operators.graph import trade_pairs_packed
+
+    # r11: the distinct-pair build is the shared session-memoized table
+    eb = trade_pairs_packed(spark, sf_dir)
     e = eb.select(F.col("c").alias("src")).unionAll(eb.select(F.col("s")))
     d = e.groupBy("src").agg(F.count("*").alias("deg"))
     return (
