@@ -593,26 +593,28 @@ def lpa_run(spark: SparkSession, sf_dir: str):
 def lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GR9 nation-blocked co-supplier edge table (a < b, >=2
     shared orders) — the Python twin of :func:`lpa_edges_cte`."""
-    li = _t(spark, sf_dir, "lineitem")
+    from bytesprocessor_spark.operators.graph import supplier_pair_weights
+
     su = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("nk")
     )
-    os_ = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .join(F.broadcast(su), "s")
-    )
-    a, b = os_.alias("a"), os_.alias("b")
+    # r11: derive from the session-memoized pair-weight table (guide
+    # §2.4) — the co-order count of an (a, b) pair is independent of
+    # the nation-block predicate, so filtering the shared table by
+    # weight and endpoint-nation equality reproduces the blocked join
+    # exactly, for two broadcast joins instead of a corpus self-join.
     e0 = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o"))
-            & (F.col("a.nk") == F.col("b.nk"))
-            & (F.col("a.s") < F.col("b.s")),
+        supplier_pair_weights(spark, sf_dir)
+        .where(F.col("w") >= 2)
+        .join(
+            F.broadcast(su.select(F.col("s").alias("a"), F.col("nk").alias("nka"))),
+            "a",
         )
-        .groupBy(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
-        .count()
-        .where(F.col("count") >= 2)
+        .join(
+            F.broadcast(su.select(F.col("s").alias("b"), F.col("nk").alias("nkb"))),
+            "b",
+        )
+        .where(F.col("nka") == F.col("nkb"))
         .select("a", "b")
         .localCheckpoint(eager=False)
     )

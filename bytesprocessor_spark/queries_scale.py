@@ -1170,16 +1170,12 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank idiom, operators/graph.py) — without the lineage cut the
     lazy plan references the previous round's frame ~5x and analysis
     cost grows exponentially in the round count."""
-    li = _t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    b = os_.select(F.col("o"), F.col("s").alias("s2"))
+    from bytesprocessor_spark.operators.graph import supplier_pair_weights
+
+    # r11: the pair-weight build is the session-memoized at-rest table
+    # shared with GR8/GR10/GR12/GR15/GR16 (guide §2.4 — one corpus pass)
     e = (
-        os_.join(b, "o")
-        .where(F.col("s") < F.col("s2"))
-        .groupBy(F.col("s").alias("a"), F.col("s2").alias("b"))
-        .agg(F.count("*").alias("w"))
+        supplier_pair_weights(spark, sf_dir)
         .where(F.col("w") >= 2)
         .select("a", "b")
     ).localCheckpoint()
@@ -4373,17 +4369,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the GR3 edge construction, two degree joins
     co-partitioned on node id, one 1-row moment aggregate."""
-    li = _t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    b = os_.select(F.col("o"), F.col("s").alias("s2"))
-    pw = (
-        os_.join(b, "o")
-        .where(F.col("s") < F.col("s2"))
-        .groupBy(F.col("s").alias("a"), F.col("s2").alias("b"))
-        .agg(F.count("*").cast("long").alias("w"))
-    )
+    from bytesprocessor_spark.operators.graph import supplier_pair_weights
+
+    # r11: the pair-weight build is the session-memoized at-rest table
+    # shared with GR10/GR12/GR15/GR16 (guide §2.4 — one corpus pass)
+    pw = supplier_pair_weights(spark, sf_dir)
     thr = pw.agg(F.expr("CAST(sum(w) div count(*) AS BIGINT)").alias("aw"))
     e = pw.crossJoin(F.broadcast(thr)).where(F.col("w") > F.col("aw")).select("a", "b")
     deg = (

@@ -577,18 +577,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one on the pair key for edge support, two equi-joins on node ids
     for the enumeration — never a cross join.
     """
-    li = _t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = os_.alias("a")
-    b = os_.alias("b")
-    pairs = a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))).select(
-        F.col("a.s").alias("a"), F.col("b.s").alias("b")
-    )
+    from bytesprocessor_spark.operators.graph import supplier_pair_weights
+
+    # r11: the pair-weight build is the session-memoized at-rest table
+    # shared with GR6/GR7/GR8 and kin (guide §2.4 — one corpus pass)
     e = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
+        supplier_pair_weights(spark, sf_dir)
         .where(F.col("w") >= _TRI_SUPPORT)
         .select("a", "b")
     )
@@ -3022,19 +3016,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     GR3 note); existing edges drop via one anti join; the final agg
     keys on the candidate pair; TakeOrdered keeps the top-k without a
     total sort."""
-    li = _t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a_, b_ = os_.alias("a"), os_.alias("b")
-    pairs = a_.join(
-        b_, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))
-    ).select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
-    pw = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .where(F.col("w") >= 2)
-    )
+    from bytesprocessor_spark.operators.graph import supplier_pair_weights
+
+    # r11: the pair-weight build is the session-memoized at-rest table
+    # shared with GR3/GR7/GR8 and kin (guide §2.4 — one corpus pass)
+    pw = supplier_pair_weights(spark, sf_dir).where(F.col("w") >= 2)
     hist = bounded_single_group(
         pw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
     )  # weight-domain-bounded histogram
