@@ -179,6 +179,28 @@ def minhash_signature_table(
     return tokens.groupBy("id").agg(*aggs)
 
 
+def minhash_profile_table(
+    tokens: DataFrame,
+    num_hashes: int,
+) -> DataFrame:
+    """(id, m0..m{num_hashes-1}, sh): the minhash signature AND the
+    exact shingle-hash set in ONE aggregation pass over a
+    :func:`hashed_shingle_tokens` feed.  Every LSH-then-verify flow
+    needs both — the signatures feed the banded candidate join, the
+    sets feed the exact-Jaccard verify — and computing them as two
+    separate ``groupBy("id")`` aggregates scans and shuffles the token
+    table twice for no reason (same key, same feed; guide §2.4).  The
+    min aggregates and collect_set are order-independent, so the fused
+    aggregate is value-identical to the two-pass form."""
+    h31 = F.pmod(F.col("h"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_hash_family(num_hashes))
+    ]
+    aggs.append(F.collect_set("h").alias("sh"))
+    return tokens.groupBy("id").agg(*aggs)
+
+
 def minhash_band_table(
     tokens: DataFrame,
     num_hashes: int,
@@ -196,8 +218,16 @@ def minhash_band_table(
     near-dup query — self-join (:func:`minhash_lsh_pairs`) or
     delta-vs-corpus admission (:func:`incremental_minhash_dedup`) —
     is an equi-join against it, never a corpus re-shingle."""
-    rows = num_hashes // bands
     sig = minhash_signature_table(tokens, num_hashes)
+    return _band_explode(sig, num_hashes, bands)
+
+
+def _band_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh) from a prebuilt signature (or profile) table —
+    the explode half of :func:`minhash_band_table`, split out so flows
+    that already hold the signature columns (the fused
+    :func:`minhash_profile_table`) don't re-aggregate the tokens."""
+    rows = num_hashes // bands
     return sig.select(
         "id",
         F.explode(
@@ -301,6 +331,8 @@ def incremental_minhash_dedup(
     threshold: float = 0.9,
     corpus_tokens: DataFrame | None = None,
     delta_tokens: DataFrame | None = None,
+    corpus_profile: DataFrame | None = None,
+    delta_profile: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup ADMISSION for a delta batch against an existing corpus
     — the incremental form of LSH-then-verify (the near-dup sibling of
@@ -324,18 +356,30 @@ def incremental_minhash_dedup(
     # ``corpus_tokens``/``delta_tokens``: optional pre-built (persisted)
     # hashed_shingle_tokens feeds — when both sides come from one source
     # table, shingle it ONCE and split, instead of two scans+persists.
-    c_tokens = (
-        corpus_tokens
-        if corpus_tokens is not None
-        else _persist(hashed_shingle_tokens(corpus, text_col, id_col, shingle_size))
-    )
-    d_tokens = (
-        delta_tokens
-        if delta_tokens is not None
-        else _persist(hashed_shingle_tokens(delta, text_col, id_col, shingle_size))
-    )
-    cb = minhash_band_table(c_tokens, num_hashes, bands)
-    db = minhash_band_table(d_tokens, num_hashes, bands)
+    # ``corpus_profile``/``delta_profile``: optional pre-built
+    # (persisted) :func:`minhash_profile_table` slices — signatures AND
+    # shingle sets from ONE token aggregation, collapsing the four
+    # groupBy("id") passes of the token form into one.
+    if corpus_profile is not None and delta_profile is not None:
+        cb = _band_explode(corpus_profile, num_hashes, bands)
+        db = _band_explode(delta_profile, num_hashes, bands)
+        c_sets = corpus_profile.select("id", F.col("sh").alias("sh_c"))
+        d_sets = delta_profile.select("id", F.col("sh").alias("sh_d"))
+    else:
+        c_tokens = (
+            corpus_tokens
+            if corpus_tokens is not None
+            else _persist(hashed_shingle_tokens(corpus, text_col, id_col, shingle_size))
+        )
+        d_tokens = (
+            delta_tokens
+            if delta_tokens is not None
+            else _persist(hashed_shingle_tokens(delta, text_col, id_col, shingle_size))
+        )
+        cb = minhash_band_table(c_tokens, num_hashes, bands)
+        db = minhash_band_table(d_tokens, num_hashes, bands)
+        c_sets = c_tokens.groupBy("id").agg(F.collect_set("h").alias("sh_c"))
+        d_sets = d_tokens.groupBy("id").agg(F.collect_set("h").alias("sh_d"))
     cand = (
         cb.alias("c")
         .join(
@@ -345,8 +389,6 @@ def incremental_minhash_dedup(
         .select(F.col("c.id").alias("corpus_id"), F.col("d.id").alias("delta_id"))
         .distinct()
     )
-    c_sets = c_tokens.groupBy("id").agg(F.collect_set("h").alias("sh_c"))
-    d_sets = d_tokens.groupBy("id").agg(F.collect_set("h").alias("sh_d"))
     paired = (
         cand.join(c_sets.withColumnRenamed("id", "corpus_id"), "corpus_id")
         .join(d_sets.withColumnRenamed("id", "delta_id"), "delta_id")
@@ -368,6 +410,7 @@ def minhash_lsh_pairs(
     bands: int = 21,
     shingle_size: int = 5,
     tokens: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash + banded LSH.
 
@@ -385,12 +428,16 @@ def minhash_lsh_pairs(
 
     ``tokens``: optional pre-built (persisted) feed from
     :func:`hashed_shingle_tokens` so LSH-then-verify flows shingle
-    once.  Returns distinct (id_a < id_b) candidate pairs.
+    once.  ``signatures``: optional pre-built (persisted) signature or
+    :func:`minhash_profile_table` table — skips the token aggregation
+    entirely.  Returns distinct (id_a < id_b) candidate pairs.
     """
-    rows = num_hashes // bands
-    if tokens is None:
-        tokens = hashed_shingle_tokens(df, text_col, id_col, shingle_size)
-    banded = minhash_band_table(tokens, num_hashes, bands)
+    if signatures is not None:
+        banded = _band_explode(signatures, num_hashes, bands)
+    else:
+        if tokens is None:
+            tokens = hashed_shingle_tokens(df, text_col, id_col, shingle_size)
+        banded = minhash_band_table(tokens, num_hashes, bands)
     # The banded table feeds BOTH sides of the bucket self-join; persist
     # so the signature pipeline (the expensive part) runs once, not twice.
     banded = _persist(banded)
@@ -412,6 +459,7 @@ def exact_jaccard_pairs(
     shingle_size: int = 5,
     candidates: DataFrame | None = None,
     tokens: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
@@ -428,13 +476,19 @@ def exact_jaccard_pairs(
     longs beat strings severalfold; a collision among ~1e6 distinct
     shingles has P ≈ n²/2⁶⁵ — negligible).  ``tokens``: optional
     pre-built (persisted) :func:`hashed_shingle_tokens` feed shared
-    with the LSH stage.  Returns (id_a, id_b, jaccard), id_a < id_b.
+    with the LSH stage.  ``sets``: optional pre-built (persisted)
+    (id, sh) shingle-set table — e.g. a projection of the fused
+    :func:`minhash_profile_table` — skipping the collect_set pass.
+    Returns (id_a, id_b, jaccard), id_a < id_b.
     """
-    if tokens is None:
-        tokens = hashed_shingle_tokens(df, text_col, id_col, shingle_size)
-    # Per-doc shingle SET (collect_set dedups occurrences) — feeds both
-    # sides of the pair join, so persist to evaluate once.
-    sh = _persist(tokens.groupBy("id").agg(F.collect_set("h").alias("sh")))
+    if sets is not None:
+        sh = sets.select("id", "sh")
+    else:
+        if tokens is None:
+            tokens = hashed_shingle_tokens(df, text_col, id_col, shingle_size)
+        # Per-doc shingle SET (collect_set dedups occurrences) — feeds
+        # both sides of the pair join, so persist to evaluate once.
+        sh = _persist(tokens.groupBy("id").agg(F.collect_set("h").alias("sh")))
 
     if candidates is not None:
         a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))

