@@ -137,11 +137,21 @@ def pagerank(
     )
     teleport = 1_000_000 - damping_micro
     p = nodes.withColumn("p", F.lit(1_000_000).cast("long"))
-    for _ in range(n_iter):
-        c = (
-            e_deg.join(p.withColumnRenamed("node", "u"), "u")
-            .select(F.col("v").alias("node"), F.expr("p div outdeg").alias("c"))
-        )
+    for it in range(n_iter):
+        if it == 0:
+            # r11: p0 is the constant 1e6 for every node, so the first
+            # contribution pass needs no score join — c = 1e6 div
+            # outdeg straight off the degree-annotated edges (values
+            # identical; one edge-table join removed)
+            c = e_deg.select(
+                F.col("v").alias("node"),
+                F.expr("1000000 div outdeg").cast("long").alias("c"),
+            )
+        else:
+            c = (
+                e_deg.join(p.withColumnRenamed("node", "u"), "u")
+                .select(F.col("v").alias("node"), F.expr("p div outdeg").alias("c"))
+            )
         s = c.groupBy("node").agg(F.sum("c").alias("s"))
         p = nodes.join(s, "node", "left").select(
             "node",

@@ -942,14 +942,22 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    h = e.select("c").distinct().withColumn("h", F.lit(1).cast("long"))
+    # r11: h0 = 1 for every customer in e, so round 1's authority
+    # half-step Σ_c h0(c) is just the part's degree — a plain
+    # aggregate, no join against an all-ones vector (and no extra
+    # distinct pass to build it).  Values identical (exact int64
+    # sums); one edge-table join and one edge-table scan removed.
+    h = None
     a = None
-    for _ in range(_HITS_ROUNDS):
-        a = (
-            e.join(h, "c")
-            .groupBy("p")
-            .agg(F.sum("h").cast("long").alias("a"))
-        )
+    for rnd in range(_HITS_ROUNDS):
+        if rnd == 0:
+            a = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
+        else:
+            a = (
+                e.join(h, "c")
+                .groupBy("p")
+                .agg(F.sum("h").cast("long").alias("a"))
+            )
         h = (
             e.join(a, "p")
             .groupBy("c")
