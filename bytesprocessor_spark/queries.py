@@ -84,6 +84,10 @@ EAGER_QUERIES = frozenset({
     "orc_roundtrip_read",
     # GR16 k-truss: 2 peeling rounds count/checkpoint at construction
     "graph_ktruss",
+    # A15b/A15c: K²-row transition-matrix localize + exact-int power
+    # iteration at construction (r11 k-row-localize rewrite)
+    "events_markov_stationary",
+    "events_entropy_rate",
 })
 
 

@@ -3220,13 +3220,17 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         edges = sup.where(F.col("support") >= _TRUSS_K - 2).select("a", "b")
         edges = edges.localCheckpoint()
-        nodes = (
-            edges.select(F.col("a").alias("u"))
-            .unionByName(edges.select(F.col("b").alias("u")))
-            .distinct()
-            .count()
+        # r11: edge count and distinct-node count in ONE job over the
+        # checkpointed round result (was two actions, two shuffles)
+        stats = (
+            edges.select(F.explode(F.array("a", "b")).alias("u"))
+            .agg(
+                F.expr("count(*) div 2").cast("long").alias("ec"),
+                F.countDistinct("u").cast("long").alias("nc"),
+            )
+            .first()
         )
-        out_rows.append((rnd, edges.count(), nodes))
+        out_rows.append((rnd, stats["ec"], stats["nc"]))
     return spark.createDataFrame(
         out_rows, "round long, n_edges long, n_nodes long"
     )
