@@ -77,8 +77,8 @@ EAGER_QUERIES = frozenset({
     "txnlog_changes_read",
     # ST22 streaming drain
     "stream_page_hinkley",
-    # L3j power iteration: localCheckpoint cuts the 3-round matvec
-    # lineage at construction (the GR2/GR14 iterative-graph pattern)
+    # L3j: d²-bounded Gram localize + exact-int eigensolve at
+    # construction (r11 k-row-localize rewrite)
     "embedding_pca_power",
     # S19 oracle row: writes + reads the temp ORC copy at construction
     "orc_roundtrip_read",

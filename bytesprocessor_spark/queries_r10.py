@@ -2387,116 +2387,110 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k.
 
     Scale shape: the corpus collapses to the d×d Gram aggregate in
-    one pass (the L3i plan — only d(d+1)/2 partial cells shuffle);
-    every iteration is a d²-row join against a d-row vector (constant
-    work); readout 8 rows."""
+    one Arrow-GEMM pass (only d(d+1)/2 partial cells shuffle per
+    batch); the eigensolve state is DIMENSION-bounded (d² = 4096
+    ints), so the iterations run driver-side on the localized Gram —
+    constant work at any corpus size; readout 8 rows."""
+    import math
+
+    import pandas as pd
+
+    from bytesprocessor_spark.functions.vectors import np_round_half_away
+
     emb = _t(spark, sf_dir, "embeddings")
-    v = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") * _PCA_SCALE)
-    )
-    # UPPER-TRIANGLE explode (the L3i shape: d(d+1)/2 terms per row,
-    # half the full-matrix volume) mirrored to the symmetric G after
-    # the aggregate — the matvec needs all d² cells but the corpus
-    # pass only ever materializes the triangle
-    terms = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(_PCA_DIMS)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(_PCA_DIMS)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (
-                        F.element_at(F.col("__v"), i)
-                        * F.element_at(F.col("__v"), j)
-                    ).alias("p"),
-                ),
-            ),
-        )
-    )
-    tri = (
-        emb.select(v.alias("__v"))
-        .select(F.explode(terms).alias("t"))
-        .groupBy(F.col("t.i").cast("long").alias("i"),
-                 F.col("t.j").cast("long").alias("j"))
-        .agg(F.sum("t.p").cast("long").alias("g"))
-    )
-    g = tri.unionByName(
-        tri.where(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "g"
-        )
-    )
-    g = g.localCheckpoint()  # cut lineage once; 64x64 rows
-    # JVM-side literal start vector (a createDataFrame would plan as a
-    # Python RDD scan — worker spin-up tax per job)
-    x = spark.range(1, _PCA_DIMS + 1).select(
-        F.col("id").cast("long").alias("i"),
-        F.lit(1000000).cast("long").alias("x"),
-    )
-    for _ in range(_PCA_ROUNDS):
-        y = (
-            g.join(x.select(F.col("i").alias("j2"), "x"), g["j"] == F.col("j2"))
-            .groupBy(g["i"])
-            .agg(
-                F.sum(F.col("g").cast("decimal(19,0)") * F.col("x")).alias("y")
-            )
-        )
-        m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
-        x = (
-            y.crossJoin(F.broadcast(m))
-            .select(
-                "i",
-                F.expr(
-                    "CAST(y * 1000000 div GREATEST(m, CAST(1 AS DECIMAL(38,0)))"
-                    " AS BIGINT)"
-                ).alias("x"),
-            )
-            .localCheckpoint()
-        )
-    num = (
-        g.join(x.select(F.col("i").alias("i2"), F.col("x").alias("xi")),
-               g["i"] == F.col("i2"))
-        .join(x.select(F.col("i").alias("j2"), F.col("x").alias("xj")),
-              g["j"] == F.col("j2"))
-        .agg(
-            F.sum(
-                F.col("xi").cast("decimal(19,0)")
-                * F.col("g").cast("decimal(19,0)")
-                * F.col("xj")
-            )
-            .cast("double")
-            .alias("num")
-        )
-    )
-    den = x.agg(
-        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
-        .cast("double")
-        .alias("den")
-    )
-    ray = num.crossJoin(F.broadcast(den)).select(
-        F.round(F.col("num") / F.col("den") * 1000).cast("long").alias(
-            "rayleigh_milli"
-        )
-    )
-    topk = (
-        bounded_single_group(x)
-        .select(
-            F.row_number()
-            .over(
-                Window.partitionBy("__opid").orderBy(
-                    F.abs(F.col("x")).desc(), F.col("i")
+
+    # r11: the corpus pass is an Arrow per-batch GEMM — the nested
+    # higher-order transform that exploded d(d+1)/2 struct cells per
+    # row was interpreted (no codegen) and dominated the entry.  After
+    # round(x*1e3) every value is an exact integer in a float64, every
+    # product < 2^40 and every partial sum < 2^53, so M.T @ M under
+    # ANY blocking (BLAS included) yields the identical integers the
+    # expression walk produced (functions/vectors.py Arrow-kernel
+    # note); rounding is np_round_half_away == F.round == DuckDB.
+    def gram_partial(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np_round_half_away(
+                np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
+                    dtype=np.float64,
                 )
+                * float(_PCA_SCALE)
             )
-            .cast("long")
-            .alias("rk"),
-            F.col("i").alias("dim"),
-            F.col("x").alias("loading_micro"),
-        )
-        .where(F.col("rk") <= _PCA_TOPK)
+            G = M.T @ M
+            iu, ju = np.triu_indices(_PCA_DIMS)
+            yield pd.DataFrame({"i": iu + 1, "j": ju + 1, "g": G[iu, ju]})
+
+    tri = (
+        emb.select("embedding")
+        .mapInPandas(gram_partial, "i long, j long, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").cast("long").alias("g"))
     )
-    return topk.crossJoin(F.broadcast(ray)).select(
-        "rk", "dim", "loading_micro", "rayleigh_milli"
-    ).orderBy("rk")
+    # d²-bounded localize (2080 triangle cells): the eigensolve data
+    # is DIMENSION-bounded, so the 3 matvec rounds + Rayleigh + top-k
+    # run driver-side in exact Python int arithmetic — the identical
+    # integer trajectory the unrolled decimal(38) joins walked
+    # (products, sums, trunc-toward-zero division: Spark div ==
+    # DuckDB // on decimals), pinned bit-exact by the pure-Python
+    # recompute pytest.  (r11: the lazy 3-round join chain billed a
+    # localCheckpoint + several small jobs per run for 64 rows of
+    # state.)
+    cells = tri.collect()
+    gram = [[0] * _PCA_DIMS for _ in range(_PCA_DIMS)]
+    for r in cells:
+        gi, gj, gv = int(r["i"]) - 1, int(r["j"]) - 1, int(r["g"])
+        gram[gi][gj] = gv
+        gram[gj][gi] = gv
+
+    def tdiv(a: int, b: int) -> int:
+        # truncation toward zero — Spark's div / DuckDB's // on decimals
+        return a // b if a >= 0 else -((-a) // b)
+
+    x = [1_000_000] * _PCA_DIMS
+    for _ in range(_PCA_ROUNDS):
+        y = [
+            sum(gram[i][j] * x[j] for j in range(_PCA_DIMS))
+            for i in range(_PCA_DIMS)
+        ]
+        mx = max(max(abs(t) for t in y), 1)
+        x = [tdiv(t * 1_000_000, mx) for t in y]
+    num = sum(
+        x[i] * gram[i][j] * x[j]
+        for i in range(_PCA_DIMS)
+        for j in range(_PCA_DIMS)
+    )
+    den = sum(t * t for t in x)
+    ratio = float(num) / float(den) * 1000
+    ray_milli = (
+        int(math.floor(ratio + 0.5)) if ratio >= 0 else int(math.ceil(ratio - 0.5))
+    )
+    order = sorted(range(_PCA_DIMS), key=lambda i: (-abs(x[i]), i))[:_PCA_TOPK]
+    rows = [(rk + 1, dim + 1, x[dim], ray_milli) for rk, dim in enumerate(order)]
+    # JVM-side literal readout (the r10 literal-grid device)
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rk).cast("long").alias("rk"),
+                            F.lit(dim).cast("long").alias("dim"),
+                            F.lit(lv).cast("long").alias("loading_micro"),
+                            F.lit(rm).cast("long").alias("rayleigh_milli"),
+                        )
+                        for rk, dim, lv, rm in rows
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.rk", "s.dim", "s.loading_micro", "s.rayleigh_milli")
+        .orderBy("rk")
+    )
 
 
 # ---------------------------------------------------------------------------
