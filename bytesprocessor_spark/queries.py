@@ -88,6 +88,9 @@ EAGER_QUERIES = frozenset({
     # iteration at construction (r11 k-row-localize rewrite)
     "events_markov_stationary",
     "events_entropy_rate",
+    # EV27: K²-row duel-matrix localize + mirrored MM fit at
+    # construction (r11 k-row-localize rewrite)
+    "eval_bradley_terry",
 })
 
 

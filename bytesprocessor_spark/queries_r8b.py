@@ -2557,9 +2557,8 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-keyed self-join bounded by items-per-day (k²·days rows, never
     corpus-scale); each MM iteration joins the k²-row pair table to
     the k-row strength table.  At 100 TB the corpus is touched once
-    (the daily aggregate); the fit runs on the bounded duel matrix."""
-    from bytesprocessor_spark.operators.caching import persist_intermediate
-
+    (the daily aggregate); the fit runs on the bounded duel matrix,
+    localized driver-side (r11 — see the k-row-localize note below)."""
     daily = (
         _t(spark, sf_dir, "events")
         .groupBy(
@@ -2581,14 +2580,20 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w_r"),
         )
     )
-    # directed (i, j) pair table: wins of i over j + duel totals
-    np_tbl = persist_intermediate(
+    # directed (i, j) pair table: wins of i over j + duel totals —
+    # K²-bounded (K = event types), so the MM fit runs driver-side on
+    # the localized matrix in arithmetic that mirrors the unrolled
+    # Spark expression tree op-for-op (r11 k-row-localize device; the
+    # 3-iteration join chain billed several small jobs per run for a
+    # few dozen rows of state)
+    np_rows = (
         duel.select(
             "i",
             "j",
             F.col("w_f").alias("w_ij"),
             (F.col("w_f") + F.col("w_r")).cast("long").alias("n_ij"),
-        ).unionByName(
+        )
+        .unionByName(
             duel.select(
                 F.col("j").alias("i"),
                 F.col("i").alias("j"),
@@ -2596,63 +2601,54 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("w_f") + F.col("w_r")).cast("long").alias("n_ij"),
             )
         )
+        .collect()
     )
-    items = persist_intermediate(np_tbl.select(F.col("i").alias("item")).distinct())
-    p = items.withColumn("p", F.lit(1_000_000_000).cast("long"))
+
+    def _r(v: float) -> int:
+        # F.round(double) -> HALF_UP; every value here is >= 0
+        import math
+
+        return int(math.floor(v + 0.5))
+
+    items = sorted({r["i"] for r in np_rows})
+    p = {it: 1_000_000_000 for it in items}
     for _ in range(_BT_ITERS):
-        pi = p.withColumnRenamed("item", "i").withColumnRenamed("p", "p_i")
-        pj = p.withColumnRenamed("item", "j").withColumnRenamed("p", "p_j")
-        upd = (
-            np_tbl.join(pi, "i")
-            .join(pj, "j")
-            .groupBy(F.col("i").alias("item"))
-            .agg(
-                F.sum("w_ij").cast("long").alias("wins"),
-                F.sum(
-                    F.round(
-                        F.col("n_ij").cast("double")
-                        / (F.col("p_i").cast("double") + F.col("p_j").cast("double"))
-                        * 1e9
-                    ).cast("long")
+        wins = {it: 0 for it in items}
+        denom = {it: 0 for it in items}
+        for r in np_rows:
+            pi, pj = float(p[r["i"]]), float(p[r["j"]])
+            wins[r["i"]] += r["w_ij"]
+            denom[r["i"]] += _r(float(r["n_ij"]) / (pi + pj) * 1e9)
+        raw = {
+            it: _r(float(wins[it]) / (float(denom[it]) / 1e9) * 1e9)
+            for it in items
+        }
+        tot = float(sum(raw.values()))
+        p = {it: _r(float(raw[it]) / tot * 5_000_000_000) for it in items}
+    ranked = sorted(items, key=lambda it: (-p[it], it))
+    rows = [
+        (it, p[it], rk + 1) for rk, it in enumerate(ranked)
+    ]
+    # JVM-side literal readout (the r10 literal-grid device)
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(it).alias("item"),
+                            F.lit(sv).cast("long").alias("strength_nano"),
+                            F.lit(rk).cast("long").alias("rank"),
+                        )
+                        for it, sv, rk in rows
+                    ]
                 )
-                .cast("long")
-                .alias("denom_nano"),
-            )
+            ).alias("s")
         )
-        raw = upd.select(
-            "item",
-            F.round(
-                F.col("wins").cast("double")
-                / (F.col("denom_nano").cast("double") / 1e9)
-                * 1e9
-            )
-            .cast("long")
-            .alias("p"),
-        )
-        from bytesprocessor_spark.operators.ranking import bounded_single_group
-
-        raw = bounded_single_group(raw)  # k-item duel table
-        w_all = Window.partitionBy("__opid").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        p = raw.select(
-            "item",
-            F.round(
-                F.col("p").cast("double")
-                / F.sum("p").over(w_all).cast("double")
-                * 5_000_000_000
-            )
-            .cast("long")
-            .alias("p"),
-        )
-    from bytesprocessor_spark.operators.ranking import bounded_single_group as _bsg
-
-    w_rank = Window.partitionBy("__opid").orderBy(F.col("p").desc(), "item")
-    return _bsg(p).select(
-        "item",
-        F.col("p").alias("strength_nano"),
-        F.row_number().over(w_rank).cast("long").alias("rank"),
-    ).orderBy("rank")
+        .select("s.item", "s.strength_nano", "s.rank")
+        .orderBy("rank")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,12 @@ _MIXED_DIV_ALLOWLIST = {
     # week bucketing is FLOOR<->FLOOR (the r9 ADVICE fix); the trunc
     # pair divides by GREATEST(sigma_sum,1) with sigma sums >= 0
     "part_risk_pooling",
+    # driver-side eigensolve (r11 localize): every division is tdiv(),
+    # an explicit trunc-toward-zero matching Spark div / DuckDB // on
+    # decimals for BOTH signs; math.floor appears only inside the
+    # floor(x+0.5)/ceil(x-0.5) round-half-away idiom (== F.round ==
+    # DuckDB ROUND), never as a division
+    "embedding_pca_power",
     # minute bucket is floor(dt/60) <-> FLOOR(dt/60.0) on dt >= 0; the
     # Spark-only `p_sec div TOL` is an internal candidate-bucketing
     # device (±1 neighbor probes cover both rounding directions) whose
