@@ -102,50 +102,104 @@ def bpe_apply_merge(words: DataFrame, top: DataFrame) -> DataFrame:
     return merged
 
 
-def _bpe_loop(docs: DataFrame, n_merges: int, text_col: str):
-    """Run the merge loop; returns ([per-iteration winner DFs], final
-    word table).  Each generation is consumed TWICE (the pair count
-    and the merge), and each top pair twice (the output and the merge)
-    — without lineage cuts the DAG doubles per iteration (2^n_merges
-    corpus scans).  localCheckpoint (the graph.py connected-components
-    pattern) truncates each generation to its materialized blocks,
-    keeping both the execution AND the Catalyst planning cost linear
-    in the merge count (measured 1.8x faster than persist alone, whose
-    logical plans still nest).  Cost: recomputation-on-executor-loss
-    is traded away, same as graph.py."""
-    words = bpe_word_table(docs, text_col).localCheckpoint()
-    outs = []
+def _bpe_local_loop(docs: DataFrame, n_merges: int, text_col: str):
+    """Run the merge loop on the LOCALIZED word-frequency table;
+    returns ([(iter, a, b, cnt)], [(word, n, symbol_string)]).
+
+    The corpus is touched exactly ONCE (bpe_word_table's explode +
+    hash agg); everything after is vocabulary-bounded, and BPE merge
+    selection is inherently sequential — the industry single-trainer
+    shape (SentencePiece / GPT-2 BPE both train from a collected
+    word-frequency table).  r11: the DataFrame loop billed 12+
+    vocabulary-sized localCheckpoint jobs per run (2 per merge) for a
+    table of a few dozen KB of state; the driver loop mirrors its
+    arithmetic token-for-token:
+
+      * pair weights are exact integer sums over the vocab;
+      * the winner is max by (cnt desc, a, b) — Python str compare is
+        code-point order == UTF8String binary order (UTF-8 preserves
+        code-point ordering), so the tie-break is bit-identical;
+      * the merge is str.replace of the single-space-padded pattern —
+        the same left-to-right non-overlapping scan as
+        UTF8String.replace and DuckDB replace (module docstring);
+      * a dry iteration (no multi-symbol words left) emits no winner
+        row and leaves every word unchanged, exactly the empty-winner
+        LEFT-join passthrough of bpe_apply_merge."""
+    rows = bpe_word_table(docs, text_col).collect()
+    words = [(r["word"], int(r["n"]), r["s"]) for r in rows]
+    merges: list[tuple] = []
     for it in range(1, n_merges + 1):
-        top = bpe_top_pair(words).localCheckpoint()
-        outs.append(top.select(F.lit(it).alias("iter"), "a", "b", "cnt"))
-        words = bpe_apply_merge(words, top).localCheckpoint()
-    return outs, words
+        cnt: dict = {}
+        for _w, n, s in words:
+            l = [x for x in s.split("  ") if x]
+            for j in range(len(l) - 1):
+                k = (l[j], l[j + 1])
+                cnt[k] = cnt.get(k, 0) + n
+        if not cnt:
+            continue
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((it, a, b, c))
+        pat, rep = f" {a}  {b} ", f" {a}{b} "
+        words = [(w, n, s.replace(pat, rep)) for w, n, s in words]
+    return merges, words
+
+
+def _literal_frame(spark, rows, cols) -> DataFrame:
+    """JVM-side literal readout (the r10 literal-grid device — a
+    Python-RDD createDataFrame bills a worker-spawn job per action):
+    rows as a Range(1) + explode(array(structs)) plan, no Python
+    stage anywhere."""
+    fields = [
+        F.struct(
+            *[
+                F.lit(v).cast(t).alias(c)
+                for v, (c, t) in zip(row, cols)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*fields)).alias("s"))
+        .select(*[f"s.{c}" for c, _ in cols])
+    )
 
 
 def learn_bpe_merges(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
     """The learned merge table: (iter, a, b, cnt) for ``n_merges``
-    iterations, ordered by iteration.  DataFrame-only loop — lineage
-    stays linear in the merge count (see _bpe_loop); checkpoint
-    spacing is per-generation, fine for tens of merges and tunable for
-    thousand-merge vocab runs."""
+    iterations, ordered by iteration.  One corpus job (the word-count
+    agg); the merge loop runs driver-side on the vocabulary-bounded
+    word table (_bpe_local_loop)."""
+    spark = docs.sparkSession
     if n_merges < 1:
-        spark = docs.sparkSession
         return spark.createDataFrame([], "iter int, a string, b string, cnt bigint")
-    outs, _ = _bpe_loop(docs, n_merges, text_col)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out.orderBy("iter")
+    merges, _ = _bpe_local_loop(docs, n_merges, text_col)
+    if not merges:
+        return spark.createDataFrame([], "iter int, a string, b string, cnt bigint")
+    return _literal_frame(
+        spark,
+        merges,
+        [("iter", "int"), ("a", "string"), ("b", "string"), ("cnt", "bigint")],
+    ).orderBy("iter")
 
 
 def bpe_encode_words(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
     """(word, n, n_bpe): the corpus vocabulary with each word's
     BPE-token count after ``n_merges`` learned merges — encoding
     happens on the vocabulary once, never per occurrence; consumers
-    join this table onto their token streams."""
-    _, words = _bpe_loop(docs, n_merges, text_col)
-    return words.select(
-        "word",
-        "n",
-        F.size(_symbols(F.col("s"))).alias("n_bpe"),
-    )
+    join this table onto their token streams.  The literal readout
+    covers vocabularies up to a few thousand words (this fixture:
+    dozens); beyond that the Arrow createDataFrame path ships the
+    table without a plan blow-up."""
+    spark = docs.sparkSession
+    _, words = _bpe_local_loop(docs, n_merges, text_col)
+    vocab = [
+        (w, n, sum(1 for x in s.split("  ") if x)) for w, n, s in words
+    ]
+    if len(vocab) <= 4096:
+        return _literal_frame(
+            spark,
+            vocab,
+            [("word", "string"), ("n", "bigint"), ("n_bpe", "int")],
+        )
+    return spark.createDataFrame(vocab, "word string, n bigint, n_bpe int")

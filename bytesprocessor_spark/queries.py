@@ -91,6 +91,10 @@ EAGER_QUERIES = frozenset({
     # EV27: K²-row duel-matrix localize + mirrored MM fit at
     # construction (r11 k-row-localize rewrite)
     "eval_bradley_terry",
+    # L4l/L4l2: vocabulary-bounded word-table localize + driver-side
+    # merge loop at construction (r11 single-trainer rewrite)
+    "text_bpe_learn",
+    "text_bpe_encode",
 })
 
 
