@@ -288,3 +288,31 @@ def supplier_pair_weights(spark, sf_dir: str) -> DataFrame:
         )
 
     return memo_checkpoint(spark, ("supplier_pair_weights", sf_dir), build)
+
+
+def supplier_strong_edges(spark, sf_dir: str) -> DataFrame:
+    """Session-memoized strong-edge cut of the supplier co-occurrence
+    graph: the top 10% of pairs by co-order weight (floor 10 edges),
+    ranked by the DISTRIBUTED rank device over the unique
+    (w desc, a, b) order — the GR12 edge discipline shared verbatim by
+    graph_jaccard_linkpred, graph_rich_club and graph_ktruss.  Like
+    the pair-weight substrate it sits on, the at-rest design-point
+    shape is compute-once-at-ingest; the memo pays the rank cut once
+    per session instead of once per consumer (r11: the cut billed
+    ~2.5 s per entry on 453k pairs)."""
+    from bytesprocessor_spark.operators.caching import memo_checkpoint
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
+    def build() -> DataFrame:
+        pw = supplier_pair_weights(spark, sf_dir)
+        rkd = distributed_rank(
+            pw,
+            [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
+            rank_col="rk",
+            total_col="n",
+        )
+        return rkd.where(
+            F.col("rk") <= F.greatest(F.expr("n div 10"), F.lit(10))
+        ).select("a", "b")
+
+    return memo_checkpoint(spark, ("supplier_strong_edges", sf_dir), build)

@@ -1170,19 +1170,11 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank cut (GR12's plan); degrees and club filters are equi-joins
     on integer keys; the k-grid is a 4-row broadcast; readout 4
     rows."""
-    from bytesprocessor_spark.operators.graph import supplier_pair_weights
-    from bytesprocessor_spark.operators.ranking import distributed_rank
+    # r11: the 10% rank cut is the memoized supplier_strong_edges
+    # table (shared verbatim with jaccard_linkpred and ktruss)
+    from bytesprocessor_spark.operators.graph import supplier_strong_edges
 
-    pw = supplier_pair_weights(spark, sf_dir)
-    rkd = distributed_rank(
-        pw,
-        [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
-        rank_col="rk",
-        total_col="n",
-    )
-    e0 = rkd.where(
-        F.col("rk") <= F.greatest(F.expr("n div 10"), F.lit(10))
-    ).select("a", "b")
+    e0 = supplier_strong_edges(spark, sf_dir)
     deg = (
         e0.select(F.col("a").alias("u"))
         .unionAll(e0.select(F.col("b").alias("u")))
@@ -3182,19 +3174,11 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each support round is the GR3 oriented common-
     neighbor equi-join on the PRUNED edge set (Σdeg² bounded by the
     cut); readout 2 rows."""
-    from bytesprocessor_spark.operators.graph import supplier_pair_weights
-    from bytesprocessor_spark.operators.ranking import distributed_rank
+    # r11: the 10% rank cut is the memoized supplier_strong_edges
+    # table (shared verbatim with jaccard_linkpred and rich_club)
+    from bytesprocessor_spark.operators.graph import supplier_strong_edges
 
-    pw = supplier_pair_weights(spark, sf_dir)
-    rkd = distributed_rank(
-        pw,
-        [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
-        rank_col="rk",
-        total_col="n",
-    )
-    edges = rkd.where(
-        F.col("rk") <= F.greatest(F.expr("n div 10"), F.lit(10))
-    ).select("a", "b")
+    edges = supplier_strong_edges(spark, sf_dir)
     out_rows = []
     for rnd in range(1, _TRUSS_ROUNDS + 1):
         d = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(

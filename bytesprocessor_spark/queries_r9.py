@@ -996,19 +996,14 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (now bounded by the PRUNED Σ deg(v)²), two degree
     joins, TakeOrdered top-{_JAC_TOPK}; integer keys only in every
     shuffle."""
-    from bytesprocessor_spark.operators.graph import supplier_pair_weights
-    from bytesprocessor_spark.operators.ranking import distributed_rank
+    # r11: the 10% rank cut is the memoized supplier_strong_edges
+    # table (shared verbatim with rich_club and ktruss) — the
+    # distributed-rank pass is paid once per session, not per entry
+    from bytesprocessor_spark.operators.graph import supplier_strong_edges
 
-    pw = supplier_pair_weights(spark, sf_dir)
-    rkd = distributed_rank(
-        pw,
-        [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
-        rank_col="rk",
-        total_col="n",
+    e0 = supplier_strong_edges(spark, sf_dir).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
     )
-    e0 = rkd.where(
-        F.col("rk") <= F.greatest(F.expr("n div 10"), F.lit(10))
-    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
     e = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = e.groupBy("u").agg(F.count("*").cast("long").alias("d"))
     e1, e2 = e.alias("e1"), e.alias("e2")
