@@ -196,6 +196,10 @@ def bpe_encode_words(docs: DataFrame, n_merges: int, text_col: str = "text") -> 
     vocab = [
         (w, n, sum(1 for x in s.split("  ") if x)) for w, n, s in words
     ]
+    if not vocab:
+        # empty corpus: an empty explode(array()) has VOID element
+        # type — return the typed empty frame directly
+        return spark.createDataFrame([], "word string, n bigint, n_bpe int")
     if len(vocab) <= 4096:
         return _literal_frame(
             spark,

@@ -110,13 +110,26 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", _h60(F.col("span")).alias("key"))
     )
-    counts = spans.groupBy("key").agg(F.count("*").alias("n_occ"))
+    # r11: compact to (doc_id, key, cnt) FIRST and persist the
+    # compacted table — the corpus-side tokenize + span explode + hash
+    # ran twice (once under the count agg, once under the join-back);
+    # both consumers now read the persisted three-long-column table
+    # (column pruning differentiates the two subtrees' canonical
+    # forms, so plain exchange reuse does not fire), one corpus scan
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    sp = persist_intermediate(
+        spans.groupBy("doc_id", "key").agg(F.count("*").alias("cnt"))
+    )
+    counts = sp.groupBy("key").agg(F.sum("cnt").alias("n_occ"))
     per_doc = (
-        spans.join(counts, "key")
+        sp.join(counts, "key")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+            F.sum("cnt").alias("n_spans"),
+            F.sum(F.when(F.col("n_occ") >= 2, F.col("cnt")).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
         )
     )
     # dup ratio in integer parts-per-million: DuckDB SUM() returns
@@ -526,9 +539,20 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", (_h60(F.col("ng")) % _DSIR_B).alias("b")
     )
     is_t = F.col("source") == _DSIR_TARGET
-    per_bucket = feats.groupBy("b").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("c_t"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).alias("c_r"),
+    # r11: compact the feature stream to (doc_id, source, b, cnt)
+    # first and persist the compacted table — the tokenize + n-gram
+    # explode + hash ran twice (bucket counts and the doc-weight
+    # join); both consumers now read the persisted narrow table
+    # (column pruning differentiates the subtrees' canonical forms,
+    # so plain exchange reuse does not fire), one corpus scan
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    ft = persist_intermediate(
+        feats.groupBy("doc_id", "source", "b").agg(F.count("*").alias("cnt"))
+    )
+    per_bucket = ft.groupBy("b").agg(
+        F.sum(F.when(is_t, F.col("cnt")).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~is_t, F.col("cnt")).otherwise(0)).alias("c_r"),
     )
     # totals fold over the <=4096-row bucket table, NOT a second pass
     # over the feature stream (identical sums, one corpus scan saved)
@@ -550,10 +574,13 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lw_q"),
     )
     d = (
-        feats.where(~is_t)
+        ft.where(~is_t)
         .join(F.broadcast(lw), "b")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_feats"), F.sum("lw_q").alias("s"))
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("lw_q")).alias("s"),
+        )
     )
     top = bounded_single_group(d.orderBy(F.col("s").desc(), "doc_id").limit(_DSIR_TOPK))
     w = Window.partitionBy("__opid").orderBy(F.col("s").desc(), "doc_id")
