@@ -290,6 +290,31 @@ def supplier_pair_weights(spark, sf_dir: str) -> DataFrame:
     return memo_checkpoint(spark, ("supplier_pair_weights", sf_dir), build)
 
 
+def supplier_pair_ranks(spark, sf_dir: str) -> DataFrame:
+    """Session-memoized (a, b, rk, n) weight-rank annotation of the
+    supplier co-occurrence pair table, under the unique
+    (w desc, a, b) order of the DISTRIBUTED rank device — the shared
+    substrate BEHIND every rank-cut edge rule.  GR10's clustering
+    coefficient cuts at ``rk * 10 <= n`` while the GR12 family cuts at
+    ``rk <= greatest(n div 10, 10)``; memoizing the RANKED table (not
+    a particular cut) lets each consumer apply its exact cut
+    bit-identically while the 453k-row rank pass is paid once per
+    session (r11: it billed ~2.5 s per consumer)."""
+    from bytesprocessor_spark.operators.caching import memo_checkpoint
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
+    def build() -> DataFrame:
+        pw = supplier_pair_weights(spark, sf_dir)
+        return distributed_rank(
+            pw,
+            [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
+            rank_col="rk",
+            total_col="n",
+        ).select("a", "b", "rk", "n")
+
+    return memo_checkpoint(spark, ("supplier_pair_ranks", sf_dir), build)
+
+
 def supplier_strong_edges(spark, sf_dir: str) -> DataFrame:
     """Session-memoized strong-edge cut of the supplier co-occurrence
     graph: the top 10% of pairs by co-order weight (floor 10 edges),
@@ -299,18 +324,13 @@ def supplier_strong_edges(spark, sf_dir: str) -> DataFrame:
     the pair-weight substrate it sits on, the at-rest design-point
     shape is compute-once-at-ingest; the memo pays the rank cut once
     per session instead of once per consumer (r11: the cut billed
-    ~2.5 s per entry on 453k pairs)."""
+    ~2.5 s per entry on 453k pairs).  The cut is a filter over the
+    shared :func:`supplier_pair_ranks` table, so GR10's different cut
+    rule reuses the same rank pass."""
     from bytesprocessor_spark.operators.caching import memo_checkpoint
-    from bytesprocessor_spark.operators.ranking import distributed_rank
 
     def build() -> DataFrame:
-        pw = supplier_pair_weights(spark, sf_dir)
-        rkd = distributed_rank(
-            pw,
-            [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
-            rank_col="rk",
-            total_col="n",
-        )
+        rkd = supplier_pair_ranks(spark, sf_dir)
         return rkd.where(
             F.col("rk") <= F.greatest(F.expr("n div 10"), F.lit(10))
         ).select("a", "b")

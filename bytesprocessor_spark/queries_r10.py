@@ -3061,6 +3061,10 @@ def similarity_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bytesprocessor_spark.operators.dedup import embedding_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
+    # (r11 measured and rejected: persisting the scored pair table to
+    # share the GEMM between the two union branches — the n~2000 pair
+    # scan recomputes in ~1 s while caching its 2M-row output costs
+    # more than the recompute; see OPTIMIZATION_r11.md)
     pairs = embedding_cosine_pairs(emb, threshold=-2.0, quantize=True)
     sym = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "sim"
@@ -3069,11 +3073,24 @@ def similarity_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "sim"
         )
     )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr"))
-    nn = (
-        sym.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("id", "nbr", "sim")
+    # r11: argmax via a max-of-struct aggregate instead of the
+    # row_number window — (sim, -nbr) compares lexicographically, so
+    # the maximum is exactly the (sim DESC, nbr ASC) rank-1 row, and
+    # the hash aggregate partial-combines map-side where the window
+    # had to shuffle AND sort every (id, nbr, sim) row (guide §2.3)
+    # ... and persist the n-row argmax table: the mutual self-join
+    # consumes nn TWICE (nn and its id2/nbr2 re-projection), and
+    # without the persist the whole all-pairs GEMM + aggregate
+    # subtree ran once per consumer (the before plan prints the scan
+    # subtree 4x: 2 union branches x 2 join sides).  nn is one row
+    # per vector, so the cache is tiny where persisting the 2M-row
+    # pair table measured slower than recomputing it.
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    nn = persist_intermediate(
+        sym.groupBy("id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("nbr")).alias("mnbr"))).alias("m"))
+        .select("id", (-F.col("m.mnbr")).alias("nbr"), F.col("m.sim").alias("sim"))
     )
     other = nn.select(
         F.col("id").alias("id2"), F.col("nbr").alias("nbr2")

@@ -219,19 +219,16 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window even when the co-occurrence table is
     billions of pairs), so text-free integer keys are all that ever
     shuffle."""
-    from bytesprocessor_spark.operators.graph import supplier_pair_weights
-    from bytesprocessor_spark.operators.ranking import distributed_rank
+    from bytesprocessor_spark.operators.graph import supplier_pair_ranks
 
-    pw = supplier_pair_weights(spark, sf_dir)
     # the pair-weight table grows with the co-occurrence graph, so the
     # rank cut uses the DISTRIBUTED rank device (range-partitioned
-    # sort), not a single-partition window
-    ranked = distributed_rank(
-        pw,
-        [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
-        rank_col="rk",
-        total_col="n",
-    )
+    # sort), not a single-partition window — r11: the ranked table is
+    # the session-memoized supplier_pair_ranks substrate (the rank
+    # pass billed ~2.5 s per consumer); this entry's exact
+    # ``rk * 10 <= n`` cut filters the shared (a, b, rk, n) table, so
+    # the edge set is bit-identical to ranking inline
+    ranked = supplier_pair_ranks(spark, sf_dir)
     e = ranked.where(F.col("rk") * 10 <= F.col("n")).select("a", "b")
     deg = (
         e.select(F.col("a").alias("v"))
