@@ -1,0 +1,122 @@
+"""Focused twins for the round-11 optimization internals.
+
+Each optimization this round claims BIT-IDENTICAL results to the
+shape it replaced; the oracle runs prove that end-to-end, and these
+tests pin the equivalence at the operator level so a future
+refactor of the internals cannot silently drift:
+
+* the session-memoized ``supplier_pair_ranks`` table must reproduce
+  BOTH consumer cut rules exactly as an inline distributed rank
+  would (GR10's ``rk*10 <= n`` has no floor; the GR12 family floors
+  at 10 edges);
+* the max-of-struct argmax that replaced similarity_reciprocal_nn's
+  row_number window must pick exactly the (sim DESC, nbr ASC)
+  rank-1 row, ties and all;
+* the memoized eval-audit substrates must equal the operator plans
+  they snapshot (exact top-k, ranked SRP top-k, kNN propagation).
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_supplier_pair_ranks_reproduces_both_cut_rules(spark):
+    from bytesprocessor_spark.operators.graph import (
+        supplier_pair_ranks,
+        supplier_pair_weights,
+        supplier_strong_edges,
+    )
+    from bytesprocessor_spark.operators.ranking import distributed_rank
+
+    inline = distributed_rank(
+        supplier_pair_weights(spark, SF_DIR),
+        [F.col("w").desc(), F.col("a").asc(), F.col("b").asc()],
+        rank_col="rk",
+        total_col="n",
+    )
+    memo = supplier_pair_ranks(spark, SF_DIR)
+
+    # GR12 family cut (floor 10) — via the memoized strong-edge table
+    inline_strong = inline.where(
+        F.col("rk") <= F.greatest(F.expr("n div 10"), F.lit(10))
+    )
+    assert _rows(supplier_strong_edges(spark, SF_DIR), ["a", "b"]) == _rows(
+        inline_strong, ["a", "b"]
+    )
+
+    # GR10 cut (no floor) — applied by the consumer on the memo
+    assert _rows(memo.where(F.col("rk") * 10 <= F.col("n")), ["a", "b"]) == _rows(
+        inline.where(F.col("rk") * 10 <= F.col("n")), ["a", "b"]
+    )
+
+
+def test_max_struct_argmax_equals_window_rank1(spark):
+    # ties on sim MUST resolve to the smallest neighbor id, exactly as
+    # row_number over (sim DESC, nbr ASC) did
+    rows = [
+        (1, 10, 0.5),
+        (1, 7, 0.5),   # tie on sim -> nbr 7 wins
+        (1, 3, 0.4),
+        (2, 9, -1.0),
+        (2, 4, -0.5),  # single max
+        (3, 8, 0.0),   # lone row
+    ]
+    sym = spark.createDataFrame(rows, "id long, nbr long, sim double")
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr"))
+    via_window = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("id", "nbr", "sim")
+    )
+    via_agg = (
+        sym.groupBy("id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("nbr")).alias("mnbr"))).alias("m"))
+        .select("id", (-F.col("m.mnbr")).alias("nbr"), F.col("m.sim").alias("sim"))
+    )
+    assert _rows(via_agg, ["id", "nbr", "sim"]) == _rows(
+        via_window, ["id", "nbr", "sim"]
+    )
+
+
+def test_eval_memo_tables_equal_operator_plans(spark):
+    # the registry module wires the cross-module import order; load it
+    # first so importing queries_eval directly cannot go circular
+    from bytesprocessor_spark.queries import _t  # noqa: F401  (ordering)
+    from bytesprocessor_spark.queries_eval import (
+        _exact_topk_table,
+        _srp_topk_table,
+        eval_knn_label_prop,
+    )
+    from bytesprocessor_spark.operators.caching import memo_checkpoint
+    from bytesprocessor_spark.operators.similarity import srp_topk_q
+    from bytesprocessor_spark.queries_llm import _SRP_TOPK, similarity_topk
+
+    assert _rows(
+        _exact_topk_table(spark, SF_DIR), ["query_id", "vec_id", "sim"]
+    ) == _rows(similarity_topk(spark, SF_DIR), ["query_id", "vec_id", "sim"])
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    inline_srp = (
+        srp_topk_q(emb, q, k=5, **_SRP_TOPK)
+        .withColumn("rk", F.row_number().over(wq))
+        .select("query_id", "vec_id", "rk")
+    )
+    assert _rows(
+        _srp_topk_table(spark, SF_DIR), ["query_id", "vec_id", "rk"]
+    ) == _rows(inline_srp, ["query_id", "vec_id", "rk"])
+
+    prop_memo = memo_checkpoint(
+        spark, ("eval_knn_prop", SF_DIR), lambda: eval_knn_label_prop(spark, SF_DIR)
+    )
+    cols = ["vec_id", "pred_label", "votes", "n_neighbors", "true_label", "is_correct"]
+    assert _rows(prop_memo, cols) == _rows(eval_knn_label_prop(spark, SF_DIR), cols)
