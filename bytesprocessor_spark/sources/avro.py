@@ -44,13 +44,23 @@ import struct
 import zlib
 from typing import Iterable, Iterator, List, Tuple
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
+
+# Rows per container block.  Small blocks cost ~19 framing bytes each
+# (negligible) and let the reader decode every block of a file in
+# LOCKSTEP — a cursor vector indexed by block, advanced with vectorized
+# numpy gathers — instead of a per-row Python loop (guide §4.2: hand
+# whole batches to native code).  512 keeps the lockstep width high
+# (e.g. a 100k-row file decodes as 196 parallel lanes x 512 steps).
+_BLOCK_ROWS = 512
 
 _SPARK_TO_AVRO = {
     T.LongType: "long",
@@ -97,6 +107,161 @@ def _decode_long(data: bytes, pos: int) -> Tuple[int, int]:
 def _encode_bytes(b: bytes, out: bytearray) -> None:
     _encode_long(len(b), out)
     out += b
+
+
+# ---------------------------------------------------------------------------
+# vectorized codec kernels (numpy / pyarrow)
+#
+# The per-row encoder/decoder below (_encode_rows/_decode_rows) are the
+# reference implementations: dispatch-free Python loops, kept as the
+# fallback for exotic inputs and as the equivalence twin in tests.  The
+# hot path encodes a whole pandas batch column-wise with numpy (zigzag
+# varints emitted by up-to-10 masked vector passes, fragments
+# interleaved row-wise with one ragged scatter per column) and decodes
+# all blocks of a file in lockstep (one cursor per block, vectorized
+# gathers).  Byte output is identical to the reference encoder.
+# ---------------------------------------------------------------------------
+
+_VARINT_THRESH = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def _zigzag_np(v: np.ndarray) -> np.ndarray:
+    """int64 array -> uint64 zigzag codes (bit-identical to _encode_long's
+    (n << 1) ^ (n >> 63) on the int64 domain)."""
+    v = v.astype(np.int64, copy=False)
+    return ((v << np.int64(1)) ^ (v >> np.int64(63))).view(np.uint64)
+
+
+def _varint_frags(z: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode uint64 zigzag codes as varints.
+
+    Returns (buf, nbytes, starts): one contiguous uint8 buffer holding
+    the concatenated varints in input order, the per-value byte count,
+    and each value's start offset in buf."""
+    n = len(z)
+    nb = np.ones(n, dtype=np.int64)
+    for t in _VARINT_THRESH:
+        nb += (z >= t)
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(nb[:-1], out=starts[1:])
+    buf = np.empty(int(nb.sum()), dtype=np.uint8)
+    for k in range(10):
+        idx = np.flatnonzero(nb > k)
+        if not len(idx):
+            break
+        b = ((z[idx] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        b[nb[idx] - 1 > k] |= 0x80
+        buf[starts[idx] + k] = b
+    return buf, nb, starts
+
+
+def _ragged_scatter(
+    dst: np.ndarray,
+    dst_starts: np.ndarray,
+    src: np.ndarray,
+    src_starts: np.ndarray,
+    lens: np.ndarray,
+) -> None:
+    """dst[dst_starts[i] + j] = src[src_starts[i] + j] for j < lens[i]."""
+    total = int(lens.sum())
+    if not total:
+        return
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    dst[np.repeat(dst_starts, lens) + within] = src[
+        np.repeat(src_starts, lens) + within
+    ]
+
+
+def _column_arrow(col: pd.Series, atype: str) -> pa.Array:
+    """Arrow-ize one pandas column under the reference encoder's
+    coercions (pd.isna -> null; long accepts integral floats)."""
+    target = {
+        "long": pa.int64(),
+        "double": pa.float64(),
+        "boolean": pa.bool_(),
+        "string": pa.large_utf8(),
+        "bytes": pa.large_binary(),
+    }[atype]
+    arr = pa.array(col, from_pandas=True)
+    if arr.type != target:
+        # safe cast: raises on fractional floats / overflow, which sends
+        # the batch to the reference row encoder (int(v) truncation).
+        arr = arr.cast(target)
+    return arr
+
+
+def _encode_columns(pdf: pd.DataFrame, fields) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch encode.  Returns (payload uint8 buffer for the
+    whole batch, per-row start offsets incl. the trailing total), byte-
+    identical to _encode_rows over the same rows."""
+    n = len(pdf)
+    frags = []  # per field: (col_buf, col_starts, col_lens)
+    for (fname, atype, nullable), col in zip(fields, (pdf[c] for c in pdf.columns)):
+        arr = _column_arrow(col, atype)
+        null = arr.is_null().to_numpy(zero_copy_only=False)
+        if null.any() and not nullable:
+            raise ValueError(f"null in non-nullable column {fname!r}")
+        live = np.flatnonzero(~null)
+        if atype == "long":
+            vbuf, vnb, vstarts = _varint_frags(
+                _zigzag_np(arr.fill_null(0).to_numpy(zero_copy_only=False)[live])
+            )
+            vlens = vnb
+        elif atype == "double":
+            vals = arr.fill_null(0.0).to_numpy(zero_copy_only=False)[live]
+            vbuf = vals.astype("<f8", copy=False).view(np.uint8)
+            vlens = np.full(len(live), 8, dtype=np.int64)
+            vstarts = np.arange(len(live), dtype=np.int64) * 8
+        elif atype == "boolean":
+            vbuf = (
+                arr.fill_null(False)
+                .to_numpy(zero_copy_only=False)[live]
+                .astype(np.uint8)
+            )
+            vlens = np.ones(len(live), dtype=np.int64)
+            vstarts = np.arange(len(live), dtype=np.int64)
+        else:  # string / bytes: offsets+data buffers, length varint + payload
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
+            offs = offs[arr.offset : arr.offset + len(arr) + 1]
+            data_buf = arr.buffers()[2]
+            data = (
+                np.frombuffer(data_buf, dtype=np.uint8)
+                if data_buf is not None and len(data_buf)
+                else np.empty(0, dtype=np.uint8)
+            )
+            plens = (offs[1:] - offs[:-1])[live]
+            pstarts = offs[:-1][live]
+            lbuf, lnb, lstarts = _varint_frags((plens.astype(np.uint64)) << np.uint64(1))
+            vlens = lnb + plens
+            vstarts = np.zeros(len(live), dtype=np.int64)
+            if len(live) > 1:
+                np.cumsum(vlens[:-1], out=vstarts[1:])
+            vbuf = np.empty(int(vlens.sum()), dtype=np.uint8)
+            _ragged_scatter(vbuf, vstarts, lbuf, lstarts, lnb)
+            _ragged_scatter(vbuf, vstarts + lnb, data, pstarts, plens)
+        frags.append((vbuf, vstarts, vlens, live, null, nullable))
+    row_lens = np.zeros(n, dtype=np.int64)
+    for _, _, vlens, live, _, nullable in frags:
+        if nullable:
+            row_lens += 1
+        fl = np.zeros(n, dtype=np.int64)
+        fl[live] = vlens
+        row_lens += fl
+    row_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=row_starts[1:])
+    out = np.empty(int(row_starts[-1]), dtype=np.uint8)
+    cursor = row_starts[:-1].copy()
+    for vbuf, vstarts, vlens, live, null, nullable in frags:
+        if nullable:
+            out[cursor] = np.where(null, 0x00, 0x02).astype(np.uint8)
+            cursor += 1
+        _ragged_scatter(out, cursor[live], vbuf, vstarts, vlens)
+        cursor[live] += vlens
+    return out, row_starts
 
 
 # ---------------------------------------------------------------------------
@@ -194,6 +359,130 @@ def _decode_rows(
     return cols
 
 
+def _unzigzag_np(z: np.ndarray) -> np.ndarray:
+    """uint64 zigzag codes -> int64 values."""
+    return ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))).view(
+        np.int64
+    )
+
+
+def _decode_varint_lockstep(
+    buf: np.ndarray, cur: np.ndarray, lanes: np.ndarray
+) -> np.ndarray:
+    """Decode one varint per lane (lanes index into cur), advancing each
+    lane's cursor.  Returns the uint64 zigzag codes aligned with lanes."""
+    acc = np.zeros(len(lanes), dtype=np.uint64)
+    live = np.arange(len(lanes))
+    for k in range(10):
+        pos = lanes[live]
+        b = buf[cur[pos]]
+        cur[pos] += 1
+        acc[live] |= (b.astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+        live = live[(b & 0x80) != 0]
+        if not len(live):
+            return acc
+    raise ValueError("avro varint longer than 10 bytes (corrupt file)")
+
+
+def _decode_blocks_lockstep(
+    payloads: List[bytes],
+    counts: List[int],
+    fields: List[Tuple[str, str, bool]],
+) -> List[list]:
+    """Decode all blocks of one container file in lockstep: one cursor
+    per block, every per-row step a vectorized gather across blocks.
+    Returns per-field Python value lists in file row order (equal to
+    running _decode_rows over each block and concatenating)."""
+    B = len(payloads)
+    counts_a = np.asarray(counts, dtype=np.int64)
+    if not B or not counts_a.sum():
+        return [[] for _ in fields]
+    lens = np.asarray([len(p) for p in payloads], dtype=np.int64)
+    starts = np.zeros(B, dtype=np.int64)
+    if B > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    maxc = int(counts_a.max())
+    cur = starts.copy()
+    store = []
+    for _, atype, _ in fields:
+        if atype == "long":
+            vals = np.zeros((maxc, B), dtype=np.int64)
+        elif atype == "double":
+            vals = np.zeros((maxc, B), dtype=np.float64)
+        elif atype == "boolean":
+            vals = np.zeros((maxc, B), dtype=bool)
+        else:  # string / bytes: (payload start, payload len) per cell
+            vals = (
+                np.zeros((maxc, B), dtype=np.int64),
+                np.zeros((maxc, B), dtype=np.int64),
+            )
+        store.append((vals, np.zeros((maxc, B), dtype=bool)))
+    lane_ids = np.arange(B)
+    eight = np.arange(8, dtype=np.int64)
+    for i in range(maxc):
+        act = lane_ids[i < counts_a]
+        if not len(act):
+            break
+        for (_, atype, nullable), (vals, nulls) in zip(fields, store):
+            lanes = act
+            if nullable:
+                branch = buf[cur[lanes]]
+                cur[lanes] += 1
+                isnull = branch == 0
+                nulls[i, lanes] = isnull
+                lanes = lanes[~isnull]
+                if not len(lanes):
+                    continue
+            if atype == "long":
+                vals[i, lanes] = _unzigzag_np(
+                    _decode_varint_lockstep(buf, cur, lanes)
+                )
+            elif atype == "double":
+                raw = buf[cur[lanes][:, None] + eight]
+                vals[i, lanes] = raw.copy().view("<f8").ravel()
+                cur[lanes] += 8
+            elif atype == "boolean":
+                vals[i, lanes] = buf[cur[lanes]] != 0
+                cur[lanes] += 1
+            else:
+                plen = _unzigzag_np(_decode_varint_lockstep(buf, cur, lanes))
+                vals[0][i, lanes] = cur[lanes]
+                vals[1][i, lanes] = plen
+                cur[lanes] += plen
+    # flatten to file row order (block-major) and convert to lists
+    valid = np.arange(maxc)[None, :] < counts_a[:, None]  # (B, maxc)
+    out: List[list] = []
+    for (_, atype, _), (vals, nulls) in zip(fields, store):
+        nullflat = nulls.T[valid]
+        if atype in ("long", "double", "boolean"):
+            lst = vals.T[valid].tolist()
+            if nullflat.any():
+                for j in np.flatnonzero(nullflat):
+                    lst[j] = None
+        else:
+            sflat = vals[0].T[valid]
+            lflat = vals[1].T[valid]
+            n_rows = len(lflat)
+            offs = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(lflat, out=offs[1:])
+            data = np.empty(int(offs[-1]), dtype=np.uint8)
+            _ragged_scatter(data, offs[:-1], buf, sflat, lflat)
+            validity = None
+            if nullflat.any():
+                validity = pa.py_buffer(
+                    np.packbits(~nullflat, bitorder="little").tobytes()
+                )
+            typ = pa.large_utf8() if atype == "string" else pa.large_binary()
+            lst = pa.Array.from_buffers(
+                typ,
+                n_rows,
+                [validity, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())],
+            ).to_pylist()
+        out.append(lst)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # container file
 # ---------------------------------------------------------------------------
@@ -238,13 +527,34 @@ def write_avro_bytes(
     for pdf in batches:
         if not len(pdf):
             continue
-        rows = (
-            tuple(None if pd.isna(v) else v for v in row)
-            for row in pdf.itertuples(index=False, name=None)
-        )
-        payload = _encode_rows(rows, fields)
-        _append_block(out, bytes(payload), len(pdf), codec, sync)
-        total += len(pdf)
+        try:
+            buf, row_starts = _encode_columns(pdf, fields)
+        except ValueError:
+            raise
+        except Exception:
+            # exotic cell types Arrow refuses (str()-coercible objects,
+            # fractional floats in long columns): reference row encoder.
+            rows = (
+                tuple(None if pd.isna(v) else v for v in row)
+                for row in pdf.itertuples(index=False, name=None)
+            )
+            buf = np.frombuffer(bytes(_encode_rows(rows, fields)), dtype=np.uint8)
+            row_starts = None
+        n = len(pdf)
+        if row_starts is None:
+            # row offsets unknown on the fallback path: single block
+            _append_block(out, buf.tobytes(), n, codec, sync)
+        else:
+            for lo in range(0, n, _BLOCK_ROWS):
+                hi = min(lo + _BLOCK_ROWS, n)
+                _append_block(
+                    out,
+                    buf[row_starts[lo] : row_starts[hi]].tobytes(),
+                    hi - lo,
+                    codec,
+                    sync,
+                )
+        total += n
     return out, total
 
 
@@ -344,8 +654,9 @@ def parse_avro_bytes(
         mapping = list(range(len(fields)))
     sync = data[pos : pos + SYNC_SIZE]
     pos += SYNC_SIZE
-    wcols: List[list] = [[] for _ in writer_fields]
     n = len(data)
+    payloads: List[bytes] = []
+    counts: List[int] = []
     while pos < n:
         count, pos = _decode_long(data, pos)
         size, pos = _decode_long(data, pos)
@@ -353,12 +664,12 @@ def parse_avro_bytes(
         pos += size
         if codec == "deflate":
             payload = zlib.decompress(payload, -15)
-        block_cols = _decode_rows(payload, 0, count, writer_fields)
-        for acc, bc in zip(wcols, block_cols):
-            acc.extend(bc)
+        payloads.append(payload)
+        counts.append(count)
         if data[pos : pos + SYNC_SIZE] != sync:
             raise ValueError("avro block sync-marker mismatch (corrupt file)")
         pos += SYNC_SIZE
+    wcols = _decode_blocks_lockstep(payloads, counts, writer_fields)
     n_rows = len(wcols[0]) if wcols else 0
     out: List[list] = []
     for (rname, rtype, _), wi in zip(fields, mapping):

@@ -167,6 +167,62 @@ def test_schema_resolution_rejects_bad_shapes(spark, tmp_path):  # noqa: F811
         read_avro(spark, out, bad_promote, resolve=True).collect()
 
 
+def test_vectorized_codec_matches_reference():
+    """r11 optimization pin: the numpy batch encoder emits BYTE-IDENTICAL
+    payloads to the reference row encoder, and the lockstep block decoder
+    returns exactly what the reference row decoder returns — over every
+    supported type, nulls, int64 extremes, inf/-0.0, empty strings/bytes."""
+    import numpy as np
+
+    from bytesprocessor_spark.sources.avro import (
+        _decode_blocks_lockstep,
+        _decode_rows,
+        _encode_columns,
+        _encode_rows,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField("kk", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), True),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("b", T.BinaryType(), True),
+        T.StructField("f", T.BooleanType(), True),
+    ])
+    fields = _avro_fields(schema)
+    pdf = pd.DataFrame({
+        "k": pd.array([1, None, -(2**63), 2**63 - 1, 0, 64, -64], dtype="Int64"),
+        "kk": pd.array([-1, 2, 300000, -(2**62), 7, 0, 1], dtype="Int64"),
+        "v": pd.array(
+            [1.5, None, float("inf"), -0.0, float("-inf"), 1e308, -2.25],
+            dtype="float64",
+        ),
+        "s": pd.Series(["a", None, "héllo", "", "x" * 300, "☃", "q"]),
+        "b": pd.Series([b"\x00\xff", b"", None, b"xyz", b"\x80" * 130, b"1", b"2"]),
+        "f": pd.array([True, False, None, True, None, False, True], dtype="boolean"),
+    })
+    rows = [
+        tuple(None if pd.isna(v) else v for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    ref = bytes(_encode_rows(iter(rows), fields))
+    buf, row_starts = _encode_columns(pdf, fields)
+    assert buf.tobytes() == ref
+    assert row_starts[-1] == len(ref)
+    # lockstep decode over a multi-block split == reference row decode,
+    # including a short tail block
+    payloads = [
+        bytes(buf[row_starts[0] : row_starts[3]]),
+        bytes(buf[row_starts[3] : row_starts[5]]),
+        bytes(buf[row_starts[5] : row_starts[7]]),
+    ]
+    got = _decode_blocks_lockstep(payloads, [3, 2, 2], fields)
+    want = _decode_rows(ref, 0, 7, fields)
+    assert got == want
+    # empty-input shape
+    assert _decode_blocks_lockstep([], [], fields) == [[] for _ in fields]
+
+
 def test_codec_property_roundtrip():
     """Hypothesis: arbitrary rows of every supported type survive the
     byte-level container round-trip exactly (both codecs)."""
