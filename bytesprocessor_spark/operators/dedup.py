@@ -130,10 +130,19 @@ def hashed_shingle_tokens(
     ~4× slower on this feed.  Duplicates are kept: MIN-based minhash
     is multiset-invariant, and set consumers dedup with collect_set.
     This is the shared feed for the whole near-dup family — compute it
-    once, persist, and fan out to signature + verify."""
+    once, persist, and fan out to signature + verify.
+
+    The corpus is spread to session parallelism BEFORE the shingle
+    explode (r11, :func:`~bytesprocessor_spark.sources.tables.spread_scan`):
+    a single-row-group parquet fixture is one unsplittable scan task,
+    which serialized the entire ~25M-shingle × 126-hash feed onto one
+    core; the keyed exchange moves only the raw documents (tiny next
+    to the hash work) and is a no-op when the scan is already wide."""
+    from bytesprocessor_spark.sources.tables import spread_scan
+
     t = F.lower(F.col(text_col))
     return (
-        df.select(F.col(id_col).alias("id"), t.alias("__t"))
+        spread_scan(df, id_col).select(F.col(id_col).alias("id"), t.alias("__t"))
         .select(
             "id",
             "__t",

@@ -93,9 +93,14 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream on the same key (AQE picks shuffle vs broadcast by actual
     size) and the per-doc rollup is a second partial-agg shuffle on
     doc_id.  At 100 TB both shuffles carry (long, long) pairs — no
-    text moves after the map stage.
+    text moves after the map stage.  (r11: corpus scan spread to
+    session parallelism before the span explode — the single-row-group
+    fixture gave the whole tokenize+hash pass ONE task; no-op at
+    scale, see spread_scan.)
     """
-    docs = _t(spark, sf_dir, "documents")
+    from bytesprocessor_spark.sources.tables import spread_scan
+
+    docs = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
     spans = (
         toks.where(F.size("toks") >= _SPAN_N)
@@ -511,9 +516,12 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; the per-doc sum is one partial-agg shuffle on doc_id; the
     selection is a distributed TakeOrdered (no global sort, no global
     window).  At 100 TB the only wide data movement is (doc_id, long)
-    pairs.
+    pairs.  (r11: corpus scan spread to session parallelism before
+    the n-gram explode — single-task fixture scan; no-op at scale.)
     """
-    docs = _t(spark, sf_dir, "documents")
+    from bytesprocessor_spark.sources.tables import spread_scan
+
+    docs = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks")).where(
         F.size("toks") > 0
     )

@@ -1375,8 +1375,14 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-contained per scale factor).  Shape at 100 TB: probe grams
     are tiny -> broadcast hash join against the exploded corpus grams;
     the corpus side never shuffles and distinct-per-doc keeps the
-    explode bounded by document length."""
-    docs = _t(spark, sf_dir, "documents")
+    explode bounded by document length.  (r11: the corpus scan is
+    spread to session parallelism first — the single-row-group fixture
+    gave the whole 13-gram build ONE task; see spread_scan.  At scale
+    the scan is already wide and the spread is a no-op, keeping the
+    'corpus side never shuffles' posture.)"""
+    from bytesprocessor_spark.sources.tables import spread_scan
+
+    docs = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
     n = 13
     grams = toks.select(
@@ -1594,8 +1600,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, gram) for the gram counts, then a doc_id agg over
     already-tiny per-gram rows.  The keep flag compares in exact
     integer arithmetic (mc·25 ≤ tc, distinct·10 ≥ words·4) so both
-    engines agree at the boundary."""
-    docs = _t(spark, sf_dir, "documents")
+    engines agree at the boundary.  (r11: corpus scan spread to
+    session parallelism before the 2-gram explode — one-task fixture
+    scan serialized the gram build; no-op at scale.)"""
+    from bytesprocessor_spark.sources.tables import spread_scan
+
+    docs = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
     w = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
     grams = w.select(

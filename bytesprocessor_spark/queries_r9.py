@@ -807,37 +807,52 @@ def eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer scores, deterministic tiebreak by class
     name, exact integer counts, floor-division ppm.
 
-    Scale shape: the rank is computed INLINE per row with array
-    expressions (5-literal class array → no explode, no join, no
-    shuffle of scores); one scalar aggregate; readout 3 rows."""
-    ev = _t(spark, sf_dir, "events")
-    classes = F.array(*[F.lit(c) for c in _TOPK_CLASSES])
+    Scale shape: the rank is computed INLINE per row (no explode, no
+    join, no shuffle of scores); one scalar aggregate; readout 3
+    rows.  (r11: the 5-class rank is UNROLLED to named per-class
+    score columns and a codegen when-chain — the array higher-order
+    filter ran interpreted and re-derived the true score per element,
+    8 md5s/row instead of 6, and the events scan is spread to session
+    parallelism, the single-row-group fixture having pinned the md5
+    work to one task.  Same hashes, same comparisons, same counts.)"""
+    from bytesprocessor_spark.sources.tables import spread_scan
 
-    def score(cls_col):
+    ev = spread_scan(_t(spark, sf_dir, "events"), "event_id")
+
+    def score(cls_expr):
         return (
             _h60(
                 F.concat(
                     F.lit("cls:"),
                     F.col("event_id").cast("string"),
                     F.lit(":"),
-                    cls_col,
+                    cls_expr,
                 )
             )
             % 1000000
         )
 
-    true_score = score(F.col("event_type")) + _TOPK_BOOST
-    rnk = F.lit(1) + F.size(
-        F.filter(
-            classes,
-            lambda c: (c != F.col("event_type"))
-            & (
-                (score(c) > true_score)
-                | ((score(c) == true_score) & (c < F.col("event_type")))
-            ),
-        )
+    base = ev.select(
+        "event_type",
+        *[score(F.lit(c)).alias(f"s{i}") for i, c in enumerate(_TOPK_CLASSES)],
+        (score(F.col("event_type")) + _TOPK_BOOST).alias("ts"),
     )
-    r = ev.select(rnk.alias("rnk"))
+    ind = [
+        F.when(
+            (F.lit(c) != F.col("event_type"))
+            & (
+                (F.col(f"s{i}") > F.col("ts"))
+                | (
+                    (F.col(f"s{i}") == F.col("ts"))
+                    & (F.lit(c) < F.col("event_type"))
+                )
+            ),
+            1,
+        ).otherwise(0)
+        for i, c in enumerate(_TOPK_CLASSES)
+    ]
+    rnk = F.lit(1) + sum(ind[1:], ind[0])
+    r = base.select(rnk.alias("rnk"))
     t = r.agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.when(F.col("rnk") <= 1, 1).otherwise(0)).cast("long").alias("h1"),

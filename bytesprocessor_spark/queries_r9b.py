@@ -400,33 +400,46 @@ def eval_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-class F1 floor-quantized to ppm BEFORE the macro average;
     MCC is one fixed double tree over five exact int64 moments.
 
-    Scale shape: argmax is INLINE array arithmetic per row (no
-    explode, no shuffle of scores); one (true, pred)-keyed aggregate
-    (≤25 cells) absorbs the scan; margins and moments ride k-row
-    tables; readout 1 row."""
-    ev = _t(spark, sf_dir, "events")
-    classes = F.array(*[F.lit(c) for c in _MCC_CLASSES])
+    Scale shape: argmax is INLINE per-row arithmetic (no explode, no
+    shuffle of scores); one (true, pred)-keyed aggregate (≤25 cells)
+    absorbs the scan; margins and moments ride k-row tables; readout
+    1 row.  (r11: the 5-class argmax is UNROLLED to named per-class
+    score columns, greatest(), and a codegen when-chain taking the
+    FIRST ascending class at the max — exactly array_position of
+    array_max over the ascending class array, which previously ran as
+    an interpreted higher-order transform; the events scan is spread
+    to session parallelism, the single-row-group fixture having
+    pinned the md5 work to one task.  Same hashes, same argmax.)"""
+    from bytesprocessor_spark.sources.tables import spread_scan
 
-    def eff(cls_col):
+    ev = spread_scan(_t(spark, sf_dir, "events"), "event_id")
+
+    def eff(i, c):
         return (
-            _h60(
-                F.concat(
-                    F.lit("cls:"),
-                    F.col("event_id").cast("string"),
-                    F.lit(":"),
-                    cls_col,
+            (
+                _h60(
+                    F.concat(
+                        F.lit("cls:"),
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.lit(c),
+                    )
                 )
+                % 1000000
             )
-            % 1000000
-            + F.when(cls_col == F.col("event_type"), _MCC_BOOST).otherwise(0)
-        )
+            + F.when(F.lit(c) == F.col("event_type"), _MCC_BOOST).otherwise(0)
+        ).alias(f"e{i}")
 
-    scores = F.transform(classes, lambda c: eff(c))
-    # first index of the max = the (score desc, class asc) argmax, since
-    # the class array is already sorted ascending — 5 md5s per row, not 50
-    yhat = F.element_at(classes, F.array_position(scores, F.array_max(scores)).cast("int"))
+    base = ev.select(
+        F.col("event_type").alias("y"),
+        *[eff(i, c) for i, c in enumerate(_MCC_CLASSES)],
+    )
+    mx = F.greatest(*[F.col(f"e{i}") for i in range(len(_MCC_CLASSES))])
+    yhat = F.when(F.col("e0") == mx, _MCC_CLASSES[0])
+    for i in range(1, len(_MCC_CLASSES)):
+        yhat = yhat.when(F.col(f"e{i}") == mx, _MCC_CLASSES[i])
     conf = (
-        ev.select(F.col("event_type").alias("y"), yhat.alias("yhat"))
+        base.select("y", yhat.alias("yhat"))
         .groupBy("y", "yhat")
         .agg(F.count("*").cast("long").alias("n"))
     )

@@ -51,6 +51,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a scan to ``defaultParallelism`` by ``keys``
+    ONLY when the source yields fewer partitions than cores.
+
+    A heavy per-row projection (n-gram explode, a 126-hash minhash
+    family, per-row md5 scoring) inherits the SCAN's parallelism; a
+    small single-row-group parquet file is one unsplittable task, so
+    on a 32-core executor the whole projection runs on one thread
+    while 31 idle.  One keyed exchange of the raw rows — bytes that
+    are tiny next to the projection's work — restores full
+    parallelism.  When the source is already as wide as the session
+    (the 100 TB design point, where scans arrive in thousands of
+    splits), this is a NO-OP: no shuffle is added at scale, so the
+    bench at any core count and the cluster plan read the same.
+    """
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= dp:
+        return df
+    return df.repartition(dp, *[F.col(k) for k in keys])
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

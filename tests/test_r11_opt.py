@@ -13,7 +13,12 @@ refactor of the internals cannot silently drift:
   row_number window must pick exactly the (sim DESC, nbr ASC)
   rank-1 row, ties and all;
 * the memoized eval-audit substrates must equal the operator plans
-  they snapshot (exact top-k, ranked SRP top-k, kNN propagation).
+  they snapshot (exact top-k, ranked SRP top-k, kNN propagation);
+* ``spread_scan`` must be a value-level identity (a pure exchange)
+  and a plan-level no-op when the source is already wide;
+* the unrolled 5-class when-chains in eval_topk_accuracy /
+  eval_mcc_multiclass must reproduce the interpreted higher-order
+  forms they replaced, hash for hash, tie for tie.
 """
 
 from pyspark.sql import Window
@@ -120,3 +125,114 @@ def test_eval_memo_tables_equal_operator_plans(spark):
     )
     cols = ["vec_id", "pred_label", "votes", "n_neighbors", "true_label", "is_correct"]
     assert _rows(prop_memo, cols) == _rows(eval_knn_label_prop(spark, SF_DIR), cols)
+
+
+def test_spread_scan_values_and_wide_noop(spark):
+    from bytesprocessor_spark.queries import _t
+    from bytesprocessor_spark.sources.tables import spread_scan
+
+    docs = _t(spark, SF_DIR, "documents")
+    spread = spread_scan(docs, "doc_id")
+    # pure exchange: every row survives unchanged
+    assert _rows(spread, ["doc_id", "source"]) == _rows(docs, ["doc_id", "source"])
+    dp = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() >= min(
+        dp, docs.rdd.getNumPartitions() or 1
+    )
+    # already-wide source: identical object back, no exchange added
+    wide = docs.repartition(dp + 1, "doc_id")
+    assert spread_scan(wide, "doc_id") is wide
+
+
+def test_topk_unroll_matches_interpreted_hof(spark):
+    from bytesprocessor_spark.queries import _t
+    from bytesprocessor_spark.queries_r9 import _TOPK_BOOST, _TOPK_CLASSES, _h60
+
+    ev = _t(spark, SF_DIR, "events")
+    classes = F.array(*[F.lit(c) for c in _TOPK_CLASSES])
+
+    def score(cls_col):
+        return (
+            _h60(
+                F.concat(
+                    F.lit("cls:"),
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    cls_col,
+                )
+            )
+            % 1000000
+        )
+
+    true_score = score(F.col("event_type")) + _TOPK_BOOST
+    hof_rnk = F.lit(1) + F.size(
+        F.filter(
+            classes,
+            lambda c: (c != F.col("event_type"))
+            & (
+                (score(c) > true_score)
+                | ((score(c) == true_score) & (c < F.col("event_type")))
+            ),
+        )
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        *[score(F.lit(c)).alias(f"s{i}") for i, c in enumerate(_TOPK_CLASSES)],
+        (score(F.col("event_type")) + _TOPK_BOOST).alias("ts"),
+    )
+    ind = [
+        F.when(
+            (F.lit(c) != F.col("event_type"))
+            & (
+                (F.col(f"s{i}") > F.col("ts"))
+                | (
+                    (F.col(f"s{i}") == F.col("ts"))
+                    & (F.lit(c) < F.col("event_type"))
+                )
+            ),
+            1,
+        ).otherwise(0)
+        for i, c in enumerate(_TOPK_CLASSES)
+    ]
+    unrolled = base.select("event_id", (F.lit(1) + sum(ind[1:], ind[0])).alias("rnk"))
+    hof = ev.select("event_id", hof_rnk.alias("rnk"))
+    assert _rows(unrolled, ["event_id", "rnk"]) == _rows(hof, ["event_id", "rnk"])
+
+
+def test_mcc_argmax_unroll_matches_array_position(spark):
+    from bytesprocessor_spark.queries import _t
+    from bytesprocessor_spark.queries_r9b import _MCC_BOOST, _MCC_CLASSES, _h60
+
+    ev = _t(spark, SF_DIR, "events")
+    classes = F.array(*[F.lit(c) for c in _MCC_CLASSES])
+
+    def eff(cls_col):
+        return (
+            _h60(
+                F.concat(
+                    F.lit("cls:"),
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    cls_col,
+                )
+            )
+            % 1000000
+            + F.when(cls_col == F.col("event_type"), _MCC_BOOST).otherwise(0)
+        )
+
+    scores = F.transform(classes, lambda c: eff(c))
+    hof_yhat = F.element_at(
+        classes, F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+
+    cols = [eff(F.lit(c)).alias(f"e{i}") for i, c in enumerate(_MCC_CLASSES)]
+    base = ev.select("event_id", "event_type", *cols)
+    mx = F.greatest(*[F.col(f"e{i}") for i in range(len(_MCC_CLASSES))])
+    chain = F.when(F.col("e0") == mx, _MCC_CLASSES[0])
+    for i in range(1, len(_MCC_CLASSES)):
+        chain = chain.when(F.col(f"e{i}") == mx, _MCC_CLASSES[i])
+
+    assert _rows(base.select("event_id", chain.alias("y")), ["event_id", "y"]) == _rows(
+        ev.select("event_id", hof_yhat.alias("y")), ["event_id", "y"]
+    )
