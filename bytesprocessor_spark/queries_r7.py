@@ -565,60 +565,86 @@ def lpa_run(spark: SparkSession, sf_dir: str):
     deterministic 3-round synchronous LPA.  Returns ``(e0, labels)``:
     the (a, b) edge table and the final (z, lbl) node→community
     assignment — the shared substrate for GR9's size histogram and
-    GR13's modularity readout."""
+    GR13's modularity readout.
+
+    r11: the final label assignment is SESSION-MEMOIZED (the
+    established memo_checkpoint device) — GR9 and GR13 each re-ran
+    the identical 3-round trajectory inline, ~2.5-3 s apiece at
+    sf0.1.  At the design point the community assignment is computed
+    once per corpus release and persisted next to the edge table;
+    the memo reproduces that at-rest shape in-session.  The
+    trajectory itself is unchanged (same edges, same per-round
+    argmax), so both consumers read bit-identical labels."""
+    from bytesprocessor_spark.operators.caching import memo_checkpoint
+
     e0 = lpa_edges(spark, sf_dir)
-    labels = (
-        e0.select(F.col("a").alias("z"))
-        .union(e0.select(F.col("b").alias("z")))
-        .distinct()
-        .select("z", F.col("z").alias("lbl"))
-    )
-    for _ in range(_LPA_ITERS):
-        nbr = (
-            e0.join(labels.withColumnRenamed("z", "b"), "b")
-            .select(F.col("a").alias("z"), "lbl")
-            .union(
-                e0.join(labels.withColumnRenamed("z", "a"), "a").select(
-                    F.col("b").alias("z"), "lbl"
+
+    def build_labels():
+        labels = (
+            e0.select(F.col("a").alias("z"))
+            .union(e0.select(F.col("b").alias("z")))
+            .distinct()
+            .select("z", F.col("z").alias("lbl"))
+        )
+        for _ in range(_LPA_ITERS):
+            nbr = (
+                e0.join(labels.withColumnRenamed("z", "b"), "b")
+                .select(F.col("a").alias("z"), "lbl")
+                .union(
+                    e0.join(labels.withColumnRenamed("z", "a"), "a").select(
+                        F.col("b").alias("z"), "lbl"
+                    )
                 )
             )
-        )
-        counts = nbr.groupBy("z", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
-        labels = counts.groupBy("z").agg(
-            F.expr("min_by(lbl, named_struct('nc', -cnt, 'lbl', lbl))").alias("lbl")
-        ).localCheckpoint(eager=False)
+            counts = nbr.groupBy("z", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+            labels = counts.groupBy("z").agg(
+                F.expr("min_by(lbl, named_struct('nc', -cnt, 'lbl', lbl))").alias(
+                    "lbl"
+                )
+            ).localCheckpoint(eager=False)
+        return labels
+
+    labels = memo_checkpoint(spark, ("lpa_labels", sf_dir), build_labels)
     return e0, labels
 
 
 def lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GR9 nation-blocked co-supplier edge table (a < b, >=2
     shared orders) — the Python twin of :func:`lpa_edges_cte`."""
+    from bytesprocessor_spark.operators.caching import memo_checkpoint
     from bytesprocessor_spark.operators.graph import supplier_pair_weights
 
-    su = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("nk")
-    )
     # r11: derive from the session-memoized pair-weight table (guide
     # §2.4) — the co-order count of an (a, b) pair is independent of
     # the nation-block predicate, so filtering the shared table by
     # weight and endpoint-nation equality reproduces the blocked join
     # exactly, for two broadcast joins instead of a corpus self-join.
-    e0 = (
-        supplier_pair_weights(spark, sf_dir)
-        .where(F.col("w") >= 2)
-        .join(
-            F.broadcast(su.select(F.col("s").alias("a"), F.col("nk").alias("nka"))),
-            "a",
+    # The filtered edge table is itself memoized (GR9, GR13 and GR14
+    # each re-built it per call, one localCheckpoint job apiece).
+    def build() -> DataFrame:
+        su = _t(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("nk")
         )
-        .join(
-            F.broadcast(su.select(F.col("s").alias("b"), F.col("nk").alias("nkb"))),
-            "b",
+        return (
+            supplier_pair_weights(spark, sf_dir)
+            .where(F.col("w") >= 2)
+            .join(
+                F.broadcast(
+                    su.select(F.col("s").alias("a"), F.col("nk").alias("nka"))
+                ),
+                "a",
+            )
+            .join(
+                F.broadcast(
+                    su.select(F.col("s").alias("b"), F.col("nk").alias("nkb"))
+                ),
+                "b",
+            )
+            .where(F.col("nka") == F.col("nkb"))
+            .select("a", "b")
         )
-        .where(F.col("nka") == F.col("nkb"))
-        .select("a", "b")
-        .localCheckpoint(eager=False)
-    )
-    return e0
+
+    return memo_checkpoint(spark, ("lpa_edges", sf_dir), build)
 
 
 # ---------------------------------------------------------------------------

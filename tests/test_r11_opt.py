@@ -127,6 +127,38 @@ def test_eval_memo_tables_equal_operator_plans(spark):
     assert _rows(prop_memo, cols) == _rows(eval_knn_label_prop(spark, SF_DIR), cols)
 
 
+def test_lpa_label_memo_equals_inline_trajectory(spark):
+    # the memoized (z, lbl) assignment must equal a from-scratch
+    # 3-round synchronous LPA over the same edge table, tie-break and
+    # all — the equivalence graph_lpa_communities/graph_modularity
+    # now both depend on
+    from bytesprocessor_spark.queries_r7 import _LPA_ITERS, lpa_edges, lpa_run
+
+    e0 = lpa_edges(spark, SF_DIR)
+    labels = (
+        e0.select(F.col("a").alias("z"))
+        .union(e0.select(F.col("b").alias("z")))
+        .distinct()
+        .select("z", F.col("z").alias("lbl"))
+    )
+    for _ in range(_LPA_ITERS):
+        nbr = (
+            e0.join(labels.withColumnRenamed("z", "b"), "b")
+            .select(F.col("a").alias("z"), "lbl")
+            .union(
+                e0.join(labels.withColumnRenamed("z", "a"), "a").select(
+                    F.col("b").alias("z"), "lbl"
+                )
+            )
+        )
+        counts = nbr.groupBy("z", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = counts.groupBy("z").agg(
+            F.expr("min_by(lbl, named_struct('nc', -cnt, 'lbl', lbl))").alias("lbl")
+        )
+    _, memo_labels = lpa_run(spark, SF_DIR)
+    assert _rows(memo_labels, ["z", "lbl"]) == _rows(labels, ["z", "lbl"])
+
+
 def test_spread_scan_values_and_wide_noop(spark):
     from bytesprocessor_spark.queries import _t
     from bytesprocessor_spark.sources.tables import spread_scan
