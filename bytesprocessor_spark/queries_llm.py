@@ -128,8 +128,13 @@ def _word3_hashed_tokens(docs: DataFrame) -> DataFrame:
     (posexplode + lead window, all codegen) rather than with array
     higher-order functions, which run interpreted; the window shuffles
     on the doc id and carries one row per word — trivial next to the
-    work it replaces."""
-    words = docs.select(
+    work it replaces.  (r11: the corpus scan is spread to session
+    parallelism first — the single-row-group fixture pinned the
+    tokenize+posexplode map stage to ONE task; no-op at scale, see
+    spread_scan.)"""
+    from bytesprocessor_spark.sources.tables import spread_scan
+
+    words = spread_scan(docs, "doc_id").select(
         F.col("doc_id").alias("id"),
         F.posexplode(tokenize(F.col("text"))).alias("pos", "w"),
     )
