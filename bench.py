@@ -511,6 +511,78 @@ KERNEL_30 = (
     "text_quality",
 )
 
+# VERDICT r11 #4: the stdout line is byte-limited (the driver's tail
+# capture is 2000 bytes), so only a subset of per-query timings fits on
+# it — and a slowest-first subset churns membership every round, which
+# made the driver's line-to-line per-query diff read composition noise
+# as "dropped"/"new" queries and biased its common set toward
+# regressions.  Fix: the line's composition is now STABLE — every query
+# that was on the previous round's emitted line (this tuple, verbatim
+# from BENCH_r11.json) is always emitted first, then kernel entries,
+# then the slowest of the rest as bytes allow.  Next-round PERF diffs
+# therefore get an empty "dropped" list and the maximum possible
+# common set.  Timings for every entry remain in the sidecar.
+PERF_COMPAT = (
+    "pcap_pipeline_20k",
+    "dedup_threshold_sweep",
+    "stream_sprt",
+    "eval_mcc_multiclass",
+    "stream_interval_join_outer",
+    "graph_k_core",
+    "stream_lateness_audit",
+    "text_tfidf_topterms",
+    "text_unigram_surprisal",
+    "part_croston_demand",
+    "profile_orders_card",
+    "text_bpe_encode",
+    "eval_knn_label_prop",
+    "stream_session_windows",
+    "events_poisson_rate",
+    "part_risk_pooling",
+    "events_markov_transitions",
+    "events_seasonal_mann_kendall",
+    "part_abc_xyz_matrix",
+    "graph_harmonic_centrality",
+    "stream_first_touch",
+    "text_bigram_surprisal",
+    "similarity_prefix_rerank",
+    "events_fdr_bh",
+    "graph_hits",
+    "text_classifier_score",
+    "dedup_jaccard_pairs",
+    "graph_double_sweep",
+    "graph_jaccard_linkpred",
+    "events_gap_fill",
+    "similarity_pq_topk",
+    "dedup_containment_pairs",
+    "audit_referential_integrity",
+    "agg_approx_percentile",
+    "eval_permutation_test",
+    "corpus_leakage_safe_split",
+    "similarity_reciprocal_nn",
+    "eval_mrr",
+    "txnlog_snapshot_read",
+    "text_textrank_keywords",
+    "avro_schema_evolution",
+    "part_cv2_adi_classes",
+    "events_bootstrap_ci",
+    "dedup_minhash_incremental",
+    "events_lateness_histogram",
+    "agg_heavy_hitters",
+    "orders_gk_gamma",
+    "eval_weighted_kappa",
+    "events_changepoint_tree",
+    "csv_roundtrip_read",
+    "similarity_mmr_rerank",
+    "graph_ktruss",
+    "eval_wilcoxon_signed_rank",
+    "events_dau_growth",
+    "events_eb_shrinkage",
+    "events_path_regex",
+    "events_burst_kleinberg",
+    "xml_roundtrip_read",
+)
+
 # Entries whose round-2 driver numbers contradicted reproducible
 # steady-state by >2x (Python-worker spawn + host noise): min-of-2 was
 # not enough damping, so these get a guaranteed third run.  Adjudicated
@@ -801,18 +873,22 @@ def bench_pcap(spark, tmpdir: str, n_packets: int) -> float:
         attacks=attacks,
         ranges=((base, base + n_packets),),
         check_quality=False,
-        # record-offset splits sized to the session's core count (one
-        # chunk per slot), floored so a chunk still amortizes the
-        # Python-worker spin-up.  r11 re-measurement: the old
-        # max(5000, n//8) constant left 28 of 32 cores idle — 4 tasks
-        # at 5.67 s min-of-3 vs 32 tasks at 1.88 s for the identical
-        # 20k-packet capture (interleaved A/B, same session); the
-        # "tiny chunks are pure overhead" reading dated from before
-        # worker reuse and min-of-3 damping.  Scale-adaptive, not a
-        # local[32] constant: at any core count the chunk count
-        # follows defaultParallelism (guide §2, partitioning derived
-        # from the session, not tuned to one machine).
-        split_packets=max(500, n_packets // spark.sparkContext.defaultParallelism),
+        # record-offset splits sized to the session's core count,
+        # floored so a chunk still amortizes the Python-worker
+        # spin-up.  History: r10 used max(5000, n//8) — 4 fat chunks,
+        # 28 of 32 cores idle, 5.67 s min-of-3 on an idle host; r11
+        # moved to max(500, n//dp) — one chunk per slot, 1.88 s idle —
+        # but the DRIVER's (loaded) run regressed it to 20.6 s
+        # min-of-3: 32 concurrent Python parse workers contend and
+        # lose badly when the host is busy (VERDICT r11 #1).  r12
+        # floors the chunk at 2500 packets (8 chunks at the 20k
+        # fixture): fewer concurrent Python workers, each chunk still
+        # ~3 MB of parse work, so an idle host keeps most of the r11
+        # win while a loaded host degrades toward the 4-chunk number
+        # instead of far past it.  Still scale-adaptive: the chunk
+        # count follows defaultParallelism once captures are large
+        # enough that the floor stops binding (guide §2).
+        split_packets=max(2500, n_packets // spark.sparkContext.defaultParallelism),
     )
     return time.time() - t0
 
@@ -851,6 +927,14 @@ def main() -> None:
     # inheriting whatever budget the query loop leaves over.
     suite_t0 = time.time()
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    # VERDICT r11 #3: a fixed wall-clock budget interacts perversely
+    # with host slow-phases — the slower the host, the EARLIER the
+    # suite falls back to undamped single runs, so exactly the runs
+    # that need min-of-N most get it least (r11: a 1.8x phase pushed
+    # most of the tail single-shot and made the per-query table noise).
+    # Scale the budget by the start canary (usual steady value ~0.3 s),
+    # capped at 3x so a pathological canary can't blow the bench slot.
+    budget *= min(3.0, max(1.0, canary_start / 0.3))
     with tempfile.TemporaryDirectory() as tmpdir:
         pcap_runs = [round(bench_pcap(spark, tmpdir, n_pcap), 3) for _ in range(3)]
         pcap_time = min(pcap_runs)
@@ -903,7 +987,9 @@ def main() -> None:
         # cold window.  Past the budget, fall back to fewer runs —
         # HEADLINE is ordered most-expensive-first so the entries that
         # distort the most are damped first.
-        runs = 3 if (time.time() - suite_t0) < budget else 1
+        # past the (canary-scaled) budget: min-of-2, never single-shot —
+        # single readings on this host swing 5-20x (VERDICT r11 #3)
+        runs = 3 if (time.time() - suite_t0) < budget else 2
         if name in MIN_OF_3 or name in KERNEL_30:
             # kernel entries are the composition-stable cross-round
             # gauge — always fully noise-damped regardless of budget
@@ -925,6 +1011,15 @@ def main() -> None:
     canary_end = canary()
     total = round(sum(timings.values()), 3)
     legacy = {n: t for n, t in timings.items() if n not in POST_BRACKET_ADDITIONS}
+    # VERDICT r11 #5: the session memo family makes the FIRST consumer
+    # of a shared substrate pay its build — report each build's
+    # wall-clock so per-query diffs can separate substrate cost from
+    # consumer cost (the full map goes to the sidecar; the stdout line
+    # carries the total).
+    from bytesprocessor_spark.operators.caching import MEMO_BUILD_SEC
+
+    memo_build_sec = dict(sorted(MEMO_BUILD_SEC.items()))
+    memo_sec_total = round(sum(memo_build_sec.values()), 3)
     headline = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -949,34 +1044,56 @@ def main() -> None:
         # slow-phase and per-query times are inflated
         "canary": [canary_start, canary_end],
         "sf": sf,
+        # total seconds spent building session-memoized substrates
+        # (billed inside their first consumers' timings above); the
+        # per-substrate map is in the sidecar (VERDICT r11 #5)
+        "memo_sec": memo_sec_total,
     }
-    # Full per-run vectors go to a SIDECAR file, not stdout: the
-    # driver's tail capture is byte-limited and BENCH_r05's stdout
-    # line (with 120+ run vectors inline) overflowed it, truncating
-    # the JSON head and making the round's headline unparseable.  The
-    # vectors remain the noise evidence — an apparent regression whose
-    # vector contains a round-3-level run is host noise, not code.
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    detail_path.write_text(
-        json.dumps({**headline, "runs": run_vectors}, indent=1) + "\n"
-    )
+    # Full per-run vectors and the memo-build map go to a SIDECAR
+    # file, not stdout: the driver's tail capture is byte-limited and
+    # BENCH_r05's stdout line (with 120+ run vectors inline)
+    # overflowed it, truncating the JSON head and making the round's
+    # headline unparseable.  The vectors remain the noise evidence —
+    # an apparent regression whose vector contains a round-3-level run
+    # is host noise, not code.  VERDICT r11 #6: the sidecar is ALSO
+    # written under a per-core-count name so the driver's low-core
+    # re-run no longer clobbers the main run's full record.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail = json.dumps(
+        {**headline, "memo_build_sec": memo_build_sec, "runs": run_vectors},
+        indent=1,
+    ) + "\n"
+    here = Path(__file__).resolve().parent
+    (here / "BENCH_DETAIL.json").write_text(detail)
+    (here / f"BENCH_DETAIL_c{cpus}.json").write_text(detail)
     # The compact headline is the SOLE final stdout line (progress
     # bars are disabled in session.py), flushed so the tail capture
     # always ends with a parseable JSON object.  The capture window is
     # 2000 bytes (BENCH_r04's 1946-char line fit; r05's larger one did
     # not), so the stdout line carries the suite total + as many
-    # per-query timings as fit, slowest first — the complete set lives
-    # in BENCH_DETAIL.json.
-    LIMIT = 1900
-    slowest_first = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    # per-query timings as fit — in the STABLE priority order
+    # PERF_COMPAT (everything on the previous round's line, so the
+    # driver's line diff never reads a "dropped" query again), then
+    # the frozen kernel, then the slowest of the rest (VERDICT r11
+    # #4).  Line values are rounded to 2 decimals to fit more entries;
+    # full 3-decimal timings live in BENCH_DETAIL.json.
+    LIMIT = 1960
+    rest_slowest = sorted(
+        (n for n in timings if n not in PERF_COMPAT and n not in KERNEL_30),
+        key=lambda n: timings[n],
+        reverse=True,
+    )
+    priority = (
+        [n for n in PERF_COMPAT if n in timings]
+        + [n for n in KERNEL_30 if n in timings and n not in PERF_COMPAT]
+        + rest_slowest
     )
     stdout_line = ""
-    for keep in range(len(slowest_first), -1, -1):
+    for keep in range(len(priority), -1, -1):
         candidate = dict(headline)
-        candidate["queries"] = dict(list(slowest_first.items())[:keep])
+        candidate["queries"] = {n: round(timings[n], 2) for n in priority[:keep]}
         candidate["n_queries"] = len(timings)
-        candidate["queries_full"] = "BENCH_DETAIL.json"
+        candidate["queries_full"] = f"BENCH_DETAIL_c{cpus}.json"
         stdout_line = json.dumps(candidate, separators=(",", ":"))
         if len(stdout_line) <= LIMIT:
             break

@@ -52,6 +52,18 @@ def unpersist_intermediates() -> None:
 
 _MEMO: dict[tuple, DataFrame] = {}
 
+# Build-time attribution (VERDICT r11 #5): the memo family shifts a
+# substrate's build cost onto whichever query happens to consume it
+# first, so per-query suite timings stop attributing substrate cost to
+# its consumers.  Each build's wall-clock is recorded here, keyed by
+# the substrate's name (the first element of the caller's key);
+# bench.py reports the map in its sidecar so a per-query diff can
+# separate "the memo build landed inside this entry" from "this
+# entry's own plan got slower".  Same applicationId scoping as the
+# memo itself — a fresh session starts from an empty map.
+MEMO_BUILD_SEC: dict[str, float] = {}
+_MEMO_APP: list[str] = []
+
 
 def memo_checkpoint(spark, key: tuple, build) -> DataFrame:
     """Return the memoized local-checkpointed DataFrame for ``key``
@@ -59,12 +71,47 @@ def memo_checkpoint(spark, key: tuple, build) -> DataFrame:
     Entries keyed by OTHER applicationIds belong to stopped sessions
     and can never hit again — they are evicted here so a long-lived
     process that restarts sessions doesn't pin dead py4j handles."""
+    import time as _time
+
     app_id = spark.sparkContext.applicationId
     for stale in [k for k in _MEMO if k[0] != app_id]:
         del _MEMO[stale]
+    if not _MEMO_APP or _MEMO_APP[0] != app_id:
+        _MEMO_APP[:] = [app_id]
+        MEMO_BUILD_SEC.clear()
     full = (app_id,) + tuple(key)
     df = _MEMO.get(full)
     if df is None:
+        t0 = _time.time()
         df = build().localCheckpoint(eager=True)
+        MEMO_BUILD_SEC[str(key[0])] = round(_time.time() - t0, 3)
         _MEMO[full] = df
     return df
+
+
+_LOCAL_MEMO: dict[tuple, object] = {}
+
+
+def memo_local(spark, key: tuple, build):
+    """Session-scoped memo for small DRIVER-SIDE values (a learned
+    merge table, a localized fit) — the :func:`memo_checkpoint`
+    contract for plain Python objects instead of DataFrames.  Keyed by
+    the live applicationId exactly like the checkpoint memo, so a
+    fresh process always recomputes from the parquet inputs and
+    nothing persists across bench/oracle invocations.  Build time is
+    recorded in :data:`MEMO_BUILD_SEC` under ``key[0]`` for the bench
+    sidecar's attribution map."""
+    import time as _time
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _LOCAL_MEMO if k[0] != app_id]:
+        del _LOCAL_MEMO[stale]
+    if not _MEMO_APP or _MEMO_APP[0] != app_id:
+        _MEMO_APP[:] = [app_id]
+        MEMO_BUILD_SEC.clear()
+    full = (app_id,) + tuple(key)
+    if full not in _LOCAL_MEMO:
+        t0 = _time.time()
+        _LOCAL_MEMO[full] = build()
+        MEMO_BUILD_SEC[str(key[0])] = round(_time.time() - t0, 3)
+    return _LOCAL_MEMO[full]

@@ -403,13 +403,22 @@ def eval_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: argmax is INLINE per-row arithmetic (no explode, no
     shuffle of scores); one (true, pred)-keyed aggregate (≤25 cells)
     absorbs the scan; margins and moments ride k-row tables; readout
-    1 row.  (r11: the 5-class argmax is UNROLLED to named per-class
-    score columns, greatest(), and a codegen when-chain taking the
-    FIRST ascending class at the max — exactly array_position of
-    array_max over the ascending class array, which previously ran as
-    an interpreted higher-order transform; the events scan is spread
-    to session parallelism, the single-row-group fixture having
-    pinned the md5 work to one task.  Same hashes, same argmax.)"""
+    1 row.  (r12: the argmax is ONE greatest() over (score, -index)
+    structs + element_at into the literal class array — every score
+    expression is referenced exactly ONCE, so exactly 5 md5/row reach
+    the plan.  The r11 unroll — greatest() over named columns + a
+    when-chain re-comparing each column — collapsed into a single
+    projection whose when-chain duplicated every score expression:
+    the committed r11 plan carries 45 md5 calls/row, and the
+    generated method was big enough to fall off the JIT, measured
+    [33, 19, 11, 29, 135] s across 5 fresh-session runs at sf0.1
+    where this form holds ~1 s.  Lexicographic struct max picks the
+    highest score and, on ties, the largest -i — the smallest index,
+    i.e. the FIRST ascending class at the max, exactly
+    array_position(array_max) over the ascending class array; pinned
+    by tests/test_r11_opt.py::
+    test_mcc_argmax_unroll_matches_array_position.  The events scan
+    stays spread to session parallelism, r11.)"""
     from bytesprocessor_spark.sources.tables import spread_scan
 
     ev = spread_scan(_t(spark, sf_dir, "events"), "event_id")
@@ -434,11 +443,25 @@ def eval_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("y"),
         *[eff(i, c) for i, c in enumerate(_MCC_CLASSES)],
     )
-    mx = F.greatest(*[F.col(f"e{i}") for i in range(len(_MCC_CLASSES))])
-    yhat = F.when(F.col("e0") == mx, _MCC_CLASSES[0])
-    for i in range(1, len(_MCC_CLASSES)):
-        yhat = yhat.when(F.col(f"e{i}") == mx, _MCC_CLASSES[i])
-    conf = (
+    m = F.greatest(
+        *[
+            F.struct(F.col(f"e{i}").alias("s"), F.lit(-i).alias("ni"))
+            for i in range(len(_MCC_CLASSES))
+        ]
+    )
+    yhat = F.element_at(
+        F.array(*[F.lit(c) for c in _MCC_CLASSES]),
+        (F.lit(1) - m["ni"]).cast("int"),
+    )
+    from bytesprocessor_spark.operators.caching import persist_intermediate
+
+    # the ≤25-cell confusion table feeds THREE differently-pruned
+    # consumers (row margins, column margins, diagonal) — distinct
+    # canonical subtrees, so AQE exchange reuse cannot dedupe them and
+    # without the persist the scan+argmax subtree runs three times
+    # (the span/DSIR lesson, r11): persist the k²-row table so the
+    # corpus is scanned once
+    conf = persist_intermediate(
         base.select("y", yhat.alias("yhat"))
         .groupBy("y", "yhat")
         .agg(F.count("*").cast("long").alias("n"))

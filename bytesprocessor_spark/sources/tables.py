@@ -65,10 +65,18 @@ def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
     (the 100 TB design point, where scans arrive in thousands of
     splits), this is a NO-OP: no shuffle is added at scale, so the
     bench at any core count and the cluster plan read the same.
+
+    Contract (ADVICE r11): ``df`` must be a RAW SCAN (or a trivially
+    narrow projection of one) — the partition probe physically plans
+    ``df`` and reads its pre-AQE partition count, which is cheap and
+    meaningful for a file scan but both costly and misleading for a
+    complex upstream plan (exchanges report the shuffle-partition
+    conf, not data width).  The probe goes through the JVM RDD handle
+    directly so no Python-serde wrapper is built.
     """
     sc = df.sparkSession.sparkContext
     dp = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= dp:
+    if df._jdf.rdd().getNumPartitions() >= dp:
         return df
     return df.repartition(dp, *[F.col(k) for k in keys])
 
